@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** One query per operator key (SURVEY.md §2), with the matching DuckDB
+  * oracle SQL where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules (SURVEY.md §5.1, §7.4):
+  *  - every query ends in a total order over its output columns;
+  *  - no raw double sums/avgs: sums go through an exact DECIMAL
+  *    accumulator and are cast back to DOUBLE, so partial-aggregation
+  *    order (Spark) vs sequential order (DuckDB) cannot diverge;
+  *  - every computed column is cast to an explicit type aliased
+  *    identically on both sides.
+  */
+final case class QuerySpec(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Order-insensitive exact sum of a double column: decimal accumulate,
+    * double result. Deterministic under any partitioning / AQE re-plan —
+    * the property that makes the same query hash-stable on a 1000-executor
+    * cluster and in single-threaded DuckDB.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def dsum6(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- specs
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // ------------------------------------------------------ aggregations
+    // Q1 semantics (reference README.md:778-783): group, avg, order.
+    "agg_avg_group" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Q2 semantics (README.md:790-796): two-column group + top-k.
+    "agg_avg_group2_topk" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("ship_month"))
+          .agg((dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+          .orderBy(col("avg_price").desc, col("l_returnflag"), col("ship_month"))
+          .limit(10)
+      },
+      Some("""SELECT l_returnflag, CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+             |FROM lineitem GROUP BY 1, 2
+             |ORDER BY avg_price DESC, l_returnflag, ship_month LIMIT 10""".stripMargin)),
+
+    // Q3 semantics (README.md:803-809): filtered single-group avg.
+    "agg_avg_filtered" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .groupBy(month(col("l_shipdate")).as("ship_month"))
+          .agg((dsum6(col("l_discount")) / count(lit(1))).as("avg_discount"))
+          .orderBy(col("ship_month"))
+      },
+      Some("""SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_discount
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    "agg_count" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("SELECT count(*) AS cnt, count(DISTINCT l_orderkey) AS n_orders FROM lineitem")),
+
+    "agg_distinct" -> QuerySpec(
+      (s, d) => t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    "agg_rollup" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // HLL++ sketch — approximate by construction, so no DuckDB hash oracle;
+    // bounded-error property is unit-tested (AggregatesSpec).
+    "agg_approx_distinct" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
+    // ------------------------------------------------- filters/projections
+    // Null/empty partition-key guard (reference README.md:1306-1311).
+    "filter_nonnull" -> QuerySpec(
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment").isNotNull && length(col("c_mktsegment")) > 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_mktsegment IS NOT NULL AND length(c_mktsegment) > 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Partition-column predicate (README.md:801-806) — on a partitioned
+    // layout this compiles to PruneFileSourcePartitions; plan-shape
+    // asserted in PlanSpec against a partitioned copy.
+    "filter_partition_prune" -> QuerySpec(
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // Nested-struct projection + flat rename (README.md:643-666 style).
+    "proj_flatten_vc" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_custkey"),
+          struct(
+            col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")).as("day"))
+        .select(
+          col("o_custkey").as("cust"),
+          col("day.okey").as("okey"),
+          col("day.status").as("status"),
+          col("day.price").as("price"))
+        .orderBy(col("okey")),
+      Some("""SELECT o_custkey AS cust, o_orderkey AS okey,
+             |  o_orderstatus AS status, o_totalprice AS price
+             |FROM orders ORDER BY okey""".stripMargin)),
+
+    // Derived partition-key columns (README.md:740-745).
+    "proj_derive_year_month" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .withColumn("odate", col("o_orderdate").cast(DateType))
+        .withColumn("o_year", year(col("odate")))
+        .withColumn("o_month", month(col("odate")))
+        .select(col("o_orderkey"), col("odate"), col("o_year"), col("o_month"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+             |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(month(o_orderdate) AS INTEGER) AS o_month
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // --------------------------------------------------------------- joins
+    // Multi-key equi join (README.md:737) — keyed on exact int types, not
+    // the reference's float-coordinate keys (hazard §4.6).
+    "join_inner_multikey" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val b = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        // (l_orderkey, l_linenumber) is not unique in the test data, so the
+        // deterministic total order must cover every output column.
+        a.join(b, Seq("l_orderkey", "l_linenumber"), "inner")
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+      },
+      Some("""SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice
+             |FROM lineitem a
+             |JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+             |      FROM lineitem WHERE l_returnflag = 'R') b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+             |ORDER BY a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice""".stripMargin)),
+
+    "join_cross" -> QuerySpec(
+      (s, d) => t(s, d, "region")
+        .crossJoin(t(s, d, "nation"))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey")),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    // NOT EXISTS upsert-dedup shape (README.md:1517-1526) as LeftAnti.
+    "join_left_anti" -> QuerySpec(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "join_left_semi" -> QuerySpec(
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Small-dim broadcast (the scale-critical join shape: fact ⋈ dims with
+    // zero shuffle of the fact side).
+    "join_broadcast" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sup = t(s, d, "supplier")
+        val nat = t(s, d, "nation")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------- set ops
+    // union = bag semantics (README.md:1529) ⇒ UNION ALL on the oracle.
+    "setop_union" -> QuerySpec(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        a.union(b).orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderstatus = 'F')
+             |ORDER BY o_orderkey, o_orderstatus, o_totalprice""".stripMargin)),
+
+    "setop_intersect" -> QuerySpec(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val a = c.filter(col("c_acctbal") > 0).select(col("c_nationkey"), col("c_mktsegment"))
+        val b = c.filter(col("c_mktsegment") =!= "BUILDING").select(col("c_nationkey"), col("c_mktsegment"))
+        a.intersect(b).orderBy(col("c_nationkey"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+             |INTERSECT
+             |SELECT c_nationkey, c_mktsegment FROM customer WHERE c_mktsegment <> 'BUILDING'
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    "setop_except" -> QuerySpec(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val a = c.select(col("c_nationkey"), col("c_mktsegment"))
+        val b = c.filter(col("c_acctbal") < 0).select(col("c_nationkey"), col("c_mktsegment"))
+        a.except(b).orderBy(col("c_nationkey"), col("c_mktsegment"))
+      },
+      Some("""SELECT c_nationkey, c_mktsegment FROM customer
+             |EXCEPT
+             |SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal < 0
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // -------------------------------------------------------------- windows
+    // Extension surface (SURVEY.md §2.6): ranking / analytic / frames.
+    "win_rank" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice
+             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    "win_lag_delta" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // 7-row moving window; sum/count kept separate so both engines divide
+    // the same exact decimal sum (no segment-tree float reassociation).
+    "win_moving_avg" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(-6, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType).as("mv_sum"),
+            count(lit(1)).over(w).as("mv_n"))
+          .withColumn("mv_avg", col("mv_sum") / col("mv_n"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS mv_sum,
+             |  COUNT(*) OVER w AS mv_n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mv_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ----------------------------------------------------- scalar functions
+    "fn_from_json" -> QuerySpec(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), new StructType().add("k", IntegerType))
+            .getField("k").as("k"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k2"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k,
+             |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k2
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------ event-time windowing
+    // Tumbling event-time window in batch form (SURVEY.md §2.10); the
+    // streaming twin (readStream + watermark) is exercised in StreamingSpec.
+    "stream_tumbling_agg" -> QuerySpec(
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), dsum6(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+        .orderBy(col("ws")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, count(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY ws""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map { case (k, v) => k -> v.fn }
+
+  def oracleSql: Map[String, String] =
+    specs.collect { case (k, QuerySpec(_, Some(sql))) => k -> sql }
+}
