@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source-side utilities (SURVEY.md §2.1). */
+object Readers {
+
+  /** One-JSON-object-per-file scan (reference README.md:621, 640, 674).
+    * Explicit schema wins at scale: inference reads every file twice and
+    * samples on the executor; a declared StructType makes the scan
+    * single-pass and the plan deterministic.
+    */
+  def jsonMultiLine(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", true)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** File-path partition-key extraction (reference README.md:622-623:
+    * `input_file_name()` + `regexp_extract`): derive `island` and
+    * `location_name` from `.../{island}/{location}/{file}`. Stays in-plan —
+    * no driver-side directory listing loop.
+    */
+  def withPathMeta(df: DataFrame,
+      islandPattern: String = "^.*/([^/]+)/[^/]+/[^/]+$",
+      locationPattern: String = "^.*/([^/]+)/[^/]+$"): DataFrame =
+    df.withColumn("file_path", input_file_name())
+      .withColumn("island", regexp_extract(col("file_path"), islandPattern, 1))
+      .withColumn("location_name", regexp_extract(col("file_path"), locationPattern, 1))
+
+  /** Bootstrap an empty frame with an explicit schema (reference
+    * README.md:1266-1282 creates a minimal empty table when the target is
+    * missing).
+    */
+  def emptyBootstrap(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+}

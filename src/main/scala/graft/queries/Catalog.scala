@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.ops.{Flatten, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -242,6 +243,65 @@ object Catalog {
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ------------------------------------------------------------ flattens
+    // vcFlatten semantics (README.md:643-666): nest orders into an
+    // array-of-structs per customer, then explode+project back — DuckDB
+    // sees the flat equivalent.
+    "flatten_explode_structs" -> QuerySpec(
+      (s, d) => {
+        val nested = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sort_array(collect_list(struct(
+            col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price")))).as("days"))
+        Flatten.explodeStructs(nested, "days",
+          scalars = Seq("o_custkey" -> "cust"),
+          fields = Seq("okey" -> "okey", "status" -> "status", "price" -> "price"))
+          .orderBy(col("okey"))
+      },
+      Some("""SELECT o_custkey AS cust, o_orderkey AS okey,
+             |  o_orderstatus AS status, o_totalprice AS price
+             |FROM orders ORDER BY okey""".stripMargin)),
+
+    // omUnzip semantics (README.md:693-725) distributed: build parallel
+    // arrays per order, then arrays_zip+explode them back to rows.
+    "flatten_arrays_zip" -> QuerySpec(
+      (s, d) => {
+        val nested = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty")))).as("rows"))
+          .select(col("l_orderkey"),
+            Flatten.parallelArrays(col("rows"), Seq("ln", "qty")).as("daily"))
+        Flatten.unzipParallelArrays(nested, "daily",
+          scalars = Seq("l_orderkey" -> "l_orderkey"))
+          .orderBy(col("l_orderkey"), col("ln"), col("qty"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
+             |FROM lineitem ORDER BY l_orderkey, ln, qty""".stripMargin)),
+
+    // -------------------------------------------------------------- upsert
+    // MERGE semantics (README.md:1517-1529): batch = re-priced 1998+ orders;
+    // merged = anti-join + union; DuckDB sees the CASE-expression equivalent.
+    "agg_after_upsert" -> QuerySpec(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val batch = orders
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType))
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+        val merged = Upsert.merge(orders, batch, Seq("o_orderkey"))
+        merged.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  CAST(SUM(CAST(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+             |                     THEN o_totalprice * 1.1 ELSE o_totalprice END
+             |           AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ------------------------------------------------------------- set ops
     // union = bag semantics (README.md:1529) ⇒ UNION ALL on the oracle.

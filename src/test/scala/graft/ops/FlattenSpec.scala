@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FlattenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explodeStructs flattens a Visual-Crossing-shaped doc") {
+    val raw = Readers.jsonMultiLine(spark, resource("/raw/Tenerife/Vilaflor/vc2021-01-01-to-2021-01-03.json"))
+    val flat = Flatten.explodeStructs(raw, "days",
+      scalars = Seq("latitude" -> "latitude", "timezone" -> "timezone"),
+      fields = Seq("datetime" -> "date", "cloudcover" -> "cloudcover", "icon" -> "icon"))
+    val rows = flat.orderBy("date").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("date")).toSeq == Seq("2021-01-01", "2021-01-02"))
+    assert(rows.head.getAs[Double]("cloudcover") == 60.8)
+    assert(rows.forall(_.getAs[String]("timezone") == "Atlantic/Canary"))
+  }
+
+  test("unzipParallelArrays flattens an Open-Meteo-shaped doc") {
+    val raw = Readers.jsonMultiLine(spark, resource("/raw/Tenerife/Vilaflor/2021-01-01-to-2021-01-03.json"))
+    val flat = Flatten.unzipParallelArrays(raw, "daily",
+      scalars = Seq("location" -> "location", "elevation" -> "elevation"))
+    val rows = flat.orderBy("date").collect()
+    assert(rows.length == 3)
+    // positional alignment: date[i] must ride with weather_code[i]
+    assert(rows.map(r => (r.getAs[String]("date"), r.getAs[Long]("weather_code"))).toSeq ==
+      Seq(("2021-01-01", 51L), ("2021-01-02", 51L), ("2021-01-03", 63L)))
+    // scalars carried onto every row (no crossJoin(limit(1)) needed)
+    assert(rows.forall(_.getAs[Double]("elevation") == 1387.0))
+  }
+
+  test("unzipParallelArrays rejects ragged arrays in strict mode") {
+    val df = Seq(("a", Seq("d1", "d2"), Seq(1.0)))
+      .toDF("loc", "date", "temp")
+      .select($"loc", struct($"date", $"temp").as("daily"))
+    val e = intercept[IllegalArgumentException] {
+      Flatten.unzipParallelArrays(df, "daily", Seq("loc" -> "loc"))
+    }
+    assert(e.getMessage.contains("inconsistent array lengths"))
+    // lenient mode pads with nulls instead
+    val lenient = Flatten.unzipParallelArrays(df, "daily", Seq("loc" -> "loc"), strict = false)
+    assert(lenient.count() == 2)
+    assert(lenient.orderBy($"date".desc_nulls_last).collect()(1).isNullAt(2) ||
+      lenient.orderBy($"date").collect().exists(_.isNullAt(2)))
+  }
+
+  test("zip round-trip equals the original rows (seeded random cases)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val groups = 1 + rnd.nextInt(5)
+      val data = (0 until groups).flatMap { g =>
+        val n = 1 + rnd.nextInt(8)
+        (0 until n).map(i => (s"g$g", i, rnd.nextInt(1000).toDouble))
+      }
+      val flat = data.toDF("k", "idx", "v")
+      val nested = flat.groupBy($"k").agg(
+        sort_array(collect_list(struct($"idx", $"v"))).as("rows"))
+        .select($"k", Flatten.parallelArrays($"rows", Seq("idx", "v")).as("daily"))
+      val back = Flatten.unzipParallelArrays(nested, "daily", Seq("k" -> "k"))
+        .select($"k", $"idx", $"v").as[(String, Int, Double)].collect().toSet
+      assert(back == data.toSet)
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class ReadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withPathMeta extracts island/location_name from the file path") {
+    val raw = Readers.jsonMultiLine(spark, resource("/raw") + "/*/*/2*.json")
+    val meta = Readers.withPathMeta(raw)
+      .select($"island", $"location_name").distinct()
+      .as[(String, String)].collect().toSet
+    assert(meta == Set(
+      ("Tenerife", "Vilaflor"),
+      ("Gran_Canaria", "Las_Palmas_de_Gran_Canaria")))
+  }
+
+  test("jsonMultiLine with explicit schema skips inference and projects") {
+    val schema = new StructType()
+      .add("location", StringType).add("elevation", DoubleType)
+    val df = Readers.jsonMultiLine(spark,
+      resource("/raw/Tenerife/Vilaflor/2021-01-01-to-2021-01-03.json"), Some(schema))
+    assert(df.schema == schema)
+    assert(df.first().getAs[Double]("elevation") == 1387.0)
+  }
+
+  test("emptyBootstrap creates an empty frame with the declared schema") {
+    val schema = new StructType()
+      .add("location", StringType).add("date", DateType).add("temp", DoubleType)
+    val df = Readers.emptyBootstrap(spark, schema)
+    assert(df.count() == 0 && df.schema == schema)
+    // unionByName with real data works (the reference's bootstrap use case)
+    val real = Seq(("a", java.sql.Date.valueOf("2021-01-01"), 1.0))
+      .toDF("location", "date", "temp")
+    assert(df.unionByName(real).count() == 1)
+  }
+
+  test("dropIfExists is a no-op for absent columns") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    assert(Joins.dropIfExists(df, "nope", "b").columns.toSeq == Seq("a"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    ("loc1", "2021-01-01", 10.0), ("loc1", "2021-01-02", 11.0),
+    ("loc2", "2021-01-01", 20.0), ("loc2", "2021-01-02", 21.0)
+  ).toDF("location", "date", "temp")
+
+  private def batch = Seq(
+    ("loc1", "2021-01-02", 99.0), // supersedes
+    ("loc1", "2021-01-03", 12.0)  // new
+  ).toDF("location", "date", "temp")
+
+  test("merge: batch wins on key overlap, non-overlapping rows survive") {
+    val merged = Upsert.merge(target, batch, Seq("location", "date"))
+    val m = merged.as[(String, String, Double)].collect().toSet
+    assert(m == Set(
+      ("loc1", "2021-01-01", 10.0), ("loc1", "2021-01-02", 99.0),
+      ("loc1", "2021-01-03", 12.0),
+      ("loc2", "2021-01-01", 20.0), ("loc2", "2021-01-02", 21.0)))
+  }
+
+  test("merge is idempotent: applying the same batch twice is a no-op") {
+    val once = Upsert.merge(target, batch, Seq("location", "date"))
+    val twice = Upsert.merge(once, batch, Seq("location", "date"))
+    assert(once.as[(String, String, Double)].collect().toSet ==
+      twice.as[(String, String, Double)].collect().toSet)
+  }
+
+  test("merge with duplicate batch keys does not multiply surviving target rows") {
+    val dupBatch = batch.union(batch) // same keys twice
+    val merged = Upsert.merge(target, dupBatch, Seq("location", "date"))
+    // target-surviving rows appear exactly once (keyOnly is distinct'd)
+    assert(merged.filter($"location" === "loc2").count() == 2)
+  }
+
+  test("upsertIntoPath rewrites only affected partitions") {
+    val dir = Files.createTempDirectory("upsert").toFile.getAbsolutePath
+    Upsert.writePartitioned(target, dir, Seq("location"))
+    val loc2Before = new java.io.File(s"$dir/location=loc2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+
+    Upsert.upsertIntoPath(spark, dir, batch, Seq("location", "date"), Seq("location"))
+
+    val after = spark.read.parquet(dir)
+      .select($"location", $"date", $"temp")
+      .as[(String, String, Double)].collect().toSet
+    assert(after == Set(
+      ("loc1", "2021-01-01", 10.0), ("loc1", "2021-01-02", 99.0),
+      ("loc1", "2021-01-03", 12.0),
+      ("loc2", "2021-01-01", 20.0), ("loc2", "2021-01-02", 21.0)))
+    // untouched partition files byte-identical (same files, same mtimes)
+    val loc2After = new java.io.File(s"$dir/location=loc2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(loc2Before == loc2After)
+  }
+
+  test("writePartitioned static overwrite replaces the whole table") {
+    val dir = Files.createTempDirectory("static").toFile.getAbsolutePath
+    Upsert.writePartitioned(target, dir, Seq("location"))
+    Upsert.writePartitioned(batch, dir, Seq("location"), dynamicOverwrite = false)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
