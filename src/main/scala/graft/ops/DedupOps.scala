@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication for training-data pipelines (north-star extension):
+  * exact, MinHash-LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one
+  * hash-partitioned window; MinHash and SimHash meet candidates only
+  * inside LSH band buckets (candidate count ∝ true-duplicate count, not
+  * N²); Jaccard joins only docs sharing a token. All signatures are
+  * per-row column expressions (codegen, linear scan, no UDF).
+  */
+object DedupOps {
+
+  /** Exact dedup: keep one deterministic winner (min tieBreaker) per key.
+    * `dropDuplicates` keeps an arbitrary row — unacceptable for
+    * reproducible pipelines, so this is a window + row_number instead. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Token n-gram shingles of a text column (strings). Short docs
+    * (< n tokens) produce their whole text as a single shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(text), "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: numHashes independent min-hashes of the shingle
+    * set, h_i(s) = xxhash64(s, i). Array[Long] of length numHashes,
+    * computed per-row (no shuffle). */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** LSH band hashes: split the signature into `bands` bands of
+    * numHashes/bands rows each; band hash = xxhash64 over (slice, band
+    * index). Docs sharing ANY band hash are candidates. */
+  def lshBands(sig: Column, numHashes: Int = 64, bands: Int = 16): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH, scored by the signature
+    * agreement estimate of Jaccard (fraction of equal minhashes).
+    * Returns (id_a, id_b, est_jaccard) with est ≥ `estThreshold`. */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      estThreshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBands(col("sig"), numHashes, bands)).as("band_hash"))
+    val pairs = banded.as("a").join(banded.as("b"), Seq("band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs.withColumn("est_jaccard",
+      size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => (x === y).cast(IntegerType)), v => v === 1))
+        .cast(DoubleType) / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per bit position, sum ±1 across token
+    * hashes, take the sign bit; packed to one Long by an exact integer
+    * fold. Near-identical docs differ in few bits (small hamming). */
+  def simhash(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    // ±1 per bit of the token hash, unrolled so shift amounts stay literal
+    def bitSigns(t: Column): Column = {
+      val h = xxhash64(t)
+      array((0 until 64).map(i =>
+        when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))): _*)
+    }
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, bitSigns(t), (c, s) => c + s))
+    // pack sign bits with bitwise OR of literal masks — `acc*2+bit` would
+    // hit the sign bit and trip ANSI-mode overflow on the 64th bit
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash: bucket on 16-bit chunks (a pair within
+    * hamming ≤ 3 of 64 bits must agree on ≥1 of the 4 chunks —
+    * pigeonhole), then verify exact hamming inside the bucket. */
+  def simhashDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(ci =>
+        concat_ws("_", lit(ci.toString),
+          shiftrightunsigned(col("sig"), ci * 16)
+            .bitwiseAND(lit(0xFFFFL)).cast(StringType))): _*)).as("chunk_key"))
+    chunked.as("a").join(chunked.as("b"), Seq("chunk_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact token-set Jaccard for candidate pairs sharing ≥1 token.
+    * Integer set sizes, one IEEE division — engine-exact. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = toks.as("a").join(toks.as("b"), Seq("tok"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines (north-star extension).
+  *
+  * Media payloads are opaque `BinaryType` columns with a typed metadata
+  * struct riding alongside. The Spark-side plumbing — schema, batch
+  * iteration via mapPartitions over InternalRow-backed Rows, partition
+  * sizing — is real and tested; the codec itself is STUBBED with a
+  * deterministic fake header format (this container has no image/audio
+  * libraries), clearly marked below. Swapping `decodeStub` for a real
+  * JNI/FFmpeg decode keeps every signature and the whole plan unchanged.
+  *
+  * Fake header layout (bytes): [0]='G' [1]=kind [2]=width/16 [3]=height/16
+  * [4]=nFrames, then payload bytes.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = new StructType()
+    .add("media_id", LongType)
+    .add("bytes", BinaryType)
+    .add("meta", new StructType()
+      .add("mime", StringType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("n_frames", IntegerType))
+
+  /** Deterministic fake media payload derived from an id + text column —
+    * stands in for reading real image/audio bytes from object storage. */
+  def attachFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val header = concat(
+      lit(Array[Byte]('G'.toByte)),
+      substring(encode(col(textCol), "UTF-8"), 1, 4))
+    df.withColumn("bytes", concat(header, encode(col(textCol), "UTF-8")))
+      .withColumn("meta", struct(
+        lit("image/fake").as("mime"),
+        (pmod(col(idCol), lit(64)) * 16 + 16).cast(IntegerType).as("width"),
+        (pmod(col(idCol), lit(32)) * 16 + 16).cast(IntegerType).as("height"),
+        (pmod(col(idCol), lit(8)) + 1).cast(IntegerType).as("n_frames")))
+  }
+
+  /** STUB decode: "decodes" the fake payload into per-media features.
+    * In production this is the partition-local call into a native codec;
+    * the mapPartitions batching (one codec init per partition, streamed
+    * rows) is exactly what a real decoder needs. */
+  def decodeStub(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add("decoded_bytes", IntegerType)
+      .add("checksum", LongType)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val rdd = df.rdd.mapPartitions { rows =>
+      // codec init would happen here, once per partition
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](bytesIdx)
+        // deterministic fake "decode": byte count + additive checksum
+        val checksum = payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+        Row.fromSeq(r.toSeq :+ payload.length :+ checksum)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling: every k-th frame index up to n_frames — the plan
+    * shape (explode of a bounded sequence per row) matches real video
+    * frame extraction, where the explode fans each media row out to
+    * frame rows that downstream feature extractors process in parallel. */
+  def sampleFrames(df: DataFrame, everyK: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))))
+}

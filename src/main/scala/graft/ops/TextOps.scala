@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines (north-star extension):
+  * tokenization, top-terms, quality scoring, token counting, language ID,
+  * fingerprinting. Everything is per-row column arithmetic or a single
+  * aggregation — no UDFs, no collect, all codegen'd.
+  */
+object TextOps {
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Whitespace tokenizer (lowercased). */
+  def tokenize(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish tokenizer: letter runs, digit runs, single punctuation —
+    * the pre-tokenization regex shape used by byte-pair encoders. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))
+
+  /** Top-k corpus terms after stopword removal. */
+  def topTerms(df: DataFrame, textCol: String, k: Int,
+      stopwords: Seq[String] = defaultStopwords): DataFrame =
+    df.select(explode(tokenize(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(stopwords: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+
+  /** Per-document quality features + a composite score. All counts are
+    * integers and all ratios are single IEEE divisions — deterministic
+    * across engines and partitionings. */
+  def qualityFeatures(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = tokenize(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop", size(filter(toks, t => array_contains(stopArr, t))))
+      .withColumn("n_punct", size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9\\s]"), lit(0))))
+      .withColumn("avg_token_len",
+        (col("n_chars_m") - (col("n_tokens") - lit(1))).cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast(DoubleType) / col("n_chars_m"))
+      // higher = better: long enough, not stopword-soup, not punctuation-soup
+      .withColumn("quality_score",
+        least(col("n_tokens").cast(DoubleType) / lit(64.0), lit(1.0)) *
+          (lit(1.0) - col("stop_ratio")) * (lit(1.0) - col("punct_ratio")))
+  }
+
+  /** Language ID by stopword-profile scoring: count (with multiplicity)
+    * tokens from each language's marker set; argmax with a fixed
+    * priority-order tie-break (en, de, es, fr, zh). Deterministic and
+    * SQL-expressible; real-text validation lives in TextOpsSpec. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "you", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "que", "je", "pas"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不", "这", "有"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokenize(text)
+    langMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+  }
+
+  /** Predicted language column (first language in priority order whose
+    * score ties the max). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(when(maxScore === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === maxScore, lit(lang))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Stable content fingerprint (md5 hex — engine-portable). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit rolling (chained) hash over tokens: each step hashes
+    * (token, accumulator), so the result is order-sensitive like a
+    * polynomial hash but cannot overflow under ANSI mode (a Horner
+    * `acc*base+h` fold would). Pure integer ops, per-row, streaming-friendly. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(t, acc))
+}

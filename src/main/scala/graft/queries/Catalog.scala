@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Flatten, Upsert}
+import graft.ops.{DedupOps, Flatten, MultimodalOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -398,6 +398,244 @@ object Catalog {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
              |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------- dedup
+    // Exact dedup with a deterministic winner (min doc_id per text).
+    "dedup_exact" -> QuerySpec(
+      (s, d) => DedupOps.exactDedup(t(s, d, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT d.doc_id, d.lang, d.source FROM documents d
+             |JOIN (SELECT text, MIN(doc_id) AS m FROM documents GROUP BY text) k
+             |  ON d.doc_id = k.m
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // MinHash-LSH candidate near-dups, reported as a per-doc candidate
+    // count (left join keeps all docs ⇒ rows>0 even with no duplicates).
+    // Hash-based: not SQL-oracle-expressible; planted-duplicate recall is
+    // property-tested in DedupSpec.
+    "dedup_minhash" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+          estThreshold = 0.5)
+        val cnts = pairs.select(col("id_a").as("doc_id"))
+          .union(pairs.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cand"))
+        docs.select(col("doc_id")).join(cnts, Seq("doc_id"), "left")
+          .na.fill(0, Seq("n_cand"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // SimHash near-dups (hamming ≤ 3 via 16-bit chunk LSH); same per-doc
+    // count shape. Hash-based ⇒ unit/property tested, not oracled.
+    "dedup_simhash" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = DedupOps.simhashDupPairs(docs, "doc_id", "text")
+        val cnts = pairs.select(col("id_a").as("doc_id"))
+          .union(pairs.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        docs.select(col("doc_id")).join(cnts, Seq("doc_id"), "left")
+          .na.fill(0, Seq("n_dup"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // Exact token-set Jaccard near-dups on a bounded id range — fully
+    // SQL-expressible (integer set sizes, one IEEE division).
+    "dedup_ngram_jaccard" -> QuerySpec(
+      (s, d) => DedupOps.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 40), "doc_id", "text", 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+             |  FROM documents WHERE doc_id < 40),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY a.id, b.id)
+             |SELECT id_a, id_b,
+             |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.id = id_a
+             |JOIN sizes sb ON sb.id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dups on quantized integers — engine-exact.
+    "dedup_embedding_cosine" -> QuerySpec(
+      (s, d) => SimilarityOps.cosineDupPairs(
+        t(s, d, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", threshold = 0.30)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    CAST(FLOOR(CAST(unnest(a.embedding) AS DOUBLE)*1000) AS BIGINT) AS va,
+             |    CAST(FLOOR(CAST(unnest(b.embedding) AS DOUBLE)*1000) AS BIGINT) AS vb
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id < 100 AND b.vec_id < 100 AND a.vec_id < b.vec_id),
+             |dots AS (
+             |  SELECT id_a, id_b, SUM(va*vb) AS dot, SUM(va*va) AS na, SUM(vb*vb) AS nb
+             |  FROM pairs GROUP BY id_a, id_b)
+             |SELECT id_a, id_b,
+             |  CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos_q
+             |FROM dots
+             |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) > 0.30
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----------------------------------------------------------- similarity
+    // Brute-force cosine top-k on the quantized grid (oracle-exact);
+    // the float/double production variant is SimilarityOps.bruteTopK,
+    // property-tested against this in SimilaritySpec.
+    "sim_topk_cosine" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), SimilarityOps.quantize(col("embedding")).as("qv"))
+        val c = emb.select(col("vec_id").as("cid"), SimilarityOps.quantize(col("embedding")).as("cv"))
+        val scored = c.crossJoin(broadcast(q))
+          .withColumn("dot", SimilarityOps.dotLong(col("qv"), col("cv")))
+          .withColumn("na", SimilarityOps.dotLong(col("qv"), col("qv")))
+          .withColumn("nb", SimilarityOps.dotLong(col("cv"), col("cv")))
+          .withColumn("cos_q", col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_q").desc, col("cid"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("rn"), col("cid"), col("cos_q"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    CAST(FLOOR(CAST(unnest(q.embedding) AS DOUBLE)*1000) AS BIGINT) AS qv,
+             |    CAST(FLOOR(CAST(unnest(c.embedding) AS DOUBLE)*1000) AS BIGINT) AS cv
+             |  FROM embeddings q, embeddings c WHERE q.vec_id < 5),
+             |dots AS (
+             |  SELECT qid, cid, SUM(qv*cv) AS dot, SUM(qv*qv) AS na, SUM(cv*cv) AS nb
+             |  FROM pairs GROUP BY qid, cid),
+             |scored AS (
+             |  SELECT qid, cid,
+             |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos_q,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) DESC,
+             |               cid) AS rn
+             |  FROM dots)
+             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
+             |FROM scored WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // LSH-bucketed ANN — the scale path (bucket join instead of cross
+    // join). Plane projections are float-order-sensitive ⇒ not oracled;
+    // recall vs bruteTopK is asserted in SimilaritySpec.
+    "sim_ann_lsh" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.annTopK(q, c, k = 10, nBits = 4, dim = 64)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // ----------------------------------------------------------------- text
+    "text_top_terms" -> QuerySpec(
+      (s, d) => TextOps.topTerms(t(s, d, "documents"), "text", 50),
+      Some("""SELECT term, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+             |WHERE length(term) > 0
+             |  AND term NOT IN ('the','a','an','and','or','of','to','in','is','it')
+             |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin)),
+
+    "text_quality_score" -> QuerySpec(
+      (s, d) => TextOps.qualityFeatures(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          col("avg_token_len"), col("stop_ratio"), col("quality_score"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(len(list_filter(string_split(lower(text), ' '),
+             |    t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS INTEGER) AS n_stop,
+             |  CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+             |    / len(string_split(lower(text), ' ')) AS avg_token_len,
+             |  CAST(len(list_filter(string_split(lower(text), ' '),
+             |    t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+             |    / len(string_split(lower(text), ' ')) AS stop_ratio,
+             |  least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 64.0, 1.0)
+             |    * (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
+             |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+             |        / len(string_split(lower(text), ' ')))
+             |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+             |        / length(text)) AS quality_score
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "text_token_count" -> QuerySpec(
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          size(TextOps.tokenize(col("text"))).as("n_ws"),
+          size(TextOps.bpeishTokens(col("text"))).as("n_bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_ws")).as("sum_ws"), sum(col("n_bpe")).as("sum_bpe"))
+        .orderBy(col("source")),
+      Some("""SELECT source, count(*) AS cnt,
+             |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS sum_ws,
+             |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // md5 content fingerprint (engine-portable); the xxhash64 rolling-hash
+    // variant is Spark-only and unit-tested.
+    "text_fingerprint" -> QuerySpec(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    // Stopword-profile language ID with fixed-priority argmax.
+    "text_lang_id" -> QuerySpec(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH scores AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of','to','is','that','you','with'))) AS s_en,
+             |    len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist','nicht','ich','mit'))) AS s_de,
+             |    len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los','las','es','y','que','por'))) AS s_es,
+             |    len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','des','est','et','que','je','pas'))) AS s_fr,
+             |    len(list_filter(string_split(lower(text),' '), t -> t IN ('的','是','了','在','我','不','这','有'))) AS s_zh
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+             |       WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+             |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+             |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+             |       WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+             |       WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+             |       ELSE 'und' END AS pred_lang
+             |FROM scores ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------- multimodal
+    // Binary media columns + typed metadata; payload is a deterministic
+    // fake (codec stubbed — no media libs in this container), the Spark
+    // plumbing (binary concat, struct meta, octet_length) is real.
+    "multimodal_meta" -> QuerySpec(
+      (s, d) => {
+        val media = MultimodalOps.attachFakeMedia(t(s, d, "documents"), "doc_id", "text")
+        media.select(col("doc_id"),
+          octet_length(col("bytes")).as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.n_frames").as("n_frames"),
+          md5(col("text")).as("checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) + 5 AS INTEGER) AS n_bytes,
+             |  CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+             |  CAST((doc_id % 8) + 1 AS INTEGER) AS n_frames,
+             |  md5(text) AS checksum
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------- scalar functions
     "fn_from_json" -> QuerySpec(

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (0L, "spark makes distributed data processing fast and simple for everyone today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "large language models need deduplicated training data to avoid memorization"),
+    (3L, "columnar storage formats like parquet enable efficient analytical scans"),
+    (4L, "window functions compute running aggregates over ordered partitions"))
+
+  test("exactDedup keeps the min-id winner per key, deterministically") {
+    val df = (base ++ Seq((10L, base(1)._2), (11L, base(1)._2))).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(df, Seq("text"), "doc_id")
+    assert(out.count() == 5)
+    assert(out.filter($"text" === base(1)._2).select("doc_id").as[Long].head() == 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    // near-dup: one token changed out of 12 → high shingle overlap
+    val nearDup = (20L, "the quick brown fox jumps over the lazy dog near the riverbank")
+    val exactDup = (21L, base(2)._2)
+    val df = (base ++ Seq(nearDup, exactDup)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(df, "doc_id", "text",
+      estThreshold = 0.35)
+    val found = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 20L)), s"near-dup pair missing, got $found")
+    assert(found.contains((2L, 21L)), s"exact-dup pair missing, got $found")
+    // unrelated docs don't pair
+    assert(!found.exists { case (a, b) => Set(a, b) == Set(0L, 3L) })
+  }
+
+  test("minhash est_jaccard ≈ 1.0 for identical docs") {
+    val df = Seq((0L, base(0)._2), (1L, base(0)._2)).toDF("doc_id", "text")
+    val est = DedupOps.minhashCandidatePairs(df, "doc_id", "text")
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs → hamming 0; near-dups → small; unrelated → large") {
+    val df = (base ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river banks"),
+      (21L, base(1)._2))).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", DedupOps.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(21L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(20L)) <= 12, s"near-dup hamming ${ham(sigs(1L), sigs(20L))}")
+    assert(ham(sigs(0L), sigs(3L)) > 12, s"unrelated hamming ${ham(sigs(0L), sigs(3L))}")
+  }
+
+  test("simhashDupPairs surfaces exact duplicates via chunk LSH") {
+    val df = (base ++ Seq((21L, base(1)._2))).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 21L)))
+  }
+
+  test("ngramJaccardPairs computes exact token-set jaccard") {
+    val df = Seq(
+      (0L, "a b c d"), (1L, "a b c e"), (2L, "x y z w")).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(df, "doc_id", "text", 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 0.6))) // |∩|=3, |∪|=5
+  }
+}

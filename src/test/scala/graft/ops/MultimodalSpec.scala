@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "hello world"), (1L, "binary payloads ride along"), (7L, "frame me"))
+    .toDF("doc_id", "text")
+
+  test("attachFakeMedia builds binary payload + typed metadata struct") {
+    val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
+    val r = media.filter($"doc_id" === 0L).head()
+    val bytes = r.getAs[Array[Byte]]("bytes")
+    assert(bytes.length == 1 + 4 + "hello world".getBytes("UTF-8").length)
+    assert(bytes(0) == 'G'.toByte)
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[String]("mime") == "image/fake")
+    assert(meta.getAs[Int]("width") == 16 && meta.getAs[Int]("n_frames") == 1)
+  }
+
+  test("decodeStub runs per-partition and appends deterministic features") {
+    val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
+    val decoded = MultimodalOps.decodeStub(media, "doc_id")
+    val rows = decoded.select($"doc_id", $"decoded_bytes", $"checksum")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 7L))
+    assert(rows.forall(_._2 > 5))
+    // deterministic: second run identical
+    val again = MultimodalOps.decodeStub(media, "doc_id")
+      .select($"doc_id", $"decoded_bytes", $"checksum")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("sampleFrames fans each media row out to its frame indices") {
+    val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
+    val frames = MultimodalOps.sampleFrames(media, everyK = 2)
+      .select($"doc_id", $"frame_idx").as[(Long, Int)].collect().toSet
+    // doc 7 → n_frames=8 → frames 0,2,4,6; doc 0 → 1 frame; doc 1 → 2 frames
+    assert(frames == Set((0L, 0), (1L, 0), (7L, 0), (7L, 2), (7L, 4), (7L, 6)))
+  }
+}

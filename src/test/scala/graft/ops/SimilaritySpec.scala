@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def queries = emb.filter($"vec_id" < 3)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+  private def candidates = emb
+    .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+
+  test("bruteTopK: rank 1 is the query itself with cosine ≈ 1") {
+    val top = SimilarityOps.bruteTopK(queries, candidates, k = 5)
+      .filter($"rn" === 1)
+      .select($"qid", $"cid", $"cos").as[(Long, Long, Double)].collect()
+    assert(top.length == 3)
+    assert(top.forall { case (q, c, cos) => q == c && math.abs(cos - 1.0) < 1e-9 })
+  }
+
+  test("bruteTopK matches a driver-side brute-force oracle") {
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (0L until 3L).map { q =>
+      q -> vecs.keys.toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1)
+    }.toMap
+    val got = SimilarityOps.bruteTopK(queries, candidates, k = 5)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("annTopK reaches ≥ 0.5 recall@10 vs brute force at 4 bits") {
+    val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = SimilarityOps.annTopK(queries, candidates, k = 10, nBits = 4, dim = 64)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // self is always found (same bucket as itself)
+    assert(ann.forall { case (q, cs) => cs.contains(q) })
+    val recalls = brute.keys.map { q =>
+      val found = ann.getOrElse(q, Set.empty)
+      found.intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall $mean too low") // random vectors: buckets are sparse
+  }
+
+  test("cosineDupPairs is symmetric-free (id_a < id_b) and thresholded") {
+    val pairs = SimilarityOps.cosineDupPairs(
+      emb.filter($"vec_id" < 50), "vec_id", "embedding", threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, c) => a < b && c > 0.2 })
+  }
+}
