@@ -661,7 +661,50 @@ object Catalog {
         .orderBy(col("ws")),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, count(*) AS cnt,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1 ORDER BY ws""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY ws""".stripMargin)),
+
+    // Gap-based sessionization in SQL-window form (30-min gap): lag →
+    // new-session flag → running sum = session id. Timestamps truncated to
+    // whole seconds on both sides (events.ts is ns in parquet, µs in
+    // Spark — sub-second precision would diverge). The stateful
+    // flatMapGroupsWithState twin lives in StreamOps.sessionize and is
+    // cross-checked against this in StreamingSpec.
+    "stream_sessionize" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val ev = t(s, d, "events")
+          .withColumn("ep", unix_timestamp(date_trunc("second", col("ts"))))
+        val flagged = ev.withColumn("new_sess",
+          when(lag(col("ep"), 1).over(w).isNull, 0)
+            .when(col("ep") - lag(col("ep"), 1).over(w) > 1800, 1)
+            .otherwise(0))
+        val sess = flagged.withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        sess.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id,
+             |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, ep,
+             |    CASE WHEN lag(ep, 1) OVER w IS NULL THEN 0
+             |         WHEN ep - lag(ep, 1) OVER w > 1800 THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+             |sess AS (
+             |  SELECT user_id, event_id,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(event_id) AS first_event
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.ops.Upsert
+
+/** Structured Streaming surface (SURVEY.md §2.10 extension tier).
+  *
+  * The reference's "incremental" story is a scheduled batch upsert; these
+  * ops are its streaming-native equivalents: event-time tumbling windows
+  * with watermarks, a foreachBatch MERGE sink (the streaming twin of
+  * Upsert.merge), and custom session state via flatMapGroupsWithState.
+  * Each transform is defined on a plain DataFrame/Dataset so the same
+  * code runs in batch tests and under readStream in production.
+  */
+object StreamOps {
+
+  /** Event-time tumbling aggregation. On a stream, pair with
+    * `withWatermark` (see `tumblingCountsStreaming`); in batch the same
+    * expression is the oracle-checked `stream_tumbling_agg` query. */
+  def tumblingCounts(events: DataFrame, every: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), every))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+
+  /** Streaming variant: 1-day watermark bounds state; late rows beyond it
+    * are dropped — the principled version of the reference's 31-day
+    * re-fetch overlap. */
+  def tumblingCountsStreaming(events: DataFrame, every: String = "1 hour",
+      watermark: String = "1 day"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), every)
+
+  /** foreachBatch MERGE sink: every micro-batch upserts into a partitioned
+    * parquet target with new-batch-wins semantics — the streaming form of
+    * the reference's monthly job. Use as:
+    * `df.writeStream.foreachBatch(mergeBatch(path, keys, partCols) _)`. */
+  def mergeBatch(targetPath: String, keys: Seq[String], partitionCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val exists = try { spark.read.parquet(targetPath).schema.nonEmpty }
+    catch { case _: Throwable => false }
+    if (!exists) Upsert.writePartitioned(batch, targetPath, partitionCols)
+    else Upsert.upsertIntoPath(spark, targetPath, batch, keys, partitionCols)
+  }
+
+  // ----------------------------------------------------- stateful sessions
+
+  case class Event(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  case class SessionState(sessionId: Long, lastTs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Custom stateful sessionization: a new session starts after a gap of
+    * more than `gapSeconds`. Works on a streaming Dataset (state persisted
+    * across micro-batches) and on a batch Dataset (whole group at once) —
+    * the batch path is cross-checked against the SQL sessionization in
+    * StreamingSpec. */
+  def sessionize(ds: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            if (st.lastTs != Long.MinValue && e.tsMicros - st.lastTs > gapMicros) {
+              out += SessionOut(userId, st.sessionId, st.n)
+              st = SessionState(st.sessionId + 1, e.tsMicros, 1L)
+            } else {
+              st = SessionState(st.sessionId, e.tsMicros,
+                if (st.lastTs == Long.MinValue) 1L else st.n + 1)
+            }
+          }
+          state.update(st)
+          // batch mode: flush the final open session too
+          if (!state.hasTimedOut && sorted.nonEmpty && st.n > 0) {
+            out += SessionOut(userId, st.sessionId, st.n)
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY.md §5.4): the optimizations the reference
+  * hand-rolls or relies on must actually fire in our plans.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def li = Tables(spark, sf, "lineitem")
+
+  test("NOT EXISTS SQL is planned as a LeftAnti join (RewritePredicateSubquery)") {
+    Tables(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    val df = spark.sql(
+      """SELECT c_custkey FROM customer_v c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+    val antiJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(antiJoins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("orderBy + limit collapses to TakeOrderedAndProject (no full sort)") {
+    val df = li.orderBy($"l_extendedprice".desc).limit(10)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("broadcast hint yields a BroadcastHashJoin") {
+    val sup = Tables(spark, sf, "supplier")
+    val df = li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("filters and projections push into the parquet scan") {
+    val df = li.filter($"l_returnflag" === "R").select($"l_orderkey", $"l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
+    // column pruning: the scan reads only the referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"), plan)
+    assert(!plan.contains("l_comment"))
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    val df = li.groupBy($"l_returnflag").agg(sum($"l_quantity"))
+    df.collect() // materialize THIS plan so AQE finalizes it with codegen stages
+    // codegen'd spans print as `*(n)` in Spark 4 plan strings
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true") && plan.contains("*("), plan)
+  }
+
+  test("scale gate: no collect() in main ops/streaming sources") {
+    def sources(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles).toSeq.flatten.flatMap {
+        case d if d.isDirectory => sources(d)
+        case f if f.getName.endsWith(".scala") => Seq(f)
+        case _ => Nil
+      }
+    val offenders = for {
+      f <- sources(new java.io.File("src/main/scala/graft"))
+      line <- scala.io.Source.fromFile(f, "UTF-8").getLines()
+      if line.matches(".*\\.collect\\(\\).*") && !line.trim.startsWith("//")
+      // schema introspection collects metadata, not data
+      if !line.contains("fields.collect")
+    } yield s"${f.getPath}: $line"
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling-window agg over a MemoryStream matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = Tables(spark, sf, "events")
+      .select($"ts", $"value").as[(java.sql.Timestamp, Double)]
+    val rows = batchDf.collect() // 1k rows — test-only driver hop
+
+    val ms = MemoryStream[(java.sql.Timestamp, Double)]
+    val sdf = ms.toDF.toDF("ts", "value")
+    val agg = StreamOps.tumblingCountsStreaming(sdf)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_agg").start()
+    try {
+      ms.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_agg")
+        .select($"ws", $"cnt", $"sum_value")
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      val batch = StreamOps.tumblingCounts(
+        Tables(spark, sf, "events").select($"ts", $"value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful flatMapGroupsWithState sessionization matches the SQL-window form") {
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_id",
+        unix_timestamp(date_trunc("second", $"ts")).cast("long").multiply(1000000L).as("tsMicros"),
+        $"value")
+      .as[StreamOps.Event]
+    val stateful = StreamOps.sessionize(ev, gapSeconds = 1800)
+      .groupByKey(_.user_id)
+      .mapGroups { (u, it) =>
+        val sessions = it.toSeq.sortBy(_.session_id)
+        (u, sessions.size, sessions.map(_.n_events).sum)
+      }
+      .collect().map { case (u, n, total) => u -> ((n, total)) }.toMap
+
+    val sql = graft.queries.Catalog.queries("stream_sessionize")(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("total"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, total) => u -> ((n.toInt, total)) }.toMap
+
+    assert(stateful == sql)
+  }
+
+  test("foreachBatch merge sink upserts each micro-batch into parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_merge").toFile.getAbsolutePath
+    val ms = MemoryStream[(String, String, Double)]
+    val sdf = ms.toDF.toDF("location", "date", "temp")
+    val q = sdf.writeStream
+      .foreachBatch(StreamOps.mergeBatch(dir, Seq("location", "date"), Seq("location")) _)
+      .start()
+    try {
+      ms.addData(("loc1", "2021-01-01", 10.0), ("loc2", "2021-01-01", 20.0))
+      q.processAllAvailable()
+      ms.addData(("loc1", "2021-01-01", 99.0), ("loc1", "2021-01-02", 11.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+        .select($"location", $"date", $"temp")
+        .as[(String, String, Double)].collect().toSet
+      assert(out == Set(
+        ("loc1", "2021-01-01", 99.0), // second batch won
+        ("loc1", "2021-01-02", 11.0),
+        ("loc2", "2021-01-01", 20.0)))
+    } finally q.stop()
+  }
+}
