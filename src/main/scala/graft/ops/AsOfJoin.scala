@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — extension operator (SURVEY.md §2.4
+  * lists it absent from the reference; time-series analytics want it).
+  *
+  * Built by composing existing operators (preference (a) of the custom-op
+  * ladder): tag both sides, union, and take `last(right, ignoreNulls)`
+  * over a (key, ts, side)-ordered running window. One shuffle on the
+  * keys, one sort — the same cost envelope as a sort-merge join, with no
+  * range-condition row explosion, so it scales to arbitrarily large
+  * sides (neither side is broadcast or replicated).
+  *
+  * Tie semantics: a right row at exactly the left timestamp matches
+  * (inclusive, `lts >= rts`) because the right side sorts before the
+  * left at equal ts. Right rows should be unique per (keys, ts) —
+  * pre-aggregate otherwise.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach `rightValueCols` from the right row with
+    * the greatest `rightTs <= leftTs` within the same `keys` group
+    * (left-join semantics: unmatched left rows keep nulls). The matched
+    * right timestamp is exposed as `matched_<rightTs>`.
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val rPayload = struct(col(rightTs).as(s"matched_$rightTs") +:
+      rightValueCols.map(col): _*)
+    val r0 = right.select(keys.map(col) :+ col(rightTs).as("_ts") :+ rPayload.as("_rpay"): _*)
+    val rPayType = r0.schema("_rpay").dataType
+
+    val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
+    val lPayload = struct(leftPayloadCols.map(col): _*)
+    val l0 = left.select(keys.map(col) :+ col(leftTs).as("_ts") :+ lPayload.as("_lpay"): _*)
+    val lPayType = l0.schema("_lpay").dataType
+
+    val r = r0.select(keys.map(col) :+ col("_ts") :+ lit(0).as("_side") :+
+      col("_rpay") :+ lit(null).cast(lPayType).as("_lpay"): _*)
+    val l = l0.select(keys.map(col) :+ col("_ts") :+ lit(1).as("_side") :+
+      lit(null).cast(rPayType).as("_rpay") :+ col("_lpay"): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = r.unionByName(l)
+      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val outCols =
+      keys.map(col) ++
+        leftPayloadCols.map(c => col(s"_lpay.$c").as(c)) ++
+        (s"matched_$rightTs" +: rightValueCols).map(c => col(s"_match.$c").as(c))
+    matched.select(outCols: _*)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{DedupOps, Flatten, MultimodalOps, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, MultimodalOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -302,6 +302,71 @@ object Catalog {
              |                     THEN o_totalprice * 1.1 ELSE o_totalprice END
              |           AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // As-of join (extension): each event picks up the most recent prior
+    // signup of the same user. Both sides truncated to whole seconds
+    // (events.ts is ns in parquet, µs in Spark — the match boundary must
+    // not depend on sub-µs digits), right side pre-aggregated to one row
+    // per (user, second) so the match is well-defined.
+    "join_asof" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_s"), col("value"))
+        val sg = t(s, d, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), date_trunc("second", col("ts")).as("sg_ts"))
+          .agg(min(col("value")).as("sg_value"))
+        AsOfJoin.asOf(ev, sg, keys = Seq("user_id"),
+          leftTs = "ts_s", rightTs = "sg_ts", rightValueCols = Seq("sg_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+             |  FROM events),
+             |sg AS (
+             |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sg_ts,
+             |    MIN(value) AS sg_value
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts_s, e.value,
+             |  s.sg_ts AS matched_sg_ts, s.sg_value
+             |FROM ev e ASOF LEFT JOIN sg s
+             |  ON e.user_id = s.user_id AND e.ts_s >= s.sg_ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Scalar-function battery (SURVEY.md §2.9): concat/format_string/
+    // substring/upper/regexp_extract/to_date/year/datediff/round in one
+    // projection. round is HALF_UP in both engines for doubles (probed).
+    "fn_string_date" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .withColumn("odate", col("o_orderdate").cast(DateType))
+        .select(
+          col("o_orderkey"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          format_string("ord-%05d", col("o_orderkey")).as("padded"),
+          upper(substring(col("o_orderpriority"), 3, 20)).as("prio"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).cast(IntegerType).as("prio_num"),
+          col("odate"),
+          year(col("odate")).as("o_year"),
+          datediff(lit("1999-01-01").cast(DateType), col("odate")).as("days_to_99"),
+          // round on DECIMAL, not double: Spark rounds a double's shortest
+          // decimal repr while DuckDB rounds the binary value, so
+          // round(x/100.0, 2) diverges on .xx5 boundaries. Casting to an
+          // exact DECIMAL first makes HALF_UP identical in both engines.
+          round(col("o_totalprice").cast(DecimalType(18, 2)), 1)
+            .cast(DoubleType).as("price_r"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  o_orderstatus || '-' || o_orderpriority AS tag,
+             |  printf('ord-%05d', o_orderkey) AS padded,
+             |  upper(substr(o_orderpriority, 3)) AS prio,
+             |  CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS INTEGER) AS prio_num,
+             |  CAST(o_orderdate AS DATE) AS odate,
+             |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_99,
+             |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // ------------------------------------------------------------- set ops
     // union = bag semantics (README.md:1529) ⇒ UNION ALL on the oracle.
