@@ -1,0 +1,93 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Fused cosine similarity as a native Catalyst expression — tier (b) of
+  * the custom-operator ladder (SURVEY.md §7.3): one codegen'd loop
+  * computes dot, |a|², |b|² in a single pass with no per-element object
+  * allocation. The higher-order-function composition in
+  * `SimilarityOps.cosine` (zip_with + aggregate ×3) allocates an
+  * intermediate array and folds it three times; this expression is the
+  * shape a hot ANN scoring loop wants at 100 TB. Equality with the HOF
+  * version is property-tested in ExpressionSpec.
+  *
+  * Interpreted eval and doGenCode produce identical IEEE operation order,
+  * so results are bit-stable whether or not codegen kicks in.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // ExpectsInputTypes is sealed away in Spark 4 (AbstractDataType is
+  // private[sql]); enforce the contract at construction instead.
+  require(Seq(left, right).forall(e => !e.resolved ||
+    e.dataType == ArrayType(DoubleType) || e.dataType == ArrayType(DoubleType, false)),
+    s"cosine_sim expects ARRAY<DOUBLE> inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: per-session (`GraftFunctions.register`) or via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`. After
+  * either, `cosine_sim(a, b)` is available in SQL and through
+  * `call_function("cosine_sim", ...)` — a real function, not a UDF: it
+  * participates in codegen and constant folding. */
+object GraftFunctions {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, b, "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSim].getName, name),
+        b))
+    }
+}

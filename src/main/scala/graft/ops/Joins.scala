@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Join-adjacent utilities (SURVEY.md §2.2, §2.4). The join types
   * themselves are Spark built-ins (see queries/Catalog.scala); what the
@@ -31,4 +32,24 @@ object Joins {
     */
   def dropIfExists(df: DataFrame, cols: String*): DataFrame =
     df.drop(cols: _*)
+
+  /** Skew-salted equi join: when a handful of hot keys dominate `big`,
+    * a plain shuffle join puts each hot key on ONE reducer. Salting
+    * splits every key into `nSalts` sub-keys — the big side scatters by a
+    * deterministic hash of `saltSource` (any high-cardinality column, e.g.
+    * a row id), the small side is replicated `nSalts`× via explode — so a
+    * hot key's rows spread over `nSalts` reducers. Result is identical to
+    * `big.join(small, keys)` (verified in JoinsSpec). AQE's skew-join
+    * handles sort-merge skew automatically; explicit salting remains the
+    * lever for skewed *aggregations* and for deterministic layout.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltSource: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val bigS = big.withColumn("_salt", pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
+    val smallS = small.withColumn("_salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -93,6 +93,49 @@ object SimilarityOps {
       .select(col(qId), col("rn"), col(cId), col("cos"))
   }
 
+  /** IVF-style ANN: partition candidates into `nCentroids` Voronoi cells
+    * (seeded k-means over the candidate set), then rank exactly within
+    * the `nProbe` cells nearest to each query. The inverted-file layout
+    * is what scales: at 100 TB the assignment is a linear codegen'd pass,
+    * cells are written as partition directories, and a query touches
+    * nProbe/nCentroids of the data. Centroids are tiny (nCentroids ×
+    * dim) and ride along as literal arrays — no driver loop per query.
+    */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, seed: Long = 42L,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val cand = candidates.withColumn("_fv", array_to_vector(asDouble(col(cVec))))
+    // few iterations suffice: probing quality depends on the Voronoi
+    // structure, not on converged centroids (in production the model is
+    // trained once offline and reused across queries)
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("_fv").setPredictionCol("_cell").fit(cand)
+    val assigned = model.transform(cand).drop("_fv")
+
+    // per-query distances to every centroid (literal arrays), keep nProbe
+    val centroids = model.clusterCenters.map(_.toArray)
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      val dist = dot(asDouble(col(qVec)), array(c.map(lit): _*)) * -1 +
+        lit(0.5) * lit(c.map(x => x * x).sum) // argmin ||q-c||² ≡ argmin (c·c)/2 - q·c
+      struct(dist.as("d"), lit(i).as("cell"))
+    }: _*)
+    val probed = queries
+      .withColumn("_probe", explode(slice(array_sort(cells), 1, nProbe)))
+      .select(col(qId), col(qVec), col("_probe.cell").as("_cell"))
+
+    val scored = assigned.join(broadcast(probed), Seq("_cell"))
+      .withColumn("cos", cosine(asDouble(col(qVec)), asDouble(col(cVec))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("cos"))
+  }
+
   /** All candidate pairs with cosine above `threshold` (embedding-based
     * near-duplicate detection). Quantized integer arithmetic so the
     * result is engine-exact. For the full O(N²) this must be bounded by

@@ -605,6 +605,20 @@ object Catalog {
       },
       None),
 
+    // IVF ANN (k-means cells + nProbe probing) — the inverted-file scale
+    // path. Seeded but iteration-order-sensitive ⇒ rows-only; recall vs
+    // brute force asserted in SimilaritySpec.
+    "sim_ann_ivf" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.ivfTopK(q, c, k = 10, nCentroids = 8, nProbe = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // ----------------------------------------------------------------- text
     "text_top_terms" -> QuerySpec(
       (s, d) => TextOps.topTerms(t(s, d, "documents"), "text", 50),

@@ -57,6 +57,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall $mean too low") // random vectors: buckets are sparse
   }
 
+  test("ivfTopK finds the query itself and reaches reasonable recall") {
+    val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilarityOps.ivfTopK(queries, candidates, k = 10,
+      nCentroids = 8, nProbe = 4)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.forall { case (q, cs) => cs.contains(q) })
+    val recalls = brute.keys.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall $mean too low (probing 4/8 cells)")
+  }
+
   test("cosineDupPairs is symmetric-free (id_a < id_b) and thresholded") {
     val pairs = SimilarityOps.cosineDupPairs(
       emb.filter($"vec_id" < 50), "vec_id", "embedding", threshold = 0.2)
