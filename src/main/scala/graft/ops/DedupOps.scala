@@ -65,17 +65,16 @@ object DedupOps {
       minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(lshBands(col("sig"), numHashes, bands)).as("band_hash"))
-    val pairs = banded.as("a").join(banded.as("b"), Seq("band_hash"))
+    // score BEFORE distinct so the dedup shuffle carries (id, id, double),
+    // not two 64-element signature arrays per row
+    banded.as("a").join(banded.as("b"), Seq("band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        (size(filter(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => (x === y).cast(IntegerType)), v => v === 1))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
       .distinct()
-    pairs.withColumn("est_jaccard",
-      size(filter(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => (x === y).cast(IntegerType)), v => v === 1))
-        .cast(DoubleType) / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** 64-bit SimHash over tokens: per bit position, sum ±1 across token

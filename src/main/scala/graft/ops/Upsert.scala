@@ -55,6 +55,21 @@ object Upsert {
     }
   }
 
+  /** Bucketed managed table (catalog sink): co-locates rows by hash of
+    * `bucketCols` at write time, so joins and aggregations keyed on the
+    * bucket columns skip their shuffle entirely (asserted in
+    * BucketingSpec). At 100 TB this is the difference between re-shuffling
+    * the fact table on every join and shuffling it once at load. */
+  def writeBucketedTable(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.format("parquet").saveAsTable(table)
+  }
+
   /** Incremental update of a partitioned parquet table on disk: read the
     * target, merge the batch, rewrite only the affected partitions.
     */
