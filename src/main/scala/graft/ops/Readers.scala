@@ -30,6 +30,20 @@ object Readers {
       .withColumn("island", regexp_extract(col("file_path"), islandPattern, 1))
       .withColumn("location_name", regexp_extract(col("file_path"), locationPattern, 1))
 
+  /** Tolerant JSON scan — the reference's per-location try/except
+    * skip-and-log (README.md:667-669, 730-732) as data, not control flow:
+    * malformed documents land in `_corrupt_record` instead of failing the
+    * job (or silently skipping a location), so callers split good rows
+    * from quarantined ones and the pipeline stays a single plan.
+    */
+  def jsonMultiLineTolerant(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .json(path)
+
   /** Bootstrap an empty frame with an explicit schema (reference
     * README.md:1266-1282 creates a minimal empty table when the target is
     * missing).

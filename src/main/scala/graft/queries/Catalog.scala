@@ -107,6 +107,32 @@ object Catalog {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    "agg_cube" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Entry point A (SURVEY.md §3.1): SQL text → parser → analyzer over a
+    // registered view — the reference's Athena path. Same decimal-sum
+    // discipline inside SQL.
+    "sql_entry_q1" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_sql")
+        s.sql("""SELECT l_returnflag,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+                |FROM lineitem_sql GROUP BY l_returnflag
+                |ORDER BY avg_qty DESC, l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY avg_qty DESC, l_returnflag""".stripMargin)),
+
     // HLL++ sketch — approximate by construction, so no DuckDB hash oracle;
     // bounded-error property is unit-tested (AggregatesSpec).
     "agg_approx_distinct" -> QuerySpec(

@@ -37,6 +37,23 @@ class ReadersSpec extends SparkSpec {
     assert(df.unionByName(real).count() == 1)
   }
 
+  test("jsonMultiLineTolerant quarantines malformed docs instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("tolerant").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "good.json").toPath,
+      """{"location": "A", "elevation": 10.0}""")
+    java.nio.file.Files.writeString(new java.io.File(dir, "bad.json").toPath,
+      """{"location": "B", "elevation": """) // truncated
+    val schema = new StructType()
+      .add("location", StringType).add("elevation", DoubleType)
+    val df = Readers.jsonMultiLineTolerant(spark, dir.getAbsolutePath + "/*.json", schema)
+      .cache() // required to split on _corrupt_record
+    val good = df.filter($"_corrupt_record".isNull)
+    val bad = df.filter($"_corrupt_record".isNotNull)
+    assert(good.count() == 1 && good.head.getAs[String]("location") == "A")
+    assert(bad.count() == 1) // quarantined, job did not fail
+    df.unpersist()
+  }
+
   test("dropIfExists is a no-op for absent columns") {
     val df = Seq((1, "x")).toDF("a", "b")
     assert(Joins.dropIfExists(df, "nope", "b").columns.toSeq == Seq("a"))

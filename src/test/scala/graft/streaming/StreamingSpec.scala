@@ -59,6 +59,26 @@ class StreamingSpec extends SparkSpec {
     assert(stateful == sql)
   }
 
+  test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
+    // the streaming-native form of the reference's monthly scheduled job:
+    // process everything currently available, then terminate
+    val dir = Files.createTempDirectory("an_src").toFile.getAbsolutePath
+    val events = Tables(spark, sf, "events").select($"ts", $"value")
+    events.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(events.schema).parquet(dir)
+    val q = StreamOps.tumblingCountsStreaming(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("an_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val streamed = spark.table("an_out")
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    val batch = StreamOps.tumblingCounts(events)
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("foreachBatch merge sink upserts each micro-batch into parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_merge").toFile.getAbsolutePath
