@@ -37,13 +37,26 @@ object DedupOps {
   }
 
   /** MinHash signature: numHashes independent min-hashes of the shingle
-    * set, h_i(s) = xxhash64(s, i). Array[Long] of length numHashes,
-    * computed per-row (no shuffle). */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    * set. Structured as ONE left-fold over the shingles so the shingle
+    * array is evaluated exactly once per row regardless of what
+    * CollapseProject inlines (a per-seed `array_min(transform(sh, …))`
+    * form re-evaluates the whole shingle construction numHashes× — a
+    * measured 60× slowdown, because higher-order functions run
+    * interpreted). Each shingle STRING is hashed once; the numHashes
+    * variants are derived by cheap long-rehash h_i = xxhash64(h0, i). */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 64): Column = {
+    val shingleHashes = transform(sh, s => xxhash64(s))
+    val seeds = array((0 until numHashes).map(lit): _*) // literal: no per-shingle rebuild
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, transform(seeds, i => xxhash64(h, i)),
+        (a, v) => least(a, v)))
   }
+
+  /** Convenience single-expression form. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3): Column =
+    minhashSignatureFromShingles(shingles(text, shingleN), numHashes)
 
   /** LSH band hashes: split the signature into `bands` bands of
     * numHashes/bands rows each; band hash = xxhash64 over (slice, band
@@ -60,42 +73,60 @@ object DedupOps {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      estThreshold: Double = 0.5): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+      estThreshold: Double = 0.5, maxBandBucket: Long = 10000L): DataFrame = {
+    // two projections: shingle construction happens once per row, the
+    // 64-seed signature references the materialized array (CollapseProject
+    // keeps them separate — the reference is non-cheap and multiply used)
+    val sigs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("_sh"))
+      .select(col("id"), minhashSignatureFromShingles(col("_sh"), numHashes).as("sig"))
+
+    // The band join carries ONLY (id, band_hash): hot band buckets (a
+    // stop-shingle dominating the min statistic on vocabulary-limited
+    // corpora) would otherwise evaluate the 64-wide signature comparison
+    // once per COLLISION; here collisions cost two longs each, the pair
+    // set is distinct'd, and each unique pair is scored exactly once.
+    val banded = sigs.select(col("id"),
       explode(lshBands(col("sig"), numHashes, bands)).as("band_hash"))
-    // score BEFORE distinct so the dedup shuffle carries (id, id, double),
-    // not two 64-element signature arrays per row
-    banded.as("a").join(banded.as("b"), Seq("band_hash"))
+    // degeneracy cap: a band shared by >maxBandBucket docs is a stopword
+    // artifact, not duplication signal — skip it (standard LSH practice;
+    // keeps the worst case linear instead of quadratic)
+    val bandSizes = banded.groupBy(col("band_hash")).agg(count(lit(1)).as("_bn"))
+    val pruned = banded.join(
+      bandSizes.filter(col("_bn") <= maxBandBucket).select(col("band_hash")),
+      Seq("band_hash"))
+    val cand = pruned.as("a").join(pruned.as("b"), Seq("band_hash"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => (x === y).cast(IntegerType)), v => v === 1))
-          .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast(IntegerType)), v => v === 1))
+          .cast(DoubleType) / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** 64-bit SimHash over tokens: per bit position, sum ±1 across token
     * hashes, take the sign bit; packed to one Long by an exact integer
     * fold. Near-identical docs differ in few bits (small hamming). */
   def simhash(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
-    // ±1 per bit of the token hash, unrolled so shift amounts stay literal
-    def bitSigns(t: Column): Column = {
-      val h = xxhash64(t)
-      array((0 until 64).map(i =>
-        when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L))): _*)
-    }
+    // hash each token ONCE (an earlier version recomputed xxhash64 per
+    // bit — 64× the hashing work, and higher-order functions evaluate
+    // interpreted, so constant factors matter here)
+    val hashes = transform(split(lower(text), "\\s+"), t => xxhash64(t))
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     val counts = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitSigns(t), (c, s) => c + s))
+      (acc, h) => zip_with(acc, masks,
+        (c, m) => c + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
     // pack sign bits with bitwise OR of literal masks — `acc*2+bit` would
     // hit the sign bit and trip ANSI-mode overflow on the 64th bit
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
     aggregate(
       zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))

@@ -60,6 +60,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 21L)))
   }
 
+  test("sf0.1 documents: the 8 real duplicate texts are found (FIXTURES.md)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // ground truth: 5,000 docs, 4,992 distinct texts → 8 superseded rows
+    val exact = DedupOps.exactDedup(docs, Seq("text"), "doc_id")
+    assert(docs.count() == 5000 && exact.count() == 4992)
+    // minhash LSH finds every exact duplicate (est_jaccard = 1.0 pairs)
+    val mh = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+      estThreshold = 0.99)
+    assert(mh.count() >= 8, s"minhash found only ${mh.count()} of 8 exact dups")
+    // simhash agrees: identical texts share a signature
+    val sh = DedupOps.simhashDupPairs(docs, "doc_id", "text", maxHamming = 0)
+    assert(sh.count() >= 8)
+  }
+
   test("ngramJaccardPairs computes exact token-set jaccard") {
     val df = Seq(
       (0L, "a b c d"), (1L, "a b c e"), (2L, "x y z w")).toDF("doc_id", "text")
