@@ -133,6 +133,35 @@ object Catalog {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY avg_qty DESC, l_returnflag""".stripMargin)),
 
+    // Pivot (conditional aggregation surface): events per user × type.
+    "agg_pivot" -> QuerySpec(
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Exact percentile (sort + linear interpolation in both engines).
+    "fn_percentile" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // HLL++ sketch — approximate by construction, so no DuckDB hash oracle;
     // bounded-error property is unit-tested (AggregatesSpec).
     "agg_approx_distinct" -> QuerySpec(
