@@ -771,6 +771,47 @@ object Catalog {
              |  md5(text) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Distribution window functions: ntile/percent_rank/cume_dist over a
+    // unique total order (o_totalprice ties broken by o_orderkey) so the
+    // assigned buckets are engine-independent.
+    "win_distribution" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Edit distance (dedup-adjacent string similarity) — identical DP
+    // definition in both engines; exercised on the short `source` column.
+    "fn_levenshtein" -> QuerySpec(
+      (s, d) => {
+        val a = t(s, d, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id").as("id_a"), col("source").as("src_a"))
+        val b = t(s, d, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id").as("id_b"), col("source").as("src_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("src_a"), col("src_b")).as("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+             |FROM documents a, documents b
+             |WHERE a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ----------------------------------------------------- scalar functions
     "fn_from_json" -> QuerySpec(
       (s, d) => t(s, d, "events")
