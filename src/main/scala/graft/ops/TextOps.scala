@@ -84,6 +84,32 @@ object TextOps {
     chain.otherwise(lit("und"))
   }
 
+  /** Token n-gram array (whole text as one gram for docs shorter than n). */
+  def ngrams(text: Column, n: Int = 2): Column = {
+    val toks = tokenize(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Repetition ratio: occurrences of the most frequent n-gram over total
+    * n-grams — the classic "document is a loop" training-data filter.
+    * Takes an already-projected gram ARRAY column: the counting lambda
+    * references the array per gram, so an inlined `ngrams(...)` tree
+    * would be rebuilt O(len) times per row (the CollapseProject/HOF trap
+    * — see DedupOps.minhashSignatureFromShingles). O(len²) equality
+    * checks per row, bounded by document length. */
+  def repetitionRatioFromGrams(grams: Column): Column =
+    array_max(transform(grams, g => size(filter(grams, h => h === g))))
+      .cast(DoubleType) / size(grams)
+
+  /** PII-style scrubbing: mask digit runs and email-shaped tokens — the
+    * plan shape (regexp_replace chain, codegen'd) of a real scrub pass. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "\\d{4,}", "<NUM>")
+
   /** Stable content fingerprint (md5 hex — engine-portable). */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -719,6 +719,44 @@ object Catalog {
              |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Repetition ratio (most-frequent-bigram share) — grams projected
+    // separately from the counting pass (HOF re-evaluation trap).
+    "text_repetition" -> QuerySpec(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.ngrams(col("text"), 2).as("_g"))
+        .select(col("doc_id"),
+          TextOps.repetitionRatioFromGrams(col("_g")).as("rep_ratio"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(list_max(list_transform(g, x -> len(list_filter(g, y -> y = x)))) AS DOUBLE)
+             |    / len(g) AS rep_ratio
+             |FROM (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g
+             |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PII-style scrub: mask emails + long digit runs (regexp_replace
+    // chain). The synthetic text has neither, so deterministic PII-shaped
+    // suffixes are appended first on both sides.
+    "text_scrub" -> QuerySpec(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.scrub(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com id "),
+            (col("doc_id") + lit(12345678L)).cast(StringType))).as("scrubbed"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             |        || '@example.com id ' || CAST(doc_id + 12345678 AS VARCHAR),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '\d{4,}', '<NUM>', 'g') AS scrubbed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // md5 content fingerprint (engine-portable); the xxhash64 rolling-hash
     // variant is Spark-only and unit-tested.
     "text_fingerprint" -> QuerySpec(

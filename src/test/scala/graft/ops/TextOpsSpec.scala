@@ -50,6 +50,24 @@ class TextOpsSpec extends SparkSpec {
     assert(h(0L) == h(1L) && h(0L) != h(2L))
   }
 
+  test("repetitionRatio flags loopy documents") {
+    val df = Seq(
+      ("loopy", "buy now buy now buy now buy now"),
+      ("clean", "distributed engines favor declarative plans over loops"))
+      .toDF("kind", "text")
+      .select($"kind", TextOps.ngrams($"text", 2).as("_g"))
+      .select($"kind", TextOps.repetitionRatioFromGrams($"_g").as("r"))
+    val r = df.as[(String, Double)].collect().toMap
+    assert(r("loopy") == 4.0 / 7.0) // "now buy" x3, "buy now" x4 of 7 bigrams
+    assert(r("clean") < 0.2)
+  }
+
+  test("scrub masks emails and long digit runs, leaves prose alone") {
+    val got = Seq("mail bob.smith+x@corp.io or call 5551234567 ext 12")
+      .toDF("text").select(TextOps.scrub($"text")).as[String].head()
+    assert(got == "mail <EMAIL> or call <NUM> ext 12")
+  }
+
   test("topTerms excludes stopwords and ranks by count then term") {
     val df = Seq("the apple", "the banana apple", "cherry the").toDF("text")
     val got = TextOps.topTerms(df, "text", 10).as[(String, Long)].collect().toSeq
