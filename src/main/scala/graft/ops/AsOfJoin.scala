@@ -32,7 +32,11 @@ object AsOfJoin {
       rightValueCols: Seq[String]): DataFrame = {
     val rPayload = struct(col(rightTs).as(s"matched_$rightTs") +:
       rightValueCols.map(col): _*)
-    val r0 = right.select(keys.map(col) :+ col(rightTs).as("_ts") :+ rPayload.as("_rpay"): _*)
+    // a null right timestamp would sort before every real row (asc
+    // nulls-first) and become the "most recent" match for early left rows
+    // — drop such rows; they carry no usable as-of position
+    val r0 = right.filter(col(rightTs).isNotNull)
+      .select(keys.map(col) :+ col(rightTs).as("_ts") :+ rPayload.as("_rpay"): _*)
     val rPayType = r0.schema("_rpay").dataType
 
     val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq

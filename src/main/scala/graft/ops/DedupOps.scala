@@ -62,6 +62,11 @@ object DedupOps {
     * numHashes/bands rows each; band hash = xxhash64 over (slice, band
     * index). Docs sharing ANY band hash are candidates. */
   def lshBands(sig: Column, numHashes: Int = 64, bands: Int = 16): Column = {
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
+        "otherwise trailing hashes are silently ignored (or, for " +
+        "bands > numHashes, every band hashes an empty slice and all " +
+        "documents collide everywhere)")
     val rows = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
@@ -77,9 +82,13 @@ object DedupOps {
     // two projections: shingle construction happens once per row, the
     // 64-seed signature references the materialized array (CollapseProject
     // keeps them separate — the reference is non-cheap and multiply used)
+    // persist: the signature pass (the dominant cost) is referenced by the
+    // banding branch AND both scoring joins — without caching Spark would
+    // recompute shingling + hashing three times over the corpus
     val sigs = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("_sh"))
       .select(col("id"), minhashSignatureFromShingles(col("_sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // The band join carries ONLY (id, band_hash): hot band buckets (a
     // stop-shingle dominating the min statistic on vocabulary-limited
@@ -141,6 +150,10 @@ object DedupOps {
   def simhashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 chunks only guarantees a shared chunk for
+    // hamming <= 3; a larger radius would silently miss pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"chunk LSH with 4 chunks covers maxHamming <= 3, got $maxHamming")
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(ci =>
@@ -157,15 +170,32 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact token-set Jaccard for candidate pairs sharing ≥1 token.
-    * Integer set sizes, one IEEE division — engine-exact. */
+  /** Exact token/shingle-set Jaccard for candidate pairs sharing ≥1
+    * element. Integer set sizes, one IEEE division — engine-exact.
+    *
+    * @param shingleN 1 = unigram token sets; >1 = n-gram shingle sets
+    *   (far fewer hot-element collisions on natural text)
+    * @param maxTokenBucket elements shared by more than this many docs
+    *   (stopwords) are excluded from candidate generation — without the
+    *   cap a single ubiquitous token joins ~N²/2 pairs
+    */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
+      threshold: Double, shingleN: Int = 1,
+      maxTokenBucket: Long = 10000L): DataFrame = {
+    val elems =
+      if (shingleN <= 1) array_distinct(split(lower(col(textCol)), "\\s+"))
+      else array_distinct(shingles(col(textCol), shingleN))
+    val toks = df.select(col(idCol).as("id"), explode(elems).as("tok"))
+    // sizes use ALL elements (Jaccard stays exact); only candidate
+    // generation skips degenerate stopword buckets, which can miss pairs
+    // whose overlap is exclusively stopwords — acceptable for near-dup
+    // detection, same trade as minhash band capping
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = toks.as("a").join(toks.as("b"), Seq("tok"))
+    val tokSizes = toks.groupBy(col("tok")).agg(count(lit(1)).as("_tn"))
+    val rare = toks.join(
+      tokSizes.filter(col("_tn") <= maxTokenBucket).select(col("tok")), Seq("tok"))
+    val inter = rare.as("a").join(rare.as("b"), Seq("tok"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))

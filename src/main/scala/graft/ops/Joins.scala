@@ -47,6 +47,13 @@ object Joins {
       big: DataFrame, small: DataFrame, keys: Seq[String],
       saltSource: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // right/full outer would emit unmatched small-side rows once PER SALT
+    // (the small side is replicated); only join types whose output is
+    // driven by the big side preserve plain-join semantics
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(normalized),
+      s"saltedJoin does not preserve '$joinType' semantics (small side is replicated)")
     val bigS = big.withColumn("_salt", pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(array((0 until nSalts).map(lit): _*)))

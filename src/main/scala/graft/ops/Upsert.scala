@@ -45,13 +45,18 @@ object Upsert {
       mode: SaveMode = SaveMode.Overwrite,
       dynamicOverwrite: Boolean = true): Unit = {
     val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-      if (dynamicOverwrite) "dynamic" else "static")
-    try df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // set-write-restore mutates session conf; serialize writers on the
+    // same session so a concurrent restore cannot flip an in-flight
+    // Overwrite back to STATIC (which would wipe the whole table)
+    spark.synchronized {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        if (dynamicOverwrite) "dynamic" else "static")
+      try df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
   }
 

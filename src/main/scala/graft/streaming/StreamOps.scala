@@ -41,8 +41,16 @@ object StreamOps {
   def mergeBatch(targetPath: String, keys: Seq[String], partitionCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Only a genuinely missing target means bootstrap; any other read
+    // failure must propagate — treating a transient FS error as "table
+    // does not exist" would overwrite affected partitions with batch-only
+    // rows (silent data loss).
     val exists = try { spark.read.parquet(targetPath).schema.nonEmpty }
-    catch { case _: Throwable => false }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+          .contains(e.getCondition) => false
+    }
     if (!exists) Upsert.writePartitioned(batch, targetPath, partitionCols)
     else Upsert.upsertIntoPath(spark, targetPath, batch, keys, partitionCols)
   }
@@ -57,8 +65,16 @@ object StreamOps {
     * more than `gapSeconds`. Works on a streaming Dataset (state persisted
     * across micro-batches) and on a batch Dataset (whole group at once) —
     * the batch path is cross-checked against the SQL sessionization in
-    * StreamingSpec. */
-  def sessionize(ds: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    * StreamingSpec.
+    *
+    * @param emitOpen emit the still-open trailing session per group.
+    *   `true` (default) is for BATCH use, where the input is complete.
+    *   Streaming callers MUST pass `false` — emitting the open session at
+    *   every micro-batch would duplicate it in Append output — and close
+    *   sessions via an event-time/processing-time timeout instead.
+    */
+  def sessionize(ds: Dataset[Event], gapSeconds: Long,
+      emitOpen: Boolean = true): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
     ds.groupByKey(_.user_id)
@@ -78,8 +94,7 @@ object StreamOps {
             }
           }
           state.update(st)
-          // batch mode: flush the final open session too
-          if (!state.hasTimedOut && sorted.nonEmpty && st.n > 0) {
+          if (emitOpen && sorted.nonEmpty && st.n > 0) {
             out += SessionOut(userId, st.sessionId, st.n)
           }
           out.iterator

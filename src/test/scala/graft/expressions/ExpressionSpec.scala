@@ -37,6 +37,13 @@ class ExpressionSpec extends SparkSpec {
       && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("cosine_sim returns null on dimension mismatch (matches HOF semantics)") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(call_function("cosine_sim", $"a", $"b").as("c"))
+    assert(df.head().isNullAt(0))
+  }
+
   test("GraftExtensions wires the same builders (injectFunction path)") {
     // the extensions object enumerates exactly the registered builders;
     // applying it to a fresh SparkSessionExtensions must not throw

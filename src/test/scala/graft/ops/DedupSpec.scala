@@ -74,6 +74,20 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() >= 8)
   }
 
+  test("lshBands and simhashDupPairs reject invalid configurations") {
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException] {
+      DedupOps.lshBands(col("sig"), numHashes = 64, bands = 100)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.lshBands(col("sig"), numHashes = 64, bands = 24)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashDupPairs(base.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 4)
+    }
+  }
+
   test("ngramJaccardPairs computes exact token-set jaccard") {
     val df = Seq(
       (0L, "a b c d"), (1L, "a b c e"), (2L, "x y z w")).toDF("doc_id", "text")

@@ -35,6 +35,17 @@ class JoinsSpec extends SparkSpec {
     assert(saltSpread == 8)
   }
 
+  test("saltedJoin rejects join types it cannot preserve") {
+    val big = Seq((1, 10L)).toDF("k", "row_id")
+    val small = Seq((1, "a")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(big, small, Seq("k"), $"row_id", 4, "full")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(big, small, Seq("k"), $"row_id", 4, "right_outer")
+    }
+  }
+
   test("saltedJoin preserves left-join semantics for unmatched rows") {
     val big = Seq((1, 10L), (2, 20L), (99, 30L)).toDF("k", "row_id")
     val small = Seq((1, "a"), (2, "b")).toDF("k", "name")

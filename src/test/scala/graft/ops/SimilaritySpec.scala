@@ -40,7 +40,7 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("annTopK reaches ≥ 0.5 recall@10 vs brute force at 4 bits") {
+  test("annTopK reaches ≥ 0.3 mean recall@10 vs brute force at 4 bits") {
     val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
       .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap

@@ -5,9 +5,8 @@ Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 
 For each query key: read the Spark result parquet from <verifyOutDir>/<key>,
 run the oracle SQL from oracle_sql.json in DuckDB against the parquet tables
-in <sfDir>, sort columns by name, and compare row counts + values.
-Doubles compared bit-exact first, then with 1e-12 relative tolerance as a
-diagnostic (the real driver hash-compares, so we want bit-exact).
+in <sfDir>, sort columns by name, and compare row counts + values
+bit-exactly (the real driver hash-compares, so nothing less suffices).
 """
 import sys, json, glob, os
 import duckdb
