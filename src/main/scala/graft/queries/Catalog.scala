@@ -863,6 +863,44 @@ object Catalog {
              |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k2
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Array higher-order functions (transform/filter/exists/aggregate)
+    // over integer-quantized arrays — engine-exact folds.
+    "fn_array_hof" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(floor(col("l_quantity")).cast(LongType))).as("arr"))
+        .select(col("l_orderkey"),
+          size(filter(col("arr"), x => x > 25)).as("n_big"),
+          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("total_qty"),
+          exists(col("arr"), x => x === 50L).as("has_50"),
+          size(transform(col("arr"), x => x * 2)).as("n_doubled"))
+        .orderBy(col("l_orderkey")),
+      Some("""WITH a AS (
+             |  SELECT l_orderkey,
+             |    list_sort(list(CAST(FLOOR(l_quantity) AS BIGINT))) AS arr
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  CAST(len(list_filter(arr, x -> x > 25)) AS INTEGER) AS n_big,
+             |  CAST(list_sum(arr) AS BIGINT) AS total_qty,
+             |  len(list_filter(arr, x -> x = 50)) > 0 AS has_50,
+             |  CAST(len(list_transform(arr, x -> x * 2)) AS INTEGER) AS n_doubled
+             |FROM a ORDER BY l_orderkey""".stripMargin)),
+
+    // MapType surface: parse the JSON props column as a map, look up and
+    // count keys (oracle recovers the same facts with regexes).
+    "fn_map" -> QuerySpec(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k_val,
+             |  CAST(len(regexp_extract_all(props, '"[^"]+":')) AS INTEGER) AS n_keys
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ------------------------------------------------ event-time windowing
     // Tumbling event-time window in batch form (SURVEY.md §2.10); the
     // streaming twin (readStream + watermark) is exercised in StreamingSpec.
