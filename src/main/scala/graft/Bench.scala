@@ -20,19 +20,28 @@ object Bench {
     }
     // min of two passes per query: the second pass reuses JIT-compiled
     // codegen classes, so the min approximates steady-state query cost
-    // instead of folding one-off compilation into whichever key pays it
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // instead of folding one-off compilation into whichever key pays it.
+    // A key that throws is reported as "err" (with the exception class in
+    // "errors"), never as a timing — a broken query must not bench "fast".
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val attempts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try Right((fn(spark, sfDir).count(), (System.nanoTime() - t0) / 1e9)._2)
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        }
+        val oks = attempts.collect { case Right(t) => t }
+        name -> (if (oks.nonEmpty) Right(oks.min)
+                 else Left(attempts.collectFirst { case Left(m) => m }.get))
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_))  => s"\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

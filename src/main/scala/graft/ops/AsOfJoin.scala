@@ -30,16 +30,31 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightValueCols: Seq[String]): DataFrame = {
+    // output columns must be unambiguous: the matched-timestamp alias and
+    // the right value columns may not collide with surviving left columns
+    val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
+    val emitted = s"matched_$rightTs" +: rightValueCols
+    val collisions = leftPayloadCols.intersect(emitted)
+    require(collisions.isEmpty,
+      s"as-of output name collision on ${collisions.mkString(", ")}: rename " +
+        "the left column(s) or the right value column(s) before joining")
+
     val rPayload = struct(col(rightTs).as(s"matched_$rightTs") +:
       rightValueCols.map(col): _*)
     // a null right timestamp would sort before every real row (asc
     // nulls-first) and become the "most recent" match for early left rows
-    // — drop such rows; they carry no usable as-of position
-    val r0 = right.filter(col(rightTs).isNotNull)
+    // — drop such rows; they carry no usable as-of position. Null KEYS are
+    // dropped from the right for the same reason equi-joins drop them:
+    // NULL never equals NULL, so a null-key right row can match nothing
+    // (Window.partitionBy would otherwise group null with null). Null-key
+    // LEFT rows survive with a null match — left-join semantics. (They
+    // land in one window partition; a null-key-heavy left side is a skew
+    // hazard — pre-filter such rows if they dominate.)
+    val rightKeysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val r0 = right.filter(col(rightTs).isNotNull && rightKeysNonNull)
       .select(keys.map(col) :+ col(rightTs).as("_ts") :+ rPayload.as("_rpay"): _*)
     val rPayType = r0.schema("_rpay").dataType
 
-    val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
     val lPayload = struct(leftPayloadCols.map(col): _*)
     val l0 = left.select(keys.map(col) :+ col(leftTs).as("_ts") :+ lPayload.as("_lpay"): _*)
     val lPayType = l0.schema("_lpay").dataType

@@ -74,7 +74,11 @@ object DedupOps {
 
   /** Candidate near-dup pairs via MinHash LSH, scored by the signature
     * agreement estimate of Jaccard (fraction of equal minhashes).
-    * Returns (id_a, id_b, est_jaccard) with est ≥ `estThreshold`. */
+    * Returns (id_a, id_b, est_jaccard) with est ≥ `estThreshold`.
+    *
+    * EAGER: the pair set is computed at call time (localCheckpoint) so the
+    * corpus-sized signature cache is unpersisted before this returns —
+    * repeated calls in a long-lived session leave nothing cached behind. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
@@ -109,7 +113,7 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    cand
+    val scored = cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
@@ -118,6 +122,16 @@ object DedupOps {
           .cast(DoubleType) / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+
+    // Materialize the result NOW (it is small: ∝ true-duplicate count,
+    // bounded by the band cap) so the corpus-sized signature cache can be
+    // released before returning — a lazy return would leak the persist
+    // into the session for the caller to clean up (or never). The
+    // localCheckpoint'd result is dropped automatically by the
+    // ContextCleaner once the returned frame is unreachable.
+    val out = scored.localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash over tokens: per bit position, sum ±1 across token

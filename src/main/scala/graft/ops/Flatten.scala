@@ -43,7 +43,13 @@ object Flatten {
     *
     * @param strict when true, raggedness (array-length mismatch within a
     *   row) raises — the distributed form of the reference's length check
-    *   (README.md:699-704). When false, `arrays_zip` pads short arrays
+    *   (README.md:699-704). The check is IN-PLAN (`raise_error` guarding
+    *   the zip expression), so it costs zero extra scans: the failure
+    *   surfaces from the same single pass that performs the unzip, at
+    *   action time. An earlier version ran an eager
+    *   `filter(ragged).limit(1).count()` pre-scan — a second full read of
+    *   the input per call, which doubles the most expensive stage of a
+    *   bulk pipeline at scale. When false, `arrays_zip` pads short arrays
     *   with nulls (lenient mode).
     */
   def unzipParallelArrays(
@@ -61,15 +67,21 @@ object Flatten {
     }.toIndexedSeq
     require(arrFields.nonEmpty, s"$structCol has no array fields")
 
-    if (strict && arrFields.size > 1) {
-      val sizes = arrFields.map(f => size(col(s"$structCol.$f")))
-      val ragged = df.filter(greatest(sizes: _*) =!= least(sizes: _*)).limit(1).count()
-      if (ragged > 0) throw new IllegalArgumentException(
-        s"inconsistent array lengths under $structCol (fields: ${arrFields.mkString(", ")})")
-    }
-
     val carried = scalars.map { case (c, a) => col(c).as(a) }
-    val zipped = arrays_zip(arrFields.map(f => col(s"$structCol.$f").as(f)): _*)
+    val zipped0 = arrays_zip(arrFields.map(f => col(s"$structCol.$f").as(f)): _*)
+    val zipped =
+      if (strict && arrFields.size > 1) {
+        val sizes = arrFields.map(f => size(col(s"$structCol.$f")))
+        // per-row guard: rows with consistent lengths never evaluate the
+        // raise_error branch (when() short-circuits), ragged rows fail the
+        // job with a diagnostic carrying the offending sizes
+        when(greatest(sizes: _*) =!= least(sizes: _*),
+          raise_error(concat(
+            lit(s"inconsistent array lengths under $structCol " +
+              s"(fields: ${arrFields.mkString(", ")}); sizes: "),
+            concat_ws(",", sizes.map(_.cast(StringType)): _*))))
+          .otherwise(zipped0)
+      } else zipped0
     df.select(carried :+ explode(zipped).as("_z"): _*)
       .select(scalars.map { case (_, a) => col(a) } ++
         arrFields.map(f => col(s"_z.$f").as(f)): _*)

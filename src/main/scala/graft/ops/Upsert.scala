@@ -77,23 +77,80 @@ object Upsert {
 
   /** Incremental update of a partitioned parquet table on disk: read the
     * target, merge the batch, rewrite only the affected partitions.
+    *
+    * INVARIANT (default mode): partition-column values must be
+    * functionally dependent on the merge keys — i.e. an update never moves
+    * a key to a different partition. Under that invariant, "partitions
+    * present in the batch" is exactly the set of partitions containing
+    * superseded rows, and the rewrite is minimal (target is scanned once,
+    * shuffled never). If a batch CAN move a key across partitions (e.g. a
+    * corrected partition value for an existing key), pass
+    * `keysMayChangePartitions = true`: the affected-partition set is then
+    * widened with the partitions currently holding the batch's keys (one
+    * extra key-projected scan of the target), so the superseded row in the
+    * old partition is rewritten away instead of surviving as a duplicate.
+    *
+    * Durability note: this reads and dynamic-overwrites the same path in
+    * one job. The file-commit protocol stages output files and swaps the
+    * affected partition directories at job commit (after all reads are
+    * done), but a crash DURING commit can leave affected partitions
+    * partially replaced — run against table snapshots or keep a retention
+    * copy if that window matters for your deployment.
     */
   def upsertIntoPath(
       spark: SparkSession,
       targetPath: String,
       batch: DataFrame,
       keys: Seq[String],
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String],
+      keysMayChangePartitions: Boolean = false): Unit = {
     val target = spark.read.parquet(targetPath)
     // Only batch rows need writing: surviving target rows stay in their
     // untouched partitions; the anti side tells us nothing new. But rows in
     // *affected* partitions that are NOT superseded must be rewritten too
     // (the partition is replaced wholesale), so restrict the merge to
     // affected partitions before the dynamic overwrite.
-    val affected = batch.select(partitionCols.map(col): _*).distinct()
+    val batchParts = batch.select(partitionCols.map(col): _*).distinct()
+    val affected =
+      if (!keysMayChangePartitions) batchParts
+      else {
+        // partitions that currently hold any of the batch's keys: their
+        // superseded rows must be rewritten out even if the batch writes
+        // those keys into DIFFERENT partitions
+        val batchKeys = batch.select(keys.map(col): _*).distinct()
+        val oldKeyParts = target.join(batchKeys, keys, "left_semi")
+          .select(partitionCols.map(col): _*).distinct()
+        batchParts.union(oldKeyParts).distinct()
+      }
     val targetAffected = target.join(affected, partitionCols, "left_semi")
     val merged = merge(targetAffected, batch, keys)
+    // A partition whose EVERY row was superseded by a key move ends empty;
+    // dynamic overwrite cannot express "delete this partition" (no output
+    // row maps to it), so those directories are removed explicitly. The
+    // tuple set must materialize BEFORE the overwrite (its lazy plan reads
+    // the pre-write target).
+    val emptied: Array[org.apache.spark.sql.Row] =
+      if (!keysMayChangePartitions) Array.empty
+      else {
+        val remaining = merged.select(partitionCols.map(col): _*).distinct()
+        affected.join(remaining, partitionCols, "left_anti")
+          .collect() // partition-tuple metadata: bounded by #affected partitions, not data
+      }
     writePartitioned(merged, targetPath, partitionCols, SaveMode.Overwrite,
       dynamicOverwrite = true)
+    if (emptied.nonEmpty) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val root = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { row =>
+        val sub = partitionCols.map { pc =>
+          val v = row.getAs[Any](pc)
+          val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                  else ExternalCatalogUtils.escapePathName(v.toString)
+          s"$pc=$s"
+        }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(root, sub), true)
+      }
+    }
   }
 }

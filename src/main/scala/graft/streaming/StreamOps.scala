@@ -72,16 +72,35 @@ object StreamOps {
     *   Streaming callers MUST pass `false` — emitting the open session at
     *   every micro-batch would duplicate it in Append output — and close
     *   sessions via an event-time/processing-time timeout instead.
+    * @param maxGroupEvents hot-key guard: the group iterator must be
+    *   buffered and sorted in executor memory (flatMapGroupsWithState
+    *   gives no secondary sort), so a single user exceeding this many
+    *   events per (micro-)batch fails FAST with a diagnostic instead of
+    *   OOMing the executor mid-shuffle. Size it to the executor heap
+    *   (an Event is ~32 bytes boxed; the 1M default buffers ≲100 MB).
+    *   Bot-traffic keys that legitimately exceed it should be split out
+    *   or pre-aggregated — or use the SQL-window sessionization
+    *   (`stream_sessionize`), which sorts via spillable ExternalSorter.
     */
   def sessionize(ds: Dataset[Event], gapSeconds: Long,
-      emitOpen: Boolean = true): Dataset[SessionOut] = {
+      emitOpen: Boolean = true,
+      maxGroupEvents: Int = 1000000): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Event]
+          while (events.hasNext) {
+            if (buf.length >= maxGroupEvents)
+              throw new IllegalStateException(
+                s"sessionize: user $userId has > $maxGroupEvents events in one " +
+                  "batch (hot key); raise maxGroupEvents, pre-aggregate, or use " +
+                  "the SQL-window sessionization which spills")
+            buf += events.next()
+          }
+          val sorted = buf.sortBy(e => (e.tsMicros, e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { e =>

@@ -25,6 +25,41 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 7L, "f1", None, None)))             // key with no right rows
   }
 
+  test("asOf null keys never match null keys (equi-join NULL semantics)") {
+    val left = Seq(
+      (Some(1L), 5L, "a"),
+      (None: Option[Long], 5L, "b"),   // null key: must get a NULL match
+      (None: Option[Long], 9L, "c")).toDF("k", "t", "name")
+    val right = Seq(
+      (Some(1L), 3L, 100.0),
+      (None: Option[Long], 1L, 666.0), // null-key right row: matches nothing
+      (None: Option[Long], 8L, 777.0)).toDF("k", "t", "price")
+
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("price"))
+      .select($"t", $"name", $"price")
+      .as[(Long, String, Option[Double])]
+      .collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (5L, "a", Some(100.0)),
+      (5L, "b", None),
+      (9L, "c", None)))
+    assert(out.size == 3, "left-join semantics: null-key left rows survive")
+  }
+
+  test("asOf rejects output column collisions up front") {
+    val left = Seq((1L, 5L, 0.0)).toDF("k", "t", "price") // collides with right value col
+    val right = Seq((1L, 3L, 100.0)).toDF("k", "t", "price")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("price"))
+    }
+    assert(e.getMessage.contains("collision"))
+    val left2 = Seq((1L, 5L, "x")).toDF("k", "t", "matched_t") // collides with matched alias
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left2, right, Seq("k"), "t", "t", Seq("price"))
+    }
+    assert(e2.getMessage.contains("collision"))
+  }
+
   test("asOf row count always equals the left side (left-join semantics)") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i))

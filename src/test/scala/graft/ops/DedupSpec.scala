@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(!found.exists { case (a, b) => Set(a, b) == Set(0L, 3L) })
   }
 
+  test("minhashCandidatePairs releases its signature cache (no session leak)") {
+    def docs(salt: String) = (1 to 30)
+      .map(i => (i.toLong, s"$salt document number $i shares alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    DedupOps.minhashCandidatePairs(docs("x"), "doc_id", "text").count()
+    DedupOps.minhashCandidatePairs(docs("y"), "doc_id", "text").count()
+    val added = sc.getPersistentRDDs.keySet -- before
+    // at most the two (small) localCheckpoint'd results may remain pinned
+    // until GC; the corpus-sized signature caches must be gone
+    assert(added.size <= 2, s"leaked cached RDDs beyond the checkpointed results: $added")
+  }
+
   test("minhash est_jaccard ≈ 1.0 for identical docs") {
     val df = Seq((0L, base(0)._2), (1L, base(0)._2)).toDF("doc_id", "text")
     val est = DedupOps.minhashCandidatePairs(df, "doc_id", "text")

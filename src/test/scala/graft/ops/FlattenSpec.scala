@@ -36,15 +36,41 @@ class FlattenSpec extends SparkSpec {
     val df = Seq(("a", Seq("d1", "d2"), Seq(1.0)))
       .toDF("loc", "date", "temp")
       .select($"loc", struct($"date", $"temp").as("daily"))
-    val e = intercept[IllegalArgumentException] {
-      Flatten.unzipParallelArrays(df, "daily", Seq("loc" -> "loc"))
-    }
-    assert(e.getMessage.contains("inconsistent array lengths"))
+    // the check is in-plan: building the frame is lazy and must NOT scan
+    val flat = Flatten.unzipParallelArrays(df, "daily", Seq("loc" -> "loc"))
+    val e = intercept[Exception] { flat.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("inconsistent array lengths")))
     // lenient mode pads with nulls instead
     val lenient = Flatten.unzipParallelArrays(df, "daily", Seq("loc" -> "loc"), strict = false)
     assert(lenient.count() == 2)
     assert(lenient.orderBy($"date".desc_nulls_last).collect()(1).isNullAt(2) ||
       lenient.orderBy($"date").collect().exists(_.isNullAt(2)))
+  }
+
+  test("strict unzip issues exactly one job (no eager validation pre-scan)") {
+    val nested = Seq(("a", Seq(1, 2, 3), Seq(10.0, 20.0, 30.0)))
+      .toDF("k", "idx", "v")
+      .select($"k", struct($"idx", $"v").as("daily"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val flat = Flatten.unzipParallelArrays(nested, "daily", Seq("k" -> "k"))
+      assert(jobs.get() == 0, "operator construction must not launch jobs")
+      flat.foreach(_ => ()) // shuffle-free action: exactly one scan job
+      // listener delivery is async: wait for at least one event, then a
+      // settle interval to catch any extra job that would indicate a
+      // second (validation) scan
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(jobs.get() == 1, s"strict unzip should scan ONCE, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("zip round-trip equals the original rows (seeded random cases)") {

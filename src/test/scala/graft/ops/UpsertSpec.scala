@@ -61,6 +61,33 @@ class UpsertSpec extends SparkSpec {
     assert(loc2Before == loc2After)
   }
 
+  test("upsertIntoPath with keysMayChangePartitions rewrites the key's old partition") {
+    // the batch MOVES key ("k1","2021-01-01") from partition loc1 to loc2
+    // (a corrected partition value for an existing merge key)
+    val dir = Files.createTempDirectory("upsert_move").toFile.getAbsolutePath
+    val t0 = Seq(("k1", "2021-01-01", "loc1", 10.0), ("k2", "2021-01-01", "loc2", 20.0))
+      .toDF("name", "date", "location", "temp")
+    Upsert.writePartitioned(t0, dir, Seq("location"))
+    val moved = Seq(("k1", "2021-01-01", "loc2", 99.0))
+      .toDF("name", "date", "location", "temp")
+
+    // default mode documents the functional-dependence invariant; violating
+    // it leaves the stale row behind (demonstrating why the flag exists)
+    val dirA = Files.createTempDirectory("upsert_move_a").toFile.getAbsolutePath
+    Upsert.writePartitioned(t0, dirA, Seq("location"))
+    Upsert.upsertIntoPath(spark, dirA, moved, Seq("name", "date"), Seq("location"))
+    assert(spark.read.parquet(dirA).filter($"name" === "k1").count() == 2)
+
+    Upsert.upsertIntoPath(spark, dir, moved, Seq("name", "date"), Seq("location"),
+      keysMayChangePartitions = true)
+    val after = spark.read.parquet(dir)
+      .select($"name", $"date", $"location", $"temp")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(after == Set(
+      ("k1", "2021-01-01", "loc2", 99.0), // moved, old-partition copy gone
+      ("k2", "2021-01-01", "loc2", 20.0)))
+  }
+
   test("writePartitioned static overwrite replaces the whole table") {
     val dir = Files.createTempDirectory("static").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))

@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     assert(stateful == sql)
   }
 
+  test("sessionize hot-key guard fails fast instead of buffering an unbounded group") {
+    // one pathological user with more events than the cap: the group must
+    // fail with the diagnostic, not attempt to buffer+sort it all
+    val hot = (1 to 500).map(i => StreamOps.Event(42L, i.toLong, i * 1000000L, 1.0))
+    val ds = hot.toDS()
+    val e = intercept[Exception] {
+      StreamOps.sessionize(ds, gapSeconds = 1800, maxGroupEvents = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("hot key")))
+    // same data under the default cap sessionizes fine (one dense session)
+    val ok = StreamOps.sessionize(ds, gapSeconds = 1800).collect()
+    assert(ok.toSeq == Seq(StreamOps.SessionOut(42L, 0L, 500L)))
+  }
+
   test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
     // the streaming-native form of the reference's monthly scheduled job:
     // process everything currently available, then terminate
