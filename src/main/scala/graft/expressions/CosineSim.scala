@@ -85,10 +85,30 @@ case class CosineSim(left: Expression, right: Expression)
   * `call_function("cosine_sim", ...)` — a real function, not a UDF: it
   * participates in codegen and constant folding. */
 object GraftFunctions {
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))))
+  /** Second argument of minhash_sig must be a foldable int literal (the
+    * signature width is a plan-compile-time constant). */
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
 
-  def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSim],
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
+    ("minhash_sig", classOf[MinHashSig],
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), exprs.lift(1).map(litInt).getOrElse(64))),
+    ("minhash_shingle_sig", classOf[MinHashShingleSig],
+      (exprs: Seq[Expression]) =>
+        MinHashShingleSig(exprs(0),
+          exprs.lift(1).map(litInt).getOrElse(64),
+          exprs.lift(2).map(litInt).getOrElse(3))),
+    ("simhash_sig", classOf[SimHashSig],
+      (exprs: Seq[Expression]) => SimHashSig(exprs(0))))
+
+  def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, b, "built-in")
   }
@@ -96,10 +116,10 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    GraftFunctions.builders.foreach { case (name, b) =>
+    GraftFunctions.builders.foreach { case (name, cls, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSim].getName, name),
+        new ExpressionInfo(cls.getName, name),
         b))
     }
 }

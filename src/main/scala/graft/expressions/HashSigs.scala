@@ -1,0 +1,267 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hash-signature expressions for the dedup operators — tier (b)
+  * of the custom-operator ladder (SURVEY.md §7.3).
+  *
+  * The higher-order-function formulations in `DedupOps`
+  * (`aggregate`/`zip_with`/`transform` folds) are semantically exact but
+  * evaluate INTERPRETED: each shingle allocates fresh 64-element arrays
+  * per fold step, costing ~64× the hashing work in boxing and dispatch.
+  * At corpus scale the signature pass dominates MinHash dedup end to end
+  * (measured ~5.7 s for 10k docs at sf0.1 vs sub-second for everything
+  * else). These expressions compute bit-identical signatures in one tight
+  * primitive loop, participate in whole-stage codegen, and allocate one
+  * primitive array per row.
+  *
+  * Bit-compatibility contract (property-tested in ExpressionSpec):
+  *  - `MinHashSig(sh, n)` == the fold
+  *    `aggregate(transform(sh, s -> xxhash64(s)), repeat(MaxValue, n),
+  *       (acc, h) -> zip_with(acc, transform(seeds, i -> xxhash64(h, i)), least))`
+  *    where Spark's `xxhash64(string)` = XXH64.hashUTF8String(s, 42)
+  *    and `xxhash64(longCol, intLit i)` = XXH64.hashInt(i, XXH64.hashLong(h, 42)).
+  *  - `SimHashSig(tokens)` == the ±1 bit-count fold + sign-bit pack in
+  *    `DedupOps.simhashHof` (integer addition is order-insensitive).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+  require(!child.resolved ||
+    child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType,
+    s"minhash_sig expects ARRAY<STRING>, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h0 = XXH64.hashUTF8String(s, 42L)
+        val hs = XXH64.hashLong(h0, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val hi = XXH64.hashInt(i, hs)
+          if (hi < sig(i)) sig(i) = hi
+          i += 1
+        }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val xxh = classOf[XXH64].getName
+      val uad = classOf[UnsafeArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val sig = ctx.freshName("sig"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h0 = ctx.freshName("h0"); val hs = ctx.freshName("hs")
+      val hi = ctx.freshName("hi"); val n = ctx.freshName("n")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    $utf8 $s = $arr.getUTF8String($j);
+         |    long $h0 = $xxh.hashUTF8String($s, 42L);
+         |    long $hs = $xxh.hashLong($h0, 42L);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $hi = $xxh.hashInt($i, $hs);
+         |      if ($hi < $sig[$i]) $sig[$i] = $hi;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** MinHash signature computed DIRECTLY from the token array: builds each
+  * n-gram shingle string (space-joined, same bytes as
+  * `DedupOps.shingles`' `concat_ws(" ", slice(toks, i+1, n))`) in a tight
+  * JVM loop and hashes it immediately — no materialized shingle array.
+  * Profiling showed the interpreted HOF shingle construction (sequence →
+  * slice → concat_ws per shingle) dominating the whole MinHash pipeline
+  * (~2.8 s of a 3.6 s run at sf0.1); this fuses it away. Bit-equal to
+  * `MinHashSig(shingles(text, n), numHashes)` — property-tested.
+  *
+  * Short docs (< n tokens, including zero) hash the whole token list as
+  * one shingle, mirroring `DedupOps.shingles`.
+  */
+case class MinHashShingleSig(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+  require(shingleN > 0, s"shingleN must be positive, got $shingleN")
+  require(!child.resolved ||
+    child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType,
+    s"minhash_shingle_sig expects ARRAY<STRING> tokens, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingle_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nTok = toks.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
+    def update(shingle: UTF8String): Unit = {
+      val hs = XXH64.hashLong(XXH64.hashUTF8String(shingle, 42L), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val hi = XXH64.hashInt(i, hs)
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
+      }
+    }
+    if (nTok < shingleN) {
+      val all = new Array[UTF8String](nTok)
+      var j = 0
+      while (j < nTok) { all(j) = toks.getUTF8String(j); j += 1 }
+      update(UTF8String.concatWs(sep, all: _*))
+    } else {
+      val window = new Array[UTF8String](shingleN)
+      var j = 0
+      val last = nTok - shingleN
+      while (j <= last) {
+        var i = 0
+        while (i < shingleN) { window(i) = toks.getUTF8String(j + i); i += 1 }
+        update(UTF8String.concatWs(sep, window: _*))
+        j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val xxh = classOf[XXH64].getName
+      val uad = classOf[UnsafeArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val sig = ctx.freshName("sig"); val nTok = ctx.freshName("nTok")
+      val sep = ctx.freshName("sep"); val win = ctx.freshName("win")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val hs = ctx.freshName("hs"); val hi = ctx.freshName("hi")
+      val sh = ctx.freshName("sh"); val last = ctx.freshName("last")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $nTok = $toks.numElements();
+         |$utf8 $sep = $utf8.fromString(" ");
+         |if ($nTok < $shingleN) {
+         |  $utf8[] $win = new $utf8[$nTok];
+         |  for (int $j = 0; $j < $nTok; $j++) $win[$j] = $toks.getUTF8String($j);
+         |  $utf8 $sh = $utf8.concatWs($sep, $win);
+         |  long $hs = $xxh.hashLong($xxh.hashUTF8String($sh, 42L), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $hi = $xxh.hashInt($i, $hs);
+         |    if ($hi < $sig[$i]) $sig[$i] = $hi;
+         |  }
+         |} else {
+         |  $utf8[] $win = new $utf8[$shingleN];
+         |  int $last = $nTok - $shingleN;
+         |  for (int $j = 0; $j <= $last; $j++) {
+         |    for (int $i = 0; $i < $shingleN; $i++) $win[$i] = $toks.getUTF8String($j + $i);
+         |    $utf8 $sh = $utf8.concatWs($sep, $win);
+         |    long $hs = $xxh.hashLong($xxh.hashUTF8String($sh, 42L), 42L);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $hi = $xxh.hashInt($i, $hs);
+         |      if ($hi < $sig[$i]) $sig[$i] = $hi;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingleSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per bit, sum ±1 across token hashes
+  * (xxhash64 of each token, seed 42), then pack sign bits. Bit-equal to
+  * the HOF fold in `DedupOps.simhashHof`. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  require(!child.resolved ||
+    child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType,
+    s"simhash_sig expects ARRAY<STRING>, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUTF8String(s, 42L)
+        var i = 0
+        while (i < 64) {
+          if ((h & (1L << i)) != 0L) counts(i) += 1L else counts(i) -= 1L
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0L) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val xxh = classOf[XXH64].getName
+      val utf8 = classOf[UTF8String].getName
+      val counts = ctx.freshName("counts"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $counts = new long[64];
+         |int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    $utf8 $s = $arr.getUTF8String($j);
+         |    long $h = $xxh.hashUTF8String($s, 42L);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      if (($h & (1L << $i)) != 0L) $counts[$i]++; else $counts[$i]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($counts[$i] > 0L) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}

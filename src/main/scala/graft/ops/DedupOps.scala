@@ -43,7 +43,13 @@ object DedupOps {
     * form re-evaluates the whole shingle construction numHashes× — a
     * measured 60× slowdown, because higher-order functions run
     * interpreted). Each shingle STRING is hashed once; the numHashes
-    * variants are derived by cheap long-rehash h_i = xxhash64(h0, i). */
+    * variants are derived by cheap long-rehash h_i = xxhash64(h0, i).
+    *
+    * This HOF form is the portable/reference implementation; the hot path
+    * (`minhashCandidatePairs`) uses the bit-identical codegen expression
+    * `graft.expressions.MinHashSig` (HOF folds run interpreted and
+    * allocate a fresh 64-wide array per shingle — a measured ~10×
+    * signature-pass slowdown vs the native loop). */
   def minhashSignatureFromShingles(sh: Column, numHashes: Int = 64): Column = {
     val shingleHashes = transform(sh, s => xxhash64(s))
     val seeds = array((0 until numHashes).map(lit): _*) // literal: no per-shingle rebuild
@@ -83,15 +89,17 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       estThreshold: Double = 0.5, maxBandBucket: Long = 10000L): DataFrame = {
-    // two projections: shingle construction happens once per row, the
-    // 64-seed signature references the materialized array (CollapseProject
-    // keeps them separate — the reference is non-cheap and multiply used)
-    // persist: the signature pass (the dominant cost) is referenced by the
-    // banding branch AND both scoring joins — without caching Spark would
-    // recompute shingling + hashing three times over the corpus
+    // persist: the signature pass is referenced by the banding branch AND
+    // both scoring joins — without caching Spark would recompute the
+    // tokenize+signature scan three times over the corpus
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    // tokens → shingles → 64 min-hashes in ONE fused codegen loop
+    // (MinHashShingleSig): the interpreted HOF shingle construction alone
+    // was ~75% of this operator's runtime before fusing
     val sigs = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("_sh"))
-      .select(col("id"), minhashSignatureFromShingles(col("_sh"), numHashes).as("sig"))
+      .select(col(idCol).as("id"),
+        call_function("minhash_shingle_sig",
+          split(lower(col(textCol)), "\\s+"), lit(numHashes), lit(shingleN)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // The band join carries ONLY (id, band_hash): hot band buckets (a
@@ -136,7 +144,10 @@ object DedupOps {
 
   /** 64-bit SimHash over tokens: per bit position, sum ±1 across token
     * hashes, take the sign bit; packed to one Long by an exact integer
-    * fold. Near-identical docs differ in few bits (small hamming). */
+    * fold. Near-identical docs differ in few bits (small hamming).
+    *
+    * HOF reference form; `simhashDupPairs` uses the bit-identical codegen
+    * expression `graft.expressions.SimHashSig` on the hot path. */
   def simhash(text: Column): Column = {
     // hash each token ONCE (an earlier version recomputed xxhash64 per
     // bit — 64× the hashing work, and higher-order functions evaluate
@@ -168,7 +179,9 @@ object DedupOps {
     // hamming <= 3; a larger radius would silently miss pairs
     require(maxHamming >= 0 && maxHamming <= 3,
       s"chunk LSH with 4 chunks covers maxHamming <= 3, got $maxHamming")
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      call_function("simhash_sig", split(lower(col(textCol)), "\\s+")).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(ci =>
         concat_ws("_", lit(ci.toString),

@@ -93,41 +93,71 @@ object SimilarityOps {
       .select(col(qId), col("rn"), col(cId), col("cos"))
   }
 
-  /** IVF-style ANN: partition candidates into `nCentroids` Voronoi cells
-    * (seeded k-means over the candidate set), then rank exactly within
-    * the `nProbe` cells nearest to each query. The inverted-file layout
-    * is what scales: at 100 TB the assignment is a linear codegen'd pass,
-    * cells are written as partition directories, and a query touches
-    * nProbe/nCentroids of the data. Centroids are tiny (nCentroids ×
-    * dim) and ride along as literal arrays — no driver loop per query.
+  /** Trained IVF coarse quantizer: just the centroid matrix. A plain
+    * case class with no Spark references — fit once offline, ship to any
+    * number of query jobs (serialize the arrays, or recompute from the
+    * same seed). */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nCentroids: Int = centroids.length
+  }
+
+  /** OFFLINE step of IVF ANN: train the coarse quantizer (seeded k-means)
+    * over the candidate corpus — or, at scale, over `sampleFraction` of
+    * it (centroid quality needs a representative sample, not the full
+    * 100 TB corpus; 0.001-0.01 is typical). This is the ONLY method here
+    * that runs iterative ML jobs; everything query-side is pure column
+    * expressions. Few iterations suffice: probing quality depends on the
+    * Voronoi structure, not on converged centroids.
     */
-  def ivfTopK(
-      queries: DataFrame, candidates: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int, seed: Long = 42L,
-      qId: String = "qid", qVec: String = "qvec",
-      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+  def ivfFit(
+      candidates: DataFrame, cVec: String, nCentroids: Int,
+      seed: Long = 42L, sampleFraction: Double = 1.0, maxIter: Int = 5): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val cand = candidates.withColumn("_fv", array_to_vector(asDouble(col(cVec))))
-    // few iterations suffice: probing quality depends on the Voronoi
-    // structure, not on converged centroids (in production the model is
-    // trained once offline and reused across queries)
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+    val base =
+      if (sampleFraction >= 1.0) candidates
+      else candidates.sample(withReplacement = false, sampleFraction, seed)
+    val cand = base.withColumn("_fv", array_to_vector(asDouble(col(cVec))))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_fv").setPredictionCol("_cell").fit(cand)
-    val assigned = model.transform(cand).drop("_fv")
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
 
-    // per-query distances to every centroid (literal arrays), keep nProbe
-    val centroids = model.clusterCenters.map(_.toArray)
-    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
-      val dist = dot(asDouble(col(qVec)), array(c.map(lit): _*)) * -1 +
-        lit(0.5) * lit(c.map(x => x * x).sum) // argmin ||q-c||² ≡ argmin (c·c)/2 - q·c
+  /** Distances to every centroid as one literal-array expression:
+    * argmin ||v-c||² ≡ argmin (c·c)/2 - v·c (the v·v term is constant per
+    * row). Centroids are tiny (nCentroids × dim) and inline into the
+    * plan — codegen'd, no ML dependency, no shuffle. */
+  private def centroidCells(vec: Column, model: IvfModel): Column =
+    array(model.centroids.zipWithIndex.map { case (c, i) =>
+      val dist = dot(asDouble(vec), array(c.map(lit): _*)) * -1 +
+        lit(0.5) * lit(c.map(x => x * x).sum)
       struct(dist.as("d"), lit(i).as("cell"))
     }: _*)
-    val probed = queries
-      .withColumn("_probe", explode(slice(array_sort(cells), 1, nProbe)))
-      .select(col(qId), col(qVec), col("_probe.cell").as("_cell"))
 
+  /** Nearest-centroid cell id for a vector — the inverted-file assignment.
+    * At 100 TB this is a single linear pass; write the result out
+    * partitioned by `_cell` and queries touch nProbe/nCentroids of the
+    * data. */
+  def ivfCell(vec: Column, model: IvfModel): Column =
+    array_sort(centroidCells(vec, model)).getItem(0).getField("cell")
+
+  /** Attach the `_cell` assignment column (see [[ivfCell]]). */
+  def ivfAssign(candidates: DataFrame, cVec: String, model: IvfModel): DataFrame =
+    candidates.withColumn("_cell", ivfCell(col(cVec), model))
+
+  /** QUERY step of IVF ANN: rank exactly within the `nProbe` cells
+    * nearest to each query. `assigned` must carry a `_cell` column (from
+    * [[ivfAssign]], or read from a cell-partitioned table). No KMeans —
+    * the model rides along as literal centroid arrays. */
+  def ivfTopKWithModel(
+      queries: DataFrame, assigned: DataFrame, model: IvfModel,
+      k: Int, nProbe: Int,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    val probed = queries
+      .withColumn("_probe",
+        explode(slice(array_sort(centroidCells(col(qVec), model)), 1, nProbe)))
+      .select(col(qId), col(qVec), col("_probe.cell").as("_cell"))
     val scored = assigned.join(broadcast(probed), Seq("_cell"))
       .withColumn("cos", cosine(asDouble(col(qVec)), asDouble(col(cVec))))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
@@ -136,26 +166,49 @@ object SimilarityOps {
       .select(col(qId), col("rn"), col(cId), col("cos"))
   }
 
-  /** All candidate pairs with cosine above `threshold` (embedding-based
+  /** Convenience one-shot IVF ANN (fit + assign + query in one call).
+    * Prefer ivfFit → ivfAssign → ivfTopKWithModel in anything hot: this
+    * wrapper re-trains the quantizer on EVERY invocation, which is the
+    * expensive part. */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, seed: Long = 42L,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    val model = ivfFit(candidates, cVec, nCentroids, seed)
+    ivfTopKWithModel(queries, ivfAssign(candidates, cVec, model), model,
+      k, nProbe, qId, qVec, cId, cVec)
+  }
+
+  /** Candidate pairs with cosine above `threshold` (embedding-based
     * near-duplicate detection). Quantized integer arithmetic so the
-    * result is engine-exact. For the full O(N²) this must be bounded by
-    * LSH buckets first at scale; `withinBucket=true` does that. */
+    * result is engine-exact.
+    *
+    * DEFAULT = LSH-bucketed: pairs meet only inside a random-hyperplane
+    * bucket, so the join is linear-ish in N (near-identical vectors
+    * project identically and always share a bucket). `allPairs = true`
+    * opts into the exact O(N²) enumeration — only for small, explicitly
+    * bounded inputs (an unbounded all-pairs join at corpus scale is a
+    * cross join; it was previously the default, which made the
+    * production-shaped call dangerous by omission). */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, withinBucket: Boolean = false,
+      threshold: Double, allPairs: Boolean = false,
       nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val base = if (withinBucket)
+    val base = if (!allPairs)
       df.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
     else df.withColumn("bucket", lit(0))
+    // self-norms are per-ROW quantities: compute them once before the
+    // pair join instead of re-folding each vector per PAIR (pairs ≫ rows)
+    val qv = quantize(col(vecCol))
     val a = base.select(col("bucket"), col(idCol).as("id_a"),
-      quantize(col(vecCol)).as("va"))
+      qv.as("va"), dotLong(qv, qv).as("na"))
     val b = base.select(col("bucket"), col(idCol).as("id_b"),
-      quantize(col(vecCol)).as("vb"))
+      qv.as("vb"), dotLong(qv, qv).as("nb"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cos_q",
         dotLong(col("va"), col("vb")).cast(DoubleType) /
-          (sqrt(dotLong(col("va"), col("va")).cast(DoubleType)) *
-           sqrt(dotLong(col("vb"), col("vb")).cast(DoubleType))))
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
       .filter(col("cos_q") > threshold)
       .select(col("id_a"), col("id_b"), col("cos_q"))
   }

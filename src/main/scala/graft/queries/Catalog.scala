@@ -27,6 +27,13 @@ object Catalog {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** IVF coarse quantizers, one per dataset dir: the fit is the offline
+    * step of the fit/query split (SimilarityOps.ivfFit) — re-training it
+    * per query invocation would put an iterative KMeans inside every ANN
+    * lookup. Seeded ⇒ the memoized model is deterministic per dataset. */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.IvfModel]()
+
   /** Order-insensitive exact sum of a double column: decimal accumulate,
     * double result. Deterministic under any partitioning / AQE re-plan —
     * the property that makes the same query hash-stable on a 1000-executor
@@ -586,10 +593,13 @@ object Catalog {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Embedding-cosine near-dups on quantized integers — engine-exact.
+    // allPairs is safe here ONLY because the input is explicitly bounded
+    // to 100 vectors (the oracle needs the exact O(N²) enumeration); the
+    // production-shaped variant is dedup_embedding_cosine_lsh below.
     "dedup_embedding_cosine" -> QuerySpec(
       (s, d) => SimilarityOps.cosineDupPairs(
         t(s, d, "embeddings").filter(col("vec_id") < 100),
-        "vec_id", "embedding", threshold = 0.30)
+        "vec_id", "embedding", threshold = 0.30, allPairs = true)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH pairs AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -605,6 +615,25 @@ object Catalog {
              |FROM dots
              |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) > 0.30
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // LSH-bucketed embedding dedup at FULL scale factor (no id bound):
+    // the production path — pairs meet only inside a hyperplane bucket.
+    // Bucket assignment is float-order-sensitive ⇒ rows-only; planted-dup
+    // recall is unit-tested in SimilaritySpec. Per-vector count via left
+    // join keeps all rows (rows > 0 even with no duplicates).
+    "dedup_embedding_cosine_lsh" -> QuerySpec(
+      (s, d) => {
+        val embT = t(s, d, "embeddings")
+        val pairs = SimilarityOps.cosineDupPairs(embT, "vec_id", "embedding",
+          threshold = 0.30)
+        val cnts = pairs.select(col("id_a").as("vec_id"))
+          .union(pairs.select(col("id_b").as("vec_id")))
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dup"))
+        embT.select(col("vec_id")).join(cnts, Seq("vec_id"), "left")
+          .na.fill(0, Seq("n_dup"))
+          .orderBy(col("vec_id"))
+      },
+      None),
 
     // ----------------------------------------------------------- similarity
     // Brute-force cosine top-k on the quantized grid (oracle-exact);
@@ -662,14 +691,23 @@ object Catalog {
 
     // IVF ANN (k-means cells + nProbe probing) — the inverted-file scale
     // path. Seeded but iteration-order-sensitive ⇒ rows-only; recall vs
-    // brute force asserted in SimilaritySpec.
+    // brute force asserted in SimilaritySpec. The coarse quantizer is
+    // trained ONCE per dataset (ivfFit, memoized below) — the production
+    // fit/query split; the query pays only a codegen'd cell assignment +
+    // broadcast probe join, no iterative ML jobs.
     "sim_ann_ivf" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        SimilarityOps.ivfTopK(q, c, k = 10, nCentroids = 8, nProbe = 3)
+        val model = ivfModels.computeIfAbsent(d, dir =>
+          SimilarityOps.ivfFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", nCentroids = 8))
+        SimilarityOps.ivfTopKWithModel(
+          q, SimilarityOps.ivfAssign(c, "cvec", model), model, k = 10, nProbe = 3)
           .orderBy(col("qid"), col("rn"))
       },
       None),

@@ -49,6 +49,52 @@ class ExpressionSpec extends SparkSpec {
     // applying it to a fresh SparkSessionExtensions must not throw
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    assert(GraftFunctions.builders.map(_._1) == Seq("cosine_sim"))
+    assert(GraftFunctions.builders.map(_._1) ==
+      Seq("cosine_sim", "minhash_sig", "minhash_shingle_sig", "simhash_sig"))
+  }
+
+  test("minhash_shingle_sig fused tokens→shingles→sig equals the composed form") {
+    GraftFunctions.register(spark)
+    val docs = ((1 to 200).map(i =>
+      (i.toLong, s"doc $i topic ${i % 7} " + ("lorem ipsum dolor sit " * (i % 6)).trim)) ++
+      Seq((900L, ""), (901L, "one"), (902L, "one two"), (903L, "one two three")))
+      .toDF("doc_id", "text")
+    val toks = split(lower($"text"), "\\s+")
+    val both = docs.select(
+      call_function("minhash_shingle_sig", toks, lit(64), lit(3)).as("fused"),
+      graft.ops.DedupOps.minhashSignatureFromShingles(
+        graft.ops.DedupOps.shingles($"text", 3), 64).as("composed"))
+    assert(both.filter(not($"fused" <=> $"composed")).count() == 0)
+  }
+
+  test("minhash_sig native expression equals the HOF fold bit-exactly") {
+    GraftFunctions.register(spark)
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"document $i about topic ${i % 7} with shared words " +
+        ("lorem ipsum dolor " * (i % 5 + 1)))).toDF("doc_id", "text")
+    val sh = graft.ops.DedupOps.shingles($"text", 3)
+    val both = docs
+      .select($"doc_id", sh.as("_sh"))
+      .select(
+        call_function("minhash_sig", $"_sh", lit(64)).as("native"),
+        graft.ops.DedupOps.minhashSignatureFromShingles($"_sh", 64).as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() == 0)
+    // interpreted eval == codegen eval (empty array edge included)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(call_function("minhash_sig", $"sh", lit(8)).as("sig"))
+      .as[Seq[Long]].head()
+    assert(empty == Seq.fill(8)(Long.MaxValue))
+  }
+
+  test("simhash_sig native expression equals the HOF fold bit-exactly") {
+    GraftFunctions.register(spark)
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"tokens vary ${i % 13} across documents " +
+        ("alpha beta gamma " * (i % 4 + 1)))).toDF("doc_id", "text")
+    val toks = split(lower($"text"), "\\s+")
+    val both = docs.select(
+      call_function("simhash_sig", toks).as("native"),
+      graft.ops.DedupOps.simhash($"text").as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() == 0)
   }
 }

@@ -73,10 +73,58 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall $mean too low (probing 4/8 cells)")
   }
 
-  test("cosineDupPairs is symmetric-free (id_a < id_b) and thresholded") {
-    val pairs = SimilarityOps.cosineDupPairs(
+  test("ivfFit once + ivfTopKWithModel many: no iterative ML jobs at query time") {
+    val model = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
+    assert(model.nCentroids == 8)
+    val assigned = SimilarityOps.ivfAssign(candidates, "cvec", model)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (r1, r2) =
+      try {
+        val a = SimilarityOps.ivfTopKWithModel(queries, assigned, model, k = 10, nProbe = 4)
+          .select($"qid", $"rn", $"cid").as[(Long, Int, Long)].collect().toSeq
+        val b = SimilarityOps.ivfTopKWithModel(queries, assigned, model, k = 10, nProbe = 4)
+          .select($"qid", $"rn", $"cid").as[(Long, Int, Long)].collect().toSeq
+        (a, b)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // fit-once/query-many: same model → identical rankings, and the query
+    // path launches only the collect jobs (a 5-iteration KMeans fit alone
+    // is >10 jobs; seeing ≤8 for TWO queries proves no in-query fit)
+    assert(r1 == r2 && r1.nonEmpty)
+    assert(jobs.get() <= 8, s"query path ran ${jobs.get()} jobs — is a fit hiding in it?")
+    // the model itself carries no Spark state: serializable as plain data
+    val bytes = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bytes).writeObject(model)
+    assert(bytes.size() > 0)
+  }
+
+  test("cosineDupPairs (bucketed default) finds planted duplicates, allPairs is opt-in") {
+    // plant an exact duplicate pair: identical vectors project identically
+    // and always share an LSH bucket, so the bucketed default must find it
+    val dup = emb.filter($"vec_id" === 0)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val withDup = emb.select($"vec_id", $"embedding").union(dup)
+    val found = SimilarityOps.cosineDupPairs(withDup, "vec_id", "embedding",
+      threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(found.exists { case (a, b, _) => a == 0L && b == 10000L },
+      s"planted duplicate not found in bucketed mode: ${found.toSeq}")
+
+    // bucketed pairs ⊆ allPairs pairs, both respect id_a < id_b + threshold
+    val bucketed = SimilarityOps.cosineDupPairs(
       emb.filter($"vec_id" < 50), "vec_id", "embedding", threshold = 0.2)
       .as[(Long, Long, Double)].collect()
-    assert(pairs.forall { case (a, b, c) => a < b && c > 0.2 })
+    val all = SimilarityOps.cosineDupPairs(
+      emb.filter($"vec_id" < 50), "vec_id", "embedding", threshold = 0.2,
+      allPairs = true)
+      .as[(Long, Long, Double)].collect()
+    assert(all.forall { case (a, b, c) => a < b && c > 0.2 })
+    assert(bucketed.map(p => (p._1, p._2)).toSet
+      .subsetOf(all.map(p => (p._1, p._2)).toSet))
   }
 }
