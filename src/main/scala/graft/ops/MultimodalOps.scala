@@ -45,16 +45,21 @@ object MultimodalOps {
   /** STUB decode: "decodes" the fake payload into per-media features.
     * In production this is the partition-local call into a native codec;
     * the mapPartitions batching (one codec init per partition, streamed
-    * rows) is exactly what a real decoder needs. */
+    * rows) is exactly what a real decoder needs.
+    *
+    * Implemented as `Dataset.mapPartitions` WITH an Encoder — not
+    * `df.rdd.mapPartitions` — so the operator stays inside one logical
+    * plan: Catalyst keeps pushing filters/pruning below the object
+    * boundary and codegen resumes immediately above it, instead of the
+    * RDD round-trip (full plan break + driver-side createDataFrame). */
   def decodeStub(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = inSchema
       .add("decoded_bytes", IntegerType)
       .add("checksum", LongType)
-    val idIdx = inSchema.fieldIndex(idCol)
     val bytesIdx = inSchema.fieldIndex("bytes")
-    val rdd = df.rdd.mapPartitions { rows =>
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
       // codec init would happen here, once per partition
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](bytesIdx)
@@ -62,9 +67,18 @@ object MultimodalOps {
         val checksum = payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
         Row.fromSeq(r.toSeq :+ payload.length :+ checksum)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(enc)
   }
+
+  /** Expression-based header parse for media files read through the
+    * `binaryFile` source: magic byte + payload size recovered with plain
+    * column functions (binary substring/decode/octet_length), no UDF and
+    * no decode call — the cheap metadata pass that runs BEFORE deciding
+    * which payloads are worth a real (expensive) decode. */
+  def parseFakeHeader(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      decode(substring(bytes, 1, 1), "UTF-8").as("magic"),
+      (octet_length(bytes) - 5).as("payload_bytes"))
 
   /** Frame sampling: every k-th frame index up to n_frames — the plan
     * shape (explode of a bounded sequence per row) matches real video

@@ -983,6 +983,49 @@ object Catalog {
              |       ELSE 'und' END AS pred_lang
              |FROM scores ORDER BY doc_id""".stripMargin)),
 
+    // Per-document top term by corpus rarity: score = tf × N/df — a
+    // monotone transform of tf·idf (N/df is what ln compresses), kept as
+    // an exact integer ratio so the hash is engine-exact (ln(x) can
+    // differ in the last ulp across libm implementations). The doc count
+    // rides along as a broadcast scalar — no driver-side count.
+    "text_tfidf_top_term" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs
+          .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            (col("tf") * col("n_docs").cast(DoubleType)) / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |tok2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+             |dfreq AS (
+             |  SELECT term, count(*) AS df
+             |  FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term AS term,
+             |    (tf * CAST(n_docs AS DOUBLE)) / df AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY (tf * CAST(n_docs AS DOUBLE)) / df DESC, tf.term) AS rn
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+             |SELECT doc_id, term AS top_term, score
+             |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------------- multimodal
     // Binary media columns + typed metadata; payload is a deterministic
     // fake (codec stubbed — no media libs in this container), the Spark
@@ -1108,6 +1151,40 @@ object Catalog {
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, count(*) AS cnt,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1 ORDER BY ws""".stripMargin)),
+
+    // Native session_window (Spark's built-in gap-based session operator,
+    // the streaming-capable form: state-store merging under watermarks).
+    // Batch semantics oracled against the lag/running-sum construction.
+    // Boundary semantics pinned by a unit test: an event at EXACTLY
+    // prev_ts + gap still merges (closed boundary), so the oracle splits
+    // on diff > 1800 only.
+    "stream_session_window" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("ts_s", date_trunc("second", col("ts")))
+        ev.groupBy(col("user_id"), session_window(col("ts_s"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("sw.start")).as("sess_start"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("sess_start"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, ep,
+             |    CASE WHEN lag(ep) OVER w IS NULL THEN 1
+             |         WHEN ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep)),
+             |sess AS (
+             |  SELECT user_id, ep,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, CAST(min(ep) AS BIGINT) AS sess_start, count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, sess_start""".stripMargin)),
 
     // Gap-based sessionization in SQL-window form (30-min gap): lag →
     // new-session flag → running sum = session id. Timestamps truncated to

@@ -35,6 +35,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("decodeStub stays in one plan (Dataset.mapPartitions, no RDD round-trip)") {
+    val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
+    val decoded = MultimodalOps.decodeStub(media, "doc_id")
+    val plan = decoded.queryExecution.executedPlan.toString
+    // the old df.rdd.mapPartitions + createDataFrame form surfaces as a
+    // "Scan ExistingRDD" leaf: the plan below the codec is opaque to
+    // Catalyst. The Dataset form keeps the whole lineage in one plan.
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
+  test("binaryFile source reads staged media files; header parsed by expressions") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    val payloads = Map("a.fake" -> "hello media", "b.fake" -> "frames!")
+    payloads.foreach { case (name, text) =>
+      val bytes = Array('G'.toByte) ++ text.getBytes("UTF-8").take(4) ++ text.getBytes("UTF-8")
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    }
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.fake")
+      .load(dir.getAbsolutePath)
+    val parsed = media
+      .select(element_at(split($"path", "/"), -1).as("name"),
+        MultimodalOps.parseFakeHeader($"content").as("hdr"))
+      .select($"name", $"hdr.magic", $"hdr.payload_bytes")
+      .as[(String, String, Int)].collect()
+      .map { case (k, m, n) => k -> ((m, n)) }.toMap
+    assert(parsed == Map(
+      "a.fake" -> (("G", "hello media".getBytes("UTF-8").length)),
+      "b.fake" -> (("G", "frames!".getBytes("UTF-8").length))))
+  }
+
   test("sampleFrames fans each media row out to its frame indices") {
     val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
     val frames = MultimodalOps.sampleFrames(media, everyK = 2)

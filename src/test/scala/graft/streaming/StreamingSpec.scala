@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     assert(stateful == sql)
   }
 
+  test("session_window boundary: a gap of EXACTLY the window gap still merges") {
+    // pins the semantics the stream_session_window oracle depends on:
+    // Spark extends a session while ts <= previous_ts + gap (closed
+    // boundary — an event landing exactly at session end joins it), so
+    // the lag-based oracle must split only on diff > gap, not >=
+    val ev = Seq(0L, 1800L, 1801L, 5000L)
+      .map(s => Tuple2(1L, new java.sql.Timestamp(s * 1000L)))
+      .toDF("user_id", "ts")
+    val sessions = ev
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"sw.start").as("start"), $"n")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sessions == Seq((0L, 3L), (5000L, 1L)))
+  }
+
   test("sessionize hot-key guard fails fast instead of buffering an unbounded group") {
     // one pathological user with more events than the cap: the group must
     // fail with the diagnostic, not attempt to buffer+sort it all
