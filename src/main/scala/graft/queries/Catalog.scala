@@ -139,6 +139,23 @@ object Catalog {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-flag, per-status, and grand-total rows in one pass.
+    "agg_grouping_sets" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+                |FROM li_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // Entry point A (SURVEY.md §3.1): SQL text → parser → analyzer over a
     // registered view — the reference's Athena path. Same decimal-sum
     // discipline inside SQL.

@@ -55,6 +55,36 @@ object StreamOps {
     else Upsert.upsertIntoPath(spark, targetPath, batch, keys, partitionCols)
   }
 
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped, state for keys older than the
+    * watermark is evicted. The streaming twin of `DedupOps.exactDedup` —
+    * at 100 TB/day the watermark bound is what keeps the state store from
+    * growing without limit (unbounded `dropDuplicates` state is the
+    * classic streaming-dedup OOM). Works on batch frames too (plain
+    * dropDuplicates semantics) so the same code is testable both ways. */
+  def dedupWithinWatermark(
+      df: DataFrame, keys: Seq[String],
+      eventTimeCol: String, delay: String): DataFrame = {
+    val wm = df.withWatermark(eventTimeCol, delay)
+    if (df.isStreaming) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
+
+  /** Stream-stream inner join with a bounded time-range condition: right
+    * rows join left rows whose event time falls in [rightTs, rightTs +
+    * `horizon`]. Both sides carry watermarks, so each side's buffered
+    * state is evicted once the other side's watermark passes the join
+    * range — the condition shape (equi key + bounded time range) is what
+    * makes unbounded stream-stream join state finite. */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      watermark: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$key = r_$key AND $leftTs BETWEEN $rightTs AND $rightTs + INTERVAL $horizon"),
+        "inner")
+
   // ----------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

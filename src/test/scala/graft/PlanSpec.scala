@@ -53,6 +53,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("isFinalPlan=true") && plan.contains("*("), plan)
   }
 
+  test("plan audit: every query key plans without CartesianProduct; BNLJ only where intended") {
+    // the r1 close-out audit (BASELINE.md §4), promoted to a permanent
+    // regression gate: a key that silently degrades to an unhinted
+    // cartesian at any future round fails here, not in the bench tail
+    val allowBnlj = Set(
+      "join_cross",            // the cross-join key itself (broadcast hinted)
+      "sim_topk_cosine",       // brute-force scoring vs broadcast query set
+      "fn_levenshtein",        // bounded pair enumeration (doc_id < 20)
+      "dedup_embedding_cosine", // bounded all-pairs twin (vec_id < 100)
+      "text_tfidf_top_term")   // 1-row doc-count scalar broadcast
+    val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
+      .flatMap { case (name, spec) =>
+        val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(name)
+        if (cart || bnlj) Seq(s"$name: cartesian=$cart unexpected-bnlj=$bnlj") else Nil
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("scale gate: no collect() in main ops/streaming sources") {
     def sources(dir: java.io.File): Seq[java.io.File] =
       Option(dir.listFiles).toSeq.flatten.flatMap {

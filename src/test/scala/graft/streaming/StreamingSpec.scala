@@ -111,6 +111,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = ms.toDF.toDF("k", "ts", "v")
+    val q = StreamOps.dedupWithinWatermark(sdf, Seq("k"), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      ms.addData((1L, t0, 1.0), (1L, t0, 2.0), (2L, t0, 3.0)) // in-batch dup
+      q.processAllAvailable()
+      ms.addData((1L, new java.sql.Timestamp(1700000060000L), 4.0)) // cross-batch dup, inside watermark
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select($"k").as[Long].collect().toSeq
+      assert(keys.sorted == Seq(1L, 2L), s"each key emitted exactly once, got $keys")
+    } finally q.stop()
+  }
+
+  test("stream-stream time-range join matches the equivalent batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    val clicks = Seq((1L, ts(5), "c1"), (1L, ts(40), "c2"), (2L, ts(10), "c3"))
+    val signups = Seq((1L, ts(0), "s1"), (2L, ts(9), "s2"), (3L, ts(1), "s3"))
+
+    val msL = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val msR = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val left = msL.toDF.toDF("user_id", "ts", "click")
+    val right = msR.toDF.toDF("r_user_id", "r_ts", "signup")
+    val q = StreamOps.streamStreamJoin(left, right, "user_id", "ts", "r_ts",
+      watermark = "2 hours", horizon = "'30' MINUTE")
+      .select($"user_id", $"click", $"signup")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      msL.addData(clicks: _*)
+      msR.addData(signups.map { case (u, t, s) => (u, t, s) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .as[(Long, String, String)].collect().toSet
+      // batch equivalent: click within [signup, signup + 30 min]
+      val expected = (for {
+        (u, ct, c) <- clicks
+        (ru, rt, sg) <- signups
+        if u == ru && ct.getTime >= rt.getTime && ct.getTime <= rt.getTime + 30 * 60000L
+      } yield (u, c, sg)).toSet
+      assert(streamed == expected && expected.nonEmpty,
+        s"streamed=$streamed expected=$expected")
+    } finally q.stop()
+  }
+
   test("foreachBatch merge sink upserts each micro-batch into parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_merge").toFile.getAbsolutePath
