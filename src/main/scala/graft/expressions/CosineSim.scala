@@ -79,6 +79,57 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused dot product — the assignment/probing primitive of IVF ANN and
+  * the hyperplane-projection primitive of LSH bucketing. Same contract as
+  * [[CosineSim]]: bit-equal to the `aggregate(zip_with(a,b,*), 0.0, +)`
+  * HOF fold (identical left-to-right IEEE order), null on length
+  * mismatch, one codegen'd loop with no per-element allocation. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  require(Seq(left, right).forall(e => !e.resolved ||
+    e.dataType == ArrayType(DoubleType) || e.dataType == ArrayType(DoubleType, false)),
+    s"dot_product expects ARRAY<DOUBLE> inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+      dot
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: per-session (`GraftFunctions.register`) or via
   * `SparkSession.builder().withExtensions(new GraftExtensions)`. After
   * either, `cosine_sim(a, b)` is available in SQL and through
@@ -97,6 +148,8 @@ object GraftFunctions {
   val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSim],
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
+    ("dot_product", classOf[DotProduct],
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
     ("minhash_sig", classOf[MinHashSig],
       (exprs: Seq[Expression]) =>
         MinHashSig(exprs(0), exprs.lift(1).map(litInt).getOrElse(64))),

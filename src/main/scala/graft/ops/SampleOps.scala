@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus shaping for training-data pipelines: stratified sampling (mix
+  * control) and token-budget sequence packing (context-window binning).
+  * Both are single-pass, shuffle-minimal, deterministic under a seed.
+  */
+object SampleOps {
+
+  /** Deterministic stratified sample: keep `fractions(stratum)` of each
+    * stratum (Bernoulli per row, seeded hash — no shuffle at all; rows
+    * are filtered where they sit). Strata absent from the map are
+    * dropped, matching `DataFrameStatFunctions.sampleBy`. The standard
+    * lever for rebalancing a training mix (e.g. downsample web, keep all
+    * code) without materializing per-stratum tables. */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Sequence packing: assign each document to a token-budget bin within
+    * its group — bin = (tokens-before-this-doc) div `budget` over a
+    * (group, order) window. One shuffle on the group key, one sort; a
+    * document straddling a boundary overflows its bin by at most itself
+    * (greedy offset binning — the deterministic, single-pass variant of
+    * first-fit packing; exact bin-capacity packing is NP-hard and
+    * order-dependent). Downstream concatenation per (group, bin) yields
+    * near-budget-sized training sequences. */
+  def packSequences(
+      df: DataFrame, groupCol: String, orderCol: String,
+      costCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_cum", sum(col(costCol)).over(w))
+      .withColumn("bin",
+        ((col("_cum") - col(costCol)) / lit(budget)).cast(LongType))
+      .drop("_cum")
+  }
+}

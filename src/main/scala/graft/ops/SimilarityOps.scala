@@ -40,6 +40,20 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  // ------------------------------------------------------- native fast path
+  // The HOF forms above are portable Column recipes; the ops below use the
+  // codegen twins (expressions/CosineSim, DotProduct — bit-equal to the
+  // folds, property-tested) because HOFs evaluate interpreted and the
+  // dot/cosine loops ARE the hot path of every similarity operator. The
+  // call_function references resolve at analysis time, so every public op
+  // registers GraftFunctions on its DataFrame's session first.
+  private def dotN(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+  private def cosineN(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+  private def reg(df: DataFrame): Unit =
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+
   /** Exact top-k cosine neighbors of each query vector, brute force.
     * `queries` is expected to be small (it is broadcast); `candidates`
     * can be arbitrarily large — it is scanned once, never shuffled
@@ -49,8 +63,9 @@ object SimilarityOps {
       queries: DataFrame, candidates: DataFrame, k: Int,
       qId: String = "qid", qVec: String = "qvec",
       cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    reg(candidates)
     val scored = candidates.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(asDouble(col(qVec)), asDouble(col(cVec))))
+      .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -65,13 +80,15 @@ object SimilarityOps {
 
   /** Per-row LSH signature: one bit per hyperplane (sign of projection),
     * packed into a Long bucket id. Pure column expressions — codegen'd,
-    * no shuffle, scales linearly. */
+    * no shuffle, scales linearly. Uses the native dot_product expression:
+    * callers outside this object must run `GraftFunctions.register`
+    * on their session first (every op here does it automatically). */
   def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     val ps = planes(nBits, dim, seed)
     val v = asDouble(vec)
     val bits = ps.map { p =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0, 1L).otherwise(0L)
+      when(dotN(v, planeCol) >= 0, 1L).otherwise(0L)
     }
     bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
   }
@@ -83,10 +100,11 @@ object SimilarityOps {
       queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int, dim: Int,
       qId: String = "qid", qVec: String = "qvec",
       cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    reg(candidates)
     val qb = queries.withColumn("bucket", lshBucket(col(qVec), nBits, dim))
     val cb = candidates.withColumn("bucket", lshBucket(col(cVec), nBits, dim))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
-      .withColumn("cos", cosine(asDouble(col(qVec)), asDouble(col(cVec))))
+      .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -129,7 +147,7 @@ object SimilarityOps {
     * plan — codegen'd, no ML dependency, no shuffle. */
   private def centroidCells(vec: Column, model: IvfModel): Column =
     array(model.centroids.zipWithIndex.map { case (c, i) =>
-      val dist = dot(asDouble(vec), array(c.map(lit): _*)) * -1 +
+      val dist = dotN(asDouble(vec), array(c.map(lit): _*)) * -1 +
         lit(0.5) * lit(c.map(x => x * x).sum)
       struct(dist.as("d"), lit(i).as("cell"))
     }: _*)
@@ -142,8 +160,10 @@ object SimilarityOps {
     array_sort(centroidCells(vec, model)).getItem(0).getField("cell")
 
   /** Attach the `_cell` assignment column (see [[ivfCell]]). */
-  def ivfAssign(candidates: DataFrame, cVec: String, model: IvfModel): DataFrame =
+  def ivfAssign(candidates: DataFrame, cVec: String, model: IvfModel): DataFrame = {
+    reg(candidates)
     candidates.withColumn("_cell", ivfCell(col(cVec), model))
+  }
 
   /** QUERY step of IVF ANN: rank exactly within the `nProbe` cells
     * nearest to each query. `assigned` must carry a `_cell` column (from
@@ -154,12 +174,13 @@ object SimilarityOps {
       k: Int, nProbe: Int,
       qId: String = "qid", qVec: String = "qvec",
       cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    reg(assigned)
     val probed = queries
       .withColumn("_probe",
         explode(slice(array_sort(centroidCells(col(qVec), model)), 1, nProbe)))
       .select(col(qId), col(qVec), col("_probe.cell").as("_cell"))
     val scored = assigned.join(broadcast(probed), Seq("_cell"))
-      .withColumn("cos", cosine(asDouble(col(qVec)), asDouble(col(cVec))))
+      .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -195,6 +216,7 @@ object SimilarityOps {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, allPairs: Boolean = false,
       nBits: Int = 8, dim: Int = 64): DataFrame = {
+    reg(df)
     val base = if (!allPairs)
       df.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
     else df.withColumn("bucket", lit(0))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, MultimodalOps, Readers, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, MultimodalOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -1012,8 +1012,12 @@ object Catalog {
           .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
           .filter(length(col("term")) > 0)
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val dfreq = toks.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // df = #docs containing term = #tf rows per term — derived from tf
+        // instead of a second explode+distinct over the corpus. Both join
+        // branches now share the identical explode+aggregate subtree, so
+        // the (doc_id, term) shuffle is computed once and ReusedExchange
+        // feeds the second branch.
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
         tf.join(dfreq, Seq("term"))
@@ -1042,6 +1046,46 @@ object Catalog {
              |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
              |SELECT doc_id, term AS top_term, score
              |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing: documents → token-budget bins per source (the
+    // context-window binning step of a training pipeline). Exact integer
+    // window arithmetic ⇒ fully oracled.
+    "text_pack_bins" -> QuerySpec(
+      (s, d) => SampleOps.packSequences(
+        t(s, d, "documents"), "source", "doc_id", "n_chars", budget = 4096L)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("bin"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH c AS (
+             |  SELECT source, doc_id, n_chars,
+             |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM documents)
+             |SELECT source, doc_id, n_chars,
+             |  CAST((cum - n_chars) // 4096 AS BIGINT) AS bin
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // Stratified sampling (training-mix rebalancing): per-stratum seeded
+    // Bernoulli — the row-hash stream is engine-specific ⇒ rows-only;
+    // fraction bounds + determinism are unit-tested (SampleOpsSpec).
+    "sample_stratified" -> QuerySpec(
+      (s, d) => SampleOps.stratifiedSample(
+        t(s, d, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // Approximate percentile (GK sketch) — mergeable partial aggregation,
+    // the at-scale twin of fn_percentile's exact sort. Approx by
+    // construction ⇒ rows-only; error bound unit-tested vs the exact
+    // percentile (SampleOpsSpec).
+    "agg_approx_percentile" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("approx_pcts"))
+        .orderBy(col("l_returnflag")),
+      None),
 
     // ----------------------------------------------------------- multimodal
     // Binary media columns + typed metadata; payload is a deterministic

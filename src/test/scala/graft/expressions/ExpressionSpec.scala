@@ -50,7 +50,18 @@ class ExpressionSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
-      Seq("cosine_sim", "minhash_sig", "minhash_shingle_sig", "simhash_sig"))
+      Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig", "simhash_sig"))
+  }
+
+  test("dot_product native expression equals the HOF fold bit-exactly") {
+    GraftFunctions.register(spark)
+    val pairs = emb.select($"vec_id".as("a_id"), $"embedding".as("a"))
+      .crossJoin(emb.filter($"vec_id" < 10).select($"vec_id".as("b_id"), $"embedding".as("b")))
+    val both = pairs.select(
+      call_function("dot_product",
+        SimilarityOps.asDouble($"a"), SimilarityOps.asDouble($"b")).as("native"),
+      SimilarityOps.dot(SimilarityOps.asDouble($"a"), SimilarityOps.asDouble($"b")).as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() == 0)
   }
 
   test("minhash_shingle_sig fused tokens→shingles→sig equals the composed form") {

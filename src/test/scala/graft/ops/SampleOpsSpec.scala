@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("stratifiedSample respects per-stratum fractions and is deterministic") {
+    val docs = Tables(spark, sf, "documents")
+    val fractions = Map("en" -> 0.5, "de" -> 0.1, "zh" -> 1.0)
+    val sampled = SampleOps.stratifiedSample(docs, "lang", fractions, seed = 42L)
+    val got = sampled.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // strata not in the map are dropped entirely
+    assert(got.keySet.subsetOf(fractions.keySet))
+    // fraction=1.0 keeps everything; others land within a loose Bernoulli band
+    assert(got("zh") == totals("zh"))
+    val enRatio = got("en").toDouble / totals("en")
+    assert(enRatio > 0.3 && enRatio < 0.7, s"en ratio $enRatio far from 0.5")
+    // seeded: byte-identical on re-run
+    val again = SampleOps.stratifiedSample(docs, "lang", fractions, seed = 42L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == sampled.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("packSequences: bins are contiguous, ordered, and near-budget") {
+    val docs = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 1000L), ("a", 4L, 1500L),
+      ("a", 5L, 700L), ("b", 6L, 5000L), ("b", 7L, 10L))
+      .toDF("grp", "id", "cost")
+    val packed = SampleOps.packSequences(docs, "grp", "id", "cost", budget = 3000L)
+      .select($"grp", $"id", $"bin").as[(String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // group a: prefix-before = 0,1000,2000,3000,4500 → bins 0,0,0,1,1
+    // group b: prefix-before = 0,5000 → bins 0,1 (oversized doc owns bin 0)
+    assert(packed == Seq(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1L), ("a", 5L, 1L),
+      ("b", 6L, 0L), ("b", 7L, 1L)))
+    // bin indices are dense and monotone in the order column per group
+    val binsA = packed.filter(_._1 == "a").map(_._3)
+    assert(binsA == binsA.sorted && binsA.distinct == Seq(0L, 1L))
+  }
+
+  test("approx_percentile lands within the exact percentile neighborhood") {
+    val li = Tables(spark, sf, "lineitem")
+    val approx = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"))
+      .head().getDouble(0)
+    val exactBand = li.agg(
+      expr("percentile(l_extendedprice, 0.45)").as("lo"),
+      expr("percentile(l_extendedprice, 0.55)").as("hi")).head()
+    assert(approx >= exactBand.getDouble(0) && approx <= exactBand.getDouble(1),
+      s"approx p50 $approx outside [${exactBand.getDouble(0)}, ${exactBand.getDouble(1)}]")
+  }
+}
