@@ -346,6 +346,48 @@ object Catalog {
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // CSV round-trip through the real writer/reader (header + explicit
+    // schema; no timestamp column — CSV date/time formats are a config
+    // surface, exercised in SourcesSpec). Doubles survive because both
+    // engines print shortest-round-trip representations.
+    "scan_csv" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_csv") { p =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .write.mode("overwrite").option("header", "true").csv(p)
+        }
+        val schema = new StructType()
+          .add("o_orderkey", LongType).add("o_orderstatus", StringType)
+          .add("o_totalprice", DoubleType).add("o_orderpriority", StringType)
+        s.read.schema(schema).option("header", "true").csv(dir)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ORC round-trip: the columnar alternative sink/source, with the
+    // aggregate running over the re-read copy (pushdown asserted in
+    // SourcesSpec).
+    "scan_orc" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_orc") { p =>
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+            .write.mode("overwrite").orc(p)
+        }
+        s.read.orc(dir)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ------------------------------------------------- filters/projections
     // Null/empty partition-key guard (reference README.md:1306-1311).
     "filter_nonnull" -> QuerySpec(
@@ -473,6 +515,26 @@ object Catalog {
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Full outer join: matched rows + unmatched from BOTH sides (the only
+    // §2.4 join type not yet oracled). Keys are never null in the data,
+    // so every null below is produced by the outer join itself.
+    "join_full_outer" -> QuerySpec(
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_name"))
+        val ords = t(s, d, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("n_orders"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_custkey").asc_nulls_first)
+      },
+      Some("""SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_orders
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+             |                 FROM orders GROUP BY o_custkey) o
+             |  ON c.c_custkey = o.o_custkey
+             |ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST""".stripMargin)),
 
     // ------------------------------------------------------------ flattens
     // vcFlatten semantics (README.md:643-666): nest orders into an
@@ -699,6 +761,65 @@ object Catalog {
              |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
              |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Value-based window functions over the FULL frame: first/last/nth
+    // need UNBOUNDED FOLLOWING (the default frame stops at CURRENT ROW —
+    // a classic silent-wrong-answer trap both engines share).
+    "win_first_last" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("cheapest"),
+            last(col("o_orderkey")).over(w).as("dearest"),
+            nth_value(col("o_orderkey"), 3).over(w).as("third"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  first_value(o_orderkey) OVER w AS cheapest,
+             |  last_value(o_orderkey) OVER w AS dearest,
+             |  nth_value(o_orderkey, 3) OVER w AS third
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // RANGE frame (value-based, not row-based): peers within 1000 price
+    // units backward — the frame every sliding-aggregate-over-values
+    // query needs; count only (float sums over value frames would need
+    // the decimal discipline AND identical peer grouping).
+    "win_range_frame" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, 0L)
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_within_1000"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+             |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // Unpivot/melt (wide → long): the Dataset.unpivot API; oracle is the
+    // equivalent UNION ALL.
+    "fn_unpivot" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast(DoubleType).as("custkey_d"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("custkey_d")), "var", "val")
+        .orderBy(col("o_orderkey"), col("var")),
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, 'o_totalprice' AS var, o_totalprice AS val FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, 'custkey_d' AS var, CAST(o_custkey AS DOUBLE) AS val FROM orders)
+             |ORDER BY o_orderkey, var""".stripMargin)),
 
     // ---------------------------------------------------------------- dedup
     // Exact dedup with a deterministic winner (min doc_id per text).
