@@ -168,11 +168,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, cls, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         b))
     }
+    e.injectPlannerStrategy(graft.plans.TopKPerKey.strategy)
+  }
 }
