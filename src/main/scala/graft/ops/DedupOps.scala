@@ -111,11 +111,15 @@ object DedupOps {
       explode(lshBands(col("sig"), numHashes, bands)).as("band_hash"))
     // degeneracy cap: a band shared by >maxBandBucket docs is a stopword
     // artifact, not duplication signal — skip it (standard LSH practice;
-    // keeps the worst case linear instead of quadratic)
-    val bandSizes = banded.groupBy(col("band_hash")).agg(count(lit(1)).as("_bn"))
-    val pruned = banded.join(
-      bandSizes.filter(col("_bn") <= maxBandBucket).select(col("band_hash")),
-      Seq("band_hash"))
+    // keeps the worst case linear instead of quadratic). Counted with a
+    // window over band_hash rather than a groupBy+join: one shuffle
+    // instead of two, and both sides of the candidate self-join below
+    // inherit the band_hash partitioning, so the join adds no exchange.
+    val wBand = Window.partitionBy(col("band_hash"))
+    val pruned = banded
+      .withColumn("_bn", count(lit(1)).over(wBand))
+      .filter(col("_bn") <= maxBandBucket)
+      .drop("_bn")
     val cand = pruned.as("a").join(pruned.as("b"), Seq("band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -219,9 +223,13 @@ object DedupOps {
     // whose overlap is exclusively stopwords — acceptable for near-dup
     // detection, same trade as minhash band capping
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val tokSizes = toks.groupBy(col("tok")).agg(count(lit(1)).as("_tn"))
-    val rare = toks.join(
-      tokSizes.filter(col("_tn") <= maxTokenBucket).select(col("tok")), Seq("tok"))
+    // stopword cap via a window over tok (one shuffle, not groupBy+join),
+    // leaving both sides of the intersection self-join co-partitioned on
+    // tok — the join below adds no exchange
+    val rare = toks
+      .withColumn("_tn", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .filter(col("_tn") <= maxTokenBucket)
+      .drop("_tn")
     val inter = rare.as("a").join(rare.as("b"), Seq("tok"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
