@@ -34,7 +34,9 @@ object AsOfJoin {
     // the right value columns may not collide with surviving left columns
     val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
     val emitted = s"matched_$rightTs" +: rightValueCols
-    val collisions = leftPayloadCols.intersect(emitted)
+    // output = keys ++ left payload ++ emitted: an emitted name equal to
+    // ANY surviving left column (key or payload) would duplicate
+    val collisions = left.columns.toSeq.intersect(emitted)
     require(collisions.isEmpty,
       s"as-of output name collision on ${collisions.mkString(", ")}: rename " +
         "the left column(s) or the right value column(s) before joining")
@@ -50,7 +52,10 @@ object AsOfJoin {
     // LEFT rows survive with a null match — left-join semantics. (They
     // land in one window partition; a null-key-heavy left side is a skew
     // hazard — pre-filter such rows if they dominate.)
-    val rightKeysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // foldLeft(lit(true)): an EMPTY key list is the legitimate global
+    // (single-series) as-of join — reduce would throw on it
+    val rightKeysNonNull = keys.map(col(_).isNotNull)
+      .foldLeft(lit(true))(_ && _)
     val r0 = right.filter(col(rightTs).isNotNull && rightKeysNonNull)
       .select(keys.map(col) :+ col(rightTs).as("_ts") :+ rPayload.as("_rpay"): _*)
     val rPayType = r0.schema("_rpay").dataType

@@ -111,15 +111,16 @@ object DedupOps {
       explode(lshBands(col("sig"), numHashes, bands)).as("band_hash"))
     // degeneracy cap: a band shared by >maxBandBucket docs is a stopword
     // artifact, not duplication signal — skip it (standard LSH practice;
-    // keeps the worst case linear instead of quadratic). Counted with a
-    // window over band_hash rather than a groupBy+join: one shuffle
-    // instead of two, and both sides of the candidate self-join below
-    // inherit the band_hash partitioning, so the join adds no exchange.
-    val wBand = Window.partitionBy(col("band_hash"))
-    val pruned = banded
-      .withColumn("_bn", count(lit(1)).over(wBand))
-      .filter(col("_bn") <= maxBandBucket)
-      .drop("_bn")
+    // keeps the worst case linear instead of quadratic). The DEGENERATE
+    // set is found with a partial-aggregated count (map-side combine
+    // absorbs the hot key — no single task ever buffers the hot bucket)
+    // and is tiny by construction (≤ rows/maxBandBucket entries), so it
+    // broadcasts: the anti join prunes `banded` WITHOUT shuffling it.
+    val degenerate = banded.groupBy(col("band_hash"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBandBucket)
+      .select(col("band_hash"))
+    val pruned = banded.join(broadcast(degenerate), Seq("band_hash"), "left_anti")
     val cand = pruned.as("a").join(pruned.as("b"), Seq("band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -223,13 +224,14 @@ object DedupOps {
     // whose overlap is exclusively stopwords — acceptable for near-dup
     // detection, same trade as minhash band capping
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // stopword cap via a window over tok (one shuffle, not groupBy+join),
-    // leaving both sides of the intersection self-join co-partitioned on
-    // tok — the join below adds no exchange
-    val rare = toks
-      .withColumn("_tn", count(lit(1)).over(Window.partitionBy(col("tok"))))
-      .filter(col("_tn") <= maxTokenBucket)
-      .drop("_tn")
+    // stopword cap: same shape as the minhash band cap — partial-agg the
+    // tiny degenerate-token set (map-side combine absorbs hot tokens),
+    // broadcast it, anti-join without shuffling the token stream
+    val stopTokens = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("_tn"))
+      .filter(col("_tn") > maxTokenBucket)
+      .select(col("tok"))
+    val rare = toks.join(broadcast(stopTokens), Seq("tok"), "left_anti")
     val inter = rare.as("a").join(rare.as("b"), Seq("tok"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -110,6 +110,16 @@ object Upsert {
     // *affected* partitions that are NOT superseded must be rewritten too
     // (the partition is replaced wholesale), so restrict the merge to
     // affected partitions before the dynamic overwrite.
+    // partition-tuple comparisons must be NULL-SAFE (<=>): a null
+    // partition value is a real directory (__HIVE_DEFAULT_PARTITION__),
+    // and plain equi-join semantics would silently drop its rows from
+    // targetAffected (losing non-superseded data on rewrite) and
+    // misclassify it as emptied below
+    def partCond(renamed: String => String) =
+      partitionCols.map(c => col(c) <=> col(renamed(c))).reduce(_ && _)
+    def renamed(df: DataFrame, prefix: String): DataFrame =
+      df.toDF(df.columns.map(prefix + _): _*)
+
     val batchParts = batch.select(partitionCols.map(col): _*).distinct()
     val affected =
       if (!keysMayChangePartitions) batchParts
@@ -122,35 +132,42 @@ object Upsert {
           .select(partitionCols.map(col): _*).distinct()
         batchParts.union(oldKeyParts).distinct()
       }
-    val targetAffected = target.join(affected, partitionCols, "left_semi")
+    val targetAffected = target.join(
+      renamed(affected, "__aff_"), partCond("__aff_" + _), "left_semi")
     val merged = merge(targetAffected, batch, keys)
     // A partition whose EVERY row was superseded by a key move ends empty;
     // dynamic overwrite cannot express "delete this partition" (no output
     // row maps to it), so those directories are removed explicitly. The
-    // tuple set must materialize BEFORE the overwrite (its lazy plan reads
-    // the pre-write target).
-    val emptied: Array[org.apache.spark.sql.Row] =
+    // directory names come from the target's OWN file paths (not from
+    // re-deriving Spark's value→path formatting, which is type-dependent:
+    // e.g. timestamps escape to '…00%3A00%3A00' with no fractional part),
+    // and must materialize BEFORE the overwrite (the lazy plan reads the
+    // pre-write target).
+    val emptiedDirs: Array[String] =
       if (!keysMayChangePartitions) Array.empty
       else {
         val remaining = merged.select(partitionCols.map(col): _*).distinct()
-        affected.join(remaining, partitionCols, "left_anti")
-          .collect() // partition-tuple metadata: bounded by #affected partitions, not data
+        val emptiedTuples = affected.join(
+          renamed(remaining, "__rem_"), partCond("__rem_" + _), "left_anti")
+        // input_file_name must be projected over the single-source scan
+        // BEFORE any join (it is undefined across multiple sources)
+        val targetFiles = target
+          .select(partitionCols.map(col) :+ input_file_name().as("_f"): _*)
+          .distinct()
+        targetFiles
+          .join(renamed(emptiedTuples, "__emp_"), partCond("__emp_" + _), "left_semi")
+          .select(col("_f")).distinct()
+          .collect() // partition-tuple metadata: file names of emptied partitions only
+          .map(_.getString(0))
+          .map(f => f.substring(0, f.lastIndexOf('/')))
+          .distinct
       }
     writePartitioned(merged, targetPath, partitionCols, SaveMode.Overwrite,
       dynamicOverwrite = true)
-    if (emptied.nonEmpty) {
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (emptiedDirs.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(targetPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { row =>
-        val sub = partitionCols.map { pc =>
-          val v = row.getAs[Any](pc)
-          val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-                  else ExternalCatalogUtils.escapePathName(v.toString)
-          s"$pc=$s"
-        }.mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(root, sub), true)
-      }
+      emptiedDirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
   }
 }

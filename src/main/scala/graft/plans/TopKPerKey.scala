@@ -124,8 +124,15 @@ case class TopKPerKeyExec(
         while (iter.hasNext) {
           val row = iter.next()
           val key = keyProj(row)
-          val heap = heaps.getOrElseUpdate(key.copy(),
-            scala.collection.mutable.PriorityQueue.empty(heapOrd))
+          // copy the key ONLY on first sight — getOrElseUpdate would
+          // allocate a copy per row on the (dominant) hit path
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
+              heaps.put(key.copy(), h)
+              h
+          }
           if (heap.size < kLocal) heap.enqueue(row.copy())
           else if (ord.compare(row, heap.head) < 0) {
             heap.dequeue(); heap.enqueue(row.copy())

@@ -45,7 +45,12 @@ object Catalog {
   private val stagedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def staged(d: String, name: String)(write: String => Unit): String = {
     val dir = "/tmp/graft_stage/" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "/" + name
-    if (stagedOnce.add(dir)) write(dir)
+    // mark AFTER the write succeeds: a failed write must be retried on
+    // the next invocation, not skipped to read a half-written directory
+    if (!stagedOnce.contains(dir)) {
+      write(dir)
+      stagedOnce.add(dir)
+    }
     dir
   }
 

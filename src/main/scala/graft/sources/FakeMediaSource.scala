@@ -98,19 +98,32 @@ class FakeMediaScanBuilder(count: Long, numPartitions: Int, seed: Long)
 
   /** Range predicates on media_id narrow [lo, hi) exactly, so they are
     * fully handled here (no residual re-evaluation needed); everything
-    * else is left for Spark to evaluate post-scan. */
+    * else is left for Spark to evaluate post-scan. Bounds that need
+    * x + 1 guard against Long overflow: `> Long.MaxValue` must yield an
+    * EMPTY range (wrapping would silently widen it to everything) and
+    * `<= Long.MaxValue` must be a no-op (wrapping would empty it). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def num(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case _ => None
     }
+    def emptyRange(): Unit = { lo = 0L; hi = 0L }
     val (accepted, residual) = filters.partition {
-      case EqualTo("media_id", v) => num(v).exists { x => lo = lo max x; hi = hi min (x + 1); true }
-      case GreaterThan("media_id", v) => num(v).exists { x => lo = lo max (x + 1); true }
+      case EqualTo("media_id", v) => num(v).exists { x =>
+        lo = lo max x
+        if (x == Long.MaxValue) emptyRange() // ids are < count <= MaxValue
+        else hi = hi min (x + 1)
+        true
+      }
+      case GreaterThan("media_id", v) => num(v).exists { x =>
+        if (x == Long.MaxValue) emptyRange() else lo = lo max (x + 1); true
+      }
       case GreaterThanOrEqual("media_id", v) => num(v).exists { x => lo = lo max x; true }
       case LessThan("media_id", v) => num(v).exists { x => hi = hi min x; true }
-      case LessThanOrEqual("media_id", v) => num(v).exists { x => hi = hi min (x + 1); true }
+      case LessThanOrEqual("media_id", v) => num(v).exists { x =>
+        if (x != Long.MaxValue) hi = hi min (x + 1); true // MaxValue: always true
+      }
       case _ => false
     }
     pushed = accepted

@@ -75,15 +75,29 @@ object StreamOps {
     * `horizon`]. Both sides carry watermarks, so each side's buffered
     * state is evicted once the other side's watermark passes the join
     * range — the condition shape (equi key + bounded time range) is what
-    * makes unbounded stream-stream join state finite. */
+    * makes unbounded stream-stream join state finite.
+    *
+    * NAMING CONTRACT (validated): the right frame must carry its join key
+    * as `r_<key>` — stream-stream joins forbid ambiguous column names, so
+    * the two sides' keys must differ; the prefix makes the pairing
+    * explicit rather than positional. */
   def streamStreamJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      watermark: String, horizon: String): DataFrame =
+      watermark: String, horizon: String): DataFrame = {
+    require(left.columns.contains(key),
+      s"left side must carry join key '$key' (has: ${left.columns.mkString(", ")})")
+    require(right.columns.contains(s"r_$key"),
+      s"right side must carry the join key renamed to 'r_$key' " +
+        s"(has: ${right.columns.mkString(", ")}); rename it before joining — " +
+        "stream-stream joins need unambiguous per-side key names")
+    require(!left.columns.contains(s"r_$key"),
+      s"left side must NOT carry 'r_$key' — the join condition would bind to it")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         expr(s"$key = r_$key AND $leftTs BETWEEN $rightTs AND $rightTs + INTERVAL $horizon"),
         "inner")
+  }
 
   // ----------------------------------------------------- stateful sessions
 

@@ -88,6 +88,45 @@ class UpsertSpec extends SparkSpec {
       ("k2", "2021-01-01", "loc2", 20.0)))
   }
 
+  test("keysMayChangePartitions handles NULL partition values null-safely") {
+    // survivor case: k3 stays in the null partition while k2 moves out of
+    // it — plain equi-join semantics would drop k3 (null never equals
+    // null) and then delete its freshly rewritten directory
+    val dir = Files.createTempDirectory("upsert_null").toFile.getAbsolutePath
+    val t0 = Seq(
+      ("k1", "d1", Some("locA"), 1.0),
+      ("k2", "d1", None: Option[String], 2.0),
+      ("k3", "d1", None: Option[String], 3.0))
+      .toDF("name", "date", "location", "temp")
+    Upsert.writePartitioned(t0, dir, Seq("location"))
+    val batch = Seq(("k2", "d1", Some("locB"), 22.0))
+      .toDF("name", "date", "location", "temp")
+    Upsert.upsertIntoPath(spark, dir, batch, Seq("name", "date"), Seq("location"),
+      keysMayChangePartitions = true)
+    val after = spark.read.parquet(dir)
+      .select($"name", $"location", $"temp")
+      .as[(String, Option[String], Double)].collect().toSet
+    assert(after == Set(
+      ("k1", Some("locA"), 1.0),
+      ("k2", Some("locB"), 22.0),
+      ("k3", None, 3.0)))
+
+    // emptied case: the null partition's only key moves out — the
+    // __HIVE_DEFAULT_PARTITION__ directory must be deleted
+    val dir2 = Files.createTempDirectory("upsert_null2").toFile.getAbsolutePath
+    val t1 = Seq(("k1", "d1", Some("locA"), 1.0), ("k2", "d1", None: Option[String], 2.0))
+      .toDF("name", "date", "location", "temp")
+    Upsert.writePartitioned(t1, dir2, Seq("location"))
+    Upsert.upsertIntoPath(spark, dir2, batch, Seq("name", "date"), Seq("location"),
+      keysMayChangePartitions = true)
+    val after2 = spark.read.parquet(dir2)
+      .select($"name", $"location", $"temp")
+      .as[(String, Option[String], Double)].collect().toSet
+    assert(after2 == Set(("k1", Some("locA"), 1.0), ("k2", Some("locB"), 22.0)))
+    assert(!new java.io.File(s"$dir2/location=__HIVE_DEFAULT_PARTITION__").exists(),
+      "emptied null-partition directory must be removed")
+  }
+
   test("writePartitioned static overwrite replaces the whole table") {
     val dir = Files.createTempDirectory("static").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))
