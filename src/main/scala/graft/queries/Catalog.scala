@@ -177,6 +177,27 @@ object Catalog {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY avg_qty DESC, l_returnflag""".stripMargin)),
 
+    // Correlated scalar subquery (SQL analyzer surface): Catalyst rewrites
+    // it to an aggregate + left outer join (RewriteCorrelatedScalarSubquery)
+    // — the declarative form of a per-row lookup loop.
+    "sql_scalar_subquery" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("cust_sq")
+        t(s, d, "orders").createOrReplaceTempView("ord_sq")
+        s.sql("""SELECT c_custkey, c_name,
+                |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                |   FROM ord_sq o WHERE o.o_custkey = c.c_custkey) AS total_spend
+                |FROM cust_sq c
+                |WHERE c_acctbal > 7000
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+             |FROM customer c
+             |WHERE c_acctbal > 7000
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Pivot (conditional aggregation surface): events per user × type.
     "agg_pivot" -> QuerySpec(
       (s, d) => t(s, d, "events")
@@ -585,6 +606,33 @@ object Catalog {
       },
       Some("""SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
              |FROM lineitem ORDER BY l_orderkey, ln, qty""".stripMargin)),
+
+    // posexplode_outer: index-preserving explode that also KEEPS rows
+    // whose array is empty (plain explode silently drops them — the
+    // outer variant is what a row-count-preserving pipeline needs).
+    "flatten_posexplode_outer" -> QuerySpec(
+      (s, d) => {
+        val nested = t(s, d, "orders")
+          .withColumn("digits",
+            when(col("o_orderkey") % 10 === 0, array().cast(ArrayType(StringType)))
+              .otherwise(split(col("o_orderkey").cast(StringType), "")))
+        nested.select(col("o_orderkey"),
+          posexplode_outer(col("digits")).as(Seq("pos", "digit")))
+          .orderBy(col("o_orderkey"), col("pos"))
+      },
+      Some("""WITH nested AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN []
+             |         ELSE string_split(CAST(o_orderkey AS VARCHAR), '') END AS digits
+             |  FROM orders),
+             |ex AS (
+             |  SELECT o_orderkey,
+             |    unnest(CASE WHEN len(digits) = 0 THEN [NULL] ELSE digits END) AS digit,
+             |    unnest(CASE WHEN len(digits) = 0 THEN [NULL]
+             |           ELSE range(0, len(digits)) END) AS pos
+             |  FROM nested)
+             |SELECT o_orderkey, CAST(pos AS INTEGER) AS pos, CAST(digit AS VARCHAR) AS digit
+             |FROM ex ORDER BY o_orderkey, pos""".stripMargin)),
 
     // -------------------------------------------------------------- upsert
     // MERGE semantics (README.md:1517-1529): batch = re-priced 1998+ orders;
