@@ -414,6 +414,20 @@ object Catalog {
              |FROM lineitem WHERE l_returnflag = 'R'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Count-min sketch (mergeable frequency summary — the heavy-hitters
+    // companion to the HLL distinct sketch): binary sketch per group.
+    // Sketch bytes are seed/impl-specific ⇒ rows-only; the ε-bound
+    // (estimate ≥ true count, ≤ true + ε·N) is unit-tested in
+    // SampleOpsSpec.
+    "agg_count_min_sketch" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)")
+          .as("cms"))
+        .select(col("o_orderstatus"), octet_length(col("cms")).as("sketch_bytes"))
+        .orderBy(col("o_orderstatus")),
+      None),
+
     // ------------------------------------------------- filters/projections
     // Null/empty partition-key guard (reference README.md:1306-1311).
     "filter_nonnull" -> QuerySpec(

@@ -47,6 +47,24 @@ class SampleOpsSpec extends SparkSpec {
     assert(binsA == binsA.sorted && binsA.distinct == Seq(0L, 1L))
   }
 
+  test("count_min_sketch estimates are one-sided within the epsilon bound") {
+    val docs = Tables(spark, sf, "documents")
+    val sketch = docs.agg(
+      expr("count_min_sketch(lang, 0.001d, 0.99d, 42)").as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+    val truth = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    truth.foreach { case (lang, cnt) =>
+      val est = cms.estimateCount(lang)
+      assert(est >= cnt, s"CMS must never underestimate: $lang est=$est true=$cnt")
+      assert(est <= cnt + (0.001 * n).ceil.toLong + 1,
+        s"CMS $lang est=$est exceeds epsilon bound over true=$cnt (n=$n)")
+    }
+  }
+
   test("approx_percentile lands within the exact percentile neighborhood") {
     val li = Tables(spark, sf, "lineitem")
     val approx = li.agg(

@@ -56,6 +56,21 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == Set(("a", 1, 101), ("b", 9, 200)))
   }
 
+  test("null grouping keys form one group, exactly like the window form") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1, 1), (None: Option[String], 5, 2),
+      (None: Option[String], 3, 3), (None: Option[String], 4, 4))
+      .toDF("k", "v", "id")
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val top2 = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(planOf(top2).contains("TopKPerKey "), planOf(top2))
+    val got = top2.select($"k", $"v", $"rn").as[(Option[String], Int, Int)]
+      .collect().toSet
+    // window semantics: nulls group together → null group keeps v=3,4
+    assert(got == Set((Some("a"), 1, 1), (None, 3, 1), (None, 4, 2)))
+  }
+
   test("non-rewritable shapes fall back to the window plan") {
     import spark.implicits._
     val df = Seq(("a", 1, 1), ("a", 2, 2)).toDF("k", "v", "id")
