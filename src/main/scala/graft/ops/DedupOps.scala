@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
+  /** Default per-bucket candidate-PAIR budget for the LSH degeneracy
+    * caps (≈707 docs per bucket). The budget is expressed in pairs, not
+    * docs, because a bucket of n docs costs n·(n-1)/2 pairs — quadratic —
+    * so a doc-count cap understates the admitted cost by orders of
+    * magnitude near the cap. */
+  val DefaultMaxBucketPairs: Long = 250000L
+
   /** Exact dedup: keep one deterministic winner (min tieBreaker) per key.
     * `dropDuplicates` keeps an arbitrary row — unacceptable for
     * reproducible pipelines, so this is a window + row_number instead. */
@@ -88,7 +95,8 @@ object DedupOps {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      estThreshold: Double = 0.5, maxBandBucket: Long = 10000L): DataFrame = {
+      estThreshold: Double = 0.5,
+      maxBucketPairs: Long = DefaultMaxBucketPairs): DataFrame = {
     // persist: the signature pass is referenced by the banding branch AND
     // both scoring joins — without caching Spark would recompute the
     // tokenize+signature scan three times over the corpus
@@ -109,16 +117,20 @@ object DedupOps {
     // set is distinct'd, and each unique pair is scored exactly once.
     val banded = sigs.select(col("id"),
       explode(lshBands(col("sig"), numHashes, bands)).as("band_hash"))
-    // degeneracy cap: a band shared by >maxBandBucket docs is a stopword
-    // artifact, not duplication signal — skip it (standard LSH practice;
-    // keeps the worst case linear instead of quadratic). The DEGENERATE
-    // set is found with a partial-aggregated count (map-side combine
-    // absorbs the hot key — no single task ever buffers the hot bucket)
-    // and is tiny by construction (≤ rows/maxBandBucket entries), so it
-    // broadcasts: the anti join prunes `banded` WITHOUT shuffling it.
+    // degeneracy cap: a hot band bucket is a stopword artifact, not
+    // duplication signal — skip it (standard LSH practice; keeps the
+    // worst case linear instead of quadratic). The cap is a PAIR budget,
+    // not a doc count: a bucket of n docs emits n(n-1)/2 candidate
+    // pairs, so the cost of admitting a bucket is quadratic in its size —
+    // a doc-count cap of 10k would admit ~5·10⁷ pairs from one near-cap
+    // bucket while reporting healthy. The DEGENERATE set is found with a
+    // partial-aggregated count (map-side combine absorbs the hot key —
+    // no single task ever buffers the hot bucket) and is tiny by
+    // construction, so it broadcasts: the anti join prunes `banded`
+    // WITHOUT shuffling it.
     val degenerate = banded.groupBy(col("band_hash"))
       .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > maxBandBucket)
+      .filter(col("_bn") * (col("_bn") - 1) / 2 > maxBucketPairs)
       .select(col("band_hash"))
     val pruned = banded.join(broadcast(degenerate), Seq("band_hash"), "left_anti")
     val cand = pruned.as("a").join(pruned.as("b"), Seq("band_hash"))
@@ -207,14 +219,17 @@ object DedupOps {
     *
     * @param shingleN 1 = unigram token sets; >1 = n-gram shingle sets
     *   (far fewer hot-element collisions on natural text)
-    * @param maxTokenBucket elements shared by more than this many docs
-    *   (stopwords) are excluded from candidate generation — without the
-    *   cap a single ubiquitous token joins ~N²/2 pairs
+    * @param maxBucketPairs elements whose bucket would emit more than
+    *   this many candidate pairs (n·(n-1)/2 for n sharing docs —
+    *   stopwords) are excluded from candidate generation; without the
+    *   cap a single ubiquitous token joins ~N²/2 pairs. Pair-shaped so
+    *   the admitted cost is bounded even when many buckets sit just
+    *   under the threshold.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 1,
-      maxTokenBucket: Long = 10000L): DataFrame = {
+      maxBucketPairs: Long = DefaultMaxBucketPairs): DataFrame = {
     val elems =
       if (shingleN <= 1) array_distinct(split(lower(col(textCol)), "\\s+"))
       else array_distinct(shingles(col(textCol), shingleN))
@@ -224,12 +239,13 @@ object DedupOps {
     // whose overlap is exclusively stopwords — acceptable for near-dup
     // detection, same trade as minhash band capping
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // stopword cap: same shape as the minhash band cap — partial-agg the
-    // tiny degenerate-token set (map-side combine absorbs hot tokens),
-    // broadcast it, anti-join without shuffling the token stream
+    // stopword cap: same pair-budget shape as the minhash band cap —
+    // partial-agg the tiny degenerate-token set (map-side combine absorbs
+    // hot tokens), broadcast it, anti-join without shuffling the token
+    // stream
     val stopTokens = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("_tn"))
-      .filter(col("_tn") > maxTokenBucket)
+      .filter(col("_tn") * (col("_tn") - 1) / 2 > maxBucketPairs)
       .select(col("tok"))
     val rare = toks.join(broadcast(stopTokens), Seq("tok"), "left_anti")
     val inter = rare.as("a").join(rare.as("b"), Seq("tok"))

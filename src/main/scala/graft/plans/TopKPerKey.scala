@@ -29,6 +29,10 @@ import org.apache.spark.sql.types.IntegerType
   * intended for small k and bounded key cardinality per partition
   * (ranking dashboards, top-k retrieval). The strategy only fires for
   * literal k ≤ maxK (default 1024); larger k falls back to the sort.
+  * Key cardinality is guarded at RUNTIME: a task that would buffer more
+  * than `spark.graft.topk.maxBufferedRowsPerTask` rows (default 8M)
+  * fails fast with a diagnostic naming the window-sort fallback rather
+  * than OOMing the executor.
   *
   * Enabled via `GraftExtensions` / `TopKPerKey.register(spark)`;
   * semantics-identical to the window form — proven by running the ENTIRE
@@ -40,6 +44,19 @@ object TopKPerKey {
   /** Max literal k the strategy will plan; beyond it the sort-based
     * window is likely the safer choice (heap holds k rows per key). */
   val maxK = 1024
+
+  /** Conf key bounding the non-spilling heap state per task (rows held
+    * across all keys). k is capped at planning time but KEY CARDINALITY
+    * is only known at runtime: a high-cardinality partition key would
+    * grow the per-task map without bound where `WindowExec` would have
+    * spilled. On exceed the task fails fast with a diagnostic naming the
+    * fallback instead of OOMing the executor. */
+  val maxBufferedRowsKey = "spark.graft.topk.maxBufferedRowsPerTask"
+
+  /** Default per-task row budget (≈8M slim rows; at ~100 B/row that is
+    * ~800 MB of heap upper bound — generous for ranking/top-k shapes,
+    * small enough to fail before the executor does). */
+  val defaultMaxBufferedRows = 8L * 1024 * 1024
 
   def strategy(spark: SparkSession): SparkStrategy = new TopKPerKeyStrategy
 
@@ -112,6 +129,11 @@ case class TopKPerKeyExec(
     val orderLocal = orderSpec
     val childOutput = child.output
     val outputLocal = output
+    // read on the driver at execution time so tests/users can tune it
+    // per-session; captured into the task closure as a plain long
+    val maxBuffered = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopKPerKey.maxBufferedRowsKey,
+        TopKPerKey.defaultMaxBufferedRows.toString).toLong
     child.execute().mapPartitions { iter =>
       if (kLocal == 0) Iterator.empty
       else {
@@ -121,6 +143,7 @@ case class TopKPerKeyExec(
         val heapOrd: Ordering[InternalRow] = (a, b) => ord.compare(a, b)
         val heaps = scala.collection.mutable.LinkedHashMap
           .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        var buffered = 0L // rows currently held across all heaps
         while (iter.hasNext) {
           val row = iter.next()
           val key = keyProj(row)
@@ -133,8 +156,19 @@ case class TopKPerKeyExec(
               heaps.put(key.copy(), h)
               h
           }
-          if (heap.size < kLocal) heap.enqueue(row.copy())
-          else if (ord.compare(row, heap.head) < 0) {
+          if (heap.size < kLocal) {
+            buffered += 1
+            if (buffered > maxBuffered) {
+              throw new IllegalStateException(
+                s"TopKPerKeyExec: task buffered > $maxBuffered rows " +
+                  s"(${heaps.size} keys × k=$kLocal; ${TopKPerKey.maxBufferedRowsKey}). " +
+                  "Key cardinality is too high for the non-spilling bounded-heap " +
+                  "operator. Raise the budget, repartition to more tasks, or fall " +
+                  "back to the spilling sort-based window plan by disabling the " +
+                  "rewrite (drop GraftExtensions / clear experimental strategies).")
+            }
+            heap.enqueue(row.copy())
+          } else if (ord.compare(row, heap.head) < 0) {
             heap.dequeue(); heap.enqueue(row.copy())
           }
         }

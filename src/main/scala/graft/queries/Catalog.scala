@@ -1267,11 +1267,16 @@ object Catalog {
     // the at-scale twin of fn_percentile's exact sort. Approx by
     // construction ⇒ rows-only; error bound unit-tested vs the exact
     // percentile (SampleOpsSpec).
+    // Projected to scalar p50/p95 (not the raw array) so the driver's
+    // comparator can sort and record the rows-only tier.
     "agg_approx_percentile" -> QuerySpec(
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
           .as("approx_pcts"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_pcts"), 1).as("p50"),
+          element_at(col("approx_pcts"), 2).as("p95"))
         .orderBy(col("l_returnflag")),
       None),
 

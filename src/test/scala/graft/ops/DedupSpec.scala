@@ -109,4 +109,29 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.toSeq == Seq((0L, 1L, 0.6))) // |∩|=3, |∪|=5
   }
+
+  test("degeneracy caps are pair budgets: a near-cap bucket stays under budget") {
+    // 100 docs all sharing one ubiquitous token ("common") plus a unique
+    // token each. Under a DOC-count cap of, say, 10000 the shared bucket
+    // would be admitted and emit 100*99/2 = 4950 pairs; under a PAIR
+    // budget of 1000 it must be pruned (4950 > 1000) and emit zero.
+    val df = (0 until 100).map(i => (i.toLong, s"common unique$i")).toDF("doc_id", "text")
+    val capped = DedupOps.ngramJaccardPairs(df, "doc_id", "text",
+      threshold = 0.0, maxBucketPairs = 1000L)
+    assert(capped.count() == 0,
+      "near-cap stopword bucket must be pruned by the pair budget")
+    // with a budget that admits the bucket, all 4950 pairs appear
+    val admitted = DedupOps.ngramJaccardPairs(df, "doc_id", "text",
+      threshold = 0.0, maxBucketPairs = 5000L)
+    assert(admitted.count() == 4950)
+
+    // minhash: identical docs collide in every band; pair budget of 0
+    // prunes every bucket → no candidates; default budget finds the pair
+    val dup = Seq((0L, base(0)._2), (1L, base(0)._2)).toDF("doc_id", "text")
+    val pruned = DedupOps.minhashCandidatePairs(dup, "doc_id", "text",
+      maxBucketPairs = 0L)
+    assert(pruned.count() == 0)
+    val found = DedupOps.minhashCandidatePairs(dup, "doc_id", "text")
+    assert(found.count() == 1)
+  }
 }

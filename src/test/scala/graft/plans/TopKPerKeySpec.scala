@@ -100,6 +100,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == Set(("a", 1, 1), ("a", 2, 2)))
   }
 
+  test("pathological key cardinality fails fast with a diagnostic, not an OOM") {
+    import spark.implicits._
+    // every row its own key: the heap map would hold one entry per row.
+    // Under a constrained budget the task must raise the named guard
+    // (pointing at the window fallback) instead of growing unbounded.
+    val highCard = (1 to 10000).map(i => (i, i % 7, i)).toDF("k", "v", "id")
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val topk = highCard.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(planOf(topk).contains("TopKPerKey "), planOf(topk))
+    spark.conf.set(TopKPerKey.maxBufferedRowsKey, "100")
+    try {
+      val e = intercept[org.apache.spark.SparkException] { topk.count() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(TopKPerKey.maxBufferedRowsKey), msg)
+      assert(msg.contains("window"), "diagnostic must name the fallback")
+    } finally spark.conf.unset(TopKPerKey.maxBufferedRowsKey)
+    // with the default budget the same query completes
+    assert(topk.count() == 10000)
+  }
+
   test("the ENTIRE oracle suite stays green with the strategy active") {
     // the strongest semantic claim: every query key (including win_rank,
     // dedup_exact, all top-k similarity keys — the rewritten shapes)
