@@ -159,6 +159,28 @@ object DedupOps {
     out
   }
 
+  /** Exact shingle-set Jaccard for an explicit candidate-pair frame —
+    * the estimator check for [[minhashCandidatePairs]]: join each
+    * (id_a, id_b) back to its distinct shingle set and compute
+    * |∩| / |∪| exactly. Cost is linear in the pair count (the pair set
+    * is duplication-sized, not corpus-sized), so this turns the
+    * "trust me" hash tier into a checked estimator wherever it runs.
+    * Input pair columns and the returned `jaccard` ride alongside
+    * whatever else `pairs` carries (e.g. est_jaccard). */
+  def exactJaccardForPairs(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
   /** 64-bit SimHash over tokens: per bit position, sum ±1 across token
     * hashes, take the sign bit; packed to one Long by an exact integer
     * fold. Near-identical docs differ in few bits (small hamming).

@@ -42,17 +42,41 @@ object MultimodalOps {
         (pmod(col(idCol), lit(8)) + 1).cast(IntegerType).as("n_frames")))
   }
 
-  /** STUB decode: "decodes" the fake payload into per-media features.
-    * In production this is the partition-local call into a native codec;
-    * the mapPartitions batching (one codec init per partition, streamed
-    * rows) is exactly what a real decoder needs.
+  /** Decoded per-media features. A real decoder would surface richer
+    * columns (dimensions, duration, frame tensors); the two here keep
+    * the stub's plan shape and are what the tests pin. */
+  final case class DecodedMedia(decodedBytes: Int, checksum: Long)
+
+  /** The production seam: a partition-local media codec. Implementations
+    * must be Serializable (shipped inside the task closure). `open()` is
+    * called once per partition before the first decode — the place for a
+    * native-library load or decoder-context allocation — and `close()`
+    * when the task completes (success OR failure), via a task-completion
+    * listener, so native resources cannot leak across tasks. */
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(payload: Array[Byte]): DecodedMedia
+    def close(): Unit = ()
+  }
+
+  /** STUB codec — the test/container implementation (no media libraries
+    * in this environment): deterministic byte count + additive checksum.
+    * A production build injects its own [[MediaCodec]] into
+    * [[decodeWith]]; nothing else changes. */
+  object StubCodec extends MediaCodec {
+    override def decode(payload: Array[Byte]): DecodedMedia =
+      DecodedMedia(payload.length,
+        payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff)))
+  }
+
+  /** Decode a media frame's payloads through an injected [[MediaCodec]].
     *
     * Implemented as `Dataset.mapPartitions` WITH an Encoder — not
     * `df.rdd.mapPartitions` — so the operator stays inside one logical
     * plan: Catalyst keeps pushing filters/pruning below the object
     * boundary and codegen resumes immediately above it, instead of the
     * RDD round-trip (full plan break + driver-side createDataFrame). */
-  def decodeStub(df: DataFrame, idCol: String): DataFrame = {
+  def decodeWith(df: DataFrame, idCol: String, codec: MediaCodec): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema
       .add("decoded_bytes", IntegerType)
@@ -60,15 +84,21 @@ object MultimodalOps {
     val bytesIdx = inSchema.fieldIndex("bytes")
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // codec init would happen here, once per partition
+      // one codec lifecycle per partition: open now, close on task end
+      codec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]](bytesIdx)
-        // deterministic fake "decode": byte count + additive checksum
-        val checksum = payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-        Row.fromSeq(r.toSeq :+ payload.length :+ checksum)
+        val d = codec.decode(r.getAs[Array[Byte]](bytesIdx))
+        Row.fromSeq(r.toSeq :+ d.decodedBytes :+ d.checksum)
       }
     }(enc)
   }
+
+  /** Stub-codec decode (see [[StubCodec]]); kept as the named entry the
+    * catalog and tests use so the container build stays decoder-free. */
+  def decodeStub(df: DataFrame, idCol: String): DataFrame =
+    decodeWith(df, idCol, StubCodec)
 
   /** Expression-based header parse for media files read through the
     * `binaryFile` source: magic byte + payload size recovered with plain

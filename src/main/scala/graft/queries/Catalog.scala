@@ -917,6 +917,32 @@ object Catalog {
       },
       None),
 
+    // Estimator check for the minhash tier: plant near-duplicates derived
+    // from the corpus itself (every 5th doc re-appears with its first two
+    // tokens dropped), run the LSH candidate pass, join each candidate
+    // pair back to its EXACT shingle-set Jaccard, and report the error.
+    // The n_pairs count and the est-vs-exact bound are what DedupSpec
+    // asserts; this key exposes the same numbers to the dashboard.
+    // Hash-based estimate ⇒ rows-only (always exactly one summary row).
+    "dedup_minhash_vs_exact" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val variants = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), "\\s+"), 3, Int.MaxValue))
+              .as("text"))
+        val corpus = docs.unionByName(variants)
+        val pairs = DedupOps.minhashCandidatePairs(corpus, "doc_id", "text",
+          estThreshold = 0.4)
+        DedupOps.exactJaccardForPairs(pairs, corpus, "doc_id", "text")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(abs(col("est_jaccard") - col("jaccard"))), 4)
+              .as("mean_abs_err"),
+            round(max(abs(col("est_jaccard") - col("jaccard"))), 4)
+              .as("max_abs_err"))
+      },
+      None),
+
     // SimHash near-dups (hamming ≤ 3 via 16-bit chunk LSH); same per-doc
     // count shape. Hash-based ⇒ unit/property tested, not oracled.
     "dedup_simhash" -> QuerySpec(

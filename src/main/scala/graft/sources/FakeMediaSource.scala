@@ -86,15 +86,47 @@ class FakeMediaTable(options: CaseInsensitiveStringMap)
 
 class FakeMediaScanBuilder(count: Long, numPartitions: Int, seed: Long)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = FakeMediaSource.schema
   private var lo: Long = 0L
   private var hi: Long = count
   private var pushed: Array[Filter] = Array.empty
+  private var countStars: Int = 0 // >0 once a COUNT(*) aggregation is pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Limit pushdown: ids are generated densely in [lo, hi), so a global
+    * LIMIT n is exactly the first n ids of the (already filter-narrowed)
+    * range — clamp hi and report the limit FULLY pushed: no task ever
+    * generates a row the limit would discard. (Filter pushdown runs
+    * before limit pushdown in V2ScanRelationPushDown, so clamping
+    * composes with pushed ranges.) */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = hi min (lo + limit.toLong)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** COUNT(*) with no grouping collapses to range arithmetic — the scan
+    * answers from (hi - lo) without generating a single row or payload
+    * (the 100 TB design point: a corpus count must not be a corpus
+    * read). Complete pushdown ⇒ the scan must emit the FINAL result, so
+    * the count scan plans exactly ONE input partition. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) {
+      countStars = agg.aggregateExpressions.length
+      true
+    } else false
 
   /** Range predicates on media_id narrow [lo, hi) exactly, so they are
     * fully handled here (no residual re-evaluation needed); everything
@@ -132,23 +164,31 @@ class FakeMediaScanBuilder(count: Long, numPartitions: Int, seed: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new FakeMediaScan(required, lo max 0L, hi, numPartitions, seed)
+    new FakeMediaScan(required, lo max 0L, hi, numPartitions, seed, countStars)
 }
 
 case class FakeMediaRange(start: Long, end: Long) extends InputPartition
 
 class FakeMediaScan(
-    required: StructType, lo: Long, hi: Long, numPartitions: Int, seed: Long)
+    required: StructType, lo: Long, hi: Long, numPartitions: Int, seed: Long,
+    countStars: Int = 0)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countStars > 0)
+      StructType((0 until countStars).map(i =>
+        StructField(s"count_star_$i", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
 
   /** Contiguous chunks of the (already filter-narrowed) id range; empty
     * chunks are never planned, so a tight pushed range schedules few
-    * tasks no matter how large `count` is. */
+    * tasks no matter how large `count` is. A pushed COUNT(*) is complete
+    * pushdown: exactly one partition, one arithmetic row (and COUNT over
+    * an empty range must still produce its one zero row). */
   override def planInputPartitions(): Array[InputPartition] = {
     val total = (hi - lo) max 0L
+    if (countStars > 0) return Array(FakeMediaRange(lo, lo + total))
     if (total == 0L) return Array.empty
     val n = numPartitions.toLong min total
     val per = (total + n - 1) / n
@@ -158,7 +198,25 @@ class FakeMediaScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FakeMediaReaderFactory(required, seed)
+    if (countStars > 0) new FakeMediaCountReaderFactory(countStars)
+    else new FakeMediaReaderFactory(required, seed)
+}
+
+/** Reader for a completely-pushed COUNT(*): one row of range arithmetic,
+  * no id iteration, no payloads, no rowsGenerated ticks. */
+class FakeMediaCountReaderFactory(countStars: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[FakeMediaRange]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val first = !emitted; emitted = true; first }
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          Array.fill[Any](countStars)(r.end - r.start))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class FakeMediaReaderFactory(required: StructType, seed: Long)

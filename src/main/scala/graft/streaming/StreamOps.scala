@@ -123,8 +123,9 @@ object StreamOps {
     *   OOMing the executor mid-shuffle. Size it to the executor heap
     *   (an Event is ~32 bytes boxed; the 1M default buffers ≲100 MB).
     *   Bot-traffic keys that legitimately exceed it should be split out
-    *   or pre-aggregated — or use the SQL-window sessionization
-    *   (`stream_sessionize`), which sorts via spillable ExternalSorter.
+    *   or pre-aggregated — or use [[sessionizeSorted]] (batch) /
+    *   the SQL-window sessionization (`stream_sessionize`), both of
+    *   which sort via the spillable ExternalSorter.
     */
   def sessionize(ds: Dataset[Event], gapSeconds: Long,
       emitOpen: Boolean = true,
@@ -161,6 +162,62 @@ object StreamOps {
             out += SessionOut(userId, st.sessionId, st.n)
           }
           out.iterator
+      }
+  }
+
+  /** Spillable BATCH sessionization: identical semantics to the batch
+    * path of [[sessionize]] (session ids per user start at 0; a new
+    * session after a gap > `gapSeconds`; the trailing open session is
+    * emitted) but with NO per-group buffer — so a hot key cannot OOM a
+    * task, no matter how many events it has.
+    *
+    * How: hash-repartition by user, then `sortWithinPartitions(user, ts,
+    * event_id)` — Spark's spillable external sort does the ordering —
+    * then one streaming pass over each partition holding O(1) state
+    * (current user, session id, last ts, count). This is the secondary
+    * sort pattern: the engine sorts, the operator only scans. Use this
+    * for batch corpora with unbounded per-user event counts; keep
+    * [[sessionize]] for streaming, where cross-micro-batch state needs
+    * flatMapGroupsWithState. */
+  def sessionizeSorted(ds: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    ds.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("tsMicros"), col("event_id"))
+      .mapPartitions { events =>
+        new Iterator[SessionOut] {
+          private var pending: SessionOut = _
+          private var open = false      // a session is accumulating
+          private var curUser = 0L
+          private var sessionId = 0L
+          private var lastTs = 0L
+          private var n = 0L
+          private def close(): SessionOut = SessionOut(curUser, sessionId, n)
+          private def fill(): Unit = {
+            while (pending == null && events.hasNext) {
+              val e = events.next()
+              if (!open) {
+                open = true; curUser = e.user_id; sessionId = 0L
+                lastTs = e.tsMicros; n = 1L
+              } else if (e.user_id != curUser) {
+                pending = close()
+                curUser = e.user_id; sessionId = 0L; lastTs = e.tsMicros; n = 1L
+              } else if (e.tsMicros - lastTs > gapMicros) {
+                pending = close()
+                sessionId += 1; lastTs = e.tsMicros; n = 1L
+              } else {
+                lastTs = e.tsMicros; n += 1L
+              }
+            }
+            if (pending == null && open) { pending = close(); open = false }
+          }
+          override def hasNext: Boolean = { fill(); pending != null }
+          override def next(): SessionOut = {
+            fill()
+            if (pending == null) throw new NoSuchElementException("empty partition")
+            val r = pending; pending = null; r
+          }
+        }
       }
   }
 }

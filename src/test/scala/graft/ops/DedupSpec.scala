@@ -110,6 +110,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L, 0.6))) // |∩|=3, |∪|=5
   }
 
+  test("minhash est_jaccard agrees with exact shingle jaccard within the LSH bound (sf0.1)") {
+    // the estimator check: every candidate pair's est_jaccard (fraction
+    // of agreeing minhashes) is compared to the EXACT shingle-set
+    // jaccard. Near-dups are planted from the corpus itself — every 5th
+    // doc re-appears minus its first two tokens, so true J = (n-4)/(n-2)
+    // ∈ [0.75, 0.97] for the 10-100-token sf0.1 texts.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text")
+    val variants = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split($"text", "\\s+"), 3, Int.MaxValue)).as("text"))
+    val corpus = docs.unionByName(variants)
+    val pairs = DedupOps.minhashCandidatePairs(corpus, "doc_id", "text",
+      estThreshold = 0.4)
+    val checked = DedupOps.exactJaccardForPairs(pairs, corpus, "doc_id", "text")
+      .select($"est_jaccard", $"jaccard").as[(Double, Double)].collect()
+    // 1000 planted pairs (+8 real dups); banding at J≥0.75 misses ≈none
+    assert(checked.length >= 950, s"only ${checked.length} candidate pairs surfaced")
+    val errs = checked.map { case (e, j) => math.abs(e - j) }
+    val mean = errs.sum / errs.length
+    // 64 hashes → per-pair σ = sqrt(J(1-J)/64) ≤ 0.0625; the mean |err|
+    // must sit inside one σ and no pair outside ~4σ
+    assert(mean <= 0.0625, s"mean |est-exact| = $mean exceeds the LSH bound")
+    assert(errs.max <= 0.25, s"max |est-exact| = ${errs.max}")
+  }
+
   test("degeneracy caps are pair budgets: a near-cap bucket stays under budget") {
     // 100 docs all sharing one ubiquitous token ("common") plus a unique
     // token each. Under a DOC-count cap of, say, 10000 the shared bucket

@@ -46,6 +46,31 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"), plan)
   }
 
+  test("decodeWith drives an injected codec: open-per-partition, close-on-completion") {
+    val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text").repartition(2)
+    MultimodalSpec.opens.set(0)
+    MultimodalSpec.closes.set(0)
+    MultimodalSpec.decodes.set(0)
+    val decoded = MultimodalOps.decodeWith(media, "doc_id", new MultimodalSpec.CountingCodec)
+    val viaTrait = decoded.select($"doc_id", $"decoded_bytes", $"checksum")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // identical features to the stub path (same codec algebra through the seam)
+    val viaStub = MultimodalOps.decodeStub(media, "doc_id")
+      .select($"doc_id", $"decoded_bytes", $"checksum")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(viaTrait.toSeq == viaStub.toSeq)
+    // lifecycle: one open and one close per non-empty partition, one
+    // decode per row; close fires even though the codec never sees the
+    // iterator end explicitly (task-completion listener)
+    assert(MultimodalSpec.decodes.get() == 3)
+    assert(MultimodalSpec.opens.get() >= 1 && MultimodalSpec.opens.get() <= 2)
+    assert(MultimodalSpec.closes.get() == MultimodalSpec.opens.get(),
+      s"opens=${MultimodalSpec.opens.get()} closes=${MultimodalSpec.closes.get()}")
+    // plan shape unchanged by the injection seam
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
+  }
+
   test("binaryFile source reads staged media files; header parsed by expressions") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile
     val payloads = Map("a.fake" -> "hello media", "b.fake" -> "frames!")
@@ -73,5 +98,22 @@ class MultimodalSpec extends SparkSpec {
       .select($"doc_id", $"frame_idx").as[(Long, Int)].collect().toSet
     // doc 7 → n_frames=8 → frames 0,2,4,6; doc 0 → 1 frame; doc 1 → 2 frames
     assert(frames == Set((0L, 0), (1L, 0), (7L, 0), (7L, 2), (7L, 4), (7L, 6)))
+  }
+}
+
+object MultimodalSpec {
+  // static so the executor-side (local-mode) codec instances and the
+  // driver-side assertions see the same counters
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val decodes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  class CountingCodec extends MultimodalOps.MediaCodec {
+    override def open(): Unit = opens.incrementAndGet()
+    override def close(): Unit = closes.incrementAndGet()
+    override def decode(payload: Array[Byte]): MultimodalOps.DecodedMedia = {
+      decodes.incrementAndGet()
+      MultimodalOps.StubCodec.decode(payload)
+    }
   }
 }

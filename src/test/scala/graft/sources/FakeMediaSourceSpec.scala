@@ -65,6 +65,38 @@ class FakeMediaSourceSpec extends SparkSpec {
     assert(ranges.forall(r => r.end > r.start), "no empty partitions scheduled")
   }
 
+  test("limit pushdown: limit(n) generates at most n rows") {
+    FakeMediaSource.rowsGenerated.set(0)
+    FakeMediaSource.payloadsBuilt.set(0)
+    // 10M nominal rows; a pushed LIMIT 7 must clamp the generated range
+    val got = src(10000000L).select($"media_id").limit(7).collect()
+    assert(got.length == 7)
+    assert(FakeMediaSource.rowsGenerated.get() <= 7,
+      s"pushed limit must bound generation, saw ${FakeMediaSource.rowsGenerated.get()}")
+    // composes with a pushed filter (filter narrows first, then limit clamps)
+    FakeMediaSource.rowsGenerated.set(0)
+    val filtered = src(10000000L).filter($"media_id" >= 1000L)
+      .select($"media_id").limit(3).collect()
+    assert(filtered.length == 3)
+    assert(FakeMediaSource.rowsGenerated.get() <= 3)
+    assert(FakeMediaSource.payloadsBuilt.get() == 0)
+  }
+
+  test("COUNT(*) pushdown answers from range arithmetic without generating rows") {
+    FakeMediaSource.rowsGenerated.set(0)
+    FakeMediaSource.payloadsBuilt.set(0)
+    assert(src(123456789L).count() == 123456789L)
+    // count composes with a pushed range filter
+    assert(src(123456789L).filter($"media_id" >= 100L && $"media_id" < 600L).count() == 500L)
+    // count over an empty pushed range is 0, not an empty result set
+    assert(src(1000L).filter($"media_id" >= 5000L).count() == 0L)
+    assert(FakeMediaSource.rowsGenerated.get() == 0,
+      s"pushed COUNT(*) must not iterate ids, saw ${FakeMediaSource.rowsGenerated.get()}")
+    assert(FakeMediaSource.payloadsBuilt.get() == 0)
+    // a non-pushable aggregate still works (falls back to a real scan)
+    assert(src(300L).groupBy($"kind").count().count() == 3)
+  }
+
   test("the source feeds the multimodal ops (header-free decode path)") {
     val media = src(50).withColumnRenamed("media_id", "doc_id")
     val decoded = graft.ops.MultimodalOps.decodeStub(media, "doc_id")

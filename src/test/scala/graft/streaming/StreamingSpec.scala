@@ -91,6 +91,35 @@ class StreamingSpec extends SparkSpec {
     assert(ok.toSeq == Seq(StreamOps.SessionOut(42L, 0L, 500L)))
   }
 
+  test("sessionizeSorted handles a hot key far beyond the buffered cap without raising") {
+    // the spillable path: same pathological single user, this time with
+    // session gaps planted every 1000 events — no per-group buffer, so a
+    // cap that would kill flatMapGroupsWithState is irrelevant here
+    val hot = (0 until 50000).map { i =>
+      val gapBumps = (i / 1000).toLong // every 1000th event jumps past the gap
+      StreamOps.Event(42L, i.toLong, i * 1000000L + gapBumps * 3600L * 1000000L, 1.0)
+    }
+    val ds = hot.toDS().repartition(7) // scrambled input: the op must sort
+    val out = StreamOps.sessionizeSorted(ds, gapSeconds = 1800).collect().sortBy(_.session_id)
+    assert(out.length == 50, s"expected 50 sessions, got ${out.length}")
+    assert(out.forall(_.n_events == 1000L))
+    assert(out.map(_.session_id).toSeq == (0L until 50L))
+  }
+
+  test("sessionizeSorted matches the buffering sessionize on real multi-user data") {
+    val ev = Tables(spark, sf, "events")
+      .select($"user_id", $"event_id",
+        unix_timestamp(date_trunc("second", $"ts")).cast("long").multiply(1000000L).as("tsMicros"),
+        $"value")
+      .as[StreamOps.Event]
+    val sorted = StreamOps.sessionizeSorted(ev, gapSeconds = 1800)
+      .collect().map(s => (s.user_id, s.session_id) -> s.n_events).toMap
+    val buffered = StreamOps.sessionize(ev, gapSeconds = 1800)
+      .collect().map(s => (s.user_id, s.session_id) -> s.n_events).toMap
+    assert(sorted == buffered)
+    assert(sorted.nonEmpty)
+  }
+
   test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
     // the streaming-native form of the reference's monthly scheduled job:
     // process everything currently available, then terminate
