@@ -26,6 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *       (acc, h) -> zip_with(acc, transform(seeds, i -> xxhash64(h, i)), least))`
   *    where Spark's `xxhash64(string)` = XXH64.hashUTF8String(s, 42)
   *    and `xxhash64(longCol, intLit i)` = XXH64.hashInt(i, XXH64.hashLong(h, 42)).
+  *    NULL elements follow the fold too: `xxhash64(null)` passes the
+  *    seed (42) through, so a null shingle/token contributes exactly the
+  *    seed-derived candidates on both paths — bit-compatibility holds on
+  *    arrays containing nulls, not just on clean `split()` output.
   *  - `SimHashSig(tokens)` == the ±1 bit-count fold + sign-bit pack in
   *    `DedupOps.simhashHof` (integer addition is order-insensitive).
   */
@@ -47,16 +51,19 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var j = 0
     val n = arr.numElements()
     while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h0 = XXH64.hashUTF8String(s, 42L)
-        val hs = XXH64.hashLong(h0, 42L)
-        var i = 0
-        while (i < numHashes) {
-          val hi = XXH64.hashInt(i, hs)
-          if (hi < sig(i)) sig(i) = hi
-          i += 1
-        }
+      // null elements hash like the fold: Spark's xxhash64(null) passes
+      // the seed (42) through, so a null shingle STILL contributes
+      // min-hash candidates — skipping it would silently diverge from
+      // the documented HOF twin on arrays containing nulls
+      val h0 =
+        if (arr.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val hs = XXH64.hashLong(h0, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val hi = XXH64.hashInt(i, hs)
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
       }
       j += 1
     }
@@ -77,14 +84,17 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int $n = $arr.numElements();
          |for (int $j = 0; $j < $n; $j++) {
-         |  if (!$arr.isNullAt($j)) {
+         |  long $h0;
+         |  if ($arr.isNullAt($j)) {
+         |    $h0 = 42L; // xxhash64(null) = seed, matching the HOF fold
+         |  } else {
          |    $utf8 $s = $arr.getUTF8String($j);
-         |    long $h0 = $xxh.hashUTF8String($s, 42L);
-         |    long $hs = $xxh.hashLong($h0, 42L);
-         |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      long $hi = $xxh.hashInt($i, $hs);
-         |      if ($hi < $sig[$i]) $sig[$i] = $hi;
-         |    }
+         |    $h0 = $xxh.hashUTF8String($s, 42L);
+         |  }
+         |  long $hs = $xxh.hashLong($h0, 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $hi = $xxh.hashInt($i, $hs);
+         |    if ($hi < $sig[$i]) $sig[$i] = $hi;
          |  }
          |}
          |${ev.value} = $uad.fromPrimitiveArray($sig);
@@ -217,14 +227,14 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     var j = 0
     val n = arr.numElements()
     while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h = XXH64.hashUTF8String(s, 42L)
-        var i = 0
-        while (i < 64) {
-          if ((h & (1L << i)) != 0L) counts(i) += 1L else counts(i) -= 1L
-          i += 1
-        }
+      // null tokens hash like the fold (xxhash64(null) = seed 42)
+      val h =
+        if (arr.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < 64) {
+        if ((h & (1L << i)) != 0L) counts(i) += 1L else counts(i) -= 1L
+        i += 1
       }
       j += 1
     }
@@ -246,12 +256,15 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
          |long[] $counts = new long[64];
          |int $n = $arr.numElements();
          |for (int $j = 0; $j < $n; $j++) {
-         |  if (!$arr.isNullAt($j)) {
+         |  long $h;
+         |  if ($arr.isNullAt($j)) {
+         |    $h = 42L; // xxhash64(null) = seed, matching the HOF fold
+         |  } else {
          |    $utf8 $s = $arr.getUTF8String($j);
-         |    long $h = $xxh.hashUTF8String($s, 42L);
-         |    for (int $i = 0; $i < 64; $i++) {
-         |      if (($h & (1L << $i)) != 0L) $counts[$i]++; else $counts[$i]--;
-         |    }
+         |    $h = $xxh.hashUTF8String($s, 42L);
+         |  }
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if (($h & (1L << $i)) != 0L) $counts[$i]++; else $counts[$i]--;
          |  }
          |}
          |long $out = 0L;

@@ -89,26 +89,40 @@ object DedupOps {
     * agreement estimate of Jaccard (fraction of equal minhashes).
     * Returns (id_a, id_b, est_jaccard) with est ≥ `estThreshold`.
     *
-    * EAGER: the pair set is computed at call time (localCheckpoint) so the
-    * corpus-sized signature cache is unpersisted before this returns —
-    * repeated calls in a long-lived session leave nothing cached behind. */
+    * EAGER by default: the pair set is computed at call time
+    * (localCheckpoint) so the corpus-sized signature cache is
+    * unpersisted before this returns — repeated calls in a long-lived
+    * session leave nothing cached behind. CLUSTER CAVEAT: localCheckpoint
+    * blocks until materialized and stores blocks on executors with NO
+    * lineage to rebuild them — an executor loss or dynamic-allocation
+    * decommission AFTER the call makes the returned frame unrecoverable
+    * (job failure on next use). On clusters that lose executors
+    * routinely, pass `eager = false` for a fully lazy plan (no persist,
+    * no checkpoint: the signature scan recomputes per reference —
+    * ~3 passes — but every block stays rebuildable), or persist the
+    * eager result to reliable storage yourself. */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       estThreshold: Double = 0.5,
-      maxBucketPairs: Long = DefaultMaxBucketPairs): DataFrame = {
-    // persist: the signature pass is referenced by the banding branch AND
-    // both scoring joins — without caching Spark would recompute the
-    // tokenize+signature scan three times over the corpus
+      maxBucketPairs: Long = DefaultMaxBucketPairs,
+      eager: Boolean = true): DataFrame = {
+    // persist (eager mode): the signature pass is referenced by the
+    // banding branch AND both scoring joins — without caching Spark
+    // would recompute the tokenize+signature scan three times over the
+    // corpus. In lazy mode the recompute is the accepted price of
+    // keeping every block lineage-rebuildable.
     graft.expressions.GraftFunctions.register(df.sparkSession)
     // tokens → shingles → 64 min-hashes in ONE fused codegen loop
     // (MinHashShingleSig): the interpreted HOF shingle construction alone
     // was ~75% of this operator's runtime before fusing
-    val sigs = df
+    val sigsPlan = df
       .select(col(idCol).as("id"),
         call_function("minhash_shingle_sig",
           split(lower(col(textCol)), "\\s+"), lit(numHashes), lit(shingleN)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs =
+      if (eager) sigsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsPlan
 
     // The band join carries ONLY (id, band_hash): hot band buckets (a
     // stop-shingle dominating the min statistic on vocabulary-limited
@@ -148,15 +162,18 @@ object DedupOps {
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
 
-    // Materialize the result NOW (it is small: ∝ true-duplicate count,
-    // bounded by the band cap) so the corpus-sized signature cache can be
-    // released before returning — a lazy return would leak the persist
-    // into the session for the caller to clean up (or never). The
-    // localCheckpoint'd result is dropped automatically by the
-    // ContextCleaner once the returned frame is unreachable.
-    val out = scored.localCheckpoint(true)
-    sigs.unpersist(blocking = false)
-    out
+    // Eager: materialize the result NOW (it is small: ∝ true-duplicate
+    // count, bounded by the pair budget) so the corpus-sized signature
+    // cache can be released before returning — a lazy return would leak
+    // the persist into the session for the caller to clean up (or
+    // never). The localCheckpoint'd result is dropped automatically by
+    // the ContextCleaner once the returned frame is unreachable. (See
+    // the scaladoc for the executor-loss caveat and the lazy variant.)
+    if (eager) {
+      val out = scored.localCheckpoint(true)
+      sigs.unpersist(blocking = false)
+      out
+    } else scored
   }
 
   /** Exact shingle-set Jaccard for an explicit candidate-pair frame —

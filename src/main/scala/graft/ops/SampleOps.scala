@@ -29,12 +29,20 @@ object SampleOps {
     * (greedy offset binning — the deterministic, single-pass variant of
     * first-fit packing; exact bin-capacity packing is NP-hard and
     * order-dependent). Downstream concatenation per (group, bin) yields
-    * near-budget-sized training sequences. */
+    * near-budget-sized training sequences.
+    *
+    * DETERMINISM REQUIRES A TOTAL ORDER per group: the running sum uses
+    * a ROWS frame, so rows tying on `orderCol` would receive
+    * partitioning-dependent cumulative sums (and therefore bins) run to
+    * run. Pass `tieBreakCols` to break ties unless (groupCol, orderCol)
+    * is already unique — e.g. order by ts with the doc id as tiebreaker. */
   def packSequences(
       df: DataFrame, groupCol: String, orderCol: String,
-      costCol: String, budget: Long): DataFrame = {
+      costCol: String, budget: Long,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((orderCol +: tieBreakCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("_cum", sum(col(costCol)).over(w))
       .withColumn("bin",

@@ -42,16 +42,17 @@ object Catalog {
     * measure the operator under test, not the staging write; content is
     * deterministic, so a pre-existing dir from an earlier process is
     * simply rewritten on this JVM's first call. */
-  private val stagedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val stagedOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def staged(d: String, name: String)(write: String => Unit): String = {
     val dir = "/tmp/graft_stage/" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "/" + name
-    // mark AFTER the write succeeds: a failed write must be retried on
-    // the next invocation, not skipped to read a half-written directory
-    if (!stagedOnce.contains(dir)) {
-      write(dir)
-      stagedOnce.add(dir)
-    }
-    dir
+    // computeIfAbsent: the write runs exactly once, under the map's
+    // per-key lock — two suites first-invoking the same key concurrently
+    // must not race write(dir) against itself (a plain check-then-act
+    // set was vulnerable to exactly that). A failed write propagates and
+    // leaves no mapping, so the next invocation retries instead of
+    // reading a half-written directory.
+    stagedOnce.computeIfAbsent(dir, { _ => write(dir); dir })
   }
 
   /** Order-insensitive exact sum of a double column: decimal accumulate,

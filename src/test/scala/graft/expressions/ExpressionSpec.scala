@@ -108,4 +108,39 @@ class ExpressionSpec extends SparkSpec {
       graft.ops.DedupOps.simhash($"text").as("hof"))
     assert(both.filter(not($"native" <=> $"hof")).count() == 0)
   }
+
+  test("null array elements hash like the fold (xxhash64(null) = seed) in both sigs") {
+    GraftFunctions.register(spark)
+    // arrays WITH null elements: Spark's xxhash64(null) passes the seed
+    // through, so the fold still contributes candidates for them — the
+    // native expressions must agree bit-exactly, not skip the element
+    val arrs = Seq(
+      Seq(Option("alpha"), None, Option("beta")),
+      Seq(None, None),
+      Seq(Option("gamma"))).toDF("sh")
+    val minhashBoth = arrs.select(
+      call_function("minhash_sig", $"sh", lit(16)).as("native"),
+      graft.ops.DedupOps.minhashSignatureFromShingles($"sh", 16).as("hof"))
+    assert(minhashBoth.filter(not($"native" <=> $"hof")).count() == 0)
+    // a null element must CHANGE the signature vs dropping it
+    val withVsWithout = Seq((Seq(Option("alpha"), None), Seq(Option("alpha"))))
+      .toDF("a", "b")
+      .select(call_function("minhash_sig", $"a", lit(16)).as("na"),
+        call_function("minhash_sig", $"b", lit(16)).as("nb"))
+      .head()
+    assert(withVsWithout.getSeq[Long](0) != withVsWithout.getSeq[Long](1))
+
+    // simhash: same property against the inlined ±1 fold
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val hashes = transform($"sh", t => xxhash64(t))
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (c, m) => c + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    val foldSig = aggregate(
+      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    val simBoth = arrs.select(
+      call_function("simhash_sig", $"sh").as("native"), foldSig.as("hof"))
+    assert(simBoth.filter(not($"native" <=> $"hof")).count() == 0)
+  }
 }

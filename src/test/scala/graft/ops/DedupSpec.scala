@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(added.size <= 2, s"leaked cached RDDs beyond the checkpointed results: $added")
   }
 
+  test("lazy variant (eager=false) returns the same pairs with zero cached/checkpointed blocks") {
+    val df = (base ++ Seq((21L, base(2)._2))).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val lazyPairs = DedupOps.minhashCandidatePairs(df, "doc_id", "text", eager = false)
+    // nothing materialized at call time, nothing pinned after execution
+    assert(sc.getPersistentRDDs.keySet == before)
+    val eagerPairs = DedupOps.minhashCandidatePairs(df, "doc_id", "text")
+    assert(lazyPairs.collect().toSet == eagerPairs.collect().toSet)
+    assert((sc.getPersistentRDDs.keySet -- before).size <= 1,
+      "lazy path must not add caches; only the eager checkpoint may remain")
+  }
+
   test("minhash est_jaccard ≈ 1.0 for identical docs") {
     val df = Seq((0L, base(0)._2), (1L, base(0)._2)).toDF("doc_id", "text")
     val est = DedupOps.minhashCandidatePairs(df, "doc_id", "text")
