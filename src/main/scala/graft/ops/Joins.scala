@@ -59,4 +59,45 @@ object Joins {
       explode(array((0 until nSalts).map(lit): _*)))
     bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Bucketed range (interval) join: left rows whose `pointCol` falls in
+    * the right side's `[loCol, hiCol]` (both bounds inclusive, matching
+    * SQL BETWEEN). A plain non-equi `join(cond)` plans as
+    * BroadcastNestedLoop/Cartesian — O(|L|·|R|) comparisons, the classic
+    * scale killer for interval joins. This operator turns it into an
+    * EQUI join: points bucket by `floor(point / bucketWidth)`, intervals
+    * explode into every bucket they overlap, the join keys on the bucket
+    * (plus optional exact `equiKeys`), and the original range predicate
+    * runs as a residual filter. Each matching pair meets in EXACTLY one
+    * bucket (the point's), so no distinct is needed.
+    *
+    * Cost: |R| expands by avg interval span / bucketWidth; comparisons
+    * drop from |L|·|R| to pairs sharing a bucket. Pick `bucketWidth`
+    * near the typical interval span — spans ≫ bucketWidth inflate the
+    * explode, spans ≪ bucketWidth inflate the residual filter.
+    * Degenerate/unbounded intervals (null or lo > hi) match nothing, as
+    * in SQL BETWEEN. All columns must be long-valued (cast dates to
+    * days / timestamps to epoch first — exact integer bucketing; double
+    * buckets would split on FP rounding).
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // exact floor division, negatives included: subtract the non-negative
+    // pmod first, so the double division is over an exact multiple of the
+    // width (integral result, exact for any realistic bucket count)
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val l = left.withColumn("_rb", bucketOf(col(pointCol)))
+    val r = right
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("_rb",
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    l.join(r, equiKeys :+ "_rb", "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_rb")
+  }
 }

@@ -22,6 +22,25 @@ object SampleOps {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Per-ROW weighted Bernoulli sample: keep each row with probability
+    * `weightCol` (clamped to [0,1]), decided by a seeded hash of
+    * `idCol` — fully deterministic (same seed + id ⇒ same decision, on
+    * any cluster size or partitioning), zero shuffle (rows are filtered
+    * where they sit). The training-mix lever when the keep probability
+    * is per-document (e.g. a quality score), not per-stratum — the
+    * row-level generalization of [[stratifiedSample]].
+    *
+    * The hash maps to a uniform u ∈ [0,1) via the low 30 bits (2^30
+    * buckets: granularity 1e-9, unbiased for any realistic weight). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      seed: Long = 42L): DataFrame = {
+    val buckets = 1L << 30
+    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(buckets))
+      .cast("double") / lit(buckets.toDouble)
+    df.filter(u < least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+  }
+
   /** Sequence packing: assign each document to a token-budget bin within
     * its group — bin = (tokens-before-this-doc) div `budget` over a
     * (group, order) window. One shuffle on the group key, one sort; a

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, MultimodalOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, MultimodalOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -576,6 +576,36 @@ object Catalog {
              |                 FROM orders GROUP BY o_custkey) o
              |  ON c.c_custkey = o.o_custkey
              |ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST""".stripMargin)),
+
+    // Range (interval) join — §2.4's one remaining absent join type. The
+    // bucketed rewrite (Joins.rangeJoin) plans as an EQUI join + residual
+    // filter instead of the BNLJ/Cartesian a naive non-equi join costs;
+    // the plan-audit sweep enforces exactly that (join_range is NOT on
+    // the BNLJ whitelist). Day arithmetic on both sides keeps the oracle
+    // integer-exact.
+    "join_range" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+        val ords = t(s, d, "orders").filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_day"))
+          .withColumn("hi_day", col("lo_day") + 30)
+        Joins.rangeJoin(li, ords, "ship_day", "lo_day", "hi_day", bucketWidth = 32)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_points"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o.o_orderkey, count(*) AS n_points
+             |FROM (SELECT o_orderkey,
+             |        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS lo_day
+             |      FROM orders WHERE o_orderkey % 100 = 0) o
+             |JOIN (SELECT l_orderkey,
+             |        (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS ship_day
+             |      FROM lineitem) l
+             |  ON l.ship_day BETWEEN o.lo_day AND o.lo_day + 30
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------------------ flattens
     // vcFlatten semantics (README.md:643-666): nest orders into an
@@ -1287,6 +1317,19 @@ object Catalog {
         t(s, d, "documents"), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1))
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // Per-row weighted Bernoulli sample (keep probability = a per-doc
+    // quality proxy, here length-derived) — deterministic seeded hash ⇒
+    // rows-only (the hash stream is engine-specific); fraction/subset/
+    // determinism properties are unit-tested (SampleOpsSpec).
+    "sample_weighted" -> QuerySpec(
+      (s, d) => SampleOps.weightedSample(
+        t(s, d, "documents")
+          .withColumn("w", least(lit(1.0), length(col("text")) / lit(400.0))),
+        "doc_id", "w")
+        .select(col("doc_id"))
         .orderBy(col("doc_id")),
       None),
 

@@ -53,6 +53,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("isFinalPlan=true") && plan.contains("*("), plan)
   }
 
+  test("runtime bloom-filter pruning fires on a selective shuffle join") {
+    // the 100 TB lever behind Spark's InjectRuntimeFilter rule: a
+    // selective predicate on the dim side materializes a bloom filter
+    // that pre-filters the fact side BEFORE the join shuffle — most fact
+    // rows drop where they were read instead of being shuffled and then
+    // discarded. Thresholds forced to 0 here because the test tables are
+    // tiny; at real scale the defaults (10 MB dim / 10 GB fact) gate it.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // creationSideThreshold is a MAX (dim must be small enough): default
+    // 10 MB already admits the tiny dim; the application-side minimum
+    // must drop to 0 because the test fact table is nowhere near 10 GB
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    val fact = Tables(s, sf, "lineitem")
+    val dim = Tables(s, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("bloom"),
+      s"expected an injected bloom filter in the optimized plan:\n$optimized")
+    // semantics unaffected by the filter (it only removes non-matching rows early)
+    val expected = fact.join(dim.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      .collect().toSeq
+    assert(joined.collect().toSeq == expected)
+  }
+
   test("plan audit: every query key plans without CartesianProduct; BNLJ only where intended") {
     // the r1 close-out audit (BASELINE.md §4), promoted to a permanent
     // regression gate: a key that silently degrades to an unhinted

@@ -54,4 +54,50 @@ class JoinsSpec extends SparkSpec {
       .collect().toSet
     assert(out == Set((1, 10L, Some("a")), (2, 20L, Some("b")), (99, 30L, None)))
   }
+
+  test("rangeJoin equals the naive non-equi join, including negatives and boundaries") {
+    val rnd = new scala.util.Random(11)
+    // points and intervals straddle zero; spans vary 0..40 around a
+    // bucketWidth of 16 so pairs land in first/middle/last overlap buckets
+    val points = (1 to 500)
+      .map(i => (i.toLong, rnd.nextLong(2001) - 1000L)).toDF("pid", "p")
+    val ivals = (1 to 80).map { i =>
+      val lo = rnd.nextLong(2001) - 1000L
+      (i.toLong, lo, lo + rnd.nextLong(41))
+    }.toDF("iid", "lo", "hi")
+    val bucketed = Joins.rangeJoin(points, ivals, "p", "lo", "hi", bucketWidth = 16)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+    // boundary inclusivity pinned explicitly (BETWEEN semantics)
+    val pts = Seq((1L, 10L), (2L, 20L), (3L, 9L), (4L, 21L)).toDF("pid", "p")
+    val iv = Seq((7L, 10L, 20L)).toDF("iid", "lo", "hi")
+    val hits = Joins.rangeJoin(pts, iv, "p", "lo", "hi", bucketWidth = 4)
+      .select($"pid").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+  }
+
+  test("rangeJoin: degenerate/null intervals match nothing; equiKeys restrict pairs") {
+    val points = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("pid", "k", "p")
+    val ivals = Seq(
+      (10L, "a", Some(0L), Some(9L)),   // valid, matches k=a only
+      (11L, "b", Some(9L), Some(0L)),   // lo > hi: empty, as in SQL BETWEEN
+      (12L, "b", None, Some(9L)))       // null bound: no match
+      .toDF("iid", "k", "lo", "hi")
+    val out = Joins.rangeJoin(points, ivals, "p", "lo", "hi",
+      bucketWidth = 4, equiKeys = Seq("k"))
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("rangeJoin plans as an equi join: no nested-loop or cartesian operator") {
+    val points = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("pid", "p")
+    val ivals = (1 to 10).map(i => (i.toLong, i * 10L, i * 10L + 5L)).toDF("iid", "lo", "hi")
+    val plan = Joins.rangeJoin(points, ivals, "p", "lo", "hi", bucketWidth = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }

@@ -47,6 +47,29 @@ class SampleOpsSpec extends SparkSpec {
     assert(binsA == binsA.sorted && binsA.distinct == Seq(0L, 1L))
   }
 
+  test("weightedSample: fraction tracks the weight, deterministic, monotone in weight") {
+    val n = 20000
+    val df = (1 to n).map(i => (i.toLong, 0.3)).toDF("id", "w")
+    val kept = SampleOps.weightedSample(df, "id", "w").count()
+    // Bernoulli(0.3) over 20k rows: ±5σ ≈ ±0.016
+    assert(math.abs(kept.toDouble / n - 0.3) < 0.02, s"kept $kept of $n")
+    // deterministic: identical decision set on a rerun
+    val ids1 = SampleOps.weightedSample(df, "id", "w").select("id").as[Long].collect().toSet
+    val ids2 = SampleOps.weightedSample(df.repartition(13), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2, "decisions must not depend on partitioning")
+    // monotone: the w=0.3 sample is a SUBSET of the w=0.6 sample (same u per id)
+    val wider = SampleOps.weightedSample(
+      (1 to n).map(i => (i.toLong, 0.6)).toDF("id", "w"), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(ids1.subsetOf(wider))
+    // clamping: w<=0 keeps nothing, w>=1 keeps everything
+    assert(SampleOps.weightedSample(
+      (1 to 100).map(i => (i.toLong, -0.5)).toDF("id", "w"), "id", "w").count() == 0)
+    assert(SampleOps.weightedSample(
+      (1 to 100).map(i => (i.toLong, 1.5)).toDF("id", "w"), "id", "w").count() == 100)
+  }
+
   test("count_min_sketch estimates are one-sided within the epsilon bound") {
     val docs = Tables(spark, sf, "documents")
     val sketch = docs.agg(
