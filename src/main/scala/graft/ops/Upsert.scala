@@ -34,6 +34,42 @@ object Upsert {
     target.join(keyOnly, keys, "left_anti").unionByName(batch)
   }
 
+  /** CDC MERGE: apply a change batch carrying an op column
+    * (`I` insert / `U` update / `D` delete) and a per-key change sequence
+    * to a keyed target — the general form of [[merge]] (which is the
+    * all-upserts special case). Within the batch the HIGHEST `seqCol`
+    * change per key wins (an update followed by a delete nets to the
+    * delete); `seqCol` must totally order each key's changes — ties
+    * would pick a partitioning-dependent winner, so CDC feeds should
+    * carry their log offset/LSN here.
+    *
+    * Scale shape: one window over the (small) change batch to pick
+    * winners — a `Filter(rn = 1, Window)` that the TopKPerKey strategy
+    * plans as a bounded heap — plus the same keys-only anti join as
+    * [[merge]]: the 100 TB target is anti-joined against broadcastable
+    * change keys, never shuffled. An op value outside I/U/D fails the
+    * job in-plan (raise_error), not silently: an unrecognized op would
+    * otherwise ghost-delete its key. */
+  def applyChanges(
+      target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "merge keys must be non-empty")
+    val guarded = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyChanges: unknown $opCol value '"), col(opCol),
+          lit("' (expected I, U or D)")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = guarded
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val surviving = target.join(
+      guarded.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    surviving.unionByName(latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
+  }
+
   /** Partitioned parquet write (reference README.md:747-752). With
     * `dynamicOverwrite` only partitions present in `df` are replaced —
     * the scoped-rewrite semantics of README.md:1532-1534 without the loop.

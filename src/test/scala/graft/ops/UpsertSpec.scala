@@ -40,6 +40,34 @@ class UpsertSpec extends SparkSpec {
     assert(merged.filter($"location" === "loc2").count() == 2)
   }
 
+  test("applyChanges: I/U/D with last-writer-wins, idempotent, unknown op raises") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),           // plain update
+      (3L, null, "D", 1L),           // delete
+      (4L, "d", "I", 1L),            // insert
+      (5L, "e1", "U", 1L),           // conflict: update then delete …
+      (5L, null, "D", 2L))           // … highest seq wins → net delete
+      .toDF("k", "v", "op", "seq")
+    val out = Upsert.applyChanges(target, changes, Seq("k"))
+      .select($"k", $"v").as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, Some("a")), (2L, Some("b2")), (4L, Some("d"))))
+    // idempotent: the changed keys' final state is fully determined by
+    // the batch, so re-applying it is a no-op
+    val once = Upsert.applyChanges(target, changes, Seq("k"))
+    val twice = Upsert.applyChanges(once, changes, Seq("k"))
+      .select($"k", $"v").as[(Long, Option[String])].collect().toSet
+    assert(twice == out)
+    // an op outside I/U/D must fail the job, not ghost-delete the key
+    val bad = Seq((1L, "x", "QQ", 1L)).toDF("k", "v", "op", "seq")
+    val e = intercept[Exception] {
+      Upsert.applyChanges(target, bad, Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unknown op")), msgs(e).mkString("|"))
+  }
+
   test("upsertIntoPath rewrites only affected partitions") {
     val dir = Files.createTempDirectory("upsert").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))

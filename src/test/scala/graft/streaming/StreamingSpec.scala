@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a dim table with no streaming state") {
+    // the everyday streaming-enrichment shape: each micro-batch joins a
+    // (broadcastable) static dim — no watermarks, no state store; the
+    // dim is re-resolvable per batch. Result must equal the batch join.
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "even"), (1L, "odd")).toDF("parity", "label")
+    val events = Tables(spark, sf, "events")
+      .select($"event_id", $"user_id").as[(Long, Long)].collect()
+    val ms = MemoryStream[(Long, Long)]
+    val sdf = ms.toDF.toDF("event_id", "user_id")
+      .withColumn("parity", $"user_id" % 2)
+    val joined = sdf.join(broadcast(dim), Seq("parity"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_static").start()
+    try {
+      ms.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_static")
+        .select($"event_id", $"label").as[(Long, String)].collect().toSet
+      val batch = Tables(spark, sf, "events")
+        .select($"event_id", ($"user_id" % 2).as("parity"))
+        .join(dim, Seq("parity"))
+        .select($"event_id", $"label").as[(Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful flatMapGroupsWithState sessionization matches the SQL-window form") {
     val ev = Tables(spark, sf, "events")
       .select($"user_id", $"event_id",
