@@ -29,6 +29,33 @@ object SimilarityOps {
   def quantize(a: Column, scale: Int = 1000): Column =
     transform(a, x => floor(x.cast(DoubleType) * scale).cast(LongType))
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max(|x|)/127, codes = round(x/scale) ∈ [-127, 127] as
+    * ARRAY<TINYINT> — the 4× width cut (float32 → int8) that turns a
+    * 100 TB embedding corpus into ~25 TB at rest and on the shuffle
+    * wire, while cosine top-k recall stays ≈1 at realistic dims
+    * (unit-tested). Returns a struct `(scale DOUBLE, codes
+    * ARRAY<TINYINT>)`; decode with [[dequantizeInt8]]. All-zero vectors
+    * get scale 0 and zero codes (dequantize back to zeros). Pure column
+    * expressions — no UDF in the path. */
+  def quantizeInt8(a: Column): Column = {
+    val d = asDouble(a)
+    val scale = aggregate(d, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+    // round() yields [-127, 127] here — inside the byte range, so the
+    // tinyint cast is exact (no wraparound)
+    struct(
+      scale.as("scale"),
+      transform(d, x =>
+        when(scale === 0.0, lit(0L)).otherwise(round(x / scale))
+          .cast(ByteType)).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes × scale as ARRAY<DOUBLE>. The
+    * per-component reconstruction error is ≤ scale/2 = max|x|/254. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast(DoubleType) * q.getField("scale"))
+
   /** Sequential-fold dot product via higher-order functions (codegen'd,
     * no UDF). */
   def dot(a: Column, b: Column): Column =

@@ -1135,6 +1135,29 @@ object Catalog {
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
              |FROM scored WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
+    // int8 embedding quantization (4× storage/shuffle cut at 100 TB):
+    // quantize → dequantize round trip with the per-vector error bound
+    // checked IN the query. round()-on-double parity with DuckDB is not
+    // guaranteed at .5 ties ⇒ rows-only; the bound, recall, and
+    // round-trip properties are unit-tested (SimilaritySpec).
+    "sim_quantize_int8" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+        val q = emb.withColumn("q", SimilarityOps.quantizeInt8(col("v")))
+        q.select(col("vec_id"),
+          col("q.scale").as("scale"),
+          SimilarityOps.dequantizeInt8(col("q")).as("vhat"), col("v"))
+          .select(col("vec_id"),
+            size(col("vhat")).as("dim"),
+            aggregate(zip_with(col("v"), col("vhat"), (x, y) => abs(x - y)),
+              lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"),
+            (col("scale") / 2 + 1e-12).as("err_bound"))
+          .withColumn("within_bound", (col("max_err") <= col("err_bound")).cast("int"))
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // LSH-bucketed ANN — the scale path (bucket join instead of cross
     // join). Plane projections are float-order-sensitive ⇒ not oracled;
     // recall vs bruteTopK is asserted in SimilaritySpec.

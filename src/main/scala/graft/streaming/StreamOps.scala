@@ -165,6 +165,73 @@ object StreamOps {
       }
   }
 
+  /** Event with a real timestamp column for watermarking (micros
+    * mirrored into `event_ts`); the streaming sessionizer's input type. */
+  case class EventT(user_id: Long, event_id: Long, tsMicros: Long,
+      value: Double, event_ts: java.sql.Timestamp)
+
+  /** STREAMING-proper sessionization: [[sessionize]] with
+    * `emitOpen = false` emits a session only when a LATER event proves
+    * the gap — the trailing session of every user stays open forever.
+    * This variant closes it with an EVENT-TIME TIMEOUT: state carries
+    * the open session plus a timeout at `lastTs + gap`; once the
+    * watermark passes it, the group fires with `hasTimedOut` and the
+    * session is emitted and cleared. Late events beyond the watermark
+    * are dropped by the engine — the same contract as every watermarked
+    * op here.
+    *
+    * State per user is O(1) (the open session triple), bounded overall
+    * by active users within the watermark horizon. The per-batch group
+    * iterator is buffered and sorted like [[sessionize]] (same
+    * `maxGroupEvents` hot-key guard).
+    */
+  def sessionizeStreaming(
+      ds: Dataset[EventT], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes",
+      maxGroupEvents: Int = 1000000): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    ds.withWatermark("event_ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[EventT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: no on-time event can extend
+            // this session any more — close and clear
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.sessionId, st.n))
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[EventT]
+            while (events.hasNext) {
+              if (buf.length >= maxGroupEvents)
+                throw new IllegalStateException(
+                  s"sessionizeStreaming: user $userId has > $maxGroupEvents " +
+                    "events in one micro-batch (hot key); raise maxGroupEvents " +
+                    "or pre-aggregate")
+              buf += events.next()
+            }
+            val sorted = buf.sortBy(e => (e.tsMicros, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (st.lastTs != Long.MinValue && e.tsMicros - st.lastTs > gapMicros) {
+                out += SessionOut(userId, st.sessionId, st.n)
+                st = SessionState(st.sessionId + 1, e.tsMicros, 1L)
+              } else {
+                st = SessionState(st.sessionId, e.tsMicros,
+                  if (st.lastTs == Long.MinValue) 1L else st.n + 1)
+              }
+            }
+            state.update(st)
+            // timeout at session end in WALL event time (ms granularity)
+            state.setTimeoutTimestamp(st.lastTs / 1000L + gapSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Spillable BATCH sessionization: identical semantics to the batch
     * path of [[sessionize]] (session ids per user start at 0; a new
     * session after a gap > `gapSeconds`; the trailing open session is

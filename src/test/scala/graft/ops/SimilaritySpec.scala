@@ -127,4 +127,55 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.map(p => (p._1, p._2)).toSet
       .subsetOf(all.map(p => (p._1, p._2)).toSet))
   }
+
+  test("int8 quantization: error bound holds, codes span the byte range, zeros round-trip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", SimilarityOps.asDouble($"embedding").as("v"))
+    val q = emb.withColumn("q", SimilarityOps.quantizeInt8($"v"))
+      .withColumn("vhat", SimilarityOps.dequantizeInt8($"q"))
+    // per-component |x - x̂| ≤ scale/2 (+ fp eps), every vector
+    val viol = q.select(
+      aggregate(zip_with($"v", $"vhat", (x, y) => abs(x - y)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"),
+      ($"q.scale" / 2 + 1e-12).as("bound"))
+      .filter($"max_err" > $"bound").count()
+    assert(viol == 0)
+    // the max-|x| component quantizes to exactly ±127 (scale definition)
+    val maxCode = q.select(
+      aggregate(transform($"q.codes", c => abs(c.cast("int"))),
+        lit(0), (a, b) => greatest(a, b)).as("m"))
+    assert(maxCode.filter($"m" =!= 127).count() == 0)
+    // cosine is essentially preserved
+    val minCos = q.select(SimilarityOps.cosine($"v", $"vhat").as("c"))
+      .agg(min($"c")).head().getDouble(0)
+    assert(minCos > 0.999, s"min cosine after quantization $minCos")
+    // all-zero vector: scale 0, zero codes, zero reconstruction
+    val z = Seq(Tuple1(Seq(0.0, 0.0, 0.0))).toDF("v")
+      .withColumn("q", SimilarityOps.quantizeInt8($"v"))
+      .withColumn("vhat", SimilarityOps.dequantizeInt8($"q"))
+      .select($"q.scale", $"vhat").head()
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("int8-quantized top-k matches full-precision top-k (recall@10 = 1 on sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", SimilarityOps.asDouble($"embedding").as("v"))
+    val deq = emb.withColumn("vhat",
+      SimilarityOps.dequantizeInt8(SimilarityOps.quantizeInt8($"v")))
+    val qs = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"v".as("qvec"))
+    val full = SimilarityOps.bruteTopK(
+      qs, emb.select($"vec_id".as("cid"), $"v".as("cvec")), 10,
+      cId = "cid", cVec = "cvec")
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+    val quant = SimilarityOps.bruteTopK(
+      qs, deq.select($"vec_id".as("cid"), $"vhat".as("cvec")), 10,
+      cId = "cid", cVec = "cvec")
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = full.keys.map { k =>
+      val f = full(k).map(_._2).toSet; val g = quant(k).map(_._2).toSet
+      f.intersect(g).size.toDouble / f.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 after int8 quantization = $mean")
+  }
 }

@@ -147,6 +147,40 @@ class StreamingSpec extends SparkSpec {
     assert(sorted.nonEmpty)
   }
 
+  test("sessionizeStreaming closes the trailing session via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(uid: Long, eid: Long, sec: Long) =
+      StreamOps.EventT(uid, eid, sec * 1000000L, 1.0, new java.sql.Timestamp(sec * 1000L))
+    val ms = MemoryStream[StreamOps.EventT]
+    // 30-min gap, 1-min watermark delay
+    val sessions = StreamOps.sessionizeStreaming(ms.toDS(), gapSeconds = 1800,
+      watermarkDelay = "1 minute")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      // batch 1: user 1 has a 3-event session ending at t=1600s (offset
+      // from epoch — the initial watermark is 0 and an event AT the
+      // watermark is dropped as late)
+      ms.addData(ev(1L, 1L, 1000L), ev(1L, 2L, 1300L), ev(1L, 3L, 1600L))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").count() == 0,
+        "open session must NOT be emitted while it could still grow")
+      // batch 2: an unrelated user far in the future pushes the watermark
+      // past 1600s + gap + delay → user 1's session can no longer grow
+      ms.addData(ev(2L, 9L, 10000L))
+      q.processAllAvailable()
+      // batch 3: timeout fires on the micro-batch AFTER the watermark moved
+      ms.addData(ev(2L, 10L, 10001L))
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .as[StreamOps.SessionOut].collect().toSet
+      assert(got.contains(StreamOps.SessionOut(1L, 0L, 3L)),
+        s"expected user 1's closed 3-event session, got $got")
+      // user 2's session is still open (watermark has not passed its end)
+      assert(!got.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
     // the streaming-native form of the reference's monthly scheduled job:
     // process everything currently available, then terminate
