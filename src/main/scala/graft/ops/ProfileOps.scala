@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Data-quality profiling for pipeline gates (north-star extension): the
+  * pre-training sanity pass every large corpus goes through — null
+  * rates, cardinalities, ranges, means — computed in ONE scan, shaped
+  * for dashboards and drift alerts.
+  */
+object ProfileOps {
+
+  /** Per-column stats for numeric columns, one row per column:
+    * (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val,
+    * mean_val). Single pass over the data: one wide aggregate, then an
+    * explode of per-column structs — NOT an aggregate-per-column union,
+    * which would scan a 100 TB table once per column.
+    *
+    * n_distinct is EXACT (oracle-comparable). Multiple exact distinct
+    * aggregates make Catalyst plan an Expand (input replicated per
+    * distinct column) — the honest cost of exactness; swap in
+    * `approx_count_distinct` for the cheap variant when profiling truly
+    * wide tables. The mean goes through a decimal accumulator so the
+    * result is partitioning-independent (hash-stable on any cluster).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    def a(c: String, suffix: String): String = s"__${c}_$suffix"
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(a(c, "rows")),
+        count(col(c)).as(a(c, "nonnull")),
+        countDistinct(col(c)).as(a(c, "distinct")),
+        min(col(c)).cast(DoubleType).as(a(c, "min")),
+        max(col(c)).cast(DoubleType).as(a(c, "max")),
+        (sum(col(c).cast(DecimalType(28, 6))).cast(DoubleType) /
+          count(col(c))).as(a(c, "mean")))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(a(c, "rows")).as("n_rows"),
+      col(a(c, "nonnull")).as("n_nonnull"),
+      col(a(c, "distinct")).as("n_distinct"),
+      col(a(c, "min")).as("min_val"),
+      col(a(c, "max")).as("max_val"),
+      col(a(c, "mean")).as("mean_val"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Winsorize: clamp a numeric column to its [pLo, pHi] exact
+    * percentiles — outlier clipping before normalization/training. The
+    * percentile pass aggregates to ONE broadcast row; the clamp is a
+    * per-row expression — two scans, no shuffle of the data itself, no
+    * single-partition window (the naive `percentile().over()` form
+    * funnels the whole table through one task). */
+  def winsorize(
+      df: DataFrame, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      outCol: String = "clipped"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"invalid percentile range [$pLo, $pHi]")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, MultimodalOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, MultimodalOps, ProfileOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -1396,6 +1396,58 @@ object Catalog {
         .select(col("doc_id"))
         .orderBy(col("doc_id")),
       None),
+
+    // ---------------------------------------------------------- profiling
+    // One-scan numeric column profiling (nulls / cardinality / range /
+    // decimal-stable mean) — the data-quality gate a training corpus
+    // passes before anything else runs. Exact distinct counts keep it
+    // oracle-comparable.
+    "profile_numeric" -> QuerySpec(
+      (s, d) => ProfileOps.profileNumeric(
+        t(s, d, "lineitem"), Seq("l_discount", "l_quantity", "l_tax")),
+      Some("""SELECT * FROM (
+             |  SELECT 'l_discount' AS col_name, count(*) AS n_rows,
+             |    count(l_discount) AS n_nonnull,
+             |    count(DISTINCT l_discount) AS n_distinct,
+             |    CAST(MIN(l_discount) AS DOUBLE) AS min_val,
+             |    CAST(MAX(l_discount) AS DOUBLE) AS max_val,
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+             |      / count(l_discount) AS mean_val
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(*), count(l_quantity),
+             |    count(DISTINCT l_quantity),
+             |    CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             |      / count(l_quantity)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax', count(*), count(l_tax), count(DISTINCT l_tax),
+             |    CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+             |    CAST(SUM(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE)
+             |      / count(l_tax)
+             |  FROM lineitem
+             |) ORDER BY col_name""".stripMargin)),
+
+    // Winsorization (outlier clipping to exact [p01, p99]): percentile
+    // pass → one broadcast row → per-row clamp. Exact-percentile parity
+    // with quantile_cont is already pinned by fn_percentile.
+    "prep_winsorize" -> QuerySpec(
+      (s, d) => ProfileOps.winsorize(
+        t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""WITH src AS (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice
+             |  FROM lineitem WHERE l_orderkey < 2000),
+             |p AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             |             quantile_cont(l_extendedprice, 0.99) AS hi
+             |      FROM src)
+             |SELECT l_orderkey, l_linenumber,
+             |  LEAST(GREATEST(l_extendedprice, p.lo), p.hi) AS clipped
+             |FROM src, p ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Approximate percentile (GK sketch) — mergeable partial aggregation,
     // the at-scale twin of fn_percentile's exact sort. Approx by
