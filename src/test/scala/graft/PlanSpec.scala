@@ -81,6 +81,32 @@ class PlanSpec extends SparkSpec {
     assert(joined.collect().toSeq == expected)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // the other half of the skew story (Joins.saltedJoin is the manual
+    // lever): AQE detects an oversized join partition at runtime and
+    // splits it. Thresholds forced down because test data is KB-sized.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // 90% of the left side lands on one key
+    val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "payload")
+    val dim = (1 to 20000).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    val joined = big.join(dim, "k")
+    // materialize THIS plan object so AQE finalizes it (count() would
+    // execute a different QueryExecution)
+    assert(joined.collect().length == 20000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE to mark the skewed join (skew=true):\n${plan.take(4000)}")
+  }
+
   test("plan audit: every query key plans without CartesianProduct; BNLJ only where intended") {
     // the r1 close-out audit (BASELINE.md §4), promoted to a permanent
     // regression gate: a key that silently degrades to an unhinted
@@ -90,7 +116,8 @@ class PlanSpec extends SparkSpec {
       "sim_topk_cosine",       // brute-force scoring vs broadcast query set
       "fn_levenshtein",        // bounded pair enumeration (doc_id < 20)
       "dedup_embedding_cosine", // bounded all-pairs twin (vec_id < 100)
-      "text_tfidf_top_term")   // 1-row doc-count scalar broadcast
+      "text_tfidf_top_term",   // 1-row doc-count scalar broadcast
+      "prep_winsorize")        // 1-row percentile-bounds scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
