@@ -23,6 +23,23 @@ object DedupOps {
     * magnitude near the cap. */
   val DefaultMaxBucketPairs: Long = 250000L
 
+  /** Largest bucket doc count whose pair count n·(n-1)/2 stays within
+    * `maxPairs` — computed ON THE DRIVER in exact BigInt arithmetic, so
+    * the per-bucket filter compares plain counts and cannot overflow:
+    * an in-plan `_bn * (_bn - 1) / 2` wraps negative past ~3e9 docs
+    * (or throws under ANSI), silently ADMITTING the most degenerate
+    * buckets — the exact case the cap exists for. */
+  private[ops] def maxDocsForPairBudget(maxPairs: Long): Long = {
+    require(maxPairs >= 0, s"pair budget must be non-negative, got $maxPairs")
+    // floor((1 + sqrt(1 + 8B)) / 2); verify exactly with BigInt and
+    // correct any sqrt rounding drift
+    var n = ((1.0 + math.sqrt(1.0 + 8.0 * maxPairs.toDouble)) / 2.0).toLong
+    def pairs(k: Long): BigInt = BigInt(k) * (k - 1) / 2
+    while (pairs(n) > maxPairs) n -= 1
+    while (pairs(n + 1) <= maxPairs) n += 1
+    n
+  }
+
   /** Exact dedup: keep one deterministic winner (min tieBreaker) per key.
     * `dropDuplicates` keeps an arbitrary row — unacceptable for
     * reproducible pipelines, so this is a window + row_number instead. */
@@ -142,9 +159,10 @@ object DedupOps {
     // no single task ever buffers the hot bucket) and is tiny by
     // construction, so it broadcasts: the anti join prunes `banded`
     // WITHOUT shuffling it.
+    val maxBucketDocs = maxDocsForPairBudget(maxBucketPairs)
     val degenerate = banded.groupBy(col("band_hash"))
       .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") * (col("_bn") - 1) / 2 > maxBucketPairs)
+      .filter(col("_bn") > maxBucketDocs) // doc threshold ⇔ pair budget, overflow-proof
       .select(col("band_hash"))
     val pruned = banded.join(broadcast(degenerate), Seq("band_hash"), "left_anti")
     val cand = pruned.as("a").join(pruned.as("b"), Seq("band_hash"))
@@ -282,9 +300,10 @@ object DedupOps {
     // partial-agg the tiny degenerate-token set (map-side combine absorbs
     // hot tokens), broadcast it, anti-join without shuffling the token
     // stream
+    val maxBucketDocs = maxDocsForPairBudget(maxBucketPairs)
     val stopTokens = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("_tn"))
-      .filter(col("_tn") * (col("_tn") - 1) / 2 > maxBucketPairs)
+      .filter(col("_tn") > maxBucketDocs) // doc threshold ⇔ pair budget, overflow-proof
       .select(col("tok"))
     val rare = toks.join(broadcast(stopTokens), Seq("tok"), "left_anti")
     val inter = rare.as("a").join(rare.as("b"), Seq("tok"))

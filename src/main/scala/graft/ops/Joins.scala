@@ -75,27 +75,45 @@ object Joins {
     * drop from |L|·|R| to pairs sharing a bucket. Pick `bucketWidth`
     * near the typical interval span — spans ≫ bucketWidth inflate the
     * explode, spans ≪ bucketWidth inflate the residual filter.
-    * Degenerate/unbounded intervals (null or lo > hi) match nothing, as
-    * in SQL BETWEEN. All columns must be long-valued (cast dates to
-    * days / timestamps to epoch first — exact integer bucketing; double
-    * buckets would split on FP rounding).
+    * Degenerate intervals (null bound or lo > hi) match nothing, as in
+    * SQL BETWEEN. An interval spanning more than `maxBucketsPerInterval`
+    * buckets fails the job IN-PLAN with a diagnostic instead of silently
+    * exploding: one open-ended sentinel row (the SCD-2
+    * `valid_to = 9999-12-31` shape) would otherwise fan out into
+    * millions of bucket rows per interval — clamp sentinel bounds to the
+    * point domain or raise the cap deliberately. All columns must be
+    * long-valued (cast dates to days / timestamps to epoch first —
+    * exact integer bucketing; double buckets would split on FP
+    * rounding).
     */
   def rangeJoin(
       left: DataFrame, right: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
-      bucketWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+      bucketWidth: Long, equiKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     // exact floor division, negatives included: subtract the non-negative
     // pmod first, so the double division is over an exact multiple of the
     // width (integral result, exact for any realistic bucket count)
     def bucketOf(c: Column): Column =
       ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
     val l = left.withColumn("_rb", bucketOf(col(pointCol)))
+    val loB = bucketOf(col(loCol))
+    val hiB = bucketOf(col(hiCol))
+    // per-row guard costs nothing on healthy rows (when() short-circuits)
+    val guarded = when(hiB - loB + 1 > maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval " +
+          s"buckets of width $bucketWidth ([" ), col(loCol), lit(", "),
+        col(hiCol),
+        lit("]); clamp sentinel/open-ended bounds to the point domain, " +
+          "widen bucketWidth, or raise maxBucketsPerInterval"))))
+      .otherwise(sequence(loB, hiB))
     val r = right
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
-      .withColumn("_rb",
-        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+      .withColumn("_rb", explode(guarded))
     l.join(r, equiKeys :+ "_rb", "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_rb")

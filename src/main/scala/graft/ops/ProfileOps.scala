@@ -34,7 +34,12 @@ object ProfileOps {
         countDistinct(col(c)).as(a(c, "distinct")),
         min(col(c)).cast(DoubleType).as(a(c, "min")),
         max(col(c)).cast(DoubleType).as(a(c, "max")),
-        (sum(col(c).cast(DecimalType(28, 6))).cast(DoubleType) /
+        // DECIMAL(38,6): per-value range ±1e31 — wide enough that even
+        // corrupt sentinels (1e30-ish, exactly what a profiling gate
+        // must surface rather than choke on) sum without overflow;
+        // a narrower decimal would null them out of the sum (skewing
+        // the mean silently) or throw under ANSI
+        (sum(col(c).cast(DecimalType(38, 6))).cast(DoubleType) /
           count(col(c))).as(a(c, "mean")))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
@@ -62,12 +67,19 @@ object ProfileOps {
       outCol: String = "clipped"): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
       s"invalid percentile range [$pLo, $pHi]")
+    // backtick-quote the interpolated name (escaping embedded backticks)
+    // so names with dashes/spaces parse and nothing can splice SQL
+    val q = "`" + valueCol.replace("`", "``") + "`"
     val bounds = df.agg(
-      expr(s"percentile($valueCol, $pLo)").as("__lo"),
-      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+      expr(s"percentile($q, $pLo)").as("__lo"),
+      expr(s"percentile($q, $pHi)").as("__hi"))
     df.crossJoin(broadcast(bounds))
+      // greatest/least SKIP nulls, so an unguarded clamp would turn a
+      // NULL measurement into the low bound — fabricating data exactly
+      // where there is none; NULL must stay NULL
       .withColumn(outCol,
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

@@ -50,16 +50,25 @@ object Secrets {
   /** Secrets mounted as files, one per name under `dir` (the
     * Kubernetes-style secret volume layout). Trailing newlines — the
     * usual artifact of `echo key > file` — are stripped; interior
-    * whitespace is preserved. Unreadable/missing files are None. */
+    * whitespace is preserved. Unreadable/missing files are None.
+    * Secret names are simple filenames by contract: a name containing a
+    * path separator (or `..`) could traverse OUT of the secrets volume
+    * and read arbitrary files as "secrets", so such names resolve to
+    * None rather than a path. */
   def fileProvider(dir: String): Provider = name => {
-    val f = new java.io.File(dir, name)
-    if (!f.isFile) None
-    else
-      try {
-        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .replaceAll("[\r\n]+$", ""))
-      } catch { case _: java.io.IOException => None }
+    val traversal = name.contains('/') || name.contains('\\') ||
+      name == ".." || name == "." || name.isEmpty
+    if (traversal) None
+    else {
+      val f = new java.io.File(dir, name)
+      if (!f.isFile) None
+      else
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            .replaceAll("[\r\n]+$", ""))
+        } catch { case _: java.io.IOException => None }
+    }
   }
 
   /** First provider that yields a non-empty payload wins. */
@@ -100,8 +109,12 @@ object Secrets {
       fieldNames: Seq[String] = DefaultFieldNames): Option[String] =
     provider(name).flatMap(resolveValue(name, _, fieldNames))
 
-  /** Log-safe rendering: never emit a secret into logs/plans. */
+  /** Log-safe rendering: never emit a secret into logs/plans. Values of
+    * 12 characters or fewer are fully masked — showing edge characters
+    * of a short token (a PIN, a 8-char key) leaves almost nothing to
+    * brute-force; edges are only revealed when they are a negligible
+    * fraction of the secret's entropy. */
   def redact(value: String): String =
-    if (value == null || value.length <= 4) "****"
+    if (value == null || value.length <= 12) "****"
     else value.take(2) + "*" * (value.length - 4) + value.takeRight(2)
 }

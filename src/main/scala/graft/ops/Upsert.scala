@@ -28,10 +28,21 @@ object Upsert {
     * `batch` are replaced by the batch rows. Idempotent by construction:
     * merge(merge(t, b), b) == merge(t, b).
     */
+  /** Null-safe anti join on the key tuple: a plain `keys`-sequence anti
+    * join uses `=`, whose NULL comparison is NULL — a null-keyed target
+    * row would never match its null-keyed replacement and would survive
+    * ALONGSIDE it, silently duplicating the key and breaking
+    * idempotency. `<=>` (EqualNullSafe) still plans as a hash join. */
+  private def antiOnKeys(
+      target: DataFrame, changeKeys: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => target(k) <=> changeKeys(k)).reduce(_ && _)
+    target.join(changeKeys, cond, "left_anti")
+  }
+
   def merge(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "merge keys must be non-empty")
     val keyOnly = batch.select(keys.map(col): _*).distinct()
-    target.join(keyOnly, keys, "left_anti").unionByName(batch)
+    antiOnKeys(target, keyOnly, keys).unionByName(batch)
   }
 
   /** CDC MERGE: apply a change batch carrying an op column
@@ -65,8 +76,8 @@ object Upsert {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    val surviving = target.join(
-      guarded.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val surviving =
+      antiOnKeys(target, guarded.select(keys.map(col): _*).distinct(), keys)
     surviving.unionByName(latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
   }
 

@@ -1411,20 +1411,20 @@ object Catalog {
              |    count(DISTINCT l_discount) AS n_distinct,
              |    CAST(MIN(l_discount) AS DOUBLE) AS min_val,
              |    CAST(MAX(l_discount) AS DOUBLE) AS max_val,
-             |    CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
              |      / count(l_discount) AS mean_val
              |  FROM lineitem
              |  UNION ALL
              |  SELECT 'l_quantity', count(*), count(l_quantity),
              |    count(DISTINCT l_quantity),
              |    CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
-             |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
              |      / count(l_quantity)
              |  FROM lineitem
              |  UNION ALL
              |  SELECT 'l_tax', count(*), count(l_tax), count(DISTINCT l_tax),
              |    CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
-             |    CAST(SUM(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE)
+             |    CAST(SUM(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE)
              |      / count(l_tax)
              |  FROM lineitem
              |) ORDER BY col_name""".stripMargin)),

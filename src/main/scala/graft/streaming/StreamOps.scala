@@ -181,9 +181,22 @@ object StreamOps {
     * op here.
     *
     * State per user is O(1) (the open session triple), bounded overall
-    * by active users within the watermark horizon. The per-batch group
+    * by active users within the watermark horizon plus a bounded
+    * tombstone tail: after a session times out the state is KEPT as a
+    * zero-count tombstone for ~30 more gaps so a returning user's
+    * session ids continue instead of restarting at 0 (which would emit
+    * duplicate (user_id, session_id) keys downstream); the tombstone's
+    * own timeout then removes the state entirely. The per-batch group
     * iterator is buffered and sorted like [[sessionize]] (same
     * `maxGroupEvents` hot-key guard).
+    *
+    * Ordering contract: events within one micro-batch are sorted before
+    * processing. ACROSS batches, an admitted-but-late event older than
+    * the open session's end merges into it (count only — the session
+    * end never regresses) when it lies within `gap` of that end;
+    * anything older cannot be attributed (its session may already have
+    * been emitted) and is counted nowhere. Streams that deliver in
+    * order per key match the batch twin exactly.
     */
   def sessionizeStreaming(
       ds: Dataset[EventT], gapSeconds: Long,
@@ -191,17 +204,24 @@ object StreamOps {
       maxGroupEvents: Int = 1000000): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
+    val gcDelayMs = 30L * gapSeconds * 1000L // tombstone lifetime
     ds.withWatermark("event_ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, events: Iterator[EventT], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastTs + gap: no on-time event can extend
-            // this session any more — close and clear
             val st = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, st.sessionId, st.n))
+            if (st.n > 0L) {
+              // watermark passed lastTs + gap: close the session, keep a
+              // tombstone carrying the next session id; GC it later
+              state.update(SessionState(st.sessionId + 1, st.lastTs, 0L))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gcDelayMs)
+              Iterator.single(SessionOut(userId, st.sessionId, st.n))
+            } else {
+              state.remove() // tombstone expired: user idle past the GC horizon
+              Iterator.empty
+            }
           } else {
             val buf = scala.collection.mutable.ArrayBuffer.empty[EventT]
             while (events.hasNext) {
@@ -216,17 +236,32 @@ object StreamOps {
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { e =>
-              if (st.lastTs != Long.MinValue && e.tsMicros - st.lastTs > gapMicros) {
-                out += SessionOut(userId, st.sessionId, st.n)
-                st = SessionState(st.sessionId + 1, e.tsMicros, 1L)
-              } else {
-                st = SessionState(st.sessionId, e.tsMicros,
-                  if (st.lastTs == Long.MinValue) 1L else st.n + 1)
+              if (st.n == 0L) {
+                // fresh user or tombstone: open a session, ids continue
+                st = SessionState(st.sessionId, e.tsMicros, 1L)
+              } else if (e.tsMicros >= st.lastTs) {
+                if (e.tsMicros - st.lastTs > gapMicros) {
+                  out += SessionOut(userId, st.sessionId, st.n)
+                  st = SessionState(st.sessionId + 1, e.tsMicros, 1L)
+                } else {
+                  st = SessionState(st.sessionId, e.tsMicros, st.n + 1)
+                }
+              } else if (st.lastTs - e.tsMicros <= gapMicros) {
+                // cross-batch late event within gap of the session end:
+                // merge by count; the end must NOT regress (a regressed
+                // end would shift the timeout and future gap decisions)
+                st = SessionState(st.sessionId, st.lastTs, st.n + 1)
               }
+              // else: older than gap before the open session — dropped
+              // (its session may already be closed and emitted)
             }
             state.update(st)
-            // timeout at session end in WALL event time (ms granularity)
-            state.setTimeoutTimestamp(st.lastTs / 1000L + gapSeconds * 1000L)
+            // timeout at session end in WALL event time (ms granularity);
+            // floor it above the current watermark — Spark rejects
+            // timeout timestamps at or below it
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
             out.iterator
           }
       }

@@ -92,6 +92,24 @@ class JoinsSpec extends SparkSpec {
     assert(out == Set((1L, 10L)))
   }
 
+  test("rangeJoin fails fast on sentinel intervals instead of exploding") {
+    // the SCD-2 shape: one open-ended interval would fan into millions
+    // of bucket rows — the in-plan guard must raise with a diagnostic
+    val points = Seq((1L, 100L)).toDF("pid", "p")
+    val sentinel = Seq((1L, 0L, 253402300800L)).toDF("iid", "lo", "hi") // year 9999 epoch-secs
+    val e = intercept[Exception] {
+      Joins.rangeJoin(points, sentinel, "p", "lo", "hi", bucketWidth = 3600).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxBucketsPerInterval")), msgs(e).mkString("|"))
+    // the fix the diagnostic suggests — a bucketWidth matched to the
+    // span — admits the same interval under the default cap
+    val ok = Joins.rangeJoin(points, sentinel, "p", "lo", "hi",
+      bucketWidth = 100000000L)
+    assert(ok.count() == 1)
+  }
+
   test("rangeJoin plans as an equi join: no nested-loop or cartesian operator") {
     val points = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("pid", "p")
     val ivals = (1 to 10).map(i => (i.toLong, i * 10L, i * 10L + 5L)).toDF("iid", "lo", "hi")

@@ -49,4 +49,30 @@ class ProfileOpsSpec extends SparkSpec {
       ProfileOps.winsorize(df, "v", pLo = 0.9, pHi = 0.1)
     }
   }
+
+  test("winsorize preserves NULL (must not fabricate the low bound for missing data)") {
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(1000.0)), (4L, Some(50.0)))
+      .toDF("id", "v")
+    val out = ProfileOps.winsorize(df, "v", pLo = 0.0, pHi = 1.0)
+      .select($"id", $"clipped").as[(Long, Option[Double])].collect().toMap
+    assert(out(2L) == None, s"null must stay null, got ${out(2L)}")
+    assert(out(1L) == Some(10.0) && out(3L) == Some(1000.0))
+  }
+
+  test("winsorize handles column names that need quoting") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("unit-price")
+    val out = ProfileOps.winsorize(df, "unit-price", pLo = 0.0, pHi = 1.0)
+    assert(out.select($"clipped").as[Double].collect().sorted.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("profileNumeric mean survives corrupt-sentinel magnitudes (1e30)") {
+    val df = Seq(1.0, 2.0, 1e30).toDF("x")
+    val p = ProfileOps.profileNumeric(df, Seq("x"))
+      .select($"n_nonnull", $"max_val", $"mean_val")
+      .as[(Long, Double, Double)].head()
+    assert(p._1 == 3 && p._2 == 1e30)
+    // the sentinel must DOMINATE the mean (not be silently nulled out of
+    // the sum while still counted)
+    assert(p._3 > 1e29, s"mean ${p._3} lost the sentinel value")
+  }
 }

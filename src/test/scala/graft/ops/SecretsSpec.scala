@@ -62,9 +62,23 @@ class SecretsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.secret.TOKEN")
   }
 
-  test("redact never reveals more than the edges") {
+  test("redact fully masks short secrets, reveals only edges of long ones") {
     assert(Secrets.redact("abcd") == "****")
-    assert(Secrets.redact("abcdefgh") == "ab****gh")
+    assert(Secrets.redact("abcdefgh") == "****") // ≤12 chars: nothing leaks
+    assert(Secrets.redact("123456789012") == "****")
+    assert(Secrets.redact("super-secret-token") == "su**************en")
     assert(!Secrets.redact("super-secret-token").contains("secret"))
+  }
+
+  test("fileProvider refuses path-traversal names") {
+    val dir = java.nio.file.Files.createTempDirectory("sec_trav").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "OK").toPath,
+      "fine".getBytes("UTF-8"))
+    val outside = java.nio.file.Files.createTempFile("outside", ".txt")
+    java.nio.file.Files.write(outside, "leaked".getBytes("UTF-8"))
+    val p = Secrets.fileProvider(dir.getAbsolutePath)
+    assert(p("OK") == Some("fine"))
+    assert(p("../" + outside.getFileName.toString) == None)
+    assert(p("..") == None && p("a/b") == None && p("a\\b") == None && p("") == None)
   }
 }

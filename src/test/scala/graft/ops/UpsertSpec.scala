@@ -68,6 +68,24 @@ class UpsertSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("unknown op")), msgs(e).mkString("|"))
   }
 
+  test("merge and applyChanges treat NULL keys null-safely (no silent duplication)") {
+    val target = Seq((Some(1L), "a"), (None: Option[Long], "old")).toDF("k", "v")
+    // merge: the null-keyed batch row must REPLACE the null-keyed target row
+    val batch = Seq((None: Option[Long], "new")).toDF("k", "v")
+    val merged = Upsert.merge(target, batch, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(merged == Set((Some(1L), "a"), (None, "new")), merged.toString)
+    // applyChanges: null-key update replaces; null-key delete removes
+    val upd = Seq((None: Option[Long], "upd", "U", 1L)).toDF("k", "v", "op", "seq")
+    val afterU = Upsert.applyChanges(target, upd, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(afterU == Set((Some(1L), "a"), (None, "upd")), afterU.toString)
+    val del = Seq((None: Option[Long], null: String, "D", 1L)).toDF("k", "v", "op", "seq")
+    val afterD = Upsert.applyChanges(target, del, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(afterD == Set((Some(1L), "a")), afterD.toString)
+  }
+
   test("upsertIntoPath rewrites only affected partitions") {
     val dir = Files.createTempDirectory("upsert").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))

@@ -181,6 +181,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming: session ids continue after a timeout; late events merge or drop") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(uid: Long, eid: Long, sec: Long) =
+      StreamOps.EventT(uid, eid, sec * 1000000L, 1.0, new java.sql.Timestamp(sec * 1000L))
+    val ms = MemoryStream[StreamOps.EventT]
+    val sessions = StreamOps.sessionizeStreaming(ms.toDS(), gapSeconds = 300,
+      watermarkDelay = "2 hours") // wide watermark: late events stay admitted
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ss_cont").start()
+    try {
+      // batch 1: user 1 session [1000..1100] (2 events)
+      ms.addData(ev(1L, 1L, 1000L), ev(1L, 2L, 1100L))
+      q.processAllAvailable()
+      // batch 2: a cross-batch late event INSIDE the gap of the open
+      // session's end (1100-200=900) merges by count; one older than the
+      // gap (500) is dropped — and neither may regress the session end
+      ms.addData(ev(1L, 3L, 900L), ev(1L, 4L, 500L))
+      q.processAllAvailable()
+      // batch 3: far-future user advances the watermark beyond
+      // 1100 + gap + delay → user 1's session times out
+      ms.addData(ev(2L, 8L, 20000L))
+      q.processAllAvailable()
+      ms.addData(ev(2L, 9L, 20001L))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("ss_cont").as[StreamOps.SessionOut].collect().toSet
+      // merged late event counted (3 events), dropped one not
+      assert(afterTimeout.contains(StreamOps.SessionOut(1L, 0L, 3L)),
+        s"expected session 0 with 3 events, got $afterTimeout")
+      // batch 5: user 1 RETURNS; two in-batch events split by > gap so the
+      // first new session closes immediately — its id must be 1, not 0
+      ms.addData(ev(1L, 5L, 21000L), ev(1L, 6L, 22000L))
+      q.processAllAvailable()
+      val finalOut = spark.table("ss_cont").as[StreamOps.SessionOut].collect().toSet
+      assert(finalOut.contains(StreamOps.SessionOut(1L, 1L, 1L)),
+        s"returning user must continue at session id 1, got $finalOut")
+      assert(!finalOut.exists(s => s.user_id == 1L && s.session_id == 0L && s.n_events != 3L),
+        s"session id 0 must not be reused: $finalOut")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
     // the streaming-native form of the reference's monthly scheduled job:
     // process everything currently available, then terminate
