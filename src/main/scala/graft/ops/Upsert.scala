@@ -107,6 +107,72 @@ object Upsert {
     }
   }
 
+  /** Result of a [[compactPartitions]] pass. */
+  final case class CompactionStats(
+      partitionsCompacted: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Small-file compaction for a partitioned parquet table — the
+    * standing maintenance job of any incrementally-upserted table:
+    * every upsert batch rewrites its partitions with batch-sized files,
+    * and a year of daily batches leaves thousands of KB-sized files
+    * whose open/footer overhead dominates scans at 100 TB.
+    *
+    * Partitions whose files number more than one AND average below
+    * `smallFileBytes` are rewritten into ceil(partitionBytes /
+    * targetFileBytes) files (≥1) via dynamic partition overwrite;
+    * healthy partitions are NOT touched (their files stay
+    * byte-identical — asserted in UpsertSpec). File listing is a
+    * driver-side metadata walk bounded by partition/file count, same
+    * budget class as `upsertIntoPath`'s partition discovery; the data
+    * itself moves through one distributed read→write per compacted
+    * partition set, never `collect()`ed.
+    *
+    * Restrictions: `partitionCols` must name every partition level of
+    * the table (nested layouts list one dir per leaf partition), and
+    * partition VALUES must round-trip through their directory names
+    * (strings without Hive-escaped characters, ints, dates — not
+    * timestamps; same contract as `upsertIntoPath`'s partition tuples). */
+  def compactPartitions(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 32L * 1024 * 1024): CompactionStats = {
+    require(partitionCols.nonEmpty, "compactPartitions needs partition columns")
+    require(targetFileBytes > 0 && smallFileBytes > 0, "byte thresholds must be positive")
+    val root = new java.io.File(path)
+    // leaf partition dirs: depth == partitionCols.length below root
+    def leaves(dir: java.io.File, depth: Int): Seq[java.io.File] =
+      if (depth == 0) Seq(dir)
+      else Option(dir.listFiles).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .flatMap(leaves(_, depth - 1))
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val parts = leaves(root, partitionCols.length).map(d => d -> dataFiles(d))
+    val small = parts.filter { case (_, fs) =>
+      fs.length > 1 && fs.map(_.length).sum / fs.length < smallFileBytes
+    }
+    val filesBefore = parts.map(_._2.length).sum
+    if (small.isEmpty) return CompactionStats(0, filesBefore, filesBefore)
+    // read ONLY the affected partitions (partition pruning on the
+    // partition-col filter), coalesce to the target file count, rewrite
+    // those partitions in place
+    val full = spark.read.parquet(path)
+    val affectedPred = small.map { case (dir, _) =>
+      // dir path carries k=v segments for each level
+      val kvs = dir.getAbsolutePath.stripPrefix(root.getAbsolutePath)
+        .split(java.io.File.separatorChar).filter(_.contains("="))
+        .map { seg => val Array(k, v) = seg.split("=", 2); (k, v) }
+      kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    }.reduce(_ || _)
+    val affected = full.filter(affectedPred)
+    val bytes = small.map(_._2.map(_.length).sum).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    writePartitioned(affected.repartition(nFiles), path, partitionCols)
+    val after = leaves(root, partitionCols.length).map(d => dataFiles(d).length).sum
+    CompactionStats(small.length, filesBefore, after)
+  }
+
   /** Bucketed managed table (catalog sink): co-locates rows by hash of
     * `bucketCols` at write time, so joins and aggregations keyed on the
     * bucket columns skip their shuffle entirely (asserted in

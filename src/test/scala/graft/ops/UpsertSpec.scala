@@ -173,6 +173,40 @@ class UpsertSpec extends SparkSpec {
       "emptied null-partition directory must be removed")
   }
 
+  test("compactPartitions merges small files, leaves healthy partitions byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toFile.getAbsolutePath
+    // partition g=a: 8 tiny files (fragmented by an artificial repartition);
+    // partition g=b: 1 file (healthy — must not be rewritten)
+    val a = (1 to 400).map(i => ("a", i.toLong, s"payload_$i")).toDF("g", "id", "v")
+    val b = (1 to 400).map(i => ("b", i.toLong, s"payload_$i")).toDF("g", "id", "v")
+    Upsert.writePartitioned(a.repartition(8), dir, Seq("g"))
+    Upsert.writePartitioned(b.coalesce(1), dir, Seq("g"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    def files(p: String) = Option(new java.io.File(dir, p).listFiles).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files("g=a").length == 8 && files("g=b").length == 1)
+    val bBytesBefore = files("g=b").map(f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+
+    val stats = Upsert.compactPartitions(spark, dir, Seq("g"),
+      targetFileBytes = 512L * 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(stats.partitionsCompacted == 1, stats.toString)
+    assert(files("g=a").length == 1, s"expected 1 compacted file, got ${files("g=a").length}")
+    // healthy partition untouched, byte for byte
+    val bBytesAfter = files("g=b").map(f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(bBytesAfter == bBytesBefore)
+    // data identical after compaction
+    val got = spark.read.parquet(dir).as[(Long, String, String)].collect().toSet
+    val expected = (a.unionByName(b)).select($"id", $"v", $"g")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == expected)
+    // idempotent: a second pass finds nothing to do
+    val again = Upsert.compactPartitions(spark, dir, Seq("g"),
+      targetFileBytes = 512L * 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(again.partitionsCompacted == 0 && again.filesAfter == again.filesBefore)
+  }
+
   test("writePartitioned static overwrite replaces the whole table") {
     val dir = Files.createTempDirectory("static").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))
