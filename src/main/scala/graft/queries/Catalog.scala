@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, MultimodalOps, ProfileOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -1448,6 +1448,26 @@ object Catalog {
              |SELECT l_orderkey, l_linenumber,
              |  LEAST(GREATEST(l_extendedprice, p.lo), p.hi) AS clipped
              |FROM src, p ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Z-order (Morton) clustering key — exact bit interleaving, so the
+    // oracle states the same shifts/masks in SQL. The layout-locality
+    // property (second-dimension filters touch fewer files) is
+    // unit-tested in LayoutSpec; this key pins the key arithmetic.
+    "layout_zorder_key" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zOrderKey(3, col("l_linenumber"), pmod(col("l_orderkey"), lit(8)))
+            .as("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  ((( l_linenumber        >> 0) & 1) << 0) |
+             |  ((((l_orderkey % 8)     >> 0) & 1) << 1) |
+             |  ((( l_linenumber        >> 1) & 1) << 2) |
+             |  ((((l_orderkey % 8)     >> 1) & 1) << 3) |
+             |  ((( l_linenumber        >> 2) & 1) << 4) |
+             |  ((((l_orderkey % 8)     >> 2) & 1) << 5) AS zkey
+             |FROM lineitem WHERE l_orderkey < 2000
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Approximate percentile (GK sketch) — mergeable partial aggregation,
     // the at-scale twin of fn_percentile's exact sort. Approx by

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zOrderKey interleaves bits correctly (driver-checked Morton codes)") {
+    def morton(bits: Int, xs: Seq[Long]): Long = {
+      var out = 0L
+      for (b <- 0 until bits; (x, ci) <- xs.zipWithIndex)
+        out |= ((x >> b) & 1L) << (b * xs.size + ci)
+      out
+    }
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.zOrderKey(4, $"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == morton(4, Seq(x, y)), s"($x,$y) -> $z")
+    }
+    // keys are unique over the grid (bijection on the domain)
+    assert(got.map(_._3).distinct.length == pts.length)
+  }
+
+  test("zOrderKey rejects out-of-domain values in-plan") {
+    val e = intercept[Exception] {
+      Seq(1024L).toDF("x").select(Layout.zOrderKey(10, $"x")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("outside")), msgs(e).mkString("|"))
+    intercept[IllegalArgumentException] { Layout.zOrderKey(32, $"a", $"b") }
+  }
+
+  test("z-ordered layout concentrates a second-dimension filter into fewer files") {
+    // 64k points on a 256x256 grid; two layouts with the same file count:
+    // linear x-sort (perfect for x-filters, useless for y) vs z-order.
+    // A narrow y-band then lands in FEWER z-ordered files — the locality
+    // that min/max stats pruning turns into skipped I/O at scale.
+    val pts = (for (x <- 0 until 256; y <- 0 until 256) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val dirX = java.nio.file.Files.createTempDirectory("lay_x").toFile.getAbsolutePath
+    val dirZ = java.nio.file.Files.createTempDirectory("lay_z").toFile.getAbsolutePath
+    pts.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(dirX)
+    Layout.writeZOrdered(pts, dirZ, nFiles = 16, bits = 8, "x", "y")
+    def filesTouched(dir: String): Long = spark.read.parquet(dir)
+      .filter($"y" >= 100 && $"y" < 108)
+      .select(input_file_name()).distinct().count()
+    val xTouched = filesTouched(dirX)
+    val zTouched = filesTouched(dirZ)
+    // x-sorted: the y-band is spread across EVERY file; z-ordered: the
+    // band concentrates into a fraction of them
+    assert(xTouched == 16, s"x-sorted layout should spread y-matches everywhere, got $xTouched")
+    assert(zTouched <= 8, s"z-ordered layout should concentrate y-matches, got $zTouched")
+    // identical data either way
+    assert(spark.read.parquet(dirZ).count() == 65536)
+  }
+}
