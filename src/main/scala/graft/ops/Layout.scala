@@ -32,7 +32,10 @@ object Layout {
       val lc = c.cast("long")
       when(lc.isNull || lc < 0L || lc >= bound,
         raise_error(concat(
-          lit(s"zOrderKey: value "), lc,
+          lit(s"zOrderKey: value "),
+          // concat null-propagates — a bare lc would erase the whole
+          // diagnostic exactly when the offending value is NULL
+          coalesce(lc.cast("string"), lit("NULL")),
           lit(s" outside [0, $bound) — normalize/bucket the column first"))))
         .otherwise(lc)
     }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental MERGE semantics (SURVEY.md §2.10).
@@ -127,49 +127,91 @@ object Upsert {
     * itself moves through one distributed read→write per compacted
     * partition set, never `collect()`ed.
     *
-    * Restrictions: `partitionCols` must name every partition level of
-    * the table (nested layouts list one dir per leaf partition), and
-    * partition VALUES must round-trip through their directory names
-    * (strings without Hive-escaped characters, ints, dates — not
-    * timestamps; same contract as `upsertIntoPath`'s partition tuples). */
+    * Restriction: `partitionCols` must name every partition level of
+    * the table (nested layouts list one dir per leaf partition). Null
+    * partitions (`__HIVE_DEFAULT_PARTITION__`) and Hive-%-escaped
+    * directory values are handled; values whose STRING form is
+    * reinterpreted by the reader (timestamps) are not — same contract
+    * as `upsertIntoPath`'s partition tuples. */
   def compactPartitions(
       spark: SparkSession, path: String, partitionCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
       smallFileBytes: Long = 32L * 1024 * 1024): CompactionStats = {
     require(partitionCols.nonEmpty, "compactPartitions needs partition columns")
     require(targetFileBytes > 0 && smallFileBytes > 0, "byte thresholds must be positive")
-    val root = new java.io.File(path)
-    // leaf partition dirs: depth == partitionCols.length below root
-    def leaves(dir: java.io.File, depth: Int): Seq[java.io.File] =
-      if (depth == 0) Seq(dir)
-      else Option(dir.listFiles).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.contains("="))
-        .flatMap(leaves(_, depth - 1))
-    def dataFiles(dir: java.io.File): Seq[java.io.File] =
-      Option(dir.listFiles).toSeq.flatten
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val parts = leaves(root, partitionCols.length).map(d => d -> dataFiles(d))
+    // Hadoop FS, not java.io.File: the table usually lives on s3a/hdfs,
+    // where a local-File walk would silently list nothing and report
+    // the table healthy forever
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val hfs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ls(p: org.apache.hadoop.fs.Path) =
+      try hfs.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    def leaves(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else ls(p).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => leaves(s.getPath, depth - 1))
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      ls(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val parts = leaves(rootPath, partitionCols.length).map(d => d -> dataFiles(d))
     val small = parts.filter { case (_, fs) =>
-      fs.length > 1 && fs.map(_.length).sum / fs.length < smallFileBytes
+      fs.length > 1 && fs.map(_.getLen).sum / fs.length < smallFileBytes
     }
     val filesBefore = parts.map(_._2.length).sum
     if (small.isEmpty) return CompactionStats(0, filesBefore, filesBefore)
-    // read ONLY the affected partitions (partition pruning on the
-    // partition-col filter), coalesce to the target file count, rewrite
-    // those partitions in place
+
+    // decode one k=v path segment: Hive %-escapes special chars and
+    // writes nulls as __HIVE_DEFAULT_PARTITION__ (→ None)
+    def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length)
+          { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def kvsOf(dir: org.apache.hadoop.fs.Path): Seq[(String, Option[String])] = {
+      val segs = dir.toString.stripPrefix(rootPath.toString)
+        .split('/').filter(_.contains("=")).toSeq
+      segs.map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        (unescape(k),
+          if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(unescape(v)))
+      }
+    }
+    def predOf(dir: org.apache.hadoop.fs.Path): Column =
+      kvsOf(dir).map {
+        case (k, Some(v)) => col(k) === lit(v)
+        case (k, None) => col(k).isNull
+      }.reduce(_ && _)
+
+    // per-partition file target: ceil(bytes / targetFileBytes), ≥ 1. A
+    // single global repartition(n) would round-robin EVERY partition's
+    // rows across all n tasks — writing ~n files into every compacted
+    // dir and re-fragmenting what it set out to fix. Instead each row
+    // hashes to one of ITS partition's file buckets and the shuffle
+    // keys on (partition cols, bucket), so a dir receives at most its
+    // own bucket count of files.
+    val filesFor: Seq[(org.apache.hadoop.fs.Path, Int)] = small.map { case (dir, fs) =>
+      val bytes = fs.map(_.getLen).sum
+      dir -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }
     val full = spark.read.parquet(path)
-    val affectedPred = small.map { case (dir, _) =>
-      // dir path carries k=v segments for each level
-      val kvs = dir.getAbsolutePath.stripPrefix(root.getAbsolutePath)
-        .split(java.io.File.separatorChar).filter(_.contains("="))
-        .map { seg => val Array(k, v) = seg.split("=", 2); (k, v) }
-      kvs.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
-    }.reduce(_ || _)
-    val affected = full.filter(affectedPred)
-    val bytes = small.map(_._2.map(_.length).sum).sum
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    writePartitioned(affected.repartition(nFiles), path, partitionCols)
-    val after = leaves(root, partitionCols.length).map(d => dataFiles(d).length).sum
+    val affected = full.filter(filesFor.map { case (d, _) => predOf(d) }.reduce(_ || _))
+    val nFilesExpr = filesFor.foldLeft(lit(1)) { case (acc, (d, n)) =>
+      when(predOf(d), lit(n)).otherwise(acc)
+    }
+    val dataCols = full.columns.filterNot(partitionCols.contains).map(col)
+    val bucket =
+      if (dataCols.isEmpty) lit(0L)
+      else pmod(xxhash64(dataCols: _*), nFilesExpr)
+    val totalFiles = filesFor.map(_._2).sum
+    val shuffled = affected.repartition(totalFiles,
+      partitionCols.map(col) :+ bucket: _*)
+    writePartitioned(shuffled, path, partitionCols)
+    val after = leaves(rootPath, partitionCols.length).map(d => dataFiles(d).length).sum
     CompactionStats(small.length, filesBefore, after)
   }
 

@@ -207,6 +207,40 @@ class UpsertSpec extends SparkSpec {
     assert(again.partitionsCompacted == 0 && again.filesAfter == again.filesBefore)
   }
 
+  test("compactPartitions converges with MANY fragmented partitions and null partition values") {
+    // the re-fragmentation trap: a global repartition(n) would spread
+    // every partition's rows across all n tasks, writing ~n files into
+    // EVERY dir — compaction that un-compacts. Per-partition bucketing
+    // must leave each dir with at most ceil(bytes/target) files.
+    val dir = java.nio.file.Files.createTempDirectory("compact_many").toFile.getAbsolutePath
+    val df = (0 until 6).flatMap { p =>
+      val g = if (p == 5) None else Some(s"p$p") // one NULL partition
+      (1 to 200).map(i => (g, i.toLong + p * 1000, s"v$i"))
+    }.toDF("g", "id", "v")
+    Upsert.writePartitioned(df.repartition(10), dir, Seq("g"))
+    def leafFiles(name: String) = Option(new java.io.File(dir, name).listFiles)
+      .toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    assert(leafFiles("g=p0") > 1 && leafFiles("g=__HIVE_DEFAULT_PARTITION__") > 1)
+
+    val stats = Upsert.compactPartitions(spark, dir, Seq("g"),
+      targetFileBytes = 512L * 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(stats.partitionsCompacted == 6, stats.toString)
+    // each partition (including the null one) collapses to its own
+    // per-partition target — 1 file here — instead of fanning out
+    (0 until 5).foreach { p =>
+      assert(leafFiles(s"g=p$p") == 1, s"g=p$p has ${leafFiles(s"g=p$p")} files")
+    }
+    assert(leafFiles("g=__HIVE_DEFAULT_PARTITION__") == 1)
+    // data intact, including the null-partition rows
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1200)
+    assert(back.filter($"g".isNull).count() == 200)
+    // converged: nothing left to do
+    val again = Upsert.compactPartitions(spark, dir, Seq("g"),
+      targetFileBytes = 512L * 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(again.partitionsCompacted == 0)
+  }
+
   test("writePartitioned static overwrite replaces the whole table") {
     val dir = Files.createTempDirectory("static").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))
