@@ -221,6 +221,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful ops run on the RocksDB state store (the at-scale backend)") {
+    // the default HDFS-backed store keeps state on the JVM heap — fine
+    // for tests, an OOM risk at 100 TB state. RocksDB spills to local
+    // disk; this pins that our stateful sessionization is
+    // backend-portable (same results, no provider-specific behavior).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ev(uid: Long, eid: Long, sec: Long) =
+      StreamOps.EventT(uid, eid, sec * 1000000L, 1.0, new java.sql.Timestamp(sec * 1000L))
+    val ms = MemoryStream[StreamOps.EventT]
+    val sessions = StreamOps.sessionizeStreaming(ms.toDS(), gapSeconds = 300,
+      watermarkDelay = "1 minute")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("rocksdb_sessions").start()
+    try {
+      ms.addData(ev(1L, 1L, 1000L), ev(1L, 2L, 1100L))
+      q.processAllAvailable()
+      ms.addData(ev(2L, 9L, 10000L)) // watermark push
+      q.processAllAvailable()
+      ms.addData(ev(2L, 10L, 10001L)) // timeout batch
+      q.processAllAvailable()
+      val got = s.table("rocksdb_sessions").as[StreamOps.SessionOut].collect().toSet
+      assert(got.contains(StreamOps.SessionOut(1L, 0L, 2L)),
+        s"expected the closed session under RocksDB state, got $got")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
     // the streaming-native form of the reference's monthly scheduled job:
     // process everything currently available, then terminate
