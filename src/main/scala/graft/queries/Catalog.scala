@@ -557,6 +557,86 @@ object Catalog {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // Bucketed co-located tables through the oracle: both sides written
+    // bucketed on the join key (8 buckets), so the join plans with ZERO
+    // Exchange (asserted in BucketingSpec); DuckDB states the plain join
+    // over the same rows — bucketing must be invisible in the result.
+    // Tables are (re)written once per JVM via staged(); bucket metadata
+    // lives in the session catalog, so a fresh JVM rewrites them.
+    "catalog_bucketed_join" -> QuerySpec(
+      (s, d) => {
+        val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+        val liT = s"graft_bkt_li_$suffix"
+        val orT = s"graft_bkt_or_$suffix"
+        if (!s.catalog.tableExists(liT)) {
+          Upsert.writeBucketedTable(
+            t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+            liT, Seq("l_orderkey"), nBuckets = 8, sortCols = Seq("l_orderkey"))
+        }
+        if (!s.catalog.tableExists(orT)) {
+          Upsert.writeBucketedTable(
+            t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+            orT, Seq("o_orderkey"), nBuckets = 8, sortCols = Seq("o_orderkey"))
+        }
+        s.table(liT)
+          .join(s.table(orT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Skew-salted join, oracled: the salted rewrite must return exactly
+    // the rows of the plain join (DuckDB states the PLAIN join — the
+    // salting is invisible in the result, which is the whole point).
+    // The skew itself (90% of rows on one key) is manufactured in the
+    // left side; JoinsSpec additionally covers left-join semantics.
+    "join_salted" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .withColumn("skew_key",
+            when(col("l_orderkey") % 10 =!= 0, lit(1L)).otherwise(col("l_orderkey")))
+        val dim = t(s, d, "orders").filter(col("o_orderkey") < 400)
+          .select(col("o_orderkey").as("skew_key"), col("o_orderpriority"))
+        Joins.saltedJoin(li, dim, Seq("skew_key"), col("l_orderkey") * 10 + col("l_linenumber"), nSalts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH li AS (
+             |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1
+             |              ELSE l_orderkey END AS skew_key, l_quantity
+             |  FROM lineitem),
+             |dim AS (SELECT o_orderkey AS skew_key, o_orderpriority
+             |        FROM orders WHERE o_orderkey < 400)
+             |SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM li JOIN dim USING (skew_key)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Rename-on-collision through the oracle (README.md:1429-1440): both
+    // sides carry `o_totalprice`; the right side's collides and is
+    // suffixed `_new` before the join, and BOTH columns survive.
+    "proj_rename_collision" -> QuerySpec(
+      (s, d) => {
+        val old = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val updated = t(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"))
+        val renamed = Joins.renameCollisions(old, updated,
+          joinKeys = Seq("o_orderkey"), suffix = "_new")
+        old.join(renamed, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_totalprice_new"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  o_totalprice * 1.1 AS o_totalprice_new
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Full outer join: matched rows + unmatched from BOTH sides (the only
     // §2.4 join type not yet oracled). Keys are never null in the data,
     // so every null below is produced by the outer join itself.
