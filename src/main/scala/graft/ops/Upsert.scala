@@ -224,6 +224,17 @@ object Upsert {
       df: DataFrame, table: String,
       bucketCols: Seq[String], nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table) && !table.contains(".")) {
+      // Overwrite only overwrites CATALOGED tables: a managed-table dir
+      // left by a previous process (whose in-memory catalog died with
+      // it) makes saveAsTable refuse with LOCATION_ALREADY_EXISTS.
+      // Overwrite intent extends to that orphaned location.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    }
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
