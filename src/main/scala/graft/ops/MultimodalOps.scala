@@ -47,13 +47,19 @@ object MultimodalOps {
     * the stub's plan shape and are what the tests pin. */
   final case class DecodedMedia(decodedBytes: Int, checksum: Long)
 
-  /** The production seam: a partition-local media codec. Implementations
-    * must be Serializable (shipped inside the task closure). `open()` is
+  /** The production seam: a partition-local media codec. `open()` is
     * called once per partition before the first decode — the place for a
     * native-library load or decoder-context allocation — and `close()`
     * when the task completes (success OR failure), via a task-completion
-    * listener, so native resources cannot leak across tasks. */
-  trait MediaCodec extends Serializable {
+    * listener, so native resources cannot leak across tasks.
+    *
+    * [[decodeWith]] takes a FACTORY, not an instance, and builds one
+    * codec per partition inside the task: a closure-shared instance
+    * (worst case a Scala `object`, which deserializes to a JVM
+    * singleton) would be shared by concurrent tasks on one executor,
+    * and a finishing task's `close()` could tear down native state
+    * another running task is still using. */
+  trait MediaCodec {
     def open(): Unit = ()
     def decode(payload: Array[Byte]): DecodedMedia
     def close(): Unit = ()
@@ -76,7 +82,7 @@ object MultimodalOps {
     * plan: Catalyst keeps pushing filters/pruning below the object
     * boundary and codegen resumes immediately above it, instead of the
     * RDD round-trip (full plan break + driver-side createDataFrame). */
-  def decodeWith(df: DataFrame, idCol: String, codec: MediaCodec): DataFrame = {
+  def decodeWith(df: DataFrame, idCol: String, codecFactory: () => MediaCodec): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema
       .add("decoded_bytes", IntegerType)
@@ -84,7 +90,9 @@ object MultimodalOps {
     val bytesIdx = inSchema.fieldIndex("bytes")
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // one codec lifecycle per partition: open now, close on task end
+      // one codec INSTANCE and lifecycle per partition: built inside the
+      // task so concurrent tasks never share decoder state (see trait doc)
+      val codec = codecFactory()
       codec.open()
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
@@ -98,7 +106,7 @@ object MultimodalOps {
   /** Stub-codec decode (see [[StubCodec]]); kept as the named entry the
     * catalog and tests use so the container build stays decoder-free. */
   def decodeStub(df: DataFrame, idCol: String): DataFrame =
-    decodeWith(df, idCol, StubCodec)
+    decodeWith(df, idCol, () => StubCodec)
 
   /** Expression-based header parse for media files read through the
     * `binaryFile` source: magic byte + payload size recovered with plain

@@ -31,14 +31,22 @@ object SampleOps {
     * row-level generalization of [[stratifiedSample]].
     *
     * The hash maps to a uniform u ∈ [0,1) via the low 30 bits (2^30
-    * buckets: granularity 1e-9, unbiased for any realistic weight). */
+    * buckets: granularity 1e-9, unbiased for any realistic weight).
+    *
+    * A NULL weight keeps the row with probability `defaultWeight`
+    * (default 0.0 = drop) — explicit, because a quality-score column
+    * with missing values would otherwise silently drop those rows via
+    * NULL-propagating comparison. */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, defaultWeight: Double = 0.0): DataFrame = {
+    require(defaultWeight >= 0.0 && defaultWeight <= 1.0,
+      s"defaultWeight must be in [0,1], got $defaultWeight")
     val buckets = 1L << 30
     val u = pmod(xxhash64(col(idCol), lit(seed)), lit(buckets))
       .cast("double") / lit(buckets.toDouble)
-    df.filter(u < least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+    val w = coalesce(col(weightCol).cast("double"), lit(defaultWeight))
+    df.filter(u < least(greatest(w, lit(0.0)), lit(1.0)))
   }
 
   /** Sequence packing: assign each document to a token-budget bin within

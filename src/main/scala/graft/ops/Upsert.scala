@@ -107,6 +107,13 @@ object Upsert {
     }
   }
 
+  /** Decode a Hive %-escaped partition-path value EXACTLY as Spark's
+    * partition inference does (delegates to the engine's decoder, which
+    * maps each %XX escape to one char). Parity with the read path is
+    * the contract — see the caller in [[compactPartitions]]. */
+  private[ops] def unescapePathSegment(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
   /** Result of a [[compactPartitions]] pass. */
   final case class CompactionStats(
       partitionsCompacted: Int, filesBefore: Int, filesAfter: Int)
@@ -161,17 +168,15 @@ object Upsert {
     if (small.isEmpty) return CompactionStats(0, filesBefore, filesBefore)
 
     // decode one k=v path segment: Hive %-escapes special chars and
-    // writes nulls as __HIVE_DEFAULT_PARTITION__ (→ None)
-    def unescape(s: String): String = {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length)
-          { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-        else { sb.append(s.charAt(i)); i += 1 }
-      }
-      sb.toString
-    }
+    // writes nulls as __HIVE_DEFAULT_PARTITION__ (→ None). MUST match
+    // Spark's partition inference byte-for-byte — predOf compares
+    // against values `spark.read.parquet` inferred from the same dir
+    // names, so any private decoder that disagrees (e.g. decoding
+    // %C3%A9 as the UTF-8 sequence 'é' where Spark's reader produces
+    // per-char 'Ã©') silently matches zero rows and the partition is
+    // never compacted. Delegating to the engine's own decoder makes
+    // drift impossible.
+    def unescape(s: String): String = Upsert.unescapePathSegment(s)
     def kvsOf(dir: org.apache.hadoop.fs.Path): Seq[(String, Option[String])] = {
       val segs = dir.toString.stripPrefix(rootPath.toString)
         .split('/').filter(_.contains("=")).toSeq
@@ -229,9 +234,13 @@ object Upsert {
       // Overwrite only overwrites CATALOGED tables: a managed-table dir
       // left by a previous process (whose in-memory catalog died with
       // it) makes saveAsTable refuse with LOCATION_ALREADY_EXISTS.
-      // Overwrite intent extends to that orphaned location.
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      // Overwrite intent extends to that orphaned location. Resolve the
+      // location through the session catalog (honours the CURRENT
+      // database) rather than assuming <warehouse.dir>/<table>, so a
+      // same-named live table in another database is never touched.
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(loc, true)
     }

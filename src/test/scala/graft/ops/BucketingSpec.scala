@@ -43,6 +43,29 @@ class BucketingSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("orphan-location cleanup honours the CURRENT database, never default's path") {
+    val sf = "/root/testdata/sf0.001"
+    val region = Tables(spark, sf, "region").select($"r_regionkey", $"r_name")
+    // live managed table in DEFAULT with the soon-to-collide name
+    Upsert.writeBucketedTable(region, "cleanup_probe", Seq("r_regionkey"), 2)
+    val defaultRows = spark.table("default.cleanup_probe").count()
+    spark.sql("CREATE DATABASE IF NOT EXISTS otherdb")
+    spark.catalog.setCurrentDatabase("otherdb")
+    try {
+      // same bare name, different current database: the pre-write orphan
+      // cleanup must resolve otherdb's location, not default's — a
+      // warehouse.dir/<table> assumption would recursively delete the
+      // live default-DB table above
+      Upsert.writeBucketedTable(region, "cleanup_probe", Seq("r_regionkey"), 2)
+      assert(spark.table("otherdb.cleanup_probe").count() == defaultRows)
+      assert(spark.table("default.cleanup_probe").count() == defaultRows,
+        "default-DB table was clobbered by cleanup in another database")
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS otherdb CASCADE")
+    }
+  }
+
   private def withNoBroadcast[T](body: => T): T = {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -51,7 +51,8 @@ class MultimodalSpec extends SparkSpec {
     MultimodalSpec.opens.set(0)
     MultimodalSpec.closes.set(0)
     MultimodalSpec.decodes.set(0)
-    val decoded = MultimodalOps.decodeWith(media, "doc_id", new MultimodalSpec.CountingCodec)
+    // factory form: a FRESH codec per partition, never a shared instance
+    val decoded = MultimodalOps.decodeWith(media, "doc_id", () => new MultimodalSpec.CountingCodec)
     val viaTrait = decoded.select($"doc_id", $"decoded_bytes", $"checksum")
       .as[(Long, Int, Long)].collect().sortBy(_._1)
     // identical features to the stub path (same codec algebra through the seam)

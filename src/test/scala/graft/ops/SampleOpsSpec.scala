@@ -68,6 +68,12 @@ class SampleOpsSpec extends SparkSpec {
       (1 to 100).map(i => (i.toLong, -0.5)).toDF("id", "w"), "id", "w").count() == 0)
     assert(SampleOps.weightedSample(
       (1 to 100).map(i => (i.toLong, 1.5)).toDF("id", "w"), "id", "w").count() == 100)
+    // NULL weights: dropped by default (explicit, not NULL-propagation),
+    // kept with probability defaultWeight when one is supplied
+    val withNulls = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) Some(1.0) else None)).toDF("id", "w")
+    assert(SampleOps.weightedSample(withNulls, "id", "w").count() == 50)
+    assert(SampleOps.weightedSample(withNulls, "id", "w", defaultWeight = 1.0).count() == 100)
   }
 
   test("count_min_sketch estimates are one-sided within the epsilon bound") {

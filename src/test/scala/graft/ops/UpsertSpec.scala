@@ -241,6 +241,44 @@ class UpsertSpec extends SparkSpec {
     assert(again.partitionsCompacted == 0)
   }
 
+  test("compactPartitions path decoding matches Spark's partition inference exactly") {
+    // The predOf filter compares values spark.read inferred from the
+    // SAME dir names, so our decoder must agree with the engine's
+    // byte-for-byte — including the per-char %XX semantics Spark uses
+    // for multi-byte sequences (caf%C3%A9 → 'cafÃ©', NOT UTF-8 'café').
+    // A "smarter" UTF-8 decode here would match zero rows and silently
+    // never compact those partitions.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    for (s <- Seq("caf%C3%A9", "%E6%9D%B1%E4%BA%AC", "a%3Ab", "p%2Fq%25r", "plain", "%", "%G1"))
+      assert(Upsert.unescapePathSegment(s) == ExternalCatalogUtils.unescapePathName(s), s)
+
+    // end-to-end with Hive-escaped ASCII values (this container's POSIX
+    // locale cannot create non-ASCII paths, so exercise the escape
+    // round-trip with chars Hive escapes: ':' '#' '=')
+    val dir = java.nio.file.Files.createTempDirectory("compact_esc").toFile.getAbsolutePath
+    val df = Seq("a:b", "c#d", "e=f").flatMap { g =>
+      (1 to 120).map(i => (g, i.toLong, s"v$i"))
+    }.toDF("g", "id", "v")
+    Upsert.writePartitioned(df.repartition(6), dir, Seq("g"))
+    val leafDirs = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("g="))
+    assert(leafDirs.length == 3 && leafDirs.exists(_.getName.contains("%")),
+      leafDirs.map(_.getName).mkString(","))
+    assert(leafDirs.forall(d => d.listFiles.count(_.getName.endsWith(".parquet")) > 1))
+
+    val stats = Upsert.compactPartitions(spark, dir, Seq("g"),
+      targetFileBytes = 512L * 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(stats.partitionsCompacted == 3, stats.toString)
+    leafDirs.foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not compacted to one file")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 360)
+    assert(back.filter($"g" === "a:b").count() == 120)
+    assert(back.filter($"g" === "e=f").count() == 120)
+  }
+
   test("writePartitioned static overwrite replaces the whole table") {
     val dir = Files.createTempDirectory("static").toFile.getAbsolutePath
     Upsert.writePartitioned(target, dir, Seq("location"))
