@@ -283,6 +283,137 @@ object DedupOps {
     *   the admitted cost is bounded even when many buckets sit just
     *   under the threshold.
     */
+  /** Connected components over a duplicate-candidate pair list: assigns
+    * every node the MINIMUM id reachable through the pair graph — the
+    * canonical "cluster id" that turns pairwise near-dup hits (MinHash /
+    * SimHash / Jaccard / cosine pairs) into dedup GROUPS, so "keep one
+    * doc per cluster" is a plain `filter(id === cluster_id)` (or any
+    * per-cluster winner rule) afterwards.
+    *
+    * Algorithm: Pregel-style min-label propagation. Labels start as the
+    * node's own id; each round every node takes the min of its own label
+    * and its neighbours' (one equi-join edges⋈labels + one min-agg = two
+    * shuffles per round), until a fixpoint. Rounds = graph DIAMETER,
+    * which for near-dup clusters is small by construction — components
+    * are near-cliques around a shared template, not long chains — so
+    * 3-5 rounds is typical and `maxIterations` is a safety rail, not a
+    * budget. (For adversarial long-chain graphs the alternating
+    * large-star/small-star algorithm [Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14] converges in
+    * O(log n) rounds with the same per-round join shape — the upgrade
+    * path if a corpus ever produces chain-shaped components; it is not
+    * the default because its per-round constant is higher and dedup
+    * graphs don't chain.)
+    *
+    * Scale mechanics, per round: the edge list is the big side and is
+    * REUSED unshuffled every round when `partitions` is set (it arrives
+    * pre-hash-partitioned on `src`, so the join re-uses that layout —
+    * one exchange at entry, zero after); labels (one slim row per node)
+    * are the small side. Lineage is truncated each round with an eager
+    * `localCheckpoint` — without it the plan doubles per iteration and
+    * the driver re-plans the whole history every round. (Caveat as in
+    * [[minhashCandidatePairs]]: localCheckpoint blocks live on
+    * executors — on executor loss the job fails and restarts rather
+    * than silently recomputing.)
+    *
+    * Convergence probe: labels are MONOTONE non-increasing, so the
+    * label SUM (exact, DECIMAL(38,0) accumulator — a double would stop
+    * early on rounding ties at corpus scale) is strictly decreasing
+    * until the fixpoint and constant at it. Comparing one scalar per
+    * round replaces the usual changed-rows self-join — one cheap agg on
+    * an already-checkpointed frame instead of a third shuffle.
+    *
+    * Output: (`idCol`, cluster_id) for every node in `nodes` (singletons
+    * cluster as themselves) and every id appearing in `pairs`.
+    */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      maxIterations: Int = 25,
+      partitions: Int = 0): DataFrame = {
+    require(maxIterations > 0, "maxIterations must be positive")
+    val spark = nodes.sparkSession
+    // symmetric, de-duplicated edge list: propagation must flow both
+    // ways along a pair, and duplicate candidate pairs (a pair found by
+    // several LSH bands) must not inflate the join
+    val sym = pairs.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .union(pairs.select(col(dstCol).cast(LongType).as("src"),
+        col(srcCol).cast(LongType).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+    // pre-partition on dst — the per-round join key — so the edge list
+    // is shuffled ONCE here and every round's join reuses the layout
+    val edges = (if (partitions > 0) sym.repartition(partitions, col("dst")) else sym)
+      .localCheckpoint(true)
+    // label init: declared nodes ∪ every edge endpoint, so a pair list
+    // mentioning an id missing from `nodes` still clusters correctly
+    val endpoints = edges.select(col("src").as("id"))
+    var labels = nodes.select(col(idCol).cast(LongType).as("id"))
+      .union(endpoints).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighbourMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster_id"))
+        .groupBy("id")
+        .agg(min(col("cluster_id")).as("nb_min"))
+      val next = labels.join(neighbourMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds — " +
+          "component diameter exceeds the iteration rail (chain-shaped " +
+          "graph?); raise maxIterations or switch to large-star/small-star")
+    labels.select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** Benchmark DECONTAMINATION: count, per corpus document, how many of
+    * its distinct word n-grams also appear in a benchmark/eval set —
+    * the standard guard against test-set leakage into training data
+    * (docs with `n_overlap >= minOverlap` get quarantined or dropped by
+    * the caller).
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval suites,
+    * not corpora) — its distinct shingle set is broadcast, and the
+    * corpus side is filtered by a broadcast LEFT SEMI join on the
+    * exploded shingle stream BEFORE anything shuffles: only shingles
+    * that actually hit the benchmark survive to the per-doc count, so
+    * the one shuffle in the plan carries (doc_id) rows proportional to
+    * the contamination, not the corpus. The corpus itself is scanned
+    * once and never shuffled.
+    *
+    * Output: (`idCol`, n_overlap) for documents with at least one
+    * overlapping n-gram. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 2): DataFrame = {
+    val corpusSh = corpus.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
+      .distinct()
+    corpusSh.join(broadcast(benchSh), Seq("tok"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 1,

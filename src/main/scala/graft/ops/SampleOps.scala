@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Corpus shaping for training-data pipelines: stratified sampling (mix
   * control) and token-budget sequence packing (context-window binning).
@@ -47,6 +47,63 @@ object SampleOps {
       .cast("double") / lit(buckets.toDouble)
     val w = coalesce(col(weightCol).cast("double"), lit(defaultWeight))
     df.filter(u < least(greatest(w, lit(0.0)), lit(1.0)))
+  }
+
+  /** Portable uniform hash u ∈ [0,1): a 31-bit LCG step on the id —
+    * `((id * 1103515245 + 12345) mod 2^31) / 2^31` — chosen because BOTH
+    * Spark and any SQL oracle (DuckDB, Trino, …) can evaluate it
+    * exactly in 64-bit integer arithmetic (no engine-specific hash like
+    * xxhash64), so sampling decisions built on it are cross-engine
+    * reproducible bit-for-bit. Exact for |id·a| < 2^63 ⇒ ids up to
+    * ~8.3e9; mix a wider id space down first if ids exceed that. Not a
+    * cryptographic hash and weaker mixing than xxhash64 — fine for
+    * per-row Bernoulli decisions, not for minhash-style signatures. */
+  def portableUniform(id: Column): Column = {
+    val m = 1L << 31
+    pmod(id.cast(LongType) * lit(1103515245L) + lit(12345L), lit(m))
+      .cast(DoubleType) / lit(m.toDouble)
+  }
+
+  /** Training-mix resampling: downsample each source so the OUTPUT hits
+    * the target per-source proportions, keeping the output as large as
+    * the targets allow. With per-source counts n_s and target
+    * proportions p_s (p summing to 1 over the sources present), the
+    * largest feasible output is T = min over s of n_s / p_s; each
+    * source keeps fraction f_s = T·p_s / n_s (the binding source keeps
+    * everything, the over-represented ones thin down). Sources absent
+    * from `targets` are dropped — the explicit contract for "not in the
+    * mix".
+    *
+    * Everything is ONE plan: counts come from a groupBy on the source
+    * column (tiny result — one row per source), T and f_s are derived
+    * columns on that aggregate, and the per-row keep decision
+    * broadcast-joins f_s back and compares [[portableUniform]] of the
+    * id — deterministic under any partitioning, no driver-side count()
+    * round trip, cross-engine reproducible (see [[portableUniform]]).
+    * Expected deviation from the exact target is Bernoulli noise,
+    * O(1/√n_s) per source. */
+  def mixToTarget(
+      df: DataFrame, sourceCol: String, idCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(v => v > 0 && v <= 1.0),
+      s"target proportions must be in (0,1], got $targets")
+    val sparkSession = df.sparkSession
+    import sparkSession.implicits._
+    val tgt = targets.toSeq.toDF(sourceCol, "_p")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .join(tgt, Seq(sourceCol)) // inner: un-targeted sources drop here
+      .withColumn("_t", col("_n").cast(DoubleType) / col("_p"))
+    // T = min over sources; a windowed min over the one-row-per-source
+    // aggregate stays in the same (tiny) stage
+    val fractions = counts
+      .withColumn("_tmin", min(col("_t")).over(Window.partitionBy()))
+      .select(col(sourceCol),
+        least(lit(1.0), col("_tmin") * col("_p") / col("_n").cast(DoubleType))
+          .as("_keep_f"))
+    df.join(broadcast(fractions), Seq(sourceCol))
+      .filter(portableUniform(col(idCol)) < col("_keep_f"))
+      .drop("_keep_f")
   }
 
   /** Sequence packing: assign each document to a token-budget bin within

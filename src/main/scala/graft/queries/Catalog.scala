@@ -1110,6 +1110,51 @@ object Catalog {
       },
       None),
 
+    // Near-dup CLUSTERING: connected components over the exact bigram-
+    // shingle Jaccard pair graph (bigrams: the synthetic corpus is
+    // near-uniform in unigram space — every pair clears any unigram
+    // threshold — while 3-gram shingles isolate only the planted dups;
+    // bigrams at 0.3 yield ~24 multi-doc clusters including transitive
+    // 3-chains, so the fixpoint is actually exercised). Iterative
+    // min-label propagation on the engine side; the oracle states the
+    // same fixpoint as DuckDB recursive-CTE reachability (min reachable
+    // id = cluster id) — an independent formulation, so agreement
+    // checks the algorithm, not the implementation.
+    "dedup_cluster_cc" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 0.3, shingleN = 2)
+          .select(col("id_a"), col("id_b"))
+        DedupOps.connectedComponents(
+          docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 500),
+             |toks AS (
+             |  SELECT id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS tok
+             |  FROM base),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY a.id, b.id),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.id = id_a
+             |  JOIN sizes sb ON sb.id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, l) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+             |  UNION
+             |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.l)
+             |SELECT id AS doc_id, min(l) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Exact token-set Jaccard near-dups on a bounded id range — fully
     // SQL-expressible (integer set sizes, one IEEE division).
     "dedup_ngram_jaccard" -> QuerySpec(
@@ -1476,6 +1521,63 @@ object Catalog {
         .select(col("doc_id"))
         .orderBy(col("doc_id")),
       None),
+
+    // Training-mix resampling to target per-source proportions. Fully
+    // ORACLED — unlike the two keys above — because the keep decision
+    // uses the portable 31-bit LCG hash (SampleOps.portableUniform) that
+    // DuckDB evaluates bit-identically in integer arithmetic, so even
+    // the Bernoulli coin flips are cross-engine exact. de binds the mix
+    // (70/0.3 is the smallest n/p); es/fr are absent from the targets
+    // and must be dropped.
+    "sample_mix_to_target" -> QuerySpec(
+      (s, d) => SampleOps.mixToTarget(
+        t(s, d, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |tgt(lang, p) AS (VALUES ('en', 0.5), ('de', 0.3), ('zh', 0.2)),
+             |joined AS (
+             |  SELECT c.lang, CAST(c.n AS DOUBLE) AS n, CAST(t.p AS DOUBLE) AS p,
+             |    CAST(c.n AS DOUBLE) / CAST(t.p AS DOUBLE) AS t_s
+             |  FROM counts c JOIN tgt t ON c.lang = t.lang),
+             |fr AS (
+             |  SELECT lang, LEAST(1.0, (SELECT min(t_s) FROM joined) * p / n) AS f
+             |  FROM joined)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN fr ON d.lang = fr.lang
+             |WHERE CAST((d.doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+             |        / 2147483648.0 < fr.f
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Benchmark decontamination: per-doc count of distinct bigrams shared
+    // with a held-out "benchmark" slice (doc_id < 50 stands in for the
+    // eval set). The benchmark shingle set broadcasts; only matching
+    // shingles ever shuffle. Inner join in the oracle ≡ the engine's
+    // semi-join + count because the benchmark token set is DISTINCT.
+    "dedup_decontaminate" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        DedupOps.decontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", shingleN = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bw AS (
+             |  SELECT string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 50),
+             |btok AS (
+             |  SELECT DISTINCT unnest([w[i] || ' ' || w[i+1]
+             |    for i in range(1, len(w))]) AS tok FROM bw),
+             |cw AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id >= 50),
+             |ctok AS (
+             |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1]
+             |    for i in range(1, len(w))])) AS tok FROM cw)
+             |SELECT c.doc_id, count(*) AS n_overlap
+             |FROM ctok c JOIN btok b ON c.tok = b.tok
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
     // ---------------------------------------------------------- profiling
     // One-scan numeric column profiling (nulls / cardinality / range /

@@ -173,4 +173,68 @@ class DedupSpec extends SparkSpec {
     val found = DedupOps.minhashCandidatePairs(dup, "doc_id", "text")
     assert(found.count() == 1)
   }
+
+  test("decontaminate counts benchmark n-gram overlaps; clean docs absent") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),      // shares "alpha beta","beta gamma" w/ bench
+      (11L, "zeta eta theta iota kappa"),           // clean
+      (12L, "mu nu alpha beta xi"),                 // shares "alpha beta"
+      (13L, "beta alpha gamma nu mu"))              // same words, DIFFERENT bigrams → clean
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma omicron")).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(corpus, bench, "doc_id", "text", shingleN = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 2L, 12L -> 1L), got.toString)
+    // overlap is on distinct shingles: repeating a contaminated bigram
+    // in one doc counts once
+    val rep = Seq((20L, "alpha beta x alpha beta")).toDF("doc_id", "text")
+    val got2 = DedupOps.decontaminate(rep, bench, "doc_id", "text", shingleN = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(20L -> 1L))
+  }
+
+  test("connectedComponents matches driver union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 80).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find with min-id representatives
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0 until n).map(_.toLong).toDF("id")
+      val pairs = edges.toDF("a", "b")
+      val got = DedupOps.connectedComponents(nodes, pairs, "id", "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents: chains, singletons, duplicate + missing-node pairs") {
+    // a 6-node chain (diameter 5 — exercises multi-round propagation),
+    // a 2-clique with the pair listed twice in both orientations, a
+    // singleton, and a pair whose ids are absent from `nodes`
+    val nodes = (0L to 8L).toDF("id")
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 0-5
+      (6L, 7L), (7L, 6L), (6L, 7L),                      // dup'd clique
+      (100L, 101L))                                      // not in nodes
+      .toDF("a", "b")
+    val got = DedupOps.connectedComponents(nodes, pairs, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 5L).forall(got(_) == 0L))
+    assert(got(6L) == 6L && got(7L) == 6L)
+    assert(got(8L) == 8L, "singleton clusters as itself")
+    assert(got(100L) == 100L && got(101L) == 100L, "edge-only ids still cluster")
+    assert(got.size == 11)
+    // iteration rail: the 6-chain cannot converge in 2 rounds
+    assertThrows[IllegalStateException] {
+      DedupOps.connectedComponents(nodes, pairs, "id", "a", "b", maxIterations = 2)
+    }
+  }
 }

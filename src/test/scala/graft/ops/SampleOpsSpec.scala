@@ -76,6 +76,33 @@ class SampleOpsSpec extends SparkSpec {
     assert(SampleOps.weightedSample(withNulls, "id", "w", defaultWeight = 1.0).count() == 100)
   }
 
+  test("mixToTarget hits target proportions; binding source kept whole; others dropped") {
+    // 6000 a / 3000 b / 600 c; targets 0.5/0.3/0.2 → c binds (600/0.2 =
+    // 3000 = T): expect ~1500 a (f=.25), ~900 b (f=.3), all 600 c
+    val df = ((1 to 6000).map(i => ("a", i.toLong)) ++
+      (1 to 3000).map(i => ("b", 10000L + i)) ++
+      (1 to 600).map(i => ("c", 20000L + i)) ++
+      (1 to 500).map(i => ("x", 30000L + i))) // not in targets → dropped
+      .toDF("src", "id")
+    val out = SampleOps.mixToTarget(df, "src", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val got = out.groupBy($"src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(!got.contains("x"), "un-targeted source must be dropped")
+    assert(got("c") == 600L, s"binding source must keep everything, got ${got("c")}")
+    // Bernoulli tolerance: ±5σ
+    assert(math.abs(got("a") - 1500.0) < 5 * math.sqrt(1500.0 * 0.75), got.toString)
+    assert(math.abs(got("b") - 900.0) < 5 * math.sqrt(900.0 * 0.7), got.toString)
+    // deterministic under re-partitioning
+    val again = SampleOps.mixToTarget(df.repartition(13), "src", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // proportions of the OUTPUT approximate the targets
+    val total = got.values.sum.toDouble
+    assert(math.abs(got("a") / total - 0.5) < 0.03)
+    assert(math.abs(got("b") / total - 0.3) < 0.03)
+  }
+
   test("count_min_sketch estimates are one-sided within the epsilon bound") {
     val docs = Tables(spark, sf, "documents")
     val sketch = docs.agg(
