@@ -383,6 +383,61 @@ object DedupOps {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** INCREMENTAL dedup: filter an incoming batch down to documents not
+    * already present in an existing corpus — the shape every continuous
+    * ingestion pipeline runs (today's crawl against the accumulated
+    * corpus), where re-deduplicating the whole corpus per batch would
+    * cost O(corpus) daily.
+    *
+    * Exact tier (`nearDup = false`): anti-join on `sha2(text, 256)` —
+    * the shuffle carries a 64-char digest per corpus doc instead of the
+    * document body (at corpus scale the bodies are the shuffle; the
+    * digest stream is ~KB-per-doc smaller), and 256-bit collisions are
+    * not a practical concern the way 64-bit xxhash collisions would be
+    * (birthday bound ~4e9 docs for 64-bit — reachable; 2^128 is not).
+    *
+    * Near-dup tier (`nearDup = true`): additionally drops batch docs
+    * sharing ANY MinHash LSH band with a corpus doc — candidate-level
+    * (conservative: an unlucky band collision drops a novel doc with
+    * probability ≈ J^(hashes/bands) per band; callers wanting
+    * verification join candidates to [[exactJaccardForPairs]] first).
+    * Both sides' signatures are the codegen single-pass expressions;
+    * the band join carries (band_hash) only.
+    *
+    * Returns the surviving batch rows, schema unchanged. */
+  def incrementalDedup(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      nearDup: Boolean = false,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val digest = sha2(col(textCol).cast(StringType), 256)
+    val corpusH = corpus.select(digest.as("_h"))
+    val exact = batch.withColumn("_h", digest)
+      .join(corpusH, Seq("_h"), "left_anti")
+      .drop("_h")
+    if (!nearDup) exact
+    else {
+      graft.expressions.GraftFunctions.register(batch.sparkSession)
+      // fused codegen tokenize→shingle→signature (see minhashCandidatePairs)
+      def bandsOf(df: DataFrame, keep: Seq[Column]): DataFrame = {
+        val sig = call_function("minhash_shingle_sig",
+          split(lower(col(textCol)), "\\s+"), lit(numHashes), lit(shingleN))
+        df.select(keep :+ explode(lshBands(sig, numHashes, bands)).as("_band"): _*)
+      }
+      // the band-membership stream carries only (id, band) / (band):
+      // document bodies never shuffle in the near-dup pass
+      val corpusBands = bandsOf(corpus, Nil).distinct()
+      val surviving = bandsOf(exact, Seq(col(idCol)))
+        .join(corpusBands, Seq("_band"), "left_anti")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("_nb"))
+        // survive only if ALL bands missed the corpus: every one of the
+        // doc's bands must come back from the anti-join
+        .filter(col("_nb") === lit(bands))
+        .select(col(idCol))
+      exact.join(surviving, Seq(idCol), "left_semi")
+    }
+  }
+
   /** Benchmark DECONTAMINATION: count, per corpus document, how many of
     * its distinct word n-grams also appear in a benchmark/eval set —
     * the standard guard against test-set leakage into training data

@@ -106,6 +106,35 @@ object SampleOps {
       .drop("_keep_f")
   }
 
+  /** Deterministic train/val/test split assignment: adds a `split`
+    * column chosen by [[portableUniform]] of `keyCol` against the
+    * cumulative split fractions. Keying matters: pass the DEDUP CLUSTER
+    * id (from [[DedupOps.connectedComponents]]), not the document id,
+    * and every member of a near-dup cluster lands in the SAME split —
+    * the standard guard against train/test leakage through near
+    * duplicates, which id-keyed splitting reintroduces at exactly the
+    * rate the dedup pass was meant to remove. Zero shuffle (a per-row
+    * expression), cross-engine reproducible, stable under
+    * repartitioning and across runs.
+    *
+    * `splits` fractions must sum to 1 (±1e-9); the last split absorbs
+    * the hash's top edge so no row is ever unassigned. */
+  def assignSplits(
+      df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = portableUniform(col(keyCol))
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(cumulative.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cum), elseCol) =>
+      when(u < lit(cum), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Sequence packing: assign each document to a token-budget bin within
     * its group — bin = (tokens-before-this-doc) div `budget` over a
     * (group, order) window. One shuffle on the group key, one sort; a

@@ -1579,6 +1579,54 @@ object Catalog {
              |FROM ctok c JOIN btok b ON c.tok = b.tok
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
+    // Deterministic split assignment (train/val/test) via the portable
+    // LCG hash — fully oracled including every per-row assignment. Keyed
+    // by doc_id here for the oracle; production keys by the dedup
+    // cluster id (leakage guard — see SampleOps.assignSplits doc and the
+    // cluster-consistency unit).
+    "sample_split_assign" -> QuerySpec(
+      (s, d) => SampleOps.assignSplits(
+        t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN u < 0.8 THEN 'train'
+             |       WHEN u < 0.9 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+             |          / 2147483648.0 AS u
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Incremental (batch-vs-corpus) exact dedup: the continuous-ingestion
+    // shape — today's batch anti-joined against the accumulated corpus on
+    // a content digest, never re-deduplicating the corpus. Ten corpus
+    // texts are re-planted into the batch under fresh ids, so the key
+    // exercises both drop (planted dups) and keep (novel docs). The
+    // near-dup LSH tier is unit-tested (DedupSpec); digest semantics are
+    // engine-side only — the oracle states text equality directly.
+    "dedup_incremental" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") < 450)
+        val batch = docs.filter(col("doc_id") >= 450)
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (SELECT text FROM documents WHERE doc_id < 450),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 450
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10)
+             |SELECT b.doc_id FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- profiling
     // One-scan numeric column profiling (nulls / cardinality / range /
     // decimal-stable mean) — the data-quality gate a training corpus
@@ -1793,6 +1841,27 @@ object Catalog {
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, count(*) AS cnt,
              |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1 ORDER BY ws""".stripMargin)),
+
+    // SLIDING event-time windows (1h window, 30min slide): each event
+    // lands in exactly windowSize/slide = 2 overlapping windows. The
+    // oracle derives the same membership from time_bucket: the two
+    // windows containing ts start at bucket(ts) and bucket(ts) − slide
+    // (time_bucket's 2000-01-01 origin and Spark's epoch origin align
+    // identically for divisors of an hour).
+    "stream_sliding_agg" -> QuerySpec(
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), dsum6(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+        .orderBy(col("ws")),
+      Some("""WITH ev AS (
+             |  SELECT CAST(time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+             |           AS TIMESTAMP) AS tb, value
+             |  FROM events),
+             |w AS (SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, value FROM ev)
+             |SELECT ws, count(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY 1 ORDER BY ws""".stripMargin)),
 
     // Native session_window (Spark's built-in gap-based session operator,
     // the streaming-capable form: state-store merging under watermarks).

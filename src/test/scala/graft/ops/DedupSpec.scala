@@ -174,6 +174,27 @@ class DedupSpec extends SparkSpec {
     assert(found.count() == 1)
   }
 
+  test("incrementalDedup: exact tier drops corpus-duplicate batch docs; near tier drops near-dups") {
+    val corpus = base.toDF("doc_id", "text")
+    val nearDupText = base(2)._2.split(" ").drop(1).mkString(" ") // drop 1st token of doc 2
+    val batch = Seq(
+      (100L, base(0)._2),                      // exact dup of corpus doc 0
+      (101L, "a genuinely novel document about nothing seen before in any corpus"),
+      (102L, nearDupText))                     // near-dup of corpus doc 2
+      .toDF("doc_id", "text")
+    // exact tier: only the byte-identical dup is dropped
+    val exact = DedupOps.incrementalDedup(corpus = corpus, batch = batch,
+      idCol = "doc_id", textCol = "text")
+    assert(exact.select("doc_id").as[Long].collect().toSet == Set(101L, 102L))
+    // near tier: the near-dup goes too; the novel doc survives
+    val near = DedupOps.incrementalDedup(corpus = corpus, batch = batch,
+      idCol = "doc_id", textCol = "text", nearDup = true)
+    assert(near.select("doc_id").as[Long].collect().toSet == Set(101L))
+    // idempotent shape: an empty batch stays empty, schema unchanged
+    val empty = DedupOps.incrementalDedup(batch.limit(0), corpus, "doc_id", "text", nearDup = true)
+    assert(empty.count() == 0 && empty.columns.toSeq == batch.columns.toSeq)
+  }
+
   test("decontaminate counts benchmark n-gram overlaps; clean docs absent") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"),      // shares "alpha beta","beta gamma" w/ bench

@@ -103,6 +103,29 @@ class SampleOpsSpec extends SparkSpec {
     assert(math.abs(got("b") / total - 0.3) < 0.03)
   }
 
+  test("assignSplits: full coverage, target fractions, cluster-consistent when keyed by cluster") {
+    val n = 20000
+    val df = (1 to n).map(i => (i.toLong, i.toLong / 4)).toDF("id", "cluster_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = SampleOps.assignSplits(df, "cluster_id", splits)
+    val got = out.groupBy($"split").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(got.values.sum == n, "every row must be assigned")
+    assert(math.abs(got("train").toDouble / n - 0.8) < 0.02, got.toString)
+    assert(math.abs(got("val").toDouble / n - 0.1) < 0.015, got.toString)
+    // cluster members never straddle splits (the leakage guard)
+    val straddlers = out.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(straddlers == 0)
+    // deterministic under repartitioning
+    val again = SampleOps.assignSplits(df.repartition(17), "cluster_id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(again == out.select($"id", $"split").as[(Long, String)].collect().toMap)
+    // invalid fractions rejected
+    assertThrows[IllegalArgumentException] {
+      SampleOps.assignSplits(df, "cluster_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("count_min_sketch estimates are one-sided within the epsilon bound") {
     val docs = Tables(spark, sf, "documents")
     val sketch = docs.agg(
