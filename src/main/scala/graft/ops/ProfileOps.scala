@@ -61,6 +61,39 @@ object ProfileOps {
     * per-row expression — two scans, no shuffle of the data itself, no
     * single-partition window (the naive `percentile().over()` form
     * funnels the whole table through one task). */
+  /** Join/aggregation-key skew diagnostic: the measurement you take
+    * BEFORE choosing a mitigation (salting via `Joins.saltedJoin`, AQE
+    * skew-join, or a broadcast) — a shuffle plan that looks fine at
+    * sample scale OOMs one reducer at 100 TB when a single key holds 5%
+    * of the table. Emits the `topK` heaviest keys with their share of
+    * all rows, plus the global `skew_factor` = max key count / mean key
+    * count (1.0 ⇒ perfectly uniform; the threshold AQE uses for its
+    * skew-join split is the same statistic per partition).
+    *
+    * Plan shape: one groupBy(count) over the key (partial-agg absorbs
+    * the hot key map-side — the diagnostic itself cannot OOM on the
+    * skew it measures), a 1-row global aggregate broadcast back, and a
+    * TakeOrderedAndProject for the top-k — no single-partition window,
+    * no driver collect. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    // mean derived as tot/k (one exact-integer division) rather than
+    // avg(): identical to any SQL oracle bit-for-bit, where avg()'s
+    // internal accumulation order is engine-specific
+    val stats = counts.agg(
+      sum(col("n")).as("_tot"),
+      count(lit(1)).as("_k"),
+      max(col("n")).as("_max"))
+    counts.orderBy(col("n").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n"),
+        (col("n").cast(DoubleType) / col("_tot").cast(DoubleType)).as("share"),
+        (col("_max").cast(DoubleType) /
+          (col("_tot").cast(DoubleType) / col("_k").cast(DoubleType)))
+          .as("skew_factor"))
+  }
+
   def winsorize(
       df: DataFrame, valueCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99,

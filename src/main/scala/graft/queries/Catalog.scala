@@ -1628,6 +1628,23 @@ object Catalog {
              |ORDER BY b.doc_id""".stripMargin)),
 
     // ---------------------------------------------------------- profiling
+    // Key-skew diagnostic (the pre-shuffle measurement behind the
+    // salting / AQE-skew-join decision). Mean derived as tot/k so the
+    // double arithmetic is bit-identical cross-engine.
+    "profile_key_skew" -> QuerySpec(
+      (s, d) => ProfileOps.keySkew(t(s, d, "events"), "user_id", topK = 10)
+        .orderBy(col("n").desc, col("user_id")),
+      Some("""WITH counts AS (
+             |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+             |stats AS (
+             |  SELECT SUM(n) AS tot, COUNT(*) AS k, MAX(n) AS maxn FROM counts)
+             |SELECT user_id, n,
+             |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+             |  CAST(maxn AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE))
+             |    AS skew_factor
+             |FROM counts, stats
+             |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
+
     // One-scan numeric column profiling (nulls / cardinality / range /
     // decimal-stable mean) — the data-quality gate a training corpus
     // passes before anything else runs. Exact distinct counts keep it

@@ -34,6 +34,24 @@ object StreamOps {
       watermark: String = "1 day"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark), every)
 
+  /** Sliding-window counts: each event contributes to size/slide
+    * overlapping windows (the Generate below the agg fans each row out
+    * to its windows — state per OPEN window, not per event). Same
+    * output columns as [[tumblingCounts]]. */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+
+  /** Streaming variant: the watermark closes a sliding window once it
+    * passes the window END — size/slide windows are open per key at any
+    * moment, which is the state bound. */
+  def slidingCountsStreaming(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "1 day"): DataFrame =
+    slidingCounts(events.withWatermark("ts", watermark), size, slide)
+
   /** foreachBatch MERGE sink: every micro-batch upserts into a partitioned
     * parquet target with new-batch-wins semantics — the streaming form of
     * the reference's monthly job. Use as:

@@ -65,6 +65,21 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.select($"clipped").as[Double].collect().sorted.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("keySkew surfaces hot keys with exact counts and shares") {
+    // 100 rows of key 1, 10 of key 2, 1 each of keys 3..12 → 120 rows,
+    // 12 keys, mean 10, skew_factor 10.0
+    val df = (Seq.fill(100)(1L) ++ Seq.fill(10)(2L) ++ (3L to 12L)).toDF("k")
+    val out = ProfileOps.keySkew(df, "k", topK = 3)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 100L), (2L, 10L), (3L, 1L)))
+    assert(math.abs(out.head._3 - 100.0 / 120.0) < 1e-12)
+    assert(out.forall(r => math.abs(r._4 - 10.0) < 1e-12), out.toString)
+    // ties broken by key (deterministic): keys 3..12 all have n=1
+    val out10 = ProfileOps.keySkew(df, "k", topK = 5)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out10.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("profileNumeric mean survives corrupt-sentinel magnitudes (1e30)") {
     val df = Seq(1.0, 2.0, 1e30).toDF("x")
     val p = ProfileOps.profileNumeric(df, Seq("x"))

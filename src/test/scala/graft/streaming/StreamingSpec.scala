@@ -36,6 +36,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg over a MemoryStream matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables(spark, sf, "events")
+      .select($"ts", $"value").as[(java.sql.Timestamp, Double)].collect()
+    val ms = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamOps.slidingCountsStreaming(ms.toDF.toDF("ts", "value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sliding").start()
+    try {
+      ms.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sliding")
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      val batch = StreamOps.slidingCounts(
+        Tables(spark, sf, "events").select($"ts", $"value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      // sliding windows double-count events: total cnt = 2 × event count
+      assert(streamed.toSeq.map(_._2).sum == 2 * rows.length)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a dim table with no streaming state") {
     // the everyday streaming-enrichment shape: each micro-batch joins a
     // (broadcastable) static dim — no watermarks, no state store; the
