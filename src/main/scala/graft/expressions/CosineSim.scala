@@ -159,7 +159,10 @@ object GraftFunctions {
           exprs.lift(1).map(litInt).getOrElse(64),
           exprs.lift(2).map(litInt).getOrElse(3))),
     ("simhash_sig", classOf[SimHashSig],
-      (exprs: Seq[Expression]) => SimHashSig(exprs(0))))
+      (exprs: Seq[Expression]) => SimHashSig(exprs(0))),
+    ("shingle_array", classOf[ShingleArray],
+      (exprs: Seq[Expression]) =>
+        ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))))
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -205,6 +205,85 @@ case class MinHashShingleSig(child: Expression, numHashes: Int, shingleN: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashShingleSig =
+    copy(child = newChild)
+}
+
+/** Materialized word n-gram shingles from a token array, in one tight
+  * codegen loop — byte-identical output to `DedupOps.shingles`' HOF form
+  * (`transform(sequence(…), i -> concat_ws(" ", slice(toks, i+1, n)))`),
+  * which runs INTERPRETED and dominated `decontaminate` /
+  * `ngramJaccardPairs(shingleN ≥ 2)` end to end (measured ~3.1 s of a
+  * 3.1 s sf0.1 decontaminate run; these operators need the shingle
+  * STRINGS for set joins, so the hash-fused `MinHashShingleSig` cannot
+  * serve them). Short inputs (< n tokens, including zero) yield the
+  * whole token list space-joined as one shingle, mirroring the HOF.
+  */
+case class ShingleArray(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+
+  require(shingleN > 0, s"shingleN must be positive, got $shingleN")
+  require(!child.resolved ||
+    child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == StringType,
+    s"shingle_array expects ARRAY<STRING> tokens, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nTok = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (nTok < shingleN) {
+      val all = new Array[UTF8String](nTok)
+      var j = 0
+      while (j < nTok) { all(j) = toks.getUTF8String(j); j += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(sep, all: _*)))
+    } else {
+      val m = nTok - shingleN + 1
+      val out = new Array[Any](m)
+      val window = new Array[UTF8String](shingleN)
+      var j = 0
+      while (j < m) {
+        var i = 0
+        while (i < shingleN) { window(i) = toks.getUTF8String(j + i); i += 1 }
+        out(j) = UTF8String.concatWs(sep, window: _*)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val gad = classOf[GenericArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val nTok = ctx.freshName("nTok"); val sep = ctx.freshName("sep")
+      val win = ctx.freshName("win"); val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $nTok = $toks.numElements();
+         |$utf8 $sep = $utf8.fromString(" ");
+         |Object[] $out;
+         |if ($nTok < $shingleN) {
+         |  $utf8[] $win = new $utf8[$nTok];
+         |  for (int $j = 0; $j < $nTok; $j++) $win[$j] = $toks.getUTF8String($j);
+         |  $out = new Object[]{ $utf8.concatWs($sep, $win) };
+         |} else {
+         |  int $m = $nTok - $shingleN + 1;
+         |  $out = new Object[$m];
+         |  $utf8[] $win = new $utf8[$shingleN];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    for (int $i = 0; $i < $shingleN; $i++) $win[$i] = $toks.getUTF8String($j + $i);
+         |    $out[$j] = $utf8.concatWs($sep, $win);
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
 }
 

@@ -459,11 +459,13 @@ object DedupOps {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
-    val corpusSh = corpus.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
-    val benchSh = benchmark
-      .select(explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
-      .distinct()
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    // codegen shingle materialization (expressions.ShingleArray) — the
+    // interpreted HOF form was this operator's entire runtime
+    def sh = array_distinct(call_function("shingle_array",
+      split(lower(col(textCol)), "\\s+"), lit(shingleN)))
+    val corpusSh = corpus.select(col(idCol), explode(sh).as("tok"))
+    val benchSh = benchmark.select(explode(sh).as("tok")).distinct()
     corpusSh.join(broadcast(benchSh), Seq("tok"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -473,9 +475,13 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 1,
       maxBucketPairs: Long = DefaultMaxBucketPairs): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val elems =
       if (shingleN <= 1) array_distinct(split(lower(col(textCol)), "\\s+"))
-      else array_distinct(shingles(col(textCol), shingleN))
+      // codegen shingle materialization — the HOF form runs interpreted
+      // and dominates the whole operator at shingleN ≥ 2
+      else array_distinct(call_function("shingle_array",
+        split(lower(col(textCol)), "\\s+"), lit(shingleN)))
     val toks = df.select(col(idCol).as("id"), explode(elems).as("tok"))
     // sizes use ALL elements (Jaccard stays exact); only candidate
     // generation skips degenerate stopword buckets, which can miss pairs

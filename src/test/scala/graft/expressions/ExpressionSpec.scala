@@ -50,7 +50,29 @@ class ExpressionSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
-      Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig", "simhash_sig"))
+      Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
+        "simhash_sig", "shingle_array"))
+  }
+
+  test("shingle_array equals the HOF shingles form byte-for-byte") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = docs.select(
+        call_function("shingle_array",
+          split(lower($"text"), "\\s+"), lit(n)).as("fast"),
+        graft.ops.DedupOps.shingles($"text", n).as("hof"))
+      assert(both.filter(not($"fast" <=> $"hof")).count() == 0, s"n=$n")
+    }
+    // short-input edge cases: fewer tokens than n → one whole-text shingle
+    val edge = Seq("one two", "solo", "").toDF("text")
+    for (n <- Seq(3, 5)) {
+      val both = edge.select(
+        call_function("shingle_array",
+          split(lower($"text"), "\\s+"), lit(n)).as("fast"),
+        graft.ops.DedupOps.shingles($"text", n).as("hof"))
+      assert(both.filter(not($"fast" <=> $"hof")).count() == 0, s"edge n=$n")
+    }
   }
 
   test("dot_product native expression equals the HOF fold bit-exactly") {
