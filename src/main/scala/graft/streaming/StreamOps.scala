@@ -285,6 +285,116 @@ object StreamOps {
       }
   }
 
+  /** [[sessionizeStreaming]] re-expressed on Spark 4's
+    * `transformWithState` (the arbitrary-state API that supersedes
+    * flatMapGroupsWithState): same session semantics — within-gap
+    * out-of-order merge without end regression, older-than-gap events
+    * dropped, session ids continue across timeouts via a tombstone —
+    * with the state decomposed into named TYPED slots (session
+    * ValueState + registered-timer ValueState) instead of one opaque
+    * blob, and explicit event-time TIMERS replacing the single
+    * setTimeoutTimestamp slot (delete-then-register models the same
+    * "one live timeout per key" contract; stale-timer firings are
+    * ignored by checking against the recorded timer). Requires the
+    * RocksDB state-store provider — the at-scale backend
+    * (StreamingSpec already exercises it for the fMGWS variant).
+    *
+    * Output equivalence with [[sessionizeStreaming]] on the same input
+    * is asserted in StreamingSpec. */
+  def sessionizeTws(
+      ds: Dataset[EventT], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes",
+      maxGroupEvents: Int = 1000000): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.withWatermark("event_ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTwsProcessor(gapSeconds, maxGroupEvents),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] state processor (top-level class: it is
+    * serialized into the streaming query). */
+  private[streaming] class SessionTwsProcessor(
+      gapSeconds: Long, maxGroupEvents: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventT, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    private val gapMicros = gapSeconds * 1000000L
+    private val gcDelayMs = 30L * gapSeconds * 1000L
+
+    @transient private var session: ValueState[SessionState] = _
+    @transient private var timerMs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      session = getHandle.getValueState[SessionState](
+        "session", E.product[SessionState], TTLConfig.NONE)
+      timerMs = getHandle.getValueState[Long]("timerMs", E.scalaLong, TTLConfig.NONE)
+    }
+
+    /** One live timer per key: drop the recorded one, register the new. */
+    private def rearm(newTimer: Long): Unit = {
+      if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
+      getHandle.registerTimer(newTimer)
+      timerMs.update(newTimer)
+    }
+
+    override def handleInputRows(userId: Long, events: Iterator[EventT],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[EventT]
+      while (events.hasNext) {
+        if (buf.length >= maxGroupEvents)
+          throw new IllegalStateException(
+            s"sessionizeTws: user $userId has > $maxGroupEvents events " +
+              "in one micro-batch (hot key); raise maxGroupEvents or pre-aggregate")
+        buf += events.next()
+      }
+      val sorted = buf.sortBy(e => (e.tsMicros, e.event_id))
+      var st = if (session.exists()) session.get() else SessionState(0L, Long.MinValue, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        if (st.n == 0L) {
+          st = SessionState(st.sessionId, e.tsMicros, 1L)
+        } else if (e.tsMicros >= st.lastTs) {
+          if (e.tsMicros - st.lastTs > gapMicros) {
+            out += SessionOut(userId, st.sessionId, st.n)
+            st = SessionState(st.sessionId + 1, e.tsMicros, 1L)
+          } else {
+            st = SessionState(st.sessionId, e.tsMicros, st.n + 1)
+          }
+        } else if (st.lastTs - e.tsMicros <= gapMicros) {
+          st = SessionState(st.sessionId, st.lastTs, st.n + 1)
+        }
+        // else: older than gap before the open session — dropped
+      }
+      session.update(st)
+      rearm(math.max(st.lastTs / 1000L + gapSeconds * 1000L,
+        timerValues.getCurrentWatermarkInMs() + 1000L))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // ignore firings of timers we already superseded
+      if (!timerMs.exists() || timerMs.get() != expired.getExpiryTimeInMs())
+        return Iterator.empty
+      val st = session.get()
+      timerMs.clear() // the fired timer is no longer registered
+      if (st.n > 0L) {
+        // close the session; tombstone carries the next session id
+        session.update(SessionState(st.sessionId + 1, st.lastTs, 0L))
+        rearm(timerValues.getCurrentWatermarkInMs() + gcDelayMs)
+        Iterator.single(SessionOut(userId, st.sessionId, st.n))
+      } else {
+        session.clear(); timerMs.clear()
+        Iterator.empty
+      }
+    }
+  }
+
   /** Spillable BATCH sessionization: identical semantics to the batch
     * path of [[sessionize]] (session ids per user start at 0; a new
     * session after a gap > `gapSeconds`; the trailing open session is

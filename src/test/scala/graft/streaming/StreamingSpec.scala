@@ -273,6 +273,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the fMGWS variant (Spark 4 state API)") {
+    // same 4-batch scenario as the fMGWS continuity test: within-gap late
+    // merge, older-than-gap drop, timeout close, id continuity on return
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ev(uid: Long, eid: Long, sec: Long) =
+      StreamOps.EventT(uid, eid, sec * 1000000L, 1.0, new java.sql.Timestamp(sec * 1000L))
+    val ms = MemoryStream[StreamOps.EventT]
+    val sessions = StreamOps.sessionizeTws(ms.toDS(), gapSeconds = 300,
+      watermarkDelay = "2 hours")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("tws_sessions").start()
+    try {
+      ms.addData(ev(1L, 1L, 1000L), ev(1L, 2L, 1100L))
+      q.processAllAvailable()
+      ms.addData(ev(1L, 3L, 900L), ev(1L, 4L, 500L)) // merge + drop
+      q.processAllAvailable()
+      ms.addData(ev(2L, 8L, 20000L)) // watermark push
+      q.processAllAvailable()
+      ms.addData(ev(2L, 9L, 20001L)) // timer fires this batch
+      q.processAllAvailable()
+      val afterTimeout = s.table("tws_sessions").as[StreamOps.SessionOut].collect().toSet
+      assert(afterTimeout.contains(StreamOps.SessionOut(1L, 0L, 3L)),
+        s"expected session 0 with 3 events (late merge, older drop), got $afterTimeout")
+      // returning user: ids continue from the tombstone
+      ms.addData(ev(1L, 5L, 21000L), ev(1L, 6L, 22000L))
+      q.processAllAvailable()
+      val finalOut = s.table("tws_sessions").as[StreamOps.SessionOut].collect().toSet
+      assert(finalOut.contains(StreamOps.SessionOut(1L, 1L, 1L)),
+        s"returning user must continue at session id 1, got $finalOut")
+      assert(!finalOut.exists(x => x.user_id == 1L && x.session_id == 0L && x.n_events != 3L),
+        s"session id 0 must not be reused: $finalOut")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a file source then stops (scheduled-batch semantics)") {
     // the streaming-native form of the reference's monthly scheduled job:
     // process everything currently available, then terminate
