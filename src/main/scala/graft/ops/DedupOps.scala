@@ -383,6 +383,92 @@ object DedupOps {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14] — the O(log n)-round alternative to
+    * [[connectedComponents]]' min-label propagation, for graphs whose
+    * components may be CHAIN-shaped (diameter ≫ log n), where label
+    * propagation needs diameter rounds and trips its iteration rail.
+    * Near-dup graphs rarely chain (components cluster around shared
+    * templates), so min-label with its lower per-round constant stays
+    * the default; this is the documented upgrade path, now implemented.
+    *
+    * Per round (two phases, each = one groupBy + one join over the edge
+    * list, same shuffle shape as a min-label round):
+    *  - large-star: every node's neighbors LARGER than it re-attach to
+    *    its neighborhood minimum (incl. itself),
+    *  - small-star: on larger→smaller oriented edges, every node and
+    *    its smaller neighbors re-attach to the minimum.
+    * The edge list contracts toward stars rooted at component minima;
+    * convergence = edge set stable (checked by count + order-invariant
+    * xxhash64 checksum on the materialized — localCheckpoint'ed —
+    * frame, so the probe costs one tiny agg, not a recompute).
+    *
+    * Output: (`idCol`, cluster_id), identical contract (and
+    * property-tested identical results) to [[connectedComponents]]. */
+  def connectedComponentsLargeStar(
+      nodes: DataFrame, pairs: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      maxIterations: Int = 50,
+      partitions: Int = 0): DataFrame = {
+    require(maxIterations > 0, "maxIterations must be positive")
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()
+    var e = canon(pairs.select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b")))
+      .localCheckpoint(true)
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("a"), col("b"))
+        .cast(DecimalType(38, 0)))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // LARGE-STAR over the symmetric view: u's larger neighbors attach
+      // to m(u) = min(Γ(u) ∪ {u})
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val symP = if (partitions > 0) sym.repartition(partitions, col("u")) else sym
+      val lsMins = symP.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = symP.join(lsMins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(lsMins.select(col("u").as("a"), col("m").as("b")))
+      // SMALL-STAR over larger→smaller oriented edges: u and its smaller
+      // neighbors attach to m(u)
+      val dir = canon(ls) // orient a > b, dedup
+      val ssMins = dir.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("m")) // all neighbors here are < u
+      val ss = dir.join(ssMins, dir("a") === ssMins("u"))
+        .select(dir("b").as("a"), col("m").as("b"))
+        .union(ssMins.select(col("u").as("a"), col("m").as("b")))
+      val next = canon(ss).localCheckpoint(true)
+      val sig = signature(next)
+      converged = sig == prev
+      prev = sig
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsLargeStar did not converge in $maxIterations rounds")
+    // at the fixpoint e is a star forest: (member, root). Roots and
+    // singleton nodes label themselves.
+    val members = e.select(col("a").as("id"), col("b").as("cluster_id"))
+    val allIds = nodes.select(col(idCol).cast(LongType).as("id"))
+      .union(e.select(col("a").as("id")))
+      .union(e.select(col("b").as("id")))
+      .distinct()
+    allIds.join(members, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** INCREMENTAL dedup: filter an incoming batch down to documents not
     * already present in an existing corpus — the shape every continuous
     * ingestion pipeline runs (today's crawl against the accumulated

@@ -1155,6 +1155,44 @@ object Catalog {
              |SELECT id AS doc_id, min(l) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Same clusters via the alternating large-star/small-star algorithm
+    // (the O(log n)-round chain-graph path) — two independent engine
+    // implementations against ONE independent oracle formulation.
+    "dedup_cluster_cc_largestar" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 0.3, shingleN = 2)
+          .select(col("id_a"), col("id_b"))
+        DedupOps.connectedComponentsLargeStar(
+          docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 500),
+             |toks AS (
+             |  SELECT id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS tok
+             |  FROM base),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY a.id, b.id),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.id = id_a
+             |  JOIN sizes sb ON sb.id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, l) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+             |  UNION
+             |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.l)
+             |SELECT id AS doc_id, min(l) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Exact token-set Jaccard near-dups on a bounded id range — fully
     // SQL-expressible (integer set sizes, one IEEE division).
     "dedup_ngram_jaccard" -> QuerySpec(

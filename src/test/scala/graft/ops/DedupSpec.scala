@@ -195,6 +195,37 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == batch.columns.toSeq)
   }
 
+  test("large-star/small-star CC equals union-find; converges on chains where min-label rails") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 50
+      val edges = (1 to 70).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = DedupOps.connectedComponentsLargeStar(
+        (0 until n).map(_.toLong).toDF("id"), edges.toDF("a", "b"), "id", "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+    // 61-node chain (diameter 60): min-label at default maxIterations=25
+    // rails; large-star/small-star contracts it in O(log n) rounds
+    val nodes = (0L to 60L).toDF("id")
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      DedupOps.connectedComponents(nodes, chain, "id", "a", "b")
+    }
+    val got = DedupOps.connectedComponentsLargeStar(nodes, chain, "id", "a", "b",
+      maxIterations = 15)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 60L).forall(got(_) == 0L), got.toString)
+  }
+
   test("decontaminate counts benchmark n-gram overlaps; clean docs absent") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"),      // shares "alpha beta","beta gamma" w/ bench
