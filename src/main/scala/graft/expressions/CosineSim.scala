@@ -162,7 +162,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHashSig(exprs(0))),
     ("shingle_array", classOf[ShingleArray],
       (exprs: Seq[Expression]) =>
-        ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))))
+        ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))),
+    ("nfkc_normalize", classOf[NfkcNormalize],
+      (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))))
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry

@@ -287,6 +287,43 @@ case class ShingleArray(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFKC normalization as a native expression — the canonical
+  * pre-hash text normalization for dedup (visually-identical strings
+  * with different codepoint sequences — composed vs decomposed accents,
+  * full-width forms, ligatures — must hash equal or every such pair
+  * silently escapes exact dedup). Spark has no built-in normalizer; a
+  * Scala UDF would break codegen — this stays a one-call expression
+  * inside the generated plan (`java.text.Normalizer` is in the JDK, so
+  * generated code links against nothing new).
+  */
+case class NfkcNormalize(child: Expression) extends UnaryExpression {
+
+  require(!child.resolved || child.dataType == StringType,
+    s"nfkc_normalize expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val utf8 = classOf[UTF8String].getName
+      s"""
+         |${ev.value} = $utf8.fromString(
+         |  java.text.Normalizer.normalize($in.toString(),
+         |    java.text.Normalizer.Form.NFKC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: per bit, sum ±1 across token hashes
   * (xxhash64 of each token, seed 42), then pack sign bits. Bit-equal to
   * the HOF fold in `DedupOps.simhashHof`. */

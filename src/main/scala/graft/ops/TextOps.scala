@@ -111,6 +111,20 @@ object TextOps {
       "\\d{4,}", "<NUM>")
 
   /** Stable content fingerprint (md5 hex — engine-portable). */
+  /** Canonical pre-hash normalization for dedup: NFKC (composed vs
+    * decomposed accents, full-width forms, ligatures, NBSP → the same
+    * codepoints — see expressions.NfkcNormalize), then lower-case, then
+    * whitespace collapse + trim. Run this BEFORE any content digest or
+    * signature ([[fingerprintMd5]], `DedupOps.exactDedup/
+    * incrementalDedup` keys): visually-identical strings that differ
+    * only in encoding form otherwise hash apart and escape dedup.
+    * Session-scoped because the native expression must be registered. */
+  def normalizeForDedup(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.expressions.GraftFunctions.register(spark)
+    trim(regexp_replace(
+      lower(call_function("nfkc_normalize", text)), "\\s+", " "))
+  }
+
   def fingerprintMd5(text: Column): Column = md5(text)
 
   /** 64-bit rolling (chained) hash over tokens: each step hashes

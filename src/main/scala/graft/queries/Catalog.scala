@@ -557,6 +557,23 @@ object Catalog {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // SHUFFLE_HASH-hinted join: the third join strategy (after broadcast
+    // and sort-merge) — right for mid-size sides too big to broadcast
+    // where skipping both sort passes beats SMJ. Plan assert in PlanSpec.
+    "join_shuffle_hash" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val ords = t(s, d, "orders").hint("shuffle_hash")
+        li.join(ords, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Bucketed co-located tables through the oracle: both sides written
     // bucketed on the join key (8 buckets), so the join plans with ZERO
     // Exchange (asserted in BucketingSpec); DuckDB states the plain join
@@ -1419,6 +1436,25 @@ object Catalog {
              |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g
              |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
              |ORDER BY doc_id""".stripMargin)),
+
+    // Pre-hash normalization (NFKC → lower → whitespace collapse). The
+    // corpus is ASCII so the oracle checks the lower/collapse/trim
+    // plumbing; the Unicode semantics (composed≡decomposed, full-width,
+    // ligatures, NBSP) are pinned by ExpressionSpec units. Deterministic
+    // messiness is injected on both sides so collapse/trim do real work.
+    "text_normalize" -> QuerySpec(
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.normalizeForDedup(s, concat(
+            lit("  "), substring(col("text"), 1, 50),
+            lit("   MIXED Case\ttail  "))).as("norm"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    lower(nfc_normalize('  ' || substr(text, 1, 50)
+             |      || '   MIXED Case' || chr(9) || 'tail  ')),
+             |    '\s+', ' ', 'g')) AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // PII-style scrub: mask emails + long digit runs (regexp_replace
     // chain). The synthetic text has neither, so deterministic PII-shaped

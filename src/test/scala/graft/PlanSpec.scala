@@ -36,6 +36,14 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("shuffle_hash hint yields a ShuffledHashJoin (no sort passes)") {
+    val df = graft.queries.Catalog.specs("join_shuffle_hash").fn(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("filters and projections push into the parquet scan") {
     val df = li.filter($"l_returnflag" === "R").select($"l_orderkey", $"l_quantity")
     val plan = df.queryExecution.executedPlan.toString

@@ -51,7 +51,35 @@ class ExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
-        "simhash_sig", "shingle_array"))
+        "simhash_sig", "shingle_array", "nfkc_normalize"))
+  }
+
+  test("nfkc_normalize: encoding-variant strings become identical pre-hash") {
+    GraftFunctions.register(spark)
+    val composed = "café"              // é as one codepoint
+    val decomposed = "café"           // e + combining acute
+    val pairs = Seq(
+      (composed, decomposed),
+      ("ＡＢ", "AB"),               // full-width A B → ASCII
+      ("ﬁle", "file"),                 // fi ligature
+      ("a b", "a b"))                  // NBSP → space
+      .toDF("x", "y")
+    val normed = pairs.select(
+      call_function("nfkc_normalize", $"x").as("nx"),
+      call_function("nfkc_normalize", $"y").as("ny"))
+    assert(normed.filter($"nx" =!= $"ny").count() == 0)
+    // without normalization every pair differs (the dedup-escape case)
+    assert(pairs.filter($"x" === $"y").count() == 0)
+    // the full normalizeForDedup chain: case + whitespace + trim
+    val chain = Seq(("  CafÉ   x\ty  ", "café x y")).toDF("x", "want")
+      .select(graft.ops.TextOps.normalizeForDedup(spark, $"x").as("got"), $"want")
+    assert(chain.filter($"got" =!= $"want").count() == 0)
+    // stays a codegen expression, not a UDF
+    val plan = normed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("x")
+      .select(call_function("nfkc_normalize", $"x")).head().isNullAt(0))
   }
 
   test("shingle_array equals the HOF shingles form byte-for-byte") {
