@@ -144,10 +144,15 @@ case class MinHashShingleSig(child: Expression, numHashes: Int, shingleN: Int)
         i += 1
       }
     }
+    // isNullAt guard (not bare getUTF8String): a null token must load as
+    // null under EVERY ArrayData representation so concatWs skips it,
+    // matching the HOF twin — UnsafeArrayData would otherwise yield ""
+    def elem(k: Int): UTF8String =
+      if (toks.isNullAt(k)) null else toks.getUTF8String(k)
     if (nTok < shingleN) {
       val all = new Array[UTF8String](nTok)
       var j = 0
-      while (j < nTok) { all(j) = toks.getUTF8String(j); j += 1 }
+      while (j < nTok) { all(j) = elem(j); j += 1 }
       update(UTF8String.concatWs(sep, all: _*))
     } else {
       val window = new Array[UTF8String](shingleN)
@@ -155,7 +160,7 @@ case class MinHashShingleSig(child: Expression, numHashes: Int, shingleN: Int)
       val last = nTok - shingleN
       while (j <= last) {
         var i = 0
-        while (i < shingleN) { window(i) = toks.getUTF8String(j + i); i += 1 }
+        while (i < shingleN) { window(i) = elem(j + i); i += 1 }
         update(UTF8String.concatWs(sep, window: _*))
         j += 1
       }
@@ -180,7 +185,8 @@ case class MinHashShingleSig(child: Expression, numHashes: Int, shingleN: Int)
          |$utf8 $sep = $utf8.fromString(" ");
          |if ($nTok < $shingleN) {
          |  $utf8[] $win = new $utf8[$nTok];
-         |  for (int $j = 0; $j < $nTok; $j++) $win[$j] = $toks.getUTF8String($j);
+         |  for (int $j = 0; $j < $nTok; $j++)
+         |    $win[$j] = $toks.isNullAt($j) ? null : $toks.getUTF8String($j);
          |  $utf8 $sh = $utf8.concatWs($sep, $win);
          |  long $hs = $xxh.hashLong($xxh.hashUTF8String($sh, 42L), 42L);
          |  for (int $i = 0; $i < $numHashes; $i++) {
@@ -191,7 +197,8 @@ case class MinHashShingleSig(child: Expression, numHashes: Int, shingleN: Int)
          |  $utf8[] $win = new $utf8[$shingleN];
          |  int $last = $nTok - $shingleN;
          |  for (int $j = 0; $j <= $last; $j++) {
-         |    for (int $i = 0; $i < $shingleN; $i++) $win[$i] = $toks.getUTF8String($j + $i);
+         |    for (int $i = 0; $i < $shingleN; $i++)
+         |      $win[$i] = $toks.isNullAt($j + $i) ? null : $toks.getUTF8String($j + $i);
          |    $utf8 $sh = $utf8.concatWs($sep, $win);
          |    long $hs = $xxh.hashLong($xxh.hashUTF8String($sh, 42L), 42L);
          |    for (int $i = 0; $i < $numHashes; $i++) {
@@ -230,14 +237,21 @@ case class ShingleArray(child: Expression, shingleN: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_array"
 
+  // NULL elements load as null (isNullAt guard, NOT bare getUTF8String:
+  // UnsafeArrayData returns an empty string for a null slot where
+  // GenericArrayData returns null — same input would shingle differently
+  // depending on the physical representation); concatWs then SKIPS
+  // nulls, matching the HOF form's concat_ws exactly.
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val nTok = toks.numElements()
     val sep = UTF8String.fromString(" ")
+    def elem(k: Int): UTF8String =
+      if (toks.isNullAt(k)) null else toks.getUTF8String(k)
     if (nTok < shingleN) {
       val all = new Array[UTF8String](nTok)
       var j = 0
-      while (j < nTok) { all(j) = toks.getUTF8String(j); j += 1 }
+      while (j < nTok) { all(j) = elem(j); j += 1 }
       new GenericArrayData(Array[Any](UTF8String.concatWs(sep, all: _*)))
     } else {
       val m = nTok - shingleN + 1
@@ -246,7 +260,7 @@ case class ShingleArray(child: Expression, shingleN: Int)
       var j = 0
       while (j < m) {
         var i = 0
-        while (i < shingleN) { window(i) = toks.getUTF8String(j + i); i += 1 }
+        while (i < shingleN) { window(i) = elem(j + i); i += 1 }
         out(j) = UTF8String.concatWs(sep, window: _*)
         j += 1
       }
@@ -262,20 +276,22 @@ case class ShingleArray(child: Expression, shingleN: Int)
       val win = ctx.freshName("win"); val out = ctx.freshName("out")
       val j = ctx.freshName("j"); val i = ctx.freshName("i")
       val m = ctx.freshName("m")
+      def load(idx: String) =
+        s"($toks.isNullAt($idx) ? null : $toks.getUTF8String($idx))"
       s"""
          |int $nTok = $toks.numElements();
          |$utf8 $sep = $utf8.fromString(" ");
          |Object[] $out;
          |if ($nTok < $shingleN) {
          |  $utf8[] $win = new $utf8[$nTok];
-         |  for (int $j = 0; $j < $nTok; $j++) $win[$j] = $toks.getUTF8String($j);
+         |  for (int $j = 0; $j < $nTok; $j++) $win[$j] = ${load(s"$j")};
          |  $out = new Object[]{ $utf8.concatWs($sep, $win) };
          |} else {
          |  int $m = $nTok - $shingleN + 1;
          |  $out = new Object[$m];
          |  $utf8[] $win = new $utf8[$shingleN];
          |  for (int $j = 0; $j < $m; $j++) {
-         |    for (int $i = 0; $i < $shingleN; $i++) $win[$i] = $toks.getUTF8String($j + $i);
+         |    for (int $i = 0; $i < $shingleN; $i++) $win[$i] = ${load(s"$j + $i")};
          |    $out[$j] = $utf8.concatWs($sep, $win);
          |  }
          |}

@@ -307,12 +307,16 @@ object DedupOps {
     *
     * Scale mechanics, per round: the edge list is the big side and is
     * REUSED unshuffled every round when `partitions` is set (it arrives
-    * pre-hash-partitioned on `src`, so the join re-uses that layout —
-    * one exchange at entry, zero after); labels (one slim row per node)
-    * are the small side. Lineage is truncated each round with an eager
-    * `localCheckpoint` — without it the plan doubles per iteration and
-    * the driver re-plans the whole history every round. (Caveat as in
-    * [[minhashCandidatePairs]]: localCheckpoint blocks live on
+    * pre-hash-partitioned on `dst` — the per-round JOIN key — so the
+    * join re-uses that layout: one exchange at entry, zero after);
+    * labels (one slim row per node) are the small side. Lineage is
+    * truncated each round with an eager `localCheckpoint` — without it
+    * the plan doubles per iteration and the driver re-plans the whole
+    * history every round — and each superseded generation's blocks are
+    * released deterministically ([[releaseCheckpoint]]) rather than
+    * left to the ContextCleaner: at corpus scale, rounds × label-set
+    * generations would otherwise stack in executor storage. (Caveat as
+    * in [[minhashCandidatePairs]]: localCheckpoint blocks live on
     * executors — on executor loss the job fails and restarts rather
     * than silently recomputing.)
     *
@@ -332,7 +336,6 @@ object DedupOps {
       maxIterations: Int = 25,
       partitions: Int = 0): DataFrame = {
     require(maxIterations > 0, "maxIterations must be positive")
-    val spark = nodes.sparkSession
     // symmetric, de-duplicated edge list: propagation must flow both
     // ways along a pair, and duplicate candidate pairs (a pair found by
     // several LSH bands) must not inflate the join
@@ -372,9 +375,11 @@ object DedupOps {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      releaseCheckpoint(labels) // superseded generation: free its blocks now
       labels = next
       iter += 1
     }
+    releaseCheckpoint(edges) // the returned frame no longer needs them
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds — " +
@@ -382,6 +387,16 @@ object DedupOps {
           "graph?); raise maxIterations or switch to large-star/small-star")
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
+
+  /** Deterministically release a `localCheckpoint(true)`'d frame's
+    * blocks. Reassigning the reference leaves them to the
+    * ContextCleaner, which frees at GC time — unbounded generations of
+    * an iterative algorithm's state can stack in executor storage
+    * before then. Safe on frames that carry no checkpoint (no-op). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
     * [Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -451,6 +466,7 @@ object DedupOps {
       val sig = signature(next)
       converged = sig == prev
       prev = sig
+      releaseCheckpoint(e) // superseded generation: free its blocks now
       e = next
       iter += 1
     }
@@ -504,6 +520,22 @@ object DedupOps {
     if (!nearDup) exact
     else {
       graft.expressions.GraftFunctions.register(batch.sparkSession)
+      // The per-id survive count below asserts _nb == bands, which is
+      // only meaningful when ids are unique and non-null — a duplicated
+      // id would count k·bands and silently drop EVERY row with that id
+      // (and a NULL id never survives a semi join). Guard IN-PLAN: the
+      // window count rides the (small, incremental) batch side and the
+      // raise_error branch costs nothing on healthy ids.
+      val w = Window.partitionBy(col(idCol))
+      val checked = exact
+        .withColumn("_idn", count(lit(1)).over(w))
+        .withColumn(idCol,
+          when(col(idCol).isNull || col("_idn") > 1, raise_error(concat(
+            lit("incrementalDedup(nearDup=true): NULL or duplicate batch id "),
+            coalesce(col(idCol).cast(StringType), lit("NULL")),
+            lit("; the near-dup tier requires unique non-null ids"))))
+            .otherwise(col(idCol)))
+        .drop("_idn")
       // fused codegen tokenize→shingle→signature (see minhashCandidatePairs)
       def bandsOf(df: DataFrame, keep: Seq[Column]): DataFrame = {
         val sig = call_function("minhash_shingle_sig",
@@ -513,14 +545,14 @@ object DedupOps {
       // the band-membership stream carries only (id, band) / (band):
       // document bodies never shuffle in the near-dup pass
       val corpusBands = bandsOf(corpus, Nil).distinct()
-      val surviving = bandsOf(exact, Seq(col(idCol)))
+      val surviving = bandsOf(checked, Seq(col(idCol)))
         .join(corpusBands, Seq("_band"), "left_anti")
         .groupBy(col(idCol)).agg(count(lit(1)).as("_nb"))
         // survive only if ALL bands missed the corpus: every one of the
         // doc's bands must come back from the anti-join
         .filter(col("_nb") === lit(bands))
         .select(col(idCol))
-      exact.join(surviving, Seq(idCol), "left_semi")
+      checked.join(surviving, Seq(idCol), "left_semi")
     }
   }
 

@@ -95,11 +95,24 @@ object SampleOps {
       .join(tgt, Seq(sourceCol)) // inner: un-targeted sources drop here
       .withColumn("_t", col("_n").cast(DoubleType) / col("_p"))
     // T = min over sources; a windowed min over the one-row-per-source
-    // aggregate stays in the same (tiny) stage
+    // aggregate stays in the same (tiny) stage. The windowed count
+    // guards against a TARGETED source absent from the data: its n/p
+    // term would silently vanish from the min and every other source
+    // would keep 100% — proportions arbitrarily far from the request
+    // with no error. (If EVERY targeted source is absent the aggregate
+    // is empty, no row evaluates the guard, and the output is empty —
+    // loud enough by itself.)
     val fractions = counts
       .withColumn("_tmin", min(col("_t")).over(Window.partitionBy()))
+      .withColumn("_nsrc", count(lit(1)).over(Window.partitionBy()))
       .select(col(sourceCol),
-        least(lit(1.0), col("_tmin") * col("_p") / col("_n").cast(DoubleType))
+        when(col("_nsrc") < lit(targets.size), raise_error(concat(
+          lit(s"mixToTarget: of ${targets.size} targeted sources only "),
+          col("_nsrc").cast(org.apache.spark.sql.types.StringType),
+          lit(" present in the data; remove absent sources from `targets` " +
+            "or fix the source column"))))
+          .otherwise(least(lit(1.0),
+            col("_tmin") * col("_p") / col("_n").cast(DoubleType)))
           .as("_keep_f"))
     df.join(broadcast(fractions), Seq(sourceCol))
       .filter(portableUniform(col(idCol)) < col("_keep_f"))
@@ -118,7 +131,11 @@ object SampleOps {
     * repartitioning and across runs.
     *
     * `splits` fractions must sum to 1 (±1e-9); the last split absorbs
-    * the hash's top edge so no row is ever unassigned. */
+    * the hash's top edge so no row is ever unassigned. A NULL key
+    * raises in-plan: NULL-propagating comparisons would silently dump
+    * every unkeyed row into the LAST split (inflating the eval split
+    * with exactly the docs that never entered the cluster graph) —
+    * coalesce the key upstream to choose their placement explicitly. */
   def assignSplits(
       df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
@@ -126,7 +143,11 @@ object SampleOps {
     require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val u = portableUniform(col(keyCol))
+    val guardedKey = when(col(keyCol).isNull, raise_error(lit(
+      s"assignSplits: NULL $keyCol; coalesce the key upstream (e.g. to the " +
+        "row's own id) to place unclustered rows deliberately")))
+      .otherwise(col(keyCol))
+    val u = portableUniform(guardedKey)
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
     val assigned = splits.init.zip(cumulative.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), cum), elseCol) =>

@@ -22,10 +22,7 @@ object StreamOps {
     * `withWatermark` (see `tumblingCountsStreaming`); in batch the same
     * expression is the oracle-checked `stream_tumbling_agg` query. */
   def tumblingCounts(events: DataFrame, every: String = "1 hour"): DataFrame =
-    events.groupBy(window(col("ts"), every))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
-      .select(col("window.start").as("ws"), col("cnt"), col("sum_value"))
+    slidingCounts(events, size = every, slide = every) // tumbling ≡ slide == size
 
   /** Streaming variant: 1-day watermark bounds state; late rows beyond it
     * are dropped — the principled version of the reference's 31-day

@@ -101,6 +101,25 @@ class ExpressionSpec extends SparkSpec {
         graft.ops.DedupOps.shingles($"text", n).as("hof"))
       assert(both.filter(not($"fast" <=> $"hof")).count() == 0, s"edge n=$n")
     }
+    // NULL array elements: must match the HOF's concat_ws null-skip under
+    // every ArrayData representation (isNullAt guard, not bare
+    // getUTF8String — UnsafeArrayData yields "" for a null slot)
+    val withNulls = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b', 'c') AS toks")
+    for (n <- Seq(2, 3)) {
+      val both = withNulls.select(
+        call_function("shingle_array", $"toks", lit(n)).as("fast"),
+        transform(sequence(lit(0), size($"toks") - n),
+          i => concat_ws(" ", slice($"toks", i + 1, lit(n)))).as("hof"))
+      assert(both.filter(not($"fast" <=> $"hof")).count() == 0, s"nulls n=$n")
+    }
+    // minhash_shingle_sig under the same null-element input: equals the
+    // sig-of-shingle_array composition (shared null-skip semantics)
+    val sigBoth = withNulls.select(
+      call_function("minhash_shingle_sig", $"toks", lit(64), lit(2)).as("fused"),
+      call_function("minhash_sig",
+        call_function("shingle_array", $"toks", lit(2)), lit(64)).as("composed"))
+    assert(sigBoth.filter(not($"fused" <=> $"composed")).count() == 0)
   }
 
   test("dot_product native expression equals the HOF fold bit-exactly") {

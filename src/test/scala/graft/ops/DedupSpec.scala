@@ -193,6 +193,19 @@ class DedupSpec extends SparkSpec {
     // idempotent shape: an empty batch stays empty, schema unchanged
     val empty = DedupOps.incrementalDedup(batch.limit(0), corpus, "doc_id", "text", nearDup = true)
     assert(empty.count() == 0 && empty.columns.toSeq == batch.columns.toSeq)
+    // near tier requires unique non-null ids: the per-id all-bands-miss
+    // count is meaningless otherwise — duplicate ids raise in-plan
+    // instead of silently dropping every row that shares the id
+    val dupIds = Seq((200L, "novel text one of a kind"),
+      (200L, "another brand new never seen text")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      DedupOps.incrementalDedup(dupIds, corpus, "doc_id", "text", nearDup = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("incrementalDedup")), ex.toString)
+    // the exact tier has no such constraint (anti join is per row)
+    assert(DedupOps.incrementalDedup(dupIds, corpus, "doc_id", "text").count() == 2)
   }
 
   test("large-star/small-star CC equals union-find; converges on chains where min-label rails") {

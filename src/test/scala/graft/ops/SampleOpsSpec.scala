@@ -124,6 +124,25 @@ class SampleOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       SampleOps.assignSplits(df, "cluster_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // NULL keys raise in-plan instead of silently flooding the last split
+    val withNull = Seq((1L, Some(1L)), (2L, None)).toDF("id", "cluster_id")
+    val ex = intercept[Exception] {
+      SampleOps.assignSplits(withNull, "cluster_id", splits).collect()
+    }
+    assert(ex.getMessage.contains("assignSplits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("assignSplits")), ex.toString)
+  }
+
+  test("mixToTarget raises when a targeted source is absent from the data") {
+    val df = (1 to 100).map(i => ("a", i.toLong)).toDF("src", "id")
+    val ex = intercept[Exception] {
+      SampleOps.mixToTarget(df, "src", "id", Map("a" -> 0.5, "ghost" -> 0.5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("mixToTarget")), ex.toString)
+    // all-absent targets: empty output (documented), no error
+    assert(SampleOps.mixToTarget(df, "src", "id", Map("ghost" -> 1.0)).count() == 0)
   }
 
   test("count_min_sketch estimates are one-sided within the epsilon bound") {
