@@ -118,4 +118,56 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_rb")
   }
+
+  /** Bucketed interval-OVERLAP join: pairs (l, r) whose closed intervals
+    * `[lLo, lHi]` and `[rLo, rHi]` intersect (`lLo <= rHi AND rLo <= lHi`)
+    * — the both-sides-are-intervals generalization of [[rangeJoin]]
+    * (point-in-interval). Same plan shape: BOTH sides explode into the
+    * buckets their interval covers, the join is EQUI on the bucket (plus
+    * optional `equiKeys`), and the overlap predicate runs as a residual.
+    *
+    * De-duplication is positional, not a `distinct`: a pair overlapping
+    * in k shared buckets meets k times, but the shared buckets form a
+    * contiguous range whose FIRST bucket is
+    * `max(bucket(lLo), bucket(rLo))`, so emitting only where the met
+    * bucket equals that value yields each pair exactly once — no
+    * wide-row shuffle to dedupe, the residual filter does it for free.
+    *
+    * Column names on the two inputs must be disjoint apart from
+    * `equiKeys` (rename upstream; [[renameCollisions]] exists for that).
+    * Degenerate intervals (null bound or lo > hi) match nothing. The
+    * per-interval bucket-span guard of [[rangeJoin]] applies to both
+    * sides. All bound columns must be long-valued.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Long, equiKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    def explodeSide(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loB = bucketOf(col(lo))
+      val hiB = bucketOf(col(hi))
+      val guarded = when(hiB - loB + 1 > maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"intervalOverlapJoin: interval spans more than " +
+            s"$maxBucketsPerInterval buckets of width $bucketWidth (["),
+          col(lo), lit(", "), col(hi),
+          lit("]); clamp sentinel/open-ended bounds, widen bucketWidth, " +
+            "or raise maxBucketsPerInterval"))))
+        .otherwise(sequence(loB, hiB))
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn("_ob", explode(guarded))
+    }
+    val l = explodeSide(left, lLo, lHi)
+    val r = explodeSide(right, rLo, rHi)
+    l.join(r, equiKeys :+ "_ob", "inner")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        // first-shared-bucket emission: exactly-once per overlapping pair
+        col("_ob") === greatest(bucketOf(col(lLo)), bucketOf(col(rLo))))
+      .drop("_ob")
+  }
 }

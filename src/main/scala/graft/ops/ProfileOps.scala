@@ -94,6 +94,42 @@ object ProfileOps {
           .as("skew_factor"))
   }
 
+  /** Fixed-width histogram of a numeric column: `bins` equal-width
+    * buckets spanning the observed [min, max], one output row per
+    * NON-EMPTY bucket (bin index, inclusive-lo/exclusive-hi bounds —
+    * the last bin's hi is inclusive — and count). NULLs are excluded.
+    *
+    * Two passes, like [[winsorize]]: a 1-row min/max aggregate is
+    * broadcast back over the data (no global sort, no width_bucket
+    * over a driver-collected range), then the bin arithmetic is a
+    * per-row projection feeding ONE partial-aggregating groupBy — the
+    * whole thing is two scans and one k-row shuffle regardless of
+    * table size. Every formula is plain IEEE-double arithmetic so any
+    * SQL oracle reproduces the bucketing bit-for-bit.
+    *
+    * Degenerate domain (min == max, width 0): all rows land in bin 0
+    * with lo == hi == min — the guard keeps the division away from 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val v = col(valueCol).cast(DoubleType)
+    val stats = df.filter(v.isNotNull)
+      .agg(min(v).as("_mn"), max(v).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
+    val bin = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        floor((v - col("_mn")) / width)))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(bin.as("bin"), col("_mn"), width.as("_w"))
+      .groupBy(col("bin"), col("_mn"), col("_w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        (col("_mn") + col("bin") * col("_w")).as("bin_lo"),
+        (col("_mn") + (col("bin") + 1) * col("_w")).as("bin_hi"),
+        col("cnt"))
+  }
+
   def winsorize(
       df: DataFrame, valueCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99,

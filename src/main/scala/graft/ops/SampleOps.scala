@@ -36,15 +36,24 @@ object SampleOps {
     * A NULL weight keeps the row with probability `defaultWeight`
     * (default 0.0 = drop) — explicit, because a quality-score column
     * with missing values would otherwise silently drop those rows via
-    * NULL-propagating comparison. */
+    * NULL-propagating comparison.
+    *
+    * `portableHash = true` swaps xxhash64 for [[portableUniform]] (the
+    * 31-bit LCG any SQL engine evaluates bit-identically): weaker
+    * mixing, but the keep decisions become cross-engine reproducible —
+    * the variant an external auditor can re-derive in plain SQL.
+    * Requires a numeric `idCol` (the LCG is integer arithmetic). */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String,
-      seed: Long = 42L, defaultWeight: Double = 0.0): DataFrame = {
+      seed: Long = 42L, defaultWeight: Double = 0.0,
+      portableHash: Boolean = false): DataFrame = {
     require(defaultWeight >= 0.0 && defaultWeight <= 1.0,
       s"defaultWeight must be in [0,1], got $defaultWeight")
     val buckets = 1L << 30
-    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(buckets))
-      .cast("double") / lit(buckets.toDouble)
+    val u =
+      if (portableHash) portableUniform(col(idCol) + lit(seed))
+      else pmod(xxhash64(col(idCol), lit(seed)), lit(buckets))
+        .cast("double") / lit(buckets.toDouble)
     val w = coalesce(col(weightCol).cast("double"), lit(defaultWeight))
     df.filter(u < least(greatest(w, lit(0.0)), lit(1.0)))
   }

@@ -261,4 +261,41 @@ object SimilarityOps {
       .filter(col("cos_q") > threshold)
       .select(col("id_a"), col("id_b"), col("cos_q"))
   }
+
+  /** Per-cluster centroid (element-wise mean) of an embedding column —
+    * the aggregation half of IVF maintenance ([[ivfFit]] trains
+    * offline on a sample; this recomputes exact centroids for the full
+    * assignment, e.g. one Lloyd refinement step or a drift check) and
+    * the summarizer for CC/LSH dedup clusters.
+    *
+    * Shape: `posexplode` fans each row into `dim` slim (cluster, pos,
+    * value) rows, ONE partial-aggregating groupBy reduces them to
+    * k·dim cells (map-side combine absorbs the fan-out: each task
+    * emits at most k·dim cells regardless of row count), and a second
+    * tiny groupBy over k·dim rows reassembles arrays. The element
+    * values are accumulated in DECIMAL — same rationale as the
+    * catalog's `dsum`: partial-aggregation order cannot perturb the
+    * result, so centroids are bit-stable under any partitioning (and
+    * against a sequential SQL oracle).
+    *
+    * Rows with a NULL cluster or NULL vector are excluded. Ragged
+    * vector lengths within a cluster produce per-position counts —
+    * each position averages over the vectors that have it (documented
+    * semantics; fixed-dim corpora are unaffected).
+    */
+  def clusterCentroids(
+      df: DataFrame, clusterCol: String, vecCol: String): DataFrame = {
+    val exploded = df
+      .filter(col(clusterCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(clusterCol).as("cluster"),
+        posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+    exploded
+      .groupBy(col("cluster"), col("_pos"))
+      .agg((sum(col("_v").cast(DecimalType(28, 9))).cast(DoubleType) /
+        count(lit(1))).as("_mean"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_mean")))),
+        e => e.getField("_mean")).as("centroid"),
+        count(lit(1)).as("dim"))
+  }
 }

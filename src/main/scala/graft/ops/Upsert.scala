@@ -81,6 +81,106 @@ object Upsert {
     surviving.unionByName(latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
   }
 
+  /** SCD Type-2 history build: turn an ordered change log — one row per
+    * (entity `keys`, monotone `seqCol`, attribute snapshot `attrCols`) —
+    * into a versioned dimension with `valid_from` / `valid_to` /
+    * `is_current`, the history-preserving counterpart of the reference's
+    * overwrite-style upsert (README.md:1488-1545 keeps only the latest
+    * row per key; SCD-2 keeps every distinct version with its validity
+    * interval, half-open: `valid_to` = the next version's `valid_from`,
+    * NULL while current).
+    *
+    * Consecutive snapshots with identical attributes are collapsed
+    * (no-op changes extend the current version instead of opening a new
+    * one) — the null-safe `<=>` struct comparison handles NULL
+    * attributes as "same".
+    *
+    * Scale shape: everything is windows over ONE partitioning
+    * (`keys`) — the change-detect lag, the duplicate-seq guard, and the
+    * validity lead all reuse a single Exchange+Sort; the 100 TB corpus
+    * case shuffles the change log once. A duplicate (key, seq) pair
+    * fails IN-PLAN with a diagnostic: "which snapshot is version n" is
+    * undefined and would silently produce overlapping validity
+    * intervals downstream (the rangeJoin sentinel problem's cousin).
+    */
+  def scd2(
+      changes: DataFrame, keys: Seq[String], seqCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "scd2: keys must be non-empty")
+    require(attrCols.nonEmpty, "scd2: attrCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val versions = changes
+      .withColumn(seqCol,
+        // lag(seq)===seq ⇔ duplicate (key, seq): undefined version order
+        when(lag(col(seqCol), 1).over(w) === col(seqCol),
+          raise_error(concat(
+            lit("scd2: duplicate (key, seq) at seq "),
+            col(seqCol).cast("string"),
+            lit("; version order is undefined — de-duplicate the change " +
+              "log or refine seqCol"))))
+          .otherwise(col(seqCol)))
+      // a row opens a new version iff it is the key's first snapshot or
+      // its attributes differ (null-safely) from the previous snapshot
+      .withColumn("_chg", !(attrs <=> lag(attrs, 1).over(w)))
+      .filter(col("_chg"))
+      .drop("_chg")
+    // same partitioning AND ordering as `w`: the filter preserves the
+    // sort, so this second window reuses the first's Exchange+Sort
+    versions
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seqCol)
+  }
+
+  /** Snapshot diff: classify every key of two table snapshots as
+    * `added` / `removed` / `changed` (and optionally `unchanged`) — the
+    * verification companion to [[merge]]/[[applyChanges]]: after an
+    * upsert lands, diff the published snapshot against the expected one
+    * and alert on any drift.
+    *
+    * Scale shape: each side collapses to (keys, one 256-bit digest of
+    * the compared columns) BEFORE the join, so the full-outer join
+    * shuffles slim digest rows, never table bodies — on a 100 TB pair
+    * the shuffle is a few GB of hashes. The digest is
+    * `sha2(to_json(struct(cols)), 256)`: JSON field names disambiguate
+    * column boundaries (no separator-injection ambiguity) and NULLs
+    * drop out of the object distinctly from any real value.
+    *
+    * `compareCols` defaults to all common non-key columns; columns
+    * outside the intersection are ignored (schema-evolution columns
+    * don't spuriously mark every row changed).
+    */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame, keys: Seq[String],
+      compareCols: Seq[String] = Nil,
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: keys must be non-empty")
+    val common = before.columns.toSet.intersect(after.columns.toSet) -- keys
+    val cmp = if (compareCols.nonEmpty) compareCols
+              else common.toSeq.sorted
+    require(cmp.nonEmpty, "snapshotDiff: no columns to compare")
+    require(cmp.forall(common.contains),
+      s"snapshotDiff: compareCols must exist on both sides; missing " +
+        s"${cmp.filterNot(common.contains).mkString(", ")}")
+    def digested(df: DataFrame, name: String): DataFrame =
+      df.select(keys.map(col) :+
+        sha2(to_json(struct(cmp.map(col): _*)), 256).as(name): _*)
+    val b = digested(before, "_dig_b")
+    val a = digested(after, "_dig_a")
+    val joined = b.join(a, keys, "full_outer")
+      .withColumn("diff_status",
+        when(col("_dig_b").isNull, lit("added"))
+          .when(col("_dig_a").isNull, lit("removed"))
+          .when(col("_dig_b") =!= col("_dig_a"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(keys.map(col) :+ col("diff_status"): _*)
+    if (includeUnchanged) joined
+    else joined.filter(col("diff_status") =!= "unchanged")
+  }
+
   /** Partitioned parquet write (reference README.md:747-752). With
     * `dynamicOverwrite` only partitions present in `df` are replaced —
     * the scoped-rewrite semantics of README.md:1532-1534 without the loop.

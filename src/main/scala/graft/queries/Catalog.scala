@@ -704,6 +704,39 @@ object Catalog {
              |  ON l.ship_day BETWEEN o.lo_day AND o.lo_day + 30
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Interval-OVERLAP join (both sides intervals) — the bucketed rewrite
+    // with positional first-shared-bucket dedup (Joins.intervalOverlapJoin)
+    // plans as an equi join; each order contributes a [orderdate,
+    // orderdate + key%20d] interval on the left and a 3-day-shifted
+    // [.., + key%15d] one on the right, bounded per-customer-bucket so
+    // the oracle's naive overlap join stays cheap at sf0.01.
+    "join_interval_overlap" -> QuerySpec(
+      (s, d) => {
+        val base = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), (col("o_custkey") % 100).as("ek"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+        val a = base.select(col("o_orderkey").as("aid"), col("ek"),
+          col("day").as("a_lo"), (col("day") + col("o_orderkey") % 20).as("a_hi"))
+        val b = base.select(col("o_orderkey").as("bid"), col("ek"),
+          (col("day") + 3).as("b_lo"),
+          (col("day") + 3 + col("o_orderkey") % 15).as("b_hi"))
+        Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          bucketWidth = 16, equiKeys = Seq("ek"))
+          .select(col("aid"), col("bid"))
+          .orderBy(col("aid"), col("bid"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey % 100 AS ek,
+             |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day
+             |  FROM orders WHERE o_orderkey < 2000),
+             |a AS (SELECT o_orderkey AS aid, ek, day AS a_lo,
+             |        day + o_orderkey % 20 AS a_hi FROM base),
+             |b AS (SELECT o_orderkey AS bid, ek, day + 3 AS b_lo,
+             |        day + 3 + o_orderkey % 15 AS b_hi FROM base)
+             |SELECT a.aid, b.bid
+             |FROM a JOIN b ON a.ek = b.ek AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+             |ORDER BY aid, bid""".stripMargin)),
+
     // ------------------------------------------------------------ flattens
     // vcFlatten semantics (README.md:643-666): nest orders into an
     // array-of-structs per customer, then explode+project back — DuckDB
@@ -831,6 +864,68 @@ object Catalog {
              |  UNION ALL
              |  SELECT o_orderkey + 1000000, o_totalprice
              |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 4 = 2
+             |) ORDER BY k""".stripMargin)),
+
+    // SCD Type-2 history build (§2.10 extension): the change log is the
+    // orders table itself — entity = o_custkey % 300, version order =
+    // o_orderkey, tracked attributes = (status, priority). Consecutive
+    // identical snapshots collapse; validity chains via lead(). The
+    // oracle restates the two-window formulation independently with
+    // IS DISTINCT FROM.
+    "upsert_scd2_history" -> QuerySpec(
+      (s, d) => {
+        val log = t(s, d, "orders").select(
+          (col("o_custkey") % 300).as("k"), col("o_orderkey").as("seq"),
+          col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+        Upsert.scd2(log, Seq("k"), "seq", Seq("status", "prio"))
+          .orderBy(col("k"), col("valid_from"))
+      },
+      Some("""WITH log AS (
+             |  SELECT o_custkey % 300 AS k, o_orderkey AS seq,
+             |    o_orderstatus AS status, o_orderpriority AS prio
+             |  FROM orders),
+             |chg AS (
+             |  SELECT *,
+             |    (ROW_NUMBER() OVER w = 1
+             |     OR status IS DISTINCT FROM lag(status) OVER w
+             |     OR prio IS DISTINCT FROM lag(prio) OVER w) AS is_chg
+             |  FROM log WINDOW w AS (PARTITION BY k ORDER BY seq)),
+             |v AS (SELECT k, seq, status, prio FROM chg WHERE is_chg)
+             |SELECT k, status, prio, seq AS valid_from,
+             |  lead(seq) OVER w2 AS valid_to,
+             |  (lead(seq) OVER w2 IS NULL) AS is_current
+             |FROM v WINDOW w2 AS (PARTITION BY k ORDER BY seq)
+             |ORDER BY k, valid_from""".stripMargin)),
+
+    // Snapshot diff (upsert verification): `after` drops every 7th key,
+    // re-prices every 5th, and adds a shifted-key slice — the engine
+    // diffs digest-slim sides through a full-outer join; the oracle
+    // DERIVES each class directly from the residue arithmetic instead
+    // of re-running a diff (independent formulation).
+    "upsert_snapshot_diff" -> QuerySpec(
+      (s, d) => {
+        val before = t(s, d, "orders").filter(col("o_orderkey") < 5000)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"))
+        val after = before.filter(col("k") % 7 =!= 0)
+          .withColumn("price",
+            when(col("k") % 5 === 0, col("price") + 10).otherwise(col("price")))
+          .unionByName(before.filter(col("k") % 9 === 0)
+            .select((col("k") + 1000000L).as("k"), col("status"), col("price")))
+        Upsert.snapshotDiff(before, after, Seq("k"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT k, diff_status FROM (
+             |  SELECT o_orderkey + 1000000 AS k, 'added' AS diff_status
+             |  FROM orders WHERE o_orderkey < 5000 AND o_orderkey % 9 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 'removed'
+             |  FROM orders WHERE o_orderkey < 5000 AND o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 'changed'
+             |  FROM orders
+             |  WHERE o_orderkey < 5000 AND o_orderkey % 7 <> 0
+             |    AND o_orderkey % 5 = 0
              |) ORDER BY k""".stripMargin)),
 
     // As-of join (extension): each event picks up the most recent prior
@@ -1338,6 +1433,36 @@ object Catalog {
       },
       None),
 
+    // Per-cluster centroids (SimilarityOps.clusterCentroids) on the
+    // quantized grid — same floor(x·1000) trick as sim_topk_cosine, so
+    // the decimal-accumulated means are integer-exact cross-engine. The
+    // centroid ARRAY is posexploded back to scalar (pos, mean) rows:
+    // the driver comparator can't sort array cells, and the explode
+    // additionally pins the assembly order (position i ↔ mean of dim i).
+    "sim_cluster_centroids" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("label").as("cluster"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("qv"))
+        SimilarityOps.clusterCentroids(emb, "cluster", "qv")
+          .select(col("cluster"), col("dim"),
+            posexplode(col("centroid")).as(Seq("pos", "mean")))
+          .select(col("cluster"), col("dim"), col("pos").cast(LongType).as("pos"),
+            col("mean"))
+          .orderBy(col("cluster"), col("pos"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label AS cluster,
+             |    unnest(range(len(embedding))) AS pos,
+             |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+             |  FROM embeddings),
+             |m AS (SELECT cluster, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean
+             |      FROM e GROUP BY cluster, pos),
+             |dm AS (SELECT cluster, COUNT(*) AS dim FROM m GROUP BY cluster)
+             |SELECT m.cluster, dm.dim, m.pos, m.mean
+             |FROM m JOIN dm USING (cluster)
+             |ORDER BY cluster, pos""".stripMargin)),
+
     // LSH-bucketed ANN — the scale path (bucket join instead of cross
     // join). Plane projections are float-order-sensitive ⇒ not oracled;
     // recall vs bruteTopK is asserted in SimilaritySpec.
@@ -1584,17 +1709,24 @@ object Catalog {
       None),
 
     // Per-row weighted Bernoulli sample (keep probability = a per-doc
-    // quality proxy, here length-derived) — deterministic seeded hash ⇒
-    // rows-only (the hash stream is engine-specific); fraction/subset/
-    // determinism properties are unit-tested (SampleOpsSpec).
+    // quality proxy, here length-derived). Runs the portableHash variant
+    // so the key is FULLY ORACLED: the 31-bit LCG keep decision is
+    // restated in DuckDB integer arithmetic and even the coin flips
+    // compare bit-for-bit (length() counts code points in both engines).
+    // The default xxhash64 variant's fraction/subset/determinism
+    // properties are unit-tested (SampleOpsSpec).
     "sample_weighted" -> QuerySpec(
       (s, d) => SampleOps.weightedSample(
         t(s, d, "documents")
           .withColumn("w", least(lit(1.0), length(col("text")) / lit(400.0))),
-        "doc_id", "w")
+        "doc_id", "w", portableHash = true)
         .select(col("doc_id"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id FROM documents
+             |WHERE CAST(((doc_id + 42) * 1103515245 + 12345) % 2147483648
+             |           AS DOUBLE) / 2147483648.0
+             |      < LEAST(1.0, LENGTH(text) / 400.0)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Training-mix resampling to target per-source proportions. Fully
     // ORACLED — unlike the two keys above — because the keep decision
@@ -1769,6 +1901,28 @@ object Catalog {
              |SELECT l_orderkey, l_linenumber,
              |  LEAST(GREATEST(l_extendedprice, p.lo), p.hi) AS clipped
              |FROM src, p ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Fixed-width histogram (ProfileOps.histogram): 1-row min/max
+    // broadcast + one partial-aggregating groupBy — two scans total,
+    // no global sort. Every bucket formula is plain IEEE-double
+    // arithmetic, so DuckDB reproduces the binning bit-for-bit
+    // (empty bins are absent on both sides by the same construction).
+    "profile_histogram" -> QuerySpec(
+      (s, d) => ProfileOps.histogram(t(s, d, "lineitem"), "l_extendedprice", bins = 16)
+        .orderBy(col("bin")),
+      Some("""WITH s AS (
+             |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |b AS (
+             |  SELECT CAST(CASE WHEN mx = mn THEN 0
+             |    ELSE LEAST(15, CAST(FLOOR((l_extendedprice - mn) /
+             |                              ((mx - mn) / 16.0)) AS BIGINT))
+             |    END AS BIGINT) AS bin,
+             |    mn, (mx - mn) / 16.0 AS w
+             |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL)
+             |SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
+             |  count(*) AS cnt
+             |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin)),
 
     // Z-order (Morton) clustering key — exact bit interleaving, so the
     // oracle states the same shifts/masks in SQL. The layout-locality

@@ -126,7 +126,8 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_cosine", // bounded all-pairs twin (vec_id < 100)
       "text_tfidf_top_term",   // 1-row doc-count scalar broadcast
       "prep_winsorize",        // 1-row percentile-bounds scalar broadcast
-      "profile_key_skew")      // 1-row global-stats scalar broadcast
+      "profile_key_skew",      // 1-row global-stats scalar broadcast
+      "profile_histogram")     // 1-row min/max-bounds scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -118,4 +118,63 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
   }
+
+  test("intervalOverlapJoin equals the naive overlap join; each pair exactly once") {
+    val rnd = new scala.util.Random(17)
+    // spans 0..40 around bucketWidth 16: pairs share 1..4 buckets, so the
+    // exactly-once check exercises the first-shared-bucket dedup for real
+    val a = (1 to 200).map { i =>
+      val lo = rnd.nextLong(2001) - 1000L
+      (i.toLong, lo, lo + rnd.nextLong(41))
+    }.toDF("aid", "a_lo", "a_hi")
+    val b = (1 to 150).map { i =>
+      val lo = rnd.nextLong(2001) - 1000L
+      (i.toLong, lo, lo + rnd.nextLong(41))
+    }.toDF("bid", "b_lo", "b_hi")
+    val bucketed = Joins.intervalOverlapJoin(a, b,
+      "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 16)
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq
+    val naive = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    assert(bucketed.toSet == naive)
+    assert(bucketed.size == naive.size, "a pair was emitted more than once")
+    assert(naive.nonEmpty)
+    // touching endpoints overlap (closed intervals); disjoint don't
+    val x = Seq((1L, 0L, 10L)).toDF("aid", "a_lo", "a_hi")
+    val y = Seq((1L, 10L, 20L), (2L, 11L, 20L)).toDF("bid", "b_lo", "b_hi")
+    val touch = Joins.intervalOverlapJoin(x, y,
+      "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 4)
+      .select($"bid").as[Long].collect().toSet
+    assert(touch == Set(1L))
+  }
+
+  test("intervalOverlapJoin: degenerate/null intervals match nothing; equiKeys restrict; no BNLJ") {
+    val a = Seq((1L, "g1", 0L, 10L), (2L, "g2", 0L, 10L)).toDF("aid", "k", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, "g1", Some(5L), Some(15L)),  // overlaps, same key
+      (11L, "g2", Some(9L), Some(0L)),   // lo > hi: empty interval
+      (12L, "g2", None, Some(9L)))       // null bound
+      .toDF("bid", "k", "b_lo", "b_hi")
+    val out = Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+      bucketWidth = 4, equiKeys = Seq("k"))
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+    val plan = Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+      bucketWidth = 4, equiKeys = Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("intervalOverlapJoin fails fast on sentinel intervals on either side") {
+    val a = Seq((1L, 0L, 253402300800L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((1L, 50L, 60L)).toDF("bid", "b_lo", "b_hi")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      Joins.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 3600).collect()
+    }
+    assert(msgs(e).exists(_.contains("maxBucketsPerInterval")), msgs(e).mkString("|"))
+  }
 }

@@ -90,4 +90,33 @@ class ProfileOpsSpec extends SparkSpec {
     // the sum while still counted)
     assert(p._3 > 1e29, s"mean ${p._3} lost the sentinel value")
   }
+
+  test("histogram: counts partition the non-null rows, bounds tile [min,max], max lands in last bin") {
+    import spark.implicits._
+    val vals = Seq(0.0, 1.0, 2.5, 3.0, 7.7, 9.9, 10.0).map(Option(_)) :+ None
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val h = ProfileOps.histogram(df, "x", bins = 4)
+      .orderBy($"bin")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(h.map(_._4).sum == 7)              // NULL excluded
+    assert(h.head._2 == 0.0)                  // first bin starts at min
+    assert(math.abs(h.last._3 - 10.0) < 1e-12) // last bin ends at max
+    // max value itself is clamped into the last bin, not a phantom bin 4
+    assert(h.map(_._1).max == 3)
+    // empty bins are absent (bin 2 here); present bins sit on the exact
+    // width-2.5 grid
+    assert(h.map(_._1).toSeq == Seq(0L, 1L, 3L))
+    h.foreach { case (bin, lo, hi, _) =>
+      assert(math.abs(lo - bin * 2.5) < 1e-12 && math.abs(hi - (bin + 1) * 2.5) < 1e-12,
+        s"bin $bin bounds [$lo, $hi] off the grid")
+    }
+  }
+
+  test("histogram: constant column degenerates to one bin of width zero") {
+    import spark.implicits._
+    val df = Seq.fill(5)(42.0).zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "x")
+    val h = ProfileOps.histogram(df, "x", bins = 10)
+      .as[(Long, Double, Double, Long)].collect()
+    assert(h.toSeq == Seq((0L, 42.0, 42.0, 5L)))
+  }
 }

@@ -174,4 +174,21 @@ class SampleOpsSpec extends SparkSpec {
     assert(approx >= exactBand.getDouble(0) && approx <= exactBand.getDouble(1),
       s"approx p50 $approx outside [${exactBand.getDouble(0)}, ${exactBand.getDouble(1)}]")
   }
+
+  test("weightedSample(portableHash) matches the hand-evaluated LCG predicate") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, (i % 11).toDouble / 10.0)).toDF("id", "w")
+    val kept = SampleOps.weightedSample(df, "id", "w", portableHash = true)
+      .select($"id").as[Long].collect().toSet
+    // the exact contract: u = LCG(id + seed) / 2^31 < clamp(w)
+    val expected = (1L to 2000L).filter { i =>
+      val u = (((i + 42L) * 1103515245L + 12345L) % (1L << 31) + (1L << 31)) % (1L << 31)
+      u.toDouble / (1L << 31).toDouble < math.min(1.0, math.max(0.0, (i % 11).toDouble / 10.0))
+    }.toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < 2000)
+    // weight 0 never kept, weight 1 always kept (u < 1.0 is certain)
+    assert(!kept.exists(_ % 11 == 0))
+    assert((1L to 2000L).filter(_ % 11 == 10).forall(kept.contains))
+  }
 }

@@ -178,4 +178,47 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean recall@10 after int8 quantization = $mean")
   }
+
+  test("clusterCentroids equals driver-computed per-dimension means") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(5), Array.fill(8)(rnd.nextInt(2000) - 1000L))
+    }
+    val df = rows.toDF("id", "cluster", "vec")
+    val got = SimilarityOps.clusterCentroids(df, "cluster", "vec")
+      .select($"cluster", $"centroid", $"dim")
+      .as[(Int, Seq[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = rows.groupBy(_._2).map { case (c, rs) =>
+      c -> (0 until 8).map(p => rs.map(_._3(p)).sum.toDouble / rs.size)
+    }
+    assert(got.keySet == want.keySet)
+    for ((c, exp) <- want) {
+      val (cent, dim) = got(c)
+      assert(dim == 8)
+      exp.zip(cent).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-9, s"cluster $c: $e vs $g")
+      }
+    }
+    // NULL cluster / NULL vector rows are excluded, not crashed on
+    val withNulls = df.unionByName(
+      Seq((9999L, Option.empty[Int], Option(Array(1L, 2L)))).toDF("id", "cluster", "vec"))
+      .unionByName(
+        Seq((9998L, Option(0), Option.empty[Array[Long]])).toDF("id", "cluster", "vec"))
+    assert(SimilarityOps.clusterCentroids(withNulls, "cluster", "vec")
+      .count() == want.size)
+  }
+
+  test("clusterCentroids on float embeddings: positions beyond a short vector average over present values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, Array(2.0f, 4.0f)),
+      (2L, 0, Array(6.0f))) // ragged: pos 1 only present on row 1
+      .toDF("id", "cluster", "vec")
+    val out = SimilarityOps.clusterCentroids(df, "cluster", "vec")
+      .select($"centroid").as[Seq[Double]].head()
+    assert(math.abs(out(0) - 4.0) < 1e-9)  // (2+6)/2
+    assert(math.abs(out(1) - 4.0) < 1e-9)  // 4/1 — documented ragged semantics
+  }
 }

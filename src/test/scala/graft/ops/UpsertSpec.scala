@@ -285,4 +285,63 @@ class UpsertSpec extends SparkSpec {
     Upsert.writePartitioned(batch, dir, Seq("location"), dynamicOverwrite = false)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("scd2 builds validity chains and collapses no-op snapshots") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: v1 at seq 10, no-op repeat at 20, real change at 30
+      (1L, 10L, "A", Some(1.0)), (1L, 20L, "A", Some(1.0)), (1L, 30L, "B", Some(1.0)),
+      // key 2: single snapshot
+      (2L, 5L, "X", None),
+      // key 3: NULL attr == NULL attr is a no-op; NULL -> value is a change
+      (3L, 1L, "C", None), (3L, 2L, "C", None), (3L, 3L, "C", Some(9.0)))
+      .toDF("k", "seq", "status", "score")
+    val hist = Upsert.scd2(log, Seq("k"), "seq", Seq("status", "score"))
+      .select($"k", $"valid_from", $"valid_to", $"is_current", $"status")
+      .as[(Long, Long, Option[Long], Boolean, String)].collect().toSet
+    assert(hist == Set(
+      (1L, 10L, Some(30L), false, "A"), (1L, 30L, None, true, "B"),
+      (2L, 5L, None, true, "X"),
+      (3L, 1L, Some(3L), false, "C"), (3L, 3L, None, true, "C")))
+    // exactly one current version per key
+    val cur = Upsert.scd2(log, Seq("k"), "seq", Seq("status", "score"))
+      .filter($"is_current").groupBy($"k").count()
+      .as[(Long, Long)].collect().toMap
+    assert(cur.values.forall(_ == 1L))
+  }
+
+  test("scd2 raises in-plan on duplicate (key, seq)") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L, "A"), (1L, 10L, "B")).toDF("k", "seq", "status")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      Upsert.scd2(dup, Seq("k"), "seq", Seq("status")).collect()
+    }
+    assert(msgs(e).exists(_.contains("scd2")), msgs(e).mkString("|"))
+  }
+
+  test("snapshotDiff classifies added/removed/changed; digests never ship row bodies") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, "a", Some(1.0)), (2L, "b", Some(2.0)),
+      (3L, "c", None), (4L, "d", Some(4.0))).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", Some(1.0)),            // unchanged
+      (2L, "b", Some(99.0)),           // changed value
+      (3L, "c", Some(3.0)),            // NULL -> value is a change
+      (5L, "e", Some(5.0)))            // added; 4 removed
+      .toDF("k", "s", "v")
+    val diff = Upsert.snapshotDiff(before, after, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added")))
+    val all = Upsert.snapshotDiff(before, after, Seq("k"), includeUnchanged = true)
+      .as[(Long, String)].collect().toSet
+    assert(all.contains((1L, "unchanged")) && all.size == 5)
+    // compareCols subset: restricting to the unchanged column hides the drift
+    val only_s = Upsert.snapshotDiff(before, after, Seq("k"), compareCols = Seq("s"))
+      .as[(Long, String)].collect().toSet
+    assert(only_s == Set((4L, "removed"), (5L, "added")))
+  }
 }
