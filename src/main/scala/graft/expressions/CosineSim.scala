@@ -164,7 +164,29 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))),
     ("nfkc_normalize", classOf[NfkcNormalize],
-      (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))))
+      (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))),
+    // Spark's own runtime-filter bloom expressions (codegen'd, mergeable
+    // partial aggregation), surfaced as callable functions: the engine
+    // only instantiates them via InjectRuntimeFilter, but they are
+    // exactly the right primitive for explicit semi-join prefilters
+    // (DedupOps.incrementalDedupBloom). Args: bloom_filter_agg(xxhash64
+    // value, estimatedItems, numBits) — the analyzer wraps the
+    // AggregateFunction; might_contain(bloomBinary, xxhash64 value).
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(value[, estimatedItems, numBits])")
+      }),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry

@@ -556,6 +556,70 @@ object DedupOps {
     }
   }
 
+  /** Offline half of [[incrementalDedupBloom]]: fold the corpus text
+    * digests into one bloom sketch (Spark's own mergeable
+    * `BloomFilterAggregate` — the codegen'd primitive behind
+    * InjectRuntimeFilter, exposed as a callable function by
+    * GraftExtensions) and materialize it on the driver. Same
+    * fit/apply split as [[SimilarityOps.ivfFit]]: the fit is ONE
+    * partial-aggregating job over the corpus (each task folds its rows
+    * into a local sketch; sketches OR-merge), re-used across every
+    * subsequent batch — a daily ingest fits once per corpus version,
+    * not once per query. Sketch size ≈ `expectedItems`·10/8 bytes
+    * (~9.6 bits/item ⇒ 1% fpp); overestimating `expectedItems` costs
+    * bits, underestimating costs fpp, never correctness. */
+  def bloomFitDigests(
+      corpus: DataFrame, textCol: String,
+      expectedItems: Long = 4000000L): Array[Byte] = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(sha2(col(textCol).cast(StringType), 256).as("_h"))
+      .agg(call_function("bloom_filter_agg",
+        xxhash64(col("_h")),
+        lit(expectedItems),
+        lit(expectedItems * 10)).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-prefiltered exact incremental dedup — result-identical to
+    * [[incrementalDedup]]`(nearDup = false)`, with a different shuffle
+    * profile for the huge-batch × huge-corpus case.
+    *
+    * The exact tier's anti join must shuffle EVERY batch digest to meet
+    * the corpus digests. Here the [[bloomFitDigests]] sketch rides the
+    * plan as a BINARY LITERAL (`might_contain` requires a plan-time
+    * constant — and a literal ships once per task binary, no broadcast
+    * round). Batch rows the bloom rejects are DEFINITELY novel (no
+    * false negatives) and bypass the join entirely; only the
+    * `might_contain` hits — true dups plus the fpp sliver — continue to
+    * the exact anti join that removes false positives. With a daily
+    * batch that is mostly novel (the common crawl-ingest shape), the
+    * anti-join shuffle shrinks from |batch| to ~|dups| + fpp·|batch|.
+    *
+    * The novel/confirmed split is a UNION of two branches over the
+    * batch — two scans, deliberately: a single anti join with a
+    * `_cand AND` condition would scan once but shuffle every batch row
+    * on the digest; at corpus scale the shuffle dominates the extra
+    * columnar scan by orders of magnitude. */
+  def incrementalDedupBloom(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      bloomSketch: Array[Byte]): DataFrame = {
+    require(bloomSketch != null && bloomSketch.nonEmpty,
+      "bloomSketch must be a bloomFitDigests result")
+    graft.expressions.GraftFunctions.register(batch.sparkSession)
+    val digest = sha2(col(textCol).cast(StringType), 256)
+    val corpusH = corpus.select(digest.as("_h"))
+    val tagged = batch.withColumn("_h", digest)
+      .withColumn("_cand", call_function("might_contain",
+        lit(bloomSketch), xxhash64(col("_h"))))
+    val novel = tagged.filter(!col("_cand")).drop("_cand", "_h")
+    val confirmed = tagged.filter(col("_cand"))
+      .join(corpusH, Seq("_h"), "left_anti")
+      .drop("_cand", "_h")
+    novel.unionByName(confirmed)
+  }
+
   /** Benchmark DECONTAMINATION: count, per corpus document, how many of
     * its distinct word n-grams also appear in a benchmark/eval set —
     * the standard guard against test-set leakage into training data

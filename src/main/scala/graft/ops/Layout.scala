@@ -64,4 +64,26 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Per-FILE skipping stats for a parquet table: (file, n_rows, and
+    * min/max of each requested column) — the data-skipping index a
+    * lakehouse table format maintains per file, computed here from the
+    * hidden `_metadata` column, so layout quality ([[writeZOrdered]] vs
+    * linear) is measurable without reading footers driver-side: a file
+    * whose [min, max] misses a predicate would be pruned, and the sum
+    * of such files over a predicate set is exactly the scan saving.
+    *
+    * One distributed aggregate, partial-combined per task (each task
+    * emits one row per file it touches, regardless of row count);
+    * `df` must come straight from a file-based reader (`_metadata` is
+    * only defined there — anything post-shuffle has lost file
+    * provenance). */
+  def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "fileStats: statCols must be non-empty")
+    df.select(col("_metadata.file_name").as("file") +: statCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+  }
 }

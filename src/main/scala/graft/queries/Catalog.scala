@@ -34,6 +34,12 @@ object Catalog {
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.IvfModel]()
 
+  /** Corpus bloom sketches, one per dataset dir — the offline half of
+    * dedup_incremental_bloom's fit/apply split (DedupOps.bloomFitDigests),
+    * memoized for the same reason as [[ivfModels]]. */
+  private val bloomSketches =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
     * from the driver test tables, so the DuckDB oracle can check the
@@ -414,6 +420,35 @@ object Catalog {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
              |FROM lineitem WHERE l_returnflag = 'R'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Schema evolution on read: two parquet generations in one table
+    // directory — the old files lack o_orderstatus (an added column, the
+    // reference's defensive runtime-column-discovery concern,
+    // README.md:1248-1282, handled declaratively). mergeSchema=true
+    // unions the footers; old rows surface NULL for the new column. The
+    // oracle restates the generation split with an explicit NULL.
+    "scan_merge_schema" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_merge_schema") { p =>
+          val orders = t(s, d, "orders")
+          orders.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .write.mode("overwrite").parquet(p)
+          orders.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+            .write.mode("append").parquet(p)
+        }
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CAST(NULL AS VARCHAR) AS o_orderstatus
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderstatus
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
 
     // Count-min sketch (mergeable frequency summary — the heavy-hitters
     // companion to the HLL distinct sketch): binary sketch per group.
@@ -1833,6 +1868,35 @@ object Catalog {
              |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
              |ORDER BY b.doc_id""".stripMargin)),
 
+    // Bloom-prefiltered exact incremental dedup: same fixture and the
+    // SAME final semantics as dedup_incremental (the bloom is a pure
+    // prefilter — false positives fall to the exact anti join, false
+    // negatives don't exist), so the key is fully oracled even though
+    // the bloom bits themselves are engine-specific. The sketch is the
+    // offline fit half (bloomFitDigests), memoized per dataset like the
+    // IVF model.
+    "dedup_incremental_bloom" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") < 450)
+        val batch = docs.filter(col("doc_id") >= 450)
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        val sketch = bloomSketches.computeIfAbsent(d,
+          _ => DedupOps.bloomFitDigests(corpus, "text", expectedItems = 10000L))
+        DedupOps.incrementalDedupBloom(batch, corpus, "doc_id", "text", sketch)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (SELECT text FROM documents WHERE doc_id < 450),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 450
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10)
+             |SELECT b.doc_id FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+             |ORDER BY b.doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- profiling
     // Key-skew diagnostic (the pre-shuffle measurement behind the
     // salting / AQE-skew-join decision). Mean derived as tot/k so the
@@ -1943,6 +2007,27 @@ object Catalog {
              |  ((((l_orderkey % 8)     >> 2) & 1) << 5) AS zkey
              |FROM lineitem WHERE l_orderkey < 2000
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Per-file skipping stats over a STAGED z-ordered write — the
+    // data-skipping index a table format maintains, computed via the
+    // hidden _metadata column. File NAMES are writer-run-specific ⇒
+    // rows-only (names dropped, rows ordered by the min key); the
+    // stats-vs-actual-pruning agreement is unit-tested in LayoutSpec.
+    "layout_file_stats" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "layout_zorder_files") { p =>
+          Layout.writeZOrdered(
+            t(s, d, "lineitem").select(
+              pmod(col("l_orderkey"), lit(64)).as("ok"),
+              pmod(col("l_partkey"), lit(64)).as("pk"),
+              col("l_quantity")),
+            p, nFiles = 4, bits = 6, "ok", "pk")
+        }
+        Layout.fileStats(s.read.parquet(dir), Seq("ok", "pk"))
+          .drop("file")
+          .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
+      },
+      None),
 
     // Approximate percentile (GK sketch) — mergeable partial aggregation,
     // the at-scale twin of fn_percentile's exact sort. Approx by

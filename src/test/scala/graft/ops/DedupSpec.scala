@@ -208,6 +208,33 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.incrementalDedup(dupIds, corpus, "doc_id", "text").count() == 2)
   }
 
+  test("incrementalDedupBloom equals the exact tier; bloom prefilter is in the plan") {
+    val docs = (1L to 400L).map(i => (i, s"document body number ${i % 350}"))
+      .toDF("doc_id", "text") // ids 351..400 duplicate 1..50's text
+    val corpus = docs.filter($"doc_id" <= 350)
+    val batch = docs.filter($"doc_id" > 350)
+      .unionByName(Seq((9001L, "genuinely novel text alpha"),
+        (9002L, "genuinely novel text beta")).toDF("doc_id", "text"))
+    val exact = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val sketch = DedupOps.bloomFitDigests(corpus, "text", expectedItems = 1000L)
+    assert(sketch.nonEmpty)
+    val bloomed = DedupOps.incrementalDedupBloom(batch, corpus, "doc_id", "text", sketch)
+    assert(bloomed.select($"doc_id").as[Long].collect().toSet == exact)
+    assert(exact == Set(9001L, 9002L))
+    // analyzed (pre-optimization) plan: over a LocalRelation fixture the
+    // optimizer constant-folds the whole prefilter away, which is itself
+    // correct behavior — the assert pins that the op BUILDS the bloom
+    // probe, not how far Catalyst folds it on toy inputs
+    val plan = bloomed.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      plan.take(2000))
+    // schema unchanged, empty batch stays empty
+    assert(bloomed.columns.toSeq == batch.columns.toSeq)
+    assert(DedupOps.incrementalDedupBloom(batch.limit(0), corpus, "doc_id", "text", sketch)
+      .count() == 0)
+  }
+
   test("large-star/small-star CC equals union-find; converges on chains where min-label rails") {
     val rng = new scala.util.Random(11)
     for (trial <- 1 to 3) {

@@ -58,4 +58,32 @@ class LayoutSpec extends SparkSpec {
     // identical data either way
     assert(spark.read.parquet(dirZ).count() == 65536)
   }
+
+  test("fileStats reports per-file min/max that predict pruning") {
+    val pts = (for (x <- 0 until 128; y <- 0 until 128) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val dirZ = java.nio.file.Files.createTempDirectory("lay_fs").toFile.getAbsolutePath
+    Layout.writeZOrdered(pts, dirZ, nFiles = 8, bits = 7, "x", "y")
+    val stats = Layout.fileStats(spark.read.parquet(dirZ), Seq("x", "y"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 8)
+    assert(stats.map(_._2).sum == 128L * 128L)
+    stats.foreach { case (_, _, xmin, xmax, ymin, ymax) =>
+      assert(xmin <= xmax && ymin <= ymax)
+    }
+    // the stats must agree with actual pruning, in the only direction
+    // min/max can promise: every file that yields a row for y in
+    // [100, 108) must be one whose stats-range overlaps the predicate
+    // (ranges are conservative — an overlapping file may still hold no
+    // matching rows, so equality would over-claim)
+    val overlapping = stats.collect { case (f, _, _, _, ymin, ymax)
+      if ymax >= 100 && ymin < 108 => f }.toSet
+    val yielding = spark.read.parquet(dirZ)
+      .filter($"y" >= 100 && $"y" < 108)
+      .select(input_file_name()).distinct().as[String].collect()
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(yielding.subsetOf(overlapping),
+      s"files with matching rows $yielding must all be stats-overlapping $overlapping")
+    assert(overlapping.size < 8, "z-ordered layout should make some files prunable on y")
+  }
 }
