@@ -65,6 +65,23 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` as parquet linearly clustered on `sortCols`: range-
+    * partition into `nFiles` files (sampled split points, so files are
+    * size-balanced even under value skew), sort within each, write.
+    * The single-axis layout twin of [[writeZOrdered]]: per-file min/max
+    * ranges on the LEADING sort column become pairwise disjoint, so a
+    * point/range predicate on it prunes all but ~1 file — maximal
+    * skipping on one dimension, none on the others (that trade is
+    * exactly what [[fileStats]] makes measurable). */
+  def writeRangeClustered(
+      df: DataFrame, path: String, nFiles: Int, sortCols: String*): Unit = {
+    require(nFiles >= 1, "nFiles must be positive")
+    require(sortCols.nonEmpty, "writeRangeClustered needs sort columns")
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-FILE skipping stats for a parquet table: (file, n_rows, and
     * min/max of each requested column) — the data-skipping index a
     * lakehouse table format maintains per file, computed here from the

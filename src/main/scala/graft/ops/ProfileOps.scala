@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -128,6 +129,34 @@ object ProfileOps {
         (col("_mn") + col("bin") * col("_w")).as("bin_lo"),
         (col("_mn") + (col("bin") + 1) * col("_w")).as("bin_hi"),
         col("cnt"))
+  }
+
+  /** Forward-fill (last-observation-carried-forward) gap imputation:
+    * per `keyCol` series ordered by `orderCol`, each NULL in a value
+    * column takes the most recent non-NULL value; leading NULLs (no
+    * prior observation) stay NULL. The standard sensor/price gap
+    * repair — the reference's weather series carry exactly this kind
+    * of missing-measurement hole.
+    *
+    * All columns share ONE window spec, so Catalyst computes every
+    * fill in a single Window node: one shuffle on the key, one
+    * within-partition sort, regardless of how many columns are filled.
+    * `last(…, ignoreNulls)` over a running ROWS frame is evaluated
+    * with O(1) state per row (Spark keeps the last non-null seen — no
+    * per-row frame rescan).
+    *
+    * (`orderCol` ties: the fill inside a tie group follows the sort's
+    * arbitrary-but-stable tie order; pass a unique order column — e.g.
+    * (ts, id) pre-combined — when ties are possible and material.) */
+  def forwardFill(
+      df: DataFrame, keyCol: String, orderCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "forwardFill: valueCols must be non-empty")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
   }
 
   def winsorize(

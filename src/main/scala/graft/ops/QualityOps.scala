@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations: named row-level rules
+  * evaluated in one pass, with the three standard consumption shapes —
+  * annotate, quarantine-split, and per-rule violation stats. The
+  * engine-side counterpart of the reference's defensive validation
+  * layer (README.md:1248-1282 runtime column discovery,
+  * README.md:1216-1246 tolerant parsing): instead of scattering
+  * per-field guards through transform code, the rules are data, the
+  * checks are one projection, and the violating rows stay available
+  * for repair instead of dying inside a cast.
+  *
+  * A rule PASSES only when its predicate evaluates to TRUE — a NULL
+  * predicate (e.g. `col("x") > 0` over a NULL x) is a violation, not a
+  * silent pass. That is the only defensible default for quality gates:
+  * the rows most likely to break downstream are exactly the ones whose
+  * checks cannot evaluate.
+  */
+object QualityOps {
+
+  /** Annotate every row with `_violations: array<string>` — the names of
+    * the rules it fails (empty array = clean). Pure per-row projection:
+    * no shuffle, rules evaluate where the rows sit, one scan for any
+    * number of rules. */
+  def checkExpectations(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkExpectations: rules must be non-empty")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"checkExpectations: duplicate rule names in ${rules.map(_._1)}")
+    val violated = rules.map { case (name, pred) =>
+      when(coalesce(pred, lit(false)), lit(null)).otherwise(lit(name))
+    }
+    df.withColumn("_violations",
+      filter(array(violated: _*), _.isNotNull))
+  }
+
+  /** Quarantine split: (clean rows, violating rows annotated with their
+    * `_violations`). Two filters over one annotated plan — with the
+    * scan shared under AQE/caching, and either side independently
+    * writable (the clean stream to the table, the quarantine stream to
+    * a repair location, mirroring tolerant-JSON's corrupt-record
+    * channel). */
+  def quarantine(
+      df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val checked = checkExpectations(df, rules)
+    (checked.filter(size(col("_violations")) === 0).drop("_violations"),
+      checked.filter(size(col("_violations")) > 0))
+  }
+
+  /** Per-rule violation stats in ONE aggregate row-per-rule:
+    * (rule, n_violations, violation_rate over all rows). Conditional
+    * sums — not an explode of the violations array — so the aggregate
+    * is a single partial-combined pass with k counters per task,
+    * regardless of table size; nothing shuffles but the k-row result.
+    * This is the dashboard/drift-alert shape: compare rates across
+    * ingest batches to catch a schema or upstream regression. */
+  def expectationStats(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectationStats: rules must be non-empty")
+    // coalesce: sum over ZERO rows is NULL — an empty batch has 0
+    // violations, not unknown-many
+    val aggs = rules.flatMap { case (name, pred) =>
+      Seq(coalesce(
+        sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),
+        lit(0L)).as(s"__v_$name"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perRule = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"))
+    }
+    one.select(explode(array(perRule: _*)).as("_r"), col("__n"))
+      .select(col("_r.rule").as("rule"),
+        col("_r.n_violations").as("n_violations"),
+        when(col("__n") === 0L, lit(0.0))
+          .otherwise(col("_r.n_violations").cast("double") / col("__n"))
+          .as("violation_rate"))
+  }
+}

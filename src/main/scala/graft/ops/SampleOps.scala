@@ -165,6 +165,32 @@ object SampleOps {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic per-group sample: keep exactly `min(n, |group|)` rows
+    * from each group, chosen by ranking the group on
+    * [[portableUniform]](id) — a seedable uniform-random-without-
+    * replacement draw that is reproducible cross-engine AND
+    * cross-partitioning (the hash order is a property of the ids, not
+    * of the scan). The balanced-subset lever when the contract is a
+    * COUNT per class ("10k docs per language"), where the Bernoulli
+    * samplers above can only promise an expectation.
+    *
+    * Plans as row_number over (group, hash, id) with an `rn ≤ n`
+    * filter — exactly the shape GraftExtensions' TopKPerKey strategy
+    * rewrites to a bounded per-key heap: each task keeps at most n rows
+    * per group, nothing sorts the full groups, and the shuffle carries
+    * only the single hash column beyond the data. `id + seed` feeds the
+    * LCG, so different seeds draw different (deterministic) subsets. */
+  def samplePerGroup(
+      df: DataFrame, groupCol: String, idCol: String, n: Int,
+      seed: Long = 0L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(portableUniform(col(idCol) + lit(seed)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Sequence packing: assign each document to a token-budget bin within
     * its group — bin = (tokens-before-this-doc) div `budget` over a
     * (group, order) window. One shuffle on the group key, one sort; a

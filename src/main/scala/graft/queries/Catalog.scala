@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -2028,6 +2028,106 @@ object Catalog {
           .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
       },
       None),
+
+    // Range-clustered layout twin of layout_file_stats: stage a
+    // repartitionByRange+sortWithinPartitions write, read the per-file
+    // skipping stats back. File names are writer-run-specific and the
+    // range split points come from Spark's reservoir sampling ⇒
+    // rows-only; the disjoint-leading-ranges property (the reason the
+    // layout exists) is unit-asserted in LayoutSpec.
+    "layout_range_cluster" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "layout_range_files") { p =>
+          Layout.writeRangeClustered(
+            t(s, d, "lineitem")
+              .select(col("l_shipdate"), col("l_orderkey"), col("l_quantity")),
+            p, nFiles = 4, "l_shipdate", "l_orderkey")
+        }
+        Layout.fileStats(s.read.parquet(dir), Seq("l_shipdate"))
+          .drop("file")
+          .orderBy(col("l_shipdate_min"), col("n_rows"))
+      },
+      None),
+
+    // Forward-fill gap imputation (LOCF): per-user series with every
+    // 5th measurement deterministically nulled out on BOTH sides, so
+    // the oracle checks real fills. value is carried through untouched
+    // (no arithmetic) ⇒ doubles compare bit-for-bit.
+    "profile_forward_fill" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+              .as("v"))
+        ProfileOps.forwardFill(ev, "user_id", "event_id", Seq("v"))
+          .withColumnRenamed("v", "v_filled")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM ev ORDER BY event_id""".stripMargin)),
+
+    // Exact per-group sampling ("30 docs per language"): row_number over
+    // (group, portable-LCG hash, id) with rn ≤ n — the count-contract
+    // sampler (Bernoulli keys above only promise an expectation). The
+    // LCG is DuckDB-bit-identical, so every drawn id is oracled. Plans
+    // through the TopKPerKey bounded-heap strategy (SampleOpsSpec).
+    "sample_per_group" -> QuerySpec(
+      (s, d) => SampleOps.samplePerGroup(
+        t(s, d, "documents"), "lang", "doc_id", n = 30, seed = 7L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""WITH u AS (
+             |  SELECT lang, doc_id,
+             |    CAST(((doc_id + 7) * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+             |      / 2147483648.0 AS u
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+             |  FROM u)
+             |SELECT lang, doc_id FROM r WHERE rn <= 30
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // Declarative data-quality expectations: per-rule violation counts
+    // and rates in ONE conditional-sum aggregate (k counters per task,
+    // nothing shuffles but the k-row result). chars_consistent passes
+    // everywhere by fixture construction — a zero-violation row proves
+    // the counters don't over-count; the other two rules violate.
+    "quality_expectations" -> QuerySpec(
+      (s, d) => QualityOps.expectationStats(t(s, d, "documents"), Seq(
+          "min_chars" -> (col("n_chars") >= 100L),
+          "known_lang" -> col("lang").isin("en", "de", "fr"),
+          "chars_consistent" -> (col("n_chars") === length(col("text")))))
+        .orderBy(col("rule")),
+      Some("""SELECT * FROM (
+             |  SELECT 'min_chars' AS rule,
+             |    CAST(SUM(CASE WHEN coalesce(n_chars >= 100, false)
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+             |    CAST(SUM(CASE WHEN coalesce(n_chars >= 100, false)
+             |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS violation_rate
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'known_lang',
+             |    CAST(SUM(CASE WHEN coalesce(lang IN ('en','de','fr'), false)
+             |      THEN 0 ELSE 1 END) AS BIGINT),
+             |    CAST(SUM(CASE WHEN coalesce(lang IN ('en','de','fr'), false)
+             |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*)
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'chars_consistent',
+             |    CAST(SUM(CASE WHEN coalesce(n_chars = length(text), false)
+             |      THEN 0 ELSE 1 END) AS BIGINT),
+             |    CAST(SUM(CASE WHEN coalesce(n_chars = length(text), false)
+             |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*)
+             |  FROM documents
+             |) ORDER BY rule""".stripMargin)),
 
     // Approximate percentile (GK sketch) — mergeable partial aggregation,
     // the at-scale twin of fn_percentile's exact sort. Approx by

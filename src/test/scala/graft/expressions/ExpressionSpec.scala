@@ -51,7 +51,8 @@ class ExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
-        "simhash_sig", "shingle_array", "nfkc_normalize"))
+        "simhash_sig", "shingle_array", "nfkc_normalize",
+        "bloom_filter_agg", "might_contain"))
   }
 
   test("nfkc_normalize: encoding-variant strings become identical pre-hash") {

@@ -86,4 +86,31 @@ class LayoutSpec extends SparkSpec {
       s"files with matching rows $yielding must all be stats-overlapping $overlapping")
     assert(overlapping.size < 8, "z-ordered layout should make some files prunable on y")
   }
+
+  test("writeRangeClustered: leading-column file ranges are pairwise disjoint") {
+    val pts = (1L to 20000L).map(i => ((i * 7919L) % 10007L, i)).toDF("k", "id")
+    val dir = java.nio.file.Files.createTempDirectory("lay_rc").toFile.getAbsolutePath
+    Layout.writeRangeClustered(pts, dir, nFiles = 8, "k", "id")
+    val stats = Layout.fileStats(spark.read.parquet(dir), Seq("k"))
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(_._3) // by k_min
+    assert(stats.length == 8)
+    assert(stats.map(_._2).sum == 20000L)
+    // range partitioning is on the (k, id) tuple, so a duplicated k may
+    // sit exactly on a file boundary — but never INSIDE two files'
+    // ranges: sorted by min, each file starts at or after the previous
+    // file's max. A point/range predicate on k touches ≤ 1 file + the
+    // boundary neighbour.
+    stats.sliding(2).foreach {
+      case Array((_, _, _, prevMax), (_, _, nextMin, _)) =>
+        assert(nextMin >= prevMax, s"file ranges overlap: $prevMax vs $nextMin")
+      case _ =>
+    }
+    // size balance: sampled split points keep files within ~3x of even
+    val sizes = stats.map(_._2)
+    assert(sizes.max <= 3 * (20000L / 8), sizes.mkString(","))
+    // content round-trips exactly
+    assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==
+      pts.as[(Long, Long)].collect().toSet)
+  }
 }

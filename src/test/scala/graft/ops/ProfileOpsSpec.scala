@@ -119,4 +119,33 @@ class ProfileOpsSpec extends SparkSpec {
       .as[(Long, Double, Double, Long)].collect()
     assert(h.toSeq == Seq((0L, 42.0, 42.0, 5L)))
   }
+
+  test("forwardFill carries last observation, leaves leading NULLs, fills per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, None: Option[Double], Some("x")),
+      ("a", 2L, Some(10.0), None: Option[String]),
+      ("a", 3L, None: Option[Double], None: Option[String]),
+      ("a", 4L, Some(20.0), Some("y")),
+      ("a", 5L, None: Option[Double], None: Option[String]),
+      ("b", 1L, Some(7.0), None: Option[String]),
+      ("b", 2L, None: Option[Double], Some("z")))
+      .toDF("k", "ts", "v", "s")
+    val got = ProfileOps.forwardFill(df, "k", "ts", Seq("v", "s"))
+      .orderBy($"k", $"ts")
+      .as[(String, Long, Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, None, Some("x")),          // leading NULL stays NULL
+      ("a", 2L, Some(10.0), Some("x")),
+      ("a", 3L, Some(10.0), Some("x")),    // gap filled
+      ("a", 4L, Some(20.0), Some("y")),    // new observation wins
+      ("a", 5L, Some(20.0), Some("y")),
+      ("b", 1L, Some(7.0), None),          // keys are independent
+      ("b", 2L, Some(7.0), Some("z"))))
+    // both columns fill inside ONE Window node: exactly one shuffle
+    val plan = ProfileOps.forwardFill(df, "k", "ts", Seq("v", "s"))
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size >= 1)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
 }

@@ -191,4 +191,45 @@ class SampleOpsSpec extends SparkSpec {
     assert(!kept.exists(_ % 11 == 0))
     assert((1L to 2000L).filter(_ % 11 == 10).forall(kept.contains))
   }
+
+  test("samplePerGroup: exact counts, deterministic, partitioning-independent") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (s"g${i % 7}", i)).toDF("grp", "id")
+    val got = SampleOps.samplePerGroup(df, "grp", "id", n = 20, seed = 5L)
+    val counts = got.groupBy($"grp").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // every group has > 20 members here ⇒ exactly 20 each
+    assert(counts.values.forall(_ == 20L), counts.toString)
+    assert(counts.keySet == (0 until 7).map(i => s"g$i").toSet)
+    // small group: min(n, |group|)
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
+    assert(SampleOps.samplePerGroup(tiny, "grp", "id", n = 5).count() == 3)
+    // the draw is a property of the ids, not the partitioning
+    val ids1 = got.select($"id").as[Long].collect().toSet
+    val ids2 = SampleOps.samplePerGroup(df.repartition(13), "grp", "id", 20, 5L)
+      .select($"id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // different seed draws a different subset
+    val ids3 = SampleOps.samplePerGroup(df, "grp", "id", 20, seed = 6L)
+      .select($"id").as[Long].collect().toSet
+    assert(ids3 != ids1)
+    // hand-check one group against the LCG ranking contract
+    val g0 = (1L to 1000L).filter(_ % 7 == 0)
+    def u(i: Long): Double = {
+      val m = 1L << 31
+      val x = ((i + 5L) * 1103515245L + 12345L) % m
+      ((x + m) % m).toDouble / m.toDouble
+    }
+    val expected = g0.sortBy(i => (u(i), i)).take(20).toSet
+    assert(ids1.filter(_ % 7 == 0) == expected)
+  }
+
+  test("samplePerGroup plans through the TopKPerKey bounded-heap strategy") {
+    import spark.implicits._
+    graft.plans.TopKPerKey.register(spark)
+    val df = (1L to 1000L).map(i => (s"g${i % 7}", i)).toDF("grp", "id")
+    val got = SampleOps.samplePerGroup(df, "grp", "id", n = 20)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), plan.take(1500))
+  }
 }
