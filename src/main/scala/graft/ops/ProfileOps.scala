@@ -159,6 +159,33 @@ object ProfileOps {
     }
   }
 
+  /** Per-group z-score normalization ((x − mean) / stddev within
+    * `keyCol`) — the group-wise feature scaling step, as ONE window
+    * aggregate over the group: one shuffle on the key, no join back,
+    * no second scan.
+    *
+    * The stddev is DERIVED from exact decimal sums (n, Σx, Σx²) rather
+    * than taken from `stddev_samp`: Welford-style streaming variance
+    * accumulates differently under every partial-aggregation order, so
+    * its low bits vary run-to-run and engine-to-engine, while decimal
+    * sums are exact and the closed-form variance
+    * (Σx² − (Σx)²/n) / (n−1) is then a fixed chain of IEEE ops —
+    * bit-identical on any cluster layout and in the DuckDB oracle.
+    * Groups with n ≤ 1 (or zero variance) get NULL z — undefined, not
+    * ±Inf/NaN. */
+  def zscorePerGroup(
+      df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val v = col(valueCol)
+    val n = count(v).over(w).cast(DoubleType)
+    val s1 = sum(v.cast(DecimalType(38, 6))).over(w).cast(DoubleType)
+    val s2 = sum((v * v).cast(DecimalType(38, 6))).over(w).cast(DoubleType)
+    val meanV = s1 / n
+    val varV = (s2 - s1 * s1 / n) / (n - lit(1.0))
+    df.withColumn("zscore",
+      when(n > 1.0 && varV > 0.0, (v - meanV) / sqrt(varV)))
+  }
+
   def winsorize(
       df: DataFrame, valueCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99,

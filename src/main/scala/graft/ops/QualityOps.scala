@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations: named row-level rules
@@ -48,6 +48,31 @@ object QualityOps {
     val checked = checkExpectations(df, rules)
     (checked.filter(size(col("_violations")) === 0).drop("_violations"),
       checked.filter(size(col("_violations")) > 0))
+  }
+
+  /** Piggyback the expectation counters on an EXISTING action via
+    * Spark's `observe` API: returns (instrumented df, observation).
+    * After any action on the returned frame, `obs.get` yields
+    * `__n` (rows seen) and one `__v_<rule>` violation count per rule —
+    * the counters ride the job as accumulator-backed metrics, so the
+    * quality gate costs ZERO extra passes over the data (vs
+    * [[expectationStats]]' dedicated aggregate). This is the shape for
+    * "write the table AND tell me what fraction was dirty" — one scan,
+    * both outcomes. Works identically under streaming (per-batch
+    * metrics via the progress listener). */
+  def observedExpectations(
+      df: DataFrame, rules: Seq[(String, Column)],
+      name: String = "quality"): (DataFrame, Observation) = {
+    require(rules.nonEmpty, "observedExpectations: rules must be non-empty")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"observedExpectations: duplicate rule names in ${rules.map(_._1)}")
+    val obs = Observation(name)
+    val metrics = count(lit(1)).as("__n") +: rules.map { case (rn, pred) =>
+      coalesce(
+        sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),
+        lit(0L)).as(s"__v_$rn")
+    }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
   /** Per-rule violation stats in ONE aggregate row-per-rule:

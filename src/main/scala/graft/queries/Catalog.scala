@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -2028,6 +2028,75 @@ object Catalog {
           .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
       },
       None),
+
+    // OHLC time-series downsample: one groupBy over (key, hour bucket),
+    // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
+    // timestamp — duplicate timestamps would make them nondeterministic),
+    // mean through the decimal accumulator. DuckDB's arg_min/arg_max are
+    // the exact oracle counterparts.
+    "agg_resample_ohlc" -> QuerySpec(
+      (s, d) => TimeSeriesOps.resampleOhlc(
+        t(s, d, "events"), "user_id", "ts", "value", "event_id", "hour")
+        .orderBy(col("user_id"), col("bucket")),
+      Some("""SELECT user_id, date_trunc('hour', ts) AS bucket,
+             |  arg_min(value, event_id) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  arg_max(value, event_id) AS close,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    / CAST(count(value) AS DOUBLE) AS mean_val,
+             |  count(value) AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY user_id, bucket""".stripMargin)),
+
+    // Modal value per group (most frequent event_type per user):
+    // groupBy count → per-key rank with an explicit deterministic
+    // tie-break (native MODE() leaves ties engine-defined, so the
+    // count+row_number formulation is the only oracle-able one). The
+    // rn=1 filter plans through the TopKPerKey bounded heap.
+    "agg_mode" -> QuerySpec(
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, event_type, n,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY n DESC, event_type) AS rn
+             |  FROM c)
+             |SELECT user_id, event_type AS modal_type, n
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Per-group z-score normalization, stddev DERIVED from exact decimal
+    // sums (Σx, Σx²) so the double arithmetic is a fixed op chain —
+    // bit-identical under any partial-agg order and in DuckDB (native
+    // stddev_samp is Welford-streamed and NOT hash-stable cross-engine).
+    "prep_zscore_group" -> QuerySpec(
+      (s, d) => ProfileOps.zscorePerGroup(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value")
+        .orderBy(col("event_id")),
+      Some("""WITH st AS (
+             |  SELECT event_id, user_id, value,
+             |    CAST(count(value) OVER w AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id))
+             |SELECT event_id, user_id, value,
+             |  CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0
+             |    THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+             |  END AS zscore
+             |FROM st ORDER BY event_id""".stripMargin)),
 
     // Range-clustered layout twin of layout_file_stats: stage a
     // repartitionByRange+sortWithinPartitions write, read the per-file

@@ -120,6 +120,27 @@ class ProfileOpsSpec extends SparkSpec {
     assert(h.toSeq == Seq((0L, 42.0, 42.0, 5L)))
   }
 
+  test("zscorePerGroup: hand-computed z; degenerate groups get NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 4L, 5.0),                    // n = 1 → NULL
+      ("c", 5L, 4.0), ("c", 6L, 4.0))    // zero variance → NULL
+      .toDF("k", "id", "v")
+    val got = ProfileOps.zscorePerGroup(df, "k", "v")
+      .orderBy($"id")
+      .select($"id", $"zscore").as[(Long, Option[Double])].collect().toSeq
+    // group a: mean 2, var ((1+4+9) - 36/3)/2 = 1, sd 1 → z = -1, 0, 1
+    assert(got == Seq(
+      (1L, Some(-1.0)), (2L, Some(0.0)), (3L, Some(1.0)),
+      (4L, None), (5L, None), (6L, None)))
+    // one window over the key: exactly one shuffle, no join-back
+    val plan = ProfileOps.zscorePerGroup(df, "k", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("forwardFill carries last observation, leaves leading NULLs, fills per key") {
     import spark.implicits._
     val df = Seq(

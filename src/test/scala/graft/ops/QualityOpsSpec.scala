@@ -49,6 +49,19 @@ class QualityOpsSpec extends SparkSpec {
       .collect().forall(_.getLong(1) == 0L))
   }
 
+  test("observedExpectations: counters ride an existing action, no extra pass") {
+    val (instrumented, obs) = QualityOps.observedExpectations(fixture, rules)
+    // the ONLY action is this collect — the metrics piggyback on it
+    assert(instrumented.collect().length == 5)
+    val m = obs.get
+    assert(m("__n") == 5L)
+    assert(m("__v_text_nonempty") == 2L)   // ids 2 (empty), 3 (NULL)
+    assert(m("__v_tokens_positive") == 2L) // ids 2 (zero), 4 (NULL)
+    intercept[IllegalArgumentException] {
+      QualityOps.observedExpectations(fixture, rules ++ rules.take(1))
+    }
+  }
+
   test("duplicate rule names rejected; rules must be non-empty") {
     intercept[IllegalArgumentException] {
       QualityOps.checkExpectations(fixture, rules ++ rules.take(1))
