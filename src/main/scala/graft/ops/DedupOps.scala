@@ -692,4 +692,35 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Two-stage near-dup verification: cheap set-similarity blocking
+    * ([[ngramJaccardPairs]]) proposes candidates; expensive edit
+    * distance confirms them. Levenshtein is O(|a|·|b|) per pair — at
+    * corpus scale it can ONLY run on a blocked candidate set, never
+    * all-pairs (the standard verify step after any LSH/shingle stage).
+    *
+    * Shuffle shape: the candidate set is tiny relative to the corpus,
+    * so both text-attachment joins BROADCAST the pair side — the
+    * corpus text column streams through two broadcast hash joins and
+    * never shuffles. The distance itself uses the banded
+    * `levenshtein(a, b, threshold)` form: O(maxDist·n) per pair
+    * instead of O(n²), with the exact distance preserved for every
+    * pair that survives the bound (the -1 over-threshold sentinel is
+    * filtered out). */
+  def editDistanceVerify(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, maxDist: Int, shingleN: Int = 2,
+      maxBucketPairs: Long = DefaultMaxBucketPairs): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val cand = ngramJaccardPairs(
+      df, idCol, textCol, minJaccard, shingleN, maxBucketPairs)
+    val texts = df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+    val withA = texts.join(broadcast(cand), col("_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("_t").as("_ta"))
+    val withB = texts.join(broadcast(withA), col("_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("_ta"), col("_t"), maxDist).as("edit_dist"))
+    withB.filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"))
+  }
 }

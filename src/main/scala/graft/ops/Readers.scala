@@ -18,6 +18,18 @@ object Readers {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Whole-file binary scan: one row per file with (path, length,
+    * modificationTime, content) — the ingestion shape for media and
+    * document blobs before any decode (pairs with
+    * `MultimodalOps.decodeWith`). `pathGlobFilter` prunes at FILE
+    * LISTING time, before any bytes are read. Scale note: each file
+    * becomes one task and must fit in executor memory whole — right for
+    * many small/medium blobs, wrong for multi-GB archives (split those
+    * upstream or stream them via a custom DSV2 source). */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   /** File-path partition-key extraction (reference README.md:622-623:
     * `input_file_name()` + `regexp_extract`): derive `island` and
     * `location_name` from `.../{island}/{location}/{file}`. Stays in-plan —

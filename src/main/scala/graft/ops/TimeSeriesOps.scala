@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -40,5 +41,63 @@ object TimeSeriesOps {
         (sum(v.cast(DecimalType(38, 6))).cast(DoubleType) /
           count(v).cast(DoubleType)).as("mean_val"),
         count(v).as("n"))
+  }
+
+  /** Windowed EWMA (exponentially weighted moving average): per `keyCol`
+    * series ordered by `orderCol`, fold the last `span` observations
+    * through `acc·(1−α) + x·α`, seeded with the window's first element.
+    * Declarative twin of [[ewmaExact]]: the fold is a codegen'd
+    * `aggregate` HOF over a `collect_list` ROWS frame — one shuffle on
+    * the key, one sort, O(span) work and state per row, and a FIXED
+    * left-to-right IEEE op chain, so the result is bit-deterministic
+    * under any partitioning (and cross-engine: DuckDB's `list_reduce`
+    * evaluates the identical fold).
+    *
+    * Truncation: dropping history beyond `span` perturbs the infinite
+    * recurrence by at most `(1−α)^span · max|x|` — pick span so
+    * `(1−α)^span` is below the tolerance (0.75²⁰ ≈ 3·10⁻³). NULL
+    * values must be filled first (e.g. [[ProfileOps.forwardFill]]):
+    * `collect_list` skips NULLs, which would silently shift the frame.
+    */
+  def ewmaWindowed(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double, span: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(span >= 1, s"span must be positive, got $span")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(span - 1).toLong, Window.currentRow)
+    val lst = collect_list(col(valueCol)).over(w)
+    df.withColumn("ewma",
+      aggregate(slice(lst, 2, span - 1), element_at(lst, 1),
+        (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)))
+  }
+
+  /** A single (key, order, value) observation for [[ewmaExact]]. */
+  case class TsPoint(key: Long, ord: Long, value: Double)
+  /** [[ewmaExact]] output row. */
+  case class EwmaPoint(key: Long, ord: Long, ewma: Double)
+
+  /** Exact (unbounded-history) EWMA via the spillable sorted-stream
+    * shape: repartition on the key, sort within partitions, one O(1)-
+    * state pass — no per-group buffering, so a billion-row key costs
+    * the same memory as a ten-row key (same pattern as
+    * `StreamOps.sessionizeSorted`). Use when the recurrence must be
+    * exact from the series start; [[ewmaWindowed]] when a `span`-term
+    * tail bound is acceptable and SQL-expressibility matters. */
+  def ewmaExact(ds: Dataset[TsPoint], alpha: Double): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    import ds.sparkSession.implicits._
+    ds.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+      .mapPartitions { it =>
+        var curKey = 0L
+        var has = false
+        var acc = 0.0
+        it.map { p =>
+          if (!has || p.key != curKey) { curKey = p.key; has = true; acc = p.value }
+          else acc = acc * (1.0 - alpha) + p.value * alpha
+          EwmaPoint(p.key, p.ord, acc)
+        }
+      }
   }
 }

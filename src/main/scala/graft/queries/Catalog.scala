@@ -2029,6 +2029,96 @@ object Catalog {
       },
       None),
 
+    // Windowed EWMA: aggregate-HOF fold over a collect_list ROWS frame —
+    // a FIXED left-to-right IEEE op chain, so DuckDB's list_reduce
+    // reproduces it bit-for-bit (probed: identical doubles). One shuffle
+    // on the key, O(span) state per row; the exact-recurrence twin
+    // (ewmaExact, O(1)-state sorted stream) is unit-tested against this
+    // one's truncation bound in TimeSeriesOpsSpec.
+    "ts_ewma" -> QuerySpec(
+      (s, d) => TimeSeriesOps.ewmaWindowed(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "event_id", "value", alpha = 0.25, span = 20)
+        .orderBy(col("event_id")),
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, value,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events)
+             |SELECT event_id, user_id, value,
+             |  list_reduce(lst, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+             |FROM l ORDER BY event_id""".stripMargin)),
+
+    // Two-stage near-dup verify: bigram-Jaccard blocking proposes, banded
+    // levenshtein confirms. Planted twins (every 5th doc re-added under a
+    // fresh id with its first two tokens dropped) give true positives
+    // with a known small edit distance; the corpus text column never
+    // shuffles (both attachment joins broadcast the pair side).
+    "dedup_edit_distance" -> QuerySpec(
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("doc_id") < 60)
+          .select(col("doc_id"), col("text"))
+        val planted = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 3, 1000000)).as("text"))
+        DedupOps.editDistanceVerify(base.unionByName(planted),
+          "doc_id", "text", minJaccard = 0.5, maxDist = 40, shingleN = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |    array_to_string((string_split(text, ' '))[3:], ' ')
+             |  FROM documents WHERE doc_id < 60 AND doc_id % 5 = 0),
+             |w AS (SELECT id, string_split(lower(text), ' ') AS w FROM docs),
+             |toks AS (
+             |  SELECT id, unnest(list_distinct([w[i] || ' ' || w[i+1]
+             |    for i in range(1, len(w))])) AS tok FROM w),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT id_a, id_b,
+             |    CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+             |  FROM inter
+             |  JOIN sizes sa ON sa.id = id_a
+             |  JOIN sizes sb ON sb.id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5)
+             |SELECT id_a, id_b, jaccard,
+             |  CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist
+             |FROM cand
+             |JOIN docs ta ON ta.id = id_a
+             |JOIN docs tb ON tb.id = id_b
+             |WHERE levenshtein(ta.text, tb.text) <= 40
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Whole-file binary source (spark.read.format("binaryFile")) — the
+    // ingestion shape for media/document blobs before any decode. Staged
+    // CSV bytes are deterministic (hash-partitioned + sorted writer), so
+    // the (n_bytes, md5) rows are stable; file CONTENT equality vs
+    // java.nio ground truth is unit-asserted in ReadersSpec. Rows-only:
+    // DuckDB-side file access would need the writer-specific staged path
+    // inside static oracle SQL.
+    "scan_binaryfile" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_binaryfile") { p =>
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .repartition(4, col("o_orderkey"))
+            .sortWithinPartitions(col("o_orderkey"))
+            .write.mode("overwrite").option("header", "true").csv(p)
+        }
+        Readers.readBinaryFiles(s, dir, "*.csv")
+          .select(length(col("content")).as("n_bytes"),
+            md5(col("content")).as("digest"))
+          .orderBy(col("digest"))
+      },
+      None),
+
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
     // timestamp — duplicate timestamps would make them nondeterministic),

@@ -329,4 +329,29 @@ class DedupSpec extends SparkSpec {
       DedupOps.connectedComponents(nodes, pairs, "id", "a", "b", maxIterations = 2)
     }
   }
+
+  test("editDistanceVerify confirms planted near-dups, rejects jaccard-only collisions") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup: dist 0
+      (3L, base.replace("gamma", "gXmma")),         // near dup: dist 1
+      // same bigram multiset mostly, but giant edit: shared prefix then long tail
+      (4L, base + " " + ("x" * 60)),                // candidate, dist 61 > cap
+      (5L, "totally different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.editDistanceVerify(
+      docs, "doc_id", "text", minJaccard = 0.4, maxDist = 10, shingleN = 2)
+      .orderBy($"id_a", $"id_b")
+      .select($"id_a", $"id_b", $"edit_dist").as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(got == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // the corpus text column must reach levenshtein via BROADCAST joins —
+    // never a shuffled join on the full text stream
+    val plan = DedupOps.editDistanceVerify(
+      docs, "doc_id", "text", 0.4, 10, 2).queryExecution.executedPlan.toString
+    val attachJoins = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(attachJoins >= 2, plan.take(3000))
+  }
 }

@@ -58,4 +58,20 @@ class ReadersSpec extends SparkSpec {
     val df = Seq((1, "x")).toDF("a", "b")
     assert(Joins.dropIfExists(df, "nope", "b").columns.toSeq == Seq("a"))
   }
+
+  test("readBinaryFiles: whole-file bytes match java.nio; glob prunes listing") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("binsrc").toFile.getAbsolutePath
+    Files.write(Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3, 4))
+    Files.write(Paths.get(dir, "b.bin"), "hello bytes".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "skip.txt"), "not matched".getBytes("UTF-8"))
+    val got = Readers.readBinaryFiles(spark, dir, "*.bin")
+      .select(col("path"), col("content"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    assert(got.keySet == Set("a.bin", "b.bin")) // glob filtered skip.txt
+    assert(got("a.bin") == Seq[Byte](1, 2, 3, 4))
+    assert(got("b.bin") == "hello bytes".getBytes("UTF-8").toSeq)
+  }
 }

@@ -32,6 +32,58 @@ class TimeSeriesOpsSpec extends SparkSpec {
       ("b", ts("2024-01-01 10:00:00"), 2.0, 3.0, 2.0, 3.0, 2.5, 2L)))
   }
 
+  test("ewmaWindowed matches the driver fold; ewmaExact matches the full recurrence") {
+    import TimeSeriesOps.{TsPoint, EwmaPoint}
+    val alpha = 0.25
+    val pts = for (k <- 0L until 3L; i <- 0L until 50L)
+      yield TsPoint(k, i, ((k * 50 + i) * 37 % 101).toDouble)
+    val df = pts.toDF()
+    // driver-side truth for the windowed (span-truncated) fold
+    def windowed(series: Seq[Double], span: Int): Seq[Double] =
+      series.indices.map { i =>
+        val fr = series.slice(math.max(0, i - span + 1), i + 1)
+        fr.tail.foldLeft(fr.head)((acc, x) => acc * (1 - alpha) + x * alpha)
+      }
+    val gotW = TimeSeriesOps.ewmaWindowed(df, "key", "ord", "value", alpha, span = 8)
+      .orderBy($"key", $"ord").select($"ewma").as[Double].collect().toSeq
+    val expW = (0L until 3L).flatMap { k =>
+      windowed(pts.filter(_.key == k).sortBy(_.ord).map(_.value), 8)
+    }
+    assert(gotW == expW) // bit-exact: same IEEE op chain
+    // exact variant: unbounded recurrence, O(1) state
+    val gotE = TimeSeriesOps.ewmaExact(df.as[TsPoint], alpha)
+      .orderBy($"key", $"ord").collect().toSeq
+    val expE = (0L until 3L).flatMap { k =>
+      val s = pts.filter(_.key == k).sortBy(_.ord)
+      s.tail.scanLeft(EwmaPoint(k, 0L, s.head.value))((acc, p) =>
+        EwmaPoint(k, p.ord, acc.ewma * (1 - alpha) + p.value * alpha))
+    }
+    assert(gotE == expE)
+    // truncation bound: |windowed − exact| ≤ (1−α)^span · max|x|
+    val bound = math.pow(1 - alpha, 8) * 101.0
+    gotW.zip(expE.map(_.ewma)).foreach { case (w, e) =>
+      assert(math.abs(w - e) <= bound, s"$w vs $e beyond $bound")
+    }
+    // windowed: one shuffle (the key partition), window only, no join
+    val plan = TimeSeriesOps.ewmaWindowed(df, "key", "ord", "value", alpha, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("ewma validates alpha and span") {
+    val df = Seq(TimeSeriesOps.TsPoint(1L, 1L, 1.0)).toDF()
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.ewmaWindowed(df, "key", "ord", "value", alpha = 0.0, span = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.ewmaWindowed(df, "key", "ord", "value", alpha = 0.5, span = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.ewmaExact(df.as[TimeSeriesOps.TsPoint], alpha = 1.5)
+    }
+  }
+
   test("resampleOhlc: one aggregation exchange, no join, no window") {
     val df = Seq(("a", ts("2024-01-01 10:05:00"), 1.0, 1L))
       .toDF("k", "t", "v", "id")
