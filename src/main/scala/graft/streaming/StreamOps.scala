@@ -114,6 +114,32 @@ object StreamOps {
         "inner")
   }
 
+  /** Stream-stream LEFT OUTER variant of [[streamStreamJoin]]: matched
+    * rows emit like the inner join; an unmatched left row emits with
+    * NULL right columns — but only once the watermark has passed the
+    * end of its join range, i.e. once no future right-side row can
+    * still match it. That wait is what makes outer results CORRECT
+    * under out-of-order arrival (emitting eagerly would produce a
+    * null-padded row and later its match); it also means outer rows
+    * trail the watermark delay — size `watermark` accordingly. Same
+    * naming contract and state-eviction bounds as the inner form. */
+  def streamStreamLeftOuterJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      watermark: String, horizon: String): DataFrame = {
+    require(left.columns.contains(key),
+      s"left side must carry join key '$key' (has: ${left.columns.mkString(", ")})")
+    require(right.columns.contains(s"r_$key"),
+      s"right side must carry the join key renamed to 'r_$key' " +
+        s"(has: ${right.columns.mkString(", ")})")
+    require(!left.columns.contains(s"r_$key"),
+      s"left side must NOT carry 'r_$key' — the join condition would bind to it")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$key = r_$key AND $leftTs BETWEEN $rightTs AND $rightTs + INTERVAL $horizon"),
+        "left_outer")
+  }
+
   // ----------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

@@ -382,6 +382,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    val msL = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val msR = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val left = msL.toDF.toDF("user_id", "ts", "click")
+    val right = msR.toDF.toDF("r_user_id", "r_ts", "signup")
+    val q = StreamOps.streamStreamLeftOuterJoin(left, right, "user_id", "ts", "r_ts",
+      watermark = "10 minutes", horizon = "'30' MINUTE")
+      .select($"user_id", $"click", $"signup")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssloj_out").start()
+    try {
+      msL.addData((1L, ts(5), "c1"), (4L, ts(5), "orphan"))
+      msR.addData((1L, ts(0), "s1"))
+      q.processAllAvailable()
+      val early = spark.table("ssloj_out")
+        .as[(Long, String, Option[String])].collect().toSet
+      // the orphan's join range isn't closed yet — emitting it now would
+      // risk a null-padded row AND a later real match for the same click
+      assert(early == Set((1L, "c1", Some("s1"))),
+        s"outer row must wait for the watermark, got $early")
+      // push the watermark far past the orphan's range end
+      msL.addData((9L, ts(1000), "late"))
+      msR.addData((9L, ts(1000), "s9"))
+      q.processAllAvailable()
+      msL.addData((9L, ts(1001), "late2"))
+      q.processAllAvailable()
+      val all = spark.table("ssloj_out")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(all.contains((4L, "orphan", None)),
+        s"unmatched left row must emit null-padded after watermark, got $all")
+      assert(all.contains((1L, "c1", Some("s1"))))
+    } finally q.stop()
+  }
+
   test("foreachBatch merge sink upserts each micro-batch into parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_merge").toFile.getAbsolutePath
