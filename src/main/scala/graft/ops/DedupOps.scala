@@ -699,10 +699,13 @@ object DedupOps {
     * corpus scale it can ONLY run on a blocked candidate set, never
     * all-pairs (the standard verify step after any LSH/shingle stage).
     *
-    * Shuffle shape: the candidate set is tiny relative to the corpus,
-    * so both text-attachment joins BROADCAST the pair side — the
-    * corpus text column streams through two broadcast hash joins and
-    * never shuffles. The distance itself uses the banded
+    * Shuffle shape: only the SLIM pair set (two ids + a double) is ever
+    * broadcast — never rows carrying text, whose broadcast size would
+    * be bounded by maxBucketPairs·|doc| rather than anything small.
+    * Each side's text attaches via a broadcast hash join that streams
+    * the corpus (text never shuffles); the two attached halves then
+    * join on the pair key, shuffling at most `maxBucketPairs` rows
+    * with one text each. The distance itself uses the banded
     * `levenshtein(a, b, threshold)` form: O(maxDist·n) per pair
     * instead of O(n²), with the exact distance preserved for every
     * pair that survives the bound (the -1 over-threshold sentinel is
@@ -717,10 +720,12 @@ object DedupOps {
     val texts = df.select(col(idCol).as("_id"), col(textCol).as("_t"))
     val withA = texts.join(broadcast(cand), col("_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("jaccard"), col("_t").as("_ta"))
-    val withB = texts.join(broadcast(withA), col("_id") === col("id_b"))
-      .select(col("id_a"), col("id_b"), col("jaccard"),
-        levenshtein(col("_ta"), col("_t"), maxDist).as("edit_dist"))
-    withB.filter(col("edit_dist") >= 0)
+    val withB = texts.join(broadcast(cand.select(col("id_a"), col("id_b"))),
+        col("_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_t").as("_tb"))
+    withA.join(withB, Seq("id_a", "id_b"))
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"))
   }
 }

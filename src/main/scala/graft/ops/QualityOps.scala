@@ -21,15 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object QualityOps {
 
+  /** The file's central counting contract, in ONE place: a rule's
+    * violation count is the sum of rows where the predicate is not
+    * TRUE (NULL counts as a violation), and an empty input counts 0
+    * (a bare `sum` over zero rows is NULL). */
+  private def violationCount(pred: Column): Column =
+    coalesce(
+      sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),
+      lit(0L))
+
+  private def requireWellFormed(rules: Seq[(String, Column)], fn: String): Unit = {
+    require(rules.nonEmpty, s"$fn: rules must be non-empty")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"$fn: duplicate rule names in ${rules.map(_._1)}")
+  }
+
   /** Annotate every row with `_violations: array<string>` — the names of
     * the rules it fails (empty array = clean). Pure per-row projection:
     * no shuffle, rules evaluate where the rows sit, one scan for any
     * number of rules. */
   def checkExpectations(
       df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty, "checkExpectations: rules must be non-empty")
-    require(rules.map(_._1).distinct.size == rules.size,
-      s"checkExpectations: duplicate rule names in ${rules.map(_._1)}")
+    requireWellFormed(rules, "checkExpectations")
     val violated = rules.map { case (name, pred) =>
       when(coalesce(pred, lit(false)), lit(null)).otherwise(lit(name))
     }
@@ -63,14 +76,10 @@ object QualityOps {
   def observedExpectations(
       df: DataFrame, rules: Seq[(String, Column)],
       name: String = "quality"): (DataFrame, Observation) = {
-    require(rules.nonEmpty, "observedExpectations: rules must be non-empty")
-    require(rules.map(_._1).distinct.size == rules.size,
-      s"observedExpectations: duplicate rule names in ${rules.map(_._1)}")
+    requireWellFormed(rules, "observedExpectations")
     val obs = Observation(name)
     val metrics = count(lit(1)).as("__n") +: rules.map { case (rn, pred) =>
-      coalesce(
-        sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),
-        lit(0L)).as(s"__v_$rn")
+      violationCount(pred).as(s"__v_$rn")
     }
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
@@ -84,17 +93,16 @@ object QualityOps {
     * ingest batches to catch a schema or upstream regression. */
   def expectationStats(
       df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty, "expectationStats: rules must be non-empty")
-    // coalesce: sum over ZERO rows is NULL — an empty batch has 0
-    // violations, not unknown-many
-    val aggs = rules.flatMap { case (name, pred) =>
-      Seq(coalesce(
-        sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L))),
-        lit(0L)).as(s"__v_$name"))
+    requireWellFormed(rules, "expectationStats")
+    // internal agg columns are named by INDEX, not rule name: a rule
+    // called "price.positive" (or one with backticks) would otherwise
+    // make the col() round-trip parse as nested-field access
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      violationCount(pred).as(s"__v_$i")
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val perRule = rules.map { case (name, _) =>
-      struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"))
+    val perRule = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v_$i").as("n_violations"))
     }
     one.select(explode(array(perRule: _*)).as("_r"), col("__n"))
       .select(col("_r.rule").as("rule"),

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Corpus shaping for training-data pipelines: stratified sampling (mix
   * control) and token-budget sequence packing (context-window binning).
@@ -49,6 +49,7 @@ object SampleOps {
       portableHash: Boolean = false): DataFrame = {
     require(defaultWeight >= 0.0 && defaultWeight <= 1.0,
       s"defaultWeight must be in [0,1], got $defaultWeight")
+    if (portableHash) requireNumeric(df, idCol, "weightedSample(portable)")
     val buckets = 1L << 30
     val u =
       if (portableHash) portableUniform(col(idCol) + lit(seed))
@@ -67,6 +68,16 @@ object SampleOps {
     * ~8.3e9; mix a wider id space down first if ids exceed that. Not a
     * cryptographic hash and weaker mixing than xxhash64 — fine for
     * per-row Bernoulli decisions, not for minhash-style signatures. */
+  /** Guard for every [[portableUniform]] consumer: the LCG is integer
+    * arithmetic, so a non-numeric id would either throw a runtime cast
+    * error (ANSI) or — worse — silently turn the draw into NULLs and a
+    * biased lexical ordering (non-ANSI). Fail loud at plan time. */
+  private def requireNumeric(df: DataFrame, c: String, fn: String): Unit =
+    require(df.schema(c).dataType.isInstanceOf[NumericType],
+      s"$fn: column '$c' must be numeric (the portable LCG is integer " +
+        s"arithmetic), got ${df.schema(c).dataType.simpleString}; " +
+        "hash non-numeric ids to a long first (e.g. xxhash64)")
+
   def portableUniform(id: Column): Column = {
     val m = 1L << 31
     pmod(id.cast(LongType) * lit(1103515245L) + lit(12345L), lit(m))
@@ -97,6 +108,7 @@ object SampleOps {
     require(targets.nonEmpty, "targets must not be empty")
     require(targets.values.forall(v => v > 0 && v <= 1.0),
       s"target proportions must be in (0,1], got $targets")
+    requireNumeric(df, idCol, "mixToTarget")
     val sparkSession = df.sparkSession
     import sparkSession.implicits._
     val tgt = targets.toSeq.toDF(sourceCol, "_p")
@@ -152,6 +164,7 @@ object SampleOps {
     require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    requireNumeric(df, keyCol, "assignSplits")
     val guardedKey = when(col(keyCol).isNull, raise_error(lit(
       s"assignSplits: NULL $keyCol; coalesce the key upstream (e.g. to the " +
         "row's own id) to place unclustered rows deliberately")))
@@ -184,6 +197,7 @@ object SampleOps {
       df: DataFrame, groupCol: String, idCol: String, n: Int,
       seed: Long = 0L): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    requireNumeric(df, idCol, "samplePerGroup")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(portableUniform(col(idCol) + lit(seed)), col(idCol))
     df.withColumn("_rn", row_number().over(w))

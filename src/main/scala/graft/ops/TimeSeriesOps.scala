@@ -32,7 +32,13 @@ object TimeSeriesOps {
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       orderCol: String, truncUnit: String = "hour"): DataFrame = {
     val v = col(valueCol)
-    df.groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("bucket"))
+    // NULL values are excluded up front: min_by/max_by would otherwise
+    // happily return a NULL sitting at the extreme orderCol while
+    // high/low/mean skip it — internally inconsistent, and divergent
+    // from SQL arg_min/arg_max (which ignore NULL values). With the
+    // filter, every output column describes the same non-NULL rows.
+    df.filter(v.isNotNull)
+      .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("bucket"))
       .agg(
         min_by(v, col(orderCol)).as("open"),
         max(v).as("high"),
@@ -67,8 +73,12 @@ object TimeSeriesOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(-(span - 1).toLong, Window.currentRow)
     val lst = collect_list(col(valueCol)).over(w)
+    // get (0-based, null on out-of-bounds), NOT element_at: an all-NULL
+    // frame collects to an EMPTY list, and element_at(empty, 1) throws
+    // under ANSI — the fold seed must degrade to NULL (⇒ NULL ewma)
+    // instead of failing the job
     df.withColumn("ewma",
-      aggregate(slice(lst, 2, span - 1), element_at(lst, 1),
+      aggregate(slice(lst, 2, span - 1), get(lst, lit(0)),
         (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)))
   }
 

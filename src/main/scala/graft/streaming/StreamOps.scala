@@ -99,7 +99,16 @@ object StreamOps {
   def streamStreamJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      watermark: String, horizon: String): DataFrame = {
+      watermark: String, horizon: String): DataFrame =
+    timeRangeJoin(left, right, key, leftTs, rightTs, watermark, horizon, "inner")
+
+  /** Shared body of the two stream-stream join shapes: the validation
+    * and the bounded time-range condition live HERE, once — the public
+    * inner/left-outer wrappers differ only in join type. */
+  private def timeRangeJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      watermark: String, horizon: String, joinType: String): DataFrame = {
     require(left.columns.contains(key),
       s"left side must carry join key '$key' (has: ${left.columns.mkString(", ")})")
     require(right.columns.contains(s"r_$key"),
@@ -111,7 +120,7 @@ object StreamOps {
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         expr(s"$key = r_$key AND $leftTs BETWEEN $rightTs AND $rightTs + INTERVAL $horizon"),
-        "inner")
+        joinType)
   }
 
   /** Stream-stream LEFT OUTER variant of [[streamStreamJoin]]: matched
@@ -126,19 +135,9 @@ object StreamOps {
   def streamStreamLeftOuterJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      watermark: String, horizon: String): DataFrame = {
-    require(left.columns.contains(key),
-      s"left side must carry join key '$key' (has: ${left.columns.mkString(", ")})")
-    require(right.columns.contains(s"r_$key"),
-      s"right side must carry the join key renamed to 'r_$key' " +
-        s"(has: ${right.columns.mkString(", ")})")
-    require(!left.columns.contains(s"r_$key"),
-      s"left side must NOT carry 'r_$key' — the join condition would bind to it")
-    left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        expr(s"$key = r_$key AND $leftTs BETWEEN $rightTs AND $rightTs + INTERVAL $horizon"),
-        "left_outer")
-  }
+      watermark: String, horizon: String): DataFrame =
+    timeRangeJoin(left, right, key, leftTs, rightTs, watermark, horizon,
+      "left_outer")
 
   // ----------------------------------------------------- stateful sessions
 

@@ -69,5 +69,15 @@ class QualityOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       QualityOps.expectationStats(fixture, Nil)
     }
+    intercept[IllegalArgumentException] {
+      QualityOps.expectationStats(fixture, rules ++ rules.take(1))
+    }
+  }
+
+  test("rule names with dots survive expectationStats (no col() round-trip)") {
+    val got = QualityOps.expectationStats(fixture,
+      Seq("text.nonempty" -> (length(col("text")) > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("text.nonempty", 2L)))
   }
 }

@@ -224,6 +224,24 @@ class SampleOpsSpec extends SparkSpec {
     assert(ids1.filter(_ % 7 == 0) == expected)
   }
 
+  test("portable-LCG consumers reject non-numeric id/key columns loudly") {
+    import spark.implicits._
+    val strDf = Seq(("g1", "uuid-1"), ("g1", "uuid-2")).toDF("grp", "id")
+    intercept[IllegalArgumentException] {
+      SampleOps.samplePerGroup(strDf, "grp", "id", n = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.assignSplits(strDf, "id", Seq("train" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.mixToTarget(strDf, "grp", "id", Map("g1" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.weightedSample(
+        strDf.withColumn("w", lit(0.5)), "id", "w", portableHash = true)
+    }
+  }
+
   test("samplePerGroup plans through the TopKPerKey bounded-heap strategy") {
     import spark.implicits._
     graft.plans.TopKPerKey.register(spark)

@@ -71,6 +71,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("ewmaWindowed: leading-NULL series yields NULL ewma, not a crash (ANSI)") {
+    val df = Seq(
+      (1L, 1L, None: Option[Double]),   // all-NULL frame → empty collect_list
+      (1L, 2L, None: Option[Double]),
+      (1L, 3L, Some(4.0)),              // first observation
+      (1L, 4L, Some(8.0)))
+      .toDF("key", "ord", "value")
+    val got = TimeSeriesOps.ewmaWindowed(df, "key", "ord", "value", 0.25, 8)
+      .orderBy($"ord").select($"ewma").as[Option[Double]].collect().toSeq
+    // NULLs are skipped by collect_list, so once data appears the fold
+    // runs over observed values only (forwardFill upstream if LOCF wanted)
+    assert(got == Seq(None, None, Some(4.0), Some(4.0 * 0.75 + 8.0 * 0.25)))
+  }
+
+  test("resampleOhlc: NULL values excluded consistently across all aggregates") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:01:00"), None: Option[Double], 1L), // NULL at min id
+      ("a", ts("2024-01-01 10:10:00"), Some(5.0), 2L),
+      ("a", ts("2024-01-01 10:20:00"), Some(3.0), 3L),
+      ("a", ts("2024-01-01 10:50:00"), None: Option[Double], 4L)) // NULL at max id
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeriesOps.resampleOhlc(df, "k", "t", "v", "id", "hour")
+      .as[(String, Timestamp, Double, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    // open/close come from the non-NULL extremes (ids 2 and 3), matching
+    // SQL arg_min/arg_max NULL-skipping; n counts non-NULL rows only
+    assert(got == Seq(("a", ts("2024-01-01 10:00:00"), 5.0, 5.0, 3.0, 3.0, 4.0, 2L)))
+  }
+
   test("ewma validates alpha and span") {
     val df = Seq(TimeSeriesOps.TsPoint(1L, 1L, 1.0)).toDF()
     intercept[IllegalArgumentException] {
