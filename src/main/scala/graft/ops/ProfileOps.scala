@@ -159,6 +159,56 @@ object ProfileOps {
     }
   }
 
+  /** Pairwise Pearson correlation over `cols`, one row per column pair
+    * — the profiling step behind feature-redundancy pruning. ONE wide
+    * aggregate computes every moment (n, Σx, Σx², Σxy for all pairs)
+    * in a single scan with partial aggregation; the pair rows are then
+    * exploded from that single row, so nothing shuffles but one row of
+    * counters.
+    *
+    * Like [[zscorePerGroup]], the correlation is DERIVED from exact
+    * decimal sums — `corr()`'s streaming co-moments accumulate
+    * differently under every partition order, while
+    * (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    * over decimal-exact sums is a fixed IEEE chain: bit-identical on
+    * any cluster and in a SQL oracle. Rows with a NULL in either
+    * column of a pair are excluded from THAT pair's sums (the standard
+    * pairwise-deletion contract); zero-variance pairs yield NULL. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs at least 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val dec = (c: Column) => c.cast(DecimalType(38, 6))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val ca = when(both, col(a))
+      val cb = when(both, col(b))
+      Seq(
+        count(when(both, lit(1))).cast(DoubleType).as(s"__n_$i"),
+        coalesce(sum(dec(ca)), lit(0)).cast(DoubleType).as(s"__sa_$i"),
+        coalesce(sum(dec(cb)), lit(0)).cast(DoubleType).as(s"__sb_$i"),
+        coalesce(sum(dec(ca * ca)), lit(0)).cast(DoubleType).as(s"__saa_$i"),
+        coalesce(sum(dec(cb * cb)), lit(0)).cast(DoubleType).as(s"__sbb_$i"),
+        coalesce(sum(dec(ca * cb)), lit(0)).cast(DoubleType).as(s"__sab_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perPair = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col(s"__n_$i")
+      val va = n * col(s"__saa_$i") - col(s"__sa_$i") * col(s"__sa_$i")
+      val vb = n * col(s"__sbb_$i") - col(s"__sb_$i") * col(s"__sb_$i")
+      val cov = n * col(s"__sab_$i") - col(s"__sa_$i") * col(s"__sb_$i")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        n.cast("long").as("n"),
+        when(n > 1.0 && va > 0.0 && vb > 0.0,
+          cov / (sqrt(va) * sqrt(vb))).as("pearson_r"))
+    }
+    one.select(explode(array(perPair: _*)).as("_p"))
+      .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),
+        col("_p.n").as("n"), col("_p.pearson_r").as("pearson_r"))
+  }
+
   /** Per-group z-score normalization ((x − mean) / stddev within
     * `keyCol`) — the group-wise feature scaling step, as ONE window
     * aggregate over the group: one shuffle on the key, no join back,

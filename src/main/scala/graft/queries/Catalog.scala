@@ -1946,6 +1946,36 @@ object Catalog {
              |  FROM lineitem
              |) ORDER BY col_name""".stripMargin)),
 
+    // Pairwise Pearson correlation from decimal-exact co-moments — ONE
+    // wide aggregate (single scan, partial agg), pairs exploded from the
+    // one counter row. Derived-moment formulation (not corr()) keeps the
+    // double chain bit-identical cross-engine, same trick as
+    // prep_zscore_group.
+    "profile_corr" -> QuerySpec(
+      (s, d) => ProfileOps.corrMatrix(
+        t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_a"), col("col_b")),
+      Some {
+        def pair(a: String, b: String) =
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 1 AND n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
+             |    THEN (n*sab - sa*sb) / (sqrt(n*saa - sa*sa) * sqrt(n*sbb - sb*sb))
+             |  END AS pearson_r
+             |FROM (SELECT
+             |  CAST(count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+             |  CAST(COALESCE(SUM(CAST(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN $a END AS DECIMAL(38,6))), 0) AS DOUBLE) AS sa,
+             |  CAST(COALESCE(SUM(CAST(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN $b END AS DECIMAL(38,6))), 0) AS DOUBLE) AS sb,
+             |  CAST(COALESCE(SUM(CAST(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN $a * $a END AS DECIMAL(38,6))), 0) AS DOUBLE) AS saa,
+             |  CAST(COALESCE(SUM(CAST(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN $b * $b END AS DECIMAL(38,6))), 0) AS DOUBLE) AS sbb,
+             |  CAST(COALESCE(SUM(CAST(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN $a * $b END AS DECIMAL(38,6))), 0) AS DOUBLE) AS sab
+             |  FROM lineitem)""".stripMargin
+        Seq(
+          pair("l_quantity", "l_extendedprice"),
+          pair("l_quantity", "l_discount"),
+          pair("l_extendedprice", "l_discount"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
+      }),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.

@@ -120,6 +120,39 @@ class ProfileOpsSpec extends SparkSpec {
     assert(h.toSeq == Seq((0L, 42.0, 42.0, 5L)))
   }
 
+  test("corrMatrix: hand-computed r, pairwise NULL deletion, degenerate → NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(5.0)),
+      (None: Option[Double], Some(9.0), Some(5.0)), // excluded from (x,*) pairs
+      (Some(4.0), None: Option[Double], Some(5.0))) // excluded from (*,y) pairs
+      .toDF("x", "y", "z")
+    val got = ProfileOps.corrMatrix(df, Seq("x", "y", "z"))
+      .orderBy($"col_a", $"col_b")
+      .as[(String, String, Long, Option[Double])].collect().toSeq
+    // x,y perfectly linear over their 3 complete rows (r ≈ 1 up to the
+    // fixed sqrt-chain's last ulp — deliberately NOT clamped: the oracle
+    // evaluates the identical chain); z constant → NULL
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("x", "y", 3L), ("x", "z", 4L), ("y", "z", 4L)))
+    assert(math.abs(got.head._4.get - 1.0) < 1e-12, got.head.toString)
+    assert(got(1)._4.isEmpty && got(2)._4.isEmpty)
+    // negative correlation: y = -2x
+    val neg = Seq((1.0, -2.0), (2.0, -4.0), (3.0, -6.0)).toDF("a", "b")
+    assert(math.abs(ProfileOps.corrMatrix(neg, Seq("a", "b"))
+      .select($"pearson_r").as[Double].head() + 1.0) < 1e-12)
+    // one scan, no shuffle beyond the single-row aggregate; no join
+    val plan = ProfileOps.corrMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    intercept[IllegalArgumentException] { ProfileOps.corrMatrix(df, Seq("x")) }
+    intercept[IllegalArgumentException] {
+      ProfileOps.corrMatrix(df, Seq("x", "x"))
+    }
+  }
+
   test("zscorePerGroup: hand-computed z; degenerate groups get NULL") {
     import spark.implicits._
     val df = Seq(
