@@ -82,6 +82,20 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet write with a per-file record cap (`maxRecordsPerFile`):
+    * the writer rolls to a new file mid-task once a file reaches the
+    * cap — the file-sizing lever when task partitions are larger than
+    * the target file size (the inverse problem of [[Upsert
+    * .compactPartitions]]' small files). Caps records, not bytes; pick
+    * the cap from the table's measured bytes/row. */
+  def writeRecordCapped(
+      df: DataFrame, path: String, maxRecordsPerFile: Long): Unit = {
+    require(maxRecordsPerFile >= 1,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
+  }
+
   /** Per-FILE skipping stats for a parquet table: (file, n_rows, and
     * min/max of each requested column) — the data-skipping index a
     * lakehouse table format maintains per file, computed here from the

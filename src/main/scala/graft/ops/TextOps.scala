@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,6 +33,34 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
+
+  /** Vocabulary build: (token, n, token_id) with dense ids 0..V−1
+    * assigned by (count DESC, token) — the tokenizer-training step
+    * between corpus and model. Tokens below `minCount` are pruned
+    * BEFORE id assignment (ids stay dense); `maxSize` keeps the top V.
+    *
+    * Scale shape: the corpus-sized work is the explode + partial-agg
+    * count (map-side combine absorbs hot tokens, one shuffle on the
+    * token). The global row_number then runs over the AGGREGATED
+    * vocabulary — millions of rows, not the corpus — so its
+    * single-partition sort is bounded by |vocab|, which is the same
+    * cardinality any driver-side id assignment would have to hold; it
+    * never sees corpus-scale data. Ties break on the token, so ids are
+    * stable across runs and engines. */
+  def buildVocab(df: DataFrame, textCol: String, minCount: Long = 1L,
+      maxSize: Option[Int] = None): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    maxSize.foreach(m => require(m >= 1, s"maxSize must be >= 1, got $m"))
+    val counts = df.select(explode(tokenize(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    val withId = counts
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+    maxSize.fold(withId)(m => withId.filter(col("token_id") < m))
+  }
 
   /** Per-document quality features + a composite score. All counts are
     * integers and all ratios are single IEEE divisions — deterministic

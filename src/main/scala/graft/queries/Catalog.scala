@@ -1946,6 +1946,25 @@ object Catalog {
              |  FROM lineitem
              |) ORDER BY col_name""".stripMargin)),
 
+    // Vocabulary build (token → dense id by count DESC, token): the
+    // corpus-scale work is one token-count shuffle with map-side
+    // combine; the global id window runs over the AGGREGATED vocab
+    // only. Deterministic tie-break ⇒ fully oracled ids.
+    "text_build_vocab" -> QuerySpec(
+      (s, d) => TextOps.buildVocab(t(s, d, "documents"), "text", minCount = 5)
+        .orderBy(col("token_id")),
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS token
+             |  FROM documents),
+             |counts AS (
+             |  SELECT token, count(*) AS n FROM toks
+             |  WHERE length(token) > 0
+             |  GROUP BY token HAVING count(*) >= 5)
+             |SELECT token, n,
+             |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+             |    AS token_id
+             |FROM counts ORDER BY token_id""".stripMargin)),
+
     // Pairwise Pearson correlation from decimal-exact co-moments — ONE
     // wide aggregate (single scan, partial agg), pairs exploded from the
     // one counter row. Derived-moment formulation (not corr()) keeps the

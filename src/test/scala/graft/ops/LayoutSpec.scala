@@ -87,6 +87,20 @@ class LayoutSpec extends SparkSpec {
     assert(overlapping.size < 8, "z-ordered layout should make some files prunable on y")
   }
 
+  test("writeRecordCapped: no file exceeds the record cap; content round-trips") {
+    val pts = (1L to 5000L).map(i => (i, i * 2)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("lay_cap").toFile.getAbsolutePath
+    Layout.writeRecordCapped(pts.repartition(2), dir, maxRecordsPerFile = 700L)
+    val stats = Layout.fileStats(spark.read.parquet(dir), Seq("a"))
+      .select($"n_rows").as[Long].collect()
+    assert(stats.forall(_ <= 700L), stats.mkString(","))
+    assert(stats.sum == 5000L)
+    assert(stats.length >= 8) // 2 tasks × ceil(2500/700) = 8 files
+    intercept[IllegalArgumentException] {
+      Layout.writeRecordCapped(pts, dir, 0L)
+    }
+  }
+
   test("writeRangeClustered: leading-column file ranges are pairwise disjoint") {
     val pts = (1L to 20000L).map(i => ((i * 7919L) % 10007L, i)).toDF("k", "id")
     val dir = java.nio.file.Files.createTempDirectory("lay_rc").toFile.getAbsolutePath

@@ -73,4 +73,22 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.topTerms(df, "text", 10).as[(String, Long)].collect().toSeq
     assert(got == Seq(("apple", 2L), ("banana", 1L), ("cherry", 1L)))
   }
+
+  test("buildVocab: dense ids by (count desc, token); minCount prunes before ids") {
+    val df = Seq("b b b a a c", "a b d", "d").toDF("text")
+    // counts: b=4, a=3, d=2, c=1
+    val got = TextOps.buildVocab(df, "text", minCount = 2)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq(("b", 4L, 0L), ("a", 3L, 1L), ("d", 2L, 2L)))
+    // maxSize keeps the top V, ids still dense from 0
+    val capped = TextOps.buildVocab(df, "text", minCount = 1, maxSize = Some(2))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(capped == Seq(("b", 4L, 0L), ("a", 3L, 1L)))
+    // tie-break on token: equal counts order lexically
+    val ties = Seq("z y", "y z").toDF("text")
+    assert(TextOps.buildVocab(ties, "text")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+      .map(_._1) == Seq("y", "z"))
+    intercept[IllegalArgumentException] { TextOps.buildVocab(df, "text", 0) }
+  }
 }
