@@ -43,6 +43,25 @@ object Joins {
     * handles sort-merge skew automatically; explicit salting remains the
     * lever for skewed *aggregations* and for deterministic layout.
     */
+  /** Existence flag: annotate every left row with `flagCol` = whether a
+    * matching key exists in `other` — the SELECT-list `EXISTS(...)`
+    * shape, where semi/anti joins can only FILTER. The right side
+    * reduces to its distinct keys before joining (a left outer against
+    * raw `other` would duplicate left rows per match), so the join
+    * carries keys only — broadcastable whenever the distinct key set
+    * is small, however wide or tall `other` is. */
+  def withExistsFlag(
+      df: DataFrame, other: DataFrame, keys: Seq[String],
+      flagCol: String = "exists_match"): DataFrame = {
+    require(keys.nonEmpty, "withExistsFlag: keys must be non-empty")
+    require(!df.columns.contains(flagCol),
+      s"withExistsFlag: left side already has a '$flagCol' column")
+    val marked = other.select(keys.map(col): _*).distinct()
+      .withColumn(flagCol, lit(true))
+    df.join(marked, keys, "left_outer")
+      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+  }
+
   def saltedJoin(
       big: DataFrame, small: DataFrame, keys: Seq[String],
       saltSource: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, Upsert}
+import graft.ops.{AsOfJoin, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -1945,6 +1945,58 @@ object Catalog {
              |      / count(l_tax)
              |  FROM lineitem
              |) ORDER BY col_name""".stripMargin)),
+
+    // Existence-flag join (SELECT-list EXISTS — annotates instead of
+    // filtering, which left_semi/left_anti cannot do): right side
+    // reduced to distinct keys pre-join, so left rows never duplicate
+    // and the join side stays broadcastable.
+    "join_exists_flag" -> QuerySpec(
+      (s, d) => Joins.withExistsFlag(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), flagCol = "has_order")
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name,
+             |  EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |    AS has_order
+             |FROM customer c ORDER BY c_custkey""".stripMargin)),
+
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): per-key access to
+    // both pipelines' rows at once — the dual-pipeline reconciliation
+    // audit. The right twin drops every 13th position and perturbs every
+    // 7th by +0.01, so counts and max-divergence are all exercised; the
+    // oracle restates the semantics as FULL JOIN + per-key aggregate.
+    "typed_cogroup_reconcile" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events").select(
+          col("user_id").as("key"), col("event_id").as("ord"), col("value"))
+        val twin = ev.filter(pmod(col("ord"), lit(13)) =!= 0)
+          .withColumn("value",
+            when(pmod(col("ord"), lit(7)) === 0, col("value") + lit(0.01))
+              .otherwise(col("value")))
+        TypedOps.cogroupReconcile(
+          ev.as[graft.ops.TypedOps.KeyedValue],
+          twin.as[graft.ops.TypedOps.KeyedValue])
+          .toDF().orderBy(col("key"))
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id AS key, event_id AS ord, value FROM events),
+             |r AS (
+             |  SELECT key, ord,
+             |    CASE WHEN ord % 7 = 0 THEN value + 0.01 ELSE value END AS value
+             |  FROM l WHERE ord % 13 <> 0),
+             |j AS (
+             |  SELECT COALESCE(l.key, r.key) AS key, l.value AS lv, r.value AS rv
+             |  FROM l FULL JOIN r ON l.key = r.key AND l.ord = r.ord)
+             |SELECT key,
+             |  CAST(count(lv) AS BIGINT) AS n_left,
+             |  CAST(count(rv) AS BIGINT) AS n_right,
+             |  CAST(count(CASE WHEN lv IS NOT NULL AND rv IS NOT NULL
+             |    THEN 1 END) AS BIGINT) AS n_both,
+             |  MAX(CASE WHEN lv IS NOT NULL AND rv IS NOT NULL
+             |    THEN abs(lv - rv) END) AS max_abs_delta
+             |FROM j GROUP BY key ORDER BY key""".stripMargin)),
 
     // Vocabulary build (token → dense id by count DESC, token): the
     // corpus-scale work is one token-count shuffle with map-side

@@ -59,6 +59,20 @@ class ReadersSpec extends SparkSpec {
     assert(Joins.dropIfExists(df, "nope", "b").columns.toSeq == Seq("a"))
   }
 
+  test("withExistsFlag annotates without duplicating left rows") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val orders = Seq((1L, 10.0), (1L, 20.0), (3L, 5.0)).toDF("k", "amt")
+    val got = Joins.withExistsFlag(cust, orders, Seq("k"), "has_order")
+      .orderBy(col("k"))
+      .as[(Long, String, Boolean)].collect().toSeq
+    // key 1 has TWO orders but stays one row (distinct pre-join)
+    assert(got == Seq((1L, "a", true), (2L, "b", false), (3L, "c", true)))
+    intercept[IllegalArgumentException] {
+      Joins.withExistsFlag(cust.withColumn("has_order", lit(1)),
+        orders, Seq("k"), "has_order")
+    }
+  }
+
   test("readBinaryFiles: whole-file bytes match java.nio; glob prunes listing") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("binsrc").toFile.getAbsolutePath
