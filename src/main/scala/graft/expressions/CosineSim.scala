@@ -165,6 +165,12 @@ object GraftFunctions {
         ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))),
     ("nfkc_normalize", classOf[NfkcNormalize],
       (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))),
+    // generator (UDTF-shaped): rows stream out of eval lazily — see
+    // NgramGenerate's scaladoc for the vs-posexplode(shingle_array)
+    // memory contract
+    ("ngram_generate", classOf[NgramGenerate],
+      (exprs: Seq[Expression]) =>
+        NgramGenerate(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))),
     // Spark's own runtime-filter bloom expressions (codegen'd, mergeable
     // partial aggregation), surfaced as callable functions: the engine
     // only instantiates them via InjectRuntimeFilter, but they are

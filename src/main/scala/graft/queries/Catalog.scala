@@ -1946,6 +1946,31 @@ object Catalog {
              |  FROM lineitem
              |) ORDER BY col_name""".stripMargin)),
 
+    // Custom Catalyst GENERATOR (UDTF shape): positional bigrams stream
+    // lazily out of eval — no intermediate shingle array per document.
+    // Short docs would hit the ShingleArray fewer-than-n convention;
+    // the fixture's documents all have ≥ 2 tokens, so the oracle can
+    // state the plain windowed form.
+    "fn_ngram_generate" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        t(s, d, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            call_function("ngram_generate",
+              split(lower(col("text")), "\\s+"), lit(2)))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, CAST(x.pos AS INTEGER) AS pos, x.ngram AS ngram
+             |FROM (
+             |  SELECT doc_id,
+             |    unnest([{'pos': i - 1, 'ngram': w[i] || ' ' || w[i+1]}
+             |      for i in range(1, len(w))]) AS x
+             |  FROM w)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // Existence-flag join (SELECT-list EXISTS — annotates instead of
     // filtering, which left_semi/left_anti cannot do): right side
     // reduced to distinct keys pre-join, so left rows never duplicate

@@ -51,8 +51,32 @@ class ExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
-        "simhash_sig", "shingle_array", "nfkc_normalize",
+        "simhash_sig", "shingle_array", "nfkc_normalize", "ngram_generate",
         "bloom_filter_agg", "might_contain"))
+  }
+
+  test("ngram_generate ≡ posexplode(shingle_array) on every edge case") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      Seq("a", "b", "c", "d"),            // normal
+      Seq("a"),                           // shorter than n → one joined row
+      Seq("a", null, "c"),                // null element (concatWs skips)
+      Seq.empty[String],                  // empty → no rows
+      null.asInstanceOf[Seq[String]])     // null array → no rows
+      .toDF("toks")
+    val gen = df.select(
+      call_function("ngram_generate", $"toks", lit(2)))
+      .as[(Int, String)].collect().toSeq.sorted
+    val ref = df.select(
+      posexplode(call_function("shingle_array", $"toks", lit(2))))
+      .as[(Int, String)].collect().toSeq.sorted
+    assert(gen == ref, s"gen=$gen ref=$ref")
+    assert(gen.contains((0, "a b")) && gen.contains((1, "b c")))
+    // the plan is a Generate over the generator, not explode-of-array
+    val plan = df.select(call_function("ngram_generate", $"toks", lit(2)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ngram_generate") && plan.contains("Generate"),
+      plan.take(1500))
   }
 
   test("nfkc_normalize: encoding-variant strings become identical pre-hash") {
