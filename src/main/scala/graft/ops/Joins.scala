@@ -54,7 +54,10 @@ object Joins {
       df: DataFrame, other: DataFrame, keys: Seq[String],
       flagCol: String = "exists_match"): DataFrame = {
     require(keys.nonEmpty, "withExistsFlag: keys must be non-empty")
-    require(!df.columns.contains(flagCol),
+    // equalsIgnoreCase: Spark resolves columns case-insensitively by
+    // default, so a case-variant collision would slip an exact-string
+    // check and die later as AMBIGUOUS_REFERENCE inside withColumn
+    require(!df.columns.exists(_.equalsIgnoreCase(flagCol)),
       s"withExistsFlag: left side already has a '$flagCol' column")
     val marked = other.select(keys.map(col): _*).distinct()
       .withColumn(flagCol, lit(true))

@@ -173,14 +173,25 @@ object ProfileOps {
     * over decimal-exact sums is a fixed IEEE chain: bit-identical on
     * any cluster and in a SQL oracle. Rows with a NULL in either
     * column of a pair are excluded from THAT pair's sums (the standard
-    * pairwise-deletion contract); zero-variance pairs yield NULL. */
+    * pairwise-deletion contract); zero-variance pairs yield NULL.
+    *
+    * Domain: |x| ∈ [1e-3, 1e15] — the DECIMAL(38,6) product accumulator
+    * holds x·y to ~10³² and resolves it to 1e-6, so columns outside the
+    * band (epoch-nanos, 1e30 corrupt sentinels, micro-scale rates) FAIL
+    * LOUD with a rescale diagnostic instead of crashing mid-aggregate
+    * (ANSI) or returning an r computed from inconsistent sums
+    * (non-ANSI) — the one unacceptable outcome for a profiling gate. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"corrMatrix needs at least 2 columns, got $cols")
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val dec = (c: Column) => c.cast(DecimalType(38, 6))
+    // try_cast, NOT cast: a product past DECIMAL(38,6)'s range must fall
+    // through to the loud domain guard below, not kill the aggregate
+    // mid-flight with a bare ANSI overflow (or, non-ANSI, silently drop
+    // rows from some sums while n still counts them)
+    val dec = (c: Column) => c.try_cast(DecimalType(38, 6))
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val both = col(a).isNotNull && col(b).isNotNull
       val ca = when(both, col(a))
@@ -192,8 +203,26 @@ object ProfileOps {
         coalesce(sum(dec(ca * ca)), lit(0)).cast(DoubleType).as(s"__saa_$i"),
         coalesce(sum(dec(cb * cb)), lit(0)).cast(DoubleType).as(s"__sbb_$i"),
         coalesce(sum(dec(ca * cb)), lit(0)).cast(DoubleType).as(s"__sab_$i"))
+    } ++ cols.indices.map { i =>
+      max(abs(col(cols(i)))).as(s"__mx_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // domain guard: |x| ≤ 1e15 keeps x·y inside the accumulator's ~1e32
+    // range; |x| ≥ 1e-3 keeps products above its 1e-6 resolution. An
+    // out-of-domain column surfaces as THIS diagnostic on every output
+    // row — never as a finite-but-wrong r.
+    def guarded(r: Column): Column = cols.indices.foldRight(r) { (i, rest) =>
+      val mx = col(s"__mx_$i")
+      when(mx > 1e15, raise_error(lit(
+        s"corrMatrix: |${cols(i)}| exceeds 1e15 — products overflow the " +
+          "DECIMAL(38,6) accumulator; rescale/shift the column (e.g. " +
+          "epoch-nanos -> seconds) before correlating")))
+        .when(mx > 0.0 && mx < 1e-3, raise_error(lit(
+          s"corrMatrix: |${cols(i)}| is below 1e-3 everywhere — products " +
+            "round to zero at the accumulator's 1e-6 resolution; rescale " +
+            "the column before correlating")))
+        .otherwise(rest)
+    }
     val perPair = pairs.zipWithIndex.map { case ((a, b), i) =>
       val n = col(s"__n_$i")
       val va = n * col(s"__saa_$i") - col(s"__sa_$i") * col(s"__sa_$i")
@@ -201,8 +230,8 @@ object ProfileOps {
       val cov = n * col(s"__sab_$i") - col(s"__sa_$i") * col(s"__sb_$i")
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         n.cast("long").as("n"),
-        when(n > 1.0 && va > 0.0 && vb > 0.0,
-          cov / (sqrt(va) * sqrt(vb))).as("pearson_r"))
+        guarded(when(n > 1.0 && va > 0.0 && vb > 0.0,
+          cov / (sqrt(va) * sqrt(vb)))).as("pearson_r"))
     }
     one.select(explode(array(perPair: _*)).as("_p"))
       .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),

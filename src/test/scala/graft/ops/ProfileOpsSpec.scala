@@ -153,6 +153,25 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix fails loud outside the decimal accumulator's domain") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // epoch-nanos-scale magnitudes: products overflow DECIMAL(38,6) —
+    // must be the rescale diagnostic, not an ANSI overflow or a wrong r
+    val big = Seq((1.7e18, 1.0), (1.8e18, 2.0), (1.9e18, 3.0)).toDF("t", "v")
+    val eBig = intercept[Exception] {
+      ProfileOps.corrMatrix(big, Seq("t", "v")).collect()
+    }
+    assert(msgs(eBig).exists(_.contains("exceeds 1e15")), msgs(eBig).mkString("|"))
+    // micro-scale rates: every product rounds to zero at scale 6
+    val tiny = Seq((1e-4, 2e-4), (2e-4, 4e-4), (3e-4, 6e-4)).toDF("a", "b")
+    val eTiny = intercept[Exception] {
+      ProfileOps.corrMatrix(tiny, Seq("a", "b")).collect()
+    }
+    assert(msgs(eTiny).exists(_.contains("below 1e-3")), msgs(eTiny).mkString("|"))
+  }
+
   test("zscorePerGroup: hand-computed z; degenerate groups get NULL") {
     import spark.implicits._
     val df = Seq(

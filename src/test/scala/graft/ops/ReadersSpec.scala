@@ -71,6 +71,12 @@ class ReadersSpec extends SparkSpec {
       Joins.withExistsFlag(cust.withColumn("has_order", lit(1)),
         orders, Seq("k"), "has_order")
     }
+    // case-variant collision: Spark resolves case-insensitively, so the
+    // guard must too
+    intercept[IllegalArgumentException] {
+      Joins.withExistsFlag(cust.withColumn("Has_Order", lit(1)),
+        orders, Seq("k"), "has_order")
+    }
   }
 
   test("readBinaryFiles: whole-file bytes match java.nio; glob prunes listing") {
