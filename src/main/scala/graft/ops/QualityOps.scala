@@ -71,18 +71,39 @@ object QualityOps {
     * quality gate costs ZERO extra passes over the data (vs
     * [[expectationStats]]' dedicated aggregate). This is the shape for
     * "write the table AND tell me what fraction was dirty" — one scan,
-    * both outcomes. Works identically under streaming (per-batch
-    * metrics via the progress listener). */
+    * both outcomes. Batch only — `Observation` cannot aggregate across
+    * micro-batches; streams use [[observedExpectationsStream]]. */
   def observedExpectations(
       df: DataFrame, rules: Seq[(String, Column)],
       name: String = "quality"): (DataFrame, Observation) = {
     requireWellFormed(rules, "observedExpectations")
+    require(!df.isStreaming,
+      "observedExpectations is batch-only (Observation cannot span " +
+        "micro-batches); use observedExpectationsStream and read the " +
+        "metrics from each StreamingQueryProgress")
     val obs = Observation(name)
-    val metrics = count(lit(1)).as("__n") +: rules.map { case (rn, pred) =>
-      violationCount(pred).as(s"__v_$rn")
-    }
+    val metrics = expectationMetrics(rules)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Streaming twin of [[observedExpectations]]: the same counters ride
+    * every micro-batch via the name-based `observe`, surfacing in
+    * `StreamingQueryProgress.observedMetrics(name)` (per-batch `__n` +
+    * `__v_<rule>` — the drift-alert feed a monitoring listener tails).
+    * Rates are per-batch by construction; accumulate downstream if a
+    * lifetime rate is wanted. */
+  def observedExpectationsStream(
+      df: DataFrame, rules: Seq[(String, Column)],
+      name: String = "quality"): DataFrame = {
+    requireWellFormed(rules, "observedExpectationsStream")
+    val metrics = expectationMetrics(rules)
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
+  private def expectationMetrics(rules: Seq[(String, Column)]): Seq[Column] =
+    count(lit(1)).as("__n") +: rules.map { case (rn, pred) =>
+      violationCount(pred).as(s"__v_$rn")
+    }
 
   /** Per-rule violation stats in ONE aggregate row-per-rule:
     * (rule, n_violations, violation_rate over all rows). Conditional

@@ -382,6 +382,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observedExpectations metrics surface per micro-batch via StreamingQueryProgress") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val sdf = ms.toDF.toDF("id", "text")
+    val instrumented = graft.ops.QualityOps.observedExpectationsStream(
+      sdf, Seq("nonempty" -> (length(col("text")) > 0)), name = "stream_quality")
+    val q = instrumented.writeStream.outputMode("append")
+      .format("memory").queryName("q_obs_out").start()
+    try {
+      ms.addData((1L, "ok"), (2L, ""), (3L, "fine"))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("stream_quality")
+      assert(m != null, "observed metrics must appear in the progress event")
+      assert(m.getAs[Long]("__n") == 3L)
+      assert(m.getAs[Long]("__v_nonempty") == 1L) // the empty text
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows only after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
