@@ -56,6 +56,20 @@ object Readers {
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .json(path)
 
+  /** Tolerant JSON-LINES scan (the at-scale JSON shape: one record per
+    * line, splittable files): malformed lines land in
+    * `_corrupt_record` instead of failing the read — the NDJSON twin of
+    * [[jsonMultiLineTolerant]]'s whole-file mode. Filter
+    * `_corrupt_record IS NULL` for the clean stream and its complement
+    * for the repair channel. */
+  def jsonLinesTolerant(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .json(path)
+
   /** Bootstrap an empty frame with an explicit schema (reference
     * README.md:1266-1282 creates a minimal empty table when the target is
     * missing).

@@ -1946,6 +1946,55 @@ object Catalog {
              |  FROM lineitem
              |) ORDER BY col_name""".stripMargin)),
 
+    // Tolerant JSONL scan, ORACLED: staged ndjson derives from orders
+    // (ground truth the oracle can restate) with a planted garbage file
+    // in the same directory; PERMISSIVE routes the bad lines to
+    // _corrupt_record, and the clean stream must equal the source rows
+    // EXACTLY — a leaked corrupt row would surface as a NULL-columned
+    // extra row and fail the hash. (That the garbage file is actually
+    // read — not silently skipped — is unit-asserted in ReadersSpec.)
+    "scan_jsonl_tolerant" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_jsonl_tolerant") { p =>
+          t(s, d, "orders").filter(col("o_orderkey") < 500)
+            .select(col("o_orderkey"), col("o_orderstatus"))
+            .write.mode("overwrite").json(p)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(p, "zz_corrupt.json"),
+            "{not json at all\n{\"o_orderkey\": \"dangling\n")
+        }
+        val schema = new StructType()
+          .add("o_orderkey", LongType).add("o_orderstatus", StringType)
+        Readers.jsonLinesTolerant(s, dir, schema)
+          .filter(col("_corrupt_record").isNull)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // DataSourceV2 connector, ORACLED: the fakemedia source's rows are
+    // pure index arithmetic, so DuckDB can restate the whole scan from
+    // range(). The media_id range predicate is PUSHED (partition
+    // planning narrows to the [1000, 3000) chunk — unit-asserted in
+    // FakeMediaSourceSpec); payload pruning means `bytes` is never
+    // built for this projection.
+    "scan_dsv2" -> QuerySpec(
+      (s, d) => s.read.format("fakemedia")
+        .option("count", 5000L).option("numPartitions", 8)
+        .load()
+        .filter(col("media_id") >= 1000L && col("media_id") < 3000L)
+        .select(col("media_id"), col("kind"), col("width"), col("n_frames"))
+        .orderBy(col("media_id")),
+      Some("""SELECT i AS media_id,
+             |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    ELSE 'video' END AS kind,
+             |  CAST((i % 64) * 16 + 16 AS INTEGER) AS width,
+             |  CAST(i % 8 + 1 AS INTEGER) AS n_frames
+             |FROM range(0, 5000) t(i)
+             |WHERE i >= 1000 AND i < 3000
+             |ORDER BY media_id""".stripMargin)),
+
     // Custom Catalyst GENERATOR (UDTF shape): positional bigrams stream
     // lazily out of eval — no intermediate shingle array per document.
     // Short docs would hit the ShingleArray fewer-than-n convention;

@@ -59,6 +59,27 @@ class ReadersSpec extends SparkSpec {
     assert(Joins.dropIfExists(df, "nope", "b").columns.toSeq == Seq("a"))
   }
 
+  test("jsonLinesTolerant quarantines malformed ndjson lines, keeps clean ones") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = Files.createTempDirectory("jsonl").toFile.getAbsolutePath
+    Files.writeString(Paths.get(dir, "a.json"),
+      """{"k": 1, "s": "x"}
+        |{not json
+        |{"k": 2, "s": "y"}
+        |{"k": """.stripMargin)
+    val schema = new StructType().add("k", LongType).add("s", StringType)
+    // collect the parsed frame once — Spark disallows queries touching
+    // ONLY _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val rows = Readers.jsonLinesTolerant(spark, dir, schema)
+      .select($"k", $"s", $"_corrupt_record")
+      .collect()
+    val clean = rows.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(clean == Set((1L, "x"), (2L, "y")))
+    // BOTH malformed lines are captured, not silently skipped
+    assert(rows.count(!_.isNullAt(2)) == 2)
+  }
+
   test("withExistsFlag annotates without duplicating left rows") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
     val orders = Seq((1L, 10.0), (1L, 20.0), (3L, 5.0)).toDF("k", "amt")
