@@ -2285,10 +2285,12 @@ object Catalog {
     // Whole-file binary source (spark.read.format("binaryFile")) — the
     // ingestion shape for media/document blobs before any decode. Staged
     // CSV bytes are deterministic (hash-partitioned + sorted writer), so
-    // the (n_bytes, md5) rows are stable; file CONTENT equality vs
-    // java.nio ground truth is unit-asserted in ReadersSpec. Rows-only:
-    // DuckDB-side file access would need the writer-specific staged path
-    // inside static oracle SQL.
+    // both engines hash the SAME bytes: Spark md5 over the binary
+    // column, DuckDB md5(decode(read_blob(...))) over the same files.
+    // The oracle path is the staged dir for the CORRECTNESS dataset
+    // (sf0.01 — the only sf the driver oracles; Verify stages before
+    // DuckDB reads). File content vs java.nio ground truth is
+    // additionally unit-asserted in ReadersSpec.
     "scan_binaryfile" -> QuerySpec(
       (s, d) => {
         val dir = staged(d, "scan_binaryfile") { p =>
@@ -2304,7 +2306,11 @@ object Catalog {
             md5(col("content")).as("digest"))
           .orderBy(col("digest"))
       },
-      None),
+      Some("""SELECT CAST(octet_length(content) AS INTEGER) AS n_bytes,
+             |  md5(decode(content)) AS digest
+             |FROM read_blob(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/scan_binaryfile/*.csv')
+             |ORDER BY digest""".stripMargin)),
 
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
