@@ -61,14 +61,29 @@ object Readers {
     * `_corrupt_record` instead of failing the read — the NDJSON twin of
     * [[jsonMultiLineTolerant]]'s whole-file mode. Filter
     * `_corrupt_record IS NULL` for the clean stream and its complement
-    * for the repair channel. */
+    * for the repair channel.
+    *
+    * Built as a text scan + `from_json` rather than the raw JSON file
+    * source: the file source refuses any query whose referenced columns
+    * prune down to only `_corrupt_record`
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN — e.g. a downstream `.count()`
+    * after a `_corrupt_record IS NULL` filter), which makes the
+    * quarantine split fragile for callers. Parsing through `from_json`
+    * uses the same Jackson PERMISSIVE path (identical corrupt-record
+    * semantics), stays whole-stage-codegen'd, and the text scan is just
+    * as splittable. The blank-line filter mirrors the JSON source,
+    * which skips whitespace-only lines. */
   def jsonLinesTolerant(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
-      .json(path)
+      schema: StructType): DataFrame = {
+    val full = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), full, opts).as("r"))
+      .select(col("r.*"))
+  }
 
   /** Bootstrap an empty frame with an explicit schema (reference
     * README.md:1266-1282 creates a minimal empty table when the target is
