@@ -318,7 +318,11 @@ object DedupOps {
     * generations would otherwise stack in executor storage. (Caveat as
     * in [[minhashCandidatePairs]]: localCheckpoint blocks live on
     * executors — on executor loss the job fails and restarts rather
-    * than silently recomputing.)
+    * than silently recomputing. On clusters that lose executors
+    * routinely — preemptible/spot fleets, aggressive dynamic
+    * allocation — pass `checkpointDir` to switch every truncation point
+    * to a RELIABLE `checkpoint` on shared storage: executor loss then
+    * costs a recompute of at most one round, never the job.)
     *
     * Convergence probe: labels are MONOTONE non-increasing, so the
     * label SUM (exact, DECIMAL(38,0) accumulator — a double would stop
@@ -334,8 +338,10 @@ object DedupOps {
       nodes: DataFrame, pairs: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIterations: Int = 25,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIterations > 0, "maxIterations must be positive")
+    setupCheckpointDir(nodes, checkpointDir)
     // symmetric, de-duplicated edge list: propagation must flow both
     // ways along a pair, and duplicate candidate pairs (a pair found by
     // several LSH bands) must not inflate the join
@@ -347,15 +353,17 @@ object DedupOps {
       .distinct()
     // pre-partition on dst — the per-round join key — so the edge list
     // is shuffled ONCE here and every round's join reuses the layout
-    val edges = (if (partitions > 0) sym.repartition(partitions, col("dst")) else sym)
-      .localCheckpoint(true)
+    val edges = materialize(
+      if (partitions > 0) sym.repartition(partitions, col("dst")) else sym,
+      checkpointDir)
     // label init: declared nodes ∪ every edge endpoint, so a pair list
     // mentioning an id missing from `nodes` still clusters correctly
     val endpoints = edges.select(col("src").as("id"))
-    var labels = nodes.select(col(idCol).cast(LongType).as("id"))
-      .union(endpoints).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+    var labels = materialize(
+      nodes.select(col(idCol).cast(LongType).as("id"))
+        .union(endpoints).distinct()
+        .withColumn("cluster_id", col("id")),
+      checkpointDir)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
         .head.getDecimal(0)
@@ -367,11 +375,12 @@ object DedupOps {
         .select(edges("src").as("id"), col("cluster_id"))
         .groupBy("id")
         .agg(min(col("cluster_id")).as("nb_min"))
-      val next = labels.join(neighbourMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+      val next = materialize(
+        labels.join(neighbourMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+              .as("cluster_id")),
+        checkpointDir)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -388,11 +397,34 @@ object DedupOps {
     labels.select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Lineage-truncation seam for the iterative algorithms: RELIABLE
+    * `checkpoint` against a real checkpoint dir when one is given (files
+    * on shared storage survive executor loss — the preemptible-cluster
+    * mode), `localCheckpoint` otherwise (executor-local blocks: faster,
+    * but an executor loss kills every superseded generation's blocks
+    * with no lineage to rebuild — fine single-node / on stable
+    * clusters). Both are eager, so per-round convergence probes never
+    * recompute. */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    if (checkpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Point the context at the reliable checkpoint dir (a no-op rebind if
+    * already set to the same path). NOTE the dir is context-GLOBAL in
+    * Spark and the caller owns its lifecycle: superseded generations'
+    * files are reclaimed by the ContextCleaner only with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, otherwise
+    * delete the dir after the job. */
+  private def setupCheckpointDir(df: DataFrame, dir: Option[String]): Unit =
+    dir.foreach(d => df.sparkSession.sparkContext.setCheckpointDir(d))
+
   /** Deterministically release a `localCheckpoint(true)`'d frame's
     * blocks. Reassigning the reference leaves them to the
     * ContextCleaner, which frees at GC time — unbounded generations of
     * an iterative algorithm's state can stack in executor storage
-    * before then. Safe on frames that carry no checkpoint (no-op). */
+    * before then. Safe on frames that carry no checkpoint (no-op —
+    * including reliable-checkpoint frames, whose generations live as
+    * files under the checkpoint dir, not as storage blocks). */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -425,15 +457,18 @@ object DedupOps {
       nodes: DataFrame, pairs: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIterations: Int = 50,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIterations > 0, "maxIterations must be positive")
+    setupCheckpointDir(nodes, checkpointDir)
     def canon(df: DataFrame): DataFrame = df
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct()
-    var e = canon(pairs.select(col(srcCol).cast(LongType).as("a"),
-        col(dstCol).cast(LongType).as("b")))
-      .localCheckpoint(true)
+    var e = materialize(
+      canon(pairs.select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))),
+      checkpointDir)
     def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)), sum(xxhash64(col("a"), col("b"))
         .cast(DecimalType(38, 0)))).head
@@ -462,7 +497,7 @@ object DedupOps {
       val ss = dir.join(ssMins, dir("a") === ssMins("u"))
         .select(dir("b").as("a"), col("m").as("b"))
         .union(ssMins.select(col("u").as("a"), col("m").as("b")))
-      val next = canon(ss).localCheckpoint(true)
+      val next = materialize(canon(ss), checkpointDir)
       val sig = signature(next)
       converged = sig == prev
       prev = sig
@@ -484,6 +519,21 @@ object DedupOps {
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
+
+  /** Sentinel substituted for NULL text before digesting in the
+    * incremental-dedup family: a NULL sha2 argument yields a NULL
+    * digest, and NULL join keys never match an anti join — so NULL-text
+    * batch rows would ALWAYS survive the exact tier even when the corpus
+    * holds NULL-text rows too, while the bloom tier's xxhash64(NULL)
+    * treated them differently again. Coalescing both sides to one
+    * sentinel makes NULL text dedup consistently (NULL ≡ NULL, and ≡
+    * nothing else: the NUL bytes cannot appear in real documents). */
+  private[ops] val NullTextSentinel = "\u0000graft:null-text\u0000"
+
+  /** Digest used by the whole incremental-dedup family — one definition
+    * so the exact and bloom tiers can never diverge on NULL handling. */
+  private def textDigest(textCol: String): Column =
+    sha2(coalesce(col(textCol).cast(StringType), lit(NullTextSentinel)), 256)
 
   /** INCREMENTAL dedup: filter an incoming batch down to documents not
     * already present in an existing corpus — the shape every continuous
@@ -512,7 +562,7 @@ object DedupOps {
       idCol: String, textCol: String,
       nearDup: Boolean = false,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
-    val digest = sha2(col(textCol).cast(StringType), 256)
+    val digest = textDigest(textCol)
     val corpusH = corpus.select(digest.as("_h"))
     val exact = batch.withColumn("_h", digest)
       .join(corpusH, Seq("_h"), "left_anti")
@@ -573,7 +623,7 @@ object DedupOps {
       expectedItems: Long = 4000000L): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
-    corpus.select(sha2(col(textCol).cast(StringType), 256).as("_h"))
+    corpus.select(textDigest(textCol).as("_h"))
       .agg(call_function("bloom_filter_agg",
         xxhash64(col("_h")),
         lit(expectedItems),
@@ -608,7 +658,7 @@ object DedupOps {
     require(bloomSketch != null && bloomSketch.nonEmpty,
       "bloomSketch must be a bloomFitDigests result")
     graft.expressions.GraftFunctions.register(batch.sparkSession)
-    val digest = sha2(col(textCol).cast(StringType), 256)
+    val digest = textDigest(textCol)
     val corpusH = corpus.select(digest.as("_h"))
     val tagged = batch.withColumn("_h", digest)
       .withColumn("_cand", call_function("might_contain",
@@ -727,5 +777,69 @@ object DedupOps {
       .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb"), maxDist))
       .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"))
+  }
+
+  /** END-TO-END fuzzy dedup — corpus in, near-dup-free corpus out. THE
+    * operation an LLM-data pipeline actually runs; the stages it
+    * composes are each proven separately, this is their one-call form:
+    *
+    *  1. candidates: [[minhashCandidatePairs]] (banded LSH, pair-budget
+    *     capped — never all-pairs; `estThreshold` 0 here because the
+    *     next stage is the precision filter);
+    *  2. confirm: EXACT distinct-shingle-set Jaccard computed only on
+    *     the candidate pairs (cost ∝ duplication, not corpus²), keeping
+    *     pairs with jaccard ≥ `threshold` — the checked-estimator
+    *     pattern of `dedup_minhash_vs_exact`, inlined;
+    *  3. cluster: [[connectedComponents]] over the confirmed pairs
+    *     (min-id labels; pass `checkpointDir` on preemptible clusters);
+    *  4. survive: one winner per cluster — the min id, i.e. the row
+    *     whose id equals its cluster label — and the corpus loses every
+    *     other cluster member via one semi join.
+    *
+    * Recall contract: LSH candidate generation is the ONLY stage that
+    * can miss a true pair; a pair with confirm-Jaccard j escapes with
+    * probability (1 − j^(numHashes/bands))^bands. At `bands = numHashes`
+    * (one hash per band — the recall-first setting the oracled catalog
+    * key uses) that is (1−j)^64 ≤ 1e-10 for j ≥ 0.3: the composed output
+    * equals the exact-enumeration dedup for any real corpus, which is
+    * what lets a SQL oracle verify this END TO END. The default
+    * `bands = 16` trades that last ~1e-10 of recall (near-threshold
+    * pairs only) for ~4× fewer candidates to confirm — the standard
+    * production setting.
+    *
+    * Returns the surviving rows of `df`, schema unchanged. `idCol` must
+    * be numeric and unique (cluster labels are min-of-longs). */
+  def fuzzyDedupE2E(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      maxBucketPairs: Long = DefaultMaxBucketPairs,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val cand = minhashCandidatePairs(df, idCol, textCol, numHashes, bands,
+      shingleN, estThreshold = 0.0, maxBucketPairs)
+      .select(col("id_a"), col("id_b"))
+    // exact confirm on the codegen shingle arrays — the same shingle
+    // semantics as [[ngramJaccardPairs]] (and the SQL oracles built on
+    // it), so confirmed pairs are exactly the ≥-threshold subset of the
+    // true pair graph restricted to LSH candidates
+    val sets = df.select(col(idCol).as("_sid"),
+      array_distinct(call_function("shingle_array",
+        split(lower(col(textCol)), "\\s+"), lit(shingleN))).as("_sh"))
+    val confirmed = cand
+      .join(sets.select(col("_sid").as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(sets.select(col("_sid").as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+      .filter(size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
+        size(array_union(col("_sh_a"), col("_sh_b"))) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(
+      df.select(col(idCol)), confirmed, idCol, "id_a", "id_b",
+      checkpointDir = checkpointDir)
+    val survivors = clusters
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
   }
 }

@@ -111,8 +111,17 @@ object Layout {
     * provenance). */
   def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "fileStats: statCols must be non-empty")
-    df.select(col("_metadata.file_name").as("file") +: statCols.map(col): _*)
-      .groupBy(col("file"))
+    // group on the FULL path: dynamic-partitioned writes reuse the same
+    // part-NNNNN-<uuid> short name across partition directories (one
+    // task writes that name into each partition dir it touches), so a
+    // file_name grouping silently merges distinct files into one row —
+    // wrong min/max/n_rows for exactly the lakehouse-table shape this
+    // op measures. The short name rides along as a display column
+    // (functionally dependent on the path, so the extra group key is
+    // free).
+    df.select(col("_metadata.file_path").as("file_path") +:
+        col("_metadata.file_name").as("file") +: statCols.map(col): _*)
+      .groupBy(col("file_path"), col("file"))
       .agg(count(lit(1)).as("n_rows"),
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)

@@ -196,13 +196,20 @@ object ProfileOps {
       val both = col(a).isNotNull && col(b).isNotNull
       val ca = when(both, col(a))
       val cb = when(both, col(b))
+      // try_sum, NOT sum: the per-value guard bounds |x| ≤ 1e15, but
+      // ~100+ rows near the band edge can still push the ACCUMULATED
+      // Σx² past DECIMAL(38,6)'s ~1e32 range — plain sum would abort
+      // mid-aggregate under ANSI (before any guard projection runs) or
+      // return NULL non-ANSI, which a coalesce-to-0 would mask as a
+      // finite-but-wrong r. try_sum yields NULL in both modes and the
+      // NULL-with-n>0 case fails loud in the projection below.
       Seq(
         count(when(both, lit(1))).cast(DoubleType).as(s"__n_$i"),
-        coalesce(sum(dec(ca)), lit(0)).cast(DoubleType).as(s"__sa_$i"),
-        coalesce(sum(dec(cb)), lit(0)).cast(DoubleType).as(s"__sb_$i"),
-        coalesce(sum(dec(ca * ca)), lit(0)).cast(DoubleType).as(s"__saa_$i"),
-        coalesce(sum(dec(cb * cb)), lit(0)).cast(DoubleType).as(s"__sbb_$i"),
-        coalesce(sum(dec(ca * cb)), lit(0)).cast(DoubleType).as(s"__sab_$i"))
+        try_sum(dec(ca)).cast(DoubleType).as(s"__sa_$i"),
+        try_sum(dec(cb)).cast(DoubleType).as(s"__sb_$i"),
+        try_sum(dec(ca * ca)).cast(DoubleType).as(s"__saa_$i"),
+        try_sum(dec(cb * cb)).cast(DoubleType).as(s"__sbb_$i"),
+        try_sum(dec(ca * cb)).cast(DoubleType).as(s"__sab_$i"))
     } ++ cols.indices.map { i =>
       max(abs(col(cols(i)))).as(s"__mx_$i")
     }
@@ -225,13 +232,26 @@ object ProfileOps {
     }
     val perPair = pairs.zipWithIndex.map { case ((a, b), i) =>
       val n = col(s"__n_$i")
+      val sums = Seq(s"__sa_$i", s"__sb_$i", s"__saa_$i", s"__sbb_$i", s"__sab_$i")
+        .map(col)
+      // a NULL try_sum with contributing rows = accumulated overflow
+      // (per-value magnitudes passed the domain guard, their sum did
+      // not); n == 0 legitimately leaves the sums NULL and falls through
+      // to the n > 1 condition → NULL r
+      val overflowed = n > 0.0 && sums.map(_.isNull).reduce(_ || _)
       val va = n * col(s"__saa_$i") - col(s"__sa_$i") * col(s"__sa_$i")
       val vb = n * col(s"__sbb_$i") - col(s"__sb_$i") * col(s"__sb_$i")
       val cov = n * col(s"__sab_$i") - col(s"__sa_$i") * col(s"__sb_$i")
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         n.cast("long").as("n"),
-        guarded(when(n > 1.0 && va > 0.0 && vb > 0.0,
-          cov / (sqrt(va) * sqrt(vb)))).as("pearson_r"))
+        guarded(
+          when(overflowed, raise_error(lit(
+            s"corrMatrix: accumulated sums for ($a, $b) overflowed the " +
+              "DECIMAL(38,6) accumulator even though every value is " +
+              "within the per-value domain; rescale the columns before " +
+              "correlating")))
+            .otherwise(when(n > 1.0 && va > 0.0 && vb > 0.0,
+              cov / (sqrt(va) * sqrt(vb))))).as("pearson_r"))
     }
     one.select(explode(array(perPair: _*)).as("_p"))
       .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),
@@ -257,12 +277,32 @@ object ProfileOps {
     val w = Window.partitionBy(col(keyCol))
     val v = col(valueCol)
     val n = count(v).over(w).cast(DoubleType)
-    val s1 = sum(v.cast(DecimalType(38, 6))).over(w).cast(DoubleType)
-    val s2 = sum((v * v).cast(DecimalType(38, 6))).over(w).cast(DoubleType)
+    // same domain discipline as [[corrMatrix]], per GROUP: try_cast so an
+    // out-of-range value (or an overflowing Σ) can never abort the window
+    // aggregate under ANSI or silently drop out of the sums while count()
+    // still includes it (wrong mean/stddev, no diagnostic) — the NULL
+    // falls through to the loud guards below. The extra max/abs rides the
+    // same Window node: no additional shuffle or sort.
+    val mx = max(abs(v)).over(w)
+    val s1raw = sum(v.try_cast(DecimalType(38, 6))).over(w)
+    val s2raw = sum((v * v).try_cast(DecimalType(38, 6))).over(w)
+    val s1 = s1raw.cast(DoubleType)
+    val s2 = s2raw.cast(DoubleType)
     val meanV = s1 / n
     val varV = (s2 - s1 * s1 / n) / (n - lit(1.0))
     df.withColumn("zscore",
-      when(n > 1.0 && varV > 0.0, (v - meanV) / sqrt(varV)))
+      when(mx > 1e15, raise_error(lit(
+        s"zscorePerGroup: |$valueCol| exceeds 1e15 in some group — squares " +
+          "overflow the DECIMAL(38,6) accumulator; rescale/shift the " +
+          "column (e.g. epoch-nanos -> seconds) first")))
+        .when(mx > 0.0 && mx < 1e-3, raise_error(lit(
+          s"zscorePerGroup: |$valueCol| is below 1e-3 throughout some " +
+            "group — squares round to zero at the accumulator's 1e-6 " +
+            "resolution; rescale the column first")))
+        .when(n > 0.0 && (s1raw.isNull || s2raw.isNull), raise_error(lit(
+          s"zscorePerGroup: accumulated sums of $valueCol overflowed the " +
+            "DECIMAL(38,6) accumulator; rescale the column first")))
+        .otherwise(when(n > 1.0 && varV > 0.0, (v - meanV) / sqrt(varV))))
   }
 
   def winsorize(

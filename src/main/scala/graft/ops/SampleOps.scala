@@ -22,6 +22,32 @@ object SampleOps {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Cross-engine-reproducible twin of [[stratifiedSample]]: the same
+    * per-stratum Bernoulli keep, but decided by [[portableUniform]] of a
+    * numeric id instead of `sampleBy`'s Spark-internal RNG — so an
+    * external auditor (or the DuckDB oracle) re-derives every keep
+    * decision bit-for-bit in plain SQL, the same upgrade
+    * [[weightedSample]]'s `portableHash` flag provides. Semantics
+    * otherwise match `sampleBy`: strata absent from `fractions` are
+    * dropped (their keep fraction is NULL and a NULL comparison filters
+    * out), and the decision is a pure per-row expression — zero shuffle,
+    * stable under any partitioning and cluster size. */
+  def stratifiedSamplePortable(
+      df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedSamplePortable: fractions must not be empty")
+    require(fractions.values.forall(v => v >= 0.0 && v <= 1.0),
+      s"stratifiedSamplePortable: fractions must be in [0,1], got $fractions")
+    requireNumeric(df, idCol, "stratifiedSamplePortable")
+    // when-chain over the (small, driver-side) fractions map: strata are
+    // mutually exclusive so chain order is immaterial; unlisted strata
+    // fall through to the NULL default and drop
+    val keepF = fractions.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (k, v)) => when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(portableUniform(col(idCol) + lit(seed)) < keepF)
+  }
+
   /** Per-ROW weighted Bernoulli sample: keep each row with probability
     * `weightCol` (clamped to [0,1]), decided by a seeded hash of
     * `idCol` — fully deterministic (same seed + id ⇒ same decision, on

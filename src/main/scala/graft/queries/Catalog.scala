@@ -61,6 +61,32 @@ object Catalog {
     stagedOnce.computeIfAbsent(dir, { _ => write(dir); dir })
   }
 
+  /** Total parquet row groups across a file-or-directory table path —
+    * the DRIVER-SIDE metadata probe (footers only, no data read; the
+    * same read a lakehouse table format does for stats) behind
+    * fixture-degeneracy gates like profile_corr's: row groups are the
+    * real unit of scan parallelism for parquet, which partition COUNT
+    * overstates when one row group spans several byte-range splits.
+    * Non-parquet/unreadable paths return Int.MaxValue (treat as
+    * "plenty of parallelism" — never force a shuffle on a probe
+    * failure). */
+  private def parquetRowGroupCount(s: SparkSession, path: String): Int =
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(p))
+      files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try rd.getRowGroups.size finally rd.close()
+      }.sum
+    } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+
   /** Order-insensitive exact sum of a double column: decimal accumulate,
     * double result. Deterministic under any partitioning / AQE re-plan —
     * the property that makes the same query hash-stable on a 1000-executor
@@ -1340,6 +1366,52 @@ object Catalog {
              |SELECT id AS doc_id, min(l) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // END-TO-END fuzzy dedup: minhash LSH candidates → exact-Jaccard
+    // confirm → connected components → min-id survivor per cluster →
+    // corpus minus losers, as ONE key — the operation an LLM-data user
+    // actually runs; the pieces above each verify separately, this
+    // verifies their composition. Fully ORACLED: at bands = numHashes
+    // (one hash per band) LSH misses a j ≥ 0.3 pair with p ≤ (0.7)^64
+    // ≈ 1e-10, so the composed result equals the exact enumeration the
+    // recursive-CTE oracle computes (reachability over exact-Jaccard
+    // pairs, survivor = min id per component).
+    "dedup_fuzzy_e2e" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        DedupOps.fuzzyDedupE2E(docs, "doc_id", "text",
+          threshold = 0.3, numHashes = 64, bands = 64, shingleN = 2)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 500),
+             |toks AS (
+             |  SELECT id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS tok
+             |  FROM base),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY a.id, b.id),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.id = id_a
+             |  JOIN sizes sb ON sb.id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, l) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+             |  UNION
+             |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.l),
+             |clusters AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |JOIN clusters c ON c.id = d.doc_id AND c.id = c.cluster_id
+             |WHERE d.doc_id < 500
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Exact token-set Jaccard near-dups on a bounded id range — fully
     // SQL-expressible (integer set sizes, one IEEE division).
     "dedup_ngram_jaccard" -> QuerySpec(
@@ -1447,9 +1519,14 @@ object Catalog {
 
     // int8 embedding quantization (4× storage/shuffle cut at 100 TB):
     // quantize → dequantize round trip with the per-vector error bound
-    // checked IN the query. round()-on-double parity with DuckDB is not
-    // guaranteed at .5 ties ⇒ rows-only; the bound, recall, and
-    // round-trip properties are unit-tested (SimilaritySpec).
+    // checked IN the query. Fully ORACLED: the chain (scale = max|x|/127,
+    // round(x/scale), code·scale) is deterministic double arithmetic, and
+    // round() agrees cross-engine — an exactly-representable k.5 tie
+    // rounds away from zero in BOTH engines (Spark's BigDecimal HALF_UP,
+    // DuckDB's half-away-from-zero), and a non-tie double's shortest
+    // decimal representation is never exactly k.5, so no other input can
+    // straddle the .5 comparison. Bound/recall/round-trip properties
+    // additionally unit-tested (SimilaritySpec).
     "sim_quantize_int8" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -1466,7 +1543,23 @@ object Catalog {
           .withColumn("within_bound", (col("max_err") <= col("err_bound")).cast("int"))
           .orderBy(col("vec_id"))
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |  FROM e),
+             |r AS (
+             |  SELECT vec_id, len(v) AS dim, scale,
+             |    CASE WHEN scale = 0 THEN 0.0 ELSE
+             |      list_max(list_transform(v, x -> abs(x - round(x / scale) * scale)))
+             |    END AS max_err
+             |  FROM s)
+             |SELECT vec_id, CAST(dim AS INTEGER) AS dim, max_err,
+             |  scale / 2 + 1e-12 AS err_bound,
+             |  CAST(max_err <= scale / 2 + 1e-12 AS INTEGER) AS within_bound
+             |FROM r ORDER BY vec_id""".stripMargin)),
 
     // Per-cluster centroids (SimilarityOps.clusterCentroids) on the
     // quantized grid — same floor(x·1000) trick as sim_topk_cosine, so
@@ -1733,15 +1826,24 @@ object Catalog {
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
-    // Bernoulli — the row-hash stream is engine-specific ⇒ rows-only;
-    // fraction bounds + determinism are unit-tested (SampleOpsSpec).
+    // Bernoulli. Runs the portable-LCG variant so the key is FULLY
+    // ORACLED — every keep decision is restated in DuckDB integer
+    // arithmetic and the coin flips compare bit-for-bit, the same tier
+    // upgrade sample_weighted got. The native sampleBy variant's
+    // fraction bounds + determinism stay unit-tested (SampleOpsSpec).
     "sample_stratified" -> QuerySpec(
-      (s, d) => SampleOps.stratifiedSample(
-        t(s, d, "documents"), "lang",
+      (s, d) => SampleOps.stratifiedSamplePortable(
+        t(s, d, "documents"), "lang", "doc_id",
         Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(((doc_id + 42) * 1103515245 + 12345) % 2147483648
+             |           AS DOUBLE) / 2147483648.0
+             |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+             |                  WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.25
+             |                  WHEN 'zh' THEN 0.1 END
+             |ORDER BY doc_id""".stripMargin)),
 
     // Per-row weighted Bernoulli sample (keep probability = a per-doc
     // quality proxy, here length-derived). Runs the portableHash variant
@@ -2096,22 +2198,31 @@ object Catalog {
     // one counter row. Derived-moment formulation (not corr()) keeps the
     // double chain bit-identical cross-engine, same trick as
     // prep_zscore_group.
-    // The repartition is a FIXTURE accommodation, not part of the
-    // operator: sf0.1 lineitem is a single parquet row group ⇒ one scan
-    // task ⇒ all 18 Decimal(38) partial sums run on one core (~3.4 s
-    // steady-state, same artifact as BASELINE §8). Spreading the slim
-    // 3-column projection first (~15 MB shuffle) parallelizes the
-    // decimal work; a production table has many row groups and needs no
-    // such step. Result is identical — decimal sums are exact, so
-    // partial-agg order cannot move a bit.
+    // PRODUCTION SHAPE: scan → one wide partial agg, no Exchange before
+    // the aggregate. The fixture sf tables are single-row-group files —
+    // one scan task owns every row and the 18 Decimal(38) partial sums
+    // serialize on one core (~3.4 s, same artifact as BASELINE §8) — so
+    // a pre-spread of the slim projection is gated on a ROW-GROUP COUNT
+    // probe (driver-side parquet footer metadata, no data read): only a
+    // layout whose row groups can't feed the cores pays the ~15 MB
+    // shuffle. A production table has many row groups, the gate stays
+    // closed, and the registered plan is exchange-free. Result identical
+    // either way — decimal sums are exact, partial-agg order can't move
+    // a bit.
     "profile_corr" -> QuerySpec(
-      (s, d) => ProfileOps.corrMatrix(
-        t(s, d, "lineitem")
+      (s, d) => {
+        val src = t(s, d, "lineitem")
           .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
             col("l_orderkey"))
-          .repartition(col("l_orderkey")),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .orderBy(col("col_a"), col("col_b")),
+        val rowGroups = parquetRowGroupCount(s, s"$d/lineitem.parquet")
+        val staged =
+          if (rowGroups * 2 < s.sparkContext.defaultParallelism)
+            src.repartition(col("l_orderkey"))
+          else src
+        ProfileOps.corrMatrix(
+          staged, Seq("l_quantity", "l_extendedprice", "l_discount"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
       Some {
         def pair(a: String, b: String) =
           s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
@@ -2211,7 +2322,7 @@ object Catalog {
             p, nFiles = 4, bits = 6, "ok", "pk")
         }
         Layout.fileStats(s.read.parquet(dir), Seq("ok", "pk"))
-          .drop("file")
+          .drop("file_path", "file")
           .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
       },
       None),
@@ -2396,7 +2507,7 @@ object Catalog {
             p, nFiles = 4, "l_shipdate", "l_orderkey")
         }
         Layout.fileStats(s.read.parquet(dir), Seq("l_shipdate"))
-          .drop("file")
+          .drop("file_path", "file")
           .orderBy(col("l_shipdate_min"), col("n_rows"))
       },
       None),

@@ -354,4 +354,75 @@ class DedupSpec extends SparkSpec {
     val attachJoins = "BroadcastHashJoin".r.findAllIn(plan).size
     assert(attachJoins >= 2, plan.take(3000))
   }
+
+  test("connected components: reliable checkpointDir mode equals local mode") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toFile.getAbsolutePath
+    val rng = new scala.util.Random(3)
+    val nodes = (0L to 20L).toDF("id")
+    val pairs = (1 to 30).map(_ => (rng.nextInt(21).toLong, rng.nextInt(21).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val local = DedupOps.connectedComponents(nodes, pairs, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val reliable = DedupOps.connectedComponents(nodes, pairs, "id", "a", "b",
+      checkpointDir = Some(ckpt)).as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    val lsLocal = DedupOps.connectedComponentsLargeStar(nodes, pairs, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val lsReliable = DedupOps.connectedComponentsLargeStar(nodes, pairs, "id", "a", "b",
+      checkpointDir = Some(ckpt)).as[(Long, Long)].collect().toMap
+    assert(lsLocal == local && lsReliable == local)
+    // the reliable mode really wrote generations to the shared dir (the
+    // property that survives executor loss)
+    def files(f: java.io.File): Int =
+      Option(f.listFiles).toSeq.flatten.map(c =>
+        if (c.isDirectory) files(c) else 1).sum
+    assert(files(new java.io.File(ckpt)) > 0, s"no checkpoint files under $ckpt")
+  }
+
+  test("fuzzyDedupE2E keeps the min-id survivor per cluster, passes uniques; idempotent") {
+    val baseTxt = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, baseTxt),
+      (2L, baseTxt),                           // exact dup of 1
+      (3L, baseTxt.replace("fox", "cat")),     // near dup of 1 (bigram J ≈ 0.71)
+      (4L, "completely different text about spark catalyst and tungsten engines"),
+      (5L, "another unrelated document mentioning parquet row groups and shuffles"))
+      .toDF("doc_id", "text")
+    val deduped = DedupOps.fuzzyDedupE2E(docs, "doc_id", "text",
+      threshold = 0.4, bands = 64, shingleN = 2)
+    assert(deduped.columns.toSeq == docs.columns.toSeq, "schema unchanged")
+    val survivors = deduped.select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 5L), survivors.toString)
+    // idempotent: a second pass over the deduped corpus drops nothing
+    val again = DedupOps.fuzzyDedupE2E(deduped, "doc_id", "text",
+      threshold = 0.4, bands = 64, shingleN = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == survivors)
+  }
+
+  test("incremental dedup handles NULL text consistently on exact and bloom paths") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),            // exact dup
+      (11L, null.asInstanceOf[String]),     // NULL ≡ corpus NULL → dup
+      (12L, "genuinely new document"))
+      .toDF("doc_id", "text")
+    val exact = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exact == Set(12L),
+      "NULL-text batch rows must dedup against corpus NULL text, not always survive")
+    val sketch = DedupOps.bloomFitDigests(corpus, "text", expectedItems = 100L)
+    val bloomed = DedupOps.incrementalDedupBloom(batch, corpus, "doc_id", "text", sketch)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(bloomed == exact, "bloom path must agree with the exact path on NULLs")
+    // with no NULL in the corpus, a NULL batch row is novel on BOTH paths
+    val corpus2 = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val exact2 = DedupOps.incrementalDedup(batch, corpus2, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exact2 == Set(11L, 12L))
+    val sketch2 = DedupOps.bloomFitDigests(corpus2, "text", expectedItems = 100L)
+    assert(DedupOps.incrementalDedupBloom(batch, corpus2, "doc_id", "text", sketch2)
+      .select($"doc_id").as[Long].collect().toSet == Set(11L, 12L))
+  }
 }

@@ -65,10 +65,10 @@ class LayoutSpec extends SparkSpec {
     val dirZ = java.nio.file.Files.createTempDirectory("lay_fs").toFile.getAbsolutePath
     Layout.writeZOrdered(pts, dirZ, nFiles = 8, bits = 7, "x", "y")
     val stats = Layout.fileStats(spark.read.parquet(dirZ), Seq("x", "y"))
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
     assert(stats.length == 8)
-    assert(stats.map(_._2).sum == 128L * 128L)
-    stats.foreach { case (_, _, xmin, xmax, ymin, ymax) =>
+    assert(stats.map(_._3).sum == 128L * 128L)
+    stats.foreach { case (_, _, _, xmin, xmax, ymin, ymax) =>
       assert(xmin <= xmax && ymin <= ymax)
     }
     // the stats must agree with actual pruning, in the only direction
@@ -76,7 +76,7 @@ class LayoutSpec extends SparkSpec {
     // [100, 108) must be one whose stats-range overlaps the predicate
     // (ranges are conservative — an overlapping file may still hold no
     // matching rows, so equality would over-claim)
-    val overlapping = stats.collect { case (f, _, _, _, ymin, ymax)
+    val overlapping = stats.collect { case (_, f, _, _, _, ymin, ymax)
       if ymax >= 100 && ymin < 108 => f }.toSet
     val yielding = spark.read.parquet(dirZ)
       .filter($"y" >= 100 && $"y" < 108)
@@ -106,22 +106,22 @@ class LayoutSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("lay_rc").toFile.getAbsolutePath
     Layout.writeRangeClustered(pts, dir, nFiles = 8, "k", "id")
     val stats = Layout.fileStats(spark.read.parquet(dir), Seq("k"))
-      .as[(String, Long, Long, Long)].collect()
-      .sortBy(_._3) // by k_min
+      .as[(String, String, Long, Long, Long)].collect()
+      .sortBy(_._4) // by k_min
     assert(stats.length == 8)
-    assert(stats.map(_._2).sum == 20000L)
+    assert(stats.map(_._3).sum == 20000L)
     // range partitioning is on the (k, id) tuple, so a duplicated k may
     // sit exactly on a file boundary — but never INSIDE two files'
     // ranges: sorted by min, each file starts at or after the previous
     // file's max. A point/range predicate on k touches ≤ 1 file + the
     // boundary neighbour.
     stats.sliding(2).foreach {
-      case Array((_, _, _, prevMax), (_, _, nextMin, _)) =>
+      case Array((_, _, _, _, prevMax), (_, _, _, nextMin, _)) =>
         assert(nextMin >= prevMax, s"file ranges overlap: $prevMax vs $nextMin")
       case _ =>
     }
     // size balance: sampled split points keep files within ~3x of even
-    val sizes = stats.map(_._2)
+    val sizes = stats.map(_._3)
     assert(sizes.max <= 3 * (20000L / 8), sizes.mkString(","))
     // content round-trips exactly
     assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==

@@ -193,6 +193,29 @@ class ProfileOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("zscorePerGroup fails loud outside the decimal accumulator's domain") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // epoch-nanos-scale group: squares overflow DECIMAL(38,6) — must be
+    // the rescale diagnostic, not an ANSI abort or silently-wrong z
+    val big = Seq(("a", 1.7e18), ("a", 1.8e18), ("a", 1.9e18)).toDF("k", "v")
+    val eBig = intercept[Exception] {
+      ProfileOps.zscorePerGroup(big, "k", "v").collect()
+    }
+    assert(msgs(eBig).exists(_.contains("exceeds 1e15")), msgs(eBig).mkString("|"))
+    // micro-scale group: every square rounds to zero at scale 6
+    val tiny = Seq(("a", 1e-4), ("a", 2e-4), ("a", 3e-4)).toDF("k", "v")
+    val eTiny = intercept[Exception] {
+      ProfileOps.zscorePerGroup(tiny, "k", "v").collect()
+    }
+    assert(msgs(eTiny).exists(_.contains("below 1e-3")), msgs(eTiny).mkString("|"))
+    // the guard is per-GROUP: a healthy group alongside never raises for it
+    val mixed = Seq(("ok", 1.0), ("ok", 2.0), ("ok", 3.0)).toDF("k", "v")
+    assert(ProfileOps.zscorePerGroup(mixed, "k", "v")
+      .select($"zscore").as[Option[Double]].collect().flatten.length == 3)
+  }
+
   test("forwardFill carries last observation, leaves leading NULLs, fills per key") {
     import spark.implicits._
     val df = Seq(
