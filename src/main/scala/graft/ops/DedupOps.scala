@@ -531,8 +531,10 @@ object DedupOps {
   private[ops] val NullTextSentinel = "\u0000graft:null-text\u0000"
 
   /** Digest used by the whole incremental-dedup family — one definition
-    * so the exact and bloom tiers can never diverge on NULL handling. */
-  private def textDigest(textCol: String): Column =
+    * so the exact and bloom tiers (and the streaming ingest composition
+    * in [[graft.streaming.StreamOps]]) can never diverge on NULL
+    * handling. */
+  private[graft] def textDigest(textCol: String): Column =
     sha2(coalesce(col(textCol).cast(StringType), lit(NullTextSentinel)), 256)
 
   /** INCREMENTAL dedup: filter an incoming batch down to documents not

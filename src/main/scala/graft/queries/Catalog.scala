@@ -490,6 +490,49 @@ object Catalog {
         .orderBy(col("o_orderstatus")),
       None),
 
+    // CHECKED-estimator twin of agg_count_min_sketch (the
+    // dedup_minhash_vs_exact pattern): probe every (status, priority)
+    // key's CMS estimate and join it back to the exact count, emitting
+    // per-status (n_keys, n_under, max/mean overestimate, the ε·N bound,
+    // within_bound). CMS promises est ≥ true always and est ≤ true + ε·N
+    // w.p. ≥ confidence — the bound is checked IN the query, turning the
+    // "trust me" sketch into a measured one. Sketch bytes stay
+    // engine-specific ⇒ rows-only; the bound is also unit-asserted
+    // (SampleOpsSpec). The probe deserializes via a scala UDF — allowed
+    // here because it runs on the POST-AGGREGATION key set (|statuses| ×
+    // |priorities| rows, ~15), never on base data.
+    "agg_cms_checked" -> QuerySpec(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val sketches = orders.groupBy(col("o_orderstatus"))
+          .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)")
+            .as("cms"),
+            count(lit(1)).as("n_total"))
+        val exact = orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("exact_n"))
+        val probe = udf((bytes: Array[Byte], item: String) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .estimateCount(item))
+        exact.join(sketches, Seq("o_orderstatus"))
+          .withColumn("est_n", probe(col("cms"), col("o_orderpriority")))
+          .withColumn("over", col("est_n") - col("exact_n"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(when(col("over") < 0, 1).otherwise(0)).as("n_under"),
+            max(col("over")).as("max_over"),
+            (sum(col("over")).cast(DoubleType) / count(lit(1))).as("mean_over"),
+            (first(col("n_total")).cast(DoubleType) * 0.001).as("eps_n_bound"),
+            // n_total rides each probe row from the sketches join, so the
+            // bound compare stays per-row INSIDE the aggregate (no nesting)
+            min(when(col("over").cast(DoubleType) <=
+              col("n_total").cast(DoubleType) * 0.001, 1).otherwise(0))
+              .as("within_bound"))
+          .orderBy(col("o_orderstatus"))
+      },
+      None),
+
     // ------------------------------------------------- filters/projections
     // Null/empty partition-key guard (reference README.md:1306-1311).
     "filter_nonnull" -> QuerySpec(

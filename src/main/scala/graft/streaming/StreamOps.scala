@@ -70,6 +70,62 @@ object StreamOps {
     else Upsert.upsertIntoPath(spark, targetPath, batch, keys, partitionCols)
   }
 
+  /** DAILY-INGEST composition — what a production continuous-ingest
+    * pipeline actually deploys: a file-source stream of arriving batches
+    * where every micro-batch is (1) exact-deduplicated WITHIN itself
+    * (a day's crawl repeats itself; deterministic min-id winner per text
+    * digest), (2) deduplicated AGAINST the accumulated corpus via the
+    * bloom-prefiltered exact tier ([[graft.ops.DedupOps.bloomFitDigests]]
+    * + [[graft.ops.DedupOps.incrementalDedupBloom]] — the anti-join
+    * shuffle carries ~|dups| + fpp·|batch| instead of |batch|), and
+    * (3) MERGE-upserted into the partitioned corpus (new-batch-wins,
+    * same sink as [[mergeBatch]]).
+    *
+    * Use as `stream.writeStream.foreachBatch(
+    * dedupMergeBatch(path, "doc_id", "text", Seq("lang")) _)`.
+    *
+    * IDEMPOTENT under replay — the property foreachBatch sinks need,
+    * since a micro-batch can re-run after a failure: re-processed docs
+    * are either text-dups of corpus rows (dropped in step 2) or same-id
+    * rows (overwritten in place by the MERGE), so a replayed batch
+    * leaves the corpus unchanged. The bloom sketch is refit per
+    * micro-batch here (one partial-agg scan of corpus digests); a
+    * production deployment with many batches per corpus version would
+    * memoize it on the corpus version, exactly like the Catalog's
+    * per-dataset sketch cache. */
+  def dedupMergeBatch(
+      targetPath: String, idCol: String, textCol: String,
+      partitionCols: Seq[String],
+      bloomExpectedItems: Long = 4000000L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.ops.DedupOps
+    // (1) in-batch exact dedup on the text digest (NULL-text rows share
+    // the family's sentinel digest, so they dedup here too)
+    val local = DedupOps.exactDedup(
+      batch.withColumn("_h", DedupOps.textDigest(textCol)), Seq("_h"), idCol)
+      .drop("_h")
+    // same bootstrap/existence discipline as [[mergeBatch]]: only a
+    // genuinely missing target means bootstrap
+    val exists = try { spark.read.parquet(targetPath).schema.nonEmpty }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+          .contains(e.getCondition) => false
+    }
+    if (!exists) {
+      Upsert.writePartitioned(local, targetPath, partitionCols)
+    } else {
+      val corpus = spark.read.parquet(targetPath)
+      // (2) corpus-tier dedup, bloom-prefiltered
+      val sketch = DedupOps.bloomFitDigests(corpus, textCol, bloomExpectedItems)
+      val novel = DedupOps.incrementalDedupBloom(
+        local, corpus, idCol, textCol, sketch)
+      // (3) MERGE the surviving novelty
+      Upsert.upsertIntoPath(spark, targetPath, novel, Seq(idCol), partitionCols)
+    }
+  }
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped, state for keys older than the
     * watermark is evicted. The streaming twin of `DedupOps.exactDedup` —

@@ -163,6 +163,19 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_cms_checked key: estimates one-sided, every status within the eps*N bound") {
+    val got = graft.queries.Catalog.specs("agg_cms_checked").fn(spark, sf)
+      .select($"o_orderstatus", $"n_keys", $"n_under", $"max_over", $"within_bound")
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (st, nKeys, nUnder, maxOver, within) =>
+      assert(nKeys >= 1, s"$st: no keys probed")
+      assert(nUnder == 0, s"$st: CMS must never underestimate, $nUnder keys did")
+      assert(maxOver >= 0, s"$st: negative overestimate $maxOver")
+      assert(within == 1, s"$st: a key exceeded the eps*N bound (max_over=$maxOver)")
+    }
+  }
+
   test("approx_percentile lands within the exact percentile neighborhood") {
     val li = Tables(spark, sf, "lineitem")
     val approx = li.agg(

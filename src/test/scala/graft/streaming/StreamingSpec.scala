@@ -459,4 +459,53 @@ class StreamingSpec extends SparkSpec {
         ("loc2", "2021-01-01", 20.0)))
     } finally q.stop()
   }
+
+  test("daily-ingest composition: file stream, per-batch dedup, MERGE; idempotent replay") {
+    val srcDir = Files.createTempDirectory("ingest_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("ingest_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toFile.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = src.writeStream
+        .foreachBatch(
+          StreamOps.dedupMergeBatch(corpusDir, "doc_id", "text", Seq("lang")) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "ingest query did not self-terminate")
+    }
+    def corpusIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select($"doc_id").as[Long].collect().toSet
+    // day 1: two uniques + an in-batch text dup under a different id
+    Seq((1L, "alpha beta gamma", "en"), (2L, "uno dos tres", "es"),
+      (3L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(corpusIds == Set(1L, 2L), "in-batch dup must keep the min-id winner")
+    // day 2: a cross-day text dup under a fresh id + a genuinely new doc
+    Seq((10L, "alpha beta gamma", "en"), (11L, "quatre cinq six", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(corpusIds == Set(1L, 2L, 11L),
+      "cross-day dup dropped against the corpus, new doc merged")
+    // replay: wipe the checkpoint so the stream re-delivers EVERY file in
+    // one batch — the corpus must come out unchanged (foreachBatch sinks
+    // must be idempotent under re-delivery)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(ckpt))
+    drain()
+    assert(corpusIds == Set(1L, 2L, 11L), "replay must be a no-op")
+    // corpus content sanity: one row per id, lang partition column intact
+    val rows = spark.read.parquet(corpusDir)
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "uno dos tres", "es"),
+      (11L, "quatre cinq six", "fr")))
+  }
 }
