@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated key filter (local iteration only;
+    // the driver always passes exactly two args ⇒ full run)
+    val (sfDir, outDir, keyFilter) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, f) => (a, b, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // GraftExtensions: the custom expressions AND the TopKPerKey planner
     // strategy run in the CORRECTNESS gate itself — the rewritten plans
@@ -20,7 +25,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

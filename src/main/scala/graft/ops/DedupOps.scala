@@ -781,6 +781,88 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"))
   }
 
+  /** Duplicated-span statistics: for each document, the fraction of its
+    * token n-gram INSTANCES that occur more than once anywhere in the
+    * corpus — the per-document signal behind exact-substring dedup
+    * (a high dup_frac document is mostly boilerplate someone else also
+    * has; the usual pipeline drops or trims it). Counting instances
+    * (not distinct grams) weights a repeated boilerplate block by its
+    * length, which is what the downstream token budget actually pays.
+    *
+    * Scale shape: one explode → one groupBy(gram) count (map-side
+    * combine absorbs hot grams) → broadcast-eligible join back on the
+    * gram. Only (gram, count) rows shuffle in the count; the join back
+    * re-shuffles (id, gram) pairs once. A production run can key both
+    * sides on `xxhash64(gram)` to shuffle 8-byte keys instead of
+    * strings — kept as the string here so the result is exactly
+    * restatable in ANSI SQL (collisions: 64-bit birthday bound makes
+    * the hash variant statistically identical).
+    *
+    * Output: (`idCol`, n_grams, n_dup, dup_frac), one row per input
+    * document (docs shorter than n tokens contribute their whole text
+    * as a single gram, per [[shingles]]). */
+  def duplicateSpanStats(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val grams = df.select(col(idCol),
+        explode(call_function("shingle_array",
+          split(lower(col(textCol)), "\\s+"), lit(shingleN))).as("_g"))
+    val counts = grams.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"))
+    grams.join(counts, Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast(DoubleType) / col("n_grams"))
+  }
+
+  /** Segment-level exact dedup with reconstruction — the
+    * paragraph-dedup pass of a web-corpus pipeline (CCNet/RefinedWeb
+    * shape), expressed over fixed `segTokens`-token segments because
+    * segment boundaries generalize to corpora without newline
+    * structure. Every segment keeps exactly ONE canonical occurrence
+    * corpus-wide — the lexicographically smallest (id, seg_idx) — and
+    * each document is rebuilt from its surviving segments in order.
+    * Documents whose every segment lost are dropped entirely (the
+    * all-boilerplate case).
+    *
+    * Scale shape: two shuffles — one groupBy on the segment text to
+    * pick the canonical occurrence (map-side combine collapses
+    * corpus-wide repeats early), one groupBy on the id to reconstruct.
+    * Segment text rides both (same string-vs-hash trade as
+    * [[duplicateSpanStats]]; the reconstruct side must carry text
+    * regardless). Per-doc state is bounded by the document's own
+    * segment count.
+    *
+    * Output: (`idCol`, text_dedup, n_segs, n_kept), docs with
+    * n_kept ≥ 1. */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = split(lower(col(textCol)), "\\s+")
+    val segs = df.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(toks).cast(DoubleType) / segTokens).cast(IntegerType) - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "_seg")))
+    val canon = segs.groupBy(col("_seg"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("_keep"))
+      .select(col(s"_keep.$idCol").as(idCol),
+        col("_keep.seg_idx").as("seg_idx"), col("_seg"))
+    canon.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("_seg")))),
+          x => x.getField("_seg")), " ").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+      .join(segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs")), Seq(idCol))
+      .select(col(idCol), col("text_dedup"), col("n_segs"), col("n_kept"))
+  }
+
   /** END-TO-END fuzzy dedup — corpus in, near-dup-free corpus out. THE
     * operation an LLM-data pipeline actually runs; the stages it
     * composes are each proven separately, this is their one-call form:

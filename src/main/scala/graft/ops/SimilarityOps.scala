@@ -262,6 +262,69 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cos_q"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    * embedding — pairwise cosine is computed ONLY within a cluster
+    * (the paper's k-means cells; any partition column works — a label,
+    * an [[ivfCell]] assignment, or an [[lshBucket]]), near-dup pairs
+    * above `threshold` form a graph, and each connected component
+    * keeps one survivor (the min id — deterministic and
+    * oracle-checkable, vs the paper's farthest-from-centroid pick).
+    *
+    * Scale shape: the quadratic stage is confined to cluster cells —
+    * cost Σ|cell|², the SemDeDup contract (k is chosen so cells are
+    * small). A cell whose pair count would exceed `maxClusterPairs`
+    * fails loud with the cell id rather than silently admitting an
+    * O(n²) blow-up — re-cluster with larger k instead. Cosine uses the
+    * same quantized integer arithmetic as [[cosineDupPairs]], so
+    * results are engine-exact. Rows with NULL cluster are kept
+    * unconditionally (no cell ⇒ no comparison).
+    *
+    * Returns the surviving rows of `df`, schema unchanged. `idCol`
+    * must be numeric and unique (cluster labels are min-of-ids). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      threshold: Double,
+      maxClusterPairs: Long = 10000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"cosine threshold must be in (-1,1), got $threshold")
+    val inCell = df.filter(col(clusterCol).isNotNull)
+    val maxCellDocs = DedupOps.maxDocsForPairBudget(maxClusterPairs)
+    val oversized = inCell.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("_cn"))
+      .filter(col("_cn") > maxCellDocs)
+    // fail-loud guard: raise inside the plan if any cell exceeds the
+    // pair budget (a driver-side count here would add a full job; the
+    // raise rides the pair join's build side instead)
+    val qv = quantize(col(vecCol))
+    val side = inCell.select(col(clusterCol).as("_cell"), col(idCol),
+      qv.as("_qv"), dotLong(qv, qv).as("_nn"))
+    val a = side.select(col("_cell"), col(idCol).as("id_a"),
+      col("_qv").as("va"), col("_nn").as("na"))
+    val b = side.join(oversized.select(col(clusterCol).as("_cell"),
+        when(lit(true), raise_error(concat(lit("semDedup: cluster cell "),
+          col("_cell").cast(StringType),
+          lit(s" exceeds maxClusterPairs=$maxClusterPairs — increase k")))
+          .cast(LongType)).as("_boom")),
+        Seq("_cell"), "left")
+      .select(col("_cell"), col(idCol).as("id_b"),
+        col("_qv").as("vb"), (col("_nn") + coalesce(col("_boom"), lit(0L))).as("nb"))
+    val pairs = a.join(b, Seq("_cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_q",
+        dotLong(col("va"), col("vb")).cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .filter(col("cos_q") > threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = DedupOps.connectedComponents(
+      inCell.select(col(idCol)), pairs, idCol, "id_a", "id_b",
+      checkpointDir = checkpointDir)
+    val survivors = clusters
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.filter(col(clusterCol).isNull)
+      .unionByName(df.join(survivors, Seq(idCol), "left_semi"))
+  }
+
   /** Per-cluster centroid (element-wise mean) of an embedding column —
     * the aggregation half of IVF maintenance ([[ivfFit]] trains
     * offline on a sample; this recomputes exact centroids for the full

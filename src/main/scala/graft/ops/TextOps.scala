@@ -132,6 +132,66 @@ object TextOps {
     array_max(transform(grams, g => size(filter(grams, h => h === g))))
       .cast(DoubleType) / size(grams)
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, table A1 —
+    * public heuristics): per-document rule flags plus the AND'd keep
+    * decision. Pure per-row column arithmetic (integer counts + single
+    * IEEE divisions), zero shuffle, fully SQL-restatable. Thresholds
+    * are parameters so a pipeline can tighten them per source. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def gopherQualityFlags(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokenize(col(textCol))
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    val nWords = size(toks)
+    // exact integer char total; mean = one IEEE division
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = charSum.cast(DoubleType) / nWords
+    val nSymbol = size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val fWordCount = nWords >= minWords && nWords <= maxWords
+    val fMeanLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val fSymbol = nSymbol.cast(DoubleType) / nWords <= maxSymbolRatio
+    val fAlpha = nAlpha.cast(DoubleType) / nWords >= minAlphaRatio
+    val fStop = nStop >= minStopwords
+    df.withColumn("n_words", nWords.cast(LongType))
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("ok_word_count", fWordCount.cast(IntegerType))
+      .withColumn("ok_mean_len", fMeanLen.cast(IntegerType))
+      .withColumn("ok_symbol_ratio", fSymbol.cast(IntegerType))
+      .withColumn("ok_alpha_ratio", fAlpha.cast(IntegerType))
+      .withColumn("ok_stopwords", fStop.cast(IntegerType))
+      .withColumn("keep",
+        (fWordCount && fMeanLen && fSymbol && fAlpha && fStop).cast(IntegerType))
+  }
+
+  /** Sliding-window chunking: split each document into `win`-token
+    * chunks every `stride` tokens — the sequence-prep step between a
+    * cleaned corpus and a trainer (overlap = win − stride preserves
+    * cross-boundary context). Short docs yield their whole text as
+    * chunk 0. Pure per-row transform + explode: no shuffle, output
+    * rows ∝ tokens/stride. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      win: Int, stride: Int): DataFrame = {
+    require(win >= 1, s"win must be >= 1, got $win")
+    require(stride >= 1 && stride <= win,
+      s"stride must be in [1, win], got $stride (win $win)")
+    val toks = tokenize(col(textCol))
+    // last window start: the smallest multiple of stride covering the
+    // tail — ceil((n - win) / stride), clamped at 0 for short docs
+    val nChunks = greatest(lit(0L),
+      ceil((size(toks) - win).cast(DoubleType) / stride).cast(LongType)) + 1L
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1L),
+          i => array_join(slice(toks, (i * stride + 1L).cast(IntegerType), lit(win)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast(LongType))
+  }
+
   /** PII-style scrubbing: mask digit runs and email-shaped tokens — the
     * plan shape (regexp_replace chain, codegen'd) of a real scrub pass. */
   def scrub(text: Column): Column =

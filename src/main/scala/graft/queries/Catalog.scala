@@ -1455,6 +1455,89 @@ object Catalog {
              |WHERE d.doc_id < 500
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Duplicated-span statistics (the exact-substring-dedup signal, Lee
+    // et al. 2022): per-doc fraction of 5-gram instances occurring more
+    // than once corpus-wide. Pure count arithmetic + one IEEE division
+    // ⇒ fully ORACLED.
+    "dedup_span_stats" -> QuerySpec(
+      (s, d) => DedupOps.duplicateSpanStats(
+        t(s, d, "documents"), "doc_id", "text", shingleN = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+             |    ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] END) AS g
+             |  FROM base),
+             |counts AS (SELECT g, count(*) AS n FROM grams GROUP BY g)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+             |FROM grams JOIN counts c USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Segment-level exact dedup with reconstruction (the paragraph-dedup
+    // pass of CCNet/RefinedWeb, fixed 10-token segments): every segment
+    // keeps its lexicographically-first (doc, idx) occurrence, docs are
+    // rebuilt from survivors. Keep-first is deterministic ⇒ fully
+    // ORACLED, including the reconstructed text. 4 all-boilerplate docs
+    // vanish at sf0.01; 53 get trimmed.
+    "dedup_paragraph" -> QuerySpec(
+      (s, d) => DedupOps.segmentDedup(
+        t(s, d, "documents"), "doc_id", "text", segTokens = 10)
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+             |segs AS (
+             |  SELECT doc_id, CAST(u.i AS INTEGER) AS seg_idx,
+             |    array_to_string(w[(u.i*10+1):(u.i*10+10)], ' ') AS seg
+             |  FROM base, UNNEST(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+             |canon AS (
+             |  SELECT doc_id, seg_idx, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+             |  FROM segs),
+             |rec AS (
+             |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+             |    count(*) AS n_kept
+             |  FROM canon WHERE rn = 1 GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+             |SELECT r.doc_id, r.text_dedup, t.n_segs, r.n_kept
+             |FROM rec r JOIN tot t USING (doc_id) ORDER BY r.doc_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): embedding near-dup removal with the
+    // quadratic stage confined to cluster cells (the label column here;
+    // ivfCell/lshBucket in production). Quantized cosine + min-id
+    // survivor ⇒ the full pipeline is engine-exact and ORACLED via
+    // recursive-CTE reachability over within-cell edges (113 edges,
+    // 389/500 survivors at sf0.01).
+    "dedup_semdedup" -> QuerySpec(
+      (s, d) => SimilarityOps.semDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label",
+        threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    CAST(FLOOR(CAST(unnest(a.embedding) AS DOUBLE)*1000) AS BIGINT) AS va,
+             |    CAST(FLOOR(CAST(unnest(b.embedding) AS DOUBLE)*1000) AS BIGINT) AS vb
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id),
+             |dots AS (
+             |  SELECT id_a, id_b, SUM(va*vb) AS dot, SUM(va*va) AS na, SUM(vb*vb) AS nb
+             |  FROM pairs GROUP BY id_a, id_b),
+             |e0 AS (SELECT id_a, id_b FROM dots
+             |  WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) > 0.3),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM e0
+             |          UNION ALL SELECT id_b, id_a FROM e0),
+             |reach(id, l) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.l),
+             |clusters AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id)
+             |SELECT e.vec_id, e.label FROM embeddings e
+             |JOIN clusters c ON c.id = e.vec_id AND c.id = c.cluster_id
+             |ORDER BY e.vec_id""".stripMargin)),
+
     // Exact token-set Jaccard near-dups on a bounded id range — fully
     // SQL-expressible (integer set sizes, one IEEE division).
     "dedup_ngram_jaccard" -> QuerySpec(
@@ -1867,6 +1950,61 @@ object Catalog {
              |SELECT source, doc_id, n_chars,
              |  CAST((cum - n_chars) // 4096 AS BIGINT) AS bin
              |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // Gopher-style composite quality rules (Rae et al. 2021 A1): per-doc
+    // flags + AND'd keep. Integer counts and single IEEE divisions
+    // throughout ⇒ fully ORACLED (179/500 keep at sf0.01; word-count and
+    // stopword rules discriminate on this fixture, the rest stay 1).
+    "text_gopher_filter" -> QuerySpec(
+      (s, d) => TextOps.gopherQualityFlags(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("ok_word_count"), col("ok_mean_len"), col("ok_symbol_ratio"),
+          col("ok_alpha_ratio"), col("ok_stopwords"), col("keep"))
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, lower(text) AS lt,
+             |    string_split(lower(text), ' ') AS w FROM documents),
+             |feat AS (
+             |  SELECT doc_id, len(w) AS n_words,
+             |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
+             |    len(regexp_extract_all(lt, '#|\.\.\.')) AS n_symbol,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             |    len(list_filter(w, x -> list_contains(
+             |      ['the','be','to','of','and','that','have','with'], x))) AS n_stop
+             |  FROM base)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+             |  CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS ok_word_count,
+             |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER) AS ok_mean_len,
+             |  CAST(CAST(n_symbol AS DOUBLE)/n_words <= 0.1 AS INTEGER) AS ok_symbol_ratio,
+             |  CAST(CAST(n_alpha AS DOUBLE)/n_words >= 0.8 AS INTEGER) AS ok_alpha_ratio,
+             |  CAST(n_stop >= 2 AS INTEGER) AS ok_stopwords,
+             |  CAST(n_words >= 50 AND n_words <= 100000
+             |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             |   AND CAST(n_symbol AS DOUBLE)/n_words <= 0.1
+             |   AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8
+             |   AND n_stop >= 2 AS INTEGER) AS keep
+             |FROM feat ORDER BY doc_id""".stripMargin)),
+
+    // Sliding-window chunking (sequence prep: 32-token windows, stride
+    // 24 ⇒ 8-token overlap). Pure per-row transform+explode, zero
+    // shuffle. Fully ORACLED including the chunk text.
+    "text_chunk_windows" -> QuerySpec(
+      (s, d) => TextOps.chunkWindows(
+        t(s, d, "documents"), "doc_id", "text", win = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+             |nch AS (
+             |  SELECT doc_id, w,
+             |    greatest(0, CAST(ceil((len(w) - 32) / 24.0) AS BIGINT)) + 1 AS n
+             |  FROM base),
+             |chunks AS (
+             |  SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+             |    array_to_string(w[(u.i*24+1):(u.i*24+32)], ' ') AS chunk_text
+             |  FROM nch, UNNEST(range(0, n)) AS u(i))
+             |SELECT doc_id, chunk_idx, chunk_text,
+             |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
     // Bernoulli. Runs the portable-LCG variant so the key is FULLY

@@ -425,4 +425,50 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.incrementalDedupBloom(batch, corpus2, "doc_id", "text", sketch2)
       .select($"doc_id").as[Long].collect().toSet == Set(11L, 12L))
   }
+
+  test("duplicateSpanStats counts duplicated n-gram instances per doc") {
+    // doc 0 and doc 1 share the 5-token block "a b c d e" (one 5-gram
+    // each); doc 2 is unique; doc 3 repeats its own block twice (both
+    // instances duplicated); doc 4 is shorter than n (whole-text gram)
+    val df = Seq(
+      (0L, "a b c d e x y z w v"),     // 6 grams, 1 dup (the block)
+      (1L, "p q r s a b c d e t"),     // 6 grams, 1 dup
+      (2L, "unique tokens only appear here once more pad pad2 pad3"),
+      (3L, "m n o p2 q2 m n o p2 q2"), // grams 1 and 6 identical → 2 dup
+      (4L, "tiny doc"))                // 1 whole-text gram, 0 dup
+      .toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpanStats(df, "doc_id", "text", shingleN = 5)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_grams", $"n_dup")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 6L, 1L), (1L, 6L, 1L), (2L, 6L, 0L),
+      (3L, 6L, 2L), (4L, 1L, 0L)), s"got $got")
+  }
+
+  test("segmentDedup keeps first occurrence, rebuilds docs, drops empty ones") {
+    // seg size 3: doc 0 = [abc][def]; doc 1 repeats doc 0's first
+    // segment then has its own; doc 2 is entirely doc 0's segments
+    val df = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c x y z"),
+      (2L, "d e f a b c"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(df, "doc_id", "text", segTokens = 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"text_dedup", $"n_segs", $"n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc 0 keeps both segments (first occurrence of each); doc 1 loses
+    // "a b c" to doc 0 but keeps "x y z"; doc 2's "d e f" lost to doc 0
+    // (idx 1) and "a b c" lost to doc 0 (idx 0) → dropped entirely
+    assert(out == Seq(
+      (0L, "a b c d e f", 2L, 2L),
+      (1L, "x y z", 2L, 1L)), s"got $out")
+  }
+
+  test("segmentDedup reconstruction preserves segment order") {
+    val df = Seq((7L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val got = DedupOps.segmentDedup(df, "doc_id", "text", segTokens = 2)
+      .select($"text_dedup").as[String].head()
+    assert(got == "t1 t2 t3 t4 t5 t6 t7")
+  }
 }

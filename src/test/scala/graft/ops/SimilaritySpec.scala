@@ -221,4 +221,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(0) - 4.0) < 1e-9)  // (2+6)/2
     assert(math.abs(out(1) - 4.0) < 1e-9)  // 4/1 — documented ragged semantics
   }
+
+  test("semDedup removes within-cell near-dups, keeps min id, spares other cells") {
+    import spark.implicits._
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e1near = Array(0.99f, 0.01f, 0.0f, 0.0f)   // cos ≈ 1 with e1
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)          // orthogonal
+    val df = Seq(
+      (3L, Option(0), e1near),  // near-dup of 5 — loses (5 < 3? no: 3 < 5 wins)
+      (5L, Option(0), e1),
+      (7L, Option(0), e2),      // same cell, not a dup
+      (9L, Option(1), e1),      // identical vector, DIFFERENT cell → untouched
+      (11L, Option.empty[Int], e1))  // NULL cell → kept unconditionally
+      .toDF("vec_id", "cell", "emb")
+    val got = SimilarityOps.semDedup(df, "vec_id", "emb", "cell", threshold = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(3L, 7L, 9L, 11L), s"got $got")
+  }
+
+  test("semDedup fails loud when a cell exceeds the pair budget") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, 0, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "cell", "emb")
+    val e = intercept[Exception] {
+      SimilarityOps.semDedup(df, "vec_id", "emb", "cell",
+        threshold = 0.99, maxClusterPairs = 10L).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxClusterPairs"),
+      s"unexpected: ${e.getMessage}")
+  }
 }

@@ -91,4 +91,60 @@ class TextOpsSpec extends SparkSpec {
       .map(_._1) == Seq("y", "z"))
     intercept[IllegalArgumentException] { TextOps.buildVocab(df, "text", 0) }
   }
+
+  test("gopherQualityFlags: each rule fires on its planted violation") {
+    val goodText = (("the data and machine learning pipeline that we have built " * 6)
+      + "works with scale").trim  // 63 words, stopword-rich, mean len in band
+    val df = Seq(
+      ("good", goodText),
+      ("short", "the and of that have with just a few words here"), // 11 < 50 words
+      ("nostop", ("alpha beta gamma delta epsilon zeta " * 10).trim), // 0 stopwords
+      ("symbols", (("the of and that have with " * 10).trim + " " + ("... " * 20).trim)),
+      ("longwords", (("the of and " + "extraordinarily sesquipedalian incomprehensibilities " * 20).trim))
+    ).toDF("kind", "text")
+    val got = TextOps.gopherQualityFlags(df, "text")
+      .select($"kind", $"ok_word_count", $"ok_mean_len", $"ok_symbol_ratio",
+        $"ok_alpha_ratio", $"ok_stopwords", $"keep")
+      .as[(String, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got("good") == ((1, 1, 1, 1, 1, 1)), s"good: ${got("good")}")
+    assert(got("short")._1 == 0 && got("short")._6 == 0)
+    assert(got("nostop")._5 == 0 && got("nostop")._6 == 0)
+    // 20 "..." tokens over 80 words = 0.25 > 0.1; they also break the
+    // alpha ratio (60/80 = 0.75 < 0.8)
+    assert(got("symbols")._3 == 0 && got("symbols")._4 == 0 && got("symbols")._6 == 0)
+    assert(got("longwords")._2 == 0 && got("longwords")._6 == 0)
+  }
+
+  test("gopherQualityFlags mean word length is exact integer arithmetic") {
+    // "ab cde f" → 6 chars / 3 words = 2.0
+    val got = TextOps.gopherQualityFlags(
+      Seq(("x", "ab cde f")).toDF("k", "text"), "text")
+      .select($"mean_word_len").as[Double].head()
+    assert(got == 2.0)
+  }
+
+  test("chunkWindows: stride windows cover the doc with overlap") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, "doc_id", "text", win = 4, stride = 3)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk_text", $"n_tokens")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "t1 t2 t3 t4", 4L),
+      (1, "t4 t5 t6 t7", 4L),
+      (2, "t7 t8 t9 t10", 4L)), s"got $got")
+  }
+
+  test("chunkWindows: short doc yields one whole-text chunk; tail is ragged") {
+    val df = Seq((1L, "a b"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, "doc_id", "text", win = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq((1L, 0, "a b"), (2L, 0, "a b c d"), (2L, 1, "d e")), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWindows(df, "doc_id", "text", win = 4, stride = 5)
+    }
+  }
 }
