@@ -533,6 +533,59 @@ object Catalog {
       },
       None),
 
+    // CHECKED-estimator twin of agg_approx_percentile: the sketch value
+    // is engine-specific (Greenwald-Khanna summary), but its CONTRACT is
+    // checkable exactly — the returned value's rank INTERVAL
+    // [count(x<v)+1, count(x≤v)] (an interval, not a point, because ties
+    // give one value many ranks) must intersect the ε-band around the
+    // target rank, ε = 1/accuracy. Per group: approx p50 at accuracy
+    // 1000, both conditional rank sums, the band, within_bound (must be
+    // 1). rows-only by design.
+    "agg_approx_pctl_checked" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sk = li.groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_quantity, 0.5d, 1000)").as("approx_p50"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(sk), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            first(col("approx_p50")).as("approx_p50"),
+            first(col("n")).as("n"),
+            sum(when(col("l_quantity") < col("approx_p50"), 1L).otherwise(0L))
+              .as("rank_lt"),
+            sum(when(col("l_quantity") <= col("approx_p50"), 1L).otherwise(0L))
+              .as("rank_le"),
+            (first(col("n")).cast(DoubleType) * 0.5).as("rank_target"),
+            (first(col("n")).cast(DoubleType) / 1000.0 + 1.0).as("rank_bound"))
+          .withColumn("within_bound",
+            (col("rank_lt").cast(DoubleType) <= col("rank_target") + col("rank_bound") &&
+              col("rank_le").cast(DoubleType) >= col("rank_target") - col("rank_bound"))
+              .cast(IntegerType))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    // CHECKED-estimator twin of agg_approx_distinct: HLL++ output is
+    // engine-specific but deterministic for fixed input; the check joins
+    // it to the exact distinct count and asserts the relative error is
+    // inside 3× the requested rsd (0.05) — far beyond any plausible
+    // fixture drift. rows-only by design.
+    "agg_approx_distinct_checked" -> QuerySpec(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        orders.groupBy(col("o_orderstatus"))
+          .agg(
+            approx_count_distinct(col("o_custkey"), rsd = 0.05).as("est_nd"),
+            countDistinct(col("o_custkey")).as("exact_nd"))
+          .withColumn("rel_err",
+            abs(col("est_nd") - col("exact_nd")).cast(DoubleType) /
+              col("exact_nd"))
+          .withColumn("within_bound", (col("rel_err") <= 0.15).cast(IntegerType))
+          .orderBy(col("o_orderstatus"))
+      },
+      None),
+
     // ------------------------------------------------- filters/projections
     // Null/empty partition-key guard (reference README.md:1306-1311).
     "filter_nonnull" -> QuerySpec(

@@ -195,6 +195,19 @@ object StreamOps {
     timeRangeJoin(left, right, key, leftTs, rightTs, watermark, horizon,
       "left_outer")
 
+  /** Stream-stream FULL OUTER variant — completes the join trio.
+    * Unmatched rows from EITHER side emit null-padded once the opposing
+    * watermark has passed their join range (each side waits on the
+    * other's eviction point, so outer emission trails by the watermark
+    * delay on both sides). Same naming contract and bounded-state
+    * condition shape as the inner/left-outer forms. */
+  def streamStreamFullOuterJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      watermark: String, horizon: String): DataFrame =
+    timeRangeJoin(left, right, key, leftTs, rightTs, watermark, horizon,
+      "full_outer")
+
   // ----------------------------------------------------- stateful sessions
 
   case class Event(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

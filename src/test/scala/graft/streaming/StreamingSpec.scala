@@ -437,6 +437,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join null-pads unmatched rows from both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    val msL = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val msR = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val left = msL.toDF.toDF("user_id", "ts", "click")
+    val right = msR.toDF.toDF("r_user_id", "r_ts", "signup")
+    val q = StreamOps.streamStreamFullOuterJoin(left, right, "user_id", "ts", "r_ts",
+      watermark = "10 minutes", horizon = "'30' MINUTE")
+      .select($"user_id", $"r_user_id", $"click", $"signup")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssfoj_out").start()
+    try {
+      msL.addData((1L, ts(5), "c1"), (4L, ts(5), "l_orphan"))
+      msR.addData((1L, ts(0), "s1"), (6L, ts(0), "r_orphan"))
+      q.processAllAvailable()
+      // push both watermarks far past every open join range
+      msL.addData((9L, ts(1000), "late"))
+      msR.addData((9L, ts(1000), "s9"))
+      q.processAllAvailable()
+      msL.addData((9L, ts(1001), "late2"))
+      msR.addData((9L, ts(1001), "s9b"))
+      q.processAllAvailable()
+      val all = spark.table("ssfoj_out")
+        .as[(Option[Long], Option[Long], Option[String], Option[String])]
+        .collect().toSet
+      assert(all.contains((Some(1L), Some(1L), Some("c1"), Some("s1"))),
+        s"matched pair missing: $all")
+      assert(all.contains((Some(4L), None, Some("l_orphan"), None)),
+        s"unmatched LEFT row must null-pad: $all")
+      assert(all.contains((None, Some(6L), None, Some("r_orphan"))),
+        s"unmatched RIGHT row must null-pad: $all")
+    } finally q.stop()
+  }
+
   test("foreachBatch merge sink upserts each micro-batch into parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("stream_merge").toFile.getAbsolutePath
