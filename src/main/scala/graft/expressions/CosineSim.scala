@@ -165,6 +165,8 @@ object GraftFunctions {
         ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))),
     ("nfkc_normalize", classOf[NfkcNormalize],
       (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))),
+    ("sorted_inter_size", classOf[SortedInterSize],
+      (exprs: Seq[Expression]) => SortedInterSize(exprs(0), exprs(1))),
     // generator (UDTF-shaped): rows stream out of eval lazily — see
     // NgramGenerate's scaladoc for the vs-posexplode(shingle_array)
     // memory contract

@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native hash-signature expressions for the dedup operators — tier (b)
@@ -301,6 +301,70 @@ case class ShingleArray(child: Expression, shingleN: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
     copy(child = newChild)
+}
+
+/** Intersection size of two SORTED ARRAY<BIGINT> inputs via a single
+  * merge walk — O(n+m) on primitive longs, no hash set, no allocation.
+  * This is the confirm-stage primitive for fuzzy dedup: per candidate
+  * pair, `array_intersect`/`array_union` each build a hash set of ~100
+  * STRINGS (measured 2.4 s of a 4 s fuzzyDedupE2E run at sf0.1); hashing
+  * each doc's distinct shingles to longs ONCE per document and merging
+  * sorted arrays per PAIR moves the per-pair cost to ~2(n+m) long
+  * compares. |union| falls out as n_a + n_b − inter, so one expression
+  * replaces both set ops.
+  *
+  * CONTRACT: both inputs sorted ascending with distinct elements
+  * (`sort_array(array_distinct(...))`) and no NULL elements — the merge
+  * walk's count is undefined otherwise (not validated per row: an
+  * in-loop sortedness check would double the compares this expression
+  * exists to remove). Interpreted eval and codegen share the identical
+  * walk. */
+case class SortedInterSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  require(Seq(left, right).forall(e => !e.resolved ||
+    e.dataType == ArrayType(LongType) || e.dataType == ArrayType(LongType, false)),
+    s"sorted_inter_size expects ARRAY<BIGINT> inputs, got ${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_inter_size"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterSize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Unicode NFKC normalization as a native expression — the canonical

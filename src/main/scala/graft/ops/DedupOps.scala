@@ -908,15 +908,30 @@ object DedupOps {
     // exact confirm on the codegen shingle arrays — the same shingle
     // semantics as [[ngramJaccardPairs]] (and the SQL oracles built on
     // it), so confirmed pairs are exactly the ≥-threshold subset of the
-    // true pair graph restricted to LSH candidates
+    // true pair graph restricted to LSH candidates. The per-PAIR work is
+    // one sorted-merge intersection over 64-bit shingle hashes
+    // (expressions.SortedInterSize; |union| = n_a + n_b − inter): each
+    // doc's distinct shingles hash and sort ONCE, replacing the
+    // per-pair array_intersect/array_union hash sets over strings that
+    // dominated this operator (2.4 s of 4 s at sf0.1). Hashed-set
+    // Jaccard equals string-set Jaccard unless xxhash64 collides within
+    // a pair's union (p ≲ |union|²/2⁶⁵ ≈ 1e-15 per pair) — the same
+    // exactness tier as the LSH recall argument above.
     val sets = df.select(col(idCol).as("_sid"),
-      array_distinct(call_function("shingle_array",
-        split(lower(col(textCol)), "\\s+"), lit(shingleN))).as("_sh"))
+      sort_array(array_distinct(transform(
+        call_function("shingle_array",
+          split(lower(col(textCol)), "\\s+"), lit(shingleN)),
+        x => xxhash64(x)))).as("_sh"))
+      .withColumn("_n", size(col("_sh")))
     val confirmed = cand
-      .join(sets.select(col("_sid").as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
-      .join(sets.select(col("_sid").as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
-      .filter(size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
-        size(array_union(col("_sh_a"), col("_sh_b"))) >= threshold)
+      .join(sets.select(col("_sid").as("id_a"),
+        col("_sh").as("_sh_a"), col("_n").as("_n_a")), Seq("id_a"))
+      .join(sets.select(col("_sid").as("id_b"),
+        col("_sh").as("_sh_b"), col("_n").as("_n_b")), Seq("id_b"))
+      .withColumn("_inter",
+        call_function("sorted_inter_size", col("_sh_a"), col("_sh_b")))
+      .filter(col("_inter").cast(DoubleType) /
+        (col("_n_a") + col("_n_b") - col("_inter")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = connectedComponents(
       df.select(col(idCol)), confirmed, idCol, "id_a", "id_b",

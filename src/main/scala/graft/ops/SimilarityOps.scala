@@ -284,45 +284,95 @@ object SimilarityOps {
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       threshold: Double,
-      maxClusterPairs: Long = 10000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      maxClusterPairs: Long = 10000000L): DataFrame = {
     require(threshold > -1.0 && threshold < 1.0,
       s"cosine threshold must be in (-1,1), got $threshold")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val inCell = df.filter(col(clusterCol).isNotNull)
     val maxCellDocs = DedupOps.maxDocsForPairBudget(maxClusterPairs)
     val oversized = inCell.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("_cn"))
       .filter(col("_cn") > maxCellDocs)
+    // Quantized coords as EXACT doubles: |q| ≤ 1000 ⇒ products ≤ 1e6 and
+    // dim-sums ≪ 2^53, so the codegen dot_product's double arithmetic is
+    // integer-exact — bit-identical to a long fold, but one fused loop
+    // per pair with zero intermediate arrays (the zip_with+aggregate HOF
+    // form was 7 of this operator's 8 seconds at sf0.1).
+    val qd = transform(quantize(col(vecCol)), x => x.cast(DoubleType))
+    val side = inCell.select(col(clusterCol).as("_cell"), col(idCol),
+      qd.as("_qv"),
+      call_function("dot_product", qd, qd).as("_nn"))
+    // Salted self-join: k cells alone give at most k join keys — the
+    // quadratic per-cell work would land on ≤ k tasks no matter the
+    // cluster size. Side A takes salt = id mod S; side B replicates ×S
+    // (every pair still meets exactly once), spreading each cell's pair
+    // enumeration over S tasks. S×|cells| keys ≫ cores keeps every
+    // executor busy; the ×S duplication is of the SMALL per-row payload,
+    // not of pair-scale data.
+    val S = 16
+    val a = side.select(col("_cell"),
+      pmod(col(idCol).cast(LongType), lit(S.toLong)).cast(IntegerType).as("_salt"),
+      col(idCol).as("id_a"), col("_qv").as("va"), col("_nn").as("na"))
     // fail-loud guard: raise inside the plan if any cell exceeds the
     // pair budget (a driver-side count here would add a full job; the
     // raise rides the pair join's build side instead)
-    val qv = quantize(col(vecCol))
-    val side = inCell.select(col(clusterCol).as("_cell"), col(idCol),
-      qv.as("_qv"), dotLong(qv, qv).as("_nn"))
-    val a = side.select(col("_cell"), col(idCol).as("id_a"),
-      col("_qv").as("va"), col("_nn").as("na"))
     val b = side.join(oversized.select(col(clusterCol).as("_cell"),
         when(lit(true), raise_error(concat(lit("semDedup: cluster cell "),
           col("_cell").cast(StringType),
           lit(s" exceeds maxClusterPairs=$maxClusterPairs — increase k")))
           .cast(LongType)).as("_boom")),
         Seq("_cell"), "left")
-      .select(col("_cell"), col(idCol).as("id_b"),
+      .withColumn("_salt", explode(sequence(lit(0), lit(S - 1))))
+      .select(col("_cell"), col("_salt"), col(idCol).as("id_b"),
         col("_qv").as("vb"), (col("_nn") + coalesce(col("_boom"), lit(0L))).as("nb"))
-    val pairs = a.join(b, Seq("_cell")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("_cell", "_salt")).filter(col("id_a") < col("id_b"))
       .withColumn("cos_q",
-        dotLong(col("va"), col("vb")).cast(DoubleType) /
-          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+        call_function("dot_product", col("va"), col("vb")) /
+          (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos_q") > threshold)
-      .select(col("id_a"), col("id_b"))
-    val clusters = DedupOps.connectedComponents(
-      inCell.select(col(idCol)), pairs, idCol, "id_a", "id_b",
-      checkpointDir = checkpointDir)
-    val survivors = clusters
-      .filter(col(idCol) === col("cluster_id"))
-      .select(col(idCol))
-    df.filter(col(clusterCol).isNull)
-      .unionByName(df.join(survivors, Seq(idCol), "left_semi"))
+      .select(col("_cell"), col("id_a"), col("id_b"))
+    // Clustering: SemDeDup's near-dup graph is CELL-CONFINED by
+    // construction (every edge joins two rows of one cell), so the
+    // iterative distributed CC machinery is the wrong tool — embedding
+    // near-dup components chain (nearest-neighbour links compose
+    // transitively), and min-label propagation measured 22 rounds of
+    // per-round job overhead on this shape at sf0.1. Instead: shuffle
+    // the confirmed pairs ONCE on the cell, then a streaming union-find
+    // per partition (components can't cross cells ⇒ per-partition is
+    // exact when each cell lands whole). State is O(edge endpoints in
+    // the partition's cells), bounded by the same maxClusterPairs
+    // budget that bounds the cells; edges stream through, never buffer.
+    // Root = component min id (union roots the smaller id), so "loser"
+    // = any endpoint whose root isn't itself — deterministic,
+    // edge-order-independent, same min-id contract as the CC ops.
+    import df.sparkSession.implicits._
+    val losers = pairs
+      .repartition(col("_cell"))
+      .select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // snapshot keys before the final finds: path compression updates
+        // values mid-iteration, which LongMap's live iterator doesn't
+        // guarantee to survive
+        val ks = parent.keysIterator.toArray
+        ks.iterator.filter(k => find(k) != k)
+      }
+      .toDF(idCol)
+    // losers only ever contains in-cell ids, so one anti join both drops
+    // them and passes NULL-cell rows through untouched
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Per-cluster centroid (element-wise mean) of an embedding column —

@@ -51,8 +51,31 @@ class ExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
-        "simhash_sig", "shingle_array", "nfkc_normalize", "ngram_generate",
-        "bloom_filter_agg", "might_contain"))
+        "simhash_sig", "shingle_array", "nfkc_normalize", "sorted_inter_size",
+        "ngram_generate", "bloom_filter_agg", "might_contain"))
+  }
+
+  test("sorted_inter_size equals array_intersect size on sorted distinct inputs") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 4L, 5L, 10L)),   // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L)),                     // disjoint
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),             // identical
+      (Seq.empty[Long], Seq(1L, 2L)),                 // empty side
+      (Seq(5L), Seq(1L, 2L, 3L, 4L, 5L, 6L)))         // subset walk
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      call_function("sorted_inter_size", $"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (fast, ref) => assert(fast == ref, s"$fast vs $ref") }
+    // codegen and interpreted agree (same walk): force interpreted eval
+    val expr = SortedInterSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L, 3L, 5L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(3L, 5L, 7L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(expr.eval(null) == 2)
   }
 
   test("ngram_generate ≡ posexplode(shingle_array) on every edge case") {
