@@ -166,6 +166,39 @@ object SampleOps {
       .drop("_keep_f")
   }
 
+  /** Temperature resampling: downsample each source so expected kept
+    * counts are proportional to n_s^alpha — the standard multilingual /
+    * multi-source rebalancing rule (sampling weight ∝ count^alpha),
+    * which flattens the head without starving the tail. alpha = 1 keeps
+    * everything; alpha = 0 levels every source down to the smallest.
+    * Unlike [[mixToTarget]] (explicit target proportions) the mix here
+    * is DERIVED from the data, so no per-source configuration.
+    *
+    * Downsample-only by construction: f_s = (n_s / n_min)^(alpha−1)
+    * with n_min the smallest source's count, so the smallest source
+    * keeps fraction 1 and every other f_s < 1. Same one-plan shape as
+    * [[mixToTarget]]: tiny per-source count aggregate, windowed min on
+    * that aggregate, fractions broadcast back, per-row
+    * [[portableUniform]] Bernoulli keep — zero driver round trips,
+    * deterministic under any partitioning, cross-engine reproducible
+    * (Bernoulli noise aside, kept_s / kept_min ≈ (n_s / n_min)^alpha). */
+  def temperatureSample(
+      df: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, seed: Long = 0L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureSample: alpha must be in [0,1], got $alpha")
+    requireNumeric(df, idCol, "temperatureSample")
+    val fractions = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_nmin", min(col("_n")).over(Window.partitionBy()))
+      .select(col(sourceCol),
+        pow(col("_n").cast(DoubleType) / col("_nmin").cast(DoubleType),
+          lit(alpha - 1.0)).as("_keep_f"))
+    df.join(broadcast(fractions), Seq(sourceCol))
+      .filter(portableUniform(col(idCol) + lit(seed)) < col("_keep_f"))
+      .drop("_keep_f")
+  }
+
   /** Deterministic train/val/test split assignment: adds a `split`
     * column chosen by [[portableUniform]] of `keyCol` against the
     * cumulative split fractions. Keying matters: pass the DEDUP CLUSTER

@@ -120,15 +120,36 @@ object SimilarityOps {
     bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
   }
 
-  /** ANN top-k: exact ranking within the query's LSH bucket. Recall is
-    * tunable via nBits (fewer bits → bigger buckets → higher recall,
-    * more compute); measured against bruteTopK in SimilaritySpec. */
+  /** ANN top-k: exact ranking within the query's LSH bucket(s). Recall
+    * is tunable two ways: nBits (fewer bits → bigger buckets → higher
+    * recall, more compute) and `probeHamming` — MULTI-PROBE LSH: each
+    * query also searches every bucket within that hamming distance of
+    * its own (a hyperplane whose projection is near zero is a coin
+    * flip, so the true neighbours of a borderline query sit one bit
+    * away; probing h=1 recovers them for Σ_{i≤h} C(nBits,i) × the
+    * single-bucket compute). The expansion happens on the QUERY side
+    * (the broadcast side) — the corpus-scale candidate table is hashed
+    * once and never replicated, so the 100 TB cost model is unchanged:
+    * one scan + a broadcast join whose build side grows ×(1+nBits) at
+    * h=1. Measured against bruteTopK in-query (sim_ann_recall) and in
+    * SimilaritySpec. */
   def annTopK(
       queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int, dim: Int,
       qId: String = "qid", qVec: String = "qvec",
-      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+      cId: String = "cid", cVec: String = "cvec",
+      probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming must be in [0,$nBits], got $probeHamming")
     reg(candidates)
-    val qb = queries.withColumn("bucket", lshBucket(col(qVec), nBits, dim))
+    // XOR masks with popcount ≤ probeHamming, enumerated driver-side
+    // (tiny: Σ C(nBits,i) entries), applied as a per-query explode
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until nBits).combinations(h)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
+    val qb = queries.withColumn("_b0", lshBucket(col(qVec), nBits, dim))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("_b0").bitwiseXOR(lit(m))): _*)))
+      .drop("_b0")
     val cb = candidates.withColumn("bucket", lshBucket(col(cVec), nBits, dim))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))

@@ -169,6 +169,36 @@ object TextOps {
         (fWordCount && fMeanLen && fSymbol && fAlpha && fStop).cast(IntegerType))
   }
 
+  /** C4-style heuristic cleaning (the line-structure rule family,
+    * complementing [[gopherQualityFlags]]'s corpus-statistic rules):
+    * a LINE is retained iff it ends in terminal punctuation (. ! ? ")
+    * and has ≥ `minLineWords` words; a DOCUMENT is kept iff it contains
+    * no "lorem ipsum" boilerplate, no curly brace (template/code
+    * leakage), and retains ≥ `minLinesKept` lines. Emits per-rule flags
+    * plus the rebuilt `clean_text` (retained lines re-joined), so the
+    * filter is auditable (aggregate the flags) and composable (train on
+    * `clean_text`). Pure per-row column expressions: zero shuffle,
+    * codegen'd, scales linearly with corpus bytes. */
+  def c4QualityFlags(df: DataFrame, textCol: String,
+      minLineWords: Int = 5, minLinesKept: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    require(minLinesKept >= 1, s"minLinesKept must be >= 1, got $minLinesKept")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords)
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    val nKept = size(kept)
+    df.withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("n_lines_kept", nKept.cast(LongType))
+      .withColumn("has_lorem", hasLorem.cast(IntegerType))
+      .withColumn("has_brace", hasBrace.cast(IntegerType))
+      .withColumn("keep",
+        (!hasLorem && !hasBrace && nKept >= minLinesKept).cast(IntegerType))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
   /** Sliding-window chunking: split each document into `win`-token
     * chunks every `stride` tokens — the sequence-prep step between a
     * cleaned corpus and a trainer (overlap = win − stride preserves

@@ -1379,6 +1379,53 @@ object Catalog {
       },
       None),
 
+    // SimHash → CHECKED estimator (the dedup_minhash_vs_exact pattern
+    // for the last unchecked sketch): the hamming≤3 near-dup pair set
+    // joins back to EXACT shingle Jaccard, side by side with a
+    // deterministic offset-pair baseline (doc d vs d+40 — unrelated
+    // docs from the same corpus). The property the sketch exists for —
+    // near pairs score far above background — is measured IN-query:
+    // `separated` = near-pair mean Jaccard > baseline mean + 0.2, both
+    // rows carry it. Planted variants are token ROTATIONS (first 3
+    // tokens moved to the end): SimHash is order-invariant over the
+    // token multiset, so a rotation has hamming 0 — guaranteed in the
+    // near set — while its 3-gram shingle set differs at the ~6
+    // boundary shingles (Jaccard ≈ 0.7, not 1). Token-DROP variants
+    // (the minhash fixture) would not do here: on ~40-token docs a
+    // single edit flips many of the 64 sign-sum bits, so hamming ≤ 3
+    // catches them only by luck. Signature is xxhash64-based ⇒
+    // rows-only tier; `separated` is also unit-asserted (DedupSpec).
+    "dedup_simhash_vs_exact" -> QuerySpec(
+      (s, d) => {
+        val docs0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 4 === 0)
+        val toks = split(col("text"), "\\s+")
+        val variants = docs0.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(concat(slice(toks, 4, Int.MaxValue), slice(toks, 1, 3)), " ")
+              .as("text"))
+        val corpus = docs0.unionByName(variants)
+        val near = DedupOps.simhashDupPairs(corpus, "doc_id", "text")
+          .select(col("id_a"), col("id_b"), lit("simhash_near").as("bucket"))
+        val baseline = docs0.select(col("doc_id").as("id_a"),
+            (col("doc_id") + 40L).as("id_b"))
+          .join(docs0.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+          .select(col("id_a"), col("id_b"), lit("offset_baseline").as("bucket"))
+        val scored = DedupOps.exactJaccardForPairs(
+          near.unionByName(baseline), corpus, "doc_id", "text")
+        val w = Window.partitionBy()
+        scored.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("jaccard")), 4).as("mean_jaccard"),
+            round(min(col("jaccard")), 4).as("min_jaccard"))
+          .withColumn("separated",
+            (max(when(col("bucket") === "simhash_near", col("mean_jaccard"))).over(w) >
+              max(when(col("bucket") === "offset_baseline", col("mean_jaccard"))).over(w)
+                + 0.2).cast(IntegerType))
+          .orderBy(col("bucket"))
+      },
+      None),
+
     // Near-dup CLUSTERING: connected components over the exact bigram-
     // shingle Jaccard pair graph (bigrams: the synthetic corpus is
     // near-uniform in unigram space — every pair clears any unigram
@@ -1779,7 +1826,8 @@ object Catalog {
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        SimilarityOps.annTopK(q, c, k = 10, nBits = 4, dim = 64)
+        SimilarityOps.annTopK(q, c, k = 10, nBits = 4, dim = 64,
+          probeHamming = 1)
           .orderBy(col("qid"), col("rn"))
       },
       None),
@@ -1804,6 +1852,54 @@ object Catalog {
         SimilarityOps.ivfTopKWithModel(
           q, SimilarityOps.ivfAssign(c, "cvec", model), model, k = 10, nProbe = 3)
           .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    // ANN → CHECKED estimator: recall@10 of both approximate paths (LSH
+    // hyperplane buckets, IVF cell probing) against the brute-force
+    // truth, measured IN-query on the same fixture the ANN keys serve —
+    // the sketch-vs-exact pattern (dedup_minhash_vs_exact, agg_cms
+    // _checked) applied to similarity search. One row per method with
+    // avg/min recall over the query set and an `above_floor` flag on
+    // the AVG (min over 5 queries is a noisy order statistic — measured
+    // 0.3-0.4 for LSH across SFs while the avg holds 0.5-0.62); floors
+    // are per-method (multi-probe LSH 0.4, IVF 0.5, both with margin
+    // under measured values at sf0.01 and sf0.1) and also unit-asserted
+    // (SimilaritySpec). Truth and ANN sides are each deterministic, but
+    // IVF centroids are iteration-order-sensitive ⇒ rows-only tier; the
+    // CHECK rides in the query.
+    "sim_ann_recall" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val truth = SimilarityOps.bruteTopK(q, c, k = 10)
+          .select(col("qid"), col("cid"))
+        val model = ivfModels.computeIfAbsent(d, dir =>
+          SimilarityOps.ivfFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", nCentroids = 8))
+        def recallOf(ann: DataFrame, method: String, floor: Double): DataFrame =
+          truth.join(ann.select(col("qid"), col("cid"), lit(1).as("_hit")),
+              Seq("qid", "cid"), "left")
+            .groupBy(col("qid"))
+            .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) / 10.0)
+              .as("recall"))
+            .agg(count(lit(1)).as("n_queries"),
+              round(avg(col("recall")), 3).as("avg_recall"),
+              round(min(col("recall")), 3).as("min_recall"))
+            .select(lit(method).as("method"), col("n_queries"),
+              lit(10).as("k"), col("avg_recall"), col("min_recall"),
+              lit(floor).as("recall_floor"),
+              (col("avg_recall") >= floor).cast(IntegerType).as("above_floor"))
+        val lsh = SimilarityOps.annTopK(q, c, k = 10, nBits = 4, dim = 64,
+          probeHamming = 1)
+        val ivf = SimilarityOps.ivfTopKWithModel(
+          q, SimilarityOps.ivfAssign(c, "cvec", model), model, k = 10, nProbe = 3)
+        recallOf(lsh, "ann_lsh", 0.4).unionByName(recallOf(ivf, "ann_ivf", 0.5))
+          .orderBy(col("method"))
       },
       None),
 
@@ -2059,6 +2155,66 @@ object Catalog {
              |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
              |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // C4-style line-structure cleaning. The corpus is single-line
+    // punctuation-free token text, so the key first BUILDS a multi-line
+    // fixture deterministically (8-token lines; terminal '.' on lines
+    // where (doc_id+i) % 3 != 0; boilerplate/brace planted on doc_id
+    // multiples of 37/41), then applies the operator — and the oracle
+    // restates BOTH the construction and the rules in DuckDB list
+    // lambdas, so line retention, every doc-level flag, and the rebuilt
+    // clean_text are all hash-compared. Zero shuffle end to end.
+    "text_c4_filter" -> QuerySpec(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nLines = ceil(size(toks).cast(DoubleType) / 8).cast(IntegerType)
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => concat(
+                array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+            .as("text"))
+        TextOps.c4QualityFlags(built, "text")
+          .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+            col("has_lorem"), col("has_brace"), col("keep"), col("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+             |      chr(10))
+             |    || CASE WHEN doc_id % 37 = 0
+             |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 41 = 0
+             |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+             |  FROM base),
+             |flags AS (
+             |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> regexp_matches(trim(l), '[.!?"]$')
+             |           AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept,
+             |    contains(lower(text), 'lorem ipsum') AS hl,
+             |    contains(text, '{') AS hb
+             |  FROM built)
+             |SELECT doc_id,
+             |  CAST(len(lines) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             |  CAST(hl AS INTEGER) AS has_lorem,
+             |  CAST(hb AS INTEGER) AS has_brace,
+             |  CAST(NOT hl AND NOT hb AND len(kept) >= 3 AS INTEGER) AS keep,
+             |  array_to_string(kept, chr(10)) AS clean_text
+             |FROM flags ORDER BY doc_id""".stripMargin)),
+
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
     // Bernoulli. Runs the portable-LCG variant so the key is FULLY
     // ORACLED — every keep decision is restated in DuckDB integer
@@ -2123,6 +2279,27 @@ object Catalog {
              |  FROM joined)
              |SELECT d.doc_id, d.lang
              |FROM documents d JOIN fr ON d.lang = fr.lang
+             |WHERE CAST((d.doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+             |        / 2147483648.0 < fr.f
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Temperature resampling (kept counts ∝ n^alpha, alpha = 0.5): the
+    // data-derived rebalancing rule, vs mix_to_target's explicit
+    // targets. en (3× the tail) thins to f = (n_en/n_min)^-0.5 ≈ 0.57
+    // while the smallest lang keeps 1.0. FULLY ORACLED: counts, the
+    // pow(), and every portable-LCG coin flip restate in DuckDB.
+    "sample_temperature" -> QuerySpec(
+      (s, d) => SampleOps.temperatureSample(
+        t(s, d, "documents"), "lang", "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |fr AS (
+             |  SELECT lang,
+             |    pow(CAST(n AS DOUBLE) / (SELECT min(n) FROM counts), -0.5) AS f
+             |  FROM counts)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d JOIN fr USING (lang)
              |WHERE CAST((d.doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
              |        / 2147483648.0 < fr.f
              |ORDER BY d.doc_id""".stripMargin)),

@@ -80,6 +80,29 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(3L)) > 12, s"unrelated hamming ${ham(sigs(0L), sigs(3L))}")
   }
 
+  test("simhash is order-invariant: token rotation → hamming 0; checked key separates") {
+    // the dedup_simhash_vs_exact fixture property: a token ROTATION has
+    // the same token multiset ⇒ identical simhash, while its 3-gram
+    // shingle set differs only at the boundary (jaccard high, not 1)
+    val rot = base.map { case (id, t) =>
+      val w = t.split(" "); (id + 100L, (w.drop(3) ++ w.take(3)).mkString(" ")) }
+    val df = (base ++ rot).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", DedupOps.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    base.foreach { case (id, _) =>
+      assert(sigs(id) == sigs(id + 100L), s"rotation of $id must not move the signature") }
+    // the separation the checked key asserts: rotation-pair jaccard ≫
+    // unrelated-pair jaccard, on exact 3-gram shingles
+    val pairs = rot.map { case (rid, _) => (rid - 100L, rid, "near") } ++
+      Seq((0L, 1L, "far"), (2L, 3L, "far"))
+    val scored = DedupOps.exactJaccardForPairs(
+      pairs.toDF("id_a", "id_b", "bucket"), df, "doc_id", "text")
+      .groupBy($"bucket").agg(avg($"jaccard").as("j"))
+      .as[(String, Double)].collect().toMap
+    assert(scored("near") > scored("far") + 0.2,
+      s"separation failed: near ${scored("near")} vs far ${scored("far")}")
+  }
+
   test("simhashDupPairs surfaces exact duplicates via chunk LSH") {
     val df = (base ++ Seq((21L, base(1)._2))).toDF("doc_id", "text")
     val pairs = DedupOps.simhashDupPairs(df, "doc_id", "text", maxHamming = 3)

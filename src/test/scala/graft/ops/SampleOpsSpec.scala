@@ -103,6 +103,32 @@ class SampleOpsSpec extends SparkSpec {
     assert(math.abs(got("b") / total - 0.3) < 0.03)
   }
 
+  test("temperatureSample: kept counts track n^alpha; smallest source whole; alpha edges") {
+    // 8000 a / 2000 b / 500 c, alpha = 0.5 → f_a = (16)^-0.5 = 0.25,
+    // f_b = 4^-0.5 = 0.5, f_c = 1 → expect ~2000 a, ~1000 b, all 500 c
+    val df = ((1 to 8000).map(i => ("a", i.toLong)) ++
+      (1 to 2000).map(i => ("b", 10000L + i)) ++
+      (1 to 500).map(i => ("c", 20000L + i))).toDF("src", "id")
+    val got = SampleOps.temperatureSample(df, "src", "id", alpha = 0.5)
+      .groupBy($"src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got("c") == 500L, s"smallest source must keep everything, got ${got("c")}")
+    assert(math.abs(got("a") - 2000.0) < 5 * math.sqrt(2000.0 * 0.75), got.toString)
+    assert(math.abs(got("b") - 1000.0) < 5 * math.sqrt(1000.0 * 0.5), got.toString)
+    // alpha = 1 is the identity; alpha = 0 levels everything to ~n_min
+    assert(SampleOps.temperatureSample(df, "src", "id", alpha = 1.0).count() == 10500L)
+    val flat = SampleOps.temperatureSample(df, "src", "id", alpha = 0.0)
+      .groupBy($"src").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    flat.foreach { case (s, n) =>
+      assert(math.abs(n - 500.0) < 5 * math.sqrt(500.0), s"$s leveled to $n") }
+    // deterministic under re-partitioning
+    val a = SampleOps.temperatureSample(df, "src", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = SampleOps.temperatureSample(df.repartition(13), "src", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("assignSplits: full coverage, target fractions, cluster-consistent when keyed by cluster") {
     val n = 20000
     val df = (1 to n).map(i => (i.toLong, i.toLong / 4)).toDF("id", "cluster_id")

@@ -57,6 +57,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall $mean too low") // random vectors: buckets are sparse
   }
 
+  test("multi-probe annTopK: recall dominates single-bucket; probe set is exact") {
+    def recallOf(probe: Int): Double = {
+      val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+        .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val ann = SimilarityOps.annTopK(queries, candidates, k = 10, nBits = 4,
+          dim = 64, probeHamming = probe)
+        .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.keys.map { q =>
+        ann.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size }
+      rs.sum / rs.size
+    }
+    val r0 = recallOf(0); val r1 = recallOf(1); val r4 = recallOf(4)
+    assert(r1 >= r0, s"h=1 recall $r1 must dominate single-bucket $r0")
+    // probing ALL hamming distances = every bucket = brute force exactly
+    assert(r4 == 1.0, s"h=nBits must equal brute force, got $r4")
+    // probe-set size: h=1 over 4 bits visits 5 buckets per query — the
+    // scored candidate multiset is ∪ of those buckets, no duplicates
+    val dup = SimilarityOps.annTopK(queries, candidates, k = 1000, nBits = 4,
+        dim = 64, probeHamming = 1)
+      .groupBy($"qid", $"cid").count().filter($"count" > 1).count()
+    assert(dup == 0L, "a candidate must be scored once per query (buckets are disjoint)")
+  }
+
   test("ivfTopK finds the query itself and reaches reasonable recall") {
     val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
       .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)

@@ -92,6 +92,38 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextOps.buildVocab(df, "text", 0) }
   }
 
+  test("c4QualityFlags: line retention and each doc rule fire on planted violations") {
+    val goodLine = "this line has enough words to pass the filter."
+    val df = Seq(
+      (0L, Seq(goodLine, goodLine, goodLine).mkString("\n")),          // keeps
+      (1L, Seq(goodLine, "too short.", goodLine, goodLine).mkString("\n")), // short line dropped, doc keeps
+      (2L, Seq(goodLine, "no terminal punctuation here at all", goodLine,
+        goodLine).mkString("\n")),                                     // unterminated line dropped
+      (3L, Seq(goodLine, goodLine).mkString("\n")),                    // only 2 kept → doc drops
+      (4L, Seq(goodLine, goodLine, goodLine,
+        "buy now Lorem Ipsum dolor sit amet.").mkString("\n")),        // lorem → drops (case-blind)
+      (5L, Seq(goodLine, goodLine, goodLine, "function f() {.").mkString("\n")) // brace → drops
+    ).toDF("id", "text")
+    val got = TextOps.c4QualityFlags(df, "text", minLineWords = 5, minLinesKept = 3)
+      .select("id", "n_lines", "n_lines_kept", "has_lorem", "has_brace", "keep", "clean_text")
+      .as[(Long, Long, Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._6 == 1 && got(0L)._3 == 3)
+    assert(got(1L)._6 == 1 && got(1L)._3 == 3, "short line dropped but doc keeps")
+    assert(got(2L)._6 == 1 && got(2L)._3 == 3, "unterminated line dropped but doc keeps")
+    assert(got(3L)._6 == 0 && got(3L)._3 == 2, "below minLinesKept must drop")
+    assert(got(4L)._6 == 0 && got(4L)._4 == 1, "lorem ipsum must drop, case-insensitively")
+    assert(got(5L)._6 == 0 && got(5L)._5 == 1, "curly brace must drop")
+    // clean_text is exactly the retained lines, original order
+    assert(got(1L)._7 == Seq(goodLine, goodLine, goodLine).mkString("\n"))
+    // retained-line word count uses the trimmed line
+    val ws = TextOps.c4QualityFlags(
+      Seq((9L, "  one two three four five.  ")).toDF("id", "text"),
+      "text", minLineWords = 5, minLinesKept = 1)
+      .select("keep").as[Int].collect()
+    assert(ws.head == 1, "leading/trailing whitespace must not break word count or punct rule")
+  }
+
   test("gopherQualityFlags: each rule fires on its planted violation") {
     val goodText = (("the data and machine learning pipeline that we have built " * 6)
       + "works with scale").trim  // 63 words, stopword-rich, mean len in band
