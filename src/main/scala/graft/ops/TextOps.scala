@@ -222,6 +222,62 @@ object TextOps {
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast(LongType))
   }
 
+  /** Intra-document line dedup: drop every repeat of a line WITHIN its
+    * document, keeping the first occurrence in original order — the
+    * boilerplate-removal pass (repeated nav/footer/cookie lines on a
+    * crawled page) that runs before any corpus-wide dedup, and the
+    * within-doc complement to [[graft.ops.DedupOps.segmentDedup]]
+    * (corpus-wide keep-first). Pure per-row HOF — zero shuffle, no
+    * state: a line survives iff its FIRST index in the doc's line
+    * array is its own (array_position is 1-based, the filter lambda's
+    * index 0-based). O(lines²) compares per doc, fine for real page
+    * line counts; corpus-scale cost is linear in rows. */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (l, i) => array_position(lines, l) === i + 1)
+    df.withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("n_lines_kept", size(kept).cast(LongType))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
+  /** Unigram language-model scoring: per-doc mean negative log
+    * probability of its tokens under the CORPUS unigram distribution —
+    * the cheap seam of perplexity-based quality filtering (docs scoring
+    * far from the corpus LM are boilerplate/noise; CCNet-style
+    * pipelines bucket on exactly this statistic before training).
+    * Additive smoothing `smoothing` over the corpus vocabulary.
+    *
+    * Scale shape: token-count aggregate (map-side combinable, result =
+    * |vocab| rows), corpus total + vocab size as windowed aggregates
+    * over that SMALL result, log-probs broadcast back to an exploded
+    * token stream, one partial-agg shuffle on the doc id. The corpus
+    * text itself shuffles nowhere. Per-token log-probs are cast to
+    * DECIMAL(20,9) before summation so the per-doc sum is
+    * order-independent and cross-engine exact (a 1-ulp libm ln()
+    * disagreement dies at the 9th decimal; the mean is one double
+    * division at the end). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      smoothing: Double = 0.5): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val toks = df.select(col(idCol), explode(tokenize(col(textCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+    val vocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy()
+    val logProbs = vocab
+      .withColumn("_total", sum(col("_cnt")).over(w))
+      .withColumn("_v", count(lit(1)).over(w))
+      .select(col("_tok"),
+        log((col("_cnt") + lit(smoothing)) /
+          (col("_total") + lit(smoothing) * col("_v")))
+          .cast(DecimalType(20, 9)).as("_lp"))
+    toks.join(broadcast(logProbs), Seq("_tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_lp")).as("sum_logprob"))
+      .withColumn("mean_neg_logprob",
+        round(-col("sum_logprob").cast(DoubleType) / col("n_tokens"), 6))
+  }
+
   /** PII-style scrubbing: mask digit runs and email-shaped tokens — the
     * plan shape (regexp_replace chain, codegen'd) of a real scrub pass. */
   def scrub(text: Column): Column =

@@ -2215,6 +2215,79 @@ object Catalog {
              |  array_to_string(kept, chr(10)) AS clean_text
              |FROM flags ORDER BY doc_id""".stripMargin)),
 
+    // Intra-doc line dedup (boilerplate removal: keep the FIRST
+    // occurrence of each line within its document, order preserved).
+    // Multi-line fixture built like text_c4_filter's, with planted
+    // repeats: every doc gets its first 8-token line re-appended, and
+    // doc_id % 3 == 0 docs get it twice. Zero shuffle; oracle restates
+    // the keep-first rule with DuckDB's indexed list_filter.
+    "text_dedup_lines" -> QuerySpec(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nLines = ceil(size(toks).cast(DoubleType) / 8).cast(IntegerType)
+        val firstLine = array_join(slice(toks, 1, 8), " ")
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
+            concat(lit("\n"), firstLine),
+            when(col("doc_id") % 3 === 0, concat(lit("\n"), firstLine))
+              .otherwise(lit(""))).as("text"))
+        TextOps.dedupLinesWithinDoc(built, "text")
+          .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+            col("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')),
+             |      chr(10))
+             |    || chr(10) || array_to_string(toks[1:8], ' ')
+             |    || CASE WHEN doc_id % 3 = 0
+             |            THEN chr(10) || array_to_string(toks[1:8], ' ')
+             |            ELSE '' END AS text
+             |  FROM base),
+             |dedup AS (
+             |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+             |    list_filter(string_split(text, chr(10)),
+             |      (l, i) -> list_position(string_split(text, chr(10)), l) = i) AS kept
+             |  FROM built)
+             |SELECT doc_id,
+             |  CAST(len(lines) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             |  array_to_string(kept, chr(10)) AS clean_text
+             |FROM dedup ORDER BY doc_id""".stripMargin)),
+
+    // Unigram LM quality scoring (the perplexity-filter seam): per-doc
+    // mean negative log-prob of its tokens under the corpus unigram
+    // distribution, additive smoothing 0.5. Fully ORACLED — per-token
+    // ln() casts to DECIMAL(20,9) before the per-doc sum, so the
+    // statistic is order-independent and the engines' libm disagreement
+    // (≤1 ulp) is rounded away; the mean divides once at the end.
+    "text_unigram_logprob" -> QuerySpec(
+      (s, d) => TextOps.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_neg_logprob"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |toks2 AS (SELECT * FROM toks WHERE length(tok) > 0),
+             |vocab AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+             |tot AS (SELECT sum(c) AS t, count(*) AS v FROM vocab),
+             |lp AS (
+             |  SELECT tok,
+             |    CAST(ln((c + 0.5) / (t + 0.5 * v)) AS DECIMAL(20,9)) AS lp
+             |  FROM vocab, tot)
+             |SELECT doc_id,
+             |  count(*) AS n_tokens,
+             |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
+             |FROM toks2 JOIN lp USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
     // Bernoulli. Runs the portable-LCG variant so the key is FULLY
     // ORACLED — every keep decision is restated in DuckDB integer

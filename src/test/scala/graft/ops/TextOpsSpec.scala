@@ -124,6 +124,36 @@ class TextOpsSpec extends SparkSpec {
     assert(ws.head == 1, "leading/trailing whitespace must not break word count or punct rule")
   }
 
+  test("dedupLinesWithinDoc keeps first occurrence in order; distinct docs untouched") {
+    val df = Seq(
+      (0L, "alpha beta\ngamma\nalpha beta\ndelta\ngamma\nalpha beta"), // dups at 3,5,6
+      (1L, "one\ntwo\nthree"),                                          // no dups
+      (2L, "same\nsame\nsame")                                          // all one line
+    ).toDF("id", "text")
+    val got = TextOps.dedupLinesWithinDoc(df, "text")
+      .select("id", "n_lines", "n_lines_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._4 == "alpha beta\ngamma\ndelta" && got(0L)._3 == 3 && got(0L)._2 == 6)
+    assert(got(1L)._4 == "one\ntwo\nthree" && got(1L)._3 == 3)
+    assert(got(2L)._4 == "same" && got(2L)._3 == 1)
+  }
+
+  test("unigramLogProb: matches a hand-computed corpus LM; rare tokens score worse") {
+    // corpus: "a a b" ⊕ "a c" → counts a=3, b=1, c=1; total=5, V=3
+    val df = Seq((0L, "a a b"), (1L, "a c")).toDF("id", "text")
+    val got = TextOps.unigramLogProb(df, "id", "text", smoothing = 0.5)
+      .select("id", "n_tokens", "mean_neg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def lp(c: Long) = math.log((c + 0.5) / (5 + 0.5 * 3))
+    def dec(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val d0 = -(dec(lp(3)) * 2 + dec(lp(1))).toDouble / 3
+    val d1 = -(dec(lp(3)) + dec(lp(1))).toDouble / 2
+    assert(got(0L)._2 == 3 && math.abs(got(0L)._3 - d0) < 5e-7, s"${got(0L)} vs $d0")
+    assert(got(1L)._2 == 2 && math.abs(got(1L)._3 - d1) < 5e-7, s"${got(1L)} vs $d1")
+    // doc of common tokens scores better (lower neg logprob) than rare-heavy doc
+    assert(got(0L)._3 < got(1L)._3)
+  }
+
   test("gopherQualityFlags: each rule fires on its planted violation") {
     val goodText = (("the data and machine learning pipeline that we have built " * 6)
       + "works with scale").trim  // 63 words, stopword-rich, mean len in band
