@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,12 +40,14 @@ object TextOps {
     *
     * Scale shape: the corpus-sized work is the explode + partial-agg
     * count (map-side combine absorbs hot tokens, one shuffle on the
-    * token). The global row_number then runs over the AGGREGATED
-    * vocabulary — millions of rows, not the corpus — so its
-    * single-partition sort is bounded by |vocab|, which is the same
-    * cardinality any driver-side id assignment would have to hold; it
-    * never sees corpus-scale data. Ties break on the token, so ids are
-    * stable across runs and engines. */
+    * token). Dense ids are then assigned over the AGGREGATED vocabulary
+    * WITHOUT a global-window row_number (a 10⁸–10⁹-token web-corpus
+    * vocab must not funnel through one task): a range-partitioned total
+    * sort by (n DESC, token) gives each partition a contiguous id range,
+    * and `zipWithIndex` turns per-partition element counts into offsets
+    * — every stage stays parallel, and the extra cost is one small
+    * count job over the sorted vocab. Ties break on the token, so ids
+    * are stable across runs, partitionings, and engines. */
   def buildVocab(df: DataFrame, textCol: String, minCount: Long = 1L,
       maxSize: Option[Int] = None): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
@@ -56,9 +57,14 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-    val w = Window.orderBy(col("n").desc, col("token"))
-    val withId = counts
-      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+    val spark = df.sparkSession
+    val sorted = counts.orderBy(col("n").desc, col("token"))
+    val schema = sorted.schema.add("token_id", LongType, nullable = false)
+    val withId = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      schema)
     maxSize.fold(withId)(m => withId.filter(col("token_id") < m))
   }
 
@@ -152,7 +158,9 @@ object TextOps {
     val meanLen = charSum.cast(DoubleType) / nWords
     val nSymbol = size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
     val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
-    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    // DISTINCT stopwords present (Rae et al. 2021 A1 and common
+    // reimplementations count presence, not instances — 'the the' is one)
+    val nStop = size(filter(stopArr, s => array_contains(toks, s)))
     val fWordCount = nWords >= minWords && nWords <= maxWords
     val fMeanLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
     val fSymbol = nSymbol.cast(DoubleType) / nWords <= maxSymbolRatio
@@ -248,29 +256,33 @@ object TextOps {
     * Additive smoothing `smoothing` over the corpus vocabulary.
     *
     * Scale shape: token-count aggregate (map-side combinable, result =
-    * |vocab| rows), corpus total + vocab size as windowed aggregates
-    * over that SMALL result, log-probs broadcast back to an exploded
-    * token stream, one partial-agg shuffle on the doc id. The corpus
-    * text itself shuffles nowhere. Per-token log-probs are cast to
-    * DECIMAL(20,9) before summation so the per-doc sum is
-    * order-independent and cross-engine exact (a 1-ulp libm ln()
-    * disagreement dies at the 9th decimal; the mean is one double
-    * division at the end). */
+    * |vocab| rows), corpus total + vocab size via a 1-ROW aggregate
+    * broadcast-cross-joined back onto the vocab (no empty-frame window:
+    * `Window.partitionBy()` would funnel the whole vocab — 10⁸–10⁹
+    * distinct tokens on a web corpus — through one task), log-probs
+    * joined back to an exploded token stream, one partial-agg shuffle
+    * on the doc id. The corpus text itself shuffles nowhere. The
+    * vocab-side join carries NO broadcast hint: at test scale AQE
+    * broadcasts it anyway, and a web-scale vocab that exceeds the
+    * broadcast limit degrades to a shuffle join instead of failing.
+    * Per-token log-probs are cast to DECIMAL(20,9) before summation so
+    * the per-doc sum is order-independent and cross-engine exact (a
+    * 1-ulp libm ln() disagreement dies at the 9th decimal; the mean is
+    * one double division at the end). */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
       smoothing: Double = 0.5): DataFrame = {
     require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
     val toks = df.select(col(idCol), explode(tokenize(col(textCol))).as("_tok"))
       .filter(length(col("_tok")) > 0)
     val vocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
-    val w = Window.partitionBy()
-    val logProbs = vocab
-      .withColumn("_total", sum(col("_cnt")).over(w))
-      .withColumn("_v", count(lit(1)).over(w))
+    val totals = vocab.agg(
+      sum(col("_cnt")).as("_total"), count(lit(1)).as("_v"))
+    val logProbs = vocab.crossJoin(broadcast(totals))
       .select(col("_tok"),
         log((col("_cnt") + lit(smoothing)) /
           (col("_total") + lit(smoothing) * col("_v")))
           .cast(DecimalType(20, 9)).as("_lp"))
-    toks.join(broadcast(logProbs), Seq("_tok"))
+    toks.join(logProbs, Seq("_tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("_lp")).as("sum_logprob"))

@@ -1348,9 +1348,14 @@ object Catalog {
         // benched) dedup_minhash key's job, not this check's
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 4 === 0)
+        // slice length = size(toks): an Int.MaxValue literal length is
+        // correct under codegen but overflows start+length in interpreted
+        // eval (returns EMPTY), silently degrading the fixture under any
+        // codegen fallback — so use a length that cannot overflow.
+        val dropToks = split(col("text"), "\\s+")
         val variants = docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat_ws(" ", slice(split(col("text"), "\\s+"), 3, Int.MaxValue))
+            concat_ws(" ", slice(dropToks, lit(3), size(dropToks)))
               .as("text"))
         val corpus = docs.unionByName(variants)
         val pairs = DedupOps.minhashCandidatePairs(corpus, "doc_id", "text",
@@ -1402,7 +1407,8 @@ object Catalog {
         val toks = split(col("text"), "\\s+")
         val variants = docs0.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
-            array_join(concat(slice(toks, 4, Int.MaxValue), slice(toks, 1, 3)), " ")
+            // size(toks) length, not Int.MaxValue: see dedup_minhash_vs_exact
+            array_join(concat(slice(toks, lit(4), size(toks)), slice(toks, 1, 3)), " ")
               .as("text"))
         val corpus = docs0.unionByName(variants)
         val near = DedupOps.simhashDupPairs(corpus, "doc_id", "text")
@@ -2118,8 +2124,8 @@ object Catalog {
              |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
              |    len(regexp_extract_all(lt, '#|\.\.\.')) AS n_symbol,
              |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-             |    len(list_filter(w, x -> list_contains(
-             |      ['the','be','to','of','and','that','have','with'], x))) AS n_stop
+             |    len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      s -> list_contains(w, s))) AS n_stop
              |  FROM base)
              |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
              |  CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS ok_word_count,
@@ -2660,8 +2666,9 @@ object Catalog {
 
     // Vocabulary build (token → dense id by count DESC, token): the
     // corpus-scale work is one token-count shuffle with map-side
-    // combine; the global id window runs over the AGGREGATED vocab
-    // only. Deterministic tie-break ⇒ fully oracled ids.
+    // combine; ids come from a range-partitioned sort + zipWithIndex
+    // (no single-task global window). Deterministic tie-break ⇒ fully
+    // oracled ids.
     "text_build_vocab" -> QuerySpec(
       (s, d) => TextOps.buildVocab(t(s, d, "documents"), "text", minCount = 5)
         .orderBy(col("token_id")),

@@ -181,7 +181,8 @@ class PlanSpec extends SparkSpec {
       "text_tfidf_top_term",   // 1-row doc-count scalar broadcast
       "prep_winsorize",        // 1-row percentile-bounds scalar broadcast
       "profile_key_skew",      // 1-row global-stats scalar broadcast
-      "profile_histogram")     // 1-row min/max-bounds scalar broadcast
+      "profile_histogram",     // 1-row min/max-bounds scalar broadcast
+      "text_unigram_logprob")  // 1-row corpus-total/vocab-size scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
@@ -189,6 +190,31 @@ class PlanSpec extends SparkSpec {
         val bnlj = plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(name)
         if (cart || bnlj) Seq(s"$name: cartesian=$cart unexpected-bnlj=$bnlj") else Nil
       }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("vocab-scale keys carry no single-partition Window stage") {
+    // `WindowExec` with an empty partitionSpec funnels its ENTIRE input
+    // through one task (Spark logs `No Partition Defined` for it). Fine
+    // over a handful of pre-aggregated rows, fatal over a web-corpus
+    // vocabulary (10⁸–10⁹ distinct tokens) — which is exactly what
+    // text_build_vocab / text_unigram_logprob aggregate over. Both were
+    // rebuilt on zipWithIndex / 1-row-aggregate shapes; keep them that way.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val offenders = Seq("text_build_vocab", "text_unigram_logprob").flatMap { name =>
+      val df = graft.queries.Catalog.specs(name).fn(spark, sf)
+      df.collect() // finalize AQE so the real stages are inspectable
+      flatten(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => s"$name: $w"
+      }
+    }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
