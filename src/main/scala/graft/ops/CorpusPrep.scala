@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus preparation: the single composed pass an LLM data
+  * team actually ships, chaining the individually-verified stages
+  *
+  *   raw docs
+  *     → C4 line rules      ([[TextOps.c4QualityFlags]]; docs keep their
+  *                           retained lines, boilerplate/template docs drop)
+  *     → Gopher flags       ([[TextOps.gopherQualityFlags]] over the
+  *                           C4-cleaned text; corpus-statistic outliers drop)
+  *     → intra-doc line dedup ([[TextOps.dedupLinesWithinDoc]]; repeated
+  *                           nav/footer lines collapse to first occurrence)
+  *     → unigram-LM filter  ([[TextOps.unigramLogProb]] FIT ON THE SURVIVING
+  *                           corpus; docs scoring above `lmMaxNegLogProb`
+  *                           mean negative log-prob drop)
+  *     → fuzzy dedup        ([[DedupOps.fuzzyDedupE2E]]; near-duplicate
+  *                           clusters keep their min-id member)
+  *     → split assignment   ([[SampleOps.assignSplits]] keyed by the doc id,
+  *                           which IS the cluster label for survivors —
+  *                           cluster-mates never straddle splits because
+  *                           only one member survives).
+  *
+  * Output: one row per surviving document — (idCol, textCol = the
+  * C4+line-deduped text, split). Every stage is deterministic and
+  * SQL-restatable, so the WHOLE composition is hash-verified against the
+  * DuckDB oracle (catalog key `corpus_prep_e2e`), not just its pieces.
+  *
+  * Scale shape — nothing here adds to the audited costs of the pieces:
+  * the three text stages are zero-shuffle per-row column programs; the
+  * LM filter aggregates token counts (map-side combinable) and joins the
+  * |vocab|-row log-prob table back without a forced broadcast; fuzzy
+  * dedup is banded LSH + confirm-on-candidates + O(log n) connected
+  * components; split assignment is a per-row LCG. The corpus text
+  * shuffles only where fuzzy dedup's semi join requires the survivors.
+  */
+object CorpusPrep {
+
+  def prepare(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minLinesKept: Int = 3,
+      gopherMinWords: Int = 20, gopherMaxWords: Int = 100000,
+      gopherMinMeanWordLen: Double = 3.0, gopherMaxMeanWordLen: Double = 10.0,
+      gopherMaxSymbolRatio: Double = 0.1, gopherMinAlphaRatio: Double = 0.8,
+      gopherMinStopwords: Int = 1,
+      lmMaxNegLogProb: Double = 8.0,
+      jaccardThreshold: Double = 0.3, numHashes: Int = 64, bands: Int = 64,
+      shingleN: Int = 2,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val slim = df.select(col(idCol), col(textCol))
+    val c4Kept = TextOps.c4QualityFlags(slim, textCol, minLineWords, minLinesKept)
+      .filter(col("keep") === 1)
+      .select(col(idCol), col("clean_text").as(textCol))
+    val gopherKept = TextOps.gopherQualityFlags(c4Kept, textCol,
+        gopherMinWords, gopherMaxWords,
+        gopherMinMeanWordLen, gopherMaxMeanWordLen,
+        gopherMaxSymbolRatio, gopherMinAlphaRatio, gopherMinStopwords)
+      .filter(col("keep") === 1)
+      .select(col(idCol), col(textCol))
+    val lineDeduped = TextOps.dedupLinesWithinDoc(gopherKept, textCol)
+      .select(col(idCol), col("clean_text").as(textCol))
+    val lmScores = TextOps.unigramLogProb(lineDeduped, idCol, textCol)
+    val lmKept = lineDeduped.join(
+      lmScores.filter(col("mean_neg_logprob") <= lmMaxNegLogProb)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val survivors = DedupOps.fuzzyDedupE2E(lmKept, idCol, textCol,
+      jaccardThreshold, numHashes, bands, shingleN)
+    SampleOps.assignSplits(survivors, idCol, splits)
+  }
+}

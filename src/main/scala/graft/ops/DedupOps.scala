@@ -365,8 +365,10 @@ object DedupOps {
         .withColumn("cluster_id", col("id")),
       checkpointDir)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
+      // sum over ZERO rows is SQL NULL — an empty corpus (every doc
+      // filtered upstream) must converge immediately, not NPE
+      Option(df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

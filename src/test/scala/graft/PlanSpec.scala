@@ -182,7 +182,8 @@ class PlanSpec extends SparkSpec {
       "prep_winsorize",        // 1-row percentile-bounds scalar broadcast
       "profile_key_skew",      // 1-row global-stats scalar broadcast
       "profile_histogram",     // 1-row min/max-bounds scalar broadcast
-      "text_unigram_logprob")  // 1-row corpus-total/vocab-size scalar broadcast
+      "text_unigram_logprob",  // 1-row corpus-total/vocab-size scalar broadcast
+      "corpus_prep_e2e")       // same 1-row LM-totals broadcast, via composition
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
