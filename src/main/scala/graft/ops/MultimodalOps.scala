@@ -59,11 +59,13 @@ object MultimodalOps {
     * singleton) would be shared by concurrent tasks on one executor,
     * and a finishing task's `close()` could tear down native state
     * another running task is still using. */
-  trait MediaCodec {
+  trait Codec[T] extends Serializable {
     def open(): Unit = ()
-    def decode(payload: Array[Byte]): DecodedMedia
+    def decode(payload: Array[Byte]): T
     def close(): Unit = ()
   }
+
+  trait MediaCodec extends Codec[DecodedMedia]
 
   /** STUB codec — the test/container implementation (no media libraries
     * in this environment): deterministic byte count + additive checksum.
@@ -82,12 +84,25 @@ object MultimodalOps {
     * plan: Catalyst keeps pushing filters/pruning below the object
     * boundary and codegen resumes immediately above it, instead of the
     * RDD round-trip (full plan break + driver-side createDataFrame). */
-  def decodeWith(df: DataFrame, idCol: String, codecFactory: () => MediaCodec): DataFrame = {
+  def decodeWith(df: DataFrame, idCol: String, codecFactory: () => MediaCodec): DataFrame =
+    decodePartitions(df, "bytes",
+      new StructType()
+        .add("decoded_bytes", IntegerType)
+        .add("checksum", LongType),
+      codecFactory)((r, d) => Row.fromSeq(r.toSeq :+ d.decodedBytes :+ d.checksum))
+
+  /** Shared mapPartitions plumbing for every codec: per-partition
+    * instance + lifecycle (see [[Codec]] doc), `Dataset.mapPartitions`
+    * WITH an Encoder — not `df.rdd.mapPartitions` — so the operator
+    * stays inside one logical plan: Catalyst keeps pushing filters and
+    * pruning below the object boundary and codegen resumes immediately
+    * above it, instead of the RDD round-trip. */
+  private def decodePartitions[T](
+      df: DataFrame, bytesCol: String, appended: StructType,
+      codecFactory: () => Codec[T])(append: (Row, T) => Row): DataFrame = {
     val inSchema = df.schema
-    val outSchema = inSchema
-      .add("decoded_bytes", IntegerType)
-      .add("checksum", LongType)
-    val bytesIdx = inSchema.fieldIndex("bytes")
+    val outSchema = appended.fields.foldLeft(inSchema)(_ add _)
+    val bytesIdx = inSchema.fieldIndex(bytesCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       // one codec INSTANCE and lifecycle per partition: built inside the
@@ -96,10 +111,7 @@ object MultimodalOps {
       codec.open()
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-      rows.map { r =>
-        val d = codec.decode(r.getAs[Array[Byte]](bytesIdx))
-        Row.fromSeq(r.toSeq :+ d.decodedBytes :+ d.checksum)
-      }
+      rows.map(r => append(r, codec.decode(r.getAs[Array[Byte]](bytesIdx))))
     }(enc)
   }
 
@@ -107,6 +119,92 @@ object MultimodalOps {
     * catalog and tests use so the container build stays decoder-free. */
   def decodeStub(df: DataFrame, idCol: String): DataFrame =
     decodeWith(df, idCol, () => StubCodec)
+
+  /** Parsed image dimensions + sample structure — the metadata a real
+    * training pipeline filters/buckets on before paying for a full
+    * pixel decode (drop icons, cap megapixels, route by aspect ratio). */
+  final case class ImageMeta(
+      format: String, width: Int, height: Int, bitDepth: Int, nChannels: Int)
+
+  /** REAL image-header decode, pure JVM and offline-safe: PNG IHDR
+    * (fixed offsets after the 8-byte signature) and JPEG SOF segments
+    * (a proper marker walk — length-skipping APPn/DQT/DHT until the
+    * first SOF0–SOF15 frame header; NOT a byte-pattern search, which a
+    * stray 0xFFC0 inside a table segment would fool). Returns None for
+    * anything unparseable — truncated files, non-image payloads, or a
+    * PNG color type outside the spec — so corrupt inputs become NULL
+    * metadata rows to filter, never task failures. */
+  def parseImageHeader(b: Array[Byte]): Option[ImageMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (b.length >= 26 &&
+        u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      // IHDR payload: width(4) height(4) bitDepth(1) colorType(1) ...
+      val channels = u8(25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => -1
+      }
+      if (channels < 0) None
+      else Some(ImageMeta("png", be32(16), be32(20), u8(24), channels))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments from just after SOI
+      var pos = 2
+      var res: Option[ImageMeta] = None
+      var done = false
+      while (!done && pos + 3 < b.length) {
+        if (u8(pos) != 0xff) done = true // not a marker: corrupt stream
+        else {
+          val m = u8(pos + 1)
+          if (m == 0xff) pos += 1 // fill byte before a marker
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2 // standalone
+          else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            // SOF segment: len(2) precision(1) height(2) width(2) nComp(1)
+            if (pos + 9 < b.length)
+              res = Some(ImageMeta("jpeg",
+                be16(pos + 7), be16(pos + 5), u8(pos + 4), u8(pos + 9)))
+            done = true
+          } else pos += 2 + be16(pos + 2) // length-skip the segment
+        }
+      }
+      res
+    } else None
+  }
+
+  /** Stateless [[Codec]] over [[parseImageHeader]] — the container-safe
+    * REAL decoder (header-only; full pixel decode stays behind the same
+    * seam for builds that ship an imaging library). */
+  object ImageHeaderCodec extends Codec[Option[ImageMeta]] {
+    override def decode(payload: Array[Byte]): Option[ImageMeta] =
+      parseImageHeader(payload)
+  }
+
+  /** Append parsed image metadata columns (`format, width, height,
+    * bit_depth, n_channels`; all NULL for unparseable payloads) to a
+    * frame holding raw image bytes in `bytesCol` — e.g. straight off
+    * the `binaryFile` source. Same per-partition codec lifecycle and
+    * single-plan mapPartitions shape as [[decodeWith]]. */
+  def imageMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    decodePartitions(df, bytesCol,
+      new StructType()
+        .add("format", StringType)
+        .add("width", IntegerType)
+        .add("height", IntegerType)
+        .add("bit_depth", IntegerType)
+        .add("n_channels", IntegerType),
+      () => ImageHeaderCodec) { (r, m) =>
+      Row.fromSeq(r.toSeq ++ (m match {
+        case Some(i) => Seq(i.format, i.width, i.height, i.bitDepth, i.nChannels)
+        case None => Seq(null, null, null, null, null)
+      }))
+    }
 
   /** Expression-based header parse for media files read through the
     * `binaryFile` source: magic byte + payload size recovered with plain

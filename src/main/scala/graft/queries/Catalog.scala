@@ -3053,6 +3053,91 @@ object Catalog {
              |  '/tmp/graft_stage/_root_testdata_sf0.01/scan_binaryfile/*.csv')
              |ORDER BY digest""".stripMargin)),
 
+    // REAL image-header decode over REAL image bytes: the staging step
+    // encodes 32 deterministic BufferedImages as actual PNG and JPEG
+    // files (javax.imageio — pure JVM, offline), binaryFile reads them
+    // back, and MultimodalOps.imageMeta parses width/height/bit depth/
+    // channels from the PNG IHDR / JPEG SOF headers via the per-partition
+    // codec seam. Fully ORACLED the strong way: DuckDB re-parses the SAME
+    // staged bytes with blob arithmetic — fixed IHDR offsets for PNG, a
+    // recursive-CTE marker walk to the first SOF for JPEG — so a parser
+    // bug on either side mismatches; nothing is compared to the staging
+    // formula. Staged-path literal: same sf0.01 contract as
+    // scan_binaryfile above.
+    "multimodal_image_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "images") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 32).foreach { id =>
+            val w = 16 + (id % 64)
+            val h = 16 + ((id * 7) % 64)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                img.setRGB(x, y, (x * 31 + y * 17 + id) & 0xffffff); y += 1
+              }
+              x += 1
+            }
+            javax.imageio.ImageIO.write(img, "png",
+              new java.io.File(base, f"img_$id%03d.png"))
+            javax.imageio.ImageIO.write(img, "jpg",
+              new java.io.File(base, f"img_$id%03d.jpg"))
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.{png,jpg}")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("ext"),
+            col("content").as("bytes"))
+        MultimodalOps.imageMeta(files, "bytes")
+          .select(col("media_id"), col("ext"), col("format"),
+            col("width"), col("height"), col("bit_depth"), col("n_channels"))
+          .orderBy(col("media_id"), col("ext"))
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT regexp_extract(filename, 'img_(\d+)', 1)::BIGINT AS media_id,
+             |    regexp_extract(filename, '\.([a-z]+)$', 1) AS ext,
+             |    hex(content) AS h
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/images/img_*')),
+             |png AS (
+             |  SELECT media_id, ext, 'png' AS format,
+             |    ('0x' || substr(h, 33, 8))::INTEGER AS width,
+             |    ('0x' || substr(h, 41, 8))::INTEGER AS height,
+             |    ('0x' || substr(h, 49, 2))::INTEGER AS bit_depth,
+             |    CASE ('0x' || substr(h, 51, 2))::INTEGER
+             |      WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+             |      WHEN 4 THEN 2 WHEN 6 THEN 4 END AS n_channels
+             |  FROM f WHERE ext = 'png'),
+             |walk(media_id, ext, h, pos, marker) AS (
+             |  SELECT media_id, ext, h, 3, ('0x' || substr(h, 7, 2))::INTEGER
+             |  FROM f WHERE ext = 'jpg'
+             |  UNION ALL
+             |  SELECT media_id, ext, h,
+             |    pos + 2 + ('0x' || substr(h, (pos+1)*2+1, 4))::INTEGER,
+             |    ('0x' || substr(h,
+             |      (pos + 2 + ('0x' || substr(h, (pos+1)*2+1, 4))::INTEGER)*2+1,
+             |      2))::INTEGER
+             |  FROM walk
+             |  WHERE NOT (marker BETWEEN 192 AND 207
+             |             AND marker NOT IN (196, 200, 204))),
+             |jpg AS (
+             |  SELECT media_id, ext, 'jpeg' AS format,
+             |    ('0x' || substr(h, (pos+6)*2+1, 4))::INTEGER AS width,
+             |    ('0x' || substr(h, (pos+4)*2+1, 4))::INTEGER AS height,
+             |    ('0x' || substr(h, (pos+3)*2+1, 2))::INTEGER AS bit_depth,
+             |    ('0x' || substr(h, (pos+8)*2+1, 2))::INTEGER AS n_channels
+             |  FROM walk
+             |  WHERE marker BETWEEN 192 AND 207 AND marker NOT IN (196, 200, 204))
+             |SELECT media_id, ext, format, width, height, bit_depth, n_channels
+             |FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg)
+             |ORDER BY media_id, ext""".stripMargin)),
+
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
     // timestamp — duplicate timestamps would make them nondeterministic),

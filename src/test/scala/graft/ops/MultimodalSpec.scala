@@ -93,6 +93,56 @@ class MultimodalSpec extends SparkSpec {
       "b.fake" -> (("G", "frames!".getBytes("UTF-8").length))))
   }
 
+  test("parseImageHeader decodes real PNG and JPEG bytes (ImageIO round-trip)") {
+    def encode(fmt: String, w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rgbPng = MultimodalOps.parseImageHeader(
+      encode("png", 37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB))
+    assert(rgbPng.contains(MultimodalOps.ImageMeta("png", 37, 23, 8, 3)))
+    val grayPng = MultimodalOps.parseImageHeader(
+      encode("png", 5, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY))
+    assert(grayPng.contains(MultimodalOps.ImageMeta("png", 5, 9, 8, 1)))
+    val jpg = MultimodalOps.parseImageHeader(
+      encode("jpg", 41, 17, java.awt.image.BufferedImage.TYPE_INT_RGB))
+    assert(jpg.contains(MultimodalOps.ImageMeta("jpeg", 41, 17, 8, 3)))
+    val grayJpg = MultimodalOps.parseImageHeader(
+      encode("jpg", 8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY))
+    assert(grayJpg.contains(MultimodalOps.ImageMeta("jpeg", 8, 8, 8, 1)))
+  }
+
+  test("parseImageHeader returns None on corrupt or non-image payloads") {
+    assert(MultimodalOps.parseImageHeader("not an image".getBytes).isEmpty)
+    assert(MultimodalOps.parseImageHeader(Array[Byte]()).isEmpty)
+    assert(MultimodalOps.parseImageHeader(Array(0x89.toByte, 'P', 'N')).isEmpty)
+    // JPEG SOI but truncated before any SOF
+    assert(MultimodalOps.parseImageHeader(
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("imageMeta appends parsed columns, NULLs for unparseable rows") {
+    val img = new java.awt.image.BufferedImage(12, 34,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq((1L, bos.toByteArray), (2L, "junk".getBytes))
+      .toDF("media_id", "bytes")
+    val out = MultimodalOps.imageMeta(rows, "bytes")
+      .select($"media_id", $"format", $"width", $"height")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) == ((Some("png"), Some(12), Some(34))))
+    assert(out(2L) == ((None, None, None)))
+    // same single-plan guarantee as the other codec paths
+    val plan = MultimodalOps.imageMeta(rows, "bytes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
+  }
+
   test("sampleFrames fans each media row out to its frame indices") {
     val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
     val frames = MultimodalOps.sampleFrames(media, everyK = 2)
