@@ -821,6 +821,64 @@ object DedupOps {
         col("n_dup").cast(DoubleType) / col("n_grams"))
   }
 
+  /** Exact-substring span REMOVAL — the acting half of
+    * [[duplicateSpanStats]] (Lee et al. 2022 measure the duplication;
+    * this drops it): every token covered by a `shingleN`-gram instance
+    * whose corpus-wide occurrence count exceeds `maxOccurrences` is
+    * removed, and each document is rebuilt from its surviving tokens in
+    * order. Docs that lose every token (pure boilerplate) drop.
+    *
+    * Removal is per INSTANCE, so one canonical copy does NOT survive —
+    * that is [[segmentDedup]]'s keep-first contract; this one is the
+    * exact-substring rule: a span repeated beyond the threshold is
+    * memorization risk wherever it appears, including its first site.
+    *
+    * Scale shape: the gram side is [[duplicateSpanStats]]'s exactly —
+    * explode → partial-agg count (only (gram, count) shuffles) → join
+    * back on the gram to find duplicated instances. Then only the
+    * (id, position) pairs of DUPLICATED instances aggregate per doc
+    * (cost ∝ duplication, not corpus), and the rebuild is one join of
+    * that small position-list table back to the corpus followed by a
+    * per-row HOF (each token checks the doc's own duplicated-span
+    * starts: O(len · |dup spans in doc|), zero further shuffle).
+    *
+    * Output: (`idCol`, text_clean, n_tokens, n_removed), docs with at
+    * least one surviving token. */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, maxOccurrences: Long = 1L): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(maxOccurrences >= 1L,
+      s"maxOccurrences must be >= 1, got $maxOccurrences")
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val toks = split(lower(col(textCol)), "\\s+")
+    val grams = df.select(col(idCol),
+      posexplode(call_function("shingle_array", toks, lit(shingleN)))
+        .as(Seq("_pos", "_g")))
+    val dupGrams = grams.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxOccurrences)
+    val dupStarts = grams.join(dupGrams.select(col("_g")), Seq("_g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_pos")).as("_dup_pos"))
+    df.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), toks.as("_toks"),
+        coalesce(col("_dup_pos"), array()).as("_dp"))
+      .select(col(idCol),
+        // a token at 0-based index j survives iff no duplicated gram
+        // starting at p covers it (p <= j <= p + shingleN - 1); the HOF
+        // index i is 0-based in Spark
+        filter(col("_toks"), (t, i) =>
+          !exists(col("_dp"), p => i >= p && i <= p + shingleN - 1))
+          .as("_kept"),
+        size(col("_toks")).cast(LongType).as("n_tokens"))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast(LongType).as("n_removed"))
+      .filter(col("text_clean") =!= "") // all tokens removed ⇒ doc drops
+  }
+
   /** Segment-level exact dedup with reconstruction — the
     * paragraph-dedup pass of a web-corpus pipeline (CCNet/RefinedWeb
     * shape), expressed over fixed `segTokens`-token segments because

@@ -1721,6 +1721,43 @@ object Catalog {
              |FROM grams JOIN counts c USING (g)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Exact-substring span REMOVAL (the acting half of dedup_span_stats):
+    // drop every token covered by a >1-occurrence 5-gram instance,
+    // rebuild docs from surviving tokens, drop docs that lose everything.
+    // Instance-level removal (no canonical survivor — that contract is
+    // dedup_paragraph's). Deterministic token coverage ⇒ fully ORACLED
+    // including the rebuilt text; the oracle zips gram positions via
+    // DuckDB's parallel unnest and replays the same coverage rule with
+    // an indexed list_filter.
+    "dedup_span_removal" -> QuerySpec(
+      (s, d) => DedupOps.removeDuplicateSpans(
+        t(s, d, "documents"), "doc_id", "text", shingleN = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN len(w) < 5 THEN [0]
+             |      ELSE [i - 1 for i in range(1, len(w) - 3)] END) AS p,
+             |    unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+             |      ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] END) AS g
+             |  FROM base),
+             |counts AS (SELECT g, count(*) AS n FROM grams GROUP BY g),
+             |dup AS (
+             |  SELECT doc_id, list(p) AS ps FROM grams
+             |  JOIN counts USING (g) WHERE n > 1 GROUP BY doc_id),
+             |rebuilt AS (
+             |  SELECT b.doc_id,
+             |    list_filter(w, (t, j) -> NOT len(list_filter(
+             |      coalesce(ps, []), p -> j - 1 >= p AND j - 1 <= p + 4)) > 0) AS kept,
+             |    len(w) AS n_tokens
+             |  FROM base b LEFT JOIN dup USING (doc_id))
+             |SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed
+             |FROM rebuilt WHERE len(kept) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Segment-level exact dedup with reconstruction (the paragraph-dedup
     // pass of CCNet/RefinedWeb, fixed 10-token segments): every segment
     // keeps its lexicographically-first (doc, idx) occurrence, docs are

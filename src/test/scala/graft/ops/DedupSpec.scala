@@ -468,6 +468,30 @@ class DedupSpec extends SparkSpec {
       (3L, 6L, 2L), (4L, 1L, 0L)), s"got $got")
   }
 
+  test("removeDuplicateSpans trims covered tokens from EVERY instance, drops emptied docs") {
+    // same fixture as the stats test: the shared block "a b c d e" is a
+    // >1-occurrence 5-gram, so BOTH instances lose their 5 tokens (no
+    // canonical survivor); doc 3's self-repeat covers all 10 tokens →
+    // doc dropped; whole-text grams of short docs count as instances
+    val df = Seq(
+      (0L, "a b c d e x y z w v"),
+      (1L, "p q r s a b c d e t"),
+      (2L, "unique tokens only appear here once more pad pad2 pad3"),
+      (3L, "m n o p2 q2 m n o p2 q2"),
+      (4L, "tiny doc"),
+      (5L, "tiny doc"))                 // duplicated whole-text gram → both drop
+      .toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicateSpans(df, "doc_id", "text", shingleN = 5)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"text_clean", $"n_tokens", $"n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, "x y z w v", 10L, 5L),
+      (1L, "p q r s t", 10L, 5L),
+      (2L, "unique tokens only appear here once more pad pad2 pad3", 10L, 0L)),
+      s"got $out")
+  }
+
   test("segmentDedup keeps first occurrence, rebuilds docs, drops empty ones") {
     // seg size 3: doc 0 = [abc][def]; doc 1 repeats doc 0's first
     // segment then has its own; doc 2 is entirely doc 0's segments
