@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, CorpusPrep, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPrep, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -39,6 +39,13 @@ object Catalog {
     * memoized for the same reason as [[ivfModels]]. */
   private val bloomSketches =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Trained BPE merge lists, one per dataset dir — tokenizer training
+    * is the offline fit half (BpeOps.bpeFit), memoized for the same
+    * reason as [[ivfModels]]; deterministic tie-breaks make the
+    * memoized list reproducible. */
+  private val bpeMergeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
@@ -2129,6 +2136,49 @@ object Catalog {
              |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS sum_ws,
              |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TRAINED subword (BPE) token counting: deterministic merges learned
+    // from the corpus word-frequency table (BpeOps.bpeFit, memoized per
+    // dataset like the IVF model — tokenizer training is the offline
+    // half), replayed as one broadcast word→pieces expression, corpus
+    // encoded by a join (no per-token UDF, no iteration at encode time).
+    // The iterative merge training is not SQL-expressible ⇒ rows-only
+    // tier, with the contract CHECKED in-query instead: per-doc subword
+    // counts bounded by [word count, char count] (zero violations),
+    // pieces concatenate back to their word (zero roundtrip failures),
+    // and the 24 learned merges actually compress (subword total strictly
+    // between word and char totals).
+    "text_token_count_bpe" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
+        val pieces = BpeOps.wordPieces(docs, "text", merges)
+        val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
+        val chars = docs.select(col("doc_id"),
+          length(regexp_replace(lower(col("text")), "\\s+", ""))
+            .cast(LongType).as("n_chars"))
+        val roundtrip = pieces.agg(
+          sum(when(concat_ws("", col("pieces")) =!= col("word"), 1L)
+            .otherwise(0L)).as("n_roundtrip_bad"))
+        enc.join(chars, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            sum(col("n_bpe_tokens")).as("total_bpe"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(when(col("n_bpe_tokens") < col("n_words") ||
+              col("n_bpe_tokens") > col("n_chars"), 1L).otherwise(0L))
+              .as("n_bound_violations"))
+          .crossJoin(broadcast(roundtrip))
+          .withColumn("ok_bounds",
+            (col("n_bound_violations") === 0).cast(IntegerType))
+          .withColumn("ok_roundtrip",
+            (col("n_roundtrip_bad") === 0).cast(IntegerType))
+          .withColumn("ok_compressed",
+            (col("total_bpe") < col("total_chars") &&
+              col("total_bpe") > col("total_words")).cast(IntegerType))
+      },
+      None),
 
     // Repetition ratio (most-frequent-bigram share) — grams projected
     // separately from the counting pass (HOF re-evaluation trap).

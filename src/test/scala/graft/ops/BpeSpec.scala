@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sennrich et al.'s canonical corpus shape: low×3 lower×2 newest×4 widest×1
+  private def corpus = Seq(
+    (0L, "low low low"),
+    (1L, "lower lower"),
+    (2L, "newest newest newest newest"),
+    (3L, "widest")).toDF("doc_id", "text")
+
+  test("bpeFit learns the hand-computed merges with deterministic tie-breaks") {
+    // pair counts round 1: (w,e)=6 [lower 2 + newest 4] beats all →
+    // merge 1. Round 2: (l,o)=5 ties (s,t)=5, 'l' < 's' → (l,o).
+    // Round 3: (s,t)=5.
+    val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("s", "t")))
+  }
+
+  test("wordPieces replays merges: leftmost-first, order-sensitive") {
+    val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)
+    val pieces = BpeOps.wordPieces(corpus, "text", merges)
+      .select($"word", $"pieces").as[(String, Seq[String])].collect().toMap
+    assert(pieces("low") == Seq("lo", "w"))
+    assert(pieces("lower") == Seq("lo", "we", "r"))
+    assert(pieces("newest") == Seq("n", "e", "we", "st"))
+    assert(pieces("widest") == Seq("w", "i", "d", "e", "st"))
+    // roundtrip: pieces concatenate back to the word, for every word
+    assert(pieces.forall { case (w, p) => p.mkString("") == w })
+  }
+
+  test("bpeEncode counts subword tokens; OOV words fall back to characters") {
+    val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)
+    val pieces = BpeOps.wordPieces(corpus, "text", merges)
+    val rows = BpeOps.bpeEncode(
+      Seq((9L, "low lower newest widest"), (10L, "zzz low")).toDF("doc_id", "text"),
+      "doc_id", "text", pieces)
+      .select($"doc_id", $"n_words", $"n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 9: 2 + 3 + 4 + 5 = 14; doc 10: "zzz" OOV → 3 chars, low → 2
+    assert(rows == Seq((9L, 4L, 14L), (10L, 2L, 5L)))
+  }
+
+  test("fit stops early when nothing is left to merge") {
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val merges = BpeOps.bpeFit(tiny, "text", numMerges = 10)
+    // one merge (a,b) collapses the only word; nothing pairs after it —
+    // and a singleton pair (count 1) would never have merged at all
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("merged budgets plug into packSequences") {
+    val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)
+    val pieces = BpeOps.wordPieces(corpus, "text", merges)
+    val enc = BpeOps.bpeEncode(corpus, "doc_id", "text", pieces)
+      .withColumn("src", lit("all"))
+    val packed = SampleOps.packSequences(enc, "src", "doc_id", "n_bpe_tokens", budget = 12L)
+    assert(packed.select(max($"bin")).as[Long].head() >= 1L) // budget forces >1 bin
+  }
+}
