@@ -2044,16 +2044,21 @@ object Catalog {
       },
       None),
 
-    // ANN → CHECKED estimator: recall@10 of both approximate paths (LSH
-    // hyperplane buckets, IVF cell probing) against the brute-force
-    // truth, measured IN-query on the same fixture the ANN keys serve —
-    // the sketch-vs-exact pattern (dedup_minhash_vs_exact, agg_cms
-    // _checked) applied to similarity search. One row per method with
-    // avg/min recall over the query set and an `above_floor` flag on
-    // the AVG (min over 5 queries is a noisy order statistic — measured
-    // 0.3-0.4 for LSH across SFs while the avg holds 0.5-0.62); floors
-    // are per-method (multi-probe LSH 0.4, IVF 0.5, both with margin
-    // under measured values at sf0.01 and sf0.1) and also unit-asserted
+    // ANN → CHECKED estimator: the recall/COST curve of both approximate
+    // paths (LSH hyperplane buckets, IVF cell probing) against the
+    // brute-force truth, measured IN-query on the same fixture the ANN
+    // keys serve — the sketch-vs-exact pattern (dedup_minhash_vs_exact,
+    // agg_cms_checked) applied to similarity search. One row per
+    // (method, probe setting): `cost_frac` is the expected fraction of
+    // the corpus scanned (LSH: buckets within hamming h of the query's,
+    // Σ_{i≤h} C(4,i)/2⁴; IVF: nProbe/nCentroids), `above_floor` asserts
+    // the AVG recall (min over 5 queries is a noisy order statistic —
+    // measured 0.3-0.4 for LSH across SFs while the avg holds 0.5+),
+    // and `monotone_ok` asserts more probes never LOWER recall within a
+    // method — the property multi-probing exists for. Floors sit with
+    // margin under measured values at sf0.01 AND sf0.1 (LSH h=0:
+    // 0.22-0.26 measured → floor 0.15; h=1: 0.5-0.62 → 0.4; IVF p=1:
+    // 0.40-0.46 → 0.3; p=3: 0.70 both SFs → 0.6) and are also unit-asserted
     // (SimilaritySpec). Truth and ANN sides are each deterministic, but
     // IVF centroids are iteration-order-sensitive ⇒ rows-only tier; the
     // CHECK rides in the query.
@@ -2070,7 +2075,9 @@ object Catalog {
             t(s, dir, "embeddings")
               .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
             "cvec", nCentroids = 8))
-        def recallOf(ann: DataFrame, method: String, floor: Double): DataFrame =
+        val assigned = SimilarityOps.ivfAssign(c, "cvec", model)
+        def recallOf(ann: DataFrame, method: String, probes: Int,
+            costFrac: Double, floor: Double): DataFrame =
           truth.join(ann.select(col("qid"), col("cid"), lit(1).as("_hit")),
               Seq("qid", "cid"), "left")
             .groupBy(col("qid"))
@@ -2079,16 +2086,27 @@ object Catalog {
             .agg(count(lit(1)).as("n_queries"),
               round(avg(col("recall")), 3).as("avg_recall"),
               round(min(col("recall")), 3).as("min_recall"))
-            .select(lit(method).as("method"), col("n_queries"),
-              lit(10).as("k"), col("avg_recall"), col("min_recall"),
+            .select(lit(method).as("method"), lit(probes).as("probes"),
+              col("n_queries"), lit(10).as("k"),
+              lit(costFrac).as("cost_frac"),
+              col("avg_recall"), col("min_recall"),
               lit(floor).as("recall_floor"),
               (col("avg_recall") >= floor).cast(IntegerType).as("above_floor"))
-        val lsh = SimilarityOps.annTopK(q, c, k = 10, nBits = 4, dim = 64,
-          probeHamming = 1)
-        val ivf = SimilarityOps.ivfTopKWithModel(
-          q, SimilarityOps.ivfAssign(c, "cvec", model), model, k = 10, nProbe = 3)
-        recallOf(lsh, "ann_lsh", 0.4).unionByName(recallOf(ivf, "ann_ivf", 0.5))
-          .orderBy(col("method"))
+        def lsh(h: Int) = SimilarityOps.annTopK(
+          q, c, k = 10, nBits = 4, dim = 64, probeHamming = h)
+        def ivf(p: Int) = SimilarityOps.ivfTopKWithModel(
+          q, assigned, model, k = 10, nProbe = p)
+        val curve =
+          recallOf(lsh(0), "ann_lsh", 1, 1.0 / 16, 0.15)
+            .unionByName(recallOf(lsh(1), "ann_lsh", 5, 5.0 / 16, 0.4))
+            .unionByName(recallOf(ivf(1), "ann_ivf", 1, 1.0 / 8, 0.3))
+            .unionByName(recallOf(ivf(3), "ann_ivf", 3, 3.0 / 8, 0.6))
+        val w = Window.partitionBy(col("method")).orderBy(col("probes"))
+        curve
+          .withColumn("monotone_ok",
+            coalesce(col("avg_recall") >= lag(col("avg_recall"), 1).over(w),
+              lit(true)).cast(IntegerType))
+          .orderBy(col("method"), col("probes"))
       },
       None),
 

@@ -98,6 +98,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall $mean too low (probing 4/8 cells)")
   }
 
+  test("multi-probe IVF: recall never decreases with nProbe, full probe = brute") {
+    val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val model = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
+    val assigned = SimilarityOps.ivfAssign(candidates, "cvec", model)
+    def recallOf(p: Int): Double = {
+      val got = SimilarityOps.ivfTopKWithModel(queries, assigned, model,
+          k = 10, nProbe = p)
+        .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.keys.map(q =>
+        got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size)
+      rs.sum / rs.size
+    }
+    val r1 = recallOf(1); val r3 = recallOf(3); val r8 = recallOf(8)
+    assert(r3 >= r1, s"nProbe=3 recall $r3 must dominate nProbe=1 $r1")
+    assert(r8 >= r3, s"nProbe=8 recall $r8 must dominate nProbe=3 $r3")
+    // probing every cell IS exact ranking — the curve's right endpoint
+    assert(r8 == 1.0, s"full probe must equal brute force, got $r8")
+  }
+
   test("ivfFit once + ivfTopKWithModel many: no iterative ML jobs at query time") {
     val model = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
     assert(model.nCentroids == 8)
