@@ -84,19 +84,32 @@ object StreamOps {
     * Use as `stream.writeStream.foreachBatch(
     * dedupMergeBatch(path, "doc_id", "text", Seq("lang")) _)`.
     *
+    * `nearDup = true` adds step (2b): the surviving exact-novel rows run
+    * the minhash-band tier of [[graft.ops.DedupOps.incrementalDedup]]
+    * against the accumulated corpus — a cross-day NEAR duplicate (same
+    * page, edited footer) is dropped before it pollutes the corpus, not
+    * just the byte-identical recrawl. Only (id, band) pairs shuffle;
+    * document bodies never move in the near pass. In-batch near-dups in
+    * the BOOTSTRAP batch are not near-deduplicated (there is no corpus
+    * yet) — same contract as the exact tier, which bootstrap-dedups by
+    * digest only.
+    *
     * IDEMPOTENT under replay — the property foreachBatch sinks need,
     * since a micro-batch can re-run after a failure: re-processed docs
-    * are either text-dups of corpus rows (dropped in step 2) or same-id
-    * rows (overwritten in place by the MERGE), so a replayed batch
-    * leaves the corpus unchanged. The bloom sketch is refit per
-    * micro-batch here (one partial-agg scan of corpus digests); a
-    * production deployment with many batches per corpus version would
-    * memoize it on the corpus version, exactly like the Catalog's
-    * per-dataset sketch cache. */
+    * are either text-dups of corpus rows (dropped in step 2), near-dups
+    * of corpus rows they themselves created (every band now present →
+    * dropped in step 2b), or same-id rows (overwritten in place by the
+    * MERGE), so a replayed batch leaves the corpus unchanged. The bloom
+    * sketch is refit per micro-batch here (one partial-agg scan of
+    * corpus digests); a production deployment with many batches per
+    * corpus version would memoize it on the corpus version, exactly
+    * like the Catalog's per-dataset sketch cache. */
   def dedupMergeBatch(
       targetPath: String, idCol: String, textCol: String,
       partitionCols: Seq[String],
-      bloomExpectedItems: Long = 4000000L)(
+      bloomExpectedItems: Long = 4000000L,
+      nearDup: Boolean = false,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import graft.ops.DedupOps
@@ -118,11 +131,26 @@ object StreamOps {
     } else {
       val corpus = spark.read.parquet(targetPath)
       // (2) corpus-tier dedup, bloom-prefiltered
-      val sketch = DedupOps.bloomFitDigests(corpus, textCol, bloomExpectedItems)
-      val novel = DedupOps.incrementalDedupBloom(
-        local, corpus, idCol, textCol, sketch)
+      val novelExact = DedupOps.incrementalDedupBloom(
+        local, corpus, idCol, textCol,
+        DedupOps.bloomFitDigests(corpus, textCol, bloomExpectedItems))
+      // (2b) near-dup tier: minhash bands vs the accumulated corpus.
+      // incrementalDedup re-runs its exact digest anti-join first — a
+      // no-op over already-exact-novel rows, and the batch side is small.
+      // The exact-novel frame is MATERIALIZED first: the near tier
+      // references it three times (guard, band stream, final semi join),
+      // and the bloom sketch rides novelExact's plan as a megabytes-long
+      // literal — tripling that subtree makes plan *rendering* alone
+      // allocate gigabytes (observed OOM: AQE explainString on the
+      // composed plan). localCheckpoint truncates the lineage to one
+      // small scan, and the micro-batch is exactly the right size to pin.
+      val staged = if (nearDup) Some(novelExact.localCheckpoint()) else None
+      val novel = staged.fold(novelExact)(
+        DedupOps.incrementalDedup(_, corpus, idCol, textCol,
+          nearDup = true, numHashes, bands, shingleN))
       // (3) MERGE the surviving novelty
-      Upsert.upsertIntoPath(spark, targetPath, novel, Seq(idCol), partitionCols)
+      try Upsert.upsertIntoPath(spark, targetPath, novel, Seq(idCol), partitionCols)
+      finally staged.foreach(_.unpersist())
     }
   }
 

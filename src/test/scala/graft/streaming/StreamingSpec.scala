@@ -544,4 +544,52 @@ class StreamingSpec extends SparkSpec {
       (2L, "uno dos tres", "es"),
       (11L, "quatre cinq six", "fr")))
   }
+
+  test("daily-ingest near-dup tier: cross-day NEAR duplicate dropped; idempotent replay") {
+    val srcDir = Files.createTempDirectory("near_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("near_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("near_ckpt").toFile.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = src.writeStream
+        .foreachBatch(
+          StreamOps.dedupMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+            nearDup = true) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "ingest query did not self-terminate")
+    }
+    def corpusIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select($"doc_id").as[Long].collect().toSet
+    // a long page: 30 tokens → near-dup variants share ~28/29 shingles
+    // (J ≈ 0.97, several of the 16 four-hash bands collide — the
+    // signature is deterministic, so so is the drop)
+    val page = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq((1L, page, "en"), (2L, "uno dos tres cuatro", "es"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(corpusIds == Set(1L, 2L))
+    // day 2: a NEAR duplicate of day 1's page (one appended token — an
+    // exact tier would keep it), an exact recrawl, and a novel doc
+    Seq((10L, page + " footer", "en"),
+      (11L, page, "en"),
+      (12L, "sept huit neuf dix", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(corpusIds == Set(1L, 2L, 12L),
+      "near-dup and exact recrawl both dropped; novel doc merged")
+    // replay every file in one batch: corpus must come out unchanged —
+    // day-2 survivors are now near-dups of THEMSELVES in the corpus
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(ckpt))
+    drain()
+    assert(corpusIds == Set(1L, 2L, 12L), "replay must be a no-op")
+  }
 }
