@@ -46,8 +46,13 @@ object CorpusPrep {
       gopherMaxSymbolRatio: Double = 0.1, gopherMinAlphaRatio: Double = 0.8,
       gopherMinStopwords: Int = 1,
       lmMaxNegLogProb: Double = 8.0,
+      // trigram shingles (fuzzyDedupE2E's default): on the C4-trimmed
+      // uniform-token fixture, BIGRAM shingles made the 1-hash-per-band
+      // LSH degenerate (1.28M candidate pairs from 2255 docs at sf0.1 —
+      // half of all possible pairs); trigrams are distinctive enough to
+      // keep the candidate set ∝ duplication (45k pairs, same survivors)
       jaccardThreshold: Double = 0.3, numHashes: Int = 64, bands: Int = 64,
-      shingleN: Int = 2,
+      shingleN: Int = 3,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val slim = df.select(col(idCol), col(textCol))
@@ -63,10 +68,18 @@ object CorpusPrep {
     val lineDeduped = TextOps.dedupLinesWithinDoc(gopherKept, textCol)
       .select(col(idCol), col("clean_text").as(textCol))
     val lmScores = TextOps.unigramLogProb(lineDeduped, idCol, textCol)
+    // MATERIALIZE the quality-filtered corpus before fuzzy dedup: the
+    // dedup stage references its input ~5 times (signature build, both
+    // sides of the confirm join, CC seed, final semi join), and each
+    // reference would otherwise recompute the whole C4→Gopher→line-dedup
+    // →LM chain including the LM's three shuffles (measured 37 s vs 4 s
+    // at sf0.1). localCheckpoint truncates lineage to one in-memory scan
+    // of the surviving rows — bounded by the filtered corpus size.
     val lmKept = lineDeduped.join(
       lmScores.filter(col("mean_neg_logprob") <= lmMaxNegLogProb)
         .select(col(idCol)),
       Seq(idCol), "left_semi")
+      .localCheckpoint()
     val survivors = DedupOps.fuzzyDedupE2E(lmKept, idCol, textCol,
       jaccardThreshold, numHashes, bands, shingleN)
     SampleOps.assignSplits(survivors, idCol, splits)

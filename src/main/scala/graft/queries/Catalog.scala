@@ -1581,7 +1581,9 @@ object Catalog {
     // active at minWords=30) → LM ≤ 3.79 (the rounded decimal-exact
     // statistic of text_unigram_logprob, ~p75 of the survivor
     // distribution) → fuzzy dedup at the oracled recall-first settings
-    // (bands = numHashes = 64, miss p ≤ 1e-10) → LCG splits. Fully
+    // (bands = numHashes = 64, miss p ≤ 1e-10; TRIGRAM shingles — see
+    // CorpusPrep.prepare's default for why bigrams degenerate here) →
+    // LCG splits. Fully
     // ORACLED: each stage restates the exact SQL its standalone key
     // already proved, composed as CTEs.
     "corpus_prep_e2e" -> QuerySpec(
@@ -1677,7 +1679,8 @@ object Catalog {
              |  FROM lmk),
              |ft AS (
              |  SELECT id, unnest(list_distinct(
-             |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS tok
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)])) AS tok
              |  FROM fw),
              |sizes AS (SELECT id, count(*) AS n FROM ft GROUP BY id),
              |inter AS (
