@@ -186,6 +186,78 @@ object MultimodalOps {
       parseImageHeader(payload)
   }
 
+  /** Parsed audio stream structure — the metadata an audio pipeline
+    * filters/buckets on before decoding samples (drop non-PCM, route by
+    * sample rate, budget by duration = n_frames / sample_rate). */
+  final case class AudioMeta(format: String, audioFormat: Int,
+      channels: Int, sampleRate: Int, bitDepth: Int, nFrames: Long)
+
+  /** REAL WAV (RIFF) header decode, pure JVM: validates the RIFF/WAVE
+    * signature then WALKS the chunk list (id + little-endian size,
+    * chunks pad to even offsets) to the `fmt ` and `data` chunks — not
+    * fixed offsets, which break on files carrying LIST/INFO metadata
+    * before the sample data. Returns None for truncated or non-WAV
+    * payloads, corrupt sizes included. */
+  def parseWavHeader(b: Array[Byte]): Option[AudioMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var pos = 12L
+      var fmt = Option.empty[(Int, Int, Int, Int)] // audioFmt, ch, rate, bits
+      var dataLen = Option.empty[Long]
+      var corrupt = false
+      while (!corrupt && (fmt.isEmpty || dataLen.isEmpty) &&
+          pos + 8 <= b.length) {
+        val p = pos.toInt
+        val id = tag(p)
+        val size = le32(p + 4)
+        if (id == "fmt ") {
+          if (p + 8 + 16 <= b.length)
+            fmt = Some((le16(p + 8), le16(p + 10), le32(p + 12).toInt, le16(p + 22)))
+          else corrupt = true
+        }
+        if (id == "data") dataLen = Some(size)
+        pos = pos + 8 + size + (size % 2)
+      }
+      for {
+        (af, ch, rate, bits) <- fmt
+        dl <- dataLen
+        if !corrupt && ch > 0 && bits >= 8 && bits % 8 == 0
+      } yield AudioMeta("wav", af, ch, rate, bits, dl / (ch.toLong * (bits / 8)))
+    }
+  }
+
+  object WavHeaderCodec extends Codec[Option[AudioMeta]] {
+    override def decode(payload: Array[Byte]): Option[AudioMeta] =
+      parseWavHeader(payload)
+  }
+
+  /** Append parsed WAV metadata columns (`format, audio_fmt, channels,
+    * sample_rate, bit_depth, n_frames`; all NULL for unparseable
+    * payloads) — the audio twin of [[imageMeta]], same per-partition
+    * codec lifecycle. */
+  def audioMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    decodePartitions(df, bytesCol,
+      new StructType()
+        .add("format", StringType)
+        .add("audio_fmt", IntegerType)
+        .add("channels", IntegerType)
+        .add("sample_rate", IntegerType)
+        .add("bit_depth", IntegerType)
+        .add("n_frames", LongType),
+      () => WavHeaderCodec) { (r, m) =>
+      Row.fromSeq(r.toSeq ++ (m match {
+        case Some(a) =>
+          Seq(a.format, a.audioFormat, a.channels, a.sampleRate, a.bitDepth, a.nFrames)
+        case None => Seq(null, null, null, null, null, null)
+      }))
+    }
+
   /** Append parsed image metadata columns (`format, width, height,
     * bit_depth, n_channels`; all NULL for unparseable payloads) to a
     * frame holding raw image bytes in `bytesCol` — e.g. straight off

@@ -1731,6 +1731,85 @@ object Catalog {
              |FROM grams JOIN counts c USING (g)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL WAV-header decode over REAL audio bytes — the audio twin of
+    // multimodal_image_meta: staging synthesizes PCM and encodes it with
+    // javax.sound (pure JVM, offline) at id-derived sample rates/channel
+    // counts/lengths; binaryFile reads the files back and
+    // MultimodalOps.audioMeta walks the RIFF chunk list to the fmt/data
+    // chunks. Fully ORACLED the strong way: DuckDB re-walks the SAME
+    // staged bytes with a recursive-CTE chunk walk over little-endian
+    // blob arithmetic. Staged-path literal: sf0.01 contract as above.
+    "multimodal_audio_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "audio") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 24).foreach { id =>
+            val rate = Seq(8000, 16000, 44100)(id % 3)
+            val channels = 1 + (id % 2)
+            val n = 100 + 37 * id
+            val pcm = new Array[Byte](n * channels * 2)
+            var i = 0
+            while (i < pcm.length) { pcm(i) = ((i * 7 + id) & 0xff).toByte; i += 1 }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              rate.toFloat, 16, channels, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE,
+              new java.io.File(base, f"clip_$id%03d.wav"))
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.wav")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.audioMeta(files, "bytes")
+          .select(col("media_id"), col("format"), col("audio_fmt"),
+            col("channels"), col("sample_rate"), col("bit_depth"),
+            col("n_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT regexp_extract(filename, 'clip_(\d+)', 1)::BIGINT AS media_id,
+             |    hex(content) AS h, octet_length(content) AS len
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/audio/clip_*.wav')),
+             |walk(media_id, pos, cid, csize) AS (
+             |  SELECT media_id, 13, substr(h, 25, 8),
+             |    ('0x' || substr(h, 39, 2) || substr(h, 37, 2)
+             |          || substr(h, 35, 2) || substr(h, 33, 2))::BIGINT
+             |  FROM f
+             |  WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+             |  UNION ALL
+             |  SELECT w.media_id,
+             |    w.pos + 8 + w.csize + (w.csize % 2),
+             |    substr(f.h, (w.pos + 8 + w.csize + (w.csize % 2) - 1)*2 + 1, 8),
+             |    ('0x' || substr(f.h, (w.pos + 8 + w.csize + (w.csize % 2) - 1)*2 + 15, 2)
+             |          || substr(f.h, (w.pos + 8 + w.csize + (w.csize % 2) - 1)*2 + 13, 2)
+             |          || substr(f.h, (w.pos + 8 + w.csize + (w.csize % 2) - 1)*2 + 11, 2)
+             |          || substr(f.h, (w.pos + 8 + w.csize + (w.csize % 2) - 1)*2 + 9, 2))::BIGINT
+             |  FROM walk w JOIN f ON w.media_id = f.media_id
+             |  WHERE w.cid <> '64617461' AND w.pos + 8 + w.csize <= f.len),
+             |fmtc AS (SELECT media_id, pos FROM walk WHERE cid = '666D7420'),
+             |dat AS (SELECT media_id, csize AS dlen FROM walk WHERE cid = '64617461')
+             |SELECT f.media_id, 'wav' AS format,
+             |  ('0x' || substr(h, (fmtc.pos+8-1)*2+3, 2)
+             |        || substr(h, (fmtc.pos+8-1)*2+1, 2))::INTEGER AS audio_fmt,
+             |  ('0x' || substr(h, (fmtc.pos+10-1)*2+3, 2)
+             |        || substr(h, (fmtc.pos+10-1)*2+1, 2))::INTEGER AS channels,
+             |  CAST(('0x' || substr(h, (fmtc.pos+12-1)*2+7, 2)
+             |        || substr(h, (fmtc.pos+12-1)*2+5, 2)
+             |        || substr(h, (fmtc.pos+12-1)*2+3, 2)
+             |        || substr(h, (fmtc.pos+12-1)*2+1, 2))::BIGINT AS INTEGER) AS sample_rate,
+             |  ('0x' || substr(h, (fmtc.pos+22-1)*2+3, 2)
+             |        || substr(h, (fmtc.pos+22-1)*2+1, 2))::INTEGER AS bit_depth,
+             |  CAST(dat.dlen // (('0x' || substr(h, (fmtc.pos+10-1)*2+3, 2)
+             |        || substr(h, (fmtc.pos+10-1)*2+1, 2))::BIGINT * 2) AS BIGINT) AS n_frames
+             |FROM f JOIN fmtc USING (media_id) JOIN dat USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
+
     // Exact-substring span REMOVAL (the acting half of dedup_span_stats):
     // drop every token covered by a >1-occurrence 5-gram instance,
     // rebuild docs from surviving tokens, drop docs that lose everything.

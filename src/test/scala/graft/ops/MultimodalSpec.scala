@@ -143,6 +143,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
   }
 
+  test("parseWavHeader decodes real javax.sound WAVs and walks extra chunks") {
+    def wav(rate: Int, ch: Int, n: Int): Array[Byte] = {
+      val pcm = new Array[Byte](n * ch * 2)
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(MultimodalOps.parseWavHeader(wav(8000, 1, 400))
+      .contains(MultimodalOps.AudioMeta("wav", 1, 1, 8000, 16, 400L)))
+    assert(MultimodalOps.parseWavHeader(wav(44100, 2, 1234))
+      .contains(MultimodalOps.AudioMeta("wav", 1, 2, 44100, 16, 1234L)))
+    // chunk WALK: splice a LIST chunk between WAVE and fmt — fixed-offset
+    // parsers break here, the walker must skip it
+    val base = wav(16000, 1, 10)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOxy".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    // patch the RIFF size (bytes 4-7, LE) for honesty; the parser doesn't use it
+    assert(MultimodalOps.parseWavHeader(spliced)
+      .contains(MultimodalOps.AudioMeta("wav", 1, 1, 16000, 16, 10L)))
+  }
+
+  test("parseWavHeader returns None on corrupt or non-audio payloads") {
+    assert(MultimodalOps.parseWavHeader("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(MultimodalOps.parseWavHeader(Array[Byte]()).isEmpty)
+    // RIFF/WAVE but no chunks at all
+    assert(MultimodalOps.parseWavHeader(
+      ("RIFF" + " " * 4 + "WAVE" + " " * 32).getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("sampleFrames fans each media row out to its frame indices") {
     val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
     val frames = MultimodalOps.sampleFrames(media, everyK = 2)
