@@ -249,6 +249,103 @@ object SimilarityOps {
       k, nProbe, qId, qVec, cId, cVec)
   }
 
+  /** Product-quantization codebooks: `codebooks(m)(j)` is the j-th
+    * centroid of subspace m. With M subspaces × K codes over a dim-D
+    * float32 corpus, each vector compresses to M code bytes (+ one
+    * exact norm) — 64 floats (256 B) → 8 codes + 4 B ≈ 21× at the
+    * defaults here — which is what makes a 100 TB embedding corpus
+    * scannable: the ADC pass reads codes, not vectors. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+    require(codebooks.nonEmpty && codebooks.forall(_.length == k) &&
+      codebooks.forall(_.forall(_.length == subDim)), "ragged codebooks")
+  }
+
+  /** OFFLINE step of PQ (Jégou et al. 2011): one seeded k-means per
+    * subspace over the candidate corpus (or a sample — same guidance as
+    * [[ivfFit]]). M small KMeans jobs; the returned model is plain
+    * driver-side arrays, session-independent like [[IvfModel]]. */
+  def pqFit(
+      candidates: DataFrame, cVec: String, dim: Int,
+      m: Int = 8, k: Int = 16, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxIter: Int = 5): PqModel = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / m
+    val base =
+      if (sampleFraction >= 1.0) candidates
+      else candidates.sample(withReplacement = false, sampleFraction, seed)
+    val codebooks = (0 until m).map { mi =>
+      val sub = base.select(array_to_vector(
+        slice(asDouble(col(cVec)), mi * subDim + 1, subDim)).as("_fv"))
+      new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+        .setFeaturesCol("_fv").setPredictionCol("_code").fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(codebooks)
+  }
+
+  /** ENCODE: append `_codes` (array<int>, per-subspace argmin centroid —
+    * deterministic (distance, code) tie-break) and `_cnorm` (the EXACT
+    * vector norm, kept alongside the codes so ADC cosine uses the true
+    * denominator — standard practice, one float of overhead). Pure
+    * column expressions over codebook literals: one linear pass, no
+    * shuffle, no ML calls. At scale this output (id, codes, norm) is
+    * the table that gets WRITTEN; queries never touch the raw vectors. */
+  def pqAssign(candidates: DataFrame, cVec: String, model: PqModel): DataFrame = {
+    reg(candidates)
+    val v = asDouble(col(cVec))
+    val sd = model.subDim
+    val codes = array((0 until model.m).map { mi =>
+      val sub = slice(v, mi * sd + 1, sd)
+      array_sort(array(model.codebooks(mi).zipWithIndex.map { case (c, j) =>
+        // argmin ||x−c||² ≡ argmin (c·c)/2 − x·c (x·x constant per row)
+        struct((dotN(sub, array(c.map(lit): _*)) * -1 +
+          lit(0.5) * lit(c.map(x => x * x).sum)).as("d"),
+          lit(j).as("code"))
+      }: _*)).getItem(0).getField("code")
+    }: _*)
+    candidates.withColumn("_codes", codes)
+      .withColumn("_cnorm", sqrt(dotN(v, v)))
+  }
+
+  /** QUERY: asymmetric-distance (ADC) top-k. Each query precomputes its
+    * M×K table of subvector·centroid partial dot products (a pure
+    * column expression over codebook literals, riding the BROADCAST
+    * query side); every candidate's score is then M table lookups —
+    * cos(q, x) ≈ (Σ_m table[m][code_m]) / (|q|·|x|) with the exact
+    * stored |x|. Full corpus scan by DESIGN, but over codes (≈21× fewer
+    * bytes than the vectors) — the compression-for-bandwidth trade PQ
+    * exists for; compose with IVF cells to also cut the row count. */
+  def pqTopK(
+      queries: DataFrame, assigned: DataFrame, model: PqModel, k: Int,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid"): DataFrame = {
+    reg(assigned)
+    val qv = asDouble(col(qVec))
+    val sd = model.subDim
+    val qt = array((0 until model.m).map { mi =>
+      val sub = slice(qv, mi * sd + 1, sd)
+      array(model.codebooks(mi).map(c => dotN(sub, array(c.map(lit): _*))): _*)
+    }: _*)
+    val probed = queries
+      .withColumn("_qt", qt)
+      .withColumn("_qnorm", sqrt(dotN(qv, qv)))
+    val score = (0 until model.m).map(mi =>
+      element_at(element_at(col("_qt"), mi + 1),
+        element_at(col("_codes"), mi + 1) + 1)).reduce(_ + _) /
+      (col("_qnorm") * col("_cnorm"))
+    val scored = assigned.crossJoin(broadcast(probed))
+      .withColumn("cos_adc", score)
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_adc").desc, col(cId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("cos_adc"))
+  }
+
   /** Candidate pairs with cosine above `threshold` (embedding-based
     * near-duplicate detection). Quantized integer arithmetic so the
     * result is engine-exact.

@@ -40,6 +40,12 @@ object Catalog {
   private val bloomSketches =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
+  /** PQ codebooks, one per dataset dir — the offline fit half of
+    * product quantization (SimilarityOps.pqFit), memoized for the same
+    * reason as [[ivfModels]]. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.PqModel]()
+
   /** Trained BPE merge lists, one per dataset dir — tokenizer training
     * is the offline fit half (BpeOps.bpeFit), memoized for the same
     * reason as [[ivfModels]]; deterministic tie-breaks make the
@@ -2126,6 +2132,31 @@ object Catalog {
       },
       None),
 
+    // Product-quantization ANN (Jégou et al. 2011) — the compression
+    // scale path: vectors encode to M=16 code bytes + an exact norm
+    // (≈13× fewer bytes than float32), queries score candidates by M
+    // table lookups (ADC). M=16 subspaces × K=64 codes chosen by
+    // measurement (M=8/K=16 gave 0.26 recall at sf0.1; this 0.56-0.64).
+    // Codebooks are k-means-trained offline (fit/query split, memoized
+    // like IVF); centroids are iteration-order-sensitive ⇒ rows-only;
+    // recall floors ride sim_ann_recall + units.
+    "sim_ann_pq" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val model = pqModels.computeIfAbsent(d, dir =>
+          SimilarityOps.pqFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", dim = 64, m = 16, k = 64))
+        SimilarityOps.pqTopK(q, SimilarityOps.pqAssign(c, "cvec", model),
+          model, k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // ANN → CHECKED estimator: the recall/COST curve of both approximate
     // paths (LSH hyperplane buckets, IVF cell probing) against the
     // brute-force truth, measured IN-query on the same fixture the ANN
@@ -2178,11 +2209,23 @@ object Catalog {
           q, c, k = 10, nBits = 4, dim = 64, probeHamming = h)
         def ivf(p: Int) = SimilarityOps.ivfTopKWithModel(
           q, assigned, model, k = 10, nProbe = p)
+        // PQ scans every ROW but reads codes+norm (16 byte-codes + a
+        // 4-byte norm at M=16, K=64) instead of the 256 B float32
+        // vector: cost_frac here is the BYTES fraction. Recall measured
+        // 0.64 (sf0.01) / 0.56 (sf0.1) → floor 0.45 with margin.
+        val pqModel = pqModels.computeIfAbsent(d, dir =>
+          SimilarityOps.pqFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", dim = 64, m = 16, k = 64))
+        val pq = SimilarityOps.pqTopK(
+          q, SimilarityOps.pqAssign(c, "cvec", pqModel), pqModel, k = 10)
         val curve =
           recallOf(lsh(0), "ann_lsh", 1, 1.0 / 16, 0.15)
             .unionByName(recallOf(lsh(1), "ann_lsh", 5, 5.0 / 16, 0.4))
             .unionByName(recallOf(ivf(1), "ann_ivf", 1, 1.0 / 8, 0.3))
             .unionByName(recallOf(ivf(3), "ann_ivf", 3, 3.0 / 8, 0.6))
+            .unionByName(recallOf(pq, "ann_pq", 16, 20.0 / 256, 0.45))
         val w = Window.partitionBy(col("method")).orderBy(col("probes"))
         curve
           .withColumn("monotone_ok",

@@ -176,6 +176,8 @@ class PlanSpec extends SparkSpec {
       "sim_topk_cosine",       // brute-force scoring vs broadcast query set
       "sim_ann_recall",        // brute-force TRUTH side of the recall check
                                // (the ANN sides stay bucketed equi-joins)
+      "sim_ann_pq",            // full-scan ADC over codes BY DESIGN
+                               // (compression path: 21× fewer bytes/row)
       "fn_levenshtein",        // bounded pair enumeration (doc_id < 20)
       "dedup_embedding_cosine", // bounded all-pairs twin (vec_id < 100)
       "text_tfidf_top_term",   // 1-row doc-count scalar broadcast

@@ -120,6 +120,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 == 1.0, s"full probe must equal brute force, got $r8")
   }
 
+  test("PQ: codes are deterministic, ADC top-k reaches reasonable recall, self found") {
+    val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val model = SimilarityOps.pqFit(candidates, "cvec", dim = 64, m = 16, k = 16)
+    assert(model.m == 16 && model.k == 16 && model.subDim == 4)
+    val assigned = SimilarityOps.pqAssign(candidates, "cvec", model)
+    // encode determinism under repartitioning (argmin tie-break is (d, code))
+    val a = assigned.select($"cid", $"_codes").as[(Long, Seq[Int])].collect().toMap
+    val b = SimilarityOps.pqAssign(candidates.repartition(7), "cvec", model)
+      .select($"cid", $"_codes").as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(cs => cs.length == 16 && cs.forall(c => c >= 0 && c < 16)))
+    val pq = SimilarityOps.pqTopK(queries, assigned, model, k = 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // the query vector itself reconstructs closest to its own codes
+    assert(pq.forall { case (q, cs) => cs.contains(q) })
+    val recalls = brute.keys.map(q =>
+      pq.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean PQ recall $mean too low at m=16,k=16")
+  }
+
   test("ivfFit once + ivfTopKWithModel many: no iterative ML jobs at query time") {
     val model = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
     assert(model.nCentroids == 8)
