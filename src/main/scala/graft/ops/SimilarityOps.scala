@@ -295,21 +295,44 @@ object SimilarityOps {
     * column expressions over codebook literals: one linear pass, no
     * shuffle, no ML calls. At scale this output (id, codes, norm) is
     * the table that gets WRITTEN; queries never touch the raw vectors. */
+  /** Codebook as ONE nested-array literal: K×subDim doubles of DATA, a
+    * handful of expression NODES. The first form of this op inlined
+    * every centroid as its own struct/dot subtree — 16 subspaces × 64
+    * centroids ≈ 10⁴ expression nodes — and Catalyst analysis over that
+    * tree cost seconds PER INVOCATION (measured 11.9 s for the key);
+    * with literal data the tree is O(m) and the key runs in well under
+    * a second. */
+  private def cbLit(model: PqModel, mi: Int): Column =
+    typedlit(model.codebooks(mi).map(_.toSeq).toSeq)
+
   def pqAssign(candidates: DataFrame, cVec: String, model: PqModel): DataFrame = {
     reg(candidates)
     val v = asDouble(col(cVec))
     val sd = model.subDim
+    // Subvectors MATERIALIZE once per row in their own projection: an
+    // expression inside a higher-order-function lambda re-evaluates per
+    // ELEMENT, so an inlined slice(asDouble(v)) would recompute the
+    // cast+slice K times per subspace per row (m·K = 1024× at the
+    // defaults — measured as the dominant cost of this operator).
+    // element_at on the materialized attribute is an O(1) lookup.
+    // CollapseProject keeps the multi-referenced non-cheap alias intact.
+    val staged = candidates.withColumn("_subs",
+      array((0 until model.m).map(mi => slice(v, mi * sd + 1, sd)): _*))
     val codes = array((0 until model.m).map { mi =>
-      val sub = slice(v, mi * sd + 1, sd)
-      array_sort(array(model.codebooks(mi).zipWithIndex.map { case (c, j) =>
-        // argmin ||x−c||² ≡ argmin (c·c)/2 − x·c (x·x constant per row)
-        struct((dotN(sub, array(c.map(lit): _*)) * -1 +
-          lit(0.5) * lit(c.map(x => x * x).sum)).as("d"),
-          lit(j).as("code"))
-      }: _*)).getItem(0).getField("code")
+      val sub = element_at(col("_subs"), mi + 1)
+      // argmin ||x−c||² ≡ argmin (c·c)/2 − x·c (x·x constant per row);
+      // (c·c)/2 is data, precomputed into its own literal. array_position
+      // takes the FIRST minimum ⇒ deterministic lowest-code tie-break,
+      // stable under repartitioning
+      val halfNorms = typedlit(model.codebooks(mi)
+        .map(c => c.map(x => x * x).sum * 0.5).toSeq)
+      val dists = zip_with(halfNorms, cbLit(model, mi),
+        (hn, c) => hn - dotN(sub, c))
+      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
     }: _*)
-    candidates.withColumn("_codes", codes)
+    staged.withColumn("_codes", codes)
       .withColumn("_cnorm", sqrt(dotN(v, v)))
+      .drop("_subs")
   }
 
   /** QUERY: asymmetric-distance (ADC) top-k. Each query precomputes its
@@ -329,7 +352,7 @@ object SimilarityOps {
     val sd = model.subDim
     val qt = array((0 until model.m).map { mi =>
       val sub = slice(qv, mi * sd + 1, sd)
-      array(model.codebooks(mi).map(c => dotN(sub, array(c.map(lit): _*))): _*)
+      transform(cbLit(model, mi), c => dotN(sub, c)) // literal-data table
     }: _*)
     val probed = queries
       .withColumn("_qt", qt)
