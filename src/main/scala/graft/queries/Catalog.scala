@@ -2157,6 +2157,33 @@ object Catalog {
       },
       None),
 
+    // IVF-PQ — both scale levers composed (the FAISS production shape):
+    // probe nProbe cells (row count ÷ nCentroids/nProbe) and ADC-score
+    // codes within them (bytes ÷ ~13). Rows-only like its parents; the
+    // recall floor rides sim_ann_recall's curve (`ann_ivfpq`).
+    "sim_ann_ivfpq" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val ivfM = ivfModels.computeIfAbsent(d, dir =>
+          SimilarityOps.ivfFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", nCentroids = 8))
+        val pqM = pqModels.computeIfAbsent(d, dir =>
+          SimilarityOps.pqFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", dim = 64, m = 16, k = 64))
+        val assigned = SimilarityOps.pqAssign(
+          SimilarityOps.ivfAssign(c, "cvec", ivfM), "cvec", pqM)
+        SimilarityOps.ivfPqTopK(q, assigned, ivfM, pqM, k = 10, nProbe = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // ANN → CHECKED estimator: the recall/COST curve of both approximate
     // paths (LSH hyperplane buckets, IVF cell probing) against the
     // brute-force truth, measured IN-query on the same fixture the ANN
@@ -2226,6 +2253,14 @@ object Catalog {
             .unionByName(recallOf(ivf(1), "ann_ivf", 1, 1.0 / 8, 0.3))
             .unionByName(recallOf(ivf(3), "ann_ivf", 3, 3.0 / 8, 0.6))
             .unionByName(recallOf(pq, "ann_pq", 16, 20.0 / 256, 0.45))
+            // IVF-PQ composes both levers: 3/8 of the rows × 20/256 of
+            // the bytes ≈ 3% of the corpus bytes scanned; recall is
+            // bounded above by min(parents) — floor set under measured
+            .unionByName(recallOf(
+              SimilarityOps.ivfPqTopK(q,
+                SimilarityOps.pqAssign(assigned, "cvec", pqModel),
+                model, pqModel, k = 10, nProbe = 3),
+              "ann_ivfpq", 3, (3.0 / 8) * (20.0 / 256), 0.35))
         val w = Window.partitionBy(col("method")).orderBy(col("probes"))
         curve
           .withColumn("monotone_ok",

@@ -144,6 +144,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean PQ recall $mean too low at m=16,k=16")
   }
 
+  test("IVF-PQ: probes cells AND scores by codes; full probe equals plain PQ") {
+    val ivfM = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
+    val pqM = SimilarityOps.pqFit(candidates, "cvec", dim = 64, m = 16, k = 16)
+    val assigned = SimilarityOps.pqAssign(
+      SimilarityOps.ivfAssign(candidates, "cvec", ivfM), "cvec", pqM)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    // probing EVERY cell removes the IVF approximation: result must
+    // equal plain PQ over the full corpus (same codes, same ADC scores)
+    val full = ids(SimilarityOps.ivfPqTopK(queries, assigned, ivfM, pqM,
+      k = 10, nProbe = 8))
+    val pqOnly = ids(SimilarityOps.pqTopK(queries,
+      SimilarityOps.pqAssign(candidates, "cvec", pqM), pqM, k = 10))
+    assert(full == pqOnly)
+    // partial probe returns a subset-quality result that still finds self
+    val part = ids(SimilarityOps.ivfPqTopK(queries, assigned, ivfM, pqM,
+      k = 10, nProbe = 3))
+    assert(part.forall { case (q, cs) => cs.contains(q) })
+  }
+
   test("ivfFit once + ivfTopKWithModel many: no iterative ML jobs at query time") {
     val model = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
     assert(model.nCentroids == 8)
