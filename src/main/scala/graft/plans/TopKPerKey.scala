@@ -58,6 +58,14 @@ object TopKPerKey {
     * small enough to fail before the executor does). */
   val defaultMaxBufferedRows = 8L * 1024 * 1024
 
+  /** Conf toggling the two-phase plan (partial map-side heap below the
+    * exchange). On by default: without it the FULL scored input shuffles
+    * before the final heap runs — for ANN keys that is corpus × queries
+    * rows over the wire, where the partial phase caps each map task's
+    * contribution at keys × k rows. Off = the round-5 single-phase plan
+    * (useful for A/B and as a fallback). */
+  val twoPhaseKey = "spark.graft.topk.twoPhase"
+
   def strategy(spark: SparkSession): SparkStrategy = new TopKPerKeyStrategy
 
   class TopKPerKeyStrategy extends SparkStrategy {
@@ -71,7 +79,37 @@ object TopKPerKey {
         val rn = alias.toAttribute
         limitFor(cond, rn) match {
           case Some(k) if k >= 0 && k <= maxK && order.nonEmpty =>
-            TopKPerKeyExec(k, part, order, rn, planLater(child)) :: Nil
+            val twoPhase = org.apache.spark.sql.internal.SQLConf.get
+              .getConfString(twoPhaseKey, "true").toBoolean
+            // Spark's InferWindowGroupLimit may already have inserted a
+            // logical WindowGroupLimit below the Window (the sort-based
+            // partial/final group-limit pair). Our heap pair replaces it
+            // wholesale — keeping it would stack a FULL LOCAL SORT under
+            // the heap partial. Strip it when it is the same (part,
+            // order, row_number, k) limit this filter produced; the heap
+            // retains exactly the rows it would have kept.
+            val realChild = child match {
+              case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+                if wgl.rankLikeFunction.isInstanceOf[RowNumber] &&
+                  wgl.limit >= k &&
+                  wgl.partitionSpec.length == part.length &&
+                  wgl.partitionSpec.zip(part).forall { case (a, b) => a.semanticEquals(b) } &&
+                  wgl.orderSpec.length == order.length &&
+                  wgl.orderSpec.zip(order).forall { case (a, b) => a.semanticEquals(b) } =>
+                wgl.child
+              case other => other
+            }
+            val base = planLater(realChild)
+            // Partial phase: same bounded heap on the child's NATIVE
+            // partitioning, emitting ≤ keys × k rows per task. The final
+            // exec's ClusteredDistribution requirement makes
+            // EnsureRequirements insert the Exchange BETWEEN them, so the
+            // shuffle moves the partial's bounded output instead of the
+            // full scored input — the per-key sibling of
+            // TakeOrderedAndProject's local/global split (and of
+            // partial/final aggregation).
+            val input = if (twoPhase) TopKPerKeyPartialExec(k, part, order, base) else base
+            TopKPerKeyExec(k, part, order, rn, input) :: Nil
           case _ => Nil
         }
       case _ => Nil
@@ -101,6 +139,62 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ strategy(spark)
     }
+
+  /** Shared per-partition heap builder for the partial and final phases:
+    * one bounded max-heap (under the sort order; head = current worst of
+    * the k kept) per key. O(n log k) work, O(keys × k) retained rows,
+    * guarded by the per-task row budget. Static on the companion so the
+    * task closure captures no operator state. */
+  private[plans] def buildHeaps(
+      iter: Iterator[InternalRow],
+      k: Int,
+      partExprs: Seq[Expression],
+      orderSpec: Seq[SortOrder],
+      childOutput: Seq[Attribute],
+      maxBuffered: Long)
+      : scala.collection.mutable.LinkedHashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]] = {
+    val keyProj = UnsafeProjection.create(partExprs, childOutput)
+    val ord = RowOrdering.create(orderSpec, childOutput)
+    val heapOrd: Ordering[InternalRow] = (a, b) => ord.compare(a, b)
+    val heaps = scala.collection.mutable.LinkedHashMap
+      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+    var buffered = 0L // rows currently held across all heaps
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      // copy the key ONLY on first sight — getOrElseUpdate would
+      // allocate a copy per row on the (dominant) hit path
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
+          heaps.put(key.copy(), h)
+          h
+      }
+      if (heap.size < k) {
+        buffered += 1
+        if (buffered > maxBuffered) {
+          throw new IllegalStateException(
+            s"TopKPerKeyExec: task buffered > $maxBuffered rows " +
+              s"(${heaps.size} keys × k=$k; ${TopKPerKey.maxBufferedRowsKey}). " +
+              "Key cardinality is too high for the non-spilling bounded-heap " +
+              "operator. Raise the budget, repartition to more tasks, or fall " +
+              "back to the spilling sort-based window plan by disabling the " +
+              "rewrite (drop GraftExtensions / clear experimental strategies).")
+        }
+        heap.enqueue(row.copy())
+      } else if (ord.compare(row, heap.head) < 0) {
+        heap.dequeue(); heap.enqueue(row.copy())
+      }
+    }
+    heaps
+  }
+
+  /** The per-task row budget, read on the driver at execution time so
+    * tests/users can tune it per-session. */
+  private[plans] def maxBufferedRows: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(maxBufferedRowsKey, defaultMaxBufferedRows.toString).toLong
 }
 
 case class TopKPerKeyExec(
@@ -129,49 +223,12 @@ case class TopKPerKeyExec(
     val orderLocal = orderSpec
     val childOutput = child.output
     val outputLocal = output
-    // read on the driver at execution time so tests/users can tune it
-    // per-session; captured into the task closure as a plain long
-    val maxBuffered = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString(TopKPerKey.maxBufferedRowsKey,
-        TopKPerKey.defaultMaxBufferedRows.toString).toLong
+    val maxBuffered = TopKPerKey.maxBufferedRows
     child.execute().mapPartitions { iter =>
       if (kLocal == 0) Iterator.empty
       else {
-        val keyProj = UnsafeProjection.create(partLocal, childOutput)
-        val ord = RowOrdering.create(orderLocal, childOutput)
-        // max-heap under the sort order: head = current worst of the k kept
-        val heapOrd: Ordering[InternalRow] = (a, b) => ord.compare(a, b)
-        val heaps = scala.collection.mutable.LinkedHashMap
-          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-        var buffered = 0L // rows currently held across all heaps
-        while (iter.hasNext) {
-          val row = iter.next()
-          val key = keyProj(row)
-          // copy the key ONLY on first sight — getOrElseUpdate would
-          // allocate a copy per row on the (dominant) hit path
-          val heap = heaps.get(key) match {
-            case Some(h) => h
-            case None =>
-              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
-              heaps.put(key.copy(), h)
-              h
-          }
-          if (heap.size < kLocal) {
-            buffered += 1
-            if (buffered > maxBuffered) {
-              throw new IllegalStateException(
-                s"TopKPerKeyExec: task buffered > $maxBuffered rows " +
-                  s"(${heaps.size} keys × k=$kLocal; ${TopKPerKey.maxBufferedRowsKey}). " +
-                  "Key cardinality is too high for the non-spilling bounded-heap " +
-                  "operator. Raise the budget, repartition to more tasks, or fall " +
-                  "back to the spilling sort-based window plan by disabling the " +
-                  "rewrite (drop GraftExtensions / clear experimental strategies).")
-            }
-            heap.enqueue(row.copy())
-          } else if (ord.compare(row, heap.head) < 0) {
-            heap.dequeue(); heap.enqueue(row.copy())
-          }
-        }
+        val heaps = TopKPerKey.buildHeaps(
+          iter, kLocal, partLocal, orderLocal, childOutput, maxBuffered)
         val outProj = UnsafeProjection.create(outputLocal, outputLocal)
         val joined = new JoinedRow
         val rnRow = new GenericInternalRow(1)
@@ -187,5 +244,62 @@ case class TopKPerKeyExec(
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Map-side phase of the two-phase top-k: the SAME bounded heap run on
+  * the child's NATIVE partitioning (no required distribution), emitting
+  * the ≤ keys × k surviving rows per task — no row number yet, since a
+  * key's rows are still scattered across tasks. Placed below the final
+  * [[TopKPerKeyExec]] by the strategy; EnsureRequirements inserts the
+  * Exchange between them, so the shuffle carries this operator's bounded
+  * output instead of the full scored input (for the ANN keys: mappers ×
+  * queries × k rows instead of corpus × queries rows).
+  *
+  * Correct because per-key top-k under the total sort order is
+  * decomposable: every row in a key's global top-k is also in that key's
+  * top-k within its own task (it faces a subset of the competition), so
+  * the union of per-task survivors always contains the global answer.
+  * Ties are broken arbitrarily — the same nondeterminism class as
+  * `row_number` itself over a non-total order.
+  */
+case class TopKPerKeyPartialExec(
+    k: Int,
+    partExprs: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // purely local: rows neither move nor change schema
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val partLocal = partExprs
+    val orderLocal = orderSpec
+    val childOutput = child.output
+    val maxBuffered = TopKPerKey.maxBufferedRows
+    val numOutputRows = longMetric("numOutputRows")
+    child.execute().mapPartitions { iter =>
+      if (kLocal == 0) Iterator.empty
+      else {
+        val heaps = TopKPerKey.buildHeaps(
+          iter, kLocal, partLocal, orderLocal, childOutput, maxBuffered)
+        // emission order within a key is irrelevant — the final phase
+        // re-heaps; project to UnsafeRow for the shuffle writer
+        val outProj = UnsafeProjection.create(childOutput, childOutput)
+        heaps.iterator.flatMap { case (_, heap) =>
+          heap.iterator.map { row => numOutputRows += 1; outProj(row) }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
     copy(child = newChild)
 }

@@ -71,6 +71,46 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == Set((Some("a"), 1, 1), (None, 3, 1), (None, 4, 2)))
   }
 
+  test("two-phase: the Exchange input is the partial operator's bounded output") {
+    // a no-AQE session so the physical tree is inspectable directly
+    val s2 = graft.SparkSpec.session.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    TopKPerKey.register(s2)
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000)
+      .map(i => (s"g${rnd.nextInt(20)}", rnd.nextInt(1000), i))
+      .toDF("g", "v", "id").repartition(8)
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    val topk = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+
+    val plan = topk.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val partialFed = exchanges.filter(_.child.isInstanceOf[TopKPerKeyPartialExec])
+    assert(partialFed.nonEmpty,
+      s"expected Exchange fed by TopKPerKeyPartialExec:\n$plan")
+    val partial = partialFed.head.child.asInstanceOf[TopKPerKeyPartialExec]
+
+    // collect() runs THIS queryExecution (count() would build a new one
+    // whose partial node carries its own metric)
+    assert(topk.collect().length == 20 * 5)
+    // boundedness: each of the 8 map tasks emits ≤ 20 keys × k=5 rows,
+    // so the shuffle moves ≤ 800 rows instead of the 5000 scored rows
+    val emitted = partial.metrics("numOutputRows").value
+    assert(emitted > 0 && emitted <= 8L * 20 * 5, s"partial emitted $emitted")
+
+    // single-phase fallback conf: no partial operator in the plan
+    s2.conf.set(TopKPerKey.twoPhaseKey, "false")
+    try {
+      val single = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      val sPlan = single.queryExecution.executedPlan
+      assert(sPlan.collect { case p: TopKPerKeyPartialExec => p }.isEmpty)
+      assert(single.count() == 20 * 5)
+    } finally s2.conf.unset(TopKPerKey.twoPhaseKey)
+  }
+
   test("non-rewritable shapes fall back to the window plan") {
     import spark.implicits._
     val df = Seq(("a", 1, 1), ("a", 2, 2)).toDF("k", "v", "id")
