@@ -12,17 +12,23 @@ import org.apache.spark.sql.types._
   *
   * Shape of the algorithm (Sennrich et al. 2016, the public BPE):
   *
-  *  - TRAIN ([[bpeFit]]) runs on the aggregated (word, count) table —
-  *    |vocab| rows, NOT the corpus — exactly like any in-memory BPE
-  *    trainer; Spark holds the table so a 10⁹-word web-corpus vocab
-  *    still fits. Each round counts adjacent symbol pairs (weighted by
-  *    word count), merges the (count DESC, pair ASC) argmax — the tie
-  *    break makes training bit-deterministic — and rewrites symbols
-  *    with a leftmost-first fold. One small aggregation job per round;
-  *    `localCheckpoint` truncates lineage so round R never replans
-  *    rounds 1..R-1. The merge LIST (≤ numMerges entries) is the whole
-  *    driver-side model, mirroring [[SimilarityOps.IvfModel]]'s
-  *    offline-fit contract.
+  *  - TRAIN ([[bpeFit]]) runs ONE corpus-scale Spark job — the
+  *    (word, count) aggregation — then collects the bounded
+  *    POST-AGGREGATION vocab to the driver (explicit row budget, loud
+  *    failure) and trains in memory with the classic incremental
+  *    pair-count algorithm: a pair's count only changes for words that
+  *    contain the merged pair, so each round touches the affected words
+  *    instead of the whole vocab. That makes trainer-realistic merge
+  *    counts (30k–50k) feasible — the previous all-Spark loop ran one
+  *    sequential driver round-trip job PER MERGE, which is fine at 24
+  *    merges and unusable at 30k. Same contract as
+  *    [[SimilarityOps.pqFit]]/`ivfFit`: the collect is on an aggregated
+  *    model-sized table, never the corpus; the merge LIST (≤ numMerges
+  *    entries) is the whole driver-side model. Each round merges the
+  *    (count DESC, pair ASC by UTF-8 bytes) argmax — the tie break
+  *    makes training bit-deterministic and matches Spark's UTF8String
+  *    ordering the old in-plan trainer used — and rewrites symbols with
+  *    the same leftmost-first fold the encode replay applies.
   *
   *  - ENCODE ([[wordPieces]] + [[bpeEncode]]) never iterates per token:
   *    the merge list replays as ONE nested column expression over the
@@ -53,47 +59,145 @@ object BpeOps {
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => mergeOnce(c, a, b) }
 
+  /** Default driver-side vocab budget for [[bpeFit]]: 2M distinct
+    * post-`minCount` words ≈ low hundreds of MB of trainer state —
+    * comfortable on any driver, loud long before it isn't. */
+  val defaultMaxVocabRows = 2000000
+
   /** TRAIN: learn up to `numMerges` merges from `df`'s corpus. Words
     * below `minCount` don't vote (rare-word noise); training stops
     * early when the best pair's weighted count is < 2 (nothing left to
-    * compress). Returns the ordered merge list — apply-order matters. */
+    * compress). Returns the ordered merge list — apply-order matters.
+    *
+    * One corpus-scale aggregation job; the distinct (word, count) vocab
+    * then crosses to the driver. `maxVocabRows` bounds that collect: a
+    * vocab over budget fails fast with a diagnostic instead of silently
+    * OOMing the driver — raise `minCount` (the standard trainer knob) or
+    * the budget itself. */
   def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 1L): Seq[(String, String)] = {
+      minCount: Long = 1L, maxVocabRows: Int = defaultMaxVocabRows): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxVocabRows >= 1 && maxVocabRows < Int.MaxValue,
+      s"maxVocabRows must be in [1, ${Int.MaxValue - 1}], got $maxVocabRows")
     val words = df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    // post-aggregation vocab is small; a handful of partitions keeps the
-    // per-round jobs cheap without serializing them onto one core
-    var syms = words.withColumn("syms", split(col("word"), ""))
-      .coalesce(4).localCheckpoint()
+    // limit(budget + 1): at most budget+1 rows ever materialize, so the
+    // over-budget case is detected WITHOUT collecting the whole table
+    val rows = words.limit(maxVocabRows + 1).collect()
+    if (rows.length > maxVocabRows) {
+      throw new IllegalStateException(
+        s"BpeOps.bpeFit: distinct-word vocab exceeds maxVocabRows=$maxVocabRows " +
+          s"(minCount=$minCount). The trainer collects the POST-AGGREGATION " +
+          "(word, count) table to the driver; an over-budget vocab would risk " +
+          "driver memory. Raise minCount to shrink the voting vocab (the " +
+          "standard BPE knob) or pass a larger maxVocabRows explicitly.")
+    }
+    trainInMemory(rows.map(r => (r.getString(0), r.getLong(1))), numMerges)
+  }
+
+  /** Unsigned lexicographic comparison of UTF-8 bytes — Spark's
+    * UTF8String ordering, so the in-memory tie-break matches what the
+    * previous in-plan `orderBy(a, b)` produced. Differs from Java
+    * String ordering only beyond the BMP, but determinism must not
+    * depend on corpus content. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Driver-side leftmost-first single-merge rewrite — the exact
+    * in-memory twin of [[mergeOnce]]'s fold (a fresh merge result never
+    * re-pairs with the following symbol in the same round). */
+  private def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      val s = syms(i)
+      if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+      else out += s
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Classic incremental BPE trainer over the collected (word, count)
+    * vocab. State: pair → weighted count, pair → indices of words that
+    * (at some point) contained it. Each round scans the pair-count map
+    * for the (count DESC, pair ASC) argmax, then recounts ONLY the
+    * words holding the winning pair — O(affected words × word length)
+    * per round, the structure that makes 30k–50k merges tractable. */
+  private[ops] def trainInMemory(
+      vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    val syms = vocab.map { case (w, _) => w.split("").filter(_.nonEmpty) }.toArray
+    val cnts = vocab.map(_._2).toArray
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    def forEachPair(i: Int)(f: ((String, String)) => Unit): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j + 1 < s.length) { f((s(j), s(j + 1))); j += 1 }
+    }
+    var i = 0
+    while (i < syms.length) {
+      val c = cnts(i); val idx = i
+      forEachPair(i) { p =>
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += idx
+      }
+      i += 1
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < numMerges && !done) {
-      val top = syms.filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(0), size(col("syms")) - 2),
-          j => struct(
-            element_at(col("syms"), j + 1).as("a"),
-            element_at(col("syms"), j + 2).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .take(1) // bounded: exactly one argmax row crosses to the driver
-      top.headOption.filter(_.getLong(2) >= 2L) match {
-        case None => done = true
-        case Some(r) =>
-          val (a, b) = (r.getString(0), r.getString(1))
-          merges += ((a, b))
-          val prev = syms
-          syms = syms.withColumn("syms", mergeOnce(col("syms"), a, b))
-            .localCheckpoint()
-          prev.unpersist()
+      var best: (String, String) = null
+      var bestN = 1L // best must be >= 2: strictly greater than this floor
+      pairCounts.foreach { case (p, n) =>
+        if (n > bestN || (n == bestN && best != null && {
+          val ca = utf8Compare(p._1, best._1)
+          ca < 0 || (ca == 0 && utf8Compare(p._2, best._2) < 0)
+        })) { best = p; bestN = n }
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        merges += best
+        // recount only the words that held the winning pair; stale
+        // indices (words rewritten since they were registered) are
+        // filtered by re-checking adjacency before the rewrite
+        val affected = pairWords.getOrElse(best, scala.collection.mutable.BitSet.empty)
+        affected.foreach { w =>
+          val s = syms(w)
+          var has = false
+          var j = 0
+          while (!has && j + 1 < s.length) { has = s(j) == a && s(j + 1) == b; j += 1 }
+          if (has) {
+            val c = cnts(w)
+            forEachPair(w) { p =>
+              val n = pairCounts(p) - c
+              if (n <= 0L) pairCounts.remove(p) else pairCounts.update(p, n)
+            }
+            syms(w) = mergeWord(s, a, b)
+            forEachPair(w) { p =>
+              pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+              pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
+            }
+          }
+        }
+        pairWords.remove(best)
+        pairCounts.remove(best)
       }
     }
-    syms.unpersist()
     merges.toSeq
   }
 

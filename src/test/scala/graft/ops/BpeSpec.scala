@@ -45,6 +45,16 @@ class BpeSpec extends SparkSpec {
     assert(rows == Seq((9L, 4L, 14L), (10L, 2L, 5L)))
   }
 
+  test("over-budget vocab fails fast with the named knob, not a driver OOM") {
+    val e = intercept[IllegalStateException] {
+      BpeOps.bpeFit(corpus, "text", numMerges = 3, maxVocabRows = 2)
+    }
+    assert(e.getMessage.contains("maxVocabRows"), e.getMessage)
+    assert(e.getMessage.contains("minCount"), "diagnostic must name the standard knob")
+    // the same corpus under a sufficient budget trains normally
+    assert(BpeOps.bpeFit(corpus, "text", numMerges = 3, maxVocabRows = 10).nonEmpty)
+  }
+
   test("fit stops early when nothing is left to merge") {
     val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
     val merges = BpeOps.bpeFit(tiny, "text", numMerges = 10)
