@@ -2510,6 +2510,57 @@ object Catalog {
              |  CAST((cum - n_chars) // 4096 AS BIGINT) AS bin
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // Sequence packing under TRAINED subword budgets: same greedy offset
+    // binning as text_pack_bins, but the cost column is bpeEncode's
+    // n_bpe_tokens — whitespace counts under-budget real training
+    // sequences. The merge replay itself is not SQL-expressible, so the
+    // word→n_pieces encoder table (deterministic: memoized merges with
+    // bit-deterministic tie-breaks) is STAGED for the oracle, which
+    // independently recomputes tokenization, per-doc subword totals
+    // (incl. the char-count OOV fallback) and bin assignment from it —
+    // the scan_binaryfile staged-artifact precedent. The replay itself
+    // is contract-checked in text_token_count_bpe.
+    "text_pack_bins_bpe" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
+        val pieces = BpeOps.wordPieces(docs, "text", merges)
+        staged(d, "bpe_pieces") { dir =>
+          pieces.select(col("word"), col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
+        val withSrc = docs.select(col("doc_id"), col("source"))
+          .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+        SampleOps.packSequences(withSrc, "source", "doc_id", "n_bpe_tokens",
+          budget = 2048L)
+          .select(col("source"), col("doc_id"), col("n_bpe_tokens"), col("bin"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH pieces AS (
+             |  SELECT word, n_pieces FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
+             |toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             |  FROM documents),
+             |enc AS (
+             |  SELECT t.doc_id,
+             |    SUM(COALESCE(p.n_pieces, length(t.word))) AS n_bpe_tokens
+             |  FROM toks t LEFT JOIN pieces p USING (word)
+             |  WHERE length(t.word) > 0 GROUP BY t.doc_id),
+             |j AS (
+             |  SELECT d.source, d.doc_id, e.n_bpe_tokens
+             |  FROM documents d JOIN enc e USING (doc_id)),
+             |c AS (
+             |  SELECT source, doc_id, n_bpe_tokens,
+             |    SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM j)
+             |SELECT source, doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+             |  CAST((cum - n_bpe_tokens) // 2048 AS BIGINT) AS bin
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
     // Gopher-style composite quality rules (Rae et al. 2021 A1): per-doc
     // flags + AND'd keep. Integer counts and single IEEE divisions
     // throughout ⇒ fully ORACLED (179/500 keep at sf0.01; word-count and
