@@ -164,6 +164,12 @@ object MultimodalOps {
         else {
           val m = u8(pos + 1)
           if (m == 0xff) pos += 1 // fill byte before a marker
+          else if (m == 0xd9 || m == 0xda) done = true
+          // ^ EOI / SOS: a conforming stream has its SOF before SOS, so
+          // stopping here loses no valid parse — while walking PAST SOS
+          // would read entropy-coded scan data, where stuffed 0xFF bytes
+          // can masquerade as segments and a stray 0xFFCx pair would
+          // yield a bogus SOF (garbage dimensions) instead of None
           else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2 // standalone
           else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
             // SOF segment: len(2) precision(1) height(2) width(2) nComp(1)
@@ -236,6 +242,121 @@ object MultimodalOps {
     override def decode(payload: Array[Byte]): Option[AudioMeta] =
       parseWavHeader(payload)
   }
+
+  /** Parsed MP4 container structure — what a video pipeline filters and
+    * budgets on before paying for a demux/decode: duration =
+    * `duration / timescale` seconds, track count for audio-less clips. */
+  final case class VideoMeta(format: String, brand: String,
+      timescale: Long, duration: Long, nTracks: Int)
+
+  /** REAL MP4 (ISO BMFF) header decode, pure JVM: requires `ftyp` as the
+    * first top-level box (the brand check), then WALKS the top-level box
+    * list — 32-bit sizes, the 64-bit `size==1` largesize escape, and the
+    * `size==0` to-end-of-file form — to `moov`, and walks `moov`'s
+    * children for the `mvhd` movie header (version 0: 32-bit
+    * timescale/duration; version 1: 64-bit duration) counting `trak`
+    * boxes on the way. Returns None for truncated payloads, non-MP4
+    * bytes, malformed box sizes, or an unknown mvhd version — corrupt
+    * inputs become NULL metadata rows to filter, never task failures.
+    * Same codec seam as [[parseImageHeader]]/[[parseWavHeader]]. */
+  def parseVideoHeader(b: Array[Byte]): Option[VideoMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    // (boxStart, payloadStart, boxEnd) for the box at `pos`, or None on
+    // a malformed size / truncated header
+    def box(pos: Long, limit: Long): Option[(Long, Long, Long)] = {
+      if (pos + 8 > limit) None
+      else {
+        val p = pos.toInt
+        val size32 = be32(p)
+        if (size32 == 0L) Some((pos, pos + 8, limit)) // box runs to EOF
+        else if (size32 == 1L) {
+          if (pos + 16 > limit) None
+          else {
+            val size64 = be64(p + 8)
+            if (size64 < 16 || pos + size64 > limit) None
+            else Some((pos, pos + 16, pos + size64))
+          }
+        } else if (size32 < 8 || pos + size32 > limit) None
+        else Some((pos, pos + 8, pos + size32))
+      }
+    }
+    if (b.length < 16) None
+    else box(0L, b.length.toLong) match {
+      case Some((s0, p0, e0)) if tag(s0.toInt + 4) == "ftyp" && p0 + 4 <= e0 =>
+        val brand = tag(p0.toInt)
+        // walk the remaining top-level boxes to moov
+        var pos = e0
+        var moov = Option.empty[(Long, Long)] // payload start/end
+        var corrupt = false
+        while (moov.isEmpty && !corrupt && pos + 8 <= b.length) {
+          box(pos, b.length.toLong) match {
+            case Some((s, p, e)) =>
+              if (tag(s.toInt + 4) == "moov") moov = Some((p, e))
+              pos = e
+            case None => corrupt = true
+          }
+        }
+        moov.flatMap { case (mStart, mEnd) =>
+          var cpos = mStart
+          var mvhd = Option.empty[(Long, Long)] // timescale, duration
+          var bad = false
+          var nTracks = 0
+          while (!bad && cpos + 8 <= mEnd) {
+            box(cpos, mEnd) match {
+              case Some((s, p, e)) =>
+                tag(s.toInt + 4) match {
+                  case "mvhd" if p < e =>
+                    val v = u8(p.toInt)
+                    // v0: ctime(4) mtime(4) ts(4) dur(4); v1: 8/8/4/8
+                    if (v == 0 && p + 4 + 16 <= e)
+                      mvhd = Some((be32(p.toInt + 12), be32(p.toInt + 16)))
+                    else if (v == 1 && p + 4 + 28 <= e)
+                      mvhd = Some((be32(p.toInt + 20), be64(p.toInt + 24)))
+                    else bad = true
+                  case "trak" => nTracks += 1
+                  case _ => ()
+                }
+                cpos = e
+              case None => bad = true
+            }
+          }
+          if (bad) None
+          else mvhd.map { case (ts, dur) =>
+            VideoMeta("mp4", brand, ts, dur, nTracks)
+          }
+        }
+      case _ => None
+    }
+  }
+
+  object VideoHeaderCodec extends Codec[Option[VideoMeta]] {
+    override def decode(payload: Array[Byte]): Option[VideoMeta] =
+      parseVideoHeader(payload)
+  }
+
+  /** Append parsed MP4 metadata columns (`format, brand, timescale,
+    * duration, n_tracks`; all NULL for unparseable payloads) — the video
+    * twin of [[imageMeta]]/[[audioMeta]], same per-partition codec
+    * lifecycle. */
+  def videoMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    decodePartitions(df, bytesCol,
+      new StructType()
+        .add("format", StringType)
+        .add("brand", StringType)
+        .add("timescale", LongType)
+        .add("duration", LongType)
+        .add("n_tracks", IntegerType),
+      () => VideoHeaderCodec) { (r, m) =>
+      Row.fromSeq(r.toSeq ++ (m match {
+        case Some(v) => Seq(v.format, v.brand, v.timescale, v.duration, v.nTracks)
+        case None => Seq(null, null, null, null, null)
+      }))
+    }
 
   /** Append parsed WAV metadata columns (`format, audio_fmt, channels,
     * sample_rate, bit_depth, n_frames`; all NULL for unparseable

@@ -1816,6 +1816,113 @@ object Catalog {
              |FROM f JOIN fmtc USING (media_id) JOIN dat USING (media_id)
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL MP4-header decode over REAL container bytes — the video leg
+    // completing the image/audio/video modality set behind the same
+    // codec seam. Staging builds deterministic ISO BMFF box structures
+    // (ftyp brand ++ optional free ++ moov(mvhd v0/v1 + traks + udta) ++
+    // mdat; layouts VARY by id so fixed offsets cannot pass), binaryFile
+    // reads them back, and MultimodalOps.videoMeta walks top-level boxes
+    // to moov and moov's children to mvhd. Fully ORACLED the strong way:
+    // DuckDB re-walks the SAME staged bytes with a recursive-CTE box walk
+    // over big-endian blob arithmetic, including the mvhd v0/v1 split —
+    // nothing is compared to the staging formula. Staged-path literal:
+    // sf0.01 contract as scan_binaryfile.
+    "multimodal_video_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "video") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          def be32(v: Long): Array[Byte] = Array(
+            ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+          def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+          def bx(tag: String, payload: Array[Byte]): Array[Byte] =
+            be32(8L + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+          (0 until 24).foreach { id =>
+            val brand = Seq("isom", "mp42", "avc1")(id % 3)
+            val ts = 600L + 100L * id
+            val dur = 1000L + 997L * id
+            val mvhd =
+              if (id % 2 == 0)
+                bx("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+                  be32(ts) ++ be32(dur) ++ Array.fill[Byte](80)(0))
+              else
+                bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+                  be32(ts) ++ be64(dur) ++ Array.fill[Byte](76)(0))
+            val traks = (0 until (1 + id % 3)).map(tIdx =>
+              bx("trak", bx("tkhd", Array.fill[Byte](84)((tIdx + id).toByte))))
+              .reduce(_ ++ _)
+            val udta =
+              if (id % 5 == 0) bx("udta", Array.fill[Byte](4 + id % 7)(7))
+              else Array.empty[Byte]
+            val ftyp = bx("ftyp",
+              brand.getBytes("US-ASCII") ++ be32(0x200) ++ "isom".getBytes("US-ASCII"))
+            val free =
+              if (id % 4 == 0) bx("free", Array.fill[Byte](6)(0))
+              else Array.empty[Byte]
+            val mdat = bx("mdat", Array.fill[Byte](32 + id)((id * 3).toByte))
+            java.nio.file.Files.write(
+              new java.io.File(base, f"vid_$id%03d.mp4").toPath,
+              ftyp ++ free ++ bx("moov", mvhd ++ traks ++ udta) ++ mdat)
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.mp4")
+          .select(
+            regexp_extract(col("path"), "vid_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.videoMeta(files, "bytes")
+          .select(col("media_id"), col("format"), col("brand"),
+            col("timescale"), col("duration"), col("n_tracks"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT regexp_extract(filename, 'vid_(\d+)', 1)::BIGINT AS media_id,
+             |    hex(content) AS h, octet_length(content) AS len,
+             |    decode(unhex(substr(hex(content), 17, 8))) AS brand
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/video/vid_*.mp4')
+             |  WHERE substr(hex(content), 9, 8) = '66747970'),
+             |top(media_id, p) AS (
+             |  SELECT media_id, 0 FROM f
+             |  UNION ALL
+             |  SELECT t.media_id, t.p + ('0x' || substr(f.h, 2*t.p + 1, 8))::BIGINT
+             |  FROM top t JOIN f ON f.media_id = t.media_id
+             |  WHERE t.p + ('0x' || substr(f.h, 2*t.p + 1, 8))::BIGINT < f.len),
+             |moov AS (
+             |  SELECT t.media_id, t.p AS mp,
+             |    t.p + ('0x' || substr(f.h, 2*t.p + 1, 8))::BIGINT AS mend
+             |  FROM top t JOIN f ON f.media_id = t.media_id
+             |  WHERE substr(f.h, 2*(t.p + 4) + 1, 8) = '6D6F6F76'),
+             |child(media_id, q, mend) AS (
+             |  SELECT media_id, mp + 8, mend FROM moov
+             |  UNION ALL
+             |  SELECT c.media_id, c.q + ('0x' || substr(f.h, 2*c.q + 1, 8))::BIGINT, c.mend
+             |  FROM child c JOIN f ON f.media_id = c.media_id
+             |  WHERE c.q + ('0x' || substr(f.h, 2*c.q + 1, 8))::BIGINT < c.mend),
+             |mvhd AS (
+             |  SELECT c.media_id,
+             |    CASE WHEN substr(f.h, 2*(c.q + 8) + 1, 2) = '00'
+             |      THEN ('0x' || substr(f.h, 2*(c.q + 20) + 1, 8))::BIGINT
+             |      ELSE ('0x' || substr(f.h, 2*(c.q + 28) + 1, 8))::BIGINT
+             |    END AS timescale,
+             |    CASE WHEN substr(f.h, 2*(c.q + 8) + 1, 2) = '00'
+             |      THEN ('0x' || substr(f.h, 2*(c.q + 24) + 1, 8))::BIGINT
+             |      ELSE ('0x' || substr(f.h, 2*(c.q + 32) + 1, 16))::BIGINT
+             |    END AS duration
+             |  FROM child c JOIN f ON f.media_id = c.media_id
+             |  WHERE substr(f.h, 2*(c.q + 4) + 1, 8) = '6D766864'),
+             |tracks AS (
+             |  SELECT c.media_id,
+             |    SUM(CASE WHEN substr(f.h, 2*(c.q + 4) + 1, 8) = '7472616B'
+             |      THEN 1 ELSE 0 END) AS n_tracks
+             |  FROM child c JOIN f ON f.media_id = c.media_id
+             |  GROUP BY c.media_id)
+             |SELECT f.media_id, 'mp4' AS format, f.brand,
+             |  v.timescale, v.duration, CAST(t.n_tracks AS INTEGER) AS n_tracks
+             |FROM f JOIN mvhd v USING (media_id) JOIN tracks t USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
+
     // Exact-substring span REMOVAL (the acting half of dedup_span_stats):
     // drop every token covered by a >1-occurrence 5-gram instance,
     // rebuild docs from surviving tokens, drop docs that lose everything.

@@ -177,6 +177,107 @@ class MultimodalSpec extends SparkSpec {
       ("RIFF" + " " * 4 + "WAVE" + " " * 32).getBytes("ISO-8859-1")).isEmpty)
   }
 
+  // minimal ISO BMFF builders for the MP4 tests
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def bx(tag: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+  private def ftyp(brand: String = "isom") =
+    bx("ftyp", brand.getBytes("US-ASCII") ++ be32(0x200) ++ "isom".getBytes("US-ASCII"))
+  private def mvhdV0(ts: Long, dur: Long) =
+    bx("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(ts) ++ be32(dur) ++ Array.fill[Byte](80)(0))
+  private def mvhdV1(ts: Long, dur: Long) =
+    bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(ts) ++ be64(dur) ++ Array.fill[Byte](76)(0))
+  private def trak = bx("trak", bx("tkhd", Array.fill[Byte](84)(0)))
+
+  test("parseVideoHeader walks ftyp/moov/mvhd for both mvhd versions") {
+    val v0 = ftyp("mp42") ++ bx("moov", mvhdV0(600, 12345) ++ trak ++ trak) ++
+      bx("mdat", Array.fill[Byte](50)(3))
+    assert(MultimodalOps.parseVideoHeader(v0)
+      .contains(MultimodalOps.VideoMeta("mp4", "mp42", 600L, 12345L, 2)))
+    // v1: 64-bit duration beyond the 32-bit range, moov AFTER mdat, a
+    // free box in between — the walk must skip, not assume layout
+    val bigDur = (1L << 33) + 7
+    val v1 = ftyp("avc1") ++ bx("mdat", Array.fill[Byte](20)(1)) ++
+      bx("free", Array.fill[Byte](6)(0)) ++
+      bx("moov", bx("udta", Array.fill[Byte](5)(9)) ++ mvhdV1(90000, bigDur) ++ trak)
+    assert(MultimodalOps.parseVideoHeader(v1)
+      .contains(MultimodalOps.VideoMeta("mp4", "avc1", 90000L, bigDur, 1)))
+  }
+
+  test("parseVideoHeader handles largesize and to-EOF box forms") {
+    // mdat with the size==1 64-bit largesize escape before moov
+    val payload = Array.fill[Byte](30)(5)
+    val largeMdat = be32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      be64(16L + payload.length) ++ payload
+    val withLarge = ftyp() ++ largeMdat ++ bx("moov", mvhdV0(1000, 777) ++ trak)
+    assert(MultimodalOps.parseVideoHeader(withLarge)
+      .contains(MultimodalOps.VideoMeta("mp4", "isom", 1000L, 777L, 1)))
+    // trailing size==0 box (runs to EOF) after moov must not break the walk
+    val toEof = ftyp() ++ bx("moov", mvhdV0(24, 48) ++ trak) ++
+      (be32(0L) ++ "mdat".getBytes("US-ASCII") ++ Array.fill[Byte](9)(2))
+    assert(MultimodalOps.parseVideoHeader(toEof)
+      .contains(MultimodalOps.VideoMeta("mp4", "isom", 24L, 48L, 1)))
+  }
+
+  test("parseVideoHeader returns None on corrupt or non-MP4 payloads") {
+    assert(MultimodalOps.parseVideoHeader("not a video at all".getBytes).isEmpty)
+    assert(MultimodalOps.parseVideoHeader(Array[Byte]()).isEmpty)
+    // no ftyp first
+    assert(MultimodalOps.parseVideoHeader(
+      bx("moov", mvhdV0(600, 1)) ++ bx("mdat", Array[Byte](1))).isEmpty)
+    // ftyp but no moov
+    assert(MultimodalOps.parseVideoHeader(
+      ftyp() ++ bx("mdat", Array.fill[Byte](8)(1))).isEmpty)
+    // moov but no mvhd
+    assert(MultimodalOps.parseVideoHeader(ftyp() ++ bx("moov", trak)).isEmpty)
+    // malformed child size inside moov (size < 8)
+    val badChild = ftyp() ++ bx("moov",
+      be32(3L) ++ "mvhd".getBytes("US-ASCII") ++ Array.fill[Byte](20)(0))
+    assert(MultimodalOps.parseVideoHeader(badChild).isEmpty)
+    // unknown mvhd version
+    val badVer = ftyp() ++ bx("moov",
+      bx("mvhd", Array[Byte](9, 0, 0, 0) ++ Array.fill[Byte](96)(0)))
+    assert(MultimodalOps.parseVideoHeader(badVer).isEmpty)
+    // truncated mid-box
+    val v0 = ftyp() ++ bx("moov", mvhdV0(600, 12345) ++ trak)
+    assert(MultimodalOps.parseVideoHeader(v0.take(v0.length - 40)).isEmpty)
+  }
+
+  test("videoMeta appends parsed columns, NULLs for unparseable rows") {
+    val good = ftyp("mp42") ++ bx("moov", mvhdV0(600, 3000) ++ trak)
+    val rows = Seq((1L, good), (2L, "junk junk junk junk".getBytes))
+      .toDF("media_id", "bytes")
+    val out = MultimodalOps.videoMeta(rows, "bytes")
+      .select($"media_id", $"format", $"brand", $"timescale", $"duration", $"n_tracks")
+      .collect().map(r => r.getLong(0) -> (1 until 6).map(i => Option(r.get(i)))).toMap
+    assert(out(1L) == Seq(Some("mp4"), Some("mp42"), Some(600L), Some(3000L), Some(1)))
+    assert(out(2L) == Seq(None, None, None, None, None))
+    val plan = MultimodalOps.videoMeta(rows, "bytes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
+  }
+
+  test("JPEG walk stops at SOS/EOI: entropy-coded bytes cannot fake a SOF") {
+    // SOI, APP0, then SOS with entropy data containing a 0xFFC0-looking
+    // pair — the old walk would misread it as a SOF and return garbage
+    val evil = Array(
+      0xff, 0xd8,             // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0 (len 4)
+      0xff, 0xda, 0x00, 0x04, 0x00, 0x00, // SOS (len 4): scan data follows
+      0x12, 0x34, 0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x10, 0x00, 0x10, 0x03
+    ).map(_.toByte)
+    assert(MultimodalOps.parseImageHeader(evil).isEmpty)
+    // EOI before any SOF likewise terminates cleanly
+    val eoiFirst = Array(0xff, 0xd8, 0xff, 0xd9, 0xff, 0xc0, 0x00, 0x11, 0x08,
+      0x00, 0x10, 0x00, 0x10, 0x03).map(_.toByte)
+    assert(MultimodalOps.parseImageHeader(eoiFirst).isEmpty)
+  }
+
   test("sampleFrames fans each media row out to its frame indices") {
     val media = MultimodalOps.attachFakeMedia(docs, "doc_id", "text")
     val frames = MultimodalOps.sampleFrames(media, everyK = 2)
