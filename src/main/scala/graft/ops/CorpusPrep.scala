@@ -53,6 +53,11 @@ object CorpusPrep {
       // keep the candidate set ∝ duplication (45k pairs, same survivors)
       jaccardThreshold: Double = 0.3, numHashes: Int = 64, bands: Int = 64,
       shingleN: Int = 3,
+      // canonicalize signature text (NFKC + casefold + whitespace
+      // collapse) before the fuzzy tier, so encoding-form variants of
+      // the same document dedup instead of escaping — see
+      // DedupOps.fuzzyDedupE2E's normalize seam
+      normalize: Boolean = true,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val slim = df.select(col(idCol), col(textCol))
@@ -81,7 +86,7 @@ object CorpusPrep {
       Seq(idCol), "left_semi")
       .localCheckpoint()
     val survivors = DedupOps.fuzzyDedupE2E(lmKept, idCol, textCol,
-      jaccardThreshold, numHashes, bands, shingleN)
+      jaccardThreshold, numHashes, bands, shingleN, normalize = normalize)
     SampleOps.assignSplits(survivors, idCol, splits)
   }
 }

@@ -958,11 +958,23 @@ object DedupOps {
       threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       maxBucketPairs: Long = DefaultMaxBucketPairs,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      normalize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     graft.expressions.GraftFunctions.register(df.sparkSession)
-    val cand = minhashCandidatePairs(df, idCol, textCol, numHashes, bands,
+    // `normalize` canonicalizes the SIGNATURE text (NFKC + casefold +
+    // whitespace collapse, TextOps.normalizeForDedup) before shingling —
+    // applied consistently to the LSH side AND the confirm side below,
+    // so visually-identical NBSP/full-width/ligature variants collide
+    // instead of escaping every tier. Output rows keep the ORIGINAL
+    // text: normalization decides which rows are duplicates, it never
+    // rewrites surviving content. Zero extra shuffles — both consumers
+    // already project per-row from this frame.
+    val sigInput = df.select(col(idCol),
+      (if (normalize) TextOps.normalizeForDedup(df.sparkSession, col(textCol))
+       else col(textCol)).as(textCol))
+    val cand = minhashCandidatePairs(sigInput, idCol, textCol, numHashes, bands,
       shingleN, estThreshold = 0.0, maxBucketPairs)
       .select(col("id_a"), col("id_b"))
     // exact confirm on the codegen shingle arrays — the same shingle
@@ -977,7 +989,7 @@ object DedupOps {
     // Jaccard equals string-set Jaccard unless xxhash64 collides within
     // a pair's union (p ≲ |union|²/2⁶⁵ ≈ 1e-15 per pair) — the same
     // exactness tier as the LSH recall argument above.
-    val sets = df.select(col(idCol).as("_sid"),
+    val sets = sigInput.select(col(idCol).as("_sid"),
       sort_array(array_distinct(transform(
         call_function("shingle_array",
           split(lower(col(textCol)), "\\s+"), lit(shingleN)),

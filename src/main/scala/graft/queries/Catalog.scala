@@ -1536,7 +1536,11 @@ object Catalog {
     // (one hash per band) LSH misses a j ≥ 0.3 pair with p ≤ (0.7)^64
     // ≈ 1e-10, so the composed result equals the exact enumeration the
     // recursive-CTE oracle computes (reachability over exact-Jaccard
-    // pairs, survivor = min id per component).
+    // pairs, survivor = min id per component). The default normalize
+    // seam (NFKC + casefold + collapse on SIGNATURE text) is identity
+    // on this ASCII single-spaced fixture, so the lower(text) oracle
+    // stays exact; the Unicode-variant behavior is pinned by the
+    // DedupSpec NFKC/NBSP test instead.
     "dedup_fuzzy_e2e" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("doc_id") < 500)
@@ -1591,7 +1595,9 @@ object Catalog {
     // CorpusPrep.prepare's default for why bigrams degenerate here) →
     // LCG splits. Fully
     // ORACLED: each stage restates the exact SQL its standalone key
-    // already proved, composed as CTEs.
+    // already proved, composed as CTEs. The fuzzy stage's default
+    // normalize seam is identity on this ASCII fixture (see
+    // dedup_fuzzy_e2e's comment), so the oracle stays exact.
     "corpus_prep_e2e" -> QuerySpec(
       (s, d) => {
         val toks = split(col("text"), " ")

@@ -423,6 +423,31 @@ class DedupSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("fuzzyDedupE2E normalize seam catches NFKC/NBSP variants; off-switch preserves them") {
+    val baseTxt = "the quick brown fox jumps over the lazy dog again and again today"
+    // visually identical to doc 1: NBSP separators, a full-width 'ｑ'
+    // (NFKC → 'q'), and doubled spaces — raw hashing/shingling sees
+    // different tokens everywhere, so every dedup tier misses it
+    val nfkcVariant = baseTxt.replace(" ", " ")
+      .replace("quick", "ｑuick").replace("dog", "dog ")
+    val docs = Seq(
+      (1L, baseTxt),
+      (2L, nfkcVariant),
+      (3L, "completely different text about spark catalyst and tungsten engines"))
+      .toDF("doc_id", "text")
+    val normalized = DedupOps.fuzzyDedupE2E(docs, "doc_id", "text",
+      threshold = 0.4, bands = 64, shingleN = 2)
+    assert(normalized.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L),
+      "the NFKC variant must collide with its canonical twin")
+    // survivors carry ORIGINAL text — normalization never rewrites content
+    val kept1 = normalized.filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(kept1 == baseTxt)
+    val raw = DedupOps.fuzzyDedupE2E(docs, "doc_id", "text",
+      threshold = 0.4, bands = 64, shingleN = 2, normalize = false)
+    assert(raw.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "normalize=false must reproduce the raw-text behavior")
+  }
+
   test("incremental dedup handles NULL text consistently on exact and bloom paths") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
