@@ -561,6 +561,33 @@ object DedupOps {
     * the band join carries (band_hash) only.
     *
     * Returns the surviving batch rows, schema unchanged. */
+  /** In-BATCH near-dedup with [[incrementalDedup]]'s band-collision
+    * criterion: a row survives iff NONE of its minhash bands is shared
+    * with a lower-id row of the same frame — the deterministic min-id
+    * winner rule of the exact tier, applied per band. Greedy (a dropped
+    * row's own other-band neighbours are judged against the remaining
+    * rows, no transitive closure — that is [[fuzzyDedupE2E]]'s
+    * CC contract); the match criterion is band collision exactly like
+    * the corpus tier, so a batch merged after this pass can't introduce
+    * a pair the corpus tier would have caught had they arrived in
+    * separate batches. Requires unique non-null ids, same as the corpus
+    * near tier. Only (id, band) pairs shuffle. */
+  def inBatchNearDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val sig = call_function("minhash_shingle_sig",
+      split(lower(col(textCol)), "\\s+"), lit(numHashes), lit(shingleN))
+    val bandRows = df.select(col(idCol),
+      explode(lshBands(sig, numHashes, bands)).as("_band"))
+    val minPerBand = bandRows.groupBy(col("_band"))
+      .agg(min(col(idCol)).as("_min_id"))
+    val losers = bandRows.join(minPerBand, Seq("_band"))
+      .filter(col(idCol) > col("_min_id"))
+      .select(col(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def incrementalDedup(
       batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
@@ -841,6 +868,14 @@ object DedupOps {
     * that small position-list table back to the corpus followed by a
     * per-row HOF (each token checks the doc's own duplicated-span
     * starts: O(len · |dup spans in doc|), zero further shuffle).
+    *
+    * The `grams` subtree is referenced TWICE (the count aggregate and
+    * the instance join) and DELIBERATELY recomputed rather than
+    * checkpointed: materializing it would write the exploded stream —
+    * ≈ shingleN × the corpus text bytes — while recomputing costs one
+    * extra columnar scan + a codegen'd split/shingle projection. The
+    * localCheckpoint discipline elsewhere (CorpusPrep, the bloom tier)
+    * cuts MULTI-SHUFFLE recomputes; this subtree has none.
     *
     * Output: (`idCol`, text_clean, n_tokens, n_removed), docs with at
     * least one surviving token. */

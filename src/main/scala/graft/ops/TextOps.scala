@@ -261,10 +261,13 @@ object TextOps {
     * `Window.partitionBy()` would funnel the whole vocab — 10⁸–10⁹
     * distinct tokens on a web corpus — through one task), log-probs
     * joined back to an exploded token stream, one partial-agg shuffle
-    * on the doc id. The corpus text itself shuffles nowhere. The
-    * vocab-side join carries NO broadcast hint: at test scale AQE
-    * broadcasts it anyway, and a web-scale vocab that exceeds the
-    * broadcast limit degrades to a shuffle join instead of failing.
+    * on the doc id. The vocab-side join carries NO broadcast hint: at
+    * test scale AQE broadcasts it anyway (the corpus text then shuffles
+    * nowhere), and a web-scale vocab that exceeds the broadcast limit
+    * degrades to a shuffle join instead of failing — NOTE that this
+    * degraded path shuffles the exploded TOKEN STREAM on `_tok`, one
+    * corpus-scale exchange the broadcast path avoids; it is the
+    * graceful-degradation trade, not the steady-state plan.
     * Per-token log-probs are cast to DECIMAL(20,9) before summation so
     * the per-doc sum is order-independent and cross-engine exact (a
     * 1-ulp libm ln() disagreement dies at the 9th decimal; the mean is

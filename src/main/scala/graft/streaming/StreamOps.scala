@@ -84,15 +84,17 @@ object StreamOps {
     * Use as `stream.writeStream.foreachBatch(
     * dedupMergeBatch(path, "doc_id", "text", Seq("lang")) _)`.
     *
-    * `nearDup = true` adds step (2b): the surviving exact-novel rows run
-    * the minhash-band tier of [[graft.ops.DedupOps.incrementalDedup]]
-    * against the accumulated corpus — a cross-day NEAR duplicate (same
-    * page, edited footer) is dropped before it pollutes the corpus, not
-    * just the byte-identical recrawl. Only (id, band) pairs shuffle;
-    * document bodies never move in the near pass. In-batch near-dups in
-    * the BOOTSTRAP batch are not near-deduplicated (there is no corpus
-    * yet) — same contract as the exact tier, which bootstrap-dedups by
-    * digest only.
+    * `nearDup = true` adds TWO near tiers. (1b) runs IN-BATCH first
+    * ([[graft.ops.DedupOps.inBatchNearDedup]], same band-collision
+    * criterion, deterministic min-id winner): near-dups arriving in the
+    * SAME micro-batch — any batch, bootstrap included — would otherwise
+    * all pass the corpus-tier anti-join together and merge, permanently
+    * polluting the corpus. (2b) then runs the minhash-band tier of
+    * [[graft.ops.DedupOps.incrementalDedup]] against the accumulated
+    * corpus — a cross-day NEAR duplicate (same page, edited footer) is
+    * dropped before it merges, not just the byte-identical recrawl. In
+    * both tiers only (id, band) pairs shuffle; document bodies never
+    * move in the near passes.
     *
     * IDEMPOTENT under replay — the property foreachBatch sinks need,
     * since a micro-batch can re-run after a failure: re-processed docs
@@ -115,9 +117,16 @@ object StreamOps {
     import graft.ops.DedupOps
     // (1) in-batch exact dedup on the text digest (NULL-text rows share
     // the family's sentinel digest, so they dedup here too)
-    val local = DedupOps.exactDedup(
+    val localExact = DedupOps.exactDedup(
       batch.withColumn("_h", DedupOps.textDigest(textCol)), Seq("_h"), idCol)
       .drop("_h")
+    // (1b) in-batch NEAR tier: same band-collision criterion as the
+    // corpus tier below, so same-batch near-dups (bootstrap included)
+    // cannot slip past the corpus anti-join together
+    val local =
+      if (nearDup) DedupOps.inBatchNearDedup(
+        localExact, idCol, textCol, numHashes, bands, shingleN)
+      else localExact
     // same bootstrap/existence discipline as [[mergeBatch]]: only a
     // genuinely missing target means bootstrap
     val exists = try { spark.read.parquet(targetPath).schema.nonEmpty }

@@ -568,11 +568,16 @@ class StreamingSpec extends SparkSpec {
     // (J ≈ 0.97, several of the 16 four-hash bands collide — the
     // signature is deterministic, so so is the drop)
     val page = (1 to 30).map(i => s"tok$i").mkString(" ")
-    Seq((1L, page, "en"), (2L, "uno dos tres cuatro", "es"))
+    // doc 5 is an IN-BATCH near-dup of doc 1, in the BOOTSTRAP batch —
+    // before the in-batch near tier both would merge (no corpus yet to
+    // anti-join against) and pollute the corpus permanently
+    Seq((1L, page, "en"), (5L, page + " intro", "en"),
+      (2L, "uno dos tres cuatro", "es"))
       .toDF("doc_id", "text", "lang")
       .write.mode("append").parquet(srcDir)
     drain()
-    assert(corpusIds == Set(1L, 2L))
+    assert(corpusIds == Set(1L, 2L),
+      "in-batch near-dup in the bootstrap batch must drop (min-id winner)")
     // day 2: a NEAR duplicate of day 1's page (one appended token — an
     // exact tier would keep it), an exact recrawl, and a novel doc
     Seq((10L, page + " footer", "en"),
