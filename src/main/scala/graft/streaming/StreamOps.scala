@@ -163,6 +163,50 @@ object StreamOps {
     }
   }
 
+  /** STREAMING corpus-prep ingest — the full arrival-time composition a
+    * continuous training-data pipeline deploys: each micro-batch is
+    * C4-line-cleaned (Raffel et al. 2020 §2.2; dirty docs drop, clean
+    * docs carry their REBUILT `clean_text`), Gopher-filtered (Rae et
+    * al. 2021 A1), then handed to [[dedupMergeBatch]]'s full dedup
+    * ladder (in-batch exact → in-batch NEAR → bloom-prefiltered exact
+    * vs corpus → near vs corpus → MERGE). Batches land pre-filtered AND
+    * near-dup-free against the accumulated corpus — the streaming twin
+    * of [[graft.ops.CorpusPrep.prepare]]'s batch pipeline (splits stay
+    * batch-side: assignment is cluster-keyed over the FINAL corpus).
+    *
+    * Both quality tiers are zero-shuffle per-row projections, so the
+    * composition adds no exchange before the dedup ladder; idempotency
+    * under replay is inherited from [[dedupMergeBatch]] (filters are
+    * deterministic per row). Use as `stream.writeStream.foreachBatch(
+    * corpusPrepMergeBatch(path, "doc_id", "text", Seq("lang")) _)`. */
+  def corpusPrepMergeBatch(
+      targetPath: String, idCol: String, textCol: String,
+      partitionCols: Seq[String],
+      minLineWords: Int = 5, minLinesKept: Int = 3,
+      gopherMinWords: Int = 20, gopherMaxWords: Int = 100000,
+      gopherMinMeanWordLen: Double = 3.0, gopherMaxMeanWordLen: Double = 10.0,
+      gopherMaxSymbolRatio: Double = 0.1, gopherMinAlphaRatio: Double = 0.8,
+      gopherMinStopwords: Int = 1,
+      bloomExpectedItems: Long = 4000000L,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.TextOps
+    val keepCols = batch.columns.toSeq
+    val others = keepCols.filterNot(_ == textCol).map(col)
+    val c4Kept = TextOps.c4QualityFlags(batch, textCol, minLineWords, minLinesKept)
+      .filter(col("keep") === 1)
+      .select(others :+ col("clean_text").as(textCol): _*)
+    val gopherKept = TextOps.gopherQualityFlags(c4Kept, textCol,
+        gopherMinWords, gopherMaxWords,
+        gopherMinMeanWordLen, gopherMaxMeanWordLen,
+        gopherMaxSymbolRatio, gopherMinAlphaRatio, gopherMinStopwords)
+      .filter(col("keep") === 1)
+      .select(keepCols.map(col): _*)
+    dedupMergeBatch(targetPath, idCol, textCol, partitionCols,
+      bloomExpectedItems, nearDup = true, numHashes, bands, shingleN)(
+      gopherKept, batchId)
+  }
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped, state for keys older than the
     * watermark is evicted. The streaming twin of `DedupOps.exactDedup` —

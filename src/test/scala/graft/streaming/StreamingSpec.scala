@@ -597,4 +597,63 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(corpusIds == Set(1L, 2L, 12L), "replay must be a no-op")
   }
+
+  test("streaming corpus-prep ingest: quality filters + full dedup ladder per batch; idempotent") {
+    val srcDir = Files.createTempDirectory("prep_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("prep_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("prep_ckpt").toFile.getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = src.writeStream
+        .foreachBatch(
+          StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang")) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "ingest query did not self-terminate")
+    }
+    def corpusIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select($"doc_id").as[Long].collect().toSet
+    // C4+Gopher-clean doc builders: 3 lines, terminal punctuation, ≥5
+    // words/line, stopwords present, all-alpha tokens
+    def doc(theme: Seq[String]): String = (1 to 3).map(i =>
+      s"the ${theme(0)} ${theme(1)} of ${theme(2)} number $i keeps ${theme(3)} along nicely today.")
+      .mkString("\n")
+    val good1 = doc(Seq("steady", "stream", "tokens", "flowing"))
+    val good2 = doc(Seq("columnar", "pages", "parquet", "marching"))
+    val good3 = doc(Seq("broadcast", "joins", "dimensions", "humming"))
+    // near-dup of good1: one token appended to the last line
+    val near1 = good1.dropRight(1) + " indeed."
+    val dirty = "short line\nno punctuation here either\nstill none"
+    // bootstrap batch: dirty doc dropped by C4, in-batch near-dup
+    // dropped by the near tier (min-id winner), two clean docs merge
+    Seq((1L, good1, "en"), (5L, near1, "en"), (3L, dirty, "en"),
+      (2L, good2, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(corpusIds == Set(1L, 2L),
+      "dirty doc filtered, in-batch near-dup dropped, clean docs merged")
+    // corpus carries the REBUILT clean text (C4 line rebuild), not raw
+    val stored1 = spark.read.parquet(corpusDir)
+      .filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(stored1.split("\n").forall(_.trim.endsWith(".")), stored1)
+    // day 2: cross-day near-dup + exact recrawl + dirty + novel
+    Seq((10L, near1, "en"), (11L, good1, "en"), (13L, dirty, "fr"),
+      (12L, good3, "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(corpusIds == Set(1L, 2L, 12L),
+      "cross-day near-dup, recrawl and dirty doc all dropped; novel merged")
+    // wipe the checkpoint: full re-delivery in one batch must be a no-op
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(ckpt))
+    drain()
+    assert(corpusIds == Set(1L, 2L, 12L), "replay must be a no-op")
+  }
 }
