@@ -86,7 +86,8 @@ object BpeOps {
       .filter(col("cnt") >= minCount)
     // limit(budget + 1): at most budget+1 rows ever materialize, so the
     // over-budget case is detected WITHOUT collecting the whole table
-    val rows = words.limit(maxVocabRows + 1).collect()
+    val rows = words.limit(maxVocabRows + 1)
+      .collect() // driver-side model fit: budgeted post-aggregation vocab
     if (rows.length > maxVocabRows) {
       throw new IllegalStateException(
         s"BpeOps.bpeFit: distinct-word vocab exceeds maxVocabRows=$maxVocabRows " +

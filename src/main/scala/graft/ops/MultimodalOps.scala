@@ -245,20 +245,27 @@ object MultimodalOps {
 
   /** Parsed MP4 container structure — what a video pipeline filters and
     * budgets on before paying for a demux/decode: duration =
-    * `duration / timescale` seconds, track count for audio-less clips. */
+    * `duration / timescale` seconds, track count for audio-less clips,
+    * presentation dimensions (the first track reporting nonzero ones —
+    * audio tracks carry 0×0 by spec) for aspect/megapixel routing. */
   final case class VideoMeta(format: String, brand: String,
-      timescale: Long, duration: Long, nTracks: Int)
+      timescale: Long, duration: Long, nTracks: Int,
+      width: Int, height: Int)
 
   /** REAL MP4 (ISO BMFF) header decode, pure JVM: requires `ftyp` as the
     * first top-level box (the brand check), then WALKS the top-level box
     * list — 32-bit sizes, the 64-bit `size==1` largesize escape, and the
     * `size==0` to-end-of-file form — to `moov`, and walks `moov`'s
     * children for the `mvhd` movie header (version 0: 32-bit
-    * timescale/duration; version 1: 64-bit duration) counting `trak`
-    * boxes on the way. Returns None for truncated payloads, non-MP4
-    * bytes, malformed box sizes, or an unknown mvhd version — corrupt
-    * inputs become NULL metadata rows to filter, never task failures.
-    * Same codec seam as [[parseImageHeader]]/[[parseWavHeader]]. */
+    * timescale/duration; version 1: 64-bit duration), counting `trak`
+    * boxes and descending into each for its `tkhd` track header, whose
+    * 16.16 fixed-point width/height (integer part taken) give the
+    * movie's presentation dimensions — the first track reporting
+    * nonzero ones wins; audio-only files yield 0×0. Returns None for
+    * truncated payloads, non-MP4 bytes, malformed box sizes, or an
+    * unknown mvhd/tkhd version — corrupt inputs become NULL metadata
+    * rows to filter, never task failures. Same codec seam as
+    * [[parseImageHeader]]/[[parseWavHeader]]. */
   def parseVideoHeader(b: Array[Byte]): Option[VideoMeta] = {
     def u8(i: Int) = b(i) & 0xff
     def be32(i: Int): Long =
@@ -304,8 +311,40 @@ object MultimodalOps {
         moov.flatMap { case (mStart, mEnd) =>
           var cpos = mStart
           var mvhd = Option.empty[(Long, Long)] // timescale, duration
+          var dims = Option.empty[(Int, Int)] // first nonzero tkhd w×h
           var bad = false
           var nTracks = 0
+          // walk one trak's children to its tkhd; width/height are
+          // 16.16 fixed point at payload offset 76/80 (v0: 4 ver+flags,
+          // 4+4 times, 4 id, 4 res, 4 dur, 8 res, 2+2+2+2, 36 matrix)
+          // or 88/92 (v1: the three time/duration fields widen to 8) —
+          // integer part is the top 16 bits
+          def trakDims(tStart: Long, tEnd: Long): Option[(Int, Int)] = {
+            var q = tStart
+            var found = Option.empty[(Int, Int)]
+            while (!bad && found.isEmpty && q + 8 <= tEnd) {
+              box(q, tEnd) match {
+                case Some((s, p, e)) =>
+                  if (tag(s.toInt + 4) == "tkhd") {
+                    if (p >= e) bad = true
+                    else {
+                      val off = u8(p.toInt) match {
+                        case 0 => 76L
+                        case 1 => 88L
+                        case _ => -1L
+                      }
+                      if (off < 0 || p + off + 8 > e) bad = true
+                      else found = Some((
+                        (be32((p + off).toInt) >> 16).toInt,
+                        (be32((p + off + 4).toInt) >> 16).toInt))
+                    }
+                  }
+                  q = e
+                case None => bad = true
+              }
+            }
+            found
+          }
           while (!bad && cpos + 8 <= mEnd) {
             box(cpos, mEnd) match {
               case Some((s, p, e)) =>
@@ -318,7 +357,10 @@ object MultimodalOps {
                     else if (v == 1 && p + 4 + 28 <= e)
                       mvhd = Some((be32(p.toInt + 20), be64(p.toInt + 24)))
                     else bad = true
-                  case "trak" => nTracks += 1
+                  case "trak" =>
+                    nTracks += 1
+                    if (dims.isEmpty)
+                      dims = trakDims(p, e).filter(d => d._1 > 0 && d._2 > 0)
                   case _ => ()
                 }
                 cpos = e
@@ -327,7 +369,8 @@ object MultimodalOps {
           }
           if (bad) None
           else mvhd.map { case (ts, dur) =>
-            VideoMeta("mp4", brand, ts, dur, nTracks)
+            val (w, h) = dims.getOrElse((0, 0))
+            VideoMeta("mp4", brand, ts, dur, nTracks, w, h)
           }
         }
       case _ => None
@@ -340,9 +383,9 @@ object MultimodalOps {
   }
 
   /** Append parsed MP4 metadata columns (`format, brand, timescale,
-    * duration, n_tracks`; all NULL for unparseable payloads) — the video
-    * twin of [[imageMeta]]/[[audioMeta]], same per-partition codec
-    * lifecycle. */
+    * duration, n_tracks, width, height`; all NULL for unparseable
+    * payloads) — the video twin of [[imageMeta]]/[[audioMeta]], same
+    * per-partition codec lifecycle. */
   def videoMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
     decodePartitions(df, bytesCol,
       new StructType()
@@ -350,11 +393,14 @@ object MultimodalOps {
         .add("brand", StringType)
         .add("timescale", LongType)
         .add("duration", LongType)
-        .add("n_tracks", IntegerType),
+        .add("n_tracks", IntegerType)
+        .add("width", IntegerType)
+        .add("height", IntegerType),
       () => VideoHeaderCodec) { (r, m) =>
       Row.fromSeq(r.toSeq ++ (m match {
-        case Some(v) => Seq(v.format, v.brand, v.timescale, v.duration, v.nTracks)
-        case None => Seq(null, null, null, null, null)
+        case Some(v) =>
+          Seq(v.format, v.brand, v.timescale, v.duration, v.nTracks, v.width, v.height)
+        case None => Seq(null, null, null, null, null, null, null)
       }))
     }
 

@@ -1855,8 +1855,21 @@ object Catalog {
               else
                 bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
                   be32(ts) ++ be64(dur) ++ Array.fill[Byte](76)(0))
+            // first trak: VIDEO (nonzero 16.16 dims; tkhd version
+            // alternates with id so both offsets get oracle coverage);
+            // later traks: audio-like 0×0
+            val vw = 320L + 16 * (id % 4)
+            val vh = 240L + 16 * (id % 3)
+            def tkhd(v: Int, w: Long, h: Long): Array[Byte] =
+              if (v == 0)
+                bx("tkhd", Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0) ++
+                  be32(w << 16) ++ be32(h << 16))
+              else
+                bx("tkhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](84)(0) ++
+                  be32(w << 16) ++ be32(h << 16))
             val traks = (0 until (1 + id % 3)).map(tIdx =>
-              bx("trak", bx("tkhd", Array.fill[Byte](84)((tIdx + id).toByte))))
+              bx("trak",
+                if (tIdx == 0) tkhd((id / 2) % 2, vw, vh) else tkhd(0, 0, 0)))
               .reduce(_ ++ _)
             val udta =
               if (id % 5 == 0) bx("udta", Array.fill[Byte](4 + id % 7)(7))
@@ -1879,7 +1892,8 @@ object Catalog {
             col("content").as("bytes"))
         MultimodalOps.videoMeta(files, "bytes")
           .select(col("media_id"), col("format"), col("brand"),
-            col("timescale"), col("duration"), col("n_tracks"))
+            col("timescale"), col("duration"), col("n_tracks"),
+            col("width"), col("height"))
           .orderBy(col("media_id"))
       },
       Some("""WITH RECURSIVE f AS (
@@ -1923,10 +1937,42 @@ object Catalog {
              |    SUM(CASE WHEN substr(f.h, 2*(c.q + 4) + 1, 8) = '7472616B'
              |      THEN 1 ELSE 0 END) AS n_tracks
              |  FROM child c JOIN f ON f.media_id = c.media_id
-             |  GROUP BY c.media_id)
+             |  GROUP BY c.media_id),
+             |trakbox AS (
+             |  SELECT c.media_id, c.q AS tp,
+             |    c.q + ('0x' || substr(f.h, 2*c.q + 1, 8))::BIGINT AS tend
+             |  FROM child c JOIN f ON f.media_id = c.media_id
+             |  WHERE substr(f.h, 2*(c.q + 4) + 1, 8) = '7472616B'),
+             |tchild(media_id, tq, tend) AS (
+             |  SELECT media_id, tp + 8, tend FROM trakbox
+             |  UNION ALL
+             |  SELECT t.media_id, t.tq + ('0x' || substr(f.h, 2*t.tq + 1, 8))::BIGINT, t.tend
+             |  FROM tchild t JOIN f ON f.media_id = t.media_id
+             |  WHERE t.tq + ('0x' || substr(f.h, 2*t.tq + 1, 8))::BIGINT < t.tend),
+             |tkhd AS (
+             |  SELECT t.media_id, t.tq,
+             |    CASE WHEN substr(f.h, 2*(t.tq + 8) + 1, 2) = '00'
+             |      THEN ('0x' || substr(f.h, 2*(t.tq + 84) + 1, 4))::INTEGER
+             |      ELSE ('0x' || substr(f.h, 2*(t.tq + 96) + 1, 4))::INTEGER
+             |    END AS w,
+             |    CASE WHEN substr(f.h, 2*(t.tq + 8) + 1, 2) = '00'
+             |      THEN ('0x' || substr(f.h, 2*(t.tq + 88) + 1, 4))::INTEGER
+             |      ELSE ('0x' || substr(f.h, 2*(t.tq + 100) + 1, 4))::INTEGER
+             |    END AS h
+             |  FROM tchild t JOIN f ON f.media_id = t.media_id
+             |  WHERE substr(f.h, 2*(t.tq + 4) + 1, 8) = '746B6864'),
+             |dims AS (
+             |  SELECT media_id, w, h FROM (
+             |    SELECT media_id, w, h,
+             |      row_number() OVER (PARTITION BY media_id ORDER BY tq) AS rn
+             |    FROM tkhd WHERE w > 0 AND h > 0)
+             |  WHERE rn = 1)
              |SELECT f.media_id, 'mp4' AS format, f.brand,
-             |  v.timescale, v.duration, CAST(t.n_tracks AS INTEGER) AS n_tracks
+             |  v.timescale, v.duration, CAST(t.n_tracks AS INTEGER) AS n_tracks,
+             |  CAST(COALESCE(d.w, 0) AS INTEGER) AS width,
+             |  CAST(COALESCE(d.h, 0) AS INTEGER) AS height
              |FROM f JOIN mvhd v USING (media_id) JOIN tracks t USING (media_id)
+             |LEFT JOIN dims d USING (media_id)
              |ORDER BY media_id""".stripMargin)),
 
     // Exact-substring span REMOVAL (the acting half of dedup_span_stats):

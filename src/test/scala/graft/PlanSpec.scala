@@ -238,6 +238,10 @@ class PlanSpec extends SparkSpec {
       // explicitly-marked driver-side partition-TUPLE materialization
       // (bounded by partition count, not row count) is allowed
       if !line.contains("partition-tuple metadata")
+      // explicitly-marked offline MODEL fits collecting a BUDGETED
+      // post-aggregation table (the pqFit/ivfFit/bpeFit contract:
+      // model-sized, loud failure over budget) are allowed
+      if !line.contains("driver-side model fit")
     } yield s"${f.getPath}: $line"
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

@@ -193,20 +193,34 @@ class MultimodalSpec extends SparkSpec {
     bx("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
       be32(ts) ++ be64(dur) ++ Array.fill[Byte](76)(0))
   private def trak = bx("trak", bx("tkhd", Array.fill[Byte](84)(0)))
+  // video track: tkhd with nonzero 16.16 fixed-point dimensions
+  private def videoTrak(w: Long, h: Long, version: Int = 0) =
+    bx("trak",
+      if (version == 0)
+        bx("tkhd", Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0) ++
+          be32(w << 16) ++ be32(h << 16))
+      else
+        bx("tkhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](84)(0) ++
+          be32(w << 16) ++ be32(h << 16)))
 
   test("parseVideoHeader walks ftyp/moov/mvhd for both mvhd versions") {
-    val v0 = ftyp("mp42") ++ bx("moov", mvhdV0(600, 12345) ++ trak ++ trak) ++
+    // first trak audio-like (0×0), second carries the video dims — the
+    // first NONZERO tkhd must win, not merely the first trak
+    val v0 = ftyp("mp42") ++
+      bx("moov", mvhdV0(600, 12345) ++ trak ++ videoTrak(640, 360)) ++
       bx("mdat", Array.fill[Byte](50)(3))
     assert(MultimodalOps.parseVideoHeader(v0)
-      .contains(MultimodalOps.VideoMeta("mp4", "mp42", 600L, 12345L, 2)))
+      .contains(MultimodalOps.VideoMeta("mp4", "mp42", 600L, 12345L, 2, 640, 360)))
     // v1: 64-bit duration beyond the 32-bit range, moov AFTER mdat, a
-    // free box in between — the walk must skip, not assume layout
+    // free box in between — the walk must skip, not assume layout;
+    // v1 tkhd exercises the widened-field offsets
     val bigDur = (1L << 33) + 7
     val v1 = ftyp("avc1") ++ bx("mdat", Array.fill[Byte](20)(1)) ++
       bx("free", Array.fill[Byte](6)(0)) ++
-      bx("moov", bx("udta", Array.fill[Byte](5)(9)) ++ mvhdV1(90000, bigDur) ++ trak)
+      bx("moov", bx("udta", Array.fill[Byte](5)(9)) ++ mvhdV1(90000, bigDur) ++
+        videoTrak(1920, 1080, version = 1))
     assert(MultimodalOps.parseVideoHeader(v1)
-      .contains(MultimodalOps.VideoMeta("mp4", "avc1", 90000L, bigDur, 1)))
+      .contains(MultimodalOps.VideoMeta("mp4", "avc1", 90000L, bigDur, 1, 1920, 1080)))
   }
 
   test("parseVideoHeader handles largesize and to-EOF box forms") {
@@ -216,12 +230,12 @@ class MultimodalSpec extends SparkSpec {
       be64(16L + payload.length) ++ payload
     val withLarge = ftyp() ++ largeMdat ++ bx("moov", mvhdV0(1000, 777) ++ trak)
     assert(MultimodalOps.parseVideoHeader(withLarge)
-      .contains(MultimodalOps.VideoMeta("mp4", "isom", 1000L, 777L, 1)))
+      .contains(MultimodalOps.VideoMeta("mp4", "isom", 1000L, 777L, 1, 0, 0)))
     // trailing size==0 box (runs to EOF) after moov must not break the walk
     val toEof = ftyp() ++ bx("moov", mvhdV0(24, 48) ++ trak) ++
       (be32(0L) ++ "mdat".getBytes("US-ASCII") ++ Array.fill[Byte](9)(2))
     assert(MultimodalOps.parseVideoHeader(toEof)
-      .contains(MultimodalOps.VideoMeta("mp4", "isom", 24L, 48L, 1)))
+      .contains(MultimodalOps.VideoMeta("mp4", "isom", 24L, 48L, 1, 0, 0)))
   }
 
   test("parseVideoHeader returns None on corrupt or non-MP4 payloads") {
@@ -243,20 +257,29 @@ class MultimodalSpec extends SparkSpec {
     val badVer = ftyp() ++ bx("moov",
       bx("mvhd", Array[Byte](9, 0, 0, 0) ++ Array.fill[Byte](96)(0)))
     assert(MultimodalOps.parseVideoHeader(badVer).isEmpty)
+    // unknown tkhd version / truncated tkhd inside an otherwise-valid file
+    val badTkhd = ftyp() ++ bx("moov", mvhdV0(600, 1) ++
+      bx("trak", bx("tkhd", Array[Byte](9, 0, 0, 0) ++ Array.fill[Byte](80)(0))))
+    assert(MultimodalOps.parseVideoHeader(badTkhd).isEmpty)
+    val shortTkhd = ftyp() ++ bx("moov", mvhdV0(600, 1) ++
+      bx("trak", bx("tkhd", Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](20)(0))))
+    assert(MultimodalOps.parseVideoHeader(shortTkhd).isEmpty)
     // truncated mid-box
     val v0 = ftyp() ++ bx("moov", mvhdV0(600, 12345) ++ trak)
     assert(MultimodalOps.parseVideoHeader(v0.take(v0.length - 40)).isEmpty)
   }
 
   test("videoMeta appends parsed columns, NULLs for unparseable rows") {
-    val good = ftyp("mp42") ++ bx("moov", mvhdV0(600, 3000) ++ trak)
+    val good = ftyp("mp42") ++ bx("moov", mvhdV0(600, 3000) ++ videoTrak(426, 240))
     val rows = Seq((1L, good), (2L, "junk junk junk junk".getBytes))
       .toDF("media_id", "bytes")
     val out = MultimodalOps.videoMeta(rows, "bytes")
-      .select($"media_id", $"format", $"brand", $"timescale", $"duration", $"n_tracks")
-      .collect().map(r => r.getLong(0) -> (1 until 6).map(i => Option(r.get(i)))).toMap
-    assert(out(1L) == Seq(Some("mp4"), Some("mp42"), Some(600L), Some(3000L), Some(1)))
-    assert(out(2L) == Seq(None, None, None, None, None))
+      .select($"media_id", $"format", $"brand", $"timescale", $"duration",
+        $"n_tracks", $"width", $"height")
+      .collect().map(r => r.getLong(0) -> (1 until 8).map(i => Option(r.get(i)))).toMap
+    assert(out(1L) == Seq(Some("mp4"), Some("mp42"), Some(600L), Some(3000L),
+      Some(1), Some(426), Some(240)))
+    assert(out(2L) == Seq(None, None, None, None, None, None, None))
     val plan = MultimodalOps.videoMeta(rows, "bytes")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
