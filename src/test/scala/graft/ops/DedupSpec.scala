@@ -423,6 +423,30 @@ class DedupSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("inBatchNearDedup keeps the min-id winner per band collision, passes uniques") {
+    val page = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (3L, page),                      // loses to 1 (same text, all bands collide)
+      (1L, page),
+      (7L, page + " footer"),          // near-dup of 1 → loses
+      (4L, "completely different text about catalyst and tungsten engines today"),
+      (5L, "another unrelated document mentioning parquet row groups and shuffles"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.inBatchNearDedup(docs, "doc_id", "text")
+    assert(out.columns.toSeq == docs.columns.toSeq, "schema unchanged")
+    val survivors = out.select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 5L), survivors.toString)
+    // idempotent: a second pass drops nothing
+    val again = DedupOps.inBatchNearDedup(out, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == survivors)
+    // single row and empty frame pass through
+    assert(DedupOps.inBatchNearDedup(
+      Seq((9L, page)).toDF("doc_id", "text"), "doc_id", "text").count() == 1)
+    assert(DedupOps.inBatchNearDedup(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("fuzzyDedupE2E normalize seam catches NFKC/NBSP variants; off-switch preserves them") {
     val baseTxt = "the quick brown fox jumps over the lazy dog again and again today"
     // visually identical to doc 1: NBSP separators, a full-width 'ｑ'
