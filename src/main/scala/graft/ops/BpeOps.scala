@@ -120,7 +120,7 @@ object BpeOps {
   /** Driver-side leftmost-first single-merge rewrite — the exact
     * in-memory twin of [[mergeOnce]]'s fold (a fresh merge result never
     * re-pairs with the following symbol in the same round). */
-  private def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
+  private[ops] def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
@@ -202,16 +202,93 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** Above this merge count, [[wordPieces]] switches from the nested
+    * fold-expression replay to the iterative rank-based apply: each
+    * fold is one HOF expression NODE, so a 30k-merge production list
+    * would build a 30k-deep expression tree — seconds of Catalyst
+    * analysis at best, a stack overflow at worst (the same
+    * literal-tree blowup pqAssign hit with inlined centroids). 64
+    * keeps the SQL-auditable expression path for every test/oracle
+    * setting while production merge counts take the scalable path. */
+  val maxExpressionMerges = 64
+
+  /** Iterative rank-based BPE apply — the classic tokenizer encode
+    * loop: repeatedly merge the lowest-rank adjacent pair present
+    * (all its occurrences, leftmost-first) until none remains.
+    *
+    * EQUIVALENT to replaying the merge list in order for any list a
+    * BPE TRAINER produced: a merge can only create new adjacencies
+    * involving its own output token, and every trained pair involving
+    * that token necessarily has a HIGHER rank than the merge that
+    * created it — so an earlier pair can never (re)appear after its
+    * turn has passed, and picking the minimum present rank visits
+    * merges in exactly replay order. Pinned against [[applyMerges]]
+    * in BpeSpec on trained lists. O(pieces · pairs-present) per word,
+    * independent of the total merge count — a 30k-merge vocabulary
+    * costs the same per word as a 24-merge one. */
+  private[ops] def applyMergesFast(
+      word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.split("").filter(_.nonEmpty).toSeq
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = {
+          // recover the pair from the first occurrence of the best rank
+          var j = 0
+          var p: (String, String) = null
+          while (p == null) {
+            if (ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best)
+              p = (syms(j), syms(j + 1))
+            j += 1
+          }
+          p
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+          else out += s
+        }
+        syms = out.toSeq
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
   /** Word → (pieces, n_pieces) table for every distinct word in the
-    * corpus: the broadcastable encoder table. One plan — the merge list
-    * inlines as a nested fold expression, no per-round jobs. */
+    * corpus: the broadcastable encoder table, built in ONE plan with no
+    * per-round jobs. Small merge lists (≤ [[maxExpressionMerges]])
+    * inline as the nested fold expression — SQL-auditable, zero
+    * black-box code in the plan; production-sized lists switch to a
+    * deterministic UDF over [[applyMergesFast]] with the rank map in
+    * the task closure (~2 short strings per merge — a 50k-merge model
+    * is ~1 MB, broadcast once per executor). The UDF runs on the
+    * DISTINCT-WORD table only — vocab-sized, never the corpus — so the
+    * codegen break is confined to the model-sized frame, mirroring the
+    * bpeFit collect contract. */
   def wordPieces(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
-      .withColumn("pieces", applyMerges(split(col("word"), ""), merges))
-      .withColumn("n_pieces", size(col("pieces")))
+    val withPieces =
+      if (merges.size <= maxExpressionMerges)
+        words.withColumn("pieces", applyMerges(split(col("word"), ""), merges))
+      else {
+        val ranks = merges.zipWithIndex.toMap
+        val fast = udf((w: String) => applyMergesFast(w, ranks))
+        words.withColumn("pieces", fast(col("word")))
+      }
+    withPieces.withColumn("n_pieces", size(col("pieces")))
+  }
 
   /** ENCODE: per-document subword token count. Output: (`idCol`,
     * n_words, n_bpe_tokens); feed `n_bpe_tokens` to

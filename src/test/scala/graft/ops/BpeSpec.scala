@@ -63,6 +63,44 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "b")))
   }
 
+  test("rank-based fast apply ≡ sequential replay on trained merge lists") {
+    // a deterministic syllable corpus with enough shared substructure
+    // to train well past maxExpressionMerges, then pin the equivalence
+    // the fast encode path rests on: iterative min-rank apply ==
+    // replaying the merges in order, for every vocab word
+    val syl = Seq("ka", "to", "mi", "ra", "su", "ne", "lo", "da", "pi", "vu")
+    def word(i: Int) = s"${syl(i % 10)}${syl((i / 10) % 10)}${syl((i / 100) % 10)}"
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 300)
+      .map(d => (d.toLong, (0 until 40).map(_ => word(rnd.nextInt(700))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = BpeOps.bpeFit(docs, "text", numMerges = 200, minCount = 1)
+    assert(merges.size > BpeOps.maxExpressionMerges,
+      s"fixture must exercise the fast path, trained only ${merges.size}")
+    val ranks = merges.zipWithIndex.toMap
+    val vocab = docs
+      .select(explode(split(lower($"text"), "\\s+")).as("word"))
+      .filter(length($"word") > 0).distinct()
+      .as[String].collect()
+    assert(vocab.length > 100)
+    vocab.foreach { w =>
+      val replay = merges.foldLeft(w.split("").filter(_.nonEmpty)) {
+        case (syms, (a, b)) => BpeOps.mergeWord(syms, a, b)
+      }.toSeq
+      val fast = BpeOps.applyMergesFast(w, ranks)
+      assert(fast == replay, s"word '$w': fast=$fast replay=$replay")
+    }
+    // and the wordPieces UDF path (merge count above the expression
+    // threshold) agrees with the expression replay on the same vocab
+    if (merges.size > BpeOps.maxExpressionMerges) {
+      val viaFast = BpeOps.wordPieces(docs, "text", merges)
+        .select($"word", $"pieces").as[(String, Seq[String])].collect().toMap
+      vocab.foreach { w =>
+        assert(viaFast(w) == BpeOps.applyMergesFast(w, ranks))
+      }
+    }
+  }
+
   test("merged budgets plug into packSequences") {
     val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)
     val pieces = BpeOps.wordPieces(corpus, "text", merges)
