@@ -171,8 +171,13 @@ object StreamOps {
     * ladder (in-batch exact → in-batch NEAR → bloom-prefiltered exact
     * vs corpus → near vs corpus → MERGE). Batches land pre-filtered AND
     * near-dup-free against the accumulated corpus — the streaming twin
-    * of [[graft.ops.CorpusPrep.prepare]]'s batch pipeline (splits stay
-    * batch-side: assignment is cluster-keyed over the FINAL corpus).
+    * of [[graft.ops.CorpusPrep.prepare]]'s batch pipeline. Two of
+    * prepare's stages stay batch-side BY NATURE, not omission: the
+    * unigram-LM filter scores against CORPUS-WIDE token statistics (a
+    * per-batch fit would drift with every batch and re-judge old docs
+    * under new stats), and split assignment is cluster-keyed over the
+    * FINAL corpus — both run as a batch pass over the accumulated
+    * table when training data is cut.
     *
     * Both quality tiers are zero-shuffle per-row projections, so the
     * composition adds no exchange before the dedup ladder; idempotency
