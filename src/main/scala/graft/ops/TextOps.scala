@@ -248,6 +248,34 @@ object TextOps {
       .withColumn("clean_text", array_join(kept, "\n"))
   }
 
+  /** Shuffled LINEAR-scale twin of [[dedupLinesWithinDoc]] for
+    * long-document corpora. The in-plan HOF form runs an
+    * `array_position` scan per line — O(lines²) per doc, bounded for
+    * C4-shaped web pages but a single-task straggler on crawl
+    * pathologies (a 100k-line doc is 10¹⁰ comparisons in one row).
+    * This form explodes to (id, pos, line), keeps min-pos per
+    * (id, line) — map-side combinable, so corpus-wide repeats collapse
+    * before the exchange — and rebuilds each doc ordered by position:
+    * two shuffles, O(lines log lines) per doc, per-doc state bounded by
+    * the doc's own DISTINCT line count. Same output contract
+    * (`n_lines`, `n_lines_kept`, `clean_text` appended; other columns
+    * preserved via the join back). Requires unique non-null `idCol` —
+    * the HOF form needs no id at all, which is why both exist. */
+  def dedupLinesWithinDocScalable(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val rebuilt = exploded
+      .groupBy(col(idCol), col("_line")).agg(min(col("_pos")).as("_pos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("clean_text"))
+    df.withColumn("n_lines", size(split(col(textCol), "\n")).cast(LongType))
+      .join(rebuilt, Seq(idCol))
+  }
+
   /** Unigram language-model scoring: per-doc mean negative log
     * probability of its tokens under the CORPUS unigram distribution —
     * the cheap seam of perplexity-based quality filtering (docs scoring

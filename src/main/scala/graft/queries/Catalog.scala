@@ -2882,6 +2882,58 @@ object Catalog {
              |  array_to_string(kept, chr(10)) AS clean_text
              |FROM dedup ORDER BY doc_id""".stripMargin)),
 
+    // LINEAR-scale twin of text_dedup_lines (explode → min-pos per
+    // (doc, line) → positional rebuild; two shuffles instead of the
+    // per-row O(lines²) scan — the straggler-safe form for crawl docs
+    // with pathological line counts). Same fixture, same keep-first
+    // contract, independently restated oracle: DuckDB computes min-pos
+    // per line via a window instead of the indexed list_filter, so the
+    // two keys cross-check each other's formulation.
+    "text_dedup_lines_scalable" -> QuerySpec(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nLines = ceil(size(toks).cast(DoubleType) / 8).cast(IntegerType)
+        val firstLine = array_join(slice(toks, 1, 8), " ")
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
+            concat(lit("\n"), firstLine),
+            when(col("doc_id") % 3 === 0, concat(lit("\n"), firstLine))
+              .otherwise(lit(""))).as("text"))
+        TextOps.dedupLinesWithinDocScalable(built, "doc_id", "text")
+          .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+            col("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')),
+             |      chr(10))
+             |    || chr(10) || array_to_string(toks[1:8], ' ')
+             |    || CASE WHEN doc_id % 3 = 0
+             |            THEN chr(10) || array_to_string(toks[1:8], ' ')
+             |            ELSE '' END AS text
+             |  FROM base),
+             |exploded AS (
+             |  SELECT doc_id, unnest(lines) AS line,
+             |    unnest(range(1, len(lines) + 1)) AS pos,
+             |    len(lines) AS n_lines
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+             |        FROM built)),
+             |firsts AS (
+             |  SELECT doc_id, line, min(pos) AS pos, any_value(n_lines) AS n_lines
+             |  FROM exploded GROUP BY doc_id, line)
+             |SELECT doc_id,
+             |  CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+             |  CAST(count(*) AS BIGINT) AS n_lines_kept,
+             |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+             |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Unigram LM quality scoring (the perplexity-filter seam): per-doc
     // mean negative log-prob of its tokens under the corpus unigram
     // distribution, additive smoothing 0.5. Fully ORACLED — per-token

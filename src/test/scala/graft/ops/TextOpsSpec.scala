@@ -138,6 +138,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._4 == "same" && got(2L)._3 == 1)
   }
 
+  test("dedupLinesWithinDocScalable ≡ HOF form; linear path handles a long doc") {
+    val df = Seq(
+      (0L, "alpha beta\ngamma\nalpha beta\ndelta\ngamma\nalpha beta"),
+      (1L, "one\ntwo\nthree"),
+      (2L, "same\nsame\nsame"),
+      (3L, ""),                                // empty text → one empty line
+      (4L, "x\n\nx\n\ny"))                     // planted empty lines dedup too
+      .toDF("id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "n_lines", "n_lines_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows(TextOps.dedupLinesWithinDocScalable(df, "id", "text")) ==
+      rows(TextOps.dedupLinesWithinDoc(df, "text")))
+    // other columns survive the join back
+    val extra = TextOps.dedupLinesWithinDocScalable(
+      df.withColumn("lang", lit("en")), "id", "text")
+    assert(extra.columns.contains("lang"))
+    // a pathological 20k-line doc (the HOF form's O(lines²) shape)
+    // completes through the linear path with the exact contract
+    val longDoc = Seq((7L, (1 to 20000).map(i => s"line${i % 500}").mkString("\n")))
+      .toDF("id", "text")
+    val got = rows(TextOps.dedupLinesWithinDocScalable(longDoc, "id", "text")).head
+    assert(got == ((7L, 20000L, 500L,
+      (1 to 500).map(i => s"line${i % 500}").mkString("\n"))))
+  }
+
   test("unigramLogProb: matches a hand-computed corpus LM; rare tokens score worse") {
     // corpus: "a a b" ⊕ "a c" → counts a=3, b=1, c=1; total=5, V=3
     val df = Seq((0L, "a a b"), (1L, "a c")).toDF("id", "text")
