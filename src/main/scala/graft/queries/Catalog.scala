@@ -2479,18 +2479,25 @@ object Catalog {
     // dataset like the IVF model — tokenizer training is the offline
     // half), replayed as one broadcast word→pieces expression, corpus
     // encoded by a join (no per-token UDF, no iteration at encode time).
-    // The iterative merge training is not SQL-expressible ⇒ rows-only
-    // tier, with the contract CHECKED in-query instead: per-doc subword
-    // counts bounded by [word count, char count] (zero violations),
-    // pieces concatenate back to their word (zero roundtrip failures),
-    // and the 24 learned merges actually compress (subword total strictly
-    // between word and char totals).
+    // The contract stats ride in-query (per-doc subword counts bounded
+    // by [word count, char count], pieces concatenate back to their
+    // word, the 24 learned merges strictly compress) AND the whole key
+    // is ORACLED via the STAGED word→pieces encoder table (upgraded
+    // from rows-only in round 7, the text_pack_bins_bpe pattern):
+    // DuckDB independently recomputes tokenization, per-doc totals, the
+    // bound violations, the roundtrip check over the staged pieces
+    // arrays, and the compression flag. The merge REPLAY itself is
+    // additionally pinned by BpeSpec's hand-computed merges.
     "text_token_count_bpe" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
         val merges = bpeMergeModels.computeIfAbsent(d,
           _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
         val pieces = BpeOps.wordPieces(docs, "text", merges)
+        staged(d, "bpe_pieces") { dir =>
+          pieces.select(col("word"), col("pieces"), col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
         val chars = docs.select(col("doc_id"),
           length(regexp_replace(lower(col("text")), "\\s+", ""))
@@ -2515,7 +2522,40 @@ object Catalog {
             (col("total_bpe") < col("total_chars") &&
               col("total_bpe") > col("total_words")).cast(IntegerType))
       },
-      None),
+      Some("""WITH pieces AS (
+             |  SELECT word, pieces, n_pieces FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
+             |toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             |  FROM documents),
+             |enc AS (
+             |  SELECT t.doc_id, count(*) AS n_words,
+             |    SUM(COALESCE(p.n_pieces, length(t.word))) AS n_bpe_tokens
+             |  FROM toks t LEFT JOIN pieces p USING (word)
+             |  WHERE length(t.word) > 0 GROUP BY t.doc_id),
+             |chars AS (
+             |  SELECT doc_id,
+             |    length(regexp_replace(lower(text), '\s+', '', 'g')) AS n_chars
+             |  FROM documents),
+             |agg AS (
+             |  SELECT count(*) AS n_docs,
+             |    CAST(SUM(n_words) AS BIGINT) AS total_words,
+             |    CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe,
+             |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |    CAST(SUM(CASE WHEN n_bpe_tokens < n_words OR n_bpe_tokens > n_chars
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bound_violations
+             |  FROM enc JOIN chars USING (doc_id)),
+             |rt AS (
+             |  SELECT CAST(SUM(CASE WHEN array_to_string(pieces, '') <> word
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_bad
+             |  FROM pieces)
+             |SELECT n_docs, total_words, total_bpe, total_chars,
+             |  n_bound_violations, n_roundtrip_bad,
+             |  CAST(n_bound_violations = 0 AS INTEGER) AS ok_bounds,
+             |  CAST(n_roundtrip_bad = 0 AS INTEGER) AS ok_roundtrip,
+             |  CAST(total_bpe < total_chars AND total_bpe > total_words
+             |    AS INTEGER) AS ok_compressed
+             |FROM agg CROSS JOIN rt""".stripMargin)),
 
     // Repetition ratio (most-frequent-bigram share) — grams projected
     // separately from the counting pass (HOF re-evaluation trap).
@@ -2686,7 +2726,7 @@ object Catalog {
           _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
         val pieces = BpeOps.wordPieces(docs, "text", merges)
         staged(d, "bpe_pieces") { dir =>
-          pieces.select(col("word"), col("n_pieces"))
+          pieces.select(col("word"), col("pieces"), col("n_pieces"))
             .coalesce(1).write.mode("overwrite").parquet(dir)
         }
         val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
