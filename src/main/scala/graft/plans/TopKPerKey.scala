@@ -29,10 +29,14 @@ import org.apache.spark.sql.types.IntegerType
   * intended for small k and bounded key cardinality per partition
   * (ranking dashboards, top-k retrieval). The strategy only fires for
   * literal k ≤ maxK (default 1024); larger k falls back to the sort.
-  * Key cardinality is guarded at RUNTIME: a task that would buffer more
-  * than `spark.graft.topk.maxBufferedRowsPerTask` rows (default 8M)
-  * fails fast with a diagnostic naming the window-sort fallback rather
-  * than OOMing the executor.
+  * Key cardinality is guarded at RUNTIME by
+  * `spark.graft.topk.maxBufferedRowsPerTask` (default 8M rows), with
+  * phase-appropriate degradation: the map-side PARTIAL flushes its heaps
+  * and restarts when the budget is hit (a superset of the per-task top-k
+  * is still correct — the final phase re-heaps), while the post-shuffle
+  * FINAL — where exceeding the budget means the ANSWER itself does not
+  * fit one task — fails fast with a diagnostic naming the window-sort
+  * fallback rather than OOMing the executor.
   *
   * Enabled via `GraftExtensions` / `TopKPerKey.register(spark)`;
   * semantics-identical to the window form — proven by running the ENTIRE
@@ -144,14 +148,28 @@ object TopKPerKey {
     * one bounded max-heap (under the sort order; head = current worst of
     * the k kept) per key. O(n log k) work, O(keys × k) retained rows,
     * guarded by the per-task row budget. Static on the companion so the
-    * task closure captures no operator state. */
+    * task closure captures no operator state.
+    *
+    * Budget-exceed behavior is phase-dependent:
+    *  - `failOnExceed = true` (the FINAL phase, after the exchange):
+    *    throw with a diagnostic. Here all of a key's rows live in one
+    *    task, so exceeding the budget means the answer itself does not
+    *    fit — failing beats OOMing the executor.
+    *  - `failOnExceed = false` (the PARTIAL phase): stop consuming and
+    *    return the heaps built so far; the caller drains them and calls
+    *    again on the remaining input (flush-and-reset). Emitting a
+    *    SUPERSET of the per-task top-k is correctness-preserving — the
+    *    final phase re-heaps — so the partial degrades toward
+    *    pass-through instead of killing a query the final phase (with
+    *    the keys spread over all reduce tasks) could still complete. */
   private[plans] def buildHeaps(
       iter: Iterator[InternalRow],
       k: Int,
       partExprs: Seq[Expression],
       orderSpec: Seq[SortOrder],
       childOutput: Seq[Attribute],
-      maxBuffered: Long)
+      maxBuffered: Long,
+      failOnExceed: Boolean = true)
       : scala.collection.mutable.LinkedHashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]] = {
     val keyProj = UnsafeProjection.create(partExprs, childOutput)
     val ord = RowOrdering.create(orderSpec, childOutput)
@@ -159,7 +177,8 @@ object TopKPerKey {
     val heaps = scala.collection.mutable.LinkedHashMap
       .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
     var buffered = 0L // rows currently held across all heaps
-    while (iter.hasNext) {
+    var exceeded = false
+    while (iter.hasNext && !exceeded) {
       val row = iter.next()
       val key = keyProj(row)
       // copy the key ONLY on first sight — getOrElseUpdate would
@@ -173,16 +192,20 @@ object TopKPerKey {
       }
       if (heap.size < k) {
         buffered += 1
-        if (buffered > maxBuffered) {
+        if (buffered > maxBuffered && failOnExceed) {
           throw new IllegalStateException(
             s"TopKPerKeyExec: task buffered > $maxBuffered rows " +
               s"(${heaps.size} keys × k=$k; ${TopKPerKey.maxBufferedRowsKey}). " +
               "Key cardinality is too high for the non-spilling bounded-heap " +
               "operator. Raise the budget, repartition to more tasks, or fall " +
               "back to the spilling sort-based window plan by disabling the " +
-              "rewrite (drop GraftExtensions / clear experimental strategies).")
+              "rewrite (drop GraftExtensions / clear experimental strategies; " +
+              s"$twoPhaseKey=false disables only the map-side phase).")
         }
+        // in lenient mode the triggering row is still kept (budget may
+        // exceed by one row) so no input is lost across the flush
         heap.enqueue(row.copy())
+        if (buffered > maxBuffered) exceeded = true
       } else if (ord.compare(row, heap.head) < 0) {
         heap.dequeue(); heap.enqueue(row.copy())
       }
@@ -262,6 +285,18 @@ case class TopKPerKeyExec(
   * the union of per-task survivors always contains the global answer.
   * Ties are broken arbitrarily — the same nondeterminism class as
   * `row_number` itself over a non-total order.
+  *
+  * Budget behavior: unlike the final phase, a map task whose key
+  * cardinality exceeds `spark.graft.topk.maxBufferedRowsPerTask` does
+  * NOT fail — it flushes the heaps built so far and restarts on the
+  * remaining input (chunked flush-and-reset). Each flushed chunk is that
+  * chunk's exact per-key top-k, so the union is a superset of the task's
+  * top-k, which the final phase reduces — the same contract as a partial
+  * aggregate that degrades to pass-through under memory pressure.
+  * Heap state therefore stays ≤ budget+1 rows per task REGARDLESS of key
+  * cardinality; only the final phase (where a key's rows are
+  * consolidated and the budget reflects the answer's own size) fails
+  * fast. `numBudgetFlushes` counts the resets for observability.
   */
 case class TopKPerKeyPartialExec(
     k: Int,
@@ -276,7 +311,9 @@ case class TopKPerKeyPartialExec(
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"))
+      .createMetric(sparkContext, "number of output rows"),
+    "numBudgetFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "heap flushes on budget exceed"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -285,17 +322,30 @@ case class TopKPerKeyPartialExec(
     val childOutput = child.output
     val maxBuffered = TopKPerKey.maxBufferedRows
     val numOutputRows = longMetric("numOutputRows")
+    val numBudgetFlushes = longMetric("numBudgetFlushes")
     child.execute().mapPartitions { iter =>
       if (kLocal == 0) Iterator.empty
       else {
-        val heaps = TopKPerKey.buildHeaps(
-          iter, kLocal, partLocal, orderLocal, childOutput, maxBuffered)
         // emission order within a key is irrelevant — the final phase
-        // re-heaps; project to UnsafeRow for the shuffle writer
+        // re-heaps; project to UnsafeRow for the shuffle writer (safe to
+        // reuse the projection buffer: the writer serializes each row
+        // before the next is produced)
         val outProj = UnsafeProjection.create(childOutput, childOutput)
-        heaps.iterator.flatMap { case (_, heap) =>
-          heap.iterator.map { row => numOutputRows += 1; outProj(row) }
-        }
+        // chunked flush-and-reset: each chunk consumes input until the
+        // row budget is hit (or input ends), drains its heaps, and the
+        // next chunk starts fresh — bounded memory at ANY key cardinality
+        new Iterator[Iterator[InternalRow]] {
+          override def hasNext: Boolean = iter.hasNext
+          override def next(): Iterator[InternalRow] = {
+            val heaps = TopKPerKey.buildHeaps(
+              iter, kLocal, partLocal, orderLocal, childOutput, maxBuffered,
+              failOnExceed = false)
+            if (iter.hasNext) numBudgetFlushes += 1 // ended on budget, not input
+            heaps.iterator.flatMap { case (_, heap) =>
+              heap.iterator.map { row => numOutputRows += 1; outProj(row) }
+            }
+          }
+        }.flatten
       }
     }
   }

@@ -140,6 +140,44 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == Set(("a", 1, 1), ("a", 2, 2)))
   }
 
+  test("partial phase flushes on budget exceed and the query still completes") {
+    // a no-AQE session so the partial node's metrics are inspectable
+    val s2 = graft.SparkSpec.session.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    TopKPerKey.register(s2)
+    import s2.implicits._
+    // cardinality bomb for the MAP side: every row its own key, and only
+    // 2 map partitions, so each map task buffers ~5000 rows if unguarded
+    // while the reduce side (8 shuffle partitions) sees only ~1250 rows
+    // per task. Budget 2000 sits between the two demands — exactly the
+    // shape the round-7 fail-fast partial would have killed even though
+    // the final phase could finish.
+    val highCard = (1 to 10000).map(i => (i, i % 7, i)).toDF("k", "v", "id")
+      .repartition(2)
+    val w = Window.partitionBy($"k").orderBy($"v", $"id")
+    val topk = highCard.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+
+    val plan = topk.queryExecution.executedPlan
+    val partial = plan.collect { case p: TopKPerKeyPartialExec => p }
+    assert(partial.nonEmpty, s"expected TopKPerKeyPartialExec:\n$plan")
+
+    s2.conf.set(TopKPerKey.maxBufferedRowsKey, "2000")
+    try {
+      // collect() on topk ITSELF — select() would build a new
+      // QueryExecution whose partial node carries its own metrics.
+      // One row per key → rn = 1 everywhere.
+      val got = topk.collect()
+      assert(got.length == 10000)
+      assert(got.forall(_.getAs[Int]("rn") == 1))
+      assert(partial.head.metrics("numBudgetFlushes").value > 0,
+        "budget flush path must have fired")
+      // flush-and-reset keeps memory bounded but never drops input: the
+      // union of chunk top-k's is a superset, deduped by the final phase
+      val emitted = partial.head.metrics("numOutputRows").value
+      assert(emitted == 10000, s"every singleton key must survive, got $emitted")
+    } finally s2.conf.unset(TopKPerKey.maxBufferedRowsKey)
+  }
+
   test("pathological key cardinality fails fast with a diagnostic, not an OOM") {
     import spark.implicits._
     // every row its own key: the heap map would hold one entry per row.
