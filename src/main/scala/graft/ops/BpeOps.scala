@@ -303,4 +303,93 @@ object BpeOps {
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_pieces"), length(col("word"))).cast(LongType))
           .as("n_bpe_tokens"))
+
+  /** MATERIALIZE: per-bin packed token-ID sequences — the terminal
+    * artifact a trainer actually consumes. Where [[bpeEncode]] stops at
+    * per-doc COUNTS and [[SampleOps.packSequences]] stops at bin IDs,
+    * this emits, per (`groupCol`, bin):
+    *
+    *  - `input_ids`:   every document's subword token ids, documents
+    *                   concatenated in ascending `idCol` order (the same
+    *                   deterministic order the bin assignment used),
+    *                   pieces within a document in text order;
+    *  - `doc_ids`:     the documents packed into the bin, same order;
+    *  - `doc_offsets`: doc_offsets(i) = index in `input_ids` where
+    *                   doc_ids(i) starts — `slice(input_ids,
+    *                   doc_offsets(i)+1, len_i)` round-trips each
+    *                   document, so attention masks / boundary resets
+    *                   are reconstructible downstream;
+    *  - `n_tokens`:    size(input_ids); ≤ budget unless a single
+    *                   straddling document overflows (greedy offset
+    *                   binning, [[SampleOps.packSequences]]).
+    *
+    * Token ids come from a PIECE-level vocabulary built over the encoded
+    * corpus itself: piece occurrences are counted corpus-wide and dense
+    * ids 0..V−1 assigned by (count DESC, piece ASC) via
+    * [[TextOps.denseIds]] — the id of a piece is a pure function of the
+    * corpus, reproducible cross-engine. Docs whose text has no tokens
+    * carry nothing and are excluded (the [[bpeEncode]]-join contract
+    * `text_pack_bins_bpe` already uses).
+    *
+    * Scale shape: the piece stream (corpus tokens × pieces-per-word) is
+    * traversed twice — once aggregated for the vocabulary, once encoded
+    * for the ids — the standard two-pass vocab build; both passes
+    * shuffle on the piece/word keys only. Per-doc and per-bin arrays are
+    * bounded by the document length and `budget` respectively, so no
+    * task ever holds more than a bin's worth of ids. The word→pieces
+    * join follows the [[bpeEncode]] no-hint contract (an over-limit
+    * vocab degrades to a shuffle join instead of failing).
+    *
+    * `precomputedPieces` shares a [[wordPieces]] frame (and its staging)
+    * with sibling operators; it must cover this corpus — pieces are
+    * joined INNER, so an absent word would silently drop (the fit corpus
+    * IS the encode corpus here; cross-corpus encoding wants
+    * [[bpeEncode]]'s counting contract instead). */
+  def packSequenceIds(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, merges: Seq[(String, String)], budget: Long,
+      precomputedPieces: Option[DataFrame] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val pieces = precomputedPieces.getOrElse(wordPieces(df, textCol, merges))
+    val toks = df
+      .select(col(idCol),
+        posexplode(TextOps.tokenize(col(textCol))).as(Seq("word_pos", "word")))
+      .filter(length(col("word")) > 0)
+    // (doc, word_pos, piece_pos, piece): the encoded corpus stream
+    val stream = toks
+      .join(pieces.select(col("word"), col("pieces")), Seq("word"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+    val vocab = TextOps.denseIds(
+      stream.groupBy(col("piece")).agg(count(lit(1)).as("n")), "piece", "n")
+    // vocab is derived from this very stream — inner join loses nothing
+    val withIds = stream
+      .join(vocab.select(col("piece"), col("token_id")), Seq("piece"))
+    // per-doc id arrays in text order: collect under the (word_pos,
+    // piece_pos) struct prefix, sort, project the ids out
+    val docIds = withIds.groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(
+          struct(col("word_pos"), col("piece_pos"), col("token_id")))).as("ord"),
+        count(lit(1)).as("n_tok"))
+      .select(col(idCol),
+        transform(col("ord"), x => x.getField("token_id")).as("ids"),
+        col("n_tok"))
+    val binned = SampleOps.packSequences(
+      df.select(col(idCol), col(groupCol)).join(docIds, Seq(idCol)),
+      groupCol, idCol, "n_tok", budget)
+    binned.groupBy(col(groupCol), col("bin"))
+      .agg(array_sort(collect_list(struct(col(idCol), col("ids")))).as("docs"))
+      .select(col(groupCol), col("bin"),
+        transform(col("docs"), x => x.getField(idCol)).as("doc_ids"),
+        // prefix sums of the doc lengths in ONE O(bin) fold (a
+        // transform-of-slices would be O(bin²))
+        aggregate(col("docs"),
+          struct(typedlit(Seq.empty[Long]).as("offs"), lit(0L).as("total")),
+          (acc, x) => struct(
+            concat(acc.getField("offs"), array(acc.getField("total"))).as("offs"),
+            (acc.getField("total") + size(x.getField("ids"))).as("total")),
+          acc => acc.getField("offs")).as("doc_offsets"),
+        flatten(transform(col("docs"), x => x.getField("ids"))).as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")).cast(LongType))
+  }
 }

@@ -57,15 +57,28 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-    val spark = df.sparkSession
-    val sorted = counts.orderBy(col("n").desc, col("token"))
+    val withId = denseIds(counts, "token", "n")
+    maxSize.fold(withId)(m => withId.filter(col("token_id") < m))
+  }
+
+  /** Dense id assignment over an aggregated (token, count) table:
+    * appends `token_id` = rank by (`cntCol` DESC, `tokCol` ASC), ids
+    * 0..V−1 with no gaps. The parallel id-assignment core shared by
+    * [[buildVocab]] and [[BpeOps.packSequenceIds]]'s piece vocabulary:
+    * a range-partitioned total sort gives each partition a contiguous
+    * id range and `zipWithIndex` turns per-partition counts into
+    * offsets — no global-window row_number funneling the vocab through
+    * one task. Ties break on the token, so ids are stable across runs,
+    * partitionings, and engines. */
+  private[ops] def denseIds(counts: DataFrame, tokCol: String,
+      cntCol: String): DataFrame = {
+    val sorted = counts.orderBy(col(cntCol).desc, col(tokCol))
     val schema = sorted.schema.add("token_id", LongType, nullable = false)
-    val withId = spark.createDataFrame(
+    counts.sparkSession.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       },
       schema)
-    maxSize.fold(withId)(m => withId.filter(col("token_id") < m))
   }
 
   /** Per-document quality features + a composite score. All counts are

@@ -2760,6 +2760,83 @@ object Catalog {
              |  CAST((cum - n_bpe_tokens) // 2048 AS BIGINT) AS bin
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // Packed token-ID sequences — the trainer-consumable artifact the
+    // tokenize→pack chain previously stopped short of: per (source, bin)
+    // the concatenated input_ids arrays with doc_ids/doc_offsets
+    // boundary metadata (BpeOps.packSequenceIds). The key verifies the
+    // ARTIFACT ITSELF: the packed arrays are exploded back into the
+    // (source, bin, pos, doc_id, token_id) token stream — doc_id is
+    // recovered FROM doc_offsets/doc_ids, so a wrong offset or a
+    // misordered id fails the hash — while DuckDB independently rebuilds
+    // tokenization, pieces (STAGED encoder table, the text_pack_bins_bpe
+    // precedent), the dense piece vocabulary, per-doc id order, bin
+    // assignment, and concatenation order from the raw tables. Scalar
+    // rows rather than array columns so the driver's column-sorted
+    // value hash applies unchanged.
+    "text_pack_sequences_ids" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
+        val pieces = BpeOps.wordPieces(docs, "text", merges)
+        staged(d, "bpe_pieces") { dir =>
+          pieces.select(col("word"), col("pieces"), col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val packed = BpeOps.packSequenceIds(
+          docs, "doc_id", "text", "source", merges, budget = 2048L,
+          precomputedPieces = Some(pieces))
+        packed
+          .select(col("source"), col("bin"), col("doc_ids"), col("doc_offsets"),
+            posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+          // recover each token's document from the boundary metadata:
+          // doc_idx = #offsets ≤ pos − 1 (offsets are sorted starts)
+          .withColumn("doc_idx",
+            size(filter(col("doc_offsets"), o => o <= col("pos"))) - 1)
+          .withColumn("doc_id", element_at(col("doc_ids"), col("doc_idx") + 1))
+          .select(col("source"), col("bin"), col("pos"), col("doc_id"),
+            col("token_id"))
+          .orderBy(col("source"), col("bin"), col("pos"))
+      },
+      Some("""WITH p AS (
+             |  SELECT word, pieces FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
+             |words AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+             |  FROM documents),
+             |toks0 AS (
+             |  SELECT doc_id, unnest(ws) AS word,
+             |         unnest(range(0, len(ws))) AS word_pos
+             |  FROM words),
+             |toks AS (SELECT * FROM toks0 WHERE length(word) > 0),
+             |ps AS (
+             |  SELECT t.doc_id, t.word_pos, unnest(p.pieces) AS piece,
+             |         unnest(range(0, len(p.pieces))) AS piece_pos
+             |  FROM toks t JOIN p USING (word)),
+             |vocab AS (
+             |  SELECT piece,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, piece) - 1
+             |      AS BIGINT) AS token_id
+             |  FROM ps GROUP BY piece),
+             |ids AS (
+             |  SELECT ps.doc_id, ps.word_pos, ps.piece_pos, v.token_id
+             |  FROM ps JOIN vocab v USING (piece)),
+             |ndoc AS (SELECT doc_id, count(*) AS n_tok FROM ids GROUP BY doc_id),
+             |binned AS (
+             |  SELECT d.source, n.doc_id,
+             |    CAST((SUM(n.n_tok) OVER (PARTITION BY d.source ORDER BY n.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n.n_tok)
+             |      // 2048 AS BIGINT) AS bin
+             |  FROM ndoc n JOIN documents d USING (doc_id)),
+             |stream AS (
+             |  SELECT b.source, b.bin, i.doc_id, i.token_id,
+             |    row_number() OVER (PARTITION BY b.source, b.bin
+             |      ORDER BY i.doc_id, i.word_pos, i.piece_pos) - 1 AS pos
+             |  FROM ids i JOIN binned b USING (doc_id))
+             |SELECT source, bin, CAST(pos AS INTEGER) AS pos, doc_id,
+             |  CAST(token_id AS BIGINT) AS token_id
+             |FROM stream ORDER BY source, bin, pos""".stripMargin)),
+
     // Gopher-style composite quality rules (Rae et al. 2021 A1): per-doc
     // flags + AND'd keep. Integer counts and single IEEE divisions
     // throughout ⇒ fully ORACLED (179/500 keep at sf0.01; word-count and
