@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPrep, DedupOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPrep, DedupOps, EmbedOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -2178,6 +2178,121 @@ object Catalog {
              |  FROM dots)
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
              |FROM scored WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // In-pipeline embedding inference (EmbedOps.embedWith): documents'
+    // text runs through the batched per-partition Embedder seam — the
+    // step that completes multimodal → embedding → ANN inside one plan.
+    // The in-repo HashingEmbedder (feature hashing, Weinberger et al.
+    // 2009) is integer-valued and restated in SQL, so the SEAM ITSELF is
+    // oracled: the key explodes the produced embedding arrays into
+    // (doc_id, dim_idx, value) rows while DuckDB recomputes the portable
+    // token hash (31-polynomial mod 2^31−1 over code points, folded with
+    // list_reduce), bucket, sign, and signed histogram from raw text.
+    "sim_embed_hashing" -> QuerySpec(
+      (s, d) => {
+        val emb = EmbedOps.embedWith(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "text", () => new EmbedOps.HashingEmbedder(dim = 16, seed = 7L))
+        emb.select(col("doc_id"),
+            posexplode(col("embedding")).as(Seq("dim_idx", "value")))
+          .select(col("doc_id"), col("dim_idx"),
+            col("value").cast(LongType).as("value"))
+          .orderBy(col("doc_id"), col("dim_idx"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(regexp_split_to_array(tok, ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+             |  FROM toks WHERE length(tok) > 0),
+             |sums AS (
+             |  SELECT doc_id, CAST(h % 16 AS INTEGER) AS dim_idx,
+             |    SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS v
+             |  FROM hashed GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT d.doc_id, CAST(i AS INTEGER) AS dim_idx
+             |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS i))
+             |SELECT g.doc_id, g.dim_idx,
+             |  CAST(COALESCE(s.v, 0) AS BIGINT) AS value
+             |FROM grid g LEFT JOIN sums s USING (doc_id, dim_idx)
+             |ORDER BY doc_id, dim_idx""".stripMargin)),
+
+    // The chain the seam exists for: embed → cosine top-k, stub
+    // embeddings feeding the sim_topk_cosine shape unchanged (integer
+    // components ⇒ exact long dots; same double cosine formula as
+    // sim_topk_cosine, so fully oracled end to end — text in, ranked
+    // neighbors out). Zero-norm vectors are filtered on BOTH sides (a
+    // cosine against them is undefined); rank keys plan through the
+    // two-phase TopKPerKey strategy like every ranking key. At
+    // production scale the embedded frame would be checkpointed before
+    // fan-out — here the fixture-sized recompute is the documented cost
+    // of keeping the key a single plan.
+    "sim_embed_topk_cosine" -> QuerySpec(
+      (s, d) => {
+        val emb = EmbedOps.embedWith(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "text", () => new EmbedOps.HashingEmbedder(dim = 16, seed = 7L))
+          .select(col("doc_id"),
+            transform(col("embedding"), x => x.cast(LongType)).as("iv"))
+        val withNorm = emb
+          .withColumn("nn", SimilarityOps.dotLong(col("iv"), col("iv")))
+          .filter(col("nn") > 0)
+        val q = withNorm.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("iv").as("qv"), col("nn").as("na"))
+        val c = withNorm
+          .select(col("doc_id").as("cid"), col("iv").as("cv"), col("nn").as("nb"))
+        val scored = c.crossJoin(broadcast(q))
+          .withColumn("dot", SimilarityOps.dotLong(col("qv"), col("cv")))
+          .withColumn("cos_q", col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos_q").desc, col("cid"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("rn"), col("cid"), col("cos_q"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(regexp_split_to_array(tok, ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+             |  FROM toks WHERE length(tok) > 0),
+             |sums AS (
+             |  SELECT doc_id, h % 16 AS dim_idx,
+             |    SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS v
+             |  FROM hashed GROUP BY 1, 2),
+             |norms AS (
+             |  SELECT doc_id, SUM(v*v) AS nn FROM sums GROUP BY 1),
+             |live AS (SELECT doc_id FROM norms WHERE nn > 0),
+             |pairs AS (
+             |  SELECT q.doc_id AS qid, c.doc_id AS cid
+             |  FROM live q CROSS JOIN live c WHERE q.doc_id < 5),
+             |dots AS (
+             |  SELECT q.doc_id AS qid, c.doc_id AS cid, SUM(q.v * c.v) AS dot
+             |  FROM sums q JOIN sums c USING (dim_idx)
+             |  WHERE q.doc_id < 5 GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT p.qid, p.cid,
+             |    CAST(COALESCE(d.dot, 0) AS DOUBLE) /
+             |      (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE))) AS cos_q
+             |  FROM pairs p
+             |  LEFT JOIN dots d ON d.qid = p.qid AND d.cid = p.cid
+             |  JOIN norms nq ON nq.doc_id = p.qid
+             |  JOIN norms nc ON nc.doc_id = p.cid),
+             |ranked AS (
+             |  SELECT qid, cid, cos_q,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, cid) AS rn
+             |  FROM scored)
+             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
+             |FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     // int8 embedding quantization (4× storage/shuffle cut at 100 TB):
     // quantize → dequantize round trip with the per-vector error bound
