@@ -220,6 +220,87 @@ object TextOps {
       .withColumn("clean_text", array_join(kept, "\n"))
   }
 
+  /** HTML → main-content text extraction: the front stage a crawl
+    * pipeline runs BEFORE the text-quality ladder (the quality rules
+    * assume plain text; a raw page is mostly markup, scripts, and
+    * boilerplate chrome). Four zero-shuffle passes of per-row column
+    * expressions, then a line-density content heuristic:
+    *
+    *  1. drop invisible content wholesale: `<script>…</script>`,
+    *     `<style>…</style>` (case-insensitive, non-greedy, across
+    *     newlines) and `<!-- comments -->` — stripping only the TAGS
+    *     would leak code/CSS into the text (and its braces into
+    *     [[c4QualityFlags]]' has_brace rule);
+    *  2. turn block-level tag boundaries (p, div, li, headings, table
+    *     rows, nav/header/footer, br, …) into newlines, so the page's
+    *     visual line structure survives tag removal;
+    *  3. strip every remaining tag to a space and decode the basic
+    *     entities (`&lt; &gt; &quot; &#39; &nbsp;`, and `&amp;` LAST so
+    *     `&amp;lt;` decodes to the literal `&lt;` — the HTML escaping
+    *     round-trip, not a double decode);
+    *  4. split on newlines, collapse internal whitespace, drop empty
+    *     lines.
+    *
+    * A line is then CONTENT iff it has ≥ `minContentWords` words (line
+    * density — boilerplate chrome is short) OR an ADJACENT line is
+    * dense (the jusText-style promotion that rescues headings and
+    * short closers attached to real paragraphs, while isolated nav /
+    * footer / title lines stay dropped). Emits `n_raw_lines`,
+    * `n_content_lines`, and `content_text` (kept lines re-joined) —
+    * feed `content_text` to [[c4QualityFlags]] / [[gopherQualityFlags]].
+    * NULL html extracts to zero lines and an empty `content_text`.
+    *
+    * The density arrays are staged as columns and indexed with
+    * `element_at` inside the lambdas (an O(1) attribute lookup) — a
+    * non-trivial expression referenced inside a HOF lambda body would
+    * re-evaluate once per element. */
+  def htmlExtract(df: DataFrame, htmlCol: String,
+      minContentWords: Int = 5): DataFrame = {
+    require(minContentWords >= 1,
+      s"minContentWords must be >= 1, got $minContentWords")
+    val noInvisible = regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(col(htmlCol), lit("")),
+          "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+        "(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blockPat = "(?i)<(?:/?(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote" +
+      "|section|article|header|footer|nav|title|head|body|html)\\b[^>]*" +
+      "|br\\s*/?)>"
+    val withBreaks = regexp_replace(noInvisible, blockPat, "\n")
+    val noTags = regexp_replace(withBreaks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(ent),
+          java.util.regex.Matcher.quoteReplacement(ch))
+      }
+    df.withColumn("_lines",
+        filter(
+          transform(split(decoded, "\n"),
+            l => trim(regexp_replace(l, "\\s+", " "))),
+          l => length(l) > 0))
+      .withColumn("_dense",
+        transform(col("_lines"), l => size(split(l, " ")) >= minContentWords))
+      .withColumn("_n", size(col("_lines")))
+      // sequence(1, 0) would DESCEND — guard the empty case explicitly
+      .withColumn("_mask",
+        when(col("_n") === 0, typedlit(Seq.empty[Boolean]))
+          .otherwise(transform(sequence(lit(1), col("_n")), i =>
+            element_at(col("_dense"), i) ||
+              when(i > 1, element_at(col("_dense"), i - 1))
+                .otherwise(lit(false)) ||
+              when(i < col("_n"), element_at(col("_dense"), i + 1))
+                .otherwise(lit(false)))))
+      .withColumn("_content",
+        filter(col("_lines"), (l, i) => element_at(col("_mask"), i + 1)))
+      .withColumn("n_raw_lines", col("_n").cast(LongType))
+      .withColumn("n_content_lines", size(col("_content")).cast(LongType))
+      .withColumn("content_text", array_join(col("_content"), "\n"))
+      .drop("_lines", "_dense", "_n", "_mask", "_content")
+  }
+
   /** Sliding-window chunking: split each document into `win`-token
     * chunks every `stride` tokens — the sequence-prep step between a
     * cleaned corpus and a trainer (overlap = win − stride preserves

@@ -3067,6 +3067,127 @@ object Catalog {
              |  array_to_string(kept, chr(10)) AS clean_text
              |FROM flags ORDER BY doc_id""".stripMargin)),
 
+    // HTML → main-content extraction (TextOps.htmlExtract), the crawl
+    // front stage BEFORE the text-quality ladder. The corpus is plain
+    // text, so the key first BUILDS a full page deterministically per
+    // doc — head with title/style/script (braces and a '<' comparison
+    // INSIDE the script, so any leak trips has_brace downstream), nav
+    // chrome, a 3-word h1, 8-token <p> paragraphs (entities planted on
+    // doc_id%5: &amp; and &lt;em&gt;, the latter decoding to a literal
+    // '<em>' AFTER tag stripping — the escaping round trip), an HTML
+    // comment with dense word content on doc_id%7 (tests comment
+    // removal, not just tag removal), and two short footers. Extraction
+    // + the density/promotion heuristic + the chained c4 quality flags
+    // on the EXTRACTED text are all restated in DuckDB — line counts,
+    // promotion decisions (h1 rescued by its dense neighbor, lone
+    // footers dropped), entity decoding, and content_text hash-compare.
+    "text_html_extract" -> QuerySpec(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nP = ceil(size(toks).cast(DoubleType) / 8).cast(IntegerType)
+        val paras = array_join(transform(sequence(lit(0), nP - 1), i =>
+          concat(lit("<p>"), array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+            when(col("doc_id") % 5 === 0 && i === 0,
+              lit(" &amp; more &lt;em&gt;")).otherwise(lit("")),
+            lit(".</p>"))), "")
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><head><title>doc "), col("doc_id"), lit(" page</title>"),
+            lit("<style>body { color: #000; }</style>"),
+            lit("<script>var x = 1; if (x < 2) { x++; }</script>"),
+            lit("</head><body>"),
+            lit("<nav>Home About</nav>"),
+            lit("<h1>Intro notes here</h1>"),
+            paras,
+            when(col("doc_id") % 7 === 0,
+              lit("<!-- hidden comment with words words words words words -->"))
+              .otherwise(lit("")),
+            lit("<footer>copyright footer</footer>"),
+            lit("<footer>end</footer>"),
+            lit("</body></html>")).as("html"))
+        val extracted = TextOps.htmlExtract(built, "html")
+        TextOps.c4QualityFlags(extracted, "content_text")
+          .select(col("doc_id"), col("n_raw_lines"), col("n_content_lines"),
+            col("n_lines_kept"), col("has_brace"), col("keep"),
+            col("content_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>doc ' || doc_id || ' page</title>' ||
+             |    '<style>body { color: #000; }</style>' ||
+             |    '<script>var x = 1; if (x < 2) { x++; }</script>' ||
+             |    '</head><body>' ||
+             |    '<nav>Home About</nav>' ||
+             |    '<h1>Intro notes here</h1>' ||
+             |    array_to_string(list_transform(
+             |      range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |      i -> '<p>' || array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |           CASE WHEN doc_id % 5 = 0 AND i = 0
+             |                THEN ' &amp; more &lt;em&gt;' ELSE '' END ||
+             |           '.</p>'), '') ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN '<!-- hidden comment with words words words words words -->'
+             |      ELSE '' END ||
+             |    '<footer>copyright footer</footer>' ||
+             |    '<footer>end</footer>' ||
+             |    '</body></html>' AS html
+             |  FROM base),
+             |ex1 AS (
+             |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+             |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+             |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM built),
+             |ex2 AS (
+             |  SELECT doc_id, regexp_replace(h,
+             |    '(?i)<(?:/?(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article|header|footer|nav|title|head|body|html)\b[^>]*|br\s*/?)>',
+             |    chr(10), 'g') AS h FROM ex1),
+             |ex3 AS (
+             |  SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h
+             |  FROM ex2),
+             |ex4 AS (
+             |  SELECT doc_id, replace(replace(replace(replace(replace(replace(h,
+             |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |    '&#39;', ''''), '&amp;', '&') AS h FROM ex3),
+             |lined AS (
+             |  SELECT doc_id,
+             |    list_filter(list_transform(string_split(h, chr(10)),
+             |      l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+             |      l -> length(l) > 0) AS lines
+             |  FROM ex4),
+             |dens AS (
+             |  SELECT doc_id, lines,
+             |    list_transform(lines, l -> len(string_split(l, ' ')) >= 5) AS dense
+             |  FROM lined),
+             |content AS (
+             |  SELECT doc_id, lines,
+             |    list_filter(lines, (l, i) ->
+             |      dense[i] OR (i > 1 AND dense[i-1])
+             |              OR (i < len(lines) AND dense[i+1])) AS kept
+             |  FROM dens),
+             |final AS (
+             |  SELECT doc_id, len(lines) AS n_raw_lines,
+             |    len(kept) AS n_content_lines,
+             |    array_to_string(kept, chr(10)) AS content_text
+             |  FROM content),
+             |c4 AS (
+             |  SELECT *,
+             |    list_filter(string_split(content_text, chr(10)),
+             |      l -> regexp_matches(trim(l), '[.!?"]$')
+             |           AND len(string_split_regex(trim(l), '\s+')) >= 5) AS c4kept,
+             |    contains(lower(content_text), 'lorem ipsum') AS hl,
+             |    contains(content_text, '{') AS hb
+             |  FROM final)
+             |SELECT doc_id, CAST(n_raw_lines AS BIGINT) AS n_raw_lines,
+             |  CAST(n_content_lines AS BIGINT) AS n_content_lines,
+             |  CAST(len(c4kept) AS BIGINT) AS n_lines_kept,
+             |  CAST(hb AS INTEGER) AS has_brace,
+             |  CAST(NOT hl AND NOT hb AND len(c4kept) >= 3 AS INTEGER) AS keep,
+             |  content_text
+             |FROM c4 ORDER BY doc_id""".stripMargin)),
+
     // Intra-doc line dedup (boilerplate removal: keep the FIRST
     // occurrence of each line within its document, order preserved).
     // Multi-line fixture built like text_c4_filter's, with planted

@@ -235,4 +235,39 @@ class TextOpsSpec extends SparkSpec {
       TextOps.chunkWindows(df, "doc_id", "text", win = 4, stride = 5)
     }
   }
+
+  test("htmlExtract: invisible blocks dropped, density promotion, entity order, null html") {
+    val pages = Seq(
+      // script/style/comment content must vanish ENTIRELY (brace + '<'
+      // inside would otherwise leak into the text); the short heading is
+      // promoted by its dense neighbor, the isolated footer is not
+      (1L, "<html><head><style>a { b: c; }</style>" +
+        "<script>if (x < 2) { y(); }</script></head><body>" +
+        "<h2>Short heading</h2>" +
+        "<p>one two three four five six seven eight.</p>" +
+        "<!-- seven dense comment words should never appear -->" +
+        "<footer>tiny</footer><footer>end</footer></body></html>"),
+      // &amp;lt; must decode to the LITERAL '&lt;' (round trip), not '<'
+      (2L, "<p>alpha beta gamma delta epsilon &amp;lt; zeta.</p>"),
+      (3L, null: String))
+      .toDF("doc_id", "html")
+    val got = TextOps.htmlExtract(pages, "html")
+      .select($"doc_id", $"n_raw_lines", $"n_content_lines", $"content_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+    val p1 = got(0)
+    // heading, para, tiny, end — the para promotes BOTH neighbors
+    // (heading above, tiny below); 'end' is adjacent only to the
+    // non-dense 'tiny' and is the one line the heuristic drops
+    assert(p1._2 == 4L, s"expected 4 raw lines, got $p1")
+    assert(p1._3 == 3L, s"promotion: heading/para/tiny survive, end dropped: $p1")
+    assert(p1._4 == "Short heading\none two three four five six seven eight.\ntiny")
+    assert(!p1._4.contains("{") && !p1._4.contains("comment"))
+
+    val p2 = got(1)
+    assert(p2._4 == "alpha beta gamma delta epsilon &lt; zeta.", p2._4)
+
+    val p3 = got(2)
+    assert(p3._2 == 0L && p3._3 == 0L && p3._4 == "", s"null html: $p3")
+  }
 }
