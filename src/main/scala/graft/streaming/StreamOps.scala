@@ -171,13 +171,20 @@ object StreamOps {
     * ladder (in-batch exact → in-batch NEAR → bloom-prefiltered exact
     * vs corpus → near vs corpus → MERGE). Batches land pre-filtered AND
     * near-dup-free against the accumulated corpus — the streaming twin
-    * of [[graft.ops.CorpusPrep.prepare]]'s batch pipeline. Two of
-    * prepare's stages stay batch-side BY NATURE, not omission: the
-    * unigram-LM filter scores against CORPUS-WIDE token statistics (a
-    * per-batch fit would drift with every batch and re-judge old docs
-    * under new stats), and split assignment is cluster-keyed over the
-    * FINAL corpus — both run as a batch pass over the accumulated
-    * table when training data is cut.
+    * of [[graft.ops.CorpusPrep.prepare]]'s batch pipeline.
+    *
+    * The unigram-LM quality tier is available streaming-side through
+    * `lmModel`: a FROZEN [[graft.ops.TextOps.unigramLmFit]] model (fit
+    * offline on a reference corpus, persistable to parquet — the IVF
+    * fit/query pattern applied to quality scoring). Scoring against a
+    * frozen model is what makes the tier incrementalizable: a per-batch
+    * fit would drift with every batch and re-judge old docs under new
+    * statistics, while the frozen model scores a doc identically
+    * streamed or batched ([[graft.ops.TextOps.unigramScoreWith]]'s
+    * contract, unit-pinned). Docs whose `mean_neg_logprob` exceeds
+    * `lmMaxMeanNegLogProb` drop before the dedup ladder. Split
+    * assignment remains batch-by-nature: it is cluster-keyed over the
+    * FINAL corpus and runs when training data is cut.
     *
     * Both quality tiers are zero-shuffle per-row projections, so the
     * composition adds no exchange before the dedup ladder; idempotency
@@ -193,7 +200,9 @@ object StreamOps {
       gopherMaxSymbolRatio: Double = 0.1, gopherMinAlphaRatio: Double = 0.8,
       gopherMinStopwords: Int = 1,
       bloomExpectedItems: Long = 4000000L,
-      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3)(
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      lmModel: Option[DataFrame] = None,
+      lmMaxMeanNegLogProb: Double = Double.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.ops.TextOps
     val keepCols = batch.columns.toSeq
@@ -207,9 +216,18 @@ object StreamOps {
         gopherMaxSymbolRatio, gopherMinAlphaRatio, gopherMinStopwords)
       .filter(col("keep") === 1)
       .select(keepCols.map(col): _*)
+    // frozen-LM tier: score the surviving docs against the offline-fit
+    // model and semi-join the passers back — the micro-batch is the
+    // only corpus-scale side, the model is vocabulary-sized
+    val lmKept = lmModel.fold(gopherKept) { model =>
+      val passing = TextOps.unigramScoreWith(gopherKept, idCol, textCol, model)
+        .filter(col("mean_neg_logprob") <= lit(lmMaxMeanNegLogProb))
+        .select(col(idCol))
+      gopherKept.join(passing, Seq(idCol), "left_semi")
+    }
     dedupMergeBatch(targetPath, idCol, textCol, partitionCols,
       bloomExpectedItems, nearDup = true, numHashes, bands, shingleN)(
-      gopherKept, batchId)
+      lmKept, batchId)
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

@@ -236,6 +236,40 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigram LM: frozen persisted model scores exactly like the in-plan fit; OOV takes the model's smoothing mass") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ran fast"),
+      (3L, "cat dog cat")).toDF("doc_id", "text")
+    val inPlan = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"mean_neg_logprob")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // the frozen path: persist the fit to parquet, reload, score — the
+    // artifact round trip a streaming scorer depends on
+    val dir = java.nio.file.Files.createTempDirectory("lm_model")
+      .toFile.getAbsolutePath
+    TextOps.unigramLmFit(docs, "text").write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val frozen = TextOps.unigramScoreWith(docs, "doc_id", "text", reloaded)
+      .select($"doc_id", $"n_tokens", $"mean_neg_logprob")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(frozen == inPlan, s"frozen=$frozen inPlan=$inPlan")
+
+    // OOV: an unseen token scores the model's null-row (smoothing) mass
+    val lp = reloaded.collect()
+      .map(r => Option(r.getString(0)) -> r.getDecimal(1)).toMap
+    // mirror the operator's arithmetic order: DECIMAL sum → double cast
+    // → negate/divide → round(…, 6)
+    val sumD = lp(Some("the")).add(lp(None)).doubleValue()
+    val expected = BigDecimal(-sumD / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.unigramScoreWith(
+      Seq((9L, "the zzz")).toDF("doc_id", "text"), "doc_id", "text", reloaded)
+      .select($"mean_neg_logprob").as[Double].head()
+    assert(got == expected, s"got $got expected $expected, model lps: $lp")
+  }
+
   test("htmlExtract: invisible blocks dropped, density promotion, entity order, null html") {
     val pages = Seq(
       // script/style/comment content must vanish ENTIRELY (brace + '<'

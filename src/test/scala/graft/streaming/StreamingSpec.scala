@@ -656,4 +656,61 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(corpusIds == Set(1L, 2L, 12L), "replay must be a no-op")
   }
+
+  test("streaming corpus-prep frozen-LM tier: streamed scoring equals batch scoring") {
+    import graft.ops.TextOps
+    val srcDir = Files.createTempDirectory("lm_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("lm_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("lm_ckpt").toFile.getAbsolutePath
+    def doc(theme: Seq[String]): String = (1 to 3).map(i =>
+      s"the ${theme(0)} ${theme(1)} of ${theme(2)} number $i keeps ${theme(3)} along nicely today.")
+      .mkString("\n")
+
+    // offline reference corpus → FROZEN model (persist + reload, the
+    // artifact round trip a deployed scorer performs)
+    val reference = Seq(
+      (100L, doc(Seq("steady", "stream", "tokens", "flowing"))),
+      (101L, doc(Seq("columnar", "pages", "parquet", "marching"))),
+      (102L, doc(Seq("broadcast", "joins", "dimensions", "humming"))))
+      .toDF("doc_id", "text")
+    val modelDir = Files.createTempDirectory("lm_frozen").toFile.getAbsolutePath
+    TextOps.unigramLmFit(reference, "text").write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir)
+
+    // arriving docs: both clear C4+Gopher; one speaks the reference
+    // vocabulary, one is OOV-gibberish that only the LM tier can catch
+    val inModel = doc(Seq("steady", "stream", "tokens", "flowing"))
+    val gibberish = doc(Seq("zxqvwk", "gplmtr", "qqwwzz", "vbnmkl"))
+    val arriving = Seq((1L, inModel, "en"), (2L, gibberish, "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // batch-side ground truth with the SAME frozen model; threshold at
+    // the midpoint, so streamed membership == batch membership IFF the
+    // streamed scores equal these batch scores
+    val batchScores = TextOps.unigramScoreWith(arriving, "doc_id", "text", model)
+      .select($"doc_id", $"mean_neg_logprob").as[(Long, Double)].collect().toMap
+    assert(batchScores(2L) > batchScores(1L),
+      s"fixture must separate the docs, got $batchScores")
+    val threshold = (batchScores(1L) + batchScores(2L)) / 2.0
+
+    arriving.write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch(
+        StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+          lmModel = Some(model), lmMaxMeanNegLogProb = threshold) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "LM ingest query did not self-terminate")
+
+    val expectedIds = batchScores.collect {
+      case (id, s) if s <= threshold => id
+    }.toSet
+    val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+    assert(got == expectedIds && got == Set(1L),
+      s"streamed LM membership $got must equal batch membership $expectedIds")
+  }
 }
