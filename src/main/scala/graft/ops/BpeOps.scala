@@ -134,16 +134,41 @@ object BpeOps {
 
   /** Classic incremental BPE trainer over the collected (word, count)
     * vocab. State: pair → weighted count, pair → indices of words that
-    * (at some point) contained it. Each round scans the pair-count map
-    * for the (count DESC, pair ASC) argmax, then recounts ONLY the
-    * words holding the winning pair — O(affected words × word length)
-    * per round, the structure that makes 30k–50k merges tractable. */
+    * (at some point) contained it, and a LAZY-INVALIDATION max-heap
+    * over (count, pair) snapshots for the per-round argmax. Every
+    * count update pushes a fresh snapshot; the round's winner pops
+    * entries until the head matches the pair's CURRENT count (stale
+    * snapshots — superseded or deleted values — are discarded on
+    * contact). Since every live count has a snapshot in the heap, the
+    * first valid head is the true (count DESC, pair ASC-by-UTF-8)
+    * argmax, with the same bit-deterministic tie-break as the previous
+    * full scan. Per round: O(affected words × word length) recount
+    * work + amortized O(log heap) argmax — the full-map scan this
+    * replaces was Ω(|distinct pairs|) per round, which at a ~10⁶-pair
+    * vocab × 50k merges dominated training time. */
   private[ops] def trainInMemory(
       vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     val syms = vocab.map { case (w, _) => w.split("").filter(_.nonEmpty) }.toArray
     val cnts = vocab.map(_._2).toArray
     val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    // max-heap: higher count first; count ties → UTF-8-SMALLER pair first
+    val heapOrd: Ordering[(Long, String, String)] = (x, y) => {
+      if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+      else {
+        val ca = utf8Compare(y._2, x._2)
+        if (ca != 0) ca else utf8Compare(y._3, x._3)
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCounts.remove(p)
+      else {
+        pairCounts.update(p, n)
+        heap.enqueue((n, p._1, p._2))
+      }
+    }
     def forEachPair(i: Int)(f: ((String, String)) => Unit): Unit = {
       val s = syms(i)
       var j = 0
@@ -153,24 +178,28 @@ object BpeOps {
     while (i < syms.length) {
       val c = cnts(i); val idx = i
       forEachPair(i) { p =>
+        // initial build: counts accumulate silently, snapshots follow
         pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
         pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += idx
       }
       i += 1
     }
+    pairCounts.foreach { case (p, n) => heap.enqueue((n, p._1, p._2)) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < numMerges && !done) {
       var best: (String, String) = null
-      var bestN = 1L // best must be >= 2: strictly greater than this floor
-      pairCounts.foreach { case (p, n) =>
-        if (n > bestN || (n == bestN && best != null && {
-          val ca = utf8Compare(p._1, best._1)
-          ca < 0 || (ca == 0 && utf8Compare(p._2, best._2) < 0)
-        })) { best = p; bestN = n }
+      // pop until a LIVE snapshot surfaces; a head under the merge floor
+      // (count < 2) ends training even if stale — stale snapshots only
+      // ever OVERSTATE, so everything live is also under the floor
+      while (best == null && !done) {
+        if (heap.isEmpty || heap.head._1 < 2L) done = true
+        else {
+          val (n, a, b) = heap.dequeue()
+          if (pairCounts.get((a, b)).contains(n)) best = (a, b)
+        }
       }
-      if (best == null) done = true
-      else {
+      if (!done) {
         val (a, b) = best
         merges += best
         // recount only the words that held the winning pair; stale
@@ -184,13 +213,10 @@ object BpeOps {
           while (!has && j + 1 < s.length) { has = s(j) == a && s(j + 1) == b; j += 1 }
           if (has) {
             val c = cnts(w)
-            forEachPair(w) { p =>
-              val n = pairCounts(p) - c
-              if (n <= 0L) pairCounts.remove(p) else pairCounts.update(p, n)
-            }
+            forEachPair(w)(p => bump(p, -c))
             syms(w) = mergeWord(s, a, b)
             forEachPair(w) { p =>
-              pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+              bump(p, c)
               pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
             }
           }
@@ -263,6 +289,23 @@ object BpeOps {
     syms
   }
 
+  /** Does every merge's pair of operands consist of base symbols
+    * (single code points) or outputs of EARLIER merges? True for any
+    * list a BPE trainer produced — and exactly the precondition under
+    * which [[applyMergesFast]]'s min-rank iteration equals in-order
+    * replay (a later-listed pair using a not-yet-produced token, e.g.
+    * `[("ab","c"), ("a","b")]`, breaks that equivalence: fast would
+    * merge "abc" where replay leaves "ab","c"). */
+  private[ops] def isTrainerProduced(merges: Seq[(String, String)]): Boolean = {
+    val produced = scala.collection.mutable.HashSet.empty[String]
+    merges.forall { case (a, b) =>
+      def base(s: String) = s.nonEmpty && s.codePointCount(0, s.length) == 1
+      val ok = (base(a) || produced(a)) && (base(b) || produced(b))
+      produced += a + b
+      ok
+    }
+  }
+
   /** Word → (pieces, n_pieces) table for every distinct word in the
     * corpus: the broadcastable encoder table, built in ONE plan with no
     * per-round jobs. Small merge lists (≤ [[maxExpressionMerges]])
@@ -273,7 +316,15 @@ object BpeOps {
     * is ~1 MB, broadcast once per executor). The UDF runs on the
     * DISTINCT-WORD table only — vocab-sized, never the corpus — so the
     * codegen break is confined to the model-sized frame, mirroring the
-    * bpeFit collect contract. */
+    * bpeFit collect contract.
+    *
+    * The fast path is only rank-equivalent to in-order replay for
+    * TRAINER-PRODUCED lists, so that invariant is VALIDATED
+    * ([[isTrainerProduced]], one cheap driver-side pass over the
+    * model): a hand-ordered list that violates it takes a literal
+    * in-order replay UDF instead — O(merges × word length) per word,
+    * the price of exact semantics on adversarial input — never a
+    * silently different tokenization. */
   def wordPieces(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
@@ -282,10 +333,17 @@ object BpeOps {
     val withPieces =
       if (merges.size <= maxExpressionMerges)
         words.withColumn("pieces", applyMerges(split(col("word"), ""), merges))
-      else {
+      else if (isTrainerProduced(merges)) {
         val ranks = merges.zipWithIndex.toMap
         val fast = udf((w: String) => applyMergesFast(w, ranks))
         words.withColumn("pieces", fast(col("word")))
+      } else {
+        val list = merges.toIndexedSeq
+        val replay = udf((w: String) =>
+          list.foldLeft(w.split("").filter(_.nonEmpty)) {
+            case (syms, (a, b)) => mergeWord(syms, a, b)
+          }.toSeq)
+        words.withColumn("pieces", replay(col("word")))
       }
     withPieces.withColumn("n_pieces", size(col("pieces")))
   }

@@ -564,12 +564,16 @@ object DedupOps {
   /** In-BATCH near-dedup with [[incrementalDedup]]'s band-collision
     * criterion: a row survives iff NONE of its minhash bands is shared
     * with a lower-id row of the same frame — the deterministic min-id
-    * winner rule of the exact tier, applied per band. Greedy (a dropped
-    * row's own other-band neighbours are judged against the remaining
-    * rows, no transitive closure — that is [[fuzzyDedupE2E]]'s
-    * CC contract); the match criterion is band collision exactly like
-    * the corpus tier, so a batch merged after this pass can't introduce
-    * a pair the corpus tier would have caught had they arrived in
+    * winner rule of the exact tier, applied per band. Collisions are
+    * judged against ALL rows of the frame (min id per band), NOT just
+    * against survivors: a row drops even when the band's min-id row
+    * was itself dropped via another band, so the pass is EXTRA
+    * conservative relative to the corpus tier's sequential-arrival
+    * semantics (where only already-merged docs can evict). No
+    * transitive closure either way — that is [[fuzzyDedupE2E]]'s CC
+    * contract. The match criterion is band collision exactly like the
+    * corpus tier, so a batch merged after this pass can't introduce a
+    * pair the corpus tier would have caught had they arrived in
     * separate batches. Requires unique non-null ids, same as the corpus
     * near tier. Only (id, band) pairs shuffle. */
   def inBatchNearDedup(

@@ -366,8 +366,12 @@ object TextOps {
         array_join(transform(
           array_sort(collect_list(struct(col("_pos"), col("_line")))),
           s => s.getField("_line")), "\n").as("clean_text"))
+    // LEFT join: a NULL-text row explodes to no lines and would vanish
+    // under an inner join, where the HOF twin keeps it with NULL
+    // n_lines/n_lines_kept/clean_text — the left join's natural nulls
+    // reproduce exactly that (equivalence test carries a null fixture)
     df.withColumn("n_lines", size(split(col(textCol), "\n")).cast(LongType))
-      .join(rebuilt, Seq(idCol))
+      .join(rebuilt, Seq(idCol), "left")
   }
 
   /** Unigram language-model scoring: per-doc mean negative log

@@ -110,6 +110,25 @@ class BpeSpec extends SparkSpec {
     assert(packed.select(max($"bin")).as[Long].head() >= 1L) // budget forces >1 bin
   }
 
+  test("non-trainer merge lists >64 entries take the replay path, not the fast path") {
+    // the ADVICE counterexample: ("ab","c") listed BEFORE ("a","b")
+    // produces "ab" — min-rank apply would merge "abc" into one piece,
+    // in-order replay leaves ["ab", "c"]. Padded past the expression
+    // threshold with inert single-char merges (trainer-VALID pads, so
+    // only the head violates the invariant).
+    val pads = (0 until 70).map(i => (('f' + i % 20).toChar.toString, s"${i / 20}"))
+    val handOrdered = Seq(("ab", "c"), ("a", "b")) ++ pads
+    assert(handOrdered.size > BpeOps.maxExpressionMerges)
+    assert(!BpeOps.isTrainerProduced(handOrdered))
+    assert(BpeOps.isTrainerProduced(Seq(("a", "b"), ("ab", "c")) ++ pads))
+
+    val docs = Seq((0L, "abc")).toDF("doc_id", "text")
+    val pieces = BpeOps.wordPieces(docs, "text", handOrdered)
+      .select($"word", $"pieces").as[(String, Seq[String])].collect().toMap
+    // replay semantics, NOT the fast path's ["abc"]
+    assert(pieces("abc") == Seq("ab", "c"), pieces.toString)
+  }
+
   test("packSequenceIds: bins respect the budget and offsets round-trip the docs") {
     val docs = corpus.withColumn("src", lit("all"))
     val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)

@@ -144,13 +144,18 @@ class TextOpsSpec extends SparkSpec {
       (1L, "one\ntwo\nthree"),
       (2L, "same\nsame\nsame"),
       (3L, ""),                                // empty text → one empty line
-      (4L, "x\n\nx\n\ny"))                     // planted empty lines dedup too
+      (4L, "x\n\nx\n\ny"),                     // planted empty lines dedup too
+      (5L, null: String))                      // NULL text must survive the join back
       .toDF("id", "text")
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.select("id", "n_lines", "n_lines_kept", "clean_text")
-        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
-    assert(rows(TextOps.dedupLinesWithinDocScalable(df, "id", "text")) ==
-      rows(TextOps.dedupLinesWithinDoc(df, "text")))
+        .as[(Long, Option[Long], Option[Long], Option[String])]
+        .collect().sortBy(_._1).toSeq
+    val scalable = rows(TextOps.dedupLinesWithinDocScalable(df, "id", "text"))
+    assert(scalable == rows(TextOps.dedupLinesWithinDoc(df, "text")))
+    // the null-text row is PRESENT (left join) with the HOF twin's nulls
+    assert(scalable.exists(r => r._1 == 5L && r._2.isEmpty && r._4.isEmpty),
+      s"null-text row must survive with null outputs: $scalable")
     // other columns survive the join back
     val extra = TextOps.dedupLinesWithinDocScalable(
       df.withColumn("lang", lit("en")), "id", "text")
@@ -160,8 +165,8 @@ class TextOpsSpec extends SparkSpec {
     val longDoc = Seq((7L, (1 to 20000).map(i => s"line${i % 500}").mkString("\n")))
       .toDF("id", "text")
     val got = rows(TextOps.dedupLinesWithinDocScalable(longDoc, "id", "text")).head
-    assert(got == ((7L, 20000L, 500L,
-      (1 to 500).map(i => s"line${i % 500}").mkString("\n"))))
+    assert(got == ((7L, Some(20000L), Some(500L),
+      Some((1 to 500).map(i => s"line${i % 500}").mkString("\n")))))
   }
 
   test("unigramLogProb: matches a hand-computed corpus LM; rare tokens score worse") {
