@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   * team actually ships, chaining the individually-verified stages
   *
   *   raw docs
+  *     → HTML extraction    (OPTIONAL, `htmlInput = true`:
+  *                           [[TextOps.htmlExtract]] — crawl pages enter as
+  *                           markup; the main-content text feeds the ladder)
   *     → C4 line rules      ([[TextOps.c4QualityFlags]]; docs keep their
   *                           retained lines, boilerplate/template docs drop)
   *     → Gopher flags       ([[TextOps.gopherQualityFlags]] over the
@@ -58,9 +61,18 @@ object CorpusPrep {
       // the same document dedup instead of escaping — see
       // DedupOps.fuzzyDedupE2E's normalize seam
       normalize: Boolean = true,
+      // treat textCol as raw HTML: run the main-content extraction front
+      // stage first, so crawl pages enter the SAME ladder as plain text
+      // (zero extra shuffles — htmlExtract is a per-row column program)
+      htmlInput: Boolean = false,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    val slim = df.select(col(idCol), col(textCol))
+    val raw = df.select(col(idCol), col(textCol))
+    val slim =
+      if (htmlInput)
+        TextOps.htmlExtract(raw, textCol)
+          .select(col(idCol), col("content_text").as(textCol))
+      else raw
     val c4Kept = TextOps.c4QualityFlags(slim, textCol, minLineWords, minLinesKept)
       .filter(col("keep") === 1)
       .select(col(idCol), col("clean_text").as(textCol))

@@ -53,6 +53,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(splits.forall(Set("train", "val", "test")))
   }
 
+  test("htmlInput front stage: crawl-wrapped docs come out exactly like their plain twins") {
+    // wrap each doc's lines in <p> tags plus chrome the extractor must
+    // remove; the ladder downstream then sees the SAME text as `docs`
+    val asHtml = docs.withColumn("text",
+      concat(
+        lit("<html><head><title>t</title><style>x { y: z; }</style></head><body>"),
+        lit("<script>var n = 1;</script>"),
+        array_join(transform(split(col("text"), "\n"),
+          l => concat(lit("<p>"), l, lit("</p>"))), ""),
+        lit("</body></html>")))
+    val viaHtml = CorpusPrep.prepare(asHtml, "doc_id", "text",
+      minLineWords = 5, minLinesKept = 2,
+      gopherMinWords = 10, gopherMinStopwords = 2,
+      lmMaxNegLogProb = 100.0, jaccardThreshold = 0.5, htmlInput = true)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val viaPlain = out
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaHtml == viaPlain,
+      s"html-extracted pipeline must equal the plain pipeline:\n$viaHtml\nvs\n$viaPlain")
+  }
+
   test("LM filter drops high-surprise docs when thresholded") {
     // with a tight threshold everything drops — the stage is live
     val strict = CorpusPrep.prepare(docs, "doc_id", "text",
