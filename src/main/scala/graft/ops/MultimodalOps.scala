@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -462,4 +462,114 @@ object MultimodalOps {
   def sampleFrames(df: DataFrame, everyK: Int): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))))
+
+  // ------------------------------------------------------ pixel transforms
+  // The decode→transform stage a training pipeline runs between raw media
+  // bytes and features: decode (codec seam), resize, perceptual hash,
+  // frame-sample. The DECODE is stubbed (no media libraries in this
+  // container) as a deterministic integer pixel field seeded from the
+  // payload bytes; every transform above it is the real Spark plumbing —
+  // zero-shuffle column programs evaluated only at the sampled output
+  // coordinates, the way a decimating decoder behaves. Identical payloads
+  // get identical seeds, so perceptual-hash dedup downstream collides
+  // exactly the media that are byte-identical — the property the stub
+  // must preserve for the dedup story to be testable.
+
+  /** Modulus of the stub pixel field: 2^31 − 1 (Mersenne prime), same as
+    * [[EmbedOps]]' portable token hash — nonneg BIGINT arithmetic that
+    * restates exactly in the DuckDB oracle. */
+  val PixelMod = 2147483647L
+
+  /** STUB "decode" step: fold (a·31 + byte) mod 2^31−1 over the payload —
+    * run through the same per-partition [[Codec]] lifecycle as the real
+    * header decoders, so swapping in a raster-returning production codec
+    * changes nothing upstream or downstream of the seam. */
+  object PixelSeedCodec extends Codec[Long] {
+    override def decode(payload: Array[Byte]): Long =
+      if (payload == null) 0L // corrupt/missing payload → constant raster, not a task failure
+      else payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % PixelMod)
+  }
+
+  /** Append `pix_seed`: the payload-derived pixel-field seed (see
+    * [[PixelSeedCodec]]), via the single-plan mapPartitions shape. */
+  def pixelSeed(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    decodePartitions(df, bytesCol,
+      new StructType().add("pix_seed", LongType),
+      () => PixelSeedCodec)((r, s) => Row.fromSeq(r.toSeq :+ s))
+
+  /** STUB source pixel: grayscale value of pixel (x, y) of frame `frame`
+    * — the deterministic integer field standing in for the raster a real
+    * decoder would materialize. seed < 2^31 keeps every product below
+    * 2^52: no overflow under ANSI mode, bit-identical in DuckDB. */
+  def stubPixel(seed: Column, frame: Column, y: Column, x: Column): Column =
+    pmod(seed * lit(1000003L) + frame * lit(7919L) +
+      y * lit(104729L) + x * lit(31L), lit(PixelMod)) % 256
+
+  /** Nearest-neighbor resize of frame 0 to outW×outH: appends `pixels`,
+    * a row-major array of length outW·outH sampling the source pixel at
+    * (x·w/outW, y·h/outH). The field is evaluated ONLY at the outW·outH
+    * output coordinates — never the full w×h raster — matching how a
+    * decimating decode samples a large source. Zero-shuffle column
+    * program; `pix_seed`/w/h are staged as plain attributes so the
+    * transform lambda reads O(1) attributes rather than re-evaluating
+    * captured subtrees per element (the HOF-capture trap). */
+  def resizeStub(df: DataFrame, outW: Int, outH: Int): DataFrame =
+    df.withColumn("_w", col("meta.width").cast(LongType))
+      .withColumn("_h", col("meta.height").cast(LongType))
+      .withColumn("pixels",
+        transform(sequence(lit(0), lit(outW * outH - 1)), i => {
+          val y = floor(i / lit(outW)).cast(LongType)
+          val x = pmod(i, lit(outW)).cast(LongType)
+          val srcY = floor(y * col("_h") / lit(outH)).cast(LongType)
+          val srcX = floor(x * col("_w") / lit(outW)).cast(LongType)
+          stubPixel(col("pix_seed"), lit(0L), srcY, srcX)
+        }))
+      .drop("_w", "_h")
+
+  /** 64-bit difference hash (dHash) over a (hashW+1)×hashH resized grid:
+    * bit (y, x) = 1 iff pixel(y, x+1) > pixel(y, x) — the classic
+    * gradient fingerprint that survives re-encoding and mild rescaling.
+    * Emitted as a '0'/'1' string rather than a packed BIGINT (bit 63
+    * would be the sign bit) — portable across engines and band-sliceable
+    * with plain substring for LSH-style near-dup grouping. A static
+    * 64-term projection (no HOF), fully inside whole-stage codegen. */
+  def dhashBits(pixels: Column, hashW: Int = 8, hashH: Int = 8): Column = {
+    val gridW = hashW + 1
+    concat((for (y <- 0 until hashH; x <- 0 until hashW) yield {
+      val i = y * gridW + x // 0-based grid index; element_at is 1-based
+      when(element_at(pixels, i + 2) > element_at(pixels, i + 1), lit("1"))
+        .otherwise(lit("0"))
+    }): _*)
+  }
+
+  /** Frame sampling with per-frame features: k evenly spaced frame
+    * indices over meta.n_frames (⌊j·n/k⌋, deduped — clips shorter than k
+    * frames yield fewer samples), exploded to one row per sampled frame
+    * carrying `sample_pos`, `frame_idx`, and `frame_pixsum` — the sum of
+    * that frame's outW×outH resized stub pixels, the integer stand-in
+    * for a per-frame embedding. Explode-then-featurize is the production
+    * shape: one media row fans out to frame rows that downstream feature
+    * extractors process in parallel across the cluster. */
+  def frameSampleStub(df: DataFrame, k: Int,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    val staged = df
+      .withColumn("_w", col("meta.width").cast(LongType))
+      .withColumn("_h", col("meta.height").cast(LongType))
+      .withColumn("_n", col("meta.n_frames").cast(LongType))
+    // ⌊j·n/k⌋ is nondecreasing in j, so array_distinct's first-occurrence
+    // order IS ascending frame order — sample_pos is deterministic
+    val idxs = array_distinct(transform(sequence(lit(0), lit(k - 1)),
+      j => floor(j.cast(LongType) * col("_n") / lit(k)).cast(LongType)))
+    staged
+      .select(col("*"), posexplode(idxs).as(Seq("sample_pos", "frame_idx")))
+      .withColumn("frame_pixsum",
+        aggregate(sequence(lit(0), lit(outW * outH - 1)), lit(0L), (acc, i) => {
+          val y = floor(i / lit(outW)).cast(LongType)
+          val x = pmod(i, lit(outW)).cast(LongType)
+          val srcY = floor(y * col("_h") / lit(outH)).cast(LongType)
+          val srcX = floor(x * col("_w") / lit(outW)).cast(LongType)
+          acc + stubPixel(col("pix_seed"), col("frame_idx"), srcY, srcX)
+        }))
+      .drop("_w", "_h", "_n")
+  }
 }

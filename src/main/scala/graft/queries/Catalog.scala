@@ -4225,6 +4225,132 @@ object Catalog {
              |  md5(text) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Pixel-transform stage: decode (codec seam, payload-seeded stub
+    // field) → nearest-neighbor resize to 8×8. The stub's integer
+    // arithmetic restates exactly in SQL, so the WHOLE chain is oracled:
+    // DuckDB rebuilds the payload bytes from text ('G' + first-4 + utf8),
+    // folds the seed over the hex dump, and re-evaluates the field at the
+    // same 64 sampled coordinates. The Spark side only ever evaluates
+    // those 64 coordinates too — never the full w×h raster.
+    "multimodal_resize" -> QuerySpec(
+      (s, d) => {
+        val media = MultimodalOps.attachFakeMedia(
+          t(s, d, "documents"), "doc_id", "text")
+        MultimodalOps.resizeStub(MultimodalOps.pixelSeed(media), 8, 8)
+          .select(col("doc_id"),
+            posexplode(col("pixels")).as(Seq("pixel_idx", "pix")))
+          .orderBy(col("doc_id"), col("pixel_idx"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    hex(encode('G')) || substr(hex(encode(text)),1,8)
+             |      || hex(encode(text)) AS hx,
+             |    CAST((doc_id % 64) * 16 + 16 AS BIGINT) AS w,
+             |    CAST((doc_id % 32) * 16 + 16 AS BIGINT) AS h
+             |  FROM documents),
+             |sd AS (
+             |  SELECT doc_id, w, h,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(0, length(hx)//2),
+             |        i -> ('0x'||substr(hx, CAST(i*2+1 AS BIGINT), 2))::BIGINT)),
+             |      (a,b) -> (a*31+b) % 2147483647) AS seed
+             |  FROM s)
+             |SELECT doc_id, CAST(i AS INTEGER) AS pixel_idx,
+             |  CAST(((seed*1000003 + ((i//8)*h//8)*104729
+             |    + ((i%8)*w//8)*31) % 2147483647) % 256 AS BIGINT) AS pix
+             |FROM sd CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+             |ORDER BY doc_id, pixel_idx""".stripMargin)),
+
+    // Frame sampling with per-frame features: k=4 evenly spaced frames
+    // per clip (short clips yield fewer — the dedup is part of the
+    // contract), each frame's 8×8 resized pixel sum as its feature.
+    // DuckDB recomputes indices, dedup, ordinal, and the 64-pixel sum.
+    "multimodal_frame_sample" -> QuerySpec(
+      (s, d) => {
+        val media = MultimodalOps.attachFakeMedia(
+          t(s, d, "documents"), "doc_id", "text")
+        MultimodalOps.frameSampleStub(MultimodalOps.pixelSeed(media), 4)
+          .select(col("doc_id"), col("sample_pos"), col("frame_idx"),
+            col("frame_pixsum"))
+          .orderBy(col("doc_id"), col("sample_pos"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    hex(encode('G')) || substr(hex(encode(text)),1,8)
+             |      || hex(encode(text)) AS hx,
+             |    CAST((doc_id % 64) * 16 + 16 AS BIGINT) AS w,
+             |    CAST((doc_id % 32) * 16 + 16 AS BIGINT) AS h,
+             |    CAST((doc_id % 8) + 1 AS BIGINT) AS n
+             |  FROM documents),
+             |sd AS (
+             |  SELECT doc_id, w, h, n,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(0, length(hx)//2),
+             |        i -> ('0x'||substr(hx, CAST(i*2+1 AS BIGINT), 2))::BIGINT)),
+             |      (a,b) -> (a*31+b) % 2147483647) AS seed
+             |  FROM s),
+             |fr AS (
+             |  SELECT DISTINCT doc_id, seed, w, h,
+             |    CAST(j AS BIGINT) * n // 4 AS frame_idx
+             |  FROM sd CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+             |numbered AS (
+             |  SELECT doc_id, seed, w, h, frame_idx,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY frame_idx) - 1 AS INTEGER) AS sample_pos
+             |  FROM fr)
+             |SELECT doc_id, sample_pos, frame_idx,
+             |  CAST(SUM(((seed*1000003 + frame_idx*7919 + ((i//8)*h//8)*104729
+             |    + ((i%8)*w//8)*31) % 2147483647) % 256) AS BIGINT) AS frame_pixsum
+             |FROM numbered CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+             |GROUP BY doc_id, sample_pos, frame_idx
+             |ORDER BY doc_id, sample_pos""".stripMargin)),
+
+    // Perceptual-hash dedup: dHash (9×8 grid, 64 gradient bits) over the
+    // stub raster, grouped exactly — with the payload-seeded stub, media
+    // with identical payload AND dimensions collide (real byte-identical
+    // files share both), so keeper/copy counts mirror file-level dedup
+    // while the HASH itself is the rescale-robust fingerprint a real
+    // pipeline buckets on. DuckDB recomputes every bit from text and
+    // re-groups.
+    "dedup_image_dhash" -> QuerySpec(
+      (s, d) => {
+        val media = MultimodalOps.attachFakeMedia(
+          t(s, d, "documents"), "doc_id", "text")
+        MultimodalOps.resizeStub(MultimodalOps.pixelSeed(media), 9, 8)
+          .withColumn("dhash", MultimodalOps.dhashBits(col("pixels")))
+          .groupBy(col("dhash"))
+          .agg(min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("n_copies"))
+          .orderBy(col("keeper"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    hex(encode('G')) || substr(hex(encode(text)),1,8)
+             |      || hex(encode(text)) AS hx,
+             |    CAST((doc_id % 64) * 16 + 16 AS BIGINT) AS w,
+             |    CAST((doc_id % 32) * 16 + 16 AS BIGINT) AS h
+             |  FROM documents),
+             |sd AS (
+             |  SELECT doc_id, w, h,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(0, length(hx)//2),
+             |        i -> ('0x'||substr(hx, CAST(i*2+1 AS BIGINT), 2))::BIGINT)),
+             |      (a,b) -> (a*31+b) % 2147483647) AS seed
+             |  FROM s),
+             |bits AS (
+             |  SELECT doc_id,
+             |    string_agg(CASE WHEN
+             |      ((seed*1000003 + ((b//8)*h//8)*104729
+             |        + (((b%8)+1)*w//9)*31) % 2147483647) % 256 >
+             |      ((seed*1000003 + ((b//8)*h//8)*104729
+             |        + ((b%8)*w//9)*31) % 2147483647) % 256
+             |      THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
+             |  FROM sd CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+             |  GROUP BY doc_id)
+             |SELECT dhash, MIN(doc_id) AS keeper,
+             |  COUNT(*) AS n_copies
+             |FROM bits GROUP BY dhash ORDER BY keeper""".stripMargin)),
+
     // Distribution window functions: ntile/percent_rank/cume_dist over a
     // unique total order (o_totalprice ties broken by o_orderkey) so the
     // assigned buckets are engine-independent.

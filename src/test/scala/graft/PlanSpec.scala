@@ -174,6 +174,7 @@ class PlanSpec extends SparkSpec {
     val allowBnlj = Set(
       "join_cross",            // the cross-join key itself (broadcast hinted)
       "sim_topk_cosine",       // brute-force scoring vs broadcast query set
+      "sim_embed_topk_cosine", // same shape over the embed seam's output
       "sim_ann_recall",        // brute-force TRUTH side of the recall check
                                // (the ANN sides stay bucketed equi-joins)
       "sim_ann_pq",            // full-scan ADC over codes BY DESIGN

@@ -308,6 +308,97 @@ class MultimodalSpec extends SparkSpec {
     // doc 7 → n_frames=8 → frames 0,2,4,6; doc 0 → 1 frame; doc 1 → 2 frames
     assert(frames == Set((0L, 0), (1L, 0), (7L, 0), (7L, 2), (7L, 4), (7L, 6)))
   }
+
+  // ------------------------------------------------------ pixel transforms
+
+  test("pixelSeed folds payload bytes through the codec seam; identical payloads collide") {
+    val dup = Seq((0L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val seeded = MultimodalOps.pixelSeed(
+      MultimodalOps.attachFakeMedia(dup, "doc_id", "text"))
+    val s = seeded.select($"doc_id", $"pix_seed").as[(Long, Long)].collect().toMap
+    assert(s(0L) == s(1L) && s(0L) != s(2L))
+    // equals the JVM fold over the actual payload bytes
+    val txt = "same text".getBytes("UTF-8")
+    val payload = Array('G'.toByte) ++ txt.take(4) ++ txt
+    val expected = payload.foldLeft(0L)(
+      (a, b) => (a * 31 + (b & 0xff)) % MultimodalOps.PixelMod)
+    assert(s(0L) == expected)
+    // codec seam, single plan
+    val plan = seeded.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
+  }
+
+  test("resizeStub samples the stub field at nearest-neighbor coordinates only") {
+    // doc_id=0 → w=16, h=16: srcY = y·16/8 = 2y, srcX = 2x
+    val one = Seq((0L, "px")).toDF("doc_id", "text")
+    val seeded = MultimodalOps.pixelSeed(
+      MultimodalOps.attachFakeMedia(one, "doc_id", "text"))
+    val seed = seeded.select($"pix_seed").as[Long].head()
+    val pixels = MultimodalOps.resizeStub(seeded, 8, 8)
+      .select($"pixels").as[Seq[Long]].head()
+    assert(pixels.length == 64)
+    def pix(f: Long, y: Long, x: Long) =
+      ((seed * 1000003L + f * 7919L + y * 104729L + x * 31L)
+        % MultimodalOps.PixelMod) % 256
+    val expected = for (y <- 0L until 8L; x <- 0L until 8L) yield pix(0, 2 * y, 2 * x)
+    assert(pixels == expected)
+  }
+
+  test("dhashBits encodes horizontal gradients, one bit per in-row neighbor pair") {
+    // strictly increasing grid → every in-row right neighbor is larger
+    val inc = Seq(Tuple1((0 until 72).map(_.toLong))).toDF("pixels")
+    assert(inc.select(MultimodalOps.dhashBits($"pixels")).as[String].head()
+      == "1" * 64)
+    val flat = Seq(Tuple1(Seq.fill(72)(5L))).toDF("pixels")
+    assert(flat.select(MultimodalOps.dhashBits($"pixels")).as[String].head()
+      == "0" * 64)
+    // a single planted gradient sets exactly one bit: grid (y=2, x=3→4)
+    // is bit position y*8+x = 19
+    val single = Seq(Tuple1((0 until 72).map(i => if (i == 2 * 9 + 4) 9L else 5L)))
+      .toDF("pixels")
+    val bits = single.select(MultimodalOps.dhashBits($"pixels")).as[String].head()
+    // grid index 22 is larger than both neighbors: bit (2,3) fires on its
+    // left edge; bit (2,4) sees p[23]=5 < 9 so stays 0
+    assert(bits.count(_ == '1') == 1 && bits(19) == '1', bits)
+  }
+
+  test("frameSampleStub: distinct evenly spaced frames, short clips yield fewer, exact features") {
+    // doc_id=2 → n_frames=3: ⌊j·3/4⌋ for j=0..3 → 0,0,1,2 → distinct 0,1,2
+    val clip = Seq((2L, "three frames")).toDF("doc_id", "text")
+    val seeded = MultimodalOps.pixelSeed(
+      MultimodalOps.attachFakeMedia(clip, "doc_id", "text"))
+    val rows = MultimodalOps.frameSampleStub(seeded, 4)
+      .select($"sample_pos", $"frame_idx", $"frame_pixsum")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((0, 0L), (1, 1L), (2, 2L)))
+    // per-frame feature equals the manual resized-pixel sum (w=h=48)
+    val seed = seeded.select($"pix_seed").as[Long].head()
+    def pix(f: Long, y: Long, x: Long) =
+      ((seed * 1000003L + f * 7919L + y * 104729L + x * 31L)
+        % MultimodalOps.PixelMod) % 256
+    val exp = (for (y <- 0L until 8L; x <- 0L until 8L)
+      yield pix(1L, y * 48 / 8, x * 48 / 8)).sum
+    assert(rows.find(_._2 == 1L).get._3 == exp)
+  }
+
+  test("pixel transform chain is shuffle-free: codec seam + column programs, no Exchange") {
+    val seeded = MultimodalOps.pixelSeed(
+      MultimodalOps.attachFakeMedia(docs, "doc_id", "text"))
+    val hashed = MultimodalOps.resizeStub(seeded, 9, 8)
+      .withColumn("dhash", MultimodalOps.dhashBits($"pixels"))
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    // identical media rows (payload AND dimensions — real byte-identical
+    // files share both; the stub's meta rides on doc_id) → identical hash
+    val dup = Seq((10L, "twin doc"), (10L, "twin doc")).toDF("doc_id", "text")
+    val hashes = MultimodalOps.resizeStub(
+      MultimodalOps.pixelSeed(
+        MultimodalOps.attachFakeMedia(dup, "doc_id", "text")), 9, 8)
+      .select(MultimodalOps.dhashBits($"pixels")).as[String].collect()
+    assert(hashes.distinct.length == 1)
+  }
 }
 
 object MultimodalSpec {
