@@ -291,4 +291,33 @@ object SampleOps {
         ((col("_cum") - col(costCol)) / lit(budget)).cast(LongType))
       .drop("_cum")
   }
+
+  /** Deterministic global corpus shuffle — the pre-training step that
+    * randomizes document order reproducibly: appends `shuffle_pos`, the
+    * row's position in the pseudorandom total order keyed by
+    * [[portableUniform]](id + seed) with the unique id as tiebreaker.
+    * Same seed ⇒ same permutation on ANY cluster size or input
+    * partitioning; a different seed is a fresh epoch order.
+    *
+    * Scale shape: `orderBy` is a range-partitioned distributed sort (no
+    * single-task global sort), and positions come from zipWithIndex over
+    * the sorted partitions — the [[TextOps.denseIds]] shape — never a
+    * partition-less window that would funnel the corpus through one
+    * task. One shuffle total; the extra zipWithIndex job only counts
+    * per-partition sizes. The LCG is exact for |id + seed| < ~8.3e9
+    * (see [[portableUniform]]); mix wider id spaces down first. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: Long = 42L): DataFrame = {
+    requireNumeric(df, idCol, "deterministicShuffle")
+    val sorted = df
+      .withColumn("_sk", portableUniform(col(idCol) + lit(seed)))
+      .orderBy(col("_sk"), col(idCol))
+      .drop("_sk")
+    val schema = sorted.schema.add("shuffle_pos", LongType, nullable = false)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      schema)
+  }
 }

@@ -3452,6 +3452,22 @@ object Catalog {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic global corpus shuffle: the reproducible pseudorandom
+    // total order a trainer reads the corpus in. Distributed range sort
+    // on the portable-LCG key + zipWithIndex positions (never a
+    // partition-less window); DuckDB re-derives the entire permutation
+    // from the same integer LCG — every position bit-exact.
+    "sample_shuffle_global" -> QuerySpec(
+      (s, d) => SampleOps.deterministicShuffle(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", seed = 7L)
+        .orderBy(col("shuffle_pos")),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY
+             |    ((doc_id + 7) * 1103515245 + 12345) % 2147483648, doc_id)
+             |    - 1 AS BIGINT) AS shuffle_pos
+             |FROM documents
+             |ORDER BY shuffle_pos""".stripMargin)),
+
     // Incremental (batch-vs-corpus) exact dedup: the continuous-ingestion
     // shape — today's batch anti-joined against the accumulated corpus on
     // a content digest, never re-deduplicating the corpus. Ten corpus

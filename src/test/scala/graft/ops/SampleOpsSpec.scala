@@ -289,4 +289,28 @@ class SampleOpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey "), plan.take(1500))
   }
+
+  test("deterministicShuffle: exact permutation matching the local LCG replay") {
+    val ids = (0L until 1000L).toDF("id")
+    val got = SampleOps.deterministicShuffle(ids, "id", seed = 7L)
+      .select($"id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    // a permutation: every row exactly once, positions 0..n-1
+    assert(got.size == 1000 && got.values.toSeq.sorted == (0L until 1000L))
+    // bit-exact replay of the portable LCG order
+    val expected = (0L until 1000L)
+      .sortBy(id => (((id + 7) * 1103515245L + 12345L) % (1L << 31), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == expected)
+    // the order is genuinely shuffled, not the identity
+    assert((0L until 1000L).count(i => got(i) == i) < 50)
+  }
+
+  test("deterministicShuffle is partitioning-invariant; seed changes the epoch order") {
+    val ids = (0L until 500L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      SampleOps.deterministicShuffle(df, "id", seed)
+        .select($"id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(run(ids.repartition(7), 3L) == run(ids.repartition(2), 3L))
+    assert(run(ids, 3L) != run(ids, 4L))
+  }
 }
