@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPrep, DedupOps, EmbedOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -2759,6 +2759,73 @@ object Catalog {
              |       WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
              |       ELSE 'und' END AS pred_lang
              |FROM scores ORDER BY doc_id""".stripMargin)),
+
+    // Model-based language classification — the supervised tier next to
+    // the heuristic stopword scorer above: multinomial Naive Bayes fit
+    // on the labeled corpus (ClassifyOps.nbFit), argmax-scored against
+    // the frozen model (nbClassifyWith). Hash-exact because every
+    // statistic is quantized DECIMAL(20,6) at fit time and never
+    // rounded again (the scale choice and its measured failure modes
+    // are documented on ClassifyOps): DuckDB independently rebuilds
+    // per-class token log-probs, smoothing mass, priors, the per-doc
+    // exact-decimal score sums, and the (score DESC, label ASC)
+    // argmax. `correct` compares against the table's own lang label.
+    "text_nb_lang_classify" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = ClassifyOps.nbFit(docs, "text", "lang", smoothing = 0.5)
+        ClassifyOps.nbClassifyWith(docs, "doc_id", "text", model)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("pred_label").as("pred_lang"),
+            col("n_tokens"),
+            col("neg_ll"),
+            (col("pred_label") === col("lang")).cast(IntegerType).as("correct"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, lang,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |ct AS (SELECT lang AS label, tok, count(*) AS cnt
+             |       FROM t GROUP BY 1, 2),
+             |tot AS (SELECT label, sum(cnt) AS total FROM ct GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM t),
+             |lp AS (
+             |  SELECT label, tok,
+             |    CAST(ln((cnt + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,6)) AS lp
+             |  FROM ct JOIN tot USING (label) CROSS JOIN v),
+             |dflt AS (
+             |  SELECT label,
+             |    CAST(ln(0.5 / (total + 0.5 * v)) AS DECIMAL(20,6)) AS dlp
+             |  FROM tot CROSS JOIN v),
+             |prior AS (
+             |  SELECT lang AS label,
+             |    CAST(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+             |                        FROM documents)) AS DECIMAL(20,6)) AS prior
+             |  FROM documents GROUP BY 1),
+             |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT dt.doc_id, c.label, p.prior,
+             |    sum(dt.cnt) AS n_tok,
+             |    sum(CAST(dt.cnt AS DECIMAL(10,0)) * coalesce(lp.lp, f.dlp)) AS ll
+             |  FROM dt
+             |  CROSS JOIN (SELECT label FROM tot) c
+             |  LEFT JOIN lp ON lp.tok = dt.tok AND lp.label = c.label
+             |  JOIN dflt f ON f.label = c.label
+             |  JOIN prior p ON p.label = c.label
+             |  GROUP BY dt.doc_id, c.label, p.prior),
+             |ranked AS (
+             |  SELECT doc_id, label, prior + ll AS score, n_tok,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY prior + ll DESC, label ASC) AS rn
+             |  FROM scored)
+             |SELECT r.doc_id, r.label AS pred_lang,
+             |  CAST(r.n_tok AS BIGINT) AS n_tokens,
+             |  CAST(-r.score AS DOUBLE) AS neg_ll,
+             |  CAST(r.label = d.lang AS INTEGER) AS correct
+             |FROM ranked r JOIN documents d USING (doc_id)
+             |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
 
     // Per-document top term by corpus rarity: score = tf × N/df — a
     // monotone transform of tf·idf (N/df is what ln compresses), kept as
