@@ -2827,6 +2827,112 @@ object Catalog {
              |FROM ranked r JOIN documents d USING (doc_id)
              |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
 
+    // Classifier distillation of a rule-based quality filter — the
+    // CCNet-style model-based quality tier: derive keep/drop labels
+    // from the c4 rule ladder (text_c4_filter's fixture build), fit
+    // the NB model on the SAME text the rules judged, and classify —
+    // the model learns the rules' signal (the planted 'lorem ipsum'
+    // and '{' tokens become strong class features) and `agrees`
+    // records per-doc fidelity, hash-verified. Same decimal discipline
+    // as text_nb_lang_classify.
+    "text_nb_quality_distill" -> QuerySpec(
+      (s, d) => {
+        val toksB = split(col("text"), " ")
+        val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => concat(
+                array_join(slice(toksB, i * 8 + 1, lit(8)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+            .as("text"))
+        val labeled = TextOps.c4QualityFlags(built, "text")
+          .select(col("doc_id"),
+            when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+              .as("rule_label"))
+          .join(built, Seq("doc_id"))
+        val model = ClassifyOps.nbFit(labeled, "text", "rule_label")
+        ClassifyOps.nbClassifyWith(built, "doc_id", "text", model)
+          .join(labeled.select(col("doc_id"), col("rule_label")), Seq("doc_id"))
+          .select(col("doc_id"), col("pred_label"), col("n_tokens"),
+            col("neg_ll"),
+            (col("pred_label") === col("rule_label")).cast(IntegerType)
+              .as("agrees"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+             |      chr(10))
+             |    || CASE WHEN doc_id % 37 = 0
+             |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 41 = 0
+             |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+             |  FROM base),
+             |lab AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+             |              AND NOT contains(text, '{')
+             |              AND len(list_filter(string_split(text, chr(10)),
+             |                l -> regexp_matches(trim(l), '[.!?"]$')
+             |                     AND len(string_split_regex(trim(l), '\s+')) >= 5))
+             |                  >= 3
+             |         THEN 'keep' ELSE 'drop' END AS label
+             |  FROM built),
+             |toks0 AS (
+             |  SELECT doc_id, label,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM lab),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |ct AS (SELECT label, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |tot AS (SELECT label, sum(cnt) AS total FROM ct GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM t),
+             |lp AS (
+             |  SELECT label, tok,
+             |    CAST(ln((cnt + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,6)) AS lp
+             |  FROM ct JOIN tot USING (label) CROSS JOIN v),
+             |dflt AS (
+             |  SELECT label,
+             |    CAST(ln(0.5 / (total + 0.5 * v)) AS DECIMAL(20,6)) AS dlp
+             |  FROM tot CROSS JOIN v),
+             |prior AS (
+             |  SELECT label,
+             |    CAST(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lab))
+             |      AS DECIMAL(20,6)) AS prior
+             |  FROM lab GROUP BY 1),
+             |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT dt.doc_id, c.label, p.prior,
+             |    sum(dt.cnt) AS n_tok,
+             |    sum(CAST(dt.cnt AS DECIMAL(10,0)) * coalesce(lp.lp, f.dlp)) AS ll
+             |  FROM dt
+             |  CROSS JOIN (SELECT label FROM tot) c
+             |  LEFT JOIN lp ON lp.tok = dt.tok AND lp.label = c.label
+             |  JOIN dflt f ON f.label = c.label
+             |  JOIN prior p ON p.label = c.label
+             |  GROUP BY dt.doc_id, c.label, p.prior),
+             |ranked AS (
+             |  SELECT doc_id, label, prior + ll AS score, n_tok,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY prior + ll DESC, label ASC) AS rn
+             |  FROM scored)
+             |SELECT r.doc_id, r.label AS pred_label,
+             |  CAST(r.n_tok AS BIGINT) AS n_tokens,
+             |  CAST(-r.score AS DOUBLE) AS neg_ll,
+             |  CAST(r.label = b.label AS INTEGER) AS agrees
+             |FROM ranked r JOIN lab b USING (doc_id)
+             |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
+
     // Per-document top term by corpus rarity: score = tf × N/df — a
     // monotone transform of tf·idf (N/df is what ln compresses), kept as
     // an exact integer ratio so the hash is engine-exact (ln(x) can
