@@ -182,9 +182,17 @@ object StreamOps {
     * statistics, while the frozen model scores a doc identically
     * streamed or batched ([[graft.ops.TextOps.unigramScoreWith]]'s
     * contract, unit-pinned). Docs whose `mean_neg_logprob` exceeds
-    * `lmMaxMeanNegLogProb` drop before the dedup ladder. Split
-    * assignment remains batch-by-nature: it is cluster-keyed over the
-    * FINAL corpus and runs when training data is cut.
+    * `lmMaxMeanNegLogProb` drop before the dedup ladder.
+    *
+    * The model-based classifier tier ([[graft.ops.ClassifyOps]], the
+    * CCNet-style quality model) streams the same way through
+    * `nbModel`: a FROZEN [[graft.ops.ClassifyOps.nbFit]] model frame,
+    * and only docs whose argmax class equals `nbKeepLabel` survive —
+    * same frozen-statistics argument, same semi-join shape, and the
+    * classifier's exact-decimal scoring makes streamed and batch
+    * verdicts bit-identical. Split assignment remains batch-by-nature:
+    * it is cluster-keyed over the FINAL corpus and runs when training
+    * data is cut.
     *
     * Both quality tiers are zero-shuffle per-row projections, so the
     * composition adds no exchange before the dedup ladder; idempotency
@@ -202,7 +210,9 @@ object StreamOps {
       bloomExpectedItems: Long = 4000000L,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       lmModel: Option[DataFrame] = None,
-      lmMaxMeanNegLogProb: Double = Double.MaxValue)(
+      lmMaxMeanNegLogProb: Double = Double.MaxValue,
+      nbModel: Option[DataFrame] = None,
+      nbKeepLabel: String = "keep")(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.ops.TextOps
     val keepCols = batch.columns.toSeq
@@ -225,9 +235,18 @@ object StreamOps {
         .select(col(idCol))
       gopherKept.join(passing, Seq(idCol), "left_semi")
     }
+    // frozen-classifier tier: argmax class under the offline-fit NB
+    // model must equal the keep label — the same semi-join shape
+    val nbKept = nbModel.fold(lmKept) { model =>
+      val passing = graft.ops.ClassifyOps.nbClassifyWith(
+          lmKept, idCol, textCol, model)
+        .filter(col("pred_label") === lit(nbKeepLabel))
+        .select(col(idCol))
+      lmKept.join(passing, Seq(idCol), "left_semi")
+    }
     dedupMergeBatch(targetPath, idCol, textCol, partitionCols,
       bloomExpectedItems, nearDup = true, numHashes, bands, shingleN)(
-      lmKept, batchId)
+      nbKept, batchId)
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

@@ -187,7 +187,10 @@ class PlanSpec extends SparkSpec {
       "profile_histogram",     // 1-row min/max-bounds scalar broadcast
       "text_unigram_logprob",  // 1-row corpus-total/vocab-size scalar broadcast
       "corpus_prep_e2e",       // same 1-row LM-totals broadcast, via composition
-      "text_token_count_bpe")  // 1-row roundtrip-check scalar broadcast
+      "text_token_count_bpe",  // 1-row roundtrip-check scalar broadcast
+      "text_nb_lang_classify", // #classes-row class-list broadcast expansion
+                               // (every doc scores against every class)
+      "text_nb_quality_distill") // same shape via the distillation fixture
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -713,4 +713,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == expectedIds && got == Set(1L),
       s"streamed LM membership $got must equal batch membership $expectedIds")
   }
+
+  test("streaming corpus-prep frozen-NB tier: streamed verdicts equal batch verdicts") {
+    import graft.ops.ClassifyOps
+    val srcDir = Files.createTempDirectory("nb_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("nb_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("nb_ckpt").toFile.getAbsolutePath
+    def doc(theme: Seq[String]): String = (1 to 3).map(i =>
+      s"the ${theme(0)} ${theme(1)} of ${theme(2)} number $i keeps ${theme(3)} along nicely today.")
+      .mkString("\n")
+
+    // offline labeled reference → FROZEN classifier (persist + reload,
+    // the artifact round trip a deployed classifier performs)
+    val reference = Seq(
+      (100L, doc(Seq("steady", "stream", "tokens", "flowing")), "keep"),
+      (101L, doc(Seq("columnar", "pages", "parquet", "marching")), "keep"),
+      (102L, doc(Seq("spammy", "casino", "pills", "clicking")), "drop"),
+      (103L, doc(Seq("casino", "winnings", "pills", "spinning")), "drop"))
+      .toDF("doc_id", "text", "label")
+    val modelDir = Files.createTempDirectory("nb_frozen").toFile.getAbsolutePath
+    ClassifyOps.nbFit(reference, "text", "label")
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir)
+
+    // arriving docs: both clear C4+Gopher; vocabulary decides the class
+    val keepDoc = doc(Seq("steady", "stream", "tokens", "flowing"))
+    val dropDoc = doc(Seq("spammy", "casino", "pills", "clicking"))
+    val arriving = Seq((1L, keepDoc, "en"), (2L, dropDoc, "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // batch-side ground truth with the SAME frozen model
+    val batchPred = ClassifyOps.nbClassifyWith(arriving, "doc_id", "text", model)
+      .select($"doc_id", $"pred_label").as[(Long, String)].collect().toMap
+    assert(batchPred == Map(1L -> "keep", 2L -> "drop"),
+      s"fixture must separate the docs, got $batchPred")
+
+    arriving.write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch(
+        StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+          nbModel = Some(model), nbKeepLabel = "keep") _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "NB ingest query did not self-terminate")
+
+    val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L),
+      s"streamed NB membership $got must equal the batch keep set Set(1)")
+  }
 }
