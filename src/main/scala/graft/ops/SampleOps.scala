@@ -292,6 +292,44 @@ object SampleOps {
       .drop("_cum")
   }
 
+  /** Packing-efficiency profile over a [[packSequences]] assignment —
+    * the QA aggregate a pipeline tracks on its terminal packed
+    * artifact: per group, how many bins the documents packed into and
+    * how much of the token capacity they actually fill. Output per
+    * `groupCol`: `n_docs`, `n_bins`, `total_cost`, `capacity`
+    * (= n_bins·budget), `underfill` (Σ max(0, budget − bin total):
+    * capacity the trainer pads or wastes), `overflow` (Σ max(0,
+    * bin total − budget): tokens beyond budget from single straddling
+    * documents — greedy offset binning overflows a bin by at most the
+    * straddler), and `max_bin_cost`. Every column is an exact integer
+    * — no ratios, so the profile is engine-exact; fill fraction is
+    * `total_cost/capacity` downstream at whatever precision the
+    * dashboard wants.
+    *
+    * Scale shape: one aggregation to (group, bin) — the same key space
+    * the packing window already shuffled on — then a group-sized
+    * rollup; never a corpus-wide collect. */
+  def packEfficiency(
+      binned: DataFrame, groupCol: String, costCol: String,
+      budget: Long, binCol: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    binned
+      .groupBy(col(groupCol), col(binCol))
+      .agg(count(lit(1)).as("_docs"),
+        sum(col(costCol)).cast(LongType).as("_bin_cost"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("_docs")).cast(LongType).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(col("_bin_cost")).as("total_cost"),
+        (count(lit(1)) * lit(budget)).as("capacity"),
+        sum(greatest(lit(0L), lit(budget) - col("_bin_cost"))).cast(LongType)
+          .as("underfill"),
+        sum(greatest(lit(0L), col("_bin_cost") - lit(budget))).cast(LongType)
+          .as("overflow"),
+        max(col("_bin_cost")).as("max_bin_cost"))
+  }
+
   /** Deterministic global corpus shuffle — the pre-training step that
     * randomizes document order reproducibly: appends `shuffle_pos`, the
     * row's position in the pseudorandom total order keyed by

@@ -3048,6 +3048,64 @@ object Catalog {
              |  CAST((cum - n_bpe_tokens) // 2048 AS BIGINT) AS bin
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // Packing-efficiency profile over the bin assignment — the QA
+    // aggregate tracked on the terminal packed artifact: per source,
+    // bins used, capacity, underfill (padding the trainer eats),
+    // overflow (straddler tokens beyond budget), max bin. All exact
+    // integers (SampleOps.packEfficiency), so DuckDB's independent
+    // rebuild of tokenization → counts → binning → rollup hash-matches.
+    "text_pack_efficiency" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
+        val pieces = BpeOps.wordPieces(docs, "text", merges)
+        staged(d, "bpe_pieces") { dir =>
+          pieces.select(col("word"), col("pieces"), col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
+        val withSrc = docs.select(col("doc_id"), col("source"))
+          .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+        val binned = SampleOps.packSequences(withSrc, "source", "doc_id",
+          "n_bpe_tokens", budget = 2048L)
+        SampleOps.packEfficiency(binned, "source", "n_bpe_tokens", 2048L)
+          .orderBy(col("source"))
+      },
+      Some("""WITH pieces AS (
+             |  SELECT word, n_pieces FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
+             |toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             |  FROM documents),
+             |enc AS (
+             |  SELECT t.doc_id,
+             |    SUM(COALESCE(p.n_pieces, length(t.word))) AS n_bpe_tokens
+             |  FROM toks t LEFT JOIN pieces p USING (word)
+             |  WHERE length(t.word) > 0 GROUP BY t.doc_id),
+             |j AS (
+             |  SELECT d.source, d.doc_id, e.n_bpe_tokens
+             |  FROM documents d JOIN enc e USING (doc_id)),
+             |c AS (
+             |  SELECT source, doc_id, n_bpe_tokens,
+             |    (SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     - n_bpe_tokens) // 2048 AS bin
+             |  FROM j),
+             |bins AS (
+             |  SELECT source, bin, count(*) AS docs,
+             |    CAST(sum(n_bpe_tokens) AS BIGINT) AS bin_cost
+             |  FROM c GROUP BY 1, 2)
+             |SELECT source,
+             |  CAST(sum(docs) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_bins,
+             |  CAST(sum(bin_cost) AS BIGINT) AS total_cost,
+             |  CAST(count(*) * 2048 AS BIGINT) AS capacity,
+             |  CAST(sum(greatest(0, 2048 - bin_cost)) AS BIGINT) AS underfill,
+             |  CAST(sum(greatest(0, bin_cost - 2048)) AS BIGINT) AS overflow,
+             |  CAST(max(bin_cost) AS BIGINT) AS max_bin_cost
+             |FROM bins GROUP BY source ORDER BY source""".stripMargin)),
+
     // Packed token-ID sequences — the trainer-consumable artifact the
     // tokenize→pack chain previously stopped short of: per (source, bin)
     // the concatenated input_ids arrays with doc_ids/doc_offsets

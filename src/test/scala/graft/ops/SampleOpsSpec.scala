@@ -313,4 +313,19 @@ class SampleOpsSpec extends SparkSpec {
     assert(run(ids.repartition(7), 3L) == run(ids.repartition(2), 3L))
     assert(run(ids, 3L) != run(ids, 4L))
   }
+
+  test("packEfficiency: hand-computed bins, underfill, straddler overflow") {
+    // group g, budget 10, docs in id order with costs 6,6,12,3:
+    //   cum-before: 0,6,12,24 → bins 0,0,1,2
+    //   bin 0 = {6,6} cost 12 (overflow 2), bin 1 = {12} cost 12
+    //   (overflow 2 — the straddler), bin 2 = {3} cost 3 (underfill 7)
+    val df = Seq(("g", 1L, 6L), ("g", 2L, 6L), ("g", 3L, 12L), ("g", 4L, 3L))
+      .toDF("src", "id", "cost")
+    val binned = SampleOps.packSequences(df, "src", "id", "cost", budget = 10L)
+    val eff = SampleOps.packEfficiency(binned, "src", "cost", budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (src, n_docs, n_bins, total_cost, capacity, underfill, overflow, max)
+    assert(eff.toSeq == Seq(("g", 4L, 3L, 27L, 30L, 7L, 4L, 12L)))
+  }
 }
