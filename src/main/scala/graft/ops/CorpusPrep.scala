@@ -82,8 +82,16 @@ object CorpusPrep {
         gopherMaxSymbolRatio, gopherMinAlphaRatio, gopherMinStopwords)
       .filter(col("keep") === 1)
       .select(col(idCol), col(textCol))
+    // MATERIALIZE the per-row ladder output once: lineDeduped is
+    // referenced three times below (the LM's token aggregation, the
+    // LM's score join — unigramLogProb traverses its input twice by
+    // contract — and the semi-join left side), and each reference
+    // would re-run the C4 + Gopher + line-dedup string programs over
+    // the corpus (measured: the e2e key's isolated min drops 9.8 s →
+    // 7.6 s at sf0.1 with the ladder pinned). Same trade as the lmKept checkpoint below.
     val lineDeduped = TextOps.dedupLinesWithinDoc(gopherKept, textCol)
       .select(col(idCol), col("clean_text").as(textCol))
+      .localCheckpoint()
     val lmScores = TextOps.unigramLogProb(lineDeduped, idCol, textCol)
     // MATERIALIZE the quality-filtered corpus before fuzzy dedup: the
     // dedup stage references its input ~5 times (signature build, both
