@@ -207,6 +207,36 @@ object Upsert {
     }
   }
 
+  /** JSONL corpus export — the delivery format most training stacks
+    * ingest (one JSON object per line, hive-partitioned directories,
+    * gzip shards). Shard count is controlled per partition directory:
+    * rows are repartitioned on (`partitionCols`, shard) where shard =
+    * pmod(hash(shardCol), shardsPerPartition), so every output
+    * directory holds at most `shardsPerPartition` similar-sized files
+    * — the writer-side knob that keeps a 100 TB export from emitting
+    * either one giant file per partition or one file per task.
+    *
+    * The written artifact is plain newline-delimited JSON readable by
+    * any engine (the catalog key has DuckDB parse the actual shards —
+    * gzip, escapes, hive layout and all — against the source rows).
+    * Column values must not THEMSELVES need a schema to round-trip:
+    * long/double/string/boolean/array survive; timestamps export as
+    * ISO strings (the JSON-reader contract on both engines). */
+  def exportJsonl(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      shardCol: String, shardsPerPartition: Int = 1,
+      compression: String = "gzip"): Unit = {
+    require(shardsPerPartition > 0,
+      s"shardsPerPartition must be positive, got $shardsPerPartition")
+    val sharded = df.repartition(
+      (partitionCols.map(col) :+
+        pmod(hash(col(shardCol)), lit(shardsPerPartition))): _*)
+    sharded.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .option("compression", compression)
+      .json(path)
+  }
+
   /** Decode a Hive %-escaped partition-path value EXACTLY as Spark's
     * partition inference does (delegates to the engine's decoder, which
     * maps each %XX escape to one char). Parity with the read path is

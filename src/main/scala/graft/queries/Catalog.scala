@@ -346,6 +346,32 @@ object Catalog {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin)),
 
+    // JSONL corpus export through the ACTUAL writer (hive-partitioned
+    // gzip shards, bounded shard count), verified at the STRONGEST
+    // grain: the Spark side returns the SOURCE rows while DuckDB
+    // parses the written shards themselves — gzip, JSON escaping, and
+    // hive layout included — so a hash match proves the export is
+    // byte-faithful AND foreign-engine-readable, not merely
+    // Spark-round-trippable.
+    "sink_jsonl_export" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        staged(d, "sink_jsonl_export") { p =>
+          Upsert.exportJsonl(
+            docs.select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text")),
+            p, Seq("lang"), shardCol = "doc_id", shardsPerPartition = 2)
+        }
+        docs.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, text
+             |FROM read_json(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/sink_jsonl_export/*/*.json.gz',
+             |  format='newline_delimited', hive_partitioning=1)
+             |ORDER BY doc_id""".stripMargin)),
+
     // MERGE through the ACTUAL on-disk path (write target → upsertIntoPath
     // → re-read): the agg_after_upsert key proves the merge algebra, this
     // one proves the dynamic-overwrite writer applies it durably.

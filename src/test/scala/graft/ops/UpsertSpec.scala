@@ -344,4 +344,26 @@ class UpsertSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(only_s == Set((4L, "removed"), (5L, "added")))
   }
+
+  test("exportJsonl: hive layout, gzip shards within bound, lossless readback") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"line one of $i\nline two \"quoted\""))
+      .toDF("id", "lang", "text")
+    Upsert.exportJsonl(rows, dir, Seq("lang"), shardCol = "id",
+      shardsPerPartition = 3)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(dirs.map(_.getName).sorted.toSeq == Seq("lang=de", "lang=en"))
+    for (pd <- dirs) {
+      val shards = pd.listFiles().filter(_.getName.endsWith(".json.gz"))
+      assert(shards.nonEmpty && shards.length <= 3,
+        s"${pd.getName}: ${shards.length} shards, bound 3")
+    }
+    // readback equality incl. newline + quote escaping through gzip
+    val back = spark.read.schema("id BIGINT, text STRING, lang STRING")
+      .json(dir)
+      .select($"id", $"lang", $"text").as[(Long, String, String)]
+      .collect().toSet
+    assert(back == rows.as[(Long, String, String)].collect().toSet)
+  }
 }
