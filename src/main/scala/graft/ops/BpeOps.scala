@@ -228,6 +228,63 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** Persist a trained merge list as a standard `merges.txt` artifact:
+    * a `#version`-comment header, then one `left right` pair per line
+    * in RANK ORDER (line order IS the rank — the interchange format
+    * every BPE tokenizer stack reads, so a model trained here loads
+    * anywhere and vice versa). Goes through the Hadoop FileSystem API,
+    * so `path` may be local or DFS; the model is merge-list-sized, the
+    * write is one driver-side stream — the same model-artifact contract
+    * as [[bpeFit]]'s driver-side merge list itself.
+    *
+    * Pairs are validated on save: a symbol containing whitespace or a
+    * newline could not round-trip the line format, so it fails loudly
+    * here instead of corrupting the artifact (cannot occur for models
+    * trained by [[bpeFit]] over [[TextOps.tokenize]] output, whose
+    * symbols never contain whitespace). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    merges.foreach { case (a, b) =>
+      require(!(a + b).exists(_.isWhitespace),
+        s"merge pair ('$a', '$b') contains whitespace and cannot " +
+          "round-trip the merges.txt line format")
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write("#version: 0.2\n".getBytes("UTF-8"))
+      merges.foreach { case (a, b) =>
+        out.write(s"$a $b\n".getBytes("UTF-8"))
+      }
+    } finally out.close()
+  }
+
+  /** Load a `merges.txt` artifact back into the ordered merge list:
+    * `#`-comment lines and blank lines are skipped, every other line
+    * must be exactly `left right`. Inverse of [[saveModel]]
+    * (round-trip is identity, unit-pinned); also reads artifacts
+    * produced by other BPE stacks that write the same format. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        l.split(" ", -1) match {
+          case Array(a, b) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"malformed merges.txt line: '$l' (expected 'left right')")
+        }
+      }
+      .toSeq
+  }
+
   /** Above this merge count, [[wordPieces]] switches from the nested
     * fold-expression replay to the iterative rank-based apply: each
     * fold is one HOF expression NODE, so a 30k-merge production list

@@ -3074,6 +3074,37 @@ object Catalog {
              |  CAST((cum - n_bpe_tokens) // 2048 AS BIGINT) AS bin
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    // Tokenizer-artifact round trip: the trained merge list persists as
+    // a standard merges.txt (header + one 'left right' line per rank —
+    // the interchange format other BPE stacks read) and reloads to the
+    // identical model (require'd in-key, so a load bug breaks the key,
+    // not just the hash). DuckDB independently PARSES the written
+    // artifact — a hash match proves the file is well-formed and
+    // foreign-readable, the sink_jsonl_export grain.
+    "text_bpe_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
+        val dir = staged(d, "bpe_merges_txt") { p =>
+          BpeOps.saveModel(s, merges, p + "/merges.txt")
+        }
+        val reloaded = BpeOps.loadModel(s, dir + "/merges.txt")
+        require(reloaded == merges,
+          "merges.txt round trip must reproduce the trained model exactly")
+        import s.implicits._
+        reloaded.zipWithIndex
+          .map { case ((a, b), i) => (i + 1L, a, b) }
+          .toDF("rank", "left_sym", "right_sym")
+          .orderBy(col("rank"))
+      },
+      Some("""SELECT row_number() OVER () AS rank, left_sym, right_sym
+             |FROM read_csv(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/bpe_merges_txt/merges.txt',
+             |  sep=' ', header=false, skip=1, parallel=false,
+             |  columns={'left_sym':'VARCHAR','right_sym':'VARCHAR'})
+             |ORDER BY rank""".stripMargin)),
+
     // Packing-efficiency profile over the bin assignment — the QA
     // aggregate tracked on the terminal packed artifact: per source,
     // bins used, capacity, underfill (padding the trainer eats),

@@ -187,4 +187,33 @@ class BpeSpec extends SparkSpec {
       assert(perDoc(docId) == pieces.map(vocabIds), s"doc $docId ids mismatch")
     }
   }
+
+  test("merges.txt artifact: save → load is identity; format is tolerant and guarded") {
+    val merges = BpeOps.bpeFit(corpus, "text", numMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    BpeOps.saveModel(spark, merges, s"$dir/merges.txt")
+    assert(BpeOps.loadModel(spark, s"$dir/merges.txt") == merges)
+    // the artifact is the standard line format other stacks read
+    val lines = scala.io.Source.fromFile(s"$dir/merges.txt").getLines().toSeq
+    assert(lines.head.startsWith("#version") &&
+      lines.tail == merges.map { case (a, b) => s"$a $b" })
+    // loader skips comments and blank lines anywhere
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/hand.txt"),
+      "#version: 0.2\na b\n\n# mid comment\nab c\n")
+    assert(BpeOps.loadModel(spark, s"$dir/hand.txt") ==
+      Seq(("a", "b"), ("ab", "c")))
+    // whitespace-bearing symbols cannot round-trip the line format
+    val e = intercept[IllegalArgumentException] {
+      BpeOps.saveModel(spark, Seq(("a b", "c")), s"$dir/bad.txt")
+    }
+    assert(e.getMessage.contains("whitespace"))
+    // malformed lines fail loudly on load
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/bad2.txt"), "a b c\n")
+    val e2 = intercept[IllegalArgumentException] {
+      BpeOps.loadModel(spark, s"$dir/bad2.txt")
+    }
+    assert(e2.getMessage.contains("malformed"))
+  }
 }
