@@ -330,6 +330,60 @@ object SampleOps {
         max(col("_bin_cost")).as("max_bin_cost"))
   }
 
+  /** Append 0-based positions to an ALREADY-ORDERED frame via
+    * zipWithIndex over the sorted partitions — the [[TextOps.denseIds]]
+    * shape: a range-partitioned distributed sort feeds per-partition
+    * index offsets, never a partition-less window that would funnel
+    * the corpus through one task. The caller owes a TOTAL order
+    * (deterministic positions require it). */
+  private[ops] def zipPositions(sorted: DataFrame, posCol: String): DataFrame = {
+    val schema = sorted.schema.add(posCol, LongType, nullable = false)
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
+
+  /** Quality-curriculum subsetting: rank the corpus by a quality score,
+    * cut the ranking into `fractions.length` EQUAL-POPULATION buckets
+    * (bucket = rank·k div N — exact integer arithmetic over the rank,
+    * so bucket edges are engine-exact; value-quantile edges would hang
+    * bucket membership on a cross-engine ulp at every boundary), and
+    * keep each row with its bucket's fraction via the [[portableUniform]]
+    * coin flip — e.g. `Seq(0.1, 0.5, 1.0)` keeps 10% of the worst
+    * third and all of the best. The standard quality-mix lever once a
+    * scorer ([[TextOps.unigramLogProb]], [[ClassifyOps]], Gopher
+    * ratios) has put a number on every document.
+    *
+    * Output: the input columns + `quality_bucket` (0 = lowest-quality
+    * bucket), filtered to the kept rows — deterministic under any
+    * partitioning and cluster size (seed-keyed LCG on the id).
+    *
+    * Scale shape: one range-sort shuffle for the global ranking
+    * ([[deterministicShuffle]]'s zipWithIndex pattern, no
+    * partition-less window), one broadcast 1-row count, then per-row
+    * arithmetic. (`qualityCol`, `idCol`) must totally order the frame
+    * — the id uniqueness [[deterministicShuffle]] already demands. */
+  def curriculumSample(
+      df: DataFrame, qualityCol: String, idCol: String,
+      fractions: Seq[Double], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "curriculumSample: fractions must be non-empty")
+    require(fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"curriculumSample: fractions must lie in [0, 1], got $fractions")
+    requireNumeric(df, idCol, "curriculumSample")
+    val k = fractions.length
+    val ranked = zipPositions(
+      df.orderBy(col(qualityCol), col(idCol)), "_rank")
+    ranked
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_n"))))
+      .withColumn("quality_bucket",
+        expr(s"(_rank * $k) div _n").cast(LongType))
+      .filter(portableUniform(col(idCol) + lit(seed)) <
+        element_at(typedlit(fractions),
+          col("quality_bucket").cast("int") + 1))
+      .drop("_rank", "_n")
+  }
+
   /** Deterministic global corpus shuffle — the pre-training step that
     * randomizes document order reproducibly: appends `shuffle_pos`, the
     * row's position in the pseudorandom total order keyed by
@@ -347,15 +401,10 @@ object SampleOps {
   def deterministicShuffle(
       df: DataFrame, idCol: String, seed: Long = 42L): DataFrame = {
     requireNumeric(df, idCol, "deterministicShuffle")
-    val sorted = df
-      .withColumn("_sk", portableUniform(col(idCol) + lit(seed)))
-      .orderBy(col("_sk"), col(idCol))
-      .drop("_sk")
-    val schema = sorted.schema.add("shuffle_pos", LongType, nullable = false)
-    df.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      },
-      schema)
+    zipPositions(
+      df.withColumn("_sk", portableUniform(col(idCol) + lit(seed)))
+        .orderBy(col("_sk"), col(idCol))
+        .drop("_sk"),
+      "shuffle_pos")
   }
 }

@@ -3621,6 +3621,30 @@ object Catalog {
              |                  WHEN 'zh' THEN 0.1 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // Quality-curriculum subsetting: rank by a quality score, cut into
+    // equal-population rank buckets (exact integer rank·k div N — no
+    // value-quantile edges whose cross-engine ulp could flip a
+    // membership), keep per-bucket fractions via the portable LCG.
+    // Fully oracled: DuckDB restates the ranking window, the integer
+    // bucket arithmetic, and the bit-exact coin flips.
+    "sample_curriculum" -> QuerySpec(
+      (s, d) => SampleOps.curriculumSample(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", fractions = Seq(0.1, 0.25, 0.5, 1.0))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank,
+             |    count(*) OVER () AS n
+             |  FROM documents)
+             |SELECT doc_id, n_chars, CAST((rank * 4) // n AS BIGINT) AS quality_bucket
+             |FROM r
+             |WHERE CAST(((doc_id + 42) * 1103515245 + 12345) % 2147483648
+             |           AS DOUBLE) / 2147483648.0
+             |      < CASE (rank * 4) // n WHEN 0 THEN 0.1 WHEN 1 THEN 0.25
+             |                            WHEN 2 THEN 0.5 ELSE 1.0 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // Per-row weighted Bernoulli sample (keep probability = a per-doc
     // quality proxy, here length-derived). Runs the portableHash variant
     // so the key is FULLY ORACLED: the 31-bit LCG keep decision is

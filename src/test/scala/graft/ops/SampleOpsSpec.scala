@@ -314,6 +314,30 @@ class SampleOpsSpec extends SparkSpec {
     assert(run(ids, 3L) != run(ids, 4L))
   }
 
+  test("curriculumSample: exact rank buckets, per-bucket fractions, local replay") {
+    // quality = id for a transparent ranking: ranks 0..99 → 4 buckets of 25
+    val df = (0L until 100L).toDF("id").withColumn("q", $"id")
+    val got = SampleOps.curriculumSample(df, "q", "id", Seq(0.0, 0.2, 0.6, 1.0))
+      .select($"id", $"quality_bucket").as[(Long, Long)].collect().toMap
+    // local replay of the op's own contract: bucket = rank*4 div 100,
+    // keep iff LCG(id+42) < fraction(bucket)
+    val fr = Seq(0.0, 0.2, 0.6, 1.0)
+    val expected = (0L until 100L).flatMap { id =>
+      val bucket = (id * 4) / 100 // rank == id here
+      val u = (((id + 42) * 1103515245L + 12345L) % (1L << 31)).toDouble / (1L << 31)
+      if (u < fr(bucket.toInt)) Some(id -> bucket) else None
+    }.toMap
+    assert(got == expected)
+    // the 0-fraction bucket keeps nothing, the 1.0 bucket keeps everything
+    assert(!got.values.exists(_ == 0L))
+    assert(got.count(_._2 == 3L) == 25)
+    // partitioning invariance
+    val repart = SampleOps.curriculumSample(
+      df.repartition(7), "q", "id", Seq(0.0, 0.2, 0.6, 1.0))
+      .select($"id", $"quality_bucket").as[(Long, Long)].collect().toMap
+    assert(repart == got)
+  }
+
   test("packEfficiency: hand-computed bins, underfill, straddler overflow") {
     // group g, budget 10, docs in id order with costs 6,6,12,3:
     //   cum-before: 0,6,12,24 → bins 0,0,1,2
