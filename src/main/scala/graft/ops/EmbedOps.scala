@@ -66,33 +66,75 @@ object EmbedOps {
   def embedWith(df: DataFrame, textCol: String,
       embedderFactory: () => Embedder,
       batchSize: Int = defaultBatchSize,
-      outCol: String = "embedding"): DataFrame = {
+      outCol: String = "embedding"): DataFrame =
+    embedAnyWith(df, textCol, batchSize, outCol, () => {
+      val e = embedderFactory()
+      e.open()
+      (ins => e.encodeBatch(ins.map(_.asInstanceOf[String])), () => e.close())
+    })
+
+  /** BINARY twin of [[Embedder]] — the contract a media model (CLIP
+    * image tower, an audio encoder, …) fills: same per-partition
+    * lifecycle, batches of raw payload bytes instead of texts. This is
+    * the piece that makes the multimodal → embedding → ANN chain
+    * literal: [[MultimodalOps]] parses/transforms media payloads,
+    * this seam turns the payload into a vector, [[SimilarityOps]]
+    * indexes it. */
+  trait BinaryEmbedder extends Serializable {
+    def open(): Unit = ()
+    def dim: Int
+    def encodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+    def close(): Unit = ()
+  }
+
+  /** [[embedWith]] over a BINARY column through a [[BinaryEmbedder]] —
+    * identical lifecycle, batching, null stitching, and plan shape
+    * (one `Dataset.mapPartitions` inside the logical plan). */
+  def embedBinaryWith(df: DataFrame, bytesCol: String,
+      embedderFactory: () => BinaryEmbedder,
+      batchSize: Int = defaultBatchSize,
+      outCol: String = "embedding"): DataFrame =
+    embedAnyWith(df, bytesCol, batchSize, outCol, () => {
+      val e = embedderFactory()
+      e.open()
+      (ins => e.encodeBatch(ins.map(_.asInstanceOf[Array[Byte]])),
+        () => e.close())
+    })
+
+  /** Shared partition driver behind both seams: `stateFactory` runs
+    * once per task and returns (batch encoder over the raw column
+    * values, close hook); the driver owes it non-null inputs only,
+    * registers the close hook on task completion (success, failure,
+    * and cancellation alike), buffers `batchSize` rows at a time, and
+    * stitches NULL inputs back as NULL vectors. */
+  private def embedAnyWith(df: DataFrame, inCol: String, batchSize: Int,
+      outCol: String,
+      stateFactory: () => (Seq[Any] => Seq[Array[Float]], () => Unit)): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val inSchema = df.schema
     val outSchema = inSchema.add(outCol, ArrayType(FloatType), nullable = true)
-    val textIdx = inSchema.fieldIndex(textCol)
+    val inIdx = inSchema.fieldIndex(inCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      val embedder = embedderFactory()
-      embedder.open()
+      val (encodeBatch, close) = stateFactory()
       Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => embedder.close()))
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       rows.grouped(batchSize).flatMap { batch =>
-        // nulls are stitched back as null vectors; the embedder only
-        // sees real texts, so implementations need no null handling
-        val texts = batch.collect {
-          case r if !r.isNullAt(textIdx) => r.getString(textIdx)
+        // nulls are stitched back as null vectors; the encoder only
+        // sees real inputs, so implementations need no null handling
+        val ins = batch.collect {
+          case r if !r.isNullAt(inIdx) => r.get(inIdx)
         }
         val vecs =
-          if (texts.isEmpty) Iterator.empty
+          if (ins.isEmpty) Iterator.empty
           else {
-            val out = embedder.encodeBatch(texts)
-            require(out.length == texts.length,
-              s"Embedder returned ${out.length} vectors for ${texts.length} inputs")
+            val out = encodeBatch(ins)
+            require(out.length == ins.length,
+              s"Embedder returned ${out.length} vectors for ${ins.length} inputs")
             out.iterator
           }
         batch.map { r =>
-          val v = if (r.isNullAt(textIdx)) null else vecs.next()
+          val v = if (r.isNullAt(inIdx)) null else vecs.next()
           Row.fromSeq(r.toSeq :+ v)
         }
       }
@@ -122,6 +164,24 @@ object EmbedOps {
     * document's whitespace tokens (lowercased — [[TextOps.tokenize]]'s
     * convention). Deterministic in (dim, seed); stateless, so open and
     * close are the trait defaults. */
+  /** Byte-histogram binary embedder — the classical content-signature
+    * baseline for raw media payloads (and the binary analogue of the
+    * bag-of-words histogram): vector(i) = count of payload bytes whose
+    * unsigned value ≡ i (mod dim). Integer-valued (exact in FloatType)
+    * and restatable from `hex(content)` in ANSI SQL, so the BINARY seam
+    * is oracle-verifiable end to end exactly like the text seam.
+    * Stateless; a production build swaps in a model-backed
+    * [[BinaryEmbedder]] and nothing else changes. */
+  class ByteHistogramEmbedder(val dim: Int) extends BinaryEmbedder {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    override def encodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        val v = new Array[Float](dim)
+        bytes.foreach(b => v((b & 0xff) % dim) += 1f)
+        v
+      }
+  }
+
   class HashingEmbedder(val dim: Int, val seed: Long = 7L) extends Embedder {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =

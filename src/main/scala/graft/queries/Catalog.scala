@@ -4272,6 +4272,61 @@ object Catalog {
     // bug on either side mismatches; nothing is compared to the staging
     // formula. Staged-path literal: same sf0.01 contract as
     // scan_binaryfile above.
+    // BINARY embedding seam (EmbedOps.embedBinaryWith) — the media
+    // half of the multimodal → embedding → ANN chain: deterministic
+    // byte payloads are staged as files, batch-embedded through the
+    // per-partition BinaryEmbedder lifecycle into byte-histogram
+    // vectors, and every vector COMPONENT is hash-compared against
+    // DuckDB's independent rebuild from hex(read_blob) — including the
+    // zero components, which the grid join makes explicit (a vector
+    // missing a dimension cannot pass).
+    "sim_embed_binary_hist" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "embed_bin") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 16).foreach { id =>
+            val n = 48 + 11 * id
+            val bytes = Array.tabulate(n)(j => ((id * 31 + j * 7 + (j * j) % 13) % 256).toByte)
+            java.nio.file.Files.write(
+              new java.io.File(base, f"blob_$id%03d.bin").toPath, bytes)
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.bin")
+          .select(
+            regexp_extract(col("path"), "blob_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        EmbedOps.embedBinaryWith(files, "bytes",
+          () => new EmbedOps.ByteHistogramEmbedder(8))
+          .select(col("media_id"),
+            posexplode(col("embedding")).as(Seq("component", "value")))
+          .select(col("media_id"), col("component").cast(LongType),
+            col("value").cast(LongType).as("count"))
+          .orderBy(col("media_id"), col("component"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'blob_(\d+)', 1)::BIGINT AS media_id,
+             |    hex(content) AS h
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/embed_bin/blob_*.bin')),
+             |bytes AS (
+             |  SELECT media_id,
+             |    unnest(list_transform(range(0, len(h) // 2),
+             |      i -> ('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))::INT)) AS v
+             |  FROM f),
+             |counts AS (
+             |  SELECT media_id, v % 8 AS component, count(*) AS cnt
+             |  FROM bytes GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT f.media_id, g.component
+             |  FROM f CROSS JOIN (SELECT unnest(range(0, 8)) AS component) g)
+             |SELECT grid.media_id, CAST(grid.component AS BIGINT) AS component,
+             |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS count
+             |FROM grid LEFT JOIN counts c
+             |  ON c.media_id = grid.media_id AND c.component = grid.component
+             |ORDER BY grid.media_id, grid.component""".stripMargin)),
+
     "multimodal_image_meta" -> QuerySpec(
       (s, d) => {
         val dir = staged(d, "images") { p =>

@@ -73,6 +73,24 @@ class EmbedOpsSpec extends SparkSpec {
     assert(v1.toSeq != v3.toSeq)
   }
 
+  test("embedBinaryWith: byte-histogram vectors, null stitching, one-plan shape") {
+    val rows = Seq(
+      (1L, Array[Byte](0, 8, 16, 1)), // buckets (dim 8): 0→3, 1→1
+      (2L, Array[Byte](-1)), // unsigned 255 → bucket 7
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes")
+    val out = EmbedOps.embedBinaryWith(rows, "bytes",
+      () => new EmbedOps.ByteHistogramEmbedder(8))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && plan.contains("MapPartitions"), plan)
+    val got = out.select($"id", $"embedding")
+      .as[(Long, Option[Seq[Float]])].collect().toMap
+    assert(got(1L).get == Seq(3f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))
+    assert(got(2L).get == Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f),
+      "byte values are UNSIGNED: -1 must land in bucket 255 mod 8 = 7")
+    assert(got(3L).isEmpty, "null payloads stitch back as null vectors")
+  }
+
   test("seam output feeds the similarity stack shapes unchanged") {
     val emb = EmbedOps.embedWith(docs.filter($"text".isNotNull), "text",
       () => new EmbedOps.HashingEmbedder(16, 7L))
