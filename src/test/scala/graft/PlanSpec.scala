@@ -190,7 +190,8 @@ class PlanSpec extends SparkSpec {
       "text_token_count_bpe",  // 1-row roundtrip-check scalar broadcast
       "text_nb_lang_classify", // #classes-row class-list broadcast expansion
                                // (every doc scores against every class)
-      "text_nb_quality_distill") // same shape via the distillation fixture
+      "text_nb_quality_distill", // same shape via the distillation fixture
+      "sample_curriculum")     // 1-row corpus-count scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
