@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus retrieval (north-star extension): BM25 keyword search and
+  * TF-IDF keyword extraction over the `documents` table — the classic
+  * IR tier a training-data pipeline uses for targeted corpus slicing
+  * ("pull every doc about X for the ablation set") and for per-doc
+  * keyword metadata. Follows the repo's frozen fit/score contract
+  * ([[graft.ops.TextOps.unigramLmFit]], [[ClassifyOps.nbFit]]): the fit
+  * half produces one small persistable model frame of corpus
+  * statistics; the score half consults ONLY that frame, so a query
+  * scores identically against a model fit yesterday and reloaded.
+  *
+  * Decimal discipline (the [[ClassifyOps]] contract): IDF — the only
+  * transcendental — is quantized to DECIMAL(20,6) ONCE at fit time and
+  * never re-rounded. Score-time arithmetic starts from exact inputs
+  * (the quantized decimal, integer tf/dl/N/T) so both engines compute
+  * BIT-IDENTICAL doubles, and the BM25 score is presented as that raw
+  * double with NO further rounding: every IEEE +,×,/ on identical
+  * inputs is identical cross-engine, whereas re-quantizing the weight
+  * would reintroduce a decimal grid whose half-boundaries BM25's
+  * ratios systematically hit — with tf, dl, N, T small integers the
+  * ratio is often a terminating rational (measured while building the
+  * fixture: idf 0.470004 × ratio 1.375 = 0.6462555 exactly; Spark's
+  * exact-binary-expansion HALF_UP rounds it to .646255, DuckDB's
+  * scaled-multiply round to .646256 — a guaranteed mismatch, the same
+  * class as the two rejected [[ClassifyOps]] presentation designs).
+  * The per-doc score is therefore a FIXED-ORDER expression sum over
+  * the (deduplicated, ordered) query terms — never a row-set SUM whose
+  * accumulation order an engine may choose. TF-IDF weights never touch
+  * doubles at all: DECIMAL(20,6) idf × integer tf is exact decimal
+  * multiplication.
+  */
+object SearchOps {
+
+  private val IdfType = DecimalType(20, 6)
+
+  /** FIT half: corpus statistics for BM25 / TF-IDF — one row per token
+    * (`_tok`, `_df` docs containing it, `_idf` DECIMAL(20,6)) plus ONE
+    * null-token stats row carrying `_n_docs` (docs with ≥1 token) and
+    * `_total_toks` (corpus token count), the pair behind BM25's average
+    * document length. IDF uses the non-negative Robertson/Lucene form
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`, quantized once (see object
+    * doc). The model is vocabulary-sized, plain columnar, persists to
+    * parquet and reloads anywhere — the [[SimilarityOps]] IVF
+    * fit/query pattern applied to retrieval.
+    *
+    * Scale shape: token explode → one distinct-(doc,token) aggregation
+    * → one per-token count — groupBy plans end to end, nothing
+    * driver-side, no all-pairs anything. */
+  def bm25Fit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        explode(TextOps.tokenize(col(textCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+    // one (doc, token) row per containing doc: df counts and the stats
+    // row's N both derive from this deduplicated frame
+    val docTok = toks.groupBy(col("_id"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val stats = docTok.agg(
+      countDistinct(col("_id")).as("_n_docs"),
+      sum(col("_tf")).as("_total_toks"))
+    val dfCounts = docTok.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_df"))
+    dfCounts.crossJoin(broadcast(stats))
+      .select(col("_tok"), col("_df"),
+        log(lit(1.0) + ((col("_n_docs") - col("_df")) + lit(0.5)) /
+            (col("_df") + lit(0.5)))
+          .cast(IdfType).as("_idf"),
+        lit(null).cast(LongType).as("_n_docs"),
+        lit(null).cast(LongType).as("_total_toks"))
+      .unionByName(stats.select(
+        lit(null).cast(StringType).as("_tok"),
+        lit(null).cast(LongType).as("_df"),
+        lit(null).cast(IdfType).as("_idf"),
+        col("_n_docs"), col("_total_toks")))
+  }
+
+  /** SCORE half: global BM25 top-k for a literal query against a FROZEN
+    * [[bm25Fit]] model.
+    *
+    * The corpus side is a ZERO-SHUFFLE column program: per-doc `tf` for
+    * each query term and `dl` are array expressions over the tokenized
+    * text (`size(filter(toks, …))`), the ≤|query| model rows collapse
+    * to ONE broadcast row (idf per term as a pivoted column), and the
+    * global top-k is `orderBy(…).limit(k)` — TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows. At 100 TB the plan is
+    * scan → codegen'd projection → top-k: no Exchange anywhere
+    * (plan-asserted in SearchOpsSpec), the shape brute-force retrieval
+    * should have. Query terms are deduplicated; docs matching no term
+    * are filtered before the heap. Ties break (score DESC, id ASC).
+    *
+    * Per-term weight: `idf · (tf·(k1+1)) / (tf + k1·(1−b + b·dl·N/T))`
+    * — evaluated in doubles from exact inputs with a fixed
+    * parenthesization the oracle restates token-for-token; the doc
+    * score is the fixed-order expression sum of the per-term weights,
+    * presented as the raw double (see object doc for why any rounding
+    * here is a guaranteed cross-engine mismatch, not a tail risk). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, s"bm25TopK: k must be > 0, got $k")
+    val terms = query.distinct
+    // ≤|query| model rows + the stats row, pivoted into ONE broadcast
+    // row: _idf_i per term (null ⇒ term not in corpus ⇒ weight 0), N, T
+    val summaryCols =
+      max(col("_n_docs")).as("_n_docs") +:
+      max(col("_total_toks")).as("_total_toks") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("_tok") === t, col("_idf"))).as(s"_idf_$i")
+      }
+    val summary = model
+      .filter(col("_tok").isNull || col("_tok").isin(terms: _*))
+      .agg(summaryCols.head, summaryCols.tail: _*)
+    val toked = docs
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        filter(col("_toks"), x => length(x) > 0).as("_toks"))
+      .crossJoin(broadcast(summary))
+      .withColumn("_dl", size(col("_toks")).cast(LongType))
+    val withTf = terms.zipWithIndex.foldLeft(toked) { case (d, (t, i)) =>
+      d.withColumn(s"_tf_$i",
+        size(filter(col("_toks"), x => x === lit(t))).cast(LongType))
+    }
+    // weight_i — fixed shape; the oracle SQL must restate it verbatim:
+    //   idf * ((tf * (k1 + 1.0)) /
+    //          (tf + k1 * ((1.0 - b) + ((b * dl) * N) / T)))
+    // raw double, NO rounding (object doc), absent/unmatched term → 0.0
+    def weight(i: Int): Column = {
+      val tf = col(s"_tf_$i")
+      val ratio = (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) +
+          ((lit(b) * col("_dl")) * col("_n_docs")) / col("_total_toks")))
+      when(tf > 0 && col(s"_idf_$i").isNotNull,
+        col(s"_idf_$i").cast(DoubleType) * ratio)
+        .otherwise(lit(0.0))
+    }
+    // fixed-order left-associated sum — the oracle restates this exact
+    // association; a row-set SUM would leave the accumulation order to
+    // the engine
+    val score = terms.indices.map(weight).reduce(_ + _)
+    val nMatched = terms.indices
+      .map(i => when(col(s"_tf_$i") > 0 && col(s"_idf_$i").isNotNull, 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    withTf
+      .withColumn("score", score)
+      .withColumn("n_matched", nMatched.cast(IntegerType))
+      .filter(col("n_matched") > 0)
+      .select(col(idCol), col("score"), col("n_matched"),
+        col("_dl").as("dl"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-doc TF-IDF keyword extraction: the top `kPerDoc` terms of each
+    * document by `idf × tf`, against a FROZEN [[bm25Fit]] model. The
+    * weight is EXACT decimal arithmetic — DECIMAL(20,6) idf times the
+    * integer term frequency — so ranking and output hash cross-engine
+    * with no doubles anywhere; ties break (weight DESC, token ASC).
+    *
+    * Scale shape: explode → one (doc,token) count aggregation → model
+    * join (no hint: AQE broadcasts a vocabulary-sized model, an
+    * over-limit one degrades to a shuffle join instead of failing — the
+    * [[graft.ops.TextOps.unigramScoreWith]] trade) → per-doc rank
+    * filter, which plans through the two-phase TopKPerKey strategy
+    * (map-side heaps bound the Exchange to ≤ docs×kPerDoc rows). Tokens
+    * absent from the model (OOV under a frozen vocabulary) carry no
+    * corpus statistic and are skipped — the inner join IS the filter. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, kPerDoc: Int): DataFrame = {
+    require(kPerDoc > 0, s"tfIdfTopTerms: kPerDoc must be > 0, got $kPerDoc")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(model.filter(col("_tok").isNotNull)
+        .select(col("_tok"), col("_idf")), Seq("_tok"))
+      .withColumn("weight",
+        col("_idf") * col("tf").cast(DecimalType(10, 0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("weight").desc, col("_tok"))))
+      .filter(col("rank") <= kPerDoc)
+      .select(col(idCol), col("rank"), col("_tok").as("term"),
+        col("tf"), col("weight"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -3005,6 +3005,116 @@ object Catalog {
              |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
              |SELECT doc_id, term AS top_term, score
              |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword retrieval against a FROZEN corpus-statistics model
+    // (SearchOps.bm25Fit/bm25TopK) — the targeted-corpus-slicing tier:
+    // "give me the top docs about X". The corpus side is a ZERO-SHUFFLE
+    // column program (per-doc tf/dl as array expressions, the ≤|query|
+    // model rows pivoted into ONE broadcast row, top-k via
+    // TakeOrderedAndProject); hash-exact because IDF is quantized
+    // DECIMAL(20,6) once at fit, and the score is the RAW double of a
+    // fixed IEEE op sequence over exact inputs that the oracle restates
+    // verbatim — including the left-associated per-term sum (w0+w1)+w2.
+    // Re-rounding the score would GUARANTEE mismatches, not risk them:
+    // BM25 ratios are often terminating rationals that land exactly on
+    // the decimal grid's half-boundaries, where Spark's and DuckDB's
+    // round() provably differ (measured on the SearchOpsSpec fixture;
+    // rationale on SearchOps).
+    "search_bm25_topk" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        SearchOps.bm25TopK(docs, "doc_id", "text", model,
+          Seq("dup", "hash", "join"), k = 20)
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n,
+             |                 CAST(sum(tf) AS BIGINT) AS tot FROM dt),
+             |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+             |idf AS (
+             |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+             |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+             |    AS DECIMAL(20,6)) AS idf
+             |  FROM dfc CROSS JOIN stats),
+             |piv AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+             |    CAST(sum(CASE WHEN tok = 'dup'  THEN tf ELSE 0 END) AS BIGINT) AS tf0,
+             |    CAST(sum(CASE WHEN tok = 'hash' THEN tf ELSE 0 END) AS BIGINT) AS tf1,
+             |    CAST(sum(CASE WHEN tok = 'join' THEN tf ELSE 0 END) AS BIGINT) AS tf2
+             |  FROM dt GROUP BY 1),
+             |sc AS (
+             |  SELECT piv.doc_id, piv.dl,
+             |    ((CASE WHEN tf0 > 0 THEN CAST(i0.idf AS DOUBLE) *
+             |        ((tf0 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |         (tf0 + CAST(1.2 AS DOUBLE) *
+             |          ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |           ((CAST(0.75 AS DOUBLE) * piv.dl) * stats.n) / stats.tot)))
+             |      ELSE CAST(0.0 AS DOUBLE) END
+             |    + CASE WHEN tf1 > 0 THEN CAST(i1.idf AS DOUBLE) *
+             |        ((tf1 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |         (tf1 + CAST(1.2 AS DOUBLE) *
+             |          ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |           ((CAST(0.75 AS DOUBLE) * piv.dl) * stats.n) / stats.tot)))
+             |      ELSE CAST(0.0 AS DOUBLE) END)
+             |    + CASE WHEN tf2 > 0 THEN CAST(i2.idf AS DOUBLE) *
+             |        ((tf2 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |         (tf2 + CAST(1.2 AS DOUBLE) *
+             |          ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |           ((CAST(0.75 AS DOUBLE) * piv.dl) * stats.n) / stats.tot)))
+             |      ELSE CAST(0.0 AS DOUBLE) END) AS score,
+             |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END +
+             |     CASE WHEN tf1 > 0 THEN 1 ELSE 0 END +
+             |     CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched
+             |  FROM piv CROSS JOIN stats
+             |  LEFT JOIN idf i0 ON i0.tok = 'dup'
+             |  LEFT JOIN idf i1 ON i1.tok = 'hash'
+             |  LEFT JOIN idf i2 ON i2.tok = 'join')
+             |SELECT doc_id, score, CAST(n_matched AS INTEGER) AS n_matched, dl
+             |FROM sc WHERE n_matched > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Per-doc TF-IDF keyword extraction against the same frozen model
+    // (SearchOps.tfIdfTopTerms): top-3 terms per document by idf × tf —
+    // EXACT decimal arithmetic end to end (DECIMAL(20,6) idf ×
+    // DECIMAL(10,0) tf; no doubles), so ranking and values hash
+    // cross-engine. The per-doc rank filter plans through the two-phase
+    // TopKPerKey strategy: map-side heaps bound the Exchange to
+    // ≤ docs×3 rows.
+    "search_tfidf_keywords" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        SearchOps.tfIdfTopTerms(docs, "doc_id", "text", model, kPerDoc = 3)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+             |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+             |idf AS (
+             |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+             |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+             |    AS DECIMAL(20,6)) AS idf
+             |  FROM dfc CROSS JOIN stats),
+             |w AS (
+             |  SELECT dt.doc_id, dt.tok, dt.tf,
+             |    idf.idf * CAST(dt.tf AS DECIMAL(10,0)) AS weight
+             |  FROM dt JOIN idf ON idf.tok = dt.tok),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY weight DESC, tok) AS rank FROM w)
+             |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok AS term,
+             |  CAST(tf AS BIGINT) AS tf, weight
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     // Sequence packing: documents → token-budget bins per source (the
     // context-window binning step of a training pipeline). Exact integer

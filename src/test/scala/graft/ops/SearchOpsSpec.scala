@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 docs, hand-computable stats:
+  //   d1: "a a b"   (dl=3)   d2: "a c"  (dl=2)   d3: "b b b c" (dl=4)
+  // N=3, T=9; df: a=2, b=2, c=2
+  private def fixture = Seq(
+    (1L, "a a b"), (2L, "a c"), (3L, "b b b c")).toDF("id", "text")
+
+  private def model = SearchOps.bm25Fit(fixture, "id", "text")
+
+  test("bm25Fit: df, idf, and the stats row match hand computation") {
+    val m = model.collect().map(r => (r.getAs[String]("_tok"), r)).toMap
+    val stats = m(null)
+    assert(stats.getAs[Long]("_n_docs") == 3L)
+    assert(stats.getAs[Long]("_total_toks") == 9L)
+    // idf(df=2, N=3) = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6) = 0.470004 (20,6)
+    for (tk <- Seq("a", "b", "c")) {
+      assert(m(tk).getAs[Long]("_df") == 2L, tk)
+      // idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6) → (20,6) = 0.470004
+      assert(m(tk).getAs[java.math.BigDecimal]("_idf")
+        .compareTo(new java.math.BigDecimal("0.470004")) == 0, tk)
+    }
+    assert(m.size == 4) // 3 terms + stats row
+  }
+
+  // the exact IEEE op sequence bm25TopK evaluates (and the oracle SQL
+  // restates) — same JVM doubles, so score asserts below are EXACT ==
+  private def refWeight(idf: Double, tf: Long, dl: Long, n: Long, t: Long,
+      k1: Double = 1.2, b: Double = 0.75): Double =
+    if (tf == 0) 0.0
+    else idf * ((tf * (k1 + 1.0)) /
+      (tf + k1 * ((1.0 - b) + ((b * dl) * n) / t)))
+
+  test("bm25TopK: hand-computed scores, ranking, and tie-break") {
+    // query [a, b], k1=1.2, b=0.75, idf = ln(1.6)→(20,6) = 0.470004 for
+    // every term (all have df=2). avgdl = 9/3 = 3.
+    //   d1: tf_a=2, tf_b=1, dl=3 → w_a = .470004·1.375, w_b = .470004
+    //   d2: tf_a=1, dl=2         → w_a = .470004·(2.2/1.9)
+    //   d3: tf_b=3, dl=4         → w_b = .470004·(6.6/4.5)
+    val out = SearchOps.bm25TopK(fixture, "id", "text", model,
+      Seq("a", "b"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    val idf = 0.470004
+    val scores = out.map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(scores(1L) ==
+      refWeight(idf, 2, 3, 3, 9) + refWeight(idf, 1, 3, 3, 9))
+    assert(scores(3L) == refWeight(idf, 0, 4, 3, 9) + refWeight(idf, 3, 4, 3, 9))
+    assert(scores(2L) == refWeight(idf, 1, 2, 3, 9) + refWeight(idf, 0, 2, 3, 9))
+    val matched = out.map(r =>
+      r.getLong(0) -> r.getAs[Int]("n_matched")).toMap
+    assert(matched == Map(1L -> 2, 3L -> 1, 2L -> 1))
+    assert(out.map(r => r.getAs[Long]("dl")).toSeq == Seq(3L, 4L, 2L))
+  }
+
+  test("bm25TopK: docs matching no term are dropped; unknown terms score 0") {
+    val out = SearchOps.bm25TopK(fixture, "id", "text", model,
+      Seq("c", "zzz"), k = 10).collect()
+    // only d2 and d3 contain c; zzz contributes nothing
+    assert(out.map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(out.forall(_.getAs[Int]("n_matched") == 1))
+  }
+
+  test("bm25TopK: k bounds output; ties at the boundary break by id") {
+    // two docs with identical text → identical scores; k=1 keeps lower id
+    val tied = Seq((10L, "a b"), (11L, "a b")).toDF("id", "text")
+    val m = SearchOps.bm25Fit(tied, "id", "text")
+    val out = SearchOps.bm25TopK(tied, "id", "text", m, Seq("a"), k = 1)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 10L)
+  }
+
+  test("bm25TopK: frozen model persists, reloads, and scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25m").toString
+    model.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val a = SearchOps.bm25TopK(fixture, "id", "text", model,
+      Seq("a", "b"), 10).collect().toSeq
+    val b = SearchOps.bm25TopK(fixture, "id", "text", reloaded,
+      Seq("a", "b"), 10).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bm25TopK: corpus side plans with no shuffle exchange") {
+    // scan → codegen'd projection → TakeOrderedAndProject; the only
+    // exchanges are the broadcast of the 1-row summary of the FROZEN
+    // (parquet-reloaded) model and the model-side single-partition
+    // aggregate (model-sized, not corpus-sized). At 100 TB the
+    // document table never shuffles. k must stay below the fixture's
+    // row count: over a 3-row LocalRelation with k ≥ 3 the optimizer
+    // PROVES maxRows ≤ k and eliminates the limit entirely (a real
+    // range sort then appears — an artifact impossible over a
+    // production scan, whose maxRows is unknown).
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    model.write.mode("overwrite").parquet(dir)
+    val frozen = spark.read.parquet(dir)
+    val df = SearchOps.bm25TopK(fixture, "id", "text", frozen, Seq("a"), 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tfIdfTopTerms: exact-decimal ranking with (weight desc, term) ties") {
+    val out = SearchOps.tfIdfTopTerms(fixture, "id", "text", model, 2)
+      .orderBy(col("id"), col("rank")).collect()
+    // weights: idf=0.470004 each; d1: a→.940008, b→.470004;
+    // d2: a=.470004, c=.470004 (tie → term asc); d3: b→1.410012, c→.470004
+    val byDoc = out.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("term")).toSeq
+    }
+    assert(byDoc(1L) == Seq("a", "b"))
+    assert(byDoc(2L) == Seq("a", "c")) // tie broken by term ascending
+    assert(byDoc(3L) == Seq("b", "c"))
+    val w1 = out.filter(r => r.getLong(0) == 1L && r.getAs[Int]("rank") == 1)
+      .head.getAs[java.math.BigDecimal]("weight")
+    assert(w1.compareTo(new java.math.BigDecimal("0.940008")) == 0)
+  }
+
+  test("tfIdfTopTerms: OOV tokens under a frozen model are skipped") {
+    val newDocs = Seq((9L, "a zzz zzz zzz")).toDF("id", "text")
+    val out = SearchOps.tfIdfTopTerms(newDocs, "id", "text", model, 3)
+      .collect()
+    // zzz is absent from the frozen model → only a survives
+    assert(out.map(_.getAs[String]("term")).toSeq == Seq("a"))
+  }
+
+  test("empty query and non-positive k are rejected") {
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25TopK(fixture, "id", "text", model, Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25TopK(fixture, "id", "text", model, Seq("a"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.tfIdfTopTerms(fixture, "id", "text", model, 0)
+    }
+  }
+}
