@@ -3874,6 +3874,67 @@ object Catalog {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Leakage-guard train/val/test split: assignment at the NEAR-DUP
+    // CLUSTER grain, not the document grain — the coin flips on
+    // cluster_id, so two near-duplicate documents can never straddle a
+    // split boundary (the eval-contamination failure mode of per-doc
+    // splitting: a train doc's near-copy lands in test and the eval
+    // leaks). Composes the audited pieces end to end: ngram-Jaccard
+    // pairs → connected components → assignSplits on the cluster label;
+    // singletons are their own cluster, so they split exactly like
+    // sample_split_assign. DuckDB independently rebuilds shingles,
+    // Jaccard pairs, the transitive closure (recursive CTE), and the
+    // bit-exact LCG coin — the dedup_cluster_cc oracle composed with
+    // the sample_split_assign oracle.
+    "sample_split_by_cluster" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val pairs = DedupOps.ngramJaccardPairs(
+          docs, "doc_id", "text", 0.3, shingleN = 2)
+          .select(col("id_a"), col("id_b"))
+        val clusters = DedupOps.connectedComponents(
+          docs.select(col("doc_id")), pairs, "doc_id", "id_a", "id_b")
+        SampleOps.assignSplits(clusters, "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 500),
+             |toks AS (
+             |  SELECT id, unnest(list_distinct(
+             |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS tok
+             |  FROM base),
+             |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY a.id, b.id),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.id = id_a
+             |  JOIN sizes sb ON sb.id = id_b
+             |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3),
+             |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(id, l) AS (
+             |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+             |  UNION
+             |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.l),
+             |labels AS (
+             |  SELECT id AS doc_id, min(l) AS cluster_id
+             |  FROM reach GROUP BY id)
+             |SELECT doc_id, cluster_id,
+             |  CASE WHEN u < 0.8 THEN 'train'
+             |       WHEN u < 0.9 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, cluster_id,
+             |        CAST((cluster_id * 1103515245 + 12345) % 2147483648
+             |          AS DOUBLE) / 2147483648.0 AS u
+             |      FROM labels)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic global corpus shuffle: the reproducible pseudorandom
     // total order a trainer reads the corpus in. Distributed range sort
     // on the portable-LCG key + zipWithIndex positions (never a

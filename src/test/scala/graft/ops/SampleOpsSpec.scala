@@ -352,4 +352,28 @@ class SampleOpsSpec extends SparkSpec {
     // (src, n_docs, n_bins, total_cost, capacity, underfill, overflow, max)
     assert(eff.toSeq == Seq(("g", 4L, 3L, 27L, 30L, 7L, 4L, 12L)))
   }
+
+  test("split-by-cluster composition: near-dup pairs never straddle a split") {
+    // the sample_split_by_cluster contract end to end through the REAL
+    // clustering path: docs 1/2 and 3/4 are near-dups, 5 is a singleton
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five seven"),
+      (5L, "totally unrelated content words")).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 0.3,
+      shingleN = 2).select($"id_a", $"id_b")
+    assert(pairs.count() == 2, "fixture must produce both near-dup pairs")
+    val clusters = DedupOps.connectedComponents(
+      docs.select($"doc_id"), pairs, "doc_id", "id_a", "id_b")
+    val out = SampleOps.assignSplits(clusters, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val straddle = pairs
+      .join(out.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(out.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .filter($"sa" =!= $"sb").count()
+    assert(straddle == 0)
+    assert(out.count() == 5) // singletons keep their row
+  }
 }
