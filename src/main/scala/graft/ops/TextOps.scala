@@ -301,6 +301,53 @@ object TextOps {
       .drop("_lines", "_dense", "_n", "_mask", "_content")
   }
 
+  /** URL decomposition for crawl-corpus front stages — the stage BEFORE
+    * [[htmlExtract]] in a real pipeline (URL-level filtering is cheaper
+    * than any content look). Regexp-only column programs: codegen'd,
+    * zero-shuffle, and deliberately restatable through ANSI
+    * `regexp_extract` so URL-keyed keys stay fully oracled. `urlHost`
+    * strips scheme, userinfo, port, and everything from the first
+    * `/?#`; no-match (schemeless input) yields the empty string in
+    * both engines — filter on it explicitly if absolute URLs are a
+    * precondition. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+
+  /** Last-two-label "registrable domain" approximation over a host —
+    * the grouping grain for domain caps and blocklists. Deliberately
+    * NOT a public-suffix-list implementation: the PSL is a data file,
+    * not an algorithm, and multi-label suffixes (`co.uk`) need that
+    * table; the seam to swap in a PSL lookup is this one column. */
+  def urlDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Path component (leading `/`, query/fragment stripped); empty
+    * string when the URL has no path. */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** Domain-diversity cap (the RefinedWeb/C4 front-stage shape): drop
+    * blocklisted registrable domains, then keep at most `n` documents
+    * per remaining domain — a deterministic uniform draw via
+    * [[SampleOps.samplePerGroup]], so one over-crawled host cannot
+    * dominate the corpus mix. Appends `host` and `domain` columns.
+    *
+    * Scale shape: the regex projection is zero-shuffle; the cap is the
+    * per-group rank filter that plans through the two-phase TopKPerKey
+    * strategy (map-side heaps bound the Exchange to ≤ domains×n rows —
+    * exactly the right cost model when the cap is the point). */
+  def domainDiversityCap(df: DataFrame, urlCol: String, idCol: String,
+      n: Int, seed: Long = 0L, blocked: Seq[String] = Nil): DataFrame = {
+    val withDomain = df
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("domain", urlDomain(col("host")))
+    val kept =
+      if (blocked.isEmpty) withDomain
+      else withDomain.filter(!col("domain").isin(blocked: _*))
+    SampleOps.samplePerGroup(kept, "domain", idCol, n, seed)
+  }
+
   /** Sliding-window chunking: split each document into `win`-token
     * chunks every `stride` tokens — the sequence-prep step between a
     * cleaned corpus and a trainer (overlap = win − stride preserves

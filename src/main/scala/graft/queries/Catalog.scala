@@ -3874,6 +3874,63 @@ object Catalog {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // URL front stage: parse host/registrable-domain/path, drop
+    // blocklisted domains, cap each remaining domain at 10 docs (the
+    // RefinedWeb-style domain-diversity cap — URL-level filtering
+    // happens BEFORE any content is read, so at 100 TB this stage
+    // prunes the scan, not the corpus). URLs are BUILT deterministically
+    // from table fields (the text_html_extract fixture precedent):
+    // 40 hosts, every 7th doc behind a www. prefix so host ≠ domain is
+    // actually exercised. DuckDB restates the same regexes, blocklist,
+    // and LCG-ranked cap.
+    "text_url_domain_cap" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withUrl = docs.select(col("doc_id"), col("source"),
+          concat(lit("https://"),
+            when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+            lit("site"), (col("doc_id") % 40).cast(StringType),
+            lit(".example/"), col("source"),
+            lit("/p"), col("doc_id").cast(StringType)).as("url"))
+        TextOps.domainDiversityCap(withUrl, "url", "doc_id",
+            n = 10, seed = 7L,
+            blocked = Seq("site7.example", "site23.example"))
+          .withColumn("path", TextOps.urlPath(col("url")))
+          .select(col("doc_id"), col("host"), col("domain"), col("path"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH withu AS (
+             |  SELECT doc_id,
+             |    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END
+             |      || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example/'
+             |      || source || '/p' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url,
+             |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))
+             |      AS host
+             |  FROM withu),
+             |dom AS (
+             |  SELECT doc_id, host,
+             |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+             |    regexp_extract(url,
+             |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+             |  FROM parts),
+             |kept AS (
+             |  SELECT * FROM dom
+             |  WHERE domain NOT IN ('site7.example', 'site23.example')),
+             |u AS (
+             |  SELECT *, CAST(((doc_id + 7) * 1103515245 + 12345)
+             |      % 2147483648 AS DOUBLE) / 2147483648.0 AS u
+             |  FROM kept),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY domain
+             |    ORDER BY u, doc_id) AS rn
+             |  FROM u)
+             |SELECT doc_id, host, domain, path
+             |FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
     // Leakage-guard train/val/test split: assignment at the NEAR-DUP
     // CLUSTER grain, not the document grain — the coin flips on
     // cluster_id, so two near-duplicate documents can never straddle a

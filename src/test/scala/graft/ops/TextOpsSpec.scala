@@ -309,4 +309,43 @@ class TextOpsSpec extends SparkSpec {
     val p3 = got(2)
     assert(p3._2 == 0L && p3._3 == 0L && p3._4 == "", s"null html: $p3")
   }
+
+  test("urlHost/urlDomain/urlPath: scheme, userinfo, port, query, edge cases") {
+    import spark.implicits._
+    val rows = Seq(
+      "https://www.Sub.Example.ORG/a/b?q=1#f",
+      "http://user:pw@api.example.com:8080/v1/x",
+      "ftp://example.io",
+      "not-a-url",
+      "https://single/")
+      .toDF("url")
+      .select(
+        TextOps.urlHost(col("url")).as("host"),
+        TextOps.urlDomain(TextOps.urlHost(col("url"))).as("domain"),
+        TextOps.urlPath(col("url")).as("path"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == (("www.sub.example.org", "example.org", "/a/b")))
+    assert(rows(1) == (("api.example.com", "example.com", "/v1/x")),
+      rows(1).toString) // userinfo and port stripped
+    assert(rows(2) == (("example.io", "example.io", ""))) // no path
+    assert(rows(3) == (("", "", ""))) // schemeless → empty, not null
+    assert(rows(4) == (("single", "", "/"))) // single-label host: no domain
+  }
+
+  test("domainDiversityCap: blocklist drops, cap binds, deterministic") {
+    import spark.implicits._
+    // 30 docs over 3 domains (10 each), one blocked, cap n=4
+    val docs = (0L until 30L).map(i =>
+      (i, s"https://site${i % 3}.example/p$i")).toDF("doc_id", "url")
+    val out = TextOps.domainDiversityCap(docs, "url", "doc_id", n = 4,
+      seed = 7L, blocked = Seq("site1.example"))
+    val byDomain = out.groupBy($"domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain == Map("site0.example" -> 4L, "site2.example" -> 4L))
+    // deterministic under repartitioning
+    val again = TextOps.domainDiversityCap(docs.repartition(11), "url",
+      "doc_id", n = 4, seed = 7L, blocked = Seq("site1.example"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == out.select($"doc_id").as[Long].collect().toSet)
+  }
 }
