@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -26,6 +26,42 @@ final case class QuerySpec(
 object Catalog {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** graph_pagerank's DuckDB oracle: the five fixed-point iterations
+    * unrolled as chained CTEs (a recursive CTE with an aggregate over
+    * the recursive relation is not portable), each the literal integer
+    * restatement of one GraphOps round — `//` is DuckDB's integer
+    * division, matching Spark's `div` on the all-positive ranks. */
+  private lazy val pagerankOracle: String = {
+    def iter(k: Int): String =
+      s"""pr$k AS (
+         |  SELECT base.id, base.b,
+         |    CAST(base.b + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM base LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // od.deg) AS c
+         |    FROM pr${k - 1} p
+         |    JOIN edges e ON e.src = p.id
+         |    JOIN od ON od.src = p.id
+         |    GROUP BY e.dst) s ON s.id = base.id)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
+       |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
+       |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
+       |  WHERE src <> dst),
+       |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |base AS (
+       |  SELECT id, ((1000000000000 * 15) // 100) // n AS b
+       |  FROM nodes CROSS JOIN nn),
+       |pr0 AS (
+       |  SELECT base.id, base.b, CAST(1000000000000 // n AS BIGINT) AS pr
+       |  FROM base CROSS JOIN nn),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS doc_id, pr FROM pr5 ORDER BY doc_id""".stripMargin
+  }
 
   /** IVF coarse quantizers, one per dataset dir: the fit is the offline
     * step of the fit/query split (SimilarityOps.ivfFit) — re-training it
@@ -1553,6 +1589,30 @@ object Catalog {
              |  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.l)
              |SELECT id AS doc_id, min(l) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // PageRank over a deterministic link graph (GraphOps) — the
+    // importance prior a web-corpus pipeline mixes into quality
+    // weighting, and the second iterative-propagation operator next to
+    // the CC pair above. FIXED-POINT INTEGER arithmetic end to end
+    // (scaled-long ranks, integer div, no doubles, no decimal
+    // division), so five full iterations are BIT-EXACT cross-engine —
+    // DuckDB replays them as five unrolled join+aggregate CTEs over
+    // the same edge formula. Three outlinks per doc via affine maps
+    // mod 500; generator collisions dedupe on both sides.
+    "graph_pagerank" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        GraphOps.pagerankFixedPoint(
+          ids, edges, "doc_id", "src", "dst", iterations = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(pagerankOracle)),
 
     // END-TO-END fuzzy dedup: minhash LSH candidates → exact-Jaccard
     // confirm → connected components → min-id survivor per cluster →

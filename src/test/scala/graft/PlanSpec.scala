@@ -193,7 +193,8 @@ class PlanSpec extends SparkSpec {
       "text_nb_quality_distill", // same shape via the distillation fixture
       "sample_curriculum",     // 1-row corpus-count scalar broadcast
       "search_bm25_topk",      // 1-row model-summary scalar broadcast
-      "search_tfidf_keywords") // in-plan bm25Fit's 1-row stats broadcast
+      "search_tfidf_keywords", // in-plan bm25Fit's 1-row stats broadcast
+      "graph_pagerank")        // 1-row node-count scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 nodes; 4 is dangling-and-isolated. outdeg: 1→2, 2→1, 3→1.
+  private def nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+  private def edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    .toDF("src", "dst")
+
+  test("pagerankFixedPoint: hand-computed integer ranks incl. truncation") {
+    // scale 1e6, d=85/100: pr0 = 250000, base = 37500
+    // iter1: in_sum 1:250000 2:125000 3:375000 → pr 250000/143750/356250/37500
+    // iter2: in_sum 1:356250 2:125000 3:268750
+    //   85·356250 div 100 = 302812 (truncates .5) → 340312
+    //   85·268750 div 100 = 228437 (truncates .5) → 265937
+    val out = GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+        iterations = 2, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 340312L, 2L -> 143750L, 3L -> 265937L,
+      4L -> 37500L))
+  }
+
+  test("dangling/isolated node keeps exactly the teleport mass") {
+    val out = GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+        iterations = 5, scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out(4L) == 37500L) // base only, every round
+    // leaked mass (dangling + truncation) only ever shrinks the total
+    assert(out.values.sum <= 1000000L)
+    assert(out.values.forall(_ >= 37500L))
+  }
+
+  test("duplicate edges and self-loops are ignored") {
+    val noisy = edges
+      .unionByName(Seq((1L, 2L), (1L, 2L), (3L, 3L)).toDF("src", "dst"))
+    val clean = GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+      iterations = 3, scale = 1000000L).as[(Long, Long)].collect().toMap
+    val got = GraphOps.pagerankFixedPoint(nodes, noisy, "id", "src", "dst",
+      iterations = 3, scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(got == clean)
+  }
+
+  test("deterministic under repartitioning (integer arithmetic only)") {
+    val a = GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+      iterations = 4, scale = 1000000L).as[(Long, Long)].collect().toMap
+    val b = GraphOps.pagerankFixedPoint(
+      nodes.repartition(7), edges.repartition(5), "id", "src", "dst",
+      iterations = 4, scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("invalid parameters rejected") {
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+        iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+        dampingNum = 100L, dampingDen = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+        scale = 10L)
+    }
+  }
+}
