@@ -161,6 +161,11 @@ object SearchOps {
     * weight is EXACT decimal arithmetic — DECIMAL(20,6) idf times the
     * integer term frequency — so ranking and output hash cross-engine
     * with no doubles anywhere; ties break (weight DESC, token ASC).
+    * The product is pinned to DECIMAL(30,6): engines disagree on the
+    * RESULT WIDTH of a decimal multiply (Spark p1+p2+1 = 31, DuckDB
+    * p1+p2 = 30) even when every value is identical, and a
+    * type-sensitive hash treats that as a mismatch — so both sides
+    * cast to the width that loses no digits.
     *
     * Scale shape: explode → one (doc,token) count aggregation → model
     * join (no hint: AQE broadcasts a vocabulary-sized model, an
@@ -182,7 +187,8 @@ object SearchOps {
     tf.join(model.filter(col("_tok").isNotNull)
         .select(col("_tok"), col("_idf")), Seq("_tok"))
       .withColumn("weight",
-        col("_idf") * col("tf").cast(DecimalType(10, 0)))
+        (col("_idf") * col("tf").cast(DecimalType(10, 0)))
+          .cast(DecimalType(30, 6)))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("weight").desc, col("_tok"))))

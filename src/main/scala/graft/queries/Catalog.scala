@@ -3167,7 +3167,8 @@ object Catalog {
              |  FROM dfc CROSS JOIN stats),
              |w AS (
              |  SELECT dt.doc_id, dt.tok, dt.tf,
-             |    idf.idf * CAST(dt.tf AS DECIMAL(10,0)) AS weight
+             |    CAST(idf.idf * CAST(dt.tf AS DECIMAL(10,0))
+             |         AS DECIMAL(30,6)) AS weight
              |  FROM dt JOIN idf ON idf.tok = dt.tok),
              |r AS (
              |  SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -7,9 +7,26 @@ For each query key: read the Spark result parquet from <verifyOutDir>/<key>,
 run the oracle SQL from oracle_sql.json in DuckDB against the parquet tables
 in <sfDir>, sort columns by name, and compare row counts + values
 bit-exactly (the real driver hash-compares, so nothing less suffices).
+
+Also compares DECLARED column types (DESCRIBE both sides, normalized):
+the driver's hash is type-sensitive, so e.g. a Spark DECIMAL(31,6) vs a
+DuckDB DECIMAL(30,6) fails the driver even when every value matches —
+pandas-based value comparison alone is blind to that class (this exact
+gap shipped search_tfidf_keywords "green" locally in round 8 while the
+driver failed it).
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
+
+# Normalizations for declared-type comparison: differences a parquet
+# round-trip introduces that the driver's hash does NOT flag (timestamps
+# are ns-normalized on the Spark side by design). Decimal widths stay
+# STRICT — that's the failure class this check exists for.
+def norm_type(t):
+    t = t.upper()
+    t = re.sub(r"TIMESTAMP_NS|TIMESTAMP WITH TIME ZONE|TIMESTAMPTZ",
+               "TIMESTAMP", t)
+    return t
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -29,6 +46,13 @@ def main():
             print(f"  [rows-only] {key}: {len(spark_df)} rows")
             continue
         duck_df = con.execute(oracle[key]).fetchdf()
+        spark_types = {
+            r[0]: norm_type(r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')"
+            ).fetchall()}
+        duck_types = {
+            r[0]: norm_type(r[1])
+            for r in con.execute(f"DESCRIBE {oracle[key]}").fetchall()}
         spark_df = spark_df[sorted(spark_df.columns)]
         duck_df = duck_df[sorted(duck_df.columns)]
         ok = True
@@ -36,6 +60,12 @@ def main():
         if list(spark_df.columns) != list(duck_df.columns):
             ok = False
             msgs.append(f"columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+        elif spark_types != duck_types:
+            diffs = [f"{c}: {spark_types.get(c)} vs {duck_types.get(c)}"
+                     for c in sorted(set(spark_types) | set(duck_types))
+                     if spark_types.get(c) != duck_types.get(c)]
+            ok = False
+            msgs.append("declared types differ — " + "; ".join(diffs))
         elif len(spark_df) != len(duck_df):
             ok = False
             msgs.append(f"rows {len(spark_df)} vs {len(duck_df)}")
