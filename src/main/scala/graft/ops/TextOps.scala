@@ -314,13 +314,15 @@ object TextOps {
     lower(regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
 
-  /** Last-two-label "registrable domain" approximation over a host —
-    * the grouping grain for domain caps and blocklists. Deliberately
-    * NOT a public-suffix-list implementation: the PSL is a data file,
-    * not an algorithm, and multi-label suffixes (`co.uk`) need that
-    * table; the seam to swap in a PSL lookup is this one column. */
+  /** Registrable domain ("eTLD+1") of a host — the grouping grain for
+    * domain caps and blocklists. Backed by [[PslDomain]]'s bundled
+    * Public Suffix List snapshot (the PSL is a data file, not an
+    * algorithm: `co.uk` / `com.au` need that table); TLDs absent from
+    * the snapshot fall through to the PSL default rule, which IS the
+    * old last-two-label heuristic — unknown-TLD behavior is unchanged.
+    * Zero-shuffle column program: hash-set probes, no join, no UDF. */
   def urlDomain(host: Column): Column =
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    PslDomain.registrableDomain(host)
 
   /** Path component (leading `/`, query/fragment stripped); empty
     * string when the URL has no path. */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -3991,6 +3991,92 @@ object Catalog {
              |  FROM u)
              |SELECT doc_id, host, domain, path
              |FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // Registrable-domain extraction through the bundled Public Suffix
+    // List snapshot — exercises all three PSL rule shapes (exact
+    // co.uk / com.au / 3-label k12.ca.us, wildcard *.ck, exception
+    // !www.ck), the private section (github.io), the default rule
+    // (unknown TLDs reproduce the last-two-label heuristic), and both
+    // no-registrable cases (host IS a public suffix; single label).
+    // The oracle replays the SAME algorithm generically: last-k-label
+    // candidates joined to the STAGED rule table (the snapshot parsed
+    // to parquet), exception beats longest beats default — so the
+    // bundled data file, the Spark expression compiler, and an
+    // independent engine agree row-for-row.
+    "text_url_psl_domain" -> QuerySpec(
+      (s, d) => {
+        staged(d, "psl_rules") { dir =>
+          PslDomain.rulesDf(s).coalesce(1).write
+            .mode("overwrite").parquet(dir)
+        }
+        val docs = t(s, d, "documents")
+        val id = col("doc_id").cast(StringType)
+        val m = col("doc_id") % 12
+        val host = when(m === 0, concat(lit("site"), id, lit(".co.uk")))
+          .when(m === 1, concat(lit("www.site"), id, lit(".com.au")))
+          .when(m === 2, concat(lit("a.b.site"), id, lit(".gov.br")))
+          .when(m === 3, concat(lit("site"), id, lit(".com")))
+          .when(m === 4, concat(lit("site"), id, lit(".example")))
+          .when(m === 5, concat(lit("www.site"), id, lit(".github.io")))
+          .when(m === 6, concat(lit("site"), id, lit(".foo.ck")))
+          .when(m === 7, lit("www.ck"))
+          .when(m === 8, lit("co.uk"))
+          .when(m === 9, concat(lit("school"), id, lit(".k12.ca.us")))
+          .when(m === 10, lit("sub.www.ck"))
+          .otherwise(lit("localhost"))
+        docs
+          .select(col("doc_id"),
+            concat(lit("https://"), host, lit("/p"), id).as("url"))
+          .select(col("doc_id"), TextOps.urlHost(col("url")).as("host"))
+          .withColumn("domain", TextOps.urlDomain(col("host")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH hosts AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 12
+             |      WHEN 0 THEN 'site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+             |      WHEN 1 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.com.au'
+             |      WHEN 2 THEN 'a.b.site' || CAST(doc_id AS VARCHAR) || '.gov.br'
+             |      WHEN 3 THEN 'site' || CAST(doc_id AS VARCHAR) || '.com'
+             |      WHEN 4 THEN 'site' || CAST(doc_id AS VARCHAR) || '.example'
+             |      WHEN 5 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.github.io'
+             |      WHEN 6 THEN 'site' || CAST(doc_id AS VARCHAR) || '.foo.ck'
+             |      WHEN 7 THEN 'www.ck'
+             |      WHEN 8 THEN 'co.uk'
+             |      WHEN 9 THEN 'school' || CAST(doc_id AS VARCHAR) || '.k12.ca.us'
+             |      WHEN 10 THEN 'sub.www.ck'
+             |      ELSE 'localhost' END AS host
+             |  FROM documents),
+             |lab AS (
+             |  SELECT doc_id, host, len(string_split(host, '.')) AS n
+             |  FROM hosts),
+             |cand AS (
+             |  SELECT l.doc_id, l.n,
+             |    array_to_string(
+             |      string_split(l.host, '.')[l.n - r.k + 1 : l.n], '.') AS sfx
+             |  FROM lab l
+             |  CROSS JOIN range(1, ${PslDomain.rules.map(_.nlabels).max + 1}) r(k)
+             |  WHERE r.k <= l.n),
+             |m AS (
+             |  SELECT c.doc_id,
+             |    max(CASE WHEN p.kind = 'e' THEN p.nlabels - 1 END) AS exc_len,
+             |    max(CASE WHEN p.kind = 'x' THEN p.nlabels END) AS x_len,
+             |    max(CASE WHEN p.kind = 'w' AND c.n >= p.nlabels + 1
+             |             THEN p.nlabels + 1 END) AS w_len
+             |  FROM cand c
+             |  JOIN read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/psl_rules/*.parquet') p
+             |    ON p.suffix = c.sfx
+             |  GROUP BY c.doc_id),
+             |sl AS (
+             |  SELECT l.doc_id, l.host, l.n,
+             |    coalesce(m.exc_len,
+             |      greatest(coalesce(m.x_len, 0), coalesce(m.w_len, 0), 1)) AS sl
+             |  FROM lab l LEFT JOIN m ON m.doc_id = l.doc_id)
+             |SELECT doc_id, host,
+             |  CASE WHEN n > sl THEN array_to_string(
+             |    string_split(host, '.')[n - sl : n], '.') ELSE '' END AS domain
+             |FROM sl ORDER BY doc_id""".stripMargin)),
 
     // Leakage-guard train/val/test split: assignment at the NEAR-DUP
     // CLUSTER grain, not the document grain — the coin flips on

@@ -332,6 +332,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(4) == (("single", "", "/"))) // single-label host: no domain
   }
 
+  test("urlDomain: PSL snapshot — exact, wildcard, exception, default rules") {
+    import spark.implicits._
+    val cases = Seq(
+      // exact multi-label rules
+      "example.co.uk" -> "example.co.uk",
+      "www.example.co.uk" -> "example.co.uk",
+      "deep.sub.example.com.au" -> "example.com.au",
+      "agency.gov.br" -> "agency.gov.br",
+      // 3-label exact rule
+      "school.k12.ca.us" -> "school.k12.ca.us",
+      "www.school.k12.ca.us" -> "school.k12.ca.us",
+      // wildcard *.ck: every 2nd-level label is a registry
+      "shop.foo.ck" -> "shop.foo.ck",
+      "foo.ck" -> "", // IS a public suffix under the wildcard
+      // exception !www.ck overrides the wildcard
+      "www.ck" -> "www.ck",
+      "sub.www.ck" -> "www.ck",
+      // private-section suffix
+      "user.github.io" -> "user.github.io",
+      "www.user.github.io" -> "user.github.io",
+      // default rule: unknown TLD → last two labels (old behavior)
+      "www.example.org" -> "example.org",
+      "site3.example" -> "site3.example",
+      // no registrable domain
+      "co.uk" -> "",
+      "localhost" -> "",
+      "" -> "")
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), TextOps.urlDomain(col("host")).as("domain"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    cases.zip(got).foreach { case ((h, want), (_, d)) =>
+      assert(d == want, s"host=$h want=$want got=$d")
+    }
+  }
+
   test("domainDiversityCap: blocklist drops, cap binds, deterministic") {
     import spark.implicits._
     // 30 docs over 3 domains (10 each), one blocked, cap n=4
