@@ -407,7 +407,7 @@ object DedupOps {
     * with no lineage to rebuild — fine single-node / on stable
     * clusters). Both are eager, so per-round convergence probes never
     * recompute. */
-  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  private[ops] def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     if (checkpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
@@ -417,7 +417,7 @@ object DedupOps {
     * files are reclaimed by the ContextCleaner only with
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, otherwise
     * delete the dir after the job. */
-  private def setupCheckpointDir(df: DataFrame, dir: Option[String]): Unit =
+  private[ops] def setupCheckpointDir(df: DataFrame, dir: Option[String]): Unit =
     dir.foreach(d => df.sparkSession.sparkContext.setCheckpointDir(d))
 
   /** Deterministically release a `localCheckpoint(true)`'d frame's
@@ -427,7 +427,7 @@ object DedupOps {
     * before then. Safe on frames that carry no checkpoint (no-op —
     * including reliable-checkpoint frames, whose generations live as
     * files under the checkpoint dir, not as storage blocks). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

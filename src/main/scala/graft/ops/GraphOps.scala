@@ -32,10 +32,19 @@ import org.apache.spark.sql.types._
   * Scale shape: each round is one equi-join of the edge list to the
   * current ranks plus one groupBy(dst) — the [[DedupOps]] CC cost
   * model; the edge list is deduplicated and self-loops dropped once up
-  * front. Iterations is a small fixed constant (the operator unrolls
-  * the loop into one plan): for K beyond ~10 pass `checkpointDir`-style
-  * materialization upstream the way connectedComponents does — at the
-  * default K the plan stays comfortably analyzable.
+  * front. Lineage: realistic link-graph runs use K = 20–50 rounds, and
+  * a fully unrolled plan doubles in depth every round until analysis
+  * time dominates — so every `checkpointEvery` rounds (default 5) the
+  * rank frame is materialized through the same seam the CC variants
+  * use: eager `localCheckpoint` single-node / on stable clusters, or
+  * RELIABLE `checkpoint` on shared storage when `checkpointDir` is
+  * given (the preemptible-fleet mode — executor loss then costs at
+  * most one segment's recompute, never the job). Superseded
+  * generations' blocks are released deterministically, so rounds don't
+  * stack state in executor storage. The edge list and out-degrees are
+  * materialized ONCE up front for the same reason: every round re-reads
+  * them, and without the barrier each generation would re-shuffle the
+  * raw edges.
   */
 object GraphOps {
 
@@ -44,35 +53,55 @@ object GraphOps {
     * self-loops; both are removed. Nodes absent from `nodes` but
     * present as edge endpoints do NOT receive rank rows — declare the
     * node universe explicitly (the connectedComponents contract,
-    * inverted: here the declared set is authoritative). */
+    * inverted: here the declared set is authoritative).
+    *
+    * `checkpointEvery` = rounds per lineage-truncation barrier (the
+    * plan depth between barriers); `checkpointDir` switches the
+    * barriers from executor-local blocks to reliable shared-storage
+    * checkpoints. Checkpointing changes WHERE the plan is cut, not
+    * what is computed: results are bit-identical for any
+    * `checkpointEvery` (property-tested K=20 checkpointed ≡ unrolled). */
   def pagerankFixedPoint(
       nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       iterations: Int = 5,
       dampingNum: Long = 85L, dampingDen: Long = 100L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingNum > 0 && dampingDen > dampingNum,
       s"damping must satisfy 0 < num < den, got $dampingNum/$dampingDen")
     require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    DedupOps.setupCheckpointDir(nodes, checkpointDir)
     val ids = nodes.select(col(idCol).cast(LongType).as("id"))
-    val e = edges
+    // edge list + out-degrees: computed once, read every round — the
+    // barrier stops each generation from re-shuffling the raw edges
+    val e = DedupOps.materialize(edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .distinct(), checkpointDir)
+    val outdeg = DedupOps.materialize(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")), checkpointDir)
     // N rides along as a 1-row broadcast scalar (no driver-side count)
     val n = ids.agg(count(lit(1)).as("n"))
     val base = ids.crossJoin(broadcast(n))
       .select(col("id"), col("n"),
         // teleport mass per node: (scale·(den−num) div den) div N
-        expr(s"(($scale * ${dampingDen - dampingNum}) div $dampingDen) div n")
+        // the L suffix pins the literal to BIGINT: a scale that fits
+        // in INT (tests use 1e9) would otherwise overflow the multiply
+        expr(s"((${scale}L * ${dampingDen - dampingNum}L) div ${dampingDen}L) div n")
           .as("base_pr"))
     var pr = base.select(col("id"), col("base_pr"),
-      expr(s"$scale div n").as("pr"))
-    for (_ <- 1 to iterations) {
+      expr(s"${scale}L div n").as("pr"))
+    // previous barrier's frame, so its blocks can be freed when the
+    // next barrier lands (base/pr share lineage until the first cut)
+    var lastBarrier: Option[DataFrame] = None
+    for (round <- 1 to iterations) {
       val contribs = e
         .join(pr.select(col("id"), col("pr")), e("src") === col("id"))
         .join(outdeg, Seq("src"))
@@ -82,9 +111,19 @@ object GraphOps {
         .join(contribs, base("id") === contribs("dst"), "left")
         .select(base("id"), col("base_pr"),
           (col("base_pr") +
-            expr(s"($dampingNum * coalesce(in_sum, 0)) div $dampingDen"))
+            expr(s"(${dampingNum}L * coalesce(in_sum, 0L)) div ${dampingDen}L"))
             .as("pr"))
+      if (round % checkpointEvery == 0 && round < iterations) {
+        val cut = DedupOps.materialize(pr, checkpointDir)
+        lastBarrier.foreach(DedupOps.releaseCheckpoint)
+        lastBarrier = Some(cut)
+        pr = cut
+      }
     }
+    // NOTE the final frame is returned UN-materialized past the last
+    // barrier (≤ checkpointEvery rounds of lineage): the caller decides
+    // whether to persist/write it; lastBarrier's blocks back that tail
+    // and are released by the session, not here.
     pr.select(col("id").as(idCol), col("pr"))
   }
 }

@@ -66,5 +66,35 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
         scale = 10L)
     }
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankFixedPoint(nodes, edges, "id", "src", "dst",
+        checkpointEvery = 0)
+    }
+  }
+
+  test("K=20 with checkpoint barriers ≡ K=20 unrolled, bit-exact") {
+    // a denser 12-node graph so 20 rounds keep moving mass around
+    val n12 = (1L to 12L).toDF("id")
+    val e12 = (1L to 12L).flatMap(i =>
+      Seq((i, i % 12 + 1), (i, (i * 5) % 12 + 1), (i, (i * 7) % 12 + 1)))
+      .toDF("src", "dst")
+    // checkpointEvery > iterations → zero barriers = the unrolled form
+    val unrolled = GraphOps.pagerankFixedPoint(n12, e12, "id", "src", "dst",
+      iterations = 20, scale = 1000000000L, checkpointEvery = 100)
+      .as[(Long, Long)].collect().toMap
+    for (every <- Seq(1, 3, 5)) {
+      val cut = GraphOps.pagerankFixedPoint(n12, e12, "id", "src", "dst",
+        iterations = 20, scale = 1000000000L, checkpointEvery = every)
+        .as[(Long, Long)].collect().toMap
+      assert(cut == unrolled, s"checkpointEvery=$every diverged")
+    }
+    // reliable-checkpoint mode through the same seam
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_ckpt").toString
+    val reliable = GraphOps.pagerankFixedPoint(n12, e12, "id", "src", "dst",
+      iterations = 20, scale = 1000000000L, checkpointEvery = 4,
+      checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == unrolled)
   }
 }
