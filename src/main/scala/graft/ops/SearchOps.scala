@@ -156,6 +156,84 @@ object SearchOps {
       .limit(k)
   }
 
+  /** SCORE half, query-TABLE form: per-query BM25 top-k for a BATCH of
+    * queries against a FROZEN [[bm25Fit]] model — the shape an ablation
+    * pipeline actually runs ("slice the corpus for these 200 topics"),
+    * where [[bm25TopK]]'s literal-query design would re-plan per query.
+    * ONE logical plan regardless of query count: queries are DATA, not
+    * plan structure.
+    *
+    * Scale shape: query terms explode and join the model ONCE (the
+    * vocabulary-sized idf frame — AQE broadcasts it, degrading to a
+    * shuffle join over the [[graft.ops.TextOps.unigramScoreWith]]
+    * trade); the corpus side is the (doc, term, tf) postings
+    * aggregation with dl riding the groupBy keys; postings join query
+    * terms on term (the postings-list walk, restated as one shuffle
+    * join bounded by Σ_q |matched postings|, NOT corpus × queries);
+    * per-query top-k is the rank-filter shape that plans through the
+    * two-phase TopKPerKey strategy (map-side heaps bound the Exchange
+    * to ≤ queries×k rows).
+    *
+    * Determinism: same per-term weight IEEE sequence as [[bm25TopK]],
+    * but the per-(query,doc) sum ranges over a DATA-dependent term set,
+    * so the fixed-order discipline becomes: collect the (term, weight)
+    * pairs, sort by term, left-fold from +0.0 — an accumulation order
+    * both engines can restate exactly (DuckDB:
+    * `list_reduce(list(w ORDER BY term), (a,b) -> a+b)`; the +0.0 seed
+    * is exact because Robertson IDF ≥ 0 ⇒ weights > 0). Matches
+    * [[bm25TopK]] bit-exactly when the literal query's terms are given
+    * in ascending order (property-tested). OOV terms drop at the model
+    * join — zero weight, as in the literal form; a query with no
+    * in-vocabulary term yields no rows. Ties break (score DESC, id
+    * ASC). Output: (qidCol, idCol, rank, score, n_matched, dl). */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopKBatch: k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries.select(col(qidCol).as("_qid"),
+        explode(array_distinct(
+          filter(TextOps.tokenize(col(qTextCol)), x => length(x) > 0)))
+          .as("_tok"))
+    val qidf = qterms.join(
+      model.filter(col("_tok").isNotNull).select(col("_tok"), col("_idf")),
+      Seq("_tok"))
+    val stats = model.filter(col("_tok").isNull)
+      .select(col("_n_docs"), col("_total_toks"))
+    // postings: (doc, dl, term, tf) — dl is functionally dependent on
+    // the doc id, so carrying it in the groupBy keys is free (no second
+    // shuffle to re-attach document length)
+    val postings = docs
+      .select(col(idCol),
+        filter(TextOps.tokenize(col(textCol)), x => length(x) > 0).as("_toks"))
+      .select(col(idCol), size(col("_toks")).cast(LongType).as("_dl"),
+        explode(col("_toks")).as("_tok"))
+      .groupBy(col(idCol), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    // per-(query, doc, term) weight — the bm25TopK IEEE sequence
+    // verbatim; inner joins guarantee tf > 0 and idf non-null
+    val weighted = postings.join(qidf, Seq("_tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_w",
+        col("_idf").cast(DoubleType) *
+          ((col("_tf") * (lit(k1) + lit(1.0))) /
+            (col("_tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+              ((lit(b) * col("_dl")) * col("_n_docs")) / col("_total_toks")))))
+    weighted
+      .groupBy(col("_qid"), col(idCol), col("_dl"))
+      .agg(sort_array(collect_list(struct(col("_tok").as("t"),
+        col("_w").as("w")))).as("_ws"))
+      .withColumn("score",
+        aggregate(col("_ws"), lit(0.0), (acc, x) => acc + x.getField("w")))
+      .withColumn("n_matched", size(col("_ws")).cast(IntegerType))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("_qid"))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col(idCol), col("rank"),
+        col("score"), col("n_matched"), col("_dl").as("dl"))
+  }
+
   /** Per-doc TF-IDF keyword extraction: the top `kPerDoc` terms of each
     * document by `idf × tf`, against a FROZEN [[bm25Fit]] model. The
     * weight is EXACT decimal arithmetic — DECIMAL(20,6) idf times the

@@ -3138,6 +3138,82 @@ object Catalog {
              |FROM sc WHERE n_matched > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Query-TABLE BM25 (SearchOps.bm25TopKBatch): a batch of queries
+    // scored through the SAME frozen model in ONE plan — queries are
+    // data, not plan structure (the literal form re-plans per query).
+    // Query terms join the model once; postings join query terms on
+    // term; per-query top-k ranks through TopKPerKey. Hash-exact
+    // because the per-term weight is the bm25_topk IEEE sequence
+    // verbatim and the per-(query,doc) sum is a SORTED left fold from
+    // +0.0 that DuckDB restates with list_reduce(list(w ORDER BY tok))
+    // — an accumulation order both engines honor, unlike a row-set SUM.
+    // q4's only term is OOV ⇒ it drops at the model join and emits no
+    // rows (documented bm25TopKBatch contract).
+    "search_bm25_batch" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        val queries = Seq(
+          ("q1", "dup hash join"),
+          ("q2", "merge sort"),
+          ("q3", "dup zebra"),
+          ("q4", "qqqzzz")).toDF("qid", "qtext")
+        SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+            queries, "qid", "qtext", k = 10)
+          .orderBy(col("qid"), col("doc_id"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM dt GROUP BY 1),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n,
+             |                 CAST(sum(tf) AS BIGINT) AS tot FROM dt),
+             |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+             |idf AS (
+             |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+             |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+             |    AS DECIMAL(20,6)) AS idf
+             |  FROM dfc CROSS JOIN stats),
+             |q(qid, qtext) AS (VALUES
+             |  ('q1', 'dup hash join'), ('q2', 'merge sort'),
+             |  ('q3', 'dup zebra'), ('q4', 'qqqzzz')),
+             |qt AS (
+             |  SELECT qid, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(lower(qtext), '\s+'),
+             |    x -> length(x) > 0))) AS tok
+             |  FROM q),
+             |qi AS (
+             |  SELECT qt.qid, qt.tok, idf.idf
+             |  FROM qt JOIN idf ON idf.tok = qt.tok),
+             |w AS (
+             |  SELECT qi.qid, dt.doc_id, dl.dl, qi.tok,
+             |    CAST(qi.idf AS DOUBLE) *
+             |      ((dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |       (dt.tf + CAST(1.2 AS DOUBLE) *
+             |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |         ((CAST(0.75 AS DOUBLE) * dl.dl) * stats.n) / stats.tot)))
+             |      AS w
+             |  FROM dt
+             |  JOIN qi ON qi.tok = dt.tok
+             |  JOIN dl ON dl.doc_id = dt.doc_id
+             |  CROSS JOIN stats),
+             |sc AS (
+             |  SELECT qid, doc_id, dl,
+             |    list_reduce(list(w ORDER BY tok), (a, b) -> a + b) AS score,
+             |    CAST(count(*) AS INTEGER) AS n_matched
+             |  FROM w GROUP BY qid, doc_id, dl),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+             |SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank, score,
+             |  n_matched, dl
+             |FROM r WHERE rank <= 10 ORDER BY qid, doc_id""".stripMargin)),
+
     // Per-doc TF-IDF keyword extraction against the same frozen model
     // (SearchOps.tfIdfTopTerms): top-3 terms per document by idf × tf —
     // EXACT decimal arithmetic end to end (DECIMAL(20,6) idf ×

@@ -131,12 +131,72 @@ class SearchOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("term")).toSeq == Seq("a"))
   }
 
+  test("bm25TopKBatch ≡ bm25TopK for each query (terms given in asc order)") {
+    // the batch fold sums term weights in ascending-term order; the
+    // literal form sums in given order — passing sorted term lists
+    // makes the two IEEE sequences identical, so scores are EXACT ==
+    val queries = Seq(("q1", "a b"), ("q2", "a"), ("q3", "b c"))
+      .toDF("qid", "qtext")
+    val batch = SearchOps.bm25TopKBatch(fixture, "id", "text", model,
+        queries, "qid", "qtext", k = 10)
+      .collect()
+      .groupBy(_.getAs[String]("qid"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"),
+            r.getAs[Int]("n_matched"), r.getAs[Long]("dl"))).toSeq
+      }
+    for ((q, terms) <- Seq("q1" -> Seq("a", "b"), "q2" -> Seq("a"),
+        "q3" -> Seq("b", "c"))) {
+      val single = SearchOps.bm25TopK(fixture, "id", "text", model,
+          terms, k = 10).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"),
+          r.getAs[Int]("n_matched"), r.getAs[Long]("dl"))).toSeq
+      assert(batch(q) == single, s"query $q diverged from literal form")
+    }
+  }
+
+  test("bm25TopKBatch: OOV-only query emits no rows; k bounds per query") {
+    val queries = Seq(("q1", "zzz qqq"), ("q2", "b")).toDF("qid", "qtext")
+    val out = SearchOps.bm25TopKBatch(fixture, "id", "text", model,
+      queries, "qid", "qtext", k = 1).collect()
+    // q1: no in-vocabulary term → absent; q2: k=1 keeps only d3 (tf_b=3)
+    assert(out.map(_.getAs[String]("qid")).toSeq == Seq("q2"))
+    assert(out.head.getAs[Long]("id") == 3L)
+    assert(out.head.getAs[Int]("rank") == 1)
+  }
+
+  test("bm25TopKBatch: one plan — queries are data, model joined once") {
+    def joinCount(qs: Seq[(String, String)]): (Int, String) = {
+      val df = SearchOps.bm25TopKBatch(fixture, "id", "text", model,
+        qs.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      ("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+        .findAllIn(plan).size, plan)
+    }
+    // queries are DATA: the join count must be IDENTICAL however many
+    // queries ride the table (a per-query-unrolled regression — the
+    // literal form's shape — would scale the plan with |queries|)
+    val (one, planOne) = joinCount(Seq("q1" -> "a"))
+    val (four, planFour) = joinCount(
+      Seq("q1" -> "a", "q2" -> "b", "q3" -> "c", "q4" -> "a c"))
+    assert(one == four,
+      s"join count scaled with query count ($one → $four):\n$planFour")
+    assert(planOne.contains("WindowGroupLimit"), planOne)
+  }
+
   test("empty query and non-positive k are rejected") {
     intercept[IllegalArgumentException] {
       SearchOps.bm25TopK(fixture, "id", "text", model, Seq.empty, 5)
     }
     intercept[IllegalArgumentException] {
       SearchOps.bm25TopK(fixture, "id", "text", model, Seq("a"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25TopKBatch(fixture, "id", "text", model,
+        Seq(("q1", "a")).toDF("qid", "qtext"), "qid", "qtext", 0)
     }
     intercept[IllegalArgumentException] {
       SearchOps.tfIdfTopTerms(fixture, "id", "text", model, 0)
