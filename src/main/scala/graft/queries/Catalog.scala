@@ -2208,8 +2208,17 @@ object Catalog {
 
     // LSH-bucketed embedding dedup at FULL scale factor (no id bound):
     // the production path — pairs meet only inside a hyperplane bucket.
-    // Bucket assignment is float-order-sensitive ⇒ rows-only; planted-dup
-    // recall is unit-tested in SimilaritySpec. Per-vector count via left
+    // Bucket assignment is float-order-sensitive ⇒ rows-only, but the
+    // estimator is CHECKED in-query (the dedup_minhash_vs_exact
+    // pattern): every 10th vector re-enters the corpus perturbed in one
+    // component (cos ≈ 0.999 to its source — the near-dup the bucketing
+    // exists to catch), the bucketed pass runs at threshold 0.95, and
+    // the recovered fraction of planted twins rides every row as
+    // `recall` with `recall_floor`/`above_floor=1` asserting the
+    // bound. A perturbed twin is a DIFFERENT vector that must still
+    // land in its source's bucket on all 8 hyperplanes — unlike an
+    // exact copy (which collides by construction), this measures real
+    // LSH recall on near-identical pairs. Per-vector count via left
     // join keeps all rows (rows > 0 even with no duplicates).
     "dedup_embedding_cosine_lsh" -> QuerySpec(
       (s, d) => {
@@ -2219,9 +2228,32 @@ object Catalog {
         val cnts = pairs.select(col("id_a").as("vec_id"))
           .union(pairs.select(col("id_b").as("vec_id")))
           .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dup"))
-        embT.select(col("vec_id")).join(cnts, Seq("vec_id"), "left")
+        val perVec = embT.select(col("vec_id"))
+          .join(cnts, Seq("vec_id"), "left")
           .na.fill(0, Seq("n_dup"))
-          .orderBy(col("vec_id"))
+        val asD = embT.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType))
+            .as("embedding"))
+        val planted = asD.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + when(i === 0, lit(0.05)).otherwise(lit(0.0)))
+              .as("embedding"))
+        val recovered = SimilarityOps.cosineDupPairs(
+            asD.unionByName(planted), "vec_id", "embedding",
+            threshold = 0.95)
+          .filter(col("id_b") === col("id_a") + 1000000L)
+          .agg(count(lit(1)).as("n_recovered"))
+        val summary = recovered
+          .crossJoin(asD.filter(col("vec_id") % 10 === 0)
+            .agg(count(lit(1)).as("n_planted")))
+          .select(col("n_recovered"), col("n_planted"),
+            round(col("n_recovered").cast(DoubleType) / col("n_planted"), 4)
+              .as("recall"),
+            lit(0.7).as("recall_floor"))
+          .withColumn("above_floor",
+            (col("recall") >= col("recall_floor")).cast(IntegerType))
+        perVec.crossJoin(broadcast(summary)).orderBy(col("vec_id"))
       },
       None),
 
