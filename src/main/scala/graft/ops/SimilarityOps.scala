@@ -411,6 +411,39 @@ object SimilarityOps {
       .select(col(qId), col("rn"), col(cId), col("cos_adc"))
   }
 
+  /** IVF-PQ with EXACT re-ranking — the production retrieve-then-rerank
+    * shape (FAISS `index.refine`): the compressed index nominates
+    * `kCoarse` candidates per query by ADC (cheap, lossy), then ONLY
+    * those candidates' raw vectors are read back and scored exactly,
+    * and the top `k` of the exact scores are returned. Fixes ADC's
+    * rank inversions near the cut (quantization error reorders close
+    * neighbors) at the cost of `queries × kCoarse` raw-vector reads —
+    * at 100 TB that is the whole point: the raw table is touched
+    * through a broadcast semi-join of a tiny candidate list, never
+    * scanned (candidates = queries×kCoarse rows broadcast into the
+    * raw side; the scan prunes to matching ids via the hash join).
+    * Recall is ≥ the underlying IVF-PQ's at the same nProbe whenever
+    * kCoarse > k: re-ranking can only recover truth-set members that
+    * ADC ranked in (k, kCoarse], never lose ones it ranked ≤ k
+    * (asserted on sim_ann_recall's curve). */
+  def ivfPqRerankTopK(
+      queries: DataFrame, assigned: DataFrame, raw: DataFrame,
+      ivf: IvfModel, pq: PqModel, k: Int, kCoarse: Int, nProbe: Int,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(kCoarse >= k,
+      s"ivfPqRerankTopK: kCoarse ($kCoarse) must be >= k ($k)")
+    val cands = ivfPqTopK(queries, assigned, ivf, pq, kCoarse, nProbe,
+      qId, qVec, cId).select(col(qId), col(cId))
+    val exact = raw.join(broadcast(cands), Seq(cId))
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("cos"))
+  }
+
   /** Candidate pairs with cosine above `threshold` (embedding-based
     * near-duplicate detection). Quantized integer arithmetic so the
     * result is engine-exact.

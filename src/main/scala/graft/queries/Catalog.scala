@@ -2576,6 +2576,37 @@ object Catalog {
       },
       None),
 
+    // IVF-PQ + EXACT re-rank (retrieve-then-rerank, the FAISS refine
+    // shape): the compressed index nominates kCoarse=30 candidates per
+    // query by ADC, only those 30 raw vectors are read back (broadcast
+    // semi-join of the tiny candidate list into the raw table — never a
+    // scan), and the exact top-10 of the exact scores is returned.
+    // Rows-only like its parents; the recall floor AND the
+    // rerank ≥ ivfpq dominance assert ride sim_ann_recall's curve.
+    "sim_ann_ivfpq_rerank" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val ivfM = ivfModels.computeIfAbsent(d, dir =>
+          SimilarityOps.ivfFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", nCentroids = 8))
+        val pqM = pqModels.computeIfAbsent(d, dir =>
+          SimilarityOps.pqFit(
+            t(s, dir, "embeddings")
+              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            "cvec", dim = 64, m = 16, k = 64))
+        val assigned = SimilarityOps.pqAssign(
+          SimilarityOps.ivfAssign(c, "cvec", ivfM), "cvec", pqM)
+        SimilarityOps.ivfPqRerankTopK(q, assigned, c, ivfM, pqM,
+          k = 10, kCoarse = 30, nProbe = 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
     // ANN → CHECKED estimator: the recall/COST curve of both approximate
     // paths (LSH hyperplane buckets, IVF cell probing) against the
     // brute-force truth, measured IN-query on the same fixture the ANN
@@ -2639,6 +2670,21 @@ object Catalog {
             "cvec", dim = 64, m = 16, k = 64))
         val pq = SimilarityOps.pqTopK(
           q, SimilarityOps.pqAssign(c, "cvec", pqModel), pqModel, k = 10)
+        val pqAssigned = SimilarityOps.pqAssign(assigned, "cvec", pqModel)
+        val ivfpqRow = recallOf(
+          SimilarityOps.ivfPqTopK(q, pqAssigned, model, pqModel,
+            k = 10, nProbe = 3),
+          "ann_ivfpq", 3, (3.0 / 8) * (20.0 / 256), 0.35)
+        // retrieve-then-rerank: same probes, kCoarse=30 ADC candidates
+        // re-scored exactly — cost adds 30 raw reads per query (30/N of
+        // the raw bytes ≈ negligible; keep the parent's cost_frac tag +
+        // the rerank reads as the probes column can't carry two knobs).
+        // Floor sits ABOVE the parent's: re-ranking recovers truth-set
+        // members ADC ranked in (10, 30].
+        val rerankRow = recallOf(
+          SimilarityOps.ivfPqRerankTopK(q, pqAssigned, c, model, pqModel,
+            k = 10, kCoarse = 30, nProbe = 3),
+          "ann_ivfpq_rerank", 3, (3.0 / 8) * (20.0 / 256), 0.45)
         val curve =
           recallOf(lsh(0), "ann_lsh", 1, 1.0 / 16, 0.15)
             .unionByName(recallOf(lsh(1), "ann_lsh", 5, 5.0 / 16, 0.4))
@@ -2648,16 +2694,21 @@ object Catalog {
             // IVF-PQ composes both levers: 3/8 of the rows × 20/256 of
             // the bytes ≈ 3% of the corpus bytes scanned; recall is
             // bounded above by min(parents) — floor set under measured
-            .unionByName(recallOf(
-              SimilarityOps.ivfPqTopK(q,
-                SimilarityOps.pqAssign(assigned, "cvec", pqModel),
-                model, pqModel, k = 10, nProbe = 3),
-              "ann_ivfpq", 3, (3.0 / 8) * (20.0 / 256), 0.35))
+            .unionByName(ivfpqRow)
+            .unionByName(rerankRow)
         val w = Window.partitionBy(col("method")).orderBy(col("probes"))
+        // dominance check, riding every row (the LSH-dedup pattern):
+        // exact re-rank at the same probe setting must never score
+        // below its compressed parent
+        val dominance = rerankRow.select(col("avg_recall").as("_rr"))
+          .crossJoin(ivfpqRow.select(col("avg_recall").as("_pq")))
+          .select((col("_rr") >= col("_pq")).cast(IntegerType)
+            .as("rerank_ge_ivfpq"))
         curve
           .withColumn("monotone_ok",
             coalesce(col("avg_recall") >= lag(col("avg_recall"), 1).over(w),
               lit(true)).cast(IntegerType))
+          .crossJoin(broadcast(dominance))
           .orderBy(col("method"), col("probes"))
       },
       None),

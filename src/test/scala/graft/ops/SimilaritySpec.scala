@@ -165,6 +165,45 @@ class SimilaritySpec extends SparkSpec {
     assert(part.forall { case (q, cs) => cs.contains(q) })
   }
 
+  test("IVF-PQ rerank: kCoarse = corpus recovers brute force exactly; dominance holds") {
+    val ivfM = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
+    val pqM = SimilarityOps.pqFit(candidates, "cvec", dim = 64, m = 16, k = 16)
+    val assigned = SimilarityOps.pqAssign(
+      SimilarityOps.ivfAssign(candidates, "cvec", ivfM), "cvec", pqM)
+    val n = candidates.count().toInt
+    // full-probe + all-candidates rerank: the ADC stage nominates the
+    // whole corpus, so the exact re-rank IS brute force — row-for-row
+    // (ids, ranks, AND scores, which share the cosineN arithmetic)
+    val rr = SimilarityOps.ivfPqRerankTopK(queries, assigned, candidates,
+        ivfM, pqM, k = 10, kCoarse = n, nProbe = 8)
+      .select($"qid", $"rn", $"cid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+      .select($"qid", $"rn", $"cid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(rr == brute)
+    // narrow retrieve: recall vs truth never below the un-reranked parent
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val truth = brute.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+      val got = df.select($"qid", $"cid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.keys.map(q =>
+        got.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble /
+          truth(q).size)
+      rs.sum / rs.size
+    }
+    val parent = recall(SimilarityOps.ivfPqTopK(queries, assigned,
+      ivfM, pqM, k = 10, nProbe = 3))
+    val reranked = recall(SimilarityOps.ivfPqRerankTopK(queries, assigned,
+      candidates, ivfM, pqM, k = 10, kCoarse = 30, nProbe = 3))
+    assert(reranked >= parent,
+      s"rerank recall $reranked below parent $parent")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqRerankTopK(queries, assigned, candidates,
+        ivfM, pqM, k = 10, kCoarse = 5, nProbe = 3)
+    }
+  }
+
   test("ivfFit once + ivfTopKWithModel many: no iterative ML jobs at query time") {
     val model = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
     assert(model.nCentroids == 8)
