@@ -194,6 +194,9 @@ class PlanSpec extends SparkSpec {
       "sample_curriculum",     // 1-row corpus-count scalar broadcast
       "search_bm25_topk",      // 1-row model-summary scalar broadcast
       "search_tfidf_keywords", // in-plan bm25Fit's 1-row stats broadcast
+      "search_bm25_batch",     // 1-row model-stats scalar broadcast (N, T)
+      "text_bigram_logprob",   // 1-row OOV-row + unigram-totals broadcasts
+      "dedup_embedding_cosine_lsh", // 1-row planted-recall summary broadcast
       "graph_pagerank")        // 1-row node-count scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
