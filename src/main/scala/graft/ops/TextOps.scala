@@ -535,6 +535,127 @@ object TextOps {
         round(-col("sum_logprob").cast(DoubleType) / col("n_tokens"), 6))
   }
 
+  /** Sentence-start marker for the bigram LM: U+0001 cannot come out of
+    * whitespace tokenization of text (control chars don't survive any
+    * sane extraction stage upstream), and is restatable cross-engine
+    * (`chr(1)`). Reserved by contract: a corpus token equal to it would
+    * alias the BOS context. */
+  private val Bos = "\u0001"
+
+  /** Per-doc (prev, token) bigram pairs with a BOS first context —
+    * built BEFORE the explode (one `transform` over the token array, no
+    * per-pair re-access of the parent row), so the explode emits
+    * exactly n pairs for an n-token doc. */
+  private def bigramPairs(toks: Column): Column =
+    transform(toks, (w, i) =>
+      struct(
+        when(i === 0, lit(Bos)).otherwise(element_at(toks, i)).as("_prev"),
+        w.as("_tok")))
+
+  /** FIT half of a bigram LM with STUPID BACKOFF (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the web-scale
+    * smoothing: no discounting, unseen bigrams fall back to a
+    * constant-scaled unigram probability). The quality-scoring upgrade
+    * of [[unigramLmFit]]: perplexity under a context-aware model
+    * separates fluent text from token soup far better than unigram
+    * frequency, and CCNet-style pipelines bucket on exactly this
+    * statistic. One model frame, three row shapes:
+    *
+    *  - (`_prev`, `_tok`, `_lp`): ML bigram log-prob ln(c(prev,w)/c(prev)),
+    *    `_prev` = U+0001 for sentence-start contexts;
+    *  - (null, `_tok`, `_lp`): backoff row ln(α·(c(w)+s)/(T+s·V)) —
+    *    α-scaled additive-smoothed unigram;
+    *  - (null, null, `_lp`): OOV row ln(α·s/(T+s·V)).
+    *
+    * Log-probs are quantized DECIMAL(20,9) ONCE at fit (the
+    * [[unigramLmFit]] discipline: a 1-ulp libm ln() disagreement dies
+    * at the 9th decimal; per-doc sums are then order-independent exact
+    * decimal adds). Scale shape: pair explode → one (prev,w) count
+    * aggregation; prev totals derive from the bigram counts (one more
+    * vocab-sized groupBy, never a second corpus pass); the model is
+    * bigram-vocabulary-sized, plain columnar, persists to parquet and
+    * reloads into [[bigramScoreWith]] — the frozen fit/score contract
+    * of [[ClassifyOps]] and [[graft.ops.SearchOps]]. */
+  def bigramLmFit(df: DataFrame, textCol: String,
+      smoothing: Double = 0.5, backoff: Double = 0.4): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    require(backoff > 0.0 && backoff <= 1.0,
+      s"backoff must be in (0, 1], got $backoff")
+    val toksD = df
+      .select(filter(tokenize(col(textCol)), t => length(t) > 0).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    val pairs = toksD
+      .select(explode(bigramPairs(col("_toks"))).as("_p"))
+      .select(col("_p._prev").as("_prev"), col("_p._tok").as("_tok"))
+    val cb = pairs.groupBy(col("_prev"), col("_tok"))
+      .agg(count(lit(1)).as("_cb"))
+    val cp = cb.groupBy(col("_prev")).agg(sum(col("_cb")).as("_cp"))
+    val bigramRows = cb.join(cp, Seq("_prev"))
+      .select(col("_prev"), col("_tok"),
+        log(col("_cb").cast(DoubleType) / col("_cp"))
+          .cast(DecimalType(20, 9)).as("_lp"))
+    val uni = pairs.groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+    val totals = uni.agg(sum(col("_cnt")).as("_total"), count(lit(1)).as("_v"))
+    val uniRows = uni.crossJoin(broadcast(totals))
+      .select(lit(null).cast(StringType).as("_prev"), col("_tok"),
+        log(lit(backoff) * (col("_cnt") + lit(smoothing)) /
+            (col("_total") + lit(smoothing) * col("_v")))
+          .cast(DecimalType(20, 9)).as("_lp"))
+    val oovRow = totals.select(
+      lit(null).cast(StringType).as("_prev"),
+      lit(null).cast(StringType).as("_tok"),
+      log(lit(backoff) * lit(smoothing) /
+          (col("_total") + lit(smoothing) * col("_v")))
+        .cast(DecimalType(20, 9)).as("_lp"))
+    bigramRows.unionByName(uniRows).unionByName(oovRow)
+  }
+
+  /** SCORE half: per-doc mean negative bigram log-prob under a FROZEN
+    * [[bigramLmFit]] model, with stupid-backoff resolution per pair:
+    * seen bigram → ML row; unseen bigram, seen word → backoff row;
+    * OOV word → OOV row (one coalesce over two left joins + a 1-row
+    * broadcast). `n_backoff` counts the pairs that missed the bigram
+    * table — the model-coverage diagnostic a quality pipeline buckets
+    * beside the perplexity itself. The model is eagerly materialized
+    * once (the [[ClassifyOps.nbScoreWith]] trade): composed
+    * fit-and-score in one plan would otherwise re-evaluate the fit
+    * subtree per model-row-shape filter.
+    *
+    * Scale shape: pair explode → two vocab-sized left joins (no hints:
+    * AQE broadcasts them, an over-limit vocabulary degrades to a
+    * shuffle join — the [[unigramScoreWith]] trade) → one partial-agg
+    * shuffle on the doc id. Exact decimal sums ⇒ order-independent ⇒
+    * oracle-exact. */
+  def bigramScoreWith(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val m = model.localCheckpoint()
+    val bigramRows = m.filter(col("_prev").isNotNull)
+    val uniRows = m.filter(col("_prev").isNull && col("_tok").isNotNull)
+      .select(col("_tok"), col("_lp").as("_lp_uni"))
+    val oov = m.filter(col("_prev").isNull && col("_tok").isNull)
+      .select(col("_lp").as("_oov_lp"))
+    val toksD = df
+      .select(col(idCol),
+        filter(tokenize(col(textCol)), t => length(t) > 0).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    toksD
+      .select(col(idCol), explode(bigramPairs(col("_toks"))).as("_p"))
+      .select(col(idCol), col("_p._prev").as("_prev"), col("_p._tok").as("_tok"))
+      .join(bigramRows, Seq("_prev", "_tok"), "left")
+      .join(uniRows, Seq("_tok"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("_plp",
+        coalesce(col("_lp"), col("_lp_uni"), col("_oov_lp")))
+      .withColumn("_miss",
+        when(col("_lp").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_miss")).as("n_backoff"),
+        sum(col("_plp")).as("sum_logprob"))
+      .withColumn("mean_neg_logprob",
+        round(-col("sum_logprob").cast(DoubleType) / col("n_tokens"), 6))
+  }
+
   /** PII-style scrubbing: mask digit runs and email-shaped tokens — the
     * plan shape (regexp_replace chain, codegen'd) of a real scrub pass. */
   def scrub(text: Column): Column =

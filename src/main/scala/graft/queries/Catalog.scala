@@ -3931,6 +3931,72 @@ object Catalog {
              |FROM toks2 JOIN lp USING (tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Bigram LM with stupid backoff (Brants et al. 2007) — the
+    // context-aware upgrade of text_unigram_logprob: fit on the EVEN
+    // docs, score ALL docs, so odd docs exercise every resolution tier
+    // (seen bigram → ML row; unseen bigram, seen word → α-scaled
+    // unigram backoff; OOV word → OOV row). Log-probs quantized
+    // DECIMAL(20,9) once at fit ⇒ per-doc sums are exact decimal adds
+    // ⇒ fully oracled; n_backoff (pairs that missed the bigram table)
+    // is the exact-integer coverage diagnostic. DuckDB rebuilds pairs
+    // via list_zip with a chr(1) BOS (the NULL-padded tail pair is
+    // filtered on both engines), counts, both smoothing formulas with
+    // the same IEEE op order, and the three-way coalesce.
+    "text_bigram_logprob" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextOps.bigramLmFit(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        TextOps.bigramScoreWith(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+            col("mean_neg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lab AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'),
+             |    t -> length(t) > 0) AS l
+             |  FROM documents),
+             |ne AS (SELECT doc_id, l FROM lab WHERE len(l) > 0),
+             |pz AS (
+             |  SELECT doc_id, unnest(list_zip(
+             |    list_concat([chr(1)], l[1:len(l)-1]), l)) AS z
+             |  FROM ne),
+             |pairs AS (
+             |  SELECT doc_id, z[1] AS prev, z[2] AS w
+             |  FROM pz WHERE z[2] IS NOT NULL),
+             |fit AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+             |cb AS (SELECT prev, w, count(*) AS cb FROM fit GROUP BY 1, 2),
+             |cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp
+             |       FROM cb GROUP BY 1),
+             |blp AS (
+             |  SELECT cb.prev, cb.w,
+             |    CAST(ln(CAST(cb.cb AS DOUBLE) / cp.cp) AS DECIMAL(20,9)) AS lp
+             |  FROM cb JOIN cp ON cp.prev = cb.prev),
+             |uni AS (SELECT w, count(*) AS cnt FROM fit GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             |               count(*) AS v FROM uni),
+             |ulp AS (
+             |  SELECT w, CAST(ln((CAST(0.4 AS DOUBLE) * (cnt + CAST(0.5 AS DOUBLE))) /
+             |    (total + CAST(0.5 AS DOUBLE) * v)) AS DECIMAL(20,9)) AS lp
+             |  FROM uni CROSS JOIN tot),
+             |olp AS (
+             |  SELECT CAST(ln((CAST(0.4 AS DOUBLE) * CAST(0.5 AS DOUBLE)) /
+             |    (total + CAST(0.5 AS DOUBLE) * v)) AS DECIMAL(20,9)) AS lp
+             |  FROM tot),
+             |sc AS (
+             |  SELECT p.doc_id,
+             |    coalesce(blp.lp, ulp.lp, olp.lp) AS plp,
+             |    CASE WHEN blp.lp IS NULL THEN 1 ELSE 0 END AS miss
+             |  FROM pairs p
+             |  LEFT JOIN blp ON blp.prev = p.prev AND blp.w = p.w
+             |  LEFT JOIN ulp ON ulp.w = p.w
+             |  CROSS JOIN olp)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(miss) AS BIGINT) AS n_backoff,
+             |  round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
     // Bernoulli. Runs the portable-LCG variant so the key is FULLY
     // ORACLED — every keep decision is restated in DuckDB integer

@@ -332,6 +332,72 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(4) == (("single", "", "/"))) // single-label host: no domain
   }
 
+  test("bigram LM: stupid-backoff resolution tiers, hand-checked") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q9(x: Double): JBD =
+      new JBD(x).setScale(9, RoundingMode.HALF_UP)
+    // fit on one doc "a b a": bigrams (BOS,a),(a,b),(b,a) each count 1
+    // over prev totals 1 → every ML log-prob is ln(1) = 0.
+    // unigrams: a×2, b×1 → total 3, V 2.
+    val fit = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val model = TextOps.bigramLmFit(fit, "text")
+    val rows = model.collect()
+    assert(rows.count(r => !r.isNullAt(0)) == 3) // bigram rows
+    assert(rows.filter(r => !r.isNullAt(0))
+      .forall(_.getAs[JBD]("_lp").compareTo(JBD.ZERO) == 0))
+    // backoff rows: ln(0.4·(c+0.5)/(3+0.5·2))
+    val uniA = q9(math.log(0.4 * (2 + 0.5) / (3 + 0.5 * 2)))
+    val oovLp = q9(math.log(0.4 * 0.5 / (3 + 0.5 * 2)))
+    val uniRows = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getString(1) -> r.getAs[JBD]("_lp")).toMap
+    assert(uniRows("a").compareTo(uniA) == 0)
+    val oov = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(oov.length == 1 && oov.head.getAs[JBD]("_lp").compareTo(oovLp) == 0)
+
+    // score: doc 2 hits all three tiers — (BOS,a) seen → 0;
+    // (a,b) seen → 0; (b,c): c is OOV → OOV row. doc 3 "b b": both
+    // pairs unseen, b in vocab → backoff row twice.
+    val score = TextOps.bigramScoreWith(
+      Seq((1L, "a b a"), (2L, "a b c"), (3L, "b b")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_backoff"),
+          r.getAs[Double]("mean_neg_logprob"))).toMap
+    assert(score(1L) == ((3L, 0L, 0.0))) // the fit doc: all ML hits, lp 0
+    val uniB = q9(math.log(0.4 * (1 + 0.5) / (3 + 0.5 * 2)))
+    // replicate the scorer's presentation exactly: exact decimal sum →
+    // double cast → negate/divide → round(…, 6), which for doubles is
+    // BigDecimal.valueOf(x).setScale(6, HALF_UP)
+    def mean6(sum: JBD, n: Long): Double =
+      JBD.valueOf(-sum.doubleValue() / n)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    assert(score(2L)._1 == 3L && score(2L)._2 == 1L)
+    assert(score(2L)._3 == mean6(oovLp, 3L), s"doc2 mean ${score(2L)._3}")
+    assert(score(3L)._1 == 2L && score(3L)._2 == 2L)
+    assert(score(3L)._3 == mean6(uniB.add(uniB), 2L),
+      s"doc3 mean ${score(3L)._3}")
+  }
+
+  test("bigram LM: frozen model persists, reloads, scores identically") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "a dog sat here")).toDF("doc_id", "text")
+    val model = TextOps.bigramLmFit(docs.filter($"doc_id" < 3), "text")
+    val dir = java.nio.file.Files.createTempDirectory("bigram_lm").toString
+    model.write.mode("overwrite").parquet(dir)
+    val live = TextOps.bigramScoreWith(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_backoff"),
+        r.getAs[Double]("mean_neg_logprob"))).toSet
+    val frozen = TextOps.bigramScoreWith(docs, "doc_id", "text",
+        spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_backoff"),
+        r.getAs[Double]("mean_neg_logprob"))).toSet
+    assert(live == frozen)
+    // doc 3 is fully outside the fit corpus: every pair misses
+    assert(live.exists(t => t._1 == 3L && t._2 == 4L), live.toString)
+  }
+
   test("urlDomain: PSL snapshot — exact, wildcard, exception, default rules") {
     import spark.implicits._
     val cases = Seq(
