@@ -551,6 +551,45 @@ object Catalog {
              |FROM orders WHERE o_orderkey % 2 = 1
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // MERGEABLE HLL sketches with explicit union — the 100 TB distinct
+    // counting pattern made visible: every shard/group builds its own
+    // DataSketches HLL, and a CENTRAL UNION of the sketch BYTES answers
+    // the global question without ever re-touching the rows (the shape
+    // approx_count_distinct hides inside its partial aggregation, here
+    // exercised as first-class sketch columns the way a lakehouse
+    // stores per-partition sketches beside the data). Keys may overlap
+    // across groups, so the union is NOT a sum of per-group counts —
+    // exactly what sketch merging is for. Estimates are
+    // engine/impl-specific ⇒ rows-only, but per-row the estimate is a
+    // CHECKED bound: |est − exact|/exact ≤ 5% (lgK=12's RSE is ~1.6%,
+    // so the floor has 3σ margin), asserted for every group AND the
+    // union row in-query.
+    "agg_hll_merge" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("_sk"),
+            countDistinct(col("l_orderkey")).as("exact"))
+        val globalRow = perGroup
+          .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk"))
+          .crossJoin(broadcast(
+            li.agg(countDistinct(col("l_orderkey")).as("exact"))))
+          .select(lit("ALL").as("grp"), col("_sk"), col("exact"))
+        perGroup.select(col("grp"), col("_sk"), col("exact"))
+          .unionByName(globalRow)
+          .withColumn("est", hll_sketch_estimate(col("_sk")))
+          .withColumn("rel_err",
+            round(abs(col("est") - col("exact")).cast(DoubleType) /
+              col("exact"), 4))
+          .withColumn("err_bound", lit(0.05))
+          .withColumn("within_bound",
+            (col("rel_err") <= col("err_bound")).cast(IntegerType))
+          .select(col("grp"), col("exact"), col("est"), col("rel_err"),
+            col("err_bound"), col("within_bound"))
+          .orderBy(col("grp"))
+      },
+      None),
+
     // Count-min sketch (mergeable frequency summary — the heavy-hitters
     // companion to the HLL distinct sketch): binary sketch per group.
     // Sketch bytes are seed/impl-specific ⇒ rows-only; the ε-bound

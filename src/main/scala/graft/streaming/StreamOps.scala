@@ -212,7 +212,9 @@ object StreamOps {
       lmModel: Option[DataFrame] = None,
       lmMaxMeanNegLogProb: Double = Double.MaxValue,
       nbModel: Option[DataFrame] = None,
-      nbKeepLabel: String = "keep")(
+      nbKeepLabel: String = "keep",
+      bigramModel: Option[DataFrame] = None,
+      bigramMaxMeanNegLogProb: Double = Double.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.ops.TextOps
     val keepCols = batch.columns.toSeq
@@ -244,9 +246,21 @@ object StreamOps {
         .select(col(idCol))
       lmKept.join(passing, Seq(idCol), "left_semi")
     }
+    // frozen bigram-LM tier (TextOps.bigramScoreWith): context-aware
+    // perplexity under an offline-fit stupid-backoff model — the same
+    // frozen-statistics argument as the unigram tier (exact-decimal
+    // scoring ⇒ streamed and batch verdicts bit-identical), one more
+    // semi-join; pipelines typically run it as the sharper replacement
+    // for the unigram gate rather than alongside it
+    val bgKept = bigramModel.fold(nbKept) { model =>
+      val passing = TextOps.bigramScoreWith(nbKept, idCol, textCol, model)
+        .filter(col("mean_neg_logprob") <= lit(bigramMaxMeanNegLogProb))
+        .select(col(idCol))
+      nbKept.join(passing, Seq(idCol), "left_semi")
+    }
     dedupMergeBatch(targetPath, idCol, textCol, partitionCols,
       bloomExpectedItems, nearDup = true, numHashes, bands, shingleN)(
-      nbKept, batchId)
+      bgKept, batchId)
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

@@ -197,6 +197,7 @@ class PlanSpec extends SparkSpec {
       "search_bm25_batch",     // 1-row model-stats scalar broadcast (N, T)
       "text_bigram_logprob",   // 1-row OOV-row + unigram-totals broadcasts
       "dedup_embedding_cosine_lsh", // 1-row planted-recall summary broadcast
+      "agg_hll_merge",         // 1-row union-sketch × 1-row exact broadcast
       "graph_pagerank")        // 1-row node-count scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>

@@ -714,6 +714,55 @@ class StreamingSpec extends SparkSpec {
       s"streamed LM membership $got must equal batch membership $expectedIds")
   }
 
+  test("streaming corpus-prep frozen-bigram tier: streamed scoring equals batch scoring") {
+    import graft.ops.TextOps
+    val srcDir = Files.createTempDirectory("bg_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("bg_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("bg_ckpt").toFile.getAbsolutePath
+    def doc(theme: Seq[String]): String = (1 to 3).map(i =>
+      s"the ${theme(0)} ${theme(1)} of ${theme(2)} number $i keeps ${theme(3)} along nicely today.")
+      .mkString("\n")
+    val reference = Seq(
+      (100L, doc(Seq("steady", "stream", "tokens", "flowing"))),
+      (101L, doc(Seq("columnar", "pages", "parquet", "marching"))))
+      .toDF("doc_id", "text")
+    val modelDir = Files.createTempDirectory("bg_frozen").toFile.getAbsolutePath
+    TextOps.bigramLmFit(reference, "text").write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir)
+
+    // doc 1 reuses reference BIGRAMS (low perplexity); doc 2 reuses the
+    // same reference WORDS but scrambled — the word-order signal only a
+    // context-aware model separates (a unigram gate scores them equal)
+    val fluent = doc(Seq("steady", "stream", "tokens", "flowing"))
+    val scrambled = (1 to 3).map(i =>
+      s"flowing the of stream number keeps steady tokens $i nicely along today.")
+      .mkString("\n")
+    val arriving = Seq((1L, fluent, "en"), (2L, scrambled, "en"))
+      .toDF("doc_id", "text", "lang")
+    val batchScores = TextOps.bigramScoreWith(arriving, "doc_id", "text", model)
+      .select($"doc_id", $"mean_neg_logprob").as[(Long, Double)].collect().toMap
+    assert(batchScores(2L) > batchScores(1L),
+      s"bigram model must separate scrambled word order, got $batchScores")
+    val threshold = (batchScores(1L) + batchScores(2L)) / 2.0
+
+    arriving.write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch(
+        StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+          bigramModel = Some(model),
+          bigramMaxMeanNegLogProb = threshold) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "bigram ingest query did not self-terminate")
+    val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L),
+      s"streamed bigram membership $got must equal batch membership Set(1)")
+  }
+
   test("streaming corpus-prep frozen-NB tier: streamed verdicts equal batch verdicts") {
     import graft.ops.ClassifyOps
     val srcDir = Files.createTempDirectory("nb_src").toFile.getAbsolutePath
