@@ -4804,6 +4804,29 @@ object Catalog {
       },
       None),
 
+    // Row-level PROVENANCE from the hidden `_metadata` column: every
+    // record maps back to (file, row position) with zero extra I/O —
+    // the training-data lineage hook ("which shard and offset did this
+    // example come from") that audit and reproducibility pipelines
+    // attach at ingest, and the record-grain companion to
+    // layout_file_stats' file-grain view. Fully oracled: DuckDB
+    // produces the same positions via read_parquet(file_row_number),
+    // so the two engines agree on the physical row order contract.
+    // Like the staged-path oracles, the literal path pins this key to
+    // the sf0.01 dataset.
+    "scan_row_provenance" -> QuerySpec(
+      (s, d) => s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_idx"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             |  CAST(file_row_number AS BIGINT) AS row_idx
+             |FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
+             |  filename = true, file_row_number = true)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Windowed EWMA: aggregate-HOF fold over a collect_list ROWS frame —
     // a FIXED left-to-right IEEE op chain, so DuckDB's list_reduce
     // reproduces it bit-for-bit (probed: identical doubles). One shuffle
