@@ -99,6 +99,45 @@ object SimilarityOps {
       .select(col(qId), col("rn"), col(cId), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor (query),
+    * the top-k most similar candidates BELOW the near-duplicate line —
+    * the examples that teach an embedding model the most ("similar but
+    * not the same"; anything at or above `dupThreshold` is treated as a
+    * positive/duplicate and excluded, as is the anchor row itself).
+    * The standard batch-mining step between a dedup pass and
+    * contrastive fine-tuning.
+    *
+    * Same scale shape as [[bruteTopK]]: anchors broadcast, candidates
+    * scanned once and never shuffled, per-anchor top-k heaps. Scoring
+    * uses the QUANTIZED integer grid ([[quantize]]/[[dotLong]], the
+    * sim_topk_cosine arithmetic) so results are engine-exact and the
+    * mining run is bit-reproducible — for hard negatives that matters:
+    * a training set should not depend on which engine mined it. */
+  def hardNegatives(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      dupThreshold: Double = 0.95,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(k > 0, s"hardNegatives: k must be > 0, got $k")
+    require(dupThreshold > 0.0 && dupThreshold <= 1.0,
+      s"hardNegatives: dupThreshold must be in (0, 1], got $dupThreshold")
+    reg(candidates)
+    val qq = quantize(col(qVec))
+    val q = queries.select(col(qId), qq.as("_qv"), dotLong(qq, qq).as("_qn"))
+    val cq = quantize(col(cVec))
+    val scored = candidates
+      .select(col(cId), cq.as("_cv"), dotLong(cq, cq).as("_cn"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_q",
+        dotLong(col("_qv"), col("_cv")).cast(DoubleType) /
+          (sqrt(col("_qn").cast(DoubleType)) * sqrt(col("_cn").cast(DoubleType))))
+      .filter(col(qId) =!= col(cId) && col("cos_q") < dupThreshold)
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_q").desc, col(cId))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("cos_q"))
+  }
+
   /** Deterministic random hyperplanes: planes(b)(j) ~ U[-1, 1), seeded. */
   private[ops] def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

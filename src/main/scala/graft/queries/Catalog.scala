@@ -2615,6 +2615,42 @@ object Catalog {
       },
       None),
 
+    // Hard-negative mining (SimilarityOps.hardNegatives): per anchor,
+    // the top-10 most similar candidates BELOW the 0.95 near-dup line —
+    // the "similar but not the same" examples contrastive fine-tuning
+    // learns most from, mined between the dedup pass and training.
+    // Quantized-grid arithmetic ⇒ fully oracled: the mined set is
+    // bit-reproducible across engines, which a training set should be.
+    "sim_hard_negatives" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.hardNegatives(q, c, k = 10, dupThreshold = 0.95)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    CAST(FLOOR(CAST(unnest(q.embedding) AS DOUBLE)*1000) AS BIGINT) AS qv,
+             |    CAST(FLOOR(CAST(unnest(c.embedding) AS DOUBLE)*1000) AS BIGINT) AS cv
+             |  FROM embeddings q, embeddings c
+             |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+             |dots AS (
+             |  SELECT qid, cid, SUM(qv*cv) AS dot, SUM(qv*qv) AS na, SUM(cv*cv) AS nb
+             |  FROM pairs GROUP BY qid, cid),
+             |scored AS (
+             |  SELECT qid, cid,
+             |    CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos_q
+             |  FROM dots),
+             |kept AS (SELECT * FROM scored WHERE cos_q < 0.95),
+             |r AS (
+             |  SELECT qid, cid, cos_q, row_number() OVER (PARTITION BY qid
+             |    ORDER BY cos_q DESC, cid) AS rn
+             |  FROM kept)
+             |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
+             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
     // IVF-PQ + EXACT re-rank (retrieve-then-rerank, the FAISS refine
     // shape): the compressed index nominates kCoarse=30 candidates per
     // query by ADC, only those 30 raw vectors are read back (broadcast
@@ -4803,6 +4839,51 @@ object Catalog {
           .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
       },
       None),
+
+    // N-gram novelty (unique-content ratio): the fraction of a doc's
+    // DISTINCT 3-grams appearing in NO other document — the quality
+    // signal that separates original writing from boilerplate/mirrored
+    // content (near-zero novelty = the doc is assembled from phrases
+    // the corpus already has; the doc-grain complement of
+    // dedup_span_stats' gram-grain view). One explode + one gram-count
+    // aggregation + one doc rollup; exact integers end to end, the
+    // ratio is one IEEE division. Fully oracled.
+    "text_ngram_novelty" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.ngrams(col("text"), 3))).as("gram"))
+        val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("_nd"))
+        grams.join(counts, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+          // RAW double of one IEEE division — never rounded: a ratio of
+          // two small integers lands on decimal half-boundaries where
+          // engines' round() provably differ (the search_tfidf lesson),
+          // while the division itself is bit-identical cross-engine
+          .withColumn("novelty",
+            col("n_unique").cast(DoubleType) / col("n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, gram FROM (
+             |    SELECT doc_id, unnest(
+             |      CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |           ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                 for i in range(1, len(w) - 1)] END) AS gram
+             |    FROM base)),
+             |gc AS (SELECT gram, count(*) AS nd FROM grams GROUP BY 1)
+             |SELECT g.doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN gc.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unique,
+             |  CAST(sum(CASE WHEN gc.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS novelty
+             |FROM grams g JOIN gc ON gc.gram = g.gram
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
     // Row-level PROVENANCE from the hidden `_metadata` column: every
     // record maps back to (file, row position) with zero extra I/O —

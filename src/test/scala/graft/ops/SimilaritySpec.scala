@@ -165,6 +165,32 @@ class SimilaritySpec extends SparkSpec {
     assert(part.forall { case (q, cs) => cs.contains(q) })
   }
 
+  test("hardNegatives: self and near-dups excluded, k bounds, deterministic") {
+    // plant an exact duplicate of anchor 0: cos 1.0 ≥ 0.95 ⇒ it must
+    // NOT be mined as a negative (it is a positive), and the anchor
+    // row itself must never appear
+    val dup = emb.filter($"vec_id" === 0)
+      .select(($"vec_id" + 10000).as("cid"), $"embedding".as("cvec"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      .unionByName(dup)
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = SimilarityOps.hardNegatives(q, c, k = 5).collect()
+    assert(out.forall(_.getAs[Double]("cos_q") < 0.95))
+    assert(!out.exists(r =>
+      r.getAs[Long]("qid") == 0L && r.getAs[Long]("cid") == 10000L),
+      "planted duplicate mined as a hard negative")
+    assert(out.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("cid")))
+    val perAnchor = out.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(perAnchor.toMap.values.forall(_ == 5), perAnchor.toMap.toString)
+    // deterministic under repartitioning (quantized integer scoring)
+    val again = SimilarityOps.hardNegatives(q, c.repartition(7), k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rn"),
+        r.getAs[Long]("cid"))).toSet
+    assert(again == out.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Int]("rn"), r.getAs[Long]("cid"))).toSet)
+  }
+
   test("IVF-PQ rerank: kCoarse = corpus recovers brute force exactly; dominance holds") {
     val ivfM = SimilarityOps.ivfFit(candidates, "cvec", nCentroids = 8)
     val pqM = SimilarityOps.pqFit(candidates, "cvec", dim = 64, m = 16, k = 16)
