@@ -738,6 +738,53 @@ object DedupOps {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Soft contamination SCORING — the graded companion to
+    * [[decontaminate]]'s hard overlap count: for EVERY corpus document,
+    * the fraction of its distinct n-grams that appear anywhere in the
+    * benchmark set, plus a `flagged` bit at `flagThreshold` (the
+    * GPT-3-style n-gram decontamination policy: drop or down-weight
+    * docs whose overlap fraction crosses a line, rather than only
+    * counting exact hits). The ratio is presented as the RAW double of
+    * one IEEE division — never rounded (ratios of two small integers
+    * sit exactly on decimal half-boundaries where engines' round()
+    * differs).
+    *
+    * Scale shape: per-doc gram totals come from `size()` BEFORE the
+    * explode; the exploded stream semi-joins the broadcast benchmark
+    * gram set, so the shuffle carries (doc_id) rows proportional to
+    * the CONTAMINATION, not the corpus ([[decontaminate]]'s property),
+    * and the slim (id, n_grams) frame joins the contamination-sized
+    * hit counts back (AQE broadcast). Docs shorter than the shingle
+    * width shingle to their WHOLE TEXT as one gram (the
+    * `shingle_array` contract shared with the minhash tier), so every
+    * doc has ≥ 1 gram and the ratio is always defined; the zero-gram
+    * branch is a belt-and-suspenders guard, not a reachable case. */
+  def contaminationScore(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 2, flagThreshold: Double = 0.2): DataFrame = {
+    require(flagThreshold > 0.0 && flagThreshold <= 1.0,
+      s"flagThreshold must be in (0, 1], got $flagThreshold")
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    def sh = array_distinct(call_function("shingle_array",
+      split(lower(col(textCol)), "\\s+"), lit(shingleN)))
+    val withN = corpus.select(col(idCol), sh.as("_sh"))
+      .withColumn("n_grams", size(col("_sh")).cast(LongType))
+    val benchSh = benchmark.select(explode(sh).as("tok")).distinct()
+    val hits = withN.select(col(idCol), explode(col("_sh")).as("tok"))
+      .join(broadcast(benchSh), Seq("tok"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    withN.select(col(idCol), col("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("contamination",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast(DoubleType) / col("n_grams")))
+      .withColumn("flagged",
+        (col("contamination") >= flagThreshold).cast(IntegerType))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 1,

@@ -4202,17 +4202,73 @@ object Catalog {
              |  SELECT string_split(lower(text), ' ') AS w
              |  FROM documents WHERE doc_id < 50),
              |btok AS (
-             |  SELECT DISTINCT unnest([w[i] || ' ' || w[i+1]
-             |    for i in range(1, len(w))]) AS tok FROM bw),
+             |  SELECT DISTINCT unnest(
+             |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             |         ELSE [w[i] || ' ' || w[i+1]
+             |               for i in range(1, len(w))] END) AS tok FROM bw),
              |cw AS (
              |  SELECT doc_id, string_split(lower(text), ' ') AS w
              |  FROM documents WHERE doc_id >= 50),
              |ctok AS (
-             |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1]
-             |    for i in range(1, len(w))])) AS tok FROM cw)
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             |         ELSE [w[i] || ' ' || w[i+1]
+             |               for i in range(1, len(w))] END)) AS tok FROM cw)
              |SELECT c.doc_id, count(*) AS n_overlap
              |FROM ctok c JOIN btok b ON c.tok = b.tok
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // Soft contamination scoring (DedupOps.contaminationScore): the
+    // graded companion to dedup_decontaminate — EVERY corpus doc gets
+    // its benchmark-overlap FRACTION and a flagged bit (the GPT-3-style
+    // n-gram decontamination policy), not just a hit count for
+    // contaminated docs. 3-gram shingles at threshold 0.12 flag the
+    // top quartile of this corpus at BOTH SFs (measured: median ~0.09,
+    // p95 ~0.18 — 2-grams saturate to 100% flagged on template-built
+    // synthetic text, a non-discriminating gate). Exact integers + one
+    // raw IEEE division ⇒ fully oracled; the exploded gram stream
+    // still semi-joins the broadcast benchmark set, so the shuffle
+    // stays contamination-proportional.
+    "dedup_contamination_score" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        DedupOps.contaminationScore(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", shingleN = 3, flagThreshold = 0.12)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bw AS (
+             |  SELECT string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id < 50),
+             |btok AS (
+             |  SELECT DISTINCT unnest(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |               for i in range(1, len(w) - 1)] END) AS tok FROM bw),
+             |cw AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS w
+             |  FROM documents WHERE doc_id >= 50),
+             |cg AS (
+             |  SELECT doc_id, list_distinct(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |               for i in range(1, len(w) - 1)] END) AS g FROM cw),
+             |hits AS (
+             |  SELECT c.doc_id, count(*) AS n_overlap
+             |  FROM (SELECT doc_id, unnest(g) AS tok FROM cg) c
+             |  JOIN btok b ON b.tok = c.tok
+             |  GROUP BY c.doc_id)
+             |SELECT cg.doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+             |  CASE WHEN len(g) = 0 THEN CAST(0.0 AS DOUBLE)
+             |       ELSE CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(g)
+             |  END AS contamination,
+             |  CAST(CASE WHEN (CASE WHEN len(g) = 0 THEN CAST(0.0 AS DOUBLE)
+             |       ELSE CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / len(g) END)
+             |       >= CAST(0.12 AS DOUBLE) THEN 1 ELSE 0 END AS INTEGER)
+             |    AS flagged
+             |FROM cg LEFT JOIN hits h ON h.doc_id = cg.doc_id
+             |ORDER BY cg.doc_id""".stripMargin)),
 
     // Deterministic split assignment (train/val/test) via the portable
     // LCG hash — fully oracled including every per-row assignment. Keyed

@@ -308,6 +308,28 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Map(20L -> 1L))
   }
 
+  test("contaminationScore: fractions, flag threshold, zero-gram guard") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma omicron"),      // every bigram in bench → 1.0
+      (11L, "alpha beta x y z"),              // 1 of 4 bigrams → 0.25
+      (12L, "zeta eta theta iota"),           // clean → 0.0
+      (13L, "solo"))  // < shingleN tokens → whole text as ONE gram
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma omicron")).toDF("doc_id", "text")
+    val got = DedupOps.contaminationScore(corpus, bench, "doc_id", "text",
+        shingleN = 2, flagThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap"),
+          r.getAs[Double]("contamination"), r.getAs[Int]("flagged"))).toMap
+    assert(got(10L) == ((3L, 3L, 1.0, 1)))
+    assert(got(11L) == ((4L, 1L, 0.25, 0)))
+    assert(got(12L) == ((3L, 0L, 0.0, 0)))
+    // shingle_array contract: a doc shorter than the shingle width is
+    // its own single whole-text gram — clean here ("solo" ∉ bench)
+    assert(got(13L) == ((1L, 0L, 0.0, 0)), s"short doc: ${got(13L)}")
+    assert(got.size == 4, "every corpus doc scored, contaminated or not")
+  }
+
   test("connectedComponents matches driver union-find on random graphs") {
     val rng = new scala.util.Random(7)
     for (trial <- 1 to 3) {
