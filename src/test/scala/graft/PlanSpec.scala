@@ -175,6 +175,7 @@ class PlanSpec extends SparkSpec {
       "join_cross",            // the cross-join key itself (broadcast hinted)
       "sim_topk_cosine",       // brute-force scoring vs broadcast query set
       "sim_embed_topk_cosine", // same shape over the embed seam's output
+      "sim_hard_negatives",    // same broadcast-anchors scan shape
       "sim_ann_recall",        // brute-force TRUTH side of the recall check
                                // (the ANN sides stay bucketed equi-joins)
       "sim_ann_pq",            // full-scan ADC over codes BY DESIGN
@@ -232,6 +233,26 @@ class PlanSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("round-9 keys keep their intended plan shapes") {
+    // PSL registrable-domain extraction is a pure column program: the
+    // whole snapshot rides inside the expression tree as hash-set
+    // probes — any Join appearing here means the lookup regressed to a
+    // rule-table join the 100 TB URL scan would pay per row
+    val psl = graft.queries.Catalog.specs("text_url_psl_domain").fn(spark, sf)
+    psl.collect()
+    val pslPlan = psl.queryExecution.executedPlan.toString
+    assert(!pslPlan.toLowerCase.contains("join"), pslPlan)
+
+    // contamination scoring: the benchmark gram set must reach the
+    // corpus stream as a BROADCAST semi-join (the corpus-sized explode
+    // never shuffles on the gram)
+    val cs = graft.queries.Catalog.specs("dedup_contamination_score").fn(spark, sf)
+    cs.collect()
+    val csPlan = cs.queryExecution.executedPlan.toString
+    assert(csPlan.contains("BroadcastHashJoin") && csPlan.contains("LeftSemi"),
+      csPlan)
   }
 
   test("scale gate: no collect() in main ops/streaming sources") {
