@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** Data-quality profiling for pipeline gates (north-star extension): the
   * pre-training sanity pass every large corpus goes through — null
@@ -303,6 +303,37 @@ object ProfileOps {
           s"zscorePerGroup: accumulated sums of $valueCol overflowed the " +
             "DECIMAL(38,6) accumulator; rescale the column first")))
         .otherwise(when(n > 1.0 && varV > 0.0, (v - meanV) / sqrt(varV))))
+  }
+
+  /** Equi-depth quantile binning: assign each row the index (0..n−1)
+    * of its value's quantile bucket — the curriculum/mixing grain
+    * ("sample by quality quartile", "temperature-mix by perplexity
+    * decile") computed the way it must be at corpus scale: ONE exact
+    * interior-threshold aggregate, broadcast back onto the stream as a
+    * 1-row frame, bin assignment a codegen'd chain of comparisons —
+    * zero shuffles of the data itself, no rank window over the corpus
+    * (an ntile() would funnel everything through a global sort).
+    *
+    * Exact (interpolated) percentiles, not approximate: thresholds are
+    * engine-exact (the [[winsorize]] precedent), so bin assignment is
+    * oracled bit-for-bit. Ties AT a threshold go to the LOWER bin
+    * (strict `>` against each interior threshold); NULL values keep a
+    * NULL bin (the winsorize null discipline: never fabricate where
+    * there is no measurement). */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int,
+      outCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val q = "`" + valueCol.replace("`", "``") + "`"
+    val ts = (1 until nBins).map(k =>
+      expr(s"percentile($q, ${k.toDouble / nBins})").as(s"__t$k"))
+    val bounds = df.agg(ts.head, ts.tail: _*)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast(IntegerType))
+          .otherwise((1 until nBins)
+            .map(k => when(col(valueCol) > col(s"__t$k"), 1).otherwise(0))
+            .reduce(_ + _).cast(IntegerType)))
+      .drop((1 until nBins).map(k => s"__t$k"): _*)
   }
 
   def winsorize(

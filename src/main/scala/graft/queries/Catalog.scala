@@ -4833,6 +4833,31 @@ object Catalog {
              |  LEAST(GREATEST(l_extendedprice, p.lo), p.hi) AS clipped
              |FROM src, p ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Equi-depth quantile binning (ProfileOps.quantileBins): each doc's
+    // quality-proxy value → its quartile index, the curriculum/mixing
+    // grain computed WITHOUT an ntile() global sort — one exact
+    // interior-threshold aggregate broadcast back as a 1-row frame,
+    // bin assignment a codegen'd comparison chain. Exact-percentile
+    // parity with quantile_cont is pinned by fn_percentile; ties at a
+    // threshold go to the lower bin on both engines (strict >).
+    "prep_quantile_bins" -> QuerySpec(
+      (s, d) => ProfileOps.quantileBins(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", nBins = 4)
+        .select(col("doc_id"), col("n_chars"), col("bin"))
+        .orderBy(col("doc_id")),
+      Some("""WITH p AS (
+             |  SELECT quantile_cont(n_chars, 0.25) AS t1,
+             |         quantile_cont(n_chars, 0.5)  AS t2,
+             |         quantile_cont(n_chars, 0.75) AS t3
+             |  FROM documents)
+             |SELECT doc_id, n_chars,
+             |  CAST((CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+             |      + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+             |      + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INTEGER)
+             |    AS bin
+             |FROM documents CROSS JOIN p ORDER BY doc_id""".stripMargin)),
+
     // Fixed-width histogram (ProfileOps.histogram): 1-row min/max
     // broadcast + one partial-aggregating groupBy — two scans total,
     // no global sort. Every bucket formula is plain IEEE-double

@@ -184,6 +184,7 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_cosine", // bounded all-pairs twin (vec_id < 100)
       "text_tfidf_top_term",   // 1-row doc-count scalar broadcast
       "prep_winsorize",        // 1-row percentile-bounds scalar broadcast
+      "prep_quantile_bins",    // 1-row quantile-thresholds scalar broadcast
       "profile_key_skew",      // 1-row global-stats scalar broadcast
       "profile_histogram",     // 1-row min/max-bounds scalar broadcast
       "text_unigram_logprob",  // 1-row corpus-total/vocab-size scalar broadcast

@@ -50,6 +50,31 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileBins: equi-depth quartiles, tie-to-lower, NULL stays NULL") {
+    // 1..8 into 4 bins: thresholds at 2.75/4.5/6.25 → exactly 2 per bin
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = ProfileOps.quantileBins(df, "v", nBins = 4)
+      .select($"id", $"bin").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3), out.toString)
+    // a value exactly ON a threshold takes the LOWER bin (strict >):
+    // for 1,2,2,3 halves split at median 2.0 — both 2s land low
+    val tied = Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val tb = ProfileOps.quantileBins(tied, "v", nBins = 2)
+      .select($"id", $"bin").as[(Long, Int)].collect().toMap
+    assert(tb == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1), tb.toString)
+    // NULL value → NULL bin
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "v")
+    val nb = ProfileOps.quantileBins(withNull, "v", nBins = 2)
+      .select($"id", $"bin").as[(Long, Option[Int])].collect().toMap
+    assert(nb(2L) == None, s"null must stay null, got ${nb(2L)}")
+    intercept[IllegalArgumentException] {
+      ProfileOps.quantileBins(df, "v", nBins = 1)
+    }
+  }
+
   test("winsorize preserves NULL (must not fabricate the low bound for missing data)") {
     val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(1000.0)), (4L, Some(50.0)))
       .toDF("id", "v")
