@@ -433,6 +433,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("urlDomain: PSL invariants hold over randomized hosts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val suffixes = Seq("co.uk", "com.au", "gov.br", "k12.ca.us", "github.io",
+      "foo.ck", "www.ck", "com", "org", "example", "zz", "uk", "ck")
+    def label() = ('a' + rng.nextInt(26)).toChar.toString +
+      ('a' + rng.nextInt(26)).toChar.toString
+    val hosts = (1 to 300).map { _ =>
+      val depth = rng.nextInt(3) // 0-2 extra labels
+      val sfx = suffixes(rng.nextInt(suffixes.length))
+      ((1 to depth).map(_ => label()) :+ sfx).mkString(".")
+    }.distinct
+    val got = hosts.toDF("host")
+      .select(col("host"), TextOps.urlDomain(col("host")).as("domain"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    for ((h, d) <- got) {
+      // the registrable domain is always a label-aligned suffix of the
+      // host (or empty: the host IS a public suffix / single label)
+      assert(d == "" || d == h || h.endsWith("." + d), s"host=$h domain=$d")
+    }
+    // idempotence: a registrable domain is its own registrable domain
+    val domains = got.map(_._2).filter(_.nonEmpty).distinct
+    val again = domains.toSeq.toDF("host")
+      .select(col("host"), TextOps.urlDomain(col("host")).as("domain"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    for ((h, d) <- again)
+      assert(d == h, s"registrableDomain not idempotent: $h -> $d")
+  }
+
   test("domainDiversityCap: blocklist drops, cap binds, deterministic") {
     import spark.implicits._
     // 30 docs over 3 domains (10 each), one blocked, cap n=4
