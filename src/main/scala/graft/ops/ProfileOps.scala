@@ -324,14 +324,18 @@ object ProfileOps {
       outCol: String = "bin"): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val q = "`" + valueCol.replace("`", "``") + "`"
+    // quote BOTH resolution paths: col("a.b") would parse as struct
+    // access while the expr-side backticks resolve the flat column —
+    // the two sides of one operator must agree on what the name means
+    val v = col(q)
     val ts = (1 until nBins).map(k =>
       expr(s"percentile($q, ${k.toDouble / nBins})").as(s"__t$k"))
     val bounds = df.agg(ts.head, ts.tail: _*)
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
-        when(col(valueCol).isNull, lit(null).cast(IntegerType))
+        when(v.isNull, lit(null).cast(IntegerType))
           .otherwise((1 until nBins)
-            .map(k => when(col(valueCol) > col(s"__t$k"), 1).otherwise(0))
+            .map(k => when(v > col(s"__t$k"), 1).otherwise(0))
             .reduce(_ + _).cast(IntegerType)))
       .drop((1 until nBins).map(k => s"__t$k"): _*)
   }
@@ -345,6 +349,9 @@ object ProfileOps {
     // backtick-quote the interpolated name (escaping embedded backticks)
     // so names with dashes/spaces parse and nothing can splice SQL
     val q = "`" + valueCol.replace("`", "``") + "`"
+    // quoted on both paths (the quantileBins rule): col("a.b") parses
+    // as struct access while the expr-side backticks mean a flat name
+    val v = col(q)
     val bounds = df.agg(
       expr(s"percentile($q, $pLo)").as("__lo"),
       expr(s"percentile($q, $pHi)").as("__hi"))
@@ -353,8 +360,8 @@ object ProfileOps {
       // NULL measurement into the low bound — fabricating data exactly
       // where there is none; NULL must stay NULL
       .withColumn(outCol,
-        when(col(valueCol).isNull, lit(null))
-          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+        when(v.isNull, lit(null))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 }

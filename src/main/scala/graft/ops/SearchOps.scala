@@ -191,14 +191,19 @@ object SearchOps {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"bm25TopKBatch: k must be > 0, got $k")
     import org.apache.spark.sql.expressions.Window
+    // the model is referenced TWICE (idf rows + the stats row): a
+    // composed in-plan bm25Fit would re-run its corpus aggregations
+    // under each filter, so materialize it once — a frozen reloaded
+    // model is a leaf and passes through untouched
+    val m = TextOps.materializeUnlessLeaf(model)
     val qterms = queries.select(col(qidCol).as("_qid"),
         explode(array_distinct(
           filter(TextOps.tokenize(col(qTextCol)), x => length(x) > 0)))
           .as("_tok"))
     val qidf = qterms.join(
-      model.filter(col("_tok").isNotNull).select(col("_tok"), col("_idf")),
+      m.filter(col("_tok").isNotNull).select(col("_tok"), col("_idf")),
       Seq("_tok"))
-    val stats = model.filter(col("_tok").isNull)
+    val stats = m.filter(col("_tok").isNull)
       .select(col("_n_docs"), col("_total_toks"))
     // postings: (doc, dl, term, tf) — dl is functionally dependent on
     // the doc id, so carrying it in the groupBy keys is free (no second

@@ -112,12 +112,23 @@ object SimilarityOps {
     * uses the QUANTIZED integer grid ([[quantize]]/[[dotLong]], the
     * sim_topk_cosine arithmetic) so results are engine-exact and the
     * mining run is bit-reproducible — for hard negatives that matters:
-    * a training set should not depend on which engine mined it. */
+    * a training set should not depend on which engine mined it.
+    *
+    * `excludeSelf` (default true) drops pairs whose ids are EQUAL —
+    * correct when anchors are drawn from the candidate table (one id
+    * space), but when anchors and candidates come from DIFFERENT
+    * tables a numeric id collision is a different object: pass
+    * `excludeSelf = false` there, or the collision silently punches a
+    * per-anchor hole in the mined set. (Rows with a NULL id on either
+    * side are dropped by the guard; with `excludeSelf = false` they
+    * flow through.) An exact duplicate of the anchor is excluded by
+    * the threshold either way — cos 1.0 ≥ `dupThreshold`. */
   def hardNegatives(
       queries: DataFrame, candidates: DataFrame, k: Int,
       dupThreshold: Double = 0.95,
       qId: String = "qid", qVec: String = "qvec",
-      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+      cId: String = "cid", cVec: String = "cvec",
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"hardNegatives: k must be > 0, got $k")
     require(dupThreshold > 0.0 && dupThreshold <= 1.0,
       s"hardNegatives: dupThreshold must be in (0, 1], got $dupThreshold")
@@ -131,7 +142,8 @@ object SimilarityOps {
       .withColumn("cos_q",
         dotLong(col("_qv"), col("_cv")).cast(DoubleType) /
           (sqrt(col("_qn").cast(DoubleType)) * sqrt(col("_cn").cast(DoubleType))))
-      .filter(col(qId) =!= col(cId) && col("cos_q") < dupThreshold)
+      .filter(col("cos_q") < dupThreshold &&
+        (if (excludeSelf) col(qId) =!= col(cId) else lit(true)))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_q").desc, col(cId))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

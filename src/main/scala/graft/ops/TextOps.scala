@@ -610,16 +610,33 @@ object TextOps {
     bigramRows.unionByName(uniRows).unionByName(oovRow)
   }
 
+  /** Materialize a model frame ONLY when it is a composed plan: a
+    * frame that is already a single leaf relation (a frozen model
+    * reloaded from parquet, a localCheckpoint, a local fixture)
+    * re-evaluates trivially under multiple row-shape filters, and
+    * checkpointing it per call would copy model-sized state every
+    * invocation — per MICRO-BATCH in a streaming tier. A composed
+    * in-plan fit, by contrast, would re-run its corpus-scale subtree
+    * under each filter without the barrier. */
+  private[ops] def materializeUnlessLeaf(model: DataFrame): DataFrame =
+    if (model.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode])
+      model
+    else model.localCheckpoint()
+
   /** SCORE half: per-doc mean negative bigram log-prob under a FROZEN
     * [[bigramLmFit]] model, with stupid-backoff resolution per pair:
     * seen bigram → ML row; unseen bigram, seen word → backoff row;
     * OOV word → OOV row (one coalesce over two left joins + a 1-row
     * broadcast). `n_backoff` counts the pairs that missed the bigram
     * table — the model-coverage diagnostic a quality pipeline buckets
-    * beside the perplexity itself. The model is eagerly materialized
-    * once (the [[ClassifyOps.nbScoreWith]] trade): composed
-    * fit-and-score in one plan would otherwise re-evaluate the fit
-    * subtree per model-row-shape filter.
+    * beside the perplexity itself. A COMPOSED model plan is eagerly
+    * materialized once (the [[ClassifyOps.nbScoreWith]] trade —
+    * otherwise the fit subtree re-evaluates per model-row-shape
+    * filter); an already-frozen leaf relation is used as-is, so a
+    * streaming tier scoring every micro-batch against a reloaded
+    * model pays no per-batch materialization
+    * ([[materializeUnlessLeaf]]).
     *
     * Scale shape: pair explode → two vocab-sized left joins (no hints:
     * AQE broadcasts them, an over-limit vocabulary degrades to a
@@ -628,7 +645,7 @@ object TextOps {
     * oracle-exact. */
   def bigramScoreWith(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
-    val m = model.localCheckpoint()
+    val m = materializeUnlessLeaf(model)
     val bigramRows = m.filter(col("_prev").isNotNull)
     val uniRows = m.filter(col("_prev").isNull && col("_tok").isNotNull)
       .select(col("_tok"), col("_lp").as("_lp_uni"))

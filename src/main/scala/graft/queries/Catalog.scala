@@ -2273,15 +2273,20 @@ object Catalog {
         val asD = embT.select(col("vec_id"),
           transform(col("embedding"), x => x.cast(DoubleType))
             .as("embedding"))
+        // planted twin id = -(source id) - 1: negative ids CANNOT
+        // collide with real vec_ids (non-negative) at ANY table size —
+        // an additive offset would alias once the table outgrows it.
+        // Pair ordering puts the negative planted id in id_a, so the
+        // recovery filter is id_a = -(id_b) - 1.
         val planted = asD.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select((-col("vec_id") - 1L).as("vec_id"),
             transform(col("embedding"), (x, i) =>
               x + when(i === 0, lit(0.05)).otherwise(lit(0.0)))
               .as("embedding"))
         val recovered = SimilarityOps.cosineDupPairs(
             asD.unionByName(planted), "vec_id", "embedding",
             threshold = 0.95)
-          .filter(col("id_b") === col("id_a") + 1000000L)
+          .filter(col("id_a") === -col("id_b") - 1L)
           .agg(count(lit(1)).as("n_recovered"))
         val summary = recovered
           .crossJoin(asD.filter(col("vec_id") % 10 === 0)
