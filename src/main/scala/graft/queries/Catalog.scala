@@ -4931,19 +4931,33 @@ object Catalog {
     // signal that separates original writing from boilerplate/mirrored
     // content (near-zero novelty = the doc is assembled from phrases
     // the corpus already has; the doc-grain complement of
-    // dedup_span_stats' gram-grain view). One explode + one gram-count
-    // aggregation + one doc rollup; exact integers end to end, the
-    // ratio is one IEEE division. Fully oracled.
+    // dedup_span_stats' gram-grain view). Exact integers end to end,
+    // the ratio is one IEEE division. Fully oracled.
+    //
+    // Scale shape — NO gram-stream self-join: per-doc totals are
+    // row-local (size of the distinct-gram array, zero shuffle), and a
+    // corpus-unique gram has EXACTLY ONE owner, so min(doc_id) inside
+    // the per-gram count aggregation IS the attribution — the second
+    // shuffle carries one slim long per unique gram instead of joining
+    // the full gram stream back to its counts (the first version's
+    // corpus×corpus string join benched 6.3 s at sf0.1; this shape
+    // retires it).
     "text_ngram_novelty" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val grams = docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.ngrams(col("text"), 3))).as("gram"))
-        val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("_nd"))
-        grams.join(counts, Seq("gram"))
+        val withG = docs.select(col("doc_id"),
+          array_distinct(TextOps.ngrams(col("text"), 3)).as("_g"))
+        val perDoc = withG.select(col("doc_id"),
+          size(col("_g")).cast(LongType).as("n_grams"))
+        val uniqueOwned = withG
+          .select(col("doc_id"), explode(col("_g")).as("gram"))
+          .groupBy(col("gram"))
+          .agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("doc_id"))
+          .filter(col("_nd") === 1)
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("_nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .agg(count(lit(1)).as("n_unique"))
+        perDoc.join(uniqueOwned, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_unique"))
           // RAW double of one IEEE division — never rounded: a ratio of
           // two small integers lands on decimal half-boundaries where
           // engines' round() provably differ (the search_tfidf lesson),
