@@ -114,7 +114,7 @@ object ClassifyOps {
     // collapses that to a single fit evaluation (~3 scans: the token
     // aggregation, its reused exchange, the pruned priors scan); for
     // the frozen-reload path it is a cheap no-op-sized copy.
-    val m = model.localCheckpoint()
+    val m = TextOps.materializeUnlessLeaf(model)
     val docTok = df
       .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("_tok"))
       .filter(length(col("_tok")) > 0)

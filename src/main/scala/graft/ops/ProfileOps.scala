@@ -328,16 +328,19 @@ object ProfileOps {
     // access while the expr-side backticks resolve the flat column —
     // the two sides of one operator must agree on what the name means
     val v = col(q)
-    val ts = (1 until nBins).map(k =>
-      expr(s"percentile($q, ${k.toDouble / nBins})").as(s"__t$k"))
-    val bounds = df.agg(ts.head, ts.tail: _*)
+    // ONE array-percentile aggregate: nBins−1 separate percentile
+    // calls would each buffer and sort a full copy of the column —
+    // ~100× the aggregation memory at nBins=100 for identical values
+    val ps = (1 until nBins).map(k => k.toDouble / nBins)
+    val bounds = df.agg(
+      expr(s"percentile($q, array(${ps.mkString(", ")}))").as("__ts"))
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
         when(v.isNull, lit(null).cast(IntegerType))
           .otherwise((1 until nBins)
-            .map(k => when(v > col(s"__t$k"), 1).otherwise(0))
+            .map(k => when(v > col("__ts").getItem(k - 1), 1).otherwise(0))
             .reduce(_ + _).cast(IntegerType)))
-      .drop((1 until nBins).map(k => s"__t$k"): _*)
+      .drop("__ts")
   }
 
   def winsorize(

@@ -121,8 +121,11 @@ object SimilarityOps {
     * `excludeSelf = false` there, or the collision silently punches a
     * per-anchor hole in the mined set. (Rows with a NULL id on either
     * side are dropped by the guard; with `excludeSelf = false` they
-    * flow through.) An exact duplicate of the anchor is excluded by
-    * the threshold either way — cos 1.0 ≥ `dupThreshold`. */
+    * flow through.) An exact copy of the anchor scores within 1 ulp
+    * of 1.0 (IEEE dot/norm arithmetic lands just BELOW 1.0, not on
+    * it), so any practical `dupThreshold` excludes it; thresholds are
+    * required < 1.0 because "exactly 1.0" would promise an exclusion
+    * floating-point cannot deliver. */
   def hardNegatives(
       queries: DataFrame, candidates: DataFrame, k: Int,
       dupThreshold: Double = 0.95,
@@ -130,8 +133,8 @@ object SimilarityOps {
       cId: String = "cid", cVec: String = "cvec",
       excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"hardNegatives: k must be > 0, got $k")
-    require(dupThreshold > 0.0 && dupThreshold <= 1.0,
-      s"hardNegatives: dupThreshold must be in (0, 1], got $dupThreshold")
+    require(dupThreshold > 0.0 && dupThreshold < 1.0,
+      s"hardNegatives: dupThreshold must be in (0, 1), got $dupThreshold")
     reg(candidates)
     val qq = quantize(col(qVec))
     val q = queries.select(col(qId), qq.as("_qv"), dotLong(qq, qq).as("_qn"))

@@ -618,11 +618,21 @@ object TextOps {
     * invocation — per MICRO-BATCH in a streaming tier. A composed
     * in-plan fit, by contrast, would re-run its corpus-scale subtree
     * under each filter without the barrier. */
-  private[ops] def materializeUnlessLeaf(model: DataFrame): DataFrame =
-    if (model.queryExecution.analyzed
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode])
-      model
+  private[ops] def materializeUnlessLeaf(model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, SubqueryAlias}
+    // strip name wrappers first: spark.table("m") / df.as("m") analyze
+    // to SubqueryAlias(LogicalRelation) — still a frozen leaf for cost
+    // purposes, and misclassifying it would re-introduce the per-call
+    // copy this helper exists to avoid
+    @annotation.tailrec
+    def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case a: SubqueryAlias => unwrap(a.child)
+      case other => other
+    }
+    if (unwrap(model.queryExecution.analyzed).isInstanceOf[LeafNode]) model
     else model.localCheckpoint()
+  }
 
   /** SCORE half: per-doc mean negative bigram log-prob under a FROZEN
     * [[bigramLmFit]] model, with stupid-backoff resolution per pair:

@@ -4947,8 +4947,15 @@ object Catalog {
         val docs = t(s, d, "documents")
         val withG = docs.select(col("doc_id"),
           array_distinct(TextOps.ngrams(col("text"), 3)).as("_g"))
-        val perDoc = withG.select(col("doc_id"),
-          size(col("_g")).cast(LongType).as("n_grams"))
+        // doc-GRAIN totals (groupBy, not a per-row projection): under a
+        // duplicated doc_id the per-row form would emit multiple rows
+        // pairing row-local totals with doc-level unique counts — the
+        // aggregate matches the oracle's one-row-per-doc_id contract
+        // for any input, and is free at the slim (id, count) grain
+        val perDoc = withG
+          .select(col("doc_id"), size(col("_g")).cast(LongType).as("_n"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("_n")).as("n_grams"))
         val uniqueOwned = withG
           .select(col("doc_id"), explode(col("_g")).as("gram"))
           .groupBy(col("gram"))

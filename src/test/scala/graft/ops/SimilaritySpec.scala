@@ -189,6 +189,24 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Long]("cid"))).toSet
     assert(again == out.map(r => (r.getAs[Long]("qid"),
       r.getAs[Int]("rn"), r.getAs[Long]("cid"))).toSet)
+    // cross-table mode: excludeSelf=false keeps a numerically-colliding
+    // id (a DIFFERENT object in another table's id space) in the mined
+    // set — anchor 0 vs candidate 0 from an unrelated corpus
+    val foreign = emb.filter($"vec_id" === 7)
+      .select(lit(0L).as("cid"), $"embedding".as("cvec"))
+    val q0 = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val cross = SimilarityOps.hardNegatives(q0, foreign, k = 1,
+        excludeSelf = false)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+    assert(cross.toSeq == Seq((0L, 0L)),
+      s"excludeSelf=false must keep the colliding id, got ${cross.toSeq}")
+    // same pair under the default is silently dropped — the documented
+    // one-id-space contract
+    assert(SimilarityOps.hardNegatives(q0, foreign, k = 1).count() == 0)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.hardNegatives(q, c, k = 5, dupThreshold = 1.0)
+    }
   }
 
   test("IVF-PQ rerank: kCoarse = corpus recovers brute force exactly; dominance holds") {
