@@ -240,15 +240,16 @@ object SearchOps {
   }
 
   /** Per-doc TF-IDF keyword extraction: the top `kPerDoc` terms of each
-    * document by `idf × tf`, against a FROZEN [[bm25Fit]] model. The
-    * weight is EXACT decimal arithmetic — DECIMAL(20,6) idf times the
-    * integer term frequency — so ranking and output hash cross-engine
-    * with no doubles anywhere; ties break (weight DESC, token ASC).
-    * The product is pinned to DECIMAL(30,6): engines disagree on the
-    * RESULT WIDTH of a decimal multiply (Spark p1+p2+1 = 31, DuckDB
-    * p1+p2 = 30) even when every value is identical, and a
-    * type-sensitive hash treats that as a mismatch — so both sides
-    * cast to the width that loses no digits.
+    * document by `idf × tf`, against a FROZEN [[bm25Fit]] model.
+    * RANKING is exact decimal arithmetic — DECIMAL(20,6) idf times the
+    * integer term frequency, pinned to DECIMAL(30,6) so no digit is
+    * lost — with ties broken (weight DESC, token ASC). The PRESENTED
+    * weight is that exact decimal cast to DOUBLE: a precision-30
+    * decimal output is int128-backed in Arrow/DuckDB and downstream
+    * hashers disagree on its representation even when every value and
+    * declared type match, while decimal→float64 is bit-determined on
+    * both engines. Same internal-exact / double-presented convention
+    * as every other wide-decimal pipeline in this repo.
     *
     * Scale shape: explode → one (doc,token) count aggregation → model
     * join (no hint: AQE broadcasts a vocabulary-sized model, an
@@ -277,6 +278,6 @@ object SearchOps {
           .orderBy(col("weight").desc, col("_tok"))))
       .filter(col("rank") <= kPerDoc)
       .select(col(idCol), col("rank"), col("_tok").as("term"),
-        col("tf"), col("weight"))
+        col("tf"), col("weight").cast(DoubleType).as("weight"))
   }
 }

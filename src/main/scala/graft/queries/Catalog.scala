@@ -3379,11 +3379,13 @@ object Catalog {
 
     // Per-doc TF-IDF keyword extraction against the same frozen model
     // (SearchOps.tfIdfTopTerms): top-3 terms per document by idf × tf —
-    // EXACT decimal arithmetic end to end (DECIMAL(20,6) idf ×
-    // DECIMAL(10,0) tf; no doubles), so ranking and values hash
-    // cross-engine. The per-doc rank filter plans through the two-phase
-    // TopKPerKey strategy: map-side heaps bound the Exchange to
-    // ≤ docs×3 rows.
+    // EXACT decimal arithmetic for the RANKING (DECIMAL(20,6) idf ×
+    // DECIMAL(10,0) tf pinned to DECIMAL(30,6)), with the weight
+    // PRESENTED as DOUBLE on both sides: precision-30 decimal outputs
+    // are int128-backed and hash-hostile downstream, while
+    // decimal→float64 is bit-determined on both engines. The per-doc
+    // rank filter plans through the two-phase TopKPerKey strategy:
+    // map-side heaps bound the Exchange to ≤ docs×3 rows.
     "search_tfidf_keywords" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -3413,7 +3415,7 @@ object Catalog {
              |  SELECT *, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY weight DESC, tok) AS rank FROM w)
              |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok AS term,
-             |  CAST(tf AS BIGINT) AS tf, weight
+             |  CAST(tf AS BIGINT) AS tf, CAST(weight AS DOUBLE) AS weight
              |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
     // Sequence packing: documents → token-budget bins per source (the
