@@ -42,7 +42,11 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // total appears at BOTH ends of the one-line object: the driver
+    // keeps a stdout TAIL, and with 177 keys the leading
+    // {"metric":"total"} head was truncated away in r8/r9 — the
+    // trailing duplicate "total_sec" survives any head truncation
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 }

@@ -749,16 +749,18 @@ object DedupOps {
     * sit exactly on decimal half-boundaries where engines' round()
     * differs).
     *
-    * Scale shape: per-doc gram totals come from `size()` BEFORE the
-    * explode; the exploded stream semi-joins the broadcast benchmark
-    * gram set, so the shuffle carries (doc_id) rows proportional to
-    * the CONTAMINATION, not the corpus ([[decontaminate]]'s property),
-    * and the slim (id, n_grams) frame joins the contamination-sized
-    * hit counts back (AQE broadcast). Docs shorter than the shingle
-    * width shingle to their WHOLE TEXT as one gram (the
-    * `shingle_array` contract shared with the minhash tier), so every
-    * doc has ≥ 1 gram and the ratio is always defined; the zero-gram
-    * branch is a belt-and-suspenders guard, not a reachable case. */
+    * Scale shape: ONE corpus scan, ONE explode — the exploded stream
+    * broadcast-LEFT-joins the benchmark gram set (a hit MARKER, not a
+    * semi filter), and per-doc totals and hit counts come out of the
+    * SAME partial-agged aggregation (`count(tok)` / `sum(_hit)`), so
+    * nothing is computed twice and the shuffle carries one slim
+    * partial row per (task, doc) — the earlier two-branch form
+    * re-tokenized and re-shingled the full corpus once per branch.
+    * Docs shorter than the shingle width shingle to their WHOLE TEXT
+    * as one gram (the `shingle_array` contract shared with the minhash
+    * tier), so every doc has ≥ 1 gram and the ratio is always defined;
+    * explode_outer + count(tok) keep even a hypothetical zero-gram doc
+    * in the output (ratio 0) as a belt-and-suspenders guard. */
   def contaminationScore(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
@@ -768,16 +770,15 @@ object DedupOps {
     graft.expressions.GraftFunctions.register(corpus.sparkSession)
     def sh = array_distinct(call_function("shingle_array",
       split(lower(col(textCol)), "\\s+"), lit(shingleN)))
-    val withN = corpus.select(col(idCol), sh.as("_sh"))
-      .withColumn("n_grams", size(col("_sh")).cast(LongType))
     val benchSh = benchmark.select(explode(sh).as("tok")).distinct()
-    val hits = withN.select(col(idCol), explode(col("_sh")).as("tok"))
-      .join(broadcast(benchSh), Seq("tok"), "left_semi")
+      .withColumn("_hit", lit(1L))
+    corpus.select(col(idCol), explode_outer(sh).as("tok"))
+      // benchSh is distinct on tok ⇒ the left join is multiplicity-1:
+      // it marks, never duplicates
+      .join(broadcast(benchSh), Seq("tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
-    withN.select(col(idCol), col("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_overlap"))
+      .agg(count(col("tok")).as("n_grams"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_overlap"))
       .withColumn("contamination",
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(col("n_overlap").cast(DoubleType) / col("n_grams")))

@@ -314,15 +314,31 @@ object ProfileOps {
     * zero shuffles of the data itself, no rank window over the corpus
     * (an ntile() would funnel everything through a global sort).
     *
-    * Exact (interpolated) percentiles, not approximate: thresholds are
+    * Exact (interpolated) percentiles by default: thresholds are
     * engine-exact (the [[winsorize]] precedent), so bin assignment is
     * oracled bit-for-bit. Ties AT a threshold go to the LOWER bin
     * (strict `>` against each interior threshold); NULL values keep a
     * NULL bin (the winsorize null discipline: never fabricate where
-    * there is no measurement). */
+    * there is no measurement).
+    *
+    * `approxThresholds = true` is the production-scale mode: exact
+    * `percentile` buffers EVERY value of the column in one aggregation
+    * buffer — fine at oracle SFs, an executor OOM at the 100 TB design
+    * point — while `approx_percentile` keeps a bounded KLL-style sketch
+    * (≈ accuracy·log(n) entries) per partial aggregate. Drift bound:
+    * Spark guarantees each approx threshold's RANK is within
+    * n/accuracy of the exact rank, and a row changes bin only when its
+    * rank falls between an exact and an approx threshold rank, so the
+    * assignment-mismatch fraction vs exact mode is ≤
+    * (nBins−1)/accuracy on a continuous column (ties sitting exactly
+    * at a shifted threshold can add their tied mass on top) —
+    * property-checked against real data in ProfileOpsSpec. */
   def quantileBins(df: DataFrame, valueCol: String, nBins: Int,
-      outCol: String = "bin"): DataFrame = {
+      outCol: String = "bin", approxThresholds: Boolean = false,
+      approxAccuracy: Int = 10000): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(approxAccuracy >= 100,
+      s"approxAccuracy must be >= 100, got $approxAccuracy")
     val q = "`" + valueCol.replace("`", "``") + "`"
     // quote BOTH resolution paths: col("a.b") would parse as struct
     // access while the expr-side backticks resolve the flat column —
@@ -332,8 +348,11 @@ object ProfileOps {
     // calls would each buffer and sort a full copy of the column —
     // ~100× the aggregation memory at nBins=100 for identical values
     val ps = (1 until nBins).map(k => k.toDouble / nBins)
-    val bounds = df.agg(
-      expr(s"percentile($q, array(${ps.mkString(", ")}))").as("__ts"))
+    val thresholdAgg =
+      if (approxThresholds)
+        s"approx_percentile($q, array(${ps.mkString(", ")}), $approxAccuracy)"
+      else s"percentile($q, array(${ps.mkString(", ")}))"
+    val bounds = df.agg(expr(thresholdAgg).as("__ts"))
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
         when(v.isNull, lit(null).cast(IntegerType))

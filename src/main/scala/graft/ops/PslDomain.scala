@@ -59,7 +59,13 @@ object PslDomain {
         .map { l =>
           if (l.startsWith("!")) {
             val s = l.drop(1)
-            Rule("e", s, s.count(_ == '.') + 1)
+            val n = s.count(_ == '.') + 1
+            // an exception rule shortens by one label; a 1-label rule
+            // would yield suffixLen 0 and silently fold to "" — the
+            // published list has none, and one appearing in a snapshot
+            // refresh must fail the build, not ship wrong domains
+            require(n >= 2, s"PSL exception rule with < 2 labels: !$s")
+            Rule("e", s, n)
           } else if (l.startsWith("*.")) {
             val s = l.drop(2)
             Rule("w", s, s.count(_ == '.') + 1)
@@ -108,7 +114,12 @@ object PslDomain {
 
     // Exception rules prevail unconditionally: suffix = rule minus its
     // first label, so matching an n-label exception yields length n-1.
-    val excLen = sets("e")
+    // Among MULTIPLE matching exception rules the PSL prevails the
+    // LONGEST — probe descending so the coalesce picks it (ascending
+    // would pick the shortest; latent with the current snapshot's
+    // non-overlapping rules, divergent after any refresh that adds
+    // overlap — and the DuckDB oracle restatement already takes max).
+    val excLen = sets("e").reverse
       .map { case (k, sfx) => when(lastK(k).isin(sfx: _*), lit(k - 1)) }
       .reduceOption(coalesce(_, _))
     val exactLens = sets("x").map { case (k, sfx) =>

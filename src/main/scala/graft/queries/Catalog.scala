@@ -567,9 +567,13 @@ object Catalog {
     "agg_hll_merge" -> QuerySpec(
       (s, d) => {
         val li = t(s, d, "lineitem")
+        // localCheckpoint: perGroup feeds BOTH the per-group rows and
+        // the union input — without the barrier each reference re-runs
+        // the lineitem sketch+countDistinct aggregation (r9 advice)
         val perGroup = li.groupBy(col("l_returnflag").as("grp"))
           .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("_sk"),
             countDistinct(col("l_orderkey")).as("exact"))
+          .localCheckpoint()
         val globalRow = perGroup
           .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk"))
           .crossJoin(broadcast(
@@ -4911,7 +4915,15 @@ object Catalog {
     // data-skipping index a table format maintains, computed via the
     // hidden _metadata column. File NAMES are writer-run-specific ⇒
     // rows-only (names dropped, rows ordered by the min key); the
-    // stats-vs-actual-pruning agreement is unit-tested in LayoutSpec.
+    // stats-vs-actual-pruning agreement is unit-tested in LayoutSpec,
+    // and the layout's REASON TO EXIST is checked in-query: bound_ok=1
+    // asserts per-file stat sanity (min ≤ max, n_rows > 0, files
+    // present) AND that the summed per-file bounding-box area stays
+    // under 75% of files × the 64×64 domain — an unclustered write
+    // gives every file the full domain (ratio ≈ 1.0), while 4
+    // z-range-partitioned files cover ~a quadrant each (ratio ≈ 0.25;
+    // sampled split points straddling Morton quadrant boundaries can
+    // widen boxes, bounded by ~0.56 even with every split misplaced).
     "layout_file_stats" -> QuerySpec(
       (s, d) => {
         val dir = staged(d, "layout_zorder_files") { p =>
@@ -4922,8 +4934,26 @@ object Catalog {
               col("l_quantity")),
             p, nFiles = 4, bits = 6, "ok", "pk")
         }
-        Layout.fileStats(s.read.parquet(dir), Seq("ok", "pk"))
+        val stats = Layout.fileStats(s.read.parquet(dir), Seq("ok", "pk"))
           .drop("file_path", "file")
+          .withColumn("__area",
+            (col("ok_max") - col("ok_min") + 1) *
+              (col("pk_max") - col("pk_min") + 1))
+        // 1-row scalar broadcast (the prep_winsorize frame shape): the
+        // coverage ceiling needs the ACROSS-file area sum
+        val totals = stats.agg(
+          sum(col("__area")).as("__sum_area"),
+          count(lit(1)).as("__n_files"))
+        stats.crossJoin(broadcast(totals))
+          .withColumn("coverage_ratio",
+            col("__sum_area").cast(DoubleType) /
+              (col("__n_files") * lit(64.0 * 64.0)))
+          .withColumn("bound_ok",
+            (col("ok_min") <= col("ok_max") &&
+              col("pk_min") <= col("pk_max") &&
+              col("n_rows") > 0L && col("__n_files") > 0L &&
+              col("coverage_ratio") <= lit(0.75)).cast(IntegerType))
+          .drop("__area", "__sum_area", "__n_files")
           .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
       },
       None),
@@ -4952,8 +4982,13 @@ object Catalog {
         // doc-GRAIN totals (groupBy, not a per-row projection): under a
         // duplicated doc_id the per-row form would emit multiple rows
         // pairing row-local totals with doc-level unique counts — the
-        // aggregate matches the oracle's one-row-per-doc_id contract
-        // for any input, and is free at the slim (id, count) grain
+        // aggregate keeps one row per doc_id, free at the slim
+        // (id, count) grain. Contract: doc_id UNIQUE (the documents
+        // table's key). Under duplicate ids this shape and the oracle
+        // diverge (row-grain sums/ownership here vs the oracle's
+        // (doc_id, gram) DISTINCT); deduping grams by (doc_id, gram)
+        // first would restore agreement at the cost of a corpus-scale
+        // extra shuffle the unique-key contract makes unnecessary
         val perDoc = withG
           .select(col("doc_id"), size(col("_g")).cast(LongType).as("_n"))
           .groupBy(col("doc_id"))
@@ -5327,7 +5362,14 @@ object Catalog {
     // skipping stats back. File names are writer-run-specific and the
     // range split points come from Spark's reservoir sampling ⇒
     // rows-only; the disjoint-leading-ranges property (the reason the
-    // layout exists) is unit-asserted in LayoutSpec.
+    // layout exists) is unit-asserted in LayoutSpec AND checked
+    // in-query: bound_ok=1 asserts per-file min ≤ max, n_rows > 0, and
+    // that each file's leading-column max ≤ the NEXT file's min (range
+    // partitioning splits on the (shipdate, orderkey) tuple, so
+    // adjacent files may SHARE a boundary date but never interleave —
+    // the property point/range predicates prune on). The lag window is
+    // partition-less over the 4 post-agg file rows, the sanctioned
+    // tiny-frame shape (PlanSpec's vocab gate covers corpus-scale keys).
     "layout_range_cluster" -> QuerySpec(
       (s, d) => {
         val dir = staged(d, "layout_range_files") { p =>
@@ -5336,8 +5378,17 @@ object Catalog {
               .select(col("l_shipdate"), col("l_orderkey"), col("l_quantity")),
             p, nFiles = 4, "l_shipdate", "l_orderkey")
         }
+        val w = Window.orderBy(col("l_shipdate_min"), col("n_rows"))
         Layout.fileStats(s.read.parquet(dir), Seq("l_shipdate"))
           .drop("file_path", "file")
+          .withColumn("__prev_max", lag(col("l_shipdate_max"), 1).over(w))
+          .withColumn("bound_ok",
+            (col("l_shipdate_min") <= col("l_shipdate_max") &&
+              col("n_rows") > 0L &&
+              (col("__prev_max").isNull ||
+                col("__prev_max") <= col("l_shipdate_min")))
+              .cast(IntegerType))
+          .drop("__prev_max")
           .orderBy(col("l_shipdate_min"), col("n_rows"))
       },
       None),

@@ -75,6 +75,37 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileBins approxThresholds: mismatch vs exact ≤ (nBins−1)/accuracy at sf0.1") {
+    // the production-scale mode's documented drift bound, checked on
+    // real data: each approx threshold's rank is within n/accuracy of
+    // exact, a row flips bin only if its rank sits between the two, so
+    // mismatches ≤ (nBins−1)·n/accuracy rows (value is a continuous
+    // double here — no tied mass at thresholds to add on top)
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select($"event_id", $"value")
+    val nBins = 10
+    val accuracy = 10000
+    val exact = ProfileOps.quantileBins(ev, "value", nBins)
+      .select($"event_id", $"bin".as("bin_exact"))
+    val approx = ProfileOps.quantileBins(
+        ev, "value", nBins, approxThresholds = true, approxAccuracy = accuracy)
+      .select($"event_id", $"bin".as("bin_approx"))
+    val joined = exact.join(approx, "event_id")
+    val n = joined.count()
+    val mismatched =
+      joined.filter($"bin_exact" =!= $"bin_approx").count()
+    val bound = (nBins - 1).toDouble / accuracy
+    assert(n > 0)
+    assert(mismatched.toDouble / n <= bound,
+      s"mismatch ${mismatched}/$n > bound $bound")
+    // oracled exact mode unchanged: the default path still uses the
+    // one-buffer exact percentile (prep_quantile_bins' contract)
+    intercept[IllegalArgumentException] {
+      ProfileOps.quantileBins(ev, "value", nBins,
+        approxThresholds = true, approxAccuracy = 10)
+    }
+  }
+
   test("winsorize preserves NULL (must not fabricate the low bound for missing data)") {
     val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(1000.0)), (4L, Some(50.0)))
       .toDF("id", "v")
