@@ -63,6 +63,32 @@ object Catalog {
        |SELECT id AS doc_id, pr FROM pr5 ORDER BY doc_id""".stripMargin
   }
 
+  /** sql_recursive_cte's shared statement: ONE SQL text parameterized
+    * only by the documents-table name, run natively by BOTH engines
+    * (Spark 4.x executes WITH RECURSIVE; DuckDB always has). Bounded
+    * BFS: deterministic 2-out-regular edges over doc_id < 200, seeds
+    * doc_id < 20, min-depth per (seed, node) at depth ≤ 3. UNION ALL +
+    * the depth guard bounds the recursion identically everywhere; the
+    * aggregate stays OUTSIDE the recursive relation (the non-portable
+    * construct). */
+  private def recursiveBfsSql(table: String): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id * 7 + 3) % 200 AS dst
+       |    FROM $table WHERE doc_id < 200
+       |    UNION ALL
+       |    SELECT doc_id, (doc_id * 13 + 5) % 200
+       |    FROM $table WHERE doc_id < 200)
+       |  WHERE src <> dst),
+       |r(seed, node, depth) AS (
+       |  SELECT doc_id, doc_id, 0 FROM $table WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT r.seed, e.dst, r.depth + 1
+       |  FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.depth < 3)
+       |SELECT seed, node, CAST(min(depth) AS BIGINT) AS depth
+       |FROM r GROUP BY seed, node ORDER BY seed, node""".stripMargin
+
   /** IVF coarse quantizers, one per dataset dir: the fit is the offline
     * step of the fit/query split (SimilarityOps.ivfFit) — re-training it
     * per query invocation would put an iterative KMeans inside every ANN
@@ -279,6 +305,52 @@ object Catalog {
              |FROM customer c
              |WHERE c_acctbal > 7000
              |ORDER BY c_custkey""".stripMargin)),
+
+    // LATERAL correlated derived table (SQL analyzer surface): per
+    // nation the top-2 customers by balance, stated as a lateral
+    // subquery with ORDER BY + LIMIT — the SQL spelling of the top-k
+    // per key pattern. Catalyst decorrelates it (DecorrelateInnerQuery
+    // rewrites the correlated limit to a partitioned rank filter +
+    // equi-join), so the declarative per-row loop never executes as
+    // one: the plan is the same shuffle the DataFrame window form
+    // produces. DuckDB runs the identical LATERAL clause natively.
+    "sql_lateral_join" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("nation_lat")
+        t(s, d, "customer").createOrReplaceTempView("customer_lat")
+        s.sql("""SELECT n.n_name, c.c_name, c.c_acctbal
+                |FROM nation_lat n,
+                |LATERAL (SELECT c_name, c_acctbal FROM customer_lat
+                |         WHERE c_nationkey = n.n_nationkey
+                |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+                |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, c.c_name, c.c_acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_name, c_acctbal FROM customer
+             |         WHERE c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+             |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)),
+
+    // RECURSIVE CTE run natively by Spark (4.x) — until now WITH
+    // RECURSIVE appeared only in this catalog's DuckDB oracles while
+    // the Spark side unrolled iterations (graph_pagerank) or looped
+    // with checkpoints (connectedComponents). This key states bounded
+    // BFS reachability ONCE and runs the same text on both engines:
+    // min-depth per (seed, node) over a deterministic 2-out-regular
+    // edge list, depth ≤ 3. UNION ALL + depth guard keeps the
+    // recursion finite with identical semantics everywhere; the final
+    // min(depth) aggregate sits OUTSIDE the recursion (aggregates over
+    // the recursive relation are the non-portable part). The iterative
+    // operators keep their loop forms for scale (per-iteration
+    // checkpoint barriers — GraphOps' seam — are not expressible
+    // inside a recursive CTE), but the surface itself is now covered.
+    "sql_recursive_cte" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("docs_rec")
+        s.sql(recursiveBfsSql("docs_rec"))
+      },
+      Some(recursiveBfsSql("documents"))),
 
     // Pivot (conditional aggregation surface): events per user × type.
     "agg_pivot" -> QuerySpec(
@@ -522,6 +594,37 @@ object Catalog {
              |FROM lineitem WHERE l_returnflag = 'R'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Native XML round-trip (Spark 4 ships the former spark-xml as a
+    // built-in source): stage the supplier table as element-per-row
+    // XML, read it back with an EXPLICIT schema (inference is a
+    // whole-extra-pass anti-pattern at 100 TB, same rule as the JSON
+    // scans). DuckDB cannot parse XML, so the oracle recomputes the
+    // expected rows from the ORIGINAL parquet — equality proves the
+    // write+read round trip (escaping included) is value-faithful,
+    // the sink_jsonl_export verification grain minus foreign
+    // readability. Decimals surface as DOUBLE on both sides (the
+    // presentation convention).
+    "scan_xml" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_xml") { p =>
+          t(s, d, "supplier")
+            .select(col("s_suppkey").cast(LongType).as("s_suppkey"),
+              col("s_name"), col("s_nationkey").cast(LongType).as("s_nationkey"),
+              col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+            .write.mode("overwrite")
+            .option("rootTag", "suppliers").option("rowTag", "supplier")
+            .format("xml").save(p)
+        }
+        s.read
+          .schema("s_suppkey LONG, s_name STRING, s_nationkey LONG, s_acctbal DOUBLE")
+          .option("rowTag", "supplier").format("xml").load(dir)
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+             |  CAST(s_nationkey AS BIGINT) AS s_nationkey,
+             |  CAST(s_acctbal AS DOUBLE) AS s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     // Schema evolution on read: two parquet generations in one table
     // directory — the old files lack o_orderstatus (an added column, the
     // reference's defensive runtime-column-discovery concern,
@@ -593,6 +696,45 @@ object Catalog {
           .orderBy(col("grp"))
       },
       None),
+
+    // EXACT mergeable distinct counting via bitmaps — the precise
+    // companion to agg_hll_merge's approximate sketches: values bucket
+    // into fixed 32768-bit bitmaps (bitmap_bucket_number /
+    // bitmap_bit_position), every (group, bucket) builds its bitmap
+    // with bitmap_construct_agg, and counts come from summing
+    // bitmap_count over buckets. The global row is computed by
+    // bitmap_or_agg UNION of the per-group bucket bitmaps — the rows
+    // are never re-touched, and unlike HLL the answer is EXACT (keys
+    // overlap across groups, so ALL < sum of groups proves real
+    // merging). The 100 TB shape: bitmap bytes are O(range/8) per
+    // bucket regardless of row count, partial-agged map-side; dense
+    // key spaces (order keys, user ids) fit this, sparse 64-bit hashes
+    // belong in HLL. Values must be ≥ 1 (positions are 1-indexed) —
+    // l_orderkey's contract. Counts are exact integers ⇒ fully oracled
+    // against count(DISTINCT).
+    "agg_bitmap_distinct" -> QuerySpec(
+      (s, d) => {
+        val buckets = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("grp"),
+            expr("bitmap_bucket_number(l_orderkey)").as("_b"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
+            .as("_bm"))
+        val perGroup = buckets.groupBy(col("grp"))
+          .agg(sum(expr("bitmap_count(_bm)")).cast(LongType).as("n_distinct"))
+        val globalRow = buckets.groupBy(col("_b"))
+          .agg(expr("bitmap_or_agg(_bm)").as("_bm"))
+          .agg(sum(expr("bitmap_count(_bm)")).cast(LongType).as("n_distinct"))
+          .select(lit("ALL").as("grp"), col("n_distinct"))
+        perGroup.unionByName(globalRow).orderBy(col("grp"))
+      },
+      Some("""SELECT grp, n_distinct FROM (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+             |  FROM lineitem GROUP BY 1
+             |  UNION ALL
+             |  SELECT 'ALL', CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             |  FROM lineitem)
+             |ORDER BY grp""".stripMargin)),
 
     // Count-min sketch (mergeable frequency summary — the heavy-hitters
     // companion to the HLL distinct sketch): binary sketch per group.
@@ -5690,6 +5832,73 @@ object Catalog {
              |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k,
              |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k2
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // VARIANT semi-structured type (Spark 4): parse_json into the
+    // binary variant encoding once, then typed variant_get path
+    // extraction — the open-schema ingestion shape that replaces
+    // per-field get_json_object re-parses (one parse, O(1) typed
+    // reads; at 100 TB the N-field × re-parse difference is the whole
+    // scan cost). The JSON is BUILT deterministically from orders on
+    // both engines, so every extracted value is oracled; VARIANT
+    // itself never reaches the output schema (typed BIGINT / VARCHAR /
+    // DOUBLE presentation — the CatalogSchemaSpec rule), and DuckDB
+    // reads the same paths with json_extract.
+    "fn_variant_json" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), concat(
+          lit("{\"k\":"), col("o_orderkey").cast(StringType),
+          lit(",\"s\":\""), col("o_orderstatus"),
+          lit("\",\"p\":"), col("o_totalprice").cast(StringType),
+          lit(",\"tags\":[\""), col("o_orderpriority"), lit("\"]}")).as("_j"))
+        .select(col("o_orderkey"), parse_json(col("_j")).as("_v"))
+        .select(col("o_orderkey"),
+          expr("variant_get(_v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(_v, '$.s', 'string')").as("s"),
+          expr("variant_get(_v, '$.p', 'double')").as("p"),
+          expr("variant_get(_v, '$.tags[0]', 'string')").as("tag0"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH src AS (
+             |  SELECT o_orderkey,
+             |    '{"k":' || CAST(o_orderkey AS VARCHAR) ||
+             |    ',"s":"' || o_orderstatus ||
+             |    '","p":' || CAST(o_totalprice AS VARCHAR) ||
+             |    ',"tags":["' || o_orderpriority || '"]}' AS j
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |  CAST(json_extract(j, '$.k') AS BIGINT) AS k,
+             |  json_extract_string(j, '$.s') AS s,
+             |  CAST(json_extract(j, '$.p') AS DOUBLE) AS p,
+             |  json_extract_string(j, '$.tags[0]') AS tag0
+             |FROM src ORDER BY o_orderkey""".stripMargin)),
+
+    // Collation-aware grouping (Spark 4 collations): group mixed-case
+    // keys under UTF8_LCASE so equality itself is case-insensitive —
+    // the engine-level form of the lower()-normalize idiom (no
+    // expression wraps the grouping column, so statistics and
+    // partition pruning on the original column survive). Mixed case is
+    // synthesized deterministically (even keys lowered), the group
+    // REPRESENTATIVE is an arbitrary member under case-insensitive
+    // equality, so the output key is re-normalized with lower() and
+    // cast back to a binary-collated string (collated types stay
+    // internal — the presentation rule). DuckDB states the same query
+    // as lower() grouping.
+    "fn_collation_group" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .select(when(pmod(col("o_orderkey"), lit(2)) === 0,
+            lower(col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")).as("pr"))
+        .groupBy(expr("collate(pr, 'UTF8_LCASE')").as("_k"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(lower(col("_k")).cast(StringType).as("priority"),
+          col("n_orders"))
+        .orderBy(col("priority")),
+      Some("""SELECT lower(pr) AS priority,
+             |  CAST(count(*) AS BIGINT) AS n_orders
+             |FROM (
+             |  SELECT CASE WHEN o_orderkey % 2 = 0
+             |    THEN lower(o_orderpriority) ELSE o_orderpriority END AS pr
+             |  FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Array higher-order functions (transform/filter/exists/aggregate)
     // over integer-quantized arrays — engine-exact folds.
