@@ -362,6 +362,71 @@ object ProfileOps {
       .drop("__ts")
   }
 
+  /** Two-snapshot distribution drift — the monitoring op a continuously
+    * refreshed training corpus needs: bin BOTH snapshots on the
+    * REFERENCE snapshot's exact equi-depth quantiles (drift must not
+    * move the ruler it is measured with), then emit per-bin occupancy
+    * shares and the standard drift statistics as per-bin terms:
+    * `abs_diff` (the total-variation contribution, ×2), `chi2_term`
+    * ((p_cur−p_ref)²/p_ref, NULL where the reference bin is empty) and
+    * `ks_term` (|ΔCDF| at the bin's right edge — the KS statistic is
+    * its max), plus a `drifted` flag at `driftThreshold` on abs_diff.
+    *
+    * Portability discipline: every emitted double is a FIXED IEEE op
+    * sequence over exact integer counts (ratios, one subtract, one
+    * multiply/divide) — never a cross-bin double sum, whose
+    * accumulation order differs between engines; scalar totals (PSI,
+    * χ², TV distance) are the caller's fold over the ≤ nBins rows.
+    *
+    * Scale shape: two quantileBins-style passes (1-row threshold
+    * broadcast each, partial-agged bin counts — the only shuffles carry
+    * nBins rows); the spine join, cumulative CDFs and share divisions
+    * all run on the nBins-row post-agg frame (partition-less windows
+    * are sanctioned on tiny frames, the layout_range_cluster shape).
+    * NULL measurements are excluded from both snapshots (the winsorize
+    * null discipline: they are absent, not zero). */
+  def snapshotDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int, driftThreshold: Double = 0.1): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(driftThreshold > 0.0,
+      s"driftThreshold must be positive, got $driftThreshold")
+    val q = "`" + valueCol.replace("`", "``") + "`"
+    val v = col(q)
+    val ps = (1 until nBins).map(k => k.toDouble / nBins)
+    val bounds = ref.filter(v.isNotNull).agg(
+      expr(s"percentile($q, array(${ps.mkString(", ")}))").as("__ts"))
+    def binCounts(df: DataFrame, out: String) =
+      df.filter(v.isNotNull).crossJoin(broadcast(bounds))
+        .select((1 until nBins)
+          .map(k => when(v > col("__ts").getItem(k - 1), 1).otherwise(0))
+          .reduce(_ + _).cast(IntegerType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    // full 0..nBins−1 spine: an empty bin is a DRIFT SIGNAL (share 0),
+    // not a missing row
+    val spine = ref.sparkSession.range(nBins)
+      .select(col("id").cast(IntegerType).as("bin"))
+    val wCum = Window.orderBy(col("bin"))
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spine.join(binCounts(ref, "n_ref"), Seq("bin"), "left")
+      .join(binCounts(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__nr", sum(col("n_ref")).over(wAll))
+      .withColumn("__nc", sum(col("n_cur")).over(wAll))
+      .withColumn("p_ref", col("n_ref").cast(DoubleType) / col("__nr"))
+      .withColumn("p_cur", col("n_cur").cast(DoubleType) / col("__nc"))
+      .withColumn("abs_diff", abs(col("p_ref") - col("p_cur")))
+      .withColumn("chi2_term", when(col("n_ref") > 0,
+        (col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref"))
+          / col("p_ref")))
+      .withColumn("ks_term", abs(
+        sum(col("n_ref")).over(wCum).cast(DoubleType) / col("__nr") -
+          sum(col("n_cur")).over(wCum).cast(DoubleType) / col("__nc")))
+      .withColumn("drifted",
+        (col("abs_diff") > driftThreshold).cast(IntegerType))
+      .drop("__nr", "__nc")
+  }
+
   def winsorize(
       df: DataFrame, valueCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99,

@@ -670,13 +670,16 @@ object Catalog {
     "agg_hll_merge" -> QuerySpec(
       (s, d) => {
         val li = t(s, d, "lineitem")
-        // localCheckpoint: perGroup feeds BOTH the per-group rows and
-        // the union input — without the barrier each reference re-runs
-        // the lineitem sketch+countDistinct aggregation (r9 advice)
+        // perGroup feeds BOTH the per-group rows and the union input,
+        // so the lineitem sketch aggregation runs twice (r9 advice
+        // noted it). MEASURED: a localCheckpoint barrier here benched
+        // 2.28 s vs 0.16 s without — the eager materialization costs
+        // 14× the re-aggregation it saves at this size — so the
+        // recompute stays (re-evaluate only if the input scan, not the
+        // barrier, ever dominates)
         val perGroup = li.groupBy(col("l_returnflag").as("grp"))
           .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("_sk"),
             countDistinct(col("l_orderkey")).as("exact"))
-          .localCheckpoint()
         val globalRow = perGroup
           .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk"))
           .crossJoin(broadcast(
@@ -5032,6 +5035,69 @@ object Catalog {
              |SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
              |  count(*) AS cnt
              |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin)),
+
+    // Two-snapshot distribution drift (ProfileOps.snapshotDrift): the
+    // refresh-monitoring gate — 'view' events are the reference
+    // distribution, 'purchase' events the monitored snapshot, both
+    // binned on the REFERENCE's exact octile thresholds. Per-bin
+    // occupancy shares plus the χ²/KS/TV drift terms, every double a
+    // FIXED IEEE sequence over exact integer counts (never a cross-bin
+    // double sum — accumulation order is the cross-engine trap), so
+    // the key is fully oracled: DuckDB rebuilds thresholds
+    // (quantile_cont ≡ percentile, the prep_quantile_bins-proven
+    // identity), counts, CDFs and terms.
+    "profile_snapshot_drift" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        ProfileOps.snapshotDrift(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", nBins = 8, driftThreshold = 0.02)
+          .orderBy(col("bin"))
+      },
+      Some {
+        val ts = (1 to 7).map(k =>
+          s"quantile_cont(value, 0.${125 * k}) AS t$k").mkString(", ")
+        val binExpr = (1 to 7).map(k =>
+          s"CASE WHEN value > t$k THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH p AS (
+           |  SELECT $ts FROM events
+           |  WHERE event_type = 'view' AND value IS NOT NULL),
+           |rb AS (
+           |  SELECT CAST($binExpr AS INTEGER) AS bin
+           |  FROM events CROSS JOIN p
+           |  WHERE event_type = 'view' AND value IS NOT NULL),
+           |cb AS (
+           |  SELECT CAST($binExpr AS INTEGER) AS bin
+           |  FROM events CROSS JOIN p
+           |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+           |rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+           |cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+           |spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
+           |j AS (
+           |  SELECT s.bin,
+           |    CAST(coalesce(rc.n, 0) AS BIGINT) AS n_ref,
+           |    CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur
+           |  FROM spine s
+           |  LEFT JOIN rc ON rc.bin = s.bin
+           |  LEFT JOIN cc ON cc.bin = s.bin),
+           |t AS (
+           |  SELECT bin, n_ref, n_cur,
+           |    CAST(n_ref AS DOUBLE) / CAST(sum(n_ref) OVER () AS DOUBLE) AS p_ref,
+           |    CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE) AS p_cur,
+           |    CAST(sum(n_ref) OVER (ORDER BY bin) AS DOUBLE)
+           |      / CAST(sum(n_ref) OVER () AS DOUBLE) AS cdf_ref,
+           |    CAST(sum(n_cur) OVER (ORDER BY bin) AS DOUBLE)
+           |      / CAST(sum(n_cur) OVER () AS DOUBLE) AS cdf_cur
+           |  FROM j)
+           |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           |  abs(p_ref - p_cur) AS abs_diff,
+           |  CASE WHEN n_ref > 0
+           |    THEN (p_cur - p_ref) * (p_cur - p_ref) / p_ref END AS chi2_term,
+           |  abs(cdf_ref - cdf_cur) AS ks_term,
+           |  CAST(abs(p_ref - p_cur) > 0.02 AS INTEGER) AS drifted
+           |FROM t ORDER BY bin""".stripMargin
+      }),
 
     // Z-order (Morton) clustering key — exact bit interleaving, so the
     // oracle states the same shifts/masks in SQL. The layout-locality

@@ -201,8 +201,10 @@ class PlanSpec extends SparkSpec {
       "dedup_embedding_cosine_lsh", // 1-row planted-recall summary broadcast
       "agg_hll_merge",         // 1-row union-sketch × 1-row exact broadcast
       "graph_pagerank",        // 1-row node-count scalar broadcast
-      "layout_file_stats")     // 1-row coverage-totals scalar broadcast
+      "layout_file_stats",     // 1-row coverage-totals scalar broadcast
                                // (the bound_ok ceiling check)
+      "profile_snapshot_drift") // 2× 1-row quantile-thresholds scalar
+                               // broadcast (ref + monitored binning)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -106,6 +106,37 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDrift: hand-computed shares, χ²/KS terms, empty-bin signal") {
+    // ref 1..8 binned at its median 4.5 → [4, 4]; cur 5..12 all above
+    // → [0, 8]: p_ref [.5,.5], p_cur [0,1], abs_diff .5 each,
+    // chi2 (0−.5)²/.5 = .5 each, CDF diff [.5, 0], both bins drifted
+    val ref = (1 to 8).map(_.toDouble).toDF("v")
+    val cur = (5 to 12).map(_.toDouble).toDF("v")
+    val out = ProfileOps.snapshotDrift(ref, cur, "v", nBins = 2)
+      .as[(Int, Long, Long, Double, Double, Double, Option[Double], Double, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0, 4L, 0L, 0.5, 0.0, 0.5, Some(0.5), 0.5, 1),
+      (1, 4L, 8L, 0.5, 1.0, 0.5, Some(0.5), 0.0, 1)), out.toString)
+    // empty REFERENCE bin: chi2_term is NULL (not ∞/0-div), the bin row
+    // still appears — an empty bin is the drift signal itself
+    val refDeg = Seq(1.0, 1.0, 1.0, 9.0).toDF("v") // median 1.0: bin 0 = {≤1}
+    val curDeg = Seq(9.0, 9.0).toDF("v")
+    val deg = ProfileOps.snapshotDrift(refDeg, curDeg, "v", nBins = 2)
+      .select($"bin", $"n_ref", $"n_cur", $"chi2_term")
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(deg.map(r => (r._1, r._2, r._3)) == Seq((0, 3L, 0L), (1, 1L, 2L)),
+      deg.toString)
+    // NULL measurements are excluded, never binned
+    val refN = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val nOut = ProfileOps.snapshotDrift(refN, refN, "v", nBins = 2)
+      .agg(sum($"n_ref"), sum($"n_cur")).as[(Long, Long)].head()
+    assert(nOut == ((2L, 2L)), nOut.toString)
+    intercept[IllegalArgumentException] {
+      ProfileOps.snapshotDrift(ref, cur, "v", nBins = 1)
+    }
+  }
+
   test("winsorize preserves NULL (must not fabricate the low bound for missing data)") {
     val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(1000.0)), (4L, Some(50.0)))
       .toDF("id", "v")
