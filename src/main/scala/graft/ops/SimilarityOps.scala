@@ -666,6 +666,71 @@ object SimilarityOps {
     * each position averages over the vectors that have it (documented
     * semantics; fixed-dim corpora are unaffected).
     */
+  /** Embedding-space drift between two corpus snapshots — the vector
+    * companion to ProfileOps.snapshotDrift: per-dimension centroid
+    * means for the reference and monitored snapshots plus the cosine
+    * between the two centroids (constant across rows), from ONE
+    * posexplode + per-dim aggregate per snapshot (the shuffle carries
+    * dim-grain longs, never vectors).
+    *
+    * Portability discipline (the sim_topk_cosine grid trick):
+    * components quantize to floor(x·1000) BIGINT, so per-dim sums are
+    * EXACT integers; means are one IEEE division each; and because
+    * cosine is scale-invariant, cos(centroid_ref, centroid_cur) =
+    * cos(sum_ref, sum_cur) — computed from the exact per-dim sums with
+    * DECIMAL(38,0) products summed order-free across dims (the n's
+    * cancel, no double ever sums across rows), one sqrt/division at
+    * the end. `dim_drifted` flags per-dimension |Δmean| over
+    * `shiftThreshold` — at 100 TB the flagged dims are the embedding
+    * model's regression fingerprint (a re-trained encoder shifts a few
+    * axes; ingest skew shifts many slightly). */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+      shiftThreshold: Double = 0.001): DataFrame = {
+    require(shiftThreshold > 0.0,
+      s"shiftThreshold must be positive, got $shiftThreshold")
+    def dimSums(df: DataFrame, s: String, n: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("dim", "_x")))
+        .select(col("dim"),
+          floor(col("_x").cast(DoubleType) * 1000).cast(LongType).as("_q"))
+        .groupBy(col("dim"))
+        .agg(sum(col("_q")).as(s), count(lit(1)).as(n))
+    // inner join on dim: both snapshots carry the same encoder's
+    // dimensionality by contract; a mismatched dim disappearing here
+    // (instead of NULLing) would hide a real schema break, so the
+    // caller-facing row count doubles as the dim check
+    val joined = dimSums(ref, "s_ref", "n_ref")
+      .join(dimSums(cur, "s_cur", "n_cur"), Seq("dim"))
+    val wAll = Window.orderBy(col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: Column) = c.cast(DecimalType(19, 0))
+    joined
+      .withColumn("mean_ref",
+        col("s_ref").cast(DoubleType) / col("n_ref") / 1000.0)
+      .withColumn("mean_cur",
+        col("s_cur").cast(DoubleType) / col("n_cur") / 1000.0)
+      .withColumn("shift", abs(col("mean_ref") - col("mean_cur")))
+      .withColumn("__dot",
+        sum((dec(col("s_ref")) * dec(col("s_cur")))
+          .cast(DecimalType(38, 0))).over(wAll))
+      .withColumn("__na",
+        sum((dec(col("s_ref")) * dec(col("s_ref")))
+          .cast(DecimalType(38, 0))).over(wAll))
+      .withColumn("__nb",
+        sum((dec(col("s_cur")) * dec(col("s_cur")))
+          .cast(DecimalType(38, 0))).over(wAll))
+      .withColumn("centroid_cosine",
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__dot").cast(DoubleType) /
+            (sqrt(col("__na").cast(DoubleType)) *
+              sqrt(col("__nb").cast(DoubleType)))))
+      .withColumn("dim_drifted",
+        (col("shift") > shiftThreshold).cast(IntegerType))
+      .select(col("dim").cast(IntegerType).as("dim"),
+        col("n_ref"), col("n_cur"), col("mean_ref"), col("mean_cur"),
+        col("shift"), col("centroid_cosine"), col("dim_drifted"))
+  }
+
   def clusterCentroids(
       df: DataFrame, clusterCol: String, vecCol: String): DataFrame = {
     val exploded = df

@@ -2679,6 +2679,55 @@ object Catalog {
              |FROM m JOIN dm USING (cluster)
              |ORDER BY cluster, pos""".stripMargin)),
 
+    // Embedding-space drift between snapshots (the vector companion to
+    // profile_snapshot_drift): even vec_ids are the reference corpus,
+    // odd the monitored refresh. Per-dim centroid means + the cosine
+    // between centroids, all from exact floor(x·1000) integer sums
+    // (cosine is scale-invariant so the sums stand in for the means;
+    // DECIMAL products summed order-free across the 64 dims — no
+    // cross-row double sum anywhere). Fully oracled.
+    "sim_embedding_drift" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        SimilarityOps.embeddingDrift(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", shiftThreshold = 0.001)
+          .orderBy(col("dim"))
+      },
+      Some("""WITH r AS (
+             |  SELECT unnest(range(len(embedding))) AS dim,
+             |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+             |  FROM embeddings WHERE vec_id % 2 = 0),
+             |c AS (
+             |  SELECT unnest(range(len(embedding))) AS dim,
+             |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+             |  FROM embeddings WHERE vec_id % 2 = 1),
+             |ra AS (SELECT dim, SUM(q) AS s_ref, count(*) AS n_ref FROM r GROUP BY 1),
+             |ca AS (SELECT dim, SUM(q) AS s_cur, count(*) AS n_cur FROM c GROUP BY 1),
+             |j AS (
+             |  SELECT ra.dim, s_ref, n_ref, s_cur, n_cur
+             |  FROM ra JOIN ca USING (dim)),
+             |t AS (
+             |  SELECT dim, n_ref, n_cur, s_ref, s_cur,
+             |    SUM(CAST(s_ref AS HUGEINT) * s_cur) OVER () AS dot,
+             |    SUM(CAST(s_ref AS HUGEINT) * s_ref) OVER () AS na,
+             |    SUM(CAST(s_cur AS HUGEINT) * s_cur) OVER () AS nb
+             |  FROM j)
+             |SELECT CAST(dim AS INTEGER) AS dim,
+             |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             |  CAST(s_ref AS DOUBLE) / n_ref / 1000.0 AS mean_ref,
+             |  CAST(s_cur AS DOUBLE) / n_cur / 1000.0 AS mean_cur,
+             |  abs(CAST(s_ref AS DOUBLE) / n_ref / 1000.0
+             |    - CAST(s_cur AS DOUBLE) / n_cur / 1000.0) AS shift,
+             |  CASE WHEN na > 0 AND nb > 0 THEN CAST(dot AS DOUBLE)
+             |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END
+             |    AS centroid_cosine,
+             |  CAST(abs(CAST(s_ref AS DOUBLE) / n_ref / 1000.0
+             |    - CAST(s_cur AS DOUBLE) / n_cur / 1000.0) > 0.001 AS INTEGER)
+             |    AS dim_drifted
+             |FROM t ORDER BY dim""".stripMargin)),
+
     // LSH-bucketed ANN — the scale path (bucket join instead of cross
     // join). Plane projections are float-order-sensitive ⇒ not oracled;
     // recall vs bruteTopK is asserted in SimilaritySpec.
@@ -5935,6 +5984,32 @@ object Catalog {
              |  json_extract_string(j, '$.s') AS s,
              |  CAST(json_extract(j, '$.p') AS DOUBLE) AS p,
              |  json_extract_string(j, '$.tags[0]') AS tag0
+             |FROM src ORDER BY o_orderkey""".stripMargin)),
+
+    // from_xml scalar parsing (the function companion to scan_xml's
+    // source): deterministic per-row XML built from orders, parsed
+    // with an explicit struct schema, fields surfaced typed. The
+    // oracle re-extracts the same fields with regexes (DuckDB has no
+    // XML parser — text extraction is exactly what it CAN restate).
+    "fn_from_xml" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), concat(
+          lit("<o><key>"), col("o_orderkey").cast(StringType),
+          lit("</key><status>"), col("o_orderstatus"),
+          lit("</status></o>")).as("_x"))
+        .select(col("o_orderkey"),
+          expr("from_xml(_x, 'key BIGINT, status STRING')").as("_p"))
+        .select(col("o_orderkey"),
+          col("_p.key").as("key"), col("_p.status").as("status"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH src AS (
+             |  SELECT o_orderkey,
+             |    '<o><key>' || CAST(o_orderkey AS VARCHAR) || '</key><status>'
+             |      || o_orderstatus || '</status></o>' AS x
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |  CAST(regexp_extract(x, '<key>(-?\d+)</key>', 1) AS BIGINT) AS key,
+             |  regexp_extract(x, '<status>([^<]*)</status>', 1) AS status
              |FROM src ORDER BY o_orderkey""".stripMargin)),
 
     // Collation-aware grouping (Spark 4 collations): group mixed-case

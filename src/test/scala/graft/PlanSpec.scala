@@ -36,6 +36,35 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // InjectRuntimeFilter: a selective filter on one join side builds a
+    // bloom filter that is pushed into the OTHER side's scan, pruning
+    // shuffle input rows at runtime — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~matching
+    // slice. Thresholds are tuned down to fire on test data; the assert
+    // pins that the optimizer still injects (a silent default/conf
+    // regression would cost exactly at scale, invisible in small runs).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val ord = Tables(spark, sf, "orders")
+        .filter($"o_totalprice" > 400000.0)
+        .select($"o_orderkey", $"o_totalprice")
+      val j = li.select($"l_orderkey", $"l_quantity")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+      val plan = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"), j.queryExecution.optimizedPlan.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("shuffle_hash hint yields a ShuffledHashJoin (no sort passes)") {
     val df = graft.queries.Catalog.specs("join_shuffle_hash").fn(spark, sf)
     df.collect() // finalize AQE

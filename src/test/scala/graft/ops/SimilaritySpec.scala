@@ -14,6 +14,29 @@ class SimilaritySpec extends SparkSpec {
   private def candidates = emb
     .select($"vec_id".as("cid"), $"embedding".as("cvec"))
 
+  test("embeddingDrift: scale-invariant cosine, per-dim shift, orthogonal drift") {
+    def vecs(vs: Seq[Array[Float]]) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "embedding")
+    // cur = 2× ref: centroids colinear → cosine exactly 1.0, but the
+    // per-dim means shift (the flag catches magnitude drift the
+    // direction metric is blind to)
+    val ref = vecs(Seq(Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+    val scaled = vecs(Seq(Array(2.0f, 0.0f)))
+    val a = SimilarityOps.embeddingDrift(ref, scaled, "embedding")
+      .select($"dim", $"mean_ref", $"mean_cur", $"centroid_cosine", $"dim_drifted")
+      .as[(Int, Double, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(a == Seq((0, 1.0, 2.0, 1.0, 1), (1, 0.0, 0.0, 1.0, 0)), a.toString)
+    // orthogonal refresh → cosine exactly 0 on the quantized grid
+    val ortho = vecs(Seq(Array(0.0f, 1.0f)))
+    val b = SimilarityOps.embeddingDrift(ref, ortho, "embedding")
+      .select($"centroid_cosine").as[Double].head()
+    assert(b == 0.0, b.toString)
+    // exact integer sums: counts per dim are the row counts
+    val n = SimilarityOps.embeddingDrift(ref, ortho, "embedding")
+      .select($"n_ref", $"n_cur").as[(Long, Long)].collect().toSet
+    assert(n == Set((2L, 1L)), n.toString)
+  }
+
   test("bruteTopK: rank 1 is the query itself with cosine ≈ 1") {
     val top = SimilarityOps.bruteTopK(queries, candidates, k = 5)
       .filter($"rn" === 1)
