@@ -329,6 +329,49 @@ object TextOps {
   def urlPath(url: Column): Column =
     regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
 
+  /** Canonical URL for crawl dedup — the normalization that makes
+    * recrawls of the same page COMPARE equal before any content is
+    * fetched or hashed: fragment stripped (never sent to the server),
+    * scheme+authority lowercased (case-insensitive per RFC 3986; the
+    * path is NOT — it is case-sensitive), default ports dropped
+    * (:80/http, :443/https), tracking query parameters removed
+    * (lowercase `utm_*`, `gclid`, `fbclid` — the conservative
+    * published set; other params keep their original order, which IS
+    * significant to some servers), and an empty path normalized to
+    * "/". Non-URL strings (no scheme://) yield NULL — a quarantine
+    * signal, not a fabricated canonical form.
+    *
+    * Pure regexp column program (zero-shuffle, codegen'd, and every
+    * pattern is RE2-compatible so an external engine can restate it).
+    * Deliberately NOT done: duplicate-slash collapse, dot-segment
+    * resolution, percent-decoding — each changes which resource some
+    * real servers serve, the line between canonicalization and
+    * rewriting. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val authNoPort =
+      when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    // tracking-param removal in three anchored passes: all non-leading
+    // occurrences, then a leading one with followers (keep the '?'),
+    // then a sole one (drop the '?') — order matters, the first pass
+    // guarantees at most one tracker remains for the anchored two
+    val tracker = "(utm_[^=&]*|gclid|fbclid)=[^&]*"
+    val q1 = regexp_replace(rest, "&" + tracker, "")
+    val q2 = regexp_replace(q1, "\\?" + tracker + "&", "?")
+    val q3 = regexp_replace(q2, "\\?" + tracker + "$", "")
+    when(scheme === "" || auth === "", lit(null).cast(StringType))
+      .otherwise(concat(scheme, lit("://"), authNoPort,
+        when(q3 === "", lit("/")).otherwise(q3)))
+  }
+
   /** Domain-diversity cap (the RefinedWeb/C4 front-stage shape): drop
     * blocklisted registrable domains, then keep at most `n` documents
     * per remaining domain — a deterministic uniform draw via

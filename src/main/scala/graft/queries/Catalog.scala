@@ -4564,6 +4564,93 @@ object Catalog {
     // to parquet), exception beats longest beats default — so the
     // bundled data file, the Spark expression compiler, and an
     // independent engine agree row-for-row.
+    // URL canonicalization for crawl dedup (TextOps.canonicalizeUrl):
+    // three deterministic messy-URL classes per doc (uppercase
+    // scheme/host + :443 + utm params + fragment; :80 http; fbclid
+    // tail) collapse to canonical forms, and classes 0 and 2 COLLIDE
+    // by construction (same site/page/param mods) — n_same_canon > 1
+    // rows are the recrawls a fetcher would skip. Pure regexp column
+    // program + one canonical-grain window count; every pattern
+    // RE2-compatible so DuckDB restates the chain verbatim (its
+    // regexp_replace needs the explicit 'g' flag where Spark is
+    // global by default — the cross-engine trap this oracle pins).
+    "text_url_canonical" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val site = concat(lit("Site"), (col("doc_id") % 25).cast(StringType),
+          lit(".Example"))
+        val page = (col("doc_id") % 50).cast(StringType)
+        val x = (col("doc_id") % 5).cast(StringType)
+        val url = when(col("doc_id") % 3 === 0, concat(
+            lit("HTTPS://WWW."), site, lit(":443/Page/"), page,
+            lit("?utm_source=feed&utm_id=9&x="), x, lit("#top")))
+          .when(col("doc_id") % 3 === 1, concat(
+            lit("http://www."), lower(site), lit(":80/Page/"), page))
+          .otherwise(concat(
+            lit("https://www."), lower(site), lit("/Page/"), page,
+            lit("?x="), x, lit("&fbclid=abc")))
+        val canon = docs.select(col("doc_id"), url.as("url"))
+          .withColumn("canon", TextOps.canonicalizeUrl(col("url")))
+        canon
+          .withColumn("n_same_canon",
+            count(lit(1)).over(Window.partitionBy(col("canon"))))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val tracker = "(utm_[^=&]*|gclid|fbclid)=[^&]*"
+        s"""WITH u AS (
+           |  SELECT doc_id,
+           |    CASE
+           |      WHEN doc_id % 3 = 0 THEN
+           |        'HTTPS://WWW.Site' || CAST(doc_id % 25 AS VARCHAR)
+           |        || '.Example:443/Page/' || CAST(doc_id % 50 AS VARCHAR)
+           |        || '?utm_source=feed&utm_id=9&x='
+           |        || CAST(doc_id % 5 AS VARCHAR) || '#top'
+           |      WHEN doc_id % 3 = 1 THEN
+           |        'http://www.site' || CAST(doc_id % 25 AS VARCHAR)
+           |        || '.example:80/Page/' || CAST(doc_id % 50 AS VARCHAR)
+           |      ELSE
+           |        'https://www.site' || CAST(doc_id % 25 AS VARCHAR)
+           |        || '.example/Page/' || CAST(doc_id % 50 AS VARCHAR)
+           |        || '?x=' || CAST(doc_id % 5 AS VARCHAR) || '&fbclid=abc'
+           |    END AS url
+           |  FROM documents),
+           |s1 AS (
+           |  SELECT doc_id, url,
+           |    regexp_replace(url, '#.*$$', '') AS nofrag
+           |  FROM u),
+           |s2 AS (
+           |  SELECT doc_id, url,
+           |    lower(regexp_extract(nofrag,
+           |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+           |    lower(regexp_extract(nofrag,
+           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+           |    regexp_extract(nofrag,
+           |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           |  FROM s1),
+           |s3 AS (
+           |  SELECT doc_id, url, scheme,
+           |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+           |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+           |         ELSE auth END AS auth2,
+           |    auth,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(rest, '&$tracker', '', 'g'),
+           |        '\\?$tracker&', '?'),
+           |      '\\?$tracker$$', '') AS q3
+           |  FROM s2),
+           |c AS (
+           |  SELECT doc_id, url,
+           |    CASE WHEN scheme = '' OR auth = '' THEN NULL
+           |      ELSE scheme || '://' || auth2 ||
+           |        CASE WHEN q3 = '' THEN '/' ELSE q3 END END AS canon
+           |  FROM s3)
+           |SELECT doc_id, url, canon,
+           |  count(*) OVER (PARTITION BY canon) AS n_same_canon
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
     "text_url_psl_domain" -> QuerySpec(
       (s, d) => {
         staged(d, "psl_rules") { dir =>

@@ -310,6 +310,35 @@ class TextOpsSpec extends SparkSpec {
     assert(p3._2 == 0L && p3._3 == 0L && p3._4 == "", s"null html: $p3")
   }
 
+  test("canonicalizeUrl: case, ports, trackers, fragments, null discipline") {
+    val cases = Seq(
+      // scheme+host lowercase, path case PRESERVED, :443 dropped for https
+      ("HTTPS://WWW.Ex.COM:443/Path/A", "https://www.ex.com/Path/A"),
+      // :80 dropped only for http; non-default ports kept
+      ("http://ex.com:80/a", "http://ex.com/a"),
+      ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+      ("https://ex.com:80/a", "https://ex.com:80/a"),
+      // fragment stripped; empty path → "/"
+      ("https://ex.com#frag", "https://ex.com/"),
+      // tracking params: leading-with-followers, middle, sole, multiple
+      ("https://ex.com/p?utm_source=a&id=2", "https://ex.com/p?id=2"),
+      ("https://ex.com/p?id=2&fbclid=x", "https://ex.com/p?id=2"),
+      ("https://ex.com/p?gclid=x", "https://ex.com/p"),
+      ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+      // non-tracking params keep their original order
+      ("https://ex.com/p?b=2&a=1", "https://ex.com/p?b=2&a=1"))
+    val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select($"i", TextOps.canonicalizeUrl($"url").as("c"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(out == cases.map(_._2), out.zip(cases).mkString("\n"))
+    // no scheme / garbage → NULL (quarantine, not a fabricated form)
+    val bad = Seq("notaurl", "www.ex.com/a", "").toDF("url")
+      .select(TextOps.canonicalizeUrl($"url").as("c"))
+      .filter($"c".isNotNull).count()
+    assert(bad == 0L)
+  }
+
   test("urlHost/urlDomain/urlPath: scheme, userinfo, port, query, edge cases") {
     import spark.implicits._
     val rows = Seq(
