@@ -5737,6 +5737,51 @@ object Catalog {
       },
       None),
 
+    // Compression-codec comparison over the SAME rows (the storage
+    // lever: at 100 TB the parquet codec choice is tens of TB and the
+    // scan-throughput/CPU trade): stage one lineitem projection under
+    // uncompressed/snappy/zstd/gzip, read back per-codec file counts
+    // and byte totals via the binaryFile source (distributed footer/
+    // length metadata — file CONTENT is never read), and row counts
+    // via parquet count (footer stats). Byte totals are
+    // writer/version-specific ⇒ rows-only, with the layout-keys
+    // discipline: bound_ok=1 asserts every codec preserved the row
+    // count AND every real codec beats uncompressed bytes. The tiny
+    // 4-row frame carries the cross-codec window comparisons.
+    "layout_codec_stats" -> QuerySpec(
+      (s, d) => {
+        val codecs = Seq("uncompressed", "snappy", "zstd", "gzip")
+        val perCodec = codecs.map { c =>
+          val dir = staged(d, s"layout_codec_$c") { p =>
+            t(s, d, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey"),
+                col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+              .write.option("compression", c).mode("overwrite").parquet(p)
+          }
+          val files = s.read.format("binaryFile").load(dir + "/*.parquet")
+            .agg(count(lit(1)).as("n_files"), sum(col("length")).as("bytes"))
+            .select(lit(c).as("codec"), col("n_files"), col("bytes"))
+          val rows = s.read.parquet(dir).agg(count(lit(1)).as("n_rows"))
+            .select(lit(c).as("codec"), col("n_rows"))
+          files.join(rows, Seq("codec"))
+        }.reduce(_ unionByName _)
+        val wAll = Window.orderBy(col("codec"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        perCodec
+          .withColumn("__base",
+            max(when(col("codec") === "uncompressed", col("bytes"))).over(wAll))
+          .withColumn("ratio", col("bytes").cast(DoubleType) / col("__base"))
+          .withColumn("bound_ok",
+            (col("n_rows") === max(col("n_rows")).over(wAll) &&
+              col("n_rows") === min(col("n_rows")).over(wAll) &&
+              col("n_files") > 0L &&
+              (col("codec") === "uncompressed" ||
+                col("bytes") < col("__base"))).cast(IntegerType))
+          .drop("__base")
+          .orderBy(col("codec"))
+      },
+      None),
+
     // Forward-fill gap imputation (LOCF): per-user series with every
     // 5th measurement deterministically nulled out on BOTH sides, so
     // the oracle checks real fills. value is carried through untouched

@@ -349,6 +349,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state store data source reads a running aggregation's state (ops introspection)") {
+    // spark.read.format("statestore") over a checkpoint is the
+    // operational window into streaming state — at production scale the
+    // first question about a misbehaving stateful query ("what IS in
+    // the store for key k?") must be answerable without instrumenting
+    // the job. The sibling "state-metadata" format enumerates operators
+    // and shard counts.
+    implicit val sqlCtx = spark.sqlContext
+    val cp = java.nio.file.Files.createTempDirectory("graft-ss-cp").toString
+    val ms = MemoryStream[(Long, Double)]
+    val q = ms.toDF.toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("total"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", cp)
+      .format("memory").queryName("ss_probe").start()
+    try {
+      ms.addData((1L, 2.0), (1L, 3.0), (2L, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the state value exposes the AGGREGATION BUFFER's physical field
+    // (`sum`), not the query's output alias — state introspection sees
+    // the operator's storage schema
+    val state = spark.read.format("statestore").load(cp)
+      .select($"key.k", $"value.sum")
+      .as[(Long, Double)].collect().toMap
+    assert(state == Map(1L -> 5.0, 2L -> 7.0), state.toString)
+    val meta = spark.read.format("state-metadata").load(cp)
+    assert(meta.count() >= 1, meta.columns.mkString(","))
+  }
+
   test("stream-stream time-range join matches the equivalent batch join") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000L
