@@ -386,31 +386,77 @@ object ProfileOps {
     * NULL measurements are excluded from both snapshots (the winsorize
     * null discipline: they are absent, not zero). */
   def snapshotDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
-      nBins: Int, driftThreshold: Double = 0.1): DataFrame = {
+      nBins: Int, driftThreshold: Double = 0.1): DataFrame =
+    driftScore(cur, driftFit(ref, valueCol, nBins), valueCol, driftThreshold)
+
+  /** FIT half of the drift monitor — freeze the reference distribution
+    * as a portable model frame, one row per bin: `bin`, `threshold`
+    * (the bin's UPPER quantile edge; NULL on the last bin) and `n_ref`
+    * (the reference's own occupancy). The model is parquet-able and
+    * reloadable, so at 100 TB the reference corpus is scanned at fit
+    * time ONCE EVER — every later refresh scores against the frozen
+    * frame (the bm25Fit/nbFit contract). Offline cost note: the 1-row
+    * threshold aggregate is referenced by both the self-binning pass
+    * and the threshold attach, so fit pays an extra reference
+    * aggregation — irrelevant for an offline one-time step, and
+    * keeping the plan barrier-free avoids the eager-checkpoint cost
+    * the agg_hll_merge measurement exposed. */
+  def driftFit(ref: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    require(driftThreshold > 0.0,
-      s"driftThreshold must be positive, got $driftThreshold")
     val q = "`" + valueCol.replace("`", "``") + "`"
     val v = col(q)
     val ps = (1 until nBins).map(k => k.toDouble / nBins)
     val bounds = ref.filter(v.isNotNull).agg(
       expr(s"percentile($q, array(${ps.mkString(", ")}))").as("__ts"))
-    def binCounts(df: DataFrame, out: String) =
-      df.filter(v.isNotNull).crossJoin(broadcast(bounds))
-        .select((1 until nBins)
-          .map(k => when(v > col("__ts").getItem(k - 1), 1).otherwise(0))
-          .reduce(_ + _).cast(IntegerType).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val counts = ref.filter(v.isNotNull).crossJoin(broadcast(bounds))
+      .select((1 until nBins)
+        .map(k => when(v > col("__ts").getItem(k - 1), 1).otherwise(0))
+        .reduce(_ + _).cast(IntegerType).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
     // full 0..nBins−1 spine: an empty bin is a DRIFT SIGNAL (share 0),
     // not a missing row
-    val spine = ref.sparkSession.range(nBins)
+    ref.sparkSession.range(nBins)
       .select(col("id").cast(IntegerType).as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref"))
+      .crossJoin(broadcast(bounds))
+      // element_at is 1-based: bin k's upper edge is the k+1-th
+      // threshold; the last bin is unbounded (NULL)
+      .withColumn("threshold", when(col("bin") < nBins - 1,
+        element_at(col("__ts"), col("bin") + 1)))
+      .select(col("bin"), col("threshold"), col("n_ref"))
+  }
+
+  /** SCORE half — bin the monitored snapshot with a FROZEN [[driftFit]]
+    * model and emit the per-bin drift statistics (see [[snapshotDrift]]
+    * for the column contract and portability discipline). The model's
+    * threshold rows fold back into ONE broadcast array in-plan; bin
+    * assignment counts the thresholds below each value
+    * (`size(filter(...))` over the ≤ nBins-element array — a monitoring
+    * pass, not the corpus hot path). `materializeUnlessLeaf` guards the
+    * double model reference (thresholds + n_ref) exactly as the search
+    * and LM scorers do. */
+  def driftScore(cur: DataFrame, model: DataFrame, valueCol: String,
+      driftThreshold: Double = 0.1): DataFrame = {
+    require(driftThreshold > 0.0,
+      s"driftThreshold must be positive, got $driftThreshold")
+    val q = "`" + valueCol.replace("`", "``") + "`"
+    val v = col(q)
+    val m = graft.ops.TextOps.materializeUnlessLeaf(model)
+    val bounds = m.filter(col("threshold").isNotNull)
+      .agg(sort_array(collect_list(struct(col("bin"), col("threshold"))))
+        .as("_s"))
+      .select(transform(col("_s"), e => e.getField("threshold")).as("__ts"))
+    val binned = cur.filter(v.isNotNull).crossJoin(broadcast(bounds))
+      .select(size(filter(col("__ts"), t => v > t))
+        .cast(IntegerType).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
     val wCum = Window.orderBy(col("bin"))
     val wAll = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    spine.join(binCounts(ref, "n_ref"), Seq("bin"), "left")
-      .join(binCounts(cur, "n_cur"), Seq("bin"), "left")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+    m.select(col("bin"), col("n_ref"))
+      .join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
       .withColumn("__nr", sum(col("n_ref")).over(wAll))
       .withColumn("__nc", sum(col("n_cur")).over(wAll))
       .withColumn("p_ref", col("n_ref").cast(DoubleType) / col("__nr"))

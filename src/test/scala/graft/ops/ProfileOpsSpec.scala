@@ -137,6 +137,26 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("driftFit model freezes: persist → reload → score ≡ direct snapshotDrift") {
+    // the bm25Fit contract applied to drift monitoring: the reference
+    // corpus is scanned once at fit, the parquet-able model scores any
+    // later refresh bit-identically to the in-plan composition
+    val ref = (1 to 100).map(i => ((i % 7).toDouble + i / 50.0)).toDF("v")
+    val cur = (1 to 80).map(i => ((i % 5).toDouble + i / 40.0)).toDF("v")
+    val direct = ProfileOps.snapshotDrift(ref, cur, "v", nBins = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    ProfileOps.driftFit(ref, "v", nBins = 4).write.mode("overwrite").parquet(dir)
+    val scored = ProfileOps.driftScore(cur, spark.read.parquet(dir), "v")
+      .collect().map(_.toString).sorted.toSeq
+    assert(scored == direct, s"$scored\nvs\n$direct")
+    // model shape: one row per bin, last threshold NULL (unbounded)
+    val model = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(model.length == 4 && model.last._2.isEmpty &&
+      model.init.forall(_._2.nonEmpty), model.toString)
+  }
+
   test("winsorize preserves NULL (must not fabricate the low bound for missing data)") {
     val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(1000.0)), (4L, Some(50.0)))
       .toDF("id", "v")
