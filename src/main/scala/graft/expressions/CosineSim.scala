@@ -194,7 +194,22 @@ object GraftFunctions {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))))
+          exprs(0), exprs(1))),
+    // Mergeable KLL quantile sketches (see KllSketch.scala): the
+    // rank/quantile companion to hll_sketch_agg's distinct sketches.
+    // kll_sketch_agg(doubleValue[, k]) → sketch bytes;
+    // kll_union_agg(sketchBytes[, k]) → merged bytes;
+    // kll_quantile(sketchBytes, rank) → estimate.
+    ("kll_sketch_agg", classOf[KllSketchAgg],
+      (exprs: Seq[Expression]) => KllSketchAgg(exprs(0),
+        exprs.lift(1).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(200)))),
+    ("kll_union_agg", classOf[KllUnionAgg],
+      (exprs: Seq[Expression]) => KllUnionAgg(exprs(0),
+        exprs.lift(1).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(200)))),
+    ("kll_quantile", classOf[KllQuantile],
+      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry

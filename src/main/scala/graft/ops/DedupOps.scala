@@ -862,6 +862,61 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"))
   }
 
+  /** Sorted-neighborhood record linkage: the classic blocking
+    * alternative to LSH for entity resolution (Hernández & Stolfo's
+    * merge/purge). Records sort by a normalized key WITHIN blocks and
+    * only each record's next `windowSize` neighbors in that order are
+    * compared — candidate count ≤ N·windowSize, never N², and the
+    * window rides ONE partitioned Window operator (one shuffle on the
+    * block key; no partition-less window, no self-join).
+    *
+    * Compared to MinHash-LSH: sorted neighborhood finds near-dups that
+    * share a PREFIX (names, titles, normalized addresses) at a fixed
+    * linear candidate budget, and degrades predictably under skew (a
+    * hot block costs block_size·windowSize pairs, not block_size²).
+    * The production recipe is multi-pass with different block keys;
+    * each pass is this function.
+    *
+    * Similarity = word-set Jaccard |A∩B| / |A∪B| over whitespace
+    * tokens — exact integer set sizes, ONE IEEE division, so the score
+    * is bit-identical in any engine (the house rational-presentation
+    * rule). Empty/whitespace-only texts are dropped (no token set to
+    * compare).
+    *
+    * Output: (id_a, id_b, sim) for neighbor pairs with sim ≥ `minSim`,
+    * id_a preceding id_b in block sort order. */
+  def sortedNeighborLinkage(
+      df: DataFrame, idCol: String, textCol: String, blockKey: Column,
+      windowSize: Int = 2, minSim: Double = 0.5): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(minSim >= 0 && minSim <= 1, s"minSim must be in [0,1], got $minSim")
+    val norm = lower(trim(col(textCol)))
+    val base = df
+      .select(col(idCol).as("_id"), norm.as("_nrm"), blockKey.as("_blk"))
+      .filter(length(col("_nrm")) > 0)
+      .withColumn("_toks", array_distinct(split(col("_nrm"), "\\s+")))
+    val w = Window.partitionBy(col("_blk")).orderBy(col("_nrm"), col("_id"))
+    // all offsets through one window spec ⇒ a single Window operator;
+    // explode fans each row into its ≤ windowSize candidate pairs
+    val leads = (1 to windowSize).map(k =>
+      struct(lead(col("_id"), k).over(w).as("_idb"),
+        lead(col("_toks"), k).over(w).as("_tb")))
+    val inter = size(array_intersect(col("_toks"), col("_tb")))
+    val uni = size(col("_toks")) + size(col("_tb")) - inter
+    base
+      // window expressions must be projected BEFORE the explode — a
+      // Generate operator cannot host them
+      .select(col("_id"), col("_toks"), array(leads: _*).as("_cands"))
+      .select(col("_id"), col("_toks"), explode(col("_cands")).as("_cand"))
+      .select(col("_id"), col("_toks"),
+        col("_cand._idb").as("_idb"), col("_cand._tb").as("_tb"))
+      .filter(col("_idb").isNotNull)
+      .withColumn("sim",
+        when(uni > 0, inter.cast(DoubleType) / uni.cast(DoubleType)))
+      .filter(col("sim") >= minSim)
+      .select(col("_id").as("id_a"), col("_idb").as("id_b"), col("sim"))
+  }
+
   /** Duplicated-span statistics: for each document, the fraction of its
     * token n-gram INSTANCES that occur more than once anywhere in the
     * corpus — the per-document signal behind exact-substring dedup

@@ -126,4 +126,43 @@ object Layout {
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
   }
+
+  /** Small-file compaction plan: group a table's files into contiguous
+    * target-size bins — the OPTIMIZE/rewrite planning step every
+    * lakehouse table needs once streaming/upsert writers have fragmented
+    * it (the small-files problem: at 100 TB, a million 1 MB files cost
+    * more in footer reads and task scheduling than the data scan).
+    * Greedy offset binning in path order ([[graft.ops.SampleOps
+    * .packSequences]]'s window): each bin holds adjacent files until
+    * `targetBytes`, overflowing by at most one straddling file — so a
+    * bin rewrite touches a contiguous path range, preserving any
+    * path-correlated sort/cluster order the table already has.
+    *
+    * Input grain is METADATA (one row per file via `_metadata`
+    * pruned-column scan — no data pages read), so the global pack
+    * window is over file COUNT, not rows; `partitionCol` shards the
+    * plan per table-partition when even file count is large (bins then
+    * never span partitions — exactly what a partition-aware OPTIMIZE
+    * wants).
+    *
+    * Output: one row per planned bin — (bin, n_files, bin_bytes,
+    * first_file, last_file). */
+  def compactionPlan(df: DataFrame, targetBytes: Long,
+      partitionCol: Option[Column] = None): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val files = df
+      .select(partitionCol.getOrElse(lit("ALL")).as("_part"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.file_size").as("size_bytes"))
+      .groupBy(col("_part"), col("file_path"))
+      .agg(max(col("size_bytes")).as("size_bytes"))
+    SampleOps.packSequences(files, "_part", "file_path", "size_bytes",
+      targetBytes)
+      .groupBy(col("_part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("bin_bytes"),
+        max(col("size_bytes")).as("max_file_bytes"),
+        min(col("file_path")).as("first_file"),
+        max(col("file_path")).as("last_file"))
+  }
 }

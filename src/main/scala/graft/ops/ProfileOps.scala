@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Data-quality profiling for pipeline gates (north-star extension): the
   * pre-training sanity pass every large corpus goes through — null
@@ -496,5 +496,122 @@ object ProfileOps {
         when(v.isNull, lit(null))
           .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
+  }
+
+  /** Per-group simple linear regression (closed-form OLS): one row per
+    * group with (n, slope, intercept, r2) for y ~ x — the per-segment
+    * trend fit a monitoring pipeline runs over every partition of a
+    * metric (is this source's quality drifting with document length?).
+    *
+    * Follows the corrMatrix numeric discipline: the five sums (Σx, Σy,
+    * Σx², Σy², Σxy) accumulate in exact DECIMAL(38,6) — so partial-agg
+    * order can't wiggle low bits — then one fixed chain of IEEE ops
+    * derives slope/intercept/r² (bit-identical on any cluster layout
+    * and in the DuckDB oracle restating the same chain). NOT
+    * regr_slope/regr_intercept: both engines implement those as
+    * streaming double accumulations whose results depend on
+    * partial-aggregation order. Degenerate groups (n ≤ 1 or zero x
+    * variance) yield NULL fit columns — undefined, not ±Inf/NaN.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the group key
+    * — a single shuffle of 6 decimals per group, no second scan, no
+    * join. try_sum + the magnitude guard surface out-of-domain columns
+    * loudly instead of returning a finite-but-wrong fit (corrMatrix's
+    * contract).
+    *
+    * Cross-engine presentation note (measured): keep Σx², Σy², Σxy
+    * under ~9e9 (i.e. ≤ 2⁵³ after the 10⁶ decimal scaling) if the fit
+    * must hash-match an engine that converts int128 decimals to double
+    * by double-rounding (int128→double, then ÷10⁶) — past that, its
+    * cast can sit 1 ulp off a correctly-rounded decimal→double and r²
+    * surfaces it. Pre-scale the inputs (e.g. price → price/1000); the
+    * slope/r² are scale-equivariant. */
+  def olsByGroup(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = (c: Column) => c.try_cast(DecimalType(38, 6))
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val cx = when(both, col(xCol))
+    val cy = when(both, col(yCol))
+    val agged = df.groupBy(col(keyCol))
+      .agg(
+        count(when(both, lit(1))).cast(DoubleType).as("__n"),
+        try_sum(dec(cx)).cast(DoubleType).as("__sx"),
+        try_sum(dec(cy)).cast(DoubleType).as("__sy"),
+        try_sum(dec(cx * cx)).cast(DoubleType).as("__sxx"),
+        try_sum(dec(cy * cy)).cast(DoubleType).as("__syy"),
+        try_sum(dec(cx * cy)).cast(DoubleType).as("__sxy"),
+        max(greatest(abs(col(xCol)), abs(col(yCol)))).as("__mx"))
+    val n = col("__n")
+    val sums = Seq("__sx", "__sy", "__sxx", "__syy", "__sxy").map(col)
+    val overflowed = n > 0.0 && sums.map(_.isNull).reduce(_ || _)
+    val dxx = n * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = n * col("__syy") - col("__sy") * col("__sy")
+    val dxy = n * col("__sxy") - col("__sx") * col("__sy")
+    val slope = dxy / dxx
+    val guard =
+      when(col("__mx") > 1e15, raise_error(lit(
+        s"olsByGroup: |$xCol|/|$yCol| exceeds 1e15 — products overflow " +
+          "the DECIMAL(38,6) accumulator; rescale before fitting")))
+        .when(overflowed, raise_error(lit(
+          s"olsByGroup: accumulated sums for ($xCol, $yCol) overflowed " +
+            "the DECIMAL(38,6) accumulator; rescale before fitting")))
+    agged
+      .withColumn("slope", guard.otherwise(
+        when(n > 1.0 && dxx > 0.0, slope)))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (col("__sy") - col("slope") * col("__sx")) / n))
+      .withColumn("r2",
+        when(col("slope").isNotNull && dyy > 0.0,
+          (dxy * dxy) / (dxx * dyy)))
+      .select(col(keyCol), n.cast(LongType).as("n"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** Robust per-group outlier summary via median absolute deviation:
+    * one row per group with (n, med, mad, n_outliers) where an outlier
+    * is |x − median| > k·MAD — the heavy-tail-safe alternative to
+    * z-scores (a single corrupt sentinel moves a mean/stddev gate, not
+    * a median/MAD one).
+    *
+    * Two exact `percentile` aggregates (median, then median of
+    * absolute deviations), each a slim per-group row broadcast back —
+    * the winsorize scalar-frame shape, per group. Determinism: both
+    * engines interpolate the 0.5 quantile as the midpoint of the two
+    * central values (Spark `percentile` ≡ DuckDB `quantile_cont`), so
+    * inputs exact at some resolution (integer-valued doubles here)
+    * stay exactly representable through med, |x−med| and k·MAD, making
+    * every comparison bit-determined.
+    *
+    * Scale caveat (quantileBins' twin): exact `percentile` buffers the
+    * group's values in one aggregation buffer. `approxMedian = true`
+    * swaps both aggregates to `approx_percentile(…, accuracy)` —
+    * bounded memory at 100 TB, rank error ≤ 1/accuracy; the oracled
+    * key uses the exact mode. MAD = 0 (over half the group at the
+    * median) makes ANY deviation an outlier — the conventional
+    * degenerate reading. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Double = 3.0, approxMedian: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0, s"madOutliers: k must be > 0, got $k")
+    val q = "`" + valueCol.replace("`", "``") + "`"
+    def med(c: String): Column =
+      if (approxMedian) expr(s"approx_percentile($c, 0.5D, $accuracy)")
+        .cast(DoubleType)
+      else expr(s"percentile($c, 0.5D)")
+    val medians = df.groupBy(col(keyCol))
+      .agg(med(q).as("__med"), count(col(q)).as("__n"))
+    val withDev = df.join(broadcast(medians), Seq(keyCol))
+      .withColumn("__dev", abs(col(q) - col("__med")))
+    val mads = withDev.groupBy(col(keyCol))
+      .agg(med("__dev").as("__mad"))
+    withDev.join(broadcast(mads), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
   }
 }

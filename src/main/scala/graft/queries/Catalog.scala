@@ -700,6 +700,49 @@ object Catalog {
       },
       None),
 
+    // MERGEABLE KLL quantile sketches (graft.expressions.KllSketchAgg —
+    // the repo's TypedImperativeAggregate UDAF surface): the quantile
+    // companion to agg_hll_merge. Every group aggregates its own KLL
+    // sketch of extendedprice; the global row is a CENTRAL UNION of the
+    // sketch BYTES (kll_union_agg) — rows never re-touched, the exact
+    // per-shard-percentile question `percentile` cannot answer after
+    // the data is gone. Estimates are impl-specific ⇒ rows-only, but
+    // per-row the estimate is a CHECKED bound: KLL k=200 holds
+    // normalized rank error ~1.33%, so the p50 estimate must land
+    // between the EXACT 0.47 and 0.53 quantiles (2.2× margin),
+    // asserted for every group AND the union row in-query. The exact
+    // percentile triple is oracle-scaffolding cost only — production
+    // stores just the sketch column.
+    "agg_kll_merge" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val li = t(s, d, "lineitem")
+        val exact =
+          expr("percentile(l_extendedprice, array(0.47D, 0.5D, 0.53D))")
+        val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(call_function("kll_sketch_agg",
+              col("l_extendedprice"), lit(200)).as("_sk"),
+            exact.as("_ex"))
+        val globalRow = perGroup
+          .agg(call_function("kll_union_agg", col("_sk"), lit(200)).as("_sk"))
+          .crossJoin(broadcast(li.agg(exact.as("_ex"))))
+          .select(lit("ALL").as("grp"), col("_sk"), col("_ex"))
+        perGroup.select(col("grp"), col("_sk"), col("_ex"))
+          .unionByName(globalRow)
+          .withColumn("est_p50",
+            call_function("kll_quantile", col("_sk"), lit(0.5d)))
+          .withColumn("exact_p50", element_at(col("_ex"), 2))
+          .withColumn("lo_q47", element_at(col("_ex"), 1))
+          .withColumn("hi_q53", element_at(col("_ex"), 3))
+          .withColumn("within_bound",
+            (col("est_p50") >= col("lo_q47") &&
+              col("est_p50") <= col("hi_q53")).cast(IntegerType))
+          .select(col("grp"), col("exact_p50"), col("est_p50"),
+            col("lo_q47"), col("hi_q53"), col("within_bound"))
+          .orderBy(col("grp"))
+      },
+      None),
+
     // EXACT mergeable distinct counting via bitmaps — the precise
     // companion to agg_hll_merge's approximate sketches: values bucket
     // into fixed 32768-bit bitmaps (bitmap_bucket_number /
@@ -5105,6 +5148,82 @@ object Catalog {
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
       }),
 
+    // Per-group closed-form OLS (ProfileOps.olsByGroup): slope /
+    // intercept / r² of price-in-thousands ~ quantity within each
+    // return flag — the per-segment trend fit, ONE map-side-combinable
+    // aggregate (6 decimals shuffle per group). Exact DECIMAL(38,6)
+    // sums → a fixed IEEE chain, the profile_corr determinism recipe,
+    // so the fit is hash-exact against the oracle restating the same
+    // chain (NOT regr_slope: both engines stream doubles order-
+    // dependently there). y is PRE-SCALED /1000 (one IEEE divide,
+    // identical both engines) so Σy²·10⁶ stays under 2⁵³: past that,
+    // DuckDB's int128-decimal→double cast double-rounds (int128→double
+    // then /1e6) and can sit 1 ulp off Spark's correctly-rounded
+    // decimal→double — invisible through profile_corr's sqrt but
+    // surfaced raw in r²'s dyy product (measured on this fixture).
+    "profile_regression" -> QuerySpec(
+      (s, d) => ProfileOps.olsByGroup(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"), (col("l_extendedprice") / 1000).as("price_k")),
+        "l_returnflag", "l_quantity", "price_k")
+        .orderBy(col("l_returnflag")),
+      Some("""WITH li AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    l_extendedprice / 1000 AS y FROM lineitem),
+             |a AS (
+             |  SELECT l_returnflag,
+             |    CAST(count(CASE WHEN l_quantity IS NOT NULL
+             |      AND y IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND y IS NOT NULL THEN l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND y IS NOT NULL THEN y END AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND y IS NOT NULL THEN l_quantity * l_quantity END AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND y IS NOT NULL THEN y * y END AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(CASE WHEN l_quantity IS NOT NULL AND y IS NOT NULL THEN l_quantity * y END AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             |  FROM li GROUP BY 1)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 1 AND n*sxx - sx*sx > 0
+             |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+             |  CASE WHEN n > 1 AND n*sxx - sx*sx > 0
+             |    THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+             |  END AS intercept,
+             |  CASE WHEN n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             |    THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             |       / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r2
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // Robust per-group outliers via median absolute deviation
+    // (ProfileOps.madOutliers): event values quantized to integer
+    // cents (exact at 0.5 resolution through median, |x−med| and
+    // 3·MAD, so every comparison is bit-determined), grouped into 7
+    // user cohorts. The heavy-tail-safe anomaly gate a metrics
+    // pipeline runs per segment — a corrupt sentinel moves a
+    // mean/stddev gate, not a median/MAD one. Exact `percentile` ≡
+    // `quantile_cont` (the fn_percentile-pinned identity); the
+    // approxMedian flag is the bounded-memory 100 TB mode
+    // (unit-compared in ProfileOpsSpec), the oracled key runs exact.
+    "profile_mad_outliers" -> QuerySpec(
+      (s, d) => ProfileOps.madOutliers(
+        t(s, d, "events").select(
+          (col("user_id") % 7).as("grp"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "grp", "cents", k = 3.0)
+        .orderBy(col("grp")),
+      Some("""WITH e AS (
+             |  SELECT user_id % 7 AS grp,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |m AS (SELECT grp, quantile_cont(cents, 0.5) AS med,
+             |        count(cents) AS n FROM e GROUP BY 1),
+             |d AS (SELECT e.grp, abs(e.cents - m.med) AS dev, m.med, m.n
+             |      FROM e JOIN m USING (grp)),
+             |md AS (SELECT grp, quantile_cont(dev, 0.5) AS mad
+             |       FROM d GROUP BY 1)
+             |SELECT d.grp, CAST(max(d.n) AS BIGINT) AS n, max(d.med) AS med,
+             |  max(md.mad) AS mad,
+             |  CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.
@@ -5421,6 +5540,59 @@ object Catalog {
     // fresh id with its first two tokens dropped) give true positives
     // with a known small edit distance; the corpus text column never
     // shuffles (both attachment joins broadcast the pair side).
+    // Sorted-neighborhood record linkage (DedupOps.sortedNeighborLinkage,
+    // Hernández & Stolfo merge/purge): records sort by normalized text
+    // INSIDE 8-char-prefix blocks and compare only each record's next 2
+    // neighbors — candidate count ≤ N·2, one partitioned Window (single
+    // shuffle on the block key), no self-join, no N². The blocking
+    // complement to MinHash-LSH for prefix-sharing near-dups; planted
+    // truncated twins (last 2 words dropped, so the sort prefix
+    // survives) verify recall. Word-set Jaccard = exact integer set
+    // sizes + ONE IEEE division ⇒ fully oracled.
+    "dedup_record_linkage" -> QuerySpec(
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text"))
+        val words = split(col("text"), " ")
+        val planted = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            array_join(slice(words, lit(1), greatest(size(words) - 2, lit(1))),
+              " ").as("text"))
+        DedupOps.sortedNeighborLinkage(base.unionByName(planted),
+          "doc_id", "text",
+          blockKey = substring(lower(trim(col("text"))), 1, 8),
+          windowSize = 2, minSim = 0.6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 400
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |    array_to_string((string_split(text, ' '))
+             |      [1:greatest(len(string_split(text, ' ')) - 2, 1)], ' ')
+             |  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0),
+             |n AS (SELECT id, lower(trim(text)) AS nrm FROM docs
+             |      WHERE length(lower(trim(text))) > 0),
+             |b AS (SELECT id, nrm, substring(nrm, 1, 8) AS blk,
+             |        list_distinct(regexp_split_to_array(nrm, '\s+')) AS toks
+             |      FROM n),
+             |l AS (SELECT id, toks, blk,
+             |    lead(id, 1) OVER w AS id1, lead(toks, 1) OVER w AS t1,
+             |    lead(id, 2) OVER w AS id2, lead(toks, 2) OVER w AS t2
+             |  FROM b WINDOW w AS (PARTITION BY blk ORDER BY nrm, id)),
+             |p AS (
+             |  SELECT id AS id_a, id1 AS id_b,
+             |    CAST(len(list_intersect(toks, t1)) AS DOUBLE) /
+             |      (len(toks) + len(t1) - len(list_intersect(toks, t1))) AS sim
+             |  FROM l WHERE id1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT id, id2,
+             |    CAST(len(list_intersect(toks, t2)) AS DOUBLE) /
+             |      (len(toks) + len(t2) - len(list_intersect(toks, t2)))
+             |  FROM l WHERE id2 IS NOT NULL)
+             |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     "dedup_edit_distance" -> QuerySpec(
       (s, d) => {
         val base = t(s, d, "documents").filter(col("doc_id") < 60)
@@ -5779,6 +5951,37 @@ object Catalog {
                 col("bytes") < col("__base"))).cast(IntegerType))
           .drop("__base")
           .orderBy(col("codec"))
+      },
+      None),
+
+    // Small-file compaction planning (Layout.compactionPlan): stage the
+    // documents table deliberately FRAGMENTED (24 small files — the
+    // state a streaming/upsert writer leaves behind), then plan
+    // contiguous target-size rewrite bins from a `_metadata`-only scan
+    // (no data pages read). The OPTIMIZE planning step of a lakehouse
+    // table; greedy offset binning overflows a bin by at most its one
+    // straddling file, asserted per row (bin_bytes ≤ target +
+    // max_file_bytes), with ≥1 file and internal consistency
+    // (max_file_bytes ≤ bin_bytes) — file names/sizes are
+    // writer-specific ⇒ rows-only with the checked bound.
+    "layout_compaction_plan" -> QuerySpec(
+      (s, d) => {
+        // sf0.01's 24 staged shards are ~5 KB each — 16 KB targets give
+        // a multi-bin plan (≈3 files/bin) at every SF
+        val target = 16L * 1024
+        val dir = staged(d, "layout_compaction") { p =>
+          t(s, d, "documents").repartition(24)
+            .write.mode("overwrite").parquet(p)
+        }
+        Layout.compactionPlan(s.read.parquet(dir), targetBytes = target)
+          .withColumn("bound_ok",
+            (col("n_files") >= 1L &&
+              col("max_file_bytes") <= col("bin_bytes") &&
+              col("bin_bytes") <= lit(target) + col("max_file_bytes"))
+              .cast(IntegerType))
+          .select(col("bin"), col("n_files"), col("bin_bytes"),
+            col("max_file_bytes"), col("bound_ok"))
+          .orderBy(col("bin"))
       },
       None),
 

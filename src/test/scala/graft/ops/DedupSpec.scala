@@ -589,4 +589,38 @@ class DedupSpec extends SparkSpec {
       .select($"text_dedup").as[String].head()
     assert(got == "t1 t2 t3 t4 t5 t6 t7")
   }
+
+  test("sortedNeighborLinkage finds prefix-sharing near-dups within the window") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon"), // truncated twin of 1
+      (3L, "alpha beta gamma delta"), // twin of 2 within window of 1
+      (10L, "totally unrelated text about parquet files"),
+      (11L, "   "), // whitespace-only: dropped, no empty token set
+      (12L, "zz distinct singleton row")).toDF("id", "text")
+    val out = DedupOps.sortedNeighborLinkage(
+      df, "id", "text", blockKey = substring(lower(trim($"text")), 1, 5),
+      windowSize = 2, minSim = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // sort order inside block "alpha": 3 ("…delta"), 2, 1 — so pairs
+    // (3,2) jacc 4/5, (3,1) 4/6, (2,1) 5/6
+    assert(out.map(p => (p._1, p._2)) == Set((3L, 2L), (3L, 1L), (2L, 1L)))
+    assert(out.find(p => p._1 == 3L && p._2 == 2L).get._3 == 0.8)
+    assert(out.find(p => p._1 == 2L && p._2 == 1L).get._3 == 5.0 / 6.0)
+    // windowSize 1 drops the distance-2 pair
+    val w1 = DedupOps.sortedNeighborLinkage(
+      df, "id", "text", blockKey = substring(lower(trim($"text")), 1, 5),
+      windowSize = 1, minSim = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(w1.map(p => (p._1, p._2)) == Set((3L, 2L), (2L, 1L)))
+  }
+
+  test("sortedNeighborLinkage plans ONE partitioned window, no join") {
+    val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
+    val plan = DedupOps.sortedNeighborLinkage(
+      df, "id", "text", blockKey = substring($"text", 1, 2))
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }

@@ -127,4 +127,31 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet ==
       pts.as[(Long, Long)].collect().toSet)
   }
+
+  test("compactionPlan: contiguous bins, straddler-bounded, byte-preserving") {
+    val df = (1L to 5000L).map(i => (i, s"payload-$i-${"x" * 64}")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("lay_cp").toFile.getAbsolutePath
+    df.repartition(12).write.mode("overwrite").parquet(dir)
+    val target = 16L * 1024
+    val plan = Layout.compactionPlan(spark.read.parquet(dir), target)
+      .select($"bin", $"n_files", $"bin_bytes", $"max_file_bytes")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(plan.nonEmpty)
+    // every file is planned exactly once: bytes and file count add up
+    val files = spark.read.parquet(dir)
+      .select($"_metadata.file_path", $"_metadata.file_size")
+      .distinct().as[(String, Long)].collect()
+    assert(plan.map(_._2).sum == files.length)
+    assert(plan.map(_._3).sum == files.map(_._2).sum)
+    // greedy offset binning: a bin exceeds target by at most its
+    // largest (straddling) file
+    plan.foreach { case (bin, n, bytes, mx) =>
+      assert(n >= 1 && mx <= bytes, s"bin $bin inconsistent")
+      assert(bytes <= target + mx, s"bin $bin over budget: $bytes")
+    }
+    // a target larger than the table collapses the plan to one bin
+    val one = Layout.compactionPlan(spark.read.parquet(dir), 1L << 30)
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+    assert(one.length == 1 && one.head._3 == files.length)
+  }
 }

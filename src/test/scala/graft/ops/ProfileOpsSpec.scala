@@ -351,4 +351,77 @@ class ProfileOpsSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size >= 1)
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
   }
+
+  test("olsByGroup: hand-computed fit; degenerate groups get NULL") {
+    // y = 2x + 1 exactly for group "a" → slope 2, intercept 1, r2 1
+    val a = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0))
+    // group "b": single point → NULL fit; group "c": zero x variance
+    val b = Seq(("b", 4.0, 4.0))
+    val c = Seq(("c", 5.0, 1.0), ("c", 5.0, 9.0))
+    val out = ProfileOps.olsByGroup(
+      (a ++ b ++ c).toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a")._2 == 3)
+    assert(math.abs(out("a")._3.get - 2.0) < 1e-12)
+    assert(math.abs(out("a")._4.get - 1.0) < 1e-12)
+    assert(math.abs(out("a")._5.get - 1.0) < 1e-12)
+    assert(out("b")._3.isEmpty && out("b")._4.isEmpty && out("b")._5.isEmpty)
+    assert(out("c")._3.isEmpty)
+    // NULL x/y rows are pairwise-deleted, not zero-filled
+    val withNulls = ProfileOps.olsByGroup(
+      (a.map { case (g, x, y) => (g, Some(x), Some(y)) } :+
+        (("a", None: Option[Double], Some(99.0)))).toDF("g", "x", "y"),
+      "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(withNulls._2 == 3 && math.abs(withNulls._3.get - 2.0) < 1e-12)
+  }
+
+  test("olsByGroup fails loud outside the decimal accumulator's domain") {
+    val df = Seq(("a", 1e16, 2.0), ("a", 2e16, 3.0)).toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      ProfileOps.olsByGroup(df, "g", "x", "y").collect()
+    }
+    assert(e.getMessage.contains("olsByGroup"), e.getMessage)
+  }
+
+  test("olsByGroup is one aggregate — a single shuffle on the group key") {
+    val df = Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)).toDF("g", "x", "y")
+    val plan = ProfileOps.olsByGroup(df, "g", "x", "y")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("madOutliers: hand-computed median/MAD and outlier count") {
+    // group "a": values 1..9 plus a 100 sentinel → med 5.5, devs
+    // {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5} → mad 2.5, outliers
+    // (dev > 7.5): {100} and 1 (dev 4.5? no) → just the sentinel
+    val rows = ((1 to 9).map(v => ("a", v.toLong)) :+ (("a", 100L))) ++
+      Seq(("b", 7L)) // single-value group: med 7, mad 0, no outliers
+    val out = ProfileOps.madOutliers(rows.toDF("g", "v"), "g", "v", k = 3.0)
+      .as[(String, Long, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a")._2 == 10)
+    assert(out("a")._3 == 5.5)
+    assert(out("a")._4 == 2.5)
+    assert(out("a")._5 == 1L)
+    assert(out("b") == (("b", 1L, 7.0, 0.0, 0L)))
+  }
+
+  test("madOutliers approx mode agrees with exact on modest groups") {
+    val rows = (1 to 500).map(v => ("g", (v % 97).toLong))
+    val exact = ProfileOps.madOutliers(rows.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Double, Double, Long)].collect().head
+    val approx = ProfileOps.madOutliers(
+      rows.toDF("g", "v"), "g", "v", approxMedian = true)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    // approx_percentile at accuracy 10000 is exact-rank on 500 rows up
+    // to the interpolation convention (it returns an actual data value,
+    // not the midpoint) — allow the half-step slack
+    assert(approx._2 == exact._2)
+    assert(math.abs(approx._3 - exact._3) <= 1.0, s"$approx vs $exact")
+    assert(math.abs(approx._4 - exact._4) <= 1.0, s"$approx vs $exact")
+  }
 }
