@@ -209,7 +209,26 @@ object GraftFunctions {
         exprs.lift(1).getOrElse(
           org.apache.spark.sql.catalyst.expressions.Literal(200)))),
     ("kll_quantile", classOf[KllQuantile],
-      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))),
+    // Theta set-algebra sketches (see ThetaSketch.scala): |A∩B| / |A\B|
+    // over independently-built sketches — the set-op member of the
+    // sketch suite. theta_sketch_agg(value[, lgK]) → compact bytes;
+    // theta_union_agg(bytes[, lgK]); theta_intersect(a, b);
+    // theta_a_not_b(a, b); theta_estimate(bytes).
+    ("theta_sketch_agg", classOf[ThetaSketchAgg],
+      (exprs: Seq[Expression]) => ThetaSketchAgg(exprs(0),
+        exprs.lift(1).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(12)))),
+    ("theta_union_agg", classOf[ThetaUnionAgg],
+      (exprs: Seq[Expression]) => ThetaUnionAgg(exprs(0),
+        exprs.lift(1).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(12)))),
+    ("theta_intersect", classOf[ThetaIntersect],
+      (exprs: Seq[Expression]) => ThetaIntersect(exprs(0), exprs(1))),
+    ("theta_a_not_b", classOf[ThetaANotB],
+      (exprs: Seq[Expression]) => ThetaANotB(exprs(0), exprs(1))),
+    ("theta_estimate", classOf[ThetaEstimate],
+      (exprs: Seq[Expression]) => ThetaEstimate(exprs(0))))
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry

@@ -743,6 +743,64 @@ object Catalog {
       },
       None),
 
+    // Theta SET-ALGEBRA sketches (graft.expressions.ThetaSketchAgg):
+    // the |A∩B| / |A\B| member of the sketch suite — HLL/bitmap answer
+    // |A|, KLL answers quantiles, CMS answers frequencies; theta
+    // answers overlap questions over sketches built INDEPENDENTLY
+    // (audience overlap, cross-corpus contamination) without ever
+    // co-shuffling the raw keys. Each return flag aggregates its own
+    // compact sketch of the order-key set; the pairwise intersections
+    // and differences are then scalar ops over three sketch blobs.
+    // Estimates are impl-specific ⇒ rows-only, but each row CHECKS its
+    // estimate against the exact intersection (computed via one
+    // distinct + self-equi-join — oracle-scaffolding cost only) at a
+    // 10% relative bound (lgK=12 ⇒ ~1.6% per-sketch RSE; intersection
+    // error compounds, hence the margin), plus the set identity
+    // |A∩B| + |A\B| ≈ |A| at the same bound.
+    "agg_theta_setops" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val li = t(s, d, "lineitem")
+        val sk = li.groupBy(col("l_returnflag").as("flag"))
+          .agg(call_function("theta_sketch_agg",
+              col("l_orderkey"), lit(12)).as("_sk"),
+            countDistinct(col("l_orderkey")).as("exact_n"))
+        val flags = li.select(col("l_orderkey"), col("l_returnflag")).distinct()
+        val exactInter = flags.as("fx")
+          .join(flags.as("fy"),
+            col("fx.l_orderkey") === col("fy.l_orderkey") &&
+              col("fx.l_returnflag") < col("fy.l_returnflag"))
+          .groupBy(col("fx.l_returnflag").as("fa"),
+            col("fy.l_returnflag").as("fb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        val pairs = sk
+          .select(col("flag").as("fa"), col("_sk").as("_ska"),
+            col("exact_n").as("exact_a"))
+          .crossJoin(broadcast(sk.select(col("flag").as("fb"),
+            col("_sk").as("_skb"))))
+          .filter(col("fa") < col("fb"))
+        val inter = call_function("theta_estimate",
+          call_function("theta_intersect", col("_ska"), col("_skb")))
+        val diff = call_function("theta_estimate",
+          call_function("theta_a_not_b", col("_ska"), col("_skb")))
+        pairs.join(broadcast(exactInter), Seq("fa", "fb"), "left")
+          .na.fill(0L, Seq("exact_inter"))
+          .withColumn("est_inter", inter)
+          .withColumn("est_diff", diff)
+          .withColumn("rel_err",
+            round(abs(col("est_inter") - col("exact_inter")) /
+              greatest(col("exact_inter"), lit(1L)), 4))
+          .withColumn("within_bound",
+            (col("rel_err") <= 0.10 &&
+              abs(col("est_inter") + col("est_diff") - col("exact_a")) <=
+                lit(0.10) * col("exact_a")).cast(IntegerType))
+          .select(col("fa"), col("fb"), col("exact_a"), col("exact_inter"),
+            col("est_inter"), col("est_diff"), col("rel_err"),
+            col("within_bound"))
+          .orderBy(col("fa"), col("fb"))
+      },
+      None),
+
     // EXACT mergeable distinct counting via bitmaps — the precise
     // companion to agg_hll_merge's approximate sketches: values bucket
     // into fixed 32768-bit bitmaps (bitmap_bucket_number /
@@ -1498,6 +1556,93 @@ object Catalog {
              |EXCEPT
              |SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal < 0
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    // is the answer — min(countA, countB) / countA − countB copies per
+    // row — which DISTINCT-flavored setop_intersect/except destroy.
+    // The dedup-bookkeeping semantics (how many copies survive), and a
+    // different physical plan: Spark rewrites both to an aggregate of
+    // per-side counts + generate, never a join.
+    "setop_intersect_all" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.filter(col("l_quantity") > 10).select(col("l_returnflag"), col("l_linenumber"))
+        val b = li.filter(col("l_discount") > 0.02).select(col("l_returnflag"), col("l_linenumber"))
+        a.intersectAll(b).orderBy(col("l_returnflag"), col("l_linenumber"))
+      },
+      Some("""SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_quantity > 10
+             |INTERSECT ALL
+             |SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_discount > 0.02
+             |ORDER BY l_returnflag, l_linenumber""".stripMargin)),
+
+    "setop_except_all" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.select(col("l_returnflag"), col("l_linenumber"))
+        val b = li.filter(col("l_quantity") > 25).select(col("l_returnflag"), col("l_linenumber"))
+        a.exceptAll(b).orderBy(col("l_returnflag"), col("l_linenumber"))
+      },
+      Some("""SELECT l_returnflag, l_linenumber FROM lineitem
+             |EXCEPT ALL
+             |SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_quantity > 25
+             |ORDER BY l_returnflag, l_linenumber""".stripMargin)),
+
+    // NULL-safe equality join (<=> / IS NOT DISTINCT FROM): the join
+    // variant where NULL keys MATCH each other — plain equi-join
+    // silently drops them, the classic missing-dimension-key bug. Both
+    // sides aggregate to the key grain FIRST (slim inputs; a raw
+    // null-safe join would cross-product every NULL-key row pair), the
+    // priority '1-URGENT' is mapped to NULL on both engines to make
+    // the matched-NULL row observable. Ordering pins NULLS FIRST
+    // explicitly — the engines' ASC defaults differ.
+    "join_null_safe" -> QuerySpec(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val key = nullif(col("o_orderpriority"), lit("1-URGENT")).as("pr")
+        val a = o.groupBy(key).agg(count(lit(1)).as("n_all"))
+        // distinct alias on the right key sidesteps self-join ambiguity
+        // (both sides derive from the same scan)
+        val b = o.filter(col("o_totalprice") > 150000)
+          .groupBy(key).agg(count(lit(1)).as("n_big"))
+          .withColumnRenamed("pr", "pr_b")
+        a.join(b, col("pr") <=> col("pr_b"), "left")
+          .select(col("pr"), col("n_all"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"))
+          .orderBy(col("pr").asc_nulls_first)
+      },
+      Some("""WITH a AS (
+             |  SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             |    count(*) AS n_all FROM orders GROUP BY 1),
+             |b AS (
+             |  SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             |    count(*) AS n_big FROM orders
+             |  WHERE o_totalprice > 150000 GROUP BY 1)
+             |SELECT a.pr, a.n_all, coalesce(b.n_big, 0) AS n_big
+             |FROM a LEFT JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+             |ORDER BY a.pr NULLS FIRST""".stripMargin)),
+
+    // Join fan-out profile: the multiplicity histogram of a
+    // parent→child join (how many lineitems per order, INCLUDING
+    // zero-child parents via the left join) — the data-modeling gate
+    // that catches join explosion before a 100 TB query pays for it:
+    // a fan histogram with a heavy tail means the join key is not what
+    // the modeler thinks it is. Two slim aggregations (child counts,
+    // then histogram) + one broadcast-size left join.
+    "profile_join_fanout" -> QuerySpec(
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("_fan"))
+        t(s, d, "orders").select(col("o_orderkey"))
+          .join(per, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(coalesce(col("_fan"), lit(0L)).as("fan"))
+          .groupBy(col("fan")).agg(count(lit(1)).as("n_parents"))
+          .orderBy(col("fan"))
+      },
+      Some("""WITH per AS (
+             |  SELECT l_orderkey, count(*) AS fan FROM lineitem GROUP BY 1)
+             |SELECT coalesce(per.fan, 0) AS fan, count(*) AS n_parents
+             |FROM orders LEFT JOIN per ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // -------------------------------------------------------------- windows
     // Extension surface (SURVEY.md §2.6): ranking / analytic / frames.
@@ -5514,6 +5659,43 @@ object Catalog {
              |FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
              |  filename = true, file_row_number = true)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Deletion-vector read (merge-on-read): deletes recorded at
+    // METADATA grain — (file, row position) pairs, the
+    // scan_row_provenance coordinates — and applied at scan time as a
+    // broadcast anti-join, so a delete never rewrites a data file.
+    // The lakehouse DV pattern at 100 TB: a MERGE touching 0.1% of
+    // rows writes kilobytes of positions instead of re-staging
+    // terabytes of parquet, while the scan keeps its pushdown/pruning
+    // (the anti-join is on metadata columns the reader materializes
+    // for free). Oracled: DV-filtered read ≡ the predicate complement.
+    "upsert_deletion_vectors" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "upsert_dv") { p =>
+          t(s, d, "orders").repartition(8, col("o_orderkey"))
+            .write.mode("overwrite").parquet(p)
+        }
+        // the DV build is one provenance scan (a real MERGE emits these
+        // positions as its write-side artifact)
+        val dv = s.read.parquet(dir)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("_metadata.file_path").as("_dv_file"),
+            col("_metadata.row_index").as("_dv_idx"))
+        s.read.parquet(dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"),
+            col("_metadata.file_path").as("_f"),
+            col("_metadata.row_index").as("_i"))
+          .join(broadcast(dv),
+            col("_f") === col("_dv_file") && col("_i") === col("_dv_idx"),
+            "left_anti")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |ORDER BY o_orderkey""".stripMargin)),
 
     // Windowed EWMA: aggregate-HOF fold over a collect_list ROWS frame —
     // a FIXED left-to-right IEEE op chain, so DuckDB's list_reduce

@@ -205,10 +205,17 @@ class PlanSpec extends SparkSpec {
                                // (the bound_ok ceiling check)
       "profile_snapshot_drift", // 2× 1-row quantile-thresholds scalar
                                // broadcast (ref + monitored binning)
-      "layout_codec_stats")    // per-codec 1-row × 1-row merge (file
+      "layout_codec_stats",    // per-codec 1-row × 1-row merge (file
                                // stats × row count): literal join keys
                                // constant-fold away, leaving the
                                // sanctioned tiny-frame BNLJ
+      "agg_kll_merge",         // 1-row union-sketch × 1-row exact-
+                               // percentile broadcast (agg_hll_merge's
+                               // exact shape, quantile flavor)
+      "agg_theta_setops")      // 3-row × 3-row sketch-pair frame (one
+                               // blob per return flag; the pairwise
+                               // set-op grid is the POINT — the raw
+                               // keys never join)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -52,7 +52,10 @@ class ExpressionSpec extends SparkSpec {
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
         "simhash_sig", "shingle_array", "nfkc_normalize", "sorted_inter_size",
-        "ngram_generate", "bloom_filter_agg", "might_contain"))
+        "ngram_generate", "bloom_filter_agg", "might_contain",
+        "kll_sketch_agg", "kll_union_agg", "kll_quantile",
+        "theta_sketch_agg", "theta_union_agg", "theta_intersect",
+        "theta_a_not_b", "theta_estimate"))
   }
 
   test("sorted_inter_size equals array_intersect size on sorted distinct inputs") {

@@ -844,4 +844,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L),
       s"streamed NB membership $got must equal the batch keep set Set(1)")
   }
+
+  test("foreachBatch maintains a mergeable theta sketch across micro-batches") {
+    // the streaming cardinality monitor: each micro-batch aggregates its
+    // own sketch and UNIONs it into a stored one — state is a few KB of
+    // sketch bytes regardless of stream length, and the stored column
+    // stays mergeable with any other shard's sketch (agg_theta_setops'
+    // storage shape, maintained incrementally)
+    graft.expressions.GraftFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream_sketch").toFile
+      .getAbsolutePath + "/sk"
+    val ms = MemoryStream[Long]
+    val q = ms.toDF.toDF("v").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.expressions.GraftFunctions.register(s)
+        val cur = batch.agg(
+          call_function("theta_sketch_agg", col("v"), lit(12)).as("sk"))
+        val merged =
+          (try Some(s.read.parquet(dir)) catch { case _: Throwable => None })
+            .map(_.unionByName(cur).agg(
+              call_function("theta_union_agg", col("sk"), lit(12)).as("sk")))
+            .getOrElse(cur)
+        // materialize the single sketch row BEFORE overwriting the dir
+        // the plan is still reading from (driver-safe: one row of bytes)
+        val row = merged.collect()
+        s.createDataFrame(java.util.Arrays.asList(row: _*), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+    }.start()
+    try {
+      ms.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      ms.addData(301L to 900L: _*) // overlaps batch 1: union, not sum
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = spark.read.parquet(dir)
+      .select(call_function("theta_estimate", $"sk")).as[Double].head()
+    assert(est == 900.0, s"sketch under nominal entries must be exact: $est")
+  }
 }
