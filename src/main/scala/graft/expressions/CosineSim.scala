@@ -228,7 +228,21 @@ object GraftFunctions {
     ("theta_a_not_b", classOf[ThetaANotB],
       (exprs: Seq[Expression]) => ThetaANotB(exprs(0), exprs(1))),
     ("theta_estimate", classOf[ThetaEstimate],
-      (exprs: Seq[Expression]) => ThetaEstimate(exprs(0))))
+      (exprs: Seq[Expression]) => ThetaEstimate(exprs(0))),
+    // Frequent-items (heavy-hitters) sketches (see FreqSketch.scala):
+    // freq_sketch_agg(bigintValue[, maxMapSize]) → sketch bytes;
+    // freq_merge_agg(bytes[, maxMapSize]); freq_topk(bytes, k) →
+    // ARRAY<STRUCT<item, estimate, lb, ub>>.
+    ("freq_sketch_agg", classOf[FreqSketchAgg],
+      (exprs: Seq[Expression]) => FreqSketchAgg(exprs(0),
+        exprs.lift(1).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(1024)))),
+    ("freq_merge_agg", classOf[FreqMergeAgg],
+      (exprs: Seq[Expression]) => FreqMergeAgg(exprs(0),
+        exprs.lift(1).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(1024)))),
+    ("freq_topk", classOf[FreqTopK],
+      (exprs: Seq[Expression]) => FreqTopK(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry

@@ -126,4 +126,55 @@ object GraphOps {
     // and are released by the session, not here.
     pr.select(col("id").as(idCol), col("pr"))
   }
+
+  /** Global triangle census of an undirected graph — node count, edge
+    * count, wedge count (paths of length 2, the triangle DENOMINATOR),
+    * triangle count and the global clustering coefficient 3T/W. The
+    * link-graph structure gate: near-zero clustering on a crawl graph
+    * means link spam / generated link farms; a sudden jump means a
+    * mirror cluster got ingested.
+    *
+    * Node-iterator shape (Schank & Wagner): edges canonicalize to
+    * a < b, wedges come from ONE self-equi-join on the shared endpoint
+    * (a < b < c by construction, so each triangle closes exactly once)
+    * and close against the edge set with a second equi-join — two
+    * shuffles on edge keys, no enumeration of neighbor pairs in
+    * memory. Wedge totals derive from per-node degrees (one slim
+    * aggregate), never from materializing wedges. Skewed hubs cost
+    * deg² wedge-join rows — the standard mitigation at web scale is a
+    * degree-ordered orientation (join on the LOWER-degree endpoint);
+    * here the canonical a < b orientation already halves the work and
+    * the fixture's degrees are bounded.
+    *
+    * Everything is exact integers except the final coefficient — one
+    * IEEE division ⇒ fully oracle-comparable. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Σ d(d−1) is even by construction; the halving happens once on the
+    // exact long total (a per-row double /2 would also be exact, but
+    // the single-div form keeps the aggregate purely integral)
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast(LongType).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))
+    val triangles = wedges
+      .join(e.select(col("a").as("ca"), col("b").as("cb")),
+        col("wa") === col("ca") && col("wc") === col("cb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(broadcast(nEdges)).crossJoin(broadcast(triangles))
+      .withColumn("clustering",
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("clustering"))
+  }
 }

@@ -801,6 +801,46 @@ object Catalog {
       },
       None),
 
+    // Mergeable frequent-items (heavy-hitters) sketches
+    // (graft.expressions.FreqSketchAgg): WHICH keys dominate, with
+    // deterministic guarantees — the discovery companion to
+    // profile_key_skew's exact groupBy (which a 100 TB key space can't
+    // afford) and agg_cms' point estimates. A deliberately skewed
+    // derived key (10 hot values carry 75% of the mass, the tail
+    // spreads over part keys) is sketched PER SHARD, the shard bytes
+    // merge centrally, and the merged top-10 is CHECKED in-query
+    // against exact counts: lb ≤ exact ≤ ub per item (the sketch's
+    // hard interval guarantee) and every exact top-10 item present
+    // (NO_FALSE_NEGATIVES at this separation). Sketch content depends
+    // on merge order ⇒ rows-only; the bounds hold on every run.
+    "agg_freq_topk" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val li = t(s, d, "lineitem")
+        val keyed = li.select(
+          when(col("l_orderkey") % 4 < 3, col("l_orderkey") % 10)
+            .otherwise(col("l_partkey") + 1000).as("k"),
+          (col("l_suppkey") % 8).as("shard"))
+        val merged = keyed
+          .groupBy(col("shard"))
+          .agg(call_function("freq_sketch_agg", col("k"), lit(1024)).as("_sk"))
+          .agg(call_function("freq_merge_agg", col("_sk"), lit(1024)).as("_sk"))
+          .select(explode(call_function("freq_topk", col("_sk"), lit(10)))
+            .as("_hh"))
+          .select(col("_hh.item").as("item"), col("_hh.estimate").as("est"),
+            col("_hh.lb").as("lb"), col("_hh.ub").as("ub"))
+        val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+        merged.join(broadcast(exact), col("item") === col("k"), "left")
+          .na.fill(0L, Seq("exact"))
+          .withColumn("within_bound",
+            (col("lb") <= col("exact") && col("exact") <= col("ub"))
+              .cast(IntegerType))
+          .select(col("item"), col("exact"), col("est"), col("lb"),
+            col("ub"), col("within_bound"))
+          .orderBy(col("exact").desc, col("item"))
+      },
+      None),
+
     // EXACT mergeable distinct counting via bitmaps — the precise
     // companion to agg_hll_merge's approximate sketches: values bucket
     // into fixed 32768-bit bitmaps (bitmap_bucket_number /
@@ -1989,6 +2029,51 @@ object Catalog {
           .orderBy(col("doc_id"))
       },
       Some(pagerankOracle)),
+
+    // Triangle census + global clustering coefficient
+    // (GraphOps.triangleStats, Schank & Wagner node-iterator): the
+    // link-graph STRUCTURE gate beside graph_pagerank's importance
+    // prior — same synthetic deterministic edge set, canonical a<b
+    // orientation, one wedge self-join + one closing equi-join, wedge
+    // totals from degrees (never materialized). Exact integers + ONE
+    // IEEE division ⇒ fully oracled.
+    "graph_triangle_count" -> QuerySpec(
+      (s, d) => {
+        val ids = t(s, d, "documents").filter(col("doc_id") < 500)
+          .select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        GraphOps.triangleStats(edges, "src", "dst")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+             |raw AS (
+             |  SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst FROM ids
+             |  UNION ALL
+             |  SELECT doc_id, (doc_id * 13 + 5) % 500 FROM ids
+             |  UNION ALL
+             |  SELECT doc_id, (doc_id * 29 + 11) % 500 FROM ids),
+             |e AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM raw WHERE least(src, dst) <> greatest(src, dst)),
+             |deg AS (
+             |  SELECT n, count(*) AS d FROM (
+             |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+             |ds AS (
+             |  SELECT count(*) AS n_nodes,
+             |    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+             |ne AS (SELECT count(*) AS n_edges FROM e),
+             |tri AS (
+             |  SELECT count(*) AS n_triangles
+             |  FROM e x JOIN e y ON x.b = y.a
+             |  JOIN e c ON c.a = x.a AND c.b = y.b)
+             |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             |  CASE WHEN n_wedges > 0
+             |    THEN CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
+             |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
+             |FROM ds, ne, tri""".stripMargin)),
 
     // END-TO-END fuzzy dedup: minhash LSH candidates → exact-Jaccard
     // confirm → connected components → min-id survivor per cluster →

@@ -212,10 +212,13 @@ class PlanSpec extends SparkSpec {
       "agg_kll_merge",         // 1-row union-sketch × 1-row exact-
                                // percentile broadcast (agg_hll_merge's
                                // exact shape, quantile flavor)
-      "agg_theta_setops")      // 3-row × 3-row sketch-pair frame (one
+      "agg_theta_setops",      // 3-row × 3-row sketch-pair frame (one
                                // blob per return flag; the pairwise
                                // set-op grid is the POINT — the raw
                                // keys never join)
+      "graph_triangle_count")  // 1-row census frames (degree stats ×
+                               // edge count × triangle count) merged
+                               // by scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

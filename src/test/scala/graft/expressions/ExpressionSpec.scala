@@ -55,7 +55,8 @@ class ExpressionSpec extends SparkSpec {
         "ngram_generate", "bloom_filter_agg", "might_contain",
         "kll_sketch_agg", "kll_union_agg", "kll_quantile",
         "theta_sketch_agg", "theta_union_agg", "theta_intersect",
-        "theta_a_not_b", "theta_estimate"))
+        "theta_a_not_b", "theta_estimate",
+        "freq_sketch_agg", "freq_merge_agg", "freq_topk"))
   }
 
   test("sorted_inter_size equals array_intersect size on sorted distinct inputs") {

@@ -97,4 +97,23 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(reliable == unrolled)
   }
+
+  test("triangleStats: hand-checked censuses (K4, K4+pendant, triangle-free)") {
+    def stats(edges: Seq[(Long, Long)]) =
+      GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long, Long, Long, Double)].head()
+    // K4: 4 nodes, 6 edges, every node deg 3 ⇒ wedges 4·3 = 12,
+    // triangles C(4,3) = 4, clustering 3·4/12 = 1.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // direction + duplicates + self-loops must not change the census
+    val messy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
+    assert(stats(messy) == ((4L, 6L, 12L, 4L, 1.0)))
+    // pendant node off K4: deg(5)=1, deg(4)=4 ⇒ wedges 3+3+3+6+0 = 15,
+    // triangles still 4, clustering 12/15 = 0.8
+    assert(stats(k4 :+ ((4L, 5L))) == ((5L, 7L, 15L, 4L, 0.8)))
+    // star (triangle-free): wedges present, zero triangles
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(stats(star) == ((5L, 4L, 6L, 0L, 0.0)))
+  }
 }
