@@ -746,4 +746,54 @@ object SimilarityOps {
         e => e.getField("_mean")).as("centroid"),
         count(lit(1)).as("dim"))
   }
+
+  /** PCA projection of an embedding column to its top `k` principal
+    * components — the dimensionality-reduction member of the embedding
+    * suite (beside quantize / hashing / binary-hist / ANN): project
+    * once, then cluster/index/drift-monitor in k dims instead of d.
+    * Built on Spark ML's own `PCA` (the Spark-first call — its fit is
+    * one distributed Gram-matrix pass + a driver-side d×d eigensolve,
+    * exactly the right split at d=64), with the loading matrix audited
+    * on the driver: the returned frame carries `max_offdiag` (largest
+    * |qᵢ·qⱼ|, i≠j) and `max_norm_err` (largest ||qᵢ|−1|) as literal
+    * columns, so a caller's bound check is part of the same result.
+    *
+    * SCORE side is pure column arithmetic: `vector_to_array` of the
+    * model transform — one linear pass, no shuffle; at 100 TB the fit
+    * runs on a sample/snapshot and the projection streams.
+    *
+    * Component SIGNS (and low bits, via double-sum order in the Gram
+    * pass) are run-dependent — callers needing cross-run stability
+    * check variance/geometry invariants, not raw coordinates. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"pcaProject: k must be >= 1, got $k")
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val src = df.select(col(idCol),
+      array_to_vector(asDouble(col(vecCol))).as("_fv"))
+    val model = new PCA().setK(k).setInputCol("_fv").setOutputCol("_pc")
+      .fit(src)
+    // loading-matrix audit (d×k, column-major): orthonormal by
+    // construction of the eigensolve — surfaced as data so the query
+    // layer can ASSERT it rather than trust it
+    val pc = model.pc
+    val d = pc.numRows
+    val cols = Array.tabulate(k)(j =>
+      Array.tabulate(d)(i => pc(i, j)))
+    var maxOff = 0.0; var maxNormErr = 0.0
+    for (i <- 0 until k; j <- 0 until k) {
+      val dot = (0 until d).map(t => cols(i)(t) * cols(j)(t)).sum
+      if (i == j) maxNormErr = math.max(maxNormErr, math.abs(dot - 1.0))
+      else maxOff = math.max(maxOff, math.abs(dot))
+    }
+    val projected = model.transform(src)
+      .select(col(idCol), vector_to_array(col("_pc")).as("_arr"))
+    (1 to k).foldLeft(projected) { (acc, j) =>
+      acc.withColumn(s"pc$j", element_at(col("_arr"), j))
+    }
+      .drop("_arr")
+      .withColumn("max_offdiag", lit(maxOff))
+      .withColumn("max_norm_err", lit(maxNormErr))
+  }
 }

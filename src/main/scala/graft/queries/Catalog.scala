@@ -2030,6 +2030,52 @@ object Catalog {
       },
       Some(pagerankOracle)),
 
+    // PCA projection of the embedding table to its top-3 components
+    // (SimilarityOps.pcaProject over Spark ML's PCA — one distributed
+    // Gram pass + driver d×d eigensolve): the dimensionality-reduction
+    // step before cheap clustering/indexing/drift in k dims. Component
+    // signs/low bits are run-dependent ⇒ rows-only, but the key CHECKS
+    // the geometry in-query: projected variances monotone decreasing,
+    // top-3 captured variance ≥ the 3/64 isotropy floor (mathematically
+    // guaranteed for a correct eigensolve — catches wiring bugs), and
+    // the loading matrix orthonormal to 1e-9 (audited driver-side,
+    // surfaced as literal columns). Variance sums ride exact decimals.
+    "sim_embed_pca" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val proj = SimilarityOps.pcaProject(emb, "vec_id", "embedding", k = 3)
+        val dec = (c: Column) => c.cast(DecimalType(38, 12))
+        val aggs = count(lit(1)).cast(DoubleType).as("__n") +:
+          (1 to 3).flatMap(j => Seq(
+            sum(dec(col(s"pc$j"))).cast(DoubleType).as(s"__s$j"),
+            sum(dec(col(s"pc$j") * col(s"pc$j"))).cast(DoubleType)
+              .as(s"__q$j")))
+        val stats = proj.agg(aggs.head, aggs.tail: _*)
+        val totVar = emb
+          .select(posexplode(SimilarityOps.asDouble(col("embedding")))
+            .as(Seq("_p", "_v")))
+          .groupBy(col("_p"))
+          .agg(count(lit(1)).cast(DoubleType).as("__dn"),
+            sum(dec(col("_v"))).cast(DoubleType).as("__ds"),
+            sum(dec(col("_v") * col("_v"))).cast(DoubleType).as("__dq"))
+          .select(((col("__dq") - col("__ds") * col("__ds") / col("__dn")) /
+            col("__dn")).as("__dv"))
+          .agg(sum(col("__dv")).as("__tot"))
+        def v(j: Int): Column =
+          (col(s"__q$j") - col(s"__s$j") * col(s"__s$j") / col("__n")) /
+            col("__n")
+        proj.crossJoin(broadcast(stats)).crossJoin(broadcast(totVar))
+          .withColumn("bound_ok",
+            (v(1) >= v(2) && v(2) >= v(3) &&
+              (v(1) + v(2) + v(3)) >= lit(3.0 / 64) * col("__tot") &&
+              col("max_offdiag") < 1e-9 && col("max_norm_err") < 1e-9)
+              .cast(IntegerType))
+          .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"),
+            col("bound_ok"))
+          .orderBy(col("vec_id"))
+      },
+      None),
+
     // Triangle census + global clustering coefficient
     // (GraphOps.triangleStats, Schank & Wagner node-iterator): the
     // link-graph STRUCTURE gate beside graph_pagerank's importance

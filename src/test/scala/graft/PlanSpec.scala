@@ -216,9 +216,12 @@ class PlanSpec extends SparkSpec {
                                // blob per return flag; the pairwise
                                // set-op grid is the POINT — the raw
                                // keys never join)
-      "graph_triangle_count")  // 1-row census frames (degree stats ×
+      "graph_triangle_count",  // 1-row census frames (degree stats ×
                                // edge count × triangle count) merged
                                // by scalar broadcast
+      "sim_embed_pca")         // 1-row variance-stats × 1-row total-
+                               // variance scalar broadcasts (the
+                               // bound_ok geometry check)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

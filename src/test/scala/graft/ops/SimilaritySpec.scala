@@ -448,4 +448,37 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("maxClusterPairs"),
       s"unexpected: ${e.getMessage}")
   }
+
+  test("pcaProject recovers a planted dominant direction; loadings orthonormal") {
+    import spark.implicits._
+    // dim 8; variance concentrated on axis 0 (scale 100), axis 1
+    // (scale 10), everything else a small deterministic wiggle
+    val rows = (0 until 200).map { i =>
+      val big = (i % 21 - 10) * 100.0f
+      val mid = (i % 13 - 6) * 10.0f
+      val arr = Array.tabulate(8)(j =>
+        if (j == 0) big else if (j == 1) mid
+        else ((i * (j + 3)) % 7 - 3).toFloat * 0.1f)
+      (i.toLong, arr)
+    }
+    val out = SimilarityOps.pcaProject(
+      rows.toDF("vec_id", "emb"), "vec_id", "emb", k = 2)
+    val collected = out
+      .select($"vec_id", $"pc1", $"pc2", $"max_offdiag", $"max_norm_err")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(collected.length == 200)
+    assert(collected.forall(r => r._4 < 1e-9 && r._5 < 1e-9),
+      "loading matrix must be orthonormal")
+    def variance(xs: Seq[Double]): Double = {
+      val n = xs.size; val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    val v1 = variance(collected.map(_._2).toSeq)
+    val v2 = variance(collected.map(_._3).toSeq)
+    // pc1 must carry the planted axis-0 variance (~367k vs ~1.4k)
+    assert(v1 > 100 * v2, s"pc1 var $v1 should dominate pc2 var $v2")
+    // pc1 coordinates must be (sign-ambiguously) the big axis
+    val corr = collected.map(r => r._2 * ((r._1 % 21 - 10) * 100.0)).sum
+    assert(math.abs(corr) > 0, "pc1 must align with the planted axis")
+  }
 }
