@@ -368,6 +368,55 @@ object Catalog {
              |  count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // SQL PIVOT clause (agg_pivot's DataFrame twin through the PARSER
+    // surface): one Spark SQL statement with an explicit IN list —
+    // Catalyst rewrites it to the same pivot aggregate the DataFrame
+    // API plans; the oracle restates with FILTER aggregates. Sums ride
+    // the DECIMAL(18,6) accumulator (the no-raw-double-sums rule).
+    "sql_pivot_clause" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("graft_pivot_ev")
+        s.sql(
+          """SELECT * FROM (
+            |  SELECT user_id % 100 AS cohort, event_type,
+            |    CAST(value AS DECIMAL(18,6)) AS v
+            |  FROM graft_pivot_ev)
+            |PIVOT (CAST(SUM(v) AS DOUBLE)
+            |  FOR event_type IN ('click' AS click, 'purchase' AS purchase,
+            |                     'view' AS view))
+            |ORDER BY cohort""".stripMargin)
+      },
+      Some("""SELECT user_id % 100 AS cohort,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             |    FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             |    FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             |    FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
+             |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin)),
+
+    // Error-safe TRY_* arithmetic (the ANSI-mode companion surface: the
+    // engine runs ANSI, where bare division-by-zero/overflow ABORT a
+    // 100 TB job at task 9,999 of 10,000 — try_ variants turn the
+    // poison row into a NULL the pipeline can quarantine). The oracle
+    // restates each as its guard: NULLIF denominators, range CASEs.
+    "fn_try_arithmetic" -> QuerySpec(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_linenumber - 1)").as("div_maybe"),
+          expr("try_multiply(l_orderkey, 9000000000000000000L)").as("mul_over"),
+          expr("try_add(l_quantity, l_discount)").as("add_ok"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice / NULLIF(l_linenumber - 1, 0) AS div_maybe,
+             |  CASE WHEN l_orderkey = 0 THEN CAST(0 AS BIGINT)
+             |       WHEN l_orderkey <= 1 THEN CAST(l_orderkey * 9000000000000000000 AS BIGINT)
+             |  END AS mul_over,
+             |  l_quantity + l_discount AS add_ok
+             |FROM lineitem WHERE l_orderkey < 200
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Exact percentile (sort + linear interpolation in both engines).
     "fn_percentile" -> QuerySpec(
       (s, d) => t(s, d, "lineitem")

@@ -615,6 +615,40 @@ class DedupSpec extends SparkSpec {
     assert(w1.map(p => (p._1, p._2)) == Set((3L, 2L), (2L, 1L)))
   }
 
+  test("sortedNeighborLinkage candidate budget and scores hold on random corpora") {
+    val rng = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (1 to 10).foreach { trial =>
+      val n = 20 + rng.nextInt(30)
+      val docs = (1 to n).map { i =>
+        val len = 3 + rng.nextInt(5)
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val w = 1 + rng.nextInt(3)
+      val out = DedupOps.sortedNeighborLinkage(
+        docs.toDF("id", "text"),
+        "id", "text", blockKey = substring(lower(trim($"text")), 1, 4),
+        windowSize = w, minSim = 0.0)
+        .as[(Long, Long, Double)].collect()
+      // linear candidate budget: at most N·w pairs ever scored
+      assert(out.length <= n * w, s"trial $trial: ${out.length} > $n*$w")
+      // no self-pairs, no duplicate (a, b) pairs, scores in [0, 1]
+      assert(out.forall(p => p._1 != p._2), s"trial $trial: self-pair")
+      assert(out.map(p => (p._1, p._2)).distinct.length == out.length,
+        s"trial $trial: duplicate pair")
+      assert(out.forall(p => p._3 >= 0.0 && p._3 <= 1.0))
+      // scores are the true word-set Jaccard of the paired texts
+      val byId = docs.toMap
+      out.foreach { case (a, b, sim) =>
+        val ta = byId(a).split("\\s+").toSet
+        val tb = byId(b).split("\\s+").toSet
+        val expect = ta.intersect(tb).size.toDouble / ta.union(tb).size
+        assert(sim == expect, s"trial $trial: ($a,$b) $sim != $expect")
+      }
+    }
+  }
+
   test("sortedNeighborLinkage plans ONE partitioned window, no join") {
     val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
     val plan = DedupOps.sortedNeighborLinkage(

@@ -116,4 +116,36 @@ class GraphOpsSpec extends SparkSpec {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
     assert(stats(star) == ((5L, 4L, 6L, 0L, 0.0)))
   }
+
+  test("triangleStats agrees with brute-force enumeration on random graphs") {
+    val rng = new scala.util.Random(20260814L)
+    (1 to 25).foreach { trial =>
+      val n = 4 + rng.nextInt(8) // 4..11 nodes
+      val p = 0.15 + rng.nextDouble() * 0.6
+      val edges = for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rng.nextDouble() < p
+      } yield (a.toLong, b.toLong) // directed, possibly both orders
+      if (edges.nonEmpty) {
+        val undirected = edges.map { case (a, b) =>
+          (math.min(a, b), math.max(a, b))
+        }.toSet
+        val nodes = undirected.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val deg = nodes.map(v =>
+          undirected.count(e => e._1 == v || e._2 == v).toLong)
+        val expTri = (for {
+          Seq(a, b, c) <- nodes.combinations(3)
+          if undirected((a, b)) && undirected((b, c)) && undirected((a, c))
+        } yield 1).size.toLong
+        val expWedges = deg.map(d => d * (d - 1) / 2).sum
+        val got = GraphOps.triangleStats(
+          edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long, Long, Long, Double)].head()
+        assert(got._1 == nodes.size && got._2 == undirected.size,
+          s"trial $trial: node/edge census $got")
+        assert(got._3 == expWedges && got._4 == expTri,
+          s"trial $trial: wedges/triangles $got, expected ($expWedges, $expTri)")
+      }
+    }
+  }
 }
