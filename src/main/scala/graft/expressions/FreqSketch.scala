@@ -35,6 +35,9 @@ case class FreqSketchAgg(
 
   require(!child.resolved || child.dataType == LongType,
     s"freq_sketch_agg expects a BIGINT value column, got ${child.dataType}")
+  require(!maxMapExpr.foldable || FreqSketchAgg.validMapSize(maxMapExpr),
+    "freq_sketch_agg: maxMapSize must be a power of 2 >= 8 " +
+      "(DataSketches LongsSketch contract)")
 
   private lazy val maxMapSize: Int = KllSketchAgg.litK(maxMapExpr)
 
@@ -72,6 +75,13 @@ case class FreqSketchAgg(
     copy(child = newLeft, maxMapExpr = newRight)
 }
 
+object FreqSketchAgg {
+  private[expressions] def validMapSize(e: Expression): Boolean = {
+    val k = KllSketchAgg.litK(e)
+    k >= 8 && (k & (k - 1)) == 0
+  }
+}
+
 /** Union of serialized frequent-items sketches — the central-merge
   * half, mirroring kll_union_agg / theta_union_agg. */
 case class FreqMergeAgg(
@@ -83,6 +93,9 @@ case class FreqMergeAgg(
 
   require(!child.resolved || child.dataType == BinaryType,
     s"freq_merge_agg expects a BINARY sketch column, got ${child.dataType}")
+  require(!maxMapExpr.foldable || FreqSketchAgg.validMapSize(maxMapExpr),
+    "freq_merge_agg: maxMapSize must be a power of 2 >= 8 " +
+      "(DataSketches LongsSketch contract)")
 
   private lazy val maxMapSize: Int = KllSketchAgg.litK(maxMapExpr)
 
@@ -132,6 +145,9 @@ case class FreqTopK(left: Expression, right: Expression)
 
   require(!left.resolved || left.dataType == BinaryType,
     s"freq_topk expects (BINARY, INT), got ${left.dataType}")
+  require(!right.foldable || KllSketchAgg.litK(right) >= 1,
+    "freq_topk: k must be a positive int literal — k <= 0 would " +
+      "silently read as 'no heavy hitters'")
 
   private lazy val k: Int = KllSketchAgg.litK(right)
 

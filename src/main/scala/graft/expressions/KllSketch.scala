@@ -159,11 +159,15 @@ case class KllQuantile(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(sk: Any, rank: Any): Any = {
+    val r = rank.asInstanceOf[Double]
+    // a caller-bug rank must fail with a NAMED message, not a raw
+    // DataSketches exception from task 9,999 of 10,000
+    if (r.isNaN || r < 0.0 || r > 1.0) throw new IllegalArgumentException(
+      s"kll_quantile: rank must be in [0, 1], got $r")
     val sketch = KllDoublesSketch.heapify(
       Memory.wrap(sk.asInstanceOf[Array[Byte]]))
     if (sketch.isEmpty) null
-    else sketch.getQuantile(
-      rank.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+    else sketch.getQuantile(r, QuantileSearchCriteria.INCLUSIVE)
   }
 
   override protected def withNewChildrenInternal(

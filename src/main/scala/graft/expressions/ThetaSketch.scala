@@ -40,6 +40,9 @@ case class ThetaSketchAgg(
     child.dataType == LongType || child.dataType == BinaryType ||
     child.dataType.typeName == "string",
     s"theta_sketch_agg expects BIGINT/STRING/BINARY values, got ${child.dataType}")
+  require(!lgKExpr.foldable || {
+    val k = KllSketchAgg.litK(lgKExpr); k >= 4 && k <= 26
+  }, "theta_sketch_agg: lgK must be an int literal in [4, 26]")
 
   private lazy val lgK: Int = KllSketchAgg.litK(lgKExpr)
 
@@ -95,6 +98,9 @@ case class ThetaUnionAgg(
 
   require(!child.resolved || child.dataType == BinaryType,
     s"theta_union_agg expects a BINARY sketch column, got ${child.dataType}")
+  require(!lgKExpr.foldable || {
+    val k = KllSketchAgg.litK(lgKExpr); k >= 4 && k <= 26
+  }, "theta_union_agg: lgK must be an int literal in [4, 26]")
 
   private lazy val lgK: Int = KllSketchAgg.litK(lgKExpr)
 

@@ -159,9 +159,12 @@ object GraphOps {
     // Σ d(d−1) is even by construction; the halving happens once on the
     // exact long total (a per-row double /2 would also be exact, but
     // the single-div form keeps the aggregate purely integral)
+    // coalesce: an empty/self-loop-only edge set must census as 0s,
+    // not a NULL wedge count beside zero-valued siblings
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("d") * (col("d") - 1)) / 2).cast(LongType).as("n_wedges"))
+      coalesce((sum(col("d") * (col("d") - 1)) / 2).cast(LongType), lit(0L))
+        .as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))

@@ -156,6 +156,19 @@ object Layout {
         col("_metadata.file_size").as("size_bytes"))
       .groupBy(col("_part"), col("file_path"))
       .agg(max(col("size_bytes")).as("size_bytes"))
+      // CONTRACT: partitionCol must be constant per file (a physical
+      // partition column). A data column here would enroll one file in
+      // several partitions' bins — a rewrite executing that plan would
+      // duplicate the file's rows — so it fails LOUD, not silently:
+      .withColumn("_nparts",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("file_path"))))
+      .withColumn("size_bytes",
+        when(col("_nparts") > 1, raise_error(lit(
+          "compactionPlan: partitionCol is not constant per file — use " +
+            "a physical partition column, or None for a global plan")))
+          .otherwise(col("size_bytes")))
+      .drop("_nparts")
     SampleOps.packSequences(files, "_part", "file_path", "size_bytes",
       targetBytes)
       .groupBy(col("_part"), col("bin"))

@@ -540,7 +540,10 @@ object ProfileOps {
         try_sum(dec(cx * cx)).cast(DoubleType).as("__sxx"),
         try_sum(dec(cy * cy)).cast(DoubleType).as("__syy"),
         try_sum(dec(cx * cy)).cast(DoubleType).as("__sxy"),
-        max(greatest(abs(col(xCol)), abs(col(yCol)))).as("__mx"))
+        // guard only rows that CONTRIBUTE (both non-null): a huge x on
+        // a pairwise-deleted row must not abort a valid fit
+        max(when(both, greatest(abs(col(xCol)), abs(col(yCol)))))
+          .as("__mx"))
     val n = col("__n")
     val sums = Seq("__sx", "__sy", "__sxx", "__syy", "__sxy").map(col)
     val overflowed = n > 0.0 && sums.map(_.isNull).reduce(_ || _)

@@ -36,7 +36,15 @@ class DeterminismSpec extends SparkSpec {
     *   (lo_q47 ≤ est ≤ hi_q53 → within_bound) is the stable contract.
     */
   private val unstableCols: Map[String, Set[String]] = Map(
-    "agg_kll_merge" -> Set("est_p50"))
+    "agg_kll_merge" -> Set("est_p50"),
+    // LongsSketch purging is deterministic in content+order but the
+    // shuffle-merge ORDER isn't; purging doesn't engage at this spec's
+    // sf0.001 (exact mode — these columns would pass strict compare
+    // here), but it does at the driver's sf0.01, so the columns are
+    // declared rather than accidentally-green. The stable contract is
+    // the row COUNT (top-10 membership: ~6k-count hot keys vs a ≤59
+    // error bound) and within_bound — both asserted.
+    "agg_freq_topk" -> Set("est", "lb", "ub"))
 
   test("every query key returns identical results on back-to-back runs") {
     import org.apache.spark.sql.functions._
@@ -58,7 +66,10 @@ class DeterminismSpec extends SparkSpec {
       val b = run()
       if (a == b) Nil
       else {
-        val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y }
+        // prefix-equal runs of different length would report index -1;
+        // point at the first extra row instead
+        val zipDiff = a.zip(b).indexWhere { case (x, y) => x != y }
+        val firstDiff = if (zipDiff >= 0) zipDiff else math.min(a.size, b.size)
         Seq(s"$k: run sizes ${a.size}/${b.size}, first diff at row " +
           s"$firstDiff: ${a.lift(firstDiff)} vs ${b.lift(firstDiff)}")
       }

@@ -153,5 +153,17 @@ class LayoutSpec extends SparkSpec {
     val one = Layout.compactionPlan(spark.read.parquet(dir), 1L << 30)
       .as[(String, Long, Long, Long, Long, String, String)].collect()
     assert(one.length == 1 && one.head._3 == files.length)
+    // a per-ROW partition column (not constant per file) would enroll
+    // one file in several partitions' bins — must fail loud
+    val e = intercept[Exception] {
+      Layout.compactionPlan(spark.read.parquet(dir), target,
+        partitionCol = Some($"id" % 2)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("compactionPlan"),
+      s"unexpected: ${e.getMessage}")
+    // while a file-constant partition column (from the path) still plans
+    val byPart = Layout.compactionPlan(spark.read.parquet(dir), target,
+      partitionCol = Some($"_metadata.file_name"))
+    assert(byPart.count() == files.length) // one bin per (tiny) file
   }
 }

@@ -386,6 +386,19 @@ class ProfileOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("olsByGroup"), e.getMessage)
   }
 
+  test("olsByGroup guard ignores pairwise-deleted rows (huge x, NULL y)") {
+    // the out-of-domain magnitude sits on a row that contributes to NO
+    // sum — the fit over the remaining rows must succeed, not abort
+    val df = Seq(
+      ("a", Some(1.0), Some(3.0)), ("a", Some(2.0), Some(5.0)),
+      ("a", Some(3.0), Some(7.0)), ("a", Some(1e16), None))
+      .toDF("g", "x", "y")
+    val out = ProfileOps.olsByGroup(df, "g", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(out._2 == 3 && math.abs(out._3.get - 2.0) < 1e-12, s"$out")
+  }
+
   test("olsByGroup is one aggregate — a single shuffle on the group key") {
     val df = Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)).toDF("g", "x", "y")
     val plan = ProfileOps.olsByGroup(df, "g", "x", "y")
