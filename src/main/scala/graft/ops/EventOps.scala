@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Event/behavioral analytics over an (actor, timestamp, …) stream —
+  * the cohort-retention and funnel primitives every product-analytics
+  * warehouse query set contains (the reference's events are the same
+  * shape: README.md:596-607 builds per-entity time series the report
+  * layer rolls up). Both operators aggregate FIRST and join at the
+  * actor grain after, so raw event rows shuffle at most once and every
+  * later stage works on one-row-per-actor frames.
+  */
+object EventOps {
+
+  /** Cohort retention matrix: actors are cohorted by the calendar month
+    * of their FIRST event, and each (cohort month, month offset) cell
+    * counts the cohort members active that many months later, plus the
+    * retained fraction of the cohort.
+    *
+    * Scale shape — ONE shuffle over raw events: a single groupBy on the
+    * actor collapses the stream to one row per actor carrying
+    * (first month, set of active months); `collect_set` is bounded by
+    * the number of calendar months in the table's history (an 8-year
+    * table caps it at 96 entries), never by the actor's event count,
+    * because the month truncation happens INSIDE the set. The explode
+    * that follows works on the per-actor frame (|actors| rows), and the
+    * final aggregate is at the (cohort, offset) grain — at most
+    * months² rows. Cohort size is recovered from the matrix itself:
+    * the offset-0 cell contains every cohort member by construction
+    * (an actor is always active in its own first month), so a window
+    * max per cohort replaces a second pass over the data.
+    *
+    * The month offset is pure integer calendar arithmetic
+    * (Δyear·12 + Δmonth) — portable across engines, no timestamp
+    * subtraction semantics involved. `retention` is one IEEE division
+    * of two exact longs.
+    */
+  def cohortRetention(
+      events: DataFrame, actorCol: String, tsCol: String): DataFrame = {
+    val monthTs = date_trunc("month", col(tsCol))
+    val perActor = events
+      .filter(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(actorCol))
+      .agg(min(monthTs).as("_cohort_ts"),
+        collect_set(monthTs).as("_months"))
+    val offs = (m: Column, c: Column) =>
+      ((year(m) - year(c)) * 12 + (month(m) - month(c))).cast(IntegerType)
+    val cells = perActor
+      .select(col("_cohort_ts"), explode(col("_months")).as("_m"))
+      .groupBy(col("_cohort_ts").cast("date").as("cohort_month"),
+        offs(col("_m"), col("_cohort_ts")).as("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    cells
+      .withColumn("cohort_size",
+        max(col("n_active")).over(Window.partitionBy(col("cohort_month"))))
+      .withColumn("retention",
+        col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  /** Ordered funnel: per actor, the earliest time each named step was
+    * reached, where step i+1 only counts at or after the actor's step-i
+    * time (the strict product-funnel semantics — a purchase logged
+    * before the signup does not complete a signup→purchase funnel).
+    * Output is one row per actor that performed step 0: the step
+    * timestamps (NULL once the funnel is abandoned) and `stage_reached`
+    * (1..k). Conversion counts/rates are a trivial aggregate over this
+    * frame; emitting the actor grain keeps the per-actor times — the
+    * joinable artifact downstream cohort splits need.
+    *
+    * Scale shape — a chain of k conditional min-aggregates: stage i is
+    * `events WHERE type = step_i` joined to the stage-(i−1) frame ON
+    * the actor key and filtered to ts ≥ t_{i−1} BEFORE its min. Every
+    * join keys on the actor column that each side was just aggregated
+    * or filtered on, so the k−1 joins reuse one hash partitioning
+    * (no new shuffle grain ever appears), and each stage's input
+    * shrinks to the actors still alive in the funnel. No per-actor
+    * event list is ever collected — state per actor is one timestamp
+    * per stage, not the event history.
+    */
+  def funnelStages(
+      events: DataFrame, actorCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelStages: steps must be non-empty")
+    require(steps.distinct == steps,
+      s"funnelStages: steps must be distinct, got $steps")
+    val a = col(actorCol)
+    // stage frames: (actor, t_i) — t_i = earliest step-i event at or
+    // after the actor's t_{i-1}
+    val stage0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(a).agg(min(col(tsCol)).as("t1"))
+    val stages = steps.zipWithIndex.tail.scanLeft(stage0) {
+      case (prev, (step, i)) =>
+        events.filter(col(typeCol) === step)
+          .join(prev, actorCol)
+          .filter(col(tsCol) >= col(s"t$i"))
+          .groupBy(a).agg(min(col(tsCol)).as(s"t${i + 1}"))
+    }
+    val assembled = stages.zipWithIndex.tail.foldLeft(stage0) {
+      case (acc, (s, i)) =>
+        acc.join(s.select(a, col(s"t${i + 1}")), Seq(actorCol), "left")
+    }
+    val reached = steps.indices.tail
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    assembled
+      .withColumn("stage_reached", reached.cast(LongType))
+      .orderBy(a)
+  }
+}

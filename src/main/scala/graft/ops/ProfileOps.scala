@@ -617,4 +617,40 @@ object ProfileOps {
         sum(when(col("__dev") > lit(k) * col("__mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-group binomial rate with a Wilson score interval — the
+    * monitoring primitive behind "is source X's defect rate really
+    * higher, or is the group just small": unlike the naive ±z·√(p̂q̂/n)
+    * Wald band, Wilson stays inside [0,1] and keeps coverage at small
+    * n and extreme rates (Brown, Cai & DasGupta 2001), which is what a
+    * per-slice quality dashboard over thousands of uneven groups needs.
+    *
+    * ONE map-side-combinable aggregate: (n, k) are exact long counts,
+    * everything after is a FIXED per-group IEEE sequence over those two
+    * longs — `sqrt` is correctly rounded under IEEE 754, so the whole
+    * row is bit-reproducible across engines and partitionings. `flag`
+    * is any boolean condition column; NULL flags count toward n as
+    * non-successes (rows the predicate couldn't assert are failures of
+    * the expectation, matching QualityOps' convention).
+    */
+  def rateWilsonCi(
+      df: DataFrame, keyCol: String, flag: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"rateWilsonCi: z must be > 0, got $z")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(flag, 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast(DoubleType)
+    val kk = col("k").cast(DoubleType)
+    val z2 = lit(z * z)
+    val phat = kk / n
+    val denom = lit(1.0) + z2 / n
+    val center = (phat + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(z) *
+      sqrt(phat * (lit(1.0) - phat) / n + z2 / (lit(4.0) * n * n))) / denom
+    agg.select(col(keyCol), col("n"), col("k"),
+      phat.as("rate"),
+      (center - half).as("ci_lo"),
+      (center + half).as("ci_hi"))
+  }
 }

@@ -407,4 +407,65 @@ object SampleOps {
         .drop("_sk"),
       "shuffle_pos")
   }
+
+  /** Popularity-smoothed negative sampling (the word2vec / contrastive
+    * recommendation shape, Mikolov et al. 2013): each actor draws `k`
+    * items from the unigram distribution raised to the 3/4 power —
+    * popular items stay likely negatives, but the long tail is
+    * up-weighted enough to be seen. Deterministic end to end: the
+    * smoothed weight is the FIXED sequence `sqrt(sqrt(c³))` (two
+    * correctly-rounded IEEE roots ≡ c^0.75 up to a reproducible
+    * rounding both engines share — unlike libm `pow`, whose last-ulp
+    * behavior is platform-defined), quantized ×1000 to an exact integer
+    * grid, and each draw inverts the integer CDF at
+    * [[portableUniform]](actor·k + draw + seed).
+    *
+    * Scale shape: `items` is the model side — a popularity table
+    * (item, count) that must fit one window task and a broadcast, like
+    * every vocabulary/model frame here (BpeOps' budgeted fit is the
+    * loud-failure pattern if it can't). The cumulative CDF is ONE
+    * ordered window over that small table, collapsed to two sorted
+    * arrays in a 1-row frame that rides the plan as a broadcast
+    * cross join (the ProfileOps scalar-frame shape). The actor side is
+    * never shuffled: explode(sequence) fans each actor to k rows and
+    * the CDF inversion is a per-row array prefix count — O(|items|)
+    * comparisons inside codegen, no range join, no BNLJ. An item-side
+    * range join replaces the array probe when the item vocabulary
+    * outgrows a broadcast. */
+  def popularityNegatives(
+      actors: DataFrame, actorCol: String,
+      items: DataFrame, itemCol: String, countCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"popularityNegatives: k must be > 0, got $k")
+    requireNumeric(actors, actorCol, "popularityNegatives")
+    val c = col(countCol).cast(DoubleType)
+    val wq = floor(sqrt(sqrt(c * c * c)) * lit(1000.0)).cast(LongType)
+    val weighted = items
+      .filter(col(countCol) > 0 && col(itemCol).isNotNull)
+      .select(col(itemCol).as("_item"), wq.as("_w"))
+    // integer CDF: item i owns [cum_lo_i, cum_lo_i + w_i); the window
+    // runs over the SMALL popularity table only
+    val cum = weighted
+      .withColumn("_lo",
+        coalesce(sum(col("_w")).over(Window.orderBy(col("_item"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cdf = cum.agg(
+      sort_array(collect_list(struct(col("_lo"), col("_item")))).as("_s"),
+      sum(col("_w")).as("_total"))
+      .select(
+        transform(col("_s"), x => x.getField("_lo")).as("_bounds"),
+        transform(col("_s"), x => x.getField("_item")).as("_items"),
+        col("_total"))
+    val a = col(actorCol)
+    actors.select(a).filter(a.isNotNull)
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .crossJoin(broadcast(cdf))
+      .withColumn("_target",
+        floor(portableUniform(a * lit(k.toLong) + col("draw") + lit(seed)) *
+          col("_total").cast(DoubleType)).cast(LongType))
+      .withColumn("item",
+        element_at(col("_items"),
+          size(filter(col("_bounds"), b => b <= col("_target")))))
+      .select(a, col("draw").cast(LongType).as("draw"), col("item"))
+  }
 }

@@ -796,4 +796,82 @@ object SimilarityOps {
       .withColumn("max_offdiag", lit(maxOff))
       .withColumn("max_norm_err", lit(maxNormErr))
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext shape): for each source anchor, the best
+    * target candidate scored by `cos(x,y)` RELATIVE to the two local
+    * neighborhood densities — `margin = cos / (0.5·(avgₖ(x) + avgₖ(y)))`
+    * where avgₖ(v) is the mean cosine of v's k nearest neighbors on the
+    * other side. Absolute-cosine thresholds over-mine dense hub regions
+    * and under-mine sparse ones; the margin normalizes both away, which
+    * is why it is the standard mined-pair criterion.
+    *
+    * Scale shape — retrieve-then-score, like [[ivfPqRerankTopK]]:
+    * (1) forward pass: anchors broadcast, the target side scanned ONCE
+    * for per-anchor top-k (partial heaps bound the exchange);
+    * (2) backward pass runs ONLY for the ≤ anchors×k nominated target
+    * candidates — those are broadcast and the SOURCE side is scanned
+    * once; the full tgt×src product never forms. Cosines ride the
+    * quantized integer grid ([[quantize]]/[[dotLong]]) and each k-sized
+    * neighborhood mean is a sorted fixed-order fold, so every margin —
+    * and therefore the mined training set — is bit-reproducible across
+    * engines and partitionings. Output: one row per anchor (rank-1 by
+    * margin), with `mined = margin ≥ threshold` as data rather than a
+    * filter, so the row count stays deterministic for auditing.
+    *
+    * The neighborhood mean always divides by `k` (the Artetxe–Schwenk
+    * definition assumes k true neighbors): if a side has fewer than k
+    * rows the average is diluted and margins inflate — keep k well
+    * under both side sizes. */
+  def bitextMine(
+      src: DataFrame, tgt: DataFrame, k: Int, marginThreshold: Double,
+      sId: String = "sid", sVec: String = "svec",
+      tId: String = "tid", tVec: String = "tvec"): DataFrame = {
+    require(k > 0, s"bitextMine: k must be > 0, got $k")
+    require(marginThreshold > 0,
+      s"bitextMine: marginThreshold must be > 0, got $marginThreshold")
+    reg(tgt)
+    val sq = quantize(col(sVec))
+    val anchors = src.select(col(sId), sq.as("_sv"), dotLong(sq, sq).as("_sn"))
+    val tq = quantize(col(tVec))
+    val targets = tgt.select(col(tId), tq.as("_tv"), dotLong(tq, tq).as("_tn"))
+    def cosQ(av: Column, an: Column, bv: Column, bn: Column): Column =
+      dotLong(av, bv).cast(DoubleType) /
+        (sqrt(an.cast(DoubleType)) * sqrt(bn.cast(DoubleType)))
+    // forward: per-anchor top-k targets by quantized cosine
+    val fw = Window.partitionBy(col(sId)).orderBy(col("cos").desc, col(tId))
+    val fwd = targets.crossJoin(broadcast(anchors))
+      .withColumn("cos", cosQ(col("_sv"), col("_sn"), col("_tv"), col("_tn")))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= k)
+      .select(col(sId), col(tId), col("cos"), col("rn"))
+    // neighborhood mean = fold over the DESC-sorted k cosines — a fixed
+    // IEEE sequence (ties are equal values, so tie order cannot move
+    // any partial sum), restatable as an ordered list_reduce in SQL
+    def sortedMean(cosCol: Column): Column =
+      aggregate(sort_array(cosCol, asc = false),
+        lit(0.0), (acc, x) => acc + x) / lit(k.toDouble)
+    val avgS = fwd.groupBy(col(sId))
+      .agg(sortedMean(collect_list(col("cos"))).as("_avg_s"))
+    // backward: ONLY the nominated candidates score against the source
+    // side (they are the broadcast queries; src is scanned once)
+    val cand = fwd.select(col(tId)).distinct()
+      .join(targets, tId)
+    val bw = Window.partitionBy(col(tId)).orderBy(col("cos").desc, col(sId))
+    val avgT = anchors.crossJoin(broadcast(cand))
+      .withColumn("cos", cosQ(col("_sv"), col("_sn"), col("_tv"), col("_tn")))
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= k)
+      .groupBy(col(tId))
+      .agg(sortedMean(collect_list(col("cos"))).as("_avg_t"))
+    val mw = Window.partitionBy(col(sId))
+      .orderBy(col("margin").desc, col(tId))
+    fwd.join(avgS, sId).join(avgT, tId)
+      .withColumn("margin",
+        col("cos") / (lit(0.5) * (col("_avg_s") + col("_avg_t"))))
+      .withColumn("mrn", row_number().over(mw))
+      .filter(col("mrn") === 1)
+      .select(col(sId), col(tId), col("cos"), col("margin"),
+        (col("margin") >= lit(marginThreshold)).as("mined"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, EventOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -3222,6 +3222,76 @@ object Catalog {
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
              |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
+    // Margin-based bitext/parallel-pair mining (SimilarityOps
+    // .bitextMine, Artetxe & Schwenk 2019): per source anchor the best
+    // target by cos RELATIVE to both local neighborhood densities —
+    // margin = cos / (0.5·(avgₖ(x)+avgₖ(y))) — the LASER/CCMatrix
+    // criterion that absolute-cosine thresholds get wrong in dense hub
+    // regions. Retrieve-then-score: backward averages run only for the
+    // forward-nominated candidates. Quantized-grid cosines + sorted
+    // fixed-order k-means folds ⇒ the mined pairs are bit-reproducible
+    // and fully ORACLED; `mined` is data, not a filter, so the row
+    // count stays the anchor count.
+    "sim_bitext_mine" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val src = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+          .select(col("vec_id").as("sid"), col("embedding").as("svec"))
+        val tgt = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tid"), col("embedding").as("tvec"))
+        SimilarityOps.bitextMine(src, tgt, k = 4, marginThreshold = 1.0)
+          .orderBy(col("sid"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT s.vec_id AS sid, c.vec_id AS tid,
+             |    CAST(FLOOR(CAST(unnest(s.embedding) AS DOUBLE)*1000)
+             |      AS BIGINT) AS qv,
+             |    CAST(FLOOR(CAST(unnest(c.embedding) AS DOUBLE)*1000)
+             |      AS BIGINT) AS cv
+             |  FROM embeddings s, embeddings c
+             |  WHERE s.vec_id % 2 = 0 AND s.vec_id < 40
+             |    AND c.vec_id % 2 = 1),
+             |dots AS (
+             |  SELECT sid, tid, SUM(qv*cv) AS dot,
+             |    SUM(qv*qv) AS na, SUM(cv*cv) AS nb
+             |  FROM pairs GROUP BY sid, tid),
+             |cosq AS (
+             |  SELECT sid, tid,
+             |    CAST(dot AS DOUBLE)
+             |      /(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE)))
+             |      AS cos
+             |  FROM dots),
+             |fr AS (
+             |  SELECT sid, tid, cos, row_number() OVER (PARTITION BY sid
+             |    ORDER BY cos DESC, tid) AS rn
+             |  FROM cosq),
+             |fk AS (SELECT * FROM fr WHERE rn <= 4),
+             |avgs AS (
+             |  SELECT sid,
+             |    list_reduce(list(cos ORDER BY cos DESC), (a,b) -> a + b)
+             |      / 4.0 AS avg_s
+             |  FROM fk GROUP BY 1),
+             |br AS (
+             |  SELECT sid, tid, cos, row_number() OVER (PARTITION BY tid
+             |    ORDER BY cos DESC, sid) AS brn
+             |  FROM cosq
+             |  WHERE tid IN (SELECT DISTINCT tid FROM fk)),
+             |avgt AS (
+             |  SELECT tid,
+             |    list_reduce(list(cos ORDER BY cos DESC), (a,b) -> a + b)
+             |      / 4.0 AS avg_t
+             |  FROM br WHERE brn <= 4 GROUP BY 1),
+             |m AS (
+             |  SELECT f.sid, f.tid, f.cos,
+             |    f.cos / (0.5 * (a.avg_s + t.avg_t)) AS margin
+             |  FROM fk f JOIN avgs a USING (sid) JOIN avgt t USING (tid)),
+             |r AS (
+             |  SELECT sid, tid, cos, margin, row_number() OVER (
+             |    PARTITION BY sid ORDER BY margin DESC, tid) AS mrn
+             |  FROM m)
+             |SELECT sid, tid, cos, margin, margin >= 1.0 AS mined
+             |FROM r WHERE mrn = 1 ORDER BY sid""".stripMargin)),
+
     // IVF-PQ + EXACT re-rank (retrieve-then-rerank, the FAISS refine
     // shape): the compressed index nominates kCoarse=30 candidates per
     // query by ADC, only those 30 raw vectors are read back (broadcast
@@ -4709,6 +4779,55 @@ object Catalog {
              |      < LEAST(1.0, LENGTH(text) / 400.0)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Popularity-smoothed negative sampling
+    // (SampleOps.popularityNegatives): k word2vec-style negatives per
+    // customer from the part-popularity unigram distribution ^0.75.
+    // The 3/4 power is the fixed sqrt(sqrt(c³)) sequence (two
+    // correctly-rounded IEEE roots — libm pow's last ulp is
+    // platform-defined, nested sqrt is not), quantized to an integer
+    // CDF; draws invert it at the portable LCG coin. Spark probes the
+    // CDF as a broadcast sorted-array prefix count (no range join, no
+    // BNLJ); the oracle restates it as an interval join — same integer
+    // intervals, same rows.
+    "sample_negatives_popularity" -> QuerySpec(
+      (s, d) => {
+        val items = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("item"))
+          .agg(count(lit(1)).as("cnt"))
+        SampleOps.popularityNegatives(
+          t(s, d, "customer").select(col("c_custkey")), "c_custkey",
+          items, "item", "cnt", k = 4)
+          .orderBy(col("c_custkey"), col("draw"))
+      },
+      Some("""WITH pop AS (
+             |  SELECT l_partkey AS item, count(*) AS c
+             |  FROM lineitem GROUP BY 1),
+             |wq AS (
+             |  SELECT item,
+             |    CAST(FLOOR(sqrt(sqrt(CAST(c*c*c AS DOUBLE))) * 1000.0)
+             |      AS BIGINT) AS w
+             |  FROM pop WHERE c > 0 AND item IS NOT NULL),
+             |cum AS (
+             |  SELECT item, w,
+             |    COALESCE(SUM(w) OVER (ORDER BY item
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS lo
+             |  FROM wq),
+             |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wq),
+             |draws AS (
+             |  SELECT c_custkey, CAST(j AS BIGINT) AS draw,
+             |    CAST(FLOOR(
+             |      CAST(((c_custkey * 4 + j + 42) * 1103515245 + 12345)
+             |             % 2147483648 AS DOUBLE) / 2147483648.0
+             |      * CAST(tw AS DOUBLE)) AS BIGINT) AS target
+             |  FROM customer
+             |  CROSS JOIN tot
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j))
+             |SELECT d.c_custkey, d.draw, c.item
+             |FROM draws d
+             |JOIN cum c ON d.target >= c.lo AND d.target < c.lo + c.w
+             |ORDER BY d.c_custkey, d.draw""".stripMargin)),
+
     // Training-mix resampling to target per-source proportions. Fully
     // ORACLED — unlike the two keys above — because the keep decision
     // uses the portable 31-bit LCG hash (SampleOps.portableUniform) that
@@ -5548,6 +5667,109 @@ object Catalog {
              |  CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_outliers
              |FROM d JOIN md USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-group binomial rate + Wilson score interval
+    // (ProfileOps.rateWilsonCi): "is this slice's failure rate really
+    // elevated or is the group just small" — the quality-dashboard
+    // uncertainty band. ONE map-side-combinable aggregate to exact
+    // (n, k) longs, then a fixed per-group IEEE sequence (sqrt is
+    // correctly rounded) ⇒ fully oracled bit-for-bit.
+    "profile_rate_ci" -> QuerySpec(
+      (s, d) => ProfileOps.rateWilsonCi(
+        t(s, d, "orders").select(col("o_orderpriority").as("grp"),
+          col("o_orderstatus")),
+        "grp", col("o_orderstatus") === "F")
+        .orderBy(col("grp")),
+      Some("""WITH a AS (
+             |  SELECT o_orderpriority AS grp, count(*) AS n,
+             |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k
+             |  FROM orders GROUP BY 1),
+             |b AS (
+             |  SELECT grp, n, k,
+             |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+             |    1.959963984540054 * 1.959963984540054 AS z2,
+             |    CAST(n AS DOUBLE) AS nd
+             |  FROM a)
+             |SELECT grp, n, k, phat AS rate,
+             |  (phat + z2/(2.0*nd))/(1.0 + z2/nd)
+             |    - (1.959963984540054
+             |        * sqrt(phat*(1.0-phat)/nd + z2/(4.0*nd*nd)))
+             |      /(1.0 + z2/nd) AS ci_lo,
+             |  (phat + z2/(2.0*nd))/(1.0 + z2/nd)
+             |    + (1.959963984540054
+             |        * sqrt(phat*(1.0-phat)/nd + z2/(4.0*nd*nd)))
+             |      /(1.0 + z2/nd) AS ci_hi
+             |FROM b ORDER BY grp""".stripMargin)),
+
+    // Cohort retention matrix (EventOps.cohortRetention): customers
+    // cohorted by first-order month × month offset, retained fraction
+    // per cell. ONE shuffle over raw orders (per-actor groupBy with a
+    // months-bounded collect_set); cohort size recovered from the
+    // matrix's own offset-0 cell via a window max — no second pass.
+    // Calendar-integer offset arithmetic + one IEEE division ⇒ oracled.
+    "agg_cohort_retention" -> QuerySpec(
+      (s, d) => EventOps.cohortRetention(
+        t(s, d, "orders"), "o_custkey", "o_orderdate"),
+      Some("""WITH pa AS (
+             |  SELECT o_custkey AS actor,
+             |    date_trunc('month', min(o_orderdate)) AS cohort_ts
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |  GROUP BY 1),
+             |act AS (
+             |  SELECT DISTINCT o_custkey AS actor,
+             |    date_trunc('month', o_orderdate) AS m
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+             |cells AS (
+             |  SELECT CAST(pa.cohort_ts AS DATE) AS cohort_month,
+             |    CAST((year(act.m) - year(pa.cohort_ts)) * 12
+             |      + (month(act.m) - month(pa.cohort_ts)) AS INTEGER)
+             |      AS month_offset,
+             |    count(*) AS n_active
+             |  FROM act JOIN pa USING (actor) GROUP BY 1, 2)
+             |SELECT cohort_month, month_offset, n_active,
+             |  CAST(max(n_active) OVER (PARTITION BY cohort_month)
+             |    AS BIGINT) AS cohort_size,
+             |  CAST(n_active AS DOUBLE)
+             |    / CAST(max(n_active) OVER (PARTITION BY cohort_month)
+             |        AS DOUBLE) AS retention
+             |FROM cells ORDER BY cohort_month, month_offset""".stripMargin)),
+
+    // Ordered funnel (EventOps.funnelStages): per user the earliest
+    // signup → click-after-signup → purchase-after-click times and the
+    // stage reached. A chain of conditional min-aggregates joined on
+    // the actor key each side was just aggregated on — one shuffle
+    // grain end to end, no per-actor event collection. The oracle is
+    // the same CTE chain; stage times compare at the µs grain both
+    // engines present.
+    "agg_funnel_stages" -> QuerySpec(
+      (s, d) => EventOps.funnelStages(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase")),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t1
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t2
+             |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+             |  WHERE e.event_type = 'click'
+             |    AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+             |  GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t3
+             |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+             |  GROUP BY 1)
+             |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+             |  CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+             |         + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+             |    AS BIGINT) AS stage_reached
+             |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+             |        LEFT JOIN s3 ON s3.user_id = s1.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
 
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity

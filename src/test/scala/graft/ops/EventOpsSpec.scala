@@ -1,0 +1,132 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // --- cohortRetention -------------------------------------------------
+
+  test("cohortRetention: hand-computed matrix on a 3-actor fixture") {
+    // a: first Jan, active Jan+Mar (offsets 0, 2)
+    // b: first Jan, active Jan only
+    // c: first Mar, active Mar+Apr (offsets 0, 1); year boundary below
+    val df = Seq(
+      (1L, ts("2024-01-05 10:00:00")), (1L, ts("2024-03-20 10:00:00")),
+      (1L, ts("2024-03-21 11:00:00")), // same month twice → one cell
+      (2L, ts("2024-01-09 10:00:00")),
+      (3L, ts("2024-03-02 10:00:00")), (3L, ts("2024-04-30 10:00:00")))
+      .toDF("u", "t")
+    val out = EventOps.cohortRetention(df, "u", "t")
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0, 2L, 2L, 1.0),
+      (java.sql.Date.valueOf("2024-01-01"), 2, 1L, 2L, 0.5),
+      (java.sql.Date.valueOf("2024-03-01"), 0, 1L, 1L, 1.0),
+      (java.sql.Date.valueOf("2024-03-01"), 1, 1L, 1L, 1.0)))
+  }
+
+  test("cohortRetention: month offset crosses a year boundary as Δyear·12 + Δmonth") {
+    val df = Seq(
+      (1L, ts("2023-11-15 00:00:00")), (1L, ts("2024-02-01 00:00:00")))
+      .toDF("u", "t")
+    val out = EventOps.cohortRetention(df, "u", "t")
+      .select("month_offset").as[Int].collect().toSet
+    assert(out == Set(0, 3))
+  }
+
+  test("cohortRetention: NULL actors and timestamps are excluded") {
+    val df = Seq(
+      (Some(1L), Some(ts("2024-01-05 00:00:00"))),
+      (None, Some(ts("2024-01-06 00:00:00"))),
+      (Some(2L), None))
+      .toDF("u", "t")
+    val out = EventOps.cohortRetention(df, "u", "t").collect()
+    assert(out.length == 1 && out.head.getLong(2) == 1L)
+  }
+
+  test("cohortRetention: ONE shuffle over raw events (per-actor agg), rest at matrix grain") {
+    val df = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("u", "t")
+    val plan = EventOps.cohortRetention(df, "u", "t")
+      .queryExecution.executedPlan
+    // shuffles: actor agg + cells agg + window + final sort — what must
+    // NOT appear is any exchange carrying raw event rows beyond the
+    // first actor-grain aggregate; with one row in, every exchange is
+    // at most one row wide, so assert the count stays at the designed 4
+    val n = plan.collect { case e: ShuffleExchangeExec => e }.size
+    assert(n <= 4, s"expected <= 4 exchanges, got $n:\n$plan")
+  }
+
+  // --- funnelStages ----------------------------------------------------
+
+  private val funnelFixture = Seq(
+    // u1 completes all three in order
+    (1L, ts("2024-01-01 00:00:00"), "signup"),
+    (1L, ts("2024-01-02 00:00:00"), "click"),
+    (1L, ts("2024-01-03 00:00:00"), "purchase"),
+    // u2: purchase BEFORE click-after-signup → funnel stops at click
+    (2L, ts("2024-01-01 00:00:00"), "signup"),
+    (2L, ts("2024-01-01 06:00:00"), "purchase"),
+    (2L, ts("2024-01-02 00:00:00"), "click"),
+    // u3: click precedes signup → that click cannot count; no later click
+    (3L, ts("2024-01-02 00:00:00"), "click"),
+    (3L, ts("2024-01-03 00:00:00"), "signup"),
+    // u4 never signs up → not in the output at all
+    (4L, ts("2024-01-01 00:00:00"), "click"))
+    .toDF("u", "t", "typ")
+
+  test("funnelStages: strict in-order semantics, hand-checked") {
+    val out = EventOps.funnelStages(
+      funnelFixture, "u", "t", "typ", Seq("signup", "click", "purchase"))
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")),
+        Some(ts("2024-01-03 00:00:00")), 3L),
+      (2L, ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")),
+        None, 2L),
+      (3L, ts("2024-01-03 00:00:00"), None, None, 1L)))
+  }
+
+  test("funnelStages: an event AT the previous stage time counts (closed boundary)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 00:00:00"), "b"))
+      .toDF("u", "t", "typ")
+    val out = EventOps.funnelStages(df, "u", "t", "typ", Seq("a", "b"))
+      .as[(Long, Timestamp, Option[Timestamp], Long)].collect()
+    assert(out.head._4 == 2L)
+  }
+
+  test("funnelStages rejects empty and duplicate step lists") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("u", "t", "typ")
+    intercept[IllegalArgumentException] {
+      EventOps.funnelStages(df, "u", "t", "typ", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.funnelStages(df, "u", "t", "typ", Seq("a", "a"))
+    }
+  }
+
+  test("funnelStages: joins stay on the actor key — no new shuffle grain") {
+    val plan = EventOps.funnelStages(
+      funnelFixture, "u", "t", "typ", Seq("signup", "click", "purchase"))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    // every hash exchange must partition on the actor column only
+    val bad = exchanges.filter { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          !h.expressions.forall(_.references.map(_.name).forall(_ == "u"))
+        case _ => false // range partitioning for the final orderBy
+      }
+    }
+    assert(bad.isEmpty, s"non-actor-grain exchange:\n${bad.mkString("\n")}")
+  }
+}

@@ -437,4 +437,54 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(approx._3 - exact._3) <= 1.0, s"$approx vs $exact")
     assert(math.abs(approx._4 - exact._4) <= 1.0, s"$approx vs $exact")
   }
+
+  test("rateWilsonCi matches the textbook interval for n=10, k=3") {
+    // 95% Wilson interval for 3/10 ≈ (0.1078, 0.6032) (Brown, Cai &
+    // DasGupta 2001's running example)
+    val df = (1 to 10).map(i => ("g", i <= 3)).toDF("g", "f")
+    val out = ProfileOps.rateWilsonCi(df, "g", $"f")
+      .as[(String, Long, Long, Double, Double, Double)].collect().head
+    assert(out._2 == 10 && out._3 == 3 && out._4 == 0.3)
+    assert(math.abs(out._5 - 0.1078) < 5e-4, s"lo ${out._5}")
+    assert(math.abs(out._6 - 0.6032) < 5e-4, s"hi ${out._6}")
+  }
+
+  test("rateWilsonCi: k=0 pins ci_lo to exactly 0, k=n pins ci_hi to exactly 1") {
+    val df = Seq(("zero", false), ("zero", false),
+      ("all", true), ("all", true), ("all", true)).toDF("g", "f")
+    val out = ProfileOps.rateWilsonCi(df, "g", $"f")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // algebra: phat=0 makes center == half, phat=1 mirrors — the
+    // interval endpoint is EXACT, a property the Wald interval lacks
+    assert(out("zero")._5 == 0.0 && out("zero")._4 == 0.0)
+    assert(math.abs(out("all")._6 - 1.0) < 1e-15 && out("all")._4 == 1.0)
+    // and both stay inside [0,1]
+    assert(out.values.forall(r => r._5 >= 0.0 && r._6 <= 1.0 + 1e-15))
+  }
+
+  test("rateWilsonCi: NULL flags count toward n as non-successes") {
+    val df = Seq(("g", Some(true)), ("g", None), ("g", Some(false)))
+      .toDF("g", "f")
+    val out = ProfileOps.rateWilsonCi(df, "g", $"f" === true)
+      .as[(String, Long, Long, Double, Double, Double)].collect().head
+    assert(out._2 == 3 && out._3 == 1)
+  }
+
+  test("rateWilsonCi: interval narrows as n grows at fixed rate") {
+    val df = ((1 to 10).map(i => ("small", i <= 5)) ++
+      (1 to 1000).map(i => ("big", i <= 500))).toDF("g", "f")
+    val out = ProfileOps.rateWilsonCi(df, "g", $"f")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> (r._6 - r._5)).toMap
+    assert(out("big") < out("small") / 5)
+  }
+
+  test("rateWilsonCi is ONE aggregate — a single shuffle on the group key") {
+    val df = Seq(("a", true), ("b", false)).toDF("g", "f")
+    val plan = ProfileOps.rateWilsonCi(df, "g", $"f")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }

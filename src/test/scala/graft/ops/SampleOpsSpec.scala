@@ -376,4 +376,76 @@ class SampleOpsSpec extends SparkSpec {
     assert(straddle == 0)
     assert(out.count() == 5) // singletons keep their row
   }
+
+  test("popularityNegatives: k draws per actor, items from the vocabulary only") {
+    val items = Seq((10L, 100L), (20L, 50L), (30L, 1L)).toDF("item", "cnt")
+    val actors = (1L to 50L).toDF("a")
+    val out = SampleOps.popularityNegatives(
+      actors, "a", items, "item", "cnt", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 200)
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1L, 2L, 3L, 4L)))
+    assert(out.map(_._3).toSet.subsetOf(Set(10L, 20L, 30L)))
+  }
+
+  test("popularityNegatives: draw frequencies track the smoothed popularity") {
+    // w ∝ c^0.75: c=10000 → 1000, c=1 → 1 (relative 1000:1 per item);
+    // with 500 actors × 8 draws the rare item must stay rare and the
+    // popular one dominant — deterministic under the fixed LCG
+    val items = Seq((1L, 10000L), (2L, 1L)).toDF("item", "cnt")
+    val actors = (1L to 500L).toDF("a")
+    val counts = SampleOps.popularityNegatives(
+      actors, "a", items, "item", "cnt", k = 8)
+      .groupBy($"item").count().as[(Long, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(total == 4000)
+    assert(counts(1L).toDouble / total > 0.99, s"$counts")
+  }
+
+  test("popularityNegatives is deterministic and seed-sensitive") {
+    val items = Seq((1L, 5L), (2L, 9L), (3L, 2L)).toDF("item", "cnt")
+    val actors = (1L to 20L).toDF("a")
+    def run(seed: Long) = SampleOps.popularityNegatives(
+      actors, "a", items, "item", "cnt", k = 3, seed = seed)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(run(42L) == run(42L))
+    assert(run(42L) != run(7L))
+  }
+
+  test("popularityNegatives: zero-count and NULL items are excluded from the CDF") {
+    val items = Seq((Some(1L), 5L), (Some(2L), 0L), (None, 9L))
+      .toDF("item", "cnt")
+    val actors = (1L to 30L).toDF("a")
+    val drawn = SampleOps.popularityNegatives(
+      actors, "a", items, "item", "cnt", k = 2)
+      .select($"item").as[Long].collect().toSet
+    assert(drawn == Set(1L))
+  }
+
+  test("popularityNegatives: the actor side is never shuffled or joined") {
+    val items = Seq((1L, 5L)).toDF("item", "cnt")
+    val actors = (1L to 10L).toDF("a")
+    val plan = SampleOps.popularityNegatives(
+      actors, "a", items, "item", "cnt", k = 2)
+      .queryExecution.executedPlan
+    // the CDF rides the plan as a 1-row broadcast; no equi-join
+    // machinery and no exchange may touch the actor stream
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }.isEmpty, s"unexpected equi-join:\n$plan")
+  }
+
+  test("popularityNegatives validates its arguments") {
+    val items = Seq((1L, 5L)).toDF("item", "cnt")
+    val actors = Seq("x").toDF("a")
+    intercept[IllegalArgumentException] {
+      SampleOps.popularityNegatives((1L to 3L).toDF("a"), "a",
+        items, "item", "cnt", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.popularityNegatives(actors, "a", items, "item", "cnt", k = 1)
+    }
+  }
 }

@@ -481,4 +481,63 @@ class SimilaritySpec extends SparkSpec {
     val corr = collected.map(r => r._2 * ((r._1 % 21 - 10) * 100.0)).sum
     assert(math.abs(corr) > 0, "pc1 must align with the planted axis")
   }
+
+  // --- bitextMine ------------------------------------------------------
+
+  private def bitextFixture = {
+    val src = Seq(
+      (0L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("sid", "svec")
+    val tgt = Seq(
+      (1L, Array(1.0, 0.0)), (3L, Array(0.8, 0.6)),
+      (5L, Array(0.0, 1.0)), (7L, Array(-1.0, 0.0)))
+      .toDF("tid", "tvec")
+    (src, tgt)
+  }
+
+  test("bitextMine: hand-computed margins on an orthogonal fixture") {
+    // forward k=2: s0 → {t1 cos 1.0, t3 cos 0.8} avg 0.9;
+    //              s2 → {t5 cos 1.0, t3 cos 0.6} avg 0.8
+    // backward over candidates {t1,t3,t5} vs both anchors (k=2):
+    //   t1 avg 0.5, t3 avg 0.7, t5 avg 0.5
+    // margins: (s0,t1)=1/0.7, (s0,t3)=0.8/0.8=1.0 → rank1 t1
+    //          (s2,t5)=1/0.65, (s2,t3)=0.6/0.75=0.8 → rank1 t5
+    val (src, tgt) = bitextFixture
+    val out = SimilarityOps.bitextMine(src, tgt, k = 2, marginThreshold = 1.1)
+      .orderBy($"sid")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._5)) == Seq(
+      (0L, 1L, true), (2L, 5L, true)))
+    assert(math.abs(out(0)._4 - 1.0 / 0.7) < 1e-12, s"${out(0)}")
+    assert(math.abs(out(1)._4 - 1.0 / 0.65) < 1e-12, s"${out(1)}")
+  }
+
+  test("bitextMine: equidistant anchors get margin exactly 1 — reported, not mined") {
+    // every (anchor, target) cosine is identical (1/√2), so both local
+    // averages equal the pair cosine and the margin is exactly 1.0:
+    // below a 1.2 threshold the rows are still present with
+    // mined = false (the audit contract — the filter is data)
+    val src = Seq((0L, Array(1.0, 1.0)), (2L, Array(1.0, 1.0)))
+      .toDF("sid", "svec")
+    val tgt = Seq(
+      (1L, Array(1.0, 0.0)), (3L, Array(0.0, 1.0)))
+      .toDF("tid", "tvec")
+    val out = SimilarityOps.bitextMine(src, tgt, k = 2, marginThreshold = 1.2)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(out.length == 2 && out.forall(!_._5))
+    assert(out.forall(r => math.abs(r._4 - 1.0) < 1e-12), out.mkString(","))
+  }
+
+  test("bitextMine is deterministic across runs and validates arguments") {
+    val (src, tgt) = bitextFixture
+    def run() = SimilarityOps.bitextMine(src, tgt, k = 2, marginThreshold = 1.0)
+      .orderBy($"sid").collect().toSeq
+    assert(run() == run())
+    intercept[IllegalArgumentException] {
+      SimilarityOps.bitextMine(src, tgt, k = 0, marginThreshold = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.bitextMine(src, tgt, k = 2, marginThreshold = 0.0)
+    }
+  }
 }
