@@ -110,4 +110,44 @@ object EventOps {
       .withColumn("stage_reached", reached.cast(LongType))
       .orderBy(a)
   }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * actor's most recent touch event at or before it (in the
+    * (timestamp, event id) total order — the unique id breaks
+    * same-timestamp ties deterministically, and makes a touch sharing
+    * a conversion's timestamp count only when its id sorts first).
+    * Conversions with no prior touch keep NULL touch columns — the
+    * "direct / unattributed" bucket every marketing report needs as
+    * data, not as silently dropped rows.
+    *
+    * ONE window over ONE shuffle on the actor key: the touch identity
+    * rides as a struct through `last(_, ignoreNulls = true)` with a
+    * running ROWS frame — per-row state is a single struct, never a
+    * collected event list, so a hot actor costs O(1) memory. The same
+    * running-last construction restates in SQL as
+    * `last_value(x IGNORE NULLS)`. */
+  def lastTouchAttribution(
+      events: DataFrame, actorCol: String, tsCol: String, idCol: String,
+      typeCol: String, touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    require(touchTypes.nonEmpty,
+      "lastTouchAttribution: touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"lastTouchAttribution: conversion type '$conversionType' cannot " +
+        "also be a touch type — a purchase would attribute to itself")
+    val a = col(actorCol)
+    val w = Window.partitionBy(a).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("t"), col(idCol).as("i"),
+        col(typeCol).as("y")))
+    events
+      .withColumn("_lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(a, col(idCol).as("conversion_id"),
+        col(tsCol).as("conversion_ts"),
+        col("_lt.i").as("touch_id"),
+        col("_lt.t").as("touch_ts"),
+        col("_lt.y").as("touch_type"))
+  }
 }

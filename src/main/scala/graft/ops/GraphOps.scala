@@ -127,6 +127,72 @@ object GraphOps {
     pr.select(col("id").as(idCol), col("pr"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the undirected graph: every node starts labeled
+    * with its own id, and each round adopts the MOST FREQUENT label
+    * among its neighbors, ties broken by the smallest label. Unlike
+    * [[DedupOps.connectedComponents]] (which converges to one label
+    * per component), a fixed small round count yields sub-component
+    * communities — the mirror-cluster / topic-cluster grain a crawl
+    * pipeline samples across. Deterministic by construction: integer
+    * counts, total (count DESC, label ASC) tie order, synchronized
+    * rounds — so K rounds are bit-reproducible and oracle-verifiable
+    * as K unrolled SQL statements.
+    *
+    * Scale shape: each round is one equi-join of the symmetrized edge
+    * list to the current label frame plus two aggregates — (node,
+    * label) count, then the per-node argmax via ONE `max(struct(cnt,
+    * −label))` aggregate (no window, no extra sort) — and a left join
+    * back to the node universe so isolated nodes keep their label.
+    * Lineage is cut through the same materialize seam as
+    * [[pagerankFixedPoint]] every `checkpointEvery` rounds. */
+  def labelPropagation(
+      nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      iterations: Int = 3,
+      checkpointEvery: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    DedupOps.setupCheckpointDir(nodes, checkpointDir)
+    val ids = nodes.select(col(idCol).cast(LongType).as("id"))
+    val directed = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = DedupOps.materialize(
+      directed.union(directed.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct(),
+      checkpointDir)
+    var labels = ids.select(col("id"), col("id").as("lab"))
+    var lastBarrier: Option[DataFrame] = None
+    for (round <- 1 to iterations) {
+      val counts = sym
+        .join(labels.select(col("id"), col("lab")), sym("src") === col("id"))
+        .groupBy(sym("dst").as("nid"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) as one aggregate: labels are
+      // non-negative longs, so max(struct(c, -lab)) picks the highest
+      // count and, within it, the smallest label
+      val winner = counts
+        .groupBy(col("nid"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("_m"))
+        .select(col("nid"), (-col("_m.nl")).as("_new"))
+      labels = ids
+        .join(winner, ids("id") === winner("nid"), "left")
+        .select(ids("id"), coalesce(col("_new"), ids("id")).as("lab"))
+      if (round % checkpointEvery == 0 && round < iterations) {
+        val cut = DedupOps.materialize(labels, checkpointDir)
+        lastBarrier.foreach(DedupOps.releaseCheckpoint)
+        lastBarrier = Some(cut)
+        labels = cut
+      }
+    }
+    labels.select(col("id").as(idCol), col("lab").as("label"))
+  }
+
   /** Global triangle census of an undirected graph — node count, edge
     * count, wedge count (paths of length 2, the triangle DENOMINATOR),
     * triangle count and the global clustering coefficient 3T/W. The

@@ -618,6 +618,40 @@ object ProfileOps {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Smoothed (m-estimate) target encoding: the per-category mean of a
+    * numeric target shrunk toward the global mean,
+    * `enc = (Σy_cat + m·prior) / (n_cat + m)` — the categorical-feature
+    * encoder for high-cardinality categories where the raw per-category
+    * mean overfits rare levels (Micci-Barreca 2001). Returns the FIT
+    * table (category, n, sum, enc): the frozen model artifact in the
+    * house fit/score convention — score time is a broadcast join of
+    * this table, never a recompute.
+    *
+    * Determinism: target values accumulate in an exact DECIMAL(18,6)
+    * sum (partial-aggregation order can't wiggle it), the prior comes
+    * from re-aggregating the per-category sums (exact decimal adds —
+    * no second scan of the data), and `enc` is one fixed IEEE chain
+    * over exact inputs ⇒ bit-reproducible cross-engine. ONE shuffle at
+    * the category grain; the prior is a 1-row broadcast frame. */
+  def targetEncode(
+      df: DataFrame, catCol: String, targetCol: String,
+      m: Double = 10.0): DataFrame = {
+    require(m >= 0, s"targetEncode: m must be >= 0, got $m")
+    val perCat = df
+      .filter(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(targetCol).cast(DecimalType(18, 6))).as("_dsum"))
+    val prior = perCat.agg(
+      (sum(col("_dsum")).cast(DoubleType) /
+        sum(col("n")).cast(DoubleType)).as("_prior"))
+    perCat.crossJoin(broadcast(prior))
+      .select(col(catCol), col("n"),
+        col("_dsum").cast(DoubleType).as("sum_target"),
+        ((col("_dsum").cast(DoubleType) + lit(m) * col("_prior")) /
+          (col("n").cast(DoubleType) + lit(m))).as("enc"))
+  }
+
   /** Per-group binomial rate with a Wilson score interval — the
     * monitoring primitive behind "is source X's defect rate really
     * higher, or is the group just small": unlike the naive ±z·√(p̂q̂/n)

@@ -82,6 +82,57 @@ object TimeSeriesOps {
         (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)))
   }
 
+  /** Windowed Holt linear (double exponential) smoothing: per series,
+    * the level/trend recursion
+    * {{{ l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *     b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1} }}}
+    * folded over the last `span` observations, seeded with
+    * (l = first value of the frame, b = 0) — the trend ramps in from
+    * zero, the standard alternative to the x₂−x₁ seed that needs no
+    * second-element special case. Emits `level`, `trend` and the
+    * one-step `forecast = level + trend` — the lightweight
+    * trend-following monitor for metric series (EWMA lags a trending
+    * series by design; Holt does not).
+    *
+    * Same scale/determinism contract as [[ewmaWindowed]]: one shuffle
+    * on the key, O(span) state per row, and a FIXED left-to-right IEEE
+    * chain over a TWO-ELEMENT ARRAY accumulator [l, b], so results are
+    * bit-deterministic under any partitioning and restatable
+    * cross-engine (DuckDB: `list_reduce` over
+    * `list_transform(lst, x → [x, 0.0])` — the first pair IS this
+    * seed, making the no-initial-value reduce identical to this fold).
+    * The accumulator is an ARRAY, not a struct, deliberately: DuckDB's
+    * list_reduce mutates a STRUCT accumulator in place field by field,
+    * so a second field's formula reading `acc.l` observes the first
+    * field's NEW value (measured divergence, pinned by the fixture
+    * unit); list construction evaluates both elements from the
+    * original accumulator on both engines. Pick α/β whose complements
+    * are exact binary fractions (0.25, 0.125, …) so the mirrored SQL
+    * literals are the same doubles. NULLs must be filled first, as in
+    * [[ewmaWindowed]]. */
+  def holtWindowed(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double, beta: Double, span: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(span >= 1, s"span must be positive, got $span")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(span - 1).toLong, Window.currentRow)
+    val lst = collect_list(col(valueCol)).over(w)
+    val seed = array(get(lst, lit(0)), lit(0.0))
+    val folded = aggregate(slice(lst, 2, span - 1), seed, (acc, x) => {
+      val l = element_at(acc, 1); val b = element_at(acc, 2)
+      val nl = x * lit(alpha) + lit(1.0 - alpha) * (l + b)
+      array(nl, lit(beta) * (nl - l) + lit(1.0 - beta) * b)
+    })
+    df.withColumn("_hw", folded)
+      .withColumn("level", element_at(col("_hw"), 1))
+      .withColumn("trend", element_at(col("_hw"), 2))
+      .withColumn("forecast",
+        element_at(col("_hw"), 1) + element_at(col("_hw"), 2))
+      .drop("_hw")
+  }
+
   /** A single (key, order, value) observation for [[ewmaExact]]. */
   case class TsPoint(key: Long, ord: Long, value: Double)
   /** [[ewmaExact]] output row. */

@@ -27,6 +27,40 @@ object Catalog {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** graph_label_propagation's DuckDB oracle: three synchronous LPA
+    * rounds unrolled as chained CTEs over the same synthetic link graph
+    * as [[pagerankOracle]]. Integer counts + total (count DESC, label
+    * ASC) tie order make every round bit-portable. */
+  private lazy val lpaOracle: String = {
+    def round(k: Int): String =
+      s"""c$k AS (
+         |  SELECT s.dst AS nid, l.lab, count(*) AS c
+         |  FROM sym s JOIN lp${k - 1} l ON l.id = s.src GROUP BY 1, 2),
+         |w$k AS (
+         |  SELECT nid, lab, row_number() OVER (PARTITION BY nid
+         |    ORDER BY c DESC, lab) AS rn
+         |  FROM c$k),
+         |lp$k AS (
+         |  SELECT p.id, COALESCE(w.lab, p.lab) AS lab
+         |  FROM lp${k - 1} p
+         |  LEFT JOIN (SELECT nid, lab FROM w$k WHERE rn = 1) w
+         |    ON w.nid = p.id)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+       |de AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
+       |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
+       |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
+       |  WHERE src <> dst),
+       |sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
+       |lp0 AS (SELECT id, id AS lab FROM nodes),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT id AS doc_id, lab AS label FROM lp3 ORDER BY doc_id""".stripMargin
+  }
+
   /** graph_pagerank's DuckDB oracle: the five fixed-point iterations
     * unrolled as chained CTEs (a recursive CTE with an aggregate over
     * the recursive relation is not portable), each the literal integer
@@ -2078,6 +2112,32 @@ object Catalog {
           .orderBy(col("doc_id"))
       },
       Some(pagerankOracle)),
+
+    // Synchronous label propagation (GraphOps.labelPropagation,
+    // Raghavan et al.): 3 rounds of majority-neighbor-label over the
+    // same synthetic link graph as graph_pagerank — the sub-component
+    // community grain (mirror clusters, topic clusters) that CC's
+    // full-component labels are too coarse for. Integer counts +
+    // total (count DESC, label ASC) tie order + synchronized rounds ⇒
+    // every round is bit-portable and the whole computation is oracled
+    // as 3 unrolled SQL rounds. Per round: one edge-to-labels equi-join
+    // and two aggregates (the per-node argmax is ONE
+    // max(struct(cnt, −label)) — no window, no sort); lineage cut
+    // through the pagerank checkpoint seam.
+    "graph_label_propagation" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        GraphOps.labelPropagation(
+          ids, edges, "doc_id", "src", "dst", iterations = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(lpaOracle)),
 
     // PCA projection of the embedding table to its top-3 components
     // (SimilarityOps.pcaProject over Spark ML's PCA — one distributed
@@ -5771,6 +5831,38 @@ object Catalog {
              |        LEFT JOIN s3 ON s3.user_id = s1.user_id
              |ORDER BY s1.user_id""".stripMargin)),
 
+    // Last-touch attribution (EventOps.lastTouchAttribution): every
+    // purchase credited to the user's most recent click/view at or
+    // before it in the (ts, event_id) total order; no-prior-touch
+    // purchases keep NULL touch columns (the "direct" bucket as data).
+    // ONE running-last window over ONE actor-grain shuffle — per-row
+    // state is a single struct, never an event list; the identical
+    // construction restates as last_value(… IGNORE NULLS) in SQL.
+    "win_attribution_last_touch" -> QuerySpec(
+      (s, d) => EventOps.lastTouchAttribution(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("click", "view"), "purchase")
+        .orderBy(col("conversion_id")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_type,
+             |    CASE WHEN event_type IN ('click', 'view')
+             |      THEN struct_pack(t := CAST(ts AS TIMESTAMP),
+             |        i := event_id, y := event_type) END AS touch
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    last_value(touch IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS lt
+             |  FROM e)
+             |SELECT user_id, event_id AS conversion_id,
+             |  ts AS conversion_ts, lt.i AS touch_id, lt.t AS touch_ts,
+             |  lt.y AS touch_type
+             |FROM l WHERE event_type = 'purchase'
+             |ORDER BY conversion_id""".stripMargin)),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.
@@ -5815,6 +5907,32 @@ object Catalog {
              |      + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INTEGER)
              |    AS bin
              |FROM documents CROSS JOIN p ORDER BY doc_id""".stripMargin)),
+
+    // Smoothed (m-estimate) target encoding (ProfileOps.targetEncode,
+    // Micci-Barreca): per-customer mean order price shrunk toward the
+    // global mean — the high-cardinality categorical encoder whose raw
+    // per-level mean overfits rare levels. Emits the frozen FIT table
+    // (score time is a broadcast join). Exact DECIMAL(18,6) sums; the
+    // prior re-aggregates the per-category sums (no second data scan);
+    // enc is one fixed IEEE chain ⇒ fully oracled.
+    "prep_target_encode" -> QuerySpec(
+      (s, d) => ProfileOps.targetEncode(
+        t(s, d, "orders"), "o_custkey", "o_totalprice", m = 10.0)
+        .orderBy(col("o_custkey")),
+      Some("""WITH pc AS (
+             |  SELECT o_custkey, count(*) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS dsum
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+             |  GROUP BY 1),
+             |pr AS (
+             |  SELECT CAST(SUM(dsum) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             |    AS prior
+             |  FROM pc)
+             |SELECT o_custkey, n, CAST(dsum AS DOUBLE) AS sum_target,
+             |  (CAST(dsum AS DOUBLE) + 10.0 * prior)
+             |    / (CAST(n AS DOUBLE) + 10.0) AS enc
+             |FROM pc CROSS JOIN pr ORDER BY o_custkey""".stripMargin)),
 
     // Fixed-width histogram (ProfileOps.histogram): 1-row min/max
     // broadcast + one partial-aggregating groupBy — two scans total,
@@ -6118,6 +6236,41 @@ object Catalog {
              |SELECT event_id, user_id, value,
              |  list_reduce(lst, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
              |FROM l ORDER BY event_id""".stripMargin)),
+
+    // Holt linear (double exponential) smoothing
+    // (TimeSeriesOps.holtWindowed): level+trend recursion over the same
+    // 20-observation frame as ts_ewma — the trend-following monitor
+    // EWMA structurally lags on. α/β complements are exact binary
+    // fractions (0.75, 0.875) so the mirrored SQL literals are the
+    // same doubles; the fold carries a [l, b] ARRAY accumulator on
+    // both engines — NOT a struct, because DuckDB's list_reduce
+    // mutates a struct accumulator in place field by field (the second
+    // field's formula would read the first field's NEW value; measured
+    // divergence, pinned by the holtWindowed fixture unit) ⇒ fully
+    // oracled bit-for-bit.
+    "ts_holt_linear" -> QuerySpec(
+      (s, d) => TimeSeriesOps.holtWindowed(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "event_id", "value",
+        alpha = 0.25, beta = 0.125, span = 20)
+        .orderBy(col("event_id")),
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, value,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, value,
+             |    list_reduce(
+             |      list_transform(lst, x -> [x, CAST(0.0 AS DOUBLE)]),
+             |      (acc, e) -> [
+             |        e[1] * 0.25 + 0.75 * (acc[1] + acc[2]),
+             |        0.125 * ((e[1] * 0.25 + 0.75 * (acc[1] + acc[2]))
+             |          - acc[1]) + 0.875 * acc[2]]) AS hw
+             |  FROM l)
+             |SELECT event_id, user_id, value,
+             |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
+             |FROM f ORDER BY event_id""".stripMargin)),
 
     // Two-stage near-dup verify: bigram-Jaccard blocking proposes, banded
     // levenshtein confirms. Planted twins (every 5th doc re-added under a

@@ -114,6 +114,61 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  // --- lastTouchAttribution -------------------------------------------
+
+  test("lastTouchAttribution: hand-checked credit assignment") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "view"),
+      (1L, ts("2024-01-02 00:00:00"), 11L, "click"),
+      (1L, ts("2024-01-03 00:00:00"), 12L, "purchase"), // → click 11
+      (1L, ts("2024-01-04 00:00:00"), 13L, "purchase"), // still → 11
+      (2L, ts("2024-01-01 00:00:00"), 20L, "purchase"), // no touch → NULL
+      (2L, ts("2024-01-02 00:00:00"), 21L, "view"))
+      .toDF("u", "t", "id", "typ")
+    val out = EventOps.lastTouchAttribution(
+      df, "u", "t", "id", "typ", Seq("click", "view"), "purchase")
+      .orderBy($"conversion_id")
+      .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp], Option[String])]
+      .collect().toSeq
+    assert(out.map(r => (r._2, r._4, r._6)) == Seq(
+      (12L, Some(11L), Some("click")),
+      (13L, Some(11L), Some("click")),
+      (20L, None, None)))
+  }
+
+  test("lastTouchAttribution: same-timestamp tie resolves by event id order") {
+    // touch id 5 sorts BEFORE conversion id 6 at the same instant → it
+    // counts; touch id 7 sorts AFTER → it does not
+    val t0 = ts("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, t0, 5L, "click"), (1L, t0, 6L, "purchase"), (1L, t0, 7L, "click"))
+      .toDF("u", "t", "id", "typ")
+    val out = EventOps.lastTouchAttribution(
+      df, "u", "t", "id", "typ", Seq("click"), "purchase")
+      .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp], Option[String])]
+      .collect().head
+    assert(out._4 == Some(5L), s"$out")
+  }
+
+  test("lastTouchAttribution validates its type arguments") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a")).toDF("u", "t", "id", "typ")
+    intercept[IllegalArgumentException] {
+      EventOps.lastTouchAttribution(df, "u", "t", "id", "typ", Nil, "x")
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.lastTouchAttribution(df, "u", "t", "id", "typ", Seq("x"), "x")
+    }
+  }
+
+  test("lastTouchAttribution: one window over one actor-grain shuffle") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a")).toDF("u", "t", "id", "typ")
+    val plan = EventOps.lastTouchAttribution(
+      df, "u", "t", "id", "typ", Seq("a"), "b")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("funnelStages: joins stay on the actor key — no new shuffle grain") {
     val plan = EventOps.funnelStages(
       funnelFixture, "u", "t", "typ", Seq("signup", "click", "purchase"))

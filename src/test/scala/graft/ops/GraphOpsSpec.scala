@@ -148,4 +148,59 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("labelPropagation: one hand-checked round — majority label, min-label ties") {
+    // path 1-2-3 plus pendant 4 on 2; round 1 (labels = ids):
+    //   1: nbrs {2} → 2;  2: nbrs {1,3,4} all count 1 → min = 1
+    //   3: nbrs {2} → 2;  4: nbrs {2} → 2
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("s", "dst")
+    val out = GraphOps.labelPropagation(nodes, edges, "id", "s", "dst",
+      iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("labelPropagation: two communities separate; isolated node keeps its label") {
+    // two triangles {1,2,3} and {10,11,12} joined by the single bridge
+    // 3-10, plus isolated node 99; after 3 rounds each triangle must
+    // carry ONE internal label and 99 stays 99
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L)).toDF("s", "dst")
+    val out = GraphOps.labelPropagation(nodes, edges, "id", "s", "dst",
+      iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(99L) == 99L)
+    val left = Set(1L, 2L, 3L).map(out)
+    val right = Set(10L, 11L, 12L).map(out)
+    assert(left.size == 1 && left.head <= 3L, s"left triangle: $out")
+    assert(right.size == 1, s"right triangle: $out")
+    assert(left != right, s"communities must not merge: $out")
+  }
+
+  test("labelPropagation: checkpointed run is bit-identical to unrolled") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60))
+      .toDF("s", "dst")
+    def run(every: Int) = GraphOps.labelPropagation(
+      nodes, edges, "id", "s", "dst", iterations = 6,
+      checkpointEvery = every)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(run(2) == run(100))
+  }
+
+  test("labelPropagation validates arguments") {
+    val nodes = Seq(1L).toDF("id")
+    val edges = Seq((1L, 1L)).toDF("s", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.labelPropagation(nodes, edges, "id", "s", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.labelPropagation(nodes, edges, "id", "s", "dst",
+        iterations = 1, checkpointEvery = 0)
+    }
+  }
 }

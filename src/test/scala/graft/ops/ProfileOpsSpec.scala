@@ -480,6 +480,46 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out("big") < out("small") / 5)
   }
 
+  test("targetEncode: hand-computed m-estimate shrinkage") {
+    // cats: a = {10, 20} (mean 15), b = {40} — global prior 70/3
+    // enc_a = (30 + 3·(70/3)) / (2 + 3) = 100/5 = 20
+    // enc_b = (40 + 3·(70/3)) / (1 + 3) = 110/4 = 27.5
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 40.0)).toDF("c", "y")
+    val out = ProfileOps.targetEncode(df, "c", "y", m = 3.0)
+      .orderBy($"c").as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 2L, 30.0, 20.0), ("b", 1L, 40.0, 27.5)),
+      out.mkString(","))
+  }
+
+  test("targetEncode: m=0 degenerates to the raw per-category mean") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("c", "y")
+    val out = ProfileOps.targetEncode(df, "c", "y", m = 0.0)
+      .orderBy($"c").as[(String, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._4)) == Seq(("a", 2.0), ("b", 10.0)))
+  }
+
+  test("targetEncode: a rare category shrinks toward the prior, a big one doesn't") {
+    val rows = (1 to 1000).map(i => ("big", 100.0)) :+ (("rare", 0.0))
+    val out = ProfileOps.targetEncode(rows.toDF("c", "y"), "c", "y", m = 10.0)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val prior = 100.0 * 1000 / 1001
+    assert(math.abs(out("big") - 100.0) < 0.05, s"$out")
+    // rare (n=1, y=0) → (0 + 10·prior)/11 ≈ 0.909·prior, NOT 0
+    assert(out("rare") > 0.8 * prior, s"$out prior=$prior")
+  }
+
+  test("targetEncode: NULL categories and targets are excluded; m >= 0 enforced") {
+    val df = Seq((Some("a"), Some(2.0)), (None, Some(9.0)), (Some("a"), None))
+      .toDF("c", "y")
+    val out = ProfileOps.targetEncode(df, "c", "y")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.length == 1 && out.head._2 == 1L && out.head._3 == 2.0)
+    intercept[IllegalArgumentException] {
+      ProfileOps.targetEncode(df, "c", "y", m = -1.0)
+    }
+  }
+
   test("rateWilsonCi is ONE aggregate — a single shuffle on the group key") {
     val df = Seq(("a", true), ("b", false)).toDF("g", "f")
     val plan = ProfileOps.rateWilsonCi(df, "g", $"f")

@@ -121,4 +121,65 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
     assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
   }
+
+  test("holtWindowed: hand-computed level/trend over a span-3 frame") {
+    // fixture values 3,5,2,8,1,9,4; per-row fold over the last 3 with
+    // seed (l = frame[0], b = 0) — expected values computed by hand
+    // (these exact doubles also pin the cross-engine [l,b]-ARRAY
+    // accumulator contract: DuckDB's list_reduce mutates a STRUCT
+    // accumulator in place field-by-field and diverges from these)
+    val vals = Seq(3.0, 5.0, 2.0, 8.0, 1.0, 9.0, 4.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "o", "v")
+    val out = TimeSeriesOps.holtWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, span = 3)
+      .orderBy($"o")
+      .select($"level", $"trend", $"forecast")
+      .as[(Double, Double, Double)].collect().toSeq
+    val expected = Seq(
+      (3.0, 0.0), (3.5, 0.0625), (3.171875, 0.013671875),
+      (5.1171875, 0.0263671875), (3.015625, 0.103515625),
+      (6.7734375, -0.1259765625), (3.4375, 0.2734375))
+    assert(out.map(r => (r._1, r._2)) == expected, out.mkString(","))
+    assert(out.forall(r => r._3 == r._1 + r._2))
+  }
+
+  test("holtWindowed: constant series → level = constant, trend = 0") {
+    val df = (1 to 30).map(i => (1L, i.toLong, 7.5)).toDF("k", "o", "v")
+    val out = TimeSeriesOps.holtWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, span = 10)
+      .select($"level", $"trend").as[(Double, Double)].collect()
+    assert(out.forall(r => r._1 == 7.5 && r._2 == 0.0), out.mkString(","))
+  }
+
+  test("holtWindowed tracks a linear ramp where EWMA lags it") {
+    // x_t = 2t: after the 20-frame warm-up Holt's forecast should sit
+    // close to the next value; EWMA (same α) lags by ~Δ/α
+    val df = (1 to 60).map(i => (1L, i.toLong, 2.0 * i)).toDF("k", "o", "v")
+    val holt = TimeSeriesOps.holtWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, span = 20)
+      .filter($"o" === 60).select($"forecast").as[Double].head()
+    val ewma = TimeSeriesOps.ewmaWindowed(df, "k", "o", "v",
+      alpha = 0.25, span = 20)
+      .filter($"o" === 60).select($"ewma").as[Double].head()
+    assert(math.abs(holt - 122.0) < 2.0, s"holt forecast $holt")
+    assert(120.0 - ewma > 4.0, s"ewma should lag the ramp, got $ewma")
+  }
+
+  test("holtWindowed validates parameters and keeps the ewma plan shape") {
+    val df = Seq((1L, 1L, 1.0)).toDF("k", "o", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWindowed(df, "k", "o", "v", 0.0, 0.5, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWindowed(df, "k", "o", "v", 0.5, 1.5, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWindowed(df, "k", "o", "v", 0.5, 0.5, 0)
+    }
+    val plan = TimeSeriesOps.holtWindowed(df, "k", "o", "v", 0.25, 0.125, 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }
