@@ -26,10 +26,20 @@ object AsOfJoin {
     * (left-join semantics: unmatched left rows keep nulls). The matched
     * right timestamp is exposed as `matched_<rightTs>`.
     */
+  /** `toleranceSeconds`: maximum allowed staleness of the match. A
+    * right row older than `leftTs − tolerance` is NOT a usable match —
+    * the whole matched payload (timestamp and values together, never a
+    * torn half) degrades to NULL, exactly as if no right row existed.
+    * The standard guard for sensor/price lookups where "most recent"
+    * must also mean "recent enough". Implemented as a post-window
+    * column predicate — the join cost envelope is unchanged. */
   def asOf(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    toleranceSeconds.foreach(tol => require(tol >= 0,
+      s"as-of toleranceSeconds must be >= 0, got $tol"))
     // output columns must be unambiguous: the matched-timestamp alias and
     // the right value columns may not collide with surviving left columns
     val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
@@ -72,9 +82,19 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val matched = r.unionByName(l)
+    val matched0 = r.unionByName(l)
       .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+    val matched = toleranceSeconds match {
+      case None => matched0
+      case Some(tol) =>
+        // NULL match: the comparison is NULL → when() falls through to
+        // the NULL branch, which is already the unmatched state
+        matched0.withColumn("_match",
+          when(unix_micros(col("_ts")) -
+            unix_micros(col("_match").getField(s"matched_$rightTs")) <=
+            lit(tol * 1000000L), col("_match")))
+    }
 
     val outCols =
       keys.map(col) ++

@@ -618,6 +618,77 @@ object ProfileOps {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Categorical distribution profile per group: row count, distinct
+    * category count, Shannon entropy, entropy normalized by ln(k), and
+    * the Gini impurity — the concentration dashboard for a training
+    * mix ("is source X all one language", "did the crawl collapse to
+    * three domains"). Low entropy + high Gini = concentration alarm.
+    *
+    * Determinism across engines: per-category shares p = cnt/total are
+    * single IEEE divisions of exact longs; each transcendental TERM
+    * (p·ln p, and ln k for the normalizer) is quantized to
+    * DECIMAL(20,9) immediately (the text_unigram_logprob discipline —
+    * `ln` is not guaranteed correctly rounded, so its last ulp must
+    * never reach a cross-row double sum), p² likewise; quantized terms
+    * then add EXACTLY in any order. Two aggregates: (group, category)
+    * counts, then the per-group rollup — the per-group share window
+    * runs over the tiny category-grain frame, not the data. */
+  def categoricalProfile(
+      df: DataFrame, keyCol: String, catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val counts = df
+      .filter(col(keyCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val p = col("_cnt").cast(DoubleType) /
+      sum(col("_cnt")).over(W.partitionBy(col(keyCol))).cast(DoubleType)
+    val q = (c: Column) => c.cast(DecimalType(20, 9))
+    val terms = counts
+      .withColumn("_hterm", q(-(p * log(p))))
+      .withColumn("_gterm", q(p * p))
+    terms.groupBy(col(keyCol))
+      .agg(sum(col("_cnt")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("_hterm")).cast(DoubleType).as("entropy"),
+        (lit(1.0) - sum(col("_gterm")).cast(DoubleType)).as("gini"))
+      .withColumn("norm_entropy",
+        when(col("k") > 1,
+          col("entropy") /
+            q(log(col("k").cast(DoubleType))).cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Volume anomaly monitor: bucket row counts by `truncUnit` of
+    * `tsCol` and flag buckets whose count deviates from the bucket
+    * median by more than k·MAD — the robust pipeline-health gate
+    * ("ingest fell off a cliff at 14:00", "a crawler loop 40×'d one
+    * hour") that a mean/stddev z-score misses as soon as the anomaly
+    * itself inflates the stddev. Per-BUCKET rows with the flag as
+    * data, unlike [[madOutliers]]' per-group rollup.
+    *
+    * Scale shape: ONE partial-aggregating groupBy collapses the stream
+    * to bucket grain (output rows = time range / bucket width — tiny);
+    * median and MAD are exact percentiles over THAT frame, broadcast
+    * back as 1-row frames (the winsorize pattern). Counts are exact
+    * longs, exact-percentile medians of longs are dyadic rationals —
+    * every comparison is IEEE-exact, so the key oracles bit-for-bit. */
+  def volumeAnomaly(
+      df: DataFrame, tsCol: String, truncUnit: String = "hour",
+      k: Double = 4.0): DataFrame = {
+    require(k > 0, s"volumeAnomaly: k must be > 0, got $k")
+    val counts = df.filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc(truncUnit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = counts.agg(expr("percentile(cnt, 0.5D)").as("_med"))
+    val withDev = counts.crossJoin(broadcast(med))
+      .withColumn("deviation", abs(col("cnt").cast(DoubleType) - col("_med")))
+    val mad = withDev.agg(expr("percentile(deviation, 0.5D)").as("_mad"))
+    withDev.crossJoin(broadcast(mad))
+      .select(col("bucket"), col("cnt"), col("_med").as("med"),
+        col("deviation"), col("_mad").as("mad"),
+        (col("deviation") > lit(k) * col("_mad")).as("is_anomaly"))
+  }
+
   /** Smoothed (m-estimate) target encoding: the per-category mean of a
     * numeric target shrunk toward the global mean,
     * `enc = (Σy_cat + m·prior) / (n_cat + m)` — the categorical-feature

@@ -1604,6 +1604,44 @@ object Catalog {
              |  ON e.user_id = s.user_id AND e.ts_s >= s.sg_ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // As-of join with a STALENESS BOUND (toleranceSeconds): same match
+    // as join_asof, but a signup more than 1 hour old is not "recent
+    // enough" — the whole matched payload (timestamp AND value, never
+    // a torn half) degrades to NULL. The guard every sensor/price
+    // lookup needs; a post-window predicate, so the one-shuffle cost
+    // envelope of the tag-union-window as-of is unchanged.
+    "join_asof_tolerance" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_s"), col("value"))
+        val sg = t(s, d, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), date_trunc("second", col("ts")).as("sg_ts"))
+          .agg(min(col("value")).as("sg_value"))
+        AsOfJoin.asOf(ev, sg, keys = Seq("user_id"),
+          leftTs = "ts_s", rightTs = "sg_ts",
+          rightValueCols = Seq("sg_value"),
+          toleranceSeconds = Some(3600L))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+             |  FROM events),
+             |sg AS (
+             |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sg_ts,
+             |    MIN(value) AS sg_value
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts_s, e.value,
+             |  CASE WHEN epoch_us(e.ts_s) - epoch_us(s.sg_ts) <= 3600000000
+             |    THEN s.sg_ts END AS matched_sg_ts,
+             |  CASE WHEN epoch_us(e.ts_s) - epoch_us(s.sg_ts) <= 3600000000
+             |    THEN s.sg_value END AS sg_value
+             |FROM ev e ASOF LEFT JOIN sg s
+             |  ON e.user_id = s.user_id AND e.ts_s >= s.sg_ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Scalar-function battery (SURVEY.md §2.9): concat/format_string/
     // substring/upper/regexp_extract/to_date/year/datediff/round in one
     // projection. round is HALF_UP in both engines for doubles (probed).
@@ -5933,6 +5971,68 @@ object Catalog {
              |  (CAST(dsum AS DOUBLE) + 10.0 * prior)
              |    / (CAST(n AS DOUBLE) + 10.0) AS enc
              |FROM pc CROSS JOIN pr ORDER BY o_custkey""".stripMargin)),
+
+    // Categorical concentration profile (ProfileOps.categoricalProfile):
+    // per-source language distribution — n, distinct k, Shannon
+    // entropy, ln(k)-normalized entropy, Gini impurity. The mix
+    // dashboard ("did source X collapse to one language"). Every
+    // transcendental TERM is DECIMAL(20,9)-quantized before any
+    // cross-row sum (the text_unigram_logprob discipline: ln's last
+    // ulp must never reach a double sum) ⇒ fully oracled.
+    "profile_entropy" -> QuerySpec(
+      (s, d) => ProfileOps.categoricalProfile(
+        t(s, d, "documents"), "source", "lang")
+        .orderBy(col("source")),
+      Some("""WITH c AS (
+             |  SELECT source, lang, count(*) AS cnt FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sh AS (
+             |  SELECT source, lang, cnt,
+             |    CAST(cnt AS DOUBLE)
+             |      / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE)
+             |      AS p
+             |  FROM c),
+             |tq AS (
+             |  SELECT source, cnt,
+             |    CAST(-(p * ln(p)) AS DECIMAL(20,9)) AS hterm,
+             |    CAST(p * p AS DECIMAL(20,9)) AS gterm
+             |  FROM sh),
+             |g AS (
+             |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+             |    count(*) AS k,
+             |    CAST(SUM(hterm) AS DOUBLE) AS entropy,
+             |    1.0 - CAST(SUM(gterm) AS DOUBLE) AS gini
+             |  FROM tq GROUP BY 1)
+             |SELECT source, n, k, entropy, gini,
+             |  CASE WHEN k > 1 THEN entropy
+             |    / CAST(CAST(ln(CAST(k AS DOUBLE)) AS DECIMAL(20,9))
+             |        AS DOUBLE)
+             |    ELSE 0.0 END AS norm_entropy
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Volume anomaly monitor (ProfileOps.volumeAnomaly): hourly event
+    // counts vs median ± 4·MAD — the robust ingest-health gate a
+    // mean/stddev z-score fails exactly when the anomaly inflates the
+    // stddev. Bucket grain with the flag as data; exact longs, exact
+    // dyadic medians, IEEE-exact comparisons ⇒ fully oracled.
+    "profile_volume_anomaly" -> QuerySpec(
+      (s, d) => ProfileOps.volumeAnomaly(
+        t(s, d, "events"), "ts", "hour", k = 4.0)
+        .orderBy(col("bucket")),
+      Some("""WITH c AS (
+             |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             |    count(*) AS cnt
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |m AS (SELECT quantile_cont(cnt, 0.5) AS med FROM c),
+             |d AS (
+             |  SELECT bucket, cnt, med,
+             |    abs(CAST(cnt AS DOUBLE) - med) AS deviation
+             |  FROM c, m),
+             |md AS (SELECT quantile_cont(deviation, 0.5) AS mad FROM d)
+             |SELECT bucket, cnt, med, deviation, mad,
+             |  deviation > 4.0 * mad AS is_anomaly
+             |FROM d, md ORDER BY bucket""".stripMargin)),
 
     // Fixed-width histogram (ProfileOps.histogram): 1-row min/max
     // broadcast + one partial-aggregating groupBy — two scans total,

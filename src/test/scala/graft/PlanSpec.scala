@@ -219,9 +219,20 @@ class PlanSpec extends SparkSpec {
       "graph_triangle_count",  // 1-row census frames (degree stats ×
                                // edge count × triangle count) merged
                                // by scalar broadcast
-      "sim_embed_pca")         // 1-row variance-stats × 1-row total-
+      "sim_embed_pca",         // 1-row variance-stats × 1-row total-
                                // variance scalar broadcasts (the
                                // bound_ok geometry check)
+      "prep_target_encode",    // 1-row global-prior scalar broadcast
+      "sample_negatives_popularity", // 1-row CDF-arrays scalar broadcast
+                               // (bounds/items ride as two sorted
+                               // arrays; the probe is a prefix count,
+                               // never a range join)
+      "sim_bitext_mine",       // anchor-side broadcast scans (the
+                               // bruteTopK shape, forward + backward
+                               // retrieve-then-score passes)
+      "profile_volume_anomaly") // 1-row median × 1-row MAD scalar
+                               // broadcasts over the bucket-grain frame
+                               // (the winsorize pattern)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -72,4 +72,45 @@ class AsOfJoinSpec extends SparkSpec {
     // every match is at or before the left ts (matched_t <= t)
     assert(out.filter($"matched_t" > $"t").count() == 0)
   }
+
+  test("toleranceSeconds nulls the WHOLE stale match, keeps fresh ones") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),   // match 30 min old
+      (2L, ts("2024-01-01 10:00:00"), "stale"),   // match 2 h old
+      (3L, ts("2024-01-01 10:00:00"), "none"))    // no right row at all
+      .toDF("k", "lt", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1.5),
+      (2L, ts("2024-01-01 08:00:00"), 2.5))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      toleranceSeconds = Some(3600L))
+      .orderBy($"k")
+      .as[(Long, Timestamp, String, Option[Timestamp], Option[Double])]
+      .collect().toSeq
+    assert(out(0)._4 == Some(ts("2024-01-01 09:30:00")) && out(0)._5 == Some(1.5))
+    // stale: BOTH matched columns null — never a torn half
+    assert(out(1)._4.isEmpty && out(1)._5.isEmpty, s"${out(1)}")
+    assert(out(2)._4.isEmpty && out(2)._5.isEmpty)
+  }
+
+  test("tolerance 0 keeps only exact-timestamp matches; negative rejected") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:01")))
+      .toDF("k", "lt")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7.0),
+      (2L, ts("2024-01-01 10:00:00"), 8.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      toleranceSeconds = Some(0L))
+      .orderBy($"k").as[(Long, Timestamp, Option[Timestamp], Option[Double])]
+      .collect()
+    assert(out(0)._4 == Some(7.0) && out(1)._4.isEmpty, out.mkString(","))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"),
+        toleranceSeconds = Some(-1L))
+    }
+  }
 }

@@ -480,6 +480,46 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out("big") < out("small") / 5)
   }
 
+  test("categoricalProfile: uniform, skewed and single-category groups") {
+    val df = (
+      Seq.fill(5)(("uni", "en")) ++ Seq.fill(5)(("uni", "de")) ++
+        Seq.fill(9)(("skew", "en")) ++ Seq(("skew", "de")) ++
+        Seq.fill(4)(("mono", "en"))).toDF("g", "c")
+    val out = ProfileOps.categoricalProfile(df, "g", "c")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // uniform 2-cat: H ≈ ln 2, norm ≈ 1 (quantized terms), gini = 0.5
+    assert(out("uni")._2 == 10 && out("uni")._3 == 2)
+    assert(math.abs(out("uni")._4 - math.log(2)) < 1e-8)
+    assert(math.abs(out("uni")._6 - 1.0) < 1e-8)
+    assert(out("uni")._5 == 0.5)
+    // single category: zero entropy, zero gini, norm defined as 0
+    assert(out("mono")._3 == 1 && out("mono")._4 == 0.0 &&
+      out("mono")._5 == 0.0 && out("mono")._6 == 0.0)
+    // skewed beats uniform on concentration: lower entropy, lower gini
+    assert(out("skew")._4 < out("uni")._4)
+    assert(out("skew")._5 < out("uni")._5)
+  }
+
+  test("volumeAnomaly: hand-checked median/MAD flags incl. the MAD=0 edge") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // counts per hour: 10,10,10,10,100 → med 10, MAD 0: only nonzero
+    // deviation flags
+    val rows = (0 until 4).flatMap(h => Seq.fill(10)(ts(h))) ++
+      Seq.fill(100)(ts(4))
+    val out = ProfileOps.volumeAnomaly(rows.toDF("t"), "t", "hour", k = 4.0)
+      .orderBy($"bucket")
+      .as[(Timestamp, Long, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(out.map(_._2) == Seq(10L, 10L, 10L, 10L, 100L))
+    assert(out.forall(r => r._3 == 10.0 && r._5 == 0.0))
+    assert(out.map(_._6) == Seq(false, false, false, false, true))
+    intercept[IllegalArgumentException] {
+      ProfileOps.volumeAnomaly(rows.toDF("t"), "t", "hour", k = 0.0)
+    }
+  }
+
   test("targetEncode: hand-computed m-estimate shrinkage") {
     // cats: a = {10, 20} (mean 15), b = {40} — global prior 70/3
     // enc_a = (30 + 3·(70/3)) / (2 + 3) = 100/5 = 20
