@@ -797,6 +797,92 @@ object SimilarityOps {
       .withColumn("max_norm_err", lit(maxNormErr))
   }
 
+  /** MMR-diversified top-k (Maximal Marginal Relevance, Carbonell &
+    * Goldstein 1998): from each query's `kCandidates` most-relevant
+    * candidates, greedily select `kSelect` maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy, the standard de-duplicating re-rank between
+    * retrieval and a RAG context window / eval set (top-k alone returns
+    * k copies of the same paragraph).
+    *
+    * Scale shape — retrieve-then-rerank: the corpus is scanned ONCE for
+    * the per-query top-kCandidates (broadcast queries, partial heaps);
+    * everything after — the candidate×candidate similarity grid and the
+    * kSelect unrolled greedy steps — works on queries×kCandidates rows.
+    * The greedy recursion is inherently sequential, so it is unrolled
+    * at PLAN level (kSelect is a literal, like the funnel chain): step
+    * i is one join of the remaining rows to the selected set's pair
+    * similarities plus one per-query argmax window. Quantized-grid
+    * cosines + fixed IEEE score arithmetic + (score DESC, id ASC) tie
+    * order make the selected set bit-reproducible and oracle-checkable
+    * as kSelect unrolled SQL rounds.
+    *
+    * Contract: every query must have ≥ kSelect distinct candidates
+    * (queries with fewer emit fewer ranks). `mmr_score` for rank 1 is
+    * λ·rel − (1−λ)·0 — the empty-selection redundancy term is zero. */
+  def mmrTopK(
+      queries: DataFrame, candidates: DataFrame,
+      kCandidates: Int, kSelect: Int, lambda: Double,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(kCandidates > 0, s"mmrTopK: kCandidates must be > 0, got $kCandidates")
+    require(kSelect > 0 && kSelect <= kCandidates,
+      s"mmrTopK: need 0 < kSelect <= kCandidates, got $kSelect/$kCandidates")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"mmrTopK: lambda must be in (0,1], got $lambda")
+    reg(candidates)
+    val qq = quantize(col(qVec))
+    val q = queries.select(col(qId), qq.as("_qv"), dotLong(qq, qq).as("_qn"))
+    val cq = quantize(col(cVec))
+    def cosQ(av: Column, an: Column, bv: Column, bn: Column): Column =
+      dotLong(av, bv).cast(DoubleType) /
+        (sqrt(an.cast(DoubleType)) * sqrt(bn.cast(DoubleType)))
+    val rw = Window.partitionBy(col(qId)).orderBy(col("rel").desc, col(cId))
+    val pool = candidates
+      .select(col(cId), cq.as("_cv"), dotLong(cq, cq).as("_cn"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosQ(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
+      .withColumn("_rn", row_number().over(rw))
+      .filter(col("_rn") <= kCandidates)
+      .select(col(qId), col(cId), col("rel"), col("_cv"), col("_cn"))
+    // candidate×candidate similarity grid, confined to each query's pool
+    val pairSim = pool.select(col(qId), col(cId).as("_a"),
+      col("_cv").as("_av"), col("_cn").as("_an"))
+      .join(pool.select(col(qId), col(cId).as("_b"),
+        col("_cv").as("_bv"), col("_cn").as("_bn")), qId)
+      .filter(col("_a") =!= col("_b"))
+      .select(col(qId), col("_a"), col("_b"),
+        cosQ(col("_av"), col("_an"), col("_bv"), col("_bn")).as("_s"))
+    val sw = Window.partitionBy(col(qId))
+      .orderBy(col("mmr_score").desc, col(cId))
+    var selected: DataFrame = null
+    var remaining = pool.select(col(qId), col(cId), col("rel"))
+    for (i <- 1 to kSelect) {
+      val withMax =
+        if (i == 1) remaining.withColumn("_ms", lit(0.0))
+        else {
+          val ms = pairSim
+            .join(selected.select(col(qId), col(cId).as("_b")),
+              Seq(qId, "_b"))
+            .groupBy(col(qId), col("_a").as(cId))
+            .agg(max(col("_s")).as("_ms"))
+          remaining.join(ms, Seq(qId, cId), "left")
+            .withColumn("_ms", coalesce(col("_ms"), lit(0.0)))
+        }
+      val win = withMax
+        .withColumn("mmr_score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("_ms"))
+        .withColumn("_w", row_number().over(sw))
+        .filter(col("_w") === 1)
+        .select(col(qId), lit(i).as("rank"), col(cId), col("rel"),
+          col("mmr_score"))
+      selected = if (selected == null) win else selected.unionByName(win)
+      remaining = remaining
+        .join(win.select(col(qId), col(cId)), Seq(qId, cId), "left_anti")
+    }
+    selected
+  }
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix bitext shape): for each source anchor, the best
     * target candidate scored by `cos(x,y)` RELATIVE to the two local

@@ -3320,6 +3320,116 @@ object Catalog {
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
              |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
+    // MMR-diversified top-k (SimilarityOps.mmrTopK, Carbonell &
+    // Goldstein): the de-duplicating re-rank between retrieval and a
+    // RAG context window — λ·rel − (1−λ)·max-sim-to-selected, greedy,
+    // unrolled at plan level (3 selection rounds like the funnel
+    // chain). Corpus scanned once for the top-8 pools; the grid and
+    // selection work on queries×8 rows. Quantized cosines + fixed IEEE
+    // scores + (score DESC, id ASC) ties ⇒ the selected set is
+    // bit-reproducible and fully ORACLED as 3 unrolled SQL rounds.
+    "sim_mmr_diversify" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val c = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.mmrTopK(q, c,
+          kCandidates = 8, kSelect = 3, lambda = 0.5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH pr AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    CAST(FLOOR(CAST(unnest(q.embedding) AS DOUBLE)*1000)
+             |      AS BIGINT) AS qv,
+             |    CAST(FLOOR(CAST(unnest(c.embedding) AS DOUBLE)*1000)
+             |      AS BIGINT) AS cv
+             |  FROM embeddings q, embeddings c
+             |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+             |dt AS (
+             |  SELECT qid, cid, SUM(qv*cv) AS dot,
+             |    SUM(qv*qv) AS na, SUM(cv*cv) AS nb
+             |  FROM pr GROUP BY 1, 2),
+             |relc AS (
+             |  SELECT qid, cid,
+             |    CAST(dot AS DOUBLE)
+             |      /(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE)))
+             |      AS rel
+             |  FROM dt),
+             |pool AS (
+             |  SELECT qid, cid, rel FROM (
+             |    SELECT qid, cid, rel, row_number() OVER (
+             |      PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+             |    FROM relc) WHERE rn <= 8),
+             |cp AS (
+             |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+             |    CAST(FLOOR(CAST(unnest(a.embedding) AS DOUBLE)*1000)
+             |      AS BIGINT) AS av,
+             |    CAST(FLOOR(CAST(unnest(b.embedding) AS DOUBLE)*1000)
+             |      AS BIGINT) AS bv
+             |  FROM embeddings a, embeddings b
+             |  WHERE a.vec_id IN (SELECT DISTINCT cid FROM pool)
+             |    AND b.vec_id IN (SELECT DISTINCT cid FROM pool)
+             |    AND a.vec_id <> b.vec_id),
+             |cd0 AS (
+             |  SELECT aid, bid, SUM(av*bv) AS dot,
+             |    SUM(av*av) AS na, SUM(bv*bv) AS nb
+             |  FROM cp GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT aid, bid,
+             |    CAST(dot AS DOUBLE)
+             |      /(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE)))
+             |      AS s
+             |  FROM cd0),
+             |t1 AS (SELECT qid, cid, rel,
+             |         0.5*rel - 0.5*0.0 AS score FROM pool),
+             |s1 AS (SELECT qid, cid, rel, score FROM (
+             |  SELECT qid, cid, rel, score, row_number() OVER (
+             |    PARTITION BY qid ORDER BY score DESC, cid) AS w
+             |  FROM t1) WHERE w = 1),
+             |r1 AS (
+             |  SELECT p.* FROM pool p
+             |  LEFT JOIN s1 ON s1.qid = p.qid AND s1.cid = p.cid
+             |  WHERE s1.cid IS NULL),
+             |m2 AS (
+             |  SELECT r.qid, r.cid, max(cd.s) AS ms
+             |  FROM r1 r JOIN s1 ON s1.qid = r.qid
+             |  JOIN cd ON cd.aid = r.cid AND cd.bid = s1.cid
+             |  GROUP BY 1, 2),
+             |t2 AS (
+             |  SELECT r.qid, r.cid, r.rel,
+             |    0.5*r.rel - 0.5*COALESCE(m2.ms, 0.0) AS score
+             |  FROM r1 r LEFT JOIN m2 ON m2.qid = r.qid AND m2.cid = r.cid),
+             |s2 AS (SELECT qid, cid, rel, score FROM (
+             |  SELECT qid, cid, rel, score, row_number() OVER (
+             |    PARTITION BY qid ORDER BY score DESC, cid) AS w
+             |  FROM t2) WHERE w = 1),
+             |r2 AS (
+             |  SELECT r.* FROM r1 r
+             |  LEFT JOIN s2 ON s2.qid = r.qid AND s2.cid = r.cid
+             |  WHERE s2.cid IS NULL),
+             |sel2 AS (SELECT qid, cid FROM s1
+             |         UNION ALL SELECT qid, cid FROM s2),
+             |m3 AS (
+             |  SELECT r.qid, r.cid, max(cd.s) AS ms
+             |  FROM r2 r JOIN sel2 ON sel2.qid = r.qid
+             |  JOIN cd ON cd.aid = r.cid AND cd.bid = sel2.cid
+             |  GROUP BY 1, 2),
+             |t3 AS (
+             |  SELECT r.qid, r.cid, r.rel,
+             |    0.5*r.rel - 0.5*COALESCE(m3.ms, 0.0) AS score
+             |  FROM r2 r LEFT JOIN m3 ON m3.qid = r.qid AND m3.cid = r.cid),
+             |s3 AS (SELECT qid, cid, rel, score FROM (
+             |  SELECT qid, cid, rel, score, row_number() OVER (
+             |    PARTITION BY qid ORDER BY score DESC, cid) AS w
+             |  FROM t3) WHERE w = 1)
+             |SELECT qid, CAST(1 AS INTEGER) AS rank, cid, rel,
+             |  score AS mmr_score FROM s1
+             |UNION ALL SELECT qid, CAST(2 AS INTEGER), cid, rel, score FROM s2
+             |UNION ALL SELECT qid, CAST(3 AS INTEGER), cid, rel, score FROM s3
+             |ORDER BY qid, rank""".stripMargin)),
+
     // Margin-based bitext/parallel-pair mining (SimilarityOps
     // .bitextMine, Artetxe & Schwenk 2019): per source anchor the best
     // target by cos RELATIVE to both local neighborhood densities —

@@ -230,9 +230,12 @@ class PlanSpec extends SparkSpec {
       "sim_bitext_mine",       // anchor-side broadcast scans (the
                                // bruteTopK shape, forward + backward
                                // retrieve-then-score passes)
-      "profile_volume_anomaly") // 1-row median × 1-row MAD scalar
+      "profile_volume_anomaly", // 1-row median × 1-row MAD scalar
                                // broadcasts over the bucket-grain frame
                                // (the winsorize pattern)
+      "sim_mmr_diversify")     // query-side broadcast scan (bruteTopK
+                               // shape); the selection rounds join the
+                               // queries×8 pool frames only
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

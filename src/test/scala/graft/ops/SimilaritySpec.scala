@@ -482,6 +482,50 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(corr) > 0, "pc1 must align with the planted axis")
   }
 
+  // --- mmrTopK ---------------------------------------------------------
+
+  test("mmrTopK promotes a diverse candidate over a redundant higher-rel one") {
+    // A ≈ the query direction; B a near-duplicate of A with slightly
+    // lower rel; C less relevant but far from both. Pure top-3-by-rel
+    // is A,B,C — MMR must pick A, then C (B's redundancy to A kills
+    // its margin), then B.
+    val q = Seq((0L, Array(1.0, 0.0))).toDF("qid", "qvec")
+    val c = Seq(
+      (10L, Array(0.9, 0.1)),
+      (20L, Array(0.9, 0.12)),
+      (30L, Array(0.5, -0.5)))
+      .toDF("cid", "cvec")
+    val out = SimilarityOps.mmrTopK(q, c,
+      kCandidates = 3, kSelect = 3, lambda = 0.5)
+      .orderBy($"rank")
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._3) == Seq(10L, 30L, 20L), out.mkString(","))
+    // rel ordering alone would have ranked B (20) second
+    assert(out.find(_._3 == 20L).get._4 > out.find(_._3 == 30L).get._4)
+    // scores are monotone non-increasing down the selection
+    assert(out.map(_._5) == out.map(_._5).sorted.reverse)
+  }
+
+  test("mmrTopK: rank-1 score is λ·rel; determinism; argument validation") {
+    val q = Seq((0L, Array(1.0, 0.0))).toDF("qid", "qvec")
+    val c = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    def run() = SimilarityOps.mmrTopK(q, c, 2, 2, 0.5)
+      .orderBy($"rank").as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val out = run()
+    assert(out.head._5 == 0.5 * out.head._4)
+    assert(run() == run())
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrTopK(q, c, 2, 3, 0.5) // kSelect > kCandidates
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrTopK(q, c, 0, 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrTopK(q, c, 2, 2, 0.0)
+    }
+  }
+
   // --- bitextMine ------------------------------------------------------
 
   private def bitextFixture = {
