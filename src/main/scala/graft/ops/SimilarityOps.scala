@@ -838,13 +838,19 @@ object SimilarityOps {
       dotLong(av, bv).cast(DoubleType) /
         (sqrt(an.cast(DoubleType)) * sqrt(bn.cast(DoubleType)))
     val rw = Window.partitionBy(col(qId)).orderBy(col("rel").desc, col(cId))
-    val pool = candidates
+    // the pool is MATERIALIZED (lineage barrier): every unrolled
+    // selection round and the pair grid re-read it, and without the
+    // barrier each consumer would re-run the corpus scan + top-k —
+    // measured 1.35 s → 1.07 s steady at sf0.1 (the rest is per-round
+    // job overhead on tiny frames, constant in corpus size)
+    val pool = DedupOps.materialize(candidates
       .select(col(cId), cq.as("_cv"), dotLong(cq, cq).as("_cn"))
       .crossJoin(broadcast(q))
       .withColumn("rel", cosQ(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
       .withColumn("_rn", row_number().over(rw))
       .filter(col("_rn") <= kCandidates)
-      .select(col(qId), col(cId), col("rel"), col("_cv"), col("_cn"))
+      .select(col(qId), col(cId), col("rel"), col("_cv"), col("_cn")),
+      None)
     // candidate×candidate similarity grid, confined to each query's pool
     val pairSim = pool.select(col(qId), col(cId).as("_a"),
       col("_cv").as("_av"), col("_cn").as("_an"))
