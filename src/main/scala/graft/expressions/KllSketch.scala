@@ -102,6 +102,8 @@ case class KllUnionAgg(
 
   require(!child.resolved || child.dataType == BinaryType,
     s"kll_union_agg expects a BINARY sketch column, got ${child.dataType}")
+  require(!kExpr.foldable || KllSketchAgg.litK(kExpr) >= 8,
+    "kll_union_agg: k must be a foldable int literal >= 8")
 
   private lazy val k: Int = KllSketchAgg.litK(kExpr)
 

@@ -89,11 +89,14 @@ object AsOfJoin {
       case None => matched0
       case Some(tol) =>
         // NULL match: the comparison is NULL → when() falls through to
-        // the NULL branch, which is already the unmatched state
+        // the NULL branch, which is already the unmatched state.
+        // Timestamp SUBTRACTION (→ day-time interval), not unix_micros:
+        // unix_micros rejects TIMESTAMP_NTZ, and the tolerance-less
+        // path accepts NTZ — the two paths must take the same inputs
         matched0.withColumn("_match",
-          when(unix_micros(col("_ts")) -
-            unix_micros(col("_match").getField(s"matched_$rightTs")) <=
-            lit(tol * 1000000L), col("_match")))
+          when((col("_ts") -
+            col("_match").getField(s"matched_$rightTs")) <=
+            expr(s"INTERVAL '$tol' SECOND"), col("_match")))
     }
 
     val outCols =

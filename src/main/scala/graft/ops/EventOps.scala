@@ -88,13 +88,17 @@ object EventOps {
     require(steps.distinct == steps,
       s"funnelStages: steps must be distinct, got $steps")
     val a = col(actorCol)
+    // NULL actors are excluded up front: they would otherwise collapse
+    // into ONE phantom funnel entry whose t₁ is the min over every
+    // anonymous event (the cohortRetention convention)
+    val ev = events.filter(a.isNotNull)
     // stage frames: (actor, t_i) — t_i = earliest step-i event at or
     // after the actor's t_{i-1}
-    val stage0 = events.filter(col(typeCol) === steps.head)
+    val stage0 = ev.filter(col(typeCol) === steps.head)
       .groupBy(a).agg(min(col(tsCol)).as("t1"))
     val stages = steps.zipWithIndex.tail.scanLeft(stage0) {
       case (prev, (step, i)) =>
-        events.filter(col(typeCol) === step)
+        ev.filter(col(typeCol) === step)
           .join(prev, actorCol)
           .filter(col(tsCol) >= col(s"t$i"))
           .groupBy(a).agg(min(col(tsCol)).as(s"t${i + 1}"))
@@ -141,7 +145,10 @@ object EventOps {
     val touch = when(col(typeCol).isin(touchTypes: _*),
       struct(col(tsCol).as("t"), col(idCol).as("i"),
         col(typeCol).as("y")))
-    events
+    // NULL actors are excluded: the window partitions NULL with NULL,
+    // so one anonymous user's purchase would otherwise be credited to
+    // a DIFFERENT anonymous user's click instead of the direct bucket
+    events.filter(a.isNotNull)
       .withColumn("_lt", last(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === conversionType)
       .select(a, col(idCol).as("conversion_id"),

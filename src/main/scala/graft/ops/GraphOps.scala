@@ -223,14 +223,15 @@ object GraphOps {
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // Σ d(d−1) is even by construction; the halving happens once on the
-    // exact long total (a per-row double /2 would also be exact, but
-    // the single-div form keeps the aggregate purely integral)
+    // exact long total via INTEGER `div` — `/` on longs is double
+    // division in Spark and silently loses precision past 2^53, which
+    // a hub-heavy web graph's wedge total can exceed (round-10 review)
     // coalesce: an empty/self-loop-only edge set must census as 0s,
     // not a NULL wedge count beside zero-valued siblings
-    val degStats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      coalesce((sum(col("d") * (col("d") - 1)) / 2).cast(LongType), lit(0L))
-        .as("n_wedges"))
+    val degStats = deg
+      .select((col("d") * (col("d") - 1)).as("dd"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(expr("sum(dd) div 2"), lit(0L)).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("wa"), col("x.b").as("wb"), col("y.b").as("wc"))

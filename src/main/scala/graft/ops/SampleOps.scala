@@ -463,9 +463,15 @@ object SampleOps {
       .withColumn("_target",
         floor(portableUniform(a * lit(k.toLong) + col("draw") + lit(seed)) *
           col("_total").cast(DoubleType)).cast(LongType))
+      .withColumn("_idx",
+        size(filter(col("_bounds"), b => b <= col("_target"))))
+      // an empty popularity table (no positive-count items) must fail
+      // with a NAMED message, not element_at's index-zero task error
       .withColumn("item",
-        element_at(col("_items"),
-          size(filter(col("_bounds"), b => b <= col("_target")))))
+        when(col("_idx") < 1, raise_error(lit(
+          "popularityNegatives: empty popularity table — no " +
+            "positive-count items to draw from")))
+          .otherwise(element_at(col("_items"), col("_idx"))))
       .select(a, col("draw").cast(LongType).as("draw"), col("item"))
   }
 }

@@ -359,17 +359,26 @@ object TextOps {
       when(scheme === "http", regexp_replace(auth, ":80$", ""))
         .when(scheme === "https", regexp_replace(auth, ":443$", ""))
         .otherwise(auth)
-    // tracking-param removal in three anchored passes: all non-leading
-    // occurrences, then a leading one with followers (keep the '?'),
-    // then a sole one (drop the '?') — order matters, the first pass
-    // guarantees at most one tracker remains for the anchored two
+    // split path from query FIRST: '&' is a legal path character, so
+    // the tracker passes must only ever see the query string — on the
+    // whole rest they would delete "&gclid=…/x" out of a PATH and
+    // collapse two distinct resources (caught in round-10 review)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "(\\?.*)$", 1)
+    // tracking-param removal in three anchored passes over the query:
+    // all non-leading occurrences, then a leading one with followers
+    // (keep the '?'), then a sole one (drop the '?') — order matters,
+    // the first pass guarantees at most one tracker remains for the
+    // anchored two
     val tracker = "(utm_[^=&]*|gclid|fbclid)=[^&]*"
-    val q1 = regexp_replace(rest, "&" + tracker, "")
+    val q1 = regexp_replace(query, "&" + tracker, "")
     val q2 = regexp_replace(q1, "\\?" + tracker + "&", "?")
     val q3 = regexp_replace(q2, "\\?" + tracker + "$", "")
+    // empty path is always '/', with or without a query: per HTTP
+    // semantics http://a.com?x and http://a.com/?x are one resource
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
     when(scheme === "" || auth === "", lit(null).cast(StringType))
-      .otherwise(concat(scheme, lit("://"), authNoPort,
-        when(q3 === "", lit("/")).otherwise(q3)))
+      .otherwise(concat(scheme, lit("://"), authNoPort, pathNorm, q3))
   }
 
   /** Domain-diversity cap (the RefinedWeb/C4 front-stage shape): drop

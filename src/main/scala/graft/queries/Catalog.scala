@@ -2190,7 +2190,12 @@ object Catalog {
     "sim_embed_pca" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val proj = SimilarityOps.pcaProject(emb, "vec_id", "embedding", k = 3)
+        // materialized: the variance-stats aggregate AND the output
+        // select both read the projection — without the barrier
+        // model.transform re-runs over the whole table per reference
+        val proj = SimilarityOps
+          .pcaProject(emb, "vec_id", "embedding", k = 3)
+          .localCheckpoint(true)
         val dec = (c: Column) => c.cast(DecimalType(38, 12))
         val aggs = count(lit(1)).cast(DoubleType).as("__n") +:
           (1 to 3).flatMap(j => Seq(
@@ -5329,9 +5334,11 @@ object Catalog {
            |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
            |         ELSE auth END AS auth2,
            |    auth,
+           |    regexp_extract(rest, '^([^?]*)', 1) AS path,
            |    regexp_replace(
            |      regexp_replace(
-           |        regexp_replace(rest, '&$tracker', '', 'g'),
+           |        regexp_replace(regexp_extract(rest, '(\\?.*)$$', 1),
+           |          '&$tracker', '', 'g'),
            |        '\\?$tracker&', '?'),
            |      '\\?$tracker$$', '') AS q3
            |  FROM s2),
@@ -5339,7 +5346,8 @@ object Catalog {
            |  SELECT doc_id, url,
            |    CASE WHEN scheme = '' OR auth = '' THEN NULL
            |      ELSE scheme || '://' || auth2 ||
-           |        CASE WHEN q3 = '' THEN '/' ELSE q3 END END AS canon
+           |        CASE WHEN path = '' THEN '/' ELSE path END || q3
+           |      END AS canon
            |  FROM s3)
            |SELECT doc_id, url, canon,
            |  count(*) OVER (PARTITION BY canon) AS n_same_canon
@@ -5958,7 +5966,9 @@ object Catalog {
         Seq("signup", "click", "purchase")),
       Some("""WITH s1 AS (
              |  SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t1
-             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |  FROM events
+             |  WHERE event_type = 'signup' AND user_id IS NOT NULL
+             |  GROUP BY 1),
              |s2 AS (
              |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t2
              |  FROM events e JOIN s1 ON s1.user_id = e.user_id
@@ -5997,7 +6007,7 @@ object Catalog {
              |    CASE WHEN event_type IN ('click', 'view')
              |      THEN struct_pack(t := CAST(ts AS TIMESTAMP),
              |        i := event_id, y := event_type) END AS touch
-             |  FROM events),
+             |  FROM events WHERE user_id IS NOT NULL),
              |l AS (
              |  SELECT user_id, event_id, ts, event_type,
              |    last_value(touch IGNORE NULLS) OVER (

@@ -69,4 +69,19 @@ class KllSpec extends SparkSpec {
     // 100 points, k=200: the sketch is exact (no compaction)
     assert(est >= 50.0 && est <= 51.0, s"$est")
   }
+
+  test("kll_union_agg rejects an invalid k at PLAN time with a named message") {
+    // the sketch-agg sibling already enforced this; the union half must
+    // fail identically, not with a DataSketches error from a task
+    (1 to 10).map(_.toDouble).toDF("v").createOrReplaceTempView("kll_ku")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT kll_union_agg(sk, 4) FROM
+          |(SELECT kll_sketch_agg(v, 200) AS sk FROM kll_ku)""".stripMargin)
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("kll_union_agg"), msg)
+  }
 }

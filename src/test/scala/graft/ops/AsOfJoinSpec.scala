@@ -113,4 +113,23 @@ class AsOfJoinSpec extends SparkSpec {
         toleranceSeconds = Some(-1L))
     }
   }
+
+  test("tolerance path accepts TIMESTAMP_NTZ like the tolerance-less path") {
+    // the tolerance predicate is interval subtraction, not unix_micros —
+    // unix_micros rejects NTZ and would make tolerance a type regression
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00")))
+      .toDF("k", "lt0")
+      .select($"k", $"lt0".cast("timestamp_ntz").as("lt"))
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), 5.0))
+      .toDF("k", "rt0", "v")
+      .select($"k", $"rt0".cast("timestamp_ntz").as("rt"), $"v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      toleranceSeconds = Some(3600L)).select($"v").as[Option[Double]].head()
+    assert(out == Some(5.0))
+    val stale = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      toleranceSeconds = Some(60L)).select($"v").as[Option[Double]].head()
+    assert(stale.isEmpty)
+  }
 }

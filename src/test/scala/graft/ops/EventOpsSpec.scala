@@ -150,6 +150,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out._4 == Some(5L), s"$out")
   }
 
+  test("funnelStages and lastTouchAttribution exclude NULL actors") {
+    // NULL-actor events must not form a phantom funnel entry, and an
+    // anonymous purchase must not inherit another anonymous user's
+    // click (round-10 review)
+    val df = Seq(
+      (None, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (None, ts("2024-01-02 00:00:00"), 2L, "click"),
+      (None, ts("2024-01-03 00:00:00"), 3L, "purchase"),
+      (Some(7L), ts("2024-01-01 00:00:00"), 4L, "signup"))
+      .toDF("u", "t", "id", "typ")
+    val funnel = EventOps.funnelStages(
+      df, "u", "t", "typ", Seq("signup", "click", "purchase")).collect()
+    assert(funnel.length == 1 && funnel.head.getLong(0) == 7L)
+    val attr = EventOps.lastTouchAttribution(
+      df, "u", "t", "id", "typ", Seq("click"), "purchase").collect()
+    assert(attr.isEmpty)
+  }
+
   test("lastTouchAttribution validates its type arguments") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a")).toDF("u", "t", "id", "typ")
     intercept[IllegalArgumentException] {

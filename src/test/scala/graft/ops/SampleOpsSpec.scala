@@ -437,6 +437,17 @@ class SampleOpsSpec extends SparkSpec {
     }.isEmpty, s"unexpected equi-join:\n$plan")
   }
 
+  test("popularityNegatives fails with a NAMED error on an empty popularity table") {
+    val items = Seq((1L, 0L), (2L, 0L)).toDF("item", "cnt")
+    val actors = (1L to 3L).toDF("a")
+    val e = intercept[Exception] {
+      SampleOps.popularityNegatives(actors, "a", items, "item", "cnt", k = 2)
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("popularityNegatives"), s"${e.getMessage}")
+  }
+
   test("popularityNegatives validates its arguments") {
     val items = Seq((1L, 5L)).toDF("item", "cnt")
     val actors = Seq("x").toDF("a")

@@ -326,7 +326,16 @@ class TextOpsSpec extends SparkSpec {
       ("https://ex.com/p?gclid=x", "https://ex.com/p"),
       ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
       // non-tracking params keep their original order
-      ("https://ex.com/p?b=2&a=1", "https://ex.com/p?b=2&a=1"))
+      ("https://ex.com/p?b=2&a=1", "https://ex.com/p?b=2&a=1"),
+      // '&' is a legal PATH character: a tracker-shaped path segment
+      // must survive (round-10 review — the unanchored pass ate it)
+      ("https://ex.com/a&gclid=1/x", "https://ex.com/a&gclid=1/x"),
+      ("https://ex.com/a&utm_x=1?utm_y=2", "https://ex.com/a&utm_x=1"),
+      // empty path normalizes to '/' WITH a query too: ?x=1 and /?x=1
+      // are one resource (round-10 review)
+      ("https://ex.com?x=1", "https://ex.com/?x=1"),
+      ("https://ex.com/?x=1", "https://ex.com/?x=1"),
+      ("https://ex.com?gclid=1", "https://ex.com/"))
     val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
       .toDF("i", "url")
       .select($"i", TextOps.canonicalizeUrl($"url").as("c"))
