@@ -85,6 +85,40 @@ object Readers {
       .select(col("r.*"))
   }
 
+  /** Tolerant CSV ingest with quarantine — the CSV twin of
+    * [[jsonLinesTolerant]]: rows whose fields fail the explicit schema
+    * (unparseable numerics, wrong column count) land with their raw
+    * line in `_corrupt_record` instead of failing the job; a
+    * `_corrupt_record IS NULL` filter is the clean/quarantine split.
+    *
+    * Parsed through `from_csv` over a text scan for the same reason
+    * the JSON twin is: the native csv reader's corrupt column hits
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN the moment a downstream query
+    * prunes to just `_corrupt_record` (e.g. counting the quarantine) —
+    * measured, the restriction applies to CSV exactly as to JSON.
+    * `from_csv` uses the same univocity PERMISSIVE path, identical
+    * corrupt semantics, and the text scan stays splittable.
+    *
+    * With `header = true` (production CSV drops have one, and shards
+    * written by Spark carry one EACH), header lines are dropped by
+    * exact text match against the schema's field-name line — a data
+    * row bit-identical to the header is indistinguishable from one
+    * and is dropped too (the standard concatenated-shard ambiguity). */
+  def csvTolerant(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = true): DataFrame = {
+    val full = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val lines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+    val body =
+      if (header) lines.filter(col("value") =!= schema.fieldNames.mkString(","))
+      else lines
+    body.select(from_csv(col("value"), full, opts).as("r"))
+      .select(col("r.*"))
+  }
+
   /** Bootstrap an empty frame with an explicit schema (reference
     * README.md:1266-1282 creates a minimal empty table when the target is
     * missing).

@@ -5638,6 +5638,30 @@ object Catalog {
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
              |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Tolerant CSV ingest (Readers.csvTolerant) — the CSV twin of the
+    // jsonl quarantine: unparseable rows land in _corrupt_record, the
+    // clean side keeps flowing. Staged CSV shards + one corrupt file;
+    // the oracle is the same parquet-derived clean rows.
+    "scan_csv_tolerant" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "scan_csv_tolerant") { p =>
+          t(s, d, "orders").filter(col("o_orderkey") < 500)
+            .select(col("o_orderkey"), col("o_orderstatus"))
+            .write.mode("overwrite").option("header", "true").csv(p)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(p, "zz_corrupt.csv"),
+            "o_orderkey,o_orderstatus\nnot_a_number,X\n1,2,3,too,many\n")
+        }
+        val schema = new StructType()
+          .add("o_orderkey", LongType).add("o_orderstatus", StringType)
+        Readers.csvTolerant(s, dir, schema)
+          .filter(col("_corrupt_record").isNull)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
     // DataSourceV2 connector, ORACLED: the fakemedia source's rows are
     // pure index arithmetic, so DuckDB can restate the whole scan from
     // range(). The media_id range predicate is PUSHED (partition

@@ -115,4 +115,21 @@ class ReadersSpec extends SparkSpec {
     assert(got("a.bin") == Seq[Byte](1, 2, 3, 4))
     assert(got("b.bin") == "hello bytes".getBytes("UTF-8").toSeq)
   }
+
+  test("csvTolerant quarantines unparseable and wrong-arity rows, keeps clean ones") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("csv_tol").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "a.csv"),
+      "id,name\n1,alpha\nnot_a_long,beta\n2,gamma\n3,x,extra,cols\n")
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val df = Readers.csvTolerant(spark, dir, schema)
+    val clean = df.filter($"_corrupt_record".isNull)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(clean == Set((1L, "alpha"), (2L, "gamma")))
+    // quarantined rows carry the RAW line for forensic replay
+    val bad = df.filter($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect().toSet
+    assert(bad == Set("not_a_long,beta", "3,x,extra,cols"), bad.toString)
+  }
 }
