@@ -193,6 +193,40 @@ object GraphOps {
     labels.select(col("id").as(idCol), col("lab").as("label"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed edge of the symmetrized
+    * graph (each undirected edge counted once per direction — the
+    * standard symmetric estimator). Positive r = hubs link to hubs
+    * (social-network-like); strongly negative r on a crawl graph is
+    * the hub-and-spoke signature of link farms and template
+    * navigation — the structural companion to [[triangleStats]]'
+    * clustering gate.
+    *
+    * Cost: one degree aggregate plus TWO equi-joins of the slim
+    * (src, dst) edge list to the (node, degree) frame, then
+    * [[ProfileOps.corrMatrix]]'s single exact-decimal aggregate — the
+    * same bit-portable Pearson machinery profile_corr ships, so the
+    * whole statistic is oracle-verifiable. Output: one row
+    * (col_a, col_b, n, pearson_r) with n = directed edge count. */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val directed = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val prs = sym
+      .join(deg.select(col("id"), col("d").as("da")), sym("src") === col("id"))
+      .drop("id")
+      .join(deg.select(col("id"), col("d").as("db")), sym("dst") === col("id"))
+      .select(col("da"), col("db"))
+    ProfileOps.corrMatrix(prs, Seq("da", "db"))
+  }
+
   /** Global triangle census of an undirected graph — node count, edge
     * count, wedge count (paths of length 2, the triangle DENOMINATOR),
     * triangle count and the global clustering coefficient 3T/W. The

@@ -2151,6 +2151,56 @@ object Catalog {
       },
       Some(pagerankOracle)),
 
+    // Degree assortativity (GraphOps.degreeAssortativity, Newman 2002):
+    // Pearson of endpoint degrees over the symmetrized edge list —
+    // hub-and-spoke (strongly negative r) is the link-farm/template
+    // signature, the structural companion to the triangle census.
+    // Rides profile_corr's exact-decimal Pearson machinery ⇒ oracled.
+    "graph_assortativity" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        GraphOps.degreeAssortativity(edges, "src", "dst")
+          .orderBy(col("col_a"))
+      },
+      Some("""WITH nodes AS (
+             |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+             |de AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
+             |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
+             |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
+             |  WHERE src <> dst),
+             |sym AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
+             |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+             |prs AS (
+             |  SELECT CAST(da.d AS BIGINT) AS da, CAST(db.d AS BIGINT) AS db
+             |  FROM sym s
+             |  JOIN deg da ON da.id = s.src
+             |  JOIN deg db ON db.id = s.dst),
+             |a AS (SELECT
+             |  CAST(count(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+             |    THEN 1 END) AS DOUBLE) AS n,
+             |  CAST(COALESCE(SUM(CAST(da AS DECIMAL(38,6))), 0) AS DOUBLE) AS sa,
+             |  CAST(COALESCE(SUM(CAST(db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sb,
+             |  CAST(COALESCE(SUM(CAST(da * da AS DECIMAL(38,6))), 0) AS DOUBLE) AS saa,
+             |  CAST(COALESCE(SUM(CAST(db * db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sbb,
+             |  CAST(COALESCE(SUM(CAST(da * db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sab
+             |  FROM prs)
+             |SELECT 'da' AS col_a, 'db' AS col_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 1 AND n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
+             |    THEN (n*sab - sa*sb)
+             |      / (sqrt(n*saa - sa*sa) * sqrt(n*sbb - sb*sb))
+             |  END AS pearson_r
+             |FROM a""".stripMargin)),
+
     // Synchronous label propagation (GraphOps.labelPropagation,
     // Raghavan et al.): 3 rounds of majority-neighbor-label over the
     // same synthetic link graph as graph_pagerank — the sub-component

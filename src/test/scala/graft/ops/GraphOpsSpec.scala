@@ -149,6 +149,20 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("degreeAssortativity: star = exactly -1, regular cycle = undefined") {
+    // star 1-{2,3,4}: every symmetric edge pairs deg 3 with deg 1 →
+    // perfect anti-correlation, r = -1.0 EXACTLY (integer sums)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "dst")
+    val r = GraphOps.degreeAssortativity(star, "s", "dst")
+      .as[(String, String, Long, Option[Double])].collect().head
+    assert(r._3 == 6L && r._4 == Some(-1.0), s"$r")
+    // 4-cycle: all degrees equal → zero variance → NULL r, not a crash
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "dst")
+    val rc = GraphOps.degreeAssortativity(cyc, "s", "dst")
+      .as[(String, String, Long, Option[Double])].collect().head
+    assert(rc._3 == 8L && rc._4.isEmpty, s"$rc")
+  }
+
   test("labelPropagation: one hand-checked round — majority label, min-label ties") {
     // path 1-2-3 plus pendant 4 on 2; round 1 (labels = ids):
     //   1: nbrs {2} → 2;  2: nbrs {1,3,4} all count 1 → min = 1
