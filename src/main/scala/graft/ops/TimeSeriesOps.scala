@@ -133,6 +133,49 @@ object TimeSeriesOps {
       .drop("_hw")
   }
 
+  /** Windowed two-sided tabular CUSUM (Page 1954): per series, the
+    * clamped cumulative deviation sums
+    * {{{ S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))
+    *     S⁻_t = max(0, S⁻_{t−1} + (target − slack − x_t)) }}}
+    * over the last `span` observations, with `alarm` when either side
+    * crosses `threshold`. The change-point/drift detector that catches
+    * a sustained small shift a point-outlier rule (MAD, z) never fires
+    * on — small deviations past the slack ACCUMULATE instead of being
+    * judged one at a time. `targetCol` is the in-control reference
+    * level, prepared by the caller (typically an exact per-key mean),
+    * constant within a series.
+    *
+    * Same window/fold contract as [[holtWindowed]] — [S⁺, S⁻] ARRAY
+    * accumulator (see the struct-mutation note there), fixed IEEE
+    * chain, one shuffle on the key. The SQL restatement prepends a
+    * literal 0 to the frame list so DuckDB's seedless `list_reduce`
+    * starts from this fold's exact [0, 0] state. */
+  def cusumWindowed(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      targetCol: String, slack: Double, threshold: Double,
+      span: Int): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    require(span >= 1, s"span must be positive, got $span")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(span - 1).toLong, Window.currentRow)
+    val lst = collect_list(col(valueCol)).over(w)
+    val t = col(targetCol)
+    val folded = aggregate(lst, array(lit(0.0), lit(0.0)), (acc, x) => {
+      val hi = element_at(acc, 1); val lo = element_at(acc, 2)
+      array(
+        greatest(lit(0.0), hi + (x - t - lit(slack))),
+        greatest(lit(0.0), lo + (t - lit(slack) - x)))
+    })
+    df.withColumn("_cs", folded)
+      .withColumn("cusum_hi", element_at(col("_cs"), 1))
+      .withColumn("cusum_lo", element_at(col("_cs"), 2))
+      .withColumn("alarm",
+        element_at(col("_cs"), 1) > lit(threshold) ||
+          element_at(col("_cs"), 2) > lit(threshold))
+      .drop("_cs")
+  }
+
   /** A single (key, order, value) observation for [[ewmaExact]]. */
   case class TsPoint(key: Long, ord: Long, value: Double)
   /** [[ewmaExact]] output row. */

@@ -6566,6 +6566,56 @@ object Catalog {
              |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
              |FROM f ORDER BY event_id""".stripMargin)),
 
+    // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
+    // Page 1954): per-user clamped deviation sums vs the user's exact
+    // per-series mean — the sustained-small-shift detector point-
+    // outlier rules (MAD/z) structurally miss. Target = exact decimal
+    // per-user mean (one agg, joined on the same user key the window
+    // shuffles on); [S⁺,S⁻] ARRAY fold; the oracle prepends a literal
+    // 0 so DuckDB's seedless list_reduce starts at this fold's exact
+    // [0,0] state ⇒ fully oracled.
+    "ts_cusum_alarm" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val tgt = ev.groupBy(col("user_id"))
+          .agg((sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("target"))
+        TimeSeriesOps.cusumWindowed(
+          ev.join(tgt, "user_id"), "user_id", "event_id", "value",
+          "target", slack = 25.0, threshold = 200.0, span = 20)
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             |      / CAST(count(*) AS DOUBLE) AS target
+             |  FROM events GROUP BY 1),
+             |j AS (
+             |  SELECT e.user_id, e.event_id, e.value, m.target
+             |  FROM events e JOIN m USING (user_id)),
+             |l AS (
+             |  SELECT user_id, event_id, value, target,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM j),
+             |f AS (
+             |  SELECT user_id, event_id, value, target,
+             |    list_reduce(
+             |      list_transform(
+             |        list_prepend(CAST(0.0 AS DOUBLE), lst),
+             |        x -> [x, x]),
+             |      (acc, e) -> [
+             |        greatest(CAST(0.0 AS DOUBLE),
+             |          acc[1] + (e[1] - target - 25.0)),
+             |        greatest(CAST(0.0 AS DOUBLE),
+             |          acc[2] + (target - 25.0 - e[1]))]) AS cs
+             |  FROM l)
+             |SELECT user_id, event_id, value, target,
+             |  cs[1] AS cusum_hi, cs[2] AS cusum_lo,
+             |  cs[1] > 200.0 OR cs[2] > 200.0 AS alarm
+             |FROM f ORDER BY event_id""".stripMargin)),
+
     // Two-stage near-dup verify: bigram-Jaccard blocking proposes, banded
     // levenshtein confirms. Planted twins (every 5th doc re-added under a
     // fresh id with its first two tokens dropped) give true positives

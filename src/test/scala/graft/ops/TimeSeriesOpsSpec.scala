@@ -166,6 +166,50 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(120.0 - ewma > 4.0, s"ewma should lag the ramp, got $ewma")
   }
 
+  test("cusumWindowed: hand-computed two-sided sums and alarm") {
+    // target 10, slack 1: values 10,10,15,15,15 → S⁺ = 0,0,4,8,12
+    // (each 15 adds 15−10−1 = 4); S⁻ stays 0; threshold 10 alarms on
+    // the LAST row only — the sustained-shift accumulation a per-point
+    // rule never fires on (no single value is extreme)
+    val df = Seq(10.0, 10.0, 15.0, 15.0, 15.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v, 10.0) }
+      .toDF("k", "o", "v", "tgt")
+    val out = TimeSeriesOps.cusumWindowed(df, "k", "o", "v", "tgt",
+      slack = 1.0, threshold = 10.0, span = 20)
+      .orderBy($"o").select($"cusum_hi", $"cusum_lo", $"alarm")
+      .as[(Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(0.0, 0.0, 4.0, 8.0, 12.0), out.mkString(","))
+    assert(out.forall(_._2 == 0.0))
+    assert(out.map(_._3) == Seq(false, false, false, false, true))
+  }
+
+  test("cusumWindowed: downward shifts accumulate on the low side; clamping at 0") {
+    val df = Seq(10.0, 4.0, 4.0, 16.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v, 10.0) }
+      .toDF("k", "o", "v", "tgt")
+    val out = TimeSeriesOps.cusumWindowed(df, "k", "o", "v", "tgt",
+      slack = 1.0, threshold = 100.0, span = 20)
+      .orderBy($"o").select($"cusum_hi", $"cusum_lo")
+      .as[(Double, Double)].collect().toSeq
+    // S⁻: 0, 5, 10, then 16 pulls it down by (10−1−16) = −7 → 3
+    assert(out.map(_._2) == Seq(0.0, 5.0, 10.0, 3.0), out.mkString(","))
+    // S⁺ clamps at 0 through the dip, then 16−11 = 5
+    assert(out.map(_._1) == Seq(0.0, 0.0, 0.0, 5.0), out.mkString(","))
+  }
+
+  test("cusumWindowed validates parameters") {
+    val df = Seq((1L, 1L, 1.0, 1.0)).toDF("k", "o", "v", "tgt")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.cusumWindowed(df, "k", "o", "v", "tgt", -1.0, 1.0, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.cusumWindowed(df, "k", "o", "v", "tgt", 1.0, 0.0, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.cusumWindowed(df, "k", "o", "v", "tgt", 1.0, 1.0, 0)
+    }
+  }
+
   test("holtWindowed validates parameters and keeps the ewma plan shape") {
     val df = Seq((1L, 1L, 1.0)).toDF("k", "o", "v")
     intercept[IllegalArgumentException] {
