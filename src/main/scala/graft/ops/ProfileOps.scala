@@ -618,6 +618,63 @@ object ProfileOps {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Poisson bootstrap confidence interval for a mean (Chamandy et al.
+    * 2012 — THE distributed bootstrap): classical resampling needs a
+    * global sample-with-replacement per replicate, which doesn't
+    * distribute; drawing each row's per-replicate multiplicity from
+    * Poisson(1) instead is exchange-free — every weight is a pure
+    * per-row function, replicates partial-aggregate map-side, and the
+    * shuffle carries B rows per partition regardless of data size
+    * (compute is B passes over the rows, the honest bootstrap cost).
+    *
+    * Deterministic end to end: multiplicities come from the portable
+    * LCG coin of (id·B + replicate + seed) pushed through the
+    * Poisson(1) inverse CDF as a literal cutoff array (prefix count —
+    * the popularityNegatives probe shape), sums ride exact
+    * DECIMAL(18,6), and the CI bounds are percentiles of the B
+    * replicate means. CHOOSE `loP`/`hiP` so `p·(B−1)` is an integer —
+    * the percentile then lands exactly ON an order statistic and no
+    * interpolation arithmetic exists to differ across engines
+    * (B = 33 with p = 1/32, 31/32 is the canonical choice; enforced).
+    * Output: one row (n, mean, ci_lo, ci_hi, b). */
+  def bootstrapMeanCi(
+      df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 33, loP: Double = 0.03125, hiP: Double = 0.96875,
+      seed: Long = 42L): DataFrame = {
+    require(b >= 8, s"bootstrapMeanCi: b must be >= 8, got $b")
+    require(loP > 0 && hiP < 1 && loP < hiP,
+      s"bootstrapMeanCi: need 0 < loP < hiP < 1, got $loP/$hiP")
+    def exactIdx(p: Double) = p * (b - 1) == math.floor(p * (b - 1))
+    require(exactIdx(loP) && exactIdx(hiP),
+      s"bootstrapMeanCi: p·(B−1) must be integral so the percentile is " +
+        s"an exact order statistic (no cross-engine interpolation); " +
+        s"got loP·${b - 1} = ${loP * (b - 1)}, hiP·${b - 1} = ${hiP * (b - 1)}")
+    val cuts = typedlit(Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+      0.999916758850712, 0.9999897508033253, 0.999998874797402))
+    val rows = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        col(valueCol).cast(DecimalType(18, 6)).as("_x"))
+    val repl = rows
+      .withColumn("_b", explode(sequence(lit(1), lit(b))))
+      .withColumn("_u", SampleOps.portableUniform(
+        col("_id") * lit(b.toLong) + col("_b") + lit(seed)))
+      .withColumn("_w", size(filter(cuts, c => c <= col("_u"))).cast(LongType))
+      .groupBy(col("_b"))
+      .agg((sum(col("_w") * col("_x")).cast(DoubleType) /
+        sum(col("_w")).cast(DoubleType)).as("_mb"))
+    val ci = repl.agg(
+      expr(s"percentile(_mb, ${loP}D)").as("ci_lo"),
+      expr(s"percentile(_mb, ${hiP}D)").as("ci_hi"))
+    rows.agg(count(lit(1)).as("n"),
+      (sum(col("_x")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("mean"))
+      .crossJoin(broadcast(ci))
+      .withColumn("b", lit(b.toLong))
+  }
+
   /** Categorical distribution profile per group: row count, distinct
     * category count, Shannon entropy, entropy normalized by ln(k), and
     * the Gini impurity — the concentration dashboard for a training

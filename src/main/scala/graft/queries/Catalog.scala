@@ -6205,6 +6205,49 @@ object Catalog {
              |    ELSE 0.0 END AS norm_entropy
              |FROM g ORDER BY source""".stripMargin)),
 
+    // Poisson-bootstrap CI for the mean order value
+    // (ProfileOps.bootstrapMeanCi, Chamandy et al. — the distributed
+    // bootstrap): per-row Poisson(1) multiplicities from the portable
+    // LCG through a literal inverse-CDF cutoff array, B=33 replicate
+    // means from exact decimal sums, CI bounds at p = 1/32, 31/32 so
+    // each percentile IS an order statistic (zero interpolation
+    // arithmetic to differ across engines) ⇒ fully oracled.
+    "profile_bootstrap_ci" -> QuerySpec(
+      (s, d) => ProfileOps.bootstrapMeanCi(
+        t(s, d, "orders"), "o_orderkey", "o_totalprice")
+        .orderBy(col("n")),
+      Some("""WITH r AS (
+             |  SELECT o_orderkey AS id,
+             |    CAST(o_totalprice AS DECIMAL(18,6)) AS x
+             |  FROM orders
+             |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+             |d AS (
+             |  SELECT id, x, j,
+             |    CAST(len(list_filter(
+             |      [0.36787944117144233, 0.7357588823428847,
+             |       0.9196986029286058, 0.9810118431238463,
+             |       0.9963401531726563, 0.9994058151824183,
+             |       0.999916758850712, 0.9999897508033253,
+             |       0.999998874797402],
+             |      c -> c <= CAST(((id * 33 + j + 42) * 1103515245 + 12345)
+             |             % 2147483648 AS DOUBLE) / 2147483648.0))
+             |      AS BIGINT) AS w
+             |  FROM r
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 33)) AS j)),
+             |m AS (
+             |  SELECT j, CAST(SUM(w * x) AS DOUBLE)
+             |    / CAST(SUM(w) AS DOUBLE) AS mb
+             |  FROM d GROUP BY 1),
+             |ci AS (
+             |  SELECT quantile_cont(mb, 0.03125) AS ci_lo,
+             |    quantile_cont(mb, 0.96875) AS ci_hi
+             |  FROM m)
+             |SELECT count(*) AS n,
+             |  CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+             |  ci.ci_lo, ci.ci_hi, CAST(33 AS BIGINT) AS b
+             |FROM r CROSS JOIN ci
+             |GROUP BY ci.ci_lo, ci.ci_hi""".stripMargin)),
+
     // Volume anomaly monitor (ProfileOps.volumeAnomaly): hourly event
     // counts vs median ± 4·MAD — the robust ingest-health gate a
     // mean/stddev z-score fails exactly when the anomaly inflates the

@@ -233,9 +233,11 @@ class PlanSpec extends SparkSpec {
       "profile_volume_anomaly", // 1-row median × 1-row MAD scalar
                                // broadcasts over the bucket-grain frame
                                // (the winsorize pattern)
-      "sim_mmr_diversify")     // query-side broadcast scan (bruteTopK
+      "sim_mmr_diversify",     // query-side broadcast scan (bruteTopK
                                // shape); the selection rounds join the
                                // queries×8 pool frames only
+      "profile_bootstrap_ci")  // 1-row CI-bounds scalar broadcast onto
+                               // the 1-row point-estimate frame
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

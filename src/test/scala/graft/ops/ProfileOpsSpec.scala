@@ -520,6 +520,33 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapMeanCi: CI brackets the mean and narrows with n") {
+    def run(n: Int) = ProfileOps.bootstrapMeanCi(
+      (1 to n).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "x"),
+      "id", "x")
+      .as[(Long, Double, Double, Double, Long)].collect().head
+    val small = run(200)
+    val big = run(5000)
+    assert(small._1 == 200 && small._5 == 33)
+    assert(small._3 < small._2 && small._2 < small._4, s"$small")
+    assert(big._3 < big._2 && big._2 < big._4, s"$big")
+    assert((big._4 - big._3) < (small._4 - small._3), s"$small vs $big")
+    // deterministic: same inputs, same CI bits
+    assert(run(200) == run(200))
+  }
+
+  test("bootstrapMeanCi rejects percentiles that need interpolation") {
+    val df = Seq((1L, 1.0)).toDF("id", "x")
+    val e = intercept[IllegalArgumentException] {
+      ProfileOps.bootstrapMeanCi(df, "id", "x", b = 33, loP = 0.025,
+        hiP = 0.975)
+    }
+    assert(e.getMessage.contains("order statistic"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ProfileOps.bootstrapMeanCi(df, "id", "x", b = 4)
+    }
+  }
+
   test("targetEncode: hand-computed m-estimate shrinkage") {
     // cats: a = {10, 20} (mean 15), b = {40} — global prior 70/3
     // enc_a = (30 + 3·(70/3)) / (2 + 3) = 100/5 = 20
