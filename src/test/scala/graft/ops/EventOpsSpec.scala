@@ -114,6 +114,35 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnelStages matches a per-actor simulation on random event streams") {
+    val rng = new scala.util.Random(20260814L)
+    val types = Vector("signup", "click", "purchase", "view", "error")
+    val rows = for { u <- 1 to 12; i <- 0 until 40 } yield
+      (u.toLong, ts(f"2024-01-${1 + i % 28}%02d ${rng.nextInt(24)}%02d:00:00"),
+        types(rng.nextInt(types.size)))
+    val steps = Seq("signup", "click", "purchase")
+    def ref(evs: Seq[(Timestamp, String)]): Option[(Timestamp, Option[Timestamp], Option[Timestamp], Long)] = {
+      def minAtOrAfter(typ: String, from: Option[Timestamp]): Option[Timestamp] =
+        from.flatMap(f => evs.filter(e => e._2 == typ && !e._1.before(f))
+          .map(_._1).sorted.headOption)
+      val t1 = evs.filter(_._2 == steps.head).map(_._1).sorted.headOption
+      t1.map { s1 =>
+        val t2 = minAtOrAfter(steps(1), Some(s1))
+        val t3 = minAtOrAfter(steps(2), t2)
+        (s1, t2, t3, 1L + t2.size + t3.size)
+      }
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      ref(rs.map(r => (r._2, r._3))).map(u -> _) }
+    val got = EventOps.funnelStages(
+      rows.toDF("u", "t", "typ"), "u", "t", "typ", steps)
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, exp) =>
+      assert(got(u) == exp, s"user $u: ${got(u)} != $exp") }
+  }
+
   // --- lastTouchAttribution -------------------------------------------
 
   test("lastTouchAttribution: hand-checked credit assignment") {

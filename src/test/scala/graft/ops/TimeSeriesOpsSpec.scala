@@ -197,6 +197,54 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.map(_._1) == Seq(0.0, 0.0, 0.0, 5.0), out.mkString(","))
   }
 
+  test("holtWindowed and cusumWindowed match a plain-Scala fold on random series") {
+    // the window fold is the SAME IEEE op sequence as a local Scala
+    // fold, so equality here is EXACT (==), not approximate — 5 keys ×
+    // 60 points of seeded-random data, span 7
+    val rng = new scala.util.Random(20260814L)
+    val rows = for { k <- 1 to 5; i <- 1 to 60 }
+      yield (k.toLong, i.toLong, math.floor(rng.nextDouble() * 1000) / 10.0)
+    val df = rows.toDF("k", "o", "v").withColumn("tgt", lit(50.0))
+    val span = 7
+    def frame(rs: Seq[(Long, Long, Double)], i: Int): Seq[Double] =
+      rs.slice(math.max(0, i - span + 1), i + 1).map(_._3)
+    def holtRef(xs: Seq[Double]): (Double, Double) = {
+      var l = xs.head; var t = 0.0
+      for (x <- xs.tail) {
+        val nl = x * 0.25 + 0.75 * (l + t)
+        t = 0.125 * (nl - l) + 0.875 * t; l = nl
+      }
+      (l, t)
+    }
+    def cusumRef(xs: Seq[Double]): (Double, Double) = {
+      var hi = 0.0; var lo = 0.0
+      for (x <- xs) {
+        hi = math.max(0.0, hi + (x - 50.0 - 2.0))
+        lo = math.max(0.0, lo + (50.0 - 2.0 - x))
+      }
+      (hi, lo)
+    }
+    val byKey = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expHolt = byKey.flatMap { case (k, rs) =>
+      rs.indices.map(i => (k, rs(i)._2) -> holtRef(frame(rs, i))) }
+    val expCusum = byKey.flatMap { case (k, rs) =>
+      rs.indices.map(i => (k, rs(i)._2) -> cusumRef(frame(rs, i))) }
+    val gotHolt = TimeSeriesOps.holtWindowed(df, "k", "o", "v", 0.25, 0.125, span)
+      .select($"k", $"o", $"level", $"trend")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val gotCusum = TimeSeriesOps.cusumWindowed(df, "k", "o", "v", "tgt",
+      slack = 2.0, threshold = 1e9, span = span)
+      .select($"k", $"o", $"cusum_hi", $"cusum_lo")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(gotHolt.size == 300 && gotCusum.size == 300)
+    expHolt.foreach { case (key, exp) =>
+      assert(gotHolt(key) == exp, s"holt $key: ${gotHolt(key)} != $exp") }
+    expCusum.foreach { case (key, exp) =>
+      assert(gotCusum(key) == exp, s"cusum $key: ${gotCusum(key)} != $exp") }
+  }
+
   test("cusumWindowed validates parameters") {
     val df = Seq((1L, 1L, 1.0, 1.0)).toDF("k", "o", "v", "tgt")
     intercept[IllegalArgumentException] {
