@@ -215,9 +215,11 @@ object GraphOps {
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    val sym = directed
+    // materialized: the degree aggregate and BOTH endpoint joins read
+    // sym — without the barrier the dedup shuffle re-runs three times
+    val sym = DedupOps.materialize(directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct(), None)
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     val prs = sym
       .join(deg.select(col("id"), col("d").as("da")), sym("src") === col("id"))
