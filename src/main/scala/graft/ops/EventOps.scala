@@ -81,12 +81,20 @@ object EventOps {
     * event list is ever collected — state per actor is one timestamp
     * per stage, not the event history.
     */
+  /** `maxGapSeconds`: conversion-window bound — step i+1 only counts
+    * within that many seconds of the actor's step-i time (inclusive),
+    * the "purchase within 7 days of the click" semantics every funnel
+    * report defaults to. `None` = unbounded. Interval arithmetic, so
+    * TIMESTAMP and TIMESTAMP_NTZ inputs both work. */
   def funnelStages(
       events: DataFrame, actorCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnelStages: steps must be non-empty")
     require(steps.distinct == steps,
       s"funnelStages: steps must be distinct, got $steps")
+    maxGapSeconds.foreach(g => require(g > 0,
+      s"funnelStages: maxGapSeconds must be > 0, got $g"))
     val a = col(actorCol)
     // NULL actors are excluded up front: they would otherwise collapse
     // into ONE phantom funnel entry whose t₁ is the min over every
@@ -98,9 +106,14 @@ object EventOps {
       .groupBy(a).agg(min(col(tsCol)).as("t1"))
     val stages = steps.zipWithIndex.tail.scanLeft(stage0) {
       case (prev, (step, i)) =>
+        val inWindow = maxGapSeconds match {
+          case None => col(tsCol) >= col(s"t$i")
+          case Some(g) => col(tsCol) >= col(s"t$i") &&
+            col(tsCol) <= col(s"t$i") + expr(s"INTERVAL '$g' SECOND")
+        }
         ev.filter(col(typeCol) === step)
           .join(prev, actorCol)
-          .filter(col(tsCol) >= col(s"t$i"))
+          .filter(inWindow)
           .groupBy(a).agg(min(col(tsCol)).as(s"t${i + 1}"))
     }
     val assembled = stages.zipWithIndex.tail.foldLeft(stage0) {

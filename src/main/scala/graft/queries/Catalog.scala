@@ -6063,6 +6063,43 @@ object Catalog {
              |        LEFT JOIN s3 ON s3.user_id = s1.user_id
              |ORDER BY s1.user_id""".stripMargin)),
 
+    // Funnel with a CONVERSION WINDOW (funnelStages maxGapSeconds):
+    // click within 2 days of signup, purchase within 2 days of the
+    // click — the bounded semantics every funnel report defaults to.
+    // Same chain, one interval bound per stage; on the 30-day fixture
+    // the window meaningfully prunes vs the unbounded twin.
+    "agg_funnel_windowed" -> QuerySpec(
+      (s, d) => EventOps.funnelStages(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"),
+        maxGapSeconds = Some(172800L)),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t1
+             |  FROM events
+             |  WHERE event_type = 'signup' AND user_id IS NOT NULL
+             |  GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t2
+             |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+             |  WHERE e.event_type = 'click'
+             |    AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+             |    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 172800 SECOND
+             |  GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t3
+             |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+             |    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 172800 SECOND
+             |  GROUP BY 1)
+             |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+             |  CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+             |         + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+             |    AS BIGINT) AS stage_reached
+             |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+             |        LEFT JOIN s3 ON s3.user_id = s1.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
+
     // Last-touch attribution (EventOps.lastTouchAttribution): every
     // purchase credited to the user's most recent click/view at or
     // before it in the (ts, event_id) total order; no-prior-touch

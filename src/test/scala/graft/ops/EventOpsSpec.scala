@@ -94,6 +94,24 @@ class EventOpsSpec extends SparkSpec {
       (3L, ts("2024-01-03 00:00:00"), None, None, 1L)))
   }
 
+  test("funnelStages maxGapSeconds: inclusive at the bound, pruned past it") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 01:00:00"), "b"), // exactly at the 3600s bound
+      (2L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, ts("2024-01-01 01:00:01"), "b")) // one second past it
+      .toDF("u", "t", "typ")
+    val out = EventOps.funnelStages(df, "u", "t", "typ", Seq("a", "b"),
+      maxGapSeconds = Some(3600L))
+      .as[(Long, Timestamp, Option[Timestamp], Long)]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L), out.toString)
+    intercept[IllegalArgumentException] {
+      EventOps.funnelStages(df, "u", "t", "typ", Seq("a", "b"),
+        maxGapSeconds = Some(0L))
+    }
+  }
+
   test("funnelStages: an event AT the previous stage time counts (closed boundary)") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), "a"),
