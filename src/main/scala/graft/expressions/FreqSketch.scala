@@ -4,6 +4,7 @@ import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
 import org.apache.datasketches.memory.Memory
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
@@ -38,6 +39,9 @@ case class FreqSketchAgg(
   require(!maxMapExpr.foldable || FreqSketchAgg.validMapSize(maxMapExpr),
     "freq_sketch_agg: maxMapSize must be a power of 2 >= 8 " +
       "(DataSketches LongsSketch contract)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(maxMapExpr, "freq_sketch_agg", "maxMapSize")
 
   private lazy val maxMapSize: Int = KllSketchAgg.litK(maxMapExpr)
 
@@ -97,6 +101,9 @@ case class FreqMergeAgg(
     "freq_merge_agg: maxMapSize must be a power of 2 >= 8 " +
       "(DataSketches LongsSketch contract)")
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(maxMapExpr, "freq_merge_agg", "maxMapSize")
+
   private lazy val maxMapSize: Int = KllSketchAgg.litK(maxMapExpr)
 
   override def left: Expression = child
@@ -148,6 +155,9 @@ case class FreqTopK(left: Expression, right: Expression)
   require(!right.foldable || KllSketchAgg.litK(right) >= 1,
     "freq_topk: k must be a positive int literal — k <= 0 would " +
       "silently read as 'no heavy hitters'")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(right, "freq_topk", "k")
 
   private lazy val k: Int = KllSketchAgg.litK(right)
 

@@ -5,6 +5,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
@@ -40,6 +41,14 @@ case class KllSketchAgg(
     "kll_sketch_agg: k must be a foldable int literal >= 8")
   require(!child.resolved || child.dataType == DoubleType,
     s"kll_sketch_agg expects a DOUBLE value column, got ${child.dataType}")
+
+  // Analysis-time gate (the constructor require can't demand foldability:
+  // the planner legitimately rebinds children to attribute refs in the
+  // final-agg stage): a non-foldable k — a COLUMN passed via SQL — fails
+  // HERE with the named contract message instead of reaching litK's
+  // eval(null) at executor time as an unnamed NPE/MatchError.
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(kExpr, "kll_sketch_agg", "k")
 
   private lazy val k: Int = KllSketchAgg.litK(kExpr)
 
@@ -85,6 +94,17 @@ object KllSketchAgg {
     case other => throw new IllegalArgumentException(
       s"kll k: expected an integer literal, got $other")
   }
+
+  /** Shared analysis-time foldability gate for every sketch parameter
+    * (k / lgK / maxMapSize): turns a column-valued parameter into a
+    * named AnalysisException instead of an executor-time eval(null)
+    * failure. Range validity is still enforced by each constructor's
+    * require once the parameter IS foldable. */
+  private[expressions] def checkParamLiteral(
+      e: Expression, fn: String, param: String): TypeCheckResult =
+    if (e.foldable) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn: $param must be an integer literal, got ${e.sql}")
 }
 
 /** Union of serialized KLL sketches (BINARY column → one merged BINARY):
@@ -104,6 +124,9 @@ case class KllUnionAgg(
     s"kll_union_agg expects a BINARY sketch column, got ${child.dataType}")
   require(!kExpr.foldable || KllSketchAgg.litK(kExpr) >= 8,
     "kll_union_agg: k must be a foldable int literal >= 8")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(kExpr, "kll_union_agg", "k")
 
   private lazy val k: Int = KllSketchAgg.litK(kExpr)
 

@@ -4,6 +4,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
@@ -43,6 +44,9 @@ case class ThetaSketchAgg(
   require(!lgKExpr.foldable || {
     val k = KllSketchAgg.litK(lgKExpr); k >= 4 && k <= 26
   }, "theta_sketch_agg: lgK must be an int literal in [4, 26]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(lgKExpr, "theta_sketch_agg", "lgK")
 
   private lazy val lgK: Int = KllSketchAgg.litK(lgKExpr)
 
@@ -101,6 +105,9 @@ case class ThetaUnionAgg(
   require(!lgKExpr.foldable || {
     val k = KllSketchAgg.litK(lgKExpr); k >= 4 && k <= 26
   }, "theta_union_agg: lgK must be an int literal in [4, 26]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllSketchAgg.checkParamLiteral(lgKExpr, "theta_union_agg", "lgK")
 
   private lazy val lgK: Int = KllSketchAgg.litK(lgKExpr)
 

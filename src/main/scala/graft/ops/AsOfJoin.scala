@@ -92,11 +92,17 @@ object AsOfJoin {
         // the NULL branch, which is already the unmatched state.
         // Timestamp SUBTRACTION (→ day-time interval), not unix_micros:
         // unix_micros rejects TIMESTAMP_NTZ, and the tolerance-less
-        // path accepts NTZ — the two paths must take the same inputs
-        matched0.withColumn("_match",
-          when((col("_ts") -
-            col("_match").getField(s"matched_$rightTs")) <=
-            expr(s"INTERVAL '$tol' SECOND"), col("_match")))
+        // path accepts NTZ — the two paths must take the same inputs.
+        // NUMERIC order columns (epoch seconds, sequence numbers) are
+        // also accepted by the tolerance-less path, so they must work
+        // here too: plain subtraction, tolerance in the column's own
+        // units — not a raw Catalyst type-mismatch on the interval.
+        val delta = col("_ts") - col("_match").getField(s"matched_$rightTs")
+        val within = l0.schema("_ts").dataType match {
+          case _: org.apache.spark.sql.types.NumericType => delta <= lit(tol)
+          case _ => delta <= expr(s"INTERVAL '$tol' SECOND")
+        }
+        matched0.withColumn("_match", when(within, col("_match")))
     }
 
     val outCols =

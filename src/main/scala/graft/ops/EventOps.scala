@@ -100,30 +100,38 @@ object EventOps {
     // into ONE phantom funnel entry whose t₁ is the min over every
     // anonymous event (the cohortRetention convention)
     val ev = events.filter(a.isNotNull)
+    // Internal stage columns carry an unlikely prefix (the AsOfJoin
+    // _ts/_match convention): an input frame that already has a column
+    // named t1/t2/… must not turn the stage join filters into ambiguous
+    // references. Output renames to the public t1..tk at the end.
+    val tc = (i: Int) => s"_funnel_t$i"
     // stage frames: (actor, t_i) — t_i = earliest step-i event at or
     // after the actor's t_{i-1}
     val stage0 = ev.filter(col(typeCol) === steps.head)
-      .groupBy(a).agg(min(col(tsCol)).as("t1"))
+      .groupBy(a).agg(min(col(tsCol)).as(tc(1)))
     val stages = steps.zipWithIndex.tail.scanLeft(stage0) {
       case (prev, (step, i)) =>
         val inWindow = maxGapSeconds match {
-          case None => col(tsCol) >= col(s"t$i")
-          case Some(g) => col(tsCol) >= col(s"t$i") &&
-            col(tsCol) <= col(s"t$i") + expr(s"INTERVAL '$g' SECOND")
+          case None => col(tsCol) >= col(tc(i))
+          case Some(g) => col(tsCol) >= col(tc(i)) &&
+            col(tsCol) <= col(tc(i)) + expr(s"INTERVAL '$g' SECOND")
         }
         ev.filter(col(typeCol) === step)
           .join(prev, actorCol)
           .filter(inWindow)
-          .groupBy(a).agg(min(col(tsCol)).as(s"t${i + 1}"))
+          .groupBy(a).agg(min(col(tsCol)).as(tc(i + 1)))
     }
     val assembled = stages.zipWithIndex.tail.foldLeft(stage0) {
       case (acc, (s, i)) =>
-        acc.join(s.select(a, col(s"t${i + 1}")), Seq(actorCol), "left")
+        acc.join(s.select(a, col(tc(i + 1))), Seq(actorCol), "left")
+    }
+    val renamed = steps.indices.foldLeft(assembled) {
+      case (acc, i) => acc.withColumnRenamed(tc(i + 1), s"t${i + 1}")
     }
     val reached = steps.indices.tail
       .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
       .foldLeft(lit(1L))(_ + _)
-    assembled
+    renamed
       .withColumn("stage_reached", reached.cast(LongType))
       .orderBy(a)
   }

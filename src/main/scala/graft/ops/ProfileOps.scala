@@ -593,22 +593,29 @@ object ProfileOps {
     * key uses the exact mode. MAD = 0 (over half the group at the
     * median) makes ANY deviation an outlier — the conventional
     * degenerate reading. */
+  /** `maxBroadcastGroups`: the medians/MADs frames are GROUP-grain, not
+    * scalar — broadcasting them is only safe while the group count is
+    * small. Callers that know their key cardinality pass a cap; above
+    * it (or with the default 0 = never) the planner picks the join
+    * (AQE will still broadcast a small post-agg side on its own). */
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
       k: Double = 3.0, approxMedian: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000, maxBroadcastGroups: Long = 0L): DataFrame = {
     require(k > 0, s"madOutliers: k must be > 0, got $k")
     val q = "`" + valueCol.replace("`", "``") + "`"
     def med(c: String): Column =
       if (approxMedian) expr(s"approx_percentile($c, 0.5D, $accuracy)")
         .cast(DoubleType)
       else expr(s"percentile($c, 0.5D)")
+    def hint(groups: DataFrame): DataFrame =
+      if (maxBroadcastGroups > 0) broadcast(groups) else groups
     val medians = df.groupBy(col(keyCol))
       .agg(med(q).as("__med"), count(col(q)).as("__n"))
-    val withDev = df.join(broadcast(medians), Seq(keyCol))
+    val withDev = df.join(hint(medians), Seq(keyCol))
       .withColumn("__dev", abs(col(q) - col("__med")))
     val mads = withDev.groupBy(col(keyCol))
       .agg(med("__dev").as("__mad"))
-    withDev.join(broadcast(mads), Seq(keyCol))
+    withDev.join(hint(mads), Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(
         max(col("__n")).as("n"),

@@ -5940,7 +5940,7 @@ object Catalog {
         t(s, d, "events").select(
           (col("user_id") % 7).as("grp"),
           round(col("value") * 100).cast(LongType).as("cents")),
-        "grp", "cents", k = 3.0)
+        "grp", "cents", k = 3.0, maxBroadcastGroups = 7L)
         .orderBy(col("grp")),
       Some("""WITH e AS (
              |  SELECT user_id % 7 AS grp,

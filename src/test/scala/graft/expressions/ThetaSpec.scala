@@ -52,6 +52,19 @@ class ThetaSpec extends SparkSpec {
     assert(viaSql == 211.0)
   }
 
+  test("a COLUMN-valued lgK fails with the named contract message, not an executor NPE") {
+    GraftFunctions.register(spark)
+    (1L to 10L).map(i => (i, 12)).toDF("v", "k")
+      .createOrReplaceTempView("theta_colk_v")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT theta_sketch_agg(v, k) FROM theta_colk_v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("lgK must be an integer literal")),
+      s"expected the named guard, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("estimation mode (beyond nominal entries) stays within the error band") {
     GraftFunctions.register(spark)
     val n = 100000L

@@ -132,4 +132,15 @@ class AsOfJoinSpec extends SparkSpec {
       toleranceSeconds = Some(60L)).select($"v").as[Option[Double]].head()
     assert(stale.isEmpty)
   }
+
+  test("tolerance path accepts NUMERIC order columns (epoch seconds) like the tolerance-less path") {
+    // numeric order columns take plain subtraction with the tolerance in
+    // the column's own units — not a raw Catalyst interval type mismatch
+    val left = Seq((1L, 1000L), (2L, 1000L)).toDF("k", "lt")
+    val right = Seq((1L, 940L, 5.0), (2L, 100L, 9.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("v"),
+      toleranceSeconds = Some(60L))
+      .orderBy($"k").select($"v").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(5.0), None), out) // 60 fresh enough, 900 stale
+  }
 }

@@ -122,6 +122,20 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head._4 == 2L)
   }
 
+  test("funnelStages tolerates input columns named t1/t2 (internal names are prefixed)") {
+    // an events frame that already carries a t1 column must not turn the
+    // stage join filters into ambiguous references — internal stage
+    // columns are _funnel_t*; only the OUTPUT exposes t1..tk
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", "x"),
+      (1L, ts("2024-01-01 00:01:00"), "b", "y"))
+      .toDF("u", "t", "typ", "t1")
+    val out = EventOps.funnelStages(df, "u", "t", "typ", Seq("a", "b"))
+      .select($"u", $"t1", $"t2", $"stage_reached")
+      .as[(Long, Timestamp, Option[Timestamp], Long)].collect()
+    assert(out.head._4 == 2L, out.mkString(","))
+  }
+
   test("funnelStages rejects empty and duplicate step lists") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("u", "t", "typ")
     intercept[IllegalArgumentException] {
