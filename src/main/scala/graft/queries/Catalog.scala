@@ -27,11 +27,100 @@ object Catalog {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** The synthetic link graph's node+edge CTEs, parameterized by the node
+    * filter and the out-link modulus so the same oracle text serves both
+    * the fixed 500-node variants (oracle-friendly at any SF) and the
+    * SCALE-PROPORTIONAL variants (whereSql = "", modSql = max(doc_id)+1 —
+    * the graph grows with the table, so bench measures data, not shuffle
+    * setup). */
+  private def graphNodeEdgeCtes(whereSql: String, modSql: String): String =
+    s"""nodes AS (
+       |  SELECT doc_id AS id FROM documents $whereSql),
+       |de AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT id AS src, (id * 7 + 3) % $modSql AS dst FROM nodes
+       |    UNION ALL SELECT id, (id * 13 + 5) % $modSql FROM nodes
+       |    UNION ALL SELECT id, (id * 29 + 11) % $modSql FROM nodes)
+       |  WHERE src <> dst)""".stripMargin
+
+  private val scaledModSql = "(SELECT max(doc_id) + 1 FROM documents)"
+
+  /** graph_triangle_count's DuckDB oracle (node-iterator census over the
+    * canonical a<b orientation), parameterized like [[pagerankOracle]]. */
+  private def triangleOracle(whereSql: String, modSql: String): String =
+    s"""WITH ${graphNodeEdgeCtes(whereSql, modSql)},
+       |e AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM de),
+       |deg AS (
+       |  SELECT n, count(*) AS d FROM (
+       |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |ds AS (
+       |  SELECT count(*) AS n_nodes,
+       |    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+       |ne AS (SELECT count(*) AS n_edges FROM e),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM e x JOIN e y ON x.b = y.a
+       |  JOIN e c ON c.a = x.a AND c.b = y.b)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |    THEN CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
+       |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
+       |FROM ds, ne, tri""".stripMargin
+
+  /** graph_assortativity's DuckDB oracle (Pearson of endpoint degrees
+    * over the symmetrized edge list), parameterized the same way. */
+  private def assortativityOracle(whereSql: String, modSql: String): String =
+    s"""WITH ${graphNodeEdgeCtes(whereSql, modSql)},
+       |sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
+       |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+       |prs AS (
+       |  SELECT CAST(da.d AS BIGINT) AS da, CAST(db.d AS BIGINT) AS db
+       |  FROM sym s
+       |  JOIN deg da ON da.id = s.src
+       |  JOIN deg db ON db.id = s.dst),
+       |a AS (SELECT
+       |  CAST(count(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+       |    THEN 1 END) AS DOUBLE) AS n,
+       |  CAST(COALESCE(SUM(CAST(da AS DECIMAL(38,6))), 0) AS DOUBLE) AS sa,
+       |  CAST(COALESCE(SUM(CAST(db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sb,
+       |  CAST(COALESCE(SUM(CAST(da * da AS DECIMAL(38,6))), 0) AS DOUBLE) AS saa,
+       |  CAST(COALESCE(SUM(CAST(db * db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sbb,
+       |  CAST(COALESCE(SUM(CAST(da * db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sab
+       |  FROM prs)
+       |SELECT 'da' AS col_a, 'db' AS col_b, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN n > 1 AND n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
+       |    THEN (n*sab - sa*sb)
+       |      / (sqrt(n*saa - sa*sa) * sqrt(n*sbb - sb*sb))
+       |  END AS pearson_r
+       |FROM a""".stripMargin
+
+  /** Spark side of the scale-proportional link graph: same affine
+    * out-link formulas, modulus = max(doc_id)+1 (the doc_id domain is
+    * contiguous per TESTDATA.md), carried as a broadcast one-row frame —
+    * at sf0.01 this IS the 500-node graph, at sf0.1 it is 5,000 nodes
+    * and grows with every SF, so bench measures data volume rather than
+    * per-round shuffle setup. */
+  private def scaledDocGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ids = t(s, d, "documents").select(col("doc_id"))
+    val n = ids.agg((max(col("doc_id")) + 1L).as("n"))
+    val edges = ids.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 3) % col("n"),
+          (col("doc_id") * 13 + 5) % col("n"),
+          (col("doc_id") * 29 + 11) % col("n"))).as("dst"))
+    (ids, edges)
+  }
+
   /** graph_label_propagation's DuckDB oracle: three synchronous LPA
     * rounds unrolled as chained CTEs over the same synthetic link graph
     * as [[pagerankOracle]]. Integer counts + total (count DESC, label
     * ASC) tie order make every round bit-portable. */
-  private lazy val lpaOracle: String = {
+  private def lpaOracle(whereSql: String, modSql: String): String = {
     def round(k: Int): String =
       s"""c$k AS (
          |  SELECT s.dst AS nid, l.lab, count(*) AS c
@@ -45,14 +134,7 @@ object Catalog {
          |  FROM lp${k - 1} p
          |  LEFT JOIN (SELECT nid, lab FROM w$k WHERE rn = 1) w
          |    ON w.nid = p.id)""".stripMargin
-    s"""WITH nodes AS (
-       |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
-       |de AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
-       |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
-       |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
-       |  WHERE src <> dst),
+    s"""WITH ${graphNodeEdgeCtes(whereSql, modSql)},
        |sym AS (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
@@ -66,7 +148,7 @@ object Catalog {
     * the recursive relation is not portable), each the literal integer
     * restatement of one GraphOps round — `//` is DuckDB's integer
     * division, matching Spark's `div` on the all-positive ranks. */
-  private lazy val pagerankOracle: String = {
+  private def pagerankOracle(whereSql: String, modSql: String): String = {
     def iter(k: Int): String =
       s"""pr$k AS (
          |  SELECT base.id, base.b,
@@ -77,15 +159,9 @@ object Catalog {
          |    JOIN edges e ON e.src = p.id
          |    JOIN od ON od.src = p.id
          |    GROUP BY e.dst) s ON s.id = base.id)""".stripMargin
-    s"""WITH nodes AS (
-       |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+    s"""WITH ${graphNodeEdgeCtes(whereSql, modSql)},
+       |edges AS (SELECT src, dst FROM de),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |edges AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
-       |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
-       |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
-       |  WHERE src <> dst),
        |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        |base AS (
        |  SELECT id, ((1000000000000 * 15) // 100) // n AS b
@@ -141,6 +217,137 @@ object Catalog {
     * reason as [[ivfModels]]. */
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.PqModel]()
+
+  private def ivfModel(s: SparkSession, d: String): SimilarityOps.IvfModel =
+    ivfModels.computeIfAbsent(d, dir =>
+      SimilarityOps.ivfFit(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "cvec", nCentroids = 8))
+
+  private def pqModel(s: SparkSession, d: String): SimilarityOps.PqModel =
+    pqModels.computeIfAbsent(d, dir =>
+      SimilarityOps.pqFit(
+        t(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "cvec", dim = 64, m = 16, k = 64))
+
+  /** Milli-grid (×1000, floor) quantization of the fitted ANN models:
+    * the cross-engine-exact PRESENTATION of the k-means fit. The raw
+    * centroids are means — iteration-order-sensitive doubles no other
+    * engine can reproduce — but once snapped to integer-valued doubles
+    * and STAGED as parquet, assignment distances and ADC scores become
+    * exact integer arithmetic that DuckDB replays bit-for-bit (the
+    * sim_hard_negatives quantized-grid pattern applied to the model):
+    * products ≤ ~1e6 and 64-term sums ≤ ~1e9 sit far below 2^53, so
+    * every IEEE double in the chain is exact and order-independent.
+    * This is also the production fit/serve artifact shape — the model
+    * a query job loads is a parquet table, not an in-JVM object. */
+  private def quantizedIvf(s: SparkSession, d: String): SimilarityOps.IvfModel =
+    SimilarityOps.IvfModel(
+      ivfModel(s, d).centroids.map(_.map(x => math.floor(x * 1000))))
+
+  private def quantizedPq(s: SparkSession, d: String): SimilarityOps.PqModel =
+    SimilarityOps.PqModel(
+      pqModel(s, d).codebooks.map(_.map(_.map(x => math.floor(x * 1000)))))
+
+  /** Stage the quantized ANN models as parquet model artifacts (fit/serve
+    * split with an on-disk model): `ann_ivf_centroids(cell, centroid)` and
+    * `ann_pq_codebooks(m, code, centroid)`, centroids as ARRAY<BIGINT> on
+    * the milli-grid. The DuckDB oracle replays cell assignment + ADC
+    * scoring over these tables — flipping the ANN tier from rows-only to
+    * hash-exact. Returns the two staged dirs. */
+  private def stageAnnModels(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val ivfDir = staged(d, "ann_ivf_centroids") { dir =>
+      quantizedIvf(s, d).centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.map(_.toLong).toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val pqDir = staged(d, "ann_pq_codebooks") { dir =>
+      val pq = quantizedPq(s, d)
+      (for {
+        mi <- pq.codebooks.indices
+        ci <- pq.codebooks(mi).indices
+      } yield (mi, ci, pq.codebooks(mi)(ci).map(_.toLong).toSeq)).toSeq
+        .toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    (ivfDir, pqDir)
+  }
+
+  /** Shared DuckDB CTE fragments for the oracled ANN keys: milli-grid
+    * quantized query/candidate vectors (the exact twin of
+    * `SimilarityOps.quantize`), IVF nearest-cell assignment + nProbe=3
+    * probing over the staged centroid table, and PQ code assignment +
+    * ADC lookup tables over the staged codebooks (m=16, subDim=4,
+    * K=64). All distance/ranking arithmetic is integer (d2 = |c|² −
+    * 2·v·c = twice the Spark-side half-norm distance — same order, same
+    * ties); only the final cosine divides, with the identical
+    * sqrt/multiply/divide rounding chain as the cosine_sim expression. */
+  private val annQuantVecCtes =
+    """q0 AS (
+      |  SELECT vec_id AS qid, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qvec
+      |  FROM embeddings WHERE vec_id < 5),
+      |c0 AS (
+      |  SELECT vec_id AS cid, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cvec
+      |  FROM embeddings)""".stripMargin
+
+  private val annIvfProbeCtes =
+    """ivf AS (
+      |  SELECT cell, centroid FROM read_parquet(
+      |    '/tmp/graft_stage/_root_testdata_sf0.01/ann_ivf_centroids/*.parquet')),
+      |qd AS (
+      |  SELECT qid, cell, SUM(mv*mv) - 2*SUM(qv*mv) AS d2
+      |  FROM (SELECT q.qid, m.cell, unnest(q.qvec) AS qv, unnest(m.centroid) AS mv
+      |        FROM q0 q CROSS JOIN ivf m)
+      |  GROUP BY qid, cell),
+      |probe AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT qid, cell, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cell) AS pr
+      |    FROM qd) WHERE pr <= 3),
+      |cd AS (
+      |  SELECT cid, cell, SUM(mv*mv) - 2*SUM(cv*mv) AS d2
+      |  FROM (SELECT c.cid, m.cell, unnest(c.cvec) AS cv, unnest(m.centroid) AS mv
+      |        FROM c0 c CROSS JOIN ivf m)
+      |  GROUP BY cid, cell),
+      |cell_assign AS (
+      |  SELECT cid, cell FROM (
+      |    SELECT cid, cell, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, cell) AS ar
+      |    FROM cd) WHERE ar = 1),""".stripMargin
+
+  private val annPqCtes =
+    """pq AS (
+      |  SELECT m, code, centroid FROM read_parquet(
+      |    '/tmp/graft_stage/_root_testdata_sf0.01/ann_pq_codebooks/*.parquet')),
+      |pq_cdist AS (
+      |  SELECT cid, m, code, SUM(bv*bv) - 2*SUM(sv*bv) AS d2
+      |  FROM (SELECT c.cid, b.m, b.code,
+      |          unnest(c.cvec[b.m*4+1 : b.m*4+4]) AS sv,
+      |          unnest(b.centroid) AS bv
+      |        FROM c0 c CROSS JOIN pq b)
+      |  GROUP BY cid, m, code),
+      |pq_code AS (
+      |  SELECT cid, m, code FROM (
+      |    SELECT cid, m, code,
+      |      ROW_NUMBER() OVER (PARTITION BY cid, m ORDER BY d2, code) AS r
+      |    FROM pq_cdist) WHERE r = 1),
+      |pq_cnorm AS (
+      |  SELECT cid, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS cn
+      |  FROM (SELECT cid, unnest(cvec) AS v FROM c0) GROUP BY cid),
+      |pq_qt AS (
+      |  SELECT qid, m, code, SUM(sv*bv) AS pdot
+      |  FROM (SELECT q.qid, b.m, b.code,
+      |          unnest(q.qvec[b.m*4+1 : b.m*4+4]) AS sv,
+      |          unnest(b.centroid) AS bv
+      |        FROM q0 q CROSS JOIN pq b)
+      |  GROUP BY qid, m, code),
+      |pq_qnorm AS (
+      |  SELECT qid, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS qn
+      |  FROM (SELECT qid, unnest(qvec) AS v FROM q0) GROUP BY qid),""".stripMargin
 
   /** Trained BPE merge lists, one per dataset dir — tokenizer training
     * is the offline fit half (BpeOps.bpeFit), memoized for the same
@@ -1930,11 +2137,24 @@ object Catalog {
 
     // MinHash-LSH candidate near-dups, reported as a per-doc candidate
     // count (left join keeps all docs ⇒ rows>0 even with no duplicates).
-    // Hash-based: not SQL-oracle-expressible; planted-duplicate recall is
-    // property-tested in DedupSpec.
+    // ORACLED since round 11 via the STAGED SIGNATURE TABLE: the xxhash64
+    // signatures themselves are engine-specific, but once staged as
+    // parquet the whole downstream pipeline — banding (bucket equality ≡
+    // band-slice equality), the >707-doc degeneracy prune (the exact
+    // doc form of the 250k pair budget), candidate distinct, signature-
+    // agreement estimate, 0.5 threshold — is pure relational algebra
+    // DuckDB replays. Planted-duplicate recall stays property-tested in
+    // DedupSpec.
     "dedup_minhash" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
+        graft.expressions.GraftFunctions.register(s)
+        staged(d, "minhash_sigs") { dir =>
+          docs.select(col("doc_id").as("id"),
+            call_function("minhash_shingle_sig",
+              split(lower(col("text")), "\\s+"), lit(64), lit(3)).as("sig"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val pairs = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
           estThreshold = 0.5)
         val cnts = pairs.select(col("id_a").as("doc_id"))
@@ -1944,7 +2164,38 @@ object Catalog {
           .na.fill(0, Seq("n_cand"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""WITH sigs AS (
+             |  SELECT id, sig FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/minhash_sigs/*.parquet')),
+             |banded AS (
+             |  SELECT id, b, sig[b*4+1 : b*4+4] AS band
+             |  FROM sigs CROSS JOIN (SELECT unnest([${(0 until 16).mkString(",")}]) AS b)),
+             |ok_buckets AS (
+             |  SELECT b, band FROM banded GROUP BY b, band HAVING COUNT(*) <= 707),
+             |pruned AS (
+             |  SELECT bd.id, bd.b, bd.band FROM banded bd
+             |  JOIN ok_buckets ob ON ob.b = bd.b AND ob.band = bd.band),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+             |  FROM pruned a JOIN pruned b2
+             |    ON a.b = b2.b AND a.band = b2.band AND a.id < b2.id),
+             |est AS (
+             |  SELECT id_a, id_b,
+             |    CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est
+             |  FROM (SELECT p.id_a, p.id_b, unnest(sa.sig) AS xa, unnest(sb.sig) AS xb
+             |        FROM cand p
+             |        JOIN sigs sa ON sa.id = p.id_a
+             |        JOIN sigs sb ON sb.id = p.id_b)
+             |  GROUP BY id_a, id_b),
+             |pairs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),
+             |cnt AS (
+             |  SELECT doc_id, COUNT(*) AS n_cand FROM (
+             |    SELECT id_a AS doc_id FROM pairs
+             |    UNION ALL SELECT id_b FROM pairs)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand
+             |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // Estimator check for the minhash tier: plant near-duplicates derived
     // from the corpus itself (every 5th doc re-appears with its first two
@@ -1978,14 +2229,34 @@ object Catalog {
               .as("mean_abs_err"),
             round(max(abs(col("est_jaccard") - col("jaccard"))), 4)
               .as("max_abs_err"))
+          // CHECKED bound riding the row (the agg_cms_checked pattern):
+          // a 64-hash signature estimates Jaccard with std error
+          // 1/√64 = 0.125, so the planted-dup fixture must (a) surface
+          // pairs at all and (b) keep the MEAN abs error within one
+          // standard error — measured 0.03-0.05 across SFs, so the
+          // bound has 2-4× margin without being vacuous.
+          .withColumn("bound_ok",
+            (col("n_pairs") > 0 && col("mean_abs_err") <= 0.125)
+              .cast(IntegerType))
       },
       None),
 
     // SimHash near-dups (hamming ≤ 3 via 16-bit chunk LSH); same per-doc
-    // count shape. Hash-based ⇒ unit/property tested, not oracled.
+    // count shape. ORACLED since round 11 via the staged signature
+    // table (the dedup_minhash pattern): with the packed 64-bit sigs on
+    // disk, chunk bucketing ((sig >> 16·ci) & 0xFFFF — the mask makes
+    // arithmetic and logical shift agree), pair distinct and the
+    // bit_count(xor) ≤ 3 verify are all engine-portable.
     "dedup_simhash" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
+        graft.expressions.GraftFunctions.register(s)
+        staged(d, "simhash_sigs") { dir =>
+          docs.select(col("doc_id").as("id"),
+            call_function("simhash_sig",
+              split(lower(col("text")), "\\s+")).as("sig"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val pairs = DedupOps.simhashDupPairs(docs, "doc_id", "text")
         val cnts = pairs.select(col("id_a").as("doc_id"))
           .union(pairs.select(col("id_b").as("doc_id")))
@@ -1994,7 +2265,28 @@ object Catalog {
           .na.fill(0, Seq("n_dup"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH sigs AS (
+             |  SELECT id, sig FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/simhash_sigs/*.parquet')),
+             |chunked AS (
+             |  SELECT id, sig, ci, (sig >> (ci*16)) & 65535 AS chunk
+             |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS ci)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |    a.sig AS sig_a, b.sig AS sig_b
+             |  FROM chunked a JOIN chunked b
+             |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM cand
+             |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+             |cnt AS (
+             |  SELECT doc_id, COUNT(*) AS n_dup FROM (
+             |    SELECT id_a AS doc_id FROM pairs
+             |    UNION ALL SELECT id_b FROM pairs)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup
+             |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // SimHash → CHECKED estimator (the dedup_minhash_vs_exact pattern
     // for the last unchecked sketch): the hamming≤3 near-dup pair set
@@ -2040,6 +2332,13 @@ object Catalog {
             (max(when(col("bucket") === "simhash_near", col("mean_jaccard"))).over(w) >
               max(when(col("bucket") === "offset_baseline", col("mean_jaccard"))).over(w)
                 + 0.2).cast(IntegerType))
+          // CHECKED bound: separation must hold AND both buckets must be
+          // non-degenerate (every planted rotation is hamming-0 ⇒ the
+          // near bucket can never be empty; an empty baseline would make
+          // `separated` vacuous)
+          .withColumn("bound_ok",
+            (col("separated") === 1 &&
+              min(col("n_pairs")).over(w) > 0).cast(IntegerType))
           .orderBy(col("bucket"))
       },
       None),
@@ -2149,7 +2448,7 @@ object Catalog {
           ids, edges, "doc_id", "src", "dst", iterations = 5)
           .orderBy(col("doc_id"))
       },
-      Some(pagerankOracle)),
+      Some(pagerankOracle("WHERE doc_id < 500", "500"))),
 
     // Degree assortativity (GraphOps.degreeAssortativity, Newman 2002):
     // Pearson of endpoint degrees over the symmetrized edge list —
@@ -2168,38 +2467,7 @@ object Catalog {
         GraphOps.degreeAssortativity(edges, "src", "dst")
           .orderBy(col("col_a"))
       },
-      Some("""WITH nodes AS (
-             |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
-             |de AS (
-             |  SELECT DISTINCT src, dst FROM (
-             |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
-             |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
-             |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
-             |  WHERE src <> dst),
-             |sym AS (
-             |  SELECT DISTINCT src, dst FROM (
-             |    SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
-             |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
-             |prs AS (
-             |  SELECT CAST(da.d AS BIGINT) AS da, CAST(db.d AS BIGINT) AS db
-             |  FROM sym s
-             |  JOIN deg da ON da.id = s.src
-             |  JOIN deg db ON db.id = s.dst),
-             |a AS (SELECT
-             |  CAST(count(CASE WHEN da IS NOT NULL AND db IS NOT NULL
-             |    THEN 1 END) AS DOUBLE) AS n,
-             |  CAST(COALESCE(SUM(CAST(da AS DECIMAL(38,6))), 0) AS DOUBLE) AS sa,
-             |  CAST(COALESCE(SUM(CAST(db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sb,
-             |  CAST(COALESCE(SUM(CAST(da * da AS DECIMAL(38,6))), 0) AS DOUBLE) AS saa,
-             |  CAST(COALESCE(SUM(CAST(db * db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sbb,
-             |  CAST(COALESCE(SUM(CAST(da * db AS DECIMAL(38,6))), 0) AS DOUBLE) AS sab
-             |  FROM prs)
-             |SELECT 'da' AS col_a, 'db' AS col_b, CAST(n AS BIGINT) AS n,
-             |  CASE WHEN n > 1 AND n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
-             |    THEN (n*sab - sa*sb)
-             |      / (sqrt(n*saa - sa*sa) * sqrt(n*sbb - sb*sb))
-             |  END AS pearson_r
-             |FROM a""".stripMargin)),
+      Some(assortativityOracle("WHERE doc_id < 500", "500"))),
 
     // Synchronous label propagation (GraphOps.labelPropagation,
     // Raghavan et al.): 3 rounds of majority-neighbor-label over the
@@ -2225,7 +2493,7 @@ object Catalog {
           ids, edges, "doc_id", "src", "dst", iterations = 3)
           .orderBy(col("doc_id"))
       },
-      Some(lpaOracle)),
+      Some(lpaOracle("WHERE doc_id < 500", "500"))),
 
     // PCA projection of the embedding table to its top-3 components
     // (SimilarityOps.pcaProject over Spark ML's PCA — one distributed
@@ -2296,32 +2564,69 @@ object Catalog {
             (col("doc_id") * 29 + 11) % 500)).as("dst"))
         GraphOps.triangleStats(edges, "src", "dst")
       },
-      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 500),
-             |raw AS (
-             |  SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst FROM ids
-             |  UNION ALL
-             |  SELECT doc_id, (doc_id * 13 + 5) % 500 FROM ids
-             |  UNION ALL
-             |  SELECT doc_id, (doc_id * 29 + 11) % 500 FROM ids),
-             |e AS (
-             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-             |  FROM raw WHERE least(src, dst) <> greatest(src, dst)),
-             |deg AS (
-             |  SELECT n, count(*) AS d FROM (
-             |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-             |ds AS (
-             |  SELECT count(*) AS n_nodes,
-             |    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
-             |ne AS (SELECT count(*) AS n_edges FROM e),
-             |tri AS (
-             |  SELECT count(*) AS n_triangles
-             |  FROM e x JOIN e y ON x.b = y.a
-             |  JOIN e c ON c.a = x.a AND c.b = y.b)
-             |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-             |  CASE WHEN n_wedges > 0
-             |    THEN CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
-             |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
-             |FROM ds, ne, tri""".stripMargin)),
+      Some(triangleOracle("WHERE doc_id < 500", "500"))),
+
+    // SCALE-PROPORTIONAL twins of the four graph keys (round-11 fix for
+    // the fixed-fixture audit finding): edges over the FULL doc_id
+    // domain, modulus = max(doc_id)+1 — 500 nodes at sf0.01 (where the
+    // oracle runs), 5,000 at the sf0.1 bench, 10× more per further SF
+    // step, so the benched cost tracks data volume instead of per-round
+    // shuffle setup. Same integer fixed-point/censys arithmetic ⇒ all
+    // fully oracled via the parameterized oracle builders.
+    "graph_pagerank_scaled" -> QuerySpec(
+      (s, d) => {
+        val (ids, edges) = scaledDocGraph(s, d)
+        GraphOps.pagerankFixedPoint(
+          ids, edges, "doc_id", "src", "dst", iterations = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(pagerankOracle("", scaledModSql))),
+
+    "graph_label_propagation_scaled" -> QuerySpec(
+      (s, d) => {
+        val (ids, edges) = scaledDocGraph(s, d)
+        GraphOps.labelPropagation(
+          ids, edges, "doc_id", "src", "dst", iterations = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(lpaOracle("", scaledModSql))),
+
+    "graph_triangle_scaled" -> QuerySpec(
+      (s, d) => {
+        val (_, edges) = scaledDocGraph(s, d)
+        GraphOps.triangleStats(edges, "src", "dst")
+      },
+      Some(triangleOracle("", scaledModSql))),
+
+    "graph_assortativity_scaled" -> QuerySpec(
+      (s, d) => {
+        val (_, edges) = scaledDocGraph(s, d)
+        GraphOps.degreeAssortativity(edges, "src", "dst")
+          .orderBy(col("col_a"))
+      },
+      Some(assortativityOracle("", scaledModSql))),
+
+    // Long-diameter CC: 25-node CHAIN components over the full doc_id
+    // domain (edge i→i+1 except at chain ends). Diameter 24 forces ~24
+    // min-label-propagation rounds — the per-round localCheckpoint +
+    // release seam exercised at K≥20 rounds on a scale-proportional
+    // graph (the near-clique dedup fixtures converge in 3-5). The
+    // closed form cluster_id = doc_id − (doc_id mod 25) is an
+    // INDEPENDENT derivation of the same fixpoint ⇒ fully oracled.
+    "dedup_cluster_cc_chain" -> QuerySpec(
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 25 =!= 24)
+          .join(ids.select(col("doc_id").as("id_b")),
+            col("id_b") === col("doc_id") + 1)
+          .select(col("doc_id").as("id_a"), col("id_b"))
+        DedupOps.connectedComponents(
+          ids, pairs, "doc_id", "id_a", "id_b", maxIterations = 30)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id - (doc_id % 25) AS BIGINT) AS cluster_id
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // END-TO-END fuzzy dedup: minhash LSH candidates → exact-Jaccard
     // confirm → connected components → min-id survivor per cluster →
@@ -3265,27 +3570,45 @@ object Catalog {
       None),
 
     // IVF ANN (k-means cells + nProbe probing) — the inverted-file scale
-    // path. Seeded but iteration-order-sensitive ⇒ rows-only; recall vs
-    // brute force asserted in SimilaritySpec. The coarse quantizer is
-    // trained ONCE per dataset (ivfFit, memoized below) — the production
-    // fit/query split; the query pays only a codegen'd cell assignment +
-    // broadcast probe join, no iterative ML jobs.
+    // path. The coarse quantizer is trained ONCE per dataset (ivfFit,
+    // memoized) — the production fit/query split; the query pays only a
+    // codegen'd cell assignment + broadcast probe join, no iterative ML
+    // jobs. ORACLED since round 11: the quantized model is STAGED as a
+    // parquet artifact and both vectors and centroids live on the
+    // milli-grid, so DuckDB replays nearest-cell assignment, nProbe
+    // probing and the cosine ranking over exact integer dot products —
+    // recall floors still ride sim_ann_recall's raw-model curve.
     "sim_ann_ivf" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        val model = quantizedIvf(s, d)
+        stageAnnModels(s, d)
         val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val model = ivfModels.computeIfAbsent(d, dir =>
-          SimilarityOps.ivfFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", nCentroids = 8))
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
         SimilarityOps.ivfTopKWithModel(
           q, SimilarityOps.ivfAssign(c, "cvec", model), model, k = 10, nProbe = 3)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(s"""WITH $annQuantVecCtes,
+             |$annIvfProbeCtes
+             |pairs AS (
+             |  SELECT p.qid, a.cid, unnest(q.qvec) AS qv, unnest(c.cvec) AS cv
+             |  FROM probe p
+             |  JOIN cell_assign a ON a.cell = p.cell
+             |  JOIN q0 q ON q.qid = p.qid
+             |  JOIN c0 c ON c.cid = a.cid),
+             |scored AS (
+             |  SELECT qid, cid, CAST(SUM(qv*cv) AS DOUBLE)
+             |    / (sqrt(CAST(SUM(qv*qv) AS DOUBLE)) * sqrt(CAST(SUM(cv*cv) AS DOUBLE))) AS cos
+             |  FROM pairs GROUP BY qid, cid)
+             |SELECT qid, rn, cid, cos FROM (
+             |  SELECT qid, cid, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+             |  FROM scored)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     // Product-quantization ANN (Jégou et al. 2011) — the compression
     // scale path: vectors encode to M=16 code bytes + an exact norm
@@ -3293,51 +3616,79 @@ object Catalog {
     // table lookups (ADC). M=16 subspaces × K=64 codes chosen by
     // measurement (M=8/K=16 gave 0.26 recall at sf0.1; this 0.56-0.64).
     // Codebooks are k-means-trained offline (fit/query split, memoized
-    // like IVF); centroids are iteration-order-sensitive ⇒ rows-only;
-    // recall floors ride sim_ann_recall + units.
+    // like IVF). ORACLED since round 11: the quantized codebooks are
+    // STAGED as a parquet model artifact and DuckDB replays per-subspace
+    // code assignment + the ADC lookup-table scoring over exact integer
+    // dot products; recall floors ride sim_ann_recall + units.
     "sim_ann_pq" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        val model = quantizedPq(s, d)
+        stageAnnModels(s, d)
         val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val model = pqModels.computeIfAbsent(d, dir =>
-          SimilarityOps.pqFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", dim = 64, m = 16, k = 64))
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
         SimilarityOps.pqTopK(q, SimilarityOps.pqAssign(c, "cvec", model),
           model, k = 10)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(s"""WITH $annQuantVecCtes,
+             |$annPqCtes
+             |adc AS (
+             |  SELECT t.qid, c.cid,
+             |    CAST(SUM(t.pdot) AS DOUBLE) / (qn.qn * cn.cn) AS cos_adc
+             |  FROM pq_code c
+             |  JOIN pq_qt t ON t.m = c.m AND t.code = c.code
+             |  JOIN pq_qnorm qn ON qn.qid = t.qid
+             |  JOIN pq_cnorm cn ON cn.cid = c.cid
+             |  GROUP BY t.qid, c.cid, qn.qn, cn.cn)
+             |SELECT qid, rn, cid, cos_adc FROM (
+             |  SELECT qid, cid, cos_adc,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS INTEGER) AS rn
+             |  FROM adc)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     // IVF-PQ — both scale levers composed (the FAISS production shape):
     // probe nProbe cells (row count ÷ nCentroids/nProbe) and ADC-score
-    // codes within them (bytes ÷ ~13). Rows-only like its parents; the
-    // recall floor rides sim_ann_recall's curve (`ann_ivfpq`).
+    // codes within them (bytes ÷ ~13). ORACLED since round 11 over the
+    // two staged model artifacts (cells + codebooks); the recall floor
+    // rides sim_ann_recall's curve (`ann_ivfpq`).
     "sim_ann_ivfpq" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        val ivfM = quantizedIvf(s, d)
+        val pqM = quantizedPq(s, d)
+        stageAnnModels(s, d)
         val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val ivfM = ivfModels.computeIfAbsent(d, dir =>
-          SimilarityOps.ivfFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", nCentroids = 8))
-        val pqM = pqModels.computeIfAbsent(d, dir =>
-          SimilarityOps.pqFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", dim = 64, m = 16, k = 64))
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
         val assigned = SimilarityOps.pqAssign(
           SimilarityOps.ivfAssign(c, "cvec", ivfM), "cvec", pqM)
         SimilarityOps.ivfPqTopK(q, assigned, ivfM, pqM, k = 10, nProbe = 3)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(s"""WITH $annQuantVecCtes,
+             |$annIvfProbeCtes
+             |$annPqCtes
+             |adc AS (
+             |  SELECT p.qid, a.cid,
+             |    CAST(SUM(t.pdot) AS DOUBLE) / (qn.qn * cn.cn) AS cos_adc
+             |  FROM probe p
+             |  JOIN cell_assign a ON a.cell = p.cell
+             |  JOIN pq_code c ON c.cid = a.cid
+             |  JOIN pq_qt t ON t.qid = p.qid AND t.m = c.m AND t.code = c.code
+             |  JOIN pq_qnorm qn ON qn.qid = p.qid
+             |  JOIN pq_cnorm cn ON cn.cid = a.cid
+             |  GROUP BY p.qid, a.cid, qn.qn, cn.cn)
+             |SELECT qid, rn, cid, cos_adc FROM (
+             |  SELECT qid, cid, cos_adc,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS INTEGER) AS rn
+             |  FROM adc)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     // Hard-negative mining (SimilarityOps.hardNegatives): per anchor,
     // the top-10 most similar candidates BELOW the 0.95 near-dup line —
@@ -3560,31 +3911,59 @@ object Catalog {
     // query by ADC, only those 30 raw vectors are read back (broadcast
     // semi-join of the tiny candidate list into the raw table — never a
     // scan), and the exact top-10 of the exact scores is returned.
-    // Rows-only like its parents; the recall floor AND the
-    // rerank ≥ ivfpq dominance assert ride sim_ann_recall's curve.
+    // ORACLED since round 11 over the staged models: DuckDB replays the
+    // ADC kCoarse=30 nomination AND the exact re-scoring; the recall
+    // floor AND the rerank ≥ ivfpq dominance assert still ride
+    // sim_ann_recall's curve.
     "sim_ann_ivfpq_rerank" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        val ivfM = quantizedIvf(s, d)
+        val pqM = quantizedPq(s, d)
+        stageAnnModels(s, d)
         val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val ivfM = ivfModels.computeIfAbsent(d, dir =>
-          SimilarityOps.ivfFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", nCentroids = 8))
-        val pqM = pqModels.computeIfAbsent(d, dir =>
-          SimilarityOps.pqFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", dim = 64, m = 16, k = 64))
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
         val assigned = SimilarityOps.pqAssign(
           SimilarityOps.ivfAssign(c, "cvec", ivfM), "cvec", pqM)
         SimilarityOps.ivfPqRerankTopK(q, assigned, c, ivfM, pqM,
           k = 10, kCoarse = 30, nProbe = 3)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(s"""WITH $annQuantVecCtes,
+             |$annIvfProbeCtes
+             |$annPqCtes
+             |adc AS (
+             |  SELECT p.qid, a.cid,
+             |    CAST(SUM(t.pdot) AS DOUBLE) / (qn.qn * cn.cn) AS cos_adc
+             |  FROM probe p
+             |  JOIN cell_assign a ON a.cell = p.cell
+             |  JOIN pq_code c ON c.cid = a.cid
+             |  JOIN pq_qt t ON t.qid = p.qid AND t.m = c.m AND t.code = c.code
+             |  JOIN pq_qnorm qn ON qn.qid = p.qid
+             |  JOIN pq_cnorm cn ON cn.cid = a.cid
+             |  GROUP BY p.qid, a.cid, qn.qn, cn.cn),
+             |coarse AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid,
+             |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS cr
+             |    FROM adc) WHERE cr <= 30),
+             |rpairs AS (
+             |  SELECT k.qid, k.cid, unnest(q.qvec) AS qv, unnest(c.cvec) AS cv
+             |  FROM coarse k
+             |  JOIN q0 q ON q.qid = k.qid
+             |  JOIN c0 c ON c.cid = k.cid),
+             |rescored AS (
+             |  SELECT qid, cid, CAST(SUM(qv*cv) AS DOUBLE)
+             |    / (sqrt(CAST(SUM(qv*qv) AS DOUBLE)) * sqrt(CAST(SUM(cv*cv) AS DOUBLE))) AS cos
+             |  FROM rpairs GROUP BY qid, cid)
+             |SELECT qid, rn, cid, cos FROM (
+             |  SELECT qid, cid, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+             |  FROM rescored)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     // ANN → CHECKED estimator: the recall/COST curve of both approximate
     // paths (LSH hyperplane buckets, IVF cell probing) against the
@@ -3612,11 +3991,7 @@ object Catalog {
         val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val truth = SimilarityOps.bruteTopK(q, c, k = 10)
           .select(col("qid"), col("cid"))
-        val model = ivfModels.computeIfAbsent(d, dir =>
-          SimilarityOps.ivfFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", nCentroids = 8))
+        val model = ivfModel(s, d)
         val assigned = SimilarityOps.ivfAssign(c, "cvec", model)
         def recallOf(ann: DataFrame, method: String, probes: Int,
             costFrac: Double, floor: Double): DataFrame =
@@ -3642,11 +4017,7 @@ object Catalog {
         // 4-byte norm at M=16, K=64) instead of the 256 B float32
         // vector: cost_frac here is the BYTES fraction. Recall measured
         // 0.64 (sf0.01) / 0.56 (sf0.1) → floor 0.45 with margin.
-        val pqModel = pqModels.computeIfAbsent(d, dir =>
-          SimilarityOps.pqFit(
-            t(s, dir, "embeddings")
-              .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-            "cvec", dim = 64, m = 16, k = 64))
+        val pqModel = Catalog.pqModel(s, d)
         val pq = SimilarityOps.pqTopK(
           q, SimilarityOps.pqAssign(c, "cvec", pqModel), pqModel, k = 10)
         val pqAssigned = SimilarityOps.pqAssign(assigned, "cvec", pqModel)
@@ -4081,6 +4452,56 @@ object Catalog {
              |FROM ranked r JOIN lab b USING (doc_id)
              |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
 
+    // NB MODEL ARTIFACT roundtrip (round 11, the bm25_model_roundtrip
+    // pattern): fit a language classifier on the documents table's own
+    // lang labels, PERSIST the model (exact-decimal log-likelihoods) as
+    // parquet, and classify through the RELOADED artifact — zero fit
+    // jobs in the query plan (the reload is a leaf scan;
+    // materializeUnlessLeaf is a no-op on it). DuckDB scores through
+    // the SAME staged model: per-doc Σ cnt·lp_eff in exact decimals,
+    // argmax (score DESC, label ASC).
+    "text_nb_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = staged(d, "nb_lang_model") { dir =>
+          ClassifyOps.nbFit(docs, "text", "lang")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val model = s.read.parquet(dir)
+        ClassifyOps.nbClassifyWith(docs, "doc_id", "text", model)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH model AS (
+             |  SELECT _label, _tok, _lp, _prior FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/nb_lang_model/*.parquet')),
+             |tok_rows AS (
+             |  SELECT _label AS label, _tok AS tok, _lp AS lp FROM model
+             |  WHERE _tok IS NOT NULL),
+             |class_rows AS (
+             |  SELECT _label AS label, _lp AS dlp, _prior AS prior FROM model
+             |  WHERE _tok IS NULL),
+             |toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT dt.doc_id, c.label, c.prior,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             |    SUM(CAST(cnt AS DECIMAL(10,0)) * COALESCE(tr.lp, c.dlp)) AS ll
+             |  FROM dt CROSS JOIN class_rows c
+             |  LEFT JOIN tok_rows tr ON tr.tok = dt.tok AND tr.label = c.label
+             |  GROUP BY dt.doc_id, c.label, c.prior),
+             |best AS (
+             |  SELECT doc_id, label, n_tokens, prior + ll AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY (prior + ll) DESC, label) AS rn
+             |  FROM sc)
+             |SELECT doc_id, label AS pred_label, n_tokens,
+             |  CAST(-score AS DOUBLE) AS neg_ll
+             |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // Per-document top term by corpus rarity: score = tf × N/df — a
     // monotone transform of tf·idf (N/df is what ln compresses), kept as
     // an exact integer ratio so the hash is engine-exact (ln(x) can
@@ -4199,6 +4620,67 @@ object Catalog {
              |SELECT doc_id, score, CAST(n_matched AS INTEGER) AS n_matched, dl
              |FROM sc WHERE n_matched > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // BM25 MODEL ARTIFACT roundtrip (round 11): the fitted model is
+    // PERSISTED as parquet and the query scores through the RELOADED
+    // table — the production fit/serve split with an on-disk artifact,
+    // so a scorer never refits (the reload is a leaf scan; no fit jobs
+    // in the query plan — plan-asserted in SearchOpsSpec). Oracled
+    // against DuckDB reading the SAME staged model: idf/N/T come from
+    // the artifact, tf/dl from the corpus, the weight is the bm25_topk
+    // IEEE sequence verbatim.
+    "search_bm25_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = staged(d, "bm25_model") { dir =>
+          SearchOps.bm25Fit(docs, "doc_id", "text")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val model = s.read.parquet(dir)
+        SearchOps.bm25TopK(docs, "doc_id", "text", model,
+          Seq("dup", "merge"), k = 15)
+      },
+      Some("""WITH model AS (
+             |  SELECT * FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/bm25_model/*.parquet')),
+             |stats AS (
+             |  SELECT _n_docs AS n, _total_toks AS tot FROM model
+             |  WHERE _tok IS NULL),
+             |idf AS (
+             |  SELECT _tok AS tok, _idf AS idf FROM model WHERE _tok IS NOT NULL),
+             |toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |piv AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+             |    CAST(sum(CASE WHEN tok = 'dup'   THEN tf ELSE 0 END) AS BIGINT) AS tf0,
+             |    CAST(sum(CASE WHEN tok = 'merge' THEN tf ELSE 0 END) AS BIGINT) AS tf1
+             |  FROM dt GROUP BY 1),
+             |sc AS (
+             |  SELECT piv.doc_id, piv.dl,
+             |    (CASE WHEN tf0 > 0 THEN CAST(i0.idf AS DOUBLE) *
+             |        ((tf0 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |         (tf0 + CAST(1.2 AS DOUBLE) *
+             |          ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |           ((CAST(0.75 AS DOUBLE) * piv.dl) * stats.n) / stats.tot)))
+             |      ELSE CAST(0.0 AS DOUBLE) END
+             |    + CASE WHEN tf1 > 0 THEN CAST(i1.idf AS DOUBLE) *
+             |        ((tf1 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |         (tf1 + CAST(1.2 AS DOUBLE) *
+             |          ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |           ((CAST(0.75 AS DOUBLE) * piv.dl) * stats.n) / stats.tot)))
+             |      ELSE CAST(0.0 AS DOUBLE) END) AS score,
+             |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END +
+             |     CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS n_matched
+             |  FROM piv CROSS JOIN stats
+             |  LEFT JOIN idf i0 ON i0.tok = 'dup'
+             |  LEFT JOIN idf i1 ON i1.tok = 'merge')
+             |SELECT doc_id, score, CAST(n_matched AS INTEGER) AS n_matched, dl
+             |FROM sc WHERE n_matched > 0
+             |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
 
     // Query-TABLE BM25 (SearchOps.bm25TopKBatch): a batch of queries
     // scored through the SAME frozen model in ONE plan — queries are

@@ -236,8 +236,17 @@ class PlanSpec extends SparkSpec {
       "sim_mmr_diversify",     // query-side broadcast scan (bruteTopK
                                // shape); the selection rounds join the
                                // queries×8 pool frames only
-      "profile_bootstrap_ci")  // 1-row CI-bounds scalar broadcast onto
+      "profile_bootstrap_ci",  // 1-row CI-bounds scalar broadcast onto
                                // the 1-row point-estimate frame
+      "graph_pagerank_scaled", // 1-row modulus (max(doc_id)+1) scalar
+                               // broadcast building the scaled edge list
+      "graph_triangle_scaled", // same scalar broadcast + the census'
+                               // 1-row frame merges (graph_triangle_count)
+      "search_bm25_model_roundtrip", // 1-row pivoted model-summary
+                               // broadcast (the bm25TopK shape, reloaded
+                               // model)
+      "text_nb_model_roundtrip") // #classes-row class-default broadcast
+                               // (the nbScoreWith shape, reloaded model)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
