@@ -35,7 +35,11 @@ object ScaleBench {
     "agg_funnel_stages", "win_attribution_last_touch")
 
   def main(args: Array[String]): Unit = {
-    val keys = if (args.nonEmpty) args.toSeq else defaultKeys
+    // `runMain graft.ScaleBench probes` = pair probes only, no key loop
+    val probesOnly = args.toSeq == Seq("probes")
+    val keys =
+      if (probesOnly) Nil
+      else if (args.nonEmpty) args.toSeq else defaultKeys
     val dirSpec = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
       "1=/root/testdata/sf0.1," +
         "3=/root/repo/scaledata/scale3x," +
@@ -68,8 +72,19 @@ object ScaleBench {
           .count()),
         "simhash_pairs" -> (() => graft.ops.DedupOps
           .simhashDupPairs(docs, "doc_id", "text").count()),
+        // hamming ≤ 1: the tight-radius production setting — pair
+        // density at radius 3 grows with corpus density by definition
+        // (more docs per fixed signature space), the radius is the knob
+        "simhash_pairs_h1" -> (() => graft.ops.DedupOps
+          .simhashDupPairs(docs, "doc_id", "text", maxHamming = 1).count()),
         "cosine_lsh_pairs" -> (() => graft.ops.SimilarityOps
           .cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.30)
+          .count()),
+        // threshold 0.90: the near-DUP production setting — at 0.30 the
+        // pair set is a constant FRACTION of all N²/2 pairs (quadratic
+        // for ANY exact algorithm); at 0.90 it tracks true duplicates
+        "cosine_lsh_pairs_t90" -> (() => graft.ops.SimilarityOps
+          .cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.90)
           .count()))
       probes.foreach { case (name, f) =>
         val t0 = System.nanoTime()

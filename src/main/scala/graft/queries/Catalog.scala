@@ -593,6 +593,64 @@ object Catalog {
       },
       Some(recursiveBfsSql("documents"))),
 
+    // Native MERGE INTO (round 11): the SQL statement a lakehouse user
+    // types for the upsert the reference implements imperatively
+    // (README.md:1517-1529's NOT-EXISTS insert is exactly
+    // WHEN NOT MATCHED THEN INSERT). Target = a graft.sources
+    // MergeableCatalog DSv2 table (SupportsRowLevelOperations +
+    // SupportsDelta), so RewriteMergeIntoTable plans a native
+    // WriteDelta of per-row actions — NOT a full-table overwrite
+    // (plan-asserted in MergeIntoSpec, with UPDATE/DELETE statements
+    // covered there too). Seed = even orderkeys; source = every third
+    // orderkey with doubled price (updates where even∧div3, inserts
+    // where odd∧div3). Deterministic: the key drops + recreates +
+    // reseeds the target on every invocation.
+    "sql_merge_into" -> QuerySpec(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.MergeableCatalog")
+        s.sql("DROP TABLE IF EXISTS graftcat.merge_target")
+        s.sql("""CREATE TABLE graftcat.merge_target (
+                |  o_orderkey BIGINT NOT NULL, o_custkey BIGINT,
+                |  o_totalprice DOUBLE, o_orderstatus STRING)
+                |TBLPROPERTIES('rowid'='o_orderkey')""".stripMargin)
+        t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+          .writeTo("graftcat.merge_target").append()
+        t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("U").as("o_orderstatus"))
+          .createOrReplaceTempView("graft_merge_src")
+        s.sql("""MERGE INTO graftcat.merge_target t
+                |USING graft_merge_src s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET
+                |  o_totalprice = s.o_totalprice,
+                |  o_orderstatus = s.o_orderstatus
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.table("graftcat.merge_target").orderBy(col("o_orderkey"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |src AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    o_totalprice * 2 AS o_totalprice, 'U' AS o_orderstatus
+             |  FROM orders WHERE o_orderkey % 3 = 0)
+             |SELECT t.o_orderkey, t.o_custkey,
+             |  CASE WHEN s.o_orderkey IS NOT NULL
+             |    THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+             |  CASE WHEN s.o_orderkey IS NOT NULL
+             |    THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+             |FROM tgt t LEFT JOIN src s ON s.o_orderkey = t.o_orderkey
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.o_orderstatus
+             |FROM src s
+             |WHERE NOT EXISTS (SELECT 1 FROM tgt t
+             |                  WHERE t.o_orderkey = s.o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Pivot (conditional aggregation surface): events per user × type.
     "agg_pivot" -> QuerySpec(
       (s, d) => t(s, d, "events")
