@@ -174,6 +174,30 @@ object SimilarityOps {
     bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
   }
 
+  /** [[lshBucket]] over a MILLI-GRID quantized vector column (an
+    * ARRAY<BIGINT> from [[quantize]]) with the planes snapped to the
+    * same grid: every projection is an exact integer dot, so the
+    * bucket ids — and therefore the whole candidate structure — are
+    * bit-portable across engines (the staged-planes oracle pattern;
+    * sign flips vs the raw-plane buckets are confined to projections
+    * within ~dim·10⁻³ of zero, which is also where bucket membership
+    * is a coin flip anyway). */
+  def lshBucketOnQuantized(
+      qvec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = quantizedPlanes(nBits, dim, seed)
+    val bits = ps.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotLong(qvec, planeCol) >= 0, 1L).otherwise(0L)
+    }
+    bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
+  }
+
+  /** The [[planes]] matrix on the milli grid — the values
+    * [[lshBucketOnQuantized]] uses and the staged-plane oracle tables
+    * contain. */
+  def quantizedPlanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Long]] =
+    planes(nBits, dim, seed).map(_.map(x => math.floor(x * 1000).toLong))
+
   /** ANN top-k: exact ranking within the query's LSH bucket(s). Recall
     * is tunable two ways: nBits (fewer bits → bigger buckets → higher
     * recall, more compute) and `probeHamming` — MULTI-PROBE LSH: each
@@ -187,24 +211,31 @@ object SimilarityOps {
     * one scan + a broadcast join whose build side grows ×(1+nBits) at
     * h=1. Measured against bruteTopK in-query (sim_ann_recall) and in
     * SimilaritySpec. */
+  /** `quantizedBuckets`: bucket on [[lshBucketOnQuantized]] — the
+    * caller passes MILLI-GRID quantized vector columns and the whole
+    * result (buckets, probes, cosines, ranking) becomes bit-portable
+    * across engines (the oracled sim_ann_lsh shape). */
   def annTopK(
       queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int, dim: Int,
       qId: String = "qid", qVec: String = "qvec",
       cId: String = "cid", cVec: String = "cvec",
-      probeHamming: Int = 0): DataFrame = {
+      probeHamming: Int = 0, quantizedBuckets: Boolean = false): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= nBits,
       s"probeHamming must be in [0,$nBits], got $probeHamming")
     reg(candidates)
+    def bucketOf(c: Column): Column =
+      if (quantizedBuckets) lshBucketOnQuantized(c, nBits, dim)
+      else lshBucket(c, nBits, dim)
     // XOR masks with popcount ≤ probeHamming, enumerated driver-side
     // (tiny: Σ C(nBits,i) entries), applied as a per-query explode
     val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
       (0 until nBits).combinations(h)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
-    val qb = queries.withColumn("_b0", lshBucket(col(qVec), nBits, dim))
+    val qb = queries.withColumn("_b0", bucketOf(col(qVec)))
       .withColumn("bucket",
         explode(array(masks.map(m => col("_b0").bitwiseXOR(lit(m))): _*)))
       .drop("_b0")
-    val cb = candidates.withColumn("bucket", lshBucket(col(cVec), nBits, dim))
+    val cb = candidates.withColumn("bucket", bucketOf(col(cVec)))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
@@ -509,14 +540,20 @@ object SimilarityOps {
     * bounded inputs (an unbounded all-pairs join at corpus scale is a
     * cross join; it was previously the default, which made the
     * production-shaped call dangerous by omission). */
+  /** `quantizedBuckets`: bucket on [[lshBucketOnQuantized]] over the
+    * same milli-grid quantization the scoring already uses — the whole
+    * pair set becomes bit-portable (the staged-planes oracle shape). */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, allPairs: Boolean = false,
-      nBits: Int = 8, dim: Int = 64): DataFrame = {
+      nBits: Int = 8, dim: Int = 64,
+      quantizedBuckets: Boolean = false): DataFrame = {
     reg(df)
-    val base = if (!allPairs)
-      df.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
-    else df.withColumn("bucket", lit(0))
+    val base = if (allPairs) df.withColumn("bucket", lit(0))
+    else if (quantizedBuckets)
+      df.withColumn("bucket",
+        lshBucketOnQuantized(quantize(col(vecCol)), nBits, dim))
+    else df.withColumn("bucket", lshBucket(col(vecCol), nBits, dim))
     // self-norms are per-ROW quantities: compute them once before the
     // pair join instead of re-folding each vector per PAIR (pairs ≫ rows)
     val qv = quantize(col(vecCol))

@@ -3292,11 +3292,24 @@ object Catalog {
     // exact copy (which collides by construction), this measures real
     // LSH recall on near-identical pairs. Per-vector count via left
     // join keeps all rows (rows > 0 even with no duplicates).
+    // ORACLED since round 11 via the STAGED 8-bit PLANES artifact (the
+    // sim_ann_lsh pattern): quantized-plane buckets + the already-exact
+    // quantized cosine make the pair set, the per-vec counts AND the
+    // planted-twin recall check bit-portable — DuckDB replays both
+    // cosineDupPairs passes (threshold 0.30 corpus scan; threshold 0.95
+    // twin recovery) over the same staged planes.
     "dedup_embedding_cosine_lsh" -> QuerySpec(
       (s, d) => {
         val embT = t(s, d, "embeddings")
+        staged(d, "lsh_planes_8") { dir =>
+          import s.implicits._
+          SimilarityOps.quantizedPlanes(nBits = 8, dim = 64).zipWithIndex
+            .map { case (p, i) => (i, p.toSeq) }.toSeq
+            .toDF("bit", "plane")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val pairs = SimilarityOps.cosineDupPairs(embT, "vec_id", "embedding",
-          threshold = 0.30)
+          threshold = 0.30, quantizedBuckets = true)
         val cnts = pairs.select(col("id_a").as("vec_id"))
           .union(pairs.select(col("id_b").as("vec_id")))
           .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dup"))
@@ -3318,7 +3331,7 @@ object Catalog {
               .as("embedding"))
         val recovered = SimilarityOps.cosineDupPairs(
             asD.unionByName(planted), "vec_id", "embedding",
-            threshold = 0.95)
+            threshold = 0.95, quantizedBuckets = true)
           .filter(col("id_a") === -col("id_b") - 1L)
           .agg(count(lit(1)).as("n_recovered"))
         val summary = recovered
@@ -3332,7 +3345,84 @@ object Catalog {
             (col("recall") >= col("recall_floor")).cast(IntegerType))
         perVec.crossJoin(broadcast(summary)).orderBy(col("vec_id"))
       },
-      None),
+      Some("""WITH planes AS (
+             |  SELECT bit, plane FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/lsh_planes_8/*.parquet')),
+             |qv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |buck AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM (
+             |    SELECT vec_id, bit, SUM(xv*pv) AS d
+             |    FROM (SELECT q.vec_id, p.bit, unnest(q.v) AS xv, unnest(p.plane) AS pv
+             |          FROM qv q CROSS JOIN planes p)
+             |    GROUP BY vec_id, bit)
+             |  GROUP BY vec_id),
+             |p30 AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(SUM(xa*xb) AS DOUBLE)
+             |      / (sqrt(CAST(SUM(xa*xa) AS DOUBLE)) * sqrt(CAST(SUM(xb*xb) AS DOUBLE))) AS cos_q
+             |    FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |            unnest(va.v) AS xa, unnest(vb.v) AS xb
+             |          FROM buck a
+             |          JOIN buck b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+             |          JOIN qv va ON va.vec_id = a.vec_id
+             |          JOIN qv vb ON vb.vec_id = b.vec_id)
+             |    GROUP BY id_a, id_b)
+             |  WHERE cos_q > 0.30),
+             |cnt AS (
+             |  SELECT vec_id, COUNT(*) AS n_dup FROM (
+             |    SELECT id_a AS vec_id FROM p30
+             |    UNION ALL SELECT id_b FROM p30)
+             |  GROUP BY vec_id),
+             |twins AS (
+             |  SELECT vec_id, v FROM qv
+             |  UNION ALL
+             |  SELECT -vec_id - 1 AS vec_id,
+             |    [CAST(floor((CAST(embedding[1] AS DOUBLE) + 0.05) * 1000) AS BIGINT)]
+             |      || list_transform(embedding[2:64],
+             |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings WHERE vec_id % 10 = 0),
+             |tbuck AS (
+             |  SELECT vec_id,
+             |    CAST(SUM(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM (
+             |    SELECT vec_id, bit, SUM(xv*pv) AS d
+             |    FROM (SELECT q.vec_id, p.bit, unnest(q.v) AS xv, unnest(p.plane) AS pv
+             |          FROM twins q CROSS JOIN planes p)
+             |    GROUP BY vec_id, bit)
+             |  GROUP BY vec_id),
+             |p95 AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b, CAST(SUM(xa*xb) AS DOUBLE)
+             |      / (sqrt(CAST(SUM(xa*xa) AS DOUBLE)) * sqrt(CAST(SUM(xb*xb) AS DOUBLE))) AS cos_q
+             |    FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |            unnest(va.v) AS xa, unnest(vb.v) AS xb
+             |          FROM tbuck a
+             |          JOIN tbuck b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+             |          JOIN twins va ON va.vec_id = a.vec_id
+             |          JOIN twins vb ON vb.vec_id = b.vec_id)
+             |    GROUP BY id_a, id_b)
+             |  WHERE cos_q > 0.95),
+             |summary AS (
+             |  SELECT r.n_recovered, p.n_planted,
+             |    round(CAST(r.n_recovered AS DOUBLE) / p.n_planted, 4) AS recall,
+             |    CAST(0.7 AS DOUBLE) AS recall_floor,
+             |    CAST(round(CAST(r.n_recovered AS DOUBLE) / p.n_planted, 4)
+             |      >= 0.7 AS INTEGER) AS above_floor
+             |  FROM (SELECT COUNT(*) AS n_recovered FROM p95
+             |        WHERE id_a = -id_b - 1) r
+             |  CROSS JOIN (SELECT COUNT(*) AS n_planted FROM embeddings
+             |              WHERE vec_id % 10 = 0) p)
+             |SELECT e.vec_id, CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup,
+             |  s.n_recovered, s.n_planted, s.recall, s.recall_floor, s.above_floor
+             |FROM embeddings e
+             |LEFT JOIN cnt c ON c.vec_id = e.vec_id
+             |CROSS JOIN summary s
+             |ORDER BY e.vec_id""".stripMargin)),
 
     // ----------------------------------------------------------- similarity
     // Brute-force cosine top-k on the quantized grid (oracle-exact);
@@ -3613,19 +3703,69 @@ object Catalog {
              |FROM t ORDER BY dim""".stripMargin)),
 
     // LSH-bucketed ANN — the scale path (bucket join instead of cross
-    // join). Plane projections are float-order-sensitive ⇒ not oracled;
-    // recall vs bruteTopK is asserted in SimilaritySpec.
+    // join). ORACLED since round 11 via the STAGED PLANES artifact:
+    // hyperplanes snapped to the milli grid + quantized vectors make
+    // every projection an exact integer dot, so bucket ids, the
+    // hamming-1 multi-probe set, cosines and the ranking are all
+    // bit-portable; DuckDB replays the whole pipeline. Raw-plane
+    // recall floors still ride sim_ann_recall + SimilaritySpec.
     "sim_ann_lsh" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        staged(d, "ann_lsh_planes") { dir =>
+          import s.implicits._
+          SimilarityOps.quantizedPlanes(nBits = 4, dim = 64).zipWithIndex
+            .map { case (p, i) => (i, p.toSeq) }.toSeq
+            .toDF("bit", "plane")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val q = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
         SimilarityOps.annTopK(q, c, k = 10, nBits = 4, dim = 64,
-          probeHamming = 1)
+          probeHamming = 1, quantizedBuckets = true)
           .orderBy(col("qid"), col("rn"))
       },
-      None),
+      Some(s"""WITH $annQuantVecCtes,
+             |planes AS (
+             |  SELECT bit, plane FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/ann_lsh_planes/*.parquet')),
+             |qproj AS (
+             |  SELECT qid, bit, SUM(xv*pv) AS d
+             |  FROM (SELECT q.qid, p.bit, unnest(q.qvec) AS xv, unnest(p.plane) AS pv
+             |        FROM q0 q CROSS JOIN planes p)
+             |  GROUP BY qid, bit),
+             |qb0 AS (
+             |  SELECT qid, CAST(SUM(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS b0
+             |  FROM qproj GROUP BY qid),
+             |qb AS (
+             |  SELECT qid, xor(b0, m) AS bucket
+             |  FROM qb0 CROSS JOIN (SELECT CAST(unnest([0,1,2,4,8]) AS BIGINT) AS m)),
+             |cproj AS (
+             |  SELECT cid, bit, SUM(xv*pv) AS d
+             |  FROM (SELECT c.cid, p.bit, unnest(c.cvec) AS xv, unnest(p.plane) AS pv
+             |        FROM c0 c CROSS JOIN planes p)
+             |  GROUP BY cid, bit),
+             |cb AS (
+             |  SELECT cid, CAST(SUM(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM cproj GROUP BY cid),
+             |pairs AS (
+             |  SELECT q.qid, c.cid, unnest(qq.qvec) AS qv, unnest(cc.cvec) AS cv
+             |  FROM qb q
+             |  JOIN cb c ON c.bucket = q.bucket
+             |  JOIN q0 qq ON qq.qid = q.qid
+             |  JOIN c0 cc ON cc.cid = c.cid),
+             |scored AS (
+             |  SELECT qid, cid, CAST(SUM(qv*cv) AS DOUBLE)
+             |    / (sqrt(CAST(SUM(qv*qv) AS DOUBLE)) * sqrt(CAST(SUM(cv*cv) AS DOUBLE))) AS cos
+             |  FROM pairs GROUP BY qid, cid)
+             |SELECT qid, rn, cid, cos FROM (
+             |  SELECT qid, cid, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+             |  FROM scored)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     // IVF ANN (k-means cells + nProbe probing) — the inverted-file scale
     // path. The coarse quantizer is trained ONCE per dataset (ivfFit,
