@@ -834,6 +834,30 @@ object SimilarityOps {
       .withColumn("max_norm_err", lit(maxNormErr))
   }
 
+  /** OFFLINE fit half of the staged-PCA artifact pattern: the loading
+    * matrix of [[pcaProject]]'s eigensolve snapped to the MICRO grid
+    * (×10⁶, floor) as plain driver-side arrays — row j of the result is
+    * the j-th principal axis. With milli-grid vectors the projection
+    * pc_j = Σ_i qv_i·qL_ji is an exact integer (≤ ~64·400·10⁶ ≈ 2.6e10,
+    * far below 2^53/2^63), so projections, variance statistics and the
+    * orthonormality audit all become bit-portable across engines once
+    * the matrix is STAGED as parquet — the same trick as the IVF/PQ
+    * model artifacts. Eigenvector SIGN is arbitrary per fit, which is
+    * exactly why the staged artifact (not a refit) must be the thing an
+    * oracle replays. */
+  def pcaFitQuantizedLoadings(
+      df: DataFrame, vecCol: String, k: Int): Array[Array[Long]] = {
+    require(k >= 1, s"pcaFitQuantizedLoadings: k must be >= 1, got $k")
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val src = df.select(array_to_vector(asDouble(col(vecCol))).as("_fv"))
+    val model = new PCA().setK(k).setInputCol("_fv").setOutputCol("_pc")
+      .fit(src)
+    val pc = model.pc
+    Array.tabulate(k)(j =>
+      Array.tabulate(pc.numRows)(i => math.floor(pc(i, j) * 1e6).toLong))
+  }
+
   /** MMR-diversified top-k (Maximal Marginal Relevance, Carbonell &
     * Goldstein 1998): from each query's `kCandidates` most-relevant
     * candidates, greedily select `kSelect` maximizing

@@ -218,6 +218,17 @@ object Catalog {
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.PqModel]()
 
+  /** Quantized PCA loading matrices, one per dataset dir — the offline
+    * fit half of the staged-PCA artifact (SimilarityOps
+    * .pcaFitQuantizedLoadings), memoized like [[ivfModels]]. */
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  private def pcaModel(s: SparkSession, d: String): Array[Array[Long]] =
+    pcaModels.computeIfAbsent(d, dir =>
+      SimilarityOps.pcaFitQuantizedLoadings(
+        t(s, dir, "embeddings"), "embedding", k = 3))
+
   private def ivfModel(s: SparkSession, d: String): SimilarityOps.IvfModel =
     ivfModels.computeIfAbsent(d, dir =>
       SimilarityOps.ivfFit(
@@ -649,6 +660,45 @@ object Catalog {
              |FROM src s
              |WHERE NOT EXISTS (SELECT 1 FROM tgt t
              |                  WHERE t.o_orderkey = s.o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // UPDATE and DELETE statements over the same row-level DSv2 surface
+    // (sql_merge_into's MergeableCatalog): both rewrite to per-row
+    // WriteDelta actions — only matching rows travel to the writer.
+    // One key exercises both statements in sequence on a freshly seeded
+    // target; deterministic per invocation (drop + recreate + reseed).
+    "sql_update_delete" -> QuerySpec(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.MergeableCatalog")
+        s.sql("DROP TABLE IF EXISTS graftcat.upd_target")
+        s.sql("""CREATE TABLE graftcat.upd_target (
+                |  o_orderkey BIGINT NOT NULL, o_custkey BIGINT,
+                |  o_totalprice DOUBLE, o_orderstatus STRING)
+                |TBLPROPERTIES('rowid'='o_orderkey')""".stripMargin)
+        t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+          .writeTo("graftcat.upd_target").append()
+        s.sql("""UPDATE graftcat.upd_target
+                |SET o_totalprice = o_totalprice + 100.0,
+                |    o_orderstatus = 'U'
+                |WHERE o_custkey % 5 = 0""".stripMargin)
+        s.sql("DELETE FROM graftcat.upd_target WHERE o_orderstatus = 'F'")
+        s.table("graftcat.upd_target").orderBy(col("o_orderkey"))
+      },
+      Some("""WITH seeded AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |updated AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CASE WHEN o_custkey % 5 = 0
+             |      THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+             |    CASE WHEN o_custkey % 5 = 0
+             |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+             |  FROM seeded)
+             |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |FROM updated WHERE o_orderstatus <> 'F'
              |ORDER BY o_orderkey""".stripMargin)),
 
     // Pivot (conditional aggregation surface): events per user × type.
@@ -2553,56 +2603,131 @@ object Catalog {
       },
       Some(lpaOracle("WHERE doc_id < 500", "500"))),
 
-    // PCA projection of the embedding table to its top-3 components
-    // (SimilarityOps.pcaProject over Spark ML's PCA — one distributed
-    // Gram pass + driver d×d eigensolve): the dimensionality-reduction
-    // step before cheap clustering/indexing/drift in k dims. Component
-    // signs/low bits are run-dependent ⇒ rows-only, but the key CHECKS
-    // the geometry in-query: projected variances monotone decreasing,
-    // top-3 captured variance ≥ the 3/64 isotropy floor (mathematically
-    // guaranteed for a correct eigensolve — catches wiring bugs), and
-    // the loading matrix orthonormal to 1e-9 (audited driver-side,
-    // surfaced as literal columns). Variance sums ride exact decimals.
+    // PCA projection of the embedding table to its top-3 components.
+    // ORACLED since round 11 via the STAGED LOADINGS artifact (the
+    // IVF/PQ model pattern): the eigensolve's loading matrix — whose
+    // SIGNS are run-arbitrary, the old rows-only reason — is snapped to
+    // the micro grid and staged as parquet, milli-grid vectors make
+    // each projection an exact integer dot, and ALL the geometry checks
+    // move onto exact integer/decimal arithmetic both engines replay:
+    // projected variances (n·Q − S², exact decimals) monotone
+    // decreasing, top-3 captured variance ≥ the 3/64 isotropy floor
+    // (64·Σvar ≥ 3e12·totvar — the 1e12 bridges the micro²-scale
+    // projections to the milli-scale dims), and the STAGED matrix
+    // orthonormal at grid resolution (|dot_q| ≤ 1e9 off-diagonal,
+    // |dot_q − 1e12| ≤ 1e9 diagonal).
     "sim_embed_pca" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // materialized: the variance-stats aggregate AND the output
-        // select both read the projection — without the barrier
-        // model.transform re-runs over the whole table per reference
-        val proj = SimilarityOps
-          .pcaProject(emb, "vec_id", "embedding", k = 3)
-          .localCheckpoint(true)
-        val dec = (c: Column) => c.cast(DecimalType(38, 12))
-        val aggs = count(lit(1)).cast(DoubleType).as("__n") +:
+        val L = pcaModel(s, d)
+        staged(d, "pca_loadings") { dir =>
+          import s.implicits._
+          L.zipWithIndex.map { case (row, j) => (j + 1, row.toSeq) }.toSeq
+            .toDF("j", "loading")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        // grid-resolution orthonormality of the STAGED matrix — plain
+        // exact Long arithmetic on the driver-side model (the oracle
+        // recomputes the same integers from the staged table)
+        var maxOffQ = 0L; var maxDiagErrQ = 0L
+        for (a <- L.indices; b <- L.indices) {
+          val dot = (L(a), L(b)).zipped.map(_ * _).sum
+          if (a == b)
+            maxDiagErrQ = math.max(maxDiagErrQ, math.abs(dot - 1000000000000L))
+          else maxOffQ = math.max(maxOffQ, math.abs(dot))
+        }
+        val proj = emb
+          .select(col("vec_id"),
+            SimilarityOps.quantize(col("embedding")).as("_qv"))
+          .select(col("vec_id") +: (1 to 3).map(j =>
+            SimilarityOps.dotLong(col("_qv"),
+              array(L(j - 1).map(lit): _*)).as(s"pc${j}_q")): _*)
+        val dec = (c: Column) => c.cast(DecimalType(19, 0))
+        val aggs = count(lit(1)).as("__n") +:
           (1 to 3).flatMap(j => Seq(
-            sum(dec(col(s"pc$j"))).cast(DoubleType).as(s"__s$j"),
-            sum(dec(col(s"pc$j") * col(s"pc$j"))).cast(DoubleType)
-              .as(s"__q$j")))
+            sum(dec(col(s"pc${j}_q"))).as(s"__s$j"),
+            sum(dec(col(s"pc${j}_q")) * dec(col(s"pc${j}_q"))).as(s"__q$j")))
         val stats = proj.agg(aggs.head, aggs.tail: _*)
         val totVar = emb
-          .select(posexplode(SimilarityOps.asDouble(col("embedding")))
-            .as(Seq("_p", "_v")))
+          .select(posexplode(SimilarityOps.quantize(col("embedding")))
+            .as(Seq("_p", "_x")))
           .groupBy(col("_p"))
-          .agg(count(lit(1)).cast(DoubleType).as("__dn"),
-            sum(dec(col("_v"))).cast(DoubleType).as("__ds"),
-            sum(dec(col("_v") * col("_v"))).cast(DoubleType).as("__dq"))
-          .select(((col("__dq") - col("__ds") * col("__ds") / col("__dn")) /
-            col("__dn")).as("__dv"))
+          .agg(count(lit(1)).as("__dn"),
+            sum(dec(col("_x"))).as("__ds"),
+            sum(dec(col("_x")) * dec(col("_x"))).as("__dq"))
+          .select((col("__dq") * col("__dn") -
+            col("__ds") * col("__ds")).as("__dv"))
           .agg(sum(col("__dv")).as("__tot"))
         def v(j: Int): Column =
-          (col(s"__q$j") - col(s"__s$j") * col(s"__s$j") / col("__n")) /
-            col("__n")
+          col(s"__q$j") * col("__n") - col(s"__s$j") * col(s"__s$j")
         proj.crossJoin(broadcast(stats)).crossJoin(broadcast(totVar))
           .withColumn("bound_ok",
             (v(1) >= v(2) && v(2) >= v(3) &&
-              (v(1) + v(2) + v(3)) >= lit(3.0 / 64) * col("__tot") &&
-              col("max_offdiag") < 1e-9 && col("max_norm_err") < 1e-9)
+              (v(1) + v(2) + v(3)) * 64 >=
+                lit(3000000000000L) * col("__tot") &&
+              lit(maxOffQ) <= 1000000000L &&
+              lit(maxDiagErrQ) <= 1000000000L)
               .cast(IntegerType))
-          .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"),
+          .select(col("vec_id"), col("pc1_q"), col("pc2_q"), col("pc3_q"),
             col("bound_ok"))
           .orderBy(col("vec_id"))
       },
-      None),
+      Some("""WITH L AS (
+             |  SELECT j, loading FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/pca_loadings/*.parquet')),
+             |qv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |proj0 AS (
+             |  SELECT vec_id, j, SUM(xv*lv) AS pc
+             |  FROM (SELECT q.vec_id, l.j, unnest(q.v) AS xv, unnest(l.loading) AS lv
+             |        FROM qv q CROSS JOIN L l)
+             |  GROUP BY vec_id, j),
+             |p AS (
+             |  SELECT vec_id,
+             |    CAST(MAX(CASE WHEN j=1 THEN pc END) AS BIGINT) AS pc1_q,
+             |    CAST(MAX(CASE WHEN j=2 THEN pc END) AS BIGINT) AS pc2_q,
+             |    CAST(MAX(CASE WHEN j=3 THEN pc END) AS BIGINT) AS pc3_q
+             |  FROM proj0 GROUP BY vec_id),
+             |st AS (
+             |  SELECT count(*) AS n,
+             |    SUM(CAST(pc1_q AS DECIMAL(18,0))) AS s1,
+             |    SUM(CAST(pc1_q AS DECIMAL(18,0))*CAST(pc1_q AS DECIMAL(18,0))) AS q1,
+             |    SUM(CAST(pc2_q AS DECIMAL(18,0))) AS s2,
+             |    SUM(CAST(pc2_q AS DECIMAL(18,0))*CAST(pc2_q AS DECIMAL(18,0))) AS q2,
+             |    SUM(CAST(pc3_q AS DECIMAL(18,0))) AS s3,
+             |    SUM(CAST(pc3_q AS DECIMAL(18,0))*CAST(pc3_q AS DECIMAL(18,0))) AS q3
+             |  FROM p),
+             |vs AS (
+             |  SELECT q1*n - s1*s1 AS v1, q2*n - s2*s2 AS v2,
+             |         q3*n - s3*s3 AS v3 FROM st),
+             |dims AS (
+             |  SELECT pos, count(*) AS dn,
+             |    SUM(CAST(x AS DECIMAL(18,0))) AS ds,
+             |    SUM(CAST(x AS DECIMAL(18,0))*CAST(x AS DECIMAL(18,0))) AS dq
+             |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+             |        FROM qv)
+             |  GROUP BY pos),
+             |tot AS (SELECT SUM(dq*dn - ds*ds) AS tv FROM dims),
+             |orth AS (
+             |  SELECT
+             |    MAX(CASE WHEN ja <> jb THEN abs(dot) ELSE 0 END) AS maxoff,
+             |    MAX(CASE WHEN ja = jb THEN abs(dot - 1000000000000) ELSE 0 END) AS diagerr
+             |  FROM (
+             |    SELECT ja, jb, SUM(xa*xb) AS dot
+             |    FROM (SELECT a.j AS ja, b.j AS jb,
+             |            unnest(a.loading) AS xa, unnest(b.loading) AS xb
+             |          FROM L a CROSS JOIN L b)
+             |    GROUP BY ja, jb)),
+             |ok AS (
+             |  SELECT CAST(vs.v1 >= vs.v2 AND vs.v2 >= vs.v3
+             |    AND 64*(vs.v1+vs.v2+vs.v3) >= 3000000000000 * tot.tv
+             |    AND orth.maxoff <= 1000000000
+             |    AND orth.diagerr <= 1000000000 AS INTEGER) AS bound_ok
+             |  FROM vs, tot, orth)
+             |SELECT p.vec_id, p.pc1_q, p.pc2_q, p.pc3_q, ok.bound_ok
+             |FROM p CROSS JOIN ok ORDER BY p.vec_id""".stripMargin)),
 
     // Triangle census + global clustering coefficient
     // (GraphOps.triangleStats, Schank & Wagner node-iterator): the
