@@ -4334,6 +4334,18 @@ object Catalog {
               (col("avg_recall") >= floor).cast(IntegerType).as("above_floor"))
         def lsh(h: Int) = SimilarityOps.annTopK(
           q, c, k = 10, nBits = 4, dim = 64, probeHamming = h)
+        // the r11 ORACLED configuration (milli-grid vectors + quantized
+        // planes): its recall must clear the same floor as the raw form
+        // — quantization moves only coin-flip boundary buckets
+        val qQ = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val cQ = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
+        val lshQRow = recallOf(
+          SimilarityOps.annTopK(qQ, cQ, k = 10, nBits = 4, dim = 64,
+            probeHamming = 1, quantizedBuckets = true),
+          "ann_lsh_quantized", 5, 5.0 / 16, 0.4)
         def ivf(p: Int) = SimilarityOps.ivfTopKWithModel(
           q, assigned, model, k = 10, nProbe = p)
         // PQ scans every ROW but reads codes+norm (16 byte-codes + a
@@ -4361,6 +4373,7 @@ object Catalog {
         val curve =
           recallOf(lsh(0), "ann_lsh", 1, 1.0 / 16, 0.15)
             .unionByName(recallOf(lsh(1), "ann_lsh", 5, 5.0 / 16, 0.4))
+            .unionByName(lshQRow)
             .unionByName(recallOf(ivf(1), "ann_ivf", 1, 1.0 / 8, 0.3))
             .unionByName(recallOf(ivf(3), "ann_ivf", 3, 3.0 / 8, 0.6))
             .unionByName(recallOf(pq, "ann_pq", 16, 20.0 / 256, 0.45))
