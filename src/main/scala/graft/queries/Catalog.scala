@@ -2309,11 +2309,22 @@ object Catalog {
     // from the corpus itself (every 5th doc re-appears with its first two
     // tokens dropped), run the LSH candidate pass, join each candidate
     // pair back to its EXACT shingle-set Jaccard, and report the error.
-    // The n_pairs count and the est-vs-exact bound are what DedupSpec
-    // asserts; this key exposes the same numbers to the dashboard.
-    // Hash-based estimate ⇒ rows-only (always exactly one summary row).
+    // ORACLED since round 11 (the dedup_minhash staged-signature pattern
+    // applied to the DERIVED corpus): with the planted corpus's
+    // signatures staged, DuckDB replays banding, the 0.4 threshold, the
+    // exact shingle Jaccard AND the error statistics. Error sums ride a
+    // DECIMAL(20,12) accumulator — per-pair errors are identical doubles
+    // in both engines (est = k/64 exact, jaccard one division), and the
+    // decimal sum removes the only remaining order sensitivity — so the
+    // mean is presented UNROUNDED (round()-of-double half-boundaries are
+    // the known cross-engine hazard).
+    // CHECKED bound riding the row (the agg_cms_checked pattern): a
+    // 64-hash signature estimates Jaccard with std error 1/√64 = 0.125;
+    // the fixture must surface pairs AND keep the mean abs error within
+    // one std error (measured 0.02-0.05 across SFs — 2-4× margin).
     "dedup_minhash_vs_exact" -> QuerySpec(
       (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
         // a quarter of the corpus: the error statistic converges with a
         // few hundred pairs — the full-corpus pass is the (already
         // benched) dedup_minhash key's job, not this check's
@@ -2329,25 +2340,88 @@ object Catalog {
             concat_ws(" ", slice(dropToks, lit(3), size(dropToks)))
               .as("text"))
         val corpus = docs.unionByName(variants)
+        staged(d, "minhash_sigs_vsx") { dir =>
+          corpus.select(col("doc_id").as("id"),
+            call_function("minhash_shingle_sig",
+              split(lower(col("text")), "\\s+"), lit(64), lit(3)).as("sig"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val pairs = DedupOps.minhashCandidatePairs(corpus, "doc_id", "text",
           estThreshold = 0.4)
+        val err = abs(col("est_jaccard") - col("jaccard"))
         DedupOps.exactJaccardForPairs(pairs, corpus, "doc_id", "text")
           .agg(count(lit(1)).as("n_pairs"),
-            round(avg(abs(col("est_jaccard") - col("jaccard"))), 4)
+            sum(err.cast(DecimalType(20, 12))).as("__se"),
+            max(err).as("max_abs_err"))
+          .select(col("n_pairs"),
+            (col("__se").cast(DoubleType) / col("n_pairs"))
               .as("mean_abs_err"),
-            round(max(abs(col("est_jaccard") - col("jaccard"))), 4)
-              .as("max_abs_err"))
-          // CHECKED bound riding the row (the agg_cms_checked pattern):
-          // a 64-hash signature estimates Jaccard with std error
-          // 1/√64 = 0.125, so the planted-dup fixture must (a) surface
-          // pairs at all and (b) keep the MEAN abs error within one
-          // standard error — measured 0.03-0.05 across SFs, so the
-          // bound has 2-4× margin without being vacuous.
+            col("max_abs_err"))
           .withColumn("bound_ok",
             (col("n_pairs") > 0 && col("mean_abs_err") <= 0.125)
               .cast(IntegerType))
       },
-      None),
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    array_to_string(string_split_regex(text, '\\s+')[3:], ' ')
+             |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 = 0),
+             |sigs AS (
+             |  SELECT id, sig FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/minhash_sigs_vsx/*.parquet')),
+             |banded AS (
+             |  SELECT id, b, sig[b*4+1 : b*4+4] AS band
+             |  FROM sigs CROSS JOIN (SELECT unnest([${(0 until 16).mkString(",")}]) AS b)),
+             |ok_buckets AS (
+             |  SELECT b, band FROM banded GROUP BY b, band HAVING COUNT(*) <= 707),
+             |pruned AS (
+             |  SELECT bd.id, bd.b, bd.band FROM banded bd
+             |  JOIN ok_buckets ob ON ob.b = bd.b AND ob.band = bd.band),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+             |  FROM pruned a JOIN pruned b2
+             |    ON a.b = b2.b AND a.band = b2.band AND a.id < b2.id),
+             |est AS (
+             |  SELECT id_a, id_b,
+             |    CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est
+             |  FROM (SELECT p.id_a, p.id_b, unnest(sa.sig) AS xa, unnest(sb.sig) AS xb
+             |        FROM cand p
+             |        JOIN sigs sa ON sa.id = p.id_a
+             |        JOIN sigs sb ON sb.id = p.id_b)
+             |  GROUP BY id_a, id_b),
+             |pairs AS (SELECT id_a, id_b, est FROM est WHERE est >= 0.4),
+             |toks AS (
+             |  SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS w
+             |  FROM corpus),
+             |sh AS (
+             |  SELECT id, unnest(list_distinct(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |    ELSE [array_to_string(w[i:i+2], ' ')
+             |          for i in range(1, len(w) - 1)] END)) AS tok
+             |  FROM toks),
+             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+             |inter AS (
+             |  SELECT p.id_a, p.id_b, count(*) AS ni
+             |  FROM pairs p
+             |  JOIN sh a ON a.id = p.id_a
+             |  JOIN sh b ON b.id = p.id_b AND b.tok = a.tok
+             |  GROUP BY p.id_a, p.id_b),
+             |scored AS (
+             |  SELECT p.est, CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             |      / (sa.n + sb.n - COALESCE(i.ni, 0)) AS jac
+             |  FROM pairs p
+             |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+             |  JOIN sizes sa ON sa.id = p.id_a
+             |  JOIN sizes sb ON sb.id = p.id_b)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(CAST(abs(est - jac) AS DECIMAL(20,12))) AS DOUBLE)
+             |    / COUNT(*) AS mean_abs_err,
+             |  MAX(abs(est - jac)) AS max_abs_err,
+             |  CAST(COUNT(*) > 0 AND
+             |    CAST(SUM(CAST(abs(est - jac) AS DECIMAL(20,12))) AS DOUBLE)
+             |      / COUNT(*) <= 0.125 AS INTEGER) AS bound_ok
+             |FROM scored""".stripMargin)),
 
     // SimHash near-dups (hamming ≤ 3 via 16-bit chunk LSH); same per-doc
     // count shape. ORACLED since round 11 via the staged signature
@@ -2412,8 +2486,15 @@ object Catalog {
     // single edit flips many of the 64 sign-sum bits, so hamming ≤ 3
     // catches them only by luck. Signature is xxhash64-based ⇒
     // rows-only tier; `separated` is also unit-asserted (DedupSpec).
+    // ORACLED since round 11 (the dedup_minhash_vs_exact pattern): the
+    // rotated corpus's packed signatures are staged, so DuckDB replays
+    // chunk LSH + hamming ≤ 3, the offset baseline, the exact shingle
+    // Jaccard and the separation/bound flags. Jaccard means ride a
+    // DECIMAL(20,12) accumulator and present UNROUNDED (the round()-of-
+    // double half-boundary hazard), mins are raw identical doubles.
     "dedup_simhash_vs_exact" -> QuerySpec(
       (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
         val docs0 = t(s, d, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 4 === 0)
         val toks = split(col("text"), "\\s+")
@@ -2423,6 +2504,12 @@ object Catalog {
             array_join(concat(slice(toks, lit(4), size(toks)), slice(toks, 1, 3)), " ")
               .as("text"))
         val corpus = docs0.unionByName(variants)
+        staged(d, "simhash_sigs_vsx") { dir =>
+          corpus.select(col("doc_id").as("id"),
+            call_function("simhash_sig",
+              split(lower(col("text")), "\\s+")).as("sig"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
         val near = DedupOps.simhashDupPairs(corpus, "doc_id", "text")
           .select(col("id_a"), col("id_b"), lit("simhash_near").as("bucket"))
         val baseline = docs0.select(col("doc_id").as("id_a"),
@@ -2434,8 +2521,12 @@ object Catalog {
         val w = Window.partitionBy()
         scored.groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_pairs"),
-            round(avg(col("jaccard")), 4).as("mean_jaccard"),
-            round(min(col("jaccard")), 4).as("min_jaccard"))
+            sum(col("jaccard").cast(DecimalType(20, 12))).as("__sj"),
+            min(col("jaccard")).as("min_jaccard"))
+          .select(col("bucket"), col("n_pairs"),
+            (col("__sj").cast(DoubleType) / col("n_pairs"))
+              .as("mean_jaccard"),
+            col("min_jaccard"))
           .withColumn("separated",
             (max(when(col("bucket") === "simhash_near", col("mean_jaccard"))).over(w) >
               max(when(col("bucket") === "offset_baseline", col("mean_jaccard"))).over(w)
@@ -2449,7 +2540,78 @@ object Catalog {
               min(col("n_pairs")).over(w) > 0).cast(IntegerType))
           .orderBy(col("bucket"))
       },
-      None),
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    array_to_string(
+             |      string_split_regex(text, '\\s+')[4:] ||
+             |      string_split_regex(text, '\\s+')[1:3], ' ')
+             |  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 = 0),
+             |sigs AS (
+             |  SELECT id, sig FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/simhash_sigs_vsx/*.parquet')),
+             |chunked AS (
+             |  SELECT id, sig, ci, (sig >> (ci*16)) & 65535 AS chunk
+             |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS ci)),
+             |near AS (
+             |  SELECT id_a, id_b, 'simhash_near' AS bucket FROM (
+             |    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |      a.sig AS sig_a, b.sig AS sig_b
+             |    FROM chunked a JOIN chunked b
+             |      ON a.ci = b.ci AND a.chunk = b.chunk AND a.id < b.id)
+             |  WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+             |baseline AS (
+             |  SELECT a.doc_id AS id_a, a.doc_id + 40 AS id_b,
+             |    'offset_baseline' AS bucket
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 40
+             |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+             |allp AS (SELECT * FROM near UNION ALL SELECT * FROM baseline),
+             |toks AS (
+             |  SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS w
+             |  FROM corpus),
+             |sh AS (
+             |  SELECT id, unnest(list_distinct(
+             |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             |    ELSE [array_to_string(w[i:i+2], ' ')
+             |          for i in range(1, len(w) - 1)] END)) AS tok
+             |  FROM toks),
+             |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+             |inter AS (
+             |  SELECT p.id_a, p.id_b, count(*) AS ni
+             |  FROM allp p
+             |  JOIN sh a ON a.id = p.id_a
+             |  JOIN sh b ON b.id = p.id_b AND b.tok = a.tok
+             |  GROUP BY p.id_a, p.id_b),
+             |scored AS (
+             |  SELECT p.bucket, CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             |      / (sa.n + sb.n - COALESCE(i.ni, 0)) AS jac
+             |  FROM allp p
+             |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+             |  JOIN sizes sa ON sa.id = p.id_a
+             |  JOIN sizes sb ON sb.id = p.id_b),
+             |by_bucket AS (
+             |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |    CAST(SUM(CAST(jac AS DECIMAL(20,12))) AS DOUBLE)
+             |      / COUNT(*) AS mean_jaccard,
+             |    MIN(jac) AS min_jaccard
+             |  FROM scored GROUP BY bucket),
+             |flags AS (
+             |  SELECT
+             |    CAST(MAX(CASE WHEN bucket = 'simhash_near'
+             |          THEN mean_jaccard END) >
+             |         MAX(CASE WHEN bucket = 'offset_baseline'
+             |          THEN mean_jaccard END) + 0.2 AS INTEGER) AS separated,
+             |    CAST(MAX(CASE WHEN bucket = 'simhash_near'
+             |          THEN mean_jaccard END) >
+             |         MAX(CASE WHEN bucket = 'offset_baseline'
+             |          THEN mean_jaccard END) + 0.2
+             |      AND MIN(n_pairs) > 0 AS INTEGER) AS bound_ok
+             |  FROM by_bucket)
+             |SELECT b.bucket, b.n_pairs, b.mean_jaccard, b.min_jaccard,
+             |  f.separated, f.bound_ok
+             |FROM by_bucket b CROSS JOIN flags f
+             |ORDER BY b.bucket""".stripMargin)),
 
     // Near-dup CLUSTERING: connected components over the exact bigram-
     // shingle Jaccard pair graph (bigrams: the synthetic corpus is
