@@ -32,7 +32,10 @@ object ScaleBench {
     "graph_triangle_scaled", "graph_assortativity_scaled",
     "corpus_prep_e2e", "text_pack_sequences_ids",
     "search_bm25_topk", "search_bm25_batch", "text_nb_quality_distill",
-    "agg_funnel_stages", "win_attribution_last_touch")
+    "agg_funnel_stages", "win_attribution_last_touch",
+    "dedup_minhash_vs_exact", "dedup_simhash_vs_exact",
+    "search_bm25_model_roundtrip", "text_nb_model_roundtrip",
+    "sim_embed_pca")
 
   def main(args: Array[String]): Unit = {
     // `runMain graft.ScaleBench probes` = pair probes only, no key loop
