@@ -765,4 +765,50 @@ object TextOps {
     * `acc*base+h` fold would). Pure integer ops, per-row, streaming-friendly. */
   def rollingHash(text: Column): Column =
     aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(t, acc))
+
+  /** Vocabulary-growth (Heaps-law) curve: for each corpus prefix
+    * fraction, the token count, DISTINCT-term count and type/token
+    * ratio — the "is the vocabulary still growing?" diagnostic a
+    * corpus-mixing decision wants (a saturating curve means more of the
+    * same source adds volume, not diversity; TTR is the standard
+    * lexical-diversity statistic). Prefixes are by id order (a crawl's
+    * natural arrival order), threshold = floor(fraction · (max id + 1)).
+    *
+    * ONE pass over the token stream: per-term `min(id)` is the term's
+    * first appearance, so n_distinct at prefix P is a conditional count
+    * over the TERM table (vocabulary-sized), and n_tokens at P is a
+    * conditional count over the token stream — no per-prefix rescans,
+    * no window. Exact integers + one IEEE division ⇒ engine-exact. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      fractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
+      s"vocabGrowth: fractions must be in (0, 1], got $fractions")
+    val n = df.agg((max(col(idCol)) + 1L).as("_n"))
+    val toks = df.select(col(idCol).as("_id"),
+        explode(tokenize(col(textCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .crossJoin(broadcast(n))
+    def thresh(f: Double): Column = (col("_n") * f).cast(LongType)
+    val tokAggs = fractions.zipWithIndex.map { case (f, i) =>
+      sum(when(col("_id") < thresh(f), 1L).otherwise(0L)).as(s"_t$i")
+    }
+    val tokCounts = toks.agg(tokAggs.head, tokAggs.tail: _*)
+    val terms = toks.groupBy(col("_tok"))
+      .agg(min(col("_id")).as("_first"), max(col("_n")).as("_n"))
+    val termAggs = fractions.zipWithIndex.map { case (f, i) =>
+      sum(when(col("_first") < thresh(f), 1L).otherwise(0L)).as(s"_d$i")
+    } :+ max(col("_n")).as("_n")
+    val termCounts = terms.agg(termAggs.head, termAggs.tail: _*)
+    tokCounts.crossJoin(broadcast(termCounts))
+      .select(explode(array(fractions.zipWithIndex.map { case (f, i) =>
+        struct(lit(f).as("frac"),
+          (col("_n") * f).cast(LongType).as("prefix_docs"),
+          col(s"_t$i").as("n_tokens"),
+          col(s"_d$i").as("n_distinct"),
+          (col(s"_d$i").cast(DoubleType) / col(s"_t$i"))
+            .as("type_token_ratio"))
+      }: _*)).as("_r"))
+      .select(col("_r.*"))
+      .orderBy(col("frac"))
+  }
 }

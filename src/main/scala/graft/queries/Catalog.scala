@@ -4592,6 +4592,41 @@ object Catalog {
              |        / length(text)) AS quality_score
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary-growth (Heaps-law) curve + type/token ratio
+    // (TextOps.vocabGrowth): token count, distinct-term count and TTR at
+    // 25/50/75/100% corpus prefixes — the lexical-diversity saturation
+    // diagnostic behind corpus-mixing decisions. One token-stream pass:
+    // per-term min(id) marks first appearance, prefixes are conditional
+    // counts. Exact integers + one IEEE division ⇒ fully oracled.
+    "text_vocab_growth" -> QuerySpec(
+      (s, d) => TextOps.vocabGrowth(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+             |toks AS (
+             |  SELECT doc_id AS id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks WHERE length(tok) > 0),
+             |terms AS (SELECT tok, min(id) AS first_id FROM t GROUP BY tok),
+             |fr AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS frac),
+             |rws AS (
+             |  SELECT f.frac,
+             |    CAST(floor(n.n * f.frac) AS BIGINT) AS prefix_docs
+             |  FROM fr f CROSS JOIN n),
+             |tcnt AS (
+             |  SELECT r.frac, r.prefix_docs,
+             |    CAST(SUM(CASE WHEN t.id < r.prefix_docs THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_tokens
+             |  FROM rws r CROSS JOIN t GROUP BY r.frac, r.prefix_docs),
+             |dcnt AS (
+             |  SELECT r.frac,
+             |    CAST(SUM(CASE WHEN te.first_id < r.prefix_docs THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_distinct
+             |  FROM rws r CROSS JOIN terms te GROUP BY r.frac)
+             |SELECT c.frac, c.prefix_docs, c.n_tokens, d.n_distinct,
+             |  CAST(d.n_distinct AS DOUBLE) / c.n_tokens AS type_token_ratio
+             |FROM tcnt c JOIN dcnt d ON d.frac = c.frac
+             |ORDER BY c.frac""".stripMargin)),
+
     "text_token_count" -> QuerySpec(
       (s, d) => t(s, d, "documents")
         .select(col("source"),

@@ -245,8 +245,10 @@ class PlanSpec extends SparkSpec {
       "search_bm25_model_roundtrip", // 1-row pivoted model-summary
                                // broadcast (the bm25TopK shape, reloaded
                                // model)
-      "text_nb_model_roundtrip") // #classes-row class-default broadcast
+      "text_nb_model_roundtrip", // #classes-row class-default broadcast
                                // (the nbScoreWith shape, reloaded model)
+      "text_vocab_growth")     // 1-row doc-count scalar broadcast + the
+                               // 1-row token×term count-frame merge
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

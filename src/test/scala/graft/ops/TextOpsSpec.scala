@@ -516,4 +516,29 @@ class TextOpsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(again == out.select($"doc_id").as[Long].collect().toSet)
   }
+
+  test("vocabGrowth: hand-computed Heaps points; counts monotone, TTR sane") {
+    // ids 0-3; prefix 0.5 ⇒ ids < 2 (docs 0,1)
+    val docs = Seq(
+      (0L, "a b a"),      // 3 toks, terms {a,b}
+      (1L, "b c"),        // +2 toks, new term {c}
+      (2L, "c c d"),      // +3 toks, new term {d}
+      (3L, "a e"))        // +2 toks, new term {e}
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text",
+        fractions = Seq(0.5, 1.0))
+      .as[(Double, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0.5, 2L, 5L, 3L, 3.0 / 5),
+      (1.0, 4L, 10L, 5L, 5.0 / 10)), out)
+    // monotone by construction: both counts never decrease with the prefix
+    val sorted = out.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq(a, b) => b._3 >= a._3 && b._4 >= a._4
+      case _ => true
+    })
+    intercept[IllegalArgumentException] {
+      TextOps.vocabGrowth(docs, "doc_id", "text", fractions = Seq(0.0))
+    }
+  }
 }
