@@ -766,6 +766,59 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(t, acc))
 
+  /** Pairwise TOTAL-VARIATION distance between per-group unigram
+    * distributions — the "which sources are lexically alike" matrix a
+    * corpus-mixing decision wants next to [[vocabGrowth]]'s saturation
+    * curve. TVD is chosen over KL/chi² deliberately: with counts c, d
+    * and totals N, M, TVD = ½·Σ|c_t/N − d_t/M| = Σ|c_t·M − d_t·N| /
+    * (2·N·M) — the numerator is an EXACT integer (summed in a decimal
+    * accumulator), the result one IEEE division, so the matrix is
+    * engine-exact; KL's ln() differs in the last ulp across libm
+    * implementations (the repo-pinned hazard).
+    *
+    * Scale shape: one (group, term) aggregation over the token stream,
+    * then everything is vocabulary×pairs-sized. The vocabulary is
+    * capped at the global `topK` terms (count DESC, term ASC ties) with
+    * the remainder lumped into `__other` — the coarsened distributions
+    * keep TVD a true distance while bounding the pair grid at
+    * groups²·topK regardless of corpus vocabulary. */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 10000): DataFrame = {
+    require(topK >= 1, s"sourceDivergence: topK must be >= 1, got $topK")
+    val toks = df.select(col(groupCol).as("_g"),
+        explode(tokenize(col(textCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+    val kept = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_gc"))
+      .orderBy(col("_gc").desc, col("_tok")).limit(topK)
+      .select(col("_tok"), lit(true).as("_keep"))
+    val counts = toks.join(broadcast(kept), Seq("_tok"), "left")
+      .select(col("_g"),
+        when(col("_keep"), col("_tok")).otherwise(lit("__other")).as("_term"))
+      .groupBy(col("_g"), col("_term")).agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    val gp = totals.as("a").crossJoin(totals.as("b"))
+      .filter(col("a._g") < col("b._g"))
+      .select(col("a._g").as("ga"), col("a._n").as("na"),
+        col("b._g").as("gb"), col("b._n").as("nb"))
+    val grid = gp.crossJoin(counts.select(col("_term")).distinct())
+    val dec = (c: Column) => c.cast(DecimalType(19, 0))
+    grid
+      .join(counts.select(col("_g").as("ga"), col("_term"),
+        col("_c").as("_ca")), Seq("ga", "_term"), "left")
+      .join(counts.select(col("_g").as("gb"), col("_term"),
+        col("_c").as("_cb")), Seq("gb", "_term"), "left")
+      .na.fill(0L, Seq("_ca", "_cb"))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(sum(abs(dec(col("_ca")) * dec(col("nb")) -
+        dec(col("_cb")) * dec(col("na")))).as("_num"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        (col("_num").cast(DoubleType) /
+          (col("na").cast(DoubleType) * col("nb").cast(DoubleType) *
+            lit(2.0))).as("tvd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: for each corpus prefix
     * fraction, the token count, DISTINCT-term count and type/token
     * ratio — the "is the vocabulary still growing?" diagnostic a

@@ -4592,6 +4592,50 @@ object Catalog {
              |        / length(text)) AS quality_score
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Pairwise total-variation distance between per-source unigram
+    // distributions (TextOps.sourceDivergence) — the lexical-similarity
+    // matrix behind corpus-mixing decisions. TVD over KL deliberately:
+    // the numerator Σ|c·M − d·N| is an exact integer (decimal
+    // accumulator), the result ONE IEEE division — engine-exact, where
+    // KL's ln() is the repo-pinned last-ulp libm hazard. topK=20 keeps
+    // 20 of the fixture's 31 terms and exercises the __other lumping.
+    "text_source_divergence" -> QuerySpec(
+      (s, d) => TextOps.sourceDivergence(
+        t(s, d, "documents"), "source", "text", topK = 20),
+      Some("""WITH toks AS (
+             |  SELECT source AS g,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks WHERE length(tok) > 0),
+             |gstats AS (SELECT tok, count(*) AS gc FROM t GROUP BY tok),
+             |kept AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, ROW_NUMBER() OVER (ORDER BY gc DESC, tok) AS r
+             |    FROM gstats) WHERE r <= 20),
+             |mapped AS (
+             |  SELECT g, CASE WHEN k.tok IS NOT NULL THEN t.tok
+             |                 ELSE '__other' END AS term
+             |  FROM t LEFT JOIN kept k ON k.tok = t.tok),
+             |counts AS (SELECT g, term, count(*) AS c FROM mapped GROUP BY g, term),
+             |totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY g),
+             |gp AS (
+             |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+             |  FROM totals a CROSS JOIN totals b WHERE a.g < b.g),
+             |grid AS (
+             |  SELECT gp.*, terms.term
+             |  FROM gp CROSS JOIN (SELECT DISTINCT term FROM counts) terms),
+             |j AS (
+             |  SELECT grid.ga, grid.gb, grid.na, grid.nb, grid.term,
+             |    COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+             |  FROM grid
+             |  LEFT JOIN counts ca ON ca.g = grid.ga AND ca.term = grid.term
+             |  LEFT JOIN counts cb ON cb.g = grid.gb AND cb.term = grid.term)
+             |SELECT ga AS source_a, gb AS source_b, na AS n_a, nb AS n_b,
+             |  CAST(SUM(abs(CAST(ca AS DECIMAL(19,0))*CAST(nb AS DECIMAL(19,0))
+             |             - CAST(cb AS DECIMAL(19,0))*CAST(na AS DECIMAL(19,0)))) AS DOUBLE)
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 2.0) AS tvd
+             |FROM j GROUP BY ga, gb, na, nb ORDER BY ga, gb""".stripMargin)),
+
     // Vocabulary-growth (Heaps-law) curve + type/token ratio
     // (TextOps.vocabGrowth): token count, distinct-term count and TTR at
     // 25/50/75/100% corpus prefixes — the lexical-diversity saturation

@@ -247,8 +247,11 @@ class PlanSpec extends SparkSpec {
                                // model)
       "text_nb_model_roundtrip", // #classes-row class-default broadcast
                                // (the nbScoreWith shape, reloaded model)
-      "text_vocab_growth")     // 1-row doc-count scalar broadcast + the
+      "text_vocab_growth",     // 1-row doc-count scalar broadcast + the
                                // 1-row token×term count-frame merge
+      "text_source_divergence") // groups²-row pair grid × topK-term
+                               // frame (both model-sized, the TVD
+                               // matrix is the POINT)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

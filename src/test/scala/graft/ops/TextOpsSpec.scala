@@ -541,4 +541,28 @@ class TextOpsSpec extends SparkSpec {
       TextOps.vocabGrowth(docs, "doc_id", "text", fractions = Seq(0.0))
     }
   }
+
+  test("sourceDivergence: hand-computed TVD, metric properties, __other lumping") {
+    val docs = Seq(
+      ("s1", "a a b"), ("s1", "a"),      // s1: a=3, b=1, N=4
+      ("s2", "a b b b"),                  // s2: a=1, b=3, M=4
+      ("s3", "a a b c"))                  // s3: a=2, b=1, c=1
+      .toDF("src", "text")
+    val out = TextOps.sourceDivergence(docs, "src", "text")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._5)).toMap
+    // TVD(s1,s2) = ½(|3/4−1/4| + |1/4−3/4|) = 0.5
+    assert(out(("s1", "s2")) == 0.5, out)
+    // identical distributions at distance 0 would need equal rows; all
+    // pairs here differ — bounds + symmetry-free (a<b) grid
+    assert(out.size == 3 && out.values.forall(v => v >= 0.0 && v <= 1.0))
+    // __other lumping: with topK=1 only 'a' (count 6, ties → lowest
+    // term) survives; s1=(a 3, other 1), s2=(a 1, other 3) ⇒ TVD 0.5
+    val lumped = TextOps.sourceDivergence(docs, "src", "text", topK = 1)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._5)).toMap
+    assert(lumped(("s1", "s2")) == 0.5, lumped)
+    // s1 vs s3 coarsened: s1=(3,1)/4, s3=(2,2)/4 ⇒ ½(1/4+1/4) = 0.25
+    assert(lumped(("s1", "s3")) == 0.25, lumped)
+  }
 }
