@@ -35,7 +35,7 @@ object ScaleBench {
     "agg_funnel_stages", "win_attribution_last_touch",
     "dedup_minhash_vs_exact", "dedup_simhash_vs_exact",
     "search_bm25_model_roundtrip", "text_nb_model_roundtrip",
-    "sim_embed_pca")
+    "sim_embed_pca", "text_vocab_growth", "text_source_divergence")
 
   def main(args: Array[String]): Unit = {
     // `runMain graft.ScaleBench probes` = pair probes only, no key loop
