@@ -822,4 +822,102 @@ object ProfileOps {
       (center - half).as("ci_lo"),
       (center + half).as("ci_hi"))
   }
+
+  /** Exact weighted median per group: the smallest value v whose
+    * cumulative weight (values ≤ v, ascending) reaches half the
+    * group's total — the lower weighted median, the robust center for
+    * observations of unequal importance (revenue-weighted price,
+    * token-weighted doc score) where the unweighted median
+    * ([[madOutliers]]' `med`) over-counts cheap rows.
+    *
+    * Shape: the stream first aggregates to (group, value) grain — the
+    * window then runs over DISTINCT values per group, not rows, so a
+    * 100 TB table with bounded value cardinality windows over a tiny
+    * frame (the one shuffle that matters is the grain aggregation; the
+    * window reuses its partitioning). Weights accumulate in exact
+    * DECIMAL(18,6) and the half-total test is `2·cum ≥ total` — no
+    * division, no doubles, so the pick is bit-deterministic and
+    * restatable in ANSI SQL. Negative weights are rejected (the
+    * cumulative-reach definition is meaningless under them); NULL
+    * values or weights are excluded up front. */
+  def weightedMedian(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    requireNumeric(df, valueCol, "weightedMedian")
+    requireNumeric(df, weightCol, "weightedMedian")
+    val grain = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      // in-plan guard, the Flatten.raggedGuard pattern: zero extra
+      // scans, healthy rows never evaluate the error branch
+      .withColumn("_wchk",
+        when(col(weightCol) < 0, raise_error(concat(
+          lit("weightedMedian: negative weight for value "),
+          col(valueCol).cast("string"))))
+          .otherwise(col(weightCol)))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col("_wchk").cast(DecimalType(18, 6))).as("_w"))
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val all = Window.partitionBy(col(keyCol))
+    grain
+      .withColumn("_cum", sum(col("_w")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_tot", sum(col("_w")).over(all))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valueCol)).as("w_median"))
+  }
+
+  /** Exact weighted quantiles per group — [[weightedMedian]]
+    * generalized to a quantile vector: for each q, the smallest value
+    * whose cumulative weight reaches q·total (the lower/left-continuous
+    * inverse-CDF convention). Each q must be an exact multiple of
+    * 1/10000: the reach test is `10000·cum ≥ q₁₀₀₀₀·total` over exact
+    * decimals — no division, no doubles, bit-deterministic — and a
+    * basis-point grid covers every quantile a profile gate asks for.
+    * Output: one row per (group, q) — (`keyCol`, `q` DOUBLE, `value`).
+    *
+    * Scale shape: identical to [[weightedMedian]] (the window runs on
+    * the (group, value) grain) plus one explode of the ≤|qs|-element
+    * literal array — rows multiply by |qs| only AFTER the grain
+    * aggregation. */
+  def weightedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, qs: Seq[Double]): DataFrame = {
+    requireNumeric(df, valueCol, "weightedQuantiles")
+    requireNumeric(df, weightCol, "weightedQuantiles")
+    require(qs.nonEmpty, "weightedQuantiles: qs must be non-empty")
+    val qbp = qs.map { q =>
+      require(q > 0.0 && q <= 1.0,
+        s"weightedQuantiles: q must be in (0,1], got $q")
+      val bp = math.round(q * 10000.0)
+      require(bp.toDouble / 10000.0 == q,
+        s"weightedQuantiles: q must be a multiple of 1/10000, got $q")
+      bp
+    }
+    val grain = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("_wchk",
+        when(col(weightCol) < 0, raise_error(concat(
+          lit("weightedQuantiles: negative weight for value "),
+          col(valueCol).cast("string"))))
+          .otherwise(col(weightCol)))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col("_wchk").cast(DecimalType(18, 6))).as("_w"))
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val all = Window.partitionBy(col(keyCol))
+    grain
+      .withColumn("_cum", sum(col("_w")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_tot", sum(col("_w")).over(all))
+      .withColumn("_qbp", explode(lit(qbp.toArray)))
+      .filter(col("_cum") * 10000 >= col("_qbp") * col("_tot"))
+      .groupBy(col(keyCol), col("_qbp"))
+      .agg(min(col(valueCol)).as("value"))
+      .select(col(keyCol),
+        (col("_qbp").cast(DoubleType) / 10000.0).as("q"), col("value"))
+  }
+
+  private def requireNumeric(df: DataFrame, c: String, fn: String): Unit = {
+    val dt = df.schema(c).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$fn: column $c must be numeric, got $dt")
+  }
 }

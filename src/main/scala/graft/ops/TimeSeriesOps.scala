@@ -133,6 +133,63 @@ object TimeSeriesOps {
       .drop("_hw")
   }
 
+  /** Windowed Holt-Winters ADDITIVE seasonal (triple exponential)
+    * smoothing: per series, the level/trend/seasonal recursion
+    * {{{ l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *     b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *     s_t = γ(x_t − l_t) + (1−γ)·s_{t−m} }}}
+    * (Hyndman & Athanasopoulos, FPP §8.3) folded over the last `span`
+    * observations — the monitor for series where Holt still lags: a
+    * periodic component (daily/weekly load cycles) shows up as a
+    * repeating residual that the `period`-slot seasonal state absorbs.
+    * Seeded with (l = first frame value, b = 0, s ≡ 0): trend AND
+    * season ramp in from zero — the same no-special-case convention as
+    * [[holtWindowed]]'s trend seed, documented in place of the
+    * first-full-season initialization that needs `period` lookahead.
+    * Emits `level`, `trend`, `seasonal_next` (the slot the NEXT
+    * observation will consume) and the one-step
+    * `forecast = level + trend + seasonal_next`.
+    *
+    * Same scale/determinism contract as [[holtWindowed]]: one shuffle
+    * on the key, O(span + period) state per row, a FIXED left-to-right
+    * IEEE chain over a (2+period)-element ARRAY accumulator
+    * [l, b, s₁..s_m] whose seasonal block ROTATES each step (head
+    * consumed, tail appended) — an ARRAY, never a struct (the DuckDB
+    * in-place-mutation trap pinned at [[holtWindowed]]). Pick α/β/γ
+    * with exact-binary-fraction complements so mirrored SQL literals
+    * are the same doubles. NULLs must be filled first. */
+  def holtWintersWindowed(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      span: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1], got $gamma")
+    require(period >= 1, s"period must be positive, got $period")
+    require(span >= 1, s"span must be positive, got $span")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(span - 1).toLong, Window.currentRow)
+    val lst = collect_list(col(valueCol)).over(w)
+    val seed = concat(array(get(lst, lit(0)), lit(0.0)),
+      array_repeat(lit(0.0), period))
+    val folded = aggregate(slice(lst, 2, span - 1), seed, (acc, x) => {
+      val l = element_at(acc, 1); val b = element_at(acc, 2)
+      val sOld = element_at(acc, 3)
+      val nl = lit(alpha) * (x - sOld) + lit(1.0 - alpha) * (l + b)
+      val nb = lit(beta) * (nl - l) + lit(1.0 - beta) * b
+      val ns = lit(gamma) * (x - nl) + lit(1.0 - gamma) * sOld
+      concat(array(nl, nb), slice(acc, 4, period - 1), array(ns))
+    })
+    df.withColumn("_hw", folded)
+      .withColumn("level", element_at(col("_hw"), 1))
+      .withColumn("trend", element_at(col("_hw"), 2))
+      .withColumn("seasonal_next", element_at(col("_hw"), 3))
+      .withColumn("forecast",
+        element_at(col("_hw"), 1) + element_at(col("_hw"), 2) +
+          element_at(col("_hw"), 3))
+      .drop("_hw")
+  }
+
   /** Windowed two-sided tabular CUSUM (Page 1954): per series, the
     * clamped cumulative deviation sums
     * {{{ S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))

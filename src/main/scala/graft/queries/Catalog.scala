@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, EmbedOps, EventOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -743,6 +743,69 @@ object Catalog {
              |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
              |    FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
              |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin)),
+
+    // GROUP BY ALL (SQL surface): the analyzer infers the grouping set
+    // from the non-aggregate select items — the spelling analysts
+    // actually type against wide tables. Identical text runs on both
+    // engines; the plan is the same partial-agg + exchange as the
+    // explicit GROUP BY.
+    "sql_group_by_all" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_gba")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                |  COUNT(*) AS n
+                |FROM li_gba GROUP BY ALL
+                |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY ALL
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // SQL-defined scalar function (Spark 4 SQL UDF surface): CREATE
+    // TEMPORARY FUNCTION ... RETURN <expr> — the catalog-resident
+    // business-logic spelling. The body is pure SQL, so the analyzer
+    // INLINES it into the plan (no black-box UDF, codegen intact —
+    // .explain shows plain arithmetic, the opposite of a Scala UDF);
+    // the oracle states the inlined expression directly.
+    "sql_udf_scalar" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_udf")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+                |  p DOUBLE, disc DOUBLE) RETURNS DOUBLE
+                |RETURN p * (1.0 - disc)""".stripMargin)
+        s.sql("""SELECT l_returnflag,
+                |  CAST(SUM(CAST(graft_disc_price(l_extendedprice, l_discount)
+                |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                |FROM li_udf GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Session variables + EXECUTE IMMEDIATE (Spark 4 scripting
+    // surface): DECLARE a typed session variable, SET it, and bind it
+    // as a ? parameter of a dynamically-composed statement — the
+    // orchestration idiom (thresholds/table names resolved at run
+    // time) stated natively instead of via string interpolation in the
+    // driver. The oracle inlines the bound value.
+    "sql_session_variable" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("cust_var")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_bal_floor DOUBLE DEFAULT 7000.0")
+        s.sql("SET VAR graft_bal_floor = 8000.0")
+        s.sql("""EXECUTE IMMEDIATE
+                |  'SELECT c_custkey, c_name, c_acctbal FROM cust_var
+                |   WHERE c_acctbal > ? ORDER BY c_custkey'
+                |  USING graft_bal_floor""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_acctbal > 8000.0 ORDER BY c_custkey""".stripMargin)),
 
     // Error-safe TRY_* arithmetic (the ANSI-mode companion surface: the
     // engine runs ANSI, where bare division-by-zero/overflow ABORT a
@@ -6615,6 +6678,74 @@ object Catalog {
              |FROM documents
              |ORDER BY shuffle_pos""".stripMargin)),
 
+    // DSIR importance selection (Xie et al. 2023): hashed n-gram
+    // (uni+bigram) bucket models over a target slice (src0 docs) vs the
+    // raw rest, per-bucket log ratios frozen DECIMAL(20,6) at fit (the
+    // NB quantization contract), per-doc log weights as exact decimal
+    // sums, deterministic top-100 by (log_w DESC, doc_id). DuckDB
+    // rebuilds tokenization, the portable code-point hash, smoothing,
+    // quantized ratios, decimal sums and the top-k — fully oracled.
+    // Fit aggregates each corpus ONCE to 64 bucket rows; scoring is one
+    // (doc, bucket) aggregation against the broadcast model; selection
+    // is a bounded-heap global top-k: the 100 TB shape throughout.
+    "sample_dsir_select" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val target = docs.filter(col("source") === "src0")
+        val raw = docs.filter(col("source") =!= "src0")
+        val model = DsirOps.dsirFit(target, raw, "text",
+          buckets = 64, smoothing = 0.5, seed = 7L)
+        val scored = DsirOps.dsirScoreWith(raw, "doc_id", "text", model,
+          buckets = 64, seed = 7L)
+        DsirOps.dsirSelect(scored, "doc_id", 100)
+          .select(col("doc_id"), col("n_feats"), col("log_w"))
+          .orderBy(col("log_w").desc, col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id, source, unnest(tk) AS f FROM base
+             |  UNION ALL
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(tk)),
+             |      i -> tk[i] || ' ' || tk[i + 1])) AS f
+             |  FROM base),
+             |hashed AS (
+             |  SELECT doc_id, source,
+             |    CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(regexp_split_to_array(f, ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 2147483647) % 64 AS INTEGER) AS bucket
+             |  FROM feats),
+             |ct AS (SELECT bucket, count(*) AS c FROM hashed
+             |       WHERE source = 'src0' GROUP BY 1),
+             |cr AS (SELECT bucket, count(*) AS c FROM hashed
+             |       WHERE source <> 'src0' GROUP BY 1),
+             |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM ct),
+             |nr AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM cr),
+             |grid AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bucket),
+             |model AS (
+             |  SELECT g.bucket,
+             |    CAST(ln((COALESCE(ct.c, 0) + 0.5) / (nt.n + 32.0)) -
+             |         ln((COALESCE(cr.c, 0) + 0.5) / (nr.n + 32.0))
+             |      AS DECIMAL(20,6)) AS lr
+             |  FROM grid g
+             |  LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
+             |  CROSS JOIN nt CROSS JOIN nr),
+             |db AS (
+             |  SELECT doc_id, bucket, count(*) AS cnt
+             |  FROM hashed WHERE source <> 'src0' GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+             |    CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * m.lr) AS DOUBLE) AS log_w
+             |  FROM db JOIN model m USING (bucket) GROUP BY 1)
+             |SELECT doc_id, n_feats, log_w
+             |FROM scored ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin)),
+
     // Incremental (batch-vs-corpus) exact dedup: the continuous-ingestion
     // shape — today's batch anti-joined against the accumulated corpus on
     // a content digest, never re-deduplicating the corpus. Ten corpus
@@ -7705,6 +7836,44 @@ object Catalog {
              |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
              |FROM f ORDER BY event_id""".stripMargin)),
 
+    // Holt-Winters additive seasonal (triple exponential) smoothing
+    // (TimeSeriesOps.holtWintersWindowed): the [l, b, s₁..s₄] rotating
+    // ARRAY accumulator over the same 20-observation frame — the
+    // periodic-load monitor Holt structurally lags on. α/β/γ
+    // complements are exact binary fractions (0.75, 0.875, 0.5); the
+    // oracle repeats the level expression textually inside trend and
+    // season (same IEEE ops — the holt-linear precedent) and rotates
+    // the seasonal block positionally ⇒ fully oracled bit-for-bit.
+    "ts_holt_winters" -> QuerySpec(
+      (s, d) => TimeSeriesOps.holtWintersWindowed(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "event_id", "value",
+        alpha = 0.25, beta = 0.125, gamma = 0.5, period = 4, span = 20)
+        .orderBy(col("event_id")),
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, value,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, value,
+             |    list_reduce(
+             |      list_transform(lst, x -> [x, CAST(0.0 AS DOUBLE),
+             |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+             |      (acc, e) -> [
+             |        0.25 * (e[1] - acc[3]) + 0.75 * (acc[1] + acc[2]),
+             |        0.125 * ((0.25 * (e[1] - acc[3]) + 0.75 * (acc[1] + acc[2]))
+             |          - acc[1]) + 0.875 * acc[2],
+             |        acc[4], acc[5], acc[6],
+             |        0.5 * (e[1] - (0.25 * (e[1] - acc[3])
+             |          + 0.75 * (acc[1] + acc[2]))) + 0.5 * acc[3]]) AS hw
+             |  FROM l)
+             |SELECT event_id, user_id, value,
+             |  hw[1] AS level, hw[2] AS trend, hw[3] AS seasonal_next,
+             |  hw[1] + hw[2] + hw[3] AS forecast
+             |FROM f ORDER BY event_id""".stripMargin)),
+
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact
     // per-series mean — the sustained-small-shift detector point-
@@ -8048,6 +8217,61 @@ object Catalog {
     // tie-break (native MODE() leaves ties engine-defined, so the
     // count+row_number formulation is the only oracle-able one). The
     // rn=1 filter plans through the TopKPerKey bounded heap.
+    // Exact lower weighted median (ProfileOps.weightedMedian): smallest
+    // value whose cumulative DECIMAL(18,6) weight reaches half the
+    // group total — the window runs over the (group, value) GRAIN, not
+    // rows, and the half test is 2·cum ≥ tot (no division, no doubles)
+    // ⇒ bit-deterministic and fully oracled.
+    "agg_weighted_median" -> QuerySpec(
+      (s, d) => ProfileOps.weightedMedian(
+        t(s, d, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag")),
+      Some("""WITH grain AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, l_quantity, w,
+             |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM grain)
+             |SELECT l_returnflag, min(l_quantity) AS w_median
+             |FROM c WHERE cum * 2 >= tot
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weighted-quantile vector (ProfileOps.weightedQuantiles): the
+    // median machinery generalized to a basis-point grid — reach test
+    // 10000·cum ≥ qbp·tot, all exact decimals, rows multiply by |qs|
+    // only after the grain aggregation ⇒ fully oracled.
+    "agg_weighted_quantiles" -> QuerySpec(
+      (s, d) => ProfileOps.weightedQuantiles(
+        t(s, d, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice",
+        Seq(0.25, 0.5, 0.9))
+        .orderBy(col("l_returnflag"), col("q")),
+      Some("""WITH grain AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS w
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, l_quantity, w,
+             |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM grain),
+             |qs AS (SELECT CAST(unnest([2500, 5000, 9000]) AS BIGINT) AS qbp),
+             |hit AS (
+             |  SELECT l_returnflag, qbp, min(l_quantity) AS value
+             |  FROM c CROSS JOIN qs
+             |  WHERE cum * 10000 >= qbp * tot
+             |  GROUP BY 1, 2)
+             |SELECT l_returnflag, CAST(qbp AS DOUBLE) / 10000.0 AS q, value
+             |FROM hit ORDER BY l_returnflag, q""".stripMargin)),
+
     "agg_mode" -> QuerySpec(
       (s, d) => {
         val counts = t(s, d, "events")

@@ -190,9 +190,13 @@ object StreamOps {
     * and only docs whose argmax class equals `nbKeepLabel` survive —
     * same frozen-statistics argument, same semi-join shape, and the
     * classifier's exact-decimal scoring makes streamed and batch
-    * verdicts bit-identical. Split assignment remains batch-by-nature:
-    * it is cluster-keyed over the FINAL corpus and runs when training
-    * data is cut.
+    * verdicts bit-identical. The DSIR tier (`dsirModel`, see
+    * [[graft.ops.DsirOps]]) streams identically: a frozen target-vs-raw
+    * importance model thresholds each batch on `log_w ≥ dsirMinLogW` —
+    * distribution matching beside the absolute quality gates. Split
+    * assignment (and DSIR's corpus-wide top-k selection form) remains
+    * batch-by-nature: cluster-keyed over the FINAL corpus, run when
+    * training data is cut.
     *
     * Both quality tiers are zero-shuffle per-row projections, so the
     * composition adds no exchange before the dedup ladder; idempotency
@@ -214,7 +218,10 @@ object StreamOps {
       nbModel: Option[DataFrame] = None,
       nbKeepLabel: String = "keep",
       bigramModel: Option[DataFrame] = None,
-      bigramMaxMeanNegLogProb: Double = Double.MaxValue)(
+      bigramMaxMeanNegLogProb: Double = Double.MaxValue,
+      dsirModel: Option[DataFrame] = None,
+      dsirMinLogW: Double = Double.MinValue,
+      dsirBuckets: Int = 256, dsirSeed: Long = 7L)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.ops.TextOps
     val keepCols = batch.columns.toSeq
@@ -258,9 +265,25 @@ object StreamOps {
         .select(col(idCol))
       nbKept.join(passing, Seq(idCol), "left_semi")
     }
+    // frozen-DSIR tier (graft.ops.DsirOps): importance weight under an
+    // offline-fit target-vs-raw bucket model — distribution MATCHING
+    // where the LM/NB tiers are absolute quality gates. The quantized-
+    // decimal model makes streamed and batch weights bit-identical
+    // (the same frozen-statistics argument); dsirBuckets/dsirSeed must
+    // be the fit-time values (DsirOps.dsirScoreWith's contract). Note
+    // the top-k SELECTION stage stays batch-by-nature — a per-batch
+    // top-k is not a corpus top-k — so the streaming gate is the
+    // threshold form: keep docs with log_w ≥ dsirMinLogW.
+    val dsKept = dsirModel.fold(bgKept) { model =>
+      val passing = graft.ops.DsirOps.dsirScoreWith(
+          bgKept, idCol, textCol, model, dsirBuckets, dsirSeed)
+        .filter(col("log_w") >= lit(dsirMinLogW))
+        .select(col(idCol))
+      bgKept.join(passing, Seq(idCol), "left_semi")
+    }
     dedupMergeBatch(targetPath, idCol, textCol, partitionCols,
       bloomExpectedItems, nearDup = true, numHashes, bands, shingleN)(
-      bgKept, batchId)
+      dsKept, batchId)
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

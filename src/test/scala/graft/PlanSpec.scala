@@ -249,9 +249,13 @@ class PlanSpec extends SparkSpec {
                                // (the nbScoreWith shape, reloaded model)
       "text_vocab_growth",     // 1-row doc-count scalar broadcast + the
                                // 1-row token×term count-frame merge
-      "text_source_divergence") // groups²-row pair grid × topK-term
+      "text_source_divergence", // groups²-row pair grid × topK-term
                                // frame (both model-sized, the TVD
                                // matrix is the POINT)
+      "sample_dsir_select")    // 2× 1-row corpus-total scalar
+                               // broadcasts inside the in-plan dsirFit
+                               // (frozen-model deployments never see
+                               // them at query time)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

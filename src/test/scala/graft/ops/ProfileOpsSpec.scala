@@ -594,4 +594,95 @@ class ProfileOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("weightedMedian: hand-computed lower weighted median per group") {
+    import spark.implicits._
+    // group a: values 1(w 1), 2(w 1), 3(w 10) → total 12, half 6 →
+    //   cum reaches 6 first at value 3
+    // group b: values 1(w 3), 2(w 1) → total 4, cum(1) = 3, 2·3 ≥ 4 → 1
+    // group c: equal weights over 1..4 → 2·cum(2) = 4 ≥ 4 → lower = 2
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
+      ("b", 1.0, 3.0), ("b", 2.0, 1.0),
+      ("c", 1.0, 1.0), ("c", 2.0, 1.0), ("c", 3.0, 1.0), ("c", 4.0, 1.0))
+      .toDF("g", "v", "w")
+    val got = ProfileOps.weightedMedian(df, "g", "v", "w")
+      .orderBy($"g").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 3.0), ("b", 1.0), ("c", 2.0)), got.mkString(","))
+  }
+
+  test("weightedMedian: duplicate values pool their weight; NULLs excluded") {
+    import spark.implicits._
+    // value 2 appears twice with weight 2 each → pooled 4 of total 6
+    val df = Seq(
+      ("a", Some(2.0), Some(2.0)), ("a", Some(2.0), Some(2.0)),
+      ("a", Some(9.0), Some(2.0)),
+      ("a", None, Some(50.0)), ("a", Some(1.0), None))
+      .toDF("g", "v", "w")
+    val got = ProfileOps.weightedMedian(df, "g", "v", "w")
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 2.0)), got.mkString(","))
+  }
+
+  test("weightedMedian: unit weights reduce to the plain lower median") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    val rows = for { g <- 1 to 3; _ <- 1 to 25 }
+      yield (g.toLong, rng.nextInt(50).toDouble, 1.0)
+    val df = rows.toDF("g", "v", "w")
+    val got = ProfileOps.weightedMedian(df, "g", "v", "w")
+      .as[(Long, Double)].collect().toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      // lower median: smallest v with 2·#(≤v) ≥ n
+      g -> sorted((sorted.size - 1) / 2)
+    }
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("weightedQuantiles: hand-computed grid; q=0.5 equals weightedMedian") {
+    import spark.implicits._
+    // group a: values 1..4, weights 1,2,3,4 (total 10):
+    //   q=.25 → cum 1+2=3 ≥ 2.5 at value 2; q=.5 → cum 6 ≥ 5 at 3;
+    //   q=.9 → cum 10 ≥ 9 at 4; q=1.0 → 4
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 3.0), ("a", 4.0, 4.0))
+      .toDF("g", "v", "w")
+    val got = ProfileOps.weightedQuantiles(df, "g", "v", "w",
+      Seq(0.25, 0.5, 0.9, 1.0))
+      .orderBy($"q").as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 0.25, 2.0), ("a", 0.5, 3.0), ("a", 0.9, 4.0),
+      ("a", 1.0, 4.0)), got.mkString(","))
+    val med = ProfileOps.weightedMedian(df, "g", "v", "w")
+      .as[(String, Double)].collect().head._2
+    assert(med == got(1)._3)
+  }
+
+  test("weightedQuantiles validates q range and granularity") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1.0)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      ProfileOps.weightedQuantiles(df, "g", "v", "w", Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      ProfileOps.weightedQuantiles(df, "g", "v", "w", Seq(0.123456))
+    }
+    intercept[IllegalArgumentException] {
+      ProfileOps.weightedQuantiles(df, "g", "v", "w", Seq.empty)
+    }
+  }
+
+  test("weightedMedian rejects negative weights in-plan and non-numeric types") {
+    import spark.implicits._
+    val bad = Seq(("a", 1.0, -2.0)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      ProfileOps.weightedMedian(bad, "g", "v", "w").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("negative weight"), messages(e))
+    val str = Seq(("a", "x", 1.0)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      ProfileOps.weightedMedian(str, "g", "v", "w")
+    }
+  }
 }

@@ -274,4 +274,99 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  test("holtWintersWindowed matches a plain-Scala rotating fold exactly") {
+    // same IEEE-sequence contract as the holt/cusum property: the
+    // window fold IS a local fold, so equality is exact (==) — 4 keys
+    // × 48 points, period 4, span 9
+    val rng = new scala.util.Random(20260814L)
+    val rows = for { k <- 1 to 4; i <- 1 to 48 }
+      yield (k.toLong, i.toLong, math.floor(rng.nextDouble() * 1000) / 10.0)
+    val df = rows.toDF("k", "o", "v")
+    val span = 9; val m = 4
+    def frame(rs: Seq[(Long, Long, Double)], i: Int): Seq[Double] =
+      rs.slice(math.max(0, i - span + 1), i + 1).map(_._3)
+    def hwRef(xs: Seq[Double]): (Double, Double, Double) = {
+      var l = xs.head; var b = 0.0; var s = Vector.fill(m)(0.0)
+      for (x <- xs.tail) {
+        val sOld = s.head
+        val nl = 0.25 * (x - sOld) + 0.75 * (l + b)
+        val nb = 0.125 * (nl - l) + 0.875 * b
+        val ns = 0.5 * (x - nl) + 0.5 * sOld
+        s = s.tail :+ ns; l = nl; b = nb
+      }
+      (l, b, s.head)
+    }
+    val byKey = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = byKey.flatMap { case (k, rs) =>
+      rs.indices.map(i => (k, rs(i)._2) -> hwRef(frame(rs, i))) }
+    val got = TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, gamma = 0.5, period = m, span = span)
+      .select($"k", $"o", $"level", $"trend", $"seasonal_next")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == expected)
+  }
+
+  test("holtWintersWindowed absorbs a pure period-4 cycle that Holt lags on") {
+    // x_t = 100 + pattern[t mod 4]: after warm-up the HW one-step
+    // forecast should land near the next value; Holt (no seasonal
+    // state) keeps chasing the cycle
+    val pattern = Seq(20.0, -10.0, 5.0, -15.0)
+    val df = (1 to 80).map(i => (1L, i.toLong, 100.0 + pattern(i % 4)))
+      .toDF("k", "o", "v")
+    val nextVal = 100.0 + pattern(81 % 4)
+    val hw = TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, gamma = 0.5, period = 4, span = 40)
+      .filter($"o" === 80).select($"forecast").as[Double].head()
+    val holt = TimeSeriesOps.holtWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, span = 40)
+      .filter($"o" === 80).select($"forecast").as[Double].head()
+    assert(math.abs(hw - nextVal) < 3.0, s"hw forecast $hw vs $nextVal")
+    assert(math.abs(holt - nextVal) > math.abs(hw - nextVal) + 2.0,
+      s"holt $holt should lag the cycle hw $hw tracks")
+  }
+
+  test("holtWintersWindowed: constant series → level = c, trend = seasonal = 0") {
+    val df = (1 to 30).map(i => (1L, i.toLong, 7.5)).toDF("k", "o", "v")
+    val out = TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, gamma = 0.5, period = 4, span = 10)
+      .select($"level", $"trend", $"seasonal_next", $"forecast")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(out.forall(r => r._1 == 7.5 && r._2 == 0.0 && r._3 == 0.0 &&
+      r._4 == 7.5), out.take(5).mkString(","))
+  }
+
+  test("holtWintersWindowed: period = 1 degenerates to a single rotating slot") {
+    val df = Seq(3.0, 5.0, 2.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "o", "v")
+    // period-1 reference: s is one slot consumed and replaced each step
+    def ref(xs: Seq[Double]): (Double, Double, Double) = {
+      var l = xs.head; var b = 0.0; var s = 0.0
+      for (x <- xs.tail) {
+        val nl = 0.25 * (x - s) + 0.75 * (l + b)
+        val nb = 0.125 * (nl - l) + 0.875 * b
+        val ns = 0.5 * (x - nl) + 0.5 * s
+        l = nl; b = nb; s = ns
+      }
+      (l, b, s)
+    }
+    val got = TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, gamma = 0.5, period = 1, span = 20)
+      .orderBy($"o").select($"level", $"trend", $"seasonal_next")
+      .as[(Double, Double, Double)].collect().toSeq
+    val vals = Seq(3.0, 5.0, 2.0)
+    val expected = (1 to 3).map(n => ref(vals.take(n)))
+    assert(got == expected, got.mkString(","))
+  }
+
+  test("holtWintersWindowed validates parameters") {
+    val df = Seq((1L, 1L, 1.0)).toDF("k", "o", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v", 0.25, 0.125, 1.5, 4, 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v", 0.25, 0.125, 0.5, 0, 3)
+    }
+  }
 }

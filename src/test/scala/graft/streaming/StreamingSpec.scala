@@ -845,6 +845,62 @@ class StreamingSpec extends SparkSpec {
       s"streamed NB membership $got must equal the batch keep set Set(1)")
   }
 
+  test("streaming corpus-prep frozen-DSIR tier: streamed weights gate like batch") {
+    import graft.ops.DsirOps
+    val srcDir = Files.createTempDirectory("dsir_src").toFile.getAbsolutePath
+    val corpusDir = Files.createTempDirectory("dsir_tgt").toFile.getAbsolutePath + "/corpus"
+    val ckpt = Files.createTempDirectory("dsir_ckpt").toFile.getAbsolutePath
+    def doc(theme: Seq[String]): String = (1 to 3).map(i =>
+      s"the ${theme(0)} ${theme(1)} of ${theme(2)} number $i keeps ${theme(3)} along nicely today.")
+      .mkString("\n")
+
+    // offline target/raw references → FROZEN importance model
+    // (persist + reload — the artifact round trip)
+    val target = Seq(
+      (100L, doc(Seq("steady", "stream", "tokens", "flowing"))),
+      (101L, doc(Seq("steady", "tokens", "stream", "gliding"))))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (200L, doc(Seq("spammy", "casino", "pills", "clicking"))),
+      (201L, doc(Seq("casino", "winnings", "pills", "spinning"))))
+      .toDF("doc_id", "text")
+    val modelDir = Files.createTempDirectory("dsir_frozen").toFile.getAbsolutePath
+    DsirOps.dsirFit(target, raw, "text", buckets = 32, seed = 7L)
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir)
+
+    val targetLike = doc(Seq("steady", "stream", "tokens", "flowing"))
+    val rawLike = doc(Seq("spammy", "casino", "pills", "clicking"))
+    val arriving = Seq((1L, targetLike, "en"), (2L, rawLike, "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // batch-side ground truth with the SAME frozen model
+    val batchW = DsirOps.dsirScoreWith(arriving, "doc_id", "text", model,
+        buckets = 32, seed = 7L)
+      .select($"doc_id", $"log_w").as[(Long, Double)].collect().toMap
+    assert(batchW(1L) > batchW(2L),
+      s"importance model must separate the docs, got $batchW")
+    val threshold = (batchW(1L) + batchW(2L)) / 2.0
+
+    arriving.write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch(
+        StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+          dsirModel = Some(model), dsirMinLogW = threshold,
+          dsirBuckets = 32, dsirSeed = 7L) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "DSIR ingest query did not self-terminate")
+
+    val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L),
+      s"streamed DSIR membership $got must equal the batch keep set Set(1)")
+  }
+
   test("foreachBatch maintains a mergeable theta sketch across micro-batches") {
     // the streaming cardinality monitor: each micro-batch aggregates its
     // own sketch and UNIONs it into a stored one — state is a few KB of
