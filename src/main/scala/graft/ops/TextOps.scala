@@ -864,4 +864,67 @@ object TextOps {
       .select(col("_r.*"))
       .orderBy(col("frac"))
   }
+
+  /** Zipf-law fit of the token frequency distribution: OLS slope of
+    * ln(freq) on ln(rank) over the corpus's top-`topK` terms — the
+    * third corpus-shape diagnostic beside [[vocabGrowth]] (lexical
+    * saturation) and [[sourceDivergence]] (inter-source similarity). A
+    * natural corpus sits near slope ≈ −1 (Zipf 1949); boilerplate- or
+    * template-heavy corpora flatten the head (slope > −0.7-ish),
+    * near-duplicate floods steepen it — a one-number tripwire for a
+    * distribution-level corruption no per-doc filter sees.
+    *
+    * Determinism: raw ln() in a DOUBLE output is the repo-pinned libm
+    * last-ulp hazard ([[sourceDivergence]]'s TVD-over-KL note), so
+    * each ln is quantized ONCE to the 1e-6 integer grid (the
+    * [[ClassifyOps.nbFit]] contract) and the whole OLS normal-equation
+    * algebra — Σx, Σy, Σxy, Σx² and the two determinant products —
+    * runs in exact integers/decimals; slope and intercept are each ONE
+    * IEEE division/chain over exact-valued doubles at the very end.
+    *
+    * Scale shape: one (token) aggregation (the 100 TB shuffle),
+    * a bounded-heap global top-k (TakeOrderedAndProject — topK rows
+    * out), then all ranking/regression on ONE row via a sorted array —
+    * no partition-less window, no second scan. Output (one row):
+    * (`n_terms`, `slope`, `intercept`). With fewer than 2 distinct
+    * x-ranks the determinant is 0 and slope divides to NaN/±Inf —
+    * identically on both engines; callers gate on n_terms. */
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 200): DataFrame = {
+    require(topK >= 3, s"zipfSlope: topK must be >= 3, got $topK")
+    // ln value quantized to the 1e-6 grid as an exact BIGINT
+    def q6(c: Column): Column =
+      (c.cast(DecimalType(12, 6)) * lit(1000000)).cast(LongType)
+    def d18(c: Column): Column = c.cast(DecimalType(18, 0))
+    val top = df.select(explode(tokenize(col(textCol))).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_tok")).limit(topK)
+    // (-count, token) sorts ascending = (count DESC, token ASC):
+    // the rank order, recovered positionally from ONE sorted array
+    val folded = top
+      .agg(sort_array(collect_list(struct(
+        (-col("_cnt")).as("nc"), col("_tok").as("t"), col("_cnt").as("c"))))
+        .as("_a"))
+      .select(size(col("_a")).cast(LongType).as("_k"),
+        transform(col("_a"), (_, i) =>
+          q6(log((i + lit(1)).cast(DoubleType)))).as("_xs"),
+        transform(col("_a"), (e, _) =>
+          q6(log(e("c").cast(DoubleType)))).as("_ys"))
+    def asum(a: Column): Column = aggregate(a, lit(0L), (acc, v) => acc + v)
+    val sums = folded.select(col("_k"),
+      asum(col("_xs")).as("_sx"), asum(col("_ys")).as("_sy"),
+      asum(zip_with(col("_xs"), col("_ys"), (x, y) => x * y)).as("_sxy"),
+      asum(zip_with(col("_xs"), col("_xs"), (x, y) => x * y)).as("_sxx"))
+    // normal equations over exact decimals: K·Σxy − ΣxΣy ≤ DECIMAL(38,0)
+    val num = col("_k").cast(DecimalType(4, 0)) * d18(col("_sxy")) -
+      d18(col("_sx")) * d18(col("_sy"))
+    val den = col("_k").cast(DecimalType(4, 0)) * d18(col("_sxx")) -
+      d18(col("_sx")) * d18(col("_sx"))
+    sums
+      .withColumn("slope", num.cast(DoubleType) / den.cast(DoubleType))
+      .select(col("_k").as("n_terms"), col("slope"),
+        ((col("_sy").cast(DoubleType) / lit(1.0e6) -
+          col("slope") * (col("_sx").cast(DoubleType) / lit(1.0e6))) /
+          col("_k").cast(DoubleType)).as("intercept"))
+  }
 }

@@ -807,6 +807,36 @@ object Catalog {
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
              |WHERE c_acctbal > 8000.0 ORDER BY c_custkey""".stripMargin)),
 
+    // SQL-defined TABLE function (Spark 4): CREATE FUNCTION ... RETURNS
+    // TABLE(...) — the parameterized-view spelling; invoked CORRELATED
+    // through LATERAL, so the analyzer inlines the body and
+    // decorrelates the parameter equality to a plain equi-join — never
+    // a per-row loop. The body is a pure correlated filter: a
+    // correlated ORDER BY+LIMIT body does NOT decorrelate per-caller
+    // today (measured: the limit escapes the correlation and applies
+    // once, globally — 3 rows instead of per-nation top-3), so top-k
+    // per key through a TVF stays out; sql_lateral_join covers that
+    // shape with an inline LATERAL subquery, where the rewrite IS
+    // correct. DuckDB restates the inlined join directly.
+    "sql_udf_table" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("nat_tvf")
+        t(s, d, "customer").createOrReplaceTempView("cust_tvf")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_rich_customers(
+                |  nk BIGINT, floor_bal DOUBLE)
+                |RETURNS TABLE(c_name STRING, c_acctbal DOUBLE)
+                |RETURN SELECT c_name, c_acctbal FROM cust_tvf
+                |       WHERE c_nationkey = nk AND c_acctbal > floor_bal""".stripMargin)
+        s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+                |FROM nat_tvf n,
+                |LATERAL graft_rich_customers(n.n_nationkey, 8000.0) t
+                |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, c.c_name, c.c_acctbal
+             |FROM nation n JOIN customer c
+             |  ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 8000.0
+             |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)),
+
     // Error-safe TRY_* arithmetic (the ANSI-mode companion surface: the
     // engine runs ANSI, where bare division-by-zero/overflow ABORT a
     // 100 TB job at task 9,999 of 10,000 — try_ variants turn the
@@ -4698,6 +4728,48 @@ object Catalog {
              |             - CAST(cb AS DECIMAL(19,0))*CAST(na AS DECIMAL(19,0)))) AS DOUBLE)
              |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 2.0) AS tvd
              |FROM j GROUP BY ga, gb, na, nb ORDER BY ga, gb""".stripMargin)),
+
+    // Zipf-law fit of the token frequency head (TextOps.zipfSlope):
+    // OLS slope of ln(freq) on ln(rank) over the top-200 terms — the
+    // distribution-shape tripwire (natural ≈ −1; the synthetic
+    // template fixture measures −0.18, exactly the flat head the
+    // diagnostic exists to flag). Each ln quantized ONCE to the 1e-6
+    // integer grid, normal equations in exact integers/decimals, one
+    // final IEEE division ⇒ fully oracled.
+    "text_zipf_slope" -> QuerySpec(
+      (s, d) => TextOps.zipfSlope(t(s, d, "documents"), "text", topK = 200),
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |counts AS (
+             |  SELECT tok, count(*) AS c FROM toks
+             |  WHERE length(tok) > 0 GROUP BY 1),
+             |top AS (
+             |  SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+             |  FROM counts QUALIFY r <= 200),
+             |q AS (SELECT
+             |    CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(12,6)) * 1000000
+             |      AS BIGINT) AS x,
+             |    CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(12,6)) * 1000000
+             |      AS BIGINT) AS y
+             |  FROM top),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x*x) AS BIGINT) AS sxx FROM q),
+             |f AS (SELECT k, sx, sy,
+             |    CAST(CAST(k AS DECIMAL(4,0)) * CAST(sxy AS DECIMAL(18,0))
+             |       - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
+             |      AS DOUBLE)
+             |    / CAST(CAST(k AS DECIMAL(4,0)) * CAST(sxx AS DECIMAL(18,0))
+             |       - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0))
+             |      AS DOUBLE) AS slope
+             |  FROM s)
+             |SELECT k AS n_terms, slope,
+             |  (CAST(sy AS DOUBLE) / 1000000.0
+             |    - slope * (CAST(sx AS DOUBLE) / 1000000.0))
+             |    / CAST(k AS DOUBLE) AS intercept
+             |FROM f""".stripMargin)),
 
     // Vocabulary-growth (Heaps-law) curve + type/token ratio
     // (TextOps.vocabGrowth): token count, distinct-term count and TTR at

@@ -565,4 +565,49 @@ class TextOpsSpec extends SparkSpec {
     // s1 vs s3 coarsened: s1=(3,1)/4, s3=(2,2)/4 ⇒ ½(1/4+1/4) = 0.25
     assert(lumped(("s1", "s3")) == 0.25, lumped)
   }
+
+  test("zipfSlope matches a plain-Scala quantized-OLS replay exactly") {
+    import spark.implicits._
+    // ~1/rank frequency profile: w_i appears 120/i times — a Zipf-ish
+    // head whose fitted slope should sit near −1
+    val words = (1 to 30).flatMap(i => Seq.fill(120 / i)(f"w$i%02d"))
+    val docs = words.grouped(17).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = TextOps.zipfSlope(docs, "text", topK = 25).collect().head
+
+    // the SAME quantize→integer-OLS chain, replayed locally
+    def q6(v: Double): Long =
+      (BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000)).toLongExact
+    val counts = words.groupBy(identity).map { case (w, v) => (w, v.size.toLong) }
+    val top = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(25)
+    val xs = top.indices.map(i => q6(math.log(i + 1.0)))
+    val ys = top.map { case (_, c) => q6(math.log(c.toDouble)) }
+    val k = top.size
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(x => x * x).sum
+    val num = BigDecimal(k) * BigDecimal(sxy) - BigDecimal(sx) * BigDecimal(sy)
+    val den = BigDecimal(k) * BigDecimal(sxx) - BigDecimal(sx) * BigDecimal(sx)
+    val slope = num.toDouble / den.toDouble
+    val intercept = (sy.toDouble / 1.0e6 - slope * (sx.toDouble / 1.0e6)) / k.toDouble
+    assert(got.getLong(0) == k)
+    assert(got.getDouble(1) == slope, s"slope ${got.getDouble(1)} vs $slope")
+    assert(got.getDouble(2) == intercept)
+    assert(slope < -0.7 && slope > -1.3, s"fixture should be Zipf-ish, got $slope")
+  }
+
+  test("zipfSlope: topK caps n_terms; flat counts fit slope 0") {
+    import spark.implicits._
+    // 10 terms, every count equal → ln(freq) constant → slope exactly 0
+    val docs = Seq((0L, (1 to 10).map(i => s"t$i t$i t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val flat = TextOps.zipfSlope(docs, "text", topK = 5).collect().head
+    assert(flat.getLong(0) == 5)
+    assert(flat.getDouble(1) == 0.0, s"flat counts must fit slope 0, got $flat")
+    intercept[IllegalArgumentException] {
+      TextOps.zipfSlope(docs, "text", topK = 2)
+    }
+  }
 }
