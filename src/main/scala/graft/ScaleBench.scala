@@ -35,7 +35,8 @@ object ScaleBench {
     "agg_funnel_stages", "win_attribution_last_touch",
     "dedup_minhash_vs_exact", "dedup_simhash_vs_exact",
     "search_bm25_model_roundtrip", "text_nb_model_roundtrip",
-    "sim_embed_pca", "text_vocab_growth", "text_source_divergence")
+    "sim_embed_pca", "text_vocab_growth", "text_source_divergence",
+    "sample_dsir_select", "text_zipf_slope", "ts_holt_winters")
 
   def main(args: Array[String]): Unit = {
     // `runMain graft.ScaleBench probes` = pair probes only, no key loop

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -8289,6 +8289,47 @@ object Catalog {
     // tie-break (native MODE() leaves ties engine-defined, so the
     // count+row_number formulation is the only oracle-able one). The
     // rn=1 filter plans through the TopKPerKey bounded heap.
+    // Market-basket association rules (BasketOps.associationRules):
+    // pairwise support/confidence/lift over per-order part sets — the
+    // co-partitioned self-join on the BASKET key bounds pairs by
+    // Σk_b·(k_b−1)/2 (never |items|²), mega-baskets gated by
+    // maxBasketSize. Exact-long counts; each measure ONE fixed IEEE
+    // chain (lift via DECIMAL(37,0) products) ⇒ fully oracled.
+    "agg_assoc_rules" -> QuerySpec(
+      (s, d) => BasketOps.associationRules(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 3L, maxBasketSize = 1000, topK = 100),
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |sized AS (
+             |  SELECT b, i, count(*) OVER (PARTITION BY b) AS k FROM items),
+             |kept AS (SELECT b, i FROM sized WHERE k <= 1000),
+             |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM kept),
+             |itemn AS (
+             |  SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY 1),
+             |pairs AS (
+             |  SELECT l.i AS item_a, r.i AS item_b,
+             |    CAST(count(*) AS BIGINT) AS pair_n
+             |  FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 3),
+             |top AS (
+             |  SELECT * FROM pairs ORDER BY pair_n DESC, item_a, item_b
+             |  LIMIT 100)
+             |SELECT t.item_a, t.item_b, t.pair_n, a.cnt AS n_a, b.cnt AS n_b,
+             |  CAST(t.pair_n AS DOUBLE) / CAST(n.nb AS DOUBLE) AS support,
+             |  CAST(t.pair_n AS DOUBLE) / CAST(a.cnt AS DOUBLE) AS conf_a_b,
+             |  CAST(t.pair_n AS DOUBLE) / CAST(b.cnt AS DOUBLE) AS conf_b_a,
+             |  CAST(CAST(t.pair_n AS DECIMAL(18,0)) * CAST(n.nb AS DECIMAL(18,0))
+             |    AS DOUBLE)
+             |   / CAST(CAST(a.cnt AS DECIMAL(18,0)) * CAST(b.cnt AS DECIMAL(18,0))
+             |    AS DOUBLE) AS lift
+             |FROM top t
+             |JOIN itemn a ON a.i = t.item_a
+             |JOIN itemn b ON b.i = t.item_b
+             |CROSS JOIN n
+             |ORDER BY pair_n DESC, item_a, item_b""".stripMargin)),
+
     // Exact lower weighted median (ProfileOps.weightedMedian): smallest
     // value whose cumulative DECIMAL(18,6) weight reaches half the
     // group total — the window runs over the (group, value) GRAIN, not

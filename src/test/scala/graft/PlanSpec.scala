@@ -252,10 +252,12 @@ class PlanSpec extends SparkSpec {
       "text_source_divergence", // groups²-row pair grid × topK-term
                                // frame (both model-sized, the TVD
                                // matrix is the POINT)
-      "sample_dsir_select")    // 2× 1-row corpus-total scalar
+      "sample_dsir_select",    // 2× 1-row corpus-total scalar
                                // broadcasts inside the in-plan dsirFit
                                // (frozen-model deployments never see
                                // them at query time)
+      "agg_assoc_rules")       // 1-row basket-count scalar broadcast
+                               // (the support denominator)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
