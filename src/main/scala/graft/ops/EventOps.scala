@@ -178,4 +178,67 @@ object EventOps {
         col("_lt.t").as("touch_ts"),
         col("_lt.y").as("touch_type"))
   }
+
+  /** LINEAR multi-touch attribution: every touch at or before a
+    * conversion shares the credit equally (1/n each), so a channel's
+    * credit from one conversion is k_channel/n — the equal-weight
+    * companion to [[lastTouchAttribution]] (which hands the whole
+    * conversion to the final touch). Touchless conversions credit the
+    * `direct` bucket with 1, as there. Model note: "all touches since
+    * the stream start" (not since the previous conversion) — the
+    * unwindowed linear model; a lookback variant is a frame change.
+    *
+    * Output: one row per channel (+ `direct`) —
+    * (`channel`, `n_conversions`, `n_credited_touches`, `credit`).
+    * A channel that never touches a conversion is absent (the
+    * no-evidence contract).
+    *
+    * Scale/determinism shape: per-channel running counts over ONE
+    * actor-grain window shuffle (O(#channels) state per row, no event
+    * collection); conversions aggregate to the bounded (k, n) grain
+    * per channel, and the credit sum Σ cnt·k/n — the one place a
+    * cross-row DOUBLE sum could diverge — is a SORTED-ARRAY fold over
+    * that bounded grain (fixed left-to-right IEEE chain, restatable as
+    * an ordered list_reduce), never a floating aggregate over rows. */
+  def linearAttribution(events: DataFrame, actorCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution: touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"linearAttribution: conversion type $conversionType cannot be a touch type")
+    val w = Window.partitionBy(col(actorCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val typed = events.filter(col(actorCol).isNotNull)
+    val withCounts = touchTypes.zipWithIndex.foldLeft(typed) {
+      case (df, (t, i)) => df.withColumn(s"_lat_k$i",
+        sum(when(col(typeCol) === t, 1L).otherwise(0L)).over(w))
+    }
+    val conv = withCounts.filter(col(typeCol) === conversionType)
+      .withColumn("_lat_n",
+        touchTypes.indices.map(i => col(s"_lat_k$i")).reduce(_ + _))
+    val channelRows = touchTypes.zipWithIndex.map { case (t, i) =>
+      conv.filter(col("_lat_n") > 0 && col(s"_lat_k$i") > 0)
+        .groupBy(col(s"_lat_k$i").as("_lat_k"), col("_lat_n"))
+        .agg(count(lit(1)).as("_lat_cnt"))
+        .select(lit(t).as("channel"), col("_lat_k"), col("_lat_n"), col("_lat_cnt"))
+    }.reduce(_.unionByName(_))
+    val folded = channelRows
+      .groupBy(col("channel"))
+      .agg(
+        sum(col("_lat_cnt")).as("n_conversions"),
+        sum(col("_lat_cnt") * col("_lat_k")).as("n_credited_touches"),
+        aggregate(
+          sort_array(collect_list(struct(col("_lat_k"), col("_lat_n"), col("_lat_cnt")))),
+          lit(0.0),
+          (acc, e) => acc + (e("_lat_cnt") * e("_lat_k")).cast(DoubleType) /
+            e("_lat_n").cast(DoubleType))
+          .as("credit"))
+    val direct = conv.filter(col("_lat_n") === 0)
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("direct").as("channel"), col("n_conversions"),
+        lit(0L).as("n_credited_touches"),
+        col("n_conversions").cast(DoubleType).as("credit"))
+    folded.unionByName(direct).orderBy(col("channel"))
+  }
 }

@@ -7394,6 +7394,57 @@ object Catalog {
              |FROM l WHERE event_type = 'purchase'
              |ORDER BY conversion_id""".stripMargin)),
 
+    // Linear multi-touch attribution (EventOps.linearAttribution):
+    // every touch before a conversion shares credit 1/n — the
+    // equal-weight companion to last-touch. Per-channel running counts
+    // over the ONE actor window; the credit sum Σ cnt·k/n folds a
+    // SORTED bounded (k,n)-grain array (fixed IEEE chain — the one
+    // double sum, never a row-order aggregate) ⇒ fully oracled. Total
+    // credit conserves to the conversion count (959.0 + 952.0 + 70 =
+    // 1981 at sf0.01 — the cross-channel invariant a report audits).
+    "win_attribution_linear" -> QuerySpec(
+      (s, d) => EventOps.linearAttribution(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("click", "view"), "purchase"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_type
+             |  FROM events WHERE user_id IS NOT NULL),
+             |c AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      OVER w AS k0,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      OVER w AS k1
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |conv AS (
+             |  SELECT k0, k1, k0 + k1 AS n FROM c
+             |  WHERE event_type = 'purchase'),
+             |chan AS (
+             |  SELECT 'click' AS channel, k0 AS k, n, count(*) AS cnt
+             |  FROM conv WHERE n > 0 AND k0 > 0 GROUP BY 2, 3
+             |  UNION ALL
+             |  SELECT 'view', k1, n, count(*)
+             |  FROM conv WHERE n > 0 AND k1 > 0 GROUP BY 2, 3),
+             |folded AS (
+             |  SELECT channel,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_conversions,
+             |    CAST(SUM(cnt * k) AS BIGINT) AS n_credited_touches,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(CAST(cnt * k AS DOUBLE) / CAST(n AS DOUBLE)
+             |        ORDER BY k, n, cnt)),
+             |      (a, b) -> a + b) AS credit
+             |  FROM chan GROUP BY 1),
+             |direct AS (
+             |  SELECT 'direct' AS channel,
+             |    CAST(count(*) AS BIGINT) AS n_conversions,
+             |    CAST(0 AS BIGINT) AS n_credited_touches,
+             |    CAST(count(*) AS DOUBLE) AS credit
+             |  FROM conv WHERE n = 0)
+             |SELECT * FROM folded UNION ALL SELECT * FROM direct
+             |ORDER BY channel""".stripMargin)),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.

@@ -263,4 +263,77 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"non-actor-grain exchange:\n${bad.mkString("\n")}")
   }
+
+  test("linearAttribution: hand-computed credit shares and the direct bucket") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // user 1: click, view, purchase (n=2: ½/½), then view, purchase
+    //   (n=3: click ⅓, view ⅔)
+    // user 2: purchase with no touches → direct
+    val ev = Seq(
+      (1L, ts(1), 101L, "click"), (1L, ts(2), 102L, "view"),
+      (1L, ts(3), 103L, "purchase"), (1L, ts(4), 104L, "view"),
+      (1L, ts(5), 105L, "purchase"),
+      (2L, ts(1), 201L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.linearAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // click: conv1 k=1/n=2 → 0.5; conv2 k=1/n=3 → 1/3
+    assert(got("click")._1 == 2L && got("click")._2 == 2L)
+    assert(got("click")._3 == 1.0 / 2.0 + 1.0 / 3.0, got("click"))
+    // view: conv1 1/2; conv2 2/3
+    assert(got("view")._1 == 2L && got("view")._2 == 3L)
+    assert(got("view")._3 == 1.0 / 2.0 + 2.0 / 3.0, got("view"))
+    assert(got("direct") == ((1L, 0L, 1.0)), got("direct"))
+    // credit conservation: Σ credit = #conversions (up to the float
+    // sum of the exact per-channel shares)
+    assert(math.abs(got.values.map(_._3).sum - 3.0) < 1e-9)
+  }
+
+  test("linearAttribution: same-timestamp touch counts only when its id sorts first") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 5L, "purchase"), (1L, ts(1), 6L, "click"),
+      (2L, ts(1), 1L, "click"), (2L, ts(1), 2L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.linearAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // user 1: purchase (id 5) precedes click (id 6) → direct;
+    // user 2: click (id 1) precedes purchase (id 2) → click credit 1
+    assert(got == Map("click" -> 1.0, "direct" -> 1.0), got)
+  }
+
+  test("linearAttribution matches a plain-Scala model on random streams") {
+    val rng = new scala.util.Random(42L)
+    val types = Seq("click", "view", "purchase", "other")
+    val rows = for { u <- 1L to 20L; i <- 1L to 30L } yield
+      (u, Timestamp.valueOf(f"2026-01-01 ${10 + (i / 60).toInt}%02d:${(i % 60).toInt}%02d:00"),
+        u * 1000 + i, types(rng.nextInt(types.size)))
+    val ev = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.linearAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // integer fields vs a direct local model (credit doubles are
+    // pinned by the hand fixture; here we check the count grain)
+    var expected = Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    var nDirect = 0L
+    rows.groupBy(_._1).values.foreach { es =>
+      var k = Map("click" -> 0L, "view" -> 0L)
+      es.sortBy(e => (e._2.getTime, e._3)).foreach {
+        case (_, _, _, t) if k.contains(t) => k += t -> (k(t) + 1)
+        case (_, _, _, "purchase") =>
+          val n = k.values.sum
+          if (n == 0) nDirect += 1
+          else k.foreach { case (c, kc) => if (kc > 0) {
+            val (a, b) = expected(c); expected += c -> (a + 1, b + kc)
+          } }
+        case _ => ()
+      }
+    }
+    expected.foreach { case (c, e) => assert(got(c) == e, s"$c: ${got(c)} vs $e") }
+    assert(got("direct")._1 == nDirect)
+  }
 }
