@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 /** Data-quality profiling for pipeline gates (north-star extension): the
   * pre-training sanity pass every large corpus goes through — null
@@ -913,6 +913,54 @@ object ProfileOps {
       .agg(min(col(valueCol)).as("value"))
       .select(col(keyCol),
         (col("_qbp").cast(DoubleType) / 10000.0).as("q"), col("value"))
+  }
+
+  /** Benford first-digit profile (Newcomb 1881 / Benford 1938): the
+    * observed first-significant-digit distribution of a positive
+    * amount column against Benford's log₁₀(1 + 1/d) law, with
+    * per-digit χ² terms — the classic fabricated-/truncated-data
+    * tripwire for financial-style columns ([[volumeAnomaly]]'s
+    * cousin at the value grain rather than the time grain).
+    *
+    * Determinism: the digit comes from `floor(v·100)` cast to an
+    * integer and THEN to a string — one IEEE multiply, an exact floor,
+    * and an exact integer→string conversion; DOUBLE→string formatting
+    * (engine-specific) never happens. Expected shares are log₁₀
+    * constants quantized ONCE to DECIMAL(12,6) (the
+    * [[TextOps.zipfSlope]] grid trick); each χ² term is a fixed IEEE
+    * chain over (exact count, quantized expectation, exact total).
+    * Values below 0.01 would yield digit 0 and are excluded with the
+    * non-positives (documented domain: amounts ≥ 0.01).
+    *
+    * Scale: ONE digit-grain aggregation (≤9 rows out) + a 1-row total
+    * broadcast. Output: (digit, n, share, expected, chi2_term). */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    requireNumeric(df, valueCol, "benfordProfile")
+    val v = col(valueCol)
+    val cents = floor(v.cast(DoubleType) * lit(100.0)).cast(LongType)
+    val digit = substring(cents.cast(StringType), 1, 1).cast(IntegerType)
+    val counts = df.filter(v.isNotNull && v >= 0.01)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_tot"))
+    val grid = df.sparkSession.range(1, 10)
+      .select(col("id").cast(IntegerType).as("digit"))
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+      .cast(DecimalType(12, 6))
+    grid.join(broadcast(counts), Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("_tot"), expected.as("_exp"))
+      .select(col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("_tot").cast(DoubleType)).as("share"),
+        col("_exp").cast(DoubleType).as("expected"),
+        ((col("n").cast(DoubleType) -
+            col("_exp").cast(DoubleType) * col("_tot").cast(DoubleType)) *
+          (col("n").cast(DoubleType) -
+            col("_exp").cast(DoubleType) * col("_tot").cast(DoubleType)) /
+          (col("_exp").cast(DoubleType) * col("_tot").cast(DoubleType)))
+          .as("chi2_term"))
   }
 
   private def requireNumeric(df: DataFrame, c: String, fn: String): Unit = {

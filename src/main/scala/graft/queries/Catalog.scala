@@ -7445,6 +7445,38 @@ object Catalog {
              |SELECT * FROM folded UNION ALL SELECT * FROM direct
              |ORDER BY channel""".stripMargin)),
 
+    // Benford first-digit profile (ProfileOps.benfordProfile): the
+    // fabricated-/truncated-data tripwire for amount columns — digit
+    // from floor(v·100) via exact integer→string (double→string
+    // formatting never happens), log₁₀ expectations quantized once to
+    // DECIMAL(12,6), per-digit χ² terms as fixed IEEE chains ⇒ fully
+    // oracled. ONE ≤9-row aggregation + a 1-row total broadcast.
+    "profile_benford" -> QuerySpec(
+      (s, d) => ProfileOps.benfordProfile(t(s, d, "orders"), "o_totalprice")
+        .orderBy(col("digit")),
+      Some("""WITH src AS (
+             |  SELECT o_totalprice AS v FROM orders
+             |  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0.01),
+             |counts AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(v * 100.0) AS BIGINT)
+             |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM src GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+             |grid AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+             |j AS (
+             |  SELECT g.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+             |    CAST(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))
+             |      AS DECIMAL(12,6)) AS e
+             |  FROM grid g LEFT JOIN counts c USING (digit))
+             |SELECT j.digit, j.n,
+             |  CAST(j.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+             |  CAST(e AS DOUBLE) AS expected,
+             |  (CAST(j.n AS DOUBLE) - CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE))
+             |   * (CAST(j.n AS DOUBLE) - CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE))
+             |   / (CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE)) AS chi2_term
+             |FROM j CROSS JOIN tot t ORDER BY digit""".stripMargin)),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.

@@ -256,8 +256,9 @@ class PlanSpec extends SparkSpec {
                                // broadcasts inside the in-plan dsirFit
                                // (frozen-model deployments never see
                                // them at query time)
-      "agg_assoc_rules")       // 1-row basket-count scalar broadcast
+      "agg_assoc_rules",       // 1-row basket-count scalar broadcast
                                // (the support denominator)
+      "profile_benford")       // 1-row digit-total scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

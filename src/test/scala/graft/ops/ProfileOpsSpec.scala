@@ -671,6 +671,42 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("benfordProfile: hand-computed digits, zero-filled grid, χ² replay") {
+    import spark.implicits._
+    // digits: 1.23→1, 1.99→1 (floor(198.999…)=198, still digit 1),
+    // 2.50→2, 94.2→9; 0.005 (< 0.01) and −3.0 excluded
+    val df = Seq(1.23, 1.99, 2.50, 0.005, -3.0, 94.2).toDF("v")
+    val got = ProfileOps.benfordProfile(df, "v").orderBy($"digit").collect()
+    assert(got.map(_.getInt(0)).toSeq == (1 to 9))
+    val n = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(n(1) == 2 && n(2) == 1 && n(9) == 1 && n(3) == 0, n)
+    def q6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e1 = q6(math.log10(2.0)); val t = 4.0
+    val r1 = got(0)
+    assert(r1.getDouble(2) == 2.0 / 4.0)
+    assert(r1.getDouble(3) == e1)
+    assert(r1.getDouble(4) == (2.0 - e1 * t) * (2.0 - e1 * t) / (e1 * t))
+    // an absent digit still carries its expectation and χ² mass
+    val r3 = got(2)
+    val e3 = q6(math.log10(1.0 + 1.0 / 3.0))
+    // same op chain as the engine, not the algebraic e·t simplification
+    val chi3 = (0.0 - e3 * t) * (0.0 - e3 * t) / (e3 * t)
+    assert(r3.getLong(1) == 0L && r3.getDouble(4) == chi3)
+  }
+
+  test("benfordProfile: a Benford-conforming sample has small χ² terms") {
+    import spark.implicits._
+    // 1000 values of 10^u, u uniform in [0,3) via a seeded generator —
+    // the canonical Benford-distributed construction
+    val rng = new scala.util.Random(7L)
+    val vals = Seq.fill(1000)(math.pow(10.0, rng.nextDouble() * 3.0))
+    val terms = ProfileOps.benfordProfile(vals.toDF("v"), "v")
+      .select($"chi2_term").as[Double].collect()
+    assert(terms.sum < 21.0, // χ²(8 df) 99th percentile ≈ 20.1
+      s"conforming sample should pass the χ² gate, terms=${terms.toList}")
+  }
+
   test("weightedMedian rejects negative weights in-plan and non-numeric types") {
     import spark.implicits._
     val bad = Seq(("a", 1.0, -2.0)).toDF("g", "v", "w")
