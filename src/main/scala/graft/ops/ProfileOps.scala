@@ -963,6 +963,52 @@ object ProfileOps {
           .as("chi2_term"))
   }
 
+  /** Per-group Gini coefficient of a non-negative value column — the
+    * inequality/concentration profile (order-value concentration,
+    * token-count skew across sources): G = 0 everyone equal, → 1 one
+    * row holds everything. Rank form over the ascending sort:
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ).
+    *
+    * Determinism: values accumulate as exact DECIMAL(18,6); Σ i·xᵢ is
+    * invariant under any ordering of TIED values (equal x contribute
+    * the same total over any rank assignment), so the row_number tie
+    * order cannot leak into the result; the closing formula is ONE
+    * fixed IEEE chain over the exact sums. Negative values are
+    * rejected in-plan (the rank form is meaningless under them); an
+    * all-zero group divides 0/0 → NaN, identically on both engines.
+    * Wide-decimal→double caveat (measured here): Σi·x exceeds 2⁵³ at
+    * bench scale, and DuckDB's direct `CAST(DECIMAL AS DOUBLE)`
+    * double-rounds (int128→double, then the scale divide) — 1 ulp off
+    * Spark's correctly-rounded BigDecimal.doubleValue. The oracle
+    * casts through VARCHAR (strtod is correctly rounded), which
+    * matches at any magnitude.
+    *
+    * Scale: one window sort per group (the honest cost of exact rank
+    * weighting) + one aggregation; group grain out. */
+  def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    requireNumeric(df, valueCol, "giniByGroup")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val guarded = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_gx",
+        when(col(valueCol) < 0, raise_error(concat(
+          lit("giniByGroup: negative value "),
+          col(valueCol).cast("string"))))
+          .otherwise(col(valueCol)).cast(DecimalType(18, 6)))
+    val sums = guarded
+      .withColumn("_gi", row_number().over(w).cast(DecimalType(10, 0)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_gx")).as("_sx"),
+        sum(col("_gi") * col("_gx")).as("_six"))
+    val nD = col("n").cast(DoubleType)
+    sums.select(col(keyCol), col("n"),
+      col("_sx").cast(DoubleType).as("total"),
+      ((lit(2.0) * col("_six").cast(DoubleType) -
+        (nD + lit(1.0)) * col("_sx").cast(DoubleType)) /
+        (nD * col("_sx").cast(DoubleType))).as("gini"))
+  }
+
   private def requireNumeric(df: DataFrame, c: String, fn: String): Unit = {
     val dt = df.schema(c).dataType
     require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],

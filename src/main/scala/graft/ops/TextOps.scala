@@ -865,6 +865,38 @@ object TextOps {
       .orderBy(col("frac"))
   }
 
+  /** Flesch-Kincaid readability grade per document (Kincaid et al.
+    * 1975): `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`,
+    * the standard complexity score a quality ladder buckets on beside
+    * the LM-perplexity tiers — cheap, model-free, and linguistically
+    * interpretable. Syllables are the classic vowel-group
+    * approximation (runs of `[aeiouy]+` — whitespace breaks runs, so
+    * the whole-text count equals the per-word sum); sentences are runs
+    * of `[.!?]+`, floored at 1 so a fragment scores as one sentence.
+    *
+    * Zero-shuffle column program: three codegen `regexp_count`/size
+    * expressions and one fixed IEEE chain over the exact integer
+    * counts — bit-reproducible and restatable (DuckDB:
+    * `len(regexp_extract_all(...))`). Documents with zero words yield
+    * NULL grade (no 0/0), keeping the row as quarantineable data.
+    * Output: (idCol, n_words, n_sentences, n_syllables, fk_grade). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokenize(col(textCol)), t => length(t) > 0)
+    val words = size(toks).cast(LongType)
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast(LongType)
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast(LongType)
+    val wD = col("n_words").cast(DoubleType)
+    val sD = col("n_sentences").cast(DoubleType)
+    val yD = col("n_syllables").cast(DoubleType)
+    df.select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * (wD / sD) + lit(11.8) * (yD / wD) - lit(15.59)))
+  }
+
   /** Zipf-law fit of the token frequency distribution: OLS slope of
     * ln(freq) on ln(rank) over the corpus's top-`topK` terms — the
     * third corpus-shape diagnostic beside [[vocabGrowth]] (lexical

@@ -7477,6 +7477,53 @@ object Catalog {
              |   / (CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE)) AS chi2_term
              |FROM j CROSS JOIN tot t ORDER BY digit""".stripMargin)),
 
+    // Per-group Gini concentration (ProfileOps.giniByGroup): rank-form
+    // Gini over exact DECIMAL(18,6) sums — Σi·x is tie-order-invariant,
+    // the closing formula ONE fixed IEEE chain ⇒ fully oracled.
+    "profile_gini" -> QuerySpec(
+      (s, d) => ProfileOps.giniByGroup(
+        t(s, d, "orders"), "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority")),
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS k,
+             |    CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice) AS DECIMAL(10,0)) AS i
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
+             |s AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+             |    SUM(x) AS sx, SUM(i * x) AS six
+             |  FROM g GROUP BY 1)
+             |SELECT k AS o_orderpriority, n,
+             |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS total,
+             |  (2.0 * CAST(CAST(six AS VARCHAR) AS DOUBLE)
+             |    - (CAST(n AS DOUBLE) + 1.0) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+             |   / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
+             |FROM s ORDER BY o_orderpriority""".stripMargin)),
+
+    // Flesch-Kincaid readability (TextOps.readability): the model-free
+    // complexity score beside the LM tiers — vowel-group syllables,
+    // [.!?]+ sentences floored at 1, one fixed IEEE chain over exact
+    // integer counts; zero-shuffle column program ⇒ fully oracled.
+    "text_readability" -> QuerySpec(
+      (s, d) => TextOps.readability(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      x -> length(x) > 0)) AS BIGINT) AS n_words,
+             |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             |      AS BIGINT) AS n_sentences,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |      AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CASE WHEN n_words > 0 THEN
+             |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             |    - 15.59 END AS fk_grade
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.

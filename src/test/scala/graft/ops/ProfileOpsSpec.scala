@@ -707,6 +707,41 @@ class ProfileOpsSpec extends SparkSpec {
       s"conforming sample should pass the χ² gate, terms=${terms.toList}")
   }
 
+  test("giniByGroup: equal values → 0, extreme concentration → hand value") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      ("cc", 0.0), ("cc", 0.0), ("cc", 0.0), ("cc", 10.0))
+      .toDF("g", "v")
+    val got = ProfileOps.giniByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got("eq") == ((3L, 0.0)), got("eq"))
+    // (2·40 − 5·10)/(4·10) = 0.75
+    assert(got("cc") == ((4L, 0.75)), got("cc"))
+  }
+
+  test("giniByGroup: tie order cannot leak — partitioning invariance") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3L)
+    val rows = for { g <- 1 to 3; _ <- 1 to 40 }
+      yield (g.toLong, rng.nextInt(5).toDouble) // heavy ties
+    val df = rows.toDF("g", "v")
+    val a = ProfileOps.giniByGroup(df, "g", "v").orderBy($"g").collect().toSeq
+    val b = ProfileOps.giniByGroup(df.repartition(7), "g", "v")
+      .orderBy($"g").collect().toSeq
+    assert(a == b)
+  }
+
+  test("giniByGroup rejects negative values in-plan") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      ProfileOps.giniByGroup(Seq(("a", -1.0)).toDF("g", "v"), "g", "v").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("negative value"), messages(e))
+  }
+
   test("weightedMedian rejects negative weights in-plan and non-numeric types") {
     import spark.implicits._
     val bad = Seq(("a", 1.0, -2.0)).toDF("g", "v", "w")

@@ -566,6 +566,27 @@ class TextOpsSpec extends SparkSpec {
     assert(lumped(("s1", "s3")) == 0.25, lumped)
   }
 
+  test("readability: hand-computed FK grade; fragments and NULLs degrade cleanly") {
+    import spark.implicits._
+    // "Hello world. It works!" → 4 words, 2 sentences,
+    // syllables (vowel runs): he-llo 2, world 1, it 1, works 1 = 5
+    val df = Seq(
+      (1L, "Hello world. It works!"),
+      (2L, "no punctuation here"),   // sentences floored at 1
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    val r1 = got(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((4L, 2L, 5L)), r1)
+    val expected = 0.39 * (4.0 / 2.0) + 11.8 * (5.0 / 4.0) - 15.59
+    assert(r1.getDouble(4) == expected, r1)
+    val r2 = got(1)
+    assert(r2.getLong(2) == 1L, r2)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(4), got(2))
+    assert(got(3).isNullAt(4), got(3))
+  }
+
   test("zipfSlope matches a plain-Scala quantized-OLS replay exactly") {
     import spark.implicits._
     // ~1/rank frequency profile: w_i appears 120/i times — a Zipf-ish
