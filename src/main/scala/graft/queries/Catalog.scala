@@ -7477,6 +7477,78 @@ object Catalog {
              |   / (CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE)) AS chi2_term
              |FROM j CROSS JOIN tot t ORDER BY digit""".stripMargin)),
 
+    // RFM customer segmentation: the classic recency/frequency/monetary
+    // quintile grid — one actor-grain aggregation (snapshot date = the
+    // table's max date, a 1-row broadcast), then three
+    // ProfileOps.quantileBins passes over the CUSTOMER-grain frame
+    // (thresholds are 1-row broadcasts; percentile ≡ quantile_cont
+    // parity pinned by fn_percentile). R inverts (most recent = 5).
+    "agg_rfm_segment" -> QuerySpec(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        val snap = o.agg(max(col("o_orderdate")).as("_snap"))
+        val per = o.crossJoin(broadcast(snap))
+          .groupBy(col("o_custkey"))
+          .agg(
+            datediff(max(col("_snap")).cast(DateType),
+              max(col("o_orderdate")).cast(DateType)).as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("monetary"))
+        val binned = Seq(("recency_days", "_rb"), ("frequency", "_fb"),
+          ("monetary", "_mb")).foldLeft(per) { case (df, (c, b)) =>
+            ProfileOps.quantileBins(df, c, nBins = 5, outCol = b)
+          }
+        binned.select(col("o_custkey"), col("recency_days"),
+            col("frequency"), col("monetary"),
+            (lit(5) - col("_rb")).cast(IntegerType).as("r_score"),
+            (col("_fb") + 1).cast(IntegerType).as("f_score"),
+            (col("_mb") + 1).cast(IntegerType).as("m_score"),
+            ((lit(5) - col("_rb")) * 100 + (col("_fb") + 1) * 10 +
+              (col("_mb") + 1)).cast(IntegerType).as("rfm"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH src AS (
+             |  SELECT * FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+             |snap AS (SELECT max(o_orderdate) AS s FROM src),
+             |per AS (
+             |  SELECT o_custkey,
+             |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+             |      CAST((SELECT s FROM snap) AS DATE)) AS INTEGER)
+             |      AS recency_days,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS monetary
+             |  FROM src GROUP BY 1),
+             |t AS (SELECT
+             |  quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS tr,
+             |  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf,
+             |  quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm
+             |  FROM per),
+             |b AS (
+             |  SELECT p.*,
+             |    (CASE WHEN recency_days > tr[1] THEN 1 ELSE 0 END
+             |     + CASE WHEN recency_days > tr[2] THEN 1 ELSE 0 END
+             |     + CASE WHEN recency_days > tr[3] THEN 1 ELSE 0 END
+             |     + CASE WHEN recency_days > tr[4] THEN 1 ELSE 0 END) AS rb,
+             |    (CASE WHEN frequency > tf[1] THEN 1 ELSE 0 END
+             |     + CASE WHEN frequency > tf[2] THEN 1 ELSE 0 END
+             |     + CASE WHEN frequency > tf[3] THEN 1 ELSE 0 END
+             |     + CASE WHEN frequency > tf[4] THEN 1 ELSE 0 END) AS fb,
+             |    (CASE WHEN monetary > tm[1] THEN 1 ELSE 0 END
+             |     + CASE WHEN monetary > tm[2] THEN 1 ELSE 0 END
+             |     + CASE WHEN monetary > tm[3] THEN 1 ELSE 0 END
+             |     + CASE WHEN monetary > tm[4] THEN 1 ELSE 0 END) AS mb
+             |  FROM per p CROSS JOIN t)
+             |SELECT o_custkey, recency_days, frequency, monetary,
+             |  CAST(5 - rb AS INTEGER) AS r_score,
+             |  CAST(fb + 1 AS INTEGER) AS f_score,
+             |  CAST(mb + 1 AS INTEGER) AS m_score,
+             |  CAST((5 - rb) * 100 + (fb + 1) * 10 + (mb + 1) AS INTEGER) AS rfm
+             |FROM b ORDER BY o_custkey""".stripMargin)),
+
     // Per-group Gini concentration (ProfileOps.giniByGroup): rank-form
     // Gini over exact DECIMAL(18,6) sums — Σi·x is tie-order-invariant,
     // the closing formula ONE fixed IEEE chain ⇒ fully oracled.

@@ -258,7 +258,9 @@ class PlanSpec extends SparkSpec {
                                // them at query time)
       "agg_assoc_rules",       // 1-row basket-count scalar broadcast
                                // (the support denominator)
-      "profile_benford")       // 1-row digit-total scalar broadcast
+      "profile_benford",       // 1-row digit-total scalar broadcast
+      "agg_rfm_segment")       // 1-row snapshot-date + 3× 1-row
+                               // quantile-threshold scalar broadcasts
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
