@@ -241,4 +241,88 @@ object EventOps {
         col("n_conversions").cast(DoubleType).as("credit"))
     folded.unionByName(direct).orderBy(col("channel"))
   }
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution: the first and
+    * last touch before a conversion carry `firstWeight`/`lastWeight`
+    * (default the standard 40/40) and the remaining mass spreads
+    * equally over the middle touches — the model that values
+    * introduction AND closing over the linear model's flat split.
+    * n = 1 → the single touch takes 1.0; n = 2 → a 50/50 split
+    * (no middle exists to weight); touchless conversions → `direct`.
+    *
+    * Same exact-fold contract as [[linearAttribution]]: conversions
+    * aggregate to the bounded (first?, last?, k, n) grain per channel
+    * and the credit sum folds a SORTED array of fixed IEEE terms. The
+    * middle weight is computed as `1.0 − fw − lw` IN DOUBLES — the
+    * oracle must restate that exact op chain, NOT the algebraic
+    * literal (1.0−0.4−0.4 = 0.19999999999999998 ≠ the literal 0.2 —
+    * a measured one-ulp class of mismatch). First/last touch types
+    * ride the one actor window as first/last(ignoreNulls) — O(1)
+    * state, no event collection. */
+  def positionAttribution(events: DataFrame, actorCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchTypes: Seq[String],
+      conversionType: String, firstWeight: Double = 0.4,
+      lastWeight: Double = 0.4): DataFrame = {
+    require(touchTypes.nonEmpty, "positionAttribution: touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"positionAttribution: conversion type $conversionType cannot be a touch type")
+    require(firstWeight >= 0 && lastWeight >= 0 &&
+      firstWeight + lastWeight <= 1.0,
+      s"positionAttribution: weights must be >= 0 with sum <= 1, " +
+        s"got $firstWeight/$lastWeight")
+    val w = Window.partitionBy(col(actorCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val typed = events.filter(col(actorCol).isNotNull)
+      .withColumn("_pat_touch", when(isTouch, col(typeCol)))
+    val withState = touchTypes.zipWithIndex.foldLeft(
+      typed
+        .withColumn("_pat_f", first(col("_pat_touch"), ignoreNulls = true).over(w))
+        .withColumn("_pat_l", last(col("_pat_touch"), ignoreNulls = true).over(w))) {
+      case (df, (t, i)) => df.withColumn(s"_pat_k$i",
+        sum(when(col(typeCol) === t, 1L).otherwise(0L)).over(w))
+    }
+    val conv = withState.filter(col(typeCol) === conversionType)
+      .withColumn("_pat_n",
+        touchTypes.indices.map(i => col(s"_pat_k$i")).reduce(_ + _))
+    val channelRows = touchTypes.zipWithIndex.map { case (t, i) =>
+      conv.filter(col("_pat_n") > 0 && col(s"_pat_k$i") > 0)
+        .groupBy(
+          (col("_pat_f") === t).cast(IntegerType).as("_pat_fm"),
+          (col("_pat_l") === t).cast(IntegerType).as("_pat_lm"),
+          col(s"_pat_k$i").as("_pat_k"), col("_pat_n"))
+        .agg(count(lit(1)).as("_pat_cnt"))
+        .select(lit(t).as("channel"), col("_pat_fm"), col("_pat_lm"),
+          col("_pat_k"), col("_pat_n"), col("_pat_cnt"))
+    }.reduce(_.unionByName(_))
+    val fw = lit(firstWeight); val lw = lit(lastWeight)
+    val mw = lit(1.0) - fw - lw
+    val term = (e: Column) => {
+      val cnt = e("_pat_cnt").cast(DoubleType)
+      val fm = e("_pat_fm").cast(DoubleType); val lm = e("_pat_lm").cast(DoubleType)
+      val k = e("_pat_k").cast(DoubleType); val n = e("_pat_n").cast(DoubleType)
+      when(e("_pat_n") === 1, cnt * fm)
+        .when(e("_pat_n") === 2, cnt * (lit(0.5) * fm + lit(0.5) * lm))
+        .otherwise(cnt * (fw * fm + lw * lm +
+          mw * (k - fm - lm) / (n - lit(2.0))))
+    }
+    val folded = channelRows
+      .groupBy(col("channel"))
+      .agg(
+        sum(col("_pat_cnt")).as("n_conversions"),
+        sum(col("_pat_cnt") * col("_pat_fm")).as("n_first"),
+        sum(col("_pat_cnt") * col("_pat_lm")).as("n_last"),
+        aggregate(
+          sort_array(collect_list(struct(col("_pat_fm"), col("_pat_lm"),
+            col("_pat_k"), col("_pat_n"), col("_pat_cnt")))),
+          lit(0.0), (acc, e) => acc + term(e))
+          .as("credit"))
+    val direct = conv.filter(col("_pat_n") === 0)
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("direct").as("channel"), col("n_conversions"),
+        lit(0L).as("n_first"), lit(0L).as("n_last"),
+        col("n_conversions").cast(DoubleType).as("credit"))
+    folded.unionByName(direct).orderBy(col("channel"))
+  }
 }

@@ -7596,6 +7596,73 @@ object Catalog {
              |    - 15.59 END AS fk_grade
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Position-based (U-shaped 40/20/40) attribution
+    // (EventOps.positionAttribution): first/last touches take 0.4
+    // each, the middle splits the rest — the introduction-AND-closing
+    // model beside last-touch and linear. Same sorted-bounded-grain
+    // exact fold; the middle weight restates as (1.0 - 0.4 - 0.4) in
+    // BOTH engines (≠ the literal 0.2 by one ulp — measured class).
+    "win_attribution_position" -> QuerySpec(
+      (s, d) => EventOps.positionAttribution(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("click", "view"), "purchase"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    event_type,
+             |    CASE WHEN event_type IN ('click', 'view')
+             |      THEN event_type END AS touch
+             |  FROM events WHERE user_id IS NOT NULL),
+             |c AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    first_value(touch IGNORE NULLS) OVER w AS f,
+             |    last_value(touch IGNORE NULLS) OVER w AS l,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      OVER w AS k0,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      OVER w AS k1
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |conv AS (
+             |  SELECT f, l, k0, k1, k0 + k1 AS n FROM c
+             |  WHERE event_type = 'purchase'),
+             |chan AS (
+             |  SELECT 'click' AS channel,
+             |    CASE WHEN f = 'click' THEN 1 ELSE 0 END AS fm,
+             |    CASE WHEN l = 'click' THEN 1 ELSE 0 END AS lm,
+             |    k0 AS k, n, count(*) AS cnt
+             |  FROM conv WHERE n > 0 AND k0 > 0 GROUP BY 2, 3, 4, 5
+             |  UNION ALL
+             |  SELECT 'view', CASE WHEN f = 'view' THEN 1 ELSE 0 END,
+             |    CASE WHEN l = 'view' THEN 1 ELSE 0 END, k1, n, count(*)
+             |  FROM conv WHERE n > 0 AND k1 > 0 GROUP BY 2, 3, 4, 5),
+             |folded AS (
+             |  SELECT channel,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_conversions,
+             |    CAST(SUM(cnt * fm) AS BIGINT) AS n_first,
+             |    CAST(SUM(cnt * lm) AS BIGINT) AS n_last,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(CASE
+             |        WHEN n = 1 THEN CAST(cnt AS DOUBLE) * CAST(fm AS DOUBLE)
+             |        WHEN n = 2 THEN CAST(cnt AS DOUBLE)
+             |          * (0.5 * CAST(fm AS DOUBLE) + 0.5 * CAST(lm AS DOUBLE))
+             |        ELSE CAST(cnt AS DOUBLE)
+             |          * (0.4 * CAST(fm AS DOUBLE) + 0.4 * CAST(lm AS DOUBLE)
+             |            + (1.0 - 0.4 - 0.4)
+             |              * (CAST(k AS DOUBLE) - CAST(fm AS DOUBLE)
+             |                 - CAST(lm AS DOUBLE))
+             |              / (CAST(n AS DOUBLE) - 2.0)) END
+             |        ORDER BY fm, lm, k, n, cnt)),
+             |      (a, b) -> a + b) AS credit
+             |  FROM chan GROUP BY 1),
+             |direct AS (
+             |  SELECT 'direct' AS channel,
+             |    CAST(count(*) AS BIGINT) AS n_conversions,
+             |    CAST(0 AS BIGINT) AS n_first, CAST(0 AS BIGINT) AS n_last,
+             |    CAST(count(*) AS DOUBLE) AS credit
+             |  FROM conv WHERE n = 0)
+             |SELECT * FROM folded UNION ALL SELECT * FROM direct
+             |ORDER BY channel""".stripMargin)),
+
     // Winsorization (outlier clipping to exact [p01, p99]): percentile
     // pass → one broadcast row → per-row clamp. Exact-percentile parity
     // with quantile_cont is already pinned by fn_percentile.
@@ -9240,6 +9307,60 @@ object Catalog {
              |SELECT user_id, CAST(min(ep) AS BIGINT) AS sess_start, count(*) AS n_events
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, sess_start""".stripMargin)),
+
+    // Top behavior flows: the most common within-session event-type
+    // paths (first 5 steps) — the product-analytics "user flows"
+    // report. Sessionize (the stream_sessionize 30-min-gap window
+    // form), collect each session's ordered types ONCE via sort_array
+    // over (event_id, type) structs — bounded by session length, the
+    // gap bound is the state cap — then slice/join to a path string
+    // and count globally with a bounded-heap top-20. Exact counts,
+    // (n DESC, path) total order ⇒ fully oracled.
+    "agg_event_paths" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val ev = t(s, d, "events")
+          .withColumn("ep", unix_timestamp(date_trunc("second", col("ts"))))
+        val flagged = ev.withColumn("new_sess",
+          when(lag(col("ep"), 1).over(w).isNull, 0)
+            .when(col("ep") - lag(col("ep"), 1).over(w) > 1800, 1)
+            .otherwise(0))
+        val sess = flagged.withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val paths = sess
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(sort_array(collect_list(
+            struct(col("event_id"), col("event_type")))).as("_evs"))
+          .select(concat_ws(">",
+            transform(slice(col("_evs"), 1, 5), e => e("event_type")))
+            .as("path"))
+        paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, event_type, ep,
+             |    CASE WHEN lag(ep, 1) OVER w IS NULL THEN 0
+             |         WHEN ep - lag(ep, 1) OVER w > 1800 THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+             |sess AS (
+             |  SELECT user_id, event_id, event_type,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_id
+             |  FROM flagged),
+             |paths AS (
+             |  SELECT array_to_string(
+             |      list(event_type ORDER BY event_id)[1:5], '>') AS path
+             |  FROM sess GROUP BY user_id, session_id)
+             |SELECT path, count(*) AS n
+             |FROM paths GROUP BY 1
+             |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
 
     // Gap-based sessionization in SQL-window form (30-min gap): lag →
     // new-session flag → running sum = session id. Timestamps truncated to

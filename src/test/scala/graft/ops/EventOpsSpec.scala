@@ -305,6 +305,56 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Map("click" -> 1.0, "direct" -> 1.0), got)
   }
 
+  test("positionAttribution: hand-computed U-shape incl. n=1/n=2 cases") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // user 1: click,view,view,purchase → n=3: f=click l=view
+    //   click: 0.4 (first) ; view: 0.4 (last) + 0.2·(2−0−1)/1 = 0.6
+    // user 2: view,purchase → n=1: view 1.0
+    // user 3: click,view,purchase → n=2: 0.5 / 0.5
+    // user 4: purchase → direct
+    val ev = Seq(
+      (1L, ts(1), 1L, "click"), (1L, ts(2), 2L, "view"),
+      (1L, ts(3), 3L, "view"), (1L, ts(4), 4L, "purchase"),
+      (2L, ts(1), 5L, "view"), (2L, ts(2), 6L, "purchase"),
+      (3L, ts(1), 7L, "click"), (3L, ts(2), 8L, "view"),
+      (3L, ts(3), 9L, "purchase"),
+      (4L, ts(1), 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.positionAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val mw = 1.0 - 0.4 - 0.4
+    // click credit: u1 0.4·1 (first) + u3 0.5 (n=2 first)
+    val clickExp = 1.0 * (0.4 * 1.0 + 0.4 * 0.0 + mw * (1.0 - 1.0 - 0.0) / 1.0) +
+      1.0 * (0.5 * 1.0 + 0.5 * 0.0)
+    // view: u1 (last, k=2): 0.4·0 + 0.4·1 + mw·(2−0−1)/1 ; u2 n=1: 1 ;
+    //   u3 n=2 last: 0.5
+    assert(got("click")._4 == clickExp, got("click"))
+    assert(got("click")._1 == 2L && got("click")._2 == 2L && got("click")._3 == 0L)
+    val viewTerms = Seq(
+      1.0 * 1.0,                                   // (fm=1? u2 n=1: fm=lm=1) cnt·fm
+      1.0 * (0.5 * 0.0 + 0.5 * 1.0),               // u3 n=2 lm=1
+      1.0 * (0.4 * 0.0 + 0.4 * 1.0 + mw * (2.0 - 0.0 - 1.0) / 1.0)) // u1
+    // engine folds sorted by (fm,lm,k,n,cnt): u1 (0,1,2,3), u3 (0,1,1,2),
+    // u2 (1,1,1,1) → order: u3, u1, u2
+    val viewExp = 0.0 + viewTerms(1) + viewTerms(2) + viewTerms(0)
+    assert(got("view")._4 == viewExp, got("view"))
+    assert(got("direct") == ((1L, 0L, 0L, 1.0)), got("direct"))
+    // conservation: 4 conversions
+    assert(math.abs(got.values.map(_._4).sum - 4.0) < 1e-9)
+  }
+
+  test("positionAttribution validates weights") {
+    val df = Seq((1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    intercept[IllegalArgumentException] {
+      EventOps.positionAttribution(df, "user_id", "ts", "event_id",
+        "event_type", Seq("click"), "purchase", firstWeight = 0.7,
+        lastWeight = 0.5)
+    }
+  }
+
   test("linearAttribution matches a plain-Scala model on random streams") {
     val rng = new scala.util.Random(42L)
     val types = Seq("click", "view", "purchase", "other")
