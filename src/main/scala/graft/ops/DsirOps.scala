@@ -76,30 +76,44 @@ object DsirOps {
     transform(feats, f => (tokenHashCol(f, seed) % buckets).cast(IntegerType))
   }
 
-  /** FIT: freeze per-bucket log importance ratios from a target and a
-    * raw corpus. Output: one row per bucket in [0, buckets) —
-    * (`bucket` INT, `_lr` DECIMAL(20,6)) — parquet-able, so the two
-    * 100 TB fit scans happen once ever ([[SearchOps]] bm25Fit
-    * contract). Smoothing `s` gives every bucket mass on both sides;
-    * the full-grid build means scoring needs no default row. */
-  def dsirFit(target: DataFrame, raw: DataFrame, textCol: String,
-      buckets: Int = 256, smoothing: Double = 0.5, seed: Long = 7L): DataFrame = {
+  /** Per-document feature-bucket counts: (`idCol`, `bucket`, `_cnt`) —
+    * the shareable intermediate of the whole DSIR pipeline. Hash the
+    * corpus ONCE into this frame (and checkpoint/persist it), then
+    * derive both the fit's bucket totals AND the per-doc scores from
+    * it — the raw corpus is never feature-hashed twice. */
+  def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 256, seed: Long = 7L): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    df.select(col(idCol), explode(featureBuckets(col(textCol), buckets, seed))
+        .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+  }
+
+  /** FIT from precomputed [[docBucketCounts]] frames — the shape that
+    * reuses one hashing pass across fit and score. Output: one row per
+    * bucket in [0, buckets) — (`bucket` INT, `_lr` DECIMAL(20,6)) —
+    * parquet-able, so the two 100 TB fit scans happen once ever
+    * ([[SearchOps]] bm25Fit contract). Smoothing `s` gives every
+    * bucket mass on both sides; the full-grid build means scoring
+    * needs no default row. */
+  def dsirFitFromCounts(targetCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int = 256, smoothing: Double = 0.5): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
-    def bucketCounts(df: DataFrame, cnt: String): DataFrame =
-      df.select(explode(featureBuckets(col(textCol), buckets, seed)).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
-    // Each corpus is scanned ONCE and aggregates to ≤ buckets rows;
-    // the totals re-derive from those rows, never from a second scan.
-    // The grid (a literal range) restores never-seen buckets so the
-    // model is total over [0, buckets).
-    val grid = target.sparkSession.range(buckets.toLong)
+    def bucketTotals(counts: DataFrame, cnt: String): DataFrame =
+      counts.groupBy(col("bucket")).agg(sum(col("_cnt")).as(cnt))
+    // The doc-grain frames aggregate to ≤ buckets rows; the totals
+    // re-derive from those rows, never from a second corpus scan. The
+    // grid (a literal range) restores never-seen buckets so the model
+    // is total over [0, buckets).
+    val grid = targetCounts.sparkSession.range(buckets.toLong)
       .select(col("id").cast(IntegerType).as("bucket"))
     // each count frame feeds BOTH the grid join and its total — an
-    // in-plan double reference re-evaluates the corpus scan, so the
+    // in-plan double reference re-evaluates the upstream scan, so the
     // bucket-grain (≤ buckets rows) frames are eagerly materialized
-    val ct = TextOps.materializeUnlessLeaf(bucketCounts(target, "_ct"))
-    val cr = TextOps.materializeUnlessLeaf(bucketCounts(raw, "_cr"))
+    val ct = TextOps.materializeUnlessLeaf(bucketTotals(targetCounts, "_ct"))
+    val cr = TextOps.materializeUnlessLeaf(bucketTotals(rawCounts, "_cr"))
     val nt = ct.agg(sum(col("_ct")).as("_nt"))
     val nr = cr.agg(sum(col("_cr")).as("_nr"))
     grid
@@ -115,6 +129,34 @@ object DsirOps {
           .cast(DecimalType(20, 6)).as("_lr"))
   }
 
+  /** FIT from raw text (the simple API): hashes each corpus once,
+    * aggregating straight to the bucket grain (no doc-grain shuffle),
+    * and delegates to [[dsirFitFromCounts]]. For a fit+score
+    * composition over the SAME raw frame, hash once with
+    * [[docBucketCounts]] and reuse the frame on both sides instead. */
+  def dsirFit(target: DataFrame, raw: DataFrame, textCol: String,
+      buckets: Int = 256, smoothing: Double = 0.5, seed: Long = 7L): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def bucketGrain(df: DataFrame): DataFrame =
+      df.select(explode(featureBuckets(col(textCol), buckets, seed)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("_cnt"))
+    dsirFitFromCounts(bucketGrain(target), bucketGrain(raw),
+      buckets, smoothing)
+  }
+
+  /** SCORE from a precomputed [[docBucketCounts]] frame. */
+  def dsirScoreFromCounts(docCounts: DataFrame, idCol: String,
+      model: DataFrame): DataFrame = {
+    val m = TextOps.materializeUnlessLeaf(model)
+    docCounts
+      // hint-broadcast: the model is ≤ buckets rows BY CONSTRUCTION
+      .join(broadcast(m), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_cnt")).as("n_feats"),
+        sum(col("_cnt").cast(DecimalType(10, 0)) * col("_lr"))
+          .cast(DoubleType).as("log_w"))
+  }
+
   /** SCORE: per-document log importance weight under a FROZEN
     * [[dsirFit]] model. Output: (`idCol`, `n_feats` BIGINT,
     * `log_w` DOUBLE) where log_w = Σ count_b·lr(b) accumulated in
@@ -127,29 +169,15 @@ object DsirOps {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     // `buckets`/`seed` must be the fit-time values — the model frame
     // carries only (bucket, _lr), so the hashing config travels with
-    // the caller exactly as bm25TopK's k1/b do. An in-plan fit
-    // composition re-evaluates the fit subtree per reference; the
-    // model is ≤ buckets rows, so one eager materialization collapses
-    // that ([[ClassifyOps.nbScoreWith]]'s measured trade).
-    val m = TextOps.materializeUnlessLeaf(model)
-    val docBuckets = df
-      .select(col(idCol), explode(featureBuckets(col(textCol), buckets, seed))
-        .as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("_cnt"))
-    docBuckets
-      // hint-broadcast: the model is ≤ buckets rows BY CONSTRUCTION
-      // (a parameter, not data), so this is the classRows case of
-      // nbScoreWith's hint rationale — never a memory hazard
-      .join(broadcast(m), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("_cnt")).as("n_feats"),
-        // DECIMAL(10,0)×DECIMAL(20,6) = DECIMAL(31,6): exact — a
-        // BIGINT factor would push the product past precision 38 and
-        // Spark's precision-loss rule truncates the scale (the
-        // nbScoreWith 2e-6 drift, pinned there)
-        sum(col("_cnt").cast(DecimalType(10, 0)) * col("_lr"))
-          .cast(DoubleType).as("log_w"))
+    // the caller exactly as bm25TopK's k1/b do. The decimal product
+    // inside dsirScoreFromCounts is DECIMAL(10,0)×DECIMAL(20,6) =
+    // DECIMAL(31,6): exact — a BIGINT factor would push the product
+    // past precision 38 and Spark's precision-loss rule truncates the
+    // scale (the nbScoreWith 2e-6 drift, pinned there).
+    dsirScoreFromCounts(
+      docBucketCounts(df.select(col(idCol), col(textCol)),
+        idCol, textCol, buckets, seed),
+      idCol, model)
   }
 
   /** SELECT: the k most target-like documents — rank by

@@ -6766,10 +6766,19 @@ object Catalog {
           .select(col("doc_id"), col("text"), col("source"))
         val target = docs.filter(col("source") === "src0")
         val raw = docs.filter(col("source") =!= "src0")
-        val model = DsirOps.dsirFit(target, raw, "text",
-          buckets = 64, smoothing = 0.5, seed = 7L)
-        val scored = DsirOps.dsirScoreWith(raw, "doc_id", "text", model,
+        // the raw corpus is feature-hashed ONCE into the shared
+        // doc-bucket frame (eagerly materialized — it feeds both the
+        // fit's totals and the scoring join); the production pipeline
+        // persists this frame as parquet instead
+        val rawCounts = DsirOps.docBucketCounts(
+          raw.select(col("doc_id"), col("text")), "doc_id", "text",
+          buckets = 64, seed = 7L).localCheckpoint()
+        val targetCounts = DsirOps.docBucketCounts(
+          target.select(col("doc_id"), col("text")), "doc_id", "text",
           buckets = 64, seed = 7L)
+        val model = DsirOps.dsirFitFromCounts(targetCounts, rawCounts,
+          buckets = 64, smoothing = 0.5)
+        val scored = DsirOps.dsirScoreFromCounts(rawCounts, "doc_id", model)
         DsirOps.dsirSelect(scored, "doc_id", 100)
           .select(col("doc_id"), col("n_feats"), col("log_w"))
           .orderBy(col("log_w").desc, col("doc_id"))
