@@ -4729,6 +4729,81 @@ object Catalog {
              |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 2.0) AS tvd
              |FROM j GROUP BY ga, gb, na, nb ORDER BY ga, gb""".stripMargin)),
 
+    // PMI collocations (Church & Hanks 1990): pointwise mutual
+    // information of top-term pairs from document-level co-occurrence
+    // — the lexical-association miner behind phrase/topic diagnostics.
+    // Candidate pairs bound to the global top-50 terms (the
+    // sourceDivergence kept-set mechanism) and the self-join runs
+    // CO-PARTITIONED on doc_id, so pairs are Σ k_d·(k_d−1)/2 with
+    // k_d ≤ 50 — never vocabulary². PMI's log is quantized ONCE to
+    // DECIMAL(12,6) over a fixed double ratio chain (the zipf
+    // discipline) ⇒ fully oracled.
+    "text_pmi_collocations" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val toks = docs.select(col("doc_id"),
+            explode(TextOps.tokenize(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val kept = toks.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+          .orderBy(col("_c").desc, col("tok")).limit(50).select(col("tok"))
+        val inc = toks.join(broadcast(kept), "tok")
+          .select(col("doc_id"), col("tok")).distinct()
+        val nA = inc.groupBy(col("tok")).agg(count(lit(1)).as("_na"))
+        val nDocs = docs.agg(count(lit(1)).as("_n"))
+        val pairs = inc.as("l")
+          .join(inc.as("r"), col("l.doc_id") === col("r.doc_id") &&
+            col("l.tok") < col("r.tok"))
+          .groupBy(col("l.tok").as("term_a"), col("r.tok").as("term_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val top = pairs
+          .orderBy(col("n_ab").desc, col("term_a"), col("term_b")).limit(50)
+        top
+          .join(broadcast(nA.withColumnRenamed("tok", "term_a")
+            .withColumnRenamed("_na", "n_a")), Seq("term_a"))
+          .join(broadcast(nA.withColumnRenamed("tok", "term_b")
+            .withColumnRenamed("_na", "n_b")), Seq("term_b"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("term_a"), col("term_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            log((col("n_ab").cast(DoubleType) * col("_n").cast(DoubleType)) /
+              (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+              .cast(DecimalType(12, 6)).cast(DoubleType).as("pmi"))
+          .orderBy(col("n_ab").desc, col("term_a"), col("term_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+             |kept AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, count(*) AS c,
+             |      ROW_NUMBER() OVER (ORDER BY count(*) DESC, tok) AS r
+             |    FROM tk GROUP BY tok) WHERE r <= 50),
+             |inc AS (
+             |  SELECT DISTINCT doc_id, tok FROM tk
+             |  WHERE tok IN (SELECT tok FROM kept)),
+             |na AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |pairs AS (
+             |  SELECT l.tok AS term_a, r.tok AS term_b,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM inc l JOIN inc r
+             |    ON l.doc_id = r.doc_id AND l.tok < r.tok
+             |  GROUP BY 1, 2),
+             |top AS (
+             |  SELECT * FROM pairs
+             |  ORDER BY n_ab DESC, term_a, term_b LIMIT 50)
+             |SELECT t.term_a, t.term_b, t.n_ab, a.n AS n_a, b.n AS n_b,
+             |  CAST(CAST(ln((CAST(t.n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE))
+             |    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)))
+             |    AS DECIMAL(12,6)) AS DOUBLE) AS pmi
+             |FROM top t
+             |JOIN na a ON a.tok = t.term_a
+             |JOIN na b ON b.tok = t.term_b
+             |CROSS JOIN nd
+             |ORDER BY n_ab DESC, term_a, term_b""".stripMargin)),
+
     // Zipf-law fit of the token frequency head (TextOps.zipfSlope):
     // OLS slope of ln(freq) on ln(rank) over the top-200 terms — the
     // distribution-shape tripwire (natural ≈ −1; the synthetic
@@ -9370,6 +9445,127 @@ object Catalog {
              |SELECT path, count(*) AS n
              |FROM paths GROUP BY 1
              |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // Kaplan-Meier survival curve (product-limit estimator, Kaplan &
+    // Meier 1958): time-to-first-purchase in hours with administrative
+    // right-censoring at a 100 h study horizon (no-purchase users
+    // censor at min(horizon, last observed hour)). The curve lives on
+    // the HOUR grain — ≤ horizon+1 rows by construction, so the
+    // single-partition window and the running product are bounded; the
+    // survival product folds the running factor list left-to-right
+    // (1 − d/n each one IEEE division) — the fixed-chain discipline
+    // for the one place a cumulative float product appears.
+    "agg_survival_km" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+          .withColumn("ep", unix_timestamp(date_trunc("second", col("ts"))))
+        val f = ev.groupBy(col("user_id"))
+          .agg(min(col("ep")).as("_t0"), max(col("ep")).as("_tl"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ep")).as("_tp"))
+        val o = f.join(p, Seq("user_id"), "left")
+          // `div`, not `/`: Spark's / is fractional even on longs —
+          // the oracle's // is integer division, so mirror it exactly
+          .withColumn("_te", expr("(_tp - _t0) div 3600"))
+          .withColumn("_tle", expr("(_tl - _t0) div 3600"))
+          .withColumn("ev",
+            (col("_tp").isNotNull && col("_te") <= 100).cast(IntegerType))
+          .withColumn("t", when(col("ev") === 1, col("_te"))
+            .otherwise(least(lit(100L), col("_tle"))).cast(LongType))
+        val g = o.groupBy(col("t"))
+          .agg(sum(col("ev")).cast(LongType).as("d"),
+            sum(lit(1) - col("ev")).cast(LongType).as("c"))
+        val n = o.agg(count(lit(1)).as("_n"))
+        val w = Window.partitionBy(lit(0)).orderBy(col("t"))
+        g.withColumn("_prior", coalesce(sum(col("d") + col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .crossJoin(broadcast(n))
+          .withColumn("n_risk", col("_n") - col("_prior"))
+          .withColumn("_factor", lit(1.0) -
+            col("d").cast(DoubleType) / col("n_risk").cast(DoubleType))
+          .withColumn("survival",
+            aggregate(collect_list(col("_factor")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)),
+              lit(1.0), (acc, x) => acc * x))
+          .select(col("t"), col("n_risk"), col("d").as("n_events"),
+            col("c").as("n_censored"), col("survival"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+             |  FROM events WHERE user_id IS NOT NULL),
+             |f AS (SELECT user_id, min(ep) AS t0, max(ep) AS tl
+             |      FROM e GROUP BY 1),
+             |p AS (SELECT user_id, min(ep) AS tp FROM e
+             |      WHERE event_type = 'purchase' GROUP BY 1),
+             |o AS (
+             |  SELECT
+             |    CASE WHEN tp IS NOT NULL AND (tp - t0) // 3600 <= 100
+             |      THEN 1 ELSE 0 END AS ev,
+             |    CAST(CASE WHEN tp IS NOT NULL AND (tp - t0) // 3600 <= 100
+             |      THEN (tp - t0) // 3600
+             |      ELSE LEAST(100, (tl - t0) // 3600) END AS BIGINT) AS t
+             |  FROM f LEFT JOIN p USING (user_id)),
+             |g AS (
+             |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             |    CAST(SUM(1 - ev) AS BIGINT) AS c
+             |  FROM o GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM o),
+             |cum AS (
+             |  SELECT t, d, c,
+             |    CAST(nn - COALESCE(SUM(d + c) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n_risk
+             |  FROM g CROSS JOIN n),
+             |fs AS (
+             |  SELECT t, n_risk, d, c,
+             |    list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS fl
+             |  FROM cum)
+             |SELECT t, n_risk, d AS n_events, c AS n_censored,
+             |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fl),
+             |    (a, b) -> a * b) AS survival
+             |FROM fs ORDER BY t""".stripMargin)),
+
+    // First-order Markov transition matrix of event types: the
+    // behavior model behind flow prediction/anomaly — P(next | current)
+    // from exact pair counts over ONE actor-grain lead() window; the
+    // probability is a single IEEE division of two exact longs.
+    // Terminal events (no successor) land in the '__end' column as
+    // data, so rows sum to 1 across the full matrix.
+    "agg_markov_transitions" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val pairs = t(s, d, "events")
+          .filter(col("user_id").isNotNull)
+          .withColumn("to_type",
+            coalesce(lead(col("event_type"), 1).over(w), lit("__end")))
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("_tot"))
+        pairs.join(totals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast(DoubleType) / col("_tot").cast(DoubleType)).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT event_type AS from_type,
+             |    COALESCE(lead(event_type, 1) OVER (
+             |      PARTITION BY user_id ORDER BY event_id), '__end') AS to_type
+             |  FROM events WHERE user_id IS NOT NULL),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM pairs GROUP BY 1, 2),
+             |t AS (
+             |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
 
     // Gap-based sessionization in SQL-window form (30-min gap): lag →
     // new-session flag → running sum = session id. Timestamps truncated to

@@ -259,8 +259,12 @@ class PlanSpec extends SparkSpec {
       "agg_assoc_rules",       // 1-row basket-count scalar broadcast
                                // (the support denominator)
       "profile_benford",       // 1-row digit-total scalar broadcast
-      "agg_rfm_segment")       // 1-row snapshot-date + 3× 1-row
+      "agg_rfm_segment",       // 1-row snapshot-date + 3× 1-row
                                // quantile-threshold scalar broadcasts
+      "text_pmi_collocations", // 1-row doc-count scalar broadcast
+                               // (the PMI denominator)
+      "agg_survival_km")       // 1-row cohort-size scalar broadcast
+                               // (the at-risk baseline)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
