@@ -7344,6 +7344,74 @@ object Catalog {
     // months-bounded collect_set); cohort size recovered from the
     // matrix's own offset-0 cell via a window max — no second pass.
     // Calendar-integer offset arithmetic + one IEEE division ⇒ oracled.
+    // Cohort LTV curve (the revenue companion to agg_cohort_retention):
+    // per (cohort month, month offset) the cohort's revenue that month,
+    // the running cumulative revenue, and LTV per member — revenue
+    // accumulates in exact DECIMAL(18,2) (window cumsum included), the
+    // two presented doubles are exact casts (values ≪ 2⁵³·scale) and
+    // ONE division. Cohort sizes are a month-grain broadcast.
+    "agg_cohort_ltv" -> QuerySpec(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        val pa = o.groupBy(col("o_custkey").as("actor"))
+          .agg(date_trunc("month", min(col("o_orderdate"))).as("_coh"))
+        val rev = o.select(col("o_custkey").as("actor"),
+            date_trunc("month", col("o_orderdate")).as("_m"),
+            col("o_totalprice"))
+          .join(pa, "actor")
+          .groupBy(col("_coh").cast(DateType).as("cohort_month"),
+            ((year(col("_m")) - year(col("_coh"))) * 12 +
+              (month(col("_m")) - month(col("_coh"))))
+              .cast(IntegerType).as("month_offset"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("_rev"))
+        val size = pa.groupBy(col("_coh").cast(DateType).as("cohort_month"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val w = Window.partitionBy(col("cohort_month"))
+          .orderBy(col("month_offset"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rev.join(broadcast(size), Seq("cohort_month"))
+          .withColumn("_cum", sum(col("_rev")).over(w))
+          .select(col("cohort_month"), col("month_offset"),
+            col("_rev").cast(DoubleType).as("month_revenue"),
+            col("_cum").cast(DoubleType).as("cum_revenue"),
+            col("cohort_size"),
+            (col("_cum").cast(DoubleType) /
+              col("cohort_size").cast(DoubleType)).as("ltv_per_member"))
+          .orderBy(col("cohort_month"), col("month_offset"))
+      },
+      Some("""WITH src AS (
+             |  SELECT * FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+             |pa AS (
+             |  SELECT o_custkey AS actor,
+             |    date_trunc('month', min(o_orderdate)) AS coh
+             |  FROM src GROUP BY 1),
+             |rev AS (
+             |  SELECT CAST(pa.coh AS DATE) AS cohort_month,
+             |    CAST((year(date_trunc('month', s.o_orderdate)) - year(pa.coh))
+             |      * 12 + (month(date_trunc('month', s.o_orderdate))
+             |      - month(pa.coh)) AS INTEGER) AS month_offset,
+             |    SUM(CAST(s.o_totalprice AS DECIMAL(18,2))) AS r
+             |  FROM src s JOIN pa ON pa.actor = s.o_custkey
+             |  GROUP BY 1, 2),
+             |sz AS (
+             |  SELECT CAST(coh AS DATE) AS cohort_month,
+             |    CAST(count(*) AS BIGINT) AS cohort_size
+             |  FROM pa GROUP BY 1),
+             |c AS (
+             |  SELECT rev.*, sz.cohort_size,
+             |    SUM(r) OVER (PARTITION BY rev.cohort_month
+             |      ORDER BY month_offset
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM rev JOIN sz USING (cohort_month))
+             |SELECT cohort_month, month_offset,
+             |  CAST(r AS DOUBLE) AS month_revenue,
+             |  CAST(cum AS DOUBLE) AS cum_revenue, cohort_size,
+             |  CAST(cum AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+             |    AS ltv_per_member
+             |FROM c ORDER BY cohort_month, month_offset""".stripMargin)),
+
     "agg_cohort_retention" -> QuerySpec(
       (s, d) => EventOps.cohortRetention(
         t(s, d, "orders"), "o_custkey", "o_orderdate"),
@@ -7528,6 +7596,60 @@ object Catalog {
              |  FROM conv WHERE n = 0)
              |SELECT * FROM folded UNION ALL SELECT * FROM direct
              |ORDER BY channel""".stripMargin)),
+
+    // Chi-square independence cells: event type × daypart contingency
+    // table with expected counts and per-cell χ² terms — "does behavior
+    // depend on time of day" stated as the classic test. Exact cell/
+    // marginal counts from ONE aggregation; expected and each term are
+    // fixed IEEE chains (the profile_benford discipline); the scalar
+    // statistic is the caller's fold over the ≤ types×4 rows.
+    "profile_chi2_independence" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          // div, not /: Spark's / is fractional — mirror the oracle's //
+          .select(col("event_type"),
+            expr("hour(ts) div 6").cast(IntegerType).as("daypart"))
+        val cells = ev.groupBy(col("event_type"), col("daypart"))
+          .agg(count(lit(1)).as("n"))
+        val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("_r"))
+        val colT = cells.groupBy(col("daypart")).agg(sum(col("n")).as("_c"))
+        val tot = cells.agg(sum(col("n")).as("_t"))
+        val e = (col("_r").cast(DoubleType) * col("_c").cast(DoubleType)) /
+          col("_t").cast(DoubleType)
+        cells
+          .join(broadcast(rowT), Seq("event_type"))
+          .join(broadcast(colT), Seq("daypart"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("daypart"), col("n"),
+            e.as("expected"),
+            ((col("n").cast(DoubleType) - e) *
+              (col("n").cast(DoubleType) - e) / e).as("chi2_term"))
+          .orderBy(col("event_type"), col("daypart"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(hour(ts) // 6 AS INTEGER) AS daypart
+             |  FROM events),
+             |cells AS (
+             |  SELECT event_type, daypart, CAST(count(*) AS BIGINT) AS n
+             |  FROM ev GROUP BY 1, 2),
+             |r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rt
+             |      FROM cells GROUP BY 1),
+             |c AS (SELECT daypart, CAST(SUM(n) AS BIGINT) AS ct
+             |      FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM cells)
+             |SELECT cells.event_type, cells.daypart, cells.n,
+             |  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)
+             |    AS expected,
+             |  (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |     / CAST(tt AS DOUBLE))
+             |   * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |     / CAST(tt AS DOUBLE))
+             |   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE))
+             |    AS chi2_term
+             |FROM cells
+             |JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t
+             |ORDER BY event_type, daypart""".stripMargin)),
 
     // Benford first-digit profile (ProfileOps.benfordProfile): the
     // fabricated-/truncated-data tripwire for amount columns — digit
@@ -8298,6 +8420,63 @@ object Catalog {
              |  hw[1] AS level, hw[2] AS trend, hw[3] AS seasonal_next,
              |  hw[1] + hw[2] + hw[3] AS forecast
              |FROM f ORDER BY event_id""".stripMargin)),
+
+    // Seasonal-residual anomaly alarm: value vs the PREVIOUS row's
+    // Holt-Winters one-step forecast, flagged at 4× the series' median
+    // absolute residual — the seasonality-aware outlier rule a plain
+    // z/MAD rule false-alarms on every cycle peak of. Composes
+    // ts_holt_winters' fold + one lag + an exact-percentile per-series
+    // scale (parity pinned by fn_percentile); first row per series has
+    // NULL residual/alarm as data.
+    "ts_seasonal_alarm" -> QuerySpec(
+      (s, d) => {
+        val hw = TimeSeriesOps.holtWintersWindowed(
+          t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+          "user_id", "event_id", "value",
+          alpha = 0.25, beta = 0.125, gamma = 0.5, period = 4, span = 20)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val res = hw.withColumn("residual",
+          col("value") - lag(col("forecast"), 1).over(w))
+        val mar = res.filter(col("residual").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(expr("percentile(abs(residual), 0.5)").as("med_abs_resid"))
+        res.join(mar, Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("residual"), col("med_abs_resid"),
+            (abs(col("residual")) > col("med_abs_resid") * lit(4.0)).as("alarm"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, value,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, value,
+             |    list_reduce(
+             |      list_transform(lst, x -> [x, CAST(0.0 AS DOUBLE),
+             |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+             |      (acc, e) -> [
+             |        0.25 * (e[1] - acc[3]) + 0.75 * (acc[1] + acc[2]),
+             |        0.125 * ((0.25 * (e[1] - acc[3]) + 0.75 * (acc[1] + acc[2]))
+             |          - acc[1]) + 0.875 * acc[2],
+             |        acc[4], acc[5], acc[6],
+             |        0.5 * (e[1] - (0.25 * (e[1] - acc[3])
+             |          + 0.75 * (acc[1] + acc[2]))) + 0.5 * acc[3]]) AS hw
+             |  FROM l),
+             |r AS (
+             |  SELECT event_id, user_id, value,
+             |    value - lag(hw[1] + hw[2] + hw[3], 1) OVER (
+             |      PARTITION BY user_id ORDER BY event_id) AS residual
+             |  FROM f),
+             |m AS (
+             |  SELECT user_id, quantile_cont(abs(residual), 0.5) AS mar
+             |  FROM r WHERE residual IS NOT NULL GROUP BY 1)
+             |SELECT r.event_id, r.user_id, r.value, r.residual,
+             |  m.mar AS med_abs_resid,
+             |  abs(r.residual) > m.mar * 4.0 AS alarm
+             |FROM r JOIN m USING (user_id) ORDER BY event_id""".stripMargin)),
 
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact

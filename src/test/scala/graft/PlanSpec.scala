@@ -263,8 +263,9 @@ class PlanSpec extends SparkSpec {
                                // quantile-threshold scalar broadcasts
       "text_pmi_collocations", // 1-row doc-count scalar broadcast
                                // (the PMI denominator)
-      "agg_survival_km")       // 1-row cohort-size scalar broadcast
+      "agg_survival_km",       // 1-row cohort-size scalar broadcast
                                // (the at-risk baseline)
+      "profile_chi2_independence") // 1-row grand-total scalar broadcast
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
