@@ -826,6 +826,49 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC token-set containment pairs: |A∩B|/|A| and |A∩B|/|B|
+    * for candidate pairs — the quote/partial-inclusion detector
+    * symmetric Jaccard structurally misses (a tweet quoted inside an
+    * article has tiny Jaccard but containment ≈ 1 from the tweet's
+    * side). Same candidate/budget machinery as [[ngramJaccardPairs]]
+    * (shared-token equi-join, stopword-bucket cap — never all-pairs);
+    * a pair survives when EITHER direction reaches `threshold`, and
+    * both directions are reported (each ONE exact-long division). */
+  def tokenContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 1,
+      maxBucketPairs: Long = DefaultMaxBucketPairs): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
+    val elems =
+      if (shingleN <= 1) array_distinct(split(lower(col(textCol)), "\\s+"))
+      else array_distinct(call_function("shingle_array",
+        split(lower(col(textCol)), "\\s+"), lit(shingleN)))
+    val toks = df.select(col(idCol).as("id"), explode(elems).as("tok"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val maxBucketDocs = maxDocsForPairBudget(maxBucketPairs)
+    val stopTokens = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("_tn"))
+      .filter(col("_tn") > maxBucketDocs)
+      .select(col("tok"))
+    val rare = toks.join(broadcast(stopTokens), Seq("tok"), "left_anti")
+    val inter = rare.as("a").join(rare.as("b"), Seq("tok"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("cont_a",
+        col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType))
+      .withColumn("cont_b",
+        col("n_inter").cast(DoubleType) / col("n_b").cast(DoubleType))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("n_a"), col("n_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** Two-stage near-dup verification: cheap set-similarity blocking
     * ([[ngramJaccardPairs]]) proposes candidates; expensive edit
     * distance confirms them. Levenshtein is O(|a|·|b|) per pair — at

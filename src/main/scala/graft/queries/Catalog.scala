@@ -7651,6 +7651,113 @@ object Catalog {
              |JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t
              |ORDER BY event_type, daypart""".stripMargin)),
 
+    // EXACT two-sample Kolmogorov-Smirnov statistic: D = max|F₁−F₂|
+    // over the pooled value grain, computed ENTIRELY in integers —
+    // the CDF-difference comparison cross-multiplies to
+    // |f₁·n₂ − f₂·n₁| (exact longs; swap in DECIMAL(18,0) products
+    // past n₁·n₂ ~ 2⁶³), so the argmax is bit-deterministic and the
+    // one division happens once, on the single output row. The window
+    // runs on the VALUE grain (50 distinct quantities — continuous
+    // data should be binned first, the drift-key pattern).
+    "profile_ks_exact" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_quantity").isNotNull &&
+            col("l_returnflag").isin("A", "R"))
+        val grain = li.groupBy(col("l_quantity").as("v"))
+          .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c2"))
+        val tot = grain.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val w = Window.partitionBy(lit(0)).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = grain
+          .withColumn("f1", sum(col("c1")).over(w))
+          .withColumn("f2", sum(col("c2")).over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("d", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+        cum.orderBy(col("d").desc, col("v")).limit(1)
+          .select(col("v").as("at_value"), col("n1"), col("n2"),
+            col("d").as("ks_num"),
+            (col("d").cast(DoubleType) /
+              (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
+              .as("ks"))
+      },
+      Some("""WITH src AS (
+             |  SELECT l_returnflag, l_quantity AS v FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')),
+             |g AS (
+             |  SELECT v,
+             |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c2
+             |  FROM src GROUP BY 1),
+             |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |             CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+             |cum AS (
+             |  SELECT v,
+             |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+             |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+             |  FROM g),
+             |dd AS (
+             |  SELECT v, t.n1, t.n2, abs(f1 * t.n2 - f2 * t.n1) AS d
+             |  FROM cum CROSS JOIN t)
+             |SELECT v AS at_value, n1, n2, d AS ks_num,
+             |  CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             |    AS ks
+             |FROM dd ORDER BY d DESC, v LIMIT 1""".stripMargin)),
+
+    // Asymmetric n-gram containment (the quote/partial-inclusion
+    // detector): |A∩B|/|A| vs /|B| over the ngramJaccardPairs
+    // candidate machinery — a planted 8-token quote of doc 0 surfaces
+    // with containment 1.0 from the quote's side while its Jaccard
+    // stays far below any dedup threshold (the case the symmetric
+    // measure structurally misses). Exact-long divisions ⇒ oracled.
+    "dedup_ngram_containment" -> QuerySpec(
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"))
+        val quote = base.filter(col("doc_id") === 0)
+          .select(lit(9000L).as("doc_id"),
+            concat_ws(" ", slice(
+              filter(TextOps.tokenize(col("text")), t => length(t) > 0),
+              lit(1), lit(8))).as("text"))
+        DedupOps.tokenContainmentPairs(
+          base.unionByName(quote), "doc_id", "text", threshold = 0.6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 40),
+             |quote AS (
+             |  SELECT CAST(9000 AS BIGINT) AS id,
+             |    array_to_string(list_filter(
+             |      regexp_split_to_array(lower(text), '\s+'),
+             |      x -> length(x) > 0)[1:8], ' ') AS text
+             |  FROM documents WHERE doc_id = 0),
+             |docs AS (SELECT * FROM base UNION ALL SELECT * FROM quote),
+             |toks AS (
+             |  SELECT id, unnest(list_distinct(string_split(lower(text), ' ')))
+             |    AS tok
+             |  FROM docs),
+             |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+             |          FROM toks GROUP BY id),
+             |inter AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+             |  CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+             |  CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+             |FROM inter
+             |JOIN sizes sa ON sa.id = id_a
+             |JOIN sizes sb ON sb.id = id_b
+             |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.6
+             |   OR CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Benford first-digit profile (ProfileOps.benfordProfile): the
     // fabricated-/truncated-data tripwire for amount columns — digit
     // from floor(v·100) via exact integer→string (double→string
