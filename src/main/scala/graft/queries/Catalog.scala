@@ -8542,12 +8542,17 @@ object Catalog {
           "user_id", "event_id", "value",
           alpha = 0.25, beta = 0.125, gamma = 0.5, period = 4, span = 20)
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        // the per-series median rides as a WINDOW aggregate over the
+        // same user partition — ONE pass over the (interpreted-HOF,
+        // hence expensive) HW fold, no self-join, no checkpoint; an
+        // aggregate-then-join shape re-evaluated the fold (measured
+        // 7.1 s → this form); percentile ignores the first row's NULL
         val res = hw.withColumn("residual",
           col("value") - lag(col("forecast"), 1).over(w))
-        val mar = res.filter(col("residual").isNotNull)
-          .groupBy(col("user_id"))
-          .agg(expr("percentile(abs(residual), 0.5)").as("med_abs_resid"))
-        res.join(mar, Seq("user_id"))
+        res
+          .withColumn("med_abs_resid",
+            expr("percentile(abs(residual), 0.5)")
+              .over(Window.partitionBy(col("user_id"))))
           .select(col("event_id"), col("user_id"), col("value"),
             col("residual"), col("med_abs_resid"),
             (abs(col("residual")) > col("med_abs_resid") * lit(4.0)).as("alarm"))
@@ -8578,12 +8583,14 @@ object Catalog {
              |      PARTITION BY user_id ORDER BY event_id) AS residual
              |  FROM f),
              |m AS (
-             |  SELECT user_id, quantile_cont(abs(residual), 0.5) AS mar
-             |  FROM r WHERE residual IS NOT NULL GROUP BY 1)
-             |SELECT r.event_id, r.user_id, r.value, r.residual,
-             |  m.mar AS med_abs_resid,
-             |  abs(r.residual) > m.mar * 4.0 AS alarm
-             |FROM r JOIN m USING (user_id) ORDER BY event_id""".stripMargin)),
+             |  SELECT event_id, user_id, value, residual,
+             |    quantile_cont(abs(residual), 0.5) OVER (
+             |      PARTITION BY user_id) AS mar
+             |  FROM r)
+             |SELECT event_id, user_id, value, residual,
+             |  mar AS med_abs_resid,
+             |  abs(residual) > mar * 4.0 AS alarm
+             |FROM m ORDER BY event_id""".stripMargin)),
 
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact

@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L, 0.6))) // |∩|=3, |∪|=5
   }
 
+  test("tokenContainmentPairs: asymmetric directions; quote detected where jaccard misses") {
+    // doc 1 is a strict 3-token subset of doc 0's 10 tokens:
+    // containment from doc 1's side = 1.0 while jaccard = 3/10
+    val df = Seq(
+      (0L, "a b c d e f g h i j"), (1L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.tokenContainmentPairs(df, "doc_id", "text", 0.6)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 3L, 10L, 3L, 0.3, 1.0)), got.mkString(","))
+    val jac = DedupOps.ngramJaccardPairs(df, "doc_id", "text", 0.6)
+      .collect()
+    assert(jac.isEmpty, "jaccard at the same threshold must miss the quote")
+    intercept[IllegalArgumentException] {
+      DedupOps.tokenContainmentPairs(df, "doc_id", "text", 0.0)
+    }
+  }
+
   test("minhash est_jaccard agrees with exact shingle jaccard within the LSH bound (sf0.1)") {
     // the estimator check: every candidate pair's est_jaccard (fraction
     // of agreeing minhashes) is compared to the EXACT shingle-set
