@@ -7344,6 +7344,97 @@ object Catalog {
     // months-bounded collect_set); cohort size recovered from the
     // matrix's own offset-0 cell via a window max — no second pass.
     // Calendar-integer offset arithmetic + one IEEE division ⇒ oracled.
+    // Growth accounting (the Social-Capital framework): per calendar
+    // month the NEW / RETAINED (active previous month) / RESURRECTED
+    // (returning after a gap) / CHURNED (active last month, absent
+    // this month) customer counts and the quick ratio
+    // (new+resurrected)/churned — the canonical MAU decomposition.
+    // One (customer, month-index) distinct grain, one lag and one lead
+    // over the customer window; month arithmetic is exact integers
+    // (mi = y·12 + m−1); the final observed month cannot emit churn
+    // (right-censored — the lead is NULL there by data, not absence),
+    // so churn attribution stops at the max month (1-row broadcast).
+    "agg_growth_accounting" -> QuerySpec(
+      (s, d) => {
+        val act = t(s, d, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+          .select(col("o_custkey").as("cust"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+              .as("mi"))
+          .distinct()
+        val w = Window.partitionBy(col("cust")).orderBy(col("mi"))
+        val classed = act
+          .withColumn("_prev", lag(col("mi"), 1).over(w))
+          .withColumn("status",
+            when(col("_prev").isNull, "new")
+              .when(col("mi") - col("_prev") === 1, "retained")
+              .otherwise("resurrected"))
+        val statusCounts = classed.groupBy(col("mi"))
+          .agg(
+            sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("status") === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            count(lit(1)).as("n_active"))
+        val maxMi = act.agg(max(col("mi")).as("_maxmi"))
+        val churn = act
+          .withColumn("_next", lead(col("mi"), 1).over(w))
+          .filter(col("_next").isNull || col("_next") - col("mi") > 1)
+          .crossJoin(broadcast(maxMi))
+          .filter(col("mi") < col("_maxmi"))
+          .groupBy((col("mi") + 1).as("mi"))
+          .agg(count(lit(1)).as("n_churned"))
+        statusCounts.join(churn, Seq("mi"), "left")
+          .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+          .select(
+            make_date(expr("mi div 12").cast(IntegerType),
+              (pmod(col("mi"), lit(12)) + 1).cast(IntegerType), lit(1))
+              .as("month"),
+            col("n_new"), col("n_retained"), col("n_resurrected"),
+            col("n_active"), col("n_churned"),
+            expr("cast(n_new + n_resurrected as double) " +
+              "/ cast(nullif(n_churned, 0) as double)").as("quick_ratio"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT o_custkey AS cust,
+             |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+             |cl AS (
+             |  SELECT mi,
+             |    CASE WHEN lag(mi) OVER w IS NULL THEN 'new'
+             |         WHEN mi - lag(mi) OVER w = 1 THEN 'retained'
+             |         ELSE 'resurrected' END AS status,
+             |    lead(mi) OVER w AS nxt
+             |  FROM act WINDOW w AS (PARTITION BY cust ORDER BY mi)),
+             |sc AS (
+             |  SELECT mi,
+             |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_new,
+             |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_retained,
+             |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_resurrected,
+             |    CAST(count(*) AS BIGINT) AS n_active
+             |  FROM cl GROUP BY 1),
+             |mx AS (SELECT max(mi) AS maxmi FROM act),
+             |ch AS (
+             |  SELECT mi + 1 AS mi, CAST(count(*) AS BIGINT) AS n_churned
+             |  FROM cl CROSS JOIN mx
+             |  WHERE (nxt IS NULL OR nxt - mi > 1) AND mi < maxmi
+             |  GROUP BY 1)
+             |SELECT make_date(CAST(sc.mi // 12 AS INTEGER),
+             |    CAST(sc.mi % 12 + 1 AS INTEGER), 1) AS month,
+             |  n_new, n_retained, n_resurrected, n_active,
+             |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+             |  CAST(n_new + n_resurrected AS DOUBLE)
+             |    / CAST(NULLIF(COALESCE(n_churned, 0), 0) AS DOUBLE)
+             |    AS quick_ratio
+             |FROM sc LEFT JOIN ch USING (mi)
+             |ORDER BY month""".stripMargin)),
+
     // Cohort LTV curve (the revenue companion to agg_cohort_retention):
     // per (cohort month, month offset) the cohort's revenue that month,
     // the running cumulative revenue, and LTV per member — revenue

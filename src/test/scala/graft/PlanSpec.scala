@@ -266,7 +266,9 @@ class PlanSpec extends SparkSpec {
       "agg_survival_km",       // 1-row cohort-size scalar broadcast
                                // (the at-risk baseline)
       "profile_chi2_independence", // 1-row grand-total scalar broadcast
-      "profile_ks_exact")      // 1-row sample-sizes scalar broadcast
+      "profile_ks_exact",      // 1-row sample-sizes scalar broadcast
+      "agg_growth_accounting") // 1-row max-month scalar broadcast
+                               // (the churn right-censor bound)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
