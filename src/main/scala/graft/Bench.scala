@@ -13,6 +13,15 @@ object Bench {
       .withExtensions(new graft.expressions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-load marker: 1-min load average sampled at start and end.
+    // Round-11's driver run landed in a host-load window that inflated
+    // every carried key uniformly 1.43× — the marker makes such a
+    // window READABLE FROM THE JSON instead of inferred from uniform
+    // per-key inflation after the fact. On an otherwise-idle box the
+    // load should sit near 0 at start and near the bench's own
+    // parallelism at end; a large START value = contended window.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     // Warm the page cache + parquet footers once so per-query timings
     // measure query cost, not which key happens to touch a table first
     // (Map iteration order is arbitrary).
@@ -46,7 +55,9 @@ object Bench {
     // keeps a stdout TAIL, and with 177 keys the leading
     // {"metric":"total"} head was truncated away in r8/r9 — the
     // trailing duplicate "total_sec" survives any head truncation
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","total_sec":$total}""")
+    val loadEnd = osBean.getSystemLoadAverage
+    val nproc = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"host_cpus":$nproc,"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -833,7 +833,16 @@ object DedupOps {
     * side). Same candidate/budget machinery as [[ngramJaccardPairs]]
     * (shared-token equi-join, stopword-bucket cap — never all-pairs);
     * a pair survives when EITHER direction reaches `threshold`, and
-    * both directions are reported (each ONE exact-long division). */
+    * both directions are reported (each ONE exact-long division).
+    *
+    * BOTH the numerator and the denominators are computed over the
+    * stop-token-PRUNED stream: containment is "share of A's non-hot
+    * tokens also in B". Sizing n_a/n_b from ALL tokens while n_inter
+    * skips hot buckets would silently UNDER-estimate containment the
+    * moment any token tops the bucket cap (a fully-contained quote
+    * whose tokens include one corpus-hot word would miss the
+    * threshold) — the internally-consistent pruned measure degrades
+    * gracefully instead, and matches the oracle at every corpus size. */
   def tokenContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 1,
@@ -846,13 +855,15 @@ object DedupOps {
       else array_distinct(call_function("shingle_array",
         split(lower(col(textCol)), "\\s+"), lit(shingleN)))
     val toks = df.select(col(idCol).as("id"), explode(elems).as("tok"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val maxBucketDocs = maxDocsForPairBudget(maxBucketPairs)
     val stopTokens = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("_tn"))
       .filter(col("_tn") > maxBucketDocs)
       .select(col("tok"))
     val rare = toks.join(broadcast(stopTokens), Seq("tok"), "left_anti")
+    // denominators from the SAME pruned stream as the intersection —
+    // see the contract note above
+    val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = rare.as("a").join(rare.as("b"), Seq("tok"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

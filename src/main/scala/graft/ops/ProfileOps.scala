@@ -593,14 +593,16 @@ object ProfileOps {
     * key uses the exact mode. MAD = 0 (over half the group at the
     * median) makes ANY deviation an outlier — the conventional
     * degenerate reading. */
-  /** `maxBroadcastGroups`: the medians/MADs frames are GROUP-grain, not
-    * scalar — broadcasting them is only safe while the group count is
-    * small. Callers that know their key cardinality pass a cap; above
-    * it (or with the default 0 = never) the planner picks the join
-    * (AQE will still broadcast a small post-agg side on its own). */
+  /** `broadcastGroupStats`: the medians/MADs frames are GROUP-grain,
+    * not scalar — broadcasting them is only safe while the group count
+    * is small. The flag is a CALLER ASSERTION of low key cardinality,
+    * trusted and not checked (verifying it would re-run the median
+    * aggregation just to count it); with the default `false` the
+    * planner picks the join (AQE will still broadcast a small post-agg
+    * side on its own). */
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
       k: Double = 3.0, approxMedian: Boolean = false,
-      accuracy: Int = 10000, maxBroadcastGroups: Long = 0L): DataFrame = {
+      accuracy: Int = 10000, broadcastGroupStats: Boolean = false): DataFrame = {
     require(k > 0, s"madOutliers: k must be > 0, got $k")
     val q = "`" + valueCol.replace("`", "``") + "`"
     def med(c: String): Column =
@@ -608,7 +610,7 @@ object ProfileOps {
         .cast(DoubleType)
       else expr(s"percentile($c, 0.5D)")
     def hint(groups: DataFrame): DataFrame =
-      if (maxBroadcastGroups > 0) broadcast(groups) else groups
+      if (broadcastGroupStats) broadcast(groups) else groups
     val medians = df.groupBy(col(keyCol))
       .agg(med(q).as("__med"), count(col(q)).as("__n"))
     val withDev = df.join(hint(medians), Seq(keyCol))

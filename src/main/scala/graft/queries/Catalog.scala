@@ -701,6 +701,40 @@ object Catalog {
              |FROM updated WHERE o_orderstatus <> 'F'
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // INSERT OVERWRITE over the same DSv2 surface: the third write
+    // statement the MergeableCatalog advertises (TableCapability
+    // .TRUNCATE) — Spark plans it as truncate-then-append through
+    // SupportsTruncate, with the truncation deferred to COMMIT (a
+    // failed overwrite leaves the old rows). Seed = even orderkeys,
+    // overwrite = every third orderkey with a flag status; the read
+    // back must show ONLY the overwrite rows — any surviving seeded
+    // even-key row means truncate() never reached the writer.
+    "sql_insert_overwrite" -> QuerySpec(
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.MergeableCatalog")
+        s.sql("DROP TABLE IF EXISTS graftcat.ovw_target")
+        s.sql("""CREATE TABLE graftcat.ovw_target (
+                |  o_orderkey BIGINT NOT NULL, o_custkey BIGINT,
+                |  o_totalprice DOUBLE, o_orderstatus STRING)
+                |TBLPROPERTIES('rowid'='o_orderkey')""".stripMargin)
+        t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+          .writeTo("graftcat.ovw_target").append()
+        t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), lit("O").as("o_orderstatus"))
+          .createOrReplaceTempView("graft_ovw_src")
+        s.sql("""INSERT OVERWRITE graftcat.ovw_target
+                |SELECT * FROM graft_ovw_src""".stripMargin)
+        s.table("graftcat.ovw_target").orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  'O' AS o_orderstatus
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Pivot (conditional aggregation surface): events per user × type.
     "agg_pivot" -> QuerySpec(
       (s, d) => t(s, d, "events")
@@ -7286,7 +7320,7 @@ object Catalog {
         t(s, d, "events").select(
           (col("user_id") % 7).as("grp"),
           round(col("value") * 100).cast(LongType).as("cents")),
-        "grp", "cents", k = 3.0, maxBroadcastGroups = 7L)
+        "grp", "cents", k = 3.0, broadcastGroupStats = true)
         .orderBy(col("grp")),
       Some("""WITH e AS (
              |  SELECT user_id % 7 AS grp,
@@ -7385,7 +7419,19 @@ object Catalog {
           .filter(col("mi") < col("_maxmi"))
           .groupBy((col("mi") + 1).as("mi"))
           .agg(count(lit(1)).as("n_churned"))
-        statusCounts.join(churn, Seq("mi"), "left")
+        // month spine = union of ACTIVE months and CHURN months: a
+        // month with zero active customers but nonzero churn (everyone
+        // active at t−1 going quiet) must still emit a row, or the
+        // active(t) = active(t−1) + new + resurrected − churned
+        // identity breaks across fully-inactive months
+        val spine = statusCounts.select(col("mi"))
+          .unionByName(churn.select(col("mi"))).distinct()
+        spine.join(statusCounts, Seq("mi"), "left")
+          .join(churn, Seq("mi"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+          .withColumn("n_resurrected", coalesce(col("n_resurrected"), lit(0L)))
+          .withColumn("n_active", coalesce(col("n_active"), lit(0L)))
           .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
           .select(
             make_date(expr("mi div 12").cast(IntegerType),
@@ -7424,15 +7470,19 @@ object Catalog {
              |  SELECT mi + 1 AS mi, CAST(count(*) AS BIGINT) AS n_churned
              |  FROM cl CROSS JOIN mx
              |  WHERE (nxt IS NULL OR nxt - mi > 1) AND mi < maxmi
-             |  GROUP BY 1)
-             |SELECT make_date(CAST(sc.mi // 12 AS INTEGER),
-             |    CAST(sc.mi % 12 + 1 AS INTEGER), 1) AS month,
-             |  n_new, n_retained, n_resurrected, n_active,
+             |  GROUP BY 1),
+             |months AS (SELECT mi FROM sc UNION SELECT mi FROM ch)
+             |SELECT make_date(CAST(m.mi // 12 AS INTEGER),
+             |    CAST(m.mi % 12 + 1 AS INTEGER), 1) AS month,
+             |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+             |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+             |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+             |  CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
              |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
-             |  CAST(n_new + n_resurrected AS DOUBLE)
+             |  CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0) AS DOUBLE)
              |    / CAST(NULLIF(COALESCE(n_churned, 0), 0) AS DOUBLE)
              |    AS quick_ratio
-             |FROM sc LEFT JOIN ch USING (mi)
+             |FROM months m LEFT JOIN sc USING (mi) LEFT JOIN ch USING (mi)
              |ORDER BY month""".stripMargin)),
 
     // Cohort LTV curve (the revenue companion to agg_cohort_retention):
@@ -7832,12 +7882,20 @@ object Catalog {
              |  SELECT id, unnest(list_distinct(string_split(lower(text), ' ')))
              |    AS tok
              |  FROM docs),
+             |-- the Spark side prunes tokens whose doc count tops the
+             |-- pair-budget cap (707 docs for the default 250k budget)
+             |-- from BOTH the intersection and the denominators; mirror
+             |-- it so the two engines agree at every corpus size
+             |stop AS (SELECT tok FROM toks GROUP BY tok
+             |         HAVING count(*) > 707),
+             |rare AS (SELECT * FROM toks
+             |         WHERE tok NOT IN (SELECT tok FROM stop)),
              |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n
-             |          FROM toks GROUP BY id),
+             |          FROM rare GROUP BY id),
              |inter AS (
              |  SELECT a.id AS id_a, b.id AS id_b,
              |    CAST(count(*) AS BIGINT) AS n_inter
-             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+             |  FROM rare a JOIN rare b ON a.tok = b.tok AND a.id < b.id
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
              |  CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,

@@ -170,7 +170,17 @@ private class MergeableDeltaFactory(schema: StructType, rowIdCol: String)
     new MergeableDeltaWriter(schema, rowIdCol)
 }
 
-class MergeableAppendBuilder(tableKey: String) extends WriteBuilder {
+/** Append + truncate-then-append (INSERT OVERWRITE / TRUNCATE): the
+  * capabilities() set advertises TRUNCATE, so the builder must honor
+  * it — Spark's analysis accepts the statement on the capability alone
+  * and only discovers a missing SupportsTruncate at write-build time,
+  * as an unhelpful runtime error. Truncation is deferred to COMMIT
+  * (same all-or-nothing contract as a real table format: a failed
+  * overwrite leaves the old rows in place). */
+class MergeableAppendBuilder(tableKey: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -179,6 +189,7 @@ class MergeableAppendBuilder(tableKey: String) extends WriteBuilder {
         val st = MergeableStore.tables(tableKey)
         val idIdx = st.schema.fieldIndex(st.rowIdCol)
         st.rows.synchronized {
+          if (doTruncate) st.rows.clear()
           messages.foreach {
             case RowsMessage(rows) => rows.foreach(r => st.rows.put(r(idIdx), r))
             case _ => ()

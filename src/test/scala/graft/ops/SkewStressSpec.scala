@@ -150,12 +150,16 @@ class SkewStressSpec extends SparkSpec {
     s2.sparkContext.addSparkListener(l)
     try {
       viaHeap.select(count(lit(1))).collect()
+      // same 30 s deadline as heaviestStageReads: a dropped task-end
+      // event on the async listener bus must fail the test, not hang it
       var last = -1; var stable = 0
-      while (stable < 5) {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 5 && System.nanoTime() < deadline) {
         Thread.sleep(100)
         val n = l.byStage.values.map(_.size).sum
         if (n == last) stable += 1 else { stable = 0; last = n }
       }
+      assert(stable >= 5, "listener bus did not drain within 30 s")
     } finally s2.sparkContext.removeSparkListener(l)
     val heaviest = l.byStage.values.map(_.toSeq).toSeq.maxBy(_.sum)
     assert(heaviest.sum <= 50000,

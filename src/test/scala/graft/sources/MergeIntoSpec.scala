@@ -71,4 +71,20 @@ class MergeIntoSpec extends SparkSpec {
     assert(first == second && first == Set(
       (1L, 10L, "a"), (2L, 200L, "B"), (3L, 30L, "c"), (4L, 40L, "d")))
   }
+
+  test("INSERT OVERWRITE truncates then appends (SupportsTruncate honored)") {
+    val t = fresh("m5")
+    Seq((7L, 70L, "g"), (8L, 80L, "h")).toDF("id", "v", "s")
+      .createOrReplaceTempView("m5_src")
+    spark.sql(s"INSERT OVERWRITE $t SELECT * FROM m5_src")
+    val got = spark.table(t).as[(Long, Long, String)].collect().toSet
+    // ONLY the overwrite rows survive — any seeded row left means the
+    // TRUNCATE capability was advertised but truncate() never applied
+    assert(got == Set((7L, 70L, "g"), (8L, 80L, "h")), got)
+    // plain INSERT INTO must still append, NOT truncate (the flag is
+    // per-builder state — a stale doTruncate would wipe the table)
+    spark.sql(s"INSERT INTO $t VALUES (9, 90, 'i')")
+    val got2 = spark.table(t).as[(Long, Long, String)].collect().toSet
+    assert(got2 == Set((7L, 70L, "g"), (8L, 80L, "h"), (9L, 90L, "i")), got2)
+  }
 }
