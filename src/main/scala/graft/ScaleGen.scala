@@ -25,13 +25,19 @@ import org.apache.spark.sql.types.{FloatType, IntegerType}
   *    events — per-user event counts (and so session/funnel shapes)
   *    stay constant while volume scales.
   *
-  * Usage: `runMain graft.ScaleGen [outBase]` (default
-  * /root/repo/scaledata). Writes `scale3x/` and `scale10x/`.
+  * Usage: `runMain graft.ScaleGen [outBase] [k...]` (default
+  * /root/repo/scaledata, k = 3 10). Writes `scale<k>x/` per k —
+  * round 12 adds 30 and 100 for the keys whose fitted exponent was
+  * still RISING between the 3× and 10× legs (dedup_minhash,
+  * text_pack_sequences_ids, search_bm25_batch): two more decades
+  * showing whether alpha flattens is the difference between a
+  * measured 100 TB claim and an extrapolated one.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = args.headOption.getOrElse("/root/repo/scaledata")
+    val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +52,7 @@ object ScaleGen {
       .filter(length(col("w")) > 0).distinct()
       .orderBy(col("w")).collect().map(_.getString(0)).toSeq // driver-side model fit: the distinct fixture vocabulary (31 rows)
     require(vocab.nonEmpty, s"no vocabulary in $base/documents.parquet")
-    Seq(3, 10).foreach { k =>
+    ks.foreach { k =>
       val dir = s"$outBase/scale${k}x"
       gen(spark, dir, k, vocab)
       println(s"SCALEGEN wrote $dir (${k}x)")

@@ -521,4 +521,165 @@ object BpeOps {
         flatten(transform(col("docs"), x => x.getField("ids"))).as("input_ids"))
       .withColumn("n_tokens", size(col("input_ids")).cast(LongType))
   }
+
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL BPE (the production tokenizer class: GPT-2 / RoBERTa /
+  // Llama-BPE all train over raw UTF-8 BYTES, not characters or words)
+  // ------------------------------------------------------------------
+  //
+  // Three deltas vs the word/char-level tier above, each a thin layer
+  // over the SAME trainer/encoder machinery (trainInMemory,
+  // applyMerges/applyMergesFast, the distinct-chunk join contract):
+  //
+  //  1. ALPHABET — every byte 0..255 maps to a printable single-char
+  //     symbol (the public GPT-2 bytes_to_unicode table: printable
+  //     latin-1 bytes map to themselves, the other 68 get code points
+  //     256+). No OOV exists by construction: any UTF-8 string, any
+  //     language, emoji, or binary-ish junk encodes. The mapping is a
+  //     BIJECTION, so decode(encode) is identity byte-for-byte.
+  //  2. PRE-TOKENIZER — a regex chunker (the GPT-2 pattern minus its
+  //     trailing-whitespace LOOKAHEAD, which RE2 — and so the DuckDB
+  //     oracle — cannot run; the lookahead only re-attaches a final
+  //     space before EOS, irrelevant here). A leading space attaches
+  //     to the following word (" the" is one chunk — the property that
+  //     makes byte-BPE vocabularies space-aware), and merges never
+  //     cross chunk boundaries.
+  //  3. SPECIAL TOKENS — literal strings (e.g. "<|endoftext|>") are
+  //     stripped BEFORE pre-tokenization (replaced by a space so their
+  //     removal never glues neighbors into a false chunk) and never
+  //     vote in training nor split in encoding; callers count/handle
+  //     them at the document grain.
+
+  /** GPT-2 bytes→unicode alphabet (public, from the GPT-2 encoder):
+    * bytes '!'..'~', '¡'..'¬', '®'..'ÿ' map to their own code points
+    * (printable — a staged parquet of symbols stays human-readable);
+    * the remaining 68 bytes (controls, space, DEL, 0xAD) map to
+    * 256, 257, … in ascending byte order. Space (0x20) lands on 'Ġ'
+    * (U+0120) — the familiar leading-space marker. */
+  val byteAlphabet: IndexedSeq[Char] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (self(b)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  private lazy val byteAlphabetInv: Map[Char, Int] =
+    byteAlphabet.zipWithIndex.map { case (c, b) => (c, b) }.toMap
+
+  /** UTF-8 bytes of `s` → one alphabet symbol per byte. Total and
+    * injective (the alphabet is a bijection on 0..255). */
+  def byteEncodeWord(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(byteAlphabet(b & 0xff)))
+    sb.toString
+  }
+
+  /** Inverse of [[byteEncodeWord]] — also decodes CONCATENATED pieces
+    * (symbol streams splice at byte grain; UTF-8 re-assembles). Throws
+    * on symbols outside the alphabet: decode is only defined on
+    * encoder output. */
+  def byteDecodeWord(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      bytes(i) = byteAlphabetInv.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"byteDecodeWord: '${s.charAt(i)}' (U+${s.charAt(i).toInt.toHexString}) " +
+            "is not a byte-alphabet symbol")).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** GPT-2 pre-tokenizer, lookahead-free (see the tier note above):
+    * contractions, space-prefixed letter/digit runs, space-prefixed
+    * punctuation runs, whitespace runs. Runs IDENTICALLY under Java
+    * regex (Spark) and RE2 (DuckDB) — both treat \p{L}/\p{N} as the
+    * Unicode categories — which is what lets the oracle re-chunk the
+    * corpus instead of trusting a staged chunk list. */
+  val byteBpePretokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenize a text column into its chunk array (in-plan). */
+  def byteBpeChunks(text: Column): Column =
+    regexp_extract_all(text, lit(byteBpePretokenPattern), lit(0))
+
+  /** Strip special-token literals, each replaced by ONE space so the
+    * removal never glues the surrounding text into a false chunk. */
+  def stripSpecials(text: Column, specialTokens: Seq[String]): Column =
+    specialTokens.foldLeft(text)((c, tok) => replace(c, lit(tok), lit(" ")))
+
+  /** TRAIN byte-level merges: one corpus-scale (chunk, count)
+    * aggregation — special tokens stripped, chunks from
+    * [[byteBpeChunks]] — then the budgeted driver-side collect and the
+    * SAME incremental trainer as [[bpeFit]], over byte symbols instead
+    * of characters (the mapped strings are single-char-per-byte, so
+    * trainInMemory's per-char split IS the per-byte split). Merge
+    * operands/outputs are alphabet-symbol strings — exactly what
+    * merges.txt interchange carries for byte-level models, so
+    * [[saveModel]]/[[loadModel]] round-trip unchanged (no symbol can
+    * contain whitespace: space bytes map OUT of the whitespace range
+    * by construction). */
+  def byteBpeFit(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 1L, maxVocabRows: Int = defaultMaxVocabRows,
+      specialTokens: Seq[String] = Nil): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val chunks = df
+      .select(explode(byteBpeChunks(stripSpecials(col(textCol), specialTokens)))
+        .as("chunk"))
+      .filter(length(col("chunk")) > 0 && col("chunk").rlike("\\S"))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val rows = chunks.limit(maxVocabRows + 1)
+      .collect() // driver-side model fit: budgeted post-aggregation chunk vocab
+    if (rows.length > maxVocabRows) {
+      throw new IllegalStateException(
+        s"BpeOps.byteBpeFit: distinct-chunk vocab exceeds maxVocabRows=" +
+          s"$maxVocabRows (minCount=$minCount) — raise minCount or the budget.")
+    }
+    trainInMemory(
+      rows.map(r => (byteEncodeWord(r.getString(0)), r.getLong(1))), numMerges)
+  }
+
+  /** Chunk → (mapped symbols, pieces, n_pieces) encoder table over the
+    * corpus's DISTINCT chunks — [[wordPieces]]' byte-level twin, same
+    * scale contract: the byte mapping and (for production merge
+    * counts) the rank-based apply run as deterministic UDFs on the
+    * model-sized distinct frame only, never the corpus; the corpus
+    * encodes by a join. Whitespace-only chunks are excluded (they
+    * carry no trainable signal; a downstream joiner treats them as
+    * 1-piece-per-byte, the same OOV fallback as [[bpeEncode]]). */
+  def byteWordPieces(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)],
+      specialTokens: Seq[String] = Nil): DataFrame = {
+    val chunks = df
+      .select(explode(byteBpeChunks(stripSpecials(col(textCol), specialTokens)))
+        .as("chunk"))
+      .filter(length(col("chunk")) > 0 && col("chunk").rlike("\\S"))
+      .distinct()
+    val mapIt = udf((w: String) => byteEncodeWord(w))
+    val mapped = chunks.withColumn("mapped", mapIt(col("chunk")))
+    val withPieces =
+      if (merges.size <= maxExpressionMerges)
+        mapped.withColumn("pieces", applyMerges(split(col("mapped"), ""), merges))
+      else if (isTrainerProduced(merges)) {
+        val ranks = merges.zipWithIndex.toMap
+        val fast = udf((w: String) => applyMergesFast(w, ranks))
+        mapped.withColumn("pieces", fast(col("mapped")))
+      } else {
+        val list = merges.toIndexedSeq
+        val replay = udf((w: String) =>
+          list.foldLeft(w.split("").filter(_.nonEmpty)) {
+            case (syms, (a, b)) => mergeWord(syms, a, b)
+          }.toSeq)
+        mapped.withColumn("pieces", replay(col("mapped")))
+      }
+    withPieces.withColumn("n_pieces", size(col("pieces")))
+  }
 }

@@ -367,6 +367,12 @@ object Catalog {
   private val bpeMergeModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  /** Byte-level BPE merge lists (BpeOps.byteBpeFit) — same memoization
+    * contract as [[bpeMergeModels]], separate map because the two
+    * tokenizer tiers train over different alphabets. */
+  private val byteBpeMergeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
     * from the driver test tables, so the DuckDB oracle can check the
@@ -5715,6 +5721,144 @@ object Catalog {
       Some("""SELECT row_number() OVER () AS rank, left_sym, right_sym
              |FROM read_csv(
              |  '/tmp/graft_stage/_root_testdata_sf0.01/bpe_merges_txt/merges.txt',
+             |  sep=' ', header=false, skip=1, parallel=false,
+             |  columns={'left_sym':'VARCHAR','right_sym':'VARCHAR'})
+             |ORDER BY rank""".stripMargin)),
+
+    // BYTE-LEVEL BPE (the production tokenizer class — GPT-2/RoBERTa/
+    // Llama train over raw UTF-8 bytes through the public
+    // bytes_to_unicode alphabet, so NO input is ever OOV): train over
+    // the regex-pre-tokenized chunk stream (leading space attaches to
+    // the word — the space-aware vocabulary property), special token
+    // <|endoftext|> stripped before chunking and never split/voted;
+    // encode = distinct-chunk table join (BpeOps.byteWordPieces), the
+    // wordPieces scale contract. Deterministic non-ASCII (" café №42")
+    // is appended so the byte mapping does real multi-byte work. The
+    // STAGED chunk→(mapped, pieces) encoder table lets DuckDB
+    // independently re-chunk the corpus with the SAME regex (the
+    // pattern is lookahead-free precisely so RE2 can run it), re-join,
+    // and re-derive every total and check: per-source chunk/byte/piece
+    // totals, special-token counts, and the three invariants — pieces
+    // concatenate to the mapped chunk, |mapped| (symbols) equals
+    // octet_length(chunk) (the mapping is per-byte), and the 32 merges
+    // strictly compress bytes→pieces without beating 1 piece/chunk.
+    "text_bpe_byte_encode" -> QuerySpec(
+      (s, d) => {
+        val special = "<|endoftext|>"
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          concat(col("text"), lit(" café №42"), lit(special)).as("text"))
+        val merges = byteBpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.byteBpeFit(docs, "text", numMerges = 32, minCount = 5,
+            specialTokens = Seq(special)))
+        val pieces = BpeOps.byteWordPieces(docs, "text", merges, Seq(special))
+        staged(d, "byte_bpe_pieces") { dir =>
+          pieces.select(col("chunk"), col("mapped"), col("pieces"),
+              col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val toks = docs.select(col("source"),
+            explode(BpeOps.byteBpeChunks(
+              BpeOps.stripSpecials(col("text"), Seq(special)))).as("chunk"))
+          .filter(length(col("chunk")) > 0 && col("chunk").rlike("\\S"))
+        val enc = toks
+          .join(pieces.select(col("chunk"), col("n_pieces")), Seq("chunk"))
+        val spec = docs.select(col("source"),
+            ((length(col("text")) -
+              length(replace(col("text"), lit(special), lit("")))) /
+              lit(special.length)).cast(LongType).as("n_spec"))
+          .groupBy(col("source")).agg(sum(col("n_spec")).as("n_specials"))
+        val chk = pieces.agg(
+          sum(when(concat_ws("", col("pieces")) =!= col("mapped"), 1L)
+            .otherwise(0L)).as("n_rt_bad"),
+          sum(when(length(col("mapped")) =!= octet_length(col("chunk")), 1L)
+            .otherwise(0L)).as("n_map_bad"))
+        enc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(octet_length(col("chunk")).cast(LongType)).as("total_bytes"),
+            sum(col("n_pieces").cast(LongType)).as("total_pieces"))
+          .join(spec, Seq("source"))
+          .crossJoin(broadcast(chk))
+          .withColumn("ok_roundtrip",
+            (col("n_rt_bad") === 0).cast(IntegerType))
+          .withColumn("ok_bytemap",
+            (col("n_map_bad") === 0).cast(IntegerType))
+          .withColumn("ok_compressed",
+            (col("total_pieces") < col("total_bytes") &&
+              col("total_pieces") >= col("n_chunks")).cast(IntegerType))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    text || ' café №42' || '<|endoftext|>' AS text
+             |  FROM documents),
+             |stripped AS (
+             |  SELECT source, replace(text, '<|endoftext|>', ' ') AS ctext,
+             |    (length(text) - length(replace(text, '<|endoftext|>', '')))
+             |      // length('<|endoftext|>') AS n_spec
+             |  FROM docs),
+             |p AS (SELECT chunk, mapped, pieces, n_pieces FROM read_parquet(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_pieces/*.parquet')),
+             |toks AS (
+             |  SELECT source, unnest(regexp_extract_all(ctext,
+             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             |    AS chunk
+             |  FROM stripped),
+             |tk AS (SELECT source, chunk FROM toks
+             |       WHERE length(chunk) > 0 AND regexp_matches(chunk, '\S')),
+             |enc AS (
+             |  SELECT t.source, count(*) AS n_chunks,
+             |    CAST(SUM(strlen(t.chunk)) AS BIGINT) AS total_bytes,
+             |    CAST(SUM(p.n_pieces) AS BIGINT) AS total_pieces
+             |  FROM tk t JOIN p USING (chunk) GROUP BY 1),
+             |sp AS (SELECT source, CAST(SUM(n_spec) AS BIGINT) AS n_specials
+             |       FROM stripped GROUP BY 1),
+             |chk AS (
+             |  SELECT CAST(SUM(CASE WHEN array_to_string(pieces, '') <> mapped
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rt_bad,
+             |    CAST(SUM(CASE WHEN length(mapped) <> strlen(chunk)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_map_bad
+             |  FROM p)
+             |SELECT e.source, n_chunks, total_bytes, total_pieces, n_specials,
+             |  n_rt_bad, n_map_bad,
+             |  CAST(n_rt_bad = 0 AS INTEGER) AS ok_roundtrip,
+             |  CAST(n_map_bad = 0 AS INTEGER) AS ok_bytemap,
+             |  CAST(total_pieces < total_bytes AND total_pieces >= n_chunks
+             |    AS INTEGER) AS ok_compressed
+             |FROM enc e JOIN sp USING (source) CROSS JOIN chk
+             |ORDER BY source""".stripMargin)),
+
+    // Byte-level merges.txt interchange roundtrip — the byte tier's
+    // model artifact through the SAME saveModel/loadModel seam: byte
+    // symbols are whitespace-free BY CONSTRUCTION (space bytes map out
+    // of the whitespace range — 0x20 → 'Ġ'), so the line format that
+    // would corrupt on raw spaces round-trips byte-level models losslessly,
+    // which is exactly why every production byte-BPE stack ships this
+    // format. DuckDB parses the written artifact independently.
+    "text_bpe_byte_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        val special = "<|endoftext|>"
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          concat(col("text"), lit(" café №42"), lit(special)).as("text"))
+        val merges = byteBpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.byteBpeFit(docs, "text", numMerges = 32, minCount = 5,
+            specialTokens = Seq(special)))
+        val dir = staged(d, "byte_bpe_merges_txt") { p =>
+          BpeOps.saveModel(s, merges, p + "/merges.txt")
+        }
+        val reloaded = BpeOps.loadModel(s, dir + "/merges.txt")
+        require(reloaded == merges,
+          "byte-level merges.txt round trip must reproduce the model exactly")
+        import s.implicits._
+        reloaded.zipWithIndex
+          .map { case ((a, b), i) => (i + 1L, a, b) }
+          .toDF("rank", "left_sym", "right_sym")
+          .orderBy(col("rank"))
+      },
+      Some("""SELECT row_number() OVER () AS rank, left_sym, right_sym
+             |FROM read_csv(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_merges_txt/merges.txt',
              |  sep=' ', header=false, skip=1, parallel=false,
              |  columns={'left_sym':'VARCHAR','right_sym':'VARCHAR'})
              |ORDER BY rank""".stripMargin)),

@@ -267,8 +267,10 @@ class PlanSpec extends SparkSpec {
                                // (the at-risk baseline)
       "profile_chi2_independence", // 1-row grand-total scalar broadcast
       "profile_ks_exact",      // 1-row sample-sizes scalar broadcast
-      "agg_growth_accounting") // 1-row max-month scalar broadcast
+      "agg_growth_accounting", // 1-row max-month scalar broadcast
                                // (the churn right-censor bound)
+      "text_bpe_byte_encode")  // 1-row roundtrip/bytemap-check scalar
+                               // broadcast (the text_token_count_bpe shape)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

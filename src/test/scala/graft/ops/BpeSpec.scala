@@ -216,4 +216,88 @@ class BpeSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("malformed"))
   }
+
+  test("byte alphabet: 256-symbol bijection, printable self-ranges, Ġ for space") {
+    assert(BpeOps.byteAlphabet.size == 256)
+    assert(BpeOps.byteAlphabet.distinct.size == 256, "alphabet must be injective")
+    // printable latin-1 ranges map to themselves (the GPT-2 table)
+    (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).foreach { c =>
+      assert(BpeOps.byteAlphabet(c.toInt) == c, s"$c must self-map")
+    }
+    assert(BpeOps.byteAlphabet(' '.toInt) == 'Ġ') // 0x20 → U+0120
+    assert(BpeOps.byteAlphabet('\n'.toInt) == 'Ċ') // 0x0A → U+010A
+    // no symbol is whitespace — the merges.txt line-format guarantee
+    assert(BpeOps.byteAlphabet.forall(c => !c.isWhitespace))
+  }
+
+  test("byte encode/decode: identity on multi-byte UTF-8, emoji, controls") {
+    val cases = Seq("hello world", " café", "世界", "🚀 go", "a\tb\nc",
+      "№42", "", "ÿ¡", new String(Array[Byte](0, 1, 127), "ISO-8859-1"))
+    cases.foreach { s =>
+      val enc = BpeOps.byteEncodeWord(s)
+      assert(BpeOps.byteDecodeWord(enc) == s, s"roundtrip failed for '$s'")
+      // one symbol per UTF-8 byte
+      assert(enc.length == s.getBytes("UTF-8").length, s"length for '$s'")
+    }
+    // decode rejects non-alphabet symbols (it is only defined on encoder output)
+    intercept[IllegalArgumentException] { BpeOps.byteDecodeWord("☃") }
+    // concatenated-piece decode: splicing at byte grain reassembles UTF-8
+    val enc = BpeOps.byteEncodeWord(" café 世界")
+    val mid = enc.length / 2
+    assert(BpeOps.byteDecodeWord(enc.substring(0, mid) + enc.substring(mid))
+      == " café 世界")
+  }
+
+  test("byte pre-tokenizer: leading space attaches, categories split, specials strip") {
+    val out = spark.range(1)
+      .select(BpeOps.byteBpeChunks(lit("don't stop 123 now!! café")).as("c"))
+      .head().getSeq[String](0)
+    assert(out == Seq("don", "'t", " stop", " 123", " now", "!!", " café"), out)
+    // special tokens strip to a single space — neighbors never glue
+    // into one chunk (the space attaches to the FOLLOWING word, the
+    // same leading-space rule as everywhere else)
+    val stripped = spark.range(1)
+      .select(BpeOps.byteBpeChunks(BpeOps.stripSpecials(
+        lit("end<|endoftext|>start"), Seq("<|endoftext|>"))).as("c"))
+      .head().getSeq[String](0)
+    assert(stripped == Seq("end", " start"), stripped)
+  }
+
+  test("byteBpeFit + byteWordPieces: trained merges compress and round-trip") {
+    import spark.implicits._
+    val docs = Seq.fill(8)("the cat sat on the mat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = BpeOps.byteBpeFit(docs, "text", numMerges = 10)
+    assert(merges.nonEmpty && merges.size <= 10)
+    assert(BpeOps.isTrainerProduced(merges),
+      "byte-level training must produce a replayable merge list")
+    val pieces = BpeOps.byteWordPieces(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getInt(3)))
+    assert(pieces.nonEmpty)
+    pieces.foreach { case (chunk, mapped, ps, n) =>
+      assert(ps.mkString("") == mapped, s"pieces must concat to mapped for '$chunk'")
+      assert(n == ps.size)
+      assert(mapped.length == chunk.getBytes("UTF-8").length)
+      assert(BpeOps.byteDecodeWord(mapped) == chunk)
+    }
+    // " the" (space + word) must be ONE chunk — the space-aware property
+    assert(pieces.exists(_._1 == " the"))
+    // 10 merges on a 6-word looped corpus must compress below 1 piece/byte
+    val totBytes = pieces.map(_._2.length).sum
+    val totPieces = pieces.map(_._4).sum
+    assert(totPieces < totBytes, s"$totPieces pieces vs $totBytes bytes")
+  }
+
+  test("byte merges round-trip merges.txt (symbols are whitespace-free)") {
+    import spark.implicits._
+    val docs = Seq.fill(6)((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val merges = BpeOps.byteBpeFit(docs, "text", numMerges = 6)
+    // space-bearing chunks like " ab" train merges over 'Ġ' symbols —
+    // exactly the case the raw word-level tier could never persist
+    assert(merges.exists { case (a, b) => (a + b).contains('Ġ') })
+    val dir = java.nio.file.Files.createTempDirectory("bpe_byte").toString
+    BpeOps.saveModel(spark, merges, s"$dir/merges.txt")
+    assert(BpeOps.loadModel(spark, s"$dir/merges.txt") == merges)
+  }
 }
