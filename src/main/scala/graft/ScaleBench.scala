@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * + a final exponents summary). Results land in BASELINE.md §19.
   *
   * Env: SPARK_GRAFT_SCALE_DIRS ("label=dir,..." — defaults below),
-  * SPARK_GRAFT_CPUS, SPARK_GRAFT_REPS (default 2, reported min).
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_REPS (default 2, reported min),
+  * SPARK_GRAFT_PROBES ("all" default, "none", or a comma list of probe
+  * names — the 30×/100× legs select minhash_pairs only, because the
+  * threshold-0.30 cosine probe counts a constant FRACTION of all N²/2
+  * pairs BY DEFINITION and is already characterized at 1×/3×/10×).
   */
 object ScaleBench {
   /** Keys whose INPUT is scale-proportional (documents/embeddings/events
@@ -90,7 +94,15 @@ object ScaleBench {
         "cosine_lsh_pairs_t90" -> (() => graft.ops.SimilarityOps
           .cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.90)
           .count()))
-      probes.foreach { case (name, f) =>
+      val probeSel = sys.env.getOrElse("SPARK_GRAFT_PROBES", "all")
+      val selected = probeSel match {
+        case "all" => probes
+        case "none" => Nil
+        case list =>
+          val want = list.split(",").map(_.trim).toSet
+          probes.filter { case (n, _) => want(n) }
+      }
+      selected.foreach { case (name, f) =>
         val t0 = System.nanoTime()
         val res: Either[String, Long] =
           try Right(f()) catch { case e: Throwable => Left(e.getClass.getSimpleName) }
