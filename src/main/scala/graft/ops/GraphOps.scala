@@ -283,4 +283,43 @@ object GraphOps {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"), col("clustering"))
   }
+
+  /** k-core peeling: iteratively remove nodes of degree < k (and their
+    * incident edges) for a FIXED number of rounds — the standard
+    * community-density filter (a k-core survivor has ≥ k neighbors
+    * that themselves survive). Fixed unrolled rounds instead of a
+    * convergence test keep the operator a pure function of its inputs:
+    * both engines run the SAME rounds, so the key hash-compares even
+    * on a graph that hasn't converged (on a converged graph extra
+    * rounds are no-ops). Peeling cascades at most the graph's
+    * degeneracy depth; callers size `rounds` to their diameter class.
+    *
+    * Output: (node, core_degree) of the final surviving edge set.
+    *
+    * Scale shape: each round is ONE degree aggregation + two semi-joins
+    * on the edge list, all equi-shuffles on node keys; a
+    * localCheckpoint per round is the CC checkpoint seam — it caps the
+    * unrolled plan's depth so round r re-plans from materialized round
+    * r−1, not from the raw edges (at cluster scale swap for reliable
+    * checkpoints, same seam). */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, nodeOut: String = "node"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val und = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    var alive = und
+    (1 to rounds).foreach { _ =>
+      val keep = alive.groupBy(col("u")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("u"))
+      alive = alive
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    alive.groupBy(col("u").as(nodeOut))
+      .agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -261,4 +261,52 @@ object TimeSeriesOps {
         }
       }
   }
+
+  /** Sample autocorrelation function (ACF) over a regular series — the
+    * first diagnostic a forecasting pipeline runs (seasonality shows as
+    * peaks at the period's lags; the companion to the Holt-Winters fit
+    * whose season length it selects).
+    *
+    * Input: a BUCKET-GRAIN series frame (`idxCol` = dense 0-based
+    * position, `valueCol` = integer measurement) — tiny by
+    * construction, the corpus-scale aggregation that produced it is
+    * the caller's one pass. Output per lag 1..`maxLag`: n_pairs, the
+    * exact integer numerator/denominator, and acf_k.
+    *
+    * Exactness: the sample mean is rational, so everything is scaled
+    * by n — dev_t = n·x_t − Σx is an exact long, the lag-k numerator
+    * Σ dev_t·dev_{t+k} and the denominator Σ dev_t² are exact long
+    * sums (n ≤ ~10⁴ buckets and integer values keep every product
+    * far under 2⁶³), and acf_k = num_k/den is ONE IEEE division per
+    * lag — bit-stable cross-engine, hash-oracled. The ×n² scaling
+    * cancels in the ratio.
+    *
+    * Scale shape: the series is bucket-grain, so the lag fan-out
+    * (|series| × maxLag rows) and the shifted equi-join are
+    * model-sized; the 1-row totals ride scalar broadcasts. */
+  def acf(series: DataFrame, idxCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.types.LongType
+    val s = series.select(col(idxCol).cast(LongType).as("idx"),
+      col(valueCol).cast(LongType).as("x"))
+    val tot = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = s.crossJoin(broadcast(tot))
+      .select(col("idx"), (col("n") * col("x") - col("sx")).as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = series.sparkSession.range(1, maxLag + 1L)
+      .select(col("id").as("lag"))
+    dev.crossJoin(broadcast(lags))
+      .withColumn("_bidx", col("idx") + col("lag"))
+      .join(dev.select(col("idx").as("_bidx"), col("dev").as("_devb")),
+        Seq("_bidx"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev") * col("_devb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
 }

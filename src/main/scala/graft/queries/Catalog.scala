@@ -120,6 +120,36 @@ object Catalog {
     * rounds unrolled as chained CTEs over the same synthetic link graph
     * as [[pagerankOracle]]. Integer counts + total (count DESC, label
     * ASC) tie order make every round bit-portable. */
+  /** graph_kcore's DuckDB oracle: the same undirected edge build (ring
+    * + 20-clique + spokes over doc_id < 300) and the same `rounds`
+    * peeling rounds, generated as a CTE chain — e{r} keeps edges whose
+    * BOTH endpoints had degree ≥ 3 in e{r−1}. */
+  private def kcoreOracle(rounds: Int): String = {
+    // every per-round CTE is MATERIALIZED: inlined (view-style) CTEs
+    // triple their upstream references each round, so an 8-round chain
+    // would inline 3⁸ scans of the base table and exhaust file handles
+    def round(r: Int): String =
+      s"""k$r AS MATERIALIZED (
+         |  SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u)""".stripMargin
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+       |ring AS (SELECT id AS u, (id + 1) % 300 AS v FROM ids),
+       |clique AS (SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b
+       |           ON a.id < b.id AND a.id < 20 AND b.id < 20),
+       |spokes AS (SELECT id AS u, id % 20 AS v FROM ids
+       |           WHERE id % 5 = 0 AND id >= 20),
+       |e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+       |  SELECT u, v FROM ring UNION ALL SELECT v, u FROM ring
+       |  UNION ALL SELECT u, v FROM clique UNION ALL SELECT v, u FROM clique
+       |  UNION ALL SELECT u, v FROM spokes UNION ALL SELECT v, u FROM spokes)
+       |  WHERE u <> v),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e$rounds GROUP BY u ORDER BY node""".stripMargin
+  }
+
   private def lpaOracle(whereSql: String, modSql: String): String = {
     def round(k: Int): String =
       s"""c$k AS (
@@ -2897,6 +2927,33 @@ object Catalog {
           .orderBy(col("doc_id"))
       },
       Some(lpaOracle("WHERE doc_id < 500", "500"))),
+
+    // k-core peeling (GraphOps.kcore): the community-density filter —
+    // iteratively drop nodes with < k surviving neighbors. Graph =
+    // ring over 300 nodes (degree 2 — dies at k=3) + a 20-clique
+    // (k-core for any k ≤ 19 — survives) + spokes from every 5th ring
+    // node into the clique (die once their ring side is peeled): the
+    // cascade exercises multi-round peeling, the clique pins a
+    // non-empty fixpoint. 8 unrolled rounds run IDENTICALLY on both
+    // engines (an unconverged graph still hash-matches; converged
+    // rounds are no-ops), so the key is fully oracled via a generated
+    // 8-round CTE chain. Exact long degrees, no division anywhere.
+    "graph_kcore" -> QuerySpec(
+      (s, d) => {
+        val ids = t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id").as("id"))
+        val ring = ids.select(col("id").as("src"),
+          ((col("id") + 1) % 300).as("dst"))
+        val clique = ids.filter(col("id") < 19)
+          .select(col("id").as("src"),
+            explode(sequence(col("id") + 1, lit(19L))).as("dst"))
+        val spokes = ids.filter(col("id") % 5 === 0 && col("id") >= 20)
+          .select(col("id").as("src"), (col("id") % 20).as("dst"))
+        GraphOps.kcore(ring.unionByName(clique).unionByName(spokes),
+          "src", "dst", k = 3, rounds = 8, nodeOut = "node")
+          .orderBy(col("node"))
+      },
+      Some(kcoreOracle(8))),
 
     // PCA projection of the embedding table to its top-3 components.
     // ORACLED since round 11 via the STAGED LOADINGS artifact (the
@@ -8884,6 +8941,49 @@ object Catalog {
              |  mar AS med_abs_resid,
              |  abs(residual) > mar * 4.0 AS alarm
              |FROM m ORDER BY event_id""".stripMargin)),
+
+    // Sample autocorrelation function (TimeSeriesOps.acf): ACF at lags
+    // 1..24 over the hourly event-count series — the seasonality
+    // diagnostic that picks Holt-Winters' period. ONE corpus-scale
+    // hour-bucket aggregation produces the series; everything after is
+    // model-sized (the single-partition row_number window is bounded
+    // by the hour count — ≤ ~720 buckets per 30-day fixture — the same
+    // bounded-frame contract as agg_survival_km). Exactness: mean
+    // cleared by ×n (dev = n·x − Σx exact longs), lag numerators and
+    // the denominator exact long sums, ONE IEEE division per lag ⇒
+    // fully oracled. Gaps note: the series is indexed by DENSE bucket
+    // position (row index), so empty hours compress out — the
+    // documented semantic both engines restate identically.
+    "ts_acf" -> QuerySpec(
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val series = hourly.withColumn("idx",
+          (row_number().over(Window.orderBy(col("h"))) - 1)
+            .cast(LongType))
+        TimeSeriesOps.acf(series, "idx", "x", maxLag = 24)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+             |        AS idx, x FROM hourly),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |               CAST(sum(x) AS BIGINT) AS sx FROM s),
+             |dev AS (SELECT idx, n * x - sx AS dev FROM s CROSS JOIN tot),
+             |den AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dev),
+             |lags AS (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS lag),
+             |pairs AS (
+             |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+             |  FROM dev a CROSS JOIN lags l
+             |  JOIN dev b ON b.idx = a.idx + l.lag
+             |  GROUP BY 1)
+             |SELECT lag, n_pairs, num, dn.den AS den,
+             |  CAST(num AS DOUBLE) / CAST(dn.den AS DOUBLE) AS acf
+             |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin)),
 
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact

@@ -269,8 +269,11 @@ class PlanSpec extends SparkSpec {
       "profile_ks_exact",      // 1-row sample-sizes scalar broadcast
       "agg_growth_accounting", // 1-row max-month scalar broadcast
                                // (the churn right-censor bound)
-      "text_bpe_byte_encode")  // 1-row roundtrip/bytemap-check scalar
+      "text_bpe_byte_encode",  // 1-row roundtrip/bytemap-check scalar
                                // broadcast (the text_token_count_bpe shape)
+      "ts_acf")                // 1-row totals/denominator + 24-row lag
+                               // frame broadcasts over the bucket-grain
+                               // series (all model-sized)
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

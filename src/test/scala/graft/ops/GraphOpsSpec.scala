@@ -217,4 +217,33 @@ class GraphOpsSpec extends SparkSpec {
         iterations = 1, checkpointEvery = 0)
     }
   }
+
+  test("kcore: clique survives, ring and spokes peel away in cascades") {
+    import spark.implicits._
+    // 12-ring (degree 2) + 5-clique on nodes 100-104 + one spoke 0→100
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val spoke = Seq((0L, 100L))
+    val edges = (ring ++ clique ++ spoke).toDF("src", "dst")
+    val out = GraphOps.kcore(edges, "src", "dst", k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    // ring nodes have degree ≤ 3 only transiently (node 0 has 3 — ring
+    // neighbors die round 1, then 0 follows); the 4-regular clique is
+    // the unique 3-core
+    assert(out.keySet == (100L to 104L).toSet, out)
+    assert(out.values.forall(_ == 4L), out)
+  }
+
+  test("kcore: extra rounds after convergence are no-ops; k=1 keeps everything") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val a = GraphOps.kcore(edges, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    val b = GraphOps.kcore(edges, "src", "dst", k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a == Set((1L, 2L), (2L, 2L), (3L, 2L)), (a, b))
+    val all = GraphOps.kcore(edges, "src", "dst", k = 1, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(all.keySet == Set(1L, 2L, 3L, 4L))
+  }
 }

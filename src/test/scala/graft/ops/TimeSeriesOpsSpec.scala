@@ -369,4 +369,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
       TimeSeriesOps.holtWintersWindowed(df, "k", "o", "v", 0.25, 0.125, 0.5, 0, 3)
     }
   }
+
+  test("acf: hand-computed lags on a short series; lag-0-free; exact integers") {
+    import spark.implicits._
+    // series 1,2,3,4,3,2 (n=6, mean=2.5): dev×n = 6x−15 →
+    // (−9,−3,3,9,3,−3); den = 81+9+9+81+9+9 = 198
+    // lag1: (−9)(−3)+(−3)(3)+3·9+9·3+3·(−3) = 27−9+27+27−9 = 63
+    // lag2: (−9)(3)+(−3)(9)+3·3+9·(−3) = −27−27+9−27 = −72
+    val series = Seq(1L, 2L, 3L, 4L, 3L, 2L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("idx", "x")
+    val out = TimeSeriesOps.acf(series, "idx", "x", maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val byLag = out.map(t => t._1 -> t).toMap
+    assert(byLag(1L) == ((1L, 5L, 63L, 198L, 63.0 / 198.0)))
+    assert(byLag(2L) == ((2L, 4L, -72L, 198L, -72.0 / 198.0)))
+    assert(math.abs(byLag(1L)._5) <= 1.0 && math.abs(byLag(2L)._5) <= 1.0)
+  }
+
+  test("acf: a perfectly periodic series peaks at its period") {
+    import spark.implicits._
+    val xs = (0 until 48).map(i => (i.toLong, (i % 4).toLong + 1))
+    val out = TimeSeriesOps.acf(xs.toDF("idx", "x"), "idx", "x", maxLag = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    // period-4 series: lags 4 and 8 are the maxima, near 1
+    assert(out(4L) > 0.9 && out(8L) > 0.8, out)
+    assert(out(4L) > out(1L) && out(4L) > out(2L) && out(4L) > out(3L), out)
+  }
 }
