@@ -627,6 +627,54 @@ object ProfileOps {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group Tukey-fence outliers: x outside [Q1 − k·IQR, Q3 + k·IQR]
+    * — the box-plot gate ([[madOutliers]]' quartile-based sibling; IQR
+    * fences are the convention dashboards draw, MAD the more robust
+    * gate when >25% of a group can be corrupt). ONE exact `percentile`
+    * aggregate (both quartiles from one array-typed call), the slim
+    * group frame broadcast back — the madOutliers shape.
+    *
+    * Determinism: percentile ≡ quantile_cont at ranks (n−1)·p (the
+    * fn_percentile-pinned identity), and for p ∈ {0.25, 0.75} the
+    * interpolation fraction is an exact binary (dyadic) rational, so
+    * INTEGER inputs produce exactly-representable quartiles; 1.5·IQR
+    * and both fences stay exact, making every comparison
+    * bit-determined (the same argument as madOutliers' k·MAD).
+    * k defaults to Tukey's 1.5 and must be dyadic for the argument to
+    * hold — enforced. Same scale caveat as madOutliers: exact
+    * percentile buffers a group's values; `approx` swaps to
+    * approx_percentile's bounded memory (unit-compared, not oracled). */
+  def iqrOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Double = 1.5, approx: Boolean = false,
+      accuracy: Int = 10000, broadcastGroupStats: Boolean = false): DataFrame = {
+    require(k > 0, s"iqrOutliers: k must be > 0, got $k")
+    require((k * 4).isWhole,
+      s"iqrOutliers: k must be a multiple of 0.25 (dyadic — the " +
+        s"exactness contract), got $k")
+    val q = "`" + valueCol.replace("`", "``") + "`"
+    val quarts =
+      if (approx)
+        expr(s"approx_percentile($q, array(0.25D, 0.75D), $accuracy)")
+      else expr(s"percentile($q, array(0.25D, 0.75D))")
+    val stats = df.groupBy(col(keyCol))
+      .agg(quarts.as("__qs"), count(col(q)).as("__n"))
+      .select(col(keyCol), col("__n"),
+        element_at(col("__qs"), 1).cast(DoubleType).as("__q1"),
+        element_at(col("__qs"), 2).cast(DoubleType).as("__q3"))
+    val hinted = if (broadcastGroupStats) broadcast(stats) else stats
+    df.join(hinted, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__q1")).as("q1"),
+        max(col("__q3")).as("q3"),
+        max(col("__q3") - col("__q1")).as("iqr"),
+        sum(when(
+          col(q) < col("__q1") - lit(k) * (col("__q3") - col("__q1")) ||
+          col(q) > col("__q3") + lit(k) * (col("__q3") - col("__q1")),
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Poisson bootstrap confidence interval for a mean (Chamandy et al.
     * 2012 — THE distributed bootstrap): classical resampling needs a
     * global sample-with-replacement per replicate, which doesn't

@@ -1027,4 +1027,45 @@ object SimilarityOps {
       .select(col(sId), col(tId), col("cos"), col("margin"),
         (col("margin") >= lit(marginThreshold)).as("mined"))
   }
+
+  /** Label-centroid cosine matrix: pairwise cosine similarity between
+    * the per-label MEAN embeddings — the cluster-geometry diagnostic
+    * (how separable are the classes / how redundant are two sources)
+    * run before sampling or distillation decisions.
+    *
+    * Cosine is scale-invariant, so the mean's 1/n never needs to
+    * exist: the per-label per-dimension SUM of grid-quantized
+    * components is the centroid up to scale, every dot/norm is an
+    * exact integer, and each cosine is ONE fixed IEEE sequence
+    * (dot / (sqrt·sqrt) — correctly-rounded roots, no libm pow) ⇒
+    * fully oracled.
+    *
+    * Scale shape: ONE corpus-scale (label, dim) aggregation
+    * (posexplode + groupBy — map-side partial absorbs the per-vector
+    * work); everything downstream is model-sized (labels × dims sums,
+    * labels² pairs). */
+  def centroidCosineMatrix(df: DataFrame, labelCol: String,
+      vecCol: String, scale: Int = 1000): DataFrame = {
+    val q = df.select(col(labelCol).as("lab"),
+      posexplode(quantize(col(vecCol), scale)).as(Seq("pos", "qv")))
+    val sums = q.groupBy(col("lab"), col("pos"))
+      .agg(sum(col("qv")).as("s"))
+    val norms = sums.groupBy(col("lab"))
+      .agg(sum(col("s") * col("s")).as("nq"))
+    val dots = sums.as("a")
+      .join(sums.as("b"), col("a.pos") === col("b.pos"))
+      .filter(col("a.lab") < col("b.lab"))
+      .groupBy(col("a.lab").as("label_a"), col("b.lab").as("label_b"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+    dots
+      .join(norms.select(col("lab").as("label_a"), col("nq").as("_na")),
+        Seq("label_a"))
+      .join(norms.select(col("lab").as("label_b"), col("nq").as("_nb")),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("dot"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("_na").cast(DoubleType)) *
+            sqrt(col("_nb").cast(DoubleType)))).as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

@@ -309,4 +309,56 @@ object TimeSeriesOps {
           .as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * textbook method; STL's simpler ancestor and the one whose every
+    * step is exact-arithmetic oracle-able): trend = centered 2×m
+    * moving average, seasonal = per-season mean of the detrended
+    * series, residual = remainder. The ACF picks the period; this
+    * splits the series along it.
+    *
+    * Exactness: for even period m the CMA is
+    * (x_{t−m/2} + 2·Σ_{|j|<m/2} x_{t+j} + x_{t+m/2}) / 2m — the
+    * numerator `tn` and the detrended `dq = 2m·x − tn` are exact
+    * longs; trend, seasonal and residual are each a FIXED short IEEE
+    * sequence over exact integers (one or two divisions, one
+    * subtraction), restated textually by the oracle ⇒ hash-stable.
+    * Rows without a full window (the first/last m/2) carry no trend
+    * and are excluded — the standard edge contract.
+    *
+    * Input is a bucket-grain series (the [[acf]] contract): the
+    * single-partition order window is bounded by the bucket count,
+    * and `seasonCol` (e.g. hour-of-day) keys the seasonal means —
+    * derived from the bucket TIMESTAMP, not the dense index, so
+    * compressed-out empty buckets cannot shift the season phase. */
+  def decomposeClassical(series: DataFrame, idxCol: String,
+      valueCol: String, seasonCol: String, period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"period must be even and >= 2 (the 2xm CMA form), got $period")
+    import org.apache.spark.sql.types.LongType
+    val half = period / 2
+    val twoM = (2 * period).toLong
+    val s0 = series.select(col(idxCol).cast(LongType).as("idx"),
+      col(seasonCol).as("season"), col(valueCol).cast(LongType).as("x"))
+    val w = Window.orderBy(col("idx"))
+    val inner = Window.orderBy(col("idx"))
+      .rowsBetween(-(half - 1), half - 1)
+    val t0 = s0
+      .withColumn("_tn", lag(col("x"), half).over(w) +
+        lead(col("x"), half).over(w) + lit(2L) * sum(col("x")).over(inner))
+      .filter(col("_tn").isNotNull)
+      .withColumn("_dq", lit(twoM) * col("x") - col("_tn"))
+    val seas = t0.groupBy(col("season"))
+      .agg(sum(col("_dq")).as("_ssum"), count(lit(1)).as("_scnt"))
+      .withColumn("seasonal", col("_ssum").cast(DoubleType) /
+        (lit(twoM) * col("_scnt")).cast(DoubleType))
+      .select(col("season"), col("seasonal"))
+    t0.join(broadcast(seas), Seq("season"))
+      .select(col("idx"), col("season"), col("x"),
+        (col("_tn").cast(DoubleType) / lit(twoM.toDouble)).as("trend"),
+        col("seasonal"),
+        (col("_dq").cast(DoubleType) / lit(twoM.toDouble) - col("seasonal"))
+          .as("residual"))
+      .orderBy(col("idx"))
+  }
 }

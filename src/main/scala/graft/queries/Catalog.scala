@@ -7539,6 +7539,71 @@ object Catalog {
              |    AS BIGINT) AS n_outliers
              |FROM d JOIN md USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Tukey-fence (IQR) outliers per group (ProfileOps.iqrOutliers):
+    // the box-plot gate, profile_mad_outliers' quartile sibling. Same
+    // integer-cents quantization; p ∈ {0.25, 0.75} interpolation
+    // fractions are exact binary rationals, so quartiles, 1.5·IQR and
+    // both fences are exactly representable and every comparison is
+    // bit-determined (percentile ≡ quantile_cont pinned by
+    // fn_percentile) ⇒ fully oracled.
+    "profile_iqr_outliers" -> QuerySpec(
+      (s, d) => ProfileOps.iqrOutliers(
+        t(s, d, "events").select(
+          (col("user_id") % 7).as("grp"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "grp", "cents", k = 1.5, broadcastGroupStats = true)
+        .orderBy(col("grp")),
+      Some("""WITH e AS (
+             |  SELECT user_id % 7 AS grp,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |st AS (SELECT grp, quantile_cont(cents, 0.25) AS q1,
+             |         quantile_cont(cents, 0.75) AS q3,
+             |         count(cents) AS n
+             |       FROM e GROUP BY 1)
+             |SELECT e.grp, CAST(max(st.n) AS BIGINT) AS n,
+             |  max(st.q1) AS q1, max(st.q3) AS q3,
+             |  max(st.q3 - st.q1) AS iqr,
+             |  CAST(SUM(CASE WHEN e.cents < st.q1 - 1.5 * (st.q3 - st.q1)
+             |    OR e.cents > st.q3 + 1.5 * (st.q3 - st.q1)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM e JOIN st USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Label-centroid cosine matrix (SimilarityOps.centroidCosineMatrix):
+    // pairwise cosine between per-label mean embeddings — the
+    // cluster-separability diagnostic before sampling/distillation.
+    // Cosine's scale invariance removes the mean's 1/n: the quantized
+    // per-(label, dim) SUM is the centroid up to scale, dots and norms
+    // are exact integers, each cosine ONE fixed IEEE sequence
+    // (dot / (sqrt·sqrt)) ⇒ fully oracled. One corpus-scale
+    // (label, dim) aggregation; labels² pair grid is model-sized.
+    "sim_centroid_matrix" -> QuerySpec(
+      (s, d) => SimilarityOps.centroidCosineMatrix(
+        t(s, d, "embeddings"), "label", "embedding"),
+      Some("""WITH q AS (
+             |  SELECT label AS lab,
+             |    unnest(range(len(embedding))) AS pos,
+             |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+             |      AS BIGINT) AS qv
+             |  FROM embeddings),
+             |sums AS (SELECT lab, pos, CAST(SUM(qv) AS BIGINT) AS s
+             |         FROM q GROUP BY 1, 2),
+             |norms AS (SELECT lab, CAST(SUM(s * s) AS BIGINT) AS nq
+             |          FROM sums GROUP BY 1),
+             |dots AS (
+             |  SELECT a.lab AS label_a, b.lab AS label_b,
+             |    CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+             |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.lab < b.lab
+             |  GROUP BY 1, 2)
+             |SELECT label_a, label_b, dot,
+             |  CAST(dot AS DOUBLE)
+             |    / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+             |    AS cosine
+             |FROM dots
+             |JOIN norms na ON na.lab = label_a
+             |JOIN norms nb ON nb.lab = label_b
+             |ORDER BY label_a, label_b""".stripMargin)),
+
     // Per-group binomial rate + Wilson score interval
     // (ProfileOps.rateWilsonCi): "is this slice's failure rate really
     // elevated or is the group just small" — the quality-dashboard
@@ -8984,6 +9049,57 @@ object Catalog {
              |SELECT lag, n_pairs, num, dn.den AS den,
              |  CAST(num AS DOUBLE) / CAST(dn.den AS DOUBLE) AS acf
              |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin)),
+
+    // Classical additive decomposition (TimeSeriesOps
+    // .decomposeClassical): trend (2×24 centered MA) + hour-of-day
+    // seasonal means + residual over the hourly event-count series —
+    // ts_acf finds the period, this splits along it. Exact-long CMA
+    // numerator and detrended values; trend/seasonal/residual are
+    // short fixed IEEE sequences the oracle restates textually ⇒
+    // fully oracled. Season keys come from the bucket TIMESTAMP (not
+    // the dense index), so compressed-out empty hours cannot shift
+    // the phase; edge rows without a full 24h window are excluded by
+    // the standard CMA contract.
+    "ts_decompose_classical" -> QuerySpec(
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val series = hourly
+          .withColumn("idx",
+            (row_number().over(Window.orderBy(col("h"))) - 1)
+              .cast(LongType))
+          .withColumn("hod", hour(col("h")).cast(IntegerType))
+        TimeSeriesOps.decomposeClassical(series, "idx", "x", "hod",
+          period = 24)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+             |        AS idx, CAST(hour(h) AS INTEGER) AS season, x
+             |      FROM hourly),
+             |t0 AS (
+             |  SELECT idx, season, x,
+             |    lag(x, 12) OVER w + lead(x, 12) OVER w
+             |      + 2 * SUM(x) OVER (ORDER BY idx
+             |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS tn
+             |  FROM s WINDOW w AS (ORDER BY idx)),
+             |t1 AS (
+             |  SELECT idx, season, x, tn, 48 * x - tn AS dq
+             |  FROM t0 WHERE tn IS NOT NULL),
+             |seas AS (
+             |  SELECT season,
+             |    CAST(SUM(dq) AS DOUBLE) / CAST(48 * count(*) AS DOUBLE)
+             |      AS seasonal
+             |  FROM t1 GROUP BY 1)
+             |SELECT idx, t1.season, x,
+             |  CAST(tn AS DOUBLE) / 48.0 AS trend,
+             |  seas.seasonal,
+             |  CAST(dq AS DOUBLE) / 48.0 - seas.seasonal AS residual
+             |FROM t1 JOIN seas ON seas.season = t1.season
+             |ORDER BY idx""".stripMargin)),
 
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact

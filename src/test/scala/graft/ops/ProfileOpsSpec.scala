@@ -756,4 +756,19 @@ class ProfileOpsSpec extends SparkSpec {
       ProfileOps.weightedMedian(str, "g", "v", "w")
     }
   }
+
+  test("iqrOutliers: hand-computed quartiles, fences, and the dyadic-k guard") {
+    import spark.implicits._
+    val rows = ((1L to 8L).map(("a", _)) :+ (("a", 100L))).toDF("g", "v")
+    val out = ProfileOps.iqrOutliers(rows, "g", "v").collect().head
+    // 9 values 1..8,100: q1 at rank 2 = 3.0, q3 at rank 6 = 7.0,
+    // fences [3 − 6, 7 + 6] = [−3, 13] → only 100 is out
+    assert(out.getLong(1) == 9L)
+    assert(out.getDouble(2) == 3.0 && out.getDouble(3) == 7.0)
+    assert(out.getDouble(4) == 4.0)
+    assert(out.getLong(5) == 1L, out)
+    intercept[IllegalArgumentException] {
+      ProfileOps.iqrOutliers(rows, "g", "v", k = 1.3)
+    }
+  }
 }

@@ -584,4 +584,18 @@ class SimilaritySpec extends SparkSpec {
       SimilarityOps.bitextMine(src, tgt, k = 2, marginThreshold = 0.0)
     }
   }
+
+  test("centroidCosineMatrix: identical labels cos 1, orthogonal labels cos 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1, Seq(0.0f, 2.0f, 0.0f, 0.0f)),
+      (2, Seq(3.0f, 0.0f, 0.0f, 0.0f))).toDF("label", "embedding")
+    val out = SimilarityOps.centroidCosineMatrix(rows, "label", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(out((0, 2)) == 1.0, out)   // parallel centroids
+    assert(out((0, 1)) == 0.0, out)   // orthogonal
+    assert(out((1, 2)) == 0.0, out)
+    assert(out.size == 3)
+  }
 }

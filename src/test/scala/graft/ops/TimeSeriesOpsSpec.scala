@@ -397,4 +397,25 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(4L) > 0.9 && out(8L) > 0.8, out)
     assert(out(4L) > out(1L) && out(4L) > out(2L) && out(4L) > out(3L), out)
   }
+
+  test("decomposeClassical: pure period-4 series decomposes with zero residual") {
+    import spark.implicits._
+    val xs = (0 until 24).map(i => (i.toLong, i % 4, Seq(1L, 2L, 3L, 4L)(i % 4)))
+    val out = TimeSeriesOps.decomposeClassical(
+      xs.toDF("idx", "hod", "x"), "idx", "x", "hod", period = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    // edge rows (first/last 2) drop; all trends = the series mean 2.5;
+    // seasonal carries the whole pattern; residual exactly 0
+    assert(out.length == 24 - 4, out.length)
+    out.foreach { case (idx, trend, seasonal, resid) =>
+      assert(trend == 2.5, s"idx $idx trend $trend")
+      assert(resid == 0.0, s"idx $idx residual $resid")
+      assert(seasonal >= -1.5 && seasonal <= 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.decomposeClassical(
+        xs.toDF("idx", "hod", "x"), "idx", "x", "hod", period = 5)
+    }
+  }
 }
