@@ -483,6 +483,40 @@ object BpeOps {
       .select(col(idCol),
         posexplode(TextOps.tokenize(col(textCol))).as(Seq("word_pos", "word")))
       .filter(length(col("word")) > 0)
+    packIdsCore(df, idCol, groupCol, toks, pieces, budget)
+  }
+
+  /** BYTE-LEVEL twin of [[packSequenceIds]]: the same two-pass
+    * vocab-build → encode → greedy-bin → concatenate pipeline over the
+    * byte tier's chunk stream ([[byteBpeChunks]] pre-tokenization,
+    * special tokens stripped, [[byteWordPieces]] encoder table). Same
+    * output shape and scale contract; token ids index the PIECE
+    * vocabulary of byte-alphabet symbols, so `doc_offsets` boundaries
+    * are byte-faithful and any packed sequence decodes back to exact
+    * UTF-8 via [[byteDecodeWord]]. */
+  def packSequenceIdsBytes(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, merges: Seq[(String, String)], budget: Long,
+      specialTokens: Seq[String] = Nil,
+      precomputedPieces: Option[DataFrame] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val pieces = precomputedPieces
+      .getOrElse(byteWordPieces(df, textCol, merges, specialTokens))
+      .select(col("chunk").as("word"), col("pieces"))
+      .localCheckpoint()
+    val toks = df
+      .select(col(idCol),
+        posexplode(byteBpeChunks(stripSpecials(col(textCol), specialTokens)))
+          .as(Seq("word_pos", "word")))
+      .filter(length(col("word")) > 0 && col("word").rlike("\\S"))
+    packIdsCore(df, idCol, groupCol, toks, pieces, budget)
+  }
+
+  /** Shared body of [[packSequenceIds]]/[[packSequenceIdsBytes]]:
+    * `toks` = the (id, word_pos, word) corpus stream, `pieces` = the
+    * (word, pieces) encoder table (already checkpointed by callers —
+    * the plan-barrier rationale documented at [[packSequenceIds]]). */
+  private def packIdsCore(df: DataFrame, idCol: String, groupCol: String,
+      toks: DataFrame, pieces: DataFrame, budget: Long): DataFrame = {
     // (doc, word_pos, piece_pos, piece): the encoded corpus stream
     val stream = toks
       .join(pieces.select(col("word"), col("pieces")), Seq("word"))

@@ -5163,6 +5163,87 @@ object Catalog {
              |       ELSE 'und' END AS pred_lang
              |FROM scores ORDER BY doc_id""".stripMargin)),
 
+    // Language-ID confusion matrix: the heuristic classifier above
+    // evaluated against the table's own lang labels — per
+    // (actual, predicted) counts plus per-actual recall, the standard
+    // eval grid a filtering pipeline reports before trusting a
+    // classifier gate. Exact counts, ONE IEEE division per row (count
+    // over a broadcast per-actual total) ⇒ fully oracled. Output is
+    // labels² model-sized.
+    "text_lang_confusion" -> QuerySpec(
+      (s, d) => {
+        val preds = t(s, d, "documents")
+          .select(col("lang").as("actual"),
+            TextOps.langId(col("text")).as("predicted"))
+        val cells = preds.groupBy(col("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val totals = preds.groupBy(col("actual"))
+          .agg(count(lit(1)).as("n_actual"))
+        cells.join(broadcast(totals), Seq("actual"))
+          .select(col("actual"), col("predicted"), col("n"), col("n_actual"),
+            (col("n").cast(DoubleType) / col("n_actual").cast(DoubleType))
+              .as("frac"))
+          .orderBy(col("actual"), col("predicted"))
+      },
+      Some("""WITH preds AS (
+             |  SELECT lang AS actual,
+             |    CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+             |         WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+             |         WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+             |         WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+             |         WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+             |         WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+             |         ELSE 'und' END AS predicted
+             |  FROM (
+             |    SELECT lang,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of','to','is','that','you','with'))) AS s_en,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist','nicht','ich','mit'))) AS s_de,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los','las','es','y','que','por'))) AS s_es,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','des','est','et','que','je','pas'))) AS s_fr,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('的','是','了','在','我','不','这','有'))) AS s_zh
+             |    FROM documents)),
+             |cells AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+             |          FROM preds GROUP BY 1, 2),
+             |tot AS (SELECT actual, CAST(count(*) AS BIGINT) AS n_actual
+             |        FROM preds GROUP BY 1)
+             |SELECT actual, predicted, n, n_actual,
+             |  CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE) AS frac
+             |FROM cells JOIN tot USING (actual)
+             |ORDER BY actual, predicted""".stripMargin)),
+
+    // Gaps-and-islands (runs of consecutive active days per user): the
+    // classic streak operator — island anchor = day − row_number days,
+    // one window + one grain aggregation, pure calendar-integer
+    // arithmetic ⇒ fully oracled. The window partitions per user (the
+    // per-actor contract every event key here uses), so no
+    // single-partition hazard at scale.
+    "win_gap_islands" -> QuerySpec(
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days
+          .withColumn("_anchor", date_sub(col("day"), row_number().over(w)))
+          .groupBy(col("user_id"), col("_anchor"))
+          .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+            count(lit(1)).as("n_days"))
+          .select(col("user_id"), col("start_day"), col("end_day"),
+            col("n_days"))
+          .orderBy(col("user_id"), col("start_day"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |anch AS (
+             |  SELECT user_id, day,
+             |    day - CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY day) AS INTEGER) AS anchor
+             |  FROM days)
+             |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+             |  CAST(count(*) AS BIGINT) AS n_days
+             |FROM anch GROUP BY user_id, anchor
+             |ORDER BY user_id, start_day""".stripMargin)),
+
     // Model-based language classification — the supervised tier next to
     // the heuristic stopword scorer above: multinomial Naive Bayes fit
     // on the labeled corpus (ClassifyOps.nbFit), argmax-scored against
@@ -5884,6 +5965,94 @@ object Catalog {
              |    AS INTEGER) AS ok_compressed
              |FROM enc e JOIN sp USING (source) CROSS JOIN chk
              |ORDER BY source""".stripMargin)),
+
+    // Byte-level packed token-ID sequences (BpeOps
+    // .packSequenceIdsBytes): the byte tier completed to the
+    // trainer-consumable artifact — per (source, bin) concatenated
+    // byte-BPE input_ids with doc_ids/doc_offsets boundary metadata,
+    // the text_pack_sequences_ids pipeline over the chunk stream
+    // (special tokens stripped, leading-space chunks, byte-alphabet
+    // piece vocabulary). Verified the same way: the packed arrays are
+    // exploded back into the (source, bin, pos, doc_id, token_id)
+    // stream with doc_id recovered FROM the offsets, while DuckDB
+    // independently rebuilds chunking → staged pieces → dense vocab →
+    // per-doc order → bins → concatenation from the raw tables.
+    "text_bpe_byte_pack" -> QuerySpec(
+      (s, d) => {
+        val special = "<|endoftext|>"
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          concat(col("text"), lit(" café №42"), lit(special)).as("text"))
+        val merges = byteBpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.byteBpeFit(docs, "text", numMerges = 32, minCount = 5,
+            specialTokens = Seq(special)))
+        val pieces = BpeOps.byteWordPieces(docs, "text", merges, Seq(special))
+        staged(d, "byte_bpe_pieces") { dir =>
+          pieces.select(col("chunk"), col("mapped"), col("pieces"),
+              col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val packed = BpeOps.packSequenceIdsBytes(
+          docs, "doc_id", "text", "source", merges, budget = 2048L,
+          specialTokens = Seq(special), precomputedPieces = Some(pieces))
+        packed
+          .select(col("source"), col("bin"), col("doc_ids"), col("doc_offsets"),
+            posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+          .withColumn("doc_idx",
+            size(filter(col("doc_offsets"), o => o <= col("pos"))) - 1)
+          .withColumn("doc_id", element_at(col("doc_ids"), col("doc_idx") + 1))
+          .select(col("source"), col("bin"), col("pos"), col("doc_id"),
+            col("token_id"))
+          .orderBy(col("source"), col("bin"), col("pos"))
+      },
+      Some("""WITH p AS (
+             |  SELECT chunk AS word, pieces FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_pieces/*.parquet')),
+             |docs AS (
+             |  SELECT doc_id, source,
+             |    text || ' café №42' || '<|endoftext|>' AS text
+             |  FROM documents),
+             |stripped AS (
+             |  SELECT doc_id, source,
+             |    replace(text, '<|endoftext|>', ' ') AS ctext FROM docs),
+             |words AS (
+             |  SELECT doc_id, regexp_extract_all(ctext,
+             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+             |    AS ws
+             |  FROM stripped),
+             |toks0 AS (
+             |  SELECT doc_id, unnest(ws) AS word,
+             |         unnest(range(0, len(ws))) AS word_pos
+             |  FROM words),
+             |toks AS (SELECT * FROM toks0
+             |         WHERE length(word) > 0 AND regexp_matches(word, '\S')),
+             |ps AS (
+             |  SELECT t.doc_id, t.word_pos, unnest(p.pieces) AS piece,
+             |         unnest(range(0, len(p.pieces))) AS piece_pos
+             |  FROM toks t JOIN p USING (word)),
+             |vocab AS (
+             |  SELECT piece,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, piece) - 1
+             |      AS BIGINT) AS token_id
+             |  FROM ps GROUP BY piece),
+             |ids AS (
+             |  SELECT ps.doc_id, ps.word_pos, ps.piece_pos, v.token_id
+             |  FROM ps JOIN vocab v USING (piece)),
+             |ndoc AS (SELECT doc_id, count(*) AS n_tok FROM ids GROUP BY doc_id),
+             |binned AS (
+             |  SELECT d.source, n.doc_id,
+             |    CAST((SUM(n.n_tok) OVER (PARTITION BY d.source ORDER BY n.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n.n_tok)
+             |      // 2048 AS BIGINT) AS bin
+             |  FROM ndoc n JOIN docs d USING (doc_id)),
+             |stream AS (
+             |  SELECT b.source, b.bin, i.doc_id, i.token_id,
+             |    row_number() OVER (PARTITION BY b.source, b.bin
+             |      ORDER BY i.doc_id, i.word_pos, i.piece_pos) - 1 AS pos
+             |  FROM ids i JOIN binned b USING (doc_id))
+             |SELECT source, bin, CAST(pos AS INTEGER) AS pos, doc_id,
+             |  CAST(token_id AS BIGINT) AS token_id
+             |FROM stream ORDER BY source, bin, pos""".stripMargin)),
 
     // Byte-level merges.txt interchange roundtrip — the byte tier's
     // model artifact through the SAME saveModel/loadModel seam: byte
