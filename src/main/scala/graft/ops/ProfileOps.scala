@@ -675,6 +675,82 @@ object ProfileOps {
           1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Welch two-sample t statistic + Welch–Satterthwaite df for the
+    * mean difference between two slices — the unequal-variance test an
+    * experimentation pipeline runs on a continuous metric (the
+    * continuous companion to [[rateWilsonCi]]'s binomial band; no
+    * p-value — that needs the t CDF, and the statistic/df pair is what
+    * downstream lookup consumes).
+    *
+    * ONE map-side-combinable aggregation (conditional sums — no join,
+    * no pivot, no broadcast): per group n (long), Σx (long),
+    * Σx² (DECIMAL(38,0) — squares of integer inputs overflow longs at
+    * corpus scale). The corrected sum of squares q = n·Σx² − (Σx)²
+    * stays exact decimal; each s²/n = q/(n²(n−1)) is ONE division,
+    * and t / df are short fixed IEEE chains over those — restated
+    * textually by the oracle (which casts wide decimals through
+    * VARCHAR: DuckDB's direct decimal→double cast double-rounds past
+    * 2⁵³, strtod does not). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol)
+    val x = col(valueCol)
+    def side(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(cond, x).otherwise(lit(0L))).as(s"sx$tag"),
+      sum(when(cond, (x * x).cast(DecimalType(38, 0))).otherwise(
+        lit(0L).cast(DecimalType(38, 0)))).as(s"sxx$tag"))
+    val aggs = side(g === groupA, "1") ++ side(g === groupB, "2")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) =
+      col(s"sx$t").cast(DoubleType) / col(s"n$t").cast(DoubleType)
+    def varOverN(t: String) =
+      (col(s"n$t").cast(DecimalType(38, 0)) * col(s"sxx$t") -
+        (col(s"sx$t").cast(DecimalType(19, 0)) *
+          col(s"sx$t").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+        .cast(StringType).cast(DoubleType) /
+        (col(s"n$t") * col(s"n$t") * (col(s"n$t") - 1)).cast(DoubleType)
+    m.select(
+        col("n1"), col("n2"),
+        mean("1").as("mean1"), mean("2").as("mean2"),
+        varOverN("1").as("v1"), varOverN("2").as("v2"))
+      .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+        col("v1"), col("v2"),
+        ((col("mean1") - col("mean2")) / sqrt(col("v1") + col("v2")))
+          .as("t"),
+        (((col("v1") + col("v2")) * (col("v1") + col("v2"))) /
+          (col("v1") * col("v1") / (col("n1") - 1).cast(DoubleType) +
+            col("v2") * col("v2") / (col("n2") - 1).cast(DoubleType)))
+          .as("df"))
+  }
+
+  /** Robust per-group scaling: (x − median) / IQR — the standardization
+    * a heavy-tailed metric actually wants ([[prep_zscore_group]]'s
+    * mean/stddev moves with a single corrupt sentinel; median/IQR do
+    * not). ONE array-percentile aggregate per group (the
+    * [[iqrOutliers]] frame, plus the median), slim stats joined back;
+    * median and quartiles of integer inputs are exactly representable
+    * (dyadic interpolation fractions), so the scaled value is ONE IEEE
+    * division per row. IQR = 0 (over half the group between Q1 and Q3
+    * tied) yields NULL — the degenerate-group convention, never a
+    * division blowup. */
+  def robustScale(df: DataFrame, keyCol: String, valueCol: String,
+      broadcastGroupStats: Boolean = false): DataFrame = {
+    val q = "`" + valueCol.replace("`", "``") + "`"
+    val stats = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($q, array(0.25D, 0.5D, 0.75D))").as("__qs"))
+      .select(col(keyCol),
+        element_at(col("__qs"), 2).cast(DoubleType).as("__med"),
+        (element_at(col("__qs"), 3) - element_at(col("__qs"), 1))
+          .cast(DoubleType).as("__iqr"))
+    val hinted = if (broadcastGroupStats) broadcast(stats) else stats
+    df.join(hinted, Seq(keyCol))
+      .withColumn("scaled",
+        when(col("__iqr") =!= 0.0,
+          (col(q) - col("__med")) / col("__iqr")))
+      .drop("__med", "__iqr")
+  }
+
   /** Poisson bootstrap confidence interval for a mean (Chamandy et al.
     * 2012 — THE distributed bootstrap): classical resampling needs a
     * global sample-with-replacement per replicate, which doesn't

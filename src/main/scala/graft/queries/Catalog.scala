@@ -7708,6 +7708,80 @@ object Catalog {
              |    AS BIGINT) AS n_outliers
              |FROM d JOIN md USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Welch two-sample t statistic + Welch–Satterthwaite df
+    // (ProfileOps.welchTTest): mean 'click' vs 'view' event value — the
+    // continuous-metric experiment test beside profile_rate_ci's
+    // binomial band. ONE conditional-sum aggregation (no join/pivot);
+    // q = n·Σx² − (Σx)² exact DECIMAL(38,0) bridged to double through
+    // a VARCHAR cast on the DuckDB side (direct wide-decimal→double
+    // double-rounds past 2⁵³); t and df are fixed IEEE chains both
+    // engines restate ⇒ fully oracled.
+    "profile_ab_ttest" -> QuerySpec(
+      (s, d) => ProfileOps.welchTTest(
+        t(s, d, "events").select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "g", "cents", groupA = "click", groupB = "view"),
+      Some("""WITH e AS (
+             |  SELECT event_type AS g,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events),
+             |m AS (SELECT
+             |  CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(SUM(CASE WHEN g = 'click' THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             |  CAST(SUM(CASE WHEN g = 'click' THEN CAST(x AS DECIMAL(38,0)) * x
+             |    ELSE 0 END) AS DECIMAL(38,0)) AS sxx1,
+             |  CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(SUM(CASE WHEN g = 'view' THEN x ELSE 0 END) AS BIGINT) AS sx2,
+             |  CAST(SUM(CASE WHEN g = 'view' THEN CAST(x AS DECIMAL(38,0)) * x
+             |    ELSE 0 END) AS DECIMAL(38,0)) AS sxx2
+             |  FROM e),
+             |v AS (SELECT n1, n2,
+             |  CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             |  CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+             |  CAST(CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1
+             |      - CAST(sx1 AS DECIMAL(19,0)) * CAST(sx1 AS DECIMAL(19,0))
+             |      AS VARCHAR) AS DOUBLE)
+             |    / CAST(n1 * n1 * (n1 - 1) AS DOUBLE) AS v1,
+             |  CAST(CAST(CAST(n2 AS DECIMAL(38,0)) * sxx2
+             |      - CAST(sx2 AS DECIMAL(19,0)) * CAST(sx2 AS DECIMAL(19,0))
+             |      AS VARCHAR) AS DOUBLE)
+             |    / CAST(n2 * n2 * (n2 - 1) AS DOUBLE) AS v2
+             |  FROM m)
+             |SELECT n1, n2, mean1, mean2, v1, v2,
+             |  (mean1 - mean2) / sqrt(v1 + v2) AS t,
+             |  ((v1 + v2) * (v1 + v2))
+             |    / (v1 * v1 / CAST(n1 - 1 AS DOUBLE)
+             |       + v2 * v2 / CAST(n2 - 1 AS DOUBLE)) AS df
+             |FROM v""".stripMargin)),
+
+    // Robust per-group scaling (ProfileOps.robustScale): (x − median)
+    // / IQR — prep_zscore_group's heavy-tail-safe sibling. Dyadic
+    // quantile ranks keep median/IQR of integer cents exactly
+    // representable; ONE division per row; IQR = 0 → NULL. Fully
+    // oracled at row grain.
+    "prep_robust_scale" -> QuerySpec(
+      (s, d) => ProfileOps.robustScale(
+        t(s, d, "events").select(
+          (col("user_id") % 7).as("grp"),
+          col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "grp", "cents", broadcastGroupStats = true)
+        .orderBy(col("grp"), col("event_id")),
+      Some("""WITH e AS (
+             |  SELECT user_id % 7 AS grp, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |st AS (SELECT grp,
+             |         quantile_cont(cents, 0.5) AS med,
+             |         quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)
+             |           AS iqr
+             |       FROM e GROUP BY 1)
+             |SELECT e.grp, e.event_id, e.cents,
+             |  CASE WHEN st.iqr <> 0.0
+             |    THEN (e.cents - st.med) / st.iqr END AS scaled
+             |FROM e JOIN st USING (grp)
+             |ORDER BY grp, event_id""".stripMargin)),
+
     // Tukey-fence (IQR) outliers per group (ProfileOps.iqrOutliers):
     // the box-plot gate, profile_mad_outliers' quartile sibling. Same
     // integer-cents quantization; p ∈ {0.25, 0.75} interpolation

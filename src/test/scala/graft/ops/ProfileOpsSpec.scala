@@ -771,4 +771,33 @@ class ProfileOpsSpec extends SparkSpec {
       ProfileOps.iqrOutliers(rows, "g", "v", k = 1.3)
     }
   }
+
+  test("welchTTest: hand-computed statistic and Welch-Satterthwaite df") {
+    import spark.implicits._
+    val rows = (Seq(1L, 2L, 3L).map(("a", 0L, _)) ++
+      Seq(2L, 4L, 6L, 8L).map(("b", 0L, _)))
+      .toDF("g", "pad", "v")
+    val r = ProfileOps.welchTTest(rows, "g", "v", "a", "b").collect().head
+    // A: n=3 mean=2 s2/n=1/3; B: n=4 mean=5 s2/n=5/3
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getDouble(5) - 5.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getDouble(6) - (-3.0 / math.sqrt(2.0))) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 216.0 / 53.0) < 1e-12)
+  }
+
+  test("robustScale: hand-computed, degenerate IQR yields NULL") {
+    import spark.implicits._
+    // group a: 1..9 → med 5, iqr = 7 − 3 = 4; group b: constant → NULL
+    val rows = ((1L to 9L).map(("a", _)) ++ Seq.fill(4)(("b", 7L)))
+      .toDF("g", "v")
+    val out = ProfileOps.robustScale(rows, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    out.filter(_._1 == "a").foreach { case (_, v, sc) =>
+      assert(sc.contains((v - 5.0) / 4.0), (v, sc))
+    }
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+  }
 }
