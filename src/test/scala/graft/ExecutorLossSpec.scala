@@ -183,12 +183,74 @@ class ExecutorLossSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(removed.get() > before,
       "no executor was removed — the kill never happened and this test proved nothing")
   }
+
+  test("streaming aggregation recovers exact state store after an executor loss") {
+    // the state-backed path: a stateful streaming agg's per-key state
+    // lives ON the executors between micro-batches; killing one
+    // mid-batch forces the retried task to reload the previous
+    // committed state version from the checkpoint — the recovery a
+    // long-running production stream exercises on every preemption.
+    // Kill trigger is DATA-driven (a sentinel row in batch 2), not
+    // batch-count-driven: stage attempt numbers reset per micro-batch,
+    // so a plain attempt==0 guard would kill once per batch forever.
+    val before = removed.get()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val src = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_loss_ck").toString
+    val q = src.toDF()
+      .mapPartitions { it =>
+        it.map { r =>
+          val v = r.getLong(0)
+          if (v == ExecutorLossSpec.KillSentinel &&
+              TaskContext.get().attemptNumber() == 0) {
+            Runtime.getRuntime.halt(137)
+          }
+          v
+        }
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("value")
+      .groupBy((col("value") % 10).as("k"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_loss_counts")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      src.addData(0L until 1000L)
+      q.processAllAvailable() // batch 1 commits clean state
+      src.addData(1000L until 2000L) // contains the sentinel → one kill
+      q.processAllAvailable() // must survive the executor death
+      src.addData(2000L until 3000L)
+      q.processAllAvailable() // post-loss batch on recovered state
+      val got = spark.table("graft_loss_counts")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got.size == 10)
+      (0L until 10L).foreach { k =>
+        val vs = (0L until 3000L).filter(_ % 10 == k)
+        assert(got(k) == ((vs.size.toLong, vs.sum)),
+          s"key $k state wrong after recovery: ${got(k)}")
+      }
+    } finally q.stop()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
 }
 
 /** The kill predicate lives on the companion (a static reference) so
   * task closures capture nothing from the suite instance — the spec
   * class holds a SparkSession and is not serializable. */
 object ExecutorLossSpec {
+  /** The streaming test's kill row: batch 2's sentinel value. */
+  val KillSentinel: Long = 1500L
+
   /** True exactly once: first attempt of the chosen partition in the
     * stage's first attempt. */
   def shouldKill(pid: Int, target: Int): Boolean = {
