@@ -959,4 +959,38 @@ object TextOps {
           col("slope") * (col("_sx").cast(DoubleType) / lit(1.0e6))) /
           col("_k").cast(DoubleType)).as("intercept"))
   }
+
+  /** Code-vs-prose router features + decision: the training-data stage
+    * that splits a mixed crawl into code and natural-language streams
+    * (each goes to a different filtering/tokenization pipeline — C4
+    * rules DESTROY code, code filters starve prose). Pure zero-shuffle
+    * column program over exact counts:
+    *
+    *  - `n_code_symbols`: {}();=[] occurrences (brace-language surface)
+    *  - `n_keywords`: word-boundary hits of a fixed keyword set
+    *    (def/return/import/class/void/const/function/var)
+    *  - `symbol_ratio`, `keyword_ratio`: each ONE IEEE division by
+    *    char/word count
+    *  - `is_code`: symbol_ratio ≥ 0.03 AND n_keywords ≥ 1, OR
+    *    symbol_ratio ≥ 0.08 — the two-path rule (keyword-confirmed low
+    *    symbol density, or unambiguous symbol density alone)
+    *
+    * The regexes are RE2-compatible (no lookarounds), so a SQL oracle
+    * replays them verbatim. */
+  def codeDetect(text: Column): (Column, Column, Column, Column, Column) = {
+    val nChars = length(text)
+    val toks = tokenize(text)
+    val nWords = size(filter(toks, t => length(t) > 0))
+    val nSym = size(regexp_extract_all(text, lit("[{}();=\\[\\]]"), lit(0)))
+    val nKw = size(regexp_extract_all(lower(text),
+      lit("\\b(def|return|import|class|void|const|function|var)\\b"), lit(0)))
+    val symRatio = when(nChars > 0,
+      nSym.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val kwRatio = when(nWords > 0,
+      nKw.cast(DoubleType) / nWords.cast(DoubleType)).otherwise(lit(0.0))
+    val isCode = ((symRatio >= 0.03 && nKw >= 1) || symRatio >= 0.08)
+      .cast(org.apache.spark.sql.types.IntegerType)
+    (nSym.cast(org.apache.spark.sql.types.LongType),
+      nKw.cast(org.apache.spark.sql.types.LongType), symRatio, kwRatio, isCode)
+  }
 }

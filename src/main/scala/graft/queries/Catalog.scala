@@ -4760,6 +4760,60 @@ object Catalog {
              |  AND term NOT IN ('the','a','an','and','or','of','to','in','is','it')
              |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin)),
 
+    // Code-vs-prose router (TextOps.codeDetect): the stage that splits
+    // a mixed crawl into code and natural-language streams — C4 rules
+    // destroy code, code filters starve prose, so the router runs
+    // FIRST. Deterministic code-shaped suffixes are planted on every
+    // 7th doc (the fixture is pure word salad) so both decision paths
+    // discriminate; zero-shuffle column program, exact counts, ONE
+    // division per ratio, RE2-compatible regexes the oracle replays
+    // verbatim ⇒ fully oracled.
+    "text_code_detect" -> QuerySpec(
+      (s, d) => {
+        val code = " def load(x): return x[0]; const y = {a: [1]};"
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(code)).otherwise(lit("")))
+            .as("text"))
+        val (nSym, nKw, symR, kwR, isCode) =
+          graft.ops.TextOps.codeDetect(col("text"))
+        docs.select(col("doc_id"), nSym.as("n_code_symbols"),
+            nKw.as("n_keywords"), symR.as("symbol_ratio"),
+            kwR.as("keyword_ratio"), isCode.as("is_code"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    text || CASE WHEN doc_id % 7 = 0
+             |      THEN ' def load(x): return x[0]; const y = {a: [1]};'
+             |      ELSE '' END AS text
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[{}();=\[\]]')) AS BIGINT)
+             |      AS n_sym,
+             |    CAST(len(regexp_extract_all(lower(text),
+             |      '\b(def|return|import|class|void|const|function|var)\b'))
+             |      AS BIGINT) AS n_kw,
+             |    length(text) AS n_chars,
+             |    len(list_filter(string_split(lower(text), ' '),
+             |      x -> length(x) > 0)) AS n_words
+             |  FROM docs),
+             |r AS (
+             |  SELECT doc_id, n_sym, n_kw,
+             |    CASE WHEN n_chars > 0
+             |      THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             |      ELSE 0.0 END AS symbol_ratio,
+             |    CASE WHEN n_words > 0
+             |      THEN CAST(n_kw AS DOUBLE) / CAST(n_words AS DOUBLE)
+             |      ELSE 0.0 END AS keyword_ratio
+             |  FROM f)
+             |SELECT doc_id, n_sym AS n_code_symbols, n_kw AS n_keywords,
+             |  symbol_ratio, keyword_ratio,
+             |  CAST((symbol_ratio >= 0.03 AND n_kw >= 1)
+             |    OR symbol_ratio >= 0.08 AS INTEGER) AS is_code
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     "text_quality_score" -> QuerySpec(
       (s, d) => TextOps.qualityFeatures(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_stop"),

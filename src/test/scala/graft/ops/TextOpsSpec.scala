@@ -631,4 +631,21 @@ class TextOpsSpec extends SparkSpec {
       TextOps.zipfSlope(docs, "text", topK = 2)
     }
   }
+
+  test("codeDetect: code flags, prose passes, empty text is 0-ratio not NaN") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "def main(args): return args[0]; x = {1: 2}; print(x);"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "")).toDF("doc_id", "text")
+    val (nSym, nKw, symR, kwR, isCode) = TextOps.codeDetect(col("text"))
+    val out = rows.select(col("doc_id"), nSym, nKw, symR, kwR, isCode)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5)))).toMap
+    assert(out(1L)._5 == 1, out(1L))
+    assert(out(1L)._1 >= 8 && out(1L)._2 >= 2)
+    assert(out(2L)._5 == 0 && out(2L)._1 == 0L)
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0, 0)), out(3L))
+  }
 }
