@@ -361,4 +361,42 @@ object TimeSeriesOps {
           .as("residual"))
       .orderBy(col("idx"))
   }
+
+  /** Single changepoint location by the CUSUM statistic: the split t
+    * maximizing |t·S_n − n·S_t| (the cross-multiplied form of
+    * |mean_before − mean_after| weighted by t(n−t)/n — same argmax,
+    * zero divisions until the report row). The alarm ops
+    * ([[cusumWindowed]]) say WHETHER a shift happened; this says WHERE
+    * — the segmentation primitive binary-segmentation recursion is
+    * built from.
+    *
+    * Exactness: prefix sums and the objective are exact longs
+    * (bucket-grain series of integer counts), the argmax tie-breaks to
+    * the SMALLEST index, and the only IEEE ops are the two segment
+    * means and the mean shift on the single output row ⇒ fully
+    * oracled. Input is the [[acf]] bucket-grain series contract;
+    * split t means "first t rows vs the rest", 1 ≤ t ≤ n−1. */
+  def changepointCusum(series: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val s0 = series.select(col(idxCol).cast(LongType).as("idx"),
+      col(valueCol).cast(LongType).as("x"))
+    val w = Window.orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = s0.withColumn("_st", sum(col("x")).over(w)) // S_t incl. row t
+    val tot = pre.agg(count(lit(1)).as("n"), sum(col("x")).as("sn"))
+    pre.crossJoin(broadcast(tot))
+      // split AFTER row idx: t = idx+1 rows on the left
+      .withColumn("t", col("idx") + 1)
+      .filter(col("t") < col("n"))
+      .withColumn("d", abs(col("t") * col("sn") - col("n") * col("_st")))
+      .orderBy(col("d").desc, col("t"))
+      .limit(1)
+      .select(col("t").as("cp"), col("n"), col("d").as("d_max"),
+        (col("_st").cast(DoubleType) / col("t").cast(DoubleType))
+          .as("mean_before"),
+        ((col("sn") - col("_st")).cast(DoubleType) /
+          (col("n") - col("t")).cast(DoubleType)).as("mean_after"))
+      .withColumn("shift", col("mean_after") - col("mean_before"))
+  }
 }

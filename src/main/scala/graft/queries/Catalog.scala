@@ -9398,6 +9398,55 @@ object Catalog {
              |FROM t1 JOIN seas ON seas.season = t1.season
              |ORDER BY idx""".stripMargin)),
 
+    // Single-changepoint LOCATION (TimeSeriesOps.changepointCusum):
+    // argmax_t |t·S_n − n·S_t| over the hourly-count series with a
+    // PLANTED +25 level shift from bucket 400 on — the alarms say
+    // whether, this says where (and must recover exactly t = 400;
+    // ok_cp carries the planted truth as data). Exact-long prefix sums
+    // and objective, smallest-t ties, IEEE only on the output row's
+    // two means ⇒ fully oracled.
+    "ts_changepoint" -> QuerySpec(
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x0"))
+        val series = hourly
+          .withColumn("idx",
+            (row_number().over(Window.orderBy(col("h"))) - 1)
+              .cast(LongType))
+          .withColumn("x",
+            col("x0") + when(col("idx") >= 400, 25L).otherwise(0L))
+        TimeSeriesOps.changepointCusum(series, "idx", "x")
+          .withColumn("ok_cp", (col("cp") === 400L).cast(IntegerType))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(count(*) AS BIGINT) AS x0
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+             |        AS idx, x0 FROM hourly),
+             |s2 AS (SELECT idx,
+             |         x0 + CASE WHEN idx >= 400 THEN 25 ELSE 0 END AS x
+             |       FROM s),
+             |pre AS (SELECT idx, CAST(SUM(x) OVER (ORDER BY idx
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS st
+             |        FROM s2),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |               CAST(SUM(x) AS BIGINT) AS sn FROM s2),
+             |d AS (
+             |  SELECT idx + 1 AS t, n, sn, st,
+             |    abs((idx + 1) * sn - n * st) AS d
+             |  FROM pre CROSS JOIN tot
+             |  WHERE idx + 1 < n)
+             |SELECT t AS cp, n, d AS d_max,
+             |  CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+             |  CAST(sn - st AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_after,
+             |  CAST(sn - st AS DOUBLE) / CAST(n - t AS DOUBLE)
+             |    - CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS shift,
+             |  CAST(t = 400 AS INTEGER) AS ok_cp
+             |FROM d ORDER BY d DESC, t LIMIT 1""".stripMargin)),
+
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact
     // per-series mean — the sustained-small-shift detector point-

@@ -271,9 +271,11 @@ class PlanSpec extends SparkSpec {
                                // (the churn right-censor bound)
       "text_bpe_byte_encode",  // 1-row roundtrip/bytemap-check scalar
                                // broadcast (the text_token_count_bpe shape)
-      "ts_acf")                // 1-row totals/denominator + 24-row lag
+      "ts_acf",                // 1-row totals/denominator + 24-row lag
                                // frame broadcasts over the bucket-grain
                                // series (all model-sized)
+      "ts_changepoint")        // 1-row (n, S_n) totals broadcast over
+                               // the bucket-grain prefix-sum frame
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -418,4 +418,20 @@ class TimeSeriesOpsSpec extends SparkSpec {
         xs.toDF("idx", "hod", "x"), "idx", "x", "hod", period = 5)
     }
   }
+
+  test("changepointCusum: recovers a planted level shift exactly") {
+    import spark.implicits._
+    // 10,10,...,10 (40x) then 50,... (20x): true cp = 40
+    val xs = (0 until 60).map(i => (i.toLong, if (i < 40) 10L else 50L))
+    val r = TimeSeriesOps.changepointCusum(xs.toDF("idx", "x"), "idx", "x")
+      .collect().head
+    assert(r.getLong(0) == 40L, r)
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 50.0)
+    assert(r.getDouble(5) == 40.0)
+    // constant series: d = 0 everywhere, smallest-t tie-break → cp = 1
+    val flat = (0 until 20).map(i => (i.toLong, 7L))
+    val r2 = TimeSeriesOps.changepointCusum(flat.toDF("idx", "x"), "idx", "x")
+      .collect().head
+    assert(r2.getLong(0) == 1L && r2.getLong(2) == 0L, r2)
+  }
 }
