@@ -181,6 +181,33 @@ object MultimodalOps {
         }
       }
       res
+    } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+      // BMP (round 12): BITMAPFILEHEADER(14) then BITMAPINFOHEADER —
+      // little-endian fields at FIXED offsets: header size @14 (must be
+      // a known INFO-family size), width @18, height @22 (SIGNED — a
+      // negative value is a top-down bitmap; magnitude reported, never
+      // a negative "height"), bit count @28. Channel semantics aligned
+      // with the PNG row: 24-bit → 8-bit depth × 3 channels, 32-bit →
+      // ×4, ≤8-bit → palette index (1 channel, native depth).
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val hdrSize = le32(14)
+      if (hdrSize != 40 && hdrSize != 52 && hdrSize != 56 &&
+          hdrSize != 108 && hdrSize != 124) None
+      else {
+        val bits = le16(28)
+        val (depth, channels) = bits match {
+          case 32 => (8, 4)
+          case 24 => (8, 3)
+          case 16 => (16, 1)
+          case n if n == 1 || n == 4 || n == 8 => (n, 1)
+          case _ => (-1, -1)
+        }
+        if (depth < 0) None
+        else Some(ImageMeta("bmp", le32(18), math.abs(le32(22)),
+          depth, channels))
+      }
     } else None
   }
 

@@ -9766,6 +9766,64 @@ object Catalog {
              |FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg)
              |ORDER BY media_id, ext""".stripMargin)),
 
+    // BMP header metadata (round 12): the third raster container —
+    // fixed-offset LITTLE-endian fields (BITMAPFILEHEADER +
+    // BITMAPINFOHEADER), the endianness mirror of PNG's IHDR walk.
+    // Staged 24-bit BMPs via ImageIO; MultimodalOps.parseImageHeader
+    // gained the BMP branch (INFO-family header-size whitelist, signed
+    // top-down height normalized, palette depths mapped like PNG's
+    // color types). DuckDB re-parses the SAME staged bytes with
+    // reversed hex-pair arithmetic.
+    "multimodal_bmp_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "images_bmp") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 24).foreach { id =>
+            val w = 12 + (id * 5) % 48
+            val h = 12 + (id * 11) % 48
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                img.setRGB(x, y, (x * 13 + y * 29 + id) & 0xffffff); y += 1
+              }
+              x += 1
+            }
+            javax.imageio.ImageIO.write(img, "bmp",
+              new java.io.File(base, f"img_$id%03d.bmp"))
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.bmp")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.imageMeta(files, "bytes")
+          .select(col("media_id"), col("format"),
+            col("width"), col("height"), col("bit_depth"), col("n_channels"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'img_(\d+)', 1)::BIGINT AS media_id,
+             |    hex(content) AS h
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/images_bmp/img_*.bmp'))
+             |SELECT media_id, 'bmp' AS format,
+             |  ('0x' || substr(h, 43, 2) || substr(h, 41, 2)
+             |    || substr(h, 39, 2) || substr(h, 37, 2))::INTEGER AS width,
+             |  abs(('0x' || substr(h, 51, 2) || substr(h, 49, 2)
+             |    || substr(h, 47, 2) || substr(h, 45, 2))::INTEGER) AS height,
+             |  CASE ('0x' || substr(h, 59, 2) || substr(h, 57, 2))::INTEGER
+             |    WHEN 32 THEN 8 WHEN 24 THEN 8 WHEN 16 THEN 16
+             |    ELSE ('0x' || substr(h, 59, 2) || substr(h, 57, 2))::INTEGER
+             |  END AS bit_depth,
+             |  CASE ('0x' || substr(h, 59, 2) || substr(h, 57, 2))::INTEGER
+             |    WHEN 32 THEN 4 WHEN 24 THEN 3 ELSE 1 END AS n_channels
+             |FROM f ORDER BY media_id""".stripMargin)),
+
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
     // timestamp — duplicate timestamps would make them nondeterministic),

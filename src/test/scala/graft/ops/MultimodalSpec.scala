@@ -399,6 +399,39 @@ class MultimodalSpec extends SparkSpec {
       .select(MultimodalOps.dhashBits($"pixels")).as[String].collect()
     assert(hashes.distinct.length == 1)
   }
+
+  test("parseImageHeader: BMP little-endian fields, top-down height, guards") {
+    def bmp(w: Int, h: Int, bits: Int, hdrSize: Int = 40): Array[Byte] = {
+      val b = new Array[Byte](54)
+      b(0) = 'B'; b(1) = 'M'
+      def le32(i: Int, v: Int): Unit = {
+        b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+        b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(i: Int, v: Int): Unit = {
+        b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      le32(14, hdrSize); le32(18, w); le32(22, h); le16(26, 1); le16(28, bits)
+      b
+    }
+    assert(MultimodalOps.parseImageHeader(bmp(640, 480, 24))
+      .contains(MultimodalOps.ImageMeta("bmp", 640, 480, 8, 3)))
+    assert(MultimodalOps.parseImageHeader(bmp(32, 16, 32))
+      .contains(MultimodalOps.ImageMeta("bmp", 32, 16, 8, 4)))
+    // top-down bitmap: negative stored height, magnitude reported
+    assert(MultimodalOps.parseImageHeader(bmp(10, -20, 8))
+      .contains(MultimodalOps.ImageMeta("bmp", 10, 20, 8, 1)))
+    // unknown info-header size and unknown bit count → None, not garbage
+    assert(MultimodalOps.parseImageHeader(bmp(10, 10, 24, hdrSize = 12)).isEmpty)
+    assert(MultimodalOps.parseImageHeader(bmp(10, 10, 13)).isEmpty)
+    // a real ImageIO-written BMP parses with the same fields
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    assert(MultimodalOps.parseImageHeader(bos.toByteArray)
+      .contains(MultimodalOps.ImageMeta("bmp", 17, 9, 8, 3)))
+  }
 }
 
 object MultimodalSpec {
@@ -416,4 +449,5 @@ object MultimodalSpec {
       MultimodalOps.StubCodec.decode(payload)
     }
   }
+
 }
