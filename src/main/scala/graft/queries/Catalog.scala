@@ -9824,6 +9824,56 @@ object Catalog {
              |    WHEN 32 THEN 4 WHEN 24 THEN 3 ELSE 1 END AS n_channels
              |FROM f ORDER BY media_id""".stripMargin)),
 
+    // GIF logical-screen metadata (round 12): completes the raster
+    // trio's third layout class — PNG is big-endian chunked, BMP is
+    // little-endian fixed-offset, GIF is little-endian with a PACKED
+    // BITFIELD (color resolution in bits 4-6 of byte 10). Staged via
+    // ImageIO; DuckDB re-parses the same bytes, extracting the
+    // bitfield with integer div/mod arithmetic on the hex byte.
+    "multimodal_gif_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "images_gif") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 24).foreach { id =>
+            val w = 8 + (id * 7) % 40
+            val h = 8 + (id * 3) % 40
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                img.setRGB(x, y, (x * 19 + y * 7 + id) & 0xffffff); y += 1
+              }
+              x += 1
+            }
+            javax.imageio.ImageIO.write(img, "gif",
+              new java.io.File(base, f"img_$id%03d.gif"))
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.gif")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.imageMeta(files, "bytes")
+          .select(col("media_id"), col("format"),
+            col("width"), col("height"), col("bit_depth"), col("n_channels"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'img_(\d+)', 1)::BIGINT AS media_id,
+             |    hex(content) AS h
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/images_gif/img_*.gif'))
+             |SELECT media_id, 'gif' AS format,
+             |  ('0x' || substr(h, 15, 2) || substr(h, 13, 2))::INTEGER AS width,
+             |  ('0x' || substr(h, 19, 2) || substr(h, 17, 2))::INTEGER AS height,
+             |  (('0x' || substr(h, 21, 2))::INTEGER // 16) % 8 + 1 AS bit_depth,
+             |  1 AS n_channels
+             |FROM f ORDER BY media_id""".stripMargin)),
+
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
     // timestamp — duplicate timestamps would make them nondeterministic),

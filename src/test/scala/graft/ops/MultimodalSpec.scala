@@ -431,6 +431,19 @@ class MultimodalSpec extends SparkSpec {
     javax.imageio.ImageIO.write(img, "bmp", bos)
     assert(MultimodalOps.parseImageHeader(bos.toByteArray)
       .contains(MultimodalOps.ImageMeta("bmp", 17, 9, 8, 3)))
+    // GIF: screen-descriptor little-endian dims + packed color
+    // resolution bitfield, both magic versions
+    Seq('7', '9').foreach { v =>
+      val g = ("GIF8" + v + "a").getBytes("US-ASCII") ++
+        Array[Byte](0x40, 0x01, 0x10, 0x00, 0x70.toByte, 0, 0)
+      assert(MultimodalOps.parseImageHeader(g)
+        .contains(MultimodalOps.ImageMeta("gif", 320, 16, 8, 1)), v)
+    }
+    val gos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gos)
+    val gm = MultimodalOps.parseImageHeader(gos.toByteArray)
+    assert(gm.exists(m => m.format == "gif" && m.width == 17 &&
+      m.height == 9 && m.nChannels == 1), gm)
   }
 }
 
