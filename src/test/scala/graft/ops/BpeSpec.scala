@@ -300,4 +300,24 @@ class BpeSpec extends SparkSpec {
     BpeOps.saveModel(spark, merges, s"$dir/merges.txt")
     assert(BpeOps.loadModel(spark, s"$dir/merges.txt") == merges)
   }
+
+  test("byte encode/decode: seeded fuzz across the full code-point space") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { i =>
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        var cp = 0
+        do cp = rnd.nextInt(0x10FFFF + 1)
+        while (cp >= 0xD800 && cp <= 0xDFFF) // no bare surrogate halves
+        sb.appendAll(Character.toChars(cp))
+      }
+      val str = sb.toString
+      val enc = BpeOps.byteEncodeWord(str)
+      assert(BpeOps.byteDecodeWord(enc) == str, s"case $i failed roundtrip")
+      assert(enc.length == str.getBytes("UTF-8").length, s"case $i length")
+      // closure: every emitted symbol is an alphabet member (decodable)
+      enc.foreach(c => assert(BpeOps.byteAlphabet.contains(c), s"case $i: $c"))
+    }
+  }
 }
