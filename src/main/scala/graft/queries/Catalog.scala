@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -124,6 +124,52 @@ object Catalog {
     * + 20-clique + spokes over doc_id < 300) and the same `rounds`
     * peeling rounds, generated as a CTE chain — e{r} keeps edges whose
     * BOTH endpoints had degree ≥ 3 in e{r−1}. */
+  /** geo_geohash_bucket's DuckDB oracle: the same quantize → bit
+    * interleave → base32 pipeline as GeoOps.geohash, generated as one
+    * closed-form SQL expression (the shift/mask terms and per-char
+    * alphabet probes unroll exactly like the Spark plan). */
+  private def geohashOracle(precision: Int): String = {
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val terms = (0 until totalBits).map { pos =>
+      val isLon = pos % 2 == 0
+      val srcBit = if (isLon) lonBits - 1 - pos / 2 else latBits - 1 - pos / 2
+      val src = if (isLon) "lonq" else "latq"
+      s"((($src >> $srcBit) & 1) << ${totalBits - 1 - pos})"
+      // single-line joins: a generated continuation line starting with
+      // "||" would lose its first pipe to stripMargin and parse as
+      // bitwise-or over VARCHARs
+    }.mkString(" + ")
+    val chars = (0 until precision).map { i =>
+      s"substr('${graft.ops.GeoOps.Base32}', CAST(((inter >> ${
+        (precision - 1 - i) * 5}) & 31) + 1 AS INT), 1)"
+    }.mkString(" || ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    CAST(c_custkey % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+       |    CAST((c_custkey * 7) % 35000 AS DOUBLE) / 100.0 - 175.0 AS lon
+       |  FROM customer),
+       |q AS (
+       |  SELECT c_custkey,
+       |    LEAST(CAST(floor((lat + 90.0) / 180.0 * ${1L << latBits})
+       |      AS BIGINT), ${(1L << latBits) - 1}) AS latq,
+       |    LEAST(CAST(floor((lon + 180.0) / 360.0 * ${1L << lonBits})
+       |      AS BIGINT), ${(1L << lonBits) - 1}) AS lonq
+       |  FROM pts),
+       |inter AS (
+       |  SELECT c_custkey,
+       |      $terms AS inter
+       |  FROM q),
+       |cells AS (
+       |  SELECT c_custkey,
+       |      $chars AS cell
+       |  FROM inter)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+       |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   private def kcoreOracle(rounds: Int): String = {
     // every per-round CTE is MATERIALIZED: inlined (view-style) CTEs
     // triple their upstream references each round, so an 8-round chain
@@ -2927,6 +2973,33 @@ object Catalog {
           .orderBy(col("doc_id"))
       },
       Some(lpaOracle("WHERE doc_id < 500", "500"))),
+
+    // Geohash grid bucketing (GeoOps.geohash): the spatial shuffle key
+    // — the reference's data model is weather stations with
+    // coordinates, and gridding points into geohash cells is how a
+    // proximity workload blocks candidates at scale (the LSH-band idea
+    // on the globe). Pure integer quantize → bit-interleave → base32
+    // as ONE codegen column expression (no UDF, no trig — distance
+    // ranking is a rerank stage, libm sin/cos is engine-specific);
+    // matches published reference cells (GeoOpsSpec) and the oracle
+    // replays the identical arithmetic ⇒ fully oracled. Points
+    // synthesized deterministically from customer keys.
+    "geo_geohash_bucket" -> QuerySpec(
+      (s, d) => {
+        val pts = t(s, d, "customer").select(col("c_custkey"),
+          ((col("c_custkey") % 17000).cast(DoubleType) / 100.0 - 85.0)
+            .as("lat"),
+          (((col("c_custkey") * 7) % 35000).cast(DoubleType) / 100.0 - 175.0)
+            .as("lon"))
+        pts.select(col("c_custkey"),
+            GeoOps.geohash(col("lat"), col("lon"), precision = 4).as("cell"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("c_custkey")).as("min_key"),
+            max(col("c_custkey")).as("max_key"))
+          .orderBy(col("cell"))
+      },
+      Some(geohashOracle(4))),
 
     // k-core peeling (GraphOps.kcore): the community-density filter —
     // iteratively drop nodes with < k surviving neighbors. Graph =

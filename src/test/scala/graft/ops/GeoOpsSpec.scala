@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GeoOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashOf(lat: Double, lon: Double, p: Int): String =
+    Seq((lat, lon)).toDF("lat", "lon")
+      .select(GeoOps.geohash(col("lat"), col("lon"), p).as("g"))
+      .as[String].head()
+
+  test("geohash matches the published reference cells") {
+    // the canonical example cell (Wikipedia's geohash article)
+    assert(hashOf(42.605, -5.603, 5) == "ezs42")
+    // a longer published cell (Jutland, precision 11)
+    assert(hashOf(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    // prefixes nest: the same point at lower precision is a prefix
+    assert(hashOf(57.64911, 10.40744, 4) == "u4pr")
+    assert(hashOf(57.64911, 10.40744, 1) == "u")
+  }
+
+  test("geohash edges: poles, antimeridian, origin, out-of-range → NULL") {
+    assert(hashOf(90.0, 180.0, 4) == "zzzz") // top corner clamps into the last cell
+    assert(hashOf(-90.0, -180.0, 4) == "0000")
+    assert(hashOf(0.0, 0.0, 1) == "s")
+    val bad = Seq((91.0, 0.0), (0.0, 181.0), (-90.5, 0.0))
+      .toDF("lat", "lon")
+      .select(GeoOps.geohash(col("lat"), col("lon"), 4).as("g"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)), bad.mkString(","))
+    intercept[IllegalArgumentException] {
+      GeoOps.geohash(col("lat"), col("lon"), 13)
+    }
+  }
+
+  test("geohash blocking property: nearby points share prefixes, far points do not") {
+    // two points ~150 m apart vs a point on another island-scale offset
+    val a = hashOf(20.7967, -156.3319, 6)
+    val b = hashOf(20.7979, -156.3324, 6)
+    val far = hashOf(21.3069, -157.8583, 6)
+    assert(a.take(5) == b.take(5), s"$a vs $b")
+    assert(a.take(3) != far.take(3), s"$a vs $far")
+  }
+}
