@@ -29,16 +29,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 
-// ExecutorLossSpec runs a local-cluster[2,…] standalone master with real
-// executor JVMs — one SparkContext per JVM means it cannot share the
-// suite-wide local[*] session, so it gets its own forked test JVM.
+// ExecutorLossSpec and SpillSpec each run a local-cluster[…] standalone
+// master with real executor JVMs — one SparkContext per JVM means they
+// cannot share the suite-wide local[*] session (or each other's), so
+// each gets its own forked test JVM.
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
   val fo = ForkOptions().withRunJVMOptions(opts)
-  val (lossy, rest) = tests.partition(_.name.endsWith("ExecutorLossSpec"))
-  Seq(
-    Tests.Group("executor-loss", lossy, Tests.SubProcess(fo)),
-    Tests.Group("main", rest, Tests.SubProcess(fo)),
-  ).filter(_.tests.nonEmpty)
+  val isolated = Set("ExecutorLossSpec", "SpillSpec")
+  val (iso, rest) = tests.partition(t => isolated.exists(t.name.endsWith))
+  iso.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(fo))) ++
+    Seq(Tests.Group("main", rest, Tests.SubProcess(fo))).filter(_.tests.nonEmpty)
 }
