@@ -1087,6 +1087,43 @@ object Catalog {
              |  format='newline_delimited', hive_partitioning=1)
              |ORDER BY doc_id""".stripMargin)),
 
+    // CSV corpus export through the ACTUAL writer, adversarially:
+    // every row carries an embedded delimiter, double quote, newline
+    // and leading space (deterministically injected — the fixture text
+    // is too clean to exercise quoting), written RFC-4180 style
+    // (escape = doubled quote, the dialect every foreign reader
+    // speaks; Spark's default backslash escape is Spark-only). The
+    // Spark side returns the SOURCE rows; DuckDB parses the written
+    // shards — a hash match proves quoting, escaping, and quoted
+    // newlines survive a foreign reader, not merely a Spark re-read.
+    "sink_csv_export" -> QuerySpec(
+      (s, d) => {
+        val adversarial = (base: Column) => concat(
+          lit(" lead,"), substring(base, 1, 30),
+          lit(" \"quoted\" mid\nnext line, tail"))
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), adversarial(col("text")).as("txt"))
+        staged(d, "sink_csv_export") { p =>
+          docs.coalesce(2).write
+            .option("header", "true")
+            .option("escape", "\"")
+            // MEASURED: the WRITER defaults both of these to true and
+            // silently trims field whitespace on the way out — a
+            // lossy export unless disabled (the reader's same-named
+            // options are a separate, read-side pair)
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .mode("overwrite").csv(p)
+        }
+        docs.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, txt
+             |FROM read_csv(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/sink_csv_export/*.csv',
+             |  header=true, quote='"', escape='"', delim=',',
+             |  columns={'doc_id':'BIGINT','lang':'VARCHAR','txt':'VARCHAR'})
+             |ORDER BY doc_id""".stripMargin)),
+
     // MERGE through the ACTUAL on-disk path (write target → upsertIntoPath
     // → re-read): the agg_after_upsert key proves the merge algebra, this
     // one proves the dynamic-overwrite writer applies it durably.
