@@ -128,7 +128,9 @@ object Catalog {
     * interleave → base32 pipeline as GeoOps.geohash, generated as one
     * closed-form SQL expression (the shift/mask terms and per-char
     * alphabet probes unroll exactly like the Spark plan). */
-  private def geohashOracle(precision: Int): String = {
+  /** Shared WITH-body for the geo keys: pts → quantized axes →
+    * interleaved index → per-point `cells(c_custkey, cell)`. */
+  private def geohashCellsCte(precision: Int): String = {
     val totalBits = precision * 5
     val lonBits = (totalBits + 1) / 2
     val latBits = totalBits / 2
@@ -137,9 +139,6 @@ object Catalog {
       val srcBit = if (isLon) lonBits - 1 - pos / 2 else latBits - 1 - pos / 2
       val src = if (isLon) "lonq" else "latq"
       s"((($src >> $srcBit) & 1) << ${totalBits - 1 - pos})"
-      // single-line joins: a generated continuation line starting with
-      // "||" would lose its first pipe to stripMargin and parse as
-      // bitwise-or over VARCHARs
     }.mkString(" + ")
     val chars = (0 until precision).map { i =>
       s"substr('${graft.ops.GeoOps.Base32}', CAST(((inter >> ${
@@ -164,11 +163,14 @@ object Catalog {
        |cells AS (
        |  SELECT c_custkey,
        |      $chars AS cell
-       |  FROM inter)
+       |  FROM inter)""".stripMargin
+  }
+
+  private def geohashOracle(precision: Int): String =
+    s"""${geohashCellsCte(precision)}
        |SELECT cell, CAST(count(*) AS BIGINT) AS n,
        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
        |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
-  }
 
   private def kcoreOracle(rounds: Int): String = {
     // every per-round CTE is MATERIALIZED: inlined (view-style) CTEs
@@ -3037,6 +3039,42 @@ object Catalog {
           .orderBy(col("cell"))
       },
       Some(geohashOracle(4))),
+
+    // Spatial candidate-pair generation: the geohash bucket's PAYOFF —
+    // a self-equi-join on the cell id yields proximity candidates
+    // without any all-pairs scan (the LSH band-join, on the globe; at
+    // corpus scale hot cells take the same broadcast-prune/pair-budget
+    // cap as minhash bands — DedupOps.maxDocsForPairBudget is the
+    // shared machinery). Per-cell pair counts plus an exact pair-sum
+    // checksum pin the actual pair CONTENT, not just cardinality.
+    "geo_cell_pairs" -> QuerySpec(
+      (s, d) => {
+        val pts = t(s, d, "customer").select(col("c_custkey"),
+          ((col("c_custkey") % 17000).cast(DoubleType) / 100.0 - 85.0)
+            .as("lat"),
+          (((col("c_custkey") * 7) % 35000).cast(DoubleType) / 100.0 - 175.0)
+            .as("lon"))
+        val cells = pts.select(col("c_custkey"),
+          GeoOps.geohash(col("lat"), col("lon"), precision = 3).as("cell"))
+        cells.as("a")
+          .join(cells.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .groupBy(col("a.cell").as("cell"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a.c_custkey") + col("b.c_custkey")).as("pair_key_sum"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""${geohashCellsCte(3)},
+             |pairs AS (
+             |  SELECT a.cell, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(SUM(a.c_custkey + b.c_custkey) AS BIGINT)
+             |      AS pair_key_sum
+             |  FROM cells a JOIN cells b
+             |    ON a.cell = b.cell AND a.c_custkey < b.c_custkey
+             |  GROUP BY a.cell)
+             |SELECT cell, n_pairs, pair_key_sum
+             |FROM pairs ORDER BY cell""".stripMargin)),
 
     // k-core peeling (GraphOps.kcore): the community-density filter —
     // iteratively drop nodes with < k surviving neighbors. Graph =
