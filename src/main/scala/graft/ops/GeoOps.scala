@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Geospatial bucketing — the reference's data model is literally
   * weather stations with coordinates (14 stations across 7 islands,
@@ -24,45 +24,36 @@ object GeoOps {
   /** The standard geohash base32 alphabet (no a/i/l/o). */
   val Base32: String = "0123456789bcdefghjkmnpqrstuvwxyz"
 
-  /** Geohash cell id of (lat, lon) at `precision` base32 characters
-    * (5 bits each, lon takes the even bit positions — the public
-    * geohash layout). Implemented as ONE closed-form integer column
-    * expression: quantize each axis to its bit budget with pure
-    * comparisons-free arithmetic
-    * (`floor((x + range) / (2·range) · 2^bits)`, clamped at the top
-    * edge), interleave with shift-and-mask terms, then slice the
-    * alphabet per 5-bit group. Codegen-friendly: no UDF, no loop at
-    * run time — the `precision·5` interleave terms unroll at PLAN
-    * time into a fixed expression tree (≤ 60 terms at the max
-    * precision 12).
-    *
-    * Out-of-range coordinates yield NULL (quarantine rows, never a
-    * wrapped-around cell). */
-  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+  private def lonBitsOf(precision: Int) = (precision * 5 + 1) / 2
+  private def latBitsOf(precision: Int) = precision * 5 / 2
+
+  /** Axis quantization: `floor((x + range) / (2·range) · 2^bits)`, the
+    * top edge (x == +range) clamped into the LAST cell, not cell 2^b. */
+  private def quant(x: Column, range: Double, bits: Int): Column = {
+    val cells = 1L << bits
+    least(
+      floor((x.cast(DoubleType) + range) / (2 * range) * cells)
+        .cast(LongType),
+      lit(cells - 1))
+  }
+
+  /** Cell string from ALREADY-QUANTIZED axis indexes — the shared core
+    * of [[geohash]] and the neighbor expansion in
+    * [[geohashNeighborhood]] (which perturbs the integer indexes, never
+    * the doubles). Interleaves with plan-time-unrolled shift-and-mask
+    * terms (lon owns the even bit positions — the public geohash
+    * layout), then slices the alphabet per 5-bit group. */
+  def cellFromQuantized(latQ: Column, lonQ: Column, precision: Int): Column = {
     require(precision >= 1 && precision <= 12,
       s"geohash precision must be in [1,12], got $precision")
     val totalBits = precision * 5
-    val lonBits = (totalBits + 1) / 2 // lon owns the even positions
-    val latBits = totalBits / 2
-    def quant(x: Column, range: Double, bits: Int): Column = {
-      val cells = 1L << bits
-      // top edge (x == +range) belongs to the LAST cell, not cell 2^b
-      least(
-        floor((x.cast(DoubleType) + range) / (2 * range) * cells)
-          .cast(LongType),
-        lit(cells - 1))
-    }
-    val latQ = quant(lat, 90.0, latBits)
-    val lonQ = quant(lon, 180.0, lonBits)
-    // interleaved index: bit (totalBits-1) is lon's MSB, then lat's
-    // MSB, alternating downward
+    val lonBits = lonBitsOf(precision)
+    val latBits = latBitsOf(precision)
     val interleaved = (0 until totalBits).map { pos =>
-      // pos counts from the MSB of the combined index
-      val fromTop = pos
-      val isLon = fromTop % 2 == 0
-      val srcBit = // which bit of the source axis this position reads
-        if (isLon) lonBits - 1 - fromTop / 2
-        else latBits - 1 - fromTop / 2
+      val isLon = pos % 2 == 0
+      val srcBit =
+        if (isLon) lonBits - 1 - pos / 2
+        else latBits - 1 - pos / 2
       val src = if (isLon) lonQ else latQ
       shiftleft(
         shiftright(src, srcBit).bitwiseAND(lit(1L)),
@@ -73,10 +64,56 @@ object GeoOps {
         .bitwiseAND(lit(31L))
       element_at(
         typedlit(Base32.toCharArray.map(_.toString).toSeq),
-        (group + 1).cast(org.apache.spark.sql.types.IntegerType))
+        (group + 1).cast(IntegerType))
     }
-    val valid = lat.isNotNull && lon.isNotNull &&
+    concat(charCols: _*)
+  }
+
+  private def validCoord(lat: Column, lon: Column): Column =
+    lat.isNotNull && lon.isNotNull &&
       lat >= -90.0 && lat <= 90.0 && lon >= -180.0 && lon <= 180.0
-    when(valid, concat(charCols: _*))
+
+  /** Geohash cell id of (lat, lon) at `precision` base32 characters.
+    * ONE closed-form integer column expression — codegen-friendly, no
+    * UDF, no run-time loop (the `precision·5` interleave terms unroll
+    * at PLAN time, ≤ 60 terms at the max precision 12).
+    *
+    * Out-of-range coordinates yield NULL (quarantine rows, never a
+    * wrapped-around cell). */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be in [1,12], got $precision")
+    val latQ = quant(lat, 90.0, latBitsOf(precision))
+    val lonQ = quant(lon, 180.0, lonBitsOf(precision))
+    when(validCoord(lat, lon), cellFromQuantized(latQ, lonQ, precision))
+  }
+
+  /** The point's cell PLUS its (up to) 8 neighbors, as a distinct cell
+    * array — the blocking set a border-correct proximity join explodes
+    * on: a single-cell equi-join structurally misses every pair split
+    * by a cell boundary, so production blocking emits the 3×3
+    * neighborhood for one side of the join (emitting it for both sides
+    * double-counts). Neighbor arithmetic happens on the QUANTIZED
+    * integer indexes: longitude wraps at the antimeridian (pmod),
+    * latitude CLAMPS at the poles (dropping the out-of-range northern/
+    * southern neighbor — there is nothing north of the pole row).
+    * Out-of-range coordinates yield NULL like [[geohash]]. */
+  def geohashNeighborhood(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be in [1,12], got $precision")
+    val latBits = latBitsOf(precision)
+    val lonBits = lonBitsOf(precision)
+    val latCells = 1L << latBits
+    val lonCells = 1L << lonBits
+    val latQ = quant(lat, 90.0, latBits)
+    val lonQ = quant(lon, 180.0, lonBits)
+    val cells = for (dLat <- -1 to 1; dLon <- -1 to 1) yield {
+      val lq = latQ + dLat
+      val gq = pmod(lonQ + dLon, lit(lonCells))
+      when(lq >= 0L && lq < latCells,
+        cellFromQuantized(lq, gq, precision))
+    }
+    when(validCoord(lat, lon),
+      array_distinct(filter(array(cells: _*), c => c.isNotNull)))
   }
 }

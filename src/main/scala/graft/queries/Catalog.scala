@@ -128,22 +128,37 @@ object Catalog {
     * interleave → base32 pipeline as GeoOps.geohash, generated as one
     * closed-form SQL expression (the shift/mask terms and per-char
     * alphabet probes unroll exactly like the Spark plan). */
+  /** Interleave expression over named quantized-axis columns — the
+    * SQL twin of GeoOps.cellFromQuantized's shift-and-mask unroll. */
+  private def geohashInterleaveSql(latSrc: String, lonSrc: String,
+      precision: Int): String = {
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    (0 until totalBits).map { pos =>
+      val isLon = pos % 2 == 0
+      val srcBit = if (isLon) lonBits - 1 - pos / 2 else latBits - 1 - pos / 2
+      val src = if (isLon) lonSrc else latSrc
+      s"((($src >> $srcBit) & 1) << ${totalBits - 1 - pos})"
+      // single-line joins: a generated continuation line starting with
+      // "||" would lose its first pipe to stripMargin
+    }.mkString(" + ")
+  }
+
+  /** Base32 character expression over a named interleaved-index column. */
+  private def geohashCharsSql(interSrc: String, precision: Int): String =
+    (0 until precision).map { i =>
+      s"substr('${graft.ops.GeoOps.Base32}', CAST((($interSrc >> ${
+        (precision - 1 - i) * 5}) & 31) + 1 AS INT), 1)"
+    }.mkString(" || ")
+
   /** Shared WITH-body for the geo keys: pts → quantized axes →
-    * interleaved index → per-point `cells(c_custkey, cell)`. */
+    * interleaved index → per-point `cells(c_custkey, cell)`; the `q`
+    * CTE (quantized axes) stays visible for neighbor expansions. */
   private def geohashCellsCte(precision: Int): String = {
     val totalBits = precision * 5
     val lonBits = (totalBits + 1) / 2
     val latBits = totalBits / 2
-    val terms = (0 until totalBits).map { pos =>
-      val isLon = pos % 2 == 0
-      val srcBit = if (isLon) lonBits - 1 - pos / 2 else latBits - 1 - pos / 2
-      val src = if (isLon) "lonq" else "latq"
-      s"((($src >> $srcBit) & 1) << ${totalBits - 1 - pos})"
-    }.mkString(" + ")
-    val chars = (0 until precision).map { i =>
-      s"substr('${graft.ops.GeoOps.Base32}', CAST(((inter >> ${
-        (precision - 1 - i) * 5}) & 31) + 1 AS INT), 1)"
-    }.mkString(" || ")
     s"""WITH pts AS (
        |  SELECT c_custkey,
        |    CAST(c_custkey % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
@@ -158,11 +173,11 @@ object Catalog {
        |  FROM pts),
        |inter AS (
        |  SELECT c_custkey,
-       |      $terms AS inter
+       |      ${geohashInterleaveSql("latq", "lonq", precision)} AS inter
        |  FROM q),
        |cells AS (
        |  SELECT c_custkey,
-       |      $chars AS cell
+       |      ${geohashCharsSql("inter", precision)} AS cell
        |  FROM inter)""".stripMargin
   }
 
@@ -3075,6 +3090,84 @@ object Catalog {
              |  GROUP BY a.cell)
              |SELECT cell, n_pairs, pair_key_sum
              |FROM pairs ORDER BY cell""".stripMargin)),
+
+    // BORDER-CORRECT spatial blocking (GeoOps.geohashNeighborhood):
+    // geo_cell_pairs' single-cell equi-join structurally misses every
+    // pair split by a cell boundary — production blocking explodes the
+    // 3×3 neighbor set for ONE side of the join (both sides would
+    // double-count). Neighbor arithmetic on the quantized integer
+    // indexes: longitude WRAPS at the antimeridian, latitude CLAMPS at
+    // the poles. Candidate pairs dedup by key pair (a pair can match
+    // through several shared cells); the single row reports total /
+    // same-cell / border-only pair counts + the exact key-sum
+    // checksum — border_only > 0 is the planted proof the expansion
+    // finds what the plain join misses.
+    "geo_cell_pairs_border" -> QuerySpec(
+      (s, d) => {
+        val pts = t(s, d, "customer").select(col("c_custkey"),
+          ((col("c_custkey") % 17000).cast(DoubleType) / 100.0 - 85.0)
+            .as("lat"),
+          (((col("c_custkey") * 7) % 35000).cast(DoubleType) / 100.0 - 175.0)
+            .as("lon"))
+        val home = pts.select(col("c_custkey"),
+          GeoOps.geohash(col("lat"), col("lon"), precision = 3).as("cell"))
+        val blocks = pts.select(col("c_custkey"),
+          explode(GeoOps.geohashNeighborhood(col("lat"), col("lon"),
+            precision = 3)).as("cell"))
+        val cand = blocks.as("a")
+          .join(home.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"))
+          .distinct()
+        val same = home.as("a")
+          .join(home.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .agg(count(lit(1)).as("n_same"))
+        cand.agg(count(lit(1)).as("n_pairs_total"),
+            sum(col("ka") + col("kb")).as("pair_key_sum"))
+          .crossJoin(broadcast(same))
+          .select(col("n_pairs_total"),
+            col("n_same").as("n_pairs_same_cell"),
+            (col("n_pairs_total") - col("n_same")).as("n_pairs_border_only"),
+            col("pair_key_sum"),
+            (col("n_pairs_total") >= col("n_same")).cast(IntegerType)
+              .as("ok_superset"))
+      },
+      Some(s"""${geohashCellsCte(3)},
+             |nb0 AS (
+             |  SELECT q.c_custkey,
+             |    q.latq + d.dlat AS latq2,
+             |    ((q.lonq + d.dlon) % ${1L << 8} + ${1L << 8}) % ${1L << 8}
+             |      AS lonq2
+             |  FROM q CROSS JOIN (
+             |    SELECT a.dlat, b.dlon
+             |    FROM (SELECT unnest([-1, 0, 1]) AS dlat) a
+             |    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlon) b) d
+             |  WHERE q.latq + d.dlat >= 0 AND q.latq + d.dlat < ${1L << 7}),
+             |nbi AS (
+             |  SELECT c_custkey,
+             |      ${geohashInterleaveSql("latq2", "lonq2", 3)} AS inter2
+             |  FROM nb0),
+             |nb AS (
+             |  SELECT DISTINCT c_custkey,
+             |      ${geohashCharsSql("inter2", 3)} AS cell
+             |  FROM nbi),
+             |cand AS (
+             |  SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb
+             |  FROM nb a JOIN cells b
+             |    ON a.cell = b.cell AND a.c_custkey < b.c_custkey),
+             |same AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_same
+             |  FROM cells a JOIN cells b
+             |    ON a.cell = b.cell AND a.c_custkey < b.c_custkey)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs_total,
+             |  same.n_same AS n_pairs_same_cell,
+             |  CAST(count(*) - same.n_same AS BIGINT) AS n_pairs_border_only,
+             |  CAST(SUM(ka + kb) AS BIGINT) AS pair_key_sum,
+             |  CAST(count(*) >= same.n_same AS INTEGER) AS ok_superset
+             |FROM cand CROSS JOIN same GROUP BY same.n_same""".stripMargin)),
 
     // k-core peeling (GraphOps.kcore): the community-density filter —
     // iteratively drop nodes with < k surviving neighbors. Graph =

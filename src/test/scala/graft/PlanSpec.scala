@@ -274,8 +274,10 @@ class PlanSpec extends SparkSpec {
       "ts_acf",                // 1-row totals/denominator + 24-row lag
                                // frame broadcasts over the bucket-grain
                                // series (all model-sized)
-      "ts_changepoint")        // 1-row (n, S_n) totals broadcast over
+      "ts_changepoint",        // 1-row (n, S_n) totals broadcast over
                                // the bucket-grain prefix-sum frame
+      "geo_cell_pairs_border") // 1-row same-cell-count scalar broadcast
+                               // beside the candidate-pair totals
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString

@@ -43,4 +43,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(a.take(5) == b.take(5), s"$a vs $b")
     assert(a.take(3) != far.take(3), s"$a vs $far")
   }
+
+  test("geohashNeighborhood: 3x3 interior, pole clamp, antimeridian wrap") {
+    def nbrs(lat: Double, lon: Double, p: Int): Set[String] =
+      Seq((lat, lon)).toDF("lat", "lon")
+        .select(GeoOps.geohashNeighborhood(col("lat"), col("lon"), p).as("n"))
+        .as[Seq[String]].head().toSet
+    // interior point: 9 distinct cells including its own
+    val inner = nbrs(42.605, -5.603, 5)
+    assert(inner.size == 9 && inner.contains("ezs42"), inner)
+    // north-pole row: the northern neighbors fall off — 6 cells
+    val pole = nbrs(90.0, 0.0, 3)
+    assert(pole.size == 6, pole)
+    assert(pole.contains(hashOf(90.0, 0.0, 3)))
+    // antimeridian: the set still has 9 cells (longitude WRAPS) and
+    // contains cells from both sides of the seam
+    val seam = nbrs(10.0, 180.0, 3)
+    assert(seam.size == 9, seam)
+    assert(seam.contains(hashOf(10.0, 180.0, 3)))
+    assert(seam.contains(hashOf(10.0, -179.9, 3)), seam)
+  }
 }
