@@ -3109,11 +3109,14 @@ object Catalog {
             .as("lat"),
           (((col("c_custkey") * 7) % 35000).cast(DoubleType) / 100.0 - 175.0)
             .as("lon"))
+        // precision 4 (finer grid than geo_cell_pairs' 3): cell pair
+        // cost is quadratic in per-cell density, so a denser corpus
+        // moves to a finer grid — the production knob, exercised here
         val home = pts.select(col("c_custkey"),
-          GeoOps.geohash(col("lat"), col("lon"), precision = 3).as("cell"))
-        val blocks = pts.select(col("c_custkey"),
-          explode(GeoOps.geohashNeighborhood(col("lat"), col("lon"),
-            precision = 3)).as("cell"))
+          GeoOps.geohash(col("lat"), col("lon"), precision = 4).as("cell"))
+        val blocks = GeoOps.explodeNeighborCells(
+          pts, "lat", "lon", precision = 4)
+          .select(col("c_custkey"), col("cell"))
         val cand = blocks.as("a")
           .join(home.as("b"),
             col("a.cell") === col("b.cell") &&
@@ -3135,24 +3138,24 @@ object Catalog {
             (col("n_pairs_total") >= col("n_same")).cast(IntegerType)
               .as("ok_superset"))
       },
-      Some(s"""${geohashCellsCte(3)},
+      Some(s"""${geohashCellsCte(4)},
              |nb0 AS (
              |  SELECT q.c_custkey,
              |    q.latq + d.dlat AS latq2,
-             |    ((q.lonq + d.dlon) % ${1L << 8} + ${1L << 8}) % ${1L << 8}
+             |    ((q.lonq + d.dlon) % ${1L << 10} + ${1L << 10}) % ${1L << 10}
              |      AS lonq2
              |  FROM q CROSS JOIN (
              |    SELECT a.dlat, b.dlon
              |    FROM (SELECT unnest([-1, 0, 1]) AS dlat) a
              |    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlon) b) d
-             |  WHERE q.latq + d.dlat >= 0 AND q.latq + d.dlat < ${1L << 7}),
+             |  WHERE q.latq + d.dlat >= 0 AND q.latq + d.dlat < ${1L << 10}),
              |nbi AS (
              |  SELECT c_custkey,
-             |      ${geohashInterleaveSql("latq2", "lonq2", 3)} AS inter2
+             |      ${geohashInterleaveSql("latq2", "lonq2", 4)} AS inter2
              |  FROM nb0),
              |nb AS (
              |  SELECT DISTINCT c_custkey,
-             |      ${geohashCharsSql("inter2", 3)} AS cell
+             |      ${geohashCharsSql("inter2", 4)} AS cell
              |  FROM nbi),
              |cand AS (
              |  SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb

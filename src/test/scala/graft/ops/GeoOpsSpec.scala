@@ -63,4 +63,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(seam.contains(hashOf(10.0, 180.0, 3)))
     assert(seam.contains(hashOf(10.0, -179.9, 3)), seam)
   }
+
+  test("explodeNeighborCells ≡ the array form, point by point") {
+    import org.apache.spark.sql.functions.collect_set
+    val pts = Seq(
+      (1L, 42.605, -5.603), (2L, 90.0, 0.0), (3L, 10.0, 180.0),
+      (4L, -90.0, -180.0), (5L, 0.0, 0.0)).toDF("k", "lat", "lon")
+    val viaArray = pts.select($"k",
+        GeoOps.geohashNeighborhood($"lat", $"lon", 4).as("cells"))
+      .as[(Long, Seq[String])].collect().map { case (k, c) => k -> c.toSet }
+      .toMap
+    val viaExplode = GeoOps.explodeNeighborCells(pts, "lat", "lon", 4)
+      .groupBy($"k").agg(collect_set($"cell").as("cells"))
+      .as[(Long, Seq[String])].collect().map { case (k, c) => k -> c.toSet }
+      .toMap
+    assert(viaArray == viaExplode, s"$viaArray vs $viaExplode")
+    // invalid coordinates emit nothing from the frame form
+    val none = GeoOps.explodeNeighborCells(
+      Seq((9L, 91.0, 0.0)).toDF("k", "lat", "lon"), "lat", "lon", 4)
+    assert(none.count() == 0)
+  }
 }
