@@ -634,10 +634,17 @@ object BpeOps {
     * contractions, space-prefixed letter/digit runs, space-prefixed
     * punctuation runs, whitespace runs. Runs IDENTICALLY under Java
     * regex (Spark) and RE2 (DuckDB) — both treat \p{L}/\p{N} as the
-    * Unicode categories — which is what lets the oracle re-chunk the
-    * corpus instead of trusting a staged chunk list. */
+    * Unicode categories, and whitespace is an EXPLICIT class
+    * [\t\n\x0B\f\r ] rather than \s because the engines disagree on
+    * U+000B (Java's \s includes vertical tab, RE2's does not) — which
+    * is what lets the oracle re-chunk the corpus instead of trusting a
+    * staged chunk list. */
+  val byteBpeWsClass: String = "\\t\\n\\x0B\\f\\r "
   val byteBpePretokenPattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^$byteBpeWsClass\\p{L}\\p{N}]+|[$byteBpeWsClass]+"
+  /** One-non-whitespace-char test under the SAME explicit class (the
+    * cross-engine \S). */
+  val byteBpeNonWsPattern: String = s"[^$byteBpeWsClass]"
 
   /** Pre-tokenize a text column into its chunk array (in-plan). */
   def byteBpeChunks(text: Column): Column =
@@ -667,7 +674,7 @@ object BpeOps {
     val chunks = df
       .select(explode(byteBpeChunks(stripSpecials(col(textCol), specialTokens)))
         .as("chunk"))
-      .filter(length(col("chunk")) > 0 && col("chunk").rlike("\\S"))
+      .filter(length(col("chunk")) > 0 && col("chunk").rlike(byteBpeNonWsPattern))
       .groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
     val rows = chunks.limit(maxVocabRows + 1)
@@ -695,7 +702,7 @@ object BpeOps {
     val chunks = df
       .select(explode(byteBpeChunks(stripSpecials(col(textCol), specialTokens)))
         .as("chunk"))
-      .filter(length(col("chunk")) > 0 && col("chunk").rlike("\\S"))
+      .filter(length(col("chunk")) > 0 && col("chunk").rlike(byteBpeNonWsPattern))
       .distinct()
     val mapIt = udf((w: String) => byteEncodeWord(w))
     val mapped = chunks.withColumn("mapped", mapIt(col("chunk")))

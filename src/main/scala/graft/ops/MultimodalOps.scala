@@ -185,12 +185,14 @@ object MultimodalOps {
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       // GIF (round 12): logical screen descriptor right after the
       // 6-byte version magic — width/height little-endian 16-bit at
-      // 6/8, packed byte at 10 carrying the color resolution in bits
-      // 4-6 (bits per primary − 1). Palette format: 1 channel, depth =
-      // color resolution + 1 (the same palette semantics as PNG color
-      // type 3 / low-bit BMP).
+      // 6/8, packed byte at 10. Palette depth comes from the GCT-SIZE
+      // field (bits 0-2: the global color table holds 2^(N+1) entries,
+      // so N+1 is the index bit depth — the PNG color-type-3 analog),
+      // NOT the color-resolution bitfield in bits 4-6, which many
+      // encoders hardwire to 7 regardless of palette size. Palette
+      // format: 1 channel.
       def le16g(i: Int) = u8(i) | (u8(i + 1) << 8)
-      val depth = ((u8(10) >> 4) & 0x7) + 1
+      val depth = (u8(10) & 0x7) + 1
       Some(ImageMeta("gif", le16g(6), le16g(8), depth, 1))
     } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
       // BMP (round 12): BITMAPFILEHEADER(14) then BITMAPINFOHEADER —

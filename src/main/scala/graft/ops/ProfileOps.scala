@@ -690,7 +690,15 @@ object ProfileOps {
     * and t / df are short fixed IEEE chains over those — restated
     * textually by the oracle (which casts wide decimals through
     * VARCHAR: DuckDB's direct decimal→double cast double-rounds past
-    * 2⁵³, strtod does not). */
+    * 2⁵³, strtod does not).
+    *
+    * Exactness bound (the acf-style contract): q = n·Σx² − (Σx)²
+    * multiplies two DECIMAL(38,0) values and Spark CAPS the product at
+    * precision 38 — on (non-ANSI) overflow the statistic silently goes
+    * NULL rather than wrapping. Exact whenever n·Σx² < 10³⁸, i.e.
+    * n²·max(x)² < 10³⁸ ⇔ n·max|x| < 10¹⁹ — e.g. 10¹² rows of values up
+    * to 10⁷, far past any realistic metric slice; past it the output is
+    * NULL (visible), never a wrong number. */
   def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol)

@@ -1048,15 +1048,22 @@ object SimilarityOps {
       vecCol: String, scale: Int = 1000): DataFrame = {
     val q = df.select(col(labelCol).as("lab"),
       posexplode(quantize(col(vecCol), scale)).as(Seq("pos", "qv")))
+    // Squared/dot products in DECIMAL(38,0) (the welchTTest pattern):
+    // per-label component sums s are bounded by n·scale, so s² passes
+    // 2^63 once n·scale > ~3.04e9 — where LongType would wrap silently
+    // (non-ANSI) while the DuckDB oracle's BIGINT sum errors. DECIMAL
+    // keeps the integer algebra exact to 10^38 (n·scale ≤ ~1.8e18 even
+    // summed over dims), and the final Decimal→Double cast is
+    // BigDecimal.doubleValue — correctly rounded, one IEEE step.
     val sums = q.groupBy(col("lab"), col("pos"))
-      .agg(sum(col("qv")).as("s"))
+      .agg(sum(col("qv")).cast(DecimalType(38, 0)).as("s"))
     val norms = sums.groupBy(col("lab"))
-      .agg(sum(col("s") * col("s")).as("nq"))
+      .agg(sum(col("s") * col("s")).cast(DecimalType(38, 0)).as("nq"))
     val dots = sums.as("a")
       .join(sums.as("b"), col("a.pos") === col("b.pos"))
       .filter(col("a.lab") < col("b.lab"))
       .groupBy(col("a.lab").as("label_a"), col("b.lab").as("label_b"))
-      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+      .agg(sum(col("a.s") * col("b.s")).cast(DecimalType(38, 0)).as("dot"))
     dots
       .join(norms.select(col("lab").as("label_a"), col("nq").as("_na")),
         Seq("label_a"))

@@ -6237,11 +6237,11 @@ object Catalog {
              |  '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_pieces/*.parquet')),
              |toks AS (
              |  SELECT source, unnest(regexp_extract_all(ctext,
-             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\t\n\x0B\f\r \p{L}\p{N}]+|[\t\n\x0B\f\r ]+'))
              |    AS chunk
              |  FROM stripped),
              |tk AS (SELECT source, chunk FROM toks
-             |       WHERE length(chunk) > 0 AND regexp_matches(chunk, '\S')),
+             |       WHERE length(chunk) > 0 AND regexp_matches(chunk, '[^\t\n\x0B\f\r ]')),
              |enc AS (
              |  SELECT t.source, count(*) AS n_chunks,
              |    CAST(SUM(strlen(t.chunk)) AS BIGINT) AS total_bytes,
@@ -6315,7 +6315,7 @@ object Catalog {
              |    replace(text, '<|endoftext|>', ' ') AS ctext FROM docs),
              |words AS (
              |  SELECT doc_id, regexp_extract_all(ctext,
-             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\t\n\x0B\f\r \p{L}\p{N}]+|[\t\n\x0B\f\r ]+')
              |    AS ws
              |  FROM stripped),
              |toks0 AS (
@@ -6323,7 +6323,7 @@ object Catalog {
              |         unnest(range(0, len(ws))) AS word_pos
              |  FROM words),
              |toks AS (SELECT * FROM toks0
-             |         WHERE length(word) > 0 AND regexp_matches(word, '\S')),
+             |         WHERE length(word) > 0 AND regexp_matches(word, '[^\t\n\x0B\f\r ]')),
              |ps AS (
              |  SELECT t.doc_id, t.word_pos, unnest(p.pieces) AS piece,
              |         unnest(range(0, len(p.pieces))) AS piece_pos
@@ -8127,18 +8127,19 @@ object Catalog {
              |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
              |      AS BIGINT) AS qv
              |  FROM embeddings),
-             |sums AS (SELECT lab, pos, CAST(SUM(qv) AS BIGINT) AS s
+             |sums AS (SELECT lab, pos, CAST(SUM(qv) AS HUGEINT) AS s
              |         FROM q GROUP BY 1, 2),
-             |norms AS (SELECT lab, CAST(SUM(s * s) AS BIGINT) AS nq
+             |norms AS (SELECT lab, CAST(SUM(s * s) AS HUGEINT) AS nq
              |          FROM sums GROUP BY 1),
              |dots AS (
              |  SELECT a.lab AS label_a, b.lab AS label_b,
-             |    CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+             |    CAST(SUM(a.s * b.s) AS DECIMAL(38,0)) AS dot
              |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.lab < b.lab
              |  GROUP BY 1, 2)
              |SELECT label_a, label_b, dot,
-             |  CAST(dot AS DOUBLE)
-             |    / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+             |  CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+             |    / (sqrt(CAST(CAST(na.nq AS VARCHAR) AS DOUBLE))
+             |       * sqrt(CAST(CAST(nb.nq AS VARCHAR) AS DOUBLE)))
              |    AS cosine
              |FROM dots
              |JOIN norms na ON na.lab = label_a
@@ -10071,9 +10072,11 @@ object Catalog {
     // GIF logical-screen metadata (round 12): completes the raster
     // trio's third layout class — PNG is big-endian chunked, BMP is
     // little-endian fixed-offset, GIF is little-endian with a PACKED
-    // BITFIELD (color resolution in bits 4-6 of byte 10). Staged via
-    // ImageIO; DuckDB re-parses the same bytes, extracting the
-    // bitfield with integer div/mod arithmetic on the hex byte.
+    // BITFIELD (byte 10: depth from the GCT-size bits 0-2, 2^(N+1)
+    // palette entries ⇒ N+1 index bits — not the color-resolution
+    // bits 4-6, which encoders hardwire). Staged via ImageIO; DuckDB
+    // re-parses the same bytes, extracting the bitfield with integer
+    // mod arithmetic on the hex byte.
     "multimodal_gif_meta" -> QuerySpec(
       (s, d) => {
         val dir = staged(d, "images_gif") { p =>
@@ -10114,7 +10117,7 @@ object Catalog {
              |SELECT media_id, 'gif' AS format,
              |  ('0x' || substr(h, 15, 2) || substr(h, 13, 2))::INTEGER AS width,
              |  ('0x' || substr(h, 19, 2) || substr(h, 17, 2))::INTEGER AS height,
-             |  (('0x' || substr(h, 21, 2))::INTEGER // 16) % 8 + 1 AS bit_depth,
+             |  ('0x' || substr(h, 21, 2))::INTEGER % 8 + 1 AS bit_depth,
              |  1 AS n_channels
              |FROM f ORDER BY media_id""".stripMargin)),
 

@@ -431,13 +431,16 @@ class MultimodalSpec extends SparkSpec {
     javax.imageio.ImageIO.write(img, "bmp", bos)
     assert(MultimodalOps.parseImageHeader(bos.toByteArray)
       .contains(MultimodalOps.ImageMeta("bmp", 17, 9, 8, 3)))
-    // GIF: screen-descriptor little-endian dims + packed color
-    // resolution bitfield, both magic versions
+    // GIF: screen-descriptor little-endian dims + packed bitfield,
+    // both magic versions. Depth must come from the GCT-size bits 0-2
+    // (2^(N+1) palette entries), NOT the color-resolution bits 4-6 —
+    // packed 0x72 has color-res 7 (the hardwired encoder value) but a
+    // GCT of 2^3 = 8 entries ⇒ 3 index bits.
     Seq('7', '9').foreach { v =>
       val g = ("GIF8" + v + "a").getBytes("US-ASCII") ++
-        Array[Byte](0x40, 0x01, 0x10, 0x00, 0x70.toByte, 0, 0)
+        Array[Byte](0x40, 0x01, 0x10, 0x00, 0x72.toByte, 0, 0)
       assert(MultimodalOps.parseImageHeader(g)
-        .contains(MultimodalOps.ImageMeta("gif", 320, 16, 8, 1)), v)
+        .contains(MultimodalOps.ImageMeta("gif", 320, 16, 3, 1)), v)
     }
     val gos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "gif", gos)
