@@ -21,7 +21,15 @@ import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps
   */
 final case class QuerySpec(
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // Declares that this key's physical plan INTENTIONALLY contains a
+    // BroadcastNestedLoopJoin (almost always a 1-row scalar-stats
+    // broadcast crossJoin; occasionally a deliberate bounded or
+    // compression-path full scan — see the key's own comment). The
+    // PlanSpec BNLJ audit derives its allow-set from this marker, so a
+    // new scalar-broadcast key declares itself HERE, at the definition
+    // site, instead of patching a hand-list in the test.
+    allowBnlj: Boolean = false)
 
 object Catalog {
 
@@ -1359,7 +1367,8 @@ object Catalog {
             col("err_bound"), col("within_bound"))
           .orderBy(col("grp"))
       },
-      None),
+      None,
+      allowBnlj = true),
 
     // MERGEABLE KLL quantile sketches (graft.expressions.KllSketchAgg —
     // the repo's TypedImperativeAggregate UDAF surface): the quantile
@@ -1402,7 +1411,8 @@ object Catalog {
             col("lo_q47"), col("hi_q53"), col("within_bound"))
           .orderBy(col("grp"))
       },
-      None),
+      None,
+      allowBnlj = true),
 
     // Theta SET-ALGEBRA sketches (graft.expressions.ThetaSketchAgg):
     // the |A∩B| / |A\B| member of the sketch suite — HLL/bitmap answer
@@ -1460,7 +1470,8 @@ object Catalog {
             col("within_bound"))
           .orderBy(col("fa"), col("fb"))
       },
-      None),
+      None,
+      allowBnlj = true),
 
     // Mergeable frequent-items (heavy-hitters) sketches
     // (graft.expressions.FreqSketchAgg): WHICH keys dominate, with
@@ -1734,7 +1745,8 @@ object Catalog {
         .orderBy(col("r_regionkey"), col("n_nationkey")),
       Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
              |FROM region CROSS JOIN nation
-             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin),
+      allowBnlj = true),
 
     // NOT EXISTS upsert-dedup shape (README.md:1517-1526) as LeftAnti.
     "join_left_anti" -> QuerySpec(
@@ -2981,7 +2993,8 @@ object Catalog {
           ids, edges, "doc_id", "src", "dst", iterations = 5)
           .orderBy(col("doc_id"))
       },
-      Some(pagerankOracle("WHERE doc_id < 500", "500"))),
+      Some(pagerankOracle("WHERE doc_id < 500", "500")),
+      allowBnlj = true),
 
     // Degree assortativity (GraphOps.degreeAssortativity, Newman 2002):
     // Pearson of endpoint degrees over the symmetrized edge list —
@@ -3170,7 +3183,8 @@ object Catalog {
              |  CAST(count(*) - same.n_same AS BIGINT) AS n_pairs_border_only,
              |  CAST(SUM(ka + kb) AS BIGINT) AS pair_key_sum,
              |  CAST(count(*) >= same.n_same AS INTEGER) AS ok_superset
-             |FROM cand CROSS JOIN same GROUP BY same.n_same""".stripMargin)),
+             |FROM cand CROSS JOIN same GROUP BY same.n_same""".stripMargin),
+      allowBnlj = true),
 
     // k-core peeling (GraphOps.kcore): the community-density filter —
     // iteratively drop nodes with < k surviving neighbors. Graph =
@@ -3323,7 +3337,8 @@ object Catalog {
              |    AND orth.diagerr <= 1000000000 AS INTEGER) AS bound_ok
              |  FROM vs, tot, orth)
              |SELECT p.vec_id, p.pc1_q, p.pc2_q, p.pc3_q, ok.bound_ok
-             |FROM p CROSS JOIN ok ORDER BY p.vec_id""".stripMargin)),
+             |FROM p CROSS JOIN ok ORDER BY p.vec_id""".stripMargin),
+      allowBnlj = true),
 
     // Triangle census + global clustering coefficient
     // (GraphOps.triangleStats, Schank & Wagner node-iterator): the
@@ -3343,7 +3358,8 @@ object Catalog {
             (col("doc_id") * 29 + 11) % 500)).as("dst"))
         GraphOps.triangleStats(edges, "src", "dst")
       },
-      Some(triangleOracle("WHERE doc_id < 500", "500"))),
+      Some(triangleOracle("WHERE doc_id < 500", "500")),
+      allowBnlj = true),
 
     // SCALE-PROPORTIONAL twins of the four graph keys (round-11 fix for
     // the fixed-fixture audit finding): edges over the FULL doc_id
@@ -3359,7 +3375,8 @@ object Catalog {
           ids, edges, "doc_id", "src", "dst", iterations = 5)
           .orderBy(col("doc_id"))
       },
-      Some(pagerankOracle("", scaledModSql))),
+      Some(pagerankOracle("", scaledModSql)),
+      allowBnlj = true),
 
     "graph_label_propagation_scaled" -> QuerySpec(
       (s, d) => {
@@ -3375,7 +3392,8 @@ object Catalog {
         val (_, edges) = scaledDocGraph(s, d)
         GraphOps.triangleStats(edges, "src", "dst")
       },
-      Some(triangleOracle("", scaledModSql))),
+      Some(triangleOracle("", scaledModSql)),
+      allowBnlj = true),
 
     "graph_assortativity_scaled" -> QuerySpec(
       (s, d) => {
@@ -3599,7 +3617,8 @@ object Catalog {
              |          / 2147483648.0 AS u
              |      FROM lmk) k
              |JOIN clusters c ON c.id = k.doc_id AND c.id = c.cluster_id
-             |ORDER BY k.doc_id""".stripMargin)),
+             |ORDER BY k.doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Duplicated-span statistics (the exact-substring-dedup signal, Lee
     // et al. 2022): per-doc fraction of 5-gram instances occurring more
@@ -3997,7 +4016,8 @@ object Catalog {
              |  CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) AS cos_q
              |FROM dots
              |WHERE CAST(dot AS DOUBLE)/(sqrt(CAST(na AS DOUBLE))*sqrt(CAST(nb AS DOUBLE))) > 0.30
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |ORDER BY id_a, id_b""".stripMargin),
+      allowBnlj = true),
 
     // LSH-bucketed embedding dedup at FULL scale factor (no id bound):
     // the production path — pairs meet only inside a hyperplane bucket.
@@ -4143,7 +4163,8 @@ object Catalog {
              |FROM embeddings e
              |LEFT JOIN cnt c ON c.vec_id = e.vec_id
              |CROSS JOIN summary s
-             |ORDER BY e.vec_id""".stripMargin)),
+             |ORDER BY e.vec_id""".stripMargin),
+      allowBnlj = true),
 
     // ----------------------------------------------------------- similarity
     // Brute-force cosine top-k on the quantized grid (oracle-exact);
@@ -4183,7 +4204,8 @@ object Catalog {
              |               cid) AS rn
              |  FROM dots)
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
-             |FROM scored WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+             |FROM scored WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      allowBnlj = true),
 
     // In-pipeline embedding inference (EmbedOps.embedWith): documents'
     // text runs through the batched per-partition Embedder seam — the
@@ -4298,7 +4320,8 @@ object Catalog {
              |    row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, cid) AS rn
              |  FROM scored)
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
-             |FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+             |FROM ranked WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      allowBnlj = true),
 
     // int8 embedding quantization (4× storage/shuffle cut at 100 TB):
     // quantize → dequantize round trip with the per-vector error bound
@@ -4567,7 +4590,8 @@ object Catalog {
              |  SELECT qid, cid, cos_adc,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_adc DESC, cid) AS INTEGER) AS rn
              |  FROM adc)
-             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      allowBnlj = true),
 
     // IVF-PQ — both scale levers composed (the FAISS production shape):
     // probe nProbe cells (row count ÷ nCentroids/nProbe) and ADC-score
@@ -4643,7 +4667,8 @@ object Catalog {
              |    ORDER BY cos_q DESC, cid) AS rn
              |  FROM kept)
              |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, cos_q
-             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      allowBnlj = true),
 
     // MMR-diversified top-k (SimilarityOps.mmrTopK, Carbonell &
     // Goldstein): the de-duplicating re-rank between retrieval and a
@@ -4753,7 +4778,8 @@ object Catalog {
              |  score AS mmr_score FROM s1
              |UNION ALL SELECT qid, CAST(2 AS INTEGER), cid, rel, score FROM s2
              |UNION ALL SELECT qid, CAST(3 AS INTEGER), cid, rel, score FROM s3
-             |ORDER BY qid, rank""".stripMargin)),
+             |ORDER BY qid, rank""".stripMargin),
+      allowBnlj = true),
 
     // Margin-based bitext/parallel-pair mining (SimilarityOps
     // .bitextMine, Artetxe & Schwenk 2019): per source anchor the best
@@ -4823,7 +4849,8 @@ object Catalog {
              |    PARTITION BY sid ORDER BY margin DESC, tid) AS mrn
              |  FROM m)
              |SELECT sid, tid, cos, margin, margin >= 1.0 AS mined
-             |FROM r WHERE mrn = 1 ORDER BY sid""".stripMargin)),
+             |FROM r WHERE mrn = 1 ORDER BY sid""".stripMargin),
+      allowBnlj = true),
 
     // IVF-PQ + EXACT re-rank (retrieve-then-rerank, the FAISS refine
     // shape): the compressed index nominates kCoarse=30 candidates per
@@ -4993,7 +5020,8 @@ object Catalog {
           .crossJoin(broadcast(dominance))
           .orderBy(col("method"), col("probes"))
       },
-      None),
+      None,
+      allowBnlj = true),
 
     // ----------------------------------------------------------------- text
     "text_top_terms" -> QuerySpec(
@@ -5122,7 +5150,8 @@ object Catalog {
              |  CAST(SUM(abs(CAST(ca AS DECIMAL(19,0))*CAST(nb AS DECIMAL(19,0))
              |             - CAST(cb AS DECIMAL(19,0))*CAST(na AS DECIMAL(19,0)))) AS DOUBLE)
              |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 2.0) AS tvd
-             |FROM j GROUP BY ga, gb, na, nb ORDER BY ga, gb""".stripMargin)),
+             |FROM j GROUP BY ga, gb, na, nb ORDER BY ga, gb""".stripMargin),
+      allowBnlj = true),
 
     // PMI collocations (Church & Hanks 1990): pointwise mutual
     // information of top-term pairs from document-level co-occurrence
@@ -5197,7 +5226,8 @@ object Catalog {
              |JOIN na a ON a.tok = t.term_a
              |JOIN na b ON b.tok = t.term_b
              |CROSS JOIN nd
-             |ORDER BY n_ab DESC, term_a, term_b""".stripMargin)),
+             |ORDER BY n_ab DESC, term_a, term_b""".stripMargin),
+      allowBnlj = true),
 
     // Zipf-law fit of the token frequency head (TextOps.zipfSlope):
     // OLS slope of ln(freq) on ln(rank) over the top-200 terms — the
@@ -5274,7 +5304,8 @@ object Catalog {
              |SELECT c.frac, c.prefix_docs, c.n_tokens, d.n_distinct,
              |  CAST(d.n_distinct AS DOUBLE) / c.n_tokens AS type_token_ratio
              |FROM tcnt c JOIN dcnt d ON d.frac = c.frac
-             |ORDER BY c.frac""".stripMargin)),
+             |ORDER BY c.frac""".stripMargin),
+      allowBnlj = true),
 
     "text_token_count" -> QuerySpec(
       (s, d) => t(s, d, "documents")
@@ -5371,7 +5402,8 @@ object Catalog {
              |  CAST(n_roundtrip_bad = 0 AS INTEGER) AS ok_roundtrip,
              |  CAST(total_bpe < total_chars AND total_bpe > total_words
              |    AS INTEGER) AS ok_compressed
-             |FROM agg CROSS JOIN rt""".stripMargin)),
+             |FROM agg CROSS JOIN rt""".stripMargin),
+      allowBnlj = true),
 
     // Repetition ratio (most-frequent-bigram share) — grams projected
     // separately from the counting pass (HOF re-evaluation trap).
@@ -5607,7 +5639,8 @@ object Catalog {
              |  CAST(-r.score AS DOUBLE) AS neg_ll,
              |  CAST(r.label = d.lang AS INTEGER) AS correct
              |FROM ranked r JOIN documents d USING (doc_id)
-             |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
+             |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Classifier distillation of a rule-based quality filter — the
     // CCNet-style model-based quality tier: derive keep/drop labels
@@ -5713,7 +5746,8 @@ object Catalog {
              |  CAST(-r.score AS DOUBLE) AS neg_ll,
              |  CAST(r.label = b.label AS INTEGER) AS agrees
              |FROM ranked r JOIN lab b USING (doc_id)
-             |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
+             |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin),
+      allowBnlj = true),
 
     // NB MODEL ARTIFACT roundtrip (round 11, the bm25_model_roundtrip
     // pattern): fit a language classifier on the documents table's own
@@ -5763,7 +5797,8 @@ object Catalog {
              |  FROM sc)
              |SELECT doc_id, label AS pred_label, n_tokens,
              |  CAST(-score AS DOUBLE) AS neg_ll
-             |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+             |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Per-document top term by corpus rarity: score = tf × N/df — a
     // monotone transform of tf·idf (N/df is what ln compresses), kept as
@@ -5810,7 +5845,8 @@ object Catalog {
              |      ORDER BY (tf * CAST(n_docs AS DOUBLE)) / df DESC, tf.term) AS rn
              |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
              |SELECT doc_id, term AS top_term, score
-             |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+             |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
 
     // BM25 keyword retrieval against a FROZEN corpus-statistics model
     // (SearchOps.bm25Fit/bm25TopK) — the targeted-corpus-slicing tier:
@@ -5882,7 +5918,8 @@ object Catalog {
              |  LEFT JOIN idf i2 ON i2.tok = 'join')
              |SELECT doc_id, score, CAST(n_matched AS INTEGER) AS n_matched, dl
              |FROM sc WHERE n_matched > 0
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      allowBnlj = true),
 
     // BM25 MODEL ARTIFACT roundtrip (round 11): the fitted model is
     // PERSISTED as parquet and the query scores through the RELOADED
@@ -5943,7 +5980,8 @@ object Catalog {
              |  LEFT JOIN idf i1 ON i1.tok = 'merge')
              |SELECT doc_id, score, CAST(n_matched AS INTEGER) AS n_matched, dl
              |FROM sc WHERE n_matched > 0
-             |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+             |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+      allowBnlj = true),
 
     // Query-TABLE BM25 (SearchOps.bm25TopKBatch): a batch of queries
     // scored through the SAME frozen model in ONE plan — queries are
@@ -6019,7 +6057,8 @@ object Catalog {
              |    ORDER BY score DESC, doc_id) AS rank FROM sc)
              |SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank, score,
              |  n_matched, dl
-             |FROM r WHERE rank <= 10 ORDER BY qid, doc_id""".stripMargin)),
+             |FROM r WHERE rank <= 10 ORDER BY qid, doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Per-doc TF-IDF keyword extraction against the same frozen model
     // (SearchOps.tfIdfTopTerms): top-3 terms per document by idf × tf —
@@ -6060,7 +6099,8 @@ object Catalog {
              |    ORDER BY weight DESC, tok) AS rank FROM w)
              |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok AS term,
              |  CAST(tf AS BIGINT) AS tf, CAST(weight AS DOUBLE) AS weight
-             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      allowBnlj = true),
 
     // Sequence packing: documents → token-budget bins per source (the
     // context-window binning step of a training pipeline). Exact integer
@@ -6262,7 +6302,8 @@ object Catalog {
              |  CAST(total_pieces < total_bytes AND total_pieces >= n_chunks
              |    AS INTEGER) AS ok_compressed
              |FROM enc e JOIN sp USING (source) CROSS JOIN chk
-             |ORDER BY source""".stripMargin)),
+             |ORDER BY source""".stripMargin),
+      allowBnlj = true),
 
     // Byte-level packed token-ID sequences (BpeOps
     // .packSequenceIdsBytes): the byte tier completed to the
@@ -6881,7 +6922,8 @@ object Catalog {
              |  count(*) AS n_tokens,
              |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
              |FROM toks2 JOIN lp USING (tok)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Bigram LM with stupid backoff (Brants et al. 2007) — the
     // context-aware upgrade of text_unigram_logprob: fit on the EVEN
@@ -6947,7 +6989,8 @@ object Catalog {
              |SELECT doc_id, count(*) AS n_tokens,
              |  CAST(sum(miss) AS BIGINT) AS n_backoff,
              |  round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
-             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
     // Bernoulli. Runs the portable-LCG variant so the key is FULLY
@@ -6991,7 +7034,8 @@ object Catalog {
              |           AS DOUBLE) / 2147483648.0
              |      < CASE (rank * 4) // n WHEN 0 THEN 0.1 WHEN 1 THEN 0.25
              |                            WHEN 2 THEN 0.5 ELSE 1.0 END
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Per-row weighted Bernoulli sample (keep probability = a per-doc
     // quality proxy, here length-derived). Runs the portableHash variant
@@ -7060,7 +7104,8 @@ object Catalog {
              |SELECT d.c_custkey, d.draw, c.item
              |FROM draws d
              |JOIN cum c ON d.target >= c.lo AND d.target < c.lo + c.w
-             |ORDER BY d.c_custkey, d.draw""".stripMargin)),
+             |ORDER BY d.c_custkey, d.draw""".stripMargin),
+      allowBnlj = true),
 
     // Training-mix resampling to target per-source proportions. Fully
     // ORACLED — unlike the two keys above — because the keep decision
@@ -7602,7 +7647,8 @@ object Catalog {
              |    CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * m.lr) AS DOUBLE) AS log_w
              |  FROM db JOIN model m USING (bucket) GROUP BY 1)
              |SELECT doc_id, n_feats, log_w
-             |FROM scored ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin)),
+             |FROM scored ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin),
+      allowBnlj = true),
 
     // Incremental (batch-vs-corpus) exact dedup: the continuous-ingestion
     // shape — today's batch anti-joined against the accumulated corpus on
@@ -7676,7 +7722,8 @@ object Catalog {
              |  CAST(maxn AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(k AS DOUBLE))
              |    AS skew_factor
              |FROM counts, stats
-             |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
+             |ORDER BY n DESC, user_id LIMIT 10""".stripMargin),
+      allowBnlj = true),
 
     // One-scan numeric column profiling (nulls / cardinality / range /
     // decimal-stable mean) — the data-quality gate a training corpus
@@ -8191,11 +8238,17 @@ object Catalog {
     // (returning after a gap) / CHURNED (active last month, absent
     // this month) customer counts and the quick ratio
     // (new+resurrected)/churned — the canonical MAU decomposition.
-    // One (customer, month-index) distinct grain, one lag and one lead
-    // over the customer window; month arithmetic is exact integers
-    // (mi = y·12 + m−1); the final observed month cannot emit churn
-    // (right-censored — the lead is NULL there by data, not absence),
-    // so churn attribution stops at the max month (1-row broadcast).
+    // One (customer, month-index) distinct grain, then ONE window
+    // projection computing BOTH lag and lead over the same (cust, mi)
+    // spec — a single partition sort feeds status AND churn: each row
+    // explodes into its status contribution at mi plus (on a following
+    // gap) a churn contribution at mi+1, and one groupBy(mi) sums the
+    // five counters. The month spine falls out of the explode (a month
+    // with zero active customers but nonzero churn still emits its
+    // churn row — the active(t) identity holds across fully-inactive
+    // months). Month arithmetic is exact integers (mi = y·12 + m−1);
+    // the final observed month cannot emit churn (right-censored), so
+    // churn attribution stops at the max month (1-row broadcast).
     "agg_growth_accounting" -> QuerySpec(
       (s, d) => {
         val act = t(s, d, "orders")
@@ -8205,42 +8258,37 @@ object Catalog {
               .as("mi"))
           .distinct()
         val w = Window.partitionBy(col("cust")).orderBy(col("mi"))
-        val classed = act
+        def contribStruct(mi: Column, isNew: Column, isRet: Column,
+            isRes: Column, isAct: Column, isChurn: Column) =
+          struct(mi.as("mi"), isNew.as("f_new"), isRet.as("f_ret"),
+            isRes.as("f_res"), isAct.as("f_act"), isChurn.as("f_churn"))
+        val contrib = act
           .withColumn("_prev", lag(col("mi"), 1).over(w))
-          .withColumn("status",
-            when(col("_prev").isNull, "new")
-              .when(col("mi") - col("_prev") === 1, "retained")
-              .otherwise("resurrected"))
-        val statusCounts = classed.groupBy(col("mi"))
-          .agg(
-            sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
-            sum(when(col("status") === "retained", 1L).otherwise(0L))
-              .as("n_retained"),
-            sum(when(col("status") === "resurrected", 1L).otherwise(0L))
-              .as("n_resurrected"),
-            count(lit(1)).as("n_active"))
-        val maxMi = act.agg(max(col("mi")).as("_maxmi"))
-        val churn = act
           .withColumn("_next", lead(col("mi"), 1).over(w))
-          .filter(col("_next").isNull || col("_next") - col("mi") > 1)
+          .select(explode(concat(
+            array(contribStruct(col("mi"),
+              when(col("_prev").isNull, 1L).otherwise(0L),
+              when(col("mi") - col("_prev") === 1, 1L).otherwise(0L),
+              when(col("_prev").isNotNull &&
+                col("mi") - col("_prev") > 1, 1L).otherwise(0L),
+              lit(1L), lit(0L))),
+            when(col("_next").isNull || col("_next") - col("mi") > 1,
+              array(contribStruct(col("mi") + 1,
+                lit(0L), lit(0L), lit(0L), lit(0L), lit(1L))))
+              .otherwise(array().cast("array<struct<mi:int,f_new:bigint," +
+                "f_ret:bigint,f_res:bigint,f_act:bigint,f_churn:bigint>>"))))
+            .as("c"))
+          .select(col("c.*"))
+        val maxMi = act.agg(max(col("mi")).as("_maxmi"))
+        contrib
           .crossJoin(broadcast(maxMi))
-          .filter(col("mi") < col("_maxmi"))
-          .groupBy((col("mi") + 1).as("mi"))
-          .agg(count(lit(1)).as("n_churned"))
-        // month spine = union of ACTIVE months and CHURN months: a
-        // month with zero active customers but nonzero churn (everyone
-        // active at t−1 going quiet) must still emit a row, or the
-        // active(t) = active(t−1) + new + resurrected − churned
-        // identity breaks across fully-inactive months
-        val spine = statusCounts.select(col("mi"))
-          .unionByName(churn.select(col("mi"))).distinct()
-        spine.join(statusCounts, Seq("mi"), "left")
-          .join(churn, Seq("mi"), "left")
-          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-          .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
-          .withColumn("n_resurrected", coalesce(col("n_resurrected"), lit(0L)))
-          .withColumn("n_active", coalesce(col("n_active"), lit(0L)))
-          .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+          .filter(col("f_churn") === 0 || col("mi") <= col("_maxmi"))
+          .groupBy(col("mi"))
+          .agg(sum(col("f_new")).as("n_new"),
+            sum(col("f_ret")).as("n_retained"),
+            sum(col("f_res")).as("n_resurrected"),
+            sum(col("f_act")).as("n_active"),
+            sum(col("f_churn")).as("n_churned"))
           .select(
             make_date(expr("mi div 12").cast(IntegerType),
               (pmod(col("mi"), lit(12)) + 1).cast(IntegerType), lit(1))
@@ -8291,7 +8339,8 @@ object Catalog {
              |    / CAST(NULLIF(COALESCE(n_churned, 0), 0) AS DOUBLE)
              |    AS quick_ratio
              |FROM months m LEFT JOIN sc USING (mi) LEFT JOIN ch USING (mi)
-             |ORDER BY month""".stripMargin)),
+             |ORDER BY month""".stripMargin),
+      allowBnlj = true),
 
     // Cohort LTV curve (the revenue companion to agg_cohort_retention):
     // per (cohort month, month offset) the cohort's revenue that month,
@@ -8598,7 +8647,8 @@ object Catalog {
              |    AS chi2_term
              |FROM cells
              |JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t
-             |ORDER BY event_type, daypart""".stripMargin)),
+             |ORDER BY event_type, daypart""".stripMargin),
+      allowBnlj = true),
 
     // EXACT two-sample Kolmogorov-Smirnov statistic: D = max|F₁−F₂|
     // over the pooled value grain, computed ENTIRELY in integers —
@@ -8656,7 +8706,8 @@ object Catalog {
              |SELECT v AS at_value, n1, n2, d AS ks_num,
              |  CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
              |    AS ks
-             |FROM dd ORDER BY d DESC, v LIMIT 1""".stripMargin)),
+             |FROM dd ORDER BY d DESC, v LIMIT 1""".stripMargin),
+      allowBnlj = true),
 
     // Asymmetric n-gram containment (the quote/partial-inclusion
     // detector): |A∩B|/|A| vs /|B| over the ngramJaccardPairs
@@ -8745,7 +8796,8 @@ object Catalog {
              |  (CAST(j.n AS DOUBLE) - CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE))
              |   * (CAST(j.n AS DOUBLE) - CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE))
              |   / (CAST(e AS DOUBLE) * CAST(t.t AS DOUBLE)) AS chi2_term
-             |FROM j CROSS JOIN tot t ORDER BY digit""".stripMargin)),
+             |FROM j CROSS JOIN tot t ORDER BY digit""".stripMargin),
+      allowBnlj = true),
 
     // RFM customer segmentation: the classic recency/frequency/monetary
     // quintile grid — one actor-grain aggregation (snapshot date = the
@@ -8817,7 +8869,8 @@ object Catalog {
              |  CAST(fb + 1 AS INTEGER) AS f_score,
              |  CAST(mb + 1 AS INTEGER) AS m_score,
              |  CAST((5 - rb) * 100 + (fb + 1) * 10 + (mb + 1) AS INTEGER) AS rfm
-             |FROM b ORDER BY o_custkey""".stripMargin)),
+             |FROM b ORDER BY o_custkey""".stripMargin),
+      allowBnlj = true),
 
     // Per-group Gini concentration (ProfileOps.giniByGroup): rank-form
     // Gini over exact DECIMAL(18,6) sums — Σi·x is tie-order-invariant,
@@ -8951,7 +9004,8 @@ object Catalog {
              |      FROM src)
              |SELECT l_orderkey, l_linenumber,
              |  LEAST(GREATEST(l_extendedprice, p.lo), p.hi) AS clipped
-             |FROM src, p ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM src, p ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      allowBnlj = true),
 
     // Equi-depth quantile binning (ProfileOps.quantileBins): each doc's
     // quality-proxy value → its quartile index, the curriculum/mixing
@@ -8976,7 +9030,8 @@ object Catalog {
              |      + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
              |      + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS INTEGER)
              |    AS bin
-             |FROM documents CROSS JOIN p ORDER BY doc_id""".stripMargin)),
+             |FROM documents CROSS JOIN p ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
 
     // Smoothed (m-estimate) target encoding (ProfileOps.targetEncode,
     // Micci-Barreca): per-customer mean order price shrunk toward the
@@ -9002,7 +9057,8 @@ object Catalog {
              |SELECT o_custkey, n, CAST(dsum AS DOUBLE) AS sum_target,
              |  (CAST(dsum AS DOUBLE) + 10.0 * prior)
              |    / (CAST(n AS DOUBLE) + 10.0) AS enc
-             |FROM pc CROSS JOIN pr ORDER BY o_custkey""".stripMargin)),
+             |FROM pc CROSS JOIN pr ORDER BY o_custkey""".stripMargin),
+      allowBnlj = true),
 
     // Categorical concentration profile (ProfileOps.categoricalProfile):
     // per-source language distribution — n, distinct k, Shannon
@@ -9084,7 +9140,8 @@ object Catalog {
              |  CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
              |  ci.ci_lo, ci.ci_hi, CAST(33 AS BIGINT) AS b
              |FROM r CROSS JOIN ci
-             |GROUP BY ci.ci_lo, ci.ci_hi""".stripMargin)),
+             |GROUP BY ci.ci_lo, ci.ci_hi""".stripMargin),
+      allowBnlj = true),
 
     // Volume anomaly monitor (ProfileOps.volumeAnomaly): hourly event
     // counts vs median ± 4·MAD — the robust ingest-health gate a
@@ -9107,7 +9164,8 @@ object Catalog {
              |md AS (SELECT quantile_cont(deviation, 0.5) AS mad FROM d)
              |SELECT bucket, cnt, med, deviation, mad,
              |  deviation > 4.0 * mad AS is_anomaly
-             |FROM d, md ORDER BY bucket""".stripMargin)),
+             |FROM d, md ORDER BY bucket""".stripMargin),
+      allowBnlj = true),
 
     // Fixed-width histogram (ProfileOps.histogram): 1-row min/max
     // broadcast + one partial-aggregating groupBy — two scans total,
@@ -9129,7 +9187,8 @@ object Catalog {
              |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL)
              |SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
              |  count(*) AS cnt
-             |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin)),
+             |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin),
+      allowBnlj = true),
 
     // Two-snapshot distribution drift (ProfileOps.snapshotDrift): the
     // refresh-monitoring gate — 'view' events are the reference
@@ -9192,7 +9251,8 @@ object Catalog {
            |  abs(cdf_ref - cdf_cur) AS ks_term,
            |  CAST(abs(p_ref - p_cur) > 0.02 AS INTEGER) AS drifted
            |FROM t ORDER BY bin""".stripMargin
-      }),
+      },
+      allowBnlj = true),
 
     // Z-order (Morton) clustering key — exact bit interleaving, so the
     // oracle states the same shifts/masks in SQL. The layout-locality
@@ -9259,7 +9319,8 @@ object Catalog {
           .drop("__area", "__sum_area", "__n_files")
           .orderBy(col("ok_min"), col("pk_min"), col("n_rows"))
       },
-      None),
+      None,
+      allowBnlj = true),
 
     // N-gram novelty (unique-content ratio): the fraction of a doc's
     // DISTINCT 3-grams appearing in NO other document — the quality
@@ -9590,7 +9651,8 @@ object Catalog {
              |  GROUP BY 1)
              |SELECT lag, n_pairs, num, dn.den AS den,
              |  CAST(num AS DOUBLE) / CAST(dn.den AS DOUBLE) AS acf
-             |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin)),
+             |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin),
+      allowBnlj = true),
 
     // Classical additive decomposition (TimeSeriesOps
     // .decomposeClassical): trend (2×24 centered MA) + hour-of-day
@@ -9690,7 +9752,8 @@ object Catalog {
              |  CAST(sn - st AS DOUBLE) / CAST(n - t AS DOUBLE)
              |    - CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS shift,
              |  CAST(t = 400 AS INTEGER) AS ok_cp
-             |FROM d ORDER BY d DESC, t LIMIT 1""".stripMargin)),
+             |FROM d ORDER BY d DESC, t LIMIT 1""".stripMargin),
+      allowBnlj = true),
 
     // Two-sided tabular CUSUM drift alarm (TimeSeriesOps.cusumWindowed,
     // Page 1954): per-user clamped deviation sums vs the user's exact
@@ -10184,7 +10247,8 @@ object Catalog {
              |JOIN itemn a ON a.i = t.item_a
              |JOIN itemn b ON b.i = t.item_b
              |CROSS JOIN n
-             |ORDER BY pair_n DESC, item_a, item_b""".stripMargin)),
+             |ORDER BY pair_n DESC, item_a, item_b""".stripMargin),
+      allowBnlj = true),
 
     // Exact lower weighted median (ProfileOps.weightedMedian): smallest
     // value whose cumulative DECIMAL(18,6) weight reaches half the
@@ -10365,7 +10429,8 @@ object Catalog {
           .drop("__base")
           .orderBy(col("codec"))
       },
-      None),
+      None,
+      allowBnlj = true),
 
     // Small-file compaction planning (Layout.compactionPlan): stage the
     // documents table deliberately FRAGMENTED (24 small files — the
@@ -10681,7 +10746,8 @@ object Catalog {
              |  CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
              |FROM documents a, documents b
              |WHERE a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |ORDER BY id_a, id_b""".stripMargin),
+      allowBnlj = true),
 
     // ----------------------------------------------------- scalar functions
     "fn_from_json" -> QuerySpec(
@@ -11030,7 +11096,8 @@ object Catalog {
              |SELECT t, n_risk, d AS n_events, c AS n_censored,
              |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fl),
              |    (a, b) -> a * b) AS survival
-             |FROM fs ORDER BY t""".stripMargin)),
+             |FROM fs ORDER BY t""".stripMargin),
+      allowBnlj = true),
 
     // First-order Markov transition matrix of event types: the
     // behavior model behind flow prediction/anomaly — P(next | current)
@@ -11118,5 +11185,5 @@ object Catalog {
     specs.map { case (k, v) => k -> v.fn }
 
   def oracleSql: Map[String, String] =
-    specs.collect { case (k, QuerySpec(_, Some(sql))) => k -> sql }
+    specs.collect { case (k, QuerySpec(_, Some(sql), _)) => k -> sql }
 }

@@ -171,112 +171,14 @@ class PlanSpec extends SparkSpec {
     // the r1 close-out audit (BASELINE.md §4), promoted to a permanent
     // regression gate: a key that silently degrades to an unhinted
     // cartesian at any future round fails here, not in the bench tail
-    val allowBnlj = Set(
-      "join_cross",            // the cross-join key itself (broadcast hinted)
-      "sim_topk_cosine",       // brute-force scoring vs broadcast query set
-      "sim_embed_topk_cosine", // same shape over the embed seam's output
-      "sim_hard_negatives",    // same broadcast-anchors scan shape
-      "sim_ann_recall",        // brute-force TRUTH side of the recall check
-                               // (the ANN sides stay bucketed equi-joins)
-      "sim_ann_pq",            // full-scan ADC over codes BY DESIGN
-                               // (compression path: 21× fewer bytes/row)
-      "fn_levenshtein",        // bounded pair enumeration (doc_id < 20)
-      "dedup_embedding_cosine", // bounded all-pairs twin (vec_id < 100)
-      "text_tfidf_top_term",   // 1-row doc-count scalar broadcast
-      "prep_winsorize",        // 1-row percentile-bounds scalar broadcast
-      "prep_quantile_bins",    // 1-row quantile-thresholds scalar broadcast
-      "profile_key_skew",      // 1-row global-stats scalar broadcast
-      "profile_histogram",     // 1-row min/max-bounds scalar broadcast
-      "text_unigram_logprob",  // 1-row corpus-total/vocab-size scalar broadcast
-      "corpus_prep_e2e",       // same 1-row LM-totals broadcast, via composition
-      "text_token_count_bpe",  // 1-row roundtrip-check scalar broadcast
-      "text_nb_lang_classify", // #classes-row class-list broadcast expansion
-                               // (every doc scores against every class)
-      "text_nb_quality_distill", // same shape via the distillation fixture
-      "sample_curriculum",     // 1-row corpus-count scalar broadcast
-      "search_bm25_topk",      // 1-row model-summary scalar broadcast
-      "search_tfidf_keywords", // in-plan bm25Fit's 1-row stats broadcast
-      "search_bm25_batch",     // 1-row model-stats scalar broadcast (N, T)
-      "text_bigram_logprob",   // 1-row OOV-row + unigram-totals broadcasts
-      "dedup_embedding_cosine_lsh", // 1-row planted-recall summary broadcast
-      "agg_hll_merge",         // 1-row union-sketch × 1-row exact broadcast
-      "graph_pagerank",        // 1-row node-count scalar broadcast
-      "layout_file_stats",     // 1-row coverage-totals scalar broadcast
-                               // (the bound_ok ceiling check)
-      "profile_snapshot_drift", // 2× 1-row quantile-thresholds scalar
-                               // broadcast (ref + monitored binning)
-      "layout_codec_stats",    // per-codec 1-row × 1-row merge (file
-                               // stats × row count): literal join keys
-                               // constant-fold away, leaving the
-                               // sanctioned tiny-frame BNLJ
-      "agg_kll_merge",         // 1-row union-sketch × 1-row exact-
-                               // percentile broadcast (agg_hll_merge's
-                               // exact shape, quantile flavor)
-      "agg_theta_setops",      // 3-row × 3-row sketch-pair frame (one
-                               // blob per return flag; the pairwise
-                               // set-op grid is the POINT — the raw
-                               // keys never join)
-      "graph_triangle_count",  // 1-row census frames (degree stats ×
-                               // edge count × triangle count) merged
-                               // by scalar broadcast
-      "sim_embed_pca",         // 1-row variance-stats × 1-row total-
-                               // variance scalar broadcasts (the
-                               // bound_ok geometry check)
-      "prep_target_encode",    // 1-row global-prior scalar broadcast
-      "sample_negatives_popularity", // 1-row CDF-arrays scalar broadcast
-                               // (bounds/items ride as two sorted
-                               // arrays; the probe is a prefix count,
-                               // never a range join)
-      "sim_bitext_mine",       // anchor-side broadcast scans (the
-                               // bruteTopK shape, forward + backward
-                               // retrieve-then-score passes)
-      "profile_volume_anomaly", // 1-row median × 1-row MAD scalar
-                               // broadcasts over the bucket-grain frame
-                               // (the winsorize pattern)
-      "sim_mmr_diversify",     // query-side broadcast scan (bruteTopK
-                               // shape); the selection rounds join the
-                               // queries×8 pool frames only
-      "profile_bootstrap_ci",  // 1-row CI-bounds scalar broadcast onto
-                               // the 1-row point-estimate frame
-      "graph_pagerank_scaled", // 1-row modulus (max(doc_id)+1) scalar
-                               // broadcast building the scaled edge list
-      "graph_triangle_scaled", // same scalar broadcast + the census'
-                               // 1-row frame merges (graph_triangle_count)
-      "search_bm25_model_roundtrip", // 1-row pivoted model-summary
-                               // broadcast (the bm25TopK shape, reloaded
-                               // model)
-      "text_nb_model_roundtrip", // #classes-row class-default broadcast
-                               // (the nbScoreWith shape, reloaded model)
-      "text_vocab_growth",     // 1-row doc-count scalar broadcast + the
-                               // 1-row token×term count-frame merge
-      "text_source_divergence", // groups²-row pair grid × topK-term
-                               // frame (both model-sized, the TVD
-                               // matrix is the POINT)
-      "sample_dsir_select",    // 2× 1-row corpus-total scalar
-                               // broadcasts inside the in-plan dsirFit
-                               // (frozen-model deployments never see
-                               // them at query time)
-      "agg_assoc_rules",       // 1-row basket-count scalar broadcast
-                               // (the support denominator)
-      "profile_benford",       // 1-row digit-total scalar broadcast
-      "agg_rfm_segment",       // 1-row snapshot-date + 3× 1-row
-                               // quantile-threshold scalar broadcasts
-      "text_pmi_collocations", // 1-row doc-count scalar broadcast
-                               // (the PMI denominator)
-      "agg_survival_km",       // 1-row cohort-size scalar broadcast
-                               // (the at-risk baseline)
-      "profile_chi2_independence", // 1-row grand-total scalar broadcast
-      "profile_ks_exact",      // 1-row sample-sizes scalar broadcast
-      "agg_growth_accounting", // 1-row max-month scalar broadcast
-                               // (the churn right-censor bound)
-      "text_bpe_byte_encode",  // 1-row roundtrip/bytemap-check scalar
-                               // broadcast (the text_token_count_bpe shape)
-      "ts_acf",                // 1-row totals/denominator + 24-row lag
-                               // frame broadcasts over the bucket-grain
-                               // series (all model-sized)
-      "ts_changepoint",        // 1-row (n, S_n) totals broadcast over
-                               // the bucket-grain prefix-sum frame
-      "geo_cell_pairs_border") // 1-row same-cell-count scalar broadcast
+    // The allow-set is DERIVED from the QuerySpec.allowBnlj marker —
+    // a key with an intentional BroadcastNestedLoopJoin (1-row
+    // scalar-stats broadcast, bounded pair enumeration, or a
+    // deliberate compression-path full scan) declares it at its own
+    // definition site in Catalog.scala; this audit just reads it.
+    val allowBnlj = graft.queries.Catalog.specs.collect {
+      case (name, spec) if spec.allowBnlj => name
+    }.toSet
                                // beside the candidate-pair totals
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
@@ -311,6 +213,21 @@ class PlanSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("growth accounting plans exactly one Window (one-pass lag+lead)") {
+    // the r12-flagged duplicated window sort: status (lag) and churn
+    // (lead) branches each carried their own Window over the same
+    // (cust, mi) spec — r13 computes both offsets in ONE window
+    // projection and explodes per-row contributions, so the per-actor
+    // sort is paid once. Keep it that way.
+    val ga = graft.queries.Catalog.specs("agg_growth_accounting").fn(spark, sf)
+    ga.collect()
+    val nWindow = "(?m)^.*\\bWindow\\b".r.findAllIn(
+      ga.queryExecution.optimizedPlan.toString).size
+    assert(nWindow == 1,
+      s"expected exactly 1 Window, got $nWindow:\n" +
+        ga.queryExecution.optimizedPlan.toString)
   }
 
   test("round-9 keys keep their intended plan shapes") {
