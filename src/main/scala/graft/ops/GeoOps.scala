@@ -117,6 +117,33 @@ object GeoOps {
       array_distinct(filter(array(cells: _*), c => c.isNotNull)))
   }
 
+  /** Prune cells whose point density would blow the per-cell PAIR
+    * budget — the geo twin of the LSH degenerate-bucket prune
+    * ([[DedupOps.minHashLsh]]): a genuinely hot cell (city-density
+    * data) makes the blocking self-join quadratic in that one cell, so
+    * production blocking either refines the grid or DROPS the cell and
+    * reports it, never silently scans n²/2 pairs. The doc threshold is
+    * derived from `maxCellPairs` in exact driver-side arithmetic
+    * (DedupOps.maxDocsForPairBudget — an in-plan n·(n−1)/2 wraps past
+    * ~3e9 docs, admitting exactly the degenerate cells the cap exists
+    * for); the over-budget cell set is found with a map-side-combined
+    * count, is tiny by construction, and broadcasts — the anti join
+    * prunes `df` without shuffling it.
+    *
+    * Returns (pruned frame, the over-budget cell frame) so callers can
+    * surface WHAT was dropped — silent truncation reads as "covered
+    * everything" when it didn't. */
+  def pruneHotCells(df: org.apache.spark.sql.DataFrame, cellCol: String,
+      maxCellPairs: Long): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val maxDocs = DedupOps.maxDocsForPairBudget(maxCellPairs)
+    val hot = df.groupBy(col(cellCol))
+      .agg(count(lit(1)).as("_cn"))
+      .filter(col("_cn") > maxDocs) // doc threshold ⇔ pair budget
+      .select(col(cellCol))
+    (df.join(broadcast(hot), Seq(cellCol), "left_anti"), hot)
+  }
+
   /** Frame-level neighborhood expansion — [[geohashNeighborhood]]'s
     * scalable form: EXPLODE THE OFFSETS FIRST (9 literal (dLat, dLon)
     * rows per point), then compute ONE [[cellFromQuantized]] over the

@@ -3082,8 +3082,15 @@ object Catalog {
             .as("lat"),
           (((col("c_custkey") * 7) % 35000).cast(DoubleType) / 100.0 - 175.0)
             .as("lon"))
-        val cells = pts.select(col("c_custkey"),
+        val allCells = pts.select(col("c_custkey"),
           GeoOps.geohash(col("lat"), col("lon"), precision = 3).as("cell"))
+        // the shared LSH pair-budget cap, WIRED (r13): a cell past
+        // ~44.7k points (10⁹ pairs) is dropped by broadcast anti-join
+        // before the self-join — never above fixture density here, so
+        // the oracle is untouched; GeoOpsSpec plants a hot cell and
+        // proves the cap triggers
+        val (cells, _) = GeoOps.pruneHotCells(
+          allCells, "cell", maxCellPairs = 1000000000L)
         cells.as("a")
           .join(cells.as("b"),
             col("a.cell") === col("b.cell") &&
@@ -3125,11 +3132,19 @@ object Catalog {
         // precision 4 (finer grid than geo_cell_pairs' 3): cell pair
         // cost is quadratic in per-cell density, so a denser corpus
         // moves to a finer grid — the production knob, exercised here
-        val home = pts.select(col("c_custkey"),
+        val homeAll = pts.select(col("c_custkey"),
           GeoOps.geohash(col("lat"), col("lon"), precision = 4).as("cell"))
+        // pair-budget cap on the HOME density (r13, the wired LSH
+        // analog): an over-budget cell is dropped as a JOIN KEY from
+        // both sides — its points still pair through their other
+        // neighbor cells, the quadratic hot-cell term is gone. Budget
+        // far above fixture density ⇒ oracle untouched.
+        val (home, hotCells) = GeoOps.pruneHotCells(
+          homeAll, "cell", maxCellPairs = 1000000000L)
         val blocks = GeoOps.explodeNeighborCells(
           pts, "lat", "lon", precision = 4)
           .select(col("c_custkey"), col("cell"))
+          .join(broadcast(hotCells), Seq("cell"), "left_anti")
         val cand = blocks.as("a")
           .join(home.as("b"),
             col("a.cell") === col("b.cell") &&

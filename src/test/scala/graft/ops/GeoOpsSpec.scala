@@ -83,4 +83,26 @@ class GeoOpsSpec extends SparkSpec {
       Seq((9L, 91.0, 0.0)).toDF("k", "lat", "lon"), "lat", "lon", 4)
     assert(none.count() == 0)
   }
+
+  test("pruneHotCells: a planted hot cell trips the pair budget; the rest survive") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // 40 points in one cell (780 pairs), 4 + 3 points in two others
+    val pts = ((1 to 40).map(i => (i.toLong, "u4pru")) ++
+      (41 to 44).map(i => (i.toLong, "gbsuv")) ++
+      (45 to 47).map(i => (i.toLong, "ezs42"))).toDF("k", "cell")
+    // budget 100 pairs ⇒ maxDocs = 14: only the 40-point cell is hot
+    val (pruned, hot) = GeoOps.pruneHotCells(pts, "cell", maxCellPairs = 100L)
+    assert(hot.collect().map(_.getString(0)).toSeq == Seq("u4pru"))
+    val left = pruned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(left == Map("gbsuv" -> 4L, "ezs42" -> 3L), left)
+    // the capped self-join: pair count is exactly the surviving cells'
+    // n·(n−1)/2, never the hot cell's 780
+    val nPairs = pruned.as("a").join(pruned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.k") < col("b.k")).count()
+    assert(nPairs == 4 * 3 / 2 + 3 * 2 / 2, nPairs)
+    // budget above the density: nothing pruned
+    val (all, none2) = GeoOps.pruneHotCells(pts, "cell", maxCellPairs = 100000L)
+    assert(none2.count() == 0 && all.count() == pts.count())
+  }
 }
