@@ -8214,6 +8214,186 @@ object Catalog {
     // uncertainty band. ONE map-side-combinable aggregate to exact
     // (n, k) longs, then a fixed per-group IEEE sequence (sqrt is
     // correctly rounded) ⇒ fully oracled bit-for-bit.
+    // CALIBRATION of the NB quality classifier (round 13, the verdict's
+    // headline ask): does nbScore's probability MEAN anything, or is
+    // the distillation tier just a ranker? Reliability diagram over the
+    // planted rule labels (the text_nb_quality_distill fixture: C4
+    // heuristic flags as ground truth, NB distilled from them) plus
+    // Brier score and ECE. P(keep) = sigmoid of the LENGTH-NORMALIZED
+    // score margin (sigmoid(8·delta/n_tokens) — raw NB margins over
+    // hundreds of tokens saturate every p to 0/1, while the bare
+    // per-token margin compresses everything into one bin; the fixed
+    // temperature 8 is the single platt-style scale the curve is read
+    // at, and the diagram shows whether even the best constant
+    // temperature calibrates). Exactness discipline:
+    // delta is an EXACT decimal (difference of exact score sums), the
+    // sigmoid is the only transcendental and its output is quantized
+    // ONCE to DECIMAL(12,6) (the ClassifyOps boundary-flake argument:
+    // a ≤2-ulp libm exp() disagreement flips a 1e-6 quantization
+    // boundary with probability ~1e-10/doc); bins are floor(10·p) on
+    // the quantized decimal — exact-decimal bin edges — and every
+    // bin/global statistic is exact-decimal algebra with ONE IEEE
+    // division at presentation (wide sums bridge DuckDB→double through
+    // VARCHAR). Scale shape: fit + score are the distill key's plan;
+    // the 10-row bin frame takes a localCheckpoint seam before the
+    // global-stats crossJoin (consume-once — else the corpus-scale
+    // score subtree re-executes per branch).
+    "profile_calibration" -> QuerySpec(
+      (s, d) => {
+        val toksB = split(col("text"), " ")
+        val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => concat(
+                array_join(slice(toksB, i * 8 + 1, lit(8)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+            .as("text"))
+        val labeled = TextOps.c4QualityFlags(built, "text")
+          .select(col("doc_id"),
+            when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+              .as("rule_label"))
+        val model = ClassifyOps.nbFit(
+          labeled.join(built, Seq("doc_id")), "text", "rule_label")
+        val piv = ClassifyOps.nbScoreWith(built, "doc_id", "text", model)
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("_label") === "keep", col("score"))).as("s_keep"),
+            max(when(col("_label") === "drop", col("score"))).as("s_drop"),
+            max(col("n_tokens")).as("n_tok"))
+        val pd = piv.join(labeled, Seq("doc_id"))
+          .select(
+            (lit(1.0) / (lit(1.0) + exp(-(lit(8.0) *
+              (col("s_keep") - col("s_drop")).cast(DoubleType) /
+                col("n_tok").cast(DoubleType)))))
+              .cast(DecimalType(12, 6)).as("p"),
+            when(col("rule_label") === "keep", 1).otherwise(0).as("y"))
+        val dcol = col("p") - col("y").cast(DecimalType(7, 6))
+        val bins = pd
+          .withColumn("bin", least(floor(col("p") * 10).cast(IntegerType), lit(9)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).as("sum_p"),
+            sum(col("y").cast(LongType)).as("sum_y"),
+            sum((dcol * dcol).cast(DecimalType(27, 12))).as("sum_sq"))
+          .localCheckpoint() // ≤10 rows; consumed twice below
+        val g = bins.agg(sum(col("n")).as("nn"),
+          sum(col("sum_sq")).as("tot_sq"),
+          sum(abs(col("sum_y").cast(DecimalType(20, 6)) - col("sum_p")))
+            .as("tot_gap"))
+        bins.crossJoin(broadcast(g))
+          .select(col("bin"), col("n"),
+            (col("sum_p").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("mean_pred"),
+            (col("sum_y").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("frac_pos"),
+            (abs(col("sum_y").cast(DecimalType(20, 6)) - col("sum_p"))
+              .cast(DoubleType) / col("n").cast(DoubleType)).as("abs_gap"),
+            (col("tot_sq").cast(DoubleType) / col("nn").cast(DoubleType))
+              .as("brier"),
+            (col("tot_gap").cast(DoubleType) / col("nn").cast(DoubleType))
+              .as("ece"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+             |      chr(10))
+             |    || CASE WHEN doc_id % 37 = 0
+             |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 41 = 0
+             |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+             |  FROM base),
+             |lab AS MATERIALIZED (
+             |  SELECT doc_id, text,
+             |    CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+             |              AND NOT contains(text, '{')
+             |              AND len(list_filter(string_split(text, chr(10)),
+             |                l -> regexp_matches(trim(l), '[.!?"]$')
+             |                     AND len(string_split_regex(trim(l), '\s+')) >= 5))
+             |                  >= 3
+             |         THEN 'keep' ELSE 'drop' END AS label
+             |  FROM built),
+             |toks0 AS (
+             |  SELECT doc_id, label,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM lab),
+             |t AS MATERIALIZED (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |ct AS (SELECT label, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |tot AS MATERIALIZED (
+             |  SELECT label, sum(cnt) AS total FROM ct GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM t),
+             |lp AS (
+             |  SELECT label, tok,
+             |    CAST(ln((cnt + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,6)) AS lp
+             |  FROM ct JOIN tot USING (label) CROSS JOIN v),
+             |dflt AS (
+             |  SELECT label,
+             |    CAST(ln(0.5 / (total + 0.5 * v)) AS DECIMAL(20,6)) AS dlp
+             |  FROM tot CROSS JOIN v),
+             |prior AS (
+             |  SELECT label,
+             |    CAST(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lab))
+             |      AS DECIMAL(20,6)) AS prior
+             |  FROM lab GROUP BY 1),
+             |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT dt.doc_id, c.label, p.prior,
+             |    sum(dt.cnt) AS n_tok,
+             |    sum(CAST(dt.cnt AS DECIMAL(10,0)) * coalesce(lp.lp, f.dlp)) AS ll
+             |  FROM dt
+             |  CROSS JOIN (SELECT label FROM tot) c
+             |  LEFT JOIN lp ON lp.tok = dt.tok AND lp.label = c.label
+             |  JOIN dflt f ON f.label = c.label
+             |  JOIN prior p ON p.label = c.label
+             |  GROUP BY dt.doc_id, c.label, p.prior),
+             |piv AS (
+             |  SELECT doc_id,
+             |    max(CASE WHEN label = 'keep' THEN prior + ll END) AS s_keep,
+             |    max(CASE WHEN label = 'drop' THEN prior + ll END) AS s_drop,
+             |    max(n_tok) AS n_tok
+             |  FROM scored GROUP BY doc_id),
+             |pd AS (
+             |  SELECT CAST(1.0 / (1.0 + exp(-(8.0 *
+             |      CAST(CAST(pv.s_keep - pv.s_drop AS VARCHAR) AS DOUBLE)
+             |        / CAST(pv.n_tok AS DOUBLE)))) AS DECIMAL(12,6)) AS p,
+             |    CASE WHEN l.label = 'keep' THEN 1 ELSE 0 END AS y
+             |  FROM piv pv JOIN lab l USING (doc_id)),
+             |b AS MATERIALIZED (
+             |  SELECT CAST(LEAST(CAST(floor(p * 10) AS INTEGER), 9) AS INTEGER) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    SUM(p) AS sum_p,
+             |    CAST(SUM(y) AS BIGINT) AS sum_y,
+             |    SUM(CAST((CAST(p AS DECIMAL(13,6)) - CAST(y AS DECIMAL(7,6)))
+             |      * (CAST(p AS DECIMAL(13,6)) - CAST(y AS DECIMAL(7,6)))
+             |      AS DECIMAL(27,12))) AS sum_sq
+             |  FROM pd GROUP BY 1),
+             |g AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(sum_sq) AS tot_sq,
+             |    SUM(abs(CAST(sum_y AS DECIMAL(20,6)) - sum_p)) AS tot_gap
+             |  FROM b)
+             |SELECT bin, n,
+             |  CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             |    AS mean_pred,
+             |  CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+             |  CAST(CAST(abs(CAST(sum_y AS DECIMAL(20,6)) - sum_p) AS VARCHAR)
+             |    AS DOUBLE) / CAST(n AS DOUBLE) AS abs_gap,
+             |  CAST(CAST(tot_sq AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE)
+             |    AS brier,
+             |  CAST(CAST(tot_gap AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE)
+             |    AS ece
+             |FROM b CROSS JOIN g ORDER BY bin""".stripMargin),
+      allowBnlj = true),
+
     "profile_rate_ci" -> QuerySpec(
       (s, d) => ProfileOps.rateWilsonCi(
         t(s, d, "orders").select(col("o_orderpriority").as("grp"),
