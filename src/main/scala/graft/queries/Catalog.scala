@@ -935,6 +935,94 @@ object Catalog {
     // orchestration idiom (thresholds/table names resolved at run
     // time) stated natively instead of via string interpolation in the
     // driver. The oracle inlines the bound value.
+    // SQL pipe syntax (Spark 4.1 `|>` operators, round 13): the
+    // linear-dataflow spelling of filter → derive → aggregate →
+    // project → order — each stage reads top-to-bottom the way the
+    // plan executes, instead of SQL's inside-out nesting. Parses to
+    // the SAME logical plan as the nested form (the probe plan is one
+    // scan → partial/final agg → sort); DuckDB restates it as plain
+    // ANSI. Revenue stays exact DECIMAL end-to-end (the (18,4)×(19,4)
+    // product is DECIMAL(38,8) with no scale loss) so the sum is
+    // order-independent.
+    "sql_pipe_syntax" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_pipe")
+        s.sql("""FROM li_pipe
+                ||> WHERE l_quantity > 10
+                ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,4))
+                |     * (1 - CAST(l_discount AS DECIMAL(18,4))) AS revenue
+                ||> AGGREGATE COUNT(*) AS n,
+                |     CAST(SUM(revenue) AS DECIMAL(38,8)) AS total_revenue
+                |   GROUP BY l_returnflag, l_linestatus
+                ||> SELECT l_returnflag, l_linestatus, n, total_revenue
+                ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+             |    AS total_revenue
+             |FROM lineitem WHERE l_quantity > 10
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TABLESAMPLE, the oracle-able spelling (round 13): engine-native
+    // BERNOULLI sampling draws from engine-specific RNG streams — the
+    // same query on Spark and DuckDB keeps DIFFERENT rows, so the
+    // cross-engine key states the Bernoulli draw explicitly with the
+    // portable 31-bit LCG (SampleOps.portableUniform's integer
+    // arithmetic, evaluable bit-identically by any engine) as a WHERE
+    // predicate: keep ⇔ lcg(o_orderkey) < p·2³¹. Exact for
+    // |key·a| < 2⁶³ (keys to ~8.3e9). The NATIVE clause — TABLESAMPLE
+    // (50 PERCENT) REPEATABLE(seed) — is unit-covered in
+    // EngineSurfaceSpec (bounds + seed determinism + Sample node).
+    "sql_tablesample_portable" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("ord_ts")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                |    AS DECIMAL(38,4)) AS sum_price
+                |FROM ord_ts
+                |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
+                |      < CAST(0.15 * 2147483648 AS BIGINT)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+             |    AS DECIMAL(38,4)) AS sum_price
+             |FROM orders
+             |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
+             |      < CAST(0.15 * 2147483648 AS BIGINT)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // DISTRIBUTE BY / CLUSTER BY (round 13): the SQL spelling of
+    // repartition-before-consume. The POINT is the plan, not the rows
+    // (the clauses never change values — the oracle is the bare
+    // aggregate): CLUSTER BY's hashpartitioning exchange SATISFIES the
+    // downstream aggregation's distribution requirement, so the agg
+    // plans partial+final over the SAME exchange — exactly one hash
+    // exchange in the plan (probed; EngineSurfaceSpec asserts it, plus
+    // the DISTRIBUTE BY + SORT BY partition-local sort shape). That
+    // pre-shuffle reuse is the production pattern for feeding several
+    // same-keyed consumers one exchange.
+    "sql_distribute_cluster" -> QuerySpec(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_dc")
+        s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                |    AS DECIMAL(38,4)) AS sum_qty
+                |FROM (SELECT * FROM li_dc CLUSTER BY l_returnflag)
+                |GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+             |    AS DECIMAL(38,4)) AS sum_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     "sql_session_variable" -> QuerySpec(
       (s, d) => {
         t(s, d, "customer").createOrReplaceTempView("cust_var")

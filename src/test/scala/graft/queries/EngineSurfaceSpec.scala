@@ -103,4 +103,62 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(f.dataType == org.apache.spark.sql.types.StringType &&
       f.dataType.sql == "STRING", f.dataType.toString)
   }
+
+  test("native TABLESAMPLE: seed-deterministic, bounded, a real Sample node") {
+    // the oracled key (sql_tablesample_portable) states the Bernoulli
+    // draw with the portable LCG; THIS covers the native clause the
+    // key's comment defers here — REPEATABLE(seed) must reproduce the
+    // same subset, the rate must land in a sane band, and the plan must
+    // carry a Sample operator (not a silent full scan)
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ts_ord")
+    val total = spark.sql("SELECT count(*) n FROM ts_ord").head().getLong(0)
+    def draw() = spark.sql(
+      "SELECT count(*) n FROM ts_ord TABLESAMPLE (50 PERCENT) REPEATABLE (7)")
+    val n1 = draw().head().getLong(0)
+    val n2 = draw().head().getLong(0)
+    assert(n1 == n2, s"REPEATABLE(7) drew $n1 then $n2")
+    assert(n1 > total / 4 && n1 < total * 3 / 4, s"$n1 of $total")
+    val other = spark.sql(
+      "SELECT count(*) n FROM ts_ord TABLESAMPLE (50 PERCENT) REPEATABLE (11)")
+      .head().getLong(0)
+    assert(other != n1 || total == 0, "different seeds drew identical subsets")
+    assert(draw().queryExecution.executedPlan.toString.contains("Sample"),
+      draw().queryExecution.executedPlan.toString.take(1000))
+  }
+
+  test("CLUSTER BY exchange satisfies the downstream aggregation: one hash exchange") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("dc_li")
+    val agg = spark.sql("""SELECT l_returnflag, count(*) n FROM (
+      SELECT * FROM dc_li CLUSTER BY l_returnflag)
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+    agg.collect() // finalize AQE
+    val plan = agg.queryExecution.executedPlan.toString
+    val nHash = "hashpartitioning".r.findAllIn(
+      plan.split("== Initial Plan ==")(0)).size
+    assert(nHash == 1,
+      s"expected the CLUSTER BY exchange to be the ONLY hash exchange, got $nHash:\n$plan")
+    // DISTRIBUTE BY + SORT BY: partition-local sort (global=false) over
+    // a hash exchange — the clause pair that pre-lays-out data for
+    // several same-keyed consumers without a global order barrier
+    val ds = spark.sql("""SELECT l_orderkey, l_returnflag FROM dc_li
+      DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey""")
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(dsPlan.contains("hashpartitioning"), dsPlan.take(1000))
+    assert("Sort \\[.*\\], false".r.findFirstIn(dsPlan).isDefined,
+      s"expected a partition-local sort:\n${dsPlan.take(1000)}")
+  }
+
+  test("pipe syntax parses to the same plan as the nested ANSI form") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("pipe_li")
+    val piped = spark.sql("""FROM pipe_li
+      |> WHERE l_quantity > 10
+      |> AGGREGATE count(*) AS n GROUP BY l_returnflag
+      |> ORDER BY l_returnflag""")
+    val nested = spark.sql("""SELECT l_returnflag, count(*) AS n
+      FROM pipe_li WHERE l_quantity > 10
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+    assert(piped.queryExecution.optimizedPlan.sameResult(
+      nested.queryExecution.optimizedPlan),
+      s"${piped.queryExecution.optimizedPlan}\nvs\n${nested.queryExecution.optimizedPlan}")
+  }
 }
