@@ -87,6 +87,13 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val rowsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "20000").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    // state-store sweep (round 13): "default" = the HDFS-backed
+    // in-memory provider, "rocksdb" = RocksDBStateStoreProvider (the
+    // at-scale backend — state lives off-heap/on-disk, so state size
+    // is bounded by disk not executor heap; the price is per-batch
+    // commit overhead this sweep measures), "both" runs the stateful
+    // ops under each provider with a `_rocksdb` suffix on the second.
+    val stores = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "both")
     val users = 1500
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,61 +114,77 @@ object StreamBench {
       .outputMode("append").format("noop")
       .option("checkpointLocation", ckpt())
 
-    // trigger-overhead floor: stateless projection, no shuffle, no state
+    // trigger-overhead floor: stateless projection, no shuffle, no
+    // state — provider-independent, so it runs once
     drive(spark, "baseline_passthrough", src =>
       sink(src.toDF().select(col("event_ts"), col("user_id"),
         (col("value") * 2).as("v2"))).start(),
       batches, rowsPerBatch, users)
 
-    // event-time tumbling aggregation (append mode: finalized windows)
-    drive(spark, "tumbling_agg", src =>
-      sink(StreamOps.tumblingCountsStreaming(
-        src.toDF().withColumnRenamed("event_ts", "ts"),
-        every = "1 hour", watermark = "30 minutes")).start(),
-      batches, rowsPerBatch, users)
+    /** The five STATEFUL op families, once per state-store provider. */
+    def statefulLegs(suffix: String): Unit = {
+      // event-time tumbling aggregation (append mode: finalized windows)
+      drive(spark, s"tumbling_agg$suffix", src =>
+        sink(StreamOps.tumblingCountsStreaming(
+          src.toDF().withColumnRenamed("event_ts", "ts"),
+          every = "1 hour", watermark = "30 minutes")).start(),
+        batches, rowsPerBatch, users)
 
-    // sliding windows: 4 open windows per event (1h size / 15m slide)
-    drive(spark, "sliding_agg", src =>
-      sink(StreamOps.slidingCountsStreaming(
-        src.toDF().withColumnRenamed("event_ts", "ts"),
-        size = "1 hour", slide = "15 minutes", watermark = "30 minutes")).start(),
-      batches, rowsPerBatch, users)
+      // sliding windows: 4 open windows per event (1h size / 15m slide)
+      drive(spark, s"sliding_agg$suffix", src =>
+        sink(StreamOps.slidingCountsStreaming(
+          src.toDF().withColumnRenamed("event_ts", "ts"),
+          size = "1 hour", slide = "15 minutes", watermark = "30 minutes")).start(),
+        batches, rowsPerBatch, users)
 
-    // watermark-bounded exact dedup (state = ids within the horizon)
-    drive(spark, "dedup_watermark", src =>
-      sink(StreamOps.dedupWithinWatermark(
-        src.toDF(), Seq("event_id"), "event_ts", "30 minutes")).start(),
-      batches, rowsPerBatch, users)
+      // watermark-bounded exact dedup (state = ids within the horizon)
+      drive(spark, s"dedup_watermark$suffix", src =>
+        sink(StreamOps.dedupWithinWatermark(
+          src.toDF(), Seq("event_id"), "event_ts", "30 minutes")).start(),
+        batches, rowsPerBatch, users)
 
-    // flatMapGroupsWithState sessionization (per-user O(1) state +
-    // event-time timeout)
-    drive(spark, "sessionize_fmgws", src =>
-      StreamOps.sessionizeStreaming(
-        src.toDF()
-          .select(col("user_id"), col("event_id"),
-            (unix_micros(col("event_ts"))).as("tsMicros"),
-            col("value"), col("event_ts"))
-          .as[StreamOps.EventT],
-        gapSeconds = 1800L, watermarkDelay = "30 minutes")
-        .writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", ckpt()).start(),
-      batches, rowsPerBatch, users)
+      // flatMapGroupsWithState sessionization (per-user O(1) state +
+      // event-time timeout)
+      drive(spark, s"sessionize_fmgws$suffix", src =>
+        StreamOps.sessionizeStreaming(
+          src.toDF()
+            .select(col("user_id"), col("event_id"),
+              (unix_micros(col("event_ts"))).as("tsMicros"),
+              col("value"), col("event_ts"))
+            .as[StreamOps.EventT],
+          gapSeconds = 1800L, watermarkDelay = "30 minutes")
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt()).start(),
+        batches, rowsPerBatch, users)
 
-    // stream-stream inner join with a bounded time range: the left
-    // stream self-joins a value-filtered twin fed from the SAME memory
-    // source (one generator, two subscriptions — both sides advance
-    // together so state evicts)
-    drive(spark, "stream_stream_join", src => {
-      val left = src.toDF()
-      val right = src.toDF()
-        .filter(col("value") > 50.0)
-        .select(col("user_id").as("r_user_id"),
-          col("event_ts").as("r_ts"), col("value").as("r_value"))
-      sink(StreamOps.streamStreamJoin(
-        left, right, "user_id", "event_ts", "r_ts",
-        watermark = "30 minutes", horizon = "10 minutes")
-        .select(col("user_id"), col("event_id"), col("r_value"))).start()
-    }, batches, rowsPerBatch, users)
+      // stream-stream inner join with a bounded time range: the left
+      // stream self-joins a value-filtered twin fed from the SAME memory
+      // source (one generator, two subscriptions — both sides advance
+      // together so state evicts)
+      drive(spark, s"stream_stream_join$suffix", src => {
+        val left = src.toDF()
+        val right = src.toDF()
+          .filter(col("value") > 50.0)
+          .select(col("user_id").as("r_user_id"),
+            col("event_ts").as("r_ts"), col("value").as("r_value"))
+        sink(StreamOps.streamStreamJoin(
+          left, right, "user_id", "event_ts", "r_ts",
+          watermark = "30 minutes", horizon = "10 minutes")
+          .select(col("user_id"), col("event_id"), col("r_value"))).start()
+      }, batches, rowsPerBatch, users)
+    }
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksProvider = "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider"
+    if (stores == "default" || stores == "both") statefulLegs("")
+    if (stores == "rocksdb" || stores == "both") {
+      // a session conf, read at query START — each leg checkpoints
+      // fresh, so flipping it between legs is exact, no restart needed
+      spark.conf.set(providerKey, rocksProvider)
+      statefulLegs("_rocksdb")
+      spark.conf.unset(providerKey)
+    }
 
     spark.stop()
   }

@@ -184,6 +184,52 @@ class ExecutorLossSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no executor was removed — the kill never happened and this test proved nothing")
   }
 
+  test("connectedComponents with a reliable checkpoint survives an executor loss") {
+    // the OP-LEVEL path (round 13): §27's other kills hit generic stage
+    // shapes; this one rides inside the iterative operator whose
+    // documented caveat the reliable-checkpoint parameter exists for —
+    // eager localCheckpoint stores truncated-lineage BLOCKS on the
+    // executors, so an executor death loses them with no lineage left
+    // to recompute (DedupOps.scala's minhash caveat); a RELIABLE
+    // checkpoint writes files to shared storage (here /tmp standing in
+    // for HDFS), which survive the dead JVM. The kill fires during the
+    // edge-materialization stage — mid-checkpoint-write — and every
+    // later propagation round consumes the checkpoint files, never the
+    // original (killed) lineage.
+    val before = removed.get()
+    val n = 4000L
+    val block = 8L // chain blocks of 8 → diameter 7 < default 25 rounds
+    val pairsRdd = spark.sparkContext.range(0L, n, numSlices = 8)
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (shouldKill(pid, target = 0)) Runtime.getRuntime.halt(137)
+        it.filter(i => i % block != block - 1)
+          .map(i => org.apache.spark.sql.Row(i, i + 1))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val pairs = spark.createDataFrame(pairsRdd, schema)
+    val nodes = spark.range(n).toDF("id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_loss_cc").toString
+    val labels = graft.ops.DedupOps.connectedComponents(
+        nodes, pairs, "id", "src", "dst", checkpointDir = Some(ckpt))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == n, s"lost nodes: ${labels.size} of $n")
+    (0L until n).foreach { i =>
+      val expect = (i / block) * block // min label of i's chain block
+      assert(labels(i) == expect,
+        s"node $i: cluster ${labels(i)}, want $expect")
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
+
   test("streaming aggregation recovers exact state store after an executor loss") {
     // the state-backed path: a stateful streaming agg's per-key state
     // lives ON the executors between micro-batches; killing one
