@@ -1119,6 +1119,53 @@ object DedupOps {
       .select(col(idCol), col("text_dedup"), col("n_segs"), col("n_kept"))
   }
 
+  /** Cross-document LINE-FREQUENCY filter (the RefinedWeb/CCNet chrome
+    * pass): a trimmed non-empty line occurring in ≥ `minDocs` DISTINCT
+    * documents is boilerplate (nav / cookie banner / footer) and is
+    * removed from EVERY document — the semantics neither within-doc
+    * line dedup (the line appears once per doc) nor keep-first segment
+    * dedup (the first doc would keep it) can express. Whitespace-only
+    * lines are exempt: they carry layout, not chrome, and counting
+    * them would make the empty line "boilerplate" corpus-wide.
+    *
+    * Scale shape: one line-grain count-distinct aggregation on the
+    * trimmed line (map-side partials absorb per-doc repeats), the
+    * boilerplate set — bounded above by total_lines / minDocs — prunes
+    * the line stream via an UNHINTED anti join (AQE broadcasts it when
+    * small, degrades to shuffle when a low threshold makes it big),
+    * and one groupBy(id) rebuilds documents in original line order.
+    * No per-doc state beyond its own line list; no collect.
+    *
+    * Output: `df`'s columns + `n_lines`, `n_lines_kept`, `clean_text`
+    * (the [[TextOps.dedupLinesWithinDocScalable]] contract — an
+    * all-boilerplate doc keeps 0 lines and an empty clean_text, never
+    * disappears). `idCol` must be unique and non-null. */
+  def lineFrequencyFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val exploded = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_norm", trim(col("_line")))
+    val boiler = exploded
+      .filter(col("_norm") =!= "")
+      .groupBy(col("_norm"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_norm"))
+    val kept = exploded.join(boiler, Seq("_norm"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("_ct"))
+    df.withColumn("n_lines", size(split(col(textCol), "\n")).cast(LongType))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_lines_kept", coalesce(col("_nk"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("_ct"), lit("")))
+      .drop("_nk", "_ct")
+  }
+
   /** END-TO-END fuzzy dedup — corpus in, near-dup-free corpus out. THE
     * operation an LLM-data pipeline actually runs; the stages it
     * composes are each proven separately, this is their one-call form:

@@ -1069,7 +1069,13 @@ object SimilarityOps {
         Seq("label_a"))
       .join(norms.select(col("lab").as("label_b"), col("nq").as("_nb")),
         Seq("label_b"))
-      .select(col("label_a"), col("label_b"), col("dot"),
+      // dot PRESENTS as double (the schema hash-safety rule: no
+      // int128-backed decimal in an output schema) — the exact decimal
+      // algebra above is what the cosine consumes; Decimal→Double is
+      // BigDecimal.doubleValue, correctly rounded, mirrored by the
+      // oracle's VARCHAR-bridged cast
+      .select(col("label_a"), col("label_b"),
+        col("dot").cast(DoubleType).as("dot"),
         (col("dot").cast(DoubleType) /
           (sqrt(col("_na").cast(DoubleType)) *
             sqrt(col("_nb").cast(DoubleType)))).as("cosine"))

@@ -399,4 +399,66 @@ object TimeSeriesOps {
           (col("n") - col("t")).cast(DoubleType)).as("mean_after"))
       .withColumn("shift", col("mean_after") - col("mean_before"))
   }
+
+  /** ROLLING-ORIGIN BACKTEST of the Holt linear forecaster (round 13):
+    * does the monitor's forecast actually predict, and how fast does it
+    * decay with horizon? Every row t is a forecast ORIGIN — the
+    * h-step-ahead forecast from t is level_t + h·trend_t — and the
+    * error is scored against the realized value at t+h (equivalently:
+    * row t+h scores the h-lagged state). Per (key, horizon): n
+    * evaluations, MAE, and sMAPE — the forecast-quality gate that picks
+    * α/β/span and tells a capacity planner which horizons to trust.
+    *
+    * Determinism: the Holt state is [[holtWindowed]]'s bit-exact fold;
+    * each error is a FIXED IEEE chain over bit-equal doubles, quantized
+    * ONCE (|err| → DECIMAL(20,6), the sMAPE term → DECIMAL(12,6) with
+    * an explicit zero-denominator NULL guard — engines disagree on
+    * double x/0), so the per-group sums are exact decimals and each
+    * reported metric is ONE IEEE division. Scale shape: one shuffle on
+    * the key; the state window and the |horizons|×2 lag expressions
+    * share the same (key, order) sort; the horizon explode multiplies
+    * rows by |horizons| AFTER the window, before the aggregation that
+    * shrinks to (keys × horizons). */
+  def holtBacktest(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double, beta: Double, span: Int,
+      horizons: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be >= 1, got $horizons")
+    require(horizons.distinct == horizons, s"duplicate horizons: $horizons")
+    val base = holtWindowed(df, keyCol, orderCol, valueCol, alpha, beta, span)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    // the lag windows must land in their OWN projection — a window
+    // expression inside explode()'s Generate is unsupported
+    // (UNSUPPORTED_EXPR_FOR_OPERATOR); all 2·|horizons| lags share one
+    // Window node over the state window's existing sort
+    val lagged = horizons.foldLeft(base) { (acc, h) =>
+      acc.withColumn(s"_f$h",
+        lag(col("level"), h).over(w) +
+          lit(h.toDouble) * lag(col("trend"), h).over(w))
+    }
+    val probes = horizons.map { h =>
+      struct(lit(h).as("horizon"), col(s"_f$h").as("f"))
+    }
+    val absErr = abs(col("_v") - col("_f"))
+    val denom = abs(col("_v")) + abs(col("_f"))
+    lagged
+      .select(col(keyCol), col(valueCol).cast(DoubleType).as("_v"),
+        explode(array(probes: _*)).as("_p"))
+      .select(col(keyCol), col("_p.horizon").as("horizon"),
+        col("_v"), col("_p.f").as("_f"))
+      .filter(col("_f").isNotNull)
+      .withColumn("_ae", absErr.cast(DecimalType(20, 6)))
+      .withColumn("_st", when(denom === 0.0, lit(null))
+        .otherwise((lit(2.0) * absErr / denom).cast(DecimalType(12, 6))))
+      .groupBy(col(keyCol), col("horizon"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_ae")).as("_sae"),
+        count(col("_st")).as("_nst"),
+        sum(col("_st")).as("_sst"))
+      .select(col(keyCol), col("horizon"), col("n"),
+        (col("_sae").cast(DoubleType) / col("n").cast(DoubleType)).as("mae"),
+        (col("_sst").cast(DoubleType) /
+          nullif(col("_nst"), lit(0L)).cast(DoubleType)).as("smape"))
+  }
 }

