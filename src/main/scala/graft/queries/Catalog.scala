@@ -9603,6 +9603,94 @@ object Catalog {
       },
       allowBnlj = true),
 
+    // POPULATION STABILITY INDEX (round 13): the industry refresh-gate
+    // scalar beside profile_snapshot_drift's per-bin χ²/KS/TV terms —
+    // the drift doc explicitly leaves PSI as "the caller's fold"; this
+    // key IS that fold, oracled. Same frozen-reference equi-depth bins;
+    // Haldane-smoothed shares (count + 0.5, total + nBins/2 — the
+    // deterministic zero-bin guard, no ε clamp) feed
+    // (q−p)·ln(q/p) per bin. Discipline: shares and their diff are
+    // fixed IEEE over exact counts; ln is the ONLY transcendental,
+    // quantized DECIMAL(20,9); the diff quantizes DECIMAL(12,9); the
+    // per-bin product and the ≤8-row total are EXACT decimals,
+    // presented as doubles (oracle quantizes AND presents through
+    // VARCHAR — the ts_backtest double-rounding lesson). Partition-less
+    // windows sanctioned: the frame is nBins rows.
+    "profile_psi" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val ds = ProfileOps.snapshotDrift(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", nBins = 8, driftThreshold = 0.02)
+        val wAll = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val staged = ds
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            col("p_ref"), col("p_cur"))
+          .withColumn("_nr", sum(col("n_ref")).over(wAll))
+          .withColumn("_nc", sum(col("n_cur")).over(wAll))
+          .withColumn("_ps", (col("n_ref").cast(DoubleType) + lit(0.5)) /
+            (col("_nr").cast(DoubleType) + lit(4.0)))
+          .withColumn("_qs", (col("n_cur").cast(DoubleType) + lit(0.5)) /
+            (col("_nc").cast(DoubleType) + lit(4.0)))
+          .withColumn("_term",
+            (col("_qs") - col("_ps")).cast(DecimalType(12, 9)) *
+              log(col("_qs") / col("_ps")).cast(DecimalType(20, 9)))
+        staged
+          .withColumn("psi_term", col("_term").cast(DoubleType))
+          .withColumn("psi", sum(col("_term")).over(wAll).cast(DoubleType))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            col("p_ref"), col("p_cur"), col("psi_term"), col("psi"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        val ts = (1 to 7).map(k =>
+          s"quantile_cont(value, 0.${125 * k}) AS t$k").mkString(", ")
+        val binExpr = (1 to 7).map(k =>
+          s"CASE WHEN value > t$k THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH p AS (
+           |  SELECT $ts FROM events
+           |  WHERE event_type = 'view' AND value IS NOT NULL),
+           |rb AS (
+           |  SELECT CAST($binExpr AS INTEGER) AS bin
+           |  FROM events CROSS JOIN p
+           |  WHERE event_type = 'view' AND value IS NOT NULL),
+           |cb AS (
+           |  SELECT CAST($binExpr AS INTEGER) AS bin
+           |  FROM events CROSS JOIN p
+           |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+           |rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+           |cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+           |spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
+           |j AS (
+           |  SELECT s.bin,
+           |    CAST(coalesce(rc.n, 0) AS BIGINT) AS n_ref,
+           |    CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur
+           |  FROM spine s
+           |  LEFT JOIN rc ON rc.bin = s.bin
+           |  LEFT JOIN cc ON cc.bin = s.bin),
+           |t AS (
+           |  SELECT bin, n_ref, n_cur,
+           |    CAST(n_ref AS DOUBLE) / CAST(sum(n_ref) OVER () AS DOUBLE) AS p_ref,
+           |    CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE) AS p_cur,
+           |    (CAST(n_ref AS DOUBLE) + 0.5)
+           |      / (CAST(CAST(sum(n_ref) OVER () AS BIGINT) AS DOUBLE) + 4.0) AS ps,
+           |    (CAST(n_cur AS DOUBLE) + 0.5)
+           |      / (CAST(CAST(sum(n_cur) OVER () AS BIGINT) AS DOUBLE) + 4.0) AS qs
+           |  FROM j),
+           |u AS (
+           |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           |    CAST(CAST(qs - ps AS VARCHAR) AS DECIMAL(12,9))
+           |      * CAST(CAST(ln(qs / ps) AS VARCHAR) AS DECIMAL(20,9)) AS term
+           |  FROM t)
+           |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           |  CAST(CAST(term AS VARCHAR) AS DOUBLE) AS psi_term,
+           |  CAST(CAST(sum(term) OVER () AS VARCHAR) AS DOUBLE) AS psi
+           |FROM u ORDER BY bin""".stripMargin
+      },
+      allowBnlj = true),
+
     // Z-order (Morton) clustering key — exact bit interleaving, so the
     // oracle states the same shifts/masks in SQL. The layout-locality
     // property (second-dimension filters touch fewer files) is
