@@ -3173,11 +3173,12 @@ object Catalog {
         val allCells = pts.select(col("c_custkey"),
           GeoOps.geohash(col("lat"), col("lon"), precision = 3).as("cell"))
         // the shared LSH pair-budget cap, WIRED (r13): a cell past
-        // ~44.7k points (10⁹ pairs) is dropped by broadcast anti-join
-        // before the self-join — never above fixture density here, so
-        // the oracle is untouched; GeoOpsSpec plants a hot cell and
-        // proves the cap triggers
-        val (cells, _) = GeoOps.pruneHotCells(
+        // ~44.7k points (10⁹ pairs) is dropped before the self-join —
+        // the FUSED window-count form, which rides the self-join's own
+        // cell exchange (the anti-join form measured +65% on this key);
+        // never above fixture density here, so the oracle is untouched.
+        // GeoOpsSpec plants a hot cell and proves both forms cap.
+        val cells = GeoOps.pruneHotCellsInline(
           allCells, "cell", maxCellPairs = 1000000000L)
         cells.as("a")
           .join(cells.as("b"),
@@ -3223,16 +3224,18 @@ object Catalog {
         val homeAll = pts.select(col("c_custkey"),
           GeoOps.geohash(col("lat"), col("lon"), precision = 4).as("cell"))
         // pair-budget cap on the HOME density (r13, the wired LSH
-        // analog): an over-budget cell is dropped as a JOIN KEY from
-        // both sides — its points still pair through their other
-        // neighbor cells, the quadratic hot-cell term is gone. Budget
-        // far above fixture density ⇒ oracle untouched.
-        val (home, hotCells) = GeoOps.pruneHotCells(
+        // analog, fused window-count form): an over-budget HOME cell is
+        // dropped, its points still pair through their other neighbor
+        // cells. The blocks side needs no separate prune: cand is an
+        // INNER join against the pruned home, so probe rows aimed at a
+        // hot cell find no partner — the quadratic term needs BOTH
+        // sides populated. Budget far above fixture density ⇒ oracle
+        // untouched.
+        val home = GeoOps.pruneHotCellsInline(
           homeAll, "cell", maxCellPairs = 1000000000L)
         val blocks = GeoOps.explodeNeighborCells(
           pts, "lat", "lon", precision = 4)
           .select(col("c_custkey"), col("cell"))
-          .join(broadcast(hotCells), Seq("cell"), "left_anti")
         val cand = blocks.as("a")
           .join(home.as("b"),
             col("a.cell") === col("b.cell") &&

@@ -104,5 +104,10 @@ class GeoOpsSpec extends SparkSpec {
     // budget above the density: nothing pruned
     val (all, none2) = GeoOps.pruneHotCells(pts, "cell", maxCellPairs = 100000L)
     assert(none2.count() == 0 && all.count() == pts.count())
+    // the fused window-count form agrees with the anti-join form
+    val inline = GeoOps.pruneHotCellsInline(pts, "cell", maxCellPairs = 100L)
+    assert(inline.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ==
+      pruned.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq)
+    assert(GeoOps.pruneHotCellsInline(pts, "cell", 100000L).count() == pts.count())
   }
 }
