@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, Upsert}
+import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -473,6 +473,13 @@ object Catalog {
     * tokenizer tiers train over different alphabets. */
   private val byteBpeMergeModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Unigram-LM (SentencePiece-class) models (UnigramLmOps.unigramFit)
+    * — same memoization contract as [[bpeMergeModels]]; the third
+    * production tokenizer tier (piece → logProb table, Viterbi
+    * encode). */
+  private val unigramLmModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
 
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
@@ -6389,6 +6396,213 @@ object Catalog {
     // concatenate to the mapped chunk, |mapped| (symbols) equals
     // octet_length(chunk) (the mapping is per-byte), and the 32 merges
     // strictly compress bytes→pieces without beating 1 piece/chunk.
+    // UNIGRAM-LM TOKENIZER (round 13, UnigramLmOps — Kudo 2018, the
+    // SentencePiece model family): the third production tokenizer tier
+    // beside the word/byte BPE merge lists. Model = piece → logProb
+    // table (EM-trained, quantized to exact micro-log-units); encode =
+    // Viterbi best segmentation as EXACT INTEGER DP over the
+    // distinct-word frame, corpus joins the word table (the wordPieces
+    // scale contract). Cross-engine verification goes BEYOND trusting
+    // the staged tables: DuckDB independently (a) re-checks the cover
+    // invariant, (b) re-derives every word's score from the staged
+    // VOCAB (unk fallback included) and counts mismatches, and
+    // (c) re-enumerates ALL segmentations of every word ≤ 8 chars with
+    // a recursive CTE over a position/length edge table and counts any
+    // word where enumeration beats the claimed Viterbi score — the
+    // optimality claim is REFUTABLE by the oracle, not assumed. Spark
+    // computes the same three counters its own way (brute-force UDF on
+    // the short-word frame), so a Viterbi bug breaks the hash.
+    "text_unigram_tok_encode" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val vocabSeq = unigramLmModels.computeIfAbsent(d,
+          _ => UnigramLmOps.unigramFit(docs, "text", vocabSize = 120,
+            maxPieceLen = 5, minCount = 3))
+        val m = UnigramLmOps.model(vocabSeq)
+        staged(d, "unigram_vocab") { dir =>
+          vocabSeq.map { case (pc, lp) =>
+            (pc, math.round(lp / UnigramLmOps.LogQuantum)) }
+            .toDF("piece", "lp_micro")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val pieces = UnigramLmOps.unigramWordPieces(docs, "text", m)
+          .localCheckpoint() // model-sized; consumed by join + 3 checks
+        staged(d, "unigram_pieces") { dir =>
+          pieces.coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val toks = docs.select(col("source"),
+            explode(TextOps.tokenize(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+        val agg = toks
+          .join(pieces.select(col("word"), col("n_pieces"),
+            col("score_micro")), Seq("word"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_pieces")).as("total_pieces"),
+            sum(col("score_micro")).as("total_score_micro"))
+        // (a) cover invariant over the staged word table
+        val chkCover = pieces.agg(
+          sum(when(concat_ws("", col("pieces")) =!= col("word"), 1L)
+            .otherwise(0L)).as("n_cover_bad"))
+        // (b) score re-derivation from the VOCAB (unk fallback for
+        // absent single chars; a multi-char piece missing from the
+        // vocab is itself a defect)
+        val vocabDf = vocabSeq.map { case (pc, lp) =>
+          (pc, math.round(lp / UnigramLmOps.LogQuantum)) }
+          .toDF("_piece", "_lp")
+        val rescored = pieces
+          .select(col("word"), col("score_micro"),
+            explode(col("pieces")).as("_piece"))
+          .join(broadcast(vocabDf), Seq("_piece"), "left")
+          .withColumn("_mic", coalesce(col("_lp"),
+            when(length(col("_piece")) === 1, lit(m.unkMicro))))
+          .groupBy(col("word"), col("score_micro"))
+          .agg(sum(col("_mic")).as("_re"),
+            sum(when(col("_mic").isNull, 1L).otherwise(0L)).as("_miss"))
+        val chkScore = rescored.agg(
+          sum(when(col("_miss") > 0 || col("_re") =!= col("score_micro"),
+            1L).otherwise(0L)).as("n_score_bad"))
+        // (c) optimality on every short word, by exhaustive enumeration
+        val brute = udf((w: String) => UnigramLmOps.bruteForceBest(w, m))
+        val chkOpt = pieces.filter(length(col("word")) <= 8)
+          .agg(sum(when(brute(col("word")) =!= col("score_micro"), 1L)
+            .otherwise(0L)).as("n_viterbi_bad"))
+        agg
+          .withColumn("fertility",
+            col("total_pieces").cast(DoubleType) /
+              col("n_words").cast(DoubleType))
+          .crossJoin(broadcast(chkCover))
+          .crossJoin(broadcast(chkScore))
+          .crossJoin(broadcast(chkOpt))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE
+             |vocab AS (SELECT piece, lp_micro FROM read_parquet(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/unigram_vocab/*.parquet')),
+             |enc AS (SELECT word, pieces, n_pieces, score_micro FROM read_parquet(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/unigram_pieces/*.parquet')),
+             |toks0 AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             |  FROM documents),
+             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0),
+             |agg AS (
+             |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(SUM(e.n_pieces) AS BIGINT) AS total_pieces,
+             |    CAST(SUM(e.score_micro) AS BIGINT) AS total_score_micro
+             |  FROM tk t JOIN enc e USING (word) GROUP BY 1),
+             |cover AS (
+             |  SELECT CAST(SUM(CASE WHEN array_to_string(pieces, '') <> word
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cover_bad FROM enc),
+             |pl AS (SELECT word, score_micro, unnest(pieces) AS piece FROM enc),
+             |ps AS (
+             |  SELECT pl.word, pl.score_micro,
+             |    COALESCE(v.lp_micro, CASE WHEN length(pl.piece) = 1
+             |      THEN -20000000 END) AS mic
+             |  FROM pl LEFT JOIN vocab v ON v.piece = pl.piece),
+             |rs AS (
+             |  SELECT word, score_micro, SUM(mic) AS re,
+             |    CAST(SUM(CASE WHEN mic IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS miss
+             |  FROM ps GROUP BY 1, 2),
+             |score AS (
+             |  SELECT CAST(SUM(CASE WHEN miss > 0 OR re <> score_micro
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_score_bad FROM rs),
+             |short AS (SELECT word, score_micro FROM enc
+             |          WHERE length(word) <= 8),
+             |pos AS (
+             |  SELECT word, CAST(unnest(range(length(word))) AS INTEGER) AS i
+             |  FROM short),
+             |edges AS (
+             |  SELECT p.word, p.i, CAST(l.len AS INTEGER) AS len,
+             |    COALESCE(v.lp_micro, CASE WHEN l.len = 1
+             |      THEN -20000000 END) AS mic
+             |  FROM pos p
+             |  CROSS JOIN (SELECT unnest(range(1, 6)) AS len) l
+             |  LEFT JOIN vocab v
+             |    ON v.piece = substr(p.word, p.i + 1, CAST(l.len AS INTEGER))
+             |  WHERE p.i + l.len <= length(p.word)),
+             |ed AS (SELECT word, i, len, mic FROM edges WHERE mic IS NOT NULL),
+             |seg AS (
+             |  SELECT word, CAST(0 AS INTEGER) AS pos,
+             |    CAST(0 AS BIGINT) AS sc FROM short
+             |  UNION ALL
+             |  SELECT s.word, s.pos + e.len, s.sc + e.mic
+             |  FROM seg s JOIN ed e ON e.word = s.word AND e.i = s.pos),
+             |best AS (
+             |  SELECT word, max(sc) AS best_sc FROM seg
+             |  WHERE pos = length(word) GROUP BY 1),
+             |opt AS (
+             |  SELECT CAST(SUM(CASE WHEN b.best_sc <> sh.score_micro
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_viterbi_bad
+             |  FROM best b JOIN short sh USING (word))
+             |SELECT a.source, a.n_words, a.total_pieces, a.total_score_micro,
+             |  CAST(a.total_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+             |    AS fertility,
+             |  n_cover_bad, n_score_bad, n_viterbi_bad
+             |FROM agg a CROSS JOIN cover CROSS JOIN score CROSS JOIN opt
+             |ORDER BY a.source""".stripMargin),
+      allowBnlj = true),
+
+    // Unigram-LM MODEL ARTIFACT roundtrip (the text_nb_model_roundtrip
+    // pattern for the third tokenizer tier): the staged (piece,
+    // lp_micro) parquet IS the model interchange; this key encodes the
+    // corpus through the RELOADED artifact (UnigramLmOps.loadModel —
+    // driver reads the vocab-sized table once, zero fit jobs in the
+    // query plan) and must reproduce the per-source totals the DuckDB
+    // oracle re-derives from the same staged tables.
+    "text_unigram_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val vocabSeq = unigramLmModels.computeIfAbsent(d,
+          _ => UnigramLmOps.unigramFit(docs, "text", vocabSize = 120,
+            maxPieceLen = 5, minCount = 3))
+        val vocabDir = staged(d, "unigram_vocab") { dir =>
+          vocabSeq.map { case (pc, lp) =>
+            (pc, math.round(lp / UnigramLmOps.LogQuantum)) }
+            .toDF("piece", "lp_micro")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val m = UnigramLmOps.loadModel(s, vocabDir)
+        val pieces = UnigramLmOps.unigramWordPieces(docs, "text", m)
+        // stage the word table here too — key execution order must not
+        // matter, and the reloaded model reproduces the identical
+        // micro-quantized scores, so whichever key stages first wins
+        staged(d, "unigram_pieces") { dir =>
+          pieces.coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        docs.select(col("source"),
+            explode(TextOps.tokenize(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(pieces.select(col("word"), col("n_pieces"),
+            col("score_micro")), Seq("word"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_pieces")).as("total_pieces"),
+            sum(col("score_micro")).as("total_score_micro"))
+          .withColumn("fertility",
+            col("total_pieces").cast(DoubleType) /
+              col("n_words").cast(DoubleType))
+          .orderBy(col("source"))
+      },
+      Some("""WITH enc AS (
+             |  SELECT word, n_pieces, score_micro FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/unigram_pieces/*.parquet')),
+             |toks0 AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             |  FROM documents),
+             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0)
+             |SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(e.n_pieces) AS BIGINT) AS total_pieces,
+             |  CAST(SUM(e.score_micro) AS BIGINT) AS total_score_micro,
+             |  CAST(SUM(e.n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS fertility
+             |FROM tk t JOIN enc e USING (word)
+             |GROUP BY 1 ORDER BY t.source""".stripMargin)),
+
     "text_bpe_byte_encode" -> QuerySpec(
       (s, d) => {
         val special = "<|endoftext|>"
