@@ -194,6 +194,70 @@ object MultimodalOps {
       def le16g(i: Int) = u8(i) | (u8(i + 1) << 8)
       val depth = (u8(10) & 0x7) + 1
       Some(ImageMeta("gif", le16g(6), le16g(8), depth, 1))
+    } else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      // TIFF (round 13): the fourth raster layout class — an
+      // ENDIAN-SWITCHED, OFFSET-WALKED directory format (PNG = fixed
+      // big-endian chunks, BMP = fixed little-endian offsets, GIF =
+      // packed bitfields; TIFF resolves a byte-order flag, follows the
+      // IFD pointer, then scans count × 12-byte tagged entries).
+      // Fields: 256 ImageWidth, 257 ImageLength, 277 SamplesPerPixel
+      // (default 1), 258 BitsPerSample — whose value is INLINE when
+      // count == 1 but an OFFSET to a SHORT array when count > 1 (the
+      // RGB case); inline short values are left-justified in the
+      // 4-byte field per the spec, so they read at entry offset 8 in
+      // both byte orders. Every offset is bounds-checked: a truncated
+      // or lying IFD yields None, never a wild read.
+      val le = b(0) == 'I'
+      def u16t(i: Int): Int =
+        if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+      def u32t(i: Int): Long =
+        if (le)
+          u8(i).toLong | (u8(i + 1).toLong << 8) |
+            (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+        else
+          (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+            (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+      val ifd = u32t(4)
+      if (ifd < 8 || ifd + 2 > b.length) None
+      else {
+        val n = u16t(ifd.toInt)
+        if (ifd + 2 + 12L * n > b.length) None
+        else {
+          var width, height, bps = -1
+          var spp = 1
+          var i = 0
+          while (i < n) {
+            val e = ifd.toInt + 2 + 12 * i
+            val tag = u16t(e)
+            val typ = u16t(e + 2)
+            val cnt = u32t(e + 4)
+            // SHORT(3) inline at e+8; LONG(4) inline full field
+            def shortOrLong: Int =
+              if (typ == 3) u16t(e + 8)
+              else if (typ == 4) u32t(e + 8).toInt
+              else -1
+            tag match {
+              case 256 => width = shortOrLong
+              case 257 => height = shortOrLong
+              case 277 => spp = math.max(shortOrLong, 1)
+              case 258 =>
+                bps =
+                  if (cnt == 1) shortOrLong
+                  else {
+                    val off = u32t(e + 8)
+                    if (off + 2 <= b.length) u16t(off.toInt) else -1
+                  }
+              case _ => ()
+            }
+            i += 1
+          }
+          if (width <= 0 || height <= 0) None
+          else Some(ImageMeta("tiff", width, height,
+            if (bps > 0) bps else 1, spp))
+        }
+      }
     } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
       // BMP (round 12): BITMAPFILEHEADER(14) then BITMAPINFOHEADER —
       // little-endian fields at FIXED offsets: header size @14 (must be

@@ -10904,6 +10904,106 @@ object Catalog {
              |  1 AS n_channels
              |FROM f ORDER BY media_id""".stripMargin)),
 
+    // TIFF metadata (round 13): the FOURTH raster layout class — PNG is
+    // fixed big-endian chunks, BMP fixed little-endian offsets, GIF
+    // packed bitfields; TIFF is an ENDIAN-SWITCHED, OFFSET-WALKED
+    // directory: resolve the byte-order flag, follow the IFD pointer,
+    // scan count × 12-byte tagged entries, and dereference
+    // BitsPerSample when its count > 1 (RGB: the value field holds an
+    // OFFSET to a SHORT array, not the value). Staged via the JDK TIFF
+    // writer; DuckDB re-parses the same bytes — byte-order CASEs over
+    // computed substr positions, the entry table from unnest(range(n)),
+    // and the same offset dereference.
+    "multimodal_tiff_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "images_tiff") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 24).foreach { id =>
+            val w = 8 + (id * 7) % 40
+            val h = 8 + (id * 3) % 40
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                img.setRGB(x, y, (x * 19 + y * 7 + id) & 0xffffff); y += 1
+              }
+              x += 1
+            }
+            javax.imageio.ImageIO.write(img, "tiff",
+              new java.io.File(base, f"img_$id%03d.tif"))
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.tif")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.imageMeta(files, "bytes")
+          .select(col("media_id"), col("format"),
+            col("width"), col("height"), col("bit_depth"), col("n_channels"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'img_(\d+)', 1)::BIGINT AS media_id,
+             |    hex(content) AS h
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/images_tiff/img_*.tif')),
+             |hdr AS (
+             |  SELECT media_id, h, substr(h, 1, 4) = '4949' AS le,
+             |    CASE WHEN substr(h, 1, 4) = '4949'
+             |      THEN ('0x' || substr(h,15,2) || substr(h,13,2)
+             |            || substr(h,11,2) || substr(h,9,2))::BIGINT
+             |      ELSE ('0x' || substr(h,9,8))::BIGINT END AS ifd
+             |  FROM f),
+             |cnt AS (
+             |  SELECT media_id, h, le, ifd,
+             |    CASE WHEN le
+             |      THEN ('0x' || substr(h, ifd*2+3, 2)
+             |            || substr(h, ifd*2+1, 2))::INTEGER
+             |      ELSE ('0x' || substr(h, ifd*2+1, 4))::INTEGER END AS n
+             |  FROM hdr),
+             |ent AS (
+             |  SELECT media_id, h, le,
+             |    (ifd + 2 + 12 * unnest(range(n))) * 2 + 1 AS b
+             |  FROM cnt),
+             |vals AS (
+             |  SELECT media_id, h, le,
+             |    CASE WHEN le THEN ('0x'||substr(h,b+2,2)||substr(h,b,2))::INTEGER
+             |         ELSE ('0x'||substr(h,b,4))::INTEGER END AS tag,
+             |    CASE WHEN le THEN ('0x'||substr(h,b+6,2)||substr(h,b+4,2))::INTEGER
+             |         ELSE ('0x'||substr(h,b+4,4))::INTEGER END AS typ,
+             |    CASE WHEN le THEN ('0x'||substr(h,b+14,2)||substr(h,b+12,2)
+             |           ||substr(h,b+10,2)||substr(h,b+8,2))::BIGINT
+             |         ELSE ('0x'||substr(h,b+8,8))::BIGINT END AS cnt,
+             |    CASE WHEN le THEN ('0x'||substr(h,b+18,2)||substr(h,b+16,2))::INTEGER
+             |         ELSE ('0x'||substr(h,b+16,4))::INTEGER END AS sval,
+             |    CASE WHEN le THEN ('0x'||substr(h,b+22,2)||substr(h,b+20,2)
+             |           ||substr(h,b+18,2)||substr(h,b+16,2))::BIGINT
+             |         ELSE ('0x'||substr(h,b+16,8))::BIGINT END AS lval
+             |  FROM ent),
+             |fields AS (
+             |  SELECT media_id, h, le,
+             |    MAX(CASE WHEN tag = 256 THEN CASE WHEN typ = 3 THEN sval
+             |      ELSE CAST(lval AS INTEGER) END END) AS width,
+             |    MAX(CASE WHEN tag = 257 THEN CASE WHEN typ = 3 THEN sval
+             |      ELSE CAST(lval AS INTEGER) END END) AS height,
+             |    COALESCE(MAX(CASE WHEN tag = 277 THEN sval END), 1) AS spp,
+             |    MAX(CASE WHEN tag = 258 AND cnt = 1 THEN sval END) AS bps_in,
+             |    MAX(CASE WHEN tag = 258 AND cnt > 1 THEN lval END) AS bps_off
+             |  FROM vals GROUP BY 1, 2, 3)
+             |SELECT media_id, 'tiff' AS format, width, height,
+             |  CAST(COALESCE(bps_in,
+             |    CASE WHEN le
+             |      THEN ('0x' || substr(h, bps_off*2+3, 2)
+             |            || substr(h, bps_off*2+1, 2))::INTEGER
+             |      ELSE ('0x' || substr(h, bps_off*2+1, 4))::INTEGER END,
+             |    1) AS INTEGER) AS bit_depth,
+             |  CAST(spp AS INTEGER) AS n_channels
+             |FROM fields ORDER BY media_id""".stripMargin)),
+
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the
     // timestamp — duplicate timestamps would make them nondeterministic),

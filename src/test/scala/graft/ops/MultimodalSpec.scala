@@ -448,6 +448,60 @@ class MultimodalSpec extends SparkSpec {
     assert(gm.exists(m => m.format == "gif" && m.width == 17 &&
       m.height == 9 && m.nChannels == 1), gm)
   }
+
+  test("TIFF header: both byte orders, inline vs offset BitsPerSample, bounds") {
+    // hand-built minimal TIFFs: header(8) + IFD with 4 entries + a
+    // 2-byte BitsPerSample array when count > 1
+    def entryLE(tag: Int, typ: Int, cnt: Int, v: Long): Seq[Byte] = Seq(
+      tag & 0xff, tag >> 8, typ & 0xff, typ >> 8,
+      cnt & 0xff, (cnt >> 8) & 0xff, (cnt >> 16) & 0xff, (cnt >> 24) & 0xff,
+      (v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt).map(_.toByte)
+    // LE: width 320 (SHORT inline), height 16 (LONG), spp 3,
+    // bps count 3 → offset 62 where a SHORT 8 sits
+    val le: Array[Byte] =
+      (Seq('I', 'I', 42, 0, 8, 0, 0, 0).map(_.toByte) ++ // header, IFD@8
+        Seq(4, 0).map(_.toByte) ++                       // 4 entries
+        entryLE(256, 3, 1, 320L) ++
+        entryLE(257, 4, 1, 16L) ++
+        entryLE(277, 3, 1, 3L) ++
+        entryLE(258, 3, 3, 62L) ++
+        Seq(0, 0, 0, 0).map(_.toByte) ++                 // next-IFD ptr
+        Seq(8, 0, 8, 0, 8, 0).map(_.toByte)).toArray     // bps array @62
+    assert(MultimodalOps.parseImageHeader(le)
+      .contains(MultimodalOps.ImageMeta("tiff", 320, 16, 8, 3)),
+      MultimodalOps.parseImageHeader(le).toString)
+    // BE: same logical content, big-endian fields; SHORT inline values
+    // are LEFT-justified in the 4-byte field (spec) — first two bytes
+    def entryBE(tag: Int, typ: Int, cnt: Int, hi2: Int, lo2: Int): Seq[Byte] =
+      Seq(tag >> 8, tag & 0xff, typ >> 8, typ & 0xff,
+        (cnt >> 24) & 0xff, (cnt >> 16) & 0xff, (cnt >> 8) & 0xff, cnt & 0xff,
+        hi2 >> 8, hi2 & 0xff, lo2 >> 8, lo2 & 0xff).map(_.toByte)
+    val be: Array[Byte] =
+      (Seq('M', 'M', 0, 42, 0, 0, 0, 8).map(_.toByte) ++
+        Seq(0, 4).map(_.toByte) ++
+        entryBE(256, 3, 1, 320, 0) ++        // SHORT 320 left-justified
+        entryBE(257, 4, 1, 0, 16) ++         // LONG 16 = full 4 bytes
+        entryBE(277, 3, 1, 1, 0) ++          // spp 1
+        entryBE(258, 3, 1, 16, 0) ++         // bps 16 inline (count 1)
+        Seq(0, 0, 0, 0).map(_.toByte)).toArray
+    assert(MultimodalOps.parseImageHeader(be)
+      .contains(MultimodalOps.ImageMeta("tiff", 320, 16, 16, 1)),
+      MultimodalOps.parseImageHeader(be).toString)
+    // truncated / lying IFD → None, never a wild read
+    assert(MultimodalOps.parseImageHeader(le.take(9)).isEmpty)
+    val lying = le.clone(); lying(4) = 0x7f.toByte; lying(5) = 0x7f.toByte
+    assert(MultimodalOps.parseImageHeader(lying).isEmpty)
+    // a real ImageIO-written TIFF parses with sane fields
+    val img2 = new java.awt.image.BufferedImage(
+      23, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tos = new java.io.ByteArrayOutputStream()
+    val wrote = javax.imageio.ImageIO.write(img2, "tiff", tos)
+    assert(wrote, "JDK TIFF writer unavailable")
+    val tm = MultimodalOps.parseImageHeader(tos.toByteArray)
+    assert(tm.exists(m => m.format == "tiff" && m.width == 23 &&
+      m.height == 11 && m.bitDepth == 8 && m.nChannels == 3), tm)
+  }
 }
 
 object MultimodalSpec {
