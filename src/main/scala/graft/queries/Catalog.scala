@@ -2543,6 +2543,53 @@ object Catalog {
              |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // MOVING MEDIAN (round 13): the robust moving smoother beside
+    // win_moving_avg — one corrupt spike moves a 5-point mean by 1/5
+    // of its magnitude but cannot move the median at all (the
+    // monitoring rationale of profile_mad_outliers, in window form).
+    // Exactness: values quantize to deci-units by round() (round, NOT
+    // floor — v·10 of an n/10 double lands within 1 ulp of n, and
+    // floor's representation-boundary surprises are a pinned trap),
+    // the frame's sorted list is exact longs, and the median is either
+    // an integer or a dyadic half — bit-exact in double — with ONE
+    // mirrored division back to value units.
+    "win_moving_median" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(-4, 0)
+        val lst = sort_array(collect_list(
+          round(col("value") * 10).cast(LongType)).over(w))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            lst.as("_l"))
+          .withColumn("med5",
+            when(size(col("_l")) % 2 === 1,
+              element_at(col("_l"),
+                ((size(col("_l")) + 1) / 2).cast(IntegerType))
+                .cast(DoubleType))
+              .otherwise(
+                (element_at(col("_l"),
+                  (size(col("_l")) / 2).cast(IntegerType)) +
+                  element_at(col("_l"),
+                    (size(col("_l")) / 2).cast(IntegerType) + 1))
+                  .cast(DoubleType) / lit(2.0))
+              / lit(10.0))
+          .drop("_l")
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH l AS (
+             |  SELECT user_id, event_id, value,
+             |    list_sort(list(CAST(round(value * 10) AS BIGINT)) OVER (
+             |      PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS ls
+             |  FROM events)
+             |SELECT user_id, event_id, value,
+             |  CASE WHEN len(ls) % 2 = 1
+             |    THEN CAST(ls[(len(ls) + 1) // 2] AS DOUBLE)
+             |    ELSE CAST(ls[len(ls) // 2] + ls[len(ls) // 2 + 1] AS DOUBLE)
+             |         / 2.0 END / 10.0 AS med5
+             |FROM l ORDER BY user_id, event_id""".stripMargin)),
+
     // Value-based window functions over the FULL frame: first/last/nth
     // need UNBOUNDED FOLLOWING (the default frame stops at CURRENT ROW —
     // a classic silent-wrong-answer trap both engines share).

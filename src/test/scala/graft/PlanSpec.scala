@@ -277,6 +277,11 @@ class PlanSpec extends SparkSpec {
       // post-aggregation table (the pqFit/ivfFit/bpeFit contract:
       // model-sized, loud failure over budget) are allowed
       if !line.contains("driver-side model fit")
+      // explicitly-marked reloads of a FROZEN vocab-sized model
+      // artifact (the loadModel contract: the table IS the model, read
+      // once on the driver so the encoder UDF can consult it) are
+      // allowed
+      if !line.contains("driver-side model reload")
     } yield s"${f.getPath}: $line"
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
