@@ -33,13 +33,27 @@ object AsOfJoin {
     * The standard guard for sensor/price lookups where "most recent"
     * must also mean "recent enough". Implemented as a post-window
     * column predicate — the join cost envelope is unchanged. */
+  /** `direction` (the pandas merge_asof surface, round 13):
+    *  - "backward" (default): greatest rightTs <= leftTs — the
+    *    most-recent-match the original operator shipped;
+    *  - "forward": smallest rightTs >= leftTs — the next-scheduled
+    *    lookup (next maintenance window, next price reset);
+    *  - "nearest": whichever of the two is closer in time, ties to the
+    *    BACKWARD match (the pandas tie rule). Costs a second window
+    *    sort over the same exchange (sides order differently so the
+    *    equal-timestamp tie stays inclusive in each direction).
+    * `toleranceSeconds` bounds the match distance in every direction
+    * (staleness backward, lookahead forward, |delta| for nearest). */
   def asOf(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightValueCols: Seq[String],
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     toleranceSeconds.foreach(tol => require(tol >= 0,
       s"as-of toleranceSeconds must be >= 0, got $tol"))
+    require(Set("backward", "forward", "nearest")(direction),
+      s"as-of direction must be backward|forward|nearest, got '$direction'")
     // output columns must be unambiguous: the matched-timestamp alias and
     // the right value columns may not collide with surviving left columns
     val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
@@ -79,30 +93,72 @@ object AsOfJoin {
     val l = l0.select(keys.map(col) :+ col("_ts") :+ lit(1).as("_side") :+
       lit(null).cast(rPayType).as("_rpay") :+ col("_lpay"): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    // BACKWARD window: right (side 0) sorts before left (side 1) at an
+    // equal timestamp, so the running last() sees the equal-ts right
+    // row — the inclusive rts <= lts match. FORWARD mirrors it: order
+    // the SIDE descending so the equal-ts right row lands at-or-after
+    // the left row, and take the first() over the following frame —
+    // the inclusive rts >= lts match. Both windows share the one key
+    // exchange; "nearest" pays both sorts.
+    val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val matched0 = r.unionByName(l)
-      .withColumn("_match", last(col("_rpay"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-    val matched = toleranceSeconds match {
-      case None => matched0
-      case Some(tol) =>
-        // NULL match: the comparison is NULL → when() falls through to
-        // the NULL branch, which is already the unmatched state.
-        // Timestamp SUBTRACTION (→ day-time interval), not unix_micros:
-        // unix_micros rejects TIMESTAMP_NTZ, and the tolerance-less
-        // path accepts NTZ — the two paths must take the same inputs.
-        // NUMERIC order columns (epoch seconds, sequence numbers) are
-        // also accepted by the tolerance-less path, so they must work
-        // here too: plain subtraction, tolerance in the column's own
-        // units — not a raw Catalyst type-mismatch on the interval.
-        val delta = col("_ts") - col("_match").getField(s"matched_$rightTs")
-        val within = l0.schema("_ts").dataType match {
-          case _: org.apache.spark.sql.types.NumericType => delta <= lit(tol)
-          case _ => delta <= expr(s"INTERVAL '$tol' SECOND")
-        }
-        matched0.withColumn("_match", when(within, col("_match")))
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val union = r.unionByName(l)
+    val withMatches = direction match {
+      case "backward" =>
+        union.withColumn("_mb", last(col("_rpay"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        union.withColumn("_mf", first(col("_rpay"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        union
+          .withColumn("_mb", last(col("_rpay"), ignoreNulls = true).over(wB))
+          .withColumn("_mf", first(col("_rpay"), ignoreNulls = true).over(wF))
+    }
+    val onLeft = withMatches.filter(col("_side") === 1)
+    // NULL match: the comparison is NULL → when() falls through to
+    // the NULL branch, which is already the unmatched state.
+    // Timestamp SUBTRACTION (→ day-time interval), not unix_micros:
+    // unix_micros rejects TIMESTAMP_NTZ, and the tolerance-less
+    // path accepts NTZ — the two paths must take the same inputs.
+    // NUMERIC order columns (epoch seconds, sequence numbers) are
+    // also accepted by the tolerance-less path, so they must work
+    // here too: plain subtraction, tolerance in the column's own
+    // units — not a raw Catalyst type-mismatch on the interval.
+    def boundByTol(df: DataFrame, c: String, forwardDelta: Boolean): DataFrame =
+      toleranceSeconds match {
+        case None => df
+        case Some(tol) =>
+          val ts = col(c).getField(s"matched_$rightTs")
+          val delta = if (forwardDelta) ts - col("_ts") else col("_ts") - ts
+          val within = l0.schema("_ts").dataType match {
+            case _: org.apache.spark.sql.types.NumericType => delta <= lit(tol)
+            case _ => delta <= expr(s"INTERVAL '$tol' SECOND")
+          }
+          df.withColumn(c, when(within, col(c)))
+      }
+    val matched = direction match {
+      case "backward" =>
+        boundByTol(onLeft, "_mb", forwardDelta = false)
+          .withColumn("_match", col("_mb"))
+      case "forward" =>
+        boundByTol(onLeft, "_mf", forwardDelta = true)
+          .withColumn("_match", col("_mf"))
+      case "nearest" =>
+        val bounded = boundByTol(
+          boundByTol(onLeft, "_mb", forwardDelta = false),
+          "_mf", forwardDelta = true)
+        val bts = col("_mb").getField(s"matched_$rightTs")
+        val fts = col("_mf").getField(s"matched_$rightTs")
+        // ties go BACKWARD (the pandas rule): strict < on the forward
+        // distance; both-null stays null via the final otherwise
+        bounded.withColumn("_match",
+          when(col("_mb").isNull, col("_mf"))
+            .when(col("_mf").isNull, col("_mb"))
+            .when(fts - col("_ts") < col("_ts") - bts, col("_mf"))
+            .otherwise(col("_mb")))
     }
 
     val outCols =

@@ -2289,6 +2289,78 @@ object Catalog {
              |  ON e.user_id = s.user_id AND e.ts_s >= s.sg_ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // As-of join, FORWARD direction (round 13, the pandas merge_asof
+    // surface): smallest right ts >= left ts — the next-scheduled
+    // lookup (next maintenance window, next price reset). Same
+    // tag-union-window cost envelope, the side order reversed so the
+    // equal-timestamp match stays inclusive. DuckDB's ASOF JOIN takes
+    // the direction from the inequality.
+    "join_asof_forward" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_s"), col("value"))
+        val sg = t(s, d, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), date_trunc("second", col("ts")).as("sg_ts"))
+          .agg(min(col("value")).as("sg_value"))
+        AsOfJoin.asOf(ev, sg, keys = Seq("user_id"),
+          leftTs = "ts_s", rightTs = "sg_ts", rightValueCols = Seq("sg_value"),
+          direction = "forward")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+             |  FROM events),
+             |sg AS (
+             |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sg_ts,
+             |    MIN(value) AS sg_value
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts_s, e.value,
+             |  s.sg_ts AS matched_sg_ts, s.sg_value
+             |FROM ev e ASOF LEFT JOIN sg s
+             |  ON e.user_id = s.user_id AND e.ts_s <= s.sg_ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // As-of join, NEAREST direction: the closer of the backward and
+    // forward matches, exact ties to BACKWARD (the pandas rule). Two
+    // window sorts over one key exchange. DuckDB has no native nearest
+    // — the oracle restates it as a correlated LATERAL argmin over
+    // |epoch delta| with the backward-preference tie key, which
+    // decorrelates to a per-key rank in both engines' planners.
+    "join_asof_nearest" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_s"), col("value"))
+        val sg = t(s, d, "events")
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), date_trunc("second", col("ts")).as("sg_ts"))
+          .agg(min(col("value")).as("sg_value"))
+        AsOfJoin.asOf(ev, sg, keys = Seq("user_id"),
+          leftTs = "ts_s", rightTs = "sg_ts", rightValueCols = Seq("sg_value"),
+          direction = "nearest")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+             |  FROM events),
+             |sg AS (
+             |  SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sg_ts,
+             |    MIN(value) AS sg_value
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts_s, e.value,
+             |  m.sg_ts AS matched_sg_ts, m.sg_value
+             |FROM ev e LEFT JOIN LATERAL (
+             |  SELECT s.sg_ts, s.sg_value FROM sg s
+             |  WHERE s.user_id = e.user_id
+             |  ORDER BY ABS(epoch(e.ts_s) - epoch(s.sg_ts)) ASC,
+             |    CASE WHEN s.sg_ts <= e.ts_s THEN 0 ELSE 1 END ASC
+             |  LIMIT 1) m ON TRUE
+             |ORDER BY e.event_id""".stripMargin)),
+
     // As-of join with a STALENESS BOUND (toleranceSeconds): same match
     // as join_asof, but a signup more than 1 hour old is not "recent
     // enough" — the whole matched payload (timestamp AND value, never

@@ -143,4 +143,63 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy($"k").select($"v").as[Option[Double]].collect().toSeq
     assert(out == Seq(Some(5.0), None), out) // 60 fresh enough, 900 stale
   }
+  test("direction=forward picks the next right row at or after each left ts; tolerance bounds lookahead") {
+    val left = Seq(
+      (1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 12L, "e3"),
+      (2L, 7L, "f1")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 3L, 100.0), (1L, 8L, 200.0), (1L, 10L, 300.0),
+      (3L, 1L, 999.0)).toDF("k", "t", "price")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("price"),
+      direction = "forward")
+      .select($"k", $"t", $"name", $"matched_t", $"price")
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 5L, "e1", Some(8L), Some(200.0)),
+      (1L, 10L, "e2", Some(10L), Some(300.0)), // inclusive: equal ts matches
+      (1L, 12L, "e3", None, None),             // nothing ahead
+      (2L, 7L, "f1", None, None)), out)
+    val tol = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("price"),
+      toleranceSeconds = Some(2L), direction = "forward")
+      .select($"t", $"matched_t")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // lookahead of 3 (5 -> 8) exceeds tolerance 2; 10 -> 10 stays
+    assert(tol == Seq((5L, None), (7L, None), (10L, Some(10L)), (12L, None)), tol)
+  }
+
+  test("direction=nearest picks the closer side; exact ties go backward") {
+    val left = Seq(
+      (1L, 5L, "mid"),    // 3 is 2 back, 8 is 3 ahead -> backward 3
+      (1L, 7L, "close"),  // 3 is 4 back, 8 is 1 ahead -> forward 8
+      (1L, 2L, "early"),  // nothing back -> forward 3
+      (1L, 11L, "late"),  // nothing ahead -> backward 10... (10 exists)
+      (1L, 9L, "tie")     // 8 is 1 back, 10 is 1 ahead -> TIE -> backward 8
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 3L, 100.0), (1L, 8L, 200.0), (1L, 10L, 300.0)).toDF("k", "t", "price")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("price"),
+      direction = "nearest")
+      .select($"name", $"matched_t")
+      .as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "mid" -> Some(3L), "close" -> Some(8L), "early" -> Some(3L),
+      "late" -> Some(10L), "tie" -> Some(8L)), out)
+    // tolerance bounds BOTH directions: at 1, only |delta| <= 1 survives
+    val tol = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("price"),
+      toleranceSeconds = Some(1L), direction = "nearest")
+      .select($"name", $"matched_t")
+      .as[(String, Option[Long])].collect().toMap
+    assert(tol == Map(
+      "mid" -> None, "close" -> Some(8L), "early" -> Some(3L),
+      "late" -> Some(10L), "tie" -> Some(8L)), tol)
+  }
+
+  test("direction validates; backward default unchanged by the refactor") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(Seq((1L, 1L)).toDF("k", "t"),
+        Seq((1L, 1L, 1.0)).toDF("k", "t", "v"),
+        Seq("k"), "t", "t", Seq("v"), direction = "sideways")
+    }
+  }
 }
