@@ -6664,6 +6664,80 @@ object Catalog {
              |ORDER BY a.source""".stripMargin),
       allowBnlj = true),
 
+    // TOKENIZER HEAD-TO-HEAD (round 13): the eval a tokenizer team
+    // actually runs before picking a tier — word-BPE (24 merges) vs
+    // unigram-LM (120 pieces) on the SAME tokenize() word grain,
+    // occurrence-weighted: per-source fertility (pieces/word) and the
+    // per-word win counts. Both models are the catalog's own cached
+    // fits; both staged word tables are (re)staged here so key
+    // execution order never matters; DuckDB re-derives every number by
+    // joining the two staged tables against its own re-tokenization of
+    // the corpus. (The byte tier chunked by the GPT-2 regex sits on a
+    // different grain — compared at its own keys, not force-joined.)
+    "text_tokenizer_compare" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMergeModels.computeIfAbsent(d,
+          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
+        val bpe = BpeOps.wordPieces(docs, "text", merges)
+        staged(d, "bpe_pieces") { dir =>
+          bpe.select(col("word"), col("pieces"), col("n_pieces"))
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val vocabSeq = unigramLmModels.computeIfAbsent(d,
+          _ => UnigramLmOps.unigramFit(docs, "text", vocabSize = 120,
+            maxPieceLen = 5, minCount = 3))
+        val uni = UnigramLmOps.unigramWordPieces(
+          docs, "text", UnigramLmOps.model(vocabSeq))
+        staged(d, "unigram_pieces") { dir =>
+          uni.coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        docs.select(col("source"),
+            explode(TextOps.tokenize(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(bpe.select(col("word"),
+            col("n_pieces").cast(LongType).as("_nb")), Seq("word"))
+          .join(uni.select(col("word"),
+            col("n_pieces").as("_nu")), Seq("word"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("_nb")).as("bpe_pieces"),
+            sum(col("_nu")).as("uni_pieces"),
+            sum(when(col("_nu") < col("_nb"), 1L).otherwise(0L))
+              .as("n_uni_shorter"),
+            sum(when(col("_nb") < col("_nu"), 1L).otherwise(0L))
+              .as("n_bpe_shorter"))
+          .withColumn("fert_bpe", col("bpe_pieces").cast(DoubleType) /
+            col("n_words").cast(DoubleType))
+          .withColumn("fert_uni", col("uni_pieces").cast(DoubleType) /
+            col("n_words").cast(DoubleType))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (
+             |  SELECT word, n_pieces AS nb FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
+             |u AS (
+             |  SELECT word, n_pieces AS nu FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/unigram_pieces/*.parquet')),
+             |toks0 AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             |  FROM documents),
+             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0)
+             |SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(b.nb) AS BIGINT) AS bpe_pieces,
+             |  CAST(SUM(u.nu) AS BIGINT) AS uni_pieces,
+             |  CAST(SUM(CASE WHEN u.nu < b.nb THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_uni_shorter,
+             |  CAST(SUM(CASE WHEN b.nb < u.nu THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_bpe_shorter,
+             |  CAST(SUM(b.nb) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS fert_bpe,
+             |  CAST(SUM(u.nu) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS fert_uni
+             |FROM tk t JOIN b USING (word) JOIN u USING (word)
+             |GROUP BY 1 ORDER BY t.source""".stripMargin)),
+
     // Unigram-LM MODEL ARTIFACT roundtrip (the text_nb_model_roundtrip
     // pattern for the third tokenizer tier): the staged (piece,
     // lp_micro) parquet IS the model interchange; this key encodes the
