@@ -127,8 +127,13 @@ object GeoOps {
     * (DedupOps.maxDocsForPairBudget — an in-plan n·(n−1)/2 wraps past
     * ~3e9 docs, admitting exactly the degenerate cells the cap exists
     * for); the over-budget cell set is found with a map-side-combined
-    * count, is tiny by construction, and broadcasts — the anti join
-    * prunes `df` without shuffling it.
+    * count. The anti join carries NO broadcast hint: the hot set is
+    * tiny for sane budgets, but its size is bounded only by
+    * n/maxDocs — a degenerate maxCellPairs (maxDocs near 1) makes it
+    * nearly every distinct cell, and a forced hint would bypass AQE's
+    * size guard. AQE broadcasts when small and degrades to a shuffle
+    * when not (the same reasoning as lineFrequencyFilter's unhinted
+    * anti join).
     *
     * Returns (pruned frame, the over-budget cell frame) so callers can
     * surface WHAT was dropped — silent truncation reads as "covered
@@ -141,7 +146,7 @@ object GeoOps {
       .agg(count(lit(1)).as("_cn"))
       .filter(col("_cn") > maxDocs) // doc threshold ⇔ pair budget
       .select(col(cellCol))
-    (df.join(broadcast(hot), Seq(cellCol), "left_anti"), hot)
+    (df.join(hot, Seq(cellCol), "left_anti"), hot)
   }
 
   /** [[pruneHotCells]]' FUSED form for consumers whose next operation

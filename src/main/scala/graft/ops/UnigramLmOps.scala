@@ -28,8 +28,9 @@ import org.apache.spark.sql.types._
   *    for a second reason here: Viterbi runs its DP on the quantized
   *    values as EXACT LONG micro-log-units, so "the best segmentation"
   *    is an integer comparison with deterministic tie-breaks (higher
-  *    score, then FEWER pieces, then lexicographically earlier piece
-  *    list), never a float race. Ties are data, not noise.
+  *    score, then FEWER pieces, then the EARLIEST back pointer — i.e.
+  *    the longest final piece, applied recursively), never a float
+  *    race. Ties are data, not noise.
   *
   *  - ENCODE ([[unigramWordPieces]]) never touches the corpus: Viterbi
   *    is a deterministic UDF over the DISTINCT word frame (the
@@ -136,6 +137,7 @@ object UnigramLmOps {
     val words = df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount) // shrink the collect, like bpeFit
     val rows = words.limit(maxVocabRows + 1)
       .collect() // driver-side model fit: budgeted post-aggregation vocab
     if (rows.length > maxVocabRows) {
@@ -266,8 +268,10 @@ object UnigramLmOps {
   // ---------------------------------------------------------------
 
   /** Best segmentation of `w` under `m`: maximize Σ logProb (exact
-    * longs), tie-break FEWER pieces, then lexicographically earlier
-    * piece list. Unknown single characters take `m.unkMicro`. Returns
+    * longs), tie-break FEWER pieces, then the earliest back pointer
+    * (⇒ longest final piece, applied recursively) — total and
+    * engine-free, though NOT the lexicographic piece-list order.
+    * Unknown single characters take `m.unkMicro`. Returns
     * (pieces, score in micro-log-units). */
   def viterbi(w: String, m: Model): (Seq[String], Long) = {
     val n = w.length

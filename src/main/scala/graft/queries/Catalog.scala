@@ -994,8 +994,13 @@ object Catalog {
                 |GROUP BY o_orderpriority
                 |ORDER BY o_orderpriority""".stripMargin)
       },
+      // Oracle quantizing cast bridges through VARCHAR (the ts_backtest
+      // rule): DuckDB's direct double->DECIMAL multiplies by 10^scale IN
+      // DOUBLE (double-rounding, version-dependent last-ulp flips); the
+      // shortest-roundtrip string parse matches Spark's
+      // Decimal(BigDecimal(double)) semantics on every DuckDB version.
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+             |  CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,4)))
              |    AS DECIMAL(18,4)) AS sum_price
              |FROM orders
              |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
@@ -1016,16 +1021,17 @@ object Catalog {
     "sql_distribute_cluster" -> QuerySpec(
       (s, d) => {
         t(s, d, "lineitem").createOrReplaceTempView("li_dc")
+        // l_quantity is integer-valued: sum as BIGINT — exact in both
+        // engines, no quantizing double->decimal cast anywhere (the
+        // r13 driver-red root cause; see the tablesample oracle note).
         s.sql("""SELECT l_returnflag, COUNT(*) AS n,
-                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                |    AS DECIMAL(18,4)) AS sum_qty
+                |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
                 |FROM (SELECT * FROM li_dc CLUSTER BY l_returnflag)
                 |GROUP BY l_returnflag
                 |ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-             |    AS DECIMAL(18,4)) AS sum_qty
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),

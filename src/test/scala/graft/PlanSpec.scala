@@ -179,7 +179,6 @@ class PlanSpec extends SparkSpec {
     val allowBnlj = graft.queries.Catalog.specs.collect {
       case (name, spec) if spec.allowBnlj => name
     }.toSet
-                               // beside the candidate-pair totals
     val offenders = graft.queries.Catalog.specs.toSeq.sortBy(_._1)
       .flatMap { case (name, spec) =>
         val plan = spec.fn(spark, sf).queryExecution.executedPlan.toString
