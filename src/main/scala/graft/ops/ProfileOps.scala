@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType, StringType}
 
 /** Data-quality profiling for pipeline gates (north-star extension): the
   * pre-training sanity pass every large corpus goes through — null
@@ -284,8 +284,20 @@ object ProfileOps {
     // falls through to the loud guards below. The extra max/abs rides the
     // same Window node: no additional shuffle or sort.
     val mx = max(abs(v)).over(w)
+    // Integral inputs square in DECIMAL: a LongType v*v wraps silently
+    // at |v| > ~3.04e9 — inside the documented ≤1e15 domain, so the mx
+    // guard below would never notice (the acf/centroidCosineMatrix
+    // overflow class). Fractional inputs keep the double square (one
+    // IEEE op, mirrored by the oracle) — decimal-squaring those would
+    // change the quantization order and every existing hash.
+    val sq = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (v.cast(DecimalType(19, 0)) * v.cast(DecimalType(19, 0)))
+          .try_cast(DecimalType(38, 6))
+      case _ => (v * v).try_cast(DecimalType(38, 6))
+    }
     val s1raw = sum(v.try_cast(DecimalType(38, 6))).over(w)
-    val s2raw = sum((v * v).try_cast(DecimalType(38, 6))).over(w)
+    val s2raw = sum(sq).over(w)
     val s1 = s1raw.cast(DoubleType)
     val s2 = s2raw.cast(DoubleType)
     val meanV = s1 / n

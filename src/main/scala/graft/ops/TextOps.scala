@@ -926,7 +926,6 @@ object TextOps {
     // ln value quantized to the 1e-6 grid as an exact BIGINT
     def q6(c: Column): Column =
       (c.cast(DecimalType(12, 6)) * lit(1000000)).cast(LongType)
-    def d18(c: Column): Column = c.cast(DecimalType(18, 0))
     val top = df.select(explode(tokenize(col(textCol))).as("_tok"))
       .filter(length(col("_tok")) > 0)
       .groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
@@ -943,15 +942,26 @@ object TextOps {
         transform(col("_a"), (e, _) =>
           q6(log(e("c").cast(DoubleType)))).as("_ys"))
     def asum(a: Column): Column = aggregate(a, lit(0L), (acc, v) => acc + v)
+    // Σxy/Σx² accumulate in DECIMAL(38,0): per-term x·y ≤ ~4.6e14 fits
+    // a long, but the SUM passes 2⁶³ once topK · q6(ln topK) ·
+    // q6(ln N) > 9.2e18 — at 100 TB token counts (ln N ≈ 33) that is
+    // topK ≈ 2e4, well inside a realistic top-k sweep. The decimal
+    // path is exact to topK ~1e6 (Σ ≤ ~4.6e20 ≪ 10³⁸); same integers
+    // where both are exact, so the hash is unchanged.
+    def asumDec(a: Column): Column = aggregate(a,
+      lit(0L).cast(DecimalType(38, 0)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 0)))
     val sums = folded.select(col("_k"),
       asum(col("_xs")).as("_sx"), asum(col("_ys")).as("_sy"),
-      asum(zip_with(col("_xs"), col("_ys"), (x, y) => x * y)).as("_sxy"),
-      asum(zip_with(col("_xs"), col("_xs"), (x, y) => x * y)).as("_sxx"))
-    // normal equations over exact decimals: K·Σxy − ΣxΣy ≤ DECIMAL(38,0)
-    val num = col("_k").cast(DecimalType(4, 0)) * d18(col("_sxy")) -
-      d18(col("_sx")) * d18(col("_sy"))
-    val den = col("_k").cast(DecimalType(4, 0)) * d18(col("_sxx")) -
-      d18(col("_sx")) * d18(col("_sx"))
+      asumDec(zip_with(col("_xs"), col("_ys"), (x, y) => x * y)).as("_sxy"),
+      asumDec(zip_with(col("_xs"), col("_xs"), (x, y) => x * y)).as("_sxx"))
+    // normal equations over exact decimals (Σx, Σy ≤ topK·q6(ln N) ≤
+    // ~3.3e13 at topK 1e6 → the d19 products cap under 10³⁸)
+    def d19(c: Column): Column = c.cast(DecimalType(19, 0))
+    val num = col("_k").cast(DecimalType(6, 0)) * col("_sxy") -
+      d19(col("_sx")) * d19(col("_sy"))
+    val den = col("_k").cast(DecimalType(6, 0)) * col("_sxx") -
+      d19(col("_sx")) * d19(col("_sx"))
     sums
       .withColumn("slope", num.cast(DoubleType) / den.cast(DoubleType))
       .select(col("_k").as("n_terms"), col("slope"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -274,12 +274,21 @@ object TimeSeriesOps {
     * exact integer numerator/denominator, and acf_k.
     *
     * Exactness: the sample mean is rational, so everything is scaled
-    * by n — dev_t = n·x_t − Σx is an exact long, the lag-k numerator
-    * Σ dev_t·dev_{t+k} and the denominator Σ dev_t² are exact long
-    * sums (n ≤ ~10⁴ buckets and integer values keep every product
-    * far under 2⁶³), and acf_k = num_k/den is ONE IEEE division per
-    * lag — bit-stable cross-engine, hash-oracled. The ×n² scaling
-    * cancels in the ratio.
+    * by n — dev_t = n·x_t − Σx is an exact long (requires
+    * n·max|x| < 2⁶²; at the 10⁴-bucket grain that admits bucket
+    * values to ~4.6e14), and the lag-k numerator Σ dev_t·dev_{t+k}
+    * and denominator Σ dev_t² are summed in DECIMAL(38,0) — dev²
+    * passes 2⁶³ once n·max|x| > ~3e9 (e.g. 10⁴ hourly buckets of
+    * ≥ 10⁶ events), where a LongType product would wrap silently
+    * (non-ANSI) while the DuckDB oracle's exact HUGEINT sum keeps
+    * going — the centroidCosineMatrix overflow class. DECIMAL keeps
+    * the algebra exact to 10³⁸ (n³·max|x|² < 2.5e37, i.e. bucket
+    * values to ~1.5e12 at 10⁴ buckets); num/den PRESENT as double
+    * (the schema rule: no int128-backed decimal in an output schema;
+    * Decimal→Double is one correctly-rounded step, mirrored by the
+    * oracle's HUGEINT→DOUBLE cast), and acf_k = num/den is ONE IEEE
+    * division per lag — bit-stable cross-engine, hash-oracled. The
+    * ×n² scaling cancels in the ratio.
     *
     * Scale shape: the series is bucket-grain, so the lag fan-out
     * (|series| × maxLag rows) and the shifted equi-join are
@@ -293,7 +302,13 @@ object TimeSeriesOps {
     val tot = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val dev = s.crossJoin(broadcast(tot))
       .select(col("idx"), (col("n") * col("x") - col("sx")).as("dev"))
-    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    // dev·dev in DECIMAL (19+19+1 caps at 38, scale 0): exact where a
+    // long product wraps — see the scaladoc bound
+    def dec19(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val den = dev.agg(
+      sum(dec19(col("dev")) * dec19(col("dev")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("den"))
     val lags = series.sparkSession.range(1, maxLag + 1L)
       .select(col("id").as("lag"))
     dev.crossJoin(broadcast(lags))
@@ -302,9 +317,12 @@ object TimeSeriesOps {
         Seq("_bidx"))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("dev") * col("_devb")).as("num"))
+        sum(dec19(col("dev")) * dec19(col("_devb")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("num"))
       .crossJoin(broadcast(den))
-      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast(DoubleType).as("num"),
+        col("den").cast(DoubleType).as("den"),
         (col("num").cast(DoubleType) / col("den").cast(DoubleType))
           .as("acf"))
       .orderBy(col("lag"))

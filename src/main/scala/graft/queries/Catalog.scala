@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BasketOps, BpeOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert}
+import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -480,6 +480,13 @@ object Catalog {
     * encode). */
   private val unigramLmModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  /** WordPiece (BERT-class) vocabularies (WordPieceOps.wordPieceFit) —
+    * same memoization contract as [[bpeMergeModels]]; the fourth
+    * production tokenizer tier (ordered piece list, greedy
+    * longest-match encode). */
+  private val wordPieceModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
@@ -6802,6 +6809,194 @@ object Catalog {
              |FROM tk t JOIN enc e USING (word)
              |GROUP BY 1 ORDER BY t.source""".stripMargin)),
 
+    // WORDPIECE TOKENIZER (round 14, WordPieceOps — the BERT-family
+    // greedy longest-match-first tier; vocab.txt interchange format),
+    // completing the catalog's FOUR production tokenizer families
+    // (word-BPE, byte-BPE, unigram-LM, WordPiece). Verification keeps
+    // the unigram key's refutation discipline — greediness is checked,
+    // never assumed, by two INDEPENDENT mechanisms that must both land
+    // on zero for the hash to match: (a) Spark re-checks IN-PLAN (no
+    // UDF) that every emitted piece is the longest vocab match at its
+    // offset (WordPieceOps.longestMatchViolations: posexplode + window
+    // offset + longer-candidate explode + semi join); (b) DuckDB
+    // re-walks the greedy automaton per word from the STAGED VOCAB —
+    // a best-edge table (argmax match length per position) driving a
+    // recursive CTE, words whose walk strands short of the end being
+    // [UNK] by the BERT convention — and counts words whose
+    // (n_pieces, is_unk) disagree with the staged encode. Cover and
+    // vocabulary-membership invariants are re-derived on both sides
+    // too (continuation pieces always carry the ## prefix, so the
+    // strip is positional: head verbatim, tail substr from 3).
+    "text_wordpiece_encode" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        // vocab budget DELIBERATELY short of full-word merges (the
+        // corpus vocabulary is small, and an unbounded budget merges
+        // every word whole — fertility 1.0 proves nothing about the
+        // greedy walk); serve-time input gets a deterministic word
+        // with a char the corpus lacks ('§'), so the [UNK] convention
+        // (whole word, one symbol) is exercised cross-engine, not
+        // just unit-tested. The model fits on the CLEAN corpus — the
+        // OOV is serve-time-only, as in production.
+        val vocab = wordPieceModels.computeIfAbsent(d,
+          _ => WordPieceOps.wordPieceFit(docs, "text", vocabSize = 70,
+            minCount = 3))
+        val m = WordPieceOps.Model(vocab)
+        val docsX = docs.withColumn("text",
+          concat(col("text"), lit(" qu§rz")))
+        staged(d, "wp_vocab") { dir =>
+          vocab.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+            .toDF("id", "piece")
+            .coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val pieces = WordPieceOps.wordPieceTokens(docsX, "text", m)
+          .localCheckpoint() // model-sized; consumed by join + 3 checks
+        staged(d, "wp_pieces") { dir =>
+          pieces.coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val toks = docsX.select(col("source"),
+            explode(TextOps.tokenize(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+        val agg = toks
+          .join(pieces.select(col("word"), col("n_pieces"), col("is_unk")),
+            Seq("word"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_pieces")).as("total_pieces"),
+            sum(col("is_unk").cast(LongType)).as("n_unk_words"))
+        // (a) cover invariant: head piece verbatim + ##-stripped tail
+        val rebuilt = concat(element_at(col("pieces"), 1),
+          concat_ws("", transform(slice(col("pieces"), lit(2),
+            greatest(size(col("pieces")) - 1, lit(0))),
+            p => substring(p, 3, Int.MaxValue))))
+        val chkCover = pieces.agg(
+          sum(when(col("is_unk") === 0 && rebuilt =!= col("word"), 1L)
+            .otherwise(0L)).as("n_cover_bad"))
+        // (b) vocabulary membership of every emitted piece ([UNK] incl)
+        val vocabDf = vocab.toDF("piece")
+        val chkVocab = pieces
+          .select(explode(col("pieces")).as("piece"))
+          .join(broadcast(vocabDf), Seq("piece"), "left_anti")
+          .agg(count(lit(1)).as("n_vocab_bad"))
+        // (c) greediness, refuted in-plan (see WordPieceOps scaladoc)
+        val chkGreedy = WordPieceOps.longestMatchViolations(
+            pieces, vocabDf, m.maxPieceLen)
+          .withColumnRenamed("n_greedy_viol", "n_greedy_bad")
+        agg
+          .withColumn("fertility",
+            col("total_pieces").cast(DoubleType) /
+              col("n_words").cast(DoubleType))
+          .crossJoin(broadcast(chkCover))
+          .crossJoin(broadcast(chkVocab))
+          .crossJoin(broadcast(chkGreedy))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE
+             |vocab AS (SELECT piece FROM read_parquet(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/wp_vocab/*.parquet')
+             |  WHERE piece <> '[UNK]'),
+             |enc AS (SELECT word, pieces, n_pieces, is_unk FROM read_parquet(
+             |  '/tmp/graft_stage/_root_testdata_sf0.01/wp_pieces/*.parquet')),
+             |toks0 AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(lower(text || ' qu§rz'), '\s+'))
+             |      AS word
+             |  FROM documents),
+             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0),
+             |agg AS (
+             |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(SUM(e.n_pieces) AS BIGINT) AS total_pieces,
+             |    CAST(SUM(e.is_unk) AS BIGINT) AS n_unk_words
+             |  FROM tk t JOIN enc e USING (word) GROUP BY 1),
+             |cover AS (
+             |  SELECT CAST(SUM(CASE WHEN is_unk = 0 AND
+             |      pieces[1] || array_to_string(
+             |        list_transform(pieces[2:], p -> substr(p, 3)), '')
+             |      <> word THEN 1 ELSE 0 END) AS BIGINT) AS n_cover_bad
+             |  FROM enc),
+             |pl AS (SELECT unnest(pieces) AS piece FROM enc),
+             |vb AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_vocab_bad FROM pl
+             |  WHERE piece <> '[UNK]'
+             |    AND piece NOT IN (SELECT piece FROM vocab)),
+             |ml AS (SELECT MAX(length(CASE WHEN piece LIKE '##%'
+             |    THEN substr(piece, 3) ELSE piece END)) AS ml FROM vocab),
+             |w AS (SELECT DISTINCT word FROM enc),
+             |pos AS (
+             |  SELECT word, CAST(unnest(range(length(word))) AS INTEGER) AS i
+             |  FROM w),
+             |cand AS (
+             |  SELECT p.word, p.i, CAST(l.len AS INTEGER) AS len
+             |  FROM pos p
+             |  CROSS JOIN (SELECT unnest(range(1, (SELECT ml FROM ml) + 1))
+             |              AS len) l
+             |  JOIN vocab v ON v.piece =
+             |    (CASE WHEN p.i = 0 THEN '' ELSE '##' END) ||
+             |    substr(p.word, p.i + 1, CAST(l.len AS INTEGER))
+             |  WHERE p.i + l.len <= length(p.word)),
+             |best AS (SELECT word, i, MAX(len) AS len FROM cand GROUP BY 1, 2),
+             |walk AS (
+             |  SELECT word, CAST(0 AS INTEGER) AS pos,
+             |    CAST(0 AS BIGINT) AS np FROM w
+             |  UNION ALL
+             |  SELECT wk.word, wk.pos + b.len, wk.np + 1
+             |  FROM walk wk JOIN best b ON b.word = wk.word AND b.i = wk.pos),
+             |walked AS (
+             |  SELECT word, MAX(CASE WHEN pos = length(word) THEN np END)
+             |    AS np_done
+             |  FROM walk GROUP BY 1),
+             |greedy AS (
+             |  SELECT word, COALESCE(np_done, 1) AS g_n,
+             |    CASE WHEN np_done IS NULL THEN 1 ELSE 0 END AS g_unk
+             |  FROM walked),
+             |gbad AS (
+             |  SELECT CAST(SUM(CASE WHEN e.n_pieces <> g.g_n
+             |      OR e.is_unk <> g.g_unk THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_greedy_bad
+             |  FROM enc e JOIN greedy g USING (word))
+             |SELECT a.source, a.n_words, a.total_pieces, a.n_unk_words,
+             |  CAST(a.total_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+             |    AS fertility,
+             |  n_cover_bad, n_vocab_bad, n_greedy_bad
+             |FROM agg a CROSS JOIN cover CROSS JOIN vb CROSS JOIN gbad
+             |ORDER BY a.source""".stripMargin),
+      allowBnlj = true),
+
+    // WordPiece MODEL ARTIFACT roundtrip (the text_bpe_model_roundtrip
+    // pattern for the fourth tokenizer tier): the model persists as a
+    // standard vocab.txt (one piece per line, line number − 1 = id —
+    // the format every BERT checkpoint ships), reloads to the
+    // IDENTICAL ordered list (require'd in-key), and DuckDB
+    // independently parses the written artifact byte-for-byte
+    // (read_text + split on newline — no CSV dialect in the way, so
+    // punctuation pieces can't be mangled by quote handling).
+    "text_wordpiece_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val vocab = wordPieceModels.computeIfAbsent(d,
+          _ => WordPieceOps.wordPieceFit(docs, "text", vocabSize = 70,
+            minCount = 3))
+        val dir = staged(d, "wp_vocab_txt") { p =>
+          WordPieceOps.saveModel(s, vocab, p + "/vocab.txt")
+        }
+        val reloaded = WordPieceOps.loadModel(s, dir + "/vocab.txt")
+        require(reloaded == vocab,
+          "vocab.txt round trip must reproduce the trained vocabulary exactly")
+        reloaded.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("id", "piece")
+          .orderBy(col("id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT string_split(rtrim(content, chr(10)), chr(10)) AS parts
+             |  FROM read_text(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/wp_vocab_txt/vocab.txt'))
+             |SELECT CAST(t.i - 1 AS BIGINT) AS id,
+             |  parts[CAST(t.i AS INTEGER)] AS piece
+             |FROM f, unnest(range(1, len(parts) + 1)) AS t(i)
+             |ORDER BY id""".stripMargin)),
+
     "text_bpe_byte_encode" -> QuerySpec(
       (s, d) => {
         val special = "<|endoftext|>"
@@ -8964,6 +9159,329 @@ object Catalog {
              |FROM b CROSS JOIN g ORDER BY bin""".stripMargin),
       allowBnlj = true),
 
+    // RECALIBRATION of the NB tier by isotonic regression (round 14,
+    // CalibrateOps — the verdict's ask: profile_calibration MEASURED
+    // Brier 0.194 / ECE 0.184, this key ACTS on it). Fit on the even
+    // doc_id split, evaluate on the odd: the same sigmoid(8·margin/
+    // n_tok) p as the calibration key quantizes onto a hard-bounded
+    // 10⁴-cell grid (ONE map-side-combinable aggregation, ≤10001 rows
+    // at ANY corpus size — never a global sort), exact BigInt PAV on
+    // the driver (the bpeFit model-fit contract), and the DENSE step
+    // function stages as the frozen parquet artifact (the
+    // prep_target_encode fit-table contract) that serve-time reloads
+    // and broadcast-EQUI-joins — no as-of machinery on the hot path.
+    // The fit is REFUTED, not trusted, by two independent mechanisms
+    // (CalibrateOps scaladoc, conditions 1-6): Spark re-checks in-plan
+    // with window functions over the same localCheckpoint'd fit grid
+    // the driver collected (no second corpus pass), and DuckDB
+    // re-derives ALL six conditions in SQL — including the
+    // prefix-mean/complementary-slackness condition that separates
+    // "a monotone step function" from THE unique L2 isotonic fit.
+    // Metrics: held-out pre/post ECE (each binned on its OWN
+    // probability — the (pre-bin × post-bin) composite cube is
+    // aggregated in ONE eval pass, ≤100 rows, localCheckpoint'd, and
+    // both marginal binnings derive from it) and pre/post Brier;
+    // ok_improved compares the two ECE numerators EXACTLY (integer
+    // micro-gaps vs decimal gaps ×10⁶) before any division.
+    "profile_recalibrate" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        // --- the profile_calibration fixture + NB score pipeline ---
+        val toksB = split(col("text"), " ")
+        val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => concat(
+                array_join(slice(toksB, i * 8 + 1, lit(8)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+            .as("text"))
+        val labeled = TextOps.c4QualityFlags(built, "text")
+          .select(col("doc_id"),
+            when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+              .as("rule_label"))
+        val model = ClassifyOps.nbFit(
+          labeled.join(built, Seq("doc_id")), "text", "rule_label")
+        // score ONLY the requested split — half the corpus per pass
+        def pdOf(parity: Int) = {
+          val piv = ClassifyOps.nbScoreWith(
+              built.filter(pmod(col("doc_id"), lit(2)) === parity),
+              "doc_id", "text", model)
+            .groupBy(col("doc_id"))
+            .agg(max(when(col("_label") === "keep", col("score"))).as("s_keep"),
+              max(when(col("_label") === "drop", col("score"))).as("s_drop"),
+              max(col("n_tokens")).as("n_tok"))
+          piv.join(labeled, Seq("doc_id"))
+            .select(col("doc_id"),
+              (lit(1.0) / (lit(1.0) + exp(-(lit(8.0) *
+                (col("s_keep") - col("s_drop")).cast(DoubleType) /
+                  col("n_tok").cast(DoubleType)))))
+                .cast(DecimalType(12, 6)).as("p"),
+              when(col("rule_label") === "keep", 1).otherwise(0).as("y"))
+        }
+        def cellOf(p: Column): Column =
+          floor(p * lit(10000)).cast(IntegerType)
+        // --- FIT: grid → driver PAV → frozen dense artifact ---
+        val fitGrid = pdOf(0)
+          .groupBy(cellOf(col("p")).as("cell"))
+          .agg(count(lit(1)).as("n"), sum(col("y").cast(LongType)).as("sy"))
+          .localCheckpoint() // ≤10001 rows; feeds the collect AND the check
+        val cal = CalibrateOps.isotonicFitDense(fitGrid)
+        val calDir = staged(d, "isotonic_cal") { dir =>
+          cal.toDF().coalesce(1).write.mode("overwrite").parquet(dir)
+        }
+        val calDf = s.read.parquet(calDir) // frozen-artifact serve path
+        val chkPav = CalibrateOps.isotonicCheck(calDf, fitGrid)
+        // --- EVAL on the held-out split ---
+        val ej = pdOf(1)
+          .withColumn("cell", cellOf(col("p")))
+          .join(broadcast(calDf.select(col("cell"), col("calMicro"))),
+            Seq("cell"))
+        val dpre = col("p") - col("y").cast(DecimalType(7, 6))
+        val dpost = col("calMicro") - col("y").cast(LongType) * lit(1000000L)
+        val cube = ej
+          .withColumn("bin", least(floor(col("p") * 10).cast(IntegerType),
+            lit(9)))
+          .withColumn("binq", least(floor(col("calMicro") / 100000)
+            .cast(IntegerType), lit(9)))
+          .groupBy(col("bin"), col("binq"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p")).as("sum_p"),
+            sum(col("y").cast(LongType)).as("sum_y"),
+            sum((dpre * dpre).cast(DecimalType(27, 12))).as("sum_sq"),
+            sum(col("calMicro")).as("sum_pm"),
+            sum((dpost * dpost).cast(DecimalType(38, 0))).as("sum_sqq"))
+          .localCheckpoint() // ≤100 rows; both marginals + globals below
+        val bp = cube.groupBy(col("bin"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_p")).as("sum_p"),
+            sum(col("sum_y")).as("sum_y"), sum(col("sum_pm")).as("sum_pm"))
+        val gapPre = abs(col("sum_y").cast(DecimalType(20, 6)) - col("sum_p"))
+        val gPre = bp.agg(sum(col("n")).as("nn"),
+          sum(gapPre).as("tot_gap"))
+        val gPost = cube.groupBy(col("binq"))
+          .agg(sum(col("sum_y")).as("_sy"), sum(col("sum_pm")).as("_spm"))
+          .agg(sum(abs(col("_sy").cast(DecimalType(20, 0)) * lit(1000000L) -
+            col("_spm").cast(DecimalType(27, 0)))).as("tot_gapq"))
+        val gSq = cube.agg(sum(col("sum_sq")).as("tot_sq"),
+          sum(col("sum_sqq")).as("tot_sqq"))
+        bp.crossJoin(broadcast(gPre))
+          .crossJoin(broadcast(gPost))
+          .crossJoin(broadcast(gSq))
+          .crossJoin(broadcast(chkPav))
+          .select(col("bin"), col("n"),
+            (col("sum_p").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("mean_pred"),
+            (col("sum_pm").cast(DoubleType) /
+              (col("n").cast(DoubleType) * lit(1.0e6))).as("mean_post"),
+            (col("sum_y").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("frac_pos"),
+            (col("tot_sq").cast(DoubleType) / col("nn").cast(DoubleType))
+              .as("brier_pre"),
+            (col("tot_sqq").cast(DoubleType) /
+              (col("nn").cast(DoubleType) * lit(1.0e12))).as("brier_post"),
+            (col("tot_gap").cast(DoubleType) / col("nn").cast(DoubleType))
+              .as("ece_pre"),
+            (col("tot_gapq").cast(DoubleType) /
+              (col("nn").cast(DoubleType) * lit(1.0e6))).as("ece_post"),
+            col("n_pav_bad"),
+            // EXACT numerator compare: gaps share the denominator nn
+            when(col("tot_gapq").cast(DecimalType(38, 6)) <
+              col("tot_gap").cast(DecimalType(30, 6)) * lit(1000000L), 1)
+              .otherwise(0).as("ok_improved"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+             |      chr(10))
+             |    || CASE WHEN doc_id % 37 = 0
+             |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 41 = 0
+             |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+             |  FROM base),
+             |lab AS MATERIALIZED (
+             |  SELECT doc_id, text,
+             |    CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+             |              AND NOT contains(text, '{')
+             |              AND len(list_filter(string_split(text, chr(10)),
+             |                l -> regexp_matches(trim(l), '[.!?"]$')
+             |                     AND len(string_split_regex(trim(l), '\s+')) >= 5))
+             |                  >= 3
+             |         THEN 'keep' ELSE 'drop' END AS label
+             |  FROM built),
+             |toks0 AS (
+             |  SELECT doc_id, label,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM lab),
+             |t AS MATERIALIZED (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |ct AS (SELECT label, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |tot AS MATERIALIZED (
+             |  SELECT label, sum(cnt) AS total FROM ct GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM t),
+             |lp AS (
+             |  SELECT label, tok,
+             |    CAST(ln((cnt + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,6)) AS lp
+             |  FROM ct JOIN tot USING (label) CROSS JOIN v),
+             |dflt AS (
+             |  SELECT label,
+             |    CAST(ln(0.5 / (total + 0.5 * v)) AS DECIMAL(20,6)) AS dlp
+             |  FROM tot CROSS JOIN v),
+             |prior AS (
+             |  SELECT label,
+             |    CAST(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lab))
+             |      AS DECIMAL(20,6)) AS prior
+             |  FROM lab GROUP BY 1),
+             |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT dt.doc_id, c.label, p.prior,
+             |    sum(dt.cnt) AS n_tok,
+             |    sum(CAST(dt.cnt AS DECIMAL(10,0)) * coalesce(lp.lp, f.dlp)) AS ll
+             |  FROM dt
+             |  CROSS JOIN (SELECT label FROM tot) c
+             |  LEFT JOIN lp ON lp.tok = dt.tok AND lp.label = c.label
+             |  JOIN dflt f ON f.label = c.label
+             |  JOIN prior p ON p.label = c.label
+             |  GROUP BY dt.doc_id, c.label, p.prior),
+             |piv AS (
+             |  SELECT doc_id,
+             |    max(CASE WHEN label = 'keep' THEN prior + ll END) AS s_keep,
+             |    max(CASE WHEN label = 'drop' THEN prior + ll END) AS s_drop,
+             |    max(n_tok) AS n_tok
+             |  FROM scored GROUP BY doc_id),
+             |pd AS MATERIALIZED (
+             |  SELECT pv.doc_id,
+             |    CAST(1.0 / (1.0 + exp(-(8.0 *
+             |      CAST(CAST(pv.s_keep - pv.s_drop AS VARCHAR) AS DOUBLE)
+             |        / CAST(pv.n_tok AS DOUBLE)))) AS DECIMAL(12,6)) AS p,
+             |    CASE WHEN l.label = 'keep' THEN 1 ELSE 0 END AS y
+             |  FROM piv pv JOIN lab l USING (doc_id)),
+             |cal AS MATERIALIZED (
+             |  SELECT cell, n, sy, blkN, blkSy, calMicro FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/isotonic_cal/*.parquet')),
+             |fg AS (
+             |  SELECT CAST(floor(p * 10000) AS INTEGER) AS cell,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+             |  FROM pd WHERE doc_id % 2 = 0 GROUP BY 1),
+             |cj AS MATERIALIZED (
+             |  SELECT c.cell, c.n, c.sy, c.blkN, c.blkSy, c.calMicro,
+             |    COALESCE(f.n, 0) AS gn, COALESCE(f.sy, 0) AS gsy
+             |  FROM cal c LEFT JOIN fg f USING (cell)),
+             |gb AS (
+             |  SELECT CAST(SUM(CASE WHEN gn <> n OR gsy <> sy
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN count(*) <> 10001 THEN 1 ELSE 0 END AS bad
+             |  FROM cj),
+             |obs AS (
+             |  SELECT *, CASE WHEN lag(blkN) OVER w IS NULL
+             |      OR lag(blkN) OVER w <> blkN
+             |      OR lag(blkSy) OVER w <> blkSy THEN 1 ELSE 0 END AS chg
+             |  FROM cj WHERE n > 0 WINDOW w AS (ORDER BY cell)),
+             |runs AS (SELECT *, SUM(chg) OVER (ORDER BY cell) AS run FROM obs),
+             |pref AS (
+             |  SELECT *, SUM(n) OVER pw AS pn, SUM(sy) OVER pw AS psy
+             |  FROM runs WINDOW pw AS (PARTITION BY run ORDER BY cell
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |pr AS (
+             |  SELECT run, MAX(blkN) AS bn, MIN(blkN) AS bn2,
+             |    MAX(blkSy) AS bsy, MIN(blkSy) AS bsy2,
+             |    SUM(n) AS rn, SUM(sy) AS rsy,
+             |    MAX(calMicro) AS cm, MIN(calMicro) AS cm2,
+             |    SUM(CASE WHEN CAST(psy AS HUGEINT) * blkN
+             |        < CAST(blkSy AS HUGEINT) * pn THEN 1 ELSE 0 END)
+             |      AS prefbad
+             |  FROM pref GROUP BY run),
+             |pr2 AS (
+             |  SELECT *,
+             |    CASE WHEN lag(bsy) OVER (ORDER BY run) IS NOT NULL
+             |      AND CAST(lag(bsy) OVER (ORDER BY run) AS HUGEINT) * bn
+             |          >= CAST(bsy AS HUGEINT) * lag(bn) OVER (ORDER BY run)
+             |      THEN 1 ELSE 0 END AS monobad
+             |  FROM pr),
+             |rb AS (
+             |  SELECT CAST(SUM(
+             |      CASE WHEN bn <> bn2 OR bsy <> bsy2 OR cm <> cm2
+             |        OR rn <> bn OR rsy <> bsy THEN 1 ELSE 0 END
+             |    + CASE WHEN cm <> (2*1000000*CAST(bsy AS HUGEINT) + bn)
+             |        // (2*CAST(bn AS HUGEINT)) THEN 1 ELSE 0 END
+             |    + monobad + prefbad) AS BIGINT) AS bad
+             |  FROM pr2),
+             |fl0 AS (
+             |  SELECT *, last_value(CASE WHEN n > 0 THEN calMicro END
+             |      IGNORE NULLS) OVER (ORDER BY cell
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastobs,
+             |    first_value(CASE WHEN n > 0 THEN calMicro END IGNORE NULLS)
+             |      OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING) AS firstobs
+             |  FROM cj),
+             |fb AS (
+             |  SELECT CAST(SUM(CASE WHEN n = 0
+             |      AND calMicro <> COALESCE(lastobs, firstobs)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS bad
+             |  FROM fl0),
+             |pav AS (SELECT gb.bad + rb.bad + fb.bad AS n_pav_bad
+             |        FROM gb, rb, fb),
+             |ej AS MATERIALIZED (
+             |  SELECT e.p, e.y, c.calMicro AS pm
+             |  FROM (SELECT CAST(floor(p * 10000) AS INTEGER) AS cell, p, y
+             |        FROM pd WHERE doc_id % 2 = 1) e
+             |  JOIN cal c USING (cell)),
+             |bp AS MATERIALIZED (
+             |  SELECT CAST(LEAST(CAST(floor(p * 10) AS INTEGER), 9)
+             |      AS INTEGER) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n, SUM(p) AS sum_p,
+             |    CAST(SUM(y) AS BIGINT) AS sum_y,
+             |    SUM(CAST((CAST(p AS DECIMAL(13,6)) - CAST(y AS DECIMAL(7,6)))
+             |      * (CAST(p AS DECIMAL(13,6)) - CAST(y AS DECIMAL(7,6)))
+             |      AS DECIMAL(27,12))) AS sum_sq,
+             |    CAST(SUM(pm) AS BIGINT) AS sum_pm,
+             |    SUM(CAST((pm - y*1000000) * (pm - y*1000000)
+             |      AS DECIMAL(38,0))) AS sum_sqq
+             |  FROM ej GROUP BY 1),
+             |bq AS (
+             |  SELECT LEAST(CAST(pm // 100000 AS INTEGER), 9) AS binq,
+             |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(pm) AS BIGINT) AS spm
+             |  FROM ej GROUP BY 1),
+             |gpre AS (
+             |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             |    SUM(abs(CAST(sum_y AS DECIMAL(20,6)) - sum_p)) AS tot_gap,
+             |    SUM(sum_sq) AS tot_sq, SUM(sum_sqq) AS tot_sqq
+             |  FROM bp),
+             |gpost AS (
+             |  SELECT SUM(abs(CAST(sy AS HUGEINT) * 1000000 - spm))
+             |    AS tot_gapq
+             |  FROM bq)
+             |SELECT bin, n,
+             |  CAST(CAST(sum_p AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             |    AS mean_pred,
+             |  CAST(sum_pm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             |    AS mean_post,
+             |  CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+             |  CAST(CAST(tot_sq AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE)
+             |    AS brier_pre,
+             |  CAST(tot_sqq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1.0e12)
+             |    AS brier_post,
+             |  CAST(CAST(tot_gap AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE)
+             |    AS ece_pre,
+             |  CAST(tot_gapq AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000.0)
+             |    AS ece_post,
+             |  n_pav_bad,
+             |  CAST(CASE WHEN CAST(tot_gapq AS DECIMAL(38,6))
+             |    < CAST(tot_gap AS DECIMAL(30,6)) * 1000000 THEN 1 ELSE 0 END
+             |    AS INTEGER) AS ok_improved
+             |FROM bp CROSS JOIN gpre CROSS JOIN gpost CROSS JOIN pav
+             |ORDER BY bin""".stripMargin),
+      allowBnlj = true),
+
     "profile_rate_ci" -> QuerySpec(
       (s, d) => ProfileOps.rateWilsonCi(
         t(s, d, "orders").select(col("o_orderpriority").as("grp"),
@@ -10537,8 +11055,11 @@ object Catalog {
     // by the hour count — ≤ ~720 buckets per 30-day fixture — the same
     // bounded-frame contract as agg_survival_km). Exactness: mean
     // cleared by ×n (dev = n·x − Σx exact longs), lag numerators and
-    // the denominator exact long sums, ONE IEEE division per lag ⇒
-    // fully oracled. Gaps note: the series is indexed by DENSE bucket
+    // the denominator exact DECIMAL(38,0) sums presented as DOUBLE
+    // (r14: the long product wrapped once n·max|x| > ~3e9 — see the
+    // acf scaladoc; the oracle mirrors with HUGEINT sums and the same
+    // one correctly-rounded →DOUBLE cast), ONE IEEE division per lag
+    // ⇒ fully oracled. Gaps note: the series is indexed by DENSE bucket
     // position (row index), so empty hours compress out — the
     // documented semantic both engines restate identically.
     "ts_acf" -> QuerySpec(
@@ -10560,16 +11081,17 @@ object Catalog {
              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
              |               CAST(sum(x) AS BIGINT) AS sx FROM s),
              |dev AS (SELECT idx, n * x - sx AS dev FROM s CROSS JOIN tot),
-             |den AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dev),
+             |den AS (SELECT CAST(sum(CAST(dev AS HUGEINT) * dev) AS DOUBLE)
+             |          AS den FROM dev),
              |lags AS (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS lag),
              |pairs AS (
              |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
-             |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+             |    CAST(sum(CAST(a.dev AS HUGEINT) * b.dev) AS DOUBLE) AS num
              |  FROM dev a CROSS JOIN lags l
              |  JOIN dev b ON b.idx = a.idx + l.lag
              |  GROUP BY 1)
              |SELECT lag, n_pairs, num, dn.den AS den,
-             |  CAST(num AS DOUBLE) / CAST(dn.den AS DOUBLE) AS acf
+             |  num / dn.den AS acf
              |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin),
       allowBnlj = true),
 

@@ -323,6 +323,26 @@ class ProfileOpsSpec extends SparkSpec {
       .select($"zscore").as[Option[Double]].collect().flatten.length == 3)
   }
 
+  test("zscorePerGroup: integral column squares exactly where long v*v wraps") {
+    import spark.implicits._
+    // |v| ~1e13 is inside the documented ≤1e15 domain, but a LongType
+    // v*v wraps at ~3.04e9 — the decimal square path must still give
+    // the exact symmetric z-scores (±1/√1 after scaling: for values
+    // m−d, m, m+d the z's are −1, 0, 1 regardless of magnitude)
+    val m = 10_000_000_000_000L
+    val d = 3_000_000_000L
+    val df = Seq(("a", 1L, m - d), ("a", 2L, m), ("a", 3L, m + d))
+      .toDF("k", "id", "v")
+    val got = ProfileOps.zscorePerGroup(df, "k", "v")
+      .orderBy($"id").select($"zscore").as[Double].collect().toSeq
+    // decimal sums are exact; the final Σ→double presentation rounds
+    // at ~1e26 magnitudes (√ of that is the 1e-10 here) — the wrapped
+    // long path gave NULL/garbage, not a 1e-10 error
+    assert(got.length == 3 && got(1) == 0.0, got)
+    assert(math.abs(got(0) + 1.0) < 1e-9 && math.abs(got(2) - 1.0) < 1e-9,
+      got)
+  }
+
   test("forwardFill carries last observation, leaves leading NULLs, fills per key") {
     import spark.implicits._
     val df = Seq(

@@ -379,13 +379,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val series = Seq(1L, 2L, 3L, 4L, 3L, 2L).zipWithIndex
       .map { case (x, i) => (i.toLong, x) }.toDF("idx", "x")
     val out = TimeSeriesOps.acf(series, "idx", "x", maxLag = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
     val byLag = out.map(t => t._1 -> t).toMap
-    assert(byLag(1L) == ((1L, 5L, 63L, 198L, 63.0 / 198.0)))
-    assert(byLag(2L) == ((2L, 4L, -72L, 198L, -72.0 / 198.0)))
+    assert(byLag(1L) == ((1L, 5L, 63.0, 198.0, 63.0 / 198.0)))
+    assert(byLag(2L) == ((2L, 4L, -72.0, 198.0, -72.0 / 198.0)))
     assert(math.abs(byLag(1L)._5) <= 1.0 && math.abs(byLag(2L)._5) <= 1.0)
+  }
+
+  test("acf: decimal products are exact where a long dev² would wrap") {
+    import spark.implicits._
+    // bucket values ~3e9 over 8 buckets: dev = 8x − Σx is ~±1e10 and
+    // dev² ~1e20 > 2⁶³ — a LongType product wraps silently here; the
+    // DECIMAL(38,0) path must keep den positive and acf in [−1, 1]
+    val base = 3_000_000_000L
+    val xs = (0 until 8).map(i =>
+      (i.toLong, base + (if (i % 2 == 0) 500_000_000L else -500_000_000L)))
+    val out = TimeSeriesOps.acf(xs.toDF("idx", "x"), "idx", "x", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    out.foreach { case (lag, den, a) =>
+      assert(den > 0.0, s"lag $lag: den wrapped to $den")
+      assert(a >= -1.0 && a <= 1.0, s"lag $lag: acf $a out of range")
+    }
+    // alternating series: lag-1 near −1, lag-2 near +1
+    val byLag = out.map(t => t._1 -> t._3).toMap
+    assert(byLag(1L) < -0.8 && byLag(2L) > 0.6, byLag)
   }
 
   test("acf: a perfectly periodic series peaks at its period") {
