@@ -177,13 +177,73 @@ object StreamBench {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val rocksProvider = "org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider"
-    if (stores == "default" || stores == "both") statefulLegs("")
-    if (stores == "rocksdb" || stores == "both") {
-      // a session conf, read at query START — each leg checkpoints
-      // fresh, so flipping it between legs is exact, no restart needed
-      spark.conf.set(providerKey, rocksProvider)
-      statefulLegs("_rocksdb")
-      spark.conf.unset(providerKey)
+
+    /** The stream-stream join leg alone, under arbitrary session confs
+      * and watermark/horizon — the round-14 MITIGATION SWEEP for the
+      * §26 C finding (RocksDB join: 0.43× throughput / 2.8× p50, four
+      * state stores probed with multi-get + range iteration). Session
+      * confs are read at query START and each leg checkpoints fresh,
+      * so flipping between legs is exact. */
+    def joinLeg(suffix: String, confs: Map[String, String],
+        watermark: String, horizon: String): Unit = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      drive(spark, s"stream_stream_join$suffix", src => {
+        val left = src.toDF()
+        val right = src.toDF()
+          .filter(col("value") > 50.0)
+          .select(col("user_id").as("r_user_id"),
+            col("event_ts").as("r_ts"), col("value").as("r_value"))
+        sink(StreamOps.streamStreamJoin(
+          left, right, "user_id", "event_ts", "r_ts",
+          watermark = watermark, horizon = horizon)
+          .select(col("user_id"), col("event_id"), col("r_value"))).start()
+      }, batches, rowsPerBatch, users)
+      confs.keys.foreach(spark.conf.unset)
+    }
+
+    val rocksPrefix = "spark.sql.streaming.stateStore.rocksdb."
+    if (sys.env.get("SPARK_GRAFT_STREAM_SWEEP").contains("join")) {
+      // default-store reference, re-measured in this run for a
+      // load-comparable pair
+      joinLeg("_default", Map.empty, "30 minutes", "10 minutes")
+      // RocksDB baseline (the §26 C regression, re-measured)
+      val rocks = Map(providerKey -> rocksProvider)
+      joinLeg("_rocksdb_base", rocks, "30 minutes", "10 minutes")
+      // knob 1: skip per-commit total-row counting (each commit scans
+      // the store's numRows otherwise — 4 stores × per-batch)
+      joinLeg("_rocksdb_notrack",
+        rocks + (rocksPrefix + "trackTotalNumberOfRows" -> "false"),
+        "30 minutes", "10 minutes")
+      // knob 2: changelog checkpointing — commit ships the delta, not
+      // a full snapshot, per store per batch
+      joinLeg("_rocksdb_changelog",
+        rocks + (rocksPrefix + "changelogCheckpointing.enabled" -> "true"),
+        "30 minutes", "10 minutes")
+      // knobs 1+2 together
+      joinLeg("_rocksdb_both",
+        rocks + (rocksPrefix + "trackTotalNumberOfRows" -> "false")
+          + (rocksPrefix + "changelogCheckpointing.enabled" -> "true"),
+        "30 minutes", "10 minutes")
+      // (spark.sql.streaming.join.stateFormatVersion=1 was swept and
+      // is NOT viable: the legacy format fails Spark 4.1.2's planning
+      // with INTERNAL_ERROR on this join shape — measured r14)
+      // knob 3: tightened watermark — 1/3 the retained range state
+      joinLeg("_rocksdb_wm10", rocks, "10 minutes", "10 minutes")
+      joinLeg("_default_wm10", Map.empty, "10 minutes", "10 minutes")
+      // best achievable: all three mitigations together
+      joinLeg("_rocksdb_best",
+        rocks + (rocksPrefix + "trackTotalNumberOfRows" -> "false")
+          + (rocksPrefix + "changelogCheckpointing.enabled" -> "true"),
+        "10 minutes", "10 minutes")
+    } else {
+      if (stores == "default" || stores == "both") statefulLegs("")
+      if (stores == "rocksdb" || stores == "both") {
+        // a session conf, read at query START — each leg checkpoints
+        // fresh, so flipping it between legs is exact, no restart needed
+        spark.conf.set(providerKey, rocksProvider)
+        statefulLegs("_rocksdb")
+        spark.conf.unset(providerKey)
+      }
     }
 
     spark.stop()

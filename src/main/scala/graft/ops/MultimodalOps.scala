@@ -194,6 +194,48 @@ object MultimodalOps {
       def le16g(i: Int) = u8(i) | (u8(i + 1) << 8)
       val depth = (u8(10) & 0x7) + 1
       Some(ImageMeta("gif", le16g(6), le16g(8), depth, 1))
+    } else if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
+        b(10) == 'B' && b(11) == 'P') {
+      // WebP (round 14): the fifth raster class — a RIFF container
+      // (the parseWavHeader layout) whose first chunk fourcc selects
+      // one of THREE incompatible dimension encodings:
+      //  - 'VP8 ' lossy: 3-byte frame tag, 0x9D012A start code, then
+      //    two LE16s with 14-bit dims in the low bits (high 2 bits are
+      //    upscaling hints, NOT size). Always 3 channels (YUV).
+      //  - 'VP8L' lossless: 0x2F signature, then ONE LE32 packing
+      //    width−1 (bits 0-13), height−1 (bits 14-27) and the
+      //    alpha_is_used bit (28) — version bits 29-31 must be 0.
+      //  - 'VP8X' extended: a flags byte (bit 0x10 = alpha), 3
+      //    reserved bytes, then canvas width−1 / height−1 as 24-bit
+      //    LITTLE-endian. A conforming reader takes the canvas size
+      //    from here without parsing the inner bitstream chunks.
+      // Anything else (truncated, bad start code, nonzero VP8L
+      // version, unknown fourcc) is NULL, never a wild read.
+      def le16w(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      def le32w(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+          ((u8(i + 3) & 0xffL) << 24)
+      val fourcc = new String(b.slice(12, 16), "US-ASCII")
+      fourcc match {
+        case "VP8 " if b.length >= 30 &&
+            u8(20 + 3) == 0x9d && u8(20 + 4) == 0x01 && u8(20 + 5) == 0x2a =>
+          Some(ImageMeta("webp_vp8",
+            le16w(26) & 0x3fff, le16w(28) & 0x3fff, 8, 3))
+        case "VP8L" if b.length >= 25 && u8(20) == 0x2f => {
+          val v = le32w(21)
+          if (((v >> 29) & 0x7L) != 0L) None // reserved version bits
+          else Some(ImageMeta("webp_vp8l",
+            ((v & 0x3fffL) + 1L).toInt, (((v >> 14) & 0x3fffL) + 1L).toInt,
+            8, if (((v >> 28) & 1L) == 1L) 4 else 3))
+        }
+        case "VP8X" if b.length >= 30 =>
+          Some(ImageMeta("webp_vp8x",
+            le24(24) + 1, le24(27) + 1, 8,
+            if ((u8(20) & 0x10) != 0) 4 else 3))
+        case _ => None
+      }
     } else if (b.length >= 8 &&
         ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
           (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {

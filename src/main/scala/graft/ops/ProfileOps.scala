@@ -969,6 +969,53 @@ object ProfileOps {
       (center + half).as("ci_hi"))
   }
 
+  /** Cohen's kappa between two binary raters (Cohen 1960) — the
+    * chance-corrected agreement a filter-ensemble audit reads before
+    * AND-ing or voting quality rules: raw agreement p_o overstates
+    * consensus when both raters mostly say "keep" (imbalanced
+    * marginals inflate chance agreement p_e).
+    *
+    * Exactness discipline: ONE map-side-combinable aggregation to the
+    * four exact confusion counts; kappa = (p_o − p_e)/(1 − p_e) is
+    * cleared of divisions by ×n² — numerator n·(n11+n00) − (a1·b1 +
+    * a0·b0), denominator n² − (a1·b1 + a0·b0), both exact
+    * DECIMAL(38,0) products (counts are corpus-scale longs; n² passes
+    * 2⁶³ at n > ~3e9 — the HASH_NOTES overflow class), then ONE IEEE
+    * division. p_o and p_e present the same way. Degenerate marginals
+    * (denominator 0: both raters constant) yield NULL kappa, not a
+    * poisoned division — identically cross-engine.
+    *
+    * `raterA`/`raterB` are any boolean conditions; NULL evaluates
+    * false (a rater that cannot assert did not flag — the
+    * rateWilsonCi convention). Output: one row (n, n11, n10, n01,
+    * n00, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val a = when(raterA, 1L).otherwise(0L)
+    val b = when(raterB, 1L).otherwise(0L)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a === 1L && b === 1L, 1L).otherwise(0L)).as("n11"),
+      sum(when(a === 1L && b === 0L, 1L).otherwise(0L)).as("n10"),
+      sum(when(a === 0L && b === 1L, 1L).otherwise(0L)).as("n01"),
+      sum(when(a === 0L && b === 0L, 1L).otherwise(0L)).as("n00"))
+    def d19(c: Column): Column = c.cast(DecimalType(19, 0))
+    val a1 = col("n11") + col("n10")
+    val a0 = col("n01") + col("n00")
+    val b1 = col("n11") + col("n01")
+    val b0 = col("n10") + col("n00")
+    val agree = col("n11") + col("n00")
+    val peNum = (d19(a1) * d19(b1) + d19(a0) * d19(b0))
+      .cast(DecimalType(38, 0))
+    val n2 = (d19(col("n")) * d19(col("n"))).cast(DecimalType(38, 0))
+    val kNum = (d19(col("n")) * d19(agree)).cast(DecimalType(38, 0)) - peNum
+    val kDen = n2 - peNum
+    agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      (agree.cast(DoubleType) / col("n").cast(DoubleType)).as("po"),
+      (peNum.cast(DoubleType) / n2.cast(DoubleType)).as("pe"),
+      when(kDen =!= 0,
+        kNum.cast(DoubleType) / kDen.cast(DoubleType)).as("kappa"))
+  }
+
   /** Exact weighted median per group: the smallest value v whose
     * cumulative weight (values ≤ v, ascending) reaches half the
     * group's total — the lower weighted median, the robust center for

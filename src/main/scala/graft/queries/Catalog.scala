@@ -7344,8 +7344,13 @@ object Catalog {
 
     // Gopher-style composite quality rules (Rae et al. 2021 A1): per-doc
     // flags + AND'd keep. Integer counts and single IEEE divisions
-    // throughout ⇒ fully ORACLED (179/500 keep at sf0.01; word-count and
-    // stopword rules discriminate on this fixture, the rest stay 1).
+    // throughout ⇒ fully ORACLED. On the current fixture (31-word
+    // vocabulary containing exactly ONE Gopher stopword) the
+    // AND'd keep is 0/500 — ok_stopwords (≥2 distinct) fails every
+    // doc while ok_word_count varies 279/500; the per-flag columns
+    // are the signal here. profile_agreement runs the same rater at
+    // minStopwords=1 where it discriminates (r14 audit; an earlier
+    // comment's '179/500 keep' described a pre-refresh fixture).
     "text_gopher_filter" -> QuerySpec(
       (s, d) => TextOps.gopherQualityFlags(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
@@ -9509,6 +9514,117 @@ object Catalog {
              |        * sqrt(phat*(1.0-phat)/nd + z2/(4.0*nd*nd)))
              |      /(1.0 + z2/nd) AS ci_hi
              |FROM b ORDER BY grp""".stripMargin)),
+
+    // Cohen's kappa between two quality filters (round 14,
+    // ProfileOps.cohenKappa): the filter-ensemble audit — C4
+    // line-structure keep vs Gopher composite keep on the SAME built
+    // multi-line fixture (the profile_calibration corpus). Raw
+    // agreement p_o overstates consensus when both filters mostly say
+    // keep; kappa chance-corrects against the marginals. ONE
+    // aggregation to four exact confusion counts; kappa's division is
+    // cleared by ×n² — numerator and denominator exact DECIMAL(38,0)
+    // (n² wraps a long at n > ~3e9), ONE IEEE division each for
+    // po/pe/kappa; degenerate marginals yield NULL kappa identically
+    // cross-engine. The oracle re-derives BOTH filters from scratch
+    // (C4 line rules; Gopher features over the \s+ token grain — the
+    // built text is multi-line, so the single-space split of the
+    // text_gopher_filter oracle would be wrong here).
+    "profile_agreement" -> QuerySpec(
+      (s, d) => {
+        val toksB = split(col("text"), " ")
+        val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
+        val built = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => concat(
+                array_join(slice(toksB, i * 8 + 1, lit(8)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+            .as("text"))
+        val c4 = TextOps.c4QualityFlags(built, "text")
+          .select(col("doc_id"), col("keep").as("_ka"))
+        // minStopwords relaxed to 1: the synthetic corpus vocabulary
+        // contains exactly ONE of the Gopher stopwords ('the'), so the
+        // default 2 makes the rater constant-drop and kappa degenerate
+        val gop = TextOps.gopherQualityFlags(built, "text", minStopwords = 1)
+          .select(col("doc_id"), col("keep").as("_kb"))
+        ProfileOps.cohenKappa(c4.join(gop, Seq("doc_id")),
+          col("_ka") === 1, col("_kb") === 1)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+             |      chr(10))
+             |    || CASE WHEN doc_id % 37 = 0
+             |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 41 = 0
+             |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+             |  FROM base),
+             |c4 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+             |              AND NOT contains(text, '{')
+             |              AND len(list_filter(string_split(text, chr(10)),
+             |                l -> regexp_matches(trim(l), '[.!?"]$')
+             |                     AND len(string_split_regex(trim(l), '\s+')) >= 5))
+             |                  >= 3
+             |         THEN 1 ELSE 0 END AS ka
+             |  FROM built),
+             |gf AS (
+             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w,
+             |    text FROM built),
+             |gop AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 50 AND len(w) <= 100000
+             |      AND CAST(list_sum(list_transform(w, x -> length(x)))
+             |            AS DOUBLE) / len(w) >= 3.0
+             |      AND CAST(list_sum(list_transform(w, x -> length(x)))
+             |            AS DOUBLE) / len(w) <= 10.0
+             |      AND CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+             |            AS DOUBLE) / len(w) <= 0.1
+             |      AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             |            AS DOUBLE) / len(w) >= 0.8
+             |      AND len(list_filter(
+             |            ['the','be','to','of','and','that','have','with'],
+             |            s -> list_contains(w, s))) >= 1
+             |    THEN 1 ELSE 0 END AS kb
+             |  FROM gf),
+             |conf AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n11,
+             |    CAST(SUM(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(SUM(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(SUM(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM c4 JOIN gop USING (doc_id))
+             |SELECT n, n11, n10, n01, n00,
+             |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             |  CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             |     + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
+             |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS pe,
+             |  CASE WHEN CAST(n AS HUGEINT) * n
+             |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             |         + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) <> 0
+             |    THEN CAST(CAST(n AS HUGEINT) * (n11 + n00)
+             |        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * n
+             |        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE)
+             |  END AS kappa
+             |FROM conf""".stripMargin)),
 
     // Cohort retention matrix (EventOps.cohortRetention): customers
     // cohorted by first-order month × month offset, retained fraction
@@ -11724,6 +11840,128 @@ object Catalog {
              |    1) AS INTEGER) AS bit_depth,
              |  CAST(spp AS INTEGER) AS n_channels
              |FROM fields ORDER BY media_id""".stripMargin)),
+
+    // WebP metadata (round 14, the FIFTH raster class): a RIFF
+    // container whose first chunk fourcc selects one of THREE
+    // incompatible dimension encodings — 'VP8 ' lossy (14-bit dims in
+    // LE16s behind a start code, high bits are upscaling hints the
+    // mask must strip — the staging SETS them so the mask is
+    // hash-verified), 'VP8L' lossless (width−1/height−1/alpha packed
+    // into ONE LE32), 'VP8X' extended (24-bit LE canvas dims + a flags
+    // byte). Three planted corrupt files (bad VP8 start code, nonzero
+    // VP8L version bits, unknown fourcc) must yield NULL metadata on
+    // BOTH engines — the oracle restates every validity condition, not
+    // just the happy-path arithmetic, so a parser that skips a check
+    // breaks the hash.
+    "multimodal_webp_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "webp") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          def le16(v: Int) = Array[Byte](
+            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+          def le24(v: Int) = Array[Byte]((v & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+          def le32(v: Int) = le16(v & 0xffff) ++ le16((v >>> 16) & 0xffff)
+          def riff(fourcc: String, payload: Array[Byte]) =
+            "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length) ++
+              "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+              le32(payload.length) ++ payload
+          (0 until 24).foreach { id =>
+            val w = 16 + (id * 37) % 4000
+            val h = 12 + (id * 53) % 3000
+            val startCode = Array[Byte](0x9d.toByte, 0x01, 0x2a)
+            val bytes = id match {
+              case 21 => // bad VP8 start code → NULL
+                riff("VP8 ", Array[Byte](0, 0, 0, 0x77, 0x01, 0x2a) ++
+                  le16(w) ++ le16(h))
+              case 22 => // nonzero VP8L version bits → NULL
+                riff("VP8L", Array[Byte](0x2f) ++
+                  le32((w - 1) | ((h - 1) << 14) | (1 << 29)))
+              case 23 => // unknown first chunk → NULL
+                riff("ALPH", Array[Byte](1, 2, 3, 4))
+              case _ => (id % 3) match {
+                case 0 => // lossy; set the scale hint bits on odd ids
+                  val sc = if ((id & 1) == 1) 0x4000 else 0
+                  riff("VP8 ", Array[Byte](0, 0, 0) ++ startCode ++
+                    le16(w | sc) ++ le16(h | sc))
+                case 1 => // lossless; alpha on ids % 2
+                  val alpha = if ((id & 1) == 1) 1 << 28 else 0
+                  riff("VP8L", Array[Byte](0x2f) ++
+                    le32((w - 1) | ((h - 1) << 14) | alpha))
+                case _ => // extended; alpha flag 0x10 on ids % 2
+                  val flags = if ((id & 1) == 1) 0x10 else 0x00
+                  riff("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+                    le24(w - 1) ++ le24(h - 1))
+              }
+            }
+            java.nio.file.Files.write(
+              new java.io.File(base, f"webp_$id%03d.webp").toPath, bytes)
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.webp")
+          .select(
+            regexp_extract(col("path"), "webp_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.imageMeta(files, "bytes")
+          .select(col("media_id"), col("format"), col("width"),
+            col("height"), col("bit_depth"), col("n_channels"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'webp_(\d+)', 1)::BIGINT
+             |      AS media_id,
+             |    -- pad: a truncated payload must parse as NULL, not
+             |    -- crash the byte extraction on an empty substr
+             |    hex(content) || repeat('0', 40) AS h
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/webp/webp_*.webp')),
+             |b AS (
+             |  SELECT media_id, h, substr(h, 25, 8) AS fourcc,
+             |    ('0x' || substr(h, 41, 2))::BIGINT AS p0,
+             |    ('0x' || substr(h, 43, 2))::BIGINT AS p1,
+             |    ('0x' || substr(h, 45, 2))::BIGINT AS p2,
+             |    ('0x' || substr(h, 47, 2))::BIGINT AS p3,
+             |    ('0x' || substr(h, 49, 2))::BIGINT AS p4,
+             |    ('0x' || substr(h, 51, 2))::BIGINT AS p5,
+             |    ('0x' || substr(h, 53, 2))::BIGINT AS p6,
+             |    ('0x' || substr(h, 55, 2))::BIGINT AS p7,
+             |    ('0x' || substr(h, 57, 2))::BIGINT AS p8,
+             |    ('0x' || substr(h, 59, 2))::BIGINT AS p9
+             |  FROM f),
+             |m AS (
+             |  SELECT media_id,
+             |    CASE
+             |      WHEN fourcc = '56503820' AND p3 = 157 AND p4 = 1
+             |           AND p5 = 42
+             |      THEN ROW('webp_vp8',
+             |        CAST((p6 + 256*p7) % 16384 AS INTEGER),
+             |        CAST((p8 + 256*p9) % 16384 AS INTEGER), 3)
+             |      WHEN fourcc = '5650384C' AND p0 = 47
+             |           AND ((p1 + 256*p2 + 65536*p3 + 16777216*p4)
+             |                // 536870912) % 8 = 0
+             |      THEN ROW('webp_vp8l',
+             |        CAST((p1 + 256*p2 + 65536*p3 + 16777216*p4) % 16384
+             |          + 1 AS INTEGER),
+             |        CAST(((p1 + 256*p2 + 65536*p3 + 16777216*p4) // 16384)
+             |          % 16384 + 1 AS INTEGER),
+             |        CAST(3 + ((p1 + 256*p2 + 65536*p3 + 16777216*p4)
+             |          // 268435456) % 2 AS INTEGER))
+             |      WHEN fourcc = '56503858'
+             |      THEN ROW('webp_vp8x',
+             |        CAST(p4 + 256*p5 + 65536*p6 + 1 AS INTEGER),
+             |        CAST(p7 + 256*p8 + 65536*p9 + 1 AS INTEGER),
+             |        CAST(3 + (p0 // 16) % 2 AS INTEGER))
+             |    END AS meta
+             |  FROM b)
+             |SELECT media_id, meta[1] AS format,
+             |  CAST(meta[2] AS INTEGER) AS width,
+             |  CAST(meta[3] AS INTEGER) AS height,
+             |  CAST(CASE WHEN meta IS NULL THEN NULL ELSE 8 END AS INTEGER)
+             |    AS bit_depth,
+             |  CAST(meta[4] AS INTEGER) AS n_channels
+             |FROM m ORDER BY media_id""".stripMargin)),
 
     // OHLC time-series downsample: one groupBy over (key, hour bucket),
     // open/close pinned by min_by/max_by on the UNIQUE event_id (not the

@@ -502,6 +502,50 @@ class MultimodalSpec extends SparkSpec {
     assert(tm.exists(m => m.format == "tiff" && m.width == 23 &&
       m.height == 11 && m.bitDepth == 8 && m.nChannels == 3), tm)
   }
+
+  test("webp: all three chunk layouts parse; corrupt variants are NULL") {
+    def riff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length) ++
+        "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+        le32(payload.length) ++ payload
+    }
+    // VP8 lossy: tag(3) + start code + LE16 dims with scale bits SET —
+    // the 14-bit mask must strip them
+    val w = 321; val h = 187
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      Array[Byte]((w & 0xff).toByte, (((w >> 8) | 0x40) & 0xff).toByte,
+        (h & 0xff).toByte, (((h >> 8) | 0x80) & 0xff).toByte))
+    val m1 = MultimodalOps.parseImageHeader(vp8)
+    assert(m1.contains(MultimodalOps.ImageMeta("webp_vp8", w, h, 8, 3)), m1)
+    // VP8L: packed LE32, alpha bit set → 4 channels
+    val v = (w - 1) | ((h - 1) << 14) | (1 << 28)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+    val m2 = MultimodalOps.parseImageHeader(vp8l)
+    assert(m2.contains(MultimodalOps.ImageMeta("webp_vp8l", w, h, 8, 4)), m2)
+    // VP8X: 24-bit LE canvas dims, no alpha flag → 3 channels
+    def le24(x: Int) = Array[Byte]((x & 0xff).toByte,
+      ((x >> 8) & 0xff).toByte, ((x >> 16) & 0xff).toByte)
+    val vp8x = riff("VP8X",
+      Array[Byte](0, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1))
+    val m3 = MultimodalOps.parseImageHeader(vp8x)
+    assert(m3.contains(MultimodalOps.ImageMeta("webp_vp8x", w, h, 8, 3)), m3)
+    // corrupt: bad VP8 start code / nonzero VP8L version / truncation
+    val badSc = vp8.clone(); badSc(24) = 0x77
+    assert(MultimodalOps.parseImageHeader(badSc).isEmpty)
+    val badV = (w - 1) | (1 << 29)
+    val badVer = riff("VP8L", Array[Byte](0x2f,
+      (badV & 0xff).toByte, ((badV >> 8) & 0xff).toByte,
+      ((badV >> 16) & 0xff).toByte, ((badV >> 24) & 0xff).toByte))
+    assert(MultimodalOps.parseImageHeader(badVer).isEmpty)
+    assert(MultimodalOps.parseImageHeader(vp8x.take(25)).isEmpty)
+    assert(MultimodalOps.parseImageHeader(
+      riff("ALPH", Array[Byte](1, 2, 3))).isEmpty)
+  }
 }
 
 object MultimodalSpec {

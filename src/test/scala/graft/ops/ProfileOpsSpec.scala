@@ -323,6 +323,29 @@ class ProfileOpsSpec extends SparkSpec {
       .select($"zscore").as[Option[Double]].collect().flatten.length == 3)
   }
 
+  test("cohenKappa: hand-computed value; NULLs are non-flags; degenerate is NULL") {
+    import spark.implicits._
+    // confusion: n11=4 n10=1 n01=1 n00=4, n=10 → po=0.8,
+    // pe = (5*5 + 5*5)/100 = 0.5 → kappa = 0.3/0.5 = 0.6
+    val df = (Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false))).toDF("a", "b")
+    val r = ProfileOps.cohenKappa(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .head()
+    assert(r == ((10L, 4L, 1L, 1L, 4L, 0.8, 0.5, Some(0.6))), r)
+    // NULL rater values count as non-flags (the rateWilsonCi convention)
+    val withNull = Seq((Some(true), Some(true)), (None, Some(true)),
+      (Some(true), None)).toDF("a", "b")
+    val r2 = ProfileOps.cohenKappa(withNull, col("a"), col("b"))
+      .select($"n11", $"n10", $"n01").as[(Long, Long, Long)].head()
+    assert(r2 == ((1L, 1L, 1L)), r2)
+    // both raters constant → pe = 1 → NULL kappa, not a division blowup
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val r3 = ProfileOps.cohenKappa(const, col("a"), col("b"))
+      .select($"kappa").as[Option[Double]].head()
+    assert(r3.isEmpty, r3)
+  }
+
   test("zscorePerGroup: integral column squares exactly where long v*v wraps") {
     import spark.implicits._
     // |v| ~1e13 is inside the documented ≤1e15 domain, but a LongType
