@@ -9211,11 +9211,18 @@ object Catalog {
               .as("rule_label"))
         val model = ClassifyOps.nbFit(
           labeled.join(built, Seq("doc_id")), "text", "rule_label")
-        // score ONLY the requested split — half the corpus per pass
-        def pdOf(parity: Int) = {
-          val piv = ClassifyOps.nbScoreWith(
-              built.filter(pmod(col("doc_id"), lit(2)) === parity),
-              "doc_id", "text", model)
+        // Score the corpus ONCE and materialize the (doc_id, p, y)
+        // score table as a staged artifact — the fit and eval splits
+        // both read it back, so the expensive NB scoring subtree runs
+        // one time, not once per consumer (measured: the two-pass form
+        // was 3.36 s steady vs profile_calibration's one-pass 1.99 s).
+        // This is the production shape too: score tables persist; at
+        // 100 TB the equivalent is a checkpoint/staging write, never
+        // re-deriving the scores per downstream reader. Parquet
+        // round-trips DECIMAL(12,6)/INT exactly, so the staged values
+        // ARE the computed values.
+        val pdDir = staged(d, "recal_scores") { dir =>
+          val piv = ClassifyOps.nbScoreWith(built, "doc_id", "text", model)
             .groupBy(col("doc_id"))
             .agg(max(when(col("_label") === "keep", col("score"))).as("s_keep"),
               max(when(col("_label") === "drop", col("score"))).as("s_drop"),
@@ -9227,7 +9234,10 @@ object Catalog {
                   col("n_tok").cast(DoubleType)))))
                 .cast(DecimalType(12, 6)).as("p"),
               when(col("rule_label") === "keep", 1).otherwise(0).as("y"))
+            .write.mode("overwrite").parquet(dir)
         }
+        def pdOf(parity: Int) = s.read.parquet(pdDir)
+          .filter(pmod(col("doc_id"), lit(2)) === parity)
         def cellOf(p: Column): Column =
           floor(p * lit(10000)).cast(IntegerType)
         // --- FIT: grid → driver PAV → frozen dense artifact ---
