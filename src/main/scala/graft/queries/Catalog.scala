@@ -488,6 +488,25 @@ object Catalog {
   private val wordPieceModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** NB model for the CALIBRATION fixture (the built multi-line corpus
+    * both profile_calibration and profile_recalibrate score) — cached
+    * as COLLECTED rows + schema, not as a DataFrame: the model table
+    * is model-sized (labels × vocab; the bpeFit collect contract), and
+    * a cached plan would still re-execute its fit subtree per
+    * consumer, while a cached DataFrame/RDD would dangle if a suite
+    * recycles the session. Rebuilt as a LocalRelation per call — same
+    * values, so the established hashes are unchanged. */
+  private val nbCalibModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.List[org.apache.spark.sql.Row], StructType)]()
+  private def nbCalibModel(s: SparkSession, d: String,
+      fit: => DataFrame): DataFrame = {
+    val (rows, schema) = nbCalibModels.computeIfAbsent(d, { _ =>
+      val m = fit
+      (java.util.Arrays.asList(m.collect(): _*), m.schema)
+    })
+    s.createDataFrame(rows, schema)
+  }
+
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
     * from the driver test tables, so the DuckDB oracle can check the
@@ -9027,8 +9046,8 @@ object Catalog {
           .select(col("doc_id"),
             when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
               .as("rule_label"))
-        val model = ClassifyOps.nbFit(
-          labeled.join(built, Seq("doc_id")), "text", "rule_label")
+        val model = nbCalibModel(s, d, ClassifyOps.nbFit(
+          labeled.join(built, Seq("doc_id")), "text", "rule_label"))
         val piv = ClassifyOps.nbScoreWith(built, "doc_id", "text", model)
           .groupBy(col("doc_id"))
           .agg(max(when(col("_label") === "keep", col("score"))).as("s_keep"),
@@ -9209,8 +9228,8 @@ object Catalog {
           .select(col("doc_id"),
             when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
               .as("rule_label"))
-        val model = ClassifyOps.nbFit(
-          labeled.join(built, Seq("doc_id")), "text", "rule_label")
+        val model = nbCalibModel(s, d, ClassifyOps.nbFit(
+          labeled.join(built, Seq("doc_id")), "text", "rule_label"))
         // Score the corpus ONCE and materialize the (doc_id, p, y)
         // score table as a staged artifact — the fit and eval splits
         // both read it back, so the expensive NB scoring subtree runs
