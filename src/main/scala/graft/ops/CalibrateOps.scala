@@ -45,9 +45,9 @@ import org.apache.spark.sql.types._
   *    condition — together with (3) it characterizes the unique L2
   *    isotonic solution), (5) cal_micro is the exact rounded block
   *    mean, and (6) the dense fill is the correct step extension.
-  *    [[isotonicCheck]] computes (2)–(6) IN-PLAN with window functions
+  *    [[isotonicCheck]] computes ALL SIX in-plan with window functions
   *    (independent of the driver fold); the DuckDB oracle re-derives
-  *    all six in SQL.
+  *    them again in SQL.
   */
 object CalibrateOps {
 

@@ -81,9 +81,11 @@ object WordPieceOps {
     a.length - b.length
   }
 
-  /** TRAIN: learn a WordPiece vocabulary of at most `vocabSize` pieces
-    * (alphabet + merges; the alphabet always survives — full coverage
-    * of seen chars) from `df`'s corpus. Same budget contract and
+  /** TRAIN: learn a WordPiece vocabulary of [UNK] + the alphabet + up
+    * to max(0, vocabSize − alphabet) merges from `df`'s corpus. The
+    * alphabet always survives (full coverage of seen chars), so a
+    * vocabSize below the alphabet size yields alphabet-only — MORE
+    * than vocabSize pieces, never fewer chars. Same budget contract and
     * failure mode as [[BpeOps.bpeFit]]: words below `minCount` don't
     * vote AND are filtered before the budgeted collect. Returns the
     * ordered piece list ([UNK] first — directly stage-able). */

@@ -502,7 +502,9 @@ object Catalog {
       fit: => DataFrame): DataFrame = {
     val (rows, schema) = nbCalibModels.computeIfAbsent(d, { _ =>
       val m = fit
-      (java.util.Arrays.asList(m.collect(): _*), m.schema)
+      val collected =
+        m.collect() // driver-side model fit: labels × vocab, bpeFit contract
+      (java.util.Arrays.asList(collected: _*), m.schema)
     })
     s.createDataFrame(rows, schema)
   }
