@@ -22,8 +22,12 @@ import org.apache.spark.sql.types._
   *    whose parts only occur together. The comparison is EXACT: the
   *    two rationals cross-multiply in BigInt (counts are corpus-scale
   *    longs; a 3-count product overflows Long at ~2e6-doc scale), tie
-  *    broken by merged-symbol UTF-8 bytes ASC — bit-deterministic
-  *    regardless of partitioning, the [[BpeOps]] discipline.
+  *    broken by merged-symbol UTF-8 bytes ASC; distinct pairs that tie
+  *    on BOTH score and merged string (("x","##yz") and ("xy","##z")
+  *    join identically) keep the first-counted pair — pair counts
+  *    accumulate in a LinkedHashMap fed by the UTF-8-sorted word
+  *    order, so even that residual tie is bit-deterministic regardless
+  *    of partitioning, the [[BpeOps]] discipline.
   *
   *  - The MODEL is the ordered piece list (`vocab.txt`: one piece per
   *    line, line number = id — the HuggingFace interchange format):
