@@ -103,8 +103,10 @@ object BpeOps {
     * UTF8String ordering, so the in-memory tie-break matches what the
     * previous in-plan `orderBy(a, b)` produced. Differs from Java
     * String ordering only beyond the BMP, but determinism must not
-    * depend on corpus content. */
-  private def utf8Compare(x: String, y: String): Int = {
+    * depend on corpus content. Shared by every driver-side tokenizer
+    * trainer (BPE, unigram-LM, WordPiece) — ONE copy, so a future
+    * ordering fix cannot drift between tiers. */
+  private[ops] def utf8Compare(x: String, y: String): Int = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)

@@ -181,12 +181,20 @@ object CalibrateOps {
           col("cm") =!= col("cm2") ||
           col("rn") =!= col("bn") || col("rsy") =!= col("bsy"), 1L)
         .otherwise(0L))
-      // (5) calMicro = exact round-half-up block mean:
-      //     floor((2·10⁶·bsy + bn) / (2·bn))
-      .withColumn("_cmBad", when(
-        col("cm") =!= floor((d20(col("bsy")) * lit(2L * Micro) +
-          d20(col("bn"))) / (d20(col("bn")) * lit(2L))).cast(LongType),
-        1L).otherwise(0L))
+      // (5) calMicro = exact round-half-up block mean, i.e.
+      //     cm = floor((2·10⁶·bsy + bn) / (2·bn)) ⇔
+      //     cm·2·bn ≤ 2·10⁶·bsy + bn < (cm+1)·2·bn — checked by
+      //     CROSS-MULTIPLICATION like (3)/(4): Spark decimal DIVISION
+      //     rounds HALF_UP at scale 6 BEFORE floor, which false-flags
+      //     genuine fits once blkN ≳ 1e6 (quotient fraction inside
+      //     half an ulp of 1). Products ≤ ~2e26 fit DECIMAL(38,0).
+      .withColumn("_cmBad", {
+        val target = d20(col("bsy")) * lit(2L * Micro) + d20(col("bn"))
+        val twoBn = d20(col("bn")) * lit(2L)
+        when(d20(col("cm")) * twoBn > target ||
+          (d20(col("cm")) + lit(1L)) * twoBn <= target, 1L)
+          .otherwise(0L)
+      })
       // (3) strictly increasing block means across runs
       .withColumn("_monoBad", when(
         lag(col("bsy"), 1).over(Window.orderBy(col("_run"))).isNotNull &&

@@ -1009,9 +1009,13 @@ object ProfileOps {
     val n2 = (d19(col("n")) * d19(col("n"))).cast(DecimalType(38, 0))
     val kNum = (d19(col("n")) * d19(agree)).cast(DecimalType(38, 0)) - peNum
     val kDen = n2 - peNum
+    // n = 0 guards on po/pe too (HASH_NOTES rule 5: Spark x/0 → NULL
+    // but another engine's IEEE division → NaN/±inf — divergent)
     agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-      (agree.cast(DoubleType) / col("n").cast(DoubleType)).as("po"),
-      (peNum.cast(DoubleType) / n2.cast(DoubleType)).as("pe"),
+      when(col("n") > 0,
+        agree.cast(DoubleType) / col("n").cast(DoubleType)).as("po"),
+      when(col("n") > 0,
+        peNum.cast(DoubleType) / n2.cast(DoubleType)).as("pe"),
       when(kDen =!= 0,
         kNum.cast(DoubleType) / kDen.cast(DoubleType)).as("kappa"))
   }

@@ -137,7 +137,16 @@ object UnigramLmOps {
     val words = df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount) // shrink the collect, like bpeFit
+      // Words below minCount don't train AT ALL (r14, the bpeFit
+      // contract — raising minCount now genuinely shrinks the collect
+      // as the overflow diagnostic claims). This is a TRAINING-
+      // SEMANTICS change from r13, not a pure optimization: sub-
+      // minCount words previously fed substring-candidate weight, EM
+      // expectation mass, and alphabet coverage. The staged model
+      // regenerated and the unigram keys re-verified — their oracles
+      // re-derive from the staged vocab, so correctness is unaffected;
+      // only the specific fitted pieces moved.
+      .filter(col("cnt") >= minCount)
     val rows = words.limit(maxVocabRows + 1)
       .collect() // driver-side model fit: budgeted post-aggregation vocab
     if (rows.length > maxVocabRows) {
@@ -250,18 +259,7 @@ object UnigramLmOps {
     if (z > 0.0) probs.keysIterator.toSeq.foreach(p => probs(p) = probs(p) / z)
   }
 
-  private def utf8Cmp(x: String, y: String): Int = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    a.length - b.length
-  }
+  private def utf8Cmp(x: String, y: String): Int = BpeOps.utf8Compare(x, y)
 
   // ---------------------------------------------------------------
   // Viterbi encode (exact integer DP on micro-log-units)

@@ -72,18 +72,7 @@ object WordPieceOps {
         .foldLeft(1)(math.max)
   }
 
-  private def utf8Cmp(x: String, y: String): Int = {
-    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    a.length - b.length
-  }
+  private def utf8Cmp(x: String, y: String): Int = BpeOps.utf8Compare(x, y)
 
   /** TRAIN: learn a WordPiece vocabulary of [UNK] + the alphabet + up
     * to max(0, vocabSize − alphabet) merges from `df`'s corpus. The
@@ -98,6 +87,8 @@ object WordPieceOps {
       maxVocabRows: Int = BpeOps.defaultMaxVocabRows): Seq[String] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxVocabRows >= 1 && maxVocabRows < Int.MaxValue,
+      s"maxVocabRows must be in [1, ${Int.MaxValue - 1}], got $maxVocabRows")
     val words = df.select(explode(TextOps.tokenize(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))

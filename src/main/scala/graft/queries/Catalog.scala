@@ -11879,11 +11879,13 @@ object Catalog {
     // mask must strip — the staging SETS them so the mask is
     // hash-verified), 'VP8L' lossless (width−1/height−1/alpha packed
     // into ONE LE32), 'VP8X' extended (24-bit LE canvas dims + a flags
-    // byte). Three planted corrupt files (bad VP8 start code, nonzero
-    // VP8L version bits, unknown fourcc) must yield NULL metadata on
-    // BOTH engines — the oracle restates every validity condition, not
-    // just the happy-path arithmetic, so a parser that skips a check
-    // breaks the hash.
+    // byte). Four planted corrupt files (bad VP8 start code, nonzero
+    // VP8L version bits, unknown fourcc, TRUNCATED VP8X) must yield
+    // NULL metadata on BOTH engines — the oracle restates every
+    // validity condition including the minimum-length guards (its hex
+    // is zero-padded so byte extraction can't crash on short files,
+    // which means the length checks must be explicit), so a parser
+    // that skips a check breaks the hash.
     "multimodal_webp_meta" -> QuerySpec(
       (s, d) => {
         val dir = staged(d, "webp") { p =>
@@ -11898,11 +11900,14 @@ object Catalog {
             "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length) ++
               "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
               le32(payload.length) ++ payload
-          (0 until 24).foreach { id =>
+          (0 until 25).foreach { id =>
             val w = 16 + (id * 37) % 4000
             val h = 12 + (id * 53) % 3000
             val startCode = Array[Byte](0x9d.toByte, 0x01, 0x2a)
             val bytes = id match {
+              case 24 => // TRUNCATED VP8X (valid header, canvas cut) → NULL
+                riff("VP8X", Array[Byte](0, 0, 0, 0) ++
+                  le24(w - 1) ++ le24(h - 1)).take(25)
               case 21 => // bad VP8 start code → NULL
                 riff("VP8 ", Array[Byte](0, 0, 0, 0x77, 0x01, 0x2a) ++
                   le16(w) ++ le16(h))
@@ -11943,13 +11948,16 @@ object Catalog {
       Some("""WITH f AS (
              |  SELECT regexp_extract(filename, 'webp_(\d+)', 1)::BIGINT
              |      AS media_id,
-             |    -- pad: a truncated payload must parse as NULL, not
-             |    -- crash the byte extraction on an empty substr
-             |    hex(content) || repeat('0', 40) AS h
+             |    -- pad: a truncated payload must not crash the byte
+             |    -- extraction on an empty substr; the REAL length
+             |    -- gates the CASE arms below, mirroring Spark's
+             |    -- b.length guards
+             |    hex(content) || repeat('0', 40) AS h,
+             |    octet_length(content) AS nb
              |  FROM read_blob(
              |    '/tmp/graft_stage/_root_testdata_sf0.01/webp/webp_*.webp')),
              |b AS (
-             |  SELECT media_id, h, substr(h, 25, 8) AS fourcc,
+             |  SELECT media_id, h, nb, substr(h, 25, 8) AS fourcc,
              |    ('0x' || substr(h, 41, 2))::BIGINT AS p0,
              |    ('0x' || substr(h, 43, 2))::BIGINT AS p1,
              |    ('0x' || substr(h, 45, 2))::BIGINT AS p2,
@@ -11964,12 +11972,12 @@ object Catalog {
              |m AS (
              |  SELECT media_id,
              |    CASE
-             |      WHEN fourcc = '56503820' AND p3 = 157 AND p4 = 1
-             |           AND p5 = 42
+             |      WHEN fourcc = '56503820' AND nb >= 30
+             |           AND p3 = 157 AND p4 = 1 AND p5 = 42
              |      THEN ROW('webp_vp8',
              |        CAST((p6 + 256*p7) % 16384 AS INTEGER),
              |        CAST((p8 + 256*p9) % 16384 AS INTEGER), 3)
-             |      WHEN fourcc = '5650384C' AND p0 = 47
+             |      WHEN fourcc = '5650384C' AND nb >= 25 AND p0 = 47
              |           AND ((p1 + 256*p2 + 65536*p3 + 16777216*p4)
              |                // 536870912) % 8 = 0
              |      THEN ROW('webp_vp8l',
@@ -11979,7 +11987,7 @@ object Catalog {
              |          % 16384 + 1 AS INTEGER),
              |        CAST(3 + ((p1 + 256*p2 + 65536*p3 + 16777216*p4)
              |          // 268435456) % 2 AS INTEGER))
-             |      WHEN fourcc = '56503858'
+             |      WHEN fourcc = '56503858' AND nb >= 30
              |      THEN ROW('webp_vp8x',
              |        CAST(p4 + 256*p5 + 65536*p6 + 1 AS INTEGER),
              |        CAST(p7 + 256*p8 + 65536*p9 + 1 AS INTEGER),

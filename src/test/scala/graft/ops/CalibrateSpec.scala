@@ -98,6 +98,30 @@ class CalibrateSpec extends SparkSpec {
     assert(bad(broken5) > 0L, "bad fill not caught")
   }
 
+  test("isotonicCheck: corpus-scale block counts stay exact (cross-multiplied, no decimal division)") {
+    // blkN in the billions: the pre-r14 check divided DECIMAL(38,0)s
+    // (rounded HALF_UP at scale 6 BEFORE floor — false flags once
+    // blkN ≳ 1e6); the cross-multiplied form is exact at any count
+    val big = Seq(
+      (100, 3333333333L, 1111111111L),
+      (200, 4999999999L, 3999999997L))
+    val fit = CalibrateOps.isotonicFitDense(gridDf2(big))
+    val n = CalibrateOps.isotonicCheck(fit.toDF(), gridDf2(big))
+      .as[Long].head()
+    assert(n == 0L, s"genuine corpus-scale fit flagged: $n")
+    // and the check still catches an off-by-one at this scale
+    val broken = fit.toDF().withColumn("calMicro",
+      when(col("cell") === 200, col("calMicro") + 1L)
+        .otherwise(col("calMicro")))
+    assert(CalibrateOps.isotonicCheck(broken, gridDf2(big))
+      .as[Long].head() > 0L, "off-by-one at corpus scale not caught")
+  }
+
+  private def gridDf2(cells: Seq[(Int, Long, Long)]) = {
+    import spark.implicits._
+    cells.toDF("cell", "n", "sy")
+  }
+
   test("isotonicCheck refutes a NON-isotonic 'fit' that is merely monotone") {
     // monotone and consistent-looking but NOT the L2 fit: collapse the
     // two blocks of (means 0.8, then 0.2→pool) ... construct: cells

@@ -344,6 +344,12 @@ class ProfileOpsSpec extends SparkSpec {
     val r3 = ProfileOps.cohenKappa(const, col("a"), col("b"))
       .select($"kappa").as[Option[Double]].head()
     assert(r3.isEmpty, r3)
+    // empty input: n = 0 → po/pe/kappa all NULL (never NaN/±inf)
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("a", "b")
+    val r4 = ProfileOps.cohenKappa(empty, col("a"), col("b"))
+      .select($"n", $"po", $"pe", $"kappa")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(r4 == ((0L, None, None, None)), r4)
   }
 
   test("zscorePerGroup: integral column squares exactly where long v*v wraps") {
