@@ -127,6 +127,104 @@ object GraphOps {
     pr.select(col("id").as(idCol), col("pr"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) — the
+    * directed-graph companion to [[pagerankFixedPoint]]: authority(v)
+    * accumulates the hub mass of pages LINKING TO v, hub(u)
+    * accumulates the authority mass of pages u LINKS TO, alternating
+    * until the two vectors stabilize. A crawl pipeline reads them
+    * separately: high-authority pages are content worth sampling,
+    * high-hub/low-authority pages are link farms and directories —
+    * structure PageRank's single score conflates.
+    *
+    * FIXED-POINT INTEGER arithmetic (the [[pagerankFixedPoint]]
+    * discipline) with ONE documented deviation from the textbook: each
+    * half-round normalizes by the VECTOR MAX rescaled to `scale` (L∞)
+    * instead of the L2 norm — a square root has no exact integer form,
+    * while x ↦ (x·scale) div max is deterministic truncating-integer
+    * arithmetic, and HITS' fixed point is invariant under any positive
+    * per-round rescaling (the power iteration converges to the same
+    * ray; only the reported magnitude convention differs). Every
+    * number both engines compute is therefore BIT-EXACT and the whole
+    * K-round computation oracle-verifiable as K unrolled SQL rounds.
+    *
+    * Overflow bound: a raw half-round value is ≤ indeg_max · scale,
+    * summed in DECIMAL(38,0) and multiplied by `scale` before the div,
+    * so exactness requires indeg_max · scale² < 10³⁸ — at the default
+    * scale 10¹², in-degrees to 10¹⁴ (any real graph). Zero in-link
+    * nodes hold authority 0, zero out-link nodes hub 0; the edge set
+    * must be non-empty (an edgeless graph has NULL maxima and yields
+    * NULL scores — the caller's degenerate case, documented not
+    * guarded, matching the pagerank dangling-mass trade).
+    *
+    * Scale shape: each half-round is one equi-join of the deduplicated
+    * edge list to the current vector, one groupBy, and a 1-row max
+    * broadcast (never a driver collect). The raw half-round frame is
+    * MATERIALIZED through the [[DedupOps.materialize]] seam every
+    * half-round, not every K rounds: the L∞ rescale reads it twice
+    * (the sum side and the max side), so leaving it lazy would DOUBLE
+    * the logical plan per half-round — exponential analysis cost by
+    * K=8 — while the cut keeps the plan linear and computes the
+    * join+groupBy once instead of twice. Superseded generations'
+    * blocks release on a two-slot delay (a raw frame is read only by
+    * the next half-round's materialization). `checkpointDir` switches
+    * the cuts to reliable shared-storage checkpoints (the pagerank
+    * preemptible-fleet mode). Output: (idCol, authority, hub) scaled
+    * longs — the max authority and max hub are exactly `scale` by
+    * construction. */
+  def hits(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      iterations: Int = 4,
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    DedupOps.setupCheckpointDir(nodes, checkpointDir)
+    val ids = nodes.select(col(idCol).cast(LongType).as("id"))
+    val e = DedupOps.materialize(edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct(), checkpointDir)
+    def dec19(c: org.apache.spark.sql.Column) =
+      c.cast(DecimalType(19, 0))
+    // two-slot release queue: raw_k is read only while materializing
+    // raw_{k+1}; the final two stay live backing the returned frames
+    var prevPrev: Option[DataFrame] = None
+    var prev: Option[DataFrame] = None
+    // one half-round: raw = Σ over the joined side (materialized — see
+    // scaladoc), then L∞ rescale: (DECIMAL(38,0) raw · scale) div max,
+    // exact multiply then truncating division
+    def halfRound(vec: DataFrame, vecCol: String, joinKey: String,
+        groupKey: String, outCol: String): DataFrame = {
+      val raw = DedupOps.materialize(e
+        .join(vec.select(col("id"), col(vecCol)), e(joinKey) === col("id"))
+        .groupBy(col(groupKey).as("_gid"))
+        .agg(sum(dec19(col(vecCol))).cast(DecimalType(38, 0)).as("_raw")),
+        checkpointDir)
+      prevPrev.foreach(DedupOps.releaseCheckpoint)
+      prevPrev = prev
+      prev = Some(raw)
+      val mx = raw.agg(max(col("_raw")).as("_m"))
+      ids.join(raw, ids("id") === col("_gid"), "left")
+        .crossJoin(broadcast(mx))
+        .select(ids("id"),
+          expr(s"(CAST(coalesce(_raw, CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            s" * ${scale}L) div _m").as(outCol))
+    }
+    // h₀ = scale everywhere (the uniform start); a₀ is never read —
+    // round 1's first half-round derives a₁ from h₀
+    var hub = ids.select(col("id"), lit(scale).as("h"))
+    var auth = hub.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iterations) {
+      auth = halfRound(hub, "h", "src", "dst", "a")
+      hub = halfRound(auth, "a", "dst", "src", "h")
+    }
+    auth.join(hub, Seq("id"))
+      .select(col("id").as(idCol), col("a").as("authority"),
+        col("h").as("hub"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection over the undirected graph: every node starts labeled
     * with its own id, and each round adopts the MOST FREQUENT label

@@ -258,6 +258,85 @@ object ProfileOps {
         col("_p.n").as("n"), col("_p.pearson_r").as("pearson_r"))
   }
 
+  /** Pairwise SPEARMAN rank correlation over `cols` — [[corrMatrix]]'s
+    * robust companion: Pearson over average ranks, so it reads
+    * MONOTONE association (any shape) where Pearson reads linear, and
+    * a single outlier moves it by at most one rank step instead of
+    * dragging the whole moment. The profiling question it answers:
+    * "are these features redundant in ORDER, not just in value?"
+    *
+    * Exactness: ranks are exact integers — the average tie rank
+    * r(v) = |{x < v}| + (|{x = v}| + 1)/2 is carried DOUBLED,
+    * r2(v) = 2·|{x < v}| + |{x = v}| + 1 (an exact long; halving
+    * would mint .5s), and Pearson is invariant under positive scaling,
+    * so ρ over r2 ≡ ρ over r. Moments are DECIMAL(38,0) sums of
+    * DECIMAL(19,0) products (exact to n ≈ 3e12 rows — r2 ≤ 2n, so
+    * Σr2² ≤ 4n³ < 10³⁸), presented as DOUBLE, and ρ is the
+    * [[corrMatrix]] fixed IEEE chain over them — bit-identical
+    * cross-engine, no domain guard needed because ranks are
+    * controlled magnitudes, not user data. Zero-variance columns
+    * (constant within the complete set) yield NULL.
+    *
+    * Semantics: LISTWISE deletion — rows with a NULL in ANY of `cols`
+    * drop before ranking, so every pair shares one ranked population
+    * (documented deviation from [[corrMatrix]]'s pairwise deletion:
+    * per-pair ranks would need a rank map per pair, and mixed-pair
+    * ranks are not Spearman's statistic).
+    *
+    * Scale shape: one value-grain aggregation per column, a cumulative
+    * window over that GRAIN (single-partition but bounded by the
+    * DISTINCT-value count — the profile_histogram contract; quantize
+    * continuous columns first, e.g. [[quantileBins]]), an unhinted
+    * join back per column (AQE broadcasts the small maps), then ONE
+    * wide moment aggregate — nothing shuffles but grain rows and one
+    * counter row. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2,
+      s"spearmanMatrix needs at least 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val base = df.select(cols.map(col): _*)
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val ranked = cols.foldLeft(base) { (d, c) =>
+      val grain = base.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_cnt"))
+      val w = Window.orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rmap = grain
+        .withColumn("_below", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+        .select(col("_v").as(s"__v_$c"),
+          (lit(2L) * col("_below") + col("_cnt") + lit(1L)).as(s"__r2_$c"))
+      d.join(rmap, d(c) === rmap(s"__v_$c")).drop(s"__v_$c")
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val dec = (c: Column) => c.cast(DecimalType(19, 0))
+    val d38 = DecimalType(38, 0)
+    val aggs = Seq(count(lit(1)).cast(DoubleType).as("__n")) ++
+      cols.flatMap { c =>
+        Seq(sum(dec(col(s"__r2_$c"))).cast(d38).cast(DoubleType)
+              .as(s"__s_$c"),
+          sum(dec(col(s"__r2_$c")) * dec(col(s"__r2_$c"))).cast(d38)
+            .cast(DoubleType).as(s"__ss_$c"))
+      } ++ pairs.zipWithIndex.map { case ((a, b), i) =>
+        sum(dec(col(s"__r2_$a")) * dec(col(s"__r2_$b"))).cast(d38)
+          .cast(DoubleType).as(s"__sp_$i")
+      }
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val perPair = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col("__n")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val cov = n * col(s"__sp_$i") - col(s"__s_$a") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        n.cast("long").as("n"),
+        when(n > 1.0 && va > 0.0 && vb > 0.0,
+          cov / (sqrt(va) * sqrt(vb))).as("spearman_rho"))
+    }
+    one.select(explode(array(perPair: _*)).as("_p"))
+      .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),
+        col("_p.n").as("n"), col("_p.spearman_rho").as("spearman_rho"))
+  }
+
   /** Per-group z-score normalization ((x − mean) / stddev within
     * `keyCol`) — the group-wise feature scaling step, as ONE window
     * aggregate over the group: one shuffle on the key, no join back,

@@ -280,4 +280,71 @@ object SearchOps {
       .select(col(idCol), col("rank"), col("_tok").as("term"),
         col("tf"), col("weight").cast(DoubleType).as("weight"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the hybrid-retrieval combiner: fuse the per-query ranked lists of
+    * several retrieval systems (lexical BM25, dense cosine, …) into one
+    * list by `rrf(d) = Σ_s 1/(kRrf + rank_s(d))`, summing only over the
+    * systems that ranked `d` at all. RRF is RANK-based by design — it
+    * never reads the systems' incomparable raw scores — which is why it
+    * is the default fuser in production hybrid search (Elasticsearch,
+    * Vespa, every RAG stack): no score normalization to tune, robust to
+    * one system's score scale drifting.
+    *
+    * Inputs: `(name, ranking)` pairs, each ranking a frame of
+    * `(qidCol, idCol, rankCol)` rows already truncated to that system's
+    * retrieval depth (a missing (query, doc) row simply contributes 0,
+    * the standard truncated-list convention). Names become the output's
+    * per-system rank columns (`<name>_rank`, NULL = not retrieved), the
+    * per-branch provenance a relevance engineer reads first.
+    *
+    * Determinism: each reciprocal is ONE IEEE division of exact
+    * integers (`1.0 / (kRrf + rank)`), bit-identical cross-engine, and
+    * the across-systems sum is a FIXED-ORDER left-associated expression
+    * sum in the callers' system order — never a row-set SUM whose
+    * accumulation order an engine may choose (the [[bm25TopK]] score
+    * discipline). Fused ties (e.g. two docs holding the same single
+    * rank in different systems) break on (score DESC, id ASC).
+    *
+    * Scale shape: the inputs are already top-depth-bounded frames
+    * (≤ queries × depth rows each), so the full-outer join chain on
+    * (query, doc) is metadata-sized next to the corpus scans that
+    * produced them — AQE broadcasts the tiny sides unhinted — and the
+    * per-query fused top-k plans through the two-phase TopKPerKey
+    * strategy like every ranking key. Nothing here rescans the corpus. */
+  def rrfFuse(systems: Seq[(String, DataFrame)], qidCol: String,
+      idCol: String, rankCol: String, kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(systems.nonEmpty, "rrfFuse: no systems to fuse")
+    require(systems.map(_._1).distinct.size == systems.size,
+      s"rrfFuse: duplicate system names in ${systems.map(_._1)}")
+    require(kRrf >= 1, s"rrfFuse: kRrf must be >= 1, got $kRrf")
+    require(k > 0, s"rrfFuse: k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val renamed = systems.map { case (n, df) =>
+      df.select(col(qidCol), col(idCol),
+        col(rankCol).cast(IntegerType).as(s"${n}_rank"))
+    }
+    // full-outer USING-join chain: key columns coalesce, so a doc seen
+    // by any subset of systems keeps one row with NULLs for the rest
+    val joined = renamed.reduce(_.join(_, Seq(qidCol, idCol), "full_outer"))
+    // fixed-order left-associated sum over the declared system order —
+    // the oracle restates this exact association (object-doc contract)
+    val score = systems.map { case (n, _) =>
+      coalesce(lit(1.0) / (lit(kRrf) + col(s"${n}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    val nSystems = systems.map { case (n, _) =>
+      when(col(s"${n}_rank").isNotNull, 1).otherwise(0)
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf_score", score)
+      .withColumn("n_systems", nSystems.cast(IntegerType))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("rrf_score").desc, col(idCol))))
+      .filter(col("rrf_rank") <= k)
+      .select(Seq(col(qidCol), col("rrf_rank"), col(idCol),
+        col("rrf_score")) ++
+        systems.map { case (n, _) => col(s"${n}_rank") } :+
+        col("n_systems"): _*)
+  }
 }

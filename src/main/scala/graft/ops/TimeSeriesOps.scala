@@ -328,6 +328,79 @@ object TimeSeriesOps {
       .orderBy(col("lag"))
   }
 
+  /** Sample cross-correlation function (CCF) between TWO aligned
+    * regular series — the lead/lag diagnostic beside [[acf]]'s
+    * within-series one: a peak at lag k > 0 means x leads y by k
+    * buckets (x's deviations co-move with y's k buckets LATER), the
+    * question an ops/attribution pipeline asks of e.g. clicks vs
+    * purchases or deploys vs errors. Covers lags −maxLag..+maxLag
+    * (0 included — unlike ACF's trivial 1.0, the contemporaneous
+    * cross-correlation is informative).
+    *
+    * Input: one bucket-grain frame carrying BOTH series on a shared
+    * dense index (`idxCol`, `xCol`, `yCol`) — building both measures in
+    * one conditional aggregation is what keeps them aligned; a per-type
+    * join of separately-built series would silently drop buckets where
+    * either side is empty.
+    *
+    * Exactness — the [[acf]] algebra with two means cleared: devx_t =
+    * n·x_t − Σx and devy_t = n·y_t − Σy are exact longs; the lag-k
+    * numerator Σ devx_t·devy_{t+k} and the two denominators Σ devx²,
+    * Σ devy² are DECIMAL(38,0) sums of DECIMAL(19,0) products (the
+    * LongType-wrap class fixed round 14 — see [[acf]]'s bound);
+    * everything presents as DOUBLE (one correctly-rounded cast each,
+    * mirrored by the oracle's HUGEINT→DOUBLE), and
+    * ccf_k = num / (√den_x · √den_y) is a THREE-op fixed IEEE sequence
+    * (sqrt is IEEE-754 correctly-rounded on both engines — the cosine
+    * keys' precedent). The ×n² scaling cancels in the ratio. A
+    * constant series (zero denominator) yields NULL ccf, the
+    * prep_robust_scale degenerate-input convention.
+    *
+    * Scale shape: identical to [[acf]] — the corpus-scale pass is the
+    * caller's bucket aggregation; the ±maxLag fan-out and shifted
+    * equi-join are model-sized; totals ride scalar broadcasts. */
+  def ccf(series: DataFrame, idxCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.types.LongType
+    val s = series.select(col(idxCol).cast(LongType).as("idx"),
+      col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    val tot = s.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val dev = s.crossJoin(broadcast(tot))
+      .select(col("idx"),
+        (col("n") * col("x") - col("sx")).as("devx"),
+        (col("n") * col("y") - col("sy")).as("devy"))
+    def dec19(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val den = dev.agg(
+      sum(dec19(col("devx")) * dec19(col("devx")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("den_x"),
+      sum(dec19(col("devy")) * dec19(col("devy")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("den_y"))
+    val lags = series.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    dev.crossJoin(broadcast(lags))
+      .withColumn("_bidx", col("idx") + col("lag"))
+      .join(dev.select(col("idx").as("_bidx"), col("devy").as("_devyb")),
+        Seq("_bidx"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec19(col("devx")) * dec19(col("_devyb")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast(DoubleType).as("num"),
+        col("den_x").cast(DoubleType).as("den_x"),
+        col("den_y").cast(DoubleType).as("den_y"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num").cast(DoubleType) /
+            (sqrt(col("den_x").cast(DoubleType)) *
+             sqrt(col("den_y").cast(DoubleType))))
+          .otherwise(lit(null).cast(DoubleType)).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** Classical additive seasonal decomposition (the moving-average
     * textbook method; STL's simpler ancestor and the one whose every
     * step is exact-arithmetic oracle-able): trend = centered 2×m

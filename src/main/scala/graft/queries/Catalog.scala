@@ -274,6 +274,37 @@ object Catalog {
        |SELECT id AS doc_id, pr FROM pr5 ORDER BY doc_id""".stripMargin
   }
 
+  /** graph_hits' DuckDB oracle: 4 unrolled HITS rounds, each two
+    * half-rounds of HUGEINT sum + L∞ rescale — the exact integer
+    * sequence [[graft.ops.GraphOps.hits]] computes (both engines
+    * truncate non-negative division identically). */
+  private def hitsOracle(whereSql: String, modSql: String): String = {
+    def round(k: Int): String =
+      s"""a${k}r AS (
+         |  SELECT e.dst AS id, sum(CAST(h.h AS HUGEINT)) AS r
+         |  FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+         |a${k}m AS (SELECT max(r) AS m FROM a${k}r),
+         |a$k AS (
+         |  SELECT n.id,
+         |    (coalesce(r.r, 0) * CAST(1000000000000 AS HUGEINT)) // m AS a
+         |  FROM nodes n LEFT JOIN a${k}r r ON r.id = n.id CROSS JOIN a${k}m),
+         |h${k}r AS (
+         |  SELECT e.src AS id, sum(a.a) AS r
+         |  FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+         |h${k}m AS (SELECT max(r) AS m FROM h${k}r),
+         |h$k AS (
+         |  SELECT n.id,
+         |    (coalesce(r.r, 0) * CAST(1000000000000 AS HUGEINT)) // m AS h
+         |  FROM nodes n LEFT JOIN h${k}r r ON r.id = n.id CROSS JOIN h${k}m)""".stripMargin
+    s"""WITH ${graphNodeEdgeCtes(whereSql, modSql)},
+       |edges AS (SELECT src, dst FROM de),
+       |h0 AS (SELECT id, CAST(1000000000000 AS HUGEINT) AS h FROM nodes),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT a4.id AS doc_id, CAST(a4.a AS BIGINT) AS authority,
+       |  CAST(h4.h AS BIGINT) AS hub
+       |FROM a4 JOIN h4 ON h4.id = a4.id ORDER BY doc_id""".stripMargin
+  }
+
   /** sql_recursive_cte's shared statement: ONE SQL text parameterized
     * only by the documents-table name, run natively by BOTH engines
     * (Spark 4.x executes WITH RECURSIVE; DuckDB always has). Bounded
@@ -3288,6 +3319,34 @@ object Catalog {
           .orderBy(col("doc_id"))
       },
       Some(lpaOracle("WHERE doc_id < 500", "500"))),
+
+    // HITS hubs & authorities (GraphOps.hits, Kleinberg 1999): 4
+    // alternating rounds over the same synthetic link graph as
+    // graph_pagerank — the two-score decomposition PageRank conflates
+    // (high authority = content worth sampling; high hub + low
+    // authority = link farm / directory, the crawl-exclusion
+    // signature). Fixed-point integer arithmetic with L∞ per-round
+    // rescaling instead of L2 (documented deviation: the fixed point
+    // is scaling-invariant, and max-rescale is exact truncating
+    // integer math where a square root is not) ⇒ every round is
+    // bit-portable and the whole computation is oracled as 4 unrolled
+    // SQL rounds of HUGEINT sum + rescale. Per half-round: one edge
+    // equi-join, one groupBy, a 1-row max broadcast — never a driver
+    // collect; lineage cuts through the pagerank checkpoint seam.
+    "graph_hits" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        GraphOps.hits(ids, edges, "doc_id", "src", "dst", iterations = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some(hitsOracle("WHERE doc_id < 500", "500")),
+      allowBnlj = true),
 
     // Geohash grid bucketing (GeoOps.geohash): the spatial shuffle key
     // — the reference's data model is weather stations with
@@ -6433,6 +6492,181 @@ object Catalog {
              |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
       allowBnlj = true),
 
+    // HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    // SearchOps.rrfFuse) — the combiner every production hybrid-search
+    // stack runs: the SAME three queries retrieve through BOTH the
+    // frozen-model BM25 lexical branch (search_bm25_batch's plan, depth
+    // 30) and the dense brute-force cosine branch over the in-pipeline
+    // HashingEmbedder (sim_embed_topk_cosine's plan, depth 30), then
+    // fuse rank-wise: rrf = 1/(60+lex_rank) + 1/(60+dense_rank), each
+    // reciprocal ONE IEEE division of exact integers and the sum a
+    // fixed-order two-term add — bit-exact cross-engine with NO score
+    // normalization (RRF never reads the branches' incomparable raw
+    // scores; that is the point of the algorithm). Per-system rank
+    // columns ride along as NULL-able provenance ('which branch found
+    // it'); q3's 'zebra' term is lexically OOV yet still contributes
+    // dense signal — the complementary-recall case hybrid search exists
+    // for. DuckDB re-derives BOTH branches from raw text (the
+    // bm25_batch postings CTEs + the hashing-embedder CTEs) and fuses
+    // with the same fixed-order expression; the fused top-10 per query
+    // must match rank-for-rank.
+    "search_rrf_hybrid" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val queries = Seq(
+          ("q1", "dup hash join"),
+          ("q2", "merge sort"),
+          ("q3", "dup zebra")).toDF("qid", "qtext")
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        val lex = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+            queries, "qid", "qtext", k = 30)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val embedder = () => new EmbedOps.HashingEmbedder(dim = 16, seed = 7L)
+        val dEmb = EmbedOps.embedWith(
+            docs.select(col("doc_id"), col("text")), "text", embedder)
+          .select(col("doc_id"),
+            transform(col("embedding"), x => x.cast(LongType)).as("cv"))
+          .withColumn("nb", SimilarityOps.dotLong(col("cv"), col("cv")))
+          .filter(col("nb") > 0)
+        val qEmb = EmbedOps.embedWith(queries, "qtext", embedder)
+          .select(col("qid"),
+            transform(col("embedding"), x => x.cast(LongType)).as("qv"))
+          .withColumn("na", SimilarityOps.dotLong(col("qv"), col("qv")))
+          .filter(col("na") > 0)
+        val dense = dEmb.crossJoin(broadcast(qEmb))
+          .withColumn("dot", SimilarityOps.dotLong(col("qv"), col("cv")))
+          .withColumn("cos_q", col("dot").cast(DoubleType) /
+            (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos_q").desc, col("doc_id"))))
+          .filter(col("rank") <= 30)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        SearchOps.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+            "qid", "doc_id", "rank", kRrf = 60, k = 10)
+          .orderBy(col("qid"), col("rrf_rank"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM dt GROUP BY 1),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n,
+             |                 CAST(sum(tf) AS BIGINT) AS tot FROM dt),
+             |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+             |idf AS (
+             |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+             |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+             |    AS DECIMAL(20,6)) AS idf
+             |  FROM dfc CROSS JOIN stats),
+             |q(qid, qtext) AS (VALUES
+             |  ('q1', 'dup hash join'), ('q2', 'merge sort'),
+             |  ('q3', 'dup zebra')),
+             |qt AS (
+             |  SELECT qid, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(lower(qtext), '\s+'),
+             |    x -> length(x) > 0))) AS tok
+             |  FROM q),
+             |qi AS (
+             |  SELECT qt.qid, qt.tok, idf.idf
+             |  FROM qt JOIN idf ON idf.tok = qt.tok),
+             |w AS (
+             |  SELECT qi.qid, dt.doc_id, qi.tok,
+             |    CAST(qi.idf AS DOUBLE) *
+             |      ((dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |       (dt.tf + CAST(1.2 AS DOUBLE) *
+             |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |         ((CAST(0.75 AS DOUBLE) * dl.dl) * stats.n) / stats.tot)))
+             |      AS w
+             |  FROM dt
+             |  JOIN qi ON qi.tok = dt.tok
+             |  JOIN dl ON dl.doc_id = dt.doc_id
+             |  CROSS JOIN stats),
+             |lsc AS (
+             |  SELECT qid, doc_id,
+             |    list_reduce(list(w ORDER BY tok), (a, b) -> a + b) AS score
+             |  FROM w GROUP BY qid, doc_id),
+             |lexr AS (
+             |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, doc_id) AS rank FROM lsc),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(regexp_split_to_array(tok, ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+             |  FROM t),
+             |sums AS (
+             |  SELECT doc_id, h % 16 AS dim_idx,
+             |    SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS v
+             |  FROM hashed GROUP BY 1, 2),
+             |norms AS (
+             |  SELECT doc_id, SUM(v*v) AS nn FROM sums GROUP BY 1),
+             |qhashed AS (
+             |  SELECT qid,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(regexp_split_to_array(tok, ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+             |  FROM (SELECT qid,
+             |          unnest(regexp_split_to_array(lower(qtext), '\s+')) AS tok
+             |        FROM q)
+             |  WHERE length(tok) > 0),
+             |qsums AS (
+             |  SELECT qid, h % 16 AS dim_idx,
+             |    SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS v
+             |  FROM qhashed GROUP BY 1, 2),
+             |qnorms AS (
+             |  SELECT qid, SUM(v*v) AS nn FROM qsums GROUP BY 1),
+             |dpairs AS (
+             |  SELECT qn.qid, n.doc_id
+             |  FROM (SELECT qid FROM qnorms WHERE nn > 0) qn
+             |  CROSS JOIN (SELECT doc_id FROM norms WHERE nn > 0) n),
+             |ddots AS (
+             |  SELECT qs.qid, s.doc_id, SUM(qs.v * s.v) AS dot
+             |  FROM qsums qs JOIN sums s USING (dim_idx)
+             |  GROUP BY 1, 2),
+             |dscored AS (
+             |  SELECT p.qid, p.doc_id,
+             |    CAST(COALESCE(dd.dot, 0) AS DOUBLE) /
+             |      (sqrt(CAST(qn.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))) AS cos_q
+             |  FROM dpairs p
+             |  LEFT JOIN ddots dd ON dd.qid = p.qid AND dd.doc_id = p.doc_id
+             |  JOIN qnorms qn ON qn.qid = p.qid
+             |  JOIN norms n2 ON n2.doc_id = p.doc_id),
+             |denser AS (
+             |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY cos_q DESC, doc_id) AS rank FROM dscored),
+             |fused AS (
+             |  SELECT COALESCE(l.qid, de.qid) AS qid,
+             |         COALESCE(l.doc_id, de.doc_id) AS doc_id,
+             |         l.rank AS lex_rank, de.rank AS dense_rank
+             |  FROM (SELECT * FROM lexr WHERE rank <= 30) l
+             |  FULL OUTER JOIN (SELECT * FROM denser WHERE rank <= 30) de
+             |    ON l.qid = de.qid AND l.doc_id = de.doc_id),
+             |fsc AS (
+             |  SELECT qid, doc_id, lex_rank, dense_rank,
+             |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank),
+             |             CAST(0.0 AS DOUBLE)) +
+             |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rank),
+             |             CAST(0.0 AS DOUBLE)) AS rrf_score,
+             |    (CASE WHEN lex_rank IS NOT NULL THEN 1 ELSE 0 END +
+             |     CASE WHEN dense_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_systems
+             |  FROM fused),
+             |fr AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY rrf_score DESC, doc_id) AS rrf_rank FROM fsc)
+             |SELECT qid, CAST(rrf_rank AS INTEGER) AS rrf_rank, doc_id,
+             |  rrf_score, CAST(lex_rank AS INTEGER) AS lex_rank,
+             |  CAST(dense_rank AS INTEGER) AS dense_rank,
+             |  CAST(n_systems AS INTEGER) AS n_systems
+             |FROM fr WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank""".stripMargin),
+      allowBnlj = true),
+
     // Sequence packing: documents → token-budget bins per source (the
     // context-window binning step of a training pipeline). Exact integer
     // window arithmetic ⇒ fully oracled.
@@ -8780,6 +9014,75 @@ object Catalog {
           pair("l_quantity", "l_discount"),
           pair("l_extendedprice", "l_discount"))
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
+      }),
+
+    // Pairwise SPEARMAN rank correlation (ProfileOps.spearmanMatrix) —
+    // profile_corr's robust companion: Pearson over average tie ranks,
+    // reading MONOTONE association where Pearson reads linear. Ranks
+    // are exact integers (the average tie rank carried DOUBLED:
+    // r2 = 2·below + ties + 1 — Pearson is scaling-invariant, so ρ is
+    // unchanged and no .5 is ever minted); moments are DECIMAL(38,0)
+    // sums presented as DOUBLE and ρ is the profile_corr fixed IEEE
+    // chain ⇒ fully oracled. Over lineitem's three bounded-grain
+    // numeric columns (50/11/9 distinct values — the value-grain
+    // cumulative window's bounded-frame contract; continuous columns
+    // quantile-bin first). Listwise deletion: every pair shares ONE
+    // ranked population (documented deviation from profile_corr's
+    // pairwise contract).
+    "profile_spearman" -> QuerySpec(
+      (s, d) => ProfileOps.spearmanMatrix(
+          t(s, d, "lineitem"),
+          Seq("l_quantity", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b")),
+      Some {
+        def rankCte(src: String, name: String) =
+          s"""g_$name AS (SELECT $src AS v, count(*) AS c FROM base GROUP BY 1),
+             |r_$name AS (
+             |  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + c + 1 AS r2
+             |  FROM g_$name)""".stripMargin
+        def pair(a: String, b: String, nameA: String, nameB: String) =
+          s"""SELECT '$nameA' AS col_a, '$nameB' AS col_b, CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n > 1 AND n*ss_$a - s_$a*s_$a > 0
+             |            AND n*ss_$b - s_$b*s_$b > 0
+             |    THEN (n*sp_${a}_$b - s_$a*s_$b) /
+             |      (sqrt(n*ss_$a - s_$a*s_$a) * sqrt(n*ss_$b - s_$b*s_$b))
+             |  END AS spearman_rho
+             |FROM m""".stripMargin
+        s"""WITH base AS (
+           |  SELECT l_quantity AS q, l_discount AS d, l_tax AS t
+           |  FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           |    AND l_tax IS NOT NULL),
+           |${rankCte("q", "q")},
+           |${rankCte("d", "d")},
+           |${rankCte("t", "t")},
+           |j AS (
+           |  SELECT rq.r2 AS r2q, rd.r2 AS r2d, rt.r2 AS r2t
+           |  FROM base
+           |  JOIN r_q rq ON rq.v = base.q
+           |  JOIN r_d rd ON rd.v = base.d
+           |  JOIN r_t rt ON rt.v = base.t),
+           |m AS (SELECT
+           |  CAST(count(*) AS DOUBLE) AS n,
+           |  CAST(sum(CAST(r2q AS HUGEINT)) AS DOUBLE) AS s_q,
+           |  CAST(sum(CAST(r2d AS HUGEINT)) AS DOUBLE) AS s_d,
+           |  CAST(sum(CAST(r2t AS HUGEINT)) AS DOUBLE) AS s_t,
+           |  CAST(sum(CAST(r2q AS HUGEINT) * r2q) AS DOUBLE) AS ss_q,
+           |  CAST(sum(CAST(r2d AS HUGEINT) * r2d) AS DOUBLE) AS ss_d,
+           |  CAST(sum(CAST(r2t AS HUGEINT) * r2t) AS DOUBLE) AS ss_t,
+           |  CAST(sum(CAST(r2q AS HUGEINT) * r2d) AS DOUBLE) AS sp_q_d,
+           |  CAST(sum(CAST(r2q AS HUGEINT) * r2t) AS DOUBLE) AS sp_q_t,
+           |  CAST(sum(CAST(r2d AS HUGEINT) * r2t) AS DOUBLE) AS sp_d_t
+           |  FROM j)
+           |SELECT * FROM (
+           |${pair("q", "d", "l_quantity", "l_discount")}
+           |UNION ALL
+           |${pair("q", "t", "l_quantity", "l_tax")}
+           |UNION ALL
+           |${pair("d", "t", "l_discount", "l_tax")}
+           |) ORDER BY col_a, col_b""".stripMargin
       }),
 
     // Per-group closed-form OLS (ProfileOps.olsByGroup): slope /
@@ -11239,6 +11542,61 @@ object Catalog {
              |  GROUP BY 1)
              |SELECT lag, n_pairs, num, dn.den AS den,
              |  num / dn.den AS acf
+             |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin),
+      allowBnlj = true),
+
+    // Sample CROSS-correlation function (TimeSeriesOps.ccf): CCF at
+    // lags −12..+12 between the hourly 'click' and 'purchase' count
+    // series — ts_acf's two-series companion, the lead/lag diagnostic
+    // ("do clicks lead purchases, and by how many hours?") an
+    // attribution/ops pipeline runs before any causal claim. BOTH
+    // series come out of ONE conditional hour-bucket aggregation, so
+    // they are aligned on the same dense spine by construction (a
+    // per-type join of separately-built series would drop hours where
+    // either type is absent — the documented hazard the op's input
+    // contract exists for). Exactness: the ts_acf algebra with two
+    // means cleared — exact-long devs, DECIMAL(38,0) numerator and
+    // both denominators presented as DOUBLE, ccf = num/(√dx·√dy) a
+    // three-op fixed IEEE sequence (sqrt is correctly-rounded on both
+    // engines — the cosine keys' precedent) ⇒ fully oracled.
+    "ts_xcorr" -> QuerySpec(
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(when(col("event_type") === "click", 1)).as("x"),
+            count(when(col("event_type") === "purchase", 1)).as("y"))
+        val series = hourly.withColumn("idx",
+          (row_number().over(Window.orderBy(col("h"))) - 1)
+            .cast(LongType))
+        TimeSeriesOps.ccf(series, "idx", "x", "y", maxLag = 12)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+             |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+             |        AS idx, x, y FROM hourly),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |               CAST(sum(x) AS BIGINT) AS sx,
+             |               CAST(sum(y) AS BIGINT) AS sy FROM s),
+             |dev AS (SELECT idx, n * x - sx AS devx, n * y - sy AS devy
+             |        FROM s CROSS JOIN tot),
+             |den AS (SELECT
+             |    CAST(sum(CAST(devx AS HUGEINT) * devx) AS DOUBLE) AS den_x,
+             |    CAST(sum(CAST(devy AS HUGEINT) * devy) AS DOUBLE) AS den_y
+             |  FROM dev),
+             |lags AS (SELECT CAST(unnest(range(-12, 13)) AS BIGINT) AS lag),
+             |pairs AS (
+             |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(CAST(a.devx AS HUGEINT) * b.devy) AS DOUBLE) AS num
+             |  FROM dev a CROSS JOIN lags l
+             |  JOIN dev b ON b.idx = a.idx + l.lag
+             |  GROUP BY 1)
+             |SELECT lag, n_pairs, num, dn.den_x AS den_x, dn.den_y AS den_y,
+             |  CASE WHEN dn.den_x > 0 AND dn.den_y > 0
+             |    THEN num / (sqrt(dn.den_x) * sqrt(dn.den_y))
+             |    ELSE NULL END AS ccf
              |FROM pairs CROSS JOIN den dn ORDER BY lag""".stripMargin),
       allowBnlj = true),
 

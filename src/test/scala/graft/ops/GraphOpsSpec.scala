@@ -98,6 +98,77 @@ class GraphOpsSpec extends SparkSpec {
     assert(reliable == unrolled)
   }
 
+  test("hits: hand-computed integer rounds incl. truncation") {
+    // edges 1→2, 1→3, 2→3, 3→1; node 4 isolated. scale 1e6.
+    // round 1: a_raw (1:1e6, 2:1e6, 3:2e6), max 2e6 →
+    //   a = (500000, 500000, 1000000, 0)
+    //   h_raw (1: a2+a3 = 1.5e6, 2: 1e6, 3: 5e5), max 1.5e6 →
+    //   h = (1000000, 666666, 333333, 0)   (truncated thirds)
+    val r1 = GraphOps.hits(nodes, edges, "id", "src", "dst",
+        iterations = 1, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r1 == Map(1L -> ((500000L, 1000000L)), 2L -> ((500000L, 666666L)),
+      3L -> ((1000000L, 333333L)), 4L -> ((0L, 0L))))
+    // round 2: a_raw (1:333333, 2:1e6, 3:1666666), max 1666666 →
+    //   a = (199999, 600000, 1000000, 0)
+    //   h_raw (1:1.6e6, 2:1e6, 3:199999), max 1.6e6 →
+    //   h = (1000000, 625000, 124999, 0)
+    val r2 = GraphOps.hits(nodes, edges, "id", "src", "dst",
+        iterations = 2, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r2 == Map(1L -> ((199999L, 1000000L)), 2L -> ((600000L, 625000L)),
+      3L -> ((1000000L, 124999L)), 4L -> ((0L, 0L))))
+  }
+
+  test("hits: out-star separates pure hub from pure authorities") {
+    val n = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = GraphOps.hits(n, e, "id", "src", "dst",
+        iterations = 3, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // center: all hub, no authority; leaves: all authority, no hub —
+    // the link-farm signature the two-score decomposition exists for
+    assert(out(1L) == ((0L, 1000000L)))
+    for (leaf <- Seq(2L, 3L, 4L)) assert(out(leaf) == ((1000000L, 0L)))
+  }
+
+  test("hits: max authority and max hub are exactly scale; dupes/loops ignored") {
+    val clean = GraphOps.hits(nodes, edges, "id", "src", "dst",
+      iterations = 3, scale = 1000000L)
+      .as[(Long, Long, Long)].collect()
+    assert(clean.map(_._2).max == 1000000L)
+    assert(clean.map(_._3).max == 1000000L)
+    val noisy = edges
+      .unionByName(Seq((1L, 2L), (1L, 2L), (3L, 3L)).toDF("src", "dst"))
+    val got = GraphOps.hits(nodes, noisy, "id", "src", "dst",
+      iterations = 3, scale = 1000000L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == clean.sortBy(_._1).toSeq)
+  }
+
+  test("hits: reliable-checkpoint run is bit-identical; args validated") {
+    val n12 = (1L to 12L).toDF("id")
+    val e12 = (1L to 12L).flatMap(i =>
+      Seq((i, i % 12 + 1), (i, (i * 5) % 12 + 1), (i, (i * 7) % 12 + 1)))
+      .toDF("src", "dst")
+    val local = GraphOps.hits(n12, e12, "id", "src", "dst",
+      iterations = 8, scale = 1000000000L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // reliable-checkpoint mode through the same materialize seam
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hits_ckpt").toString
+    val reliable = GraphOps.hits(n12, e12, "id", "src", "dst",
+      iterations = 8, scale = 1000000000L, checkpointDir = Some(dir))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(reliable == local)
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(nodes, edges, "id", "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.hits(nodes, edges, "id", "src", "dst", scale = 10L)
+    }
+  }
+
   test("triangleStats: hand-checked censuses (K4, K4+pendant, triangle-free)") {
     def stats(edges: Seq[(Long, Long)]) =
       GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst")

@@ -849,4 +849,56 @@ class ProfileOpsSpec extends SparkSpec {
     }
     assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
   }
+
+  test("spearmanMatrix: hand-computed rho with average tie ranks") {
+    import spark.implicits._
+    // x = (1,2,2,3) → r2 = (2,5,5,8); y = (3,1,1,2) → r2 = (8,3,3,6)
+    // n=4 Σa=20 Σb=20 Σaa=118 Σbb=118 Σab=94
+    // va = vb = 4·118−400 = 72; cov = 4·94−400 = −24 → ρ = −1/3
+    val df = Seq((1L, 3L), (2L, 1L), (2L, 1L), (3L, 2L)).toDF("x", "y")
+    val r = ProfileOps.spearmanMatrix(df, Seq("x", "y")).collect().head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - (-1.0 / 3.0)) < 1e-12)
+  }
+
+  test("spearmanMatrix: monotone-nonlinear reads 1 where Pearson reads < 1") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 100L)).toDF("x", "y")
+    val rho = ProfileOps.spearmanMatrix(df, Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(math.abs(rho - 1.0) < 1e-12, rho)
+    val pearson = ProfileOps.corrMatrix(df, Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(pearson < 0.95, pearson)
+    // outlier robustness: inflating the max y 100× moves ρ not at all
+    val inflated = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 10000L))
+      .toDF("x", "y")
+    val rho2 = ProfileOps.spearmanMatrix(inflated, Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(rho2 == rho, (rho, rho2))
+  }
+
+  test("spearmanMatrix: listwise deletion, constant column → NULL, args") {
+    import spark.implicits._
+    // the NULL z row must drop from EVERY pair (listwise), shrinking n
+    val df = Seq(
+      (Some(1L), Some(1L), Some(5L)), (Some(2L), Some(2L), Some(5L)),
+      (Some(3L), Some(3L), None), (Some(4L), Some(4L), Some(5L)))
+      .toDF("x", "y", "z")
+    val out = ProfileOps.spearmanMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out.forall(_._3 == 3L), out)  // n = 3 everywhere
+    val byPair = out.map(t => (t._1, t._2) -> t._4).toMap
+    assert(byPair(("x", "y")).exists(v => math.abs(v - 1.0) < 1e-12))
+    // z is constant on the complete rows → zero variance → NULL
+    assert(byPair(("x", "z")).isEmpty && byPair(("y", "z")).isEmpty)
+    intercept[IllegalArgumentException] {
+      ProfileOps.spearmanMatrix(df, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      ProfileOps.spearmanMatrix(df, Seq("x", "x"))
+    }
+  }
 }

@@ -204,4 +204,72 @@ class SearchOpsSpec extends SparkSpec {
       SearchOps.tfIdfTopTerms(fixture, "id", "text", model, 0)
     }
   }
+
+  // --- rrfFuse ------------------------------------------------------
+
+  private def ranking(rows: (String, Long, Int)*) =
+    rows.toSeq.toDF("qid", "id", "rank")
+
+  test("rrfFuse: hand-computed scores, provenance columns, missing → 0") {
+    // system A ranks docs 1,2,3; system B ranks 2,1,4. kRrf=60.
+    //   doc2: 1/62 + 1/61   doc1: 1/61 + 1/62 (tie with doc2!)
+    //   doc3: 1/63 only     doc4: 1/63 only (ties doc3)
+    val a = ranking(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+    val b = ranking(("q", 2L, 1), ("q", 1L, 2), ("q", 4L, 3))
+    val out = SearchOps.rrfFuse(Seq("a" -> a, "b" -> b),
+      "qid", "id", "rank", kRrf = 60, k = 10)
+      .orderBy(col("rrf_rank")).collect()
+    // doc1 and doc2 tie exactly (same two reciprocals, + is commutative
+    // on these exact values) → id breaks: doc1 first; likewise 3 < 4
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val s = out.map(r => r.getAs[Long]("id") -> r.getAs[Double]("rrf_score")).toMap
+    assert(s(1L) == 1.0 / 61 + 1.0 / 62)
+    assert(s(2L) == 1.0 / 62 + 1.0 / 61)
+    assert(s(3L) == 0.0 + 1.0 / 63)
+    assert(s(4L) == 1.0 / 63 + 0.0)
+    val prov = out.map(r => r.getAs[Long]("id") ->
+      (Option(r.getAs[Integer]("a_rank")), Option(r.getAs[Integer]("b_rank")),
+        r.getAs[Int]("n_systems"))).toMap
+    assert(prov(1L) == ((Some(1), Some(2), 2)))
+    assert(prov(3L) == ((Some(3), None, 1)))
+    assert(prov(4L) == ((None, Some(3), 1)))
+  }
+
+  test("rrfFuse: fusion is per-query; k truncates each query's list") {
+    val a = ranking(("q1", 1L, 1), ("q1", 2L, 2), ("q2", 9L, 1))
+    val b = ranking(("q1", 3L, 1), ("q2", 9L, 1), ("q2", 8L, 2))
+    val out = SearchOps.rrfFuse(Seq("a" -> a, "b" -> b),
+      "qid", "id", "rank", kRrf = 60, k = 1)
+      .orderBy(col("qid")).collect()
+    // q1 top-1: doc1 (1/61) vs doc3 (1/61) tie → id asc → doc1
+    // q2 top-1: doc9 in both systems at rank 1 → 2/61, beats doc8
+    assert(out.map(r => (r.getAs[String]("qid"), r.getAs[Long]("id"))).toSeq ==
+      Seq(("q1", 1L), ("q2", 9L)))
+    assert(out.forall(_.getAs[Int]("rrf_rank") == 1))
+  }
+
+  test("rrfFuse: single system degrades to a rank passthrough") {
+    val a = ranking(("q", 5L, 1), ("q", 7L, 2))
+    val out = SearchOps.rrfFuse(Seq("only" -> a), "qid", "id", "rank",
+      kRrf = 60, k = 10).orderBy(col("rrf_rank")).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(5L, 7L))
+    assert(out.map(_.getAs[Double]("rrf_score")).toSeq ==
+      Seq(1.0 / 61, 1.0 / 62))
+  }
+
+  test("rrfFuse: bad arguments are rejected") {
+    val a = ranking(("q", 1L, 1))
+    intercept[IllegalArgumentException] {
+      SearchOps.rrfFuse(Seq.empty, "qid", "id", "rank")
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.rrfFuse(Seq("a" -> a, "a" -> a), "qid", "id", "rank")
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.rrfFuse(Seq("a" -> a), "qid", "id", "rank", kRrf = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.rrfFuse(Seq("a" -> a), "qid", "id", "rank", k = 0)
+    }
+  }
 }

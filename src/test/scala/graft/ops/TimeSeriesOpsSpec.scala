@@ -417,6 +417,77 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(4L) > out(1L) && out(4L) > out(2L) && out(4L) > out(3L), out)
   }
 
+  test("ccf: hand-computed lags on a short pair; lag 0 included") {
+    import spark.implicits._
+    // x = 1,2,3,4 (n=4, Σx=10): devx = 4x−10 → (−6,−2,2,6)
+    // y = 2,1,4,3 (Σy=10):      devy = 4y−10 → (−2,−6,6,2)
+    // den_x = 36+4+4+36 = 80; den_y = 4+36+36+4 = 80
+    // lag 0: 12+12+12+12 = 48
+    // lag 1: (−6)(−6)+(−2)(6)+2·2 = 36−12+4 = 28
+    // lag −1: (−2)(−2)+2·(−6)+6·6 = 4−12+36 = 28
+    val series = Seq((0L, 1L, 2L), (1L, 2L, 1L), (2L, 3L, 4L), (3L, 4L, 3L))
+      .toDF("idx", "x", "y")
+    val out = TimeSeriesOps.ccf(series, "idx", "x", "y", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(-2L, -1L, 0L, 1L, 2L))
+    assert(out(0L) == ((4L, 48.0, 80.0, 80.0, 48.0 / (math.sqrt(80.0) * math.sqrt(80.0)))))
+    assert(out(1L) == ((3L, 28.0, 80.0, 80.0, 28.0 / (math.sqrt(80.0) * math.sqrt(80.0)))))
+    assert(out(-1L) == ((3L, 28.0, 80.0, 80.0, 28.0 / (math.sqrt(80.0) * math.sqrt(80.0)))))
+  }
+
+  test("ccf: a planted k-bucket lead peaks exactly at lag k; asymmetric") {
+    import spark.implicits._
+    // y is x shifted 3 buckets later (x leads y by 3) on a period-7
+    // pattern: the CCF must peak at +3, and the mirror lag −3 must not.
+    // maxLag stays BELOW the period: a periodic signal aliases
+    // (lag −4 ≡ +3 mod 7 scores identically — measured).
+    val xs = (0 until 70).map { i =>
+      val x = (i % 7).toLong
+      val y = (((i - 3) % 7 + 7) % 7).toLong
+      (i.toLong, x, y)
+    }
+    val out = TimeSeriesOps.ccf(xs.toDF("idx", "x", "y"), "idx", "x", "y",
+      maxLag = 3).collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    // exact value: the 3 lost edge pairs cost 14/280 → 266/280 = 0.95
+    assert(out(3L) >= 0.94, out)
+    assert(out.filter(_._1 != 3L).values.forall(_ < out(3L)), out)
+    assert(out(-3L) < 0.5, out)
+  }
+
+  test("ccf: constant series yields NULL ccf, exact zero denominator") {
+    import spark.implicits._
+    val xs = (0 until 10).map(i => (i.toLong, 5L, (i % 3).toLong))
+    val out = TimeSeriesOps.ccf(xs.toDF("idx", "x", "y"), "idx", "x", "y",
+      maxLag = 1).collect()
+    assert(out.forall(_.isNullAt(5)), "constant x must yield NULL ccf")
+    assert(out.forall(_.getDouble(3) == 0.0))
+  }
+
+  test("ccf: decimal products stay exact where a long product would wrap") {
+    import spark.implicits._
+    val base = 3_000_000_000L
+    val xs = (0 until 8).map { i =>
+      val v = base + (if (i % 2 == 0) 500_000_000L else -500_000_000L)
+      (i.toLong, v, v)
+    }
+    val out = TimeSeriesOps.ccf(xs.toDF("idx", "x", "y"), "idx", "x", "y",
+      maxLag = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(5)))).toMap
+    out.foreach { case (lag, (den, c)) =>
+      assert(den > 0.0, s"lag $lag: den wrapped to $den")
+      // Cauchy-Schwarz bounds the exact value; √d·√d can undershoot d
+      // by ~1 ulp, so the presented ratio may poke past 1 by ≤1e-15
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12,
+        s"lag $lag: ccf $c out of range")
+    }
+    // x ≡ y ⇒ ccf(0) ≈ 1 (num = den exactly; √d·√d reintroduces ≤2 ulp)
+    assert(math.abs(out(0L)._2 - 1.0) < 1e-12, out(0L))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.ccf(xs.toDF("idx", "x", "y"), "idx", "x", "y", maxLag = 0)
+    }
+  }
+
   test("decomposeClassical: pure period-4 series decomposes with zero residual") {
     import spark.implicits._
     val xs = (0 until 24).map(i => (i.toLong, i % 4, Seq(1L, 2L, 3L, 4L)(i % 4)))
