@@ -3712,6 +3712,15 @@ object Catalog {
       },
       Some(lpaOracle("", scaledModSql))),
 
+    "graph_hits_scaled" -> QuerySpec(
+      (s, d) => {
+        val (ids, edges) = scaledDocGraph(s, d)
+        GraphOps.hits(ids, edges, "doc_id", "src", "dst", iterations = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some(hitsOracle("", scaledModSql)),
+      allowBnlj = true),
+
     "graph_triangle_scaled" -> QuerySpec(
       (s, d) => {
         val (_, edges) = scaledDocGraph(s, d)
