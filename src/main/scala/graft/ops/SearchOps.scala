@@ -281,6 +281,85 @@ object SearchOps {
         col("tf"), col("weight").cast(DoubleType).as("weight"))
   }
 
+  /** Offline retrieval evaluation — the metrics harness every search /
+    * RAG pipeline runs against a judged set before shipping a ranking
+    * change: per query at cutoff `k`, precision@k, recall@k, MRR's
+    * reciprocal rank, and binary-gain nDCG@k (Järvelin & Kekäläinen
+    * 2002). Works on ANY (qid, id, rank) frame — BM25, dense, or the
+    * [[rrfFuse]] output — against a binary relevance table.
+    *
+    * Determinism: the only transcendental is the rank discount
+    * 1/log2(pos+1), computed ONCE per position 1..k on a k-row literal
+    * frame and quantized DECIMAL(20,9) (the unigram-logprob / psi
+    * discipline — a ≤1-ulp libm disagreement rounds away at 9
+    * decimals); DCG and IDCG are then EXACT decimal sums over that
+    * frozen table (never a row-order double sum), and each presented
+    * metric ends in at most ONE IEEE division of exact inputs. IDCG
+    * sums the top min(n_rel, k) discounts (the binary-gain ideal).
+    *
+    * Conventions: reciprocal rank is 0.0 when no relevant doc is
+    * retrieved (the MRR summand convention); recall@k and nDCG@k are
+    * NULL when the query has NO relevant docs at all (undefined, not
+    * 0 — a judged set that misses a query entirely should surface as
+    * NULL, never as a genuine zero). Queries absent from `ranking`
+    * (retrieved nothing) emit no row — the caller's join decides the
+    * reporting convention.
+    *
+    * Scale shape: rank rows are ≤ queries × k by contract; relevance
+    * joins on (qid, id); the discount table is a k-row broadcast; the
+    * IDCG range-join is per-query × k. Nothing rescans the corpus —
+    * evaluation is metadata-sized next to the retrieval that produced
+    * its input. */
+  def evalRanking(ranking: DataFrame, relevance: DataFrame,
+      qidCol: String, idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k > 0, s"evalRanking: k must be > 0, got $k")
+    val spark = ranking.sparkSession
+    val disc = spark.range(1, k + 1L)
+      .select(col("id").cast(IntegerType).as("_pos"),
+        (lit(1.0) / log2(col("id") + lit(1))).cast(DecimalType(20, 9))
+          .as("_disc"))
+    val r = ranking
+      .select(col(qidCol).as("_qid"), col(idCol).as("_id"),
+        col(rankCol).cast(IntegerType).as("_rank"))
+      .filter(col("_rank") <= k)
+      .join(broadcast(disc), col("_rank") === col("_pos"))
+    val rel = relevance
+      .select(col(qidCol).as("_qid"), col(idCol).as("_id"), lit(1).as("_rel"))
+    val perq = r.join(rel, Seq("_qid", "_id"), "left")
+      .groupBy(col("_qid"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_ret"),
+        sum(coalesce(col("_rel"), lit(0))).cast(IntegerType).as("n_hits"),
+        min(when(col("_rel").isNotNull, col("_rank"))).as("_first_rel"),
+        sum(when(col("_rel").isNotNull, col("_disc"))
+          .otherwise(lit(null))).as("_dcg"))
+    val nrel = rel.groupBy(col("_qid"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_rel"))
+    // ideal DCG: the top min(n_rel, k) discount rows — a per-query
+    // range join against the k-row broadcast table
+    val idcg = nrel.join(broadcast(disc),
+        col("_pos") <= least(col("n_rel"), lit(k)))
+      .groupBy(col("_qid")).agg(sum(col("_disc")).as("_idcg"))
+    perq
+      .join(nrel.join(idcg, Seq("_qid")), Seq("_qid"), "left")
+      .select(col("_qid").as(qidCol),
+        col("n_ret"), coalesce(col("n_rel"), lit(0)).as("n_rel"),
+        col("n_hits"),
+        when(col("_first_rel").isNotNull,
+          lit(1.0) / col("_first_rel")).otherwise(lit(0.0)).as("rr"),
+        (col("n_hits").cast(DoubleType) / lit(k.toDouble))
+          .as("precision_k"),
+        when(col("n_rel") > 0,
+          col("n_hits").cast(DoubleType) / col("n_rel").cast(DoubleType))
+          .as("recall_k"),
+        coalesce(col("_dcg"), lit(0).cast(DecimalType(20, 9)))
+          .cast(DoubleType).as("dcg"),
+        col("_idcg").cast(DoubleType).as("idcg"),
+        when(col("n_rel") > 0 && col("_dcg").isNotNull,
+          col("_dcg").cast(DoubleType) / col("_idcg").cast(DoubleType))
+          .when(col("n_rel") > 0, lit(0.0))
+          .as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
     * the hybrid-retrieval combiner: fuse the per-query ranked lists of
     * several retrieval systems (lexical BM25, dense cosine, …) into one

@@ -6676,6 +6676,148 @@ object Catalog {
              |FROM fr WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank""".stripMargin),
       allowBnlj = true),
 
+    // Offline retrieval EVALUATION (SearchOps.evalRanking) — the judged
+    // metrics harness that closes the retrieval family (index →
+    // retrieve → fuse → evaluate): precision@10, recall@10, reciprocal
+    // rank, and binary-gain nDCG@10 (Järvelin & Kekäläinen 2002) for
+    // the frozen-model BM25 batch ranking against a RULE-DEFINED
+    // relevance set both engines derive from raw text (relevant = doc
+    // contains EVERY distinct query term). The only transcendental is
+    // the rank discount 1/log2(pos+1) — computed once per position on
+    // a 10-row literal frame and quantized DECIMAL(20,9) (oracle
+    // quantizes through the VARCHAR bridge — DuckDB's direct
+    // double→DECIMAL cast double-rounds via ×10⁹, the measured
+    // ts_backtest class); DCG/IDCG are exact decimal sums over that
+    // frozen table and every presented metric ends in ONE IEEE
+    // division. q3's 'zebra' kills its relevance set (no doc holds
+    // both terms) → recall/nDCG NULL, rr 0.0 — the undefined-vs-zero
+    // convention exercised, not just documented.
+    "search_eval_ndcg" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val queries = Seq(
+          ("q1", "dup hash join"),
+          ("q2", "merge sort"),
+          ("q3", "dup zebra")).toDF("qid", "qtext")
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        val ranking = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+          queries, "qid", "qtext", k = 10)
+        val qterms = queries.select(col("qid"),
+          explode(array_distinct(filter(TextOps.tokenize(col("qtext")),
+            x => length(x) > 0))).as("tok"))
+        val nTerms = qterms.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
+        val docToks = docs.select(col("doc_id"),
+          explode(array_distinct(filter(TextOps.tokenize(col("text")),
+            x => length(x) > 0))).as("tok"))
+        val rel = qterms.join(docToks, Seq("tok"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("hit"))
+          .join(nTerms, Seq("qid"))
+          .filter(col("hit") === col("nt"))
+          .select(col("qid"), col("doc_id"))
+        SearchOps.evalRanking(ranking, rel, "qid", "doc_id", "rank", k = 10)
+          .orderBy(col("qid"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM dt GROUP BY 1),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n,
+             |                 CAST(sum(tf) AS BIGINT) AS tot FROM dt),
+             |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+             |idf AS (
+             |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+             |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+             |    AS DECIMAL(20,6)) AS idf
+             |  FROM dfc CROSS JOIN stats),
+             |q(qid, qtext) AS (VALUES
+             |  ('q1', 'dup hash join'), ('q2', 'merge sort'),
+             |  ('q3', 'dup zebra')),
+             |qt AS (
+             |  SELECT qid, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(lower(qtext), '\s+'),
+             |    x -> length(x) > 0))) AS tok
+             |  FROM q),
+             |qi AS (
+             |  SELECT qt.qid, qt.tok, idf.idf
+             |  FROM qt JOIN idf ON idf.tok = qt.tok),
+             |w AS (
+             |  SELECT qi.qid, dt.doc_id, qi.tok,
+             |    CAST(qi.idf AS DOUBLE) *
+             |      ((dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |       (dt.tf + CAST(1.2 AS DOUBLE) *
+             |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |         ((CAST(0.75 AS DOUBLE) * dl.dl) * stats.n) / stats.tot)))
+             |      AS w
+             |  FROM dt
+             |  JOIN qi ON qi.tok = dt.tok
+             |  JOIN dl ON dl.doc_id = dt.doc_id
+             |  CROSS JOIN stats),
+             |lsc AS (
+             |  SELECT qid, doc_id,
+             |    list_reduce(list(w ORDER BY tok), (a, b) -> a + b) AS score
+             |  FROM w GROUP BY qid, doc_id),
+             |rk AS (
+             |  SELECT qid, doc_id, rank FROM (
+             |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, doc_id) AS rank FROM lsc)
+             |  WHERE rank <= 10),
+             |qn AS (SELECT qid, count(*) AS nt FROM qt GROUP BY 1),
+             |dtok AS (SELECT DISTINCT doc_id, tok FROM t),
+             |relc AS (
+             |  SELECT qt.qid, dtok.doc_id, count(*) AS c
+             |  FROM qt JOIN dtok ON dtok.tok = qt.tok GROUP BY 1, 2),
+             |relv AS (
+             |  SELECT relc.qid, relc.doc_id
+             |  FROM relc JOIN qn ON qn.qid = relc.qid AND relc.c = qn.nt),
+             |disc AS (
+             |  SELECT CAST(pos AS INTEGER) AS pos,
+             |    CAST(CAST(CAST(1.0 AS DOUBLE) / log2(pos + 1) AS VARCHAR)
+             |      AS DECIMAL(20,9)) AS disc
+             |  FROM (SELECT unnest(range(1, 11)) AS pos)),
+             |j AS (
+             |  SELECT rk.qid, rk.rank, d2.disc,
+             |    CASE WHEN relv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM rk JOIN disc d2 ON d2.pos = rk.rank
+             |  LEFT JOIN relv ON relv.qid = rk.qid AND relv.doc_id = rk.doc_id),
+             |perq AS (
+             |  SELECT qid, CAST(count(*) AS INTEGER) AS n_ret,
+             |    CAST(sum(hit) AS INTEGER) AS n_hits,
+             |    min(CASE WHEN hit = 1 THEN rank END) AS first_rel,
+             |    sum(CASE WHEN hit = 1 THEN disc END) AS dcg_d
+             |  FROM j GROUP BY 1),
+             |nrel AS (SELECT qid, CAST(count(*) AS INTEGER) AS n_rel
+             |         FROM relv GROUP BY 1),
+             |idcg AS (
+             |  SELECT nrel.qid, sum(disc.disc) AS idcg_d
+             |  FROM nrel JOIN disc ON disc.pos <= least(n_rel, 10)
+             |  GROUP BY 1)
+             |SELECT perq.qid AS qid, n_ret,
+             |  CAST(COALESCE(n_rel, 0) AS INTEGER) AS n_rel,
+             |  n_hits,
+             |  CASE WHEN first_rel IS NOT NULL
+             |    THEN CAST(1.0 AS DOUBLE) / first_rel
+             |    ELSE CAST(0.0 AS DOUBLE) END AS rr,
+             |  CAST(n_hits AS DOUBLE) / CAST(10.0 AS DOUBLE) AS precision_k,
+             |  CASE WHEN n_rel > 0
+             |    THEN CAST(n_hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+             |  END AS recall_k,
+             |  CAST(COALESCE(dcg_d, 0) AS DOUBLE) AS dcg,
+             |  CAST(idcg_d AS DOUBLE) AS idcg,
+             |  CASE WHEN n_rel > 0 AND dcg_d IS NOT NULL
+             |    THEN CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE)
+             |    WHEN n_rel > 0 THEN CAST(0.0 AS DOUBLE) END AS ndcg
+             |FROM perq
+             |LEFT JOIN nrel ON nrel.qid = perq.qid
+             |LEFT JOIN idcg ON idcg.qid = perq.qid
+             |ORDER BY perq.qid""".stripMargin),
+      allowBnlj = true),
+
     // Sequence packing: documents → token-budget bins per source (the
     // context-window binning step of a training pipeline). Exact integer
     // window arithmetic ⇒ fully oracled.

@@ -205,6 +205,50 @@ class SearchOpsSpec extends SparkSpec {
     }
   }
 
+  // --- evalRanking --------------------------------------------------
+
+  test("evalRanking: hand-computed precision/recall/RR/nDCG with quantized discounts") {
+    val ranking = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+      .toDF("qid", "id", "rank")
+    val rel = Seq(("q", 2L), ("q", 9L)).toDF("qid", "id") // d9 never retrieved
+    val r = SearchOps.evalRanking(ranking, rel, "qid", "id", "rank", k = 3)
+      .collect().head
+    assert(r.getAs[Int]("n_ret") == 3 && r.getAs[Int]("n_rel") == 2 &&
+      r.getAs[Int]("n_hits") == 1)
+    assert(r.getAs[Double]("rr") == 0.5) // first relevant at rank 2
+    assert(r.getAs[Double]("precision_k") == 1.0 / 3.0)
+    assert(r.getAs[Double]("recall_k") == 0.5)
+    // dcg = disc(2) = quantize9(1/log2 3); idcg = disc(1) + disc(2)
+    val d2 = new java.math.BigDecimal(1.0 / (math.log(3) / math.log(2)))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(math.abs(r.getAs[Double]("dcg") - d2) < 1e-9, r.getAs[Double]("dcg"))
+    assert(math.abs(r.getAs[Double]("idcg") - (1.0 + d2)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ndcg") - d2 / (1.0 + d2)) < 1e-9)
+  }
+
+  test("evalRanking: perfect ranking scores nDCG 1; conventions for the empty cases") {
+    // q1: both relevant docs at the top → ideal → ndcg = 1 exactly
+    // (dcg and idcg sum the SAME quantized decimals → equal doubles)
+    // q2: relevant docs exist, none retrieved → ndcg 0.0, rr 0.0
+    // q3: no relevant docs at all → recall/ndcg NULL (undefined ≠ 0)
+    val ranking = Seq(("q1", 1L, 1), ("q1", 2L, 2), ("q1", 3L, 3),
+      ("q2", 5L, 1), ("q3", 6L, 1)).toDF("qid", "id", "rank")
+    val rel = Seq(("q1", 1L), ("q1", 2L), ("q2", 7L)).toDF("qid", "id")
+    val out = SearchOps.evalRanking(ranking, rel, "qid", "id", "rank", k = 3)
+      .collect().map(r => r.getAs[String]("qid") -> r).toMap
+    assert(out("q1").getAs[Double]("ndcg") == 1.0)
+    assert(out("q1").getAs[Double]("rr") == 1.0)
+    assert(out("q2").getAs[Double]("ndcg") == 0.0)
+    assert(out("q2").getAs[Double]("rr") == 0.0)
+    assert(out("q2").getAs[Double]("recall_k") == 0.0)
+    assert(out("q3").isNullAt(out("q3").fieldIndex("ndcg")))
+    assert(out("q3").isNullAt(out("q3").fieldIndex("recall_k")))
+    assert(out("q3").getAs[Double]("rr") == 0.0)
+    intercept[IllegalArgumentException] {
+      SearchOps.evalRanking(ranking, rel, "qid", "id", "rank", k = 0)
+    }
+  }
+
   // --- rrfFuse ------------------------------------------------------
 
   private def ranking(rows: (String, Long, Int)*) =
