@@ -225,6 +225,76 @@ object GraphOps {
         col("h").as("hub"))
   }
 
+  /** Neighborhood link prediction (Liben-Nowell & Kleinberg 2003) —
+    * the "which edges are missing?" scorer behind related-page
+    * discovery and crawl frontier ranking: for every UNLINKED pair
+    * with ≥ `minCommon` shared neighbors, the three classic scores —
+    * common-neighbor count |Γa∩Γb|, Jaccard |Γa∩Γb|/|Γa∪Γb|, and
+    * Adamic-Adar Σ_{z∈Γa∩Γb} 1/ln(deg z) (rare shared neighbors count
+    * more than hubs). Global top-`k` by (common DESC, Adamic-Adar
+    * DESC, pair) — the exact-decimal AA is the tiebreak so the
+    * ordering never reads a double.
+    *
+    * Determinism: counts and degrees are exact longs; Jaccard is ONE
+    * IEEE division of exact integers (|∪| = da+db−|∩|); Adamic-Adar's
+    * transcendental quantizes ONCE per NODE (1/ln(deg) as
+    * DECIMAL(20,9) on the degree grain — every common neighbor has
+    * deg ≥ 2, so ln > 0) and the per-pair score is an exact decimal
+    * SUM of those staged values, presented as DOUBLE.
+    *
+    * Scale shape: the wedge self-join is the cost — Σ_z deg(z)², the
+    * [[triangleStats]] bound — so wedge CENTERS are gated to
+    * 2 ≤ deg ≤ `maxCenterDegree` (the LSH pair-budget idea: a
+    * million-degree hub would mint 10¹² candidate pairs while
+    * contributing 1/ln(10⁶) ≈ 0.07 to any of them; excluded centers
+    * drop from the common-neighbor COUNT too, keeping cn ≡ |∩| over
+    * the declared center set — documented, unit-pinned). Candidates
+    * anti-join the symmetrized edge list; the global top-k is
+    * TakeOrderedAndProject. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, minCommon: Int = 1,
+      maxCenterDegree: Long = 10000L): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val e0 = edges
+      .select(col(srcCol).cast(LongType).as("_s"),
+        col(dstCol).cast(LongType).as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+    val adj = e0.select(col("_s").as("u"), col("_d").as("v"))
+      .union(e0.select(col("_d").as("u"), col("_s").as("v")))
+      .distinct()
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // wedge centers: degree-gated, with 1/ln(deg) quantized ONCE here
+    val centers = deg
+      .filter(col("d") >= 2 && col("d") <= maxCenterDegree)
+      .select(col("u").as("z"),
+        (lit(1.0) / log(col("d"))).cast(DecimalType(20, 9)).as("_il"))
+    val l = adj.select(col("u").as("z"), col("v").as("x"))
+    val r = adj.select(col("u").as("z"), col("v").as("y"))
+    val scored = l.join(r, Seq("z")).filter(col("x") < col("y"))
+      .join(centers, Seq("z"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"), sum(col("_il")).as("_aa"))
+      .filter(col("n_common") >= minCommon)
+    val cand = scored.join(
+      adj.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_anti")
+    cand
+      .join(deg.select(col("u").as("x"), col("d").as("deg_a")), Seq("x"))
+      .join(deg.select(col("u").as("y"), col("d").as("deg_b")), Seq("y"))
+      .orderBy(col("n_common").desc, col("_aa").desc, col("x"), col("y"))
+      .limit(k)
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("n_common"), col("deg_a"), col("deg_b"),
+        (col("n_common").cast(DoubleType) /
+          (col("deg_a") + col("deg_b") - col("n_common")).cast(DoubleType))
+          .as("jaccard"),
+        col("_aa").cast(DoubleType).as("adamic_adar"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection over the undirected graph: every node starts labeled
     * with its own id, and each round adopts the MOST FREQUENT label

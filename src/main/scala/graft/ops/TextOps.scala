@@ -735,6 +735,122 @@ object TextOps {
         round(-col("sum_logprob").cast(DoubleType) / col("n_tokens"), 6))
   }
 
+  /** FIT half of an INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney
+    * 1995; Chen & Goodman 1998's interpolated form) — the standard
+    * n-gram smoothing (the KenLM default) and the quality upgrade of
+    * [[bigramLmFit]]'s stupid backoff: instead of scaling the unigram
+    * frequency, unseen bigrams back off to the CONTINUATION probability
+    * p_cont(w) = N1+(·w)/T (how many distinct contexts w follows,
+    * over T bigram types) — "Francisco" is frequent but follows only
+    * "San", so KN correctly scores it implausible in novel contexts,
+    * the exact failure mode frequency backoff has.
+    *
+    * Model rows (the [[bigramLmFit]] (_prev, _tok, _lp) schema, four
+    * row classes):
+    *  - (v, w):      lp of the full interpolated estimate
+    *                 (c(vw)−D)/c(v) + (D·N1+(v·)/c(v)) · p_cont(w)
+    *  - (v, NULL):   lp of the context's backoff weight
+    *                 λ(v) = D·N1+(v·)/c(v)
+    *  - (NULL, w):   lp of p_cont(w) — so an unseen bigram with seen
+    *                 context scores λ(v)·p_cont(w) as lp_λ + lp_cont,
+    *                 an EXACT decimal add of two quantized logs
+    *  - (NULL, NULL): lp of the OOV floor D/T (documented convention)
+    *
+    * Exactness: all counts are exact longs; the default discount
+    * D = 0.75 is an exact binary fraction (the α/β-complement
+    * discipline), each probability is ONE fixed IEEE chain over exact
+    * inputs, and ln quantizes DECIMAL(20,9) ONCE per vocab-grain row
+    * (the unigram-logprob discipline) ⇒ per-doc sums are exact decimal
+    * adds, fully oracle-able.
+    *
+    * Scale shape: pair explode → one (v,w) count aggregation; every
+    * derived table (context counts+continuation fan-outs, word
+    * context counts, the 1-row type total) aggregates off that grain —
+    * nothing rescans the corpus. */
+  def knBigramFit(df: DataFrame, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val toksD = df
+      .select(filter(tokenize(col(textCol)), t => length(t) > 0).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    val pairs = toksD
+      .select(explode(bigramPairs(col("_toks"))).as("_p"))
+      .select(col("_p._prev").as("_prev"), col("_p._tok").as("_tok"))
+    val cb = pairs.groupBy(col("_prev"), col("_tok"))
+      .agg(count(lit(1)).as("_cb"))
+    // context grain: total count c(v) AND distinct-continuation count
+    // N1+(v·) from one aggregation over the bigram grain
+    val cp = cb.groupBy(col("_prev"))
+      .agg(sum(col("_cb")).as("_cp"), count(lit(1)).as("_n1p"))
+    val n1c = cb.groupBy(col("_tok")).agg(count(lit(1)).as("_n1c"))
+    val tot = cb.agg(count(lit(1)).as("_t"))
+    val qd = DecimalType(20, 9)
+    val bi = cb.join(cp, Seq("_prev")).join(n1c, Seq("_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("_prev"), col("_tok"),
+        log((col("_cb") - lit(discount)) / col("_cp") +
+            ((lit(discount) * col("_n1p")) / col("_cp")) *
+              (col("_n1c") / col("_t")))
+          .cast(qd).as("_lp"))
+    val lam = cp.select(col("_prev"),
+      lit(null).cast(StringType).as("_tok"),
+      log((lit(discount) * col("_n1p")) / col("_cp")).cast(qd).as("_lp"))
+    val cont = n1c.crossJoin(broadcast(tot))
+      .select(lit(null).cast(StringType).as("_prev"), col("_tok"),
+        log(col("_n1c") / col("_t")).cast(qd).as("_lp"))
+    val oov = tot.select(
+      lit(null).cast(StringType).as("_prev"),
+      lit(null).cast(StringType).as("_tok"),
+      log(lit(discount) / col("_t")).cast(qd).as("_lp"))
+    bi.unionByName(lam).unionByName(cont).unionByName(oov)
+  }
+
+  /** SCORE half: per-doc mean negative Kneser-Ney bigram log-prob
+    * under a FROZEN [[knBigramFit]] model. Per-pair resolution, each
+    * tier one coalesce arm: seen bigram → interpolated row; unseen
+    * bigram, seen context AND seen word → λ(v)·p_cont(w) as the EXACT
+    * decimal add lp_λ(v) + lp_cont(w); unseen context, seen word →
+    * p_cont(w); OOV word → the D/T floor. `n_backoff` counts pairs
+    * that missed the bigram table, `n_oov` pairs whose word has no
+    * continuation row — the two coverage diagnostics. Same
+    * materialize-unless-leaf, join, and exact-decimal-sum shape as
+    * [[bigramScoreWith]]. */
+  def knBigramScoreWith(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val m = materializeUnlessLeaf(model)
+    val bi = m.filter(col("_prev").isNotNull && col("_tok").isNotNull)
+    val lam = m.filter(col("_prev").isNotNull && col("_tok").isNull)
+      .select(col("_prev"), col("_lp").as("_lp_lam"))
+    val cont = m.filter(col("_prev").isNull && col("_tok").isNotNull)
+      .select(col("_tok"), col("_lp").as("_lp_cont"))
+    val oov = m.filter(col("_prev").isNull && col("_tok").isNull)
+      .select(col("_lp").as("_lp_oov"))
+    val toksD = df
+      .select(col(idCol),
+        filter(tokenize(col(textCol)), t => length(t) > 0).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+    toksD
+      .select(col(idCol), explode(bigramPairs(col("_toks"))).as("_p"))
+      .select(col(idCol), col("_p._prev").as("_prev"), col("_p._tok").as("_tok"))
+      .join(bi, Seq("_prev", "_tok"), "left")
+      .join(lam, Seq("_prev"), "left")
+      .join(cont, Seq("_tok"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("_plp",
+        coalesce(col("_lp"), col("_lp_lam") + col("_lp_cont"),
+          col("_lp_cont"), col("_lp_oov")))
+      .withColumn("_miss", when(col("_lp").isNull, 1L).otherwise(0L))
+      .withColumn("_oovf", when(col("_lp_cont").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_miss")).as("n_backoff"),
+        sum(col("_oovf")).as("n_oov"),
+        sum(col("_plp")).as("sum_logprob"))
+      .withColumn("mean_neg_logprob",
+        round(-col("sum_logprob").cast(DoubleType) / col("n_tokens"), 6))
+  }
+
   /** PII-style scrubbing: mask digit runs and email-shaped tokens — the
     * plan shape (regexp_replace chain, codegen'd) of a real scrub pass. */
   def scrub(text: Column): Column =

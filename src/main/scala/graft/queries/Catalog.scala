@@ -3348,6 +3348,61 @@ object Catalog {
       Some(hitsOracle("WHERE doc_id < 500", "500")),
       allowBnlj = true),
 
+    // Neighborhood link prediction (GraphOps.linkPrediction,
+    // Liben-Nowell & Kleinberg 2003): top-50 unlinked pairs of the
+    // synthetic graph by common-neighbor count, with Jaccard and
+    // Adamic-Adar — the related-page / crawl-frontier scorer. Wedge
+    // centers are degree-gated (the LSH pair-budget idea: a hub mints
+    // deg² candidates while contributing 1/ln(deg) ≈ 0) and the
+    // Adamic-Adar transcendental quantizes ONCE per node on the degree
+    // grain (1/ln(deg) DECIMAL(20,9), oracle through the VARCHAR
+    // bridge) so per-pair scores are exact decimal sums; Jaccard is
+    // ONE IEEE division of exact integers; the top-k ORDERS ON THE
+    // EXACT DECIMAL (common DESC, AA DESC, pair) so ranking never
+    // reads a double. Global top-k plans as TakeOrderedAndProject.
+    "graph_linkpred" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        GraphOps.linkPrediction(edges, "src", "dst", k = 50)
+      },
+      Some(s"""WITH ${graphNodeEdgeCtes("WHERE doc_id < 500", "500")},
+           |adj AS (SELECT src AS u, dst AS v FROM de
+           |        UNION SELECT dst, src FROM de),
+           |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+           |        FROM adj GROUP BY 1),
+           |centers AS (
+           |  SELECT u AS z, CAST(CAST(CAST(1.0 AS DOUBLE) / ln(d) AS VARCHAR)
+           |    AS DECIMAL(20,9)) AS il
+           |  FROM deg WHERE d >= 2 AND d <= 10000),
+           |wed AS (
+           |  SELECT l.v AS x, r.v AS y, l.u AS z
+           |  FROM adj l JOIN adj r ON r.u = l.u AND l.v < r.v),
+           |sc AS (
+           |  SELECT x, y, CAST(count(*) AS BIGINT) AS n_common,
+           |    sum(c.il) AS aa
+           |  FROM wed JOIN centers c ON c.z = wed.z GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT sc.* FROM sc
+           |  LEFT JOIN adj e ON e.u = sc.x AND e.v = sc.y
+           |  WHERE e.u IS NULL AND n_common >= 1),
+           |wd AS (
+           |  SELECT cand.x, cand.y, n_common, da.d AS deg_a, db.d AS deg_b, aa
+           |  FROM cand
+           |  JOIN deg da ON da.u = cand.x
+           |  JOIN deg db ON db.u = cand.y)
+           |SELECT x AS node_a, y AS node_b, n_common, deg_a, deg_b,
+           |  CAST(n_common AS DOUBLE) /
+           |    CAST(deg_a + deg_b - n_common AS DOUBLE) AS jaccard,
+           |  CAST(aa AS DOUBLE) AS adamic_adar
+           |FROM wd
+           |ORDER BY n_common DESC, aa DESC, x, y LIMIT 50""".stripMargin)),
+
     // Geohash grid bucketing (GeoOps.geohash): the spatial shuffle key
     // — the reference's data model is weather stations with
     // coordinates, and gridding points into geohash cells is how a
@@ -8178,6 +8233,92 @@ object Catalog {
              |  CROSS JOIN olp)
              |SELECT doc_id, count(*) AS n_tokens,
              |  CAST(sum(miss) AS BIGINT) AS n_backoff,
+             |  round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      allowBnlj = true),
+
+    // INTERPOLATED KNESER-NEY bigram LM (TextOps.knBigramFit, Kneser &
+    // Ney 1995 / Chen & Goodman 1998) — the standard n-gram smoothing
+    // (the KenLM default) beside text_bigram_logprob's stupid backoff:
+    // unseen bigrams back off to the CONTINUATION probability
+    // N1+(·w)/T (how many distinct contexts w follows), not the raw
+    // frequency — the 'Francisco' fix: frequent-but-context-bound
+    // words score implausible in novel contexts. Same fit-on-even /
+    // score-all split so odd docs exercise every tier: seen bigram →
+    // interpolated row; unseen pair with seen context and word →
+    // λ(v)·p_cont(w) as the EXACT DECIMAL ADD of two quantized logs
+    // (no new transcendental at score time); unseen context →
+    // p_cont(w); OOV word → the D/T floor. D = 0.75 exactly binary;
+    // every probability ONE fixed IEEE chain; ln quantized
+    // DECIMAL(20,9) once per vocab-grain row, the oracle through the
+    // VARCHAR bridge. n_backoff/n_oov are the coverage diagnostics.
+    "text_kn_bigram" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextOps.knBigramFit(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        TextOps.knBigramScoreWith(docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+            col("n_oov"), col("mean_neg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lab AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'),
+             |    t -> length(t) > 0) AS l
+             |  FROM documents),
+             |ne AS (SELECT doc_id, l FROM lab WHERE len(l) > 0),
+             |pz AS (
+             |  SELECT doc_id, unnest(list_zip(
+             |    list_concat([chr(1)], l[1:len(l)-1]), l)) AS z
+             |  FROM ne),
+             |pairs AS (
+             |  SELECT doc_id, z[1] AS prev, z[2] AS w
+             |  FROM pz WHERE z[2] IS NOT NULL),
+             |fit AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+             |cb AS (SELECT prev, w, count(*) AS cb FROM fit GROUP BY 1, 2),
+             |cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp,
+             |         CAST(count(*) AS BIGINT) AS n1p
+             |       FROM cb GROUP BY 1),
+             |n1c AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c
+             |        FROM cb GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb),
+             |blp AS (
+             |  SELECT cb.prev, cb.w,
+             |    CAST(CAST(ln(
+             |      (cb.cb - CAST(0.75 AS DOUBLE)) / cp.cp +
+             |      ((CAST(0.75 AS DOUBLE) * cp.n1p) / cp.cp) *
+             |        (n1c.n1c / tot.t)) AS VARCHAR) AS DECIMAL(20,9)) AS lp
+             |  FROM cb
+             |  JOIN cp ON cp.prev = cb.prev
+             |  JOIN n1c ON n1c.w = cb.w
+             |  CROSS JOIN tot),
+             |klam AS (
+             |  SELECT prev, CAST(CAST(ln(
+             |      (CAST(0.75 AS DOUBLE) * n1p) / cp) AS VARCHAR)
+             |    AS DECIMAL(20,9)) AS lp
+             |  FROM cp),
+             |kcont AS (
+             |  SELECT w, CAST(CAST(ln(n1c.n1c / tot.t) AS VARCHAR)
+             |    AS DECIMAL(20,9)) AS lp
+             |  FROM n1c CROSS JOIN tot),
+             |kolp AS (
+             |  SELECT CAST(CAST(ln(CAST(0.75 AS DOUBLE) / t) AS VARCHAR)
+             |    AS DECIMAL(20,9)) AS lp
+             |  FROM tot),
+             |sc AS (
+             |  SELECT p.doc_id,
+             |    coalesce(blp.lp, klam.lp + kcont.lp, kcont.lp, kolp.lp) AS plp,
+             |    CASE WHEN blp.lp IS NULL THEN 1 ELSE 0 END AS miss,
+             |    CASE WHEN kcont.lp IS NULL THEN 1 ELSE 0 END AS oovf
+             |  FROM pairs p
+             |  LEFT JOIN blp ON blp.prev = p.prev AND blp.w = p.w
+             |  LEFT JOIN klam ON klam.prev = p.prev
+             |  LEFT JOIN kcont ON kcont.w = p.w
+             |  CROSS JOIN kolp)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(miss) AS BIGINT) AS n_backoff,
+             |  CAST(sum(oovf) AS BIGINT) AS n_oov,
              |  round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       allowBnlj = true),
@@ -13287,6 +13428,34 @@ object Catalog {
              |SELECT user_id, CAST(min(ep) AS BIGINT) AS sess_start, count(*) AS n_events
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, sess_start""".stripMargin)),
+
+    // Streaming dedup, batch-form key (StreamOps.dedupWithinWatermark —
+    // the dropDuplicatesWithinWatermark twin whose watermark-bounded
+    // state eviction is what keeps a 100 TB/day dedup stream from the
+    // classic unbounded-state OOM; the streaming path and its
+    // state-eviction bound are exercised in StreamingSpec). Batch form
+    // = withWatermark + dropDuplicates on the same code path; the
+    // survivor ROW is engine-arbitrary when payloads differ, so the key
+    // aggregates to the per-type distinct-user report (deterministic
+    // by construction) with the raw count beside it — the dedup-rate
+    // summary an ingest monitor actually reads.
+    "stream_dedup_watermark" -> QuerySpec(
+      (s, d) => {
+        val survivors = graft.streaming.StreamOps.dedupWithinWatermark(
+          t(s, d, "events").select(col("user_id"), col("event_type"), col("ts")),
+          Seq("user_id", "event_type"), "ts", "1 hour")
+        val raw = t(s, d, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_raw"))
+        survivors.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique_users"))
+          .join(raw, Seq("event_type"))
+          .select(col("event_type"), col("n_unique_users"), col("n_raw"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_users,
+             |  CAST(count(*) AS BIGINT) AS n_raw
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Top behavior flows: the most common within-session event-type
     // paths (first 5 steps) — the product-analytics "user flows"

@@ -169,6 +169,50 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("linkPrediction: 4-cycle hand-check — counts, Jaccard, Adamic-Adar") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // cycle 1-2-3-4-1: the only unlinked pairs are the two diagonals,
+    // each with BOTH opposite corners as common neighbors (cn = 2);
+    // all degrees 2 → jaccard = 2/(2+2−2) = 1, AA = 2·q9(1/ln 2)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = GraphOps.linkPrediction(e, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 4L)))
+    val aa = new JBD(1.0 / math.log(2))
+      .setScale(9, RoundingMode.HALF_UP)
+    out.foreach { case (_, _, cn, da, db, j, a) =>
+      assert(cn == 2L && da == 2L && db == 2L)
+      assert(j == 1.0)
+      assert(a == aa.add(aa).doubleValue(), a)
+    }
+  }
+
+  test("linkPrediction: hub centers are degree-gated out of candidates") {
+    // star: hub 9 → 1..5, plus edge (1,2). Default gate: 9 candidate
+    // pairs, all through the hub. Gate at 3: the hub is no longer a
+    // wedge center and every candidate vanishes (the remaining wedges
+    // land on existing edges).
+    val e = (1L to 5L).map(i => (9L, i)).toDF("src", "dst")
+      .unionByName(Seq((1L, 2L)).toDF("src", "dst"))
+    val open = GraphOps.linkPrediction(e, "src", "dst", k = 100)
+      .collect()
+    assert(open.length == 9, open.length)
+    assert(open.forall(_.getLong(2) == 1L)) // every pair: cn = 1 via hub
+    val gated = GraphOps.linkPrediction(e, "src", "dst", k = 100,
+      maxCenterDegree = 3L).collect()
+    assert(gated.isEmpty, gated.mkString(","))
+    intercept[IllegalArgumentException] {
+      GraphOps.linkPrediction(e, "src", "dst", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.linkPrediction(e, "src", "dst", k = 1, minCommon = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.linkPrediction(e, "src", "dst", k = 1, maxCenterDegree = 1L)
+    }
+  }
+
   test("triangleStats: hand-checked censuses (K4, K4+pendant, triangle-free)") {
     def stats(edges: Seq[(Long, Long)]) =
       GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst")

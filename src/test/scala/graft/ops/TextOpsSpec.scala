@@ -436,6 +436,68 @@ class TextOpsSpec extends SparkSpec {
     assert(live.exists(t => t._1 == 3L && t._2 == 4L), live.toString)
   }
 
+  test("KN bigram: every resolution tier hand-checked") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q9(x: Double): JBD =
+      new JBD(x).setScale(9, RoundingMode.HALF_UP)
+    // fit "a b b" + "b a": cb (B,a)=1 (a,b)=1 (b,b)=1 (B,b)=1 (b,a)=1
+    // → T=5; cp: B(2, n1p 2) a(1, 1) b(2, 2); n1c: a←{B,b}=2, b←{a,b,B}=3
+    val fit = Seq((0L, "a b b"), (2L, "b a")).toDF("doc_id", "text")
+    val model = TextOps.knBigramFit(fit, "text")
+    // tier 1 row check: (a,b) = ln((1−.75)/1 + (.75·1/1)·(3/5)) = ln(.7)
+    val biAB = model.filter(col("_prev") === "a" && col("_tok") === "b")
+      .collect().head.getAs[JBD]("_lp")
+    assert(biAB.compareTo(q9(math.log(0.25 / 1 + (0.75 * 1 / 1) * (3.0 / 5)))) == 0)
+    def mean6(sum: JBD, n: Long): Double =
+      JBD.valueOf(-sum.doubleValue() / n)
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val score = TextOps.knBigramScoreWith(
+      Seq((1L, "a b z"), (3L, "a a"), (5L, "z a")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("n_oov"), r.getAs[Double]("mean_neg_logprob")))).toMap
+    // doc 1 "a b z": (B,a) seen = ln(.125+.75·.4)=ln(.425); (a,b) seen
+    // = ln(.7); (b,z) OOV → ln(.75/5) = ln(.15). backoff 1, oov 1.
+    val lpBA = q9(math.log((1 - 0.75) / 2.0 + (0.75 * 2 / 2.0) * (2.0 / 5)))
+    val lpAB = q9(math.log(0.25 / 1 + (0.75 * 1 / 1) * (3.0 / 5)))
+    val lpOov = q9(math.log(0.75 / 5))
+    assert(score(1L)._1 == 3L && score(1L)._2 == 1L && score(1L)._3 == 1L)
+    assert(score(1L)._4 == mean6(lpBA.add(lpAB).add(lpOov), 3L), score(1L))
+    // doc 3 "a a": (B,a) seen; (a,a) unseen pair, seen context+word →
+    // λ(a)·p_cont(a) = q(ln .75) + q(ln .4) — the exact decimal add
+    val lpTier2 = q9(math.log(0.75 * 1 / 1.0)).add(q9(math.log(2.0 / 5)))
+    assert(score(3L)._1 == 2L && score(3L)._2 == 1L && score(3L)._3 == 0L)
+    assert(score(3L)._4 == mean6(lpBA.add(lpTier2), 2L), score(3L))
+    // doc 5 "z a": (B,z) OOV; (z,a) unseen CONTEXT, seen word →
+    // p_cont(a) alone = q(ln .4). backoff 2, oov 1.
+    assert(score(5L)._1 == 2L && score(5L)._2 == 2L && score(5L)._3 == 1L)
+    assert(score(5L)._4 == mean6(lpOov.add(q9(math.log(2.0 / 5))), 2L),
+      score(5L))
+    intercept[IllegalArgumentException] {
+      TextOps.knBigramFit(fit, "text", discount = 1.0)
+    }
+  }
+
+  test("KN bigram: continuation backoff beats frequency backoff ('Francisco')") {
+    import spark.implicits._
+    // x and y are equally frequent (3 each), but x follows THREE
+    // distinct contexts while y always follows f. In a novel context,
+    // KN must prefer x — the property stupid backoff (frequency-
+    // proportional) cannot express.
+    val fit = Seq((0L, "c x"), (2L, "d x"), (4L, "e x"),
+      (6L, "f y"), (8L, "f y"), (10L, "f y")).toDF("doc_id", "text")
+    val model = TextOps.knBigramFit(fit, "text")
+    val score = TextOps.knBigramScoreWith(
+      Seq((1L, "q x"), (3L, "q y")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("mean_neg_logprob")).toMap
+    assert(score(1L) < score(3L),
+      s"promiscuous x must outscore context-bound y: $score")
+  }
+
   test("urlDomain: PSL snapshot — exact, wildcard, exception, default rules") {
     import spark.implicits._
     val cases = Seq(
