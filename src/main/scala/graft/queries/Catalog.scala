@@ -8593,6 +8593,70 @@ object Catalog {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // TEMPORAL train/test split with an EMBARGO gap (the purged
+    // time-based split, López de Prado 2018 ch.7; for LLM data: train
+    // pre-cutoff, evaluate post-cutoff, the gap absorbing
+    // near-duplicate leakage across the boundary) — the split
+    // sample_split_assign's random hash CANNOT provide when the task
+    // is forecasting or freshness eval. Boundary = the exact 75th
+    // percentile of event time (dyadic k ⇒ the interpolation
+    // (1−f)·a + f·b is exact-double over epoch-micro longs — the
+    // prep_quantile_bins contract; at 100 TB swap in the documented
+    // approxThresholds mode), embargo = 1 hour. Output: per-split
+    // row counts, distinct actors, and the ACTOR-OVERLAP-WITH-TRAIN
+    // audit — the diagnostic that tells the caller whether a grouped
+    // split is needed (entity leakage survives any time boundary).
+    "sample_split_temporal" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val t0 = ev.agg(expr("percentile(us, 0.75)").as("_t0"))
+        val tagged = ev.crossJoin(broadcast(t0))
+          .withColumn("split",
+            when(col("us") < col("_t0"), "train")
+              .when(col("us") < col("_t0") + lit(3600000000L), "embargo")
+              .otherwise("test"))
+        val spl = tagged.groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+        val trainUsers = tagged.filter(col("split") === "train")
+          .select(col("user_id")).distinct()
+        val ov = tagged.filter(col("split") =!= "train")
+          .join(trainUsers, Seq("user_id"))
+          .groupBy(col("split"))
+          .agg(countDistinct(col("user_id")).as("_o"))
+        spl.join(ov, Seq("split"), "left")
+          .select(col("split"), col("n"), col("n_users"),
+            when(col("split") === "train", lit(null).cast(LongType))
+              .otherwise(coalesce(col("_o"), lit(0L)))
+              .as("n_users_overlap_train"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us FROM events),
+             |t0 AS (SELECT quantile_cont(us, 0.75) AS t0 FROM ev),
+             |tagged AS (
+             |  SELECT user_id,
+             |    CASE WHEN us < t0 THEN 'train'
+             |         WHEN us < t0 + 3600000000 THEN 'embargo'
+             |         ELSE 'test' END AS split
+             |  FROM ev CROSS JOIN t0),
+             |spl AS (
+             |  SELECT split, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM tagged GROUP BY 1),
+             |tu AS (SELECT DISTINCT user_id FROM tagged WHERE split = 'train'),
+             |ov AS (
+             |  SELECT split, CAST(count(DISTINCT tagged.user_id) AS BIGINT) AS o
+             |  FROM tagged JOIN tu USING (user_id)
+             |  WHERE split <> 'train' GROUP BY 1)
+             |SELECT spl.split AS split, n, n_users,
+             |  CASE WHEN spl.split = 'train' THEN NULL
+             |       ELSE COALESCE(o, 0) END AS n_users_overlap_train
+             |FROM spl LEFT JOIN ov ON ov.split = spl.split
+             |ORDER BY spl.split""".stripMargin),
+      allowBnlj = true),
+
     // URL front stage: parse host/registrable-domain/path, drop
     // blocklisted domains, cap each remaining domain at 10 docs (the
     // RefinedWeb-style domain-diversity cap — URL-level filtering
@@ -10673,6 +10737,89 @@ object Catalog {
              |FROM cells
              |JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t
              |ORDER BY event_type, daypart""".stripMargin),
+      allowBnlj = true),
+
+    // CRAMÉR'S V effect size (Cramér 1946) — the scalar
+    // profile_chi2_independence leaves as 'the caller's fold', now a
+    // key: χ² folded over the SORTED bounded cell grain (the
+    // win_attribution_linear fixed-order double-sum discipline — a
+    // row-set SUM would leave accumulation order to the engine) and
+    // V = √(χ²/(n·min(r−1,c−1))) as a fixed IEEE chain over exact
+    // integers — the [0,1] association strength a dashboard can
+    // threshold where raw χ² scales with n. Degenerate 1×c / r×1
+    // tables yield NULL V (df = 0), not a division blow-up.
+    "profile_cramers_v" -> QuerySpec(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"),
+            expr("hour(ts) div 6").cast(IntegerType).as("daypart"))
+        val cells = ev.groupBy(col("event_type"), col("daypart"))
+          .agg(count(lit(1)).as("n"))
+        val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("_r"))
+        val colT = cells.groupBy(col("daypart")).agg(sum(col("n")).as("_c"))
+        val tot = cells.agg(sum(col("n")).as("_t"))
+        val e = (col("_r").cast(DoubleType) * col("_c").cast(DoubleType)) /
+          col("_t").cast(DoubleType)
+        val terms = cells
+          .join(broadcast(rowT), Seq("event_type"))
+          .join(broadcast(colT), Seq("daypart"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("daypart"), col("n"),
+            ((col("n").cast(DoubleType) - e) *
+              (col("n").cast(DoubleType) - e) / e).as("chi2_term"))
+        terms
+          .agg(sum(col("n")).as("n"),
+            countDistinct(col("event_type")).cast(IntegerType).as("n_rows"),
+            countDistinct(col("daypart")).cast(IntegerType).as("n_cols"),
+            aggregate(
+              sort_array(collect_list(struct(col("event_type"),
+                col("daypart"), col("chi2_term")))),
+              lit(0.0), (acc, x) => acc + x.getField("chi2_term"))
+              .as("chi2"))
+          .select(col("n"), col("n_rows"), col("n_cols"),
+            ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+            col("chi2"),
+            when(col("n_rows") > 1 && col("n_cols") > 1,
+              sqrt(col("chi2") / (col("n").cast(DoubleType) *
+                (least(col("n_rows"), col("n_cols")) - 1).cast(DoubleType))))
+              .as("cramers_v"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(hour(ts) // 6 AS INTEGER) AS daypart
+             |  FROM events),
+             |cells AS (
+             |  SELECT event_type, daypart, CAST(count(*) AS BIGINT) AS n
+             |  FROM ev GROUP BY 1, 2),
+             |r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rt
+             |      FROM cells GROUP BY 1),
+             |c AS (SELECT daypart, CAST(SUM(n) AS BIGINT) AS ct
+             |      FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM cells),
+             |terms AS (
+             |  SELECT cells.event_type, cells.daypart, cells.n,
+             |    (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |       / CAST(tt AS DOUBLE))
+             |     * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |       / CAST(tt AS DOUBLE))
+             |     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE))
+             |      AS chi2_term
+             |  FROM cells
+             |  JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t),
+             |agg AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT event_type) AS INTEGER) AS n_rows,
+             |    CAST(count(DISTINCT daypart) AS INTEGER) AS n_cols,
+             |    list_reduce(list(chi2_term ORDER BY event_type, daypart),
+             |      (a, b) -> a + b) AS chi2
+             |  FROM terms)
+             |SELECT n, n_rows, n_cols,
+             |  CAST((n_rows - 1) * (n_cols - 1) AS INTEGER) AS dof, chi2,
+             |  CASE WHEN n_rows > 1 AND n_cols > 1
+             |    THEN sqrt(chi2 / (CAST(n AS DOUBLE) *
+             |      CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
+             |  END AS cramers_v
+             |FROM agg""".stripMargin),
       allowBnlj = true),
 
     // EXACT two-sample Kolmogorov-Smirnov statistic: D = max|F₁−F₂|
