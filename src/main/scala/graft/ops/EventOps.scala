@@ -325,4 +325,127 @@ object EventOps {
         col("n_conversions").cast(DoubleType).as("credit"))
     folded.unionByName(direct).orderBy(col("channel"))
   }
+
+  /** MARKOV-CHAIN (removal-effect) multi-touch attribution (Anderl et
+    * al. 2016 class) — the data-driven model the heuristic trio
+    * (last/linear/position) approximates: build the first-order channel
+    * transition chain over journeys, measure each channel's
+    * contribution as how much ABSORBED CONVERSION PROBABILITY vanishes
+    * when the channel is removed from the chain (its transitions
+    * redirected to the null absorber), and split credit proportionally.
+    *
+    * Journeys: per actor ordered by `idCol`, truncated at the FIRST
+    * `conversionType` event (mapped to the `__conv` absorber);
+    * journeys with no conversion terminate in `__null`; a synthetic
+    * `__start` state opens every journey. Transition probabilities are
+    * exact integers in parts-per-million (p_ppm = n·10⁶ div total) and
+    * absorption runs `steps` unrolled rounds of
+    * mass·p_ppm div 10⁶ — the pagerankFixedPoint truncating-integer
+    * discipline, so K rounds are BIT-EXACT cross-engine (a float chain
+    * would diverge in the last ulps after K matrix products). Truncated
+    * mass leaks by documented design; with steps ≥ the typical journey
+    * length the ranking is unaffected (the same leak hits every
+    * removal variant).
+    *
+    * Removal: per channel c, rows with from=c are dropped and edges
+    * INTO c redirect to `__null` BEFORE re-normalization is NOT applied
+    * (standard removal-effect semantics: the removed channel's traffic
+    * is lost, not redistributed). Conversion mass under removal is
+    * therefore ≤ the full chain's, so every removal effect is ≥ 0 and
+    * `share = (full − removed_c) / Σ(full − removed_c')` divides two
+    * EXACT integers — no cross-row double accumulation anywhere.
+    *
+    * Scale: raw events shuffle once into the actor window; everything
+    * after lives at the (channel², removal-dim) grain — dozens of rows
+    * — localCheckpointed once so the K-step loop never replays the
+    * event scan. */
+  def markovRemovalAttribution(events: DataFrame, actorCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      steps: Int = 6): DataFrame = {
+    require(steps >= 1 && steps <= 20,
+      s"markovRemovalAttribution: steps must be in [1,20], got $steps")
+    val PPM = 1000000L
+    val w = Window.partitionBy(col("_actor")).orderBy(col("_id"))
+    val base = events.filter(col(actorCol).isNotNull)
+      .select(col(actorCol).as("_actor"), col(idCol).as("_id"),
+        col(typeCol).as("_type"))
+    val firstConv = base.filter(col("_type") === conversionType)
+      .groupBy(col("_actor")).agg(min(col("_id")).as("_conv_id"))
+    val journey = base.join(firstConv, Seq("_actor"), "left")
+      .filter(col("_conv_id").isNull || col("_id") <= col("_conv_id"))
+      .withColumn("_st",
+        when(col("_type") === conversionType, lit("__conv"))
+          .otherwise(col("_type")))
+    val steps0 = journey
+      .withColumn("_from", coalesce(lag(col("_st"), 1).over(w), lit("__start")))
+      .withColumn("_is_last", lead(col("_st"), 1).over(w).isNull)
+      .select(col("_from"), col("_st").as("_to"), col("_is_last"))
+    // the terminal __null edge rides the same frame: a last
+    // non-converting state emits BOTH its inbound edge and the outbound
+    // __null edge (posexplode-free union of two projections)
+    val trans = steps0.select(col("_from"), col("_to"))
+      .unionByName(steps0.filter(col("_is_last") && col("_to") =!= "__conv")
+        .select(col("_to").as("_from"), lit("__null").as("_to")))
+      .groupBy(col("_from"), col("_to")).agg(count(lit(1)).as("_n"))
+    val tot = trans.groupBy(col("_from")).agg(sum(col("_n")).as("_tot"))
+    val p = trans.join(tot, Seq("_from"))
+      .select(col("_from"), col("_to"),
+        expr(s"(_n * ${PPM}L) div _tot").as("_ppm"))
+      .localCheckpoint() // channel²-grain; consumed once per removal dim
+    val channels = p.select(col("_from").as("_c"))
+      .filter(!col("_c").isin("__start", "__conv", "__null"))
+      .distinct()
+    val rdim = channels.select(col("_c").as("_removed"))
+      .unionByName(p.sparkSession.range(1).select(lit("__none").as("_removed")))
+    val adjusted = p.crossJoin(rdim)
+      .filter(col("_from") =!= col("_removed"))
+      .groupBy(col("_removed"), col("_from"),
+        when(col("_to") === col("_removed"), lit("__null"))
+          .otherwise(col("_to")).as("_to"))
+      .agg(sum(col("_ppm")).as("_ppm"))
+      .unionByName(rdim.select(col("_removed"), lit("__conv").as("_from"),
+        lit("__conv").as("_to"), lit(PPM).as("_ppm")))
+      .unionByName(rdim.select(col("_removed"), lit("__null").as("_from"),
+        lit("__null").as("_to"), lit(PPM).as("_ppm")))
+      .localCheckpoint() // (removal-dim × channel²) rows; joined K times
+    var v = rdim
+      .select(col("_removed"), lit("__start").as("_state"), lit(PPM).as("_m"))
+    (1 to steps).foreach { _ =>
+      // fresh names per round — joining a frame against its own
+      // lineage ancestor (adjusted) with shared column names trips
+      // Catalyst's ambiguous-attribute resolution
+      val vr = v.select(col("_removed").as("_vr"), col("_state").as("_vs"),
+        col("_m").as("_vm"))
+      v = vr.join(adjusted,
+          col("_vr") === col("_removed") && col("_vs") === col("_from"))
+        .groupBy(col("_vr"), col("_to"))
+        .agg(sum(expr(s"(_vm * _ppm) div ${PPM}L")).as("_m"))
+        .select(col("_vr").as("_removed"), col("_to").as("_state"), col("_m"))
+    }
+    val conv = v.filter(col("_state") === "__conv")
+      .select(col("_removed"), col("_m"))
+    // aggregate (never filter-to-one-row) and LEFT join the channel
+    // list: a removal that kills EVERY conversion path produces no
+    // __conv row at all — its channel must surface with mass 0, the
+    // strongest possible attribution signal, not vanish
+    val full = conv.filter(col("_removed") === "__none")
+      .agg(coalesce(sum(col("_m")), lit(0L)).as("_mf"))
+    val perChannel = channels
+      .join(conv, channels("_c") === conv("_removed"), "left")
+      .crossJoin(broadcast(full))
+      .select(col("_c").as("channel"),
+        col("_mf").as("conv_full_ppm"),
+        coalesce(col("_m"), lit(0L)).as("conv_removed_ppm"),
+        (col("_mf") - coalesce(col("_m"), lit(0L))).as("_delta"))
+    val totDelta = perChannel.agg(sum(col("_delta")).as("_td"))
+    perChannel.crossJoin(broadcast(totDelta))
+      .select(col("channel"), col("conv_full_ppm"), col("conv_removed_ppm"),
+        when(col("conv_full_ppm") > 0L,
+          col("_delta").cast(DoubleType) / col("conv_full_ppm").cast(DoubleType))
+          .as("removal_effect"),
+        when(col("_td") > 0L,
+          col("_delta").cast(DoubleType) / col("_td").cast(DoubleType))
+          .as("share"))
+      .orderBy(col("channel"))
+  }
 }

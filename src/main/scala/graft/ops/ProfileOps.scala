@@ -1285,6 +1285,230 @@ object ProfileOps {
         (nD * col("_sx").cast(DoubleType))).as("gini"))
   }
 
+  /** ROC AUC (+ Gini = 2·AUC−1) of a score against a binary label via
+    * the rank-sum (Mann–Whitney) identity — the threshold-free quality
+    * measure of a ranker, the companion the calibration keys lack
+    * (ECE/Brier judge the PROBABILITIES, AUC judges the ORDERING).
+    *
+    * AUC = (Σ_{positives} rank(score) − n₊(n₊+1)/2) / (n₊·n₋) with
+    * average ranks over ties. Everything is exact integer arithmetic:
+    * ranks come from the value-grain cumulative window (distinct
+    * scores, not rows — the spearmanMatrix contract, so the window
+    * frame is bounded by the score grid, not the corpus) and are
+    * carried DOUBLED (r2 = 2·below + ties + 1) so tie midpoints never
+    * mint a .5; the rank sum accumulates as DECIMAL(38,0); the closing
+    * AUC is ONE IEEE division of two exact integers
+    * ((Σr2₊ − n₊(n₊+1)) / (2n₊n₋)) and Gini one further fixed op —
+    * bit-identical on any partitioning and in the DuckDB oracle.
+    * Degenerate single-class inputs yield NULL AUC, not a division
+    * error. NULL scores/labels are excluded (listwise).
+    *
+    * Scale: one value-grain aggregation + one bounded window + one
+    * global aggregate — no per-row window, no join back. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    requireNumeric(df, labelCol, "rocAuc")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("_y",
+        when(col(labelCol) === 0, lit(0L))
+          .when(col(labelCol) === 1, lit(1L))
+          .otherwise(raise_error(concat(
+            lit("rocAuc: label must be 0/1, got "),
+            col(labelCol).cast("string")))))
+    val grain = base.groupBy(col(scoreCol).as("_v"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_pos"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grain.withColumn("_below",
+      coalesce(sum(col("_cnt")).over(w), lit(0L)))
+    val d38 = DecimalType(38, 0)
+    val one = ranked.agg(
+      sum(col("_cnt")).as("_n"),
+      sum(col("_pos")).as("_npos"),
+      sum((lit(2L) * col("_below") + col("_cnt") + lit(1L))
+        .cast(DecimalType(19, 0)) * col("_pos").cast(DecimalType(19, 0)))
+        .cast(d38).as("_r2pos"))
+    val npos = col("_npos")
+    val nneg = col("_n") - col("_npos")
+    // counts×counts products in DECIMAL — a long multiply overflows
+    // past n ≈ 3e9 rows (the HASH_NOTES LongType-product sweep class)
+    val d19 = DecimalType(19, 0)
+    val num = (col("_r2pos") -
+      (npos.cast(d19) * (npos + lit(1L)).cast(d19)).cast(d38))
+      .cast(DoubleType)
+    val den = (lit(2L).cast(d19) * npos.cast(d19) * nneg.cast(d19))
+      .cast(d38).cast(DoubleType)
+    val auc = when(npos > 0L && nneg > 0L, num / den)
+    one.select(col("_n").as("n"), npos.as("n_pos"), nneg.as("n_neg"),
+      auc.as("auc"), (lit(2.0) * auc - lit(1.0)).as("gini"))
+  }
+
+  /** Kendall τ-b rank correlation between two BOUNDED-GRAIN columns —
+    * the concordance companion to spearmanMatrix (τ reads P(agree) −
+    * P(disagree) over pairs; ρ reads rank-linear association). τ-b
+    * corrects both marginals for ties:
+    * τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)), n₀ = n(n−1)/2,
+    * n₁/n₂ = Σ t(t−1)/2 over each column's tie groups.
+    *
+    * The pair counts NEVER touch row pairs: the input collapses to the
+    * joint contingency grid (one aggregation; cells bounded by
+    * |distinct a| × |distinct b| — the caller's contract, same as the
+    * value-grain window ops; continuous columns quantile-bin first),
+    * and C/D are one strict-inequality self-join OVER CELLS
+    * (grid² pairs, data-size-independent) with products in
+    * DECIMAL(38,0). The closing τ is a fixed IEEE chain; the tie
+    * products exceed 2⁵³ at bench scale, so the oracle casts them
+    * through VARCHAR (the giniByGroup rule). NULLs excluded listwise;
+    * n < 2 or an all-tied column yields NULL τ. */
+  def kendallTau(df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB, s"kendallTau: need two distinct columns")
+    val grid = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("_a"), col(colB).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val g1 = grid.select(col("_a").as("_a1"), col("_b").as("_b1"),
+      col("_c").cast(DecimalType(19, 0)).as("_c1"))
+    val g2 = grid.select(col("_a").as("_a2"), col("_b").as("_b2"),
+      col("_c").cast(DecimalType(19, 0)).as("_c2"))
+    val d38 = DecimalType(38, 0)
+    // strict a-ordering visits each unordered cell pair once; equal-_a
+    // pairs are a-ties and belong to neither C nor D
+    val cd = g1.join(g2, col("_a1") < col("_a2"))
+      .agg(
+        sum(when(col("_b1") < col("_b2"), col("_c1") * col("_c2")))
+          .cast(d38).as("_conc"),
+        sum(when(col("_b1") > col("_b2"), col("_c1") * col("_c2")))
+          .cast(d38).as("_disc"))
+    val margTies = (c: String, out: String) => grid
+      .groupBy(col(c)).agg(sum(col("_c")).as("_t"))
+      .agg((sum(col("_t").cast(DecimalType(19, 0)) *
+          (col("_t") - lit(1L)).cast(DecimalType(19, 0))).cast(d38) /
+        lit(2)).cast(d38).as(out))
+    val tot = grid.agg(sum(col("_c")).as("_n"))
+      .select(col("_n"),
+        ((col("_n").cast(DecimalType(19, 0)) *
+          (col("_n") - lit(1L)).cast(DecimalType(19, 0))).cast(d38) /
+          lit(2)).cast(d38).as("_n0"))
+    val one = cd.crossJoin(margTies("_a", "_n1"))
+      .crossJoin(margTies("_b", "_n2")).crossJoin(tot)
+    val c0 = coalesce(col("_conc"), lit(0).cast(d38))
+    val d0 = coalesce(col("_disc"), lit(0).cast(d38))
+    val va = col("_n0") - col("_n1")
+    val vb = col("_n0") - col("_n2")
+    // ONE sqrt over the EXACT integer product (not √va·√vb, whose two
+    // roundings push a tie-free perfect concordance to 1+1ulp): the
+    // product stays exact in DECIMAL(38,0) and perfect squares take
+    // exact roots
+    one.select(col("_n").as("n"),
+      c0.cast(LongType).as("concordant"), d0.cast(LongType).as("discordant"),
+      when(col("_n") > 1L && va > lit(0) && vb > lit(0),
+        (c0 - d0).cast(DoubleType) / sqrt((va * vb).cast(d38).cast(DoubleType)))
+        .as("tau_b"))
+  }
+
+  /** Benjamini–Hochberg FDR step-up over per-group one-sample
+    * proportion z-tests — the multiple-testing gate the χ²/t keys
+    * lack: screening G groups for anomalous rates at raw α floods the
+    * pager with ~α·G false alarms; BH controls the EXPECTED FALSE
+    * DISCOVERY share at q instead.
+    *
+    * Input: per-group (k, n) successes/trials plus the pooled rate p₀
+    * (computed here from the same frame). z_g = (k/n − p₀) /
+    * √(p₀(1−p₀)/n) — a fixed IEEE chain over exact longs. The step-up
+    * itself never computes a p-value: p_(i) ≤ i·q/m ⇔ |z|_(i) ≥
+    * Φ⁻¹(1 − i·q/(2m)), and the m per-rank thresholds are evaluated
+    * ONCE driver-side ([[invNormalCdf]], Acklam's rational
+    * approximation — both engines then compare against the SAME DOUBLE
+    * LITERALS, so no transcendental ever runs in-plan; a last-ulp libm
+    * divergence is structurally impossible). `m` is the caller's
+    * declared group count, enforced in-plan by raise_error — thresholds
+    * for the wrong m would silently misrank.
+    *
+    * Output per group: rank (by |z| desc, group asc), z, the rank's
+    * threshold, pass_raw (this rank clears its own threshold) and
+    * significant (BH step-up: ANY rank at-or-below clears its
+    * threshold — a suffix-max window over m rows).
+    *
+    * Scale: one group aggregation + one m-row broadcast threshold join
+    * + one m-row window — the test grain is groups, never rows. */
+  def bhFdr(df: DataFrame, groupCol: String, successCol: String,
+      m: Int, q: Double = 0.05): DataFrame = {
+    require(m > 0, s"bhFdr: m must be > 0, got $m")
+    require(q > 0 && q < 1, s"bhFdr: q must be in (0,1), got $q")
+    requireNumeric(df, successCol, "bhFdr")
+    val spark = df.sparkSession
+    val perG = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(
+        when(col(successCol) === 0, lit(0L))
+          .when(col(successCol) === 1, lit(1L))
+          .otherwise(raise_error(concat(
+            lit("bhFdr: success must be 0/1, got "),
+            col(successCol).cast("string"))))).as("k"))
+    val pooled = perG.agg(sum(col("k")).as("_kk"), sum(col("n")).as("_nn"))
+    val z = perG.crossJoin(broadcast(pooled))
+      .withColumn("_p0", col("_kk").cast(DoubleType) / col("_nn").cast(DoubleType))
+      .withColumn("z",
+        (col("k").cast(DoubleType) / col("n").cast(DoubleType) - col("_p0")) /
+          sqrt(col("_p0") * (lit(1.0) - col("_p0")) / col("n").cast(DoubleType)))
+    import spark.implicits._
+    val thresholds = (1 to m).map { i =>
+      (i, invNormalCdf(1.0 - i * q / (2.0 * m)))
+    }.toDF("rank", "z_threshold")
+    val wr = Window.orderBy(abs(col("z")).desc, col(groupCol))
+    val ranked = z
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("_mchk",
+        when(count(lit(1)).over(Window.partitionBy()) =!= m,
+          raise_error(concat(lit(s"bhFdr: declared m=$m but found "),
+            count(lit(1)).over(Window.partitionBy()).cast("string"),
+            lit(" groups")))).otherwise(lit(0)))
+      .join(broadcast(thresholds), Seq("rank"))
+    val ws = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("pass_raw",
+        (abs(col("z")) >= col("z_threshold")).cast(IntegerType) + col("_mchk"))
+      .withColumn("significant", max(col("pass_raw")).over(ws))
+      .select(col(groupCol), col("rank"), col("k"), col("n"), col("z"),
+        col("z_threshold"), col("pass_raw"), col("significant"))
+  }
+
+  /** Inverse standard-normal CDF (quantile function) via Acklam's
+    * rational approximation (max abs rel. error ~1.15e-9; the classic
+    * public-domain algorithm, also the basis of scipy's fallback) —
+    * used DRIVER-SIDE ONLY to pre-evaluate BH thresholds as literals;
+    * never runs in a plan. */
+  def invNormalCdf(p: Double): Double = {
+    require(p > 0 && p < 1, s"invNormalCdf: p must be in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val qq = math.sqrt(-2 * math.log(p))
+      (((((c(0) * qq + c(1)) * qq + c(2)) * qq + c(3)) * qq + c(4)) * qq + c(5)) /
+        ((((dd(0) * qq + dd(1)) * qq + dd(2)) * qq + dd(3)) * qq + 1)
+    } else if (p <= 1 - pLow) {
+      val qq = p - 0.5
+      val r = qq * qq
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * qq /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val qq = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * qq + c(1)) * qq + c(2)) * qq + c(3)) * qq + c(4)) * qq + c(5)) /
+        ((((dd(0) * qq + dd(1)) * qq + dd(2)) * qq + dd(3)) * qq + 1)
+    }
+  }
+
   private def requireNumeric(df: DataFrame, c: String, fn: String): Unit = {
     val dt = df.schema(c).dataType
     require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],

@@ -426,4 +426,57 @@ object SearchOps {
         systems.map { case (n, _) => col(s"${n}_rank") } :+
         col("n_systems"): _*)
   }
+
+  /** Average precision at k (the per-query half of MAP, the other
+    * headline TREC metric next to [[evalRanking]]'s nDCG): AP@k =
+    * (Σ over relevant retrieved positions r_j of P@r_j) / n_rel, with
+    * n_rel the query's TOTAL relevant count (trec_eval semantics — a
+    * ranking that can't fit all of them in k is penalized; the
+    * min(n_rel,k) variant inflates). Because every summand's position
+    * is a HIT, P@r_j = j / r_j exactly (j = index among the sorted hit
+    * ranks), so the whole metric is a fold of |hits| ≤ k exact small
+    * rationals.
+    *
+    * Determinism: the per-rank divisions are IEEE-exact inputs, and the
+    * sum runs as a LEFT FOLD over the SORTED hit-rank array (the
+    * linearAttribution credit contract) — never a commutative double
+    * aggregate whose partial order varies with partitioning. n_rel = 0
+    * → NULL AP (undefined), 0 hits with n_rel > 0 → 0.0.
+    *
+    * Scale: one rank-limited join + one per-query aggregate; the
+    * collected array is ≤ k elements by construction. */
+  def averagePrecision(ranking: DataFrame, relevance: DataFrame,
+      qidCol: String, idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k > 0, s"averagePrecision: k must be > 0, got $k")
+    val r = ranking
+      .select(col(qidCol).as("_qid"), col(idCol).as("_id"),
+        col(rankCol).cast(IntegerType).as("_rank"))
+      .filter(col("_rank") <= k)
+    val rel = relevance
+      .select(col(qidCol).as("_qid"), col(idCol).as("_id"), lit(1).as("_rel"))
+    val perq = r.join(rel, Seq("_qid", "_id"), "left")
+      .groupBy(col("_qid"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_ret"),
+        sort_array(collect_list(when(col("_rel").isNotNull, col("_rank"))))
+          .as("_hit_ranks"))
+    val nrel = rel.groupBy(col("_qid"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_rel"))
+    // P@r_j = j / r_j: position-in-array over the sorted hit ranks,
+    // folded left-to-right — aggregate() is an ordered fold, and
+    // zip_with against the index sequence mints each term once
+    val terms = zip_with(
+      col("_hit_ranks"),
+      sequence(lit(1), greatest(size(col("_hit_ranks")), lit(1))),
+      (rk, j) => j.cast(DoubleType) / rk.cast(DoubleType))
+    perq.join(nrel, Seq("_qid"), "left")
+      .select(col("_qid").as(qidCol), col("n_ret"),
+        coalesce(col("n_rel"), lit(0)).as("n_rel"),
+        size(col("_hit_ranks")).as("n_hits"),
+        when(coalesce(col("n_rel"), lit(0)) > 0,
+          when(size(col("_hit_ranks")) === 0, lit(0.0))
+            .otherwise(
+              aggregate(terms, lit(0.0), (acc, x) => acc + x) /
+                col("n_rel").cast(DoubleType)))
+          .as("ap"))
+  }
 }

@@ -561,6 +561,132 @@ object Catalog {
     stagedOnce.computeIfAbsent(dir, { _ => write(dir); dir })
   }
 
+  /** The profile_calibration fixture + NB score pipeline, staged ONCE
+    * per dataset as the (doc_id, p, y) score table both
+    * profile_recalibrate and profile_auc read back — the expensive NB
+    * scoring subtree runs one time, not once per consumer key
+    * (measured: the two-pass form was 3.36 s steady vs
+    * profile_calibration's one-pass 1.99 s). This is the production
+    * shape too: score tables persist; at 100 TB the equivalent is a
+    * checkpoint/staging write, never re-deriving the scores per
+    * downstream reader. Parquet round-trips DECIMAL(12,6)/INT exactly,
+    * so the staged values ARE the computed values. */
+  private def recalScoresDir(s: SparkSession, d: String): String = {
+    val toksB = split(col("text"), " ")
+    val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
+    val built = t(s, d, "documents").select(col("doc_id"),
+      concat(
+        array_join(transform(sequence(lit(0), nLines - 1),
+          i => concat(
+            array_join(slice(toksB, i * 8 + 1, lit(8)), " "),
+            when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+          "\n"),
+        when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+        .as("text"))
+    val labeled = TextOps.c4QualityFlags(built, "text")
+      .select(col("doc_id"),
+        when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
+          .as("rule_label"))
+    val model = nbCalibModel(s, d, ClassifyOps.nbFit(
+      labeled.join(built, Seq("doc_id")), "text", "rule_label"))
+    staged(d, "recal_scores") { dir =>
+      val piv = ClassifyOps.nbScoreWith(built, "doc_id", "text", model)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("_label") === "keep", col("score"))).as("s_keep"),
+          max(when(col("_label") === "drop", col("score"))).as("s_drop"),
+          max(col("n_tokens")).as("n_tok"))
+      piv.join(labeled, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-(lit(8.0) *
+            (col("s_keep") - col("s_drop")).cast(DoubleType) /
+              col("n_tok").cast(DoubleType)))))
+            .cast(DecimalType(12, 6)).as("p"),
+          when(col("rule_label") === "keep", 1).otherwise(0).as("y"))
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** The DuckDB restatement of [[recalScoresDir]]'s pipeline: the CTE
+    * chain from raw documents through the built fixture, C4 rule
+    * labels, NB fit/score, to `pd(doc_id, p, y)` — shared by the
+    * oracles that consume the staged score table. (The calibration and
+    * recalibrate oracles predate this val and keep their inline copies
+    * — identical text, established hashes untouched.) */
+  private val nbScorePdCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+      |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+      |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+      |      chr(10))
+      |    || CASE WHEN doc_id % 37 = 0
+      |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 41 = 0
+      |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+      |  FROM base),
+      |lab AS MATERIALIZED (
+      |  SELECT doc_id, text,
+      |    CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+      |              AND NOT contains(text, '{')
+      |              AND len(list_filter(string_split(text, chr(10)),
+      |                l -> regexp_matches(trim(l), '[.!?"]$')
+      |                     AND len(string_split_regex(trim(l), '\s+')) >= 5))
+      |                  >= 3
+      |         THEN 'keep' ELSE 'drop' END AS label
+      |  FROM built),
+      |toks0 AS (
+      |  SELECT doc_id, label,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM lab),
+      |t AS MATERIALIZED (SELECT * FROM toks0 WHERE length(tok) > 0),
+      |ct AS (SELECT label, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |tot AS MATERIALIZED (
+      |  SELECT label, sum(cnt) AS total FROM ct GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM t),
+      |lp AS (
+      |  SELECT label, tok,
+      |    CAST(ln((cnt + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,6)) AS lp
+      |  FROM ct JOIN tot USING (label) CROSS JOIN v),
+      |dflt AS (
+      |  SELECT label,
+      |    CAST(ln(0.5 / (total + 0.5 * v)) AS DECIMAL(20,6)) AS dlp
+      |  FROM tot CROSS JOIN v),
+      |prior AS (
+      |  SELECT label,
+      |    CAST(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lab))
+      |      AS DECIMAL(20,6)) AS prior
+      |  FROM lab GROUP BY 1),
+      |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT dt.doc_id, c.label, p.prior,
+      |    sum(dt.cnt) AS n_tok,
+      |    sum(CAST(dt.cnt AS DECIMAL(10,0)) * coalesce(lp.lp, f.dlp)) AS ll
+      |  FROM dt
+      |  CROSS JOIN (SELECT label FROM tot) c
+      |  LEFT JOIN lp ON lp.tok = dt.tok AND lp.label = c.label
+      |  JOIN dflt f ON f.label = c.label
+      |  JOIN prior p ON p.label = c.label
+      |  GROUP BY dt.doc_id, c.label, p.prior),
+      |piv AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN label = 'keep' THEN prior + ll END) AS s_keep,
+      |    max(CASE WHEN label = 'drop' THEN prior + ll END) AS s_drop,
+      |    max(n_tok) AS n_tok
+      |  FROM scored GROUP BY doc_id),
+      |pd AS (
+      |  SELECT pv.doc_id,
+      |    CAST(1.0 / (1.0 + exp(-(8.0 *
+      |      CAST(CAST(pv.s_keep - pv.s_drop AS VARCHAR) AS DOUBLE)
+      |        / CAST(pv.n_tok AS DOUBLE)))) AS DECIMAL(12,6)) AS p,
+      |    CASE WHEN l.label = 'keep' THEN 1 ELSE 0 END AS y
+      |  FROM piv pv JOIN lab l USING (doc_id))""".stripMargin
+
   /** Total parquet row groups across a file-or-directory table path —
     * the DRIVER-SIDE metadata probe (footers only, no data read; the
     * same read a lakehouse table format does for stats) behind
@@ -6873,6 +6999,131 @@ object Catalog {
              |ORDER BY perq.qid""".stripMargin),
       allowBnlj = true),
 
+    // Average precision at 10 (SearchOps.averagePrecision) — MAP's
+    // per-query half, the other headline TREC metric next to
+    // search_eval_ndcg's graded-gain family: AP integrates precision
+    // at every relevant HIT position (Σ_j j/r_j over the sorted hit
+    // ranks — each summand exact because position j IS the hit count
+    // there), divided by the query's TOTAL relevant count (trec_eval
+    // semantics — missing relevants in the top-k cost score). Same
+    // BM25 ranking + rule-derived relevance harness as the nDCG key;
+    // the sum is a LEFT FOLD over the sorted hit-rank array (never a
+    // commutative double aggregate), restated in DuckDB as
+    // list_reduce over list(term ORDER BY rank). q3's dead query
+    // (n_rel = 0) → NULL AP.
+    "search_eval_map" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val queries = Seq(
+          ("q1", "dup hash join"),
+          ("q2", "merge sort"),
+          ("q3", "dup zebra")).toDF("qid", "qtext")
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        val ranking = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+          queries, "qid", "qtext", k = 10)
+        val qterms = queries.select(col("qid"),
+          explode(array_distinct(filter(TextOps.tokenize(col("qtext")),
+            x => length(x) > 0))).as("tok"))
+        val nTerms = qterms.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
+        val docToks = docs.select(col("doc_id"),
+          explode(array_distinct(filter(TextOps.tokenize(col("text")),
+            x => length(x) > 0))).as("tok"))
+        val rel = qterms.join(docToks, Seq("tok"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("hit"))
+          .join(nTerms, Seq("qid"))
+          .filter(col("hit") === col("nt"))
+          .select(col("qid"), col("doc_id"))
+        SearchOps.averagePrecision(ranking, rel, "qid", "doc_id", "rank",
+          k = 10)
+          .orderBy(col("qid"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+             |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM dt GROUP BY 1),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n,
+             |                 CAST(sum(tf) AS BIGINT) AS tot FROM dt),
+             |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+             |idf AS (
+             |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+             |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+             |    AS DECIMAL(20,6)) AS idf
+             |  FROM dfc CROSS JOIN stats),
+             |q(qid, qtext) AS (VALUES
+             |  ('q1', 'dup hash join'), ('q2', 'merge sort'),
+             |  ('q3', 'dup zebra')),
+             |qt AS (
+             |  SELECT qid, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(lower(qtext), '\s+'),
+             |    x -> length(x) > 0))) AS tok
+             |  FROM q),
+             |qi AS (
+             |  SELECT qt.qid, qt.tok, idf.idf
+             |  FROM qt JOIN idf ON idf.tok = qt.tok),
+             |w AS (
+             |  SELECT qi.qid, dt.doc_id, qi.tok,
+             |    CAST(qi.idf AS DOUBLE) *
+             |      ((dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |       (dt.tf + CAST(1.2 AS DOUBLE) *
+             |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |         ((CAST(0.75 AS DOUBLE) * dl.dl) * stats.n) / stats.tot)))
+             |      AS w
+             |  FROM dt
+             |  JOIN qi ON qi.tok = dt.tok
+             |  JOIN dl ON dl.doc_id = dt.doc_id
+             |  CROSS JOIN stats),
+             |lsc AS (
+             |  SELECT qid, doc_id,
+             |    list_reduce(list(w ORDER BY tok), (a, b) -> a + b) AS score
+             |  FROM w GROUP BY qid, doc_id),
+             |rk AS (
+             |  SELECT qid, doc_id, rank FROM (
+             |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, doc_id) AS rank FROM lsc)
+             |  WHERE rank <= 10),
+             |qn AS (SELECT qid, count(*) AS nt FROM qt GROUP BY 1),
+             |dtok AS (SELECT DISTINCT doc_id, tok FROM t),
+             |relc AS (
+             |  SELECT qt.qid, dtok.doc_id, count(*) AS c
+             |  FROM qt JOIN dtok ON dtok.tok = qt.tok GROUP BY 1, 2),
+             |relv AS (
+             |  SELECT relc.qid, relc.doc_id
+             |  FROM relc JOIN qn ON qn.qid = relc.qid AND relc.c = qn.nt),
+             |hits AS (
+             |  SELECT rk.qid, rk.rank,
+             |    row_number() OVER (PARTITION BY rk.qid ORDER BY rk.rank) AS j
+             |  FROM rk JOIN relv
+             |    ON relv.qid = rk.qid AND relv.doc_id = rk.doc_id),
+             |hsum AS (
+             |  SELECT qid, CAST(count(*) AS INTEGER) AS n_hits,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(CAST(j AS DOUBLE) / CAST(rank AS DOUBLE)
+             |        ORDER BY rank)),
+             |      (a, b) -> a + b) AS s
+             |  FROM hits GROUP BY qid),
+             |perq AS (SELECT qid, CAST(count(*) AS INTEGER) AS n_ret
+             |         FROM rk GROUP BY 1),
+             |nrel AS (SELECT qid, CAST(count(*) AS INTEGER) AS n_rel
+             |         FROM relv GROUP BY 1)
+             |SELECT perq.qid AS qid, n_ret,
+             |  CAST(COALESCE(n_rel, 0) AS INTEGER) AS n_rel,
+             |  CAST(COALESCE(n_hits, 0) AS INTEGER) AS n_hits,
+             |  CASE WHEN COALESCE(n_rel, 0) > 0 THEN
+             |    CASE WHEN n_hits IS NULL THEN CAST(0.0 AS DOUBLE)
+             |         ELSE s / CAST(n_rel AS DOUBLE) END
+             |  END AS ap
+             |FROM perq
+             |LEFT JOIN hsum ON hsum.qid = perq.qid
+             |LEFT JOIN nrel ON nrel.qid = perq.qid
+             |ORDER BY perq.qid""".stripMargin),
+      allowBnlj = true),
+
     // Sequence packing: documents → token-budget bins per source (the
     // context-window binning step of a training pipeline). Exact integer
     // window arithmetic ⇒ fully oracled.
@@ -9441,6 +9692,51 @@ object Catalog {
            |) ORDER BY col_a, col_b""".stripMargin
       }),
 
+    // Kendall τ-b rank correlation (ProfileOps.kendallTau) — the
+    // concordance member of the correlation trio (Pearson reads linear,
+    // Spearman monotone-via-ranks, τ reads P(concordant)−P(discordant)
+    // directly — the most outlier-robust and the one with the clean
+    // probabilistic reading). The O(n²) pair space never materializes:
+    // the input collapses to the joint contingency grid (50×11 cells
+    // for quantity×discount — bounded by the DISTINCT-value product,
+    // not rows), C/D come from ONE strict-inequality self-join over
+    // cells with DECIMAL(38,0) products, and tie corrections from the
+    // marginals. The n₀−n₁ tie products exceed 2⁵³ at bench scale, so
+    // the oracle bridges them through VARCHAR (the giniByGroup rule).
+    "profile_kendall_tau" -> QuerySpec(
+      (s, d) => ProfileOps.kendallTau(
+        t(s, d, "lineitem"), "l_quantity", "l_discount"),
+      Some("""WITH base AS (
+             |  SELECT l_quantity AS a, l_discount AS b FROM lineitem
+             |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+             |grid AS MATERIALIZED (
+             |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+             |  FROM base GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT
+             |    SUM(CASE WHEN g1.b < g2.b
+             |      THEN CAST(g1.c AS HUGEINT) * g2.c END) AS conc,
+             |    SUM(CASE WHEN g1.b > g2.b
+             |      THEN CAST(g1.c AS HUGEINT) * g2.c END) AS disc
+             |  FROM grid g1 JOIN grid g2 ON g1.a < g2.a),
+             |ta AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) // 2 AS n1
+             |       FROM (SELECT sum(c) AS t FROM grid GROUP BY a)),
+             |tb AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) // 2 AS n2
+             |       FROM (SELECT sum(c) AS t FROM grid GROUP BY b)),
+             |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |         (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) // 2 AS n0
+             |       FROM grid)
+             |SELECT n,
+             |  CAST(COALESCE(conc, 0) AS BIGINT) AS concordant,
+             |  CAST(COALESCE(disc, 0) AS BIGINT) AS discordant,
+             |  CASE WHEN n > 1 AND n0 - n1 > 0 AND n0 - n2 > 0 THEN
+             |    CAST(CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS VARCHAR)
+             |      AS DOUBLE) /
+             |    sqrt(CAST(CAST((n0 - n1) * (n0 - n2) AS VARCHAR) AS DOUBLE))
+             |  END AS tau_b
+             |FROM cd CROSS JOIN ta CROSS JOIN tb CROSS JOIN nn""".stripMargin),
+      allowBnlj = true),
+
     // Per-group closed-form OLS (ProfileOps.olsByGroup): slope /
     // intercept / r² of price-in-thousands ~ quantity within each
     // return flag — the per-segment trend fit, ONE map-side-combinable
@@ -9871,51 +10167,7 @@ object Catalog {
     "profile_recalibrate" -> QuerySpec(
       (s, d) => {
         import s.implicits._
-        // --- the profile_calibration fixture + NB score pipeline ---
-        val toksB = split(col("text"), " ")
-        val nLines = ceil(size(toksB).cast(DoubleType) / 8).cast(IntegerType)
-        val built = t(s, d, "documents").select(col("doc_id"),
-          concat(
-            array_join(transform(sequence(lit(0), nLines - 1),
-              i => concat(
-                array_join(slice(toksB, i * 8 + 1, lit(8)), " "),
-                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
-              "\n"),
-            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
-              .otherwise(lit("")),
-            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
-            .as("text"))
-        val labeled = TextOps.c4QualityFlags(built, "text")
-          .select(col("doc_id"),
-            when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
-              .as("rule_label"))
-        val model = nbCalibModel(s, d, ClassifyOps.nbFit(
-          labeled.join(built, Seq("doc_id")), "text", "rule_label"))
-        // Score the corpus ONCE and materialize the (doc_id, p, y)
-        // score table as a staged artifact — the fit and eval splits
-        // both read it back, so the expensive NB scoring subtree runs
-        // one time, not once per consumer (measured: the two-pass form
-        // was 3.36 s steady vs profile_calibration's one-pass 1.99 s).
-        // This is the production shape too: score tables persist; at
-        // 100 TB the equivalent is a checkpoint/staging write, never
-        // re-deriving the scores per downstream reader. Parquet
-        // round-trips DECIMAL(12,6)/INT exactly, so the staged values
-        // ARE the computed values.
-        val pdDir = staged(d, "recal_scores") { dir =>
-          val piv = ClassifyOps.nbScoreWith(built, "doc_id", "text", model)
-            .groupBy(col("doc_id"))
-            .agg(max(when(col("_label") === "keep", col("score"))).as("s_keep"),
-              max(when(col("_label") === "drop", col("score"))).as("s_drop"),
-              max(col("n_tokens")).as("n_tok"))
-          piv.join(labeled, Seq("doc_id"))
-            .select(col("doc_id"),
-              (lit(1.0) / (lit(1.0) + exp(-(lit(8.0) *
-                (col("s_keep") - col("s_drop")).cast(DoubleType) /
-                  col("n_tok").cast(DoubleType)))))
-                .cast(DecimalType(12, 6)).as("p"),
-              when(col("rule_label") === "keep", 1).otherwise(0).as("y"))
-            .write.mode("overwrite").parquet(dir)
-        }
+        val pdDir = recalScoresDir(s, d)
         def pdOf(parity: Int) = s.read.parquet(pdDir)
           .filter(pmod(col("doc_id"), lit(2)) === parity)
         def cellOf(p: Column): Column =
@@ -10175,6 +10427,47 @@ object Catalog {
              |    AS INTEGER) AS ok_improved
              |FROM bp CROSS JOIN gpre CROSS JOIN gpost CROSS JOIN pav
              |ORDER BY bin""".stripMargin),
+      allowBnlj = true),
+
+    // ROC AUC of the NB quality ranker (ProfileOps.rocAuc over the
+    // SAME staged (doc_id, p, y) score table profile_recalibrate
+    // reads) — the third leg of the classifier-evaluation tier:
+    // profile_calibration judges the PROBABILITIES (ECE/Brier),
+    // profile_recalibrate FIXES them, this key judges the ORDERING
+    // (threshold-free — a perfectly calibrated coin flip scores
+    // AUC 0.5; a miscalibrated-but-perfect ranker scores 1.0). The
+    // rank-sum identity runs in exact integers end-to-end: value-grain
+    // doubled tie ranks (no .5 minted), DECIMAL(38,0) rank sum, ONE
+    // closing IEEE division — the oracle restates the identical chain
+    // with HUGEINT ranks over the shared NB CTE pipeline.
+    "profile_auc" -> QuerySpec(
+      (s, d) => ProfileOps.rocAuc(
+        s.read.parquet(recalScoresDir(s, d)), "p", "y"),
+      Some(nbScorePdCtes + ",\n" +
+        """g AS (SELECT p, CAST(count(*) AS BIGINT) AS c,
+             |        CAST(sum(y) AS BIGINT) AS pos
+             |      FROM pd GROUP BY 1),
+             |r AS (
+             |  SELECT p, c, pos,
+             |    2 * COALESCE(SUM(c) OVER (ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + c + 1 AS r2
+             |  FROM g),
+             |m AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(SUM(pos) AS BIGINT) AS npos,
+             |    SUM(CAST(r2 AS HUGEINT) * pos) AS r2pos
+             |  FROM r)
+             |SELECT n, npos AS n_pos, n - npos AS n_neg,
+             |  CASE WHEN npos > 0 AND n - npos > 0 THEN
+             |    CAST(r2pos - CAST(npos AS HUGEINT) * (npos + 1) AS DOUBLE) /
+             |    CAST(2 * CAST(npos AS HUGEINT) * (n - npos) AS DOUBLE)
+             |  END AS auc,
+             |  2.0 * (CASE WHEN npos > 0 AND n - npos > 0 THEN
+             |    CAST(r2pos - CAST(npos AS HUGEINT) * (npos + 1) AS DOUBLE) /
+             |    CAST(2 * CAST(npos AS HUGEINT) * (n - npos) AS DOUBLE)
+             |  END) - 1.0 AS gini
+             |FROM m""".stripMargin),
       allowBnlj = true),
 
     "profile_rate_ci" -> QuerySpec(
@@ -10684,6 +10977,95 @@ object Catalog {
              |SELECT * FROM folded UNION ALL SELECT * FROM direct
              |ORDER BY channel""".stripMargin)),
 
+    // MARKOV-CHAIN removal-effect attribution (EventOps
+    // .markovRemovalAttribution) — the data-driven model that closes
+    // the attribution family (last/linear/position are position
+    // heuristics; this one measures each channel's causal leverage as
+    // the absorbed-conversion mass that disappears when the channel's
+    // transitions are removed). Everything is the pagerank
+    // truncating-integer discipline: ppm transition probabilities
+    // (n·10⁶ div total), 6 unrolled absorption rounds of
+    // mass·ppm div 10⁶, and the share divides two EXACT integer deltas
+    // — so the oracle replays all six rounds bit-for-bit as unrolled
+    // CTEs over the identical journey construction.
+    "win_attribution_markov" -> QuerySpec(
+      (s, d) => EventOps.markovRemovalAttribution(
+        t(s, d, "events"), "user_id", "event_id", "event_type",
+        conversionType = "purchase", steps = 6),
+      Some {
+        val stepCtes = (1 to 6).map { i =>
+          val prev = if (i == 1) "v0" else s"v${i - 1}"
+          s"""v$i AS (
+             |  SELECT v.removed, a.t2 AS st,
+             |    CAST(SUM((v.m * a.ppm) // 1000000) AS BIGINT) AS m
+             |  FROM $prev v
+             |  JOIN adj a ON a.removed = v.removed AND a.f = v.st
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, event_type FROM events
+           |  WHERE user_id IS NOT NULL),
+           |fp AS (SELECT user_id, min(event_id) AS pid FROM e
+           |       WHERE event_type = 'purchase' GROUP BY 1),
+           |j AS (
+           |  SELECT e.user_id, e.event_id,
+           |    CASE WHEN e.event_type = 'purchase' THEN '__conv'
+           |         ELSE e.event_type END AS st
+           |  FROM e LEFT JOIN fp USING (user_id)
+           |  WHERE fp.pid IS NULL OR e.event_id <= fp.pid),
+           |tr0 AS (
+           |  SELECT
+           |    COALESCE(lag(st) OVER (PARTITION BY user_id ORDER BY event_id),
+           |      '__start') AS f,
+           |    st AS t2,
+           |    lead(st) OVER (PARTITION BY user_id ORDER BY event_id)
+           |      IS NULL AS is_last
+           |  FROM j),
+           |alltr AS (
+           |  SELECT f, t2 FROM tr0
+           |  UNION ALL
+           |  SELECT t2 AS f, '__null' AS t2 FROM tr0
+           |  WHERE is_last AND t2 <> '__conv'),
+           |cnt AS (SELECT f, t2, CAST(count(*) AS BIGINT) AS n
+           |        FROM alltr GROUP BY 1, 2),
+           |tt AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+           |p AS (SELECT cnt.f, cnt.t2, (cnt.n * 1000000) // tt.tot AS ppm
+           |      FROM cnt JOIN tt USING (f)),
+           |ch AS (SELECT DISTINCT f AS c FROM p WHERE f <> '__start'),
+           |rdim AS (SELECT c FROM ch UNION ALL SELECT '__none'),
+           |adj AS (
+           |  SELECT r.c AS removed, p.f,
+           |    CASE WHEN p.t2 = r.c THEN '__null' ELSE p.t2 END AS t2,
+           |    CAST(SUM(p.ppm) AS BIGINT) AS ppm
+           |  FROM p CROSS JOIN rdim r WHERE p.f <> r.c
+           |  GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT c, '__conv', '__conv', 1000000 FROM rdim
+           |  UNION ALL
+           |  SELECT c, '__null', '__null', 1000000 FROM rdim),
+           |v0 AS (SELECT c AS removed, '__start' AS st,
+           |         CAST(1000000 AS BIGINT) AS m FROM rdim),
+           |$stepCtes,
+           |conv AS (SELECT removed, m FROM v6 WHERE st = '__conv'),
+           |fl AS (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS mf
+           |       FROM conv WHERE removed = '__none'),
+           |pc AS (
+           |  SELECT ch.c AS channel, fl.mf AS conv_full_ppm,
+           |    CAST(COALESCE(cv.m, 0) AS BIGINT) AS conv_removed_ppm,
+           |    fl.mf - COALESCE(cv.m, 0) AS delta
+           |  FROM ch LEFT JOIN conv cv ON cv.removed = ch.c CROSS JOIN fl),
+           |td AS (SELECT CAST(SUM(delta) AS BIGINT) AS tdelta FROM pc)
+           |SELECT channel, conv_full_ppm, conv_removed_ppm,
+           |  CASE WHEN conv_full_ppm > 0 THEN
+           |    CAST(delta AS DOUBLE) / CAST(conv_full_ppm AS DOUBLE)
+           |  END AS removal_effect,
+           |  CASE WHEN tdelta > 0 THEN
+           |    CAST(delta AS DOUBLE) / CAST(tdelta AS DOUBLE)
+           |  END AS share
+           |FROM pc CROSS JOIN td ORDER BY channel""".stripMargin
+      },
+      allowBnlj = true),
+
     // Chi-square independence cells: event type × daypart contingency
     // table with expected counts and per-cell χ² terms — "does behavior
     // depend on time of day" stated as the classic test. Exact cell/
@@ -10737,6 +11119,63 @@ object Catalog {
              |FROM cells
              |JOIN r USING (event_type) JOIN c USING (daypart) CROSS JOIN t
              |ORDER BY event_type, daypart""".stripMargin),
+      allowBnlj = true),
+
+    // Benjamini–Hochberg FDR step-up (ProfileOps.bhFdr) over 25
+    // per-nation proportion z-tests (share of customers above a 5000
+    // balance vs the pooled rate) — the multiple-testing gate the
+    // χ²/t/KS battery lacks: screened at raw α, ~α·25 nations page
+    // falsely; BH bounds the EXPECTED FALSE-DISCOVERY share at q=0.05.
+    // No p-value is ever computed in-plan: p_(i) ≤ i·q/m is equivalent
+    // to |z|_(i) ≥ Φ⁻¹(1−i·q/2m), and the 25 thresholds are evaluated
+    // ONCE driver-side (Acklam's rational approximation) and inlined
+    // as the SAME double literals into BOTH engines' queries — the
+    // libm-divergence class is structurally out. z itself is the
+    // profile_corr fixed-IEEE-chain discipline over exact longs.
+    "profile_fdr_bh" -> QuerySpec(
+      (s, d) => ProfileOps.bhFdr(
+        t(s, d, "customer").select(col("c_nationkey"),
+          when(col("c_acctbal") > 5000, 1).otherwise(0).as("hi_bal")),
+        "c_nationkey", "hi_bal", m = 25, q = 0.05)
+        .orderBy(col("rank")),
+      Some {
+        // thresholds as QUOTED strings → strtod (correctly rounded to
+        // the same double the Spark literal holds); a bare numeric
+        // literal would bind as DECIMAL(17,16) and convert differently
+        val thr = (1 to 25).map { i =>
+          s"($i, CAST('${ProfileOps.invNormalCdf(1.0 - i * 0.05 / (2.0 * 25))}' AS DOUBLE))"
+        }.mkString(", ")
+        s"""WITH per AS (
+           |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+           |pool AS (
+           |  SELECT CAST(SUM(k) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0
+           |  FROM per),
+           |z AS (
+           |  SELECT c_nationkey, k, n,
+           |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - p0) /
+           |      sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)) AS z
+           |  FROM per CROSS JOIN pool),
+           |thr(rank, z_threshold) AS (VALUES $thr),
+           |ranked AS (
+           |  SELECT c_nationkey, k, n, z,
+           |    CAST(row_number() OVER (ORDER BY abs(z) DESC, c_nationkey)
+           |      AS INTEGER) AS rank
+           |  FROM z),
+           |flagged AS (
+           |  SELECT r.c_nationkey, r.rank, r.k, r.n, r.z,
+           |    t.z_threshold,
+           |    CAST(CASE WHEN abs(r.z) >= t.z_threshold THEN 1 ELSE 0 END
+           |      AS INTEGER) AS pass_raw
+           |  FROM ranked r JOIN thr t ON t.rank = r.rank)
+           |SELECT c_nationkey, rank, k, n, z, z_threshold, pass_raw,
+           |  CAST(MAX(pass_raw) OVER (ORDER BY rank
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           |    AS INTEGER) AS significant
+           |FROM flagged ORDER BY rank""".stripMargin
+      },
       allowBnlj = true),
 
     // CRAMÉR'S V effect size (Cramér 1946) — the scalar

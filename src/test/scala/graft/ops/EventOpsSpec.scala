@@ -386,4 +386,72 @@ class EventOpsSpec extends SparkSpec {
     expected.foreach { case (c, e) => assert(got(c) == e, s"$c: ${got(c)} vs $e") }
     assert(got("direct")._1 == nDirect)
   }
+
+  // --- markovRemovalAttribution ---------------------------------------
+
+  test("markovRemovalAttribution: hand-computed ppm masses on a 4-user fixture") {
+    // u1 view→click→purchase, u2 view→click (null), u3 click→purchase,
+    // u4 view (null). Transitions (ppm, integer div):
+    //   start→view 3/4 = 750000, start→click 1/4 = 250000
+    //   view→click 2/3 = 666666, view→null 1/3 = 333333
+    //   click→conv 2/3 = 666666, click→null 1/3 = 333333
+    // Full chain absorbs conv mass 499998 by step 3 (truncation leaks
+    // 2 ppm per div); removing view leaves only start→click→conv =
+    // 166666; removing click kills every conversion path → 0.
+    val df = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "click"), (3L, 2L, "purchase"),
+      (4L, 1L, "view")).toDF("u", "id", "t")
+    val out = EventOps.markovRemovalAttribution(df, "u", "id", "t", "purchase")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("click", "view"))
+    val click = out.head; val view = out.last
+    assert(click._2 == 499998L && view._2 == 499998L) // shared full mass
+    assert(click._3 == 0L && view._3 == 166666L)
+    assert(click._4 == 499998.0 / 499998.0) // removal effect 1.0
+    assert(view._4 == 333332.0 / 499998.0)
+    assert(click._5 == 499998.0 / 833330.0)
+    assert(view._5 == 333332.0 / 833330.0)
+  }
+
+  test("markovRemovalAttribution: shares sum to ~1, removal never helps") {
+    val rnd = new scala.util.Random(3)
+    val types = Seq("a", "b", "c", "buy")
+    val rows = for {
+      u <- 1L to 60L
+      i <- 1L to (1 + rnd.nextInt(6)).toLong
+    } yield (u, i, types(rnd.nextInt(types.size)))
+    val df = rows.toDF("u", "id", "t")
+    val out = EventOps.markovRemovalAttribution(df, "u", "id", "t", "buy")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // conversion mass under removal is bounded by the full chain's
+    out.foreach(r => assert(r._3 <= r._2, r.toString))
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-9)
+    // exact determinism under a different partitioning
+    val out2 = EventOps.markovRemovalAttribution(
+      df.repartition(7), "u", "id", "t", "buy")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == out2)
+  }
+
+  test("markovRemovalAttribution: conversion-first journeys and validation") {
+    // a user whose very first event converts contributes start→conv
+    // directly — no channel ever touches that mass
+    val df = Seq(
+      (1L, 1L, "purchase"),
+      (2L, 1L, "a"), (2L, 2L, "purchase"),
+      (3L, 1L, "a")).toDF("u", "id", "t")
+    val out = EventOps.markovRemovalAttribution(df, "u", "id", "t", "purchase")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("a"))
+    // start→conv 1/3, start→a 2/3; a→conv 1/2, a→null 1/2:
+    // full = 333333 + 666666·500000 div 10⁶ = 333333 + 333333 = 666666
+    // removed a: only the direct 333333 survives
+    assert(out.head._2 == 666666L && out.head._3 == 333333L)
+    intercept[IllegalArgumentException] {
+      EventOps.markovRemovalAttribution(df, "u", "id", "t", "purchase",
+        steps = 0)
+    }
+  }
 }

@@ -901,4 +901,153 @@ class ProfileOpsSpec extends SparkSpec {
       ProfileOps.spearmanMatrix(df, Seq("x", "x"))
     }
   }
+
+  // --- rocAuc ----------------------------------------------------------
+
+  test("rocAuc: hand-computed with tied scores (average ranks)") {
+    // scores 0.1(-), 0.2(-), 0.2(+), 0.3(+): tied 0.2s share rank 2.5,
+    // R+ = 2.5 + 4 = 6.5 → AUC = (6.5 - 3) / 4 = 0.875, Gini 0.75
+    val df = Seq((0.1, 0), (0.2, 0), (0.2, 1), (0.3, 1)).toDF("s", "y")
+    val r = ProfileOps.rocAuc(df, "s", "y")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r == ((4L, 2L, 2L, 0.875, 0.75)))
+  }
+
+  test("rocAuc: perfect separation → 1.0; constant score → exactly 0.5") {
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1)).toDF("s", "y")
+    assert(ProfileOps.rocAuc(perfect, "s", "y")
+      .select($"auc").as[Double].collect().head == 1.0)
+    val flat = Seq((0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)).toDF("s", "y")
+    assert(ProfileOps.rocAuc(flat, "s", "y")
+      .select($"auc").as[Double].collect().head == 0.5)
+  }
+
+  test("rocAuc: single-class input → NULL AUC; non-binary label rejected") {
+    val onlyPos = Seq((0.1, 1), (0.9, 1)).toDF("s", "y")
+    val r = ProfileOps.rocAuc(onlyPos, "s", "y")
+      .select($"auc").as[Option[Double]].collect().head
+    assert(r.isEmpty)
+    val bad = Seq((0.1, 2)).toDF("s", "y")
+    intercept[Exception] {
+      ProfileOps.rocAuc(bad, "s", "y").collect()
+    }
+  }
+
+  test("rocAuc: partitioning-invariant and matches a local rank-sum replay") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val y = rnd.nextInt(2)
+      // overlapping distributions with deliberate tie mass
+      (math.round((rnd.nextDouble() * 0.5 + y * 0.3) * 20) / 20.0, y)
+    }
+    val df = rows.toDF("s", "y")
+    val a1 = ProfileOps.rocAuc(df, "s", "y")
+      .select($"auc").as[Double].collect().head
+    val a2 = ProfileOps.rocAuc(df.repartition(13), "s", "y")
+      .select($"auc").as[Double].collect().head
+    assert(a1 == a2)
+    // local replay: average ranks over sorted scores
+    val sorted = rows.sortBy(_._1)
+    val rankByScore = sorted.zipWithIndex.groupBy(_._1._1)
+      .map { case (s, g) => s -> g.map(_._2 + 1.0).sum / g.size }
+    val npos = rows.count(_._2 == 1).toDouble
+    val nneg = rows.size - npos
+    val rpos = rows.filter(_._2 == 1).map(r => rankByScore(r._1)).sum
+    val expected = (rpos - npos * (npos + 1) / 2) / (npos * nneg)
+    assert(math.abs(a1 - expected) < 1e-12)
+  }
+
+  // --- kendallTau ------------------------------------------------------
+
+  test("kendallTau: perfect concordance → 1; symmetric ties → 0") {
+    val mono = Seq((1, 1), (2, 2), (3, 3)).toDF("a", "b")
+    val r = ProfileOps.kendallTau(mono, "a", "b")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r == ((3L, 3L, 0L, 1.0)))
+    // one concordant, one discordant, ties on both marginals → τ = 0
+    val sym = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("a", "b")
+    val r2 = ProfileOps.kendallTau(sym, "a", "b")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r2 == ((4L, 1L, 1L, 0.0)))
+  }
+
+  test("kendallTau: matches a brute-force O(n²) local replay with ties") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 120).map(_ => (rnd.nextInt(6), rnd.nextInt(4)))
+    val got = ProfileOps.kendallTau(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].collect().head
+    var c = 0L; var d = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val s = (rows(i)._1 - rows(j)._1).sign * (rows(i)._2 - rows(j)._2).sign
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    val n = rows.size.toLong
+    val n0 = n * (n - 1) / 2
+    val t1 = rows.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val t2 = rows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val tau = (c - d).toDouble /
+      math.sqrt(((n0 - t1) * (n0 - t2)).toDouble)
+    assert(got._2 == c && got._3 == d)
+    assert(got._4 == tau)
+    // partitioning invariance
+    val got2 = ProfileOps.kendallTau(
+      rows.toDF("a", "b").repartition(7), "a", "b")
+      .select($"tau_b").as[Double].collect().head
+    assert(got2 == got._4)
+  }
+
+  test("kendallTau: an all-tied column yields NULL τ, NULLs drop listwise") {
+    val df = Seq((Some(1), Some(1)), (Some(1), Some(2)), (None, Some(3)),
+      (Some(1), None)).toDF("a", "b")
+    val r = ProfileOps.kendallTau(df, "a", "b")
+      .select($"n", $"tau_b").as[(Long, Option[Double])].collect().head
+    assert(r._1 == 2L && r._2.isEmpty)
+  }
+
+  // --- bhFdr -----------------------------------------------------------
+
+  test("invNormalCdf: standard quantiles to 1e-8") {
+    assert(math.abs(ProfileOps.invNormalCdf(0.975) - 1.959963984540054) < 1e-8)
+    assert(math.abs(ProfileOps.invNormalCdf(0.5)) < 1e-9)
+    assert(math.abs(ProfileOps.invNormalCdf(0.025) + 1.959963984540054) < 1e-8)
+    // the tail branch
+    assert(math.abs(ProfileOps.invNormalCdf(0.001) + 3.090232306167814) < 1e-7)
+    intercept[IllegalArgumentException] { ProfileOps.invNormalCdf(0.0) }
+  }
+
+  test("bhFdr: an extreme group is flagged, step-up is a suffix property") {
+    // group A: 95/100 vs pooled ≈ 0.55 → |z| huge; B–E near the pool
+    val rows =
+      (1 to 100).map(i => ("A", if (i <= 95) 1 else 0)) ++
+      (1 to 100).map(i => ("B", if (i <= 52) 1 else 0)) ++
+      (1 to 100).map(i => ("C", if (i <= 48) 1 else 0)) ++
+      (1 to 100).map(i => ("D", if (i <= 51) 1 else 0)) ++
+      (1 to 100).map(i => ("E", if (i <= 49) 1 else 0))
+    val out = ProfileOps.bhFdr(rows.toDF("g", "s"), "g", "s", m = 5)
+      .orderBy($"rank")
+      .as[(String, Int, Long, Long, Double, Double, Int, Int)]
+      .collect().toSeq
+    assert(out.size == 5)
+    assert(out.head._1 == "A" && out.head._8 == 1) // extreme group rejected
+    // significant is a suffix-max of pass_raw: never increases with rank
+    assert(out.map(_._8) == out.map(_._8).sorted.reverse)
+    // every significant rank's threshold relation holds via some j ≥ i
+    val passIdx = out.filter(_._7 == 1).map(_._2)
+    out.filter(_._8 == 1).foreach(r => assert(passIdx.exists(_ >= r._2)))
+    // near-pool groups with tiny |z| are not flagged
+    assert(out.filter(r => math.abs(r._5) < 1.0).forall(_._8 == 0))
+  }
+
+  test("bhFdr: declared m must match the group count") {
+    val df = Seq(("A", 1), ("B", 0), ("C", 1)).toDF("g", "s")
+    intercept[Exception] {
+      ProfileOps.bhFdr(df, "g", "s", m = 4).collect()
+    }
+    intercept[IllegalArgumentException] {
+      ProfileOps.bhFdr(df, "g", "s", m = 0)
+    }
+    intercept[IllegalArgumentException] {
+      ProfileOps.bhFdr(df, "g", "s", m = 3, q = 1.5)
+    }
+  }
 }

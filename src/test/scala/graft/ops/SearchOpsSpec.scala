@@ -249,6 +249,53 @@ class SearchOpsSpec extends SparkSpec {
     }
   }
 
+  // --- averagePrecision -----------------------------------------------
+
+  test("averagePrecision: hand-computed AP with an unretrieved relevant") {
+    // hits at ranks 1, 3, 5 of 4 relevant (d9 outside the top-k):
+    // AP = ((1/1 + 2/3) + 3/5) / 4 — the exact left-fold order
+    val ranking = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3),
+      ("q", 4L, 4), ("q", 5L, 5)).toDF("qid", "id", "rank")
+    val rel = Seq(("q", 1L), ("q", 3L), ("q", 5L), ("q", 9L))
+      .toDF("qid", "id")
+    val r = SearchOps.averagePrecision(ranking, rel, "qid", "id", "rank",
+      k = 5).collect().head
+    assert(r.getAs[Int]("n_ret") == 5 && r.getAs[Int]("n_rel") == 4 &&
+      r.getAs[Int]("n_hits") == 3)
+    val expected = (((0.0 + 1.0 / 1.0) + 2.0 / 3.0) + 3.0 / 5.0) / 4.0
+    assert(r.getAs[Double]("ap") == expected)
+  }
+
+  test("averagePrecision: perfect prefix → 1; zero-hit and dead-query conventions") {
+    val ranking = Seq(("q1", 1L, 1), ("q1", 2L, 2),
+      ("q2", 5L, 1), ("q3", 6L, 1)).toDF("qid", "id", "rank")
+    val rel = Seq(("q1", 1L), ("q1", 2L), ("q2", 7L)).toDF("qid", "id")
+    val out = SearchOps.averagePrecision(ranking, rel, "qid", "id", "rank",
+      k = 3).collect().map(r => r.getAs[String]("qid") -> r).toMap
+    assert(out("q1").getAs[Double]("ap") == 1.0) // (1/1 + 2/2) / 2
+    assert(out("q2").getAs[Double]("ap") == 0.0) // relevants exist, none hit
+    assert(out("q3").isNullAt(out("q3").fieldIndex("ap"))) // n_rel = 0
+    intercept[IllegalArgumentException] {
+      SearchOps.averagePrecision(ranking, rel, "qid", "id", "rank", k = 0)
+    }
+  }
+
+  test("averagePrecision: ranks beyond k are ignored, result is partition-stable") {
+    val ranking = Seq(("q", 1L, 1), ("q", 2L, 7)).toDF("qid", "id", "rank")
+    val rel = Seq(("q", 1L), ("q", 2L)).toDF("qid", "id")
+    val r = SearchOps.averagePrecision(ranking, rel, "qid", "id", "rank",
+      k = 5).collect().head
+    assert(r.getAs[Int]("n_ret") == 1 && r.getAs[Int]("n_hits") == 1)
+    assert(r.getAs[Double]("ap") == (0.0 + 1.0) / 2.0)
+    val big = (1 to 50).map(i => ("q", i.toLong, i)).toDF("qid", "id", "rank")
+    val bigRel = (1 to 50 by 3).map(i => ("q", i.toLong)).toDF("qid", "id")
+    val a = SearchOps.averagePrecision(big, bigRel, "qid", "id", "rank", 50)
+      .select($"ap").as[Double].collect().head
+    val b = SearchOps.averagePrecision(big.repartition(11), bigRel,
+      "qid", "id", "rank", 50).select($"ap").as[Double].collect().head
+    assert(a == b)
+  }
+
   // --- rrfFuse ------------------------------------------------------
 
   private def ranking(rows: (String, Long, Int)*) =
