@@ -397,16 +397,20 @@ object EventOps {
       .distinct()
     val rdim = channels.select(col("_c").as("_removed"))
       .unionByName(p.sparkSession.range(1).select(lit("__none").as("_removed")))
+    // __null is a DEAD absorber for the one statistic this op emits
+    // (conversion mass): no edge leaves it, so its rows are pure
+    // bookkeeping — pruned from the iteration AFTER the ppm
+    // normalization (the terminal-edge counts still shape every
+    // denominator). conv masses are bit-identical with or without it.
     val adjusted = p.crossJoin(rdim)
       .filter(col("_from") =!= col("_removed"))
       .groupBy(col("_removed"), col("_from"),
         when(col("_to") === col("_removed"), lit("__null"))
           .otherwise(col("_to")).as("_to"))
       .agg(sum(col("_ppm")).as("_ppm"))
+      .filter(col("_to") =!= "__null")
       .unionByName(rdim.select(col("_removed"), lit("__conv").as("_from"),
         lit("__conv").as("_to"), lit(PPM).as("_ppm")))
-      .unionByName(rdim.select(col("_removed"), lit("__null").as("_from"),
-        lit("__null").as("_to"), lit(PPM).as("_ppm")))
       .localCheckpoint() // (removal-dim × channel²) rows; joined K times
     var v = rdim
       .select(col("_removed"), lit("__start").as("_state"), lit(PPM).as("_m"))
@@ -416,7 +420,10 @@ object EventOps {
       // Catalyst's ambiguous-attribute resolution
       val vr = v.select(col("_removed").as("_vr"), col("_state").as("_vs"),
         col("_m").as("_vm"))
-      v = vr.join(adjusted,
+      // the transition table is model-sized (removal-dim × channel²)
+      // and consumed once per round: broadcast it so each round costs
+      // ONE tiny exchange (the groupBy), not a re-shuffle of both sides
+      v = vr.join(broadcast(adjusted),
           col("_vr") === col("_removed") && col("_vs") === col("_from"))
         .groupBy(col("_vr"), col("_to"))
         .agg(sum(expr(s"(_vm * _ppm) div ${PPM}L")).as("_m"))
