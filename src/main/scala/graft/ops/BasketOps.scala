@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Market-basket association mining: pairwise support / confidence /
   * lift over (basket, item) co-occurrence — the classic affinity
@@ -78,5 +78,70 @@ object BasketOps {
             col("n_b").cast(DecimalType(18, 0))).cast(DoubleType))
           .as("lift"))
       .orderBy(col("pair_n").desc, col("item_a"), col("item_b"))
+  }
+
+  /** Item-item cosine similarity over basket co-occurrence — the
+    * "customers who bought X also bought Y" recommender tier beside
+    * [[associationRules]]' lift view: cos(i,j) = c_ij / √(c_i·c_j)
+    * over BINARY basket membership (a basket contributes 0/1 per item
+    * regardless of quantity), reported as each item's top-`k`
+    * neighbors.
+    *
+    * Same scale shape as the rules: DISTINCT (basket,item) grain,
+    * mega-baskets above `maxBasketSize` dropped from EVERY count
+    * (theirs is the quadratic pair space; a degenerate
+    * everything-basket would both blow the join and poison the
+    * similarities), pairs from the co-partitioned self-join on the
+    * basket key, counts exact longs. cos is ONE division by ONE sqrt
+    * of the EXACT integer product (DECIMAL(38,0) — the kendallTau
+    * one-sqrt lesson: √a·√b costs an extra rounding and can push a
+    * perfect similarity past 1.0). The per-item top-k materializes
+    * BOTH orientations of each pair (the i<j canonical pairs explode
+    * ×2) then rank-filters through the window path; ties break
+    * (cosine DESC, pair_n DESC, neighbor ASC) — exact-double compares
+    * over the same fixed chain, deterministic on both engines. */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2L, maxBasketSize: Int = 1000,
+      k: Int = 5): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val sized = items
+      .withColumn("_k", count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .filter(col("_k") <= maxBasketSize)
+    val itemN = sized.groupBy(col("_i")).agg(count(lit(1)).as("_in"))
+    val pairs = sized.as("l")
+      .join(sized.as("r"), col("l._b") === col("r._b") &&
+        col("l._i") < col("r._i"))
+      .groupBy(col("l._i").as("_ia"), col("r._i").as("_ib"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairCount)
+    val both = pairs
+      .select(col("_ia").as("item"), col("_ib").as("neighbor"), col("pair_n"))
+      .unionByName(pairs.select(col("_ib").as("item"),
+        col("_ia").as("neighbor"), col("pair_n")))
+    val d19 = DecimalType(19, 0)
+    val scored = both
+      .join(broadcast(itemN.select(col("_i").as("item"),
+        col("_in").as("n_item"))), Seq("item"))
+      .join(broadcast(itemN.select(col("_i").as("neighbor"),
+        col("_in").as("n_neighbor"))), Seq("neighbor"))
+      .withColumn("cosine",
+        col("pair_n").cast(DoubleType) /
+          sqrt((col("n_item").cast(d19) * col("n_neighbor").cast(d19))
+            .cast(DecimalType(38, 0)).cast(DoubleType)))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("pair_n").desc, col("neighbor"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor"), col("pair_n"), col("n_item"), col("n_neighbor"),
+        col("cosine"))
+      .orderBy(col("item"), col("rank"))
   }
 }

@@ -496,4 +496,61 @@ object GraphOps {
     alive.groupBy(col("u").as(nodeOut))
       .agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Newman modularity Q of a node labeling over an undirected simple
+    * graph — the quality score for [[labelPropagation]]'s communities
+    * (Q ≈ 0: no better than random; Q ≳ 0.3: real structure), the
+    * number a clustering dashboard thresholds before trusting the
+    * labels downstream.
+    *
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ]: e_c = intra-community edge count,
+    * d_c = community degree sum, m = edges — after canonicalizing the
+    * input to DISTINCT undirected (least,greatest) pairs with
+    * self-loops dropped (the triangle-census orientation). All three
+    * count grains are exact longs from plain aggregations; each
+    * community's q_term is a fixed IEEE chain, and the global `q`
+    * rides every row via the SORTED bounded fold (the cramers_v
+    * discipline — a row-set SUM over doubles would leave accumulation
+    * order to the engine). Isolated-node communities get e_c = 0 via
+    * the left join, never a dropped row.
+    *
+    * Scale: one distinct over edges, one degree aggregation, one
+    * label join per endpoint (labels at node grain), then everything
+    * lives at the community grain. */
+  def modularity(labels: DataFrame, edges: DataFrame,
+      idCol: String, labelCol: String,
+      srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .distinct()
+    val m = und.agg(count(lit(1)).as("_m"))
+    val deg = und.select(col("_a").as("_id"))
+      .unionByName(und.select(col("_b").as("_id")))
+      .groupBy(col("_id")).agg(count(lit(1)).as("_deg"))
+    val lab = labels.select(col(idCol).as("_id"), col(labelCol).as("label"))
+    val dc = lab.join(deg, Seq("_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("_deg"), lit(0L))).as("d_c"))
+    val ec = und
+      .join(lab.select(col("_id").as("_a"), col("label").as("_la")), Seq("_a"))
+      .join(lab.select(col("_id").as("_b"), col("label").as("_lb")), Seq("_b"))
+      .filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label")).agg(count(lit(1)).as("e_c"))
+    val mD = col("_m").cast(DoubleType)
+    val half = col("d_c").cast(DoubleType) / (lit(2.0) * mD)
+    val terms = dc.join(ec, Seq("label"), "left").crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        (coalesce(col("e_c"), lit(0L)).cast(DoubleType) / mD -
+          half * half).as("q_term"))
+    val q = terms.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("label"), col("q_term")))),
+        lit(0.0), (acc, e) => acc + e("q_term")).as("q"))
+    terms.crossJoin(broadcast(q)).orderBy(col("label"))
+  }
 }

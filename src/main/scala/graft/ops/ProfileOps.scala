@@ -1474,6 +1474,70 @@ object ProfileOps {
         col("z_threshold"), col("pass_raw"), col("significant"))
   }
 
+  /** Decile lift / cumulative-gains table of a scored binary outcome —
+    * the campaign-targeting readout beside [[rocAuc]]'s scalar: rank by
+    * score descending, cut into `nBuckets` EQUAL-POPULATION buckets,
+    * and report each bucket's response rate, lift over the base rate,
+    * and the cumulative share of all positives captured ("mail the top
+    * 2 deciles, reach 55% of responders").
+    *
+    * Buckets are rank·k div N over a deterministic TOTAL order (score
+    * DESC, id ASC) — the curriculumSample contract: exact integer
+    * edges, never value quantiles (whose membership hangs on a
+    * cross-engine ulp). The global rank is a range-sort +
+    * zipWithIndex, not a partition-less window. Ties broken by id can
+    * straddle a bucket edge — deterministically, identically in the
+    * oracle's row_number restatement. Every output ratio is ONE IEEE
+    * division of exact longs (lift's cross products in DECIMAL per
+    * the overflow sweep); cum sums run over the ≤nBuckets-row frame.
+    */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      idCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"liftTable: nBuckets must be >= 2, got $nBuckets")
+    requireNumeric(df, labelCol, "liftTable")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("_s"), col(idCol).as("_id"),
+        when(col(labelCol) === 0, lit(0L))
+          .when(col(labelCol) === 1, lit(1L))
+          .otherwise(raise_error(concat(
+            lit("liftTable: label must be 0/1, got "),
+            col(labelCol).cast("string")))).as("_y"))
+    val ranked = SampleOps.zipPositions(
+      base.orderBy(col("_s").desc, col("_id")), "_rank")
+    val buckets = ranked
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("_n"),
+        sum(col("_y")).as("_p"))))
+      .withColumn("bucket",
+        expr(s"(_rank * $nBuckets) div _n").cast(IntegerType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        max(col("_n")).as("_n"), max(col("_p")).as("_p"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    buckets
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("rate"),
+        // lift = (n_pos/n)/(P/N) = n_pos·N / (n·P): exact integer cross
+        // products, ONE division
+        when(col("_p") > 0L,
+          (col("n_pos").cast(d19) * col("_n").cast(d19)).cast(d38)
+            .cast(DoubleType) /
+          (col("n").cast(d19) * col("_p").cast(d19)).cast(d38)
+            .cast(DoubleType)).as("lift"),
+        when(col("_p") > 0L,
+          col("cum_pos").cast(DoubleType) / col("_p").cast(DoubleType))
+          .as("cum_gain"),
+        (col("cum_n").cast(DoubleType) / col("_n").cast(DoubleType))
+          .as("cum_frac"))
+      .orderBy(col("bucket"))
+  }
+
   /** Inverse standard-normal CDF (quantile function) via Acklam's
     * rational approximation (max abs rel. error ~1.15e-9; the classic
     * public-domain algorithm, also the basis of scipy's fallback) —

@@ -244,6 +244,65 @@ object Catalog {
        |SELECT id AS doc_id, lab AS label FROM lp3 ORDER BY doc_id""".stripMargin
   }
 
+  /** graph_modularity's DuckDB oracle: the lpaOracle rounds (labels
+    * re-derived from scratch) + the Newman Q computation over the
+    * canonical undirected edge set — per-community exact counts, fixed
+    * IEEE q_terms, and the global Q as list_reduce over
+    * list(q_term ORDER BY label), mirroring Spark's sorted fold. */
+  private def modularityOracle(whereSql: String, modSql: String): String = {
+    def round(k: Int): String =
+      s"""c$k AS (
+         |  SELECT s.dst AS nid, l.lab, count(*) AS c
+         |  FROM sym s JOIN lp${k - 1} l ON l.id = s.src GROUP BY 1, 2),
+         |w$k AS (
+         |  SELECT nid, lab, row_number() OVER (PARTITION BY nid
+         |    ORDER BY c DESC, lab) AS rn
+         |  FROM c$k),
+         |lp$k AS (
+         |  SELECT p.id, COALESCE(w.lab, p.lab) AS lab
+         |  FROM lp${k - 1} p
+         |  LEFT JOIN (SELECT nid, lab FROM w$k WHERE rn = 1) w
+         |    ON w.nid = p.id)""".stripMargin
+    s"""WITH ${graphNodeEdgeCtes(whereSql, modSql)},
+       |sym AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de)),
+       |lp0 AS (SELECT id, id AS lab FROM nodes),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |und AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM de),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+       |  GROUP BY 1),
+       |dc AS (
+       |  SELECT l.lab AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_c
+       |  FROM lp3 l LEFT JOIN deg d ON d.id = l.id GROUP BY 1),
+       |ec AS (
+       |  SELECT la.lab AS label, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM und u
+       |  JOIN lp3 la ON la.id = u.a
+       |  JOIN lp3 lb ON lb.id = u.b
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |terms AS (
+       |  SELECT dc.label, dc.n_nodes, dc.d_c,
+       |    CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS e_c,
+       |    CAST(COALESCE(ec.e_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       |      - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+       |        * (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+       |      AS q_term
+       |  FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm),
+       |qt AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(q_term ORDER BY label)), (x, y) -> x + y) AS q
+       |  FROM terms)
+       |SELECT label, n_nodes, d_c, e_c, q_term, q
+       |FROM terms CROSS JOIN qt ORDER BY label""".stripMargin
+  }
+
   /** graph_pagerank's DuckDB oracle: the five fixed-point iterations
     * unrolled as chained CTEs (a recursive CTE with an aggregate over
     * the recursive relation is not portable), each the literal integer
@@ -3446,6 +3505,33 @@ object Catalog {
       },
       Some(lpaOracle("WHERE doc_id < 500", "500"))),
 
+    // Newman modularity Q of the LPA communities (GraphOps.modularity)
+    // — the label-quality gate that turns graph_label_propagation's
+    // raw labels into a decision: Q ≈ 0 means the communities are no
+    // better than random and downstream consumers (cluster-aware
+    // splits, community-grain sampling) should NOT trust them; the
+    // 2-out-regular synthetic graph here measures what it measures,
+    // and the point is the bit-exact machinery. Per-community
+    // e_c/d_c/n are exact longs, q_term one fixed IEEE chain, and the
+    // global Q rides every row via the SORTED label fold (the
+    // cramers_v discipline). The oracle re-derives the LPA labels from
+    // scratch (all 3 rounds) before re-checking Q.
+    "graph_modularity" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        val labels = GraphOps.labelPropagation(
+          ids, edges, "doc_id", "src", "dst", iterations = 3)
+        GraphOps.modularity(labels, edges, "doc_id", "label", "src", "dst")
+      },
+      Some(modularityOracle("WHERE doc_id < 500", "500")),
+      allowBnlj = true),
+
     // HITS hubs & authorities (GraphOps.hits, Kleinberg 1999): 4
     // alternating rounds over the same synthetic link graph as
     // graph_pagerank — the two-score decomposition PageRank conflates
@@ -5809,6 +5895,122 @@ object Catalog {
              |ORDER BY n_ab DESC, term_a, term_b""".stripMargin),
       allowBnlj = true),
 
+    // Dunning log-likelihood-ratio collocations (Dunning 1993) over
+    // ADJACENT bigrams — the sparse-count-honest companion to
+    // text_pmi_collocations' document-level PMI (PMI overrates rare
+    // pairs; G² is the significance-weighted ranking production phrase
+    // miners use). The 2×2 contingency per bigram (w1,w2) comes from
+    // three exact count grains (bigram, first-position, second-
+    // position) + the bigram total; G² = 2·Σ k·ln(k·N/(R·C)) over the
+    // nonzero cells, each ln quantized ONCE to DECIMAL(12,6) (the PMI
+    // discipline) and multiplied by the EXACT integer cell count in
+    // decimal, so the 4-term sum is exact and order-free. Zero cells
+    // contribute 0 by the x·ln(x)→0 limit — guarded explicitly (ln(0)
+    // is -inf, not 0). Candidates bound to the top-40 bigrams by count.
+    "text_collocations_llr" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(filter(TextOps.tokenize(col("text")),
+              x => length(x) > 0)).as(Seq("pos", "tok")))
+        val bi = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val big = bi.groupBy(col("tok").as("term_a"), col("nxt").as("term_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val c1 = bi.groupBy(col("tok").as("term_a"))
+          .agg(count(lit(1)).as("n_a"))
+        val c2 = bi.groupBy(col("nxt").as("term_b"))
+          .agg(count(lit(1)).as("n_b"))
+        val nTot = bi.agg(count(lit(1)).as("n_total"))
+        val top = big
+          .orderBy(col("n_ab").desc, col("term_a"), col("term_b")).limit(40)
+          .join(broadcast(c1), Seq("term_a"))
+          .join(broadcast(c2), Seq("term_b"))
+          .crossJoin(broadcast(nTot))
+        def term(cell: Column, r: Column, cc: Column): Column =
+          when(cell > 0L,
+            cell.cast(DecimalType(19, 0)) *
+              log((cell.cast(DoubleType) * col("n_total").cast(DoubleType)) /
+                (r.cast(DoubleType) * cc.cast(DoubleType)))
+                .cast(DecimalType(12, 6)))
+            .otherwise(lit(0).cast(DecimalType(31, 6)))
+        val k11 = col("n_ab")
+        val k12 = col("n_a") - col("n_ab")
+        val k21 = col("n_b") - col("n_ab")
+        val k22 = col("n_total") - col("n_a") - col("n_b") + col("n_ab")
+        val r1 = col("n_a"); val r2 = col("n_total") - col("n_a")
+        val cc1 = col("n_b"); val cc2 = col("n_total") - col("n_b")
+        top.select(col("term_a"), col("term_b"), col("n_ab"),
+            col("n_a"), col("n_b"), col("n_total"),
+            // x2 happens in DOUBLE after the exact decimal sum: doubling
+            // is exact in IEEE (power of two), and a decimal x2 would
+            // push DuckDB past its 38-digit multiplication width cap
+            ((term(k11, r1, cc1) + term(k12, r1, cc2) +
+              term(k21, r2, cc1) + term(k22, r2, cc2))
+              .cast(DoubleType) * lit(2.0)).as("llr"))
+          .orderBy(col("n_ab").desc, col("term_a"), col("term_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, tok, pos FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |        regexp_split_to_array(lower(text), '\s+'),
+             |        x -> length(x) > 0)) AS tok,
+             |      generate_subscripts(list_filter(
+             |        regexp_split_to_array(lower(text), '\s+'),
+             |        x -> length(x) > 0), 1) AS pos
+             |    FROM documents)),
+             |bi AS (
+             |  SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id
+             |    ORDER BY pos) AS b
+             |  FROM toks QUALIFY b IS NOT NULL),
+             |big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+             |        FROM bi GROUP BY 1, 2),
+             |c1 AS (SELECT a, CAST(count(*) AS BIGINT) AS n_a
+             |       FROM bi GROUP BY 1),
+             |c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b
+             |       FROM bi GROUP BY 1),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
+             |top AS (
+             |  SELECT * FROM big ORDER BY n_ab DESC, a, b LIMIT 40),
+             |j AS (
+             |  SELECT t.a, t.b, t.n_ab, c1.n_a, c2.n_b, nt.n AS n_total
+             |  FROM top t JOIN c1 ON c1.a = t.a JOIN c2 ON c2.b = t.b
+             |  CROSS JOIN nt),
+             |cells AS (
+             |  SELECT a, b, n_ab, n_a, n_b, n_total,
+             |    n_ab AS k11, n_a - n_ab AS k12, n_b - n_ab AS k21,
+             |    n_total - n_a - n_b + n_ab AS k22,
+             |    n_a AS r1, n_total - n_a AS r2,
+             |    n_b AS cc1, n_total - n_b AS cc2
+             |  FROM j)
+             |SELECT a AS term_a, b AS term_b, n_ab, n_a, n_b, n_total,
+             |  CAST((
+             |    (CASE WHEN k11 > 0 THEN CAST(k11 AS DECIMAL(19,0)) *
+             |      CAST(ln((CAST(k11 AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |        (CAST(r1 AS DOUBLE) * CAST(cc1 AS DOUBLE)))
+             |        AS DECIMAL(12,6))
+             |      ELSE CAST(0 AS DECIMAL(31,6)) END) +
+             |    (CASE WHEN k12 > 0 THEN CAST(k12 AS DECIMAL(19,0)) *
+             |      CAST(ln((CAST(k12 AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |        (CAST(r1 AS DOUBLE) * CAST(cc2 AS DOUBLE)))
+             |        AS DECIMAL(12,6))
+             |      ELSE CAST(0 AS DECIMAL(31,6)) END) +
+             |    (CASE WHEN k21 > 0 THEN CAST(k21 AS DECIMAL(19,0)) *
+             |      CAST(ln((CAST(k21 AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |        (CAST(r2 AS DOUBLE) * CAST(cc1 AS DOUBLE)))
+             |        AS DECIMAL(12,6))
+             |      ELSE CAST(0 AS DECIMAL(31,6)) END) +
+             |    (CASE WHEN k22 > 0 THEN CAST(k22 AS DECIMAL(19,0)) *
+             |      CAST(ln((CAST(k22 AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |        (CAST(r2 AS DOUBLE) * CAST(cc2 AS DOUBLE)))
+             |        AS DECIMAL(12,6))
+             |      ELSE CAST(0 AS DECIMAL(31,6)) END)
+             |  ) AS DOUBLE) * 2.0 AS llr
+             |FROM cells ORDER BY n_ab DESC, term_a, term_b""".stripMargin),
+      allowBnlj = true),
+
     // Zipf-law fit of the token frequency head (TextOps.zipfSlope):
     // OLS slope of ln(freq) on ln(rank) over the top-200 terms — the
     // distribution-shape tripwire (natural ≈ −1; the synthetic
@@ -6638,6 +6840,112 @@ object Catalog {
              |SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank, score,
              |  n_matched, dl
              |FROM r WHERE rank <= 10 ORDER BY qid, doc_id""".stripMargin),
+      allowBnlj = true),
+
+    // Pseudo-relevance-feedback query expansion (Rocchio 1971 class,
+    // the RM/PRF production idiom): retrieve round 1 with the raw
+    // query, mine the top-10 feedback docs for the 3 highest
+    // df_feedback × idf terms the query lacks (EXACT decimal ranking —
+    // DECIMAL(19,0) count × the model's quantized DECIMAL(20,6) idf),
+    // append them, retrieve round 2 with the expanded term set — the
+    // recall-widening loop every enterprise search stack ships. Both
+    // rounds run the frozen-model batch scorer (one plan each; the
+    // vocabulary-sized model localCheckpoints ONCE and feeds all three
+    // consumers); the expanded query text is assembled IN-PLAN (sorted
+    // array_join — no driver collect of data-dependent terms). The
+    // oracle re-derives round 1, the expansion ranking, and round 2
+    // from raw text.
+    "search_prf_expand" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        // model-sized frame (vocab + stats row): checkpoint once, reuse
+        // across round 1, the expansion join, and round 2
+        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+          .localCheckpoint()
+        val q0 = Seq(("q1", "dup hash")).toDF("qid", "qtext")
+        val round1 = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+          q0, "qid", "qtext", k = 10)
+        val fb = round1.select(col("doc_id"))
+        val dtok = docs.select(col("doc_id"),
+          explode(array_distinct(filter(TextOps.tokenize(col("text")),
+            x => length(x) > 0))).as("tok"))
+        val exp = dtok.join(broadcast(fb), Seq("doc_id"))
+          .filter(!col("tok").isin("dup", "hash"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df_fb"))
+          .join(model.filter(col("_tok").isNotNull)
+            .select(col("_tok").as("tok"), col("_idf")), Seq("tok"))
+          .select(col("tok"),
+            (col("df_fb").cast(DecimalType(19, 0)) * col("_idf")).as("_es"))
+          .orderBy(col("_es").desc, col("tok")).limit(3)
+        val q2 = exp
+          .agg(array_join(sort_array(collect_list(col("tok"))), " ")
+            .as("_ext"))
+          .select(lit("q1").as("qid"),
+            concat(lit("dup hash "), col("_ext")).as("qtext"))
+        SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+            q2, "qid", "qtext", k = 10)
+          .orderBy(col("rank"))
+      },
+      Some {
+        def score(qtCte: String, tag: String) =
+          s"""w$tag AS (
+             |  SELECT dt.doc_id, dl.dl, q$tag.tok,
+             |    CAST(q$tag.idf AS DOUBLE) *
+             |      ((dt.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             |       (dt.tf + CAST(1.2 AS DOUBLE) *
+             |        ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+             |         ((CAST(0.75 AS DOUBLE) * dl.dl) * stats.n) / stats.tot)))
+             |      AS w
+             |  FROM dt
+             |  JOIN (SELECT qt.tok, idf.idf FROM $qtCte qt
+             |        JOIN idf ON idf.tok = qt.tok) q$tag
+             |    ON q$tag.tok = dt.tok
+             |  JOIN dl ON dl.doc_id = dt.doc_id
+             |  CROSS JOIN stats),
+             |sc$tag AS (
+             |  SELECT doc_id, dl,
+             |    list_reduce(list(w ORDER BY tok), (a, b) -> a + b) AS score,
+             |    CAST(count(*) AS INTEGER) AS n_matched
+             |  FROM w$tag GROUP BY doc_id, dl),
+             |r$tag AS (
+             |  SELECT *, row_number() OVER (
+             |    ORDER BY score DESC, doc_id) AS rank FROM sc$tag)""".stripMargin
+        s"""WITH toks0 AS (
+           |  SELECT doc_id,
+           |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |t AS (SELECT * FROM toks0 WHERE length(tok) > 0),
+           |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+           |       FROM dt GROUP BY 1),
+           |stats AS (SELECT count(DISTINCT doc_id) AS n,
+           |                 CAST(sum(tf) AS BIGINT) AS tot FROM dt),
+           |dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+           |idf AS (
+           |  SELECT tok, CAST(ln(CAST(1.0 AS DOUBLE) +
+           |      ((n - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+           |    AS DECIMAL(20,6)) AS idf
+           |  FROM dfc CROSS JOIN stats),
+           |qt1(tok) AS (VALUES ('dup'), ('hash')),
+           |${score("qt1", "1")},
+           |fb AS (SELECT doc_id FROM r1 WHERE rank <= 10),
+           |dtok AS (SELECT DISTINCT doc_id, tok FROM t),
+           |expn AS (
+           |  SELECT d2.tok, CAST(count(*) AS BIGINT) AS df_fb
+           |  FROM dtok d2 JOIN fb USING (doc_id)
+           |  WHERE d2.tok NOT IN ('dup', 'hash')
+           |  GROUP BY 1),
+           |esc AS (
+           |  SELECT expn.tok, CAST(expn.df_fb AS DECIMAL(19,0)) * idf.idf AS es
+           |  FROM expn JOIN idf ON idf.tok = expn.tok),
+           |top3 AS (SELECT tok FROM esc ORDER BY es DESC, tok LIMIT 3),
+           |qt2 AS (SELECT tok FROM qt1 UNION SELECT tok FROM top3),
+           |${score("qt2", "2")}
+           |SELECT 'q1' AS qid, doc_id, CAST(rank AS INTEGER) AS rank, score,
+           |  n_matched, dl
+           |FROM r2 WHERE rank <= 10 ORDER BY rank""".stripMargin
+      },
       allowBnlj = true),
 
     // Per-doc TF-IDF keyword extraction against the same frozen model
@@ -10470,6 +10778,52 @@ object Catalog {
              |FROM m""".stripMargin),
       allowBnlj = true),
 
+    // Decile lift / cumulative-gains table (ProfileOps.liftTable) over
+    // the same staged NB score table — AUC's operational readout: "act
+    // on the top-k deciles, capture what share of the positives". The
+    // buckets are rank·10 div N over the deterministic (score DESC,
+    // doc_id) total order (the curriculumSample exact-integer-edge
+    // contract; rank via range-sort + zipWithIndex, never a
+    // partition-less window); rate/lift/gain are single IEEE divisions
+    // of exact longs (lift's cross products in DECIMAL). The oracle
+    // restates the rank as row_number()−1 over the same total order.
+    "profile_lift" -> QuerySpec(
+      (s, d) => ProfileOps.liftTable(
+        s.read.parquet(recalScoresDir(s, d)), "p", "y", "doc_id",
+        nBuckets = 10),
+      Some(nbScorePdCtes + ",\n" +
+        """r AS (
+          |  SELECT p, y,
+          |    row_number() OVER (ORDER BY p DESC, doc_id) - 1 AS rk
+          |  FROM pd),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |         CAST(SUM(y) AS BIGINT) AS pos FROM pd),
+          |b AS (
+          |  SELECT CAST((rk * 10) // nn.n AS INTEGER) AS bucket,
+          |    CAST(count(*) AS BIGINT) AS nb, CAST(SUM(y) AS BIGINT) AS n_pos
+          |  FROM r CROSS JOIN nn GROUP BY 1),
+          |c AS (
+          |  SELECT bucket, nb, n_pos,
+          |    CAST(SUM(n_pos) OVER (ORDER BY bucket
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_pos,
+          |    CAST(SUM(nb) OVER (ORDER BY bucket
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_n
+          |  FROM b)
+          |SELECT bucket, nb AS n, n_pos,
+          |  CAST(n_pos AS DOUBLE) / CAST(nb AS DOUBLE) AS rate,
+          |  CASE WHEN nn.pos > 0 THEN
+          |    CAST(CAST(n_pos AS DECIMAL(19,0)) * CAST(nn.n AS DECIMAL(19,0))
+          |      AS DOUBLE) /
+          |    CAST(CAST(nb AS DECIMAL(19,0)) * CAST(nn.pos AS DECIMAL(19,0))
+          |      AS DOUBLE) END AS lift,
+          |  CASE WHEN nn.pos > 0 THEN
+          |    CAST(cum_pos AS DOUBLE) / CAST(nn.pos AS DOUBLE) END AS cum_gain,
+          |  CAST(cum_n AS DOUBLE) / CAST(nn.n AS DOUBLE) AS cum_frac
+          |FROM c CROSS JOIN nn ORDER BY bucket""".stripMargin),
+      allowBnlj = true),
+
     "profile_rate_ci" -> QuerySpec(
       (s, d) => ProfileOps.rateWilsonCi(
         t(s, d, "orders").select(col("o_orderpriority").as("grp"),
@@ -13302,6 +13656,54 @@ object Catalog {
              |JOIN itemn b ON b.i = t.item_b
              |CROSS JOIN n
              |ORDER BY pair_n DESC, item_a, item_b""".stripMargin),
+      allowBnlj = true),
+
+    // Item-item cosine neighbors (BasketOps.itemSimilarity) — the
+    // "bought X, also bought Y" recommender tier beside
+    // agg_assoc_rules' lift view: binary basket co-occurrence, cosine
+    // = pair_n / √(n_i·n_j) with ONE sqrt over the EXACT integer
+    // product (the kendallTau lesson — √a·√b costs a second rounding),
+    // top-5 neighbors per item through the rank-window path with the
+    // (cosine DESC, pair_n DESC, neighbor) tie order. Same
+    // co-partitioned basket self-join + mega-basket gate as the rules
+    // key — the pair space stays Σ k_b², never |items|².
+    "agg_item_similarity" -> QuerySpec(
+      (s, d) => BasketOps.itemSimilarity(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 3L, maxBasketSize = 1000, k = 5),
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |sized AS (
+             |  SELECT b, i, count(*) OVER (PARTITION BY b) AS k FROM items),
+             |kept AS (SELECT b, i FROM sized WHERE k <= 1000),
+             |itemn AS (
+             |  SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY 1),
+             |pairs AS (
+             |  SELECT l.i AS ia, r.i AS ib, CAST(count(*) AS BIGINT) AS pair_n
+             |  FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 3),
+             |orient AS (
+             |  SELECT ia AS item, ib AS neighbor, pair_n FROM pairs
+             |  UNION ALL
+             |  SELECT ib AS item, ia AS neighbor, pair_n FROM pairs),
+             |scored AS (
+             |  SELECT bo.item, bo.neighbor, bo.pair_n,
+             |    a.cnt AS n_item, b.cnt AS n_neighbor,
+             |    CAST(bo.pair_n AS DOUBLE) /
+             |      sqrt(CAST(CAST(a.cnt AS DECIMAL(19,0))
+             |        * CAST(b.cnt AS DECIMAL(19,0)) AS DOUBLE)) AS cosine
+             |  FROM orient bo
+             |  JOIN itemn a ON a.i = bo.item
+             |  JOIN itemn b ON b.i = bo.neighbor),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+             |    ORDER BY cosine DESC, pair_n DESC, neighbor) AS INTEGER)
+             |    AS rank
+             |  FROM scored)
+             |SELECT item, rank, neighbor, pair_n, n_item, n_neighbor, cosine
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY item, rank""".stripMargin),
       allowBnlj = true),
 
     // Exact lower weighted median (ProfileOps.weightedMedian): smallest

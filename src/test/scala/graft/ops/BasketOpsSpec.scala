@@ -74,4 +74,43 @@ class BasketOpsSpec extends SparkSpec {
       BasketOps.associationRules(fixture, "basket", "item", 1L, maxBasketSize = 1)
     }
   }
+
+  // --- itemSimilarity --------------------------------------------------
+
+  test("itemSimilarity: hand-computed cosines, both orientations, rank order") {
+    // b1{A,B}, b2{A,B}, b3{A,C}: c_A=3, c_B=2, c_C=1; (A,B)=2, (A,C)=1
+    val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C"), ("b3", "C")) // dup collapses
+      .toDF("basket", "item")
+    val out = BasketOps.itemSimilarity(df, "basket", "item",
+      minPairCount = 1L, k = 5)
+      .as[(String, Int, String, Long, Long, Long, Double)].collect().toSeq
+    val cosAB = 2.0 / math.sqrt(6.0)
+    val cosAC = 1.0 / math.sqrt(3.0)
+    assert(out == Seq(
+      ("A", 1, "B", 2L, 3L, 2L, cosAB),
+      ("A", 2, "C", 1L, 3L, 1L, cosAC),
+      ("B", 1, "A", 2L, 2L, 3L, cosAB),
+      ("C", 1, "A", 1L, 1L, 3L, cosAC)))
+  }
+
+  test("itemSimilarity: k caps neighbors; minPairCount prunes; validation") {
+    val df = Seq(("b1", "A"), ("b1", "B"), ("b1", "C"), ("b2", "A"),
+      ("b2", "B")).toDF("basket", "item")
+    // pairs: (A,B)=2, (A,C)=1, (B,C)=1; minPairCount=2 keeps only (A,B)
+    val pruned = BasketOps.itemSimilarity(df, "basket", "item",
+      minPairCount = 2L, k = 5)
+      .select($"item", $"neighbor").as[(String, String)].collect().toSet
+    assert(pruned == Set("A" -> "B", "B" -> "A"))
+    val capped = BasketOps.itemSimilarity(df, "basket", "item",
+      minPairCount = 1L, k = 1)
+      .as[(String, Int, String, Long, Long, Long, Double)].collect().toSeq
+    assert(capped.map(_._1) == Seq("A", "B", "C"))
+    assert(capped.forall(_._2 == 1))
+    // A's best neighbor is B (cos 2/sqrt(4) = 1.0 > 1/sqrt(2))
+    assert(capped.head._3 == "B")
+    intercept[IllegalArgumentException] {
+      BasketOps.itemSimilarity(df, "basket", "item", k = 0)
+    }
+  }
 }

@@ -361,4 +361,39 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(all.keySet == Set(1L, 2L, 3L, 4L))
   }
+
+  // --- modularity ------------------------------------------------------
+
+  test("modularity: two triangles + a bridge, hand-computed Q") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("id", "lab")
+    val out = GraphOps.modularity(labels, edges, "id", "lab", "src", "dst")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // m = 7; each community: e = 3, d = 2+2+3 = 7
+    val term = 3.0 / 7.0 - (7.0 / (2.0 * 7.0)) * (7.0 / (2.0 * 7.0))
+    assert(out == Seq(
+      (10L, 3L, 7L, 3L, term, (0.0 + term) + term),
+      (20L, 3L, 7L, 3L, term, (0.0 + term) + term)))
+  }
+
+  test("modularity: one community → Q = 0; duplicate/reversed edges collapse") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "lab")
+    val out = GraphOps.modularity(labels, edges, "id", "lab", "src", "dst")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // self-loop dropped, (1,2)/(2,1) one edge: m = 2, e = 2, d = 4
+    assert(out == Seq((1L, 3L, 4L, 2L, 0.0, 0.0)))
+  }
+
+  test("modularity: an isolated-node community keeps its row with zeros") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (9L, 9L)).toDF("id", "lab")
+    val out = GraphOps.modularity(labels, edges, "id", "lab", "src", "dst")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(9L)._3 == 0L && out(9L)._4 == 0L && out(9L)._5 == 0.0)
+    assert(out(1L)._5 == 1.0 - 1.0) // e/m − (d/2m)² = 1 − 1 = 0
+  }
 }

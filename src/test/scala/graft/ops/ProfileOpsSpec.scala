@@ -1038,6 +1038,46 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.filter(r => math.abs(r._5) < 1.0).forall(_._8 == 0))
   }
 
+  // --- liftTable -------------------------------------------------------
+
+  test("liftTable: hand-computed deciles, lift, and cumulative gains") {
+    val rows = Seq(
+      (1.0, 1L, 1), (0.9, 2L, 1), (0.8, 3L, 0), (0.7, 4L, 1), (0.6, 5L, 1),
+      (0.5, 6L, 0), (0.4, 7L, 0), (0.3, 8L, 1), (0.2, 9L, 0), (0.1, 10L, 0))
+    val out = ProfileOps.liftTable(rows.toDF("s", "id", "y"), "s", "y", "id",
+      nBuckets = 5)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2, 3, 4))
+    assert(out.map(_._3) == Seq(2L, 1L, 1L, 1L, 0L)) // n_pos per bucket
+    assert(out.head._4 == 1.0 && out.head._5 == 2.0) // rate, lift = 1.0/(5/10)
+    assert(out.map(_._6) == Seq(0.4, 0.6, 0.8, 1.0, 1.0)) // cum_gain
+    assert(out.map(_._7) == Seq(0.2, 0.4, 0.6, 0.8, 1.0)) // cum_frac
+  }
+
+  test("liftTable: tied scores straddle bucket edges by id, deterministically") {
+    val rows = (1L to 10L).map(i => (0.5, i, if (i <= 3) 1 else 0))
+    val a = ProfileOps.liftTable(rows.toDF("s", "id", "y"), "s", "y", "id",
+      nBuckets = 2)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    // ids 1..5 land in bucket 0 (rank order = id order under the tie)
+    assert(a.map(t => (t._1, t._3)) == Seq((0, 3L), (1, 0L)))
+    val b = ProfileOps.liftTable(rows.toDF("s", "id", "y").repartition(7),
+      "s", "y", "id", nBuckets = 2)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("liftTable: no positives → NULL lift/gain; validation") {
+    val rows = Seq((0.9, 1L, 0), (0.1, 2L, 0))
+    val out = ProfileOps.liftTable(rows.toDF("s", "id", "y"), "s", "y", "id",
+      nBuckets = 2).select($"lift", $"cum_gain")
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(out.forall(t => t._1.isEmpty && t._2.isEmpty))
+    intercept[IllegalArgumentException] {
+      ProfileOps.liftTable(rows.toDF("s", "id", "y"), "s", "y", "id", 1)
+    }
+  }
+
   test("bhFdr: declared m must match the group count") {
     val df = Seq(("A", 1), ("B", 0), ("C", 1)).toDF("g", "s")
     intercept[Exception] {
