@@ -455,4 +455,102 @@ object EventOps {
           .as("share"))
       .orderBy(col("channel"))
   }
+
+  /** EXACT Shapley-value attribution over observed channel SUBSETS
+    * (Shapley 1953 via the simplified marketing formulation of Zhao et
+    * al. 2018, arXiv:1804.05327) — the axiomatically fair split of
+    * conversion credit, the model [[markovRemovalAttribution]]'s
+    * removal effect approximates: φ_i = Σ_{S ⊆ C∖{i}} |S|!(n−1−|S|)!/n!
+    * · (v(S∪{i}) − v(S)), with v(S) the conversion rate of journeys
+    * whose touched-channel set is EXACTLY S (v = 0 for unobserved
+    * subsets, the standard practical convention — documented, not
+    * silent).
+    *
+    * The channel universe is the CALLER'S declared list (n ≤ 16 —
+    * 2ⁿ subset rows; exact Shapley is exponential BY DEFINITION, which
+    * is why this op keys on the declared bounded universe): an
+    * undeclared channel in the data raise_errors rather than silently
+    * vanishing from every coalition (the bhFdr declared-m contract).
+    * The 2ⁿ⁻¹ coalition weights are factorial ratios evaluated ONCE
+    * driver-side ([[shapleyWeight]]) and inlined as literals — both
+    * engines compare against the SAME doubles.
+    *
+    * Determinism: journeys truncate at the first conversion (the
+    * markov contract); each journey collapses to one (mask, converted)
+    * row via per-channel max-bit aggregates; subset stats are exact
+    * longs; v is ONE IEEE division; each marginal term w·(v₁−v₀) a
+    * fixed chain; and φ folds the ≤2ⁿ⁻¹ terms SORTED BY SUBSET MASK
+    * (the cramers_v fold discipline).
+    *
+    * Scale: raw events shuffle once to the actor grain; everything
+    * after lives on the ≤2ⁿ-row lattice (localCheckpoint'd — consumed
+    * once per channel). */
+  def shapleyAttribution(events: DataFrame, actorCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16,
+      s"shapleyAttribution: need 1..16 declared channels, got ${channels.size}")
+    require(channels.distinct.size == channels.size,
+      s"shapleyAttribution: duplicate channels in $channels")
+    require(!channels.contains(conversionType),
+      s"shapleyAttribution: conversion type $conversionType cannot be a channel")
+    val n = channels.size
+    val base = events.filter(col(actorCol).isNotNull)
+      .select(col(actorCol).as("_actor"), col(idCol).as("_id"),
+        col(typeCol).as("_type"))
+    val firstConv = base.filter(col("_type") === conversionType)
+      .groupBy(col("_actor")).agg(min(col("_id")).as("_conv_id"))
+    val declared = (channels :+ conversionType).map(x => x: Any)
+    val journey = base.join(firstConv, Seq("_actor"), "left")
+      .filter(col("_conv_id").isNull || col("_id") <= col("_conv_id"))
+      .withColumn("_t",
+        when(!col("_type").isin(declared: _*),
+          raise_error(concat(
+            lit("shapleyAttribution: undeclared channel "), col("_type"))))
+          .otherwise(col("_type")))
+    val maskExpr = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("_t") === c, lit(1L << i)).otherwise(lit(0L)))
+    }.reduce(_ + _)
+    val perActor = journey.groupBy(col("_actor"))
+      .agg(maskExpr.as("_mask"),
+        max(when(col("_t") === conversionType, 1L).otherwise(0L)).as("_conv"))
+    val stats = perActor.groupBy(col("_mask"))
+      .agg(count(lit(1)).as("_nj"), sum(col("_conv")).as("_nc"))
+    val spark = events.sparkSession
+    val lattice = spark.range(1L << n).select(col("id").as("_m"))
+      .join(stats, col("_m") === col("_mask"), "left")
+      .select(col("_m"),
+        when(col("_nj") > 0L,
+          col("_nc").cast(DoubleType) / col("_nj").cast(DoubleType))
+          .otherwise(lit(0.0)).as("_v"),
+        coalesce(col("_nj"), lit(0L)).as("_nj"))
+      .localCheckpoint() // 2^n rows; consumed once per channel below
+    val wArr = array((0 until n).map(s => lit(shapleyWeight(s, n))): _*)
+    val bitArr = array((0 until n).map(i => lit(1L << i)): _*)
+    val chf = spark.range(n).select(
+      element_at(array(channels.map(lit): _*),
+        (col("id") + 1).cast(IntegerType)).as("channel"),
+      element_at(bitArr, (col("id") + 1).cast(IntegerType)).as("_bit"))
+    val v0 = lattice.select(col("_m").as("_m0"), col("_v").as("_v0"))
+    val v1 = lattice.select(col("_m").as("_m1"), col("_v").as("_v1"))
+    val terms = broadcast(chf).join(v0, (col("_m0").bitwiseAND(col("_bit"))) === 0L)
+      .join(v1, col("_m1") === col("_m0") + col("_bit"))
+      .select(col("channel"), col("_m0"),
+        (element_at(wArr, expr("bit_count(_m0)") + 1) *
+          (col("_v1") - col("_v0"))).as("_term"))
+    terms.groupBy(col("channel"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("_m0"), col("_term")))),
+        lit(0.0), (acc, e) => acc + e("_term")).as("shapley"))
+      .orderBy(col("channel"))
+  }
+
+  /** The Shapley coalition weight |S|!(n−1−|S|)!/n! — evaluated
+    * DRIVER-SIDE only (exact small-integer factorials, one double
+    * division) and inlined as a literal into both engines' plans. */
+  def shapleyWeight(s: Int, n: Int): Double = {
+    require(n >= 1 && s >= 0 && s < n, s"shapleyWeight: bad (s=$s, n=$n)")
+    def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+    fact(s) * fact(n - 1 - s) / fact(n)
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, NumericType}
 
 /** Corpus shaping for training-data pipelines: stratified sampling (mix
   * control) and token-budget sequence packing (context-window binning).
@@ -473,5 +473,51 @@ object SampleOps {
             "positive-count items to draw from")))
           .otherwise(element_at(col("_items"), col("_idx"))))
       .select(a, col("draw").cast(LongType).as("draw"), col("item"))
+  }
+
+  /** Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    * (Efraimidis & Spirakis 2006's exponential-keys scheme in its
+    * Gumbel form): each row draws key = ln(w) + Gumbel(u) and the k
+    * largest keys are EXACTLY a weighted sample without replacement
+    * proportional to w — the DSIR scaladoc's documented-out resampling
+    * half, now first-class (top-k curation stays deterministic;
+    * Gumbel-top-k is the principled stochastic alternative when mix
+    * diversity matters more than strict ranking).
+    *
+    * Determinism: u comes from the portable LCG ((id+seed)·a + c mod
+    * 2³¹, shifted +0.5 so u ∈ (0,1) strictly — u = 0 would send
+    * −ln(−ln u) to ∞), and BOTH transcendental terms — ln(w) and the
+    * Gumbel — quantize ONCE to DECIMAL(20,9) (the unigram-logprob
+    * discipline) so the ranking key is an exact decimal sum, immune to
+    * cross-engine libm last-ulps. Ties (astronomically unlikely but
+    * bit-decidable) break by id. Non-positive/NULL weights raise —
+    * ln(w) is undefined and silently dropping rows would bias the
+    * sample.
+    *
+    * Scale: one zero-shuffle key projection + global top-k
+    * (TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver merge), then a k-row window for the rank column. */
+  def gumbelTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"gumbelTopK: k must be >= 1, got $k")
+    requireNumeric(df, idCol, "gumbelTopK")
+    requireNumeric(df, weightCol, "gumbelTopK")
+    val m = 1L << 31
+    val guarded = df.select(col(idCol).as("_id"),
+      when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(lit("gumbelTopK: weight must be > 0, got "),
+          col(weightCol).cast("string"))))
+        .otherwise(col(weightCol)).as("_w"))
+    val u = (pmod((col("_id").cast(LongType) + lit(seed)) * lit(1103515245L) +
+        lit(12345L), lit(m)).cast(DoubleType) + lit(0.5)) / lit(m.toDouble)
+    val key = log(col("_w").cast(DoubleType)).cast(DecimalType(20, 9)) +
+      (-log(-log(u))).cast(DecimalType(20, 9))
+    val top = guarded.withColumn("_gkey", key)
+      .orderBy(col("_gkey").desc, col("_id")).limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_gkey").desc, col("_id"))).cast(IntegerType))
+      .select(col("rank"), col("_id").as(idCol), col("_w").as(weightCol),
+        col("_gkey").cast(DoubleType).as("gumbel_key"))
   }
 }

@@ -81,6 +81,47 @@ object Upsert {
     surviving.unionByName(latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
   }
 
+  /** TIME TRAVEL over a complete change log: reconstruct the table's
+    * state AS OF sequence point `asOfSeq` — the "what did the table
+    * look like before Tuesday's delete wave" query a CDC log answers
+    * that [[applyChanges]]'s latest-state view cannot. The log alone is
+    * the source of truth (initial load = `I` rows at the first
+    * sequence); state(T) = per key, the row with the greatest seq ≤ T,
+    * dropped if that op is `D`.
+    *
+    * Correctness guards, in-plan: unknown ops raise (the applyChanges
+    * contract), and a DUPLICATE (key, seq) raises rather than letting
+    * the window pick a nondeterministic winner — applyChanges can
+    * tolerate that ambiguity only because its callers deduplicate
+    * upstream; a time-travel read has no upstream to lean on.
+    *
+    * Scale: one filter + one window over the key partitioning — the
+    * same single-shuffle shape as applyChanges; `asOfSeq` prunes the
+    * log BEFORE the shuffle. */
+  def stateAt(log: DataFrame, keys: Seq[String], asOfSeq: Long,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "stateAt: merge keys must be non-empty")
+    val guarded = log.filter(col(seqCol) <= asOfSeq)
+      .withColumn(opCol,
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit(s"stateAt: unknown $opCol value '"), col(opCol),
+            lit("' (expected I, U or D)")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys.map(col) :+ col(seqCol)): _*)
+    guarded
+      .withColumn("_dup", count(lit(1)).over(wDup))
+      .withColumn(seqCol,
+        when(col("_dup") > 1, raise_error(concat(
+          lit("stateAt: duplicate (key, seq) at seq "),
+          col(seqCol).cast("string")))).otherwise(col(seqCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "D")
+      .drop("_rn", "_dup", opCol, seqCol)
+  }
+
   /** SCD Type-2 history build: turn an ordered change log — one row per
     * (entity `keys`, monotone `seqCol`, attribute snapshot `attrCols`) —
     * into a versioned dimension with `valid_from` / `valid_to` /

@@ -2445,6 +2445,50 @@ object Catalog {
              |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 4 = 2
              |) ORDER BY k""".stripMargin)),
 
+    // TIME TRAVEL over the same change log (Upsert.stateAt): the state
+    // AS OF seq 1 — after the first change wave but BEFORE the seq-2
+    // delete that resolves the update-then-delete conflict, so the
+    // conflicted keys (mod 4 = 2) surface with their ×2 update STILL
+    // VISIBLE, the version upsert_cdc_apply's latest-state view can
+    // never show. The log alone is the source of truth (base rows ride
+    // as I ops at seq 0); duplicate (key,seq) and unknown ops
+    // raise_error in-plan. DuckDB states the as-of-1 table directly —
+    // an independent derivation, not a log re-simulation.
+    "upsert_time_travel" -> QuerySpec(
+      (s, d) => {
+        val base = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        val m = col("k") % 4
+        val initial = base.select(col("k"), col("price"),
+          lit("I").as("op"), lit(0L).as("seq"))
+        val updates = base.filter(m === 0).select(col("k"),
+          (col("price") + 1000).as("price"), lit("U").as("op"), lit(1L).as("seq"))
+        val deletes = base.filter(m === 1).select(col("k"),
+          lit(null).cast(DoubleType).as("price"), lit("D").as("op"), lit(1L).as("seq"))
+        val conflictU = base.filter(m === 2).select(col("k"),
+          (col("price") * 2).as("price"), lit("U").as("op"), lit(1L).as("seq"))
+        val conflictD = base.filter(m === 2).select(col("k"),
+          lit(null).cast(DoubleType).as("price"), lit("D").as("op"), lit(2L).as("seq"))
+        val inserts = base.filter(m === 2).select((col("k") + 1000000L).as("k"),
+          col("price"), lit("I").as("op"), lit(1L).as("seq"))
+        val log = initial.unionByName(updates).unionByName(deletes)
+          .unionByName(conflictU).unionByName(conflictD).unionByName(inserts)
+        Upsert.stateAt(log, Seq("k"), asOfSeq = 1L).orderBy(col("k"))
+      },
+      Some("""SELECT k, price FROM (
+             |  SELECT o_orderkey AS k, o_totalprice + 1000 AS price
+             |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 4 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice * 2
+             |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 4 = 2
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 4 = 3
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000, o_totalprice
+             |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 4 = 2
+             |) ORDER BY k""".stripMargin)),
+
     // SCD Type-2 history build (§2.10 extension): the change log is the
     // orders table itself — entity = o_custkey % 300, version order =
     // o_orderkey, tracked attributes = (status, priority). Consecutive
@@ -8927,6 +8971,33 @@ object Catalog {
              |ORDER BY doc_id""".stripMargin),
       allowBnlj = true),
 
+    // Gumbel-top-k weighted sampling WITHOUT replacement (SampleOps
+    // .gumbelTopK, Efraimidis & Spirakis 2006) — the principled
+    // stochastic alternative to deterministic top-k curation: the k
+    // largest ln(w)+Gumbel(u) keys ARE a weight-proportional sample
+    // without replacement. u comes from the portable LCG shifted +0.5
+    // (strictly inside (0,1) — u = 0 would blow up the double log);
+    // BOTH transcendental terms quantize ONCE to DECIMAL(20,9) so the
+    // ranking key is an exact decimal sum — the oracle re-derives
+    // every draw bit-for-bit (its quantizing casts bridge through
+    // VARCHAR, the ts_backtest rule).
+    "sample_gumbel_topk" -> QuerySpec(
+      (s, d) => SampleOps.gumbelTopK(
+        t(s, d, "documents"), "doc_id", "n_chars", k = 100, seed = 7L),
+      Some("""WITH g AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(CAST(ln(CAST(n_chars AS DOUBLE)) AS VARCHAR)
+             |      AS DECIMAL(20,9)) +
+             |    CAST(CAST(-ln(-ln(
+             |      (((doc_id + 7) * 1103515245 + 12345) % 2147483648 + 0.5)
+             |        / 2147483648.0)) AS VARCHAR) AS DECIMAL(20,9)) AS gkey
+             |  FROM documents),
+             |top AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 100)
+             |SELECT CAST(row_number() OVER (ORDER BY gkey DESC, doc_id)
+             |    AS INTEGER) AS rank,
+             |  doc_id, n_chars, CAST(gkey AS DOUBLE) AS gumbel_key
+             |FROM top ORDER BY rank""".stripMargin)),
+
     // Per-row weighted Bernoulli sample (keep probability = a per-doc
     // quality proxy, here length-derived). Runs the portableHash variant
     // so the key is FULLY ORACLED: the 31-bit LCG keep decision is
@@ -11417,6 +11488,72 @@ object Catalog {
            |    CAST(delta AS DOUBLE) / CAST(tdelta AS DOUBLE)
            |  END AS share
            |FROM pc CROSS JOIN td ORDER BY channel""".stripMargin
+      },
+      allowBnlj = true),
+
+    // EXACT Shapley-value attribution (EventOps.shapleyAttribution,
+    // Shapley 1953 / Zhao et al. 2018) — the axiomatically fair split
+    // the removal-effect model approximates, computable exactly here
+    // because the channel universe is DECLARED and bounded (2⁴ = 16
+    // subset rows; exact Shapley is exponential by definition). v(S) =
+    // conversion rate of journeys touching EXACTLY set S (0 for
+    // unobserved subsets — the standard practical convention); the
+    // 2ⁿ⁻¹ coalition weights are driver-evaluated factorial ratios
+    // inlined as IDENTICAL literals into both engines (the bhFdr
+    // threshold pattern); each marginal term is a fixed IEEE chain and
+    // φ folds terms SORTED BY SUBSET MASK. Undeclared channels
+    // raise_error rather than silently vanish from every coalition.
+    "win_attribution_shapley" -> QuerySpec(
+      (s, d) => EventOps.shapleyAttribution(
+        t(s, d, "events"), "user_id", "event_id", "event_type",
+        conversionType = "purchase",
+        channels = Seq("click", "error", "signup", "view")),
+      Some {
+        val wt = (0 until 4).map { sz =>
+          s"($sz, CAST('${EventOps.shapleyWeight(sz, 4)}' AS DOUBLE))"
+        }.mkString(", ")
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, event_type FROM events
+           |  WHERE user_id IS NOT NULL),
+           |fp AS (SELECT user_id, min(event_id) AS pid FROM e
+           |       WHERE event_type = 'purchase' GROUP BY 1),
+           |j AS (
+           |  SELECT e.user_id, e.event_type AS t
+           |  FROM e LEFT JOIN fp USING (user_id)
+           |  WHERE fp.pid IS NULL OR e.event_id <= fp.pid),
+           |pa AS (
+           |  SELECT user_id,
+           |      MAX(CASE WHEN t = 'click'  THEN 1 ELSE 0 END)
+           |    + MAX(CASE WHEN t = 'error'  THEN 2 ELSE 0 END)
+           |    + MAX(CASE WHEN t = 'signup' THEN 4 ELSE 0 END)
+           |    + MAX(CASE WHEN t = 'view'   THEN 8 ELSE 0 END) AS mask,
+           |    MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS conv
+           |  FROM j GROUP BY 1),
+           |st AS (
+           |  SELECT mask, CAST(count(*) AS BIGINT) AS nj,
+           |    CAST(SUM(conv) AS BIGINT) AS nc
+           |  FROM pa GROUP BY 1),
+           |lat AS (
+           |  SELECT r.m,
+           |    CASE WHEN st.nj > 0
+           |      THEN CAST(st.nc AS DOUBLE) / CAST(st.nj AS DOUBLE)
+           |      ELSE CAST(0.0 AS DOUBLE) END AS v
+           |  FROM (SELECT unnest(range(0, 16)) AS m) r
+           |  LEFT JOIN st ON st.mask = r.m),
+           |ch(channel, bit) AS (VALUES
+           |  ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+           |wt(s, w) AS (VALUES $wt),
+           |terms AS (
+           |  SELECT ch.channel, v0.m AS m0, wt.w * (v1.v - v0.v) AS term
+           |  FROM ch
+           |  JOIN lat v0 ON (v0.m & ch.bit) = 0
+           |  JOIN lat v1 ON v1.m = v0.m + ch.bit
+           |  JOIN wt ON wt.s = (v0.m & 1) + ((v0.m >> 1) & 1)
+           |                  + ((v0.m >> 2) & 1) + ((v0.m >> 3) & 1))
+           |SELECT channel,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(term ORDER BY m0)), (a, b) -> a + b) AS shapley
+           |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
       },
       allowBnlj = true),
 

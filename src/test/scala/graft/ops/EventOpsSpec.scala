@@ -435,6 +435,62 @@ class EventOpsSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  // --- shapleyAttribution ----------------------------------------------
+
+  test("shapleyAttribution: hand-computed φ on a 2-channel lattice") {
+    // sets: {}=conv 1/1, {A}=1/2, {B}=1/1, {A,B}=0/1; w(0)=w(1)=0.5
+    // φ_A = .5(v{A}−v∅) + .5(v{A,B}−v{B}) = .5(.5−1) + .5(0−1) = −0.75
+    // φ_B = .5(v{B}−v∅) + .5(v{A,B}−v{A}) = .5(0)   + .5(0−.5) = −0.25
+    val df = Seq(
+      (1L, 1L, "A"), (1L, 2L, "buy"),
+      (2L, 1L, "A"),
+      (3L, 1L, "B"), (3L, 2L, "buy"),
+      (4L, 1L, "A"), (4L, 2L, "B"),
+      (5L, 1L, "buy")).toDF("u", "id", "t")
+    val out = EventOps.shapleyAttribution(df, "u", "id", "t", "buy",
+      channels = Seq("A", "B"))
+      .as[(String, Double)].collect().toSeq
+    val phiA = (0.0 + 0.5 * (0.5 - 1.0)) + 0.5 * (0.0 - 1.0)
+    val phiB = (0.0 + 0.5 * (1.0 - 1.0)) + 0.5 * (0.0 - 0.5)
+    assert(out == Seq("A" -> phiA, "B" -> phiB))
+    // efficiency: Σφ = v(full) − v(∅) (exact here — terms are dyadic)
+    assert(out.map(_._2).sum == 0.0 - 1.0)
+  }
+
+  test("shapleyAttribution: weights, undeclared channels, validation") {
+    assert(EventOps.shapleyWeight(0, 4) == 0.25)
+    assert(EventOps.shapleyWeight(3, 4) == 0.25)
+    assert(EventOps.shapleyWeight(1, 4) == 1.0 * 2.0 / 24.0)
+    val df = Seq((1L, 1L, "A"), (2L, 1L, "Z")).toDF("u", "id", "t")
+    intercept[Exception] {
+      EventOps.shapleyAttribution(df, "u", "id", "t", "buy",
+        Seq("A")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.shapleyAttribution(df, "u", "id", "t", "buy", Seq("A", "A"))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.shapleyAttribution(df, "u", "id", "t", "buy", Seq("A", "buy"))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.shapleyWeight(4, 4)
+    }
+  }
+
+  test("shapleyAttribution: partitioning-invariant on a random stream") {
+    val rnd = new scala.util.Random(5)
+    val types = Seq("a", "b", "c", "buy")
+    val rows = for {
+      u <- 1L to 80L; i <- 1L to (1 + rnd.nextInt(5)).toLong
+    } yield (u, i, types(rnd.nextInt(types.size)))
+    val df = rows.toDF("u", "id", "t")
+    val a = EventOps.shapleyAttribution(df, "u", "id", "t", "buy",
+      Seq("a", "b", "c")).as[(String, Double)].collect().toSeq
+    val b = EventOps.shapleyAttribution(df.repartition(9), "u", "id", "t",
+      "buy", Seq("a", "b", "c")).as[(String, Double)].collect().toSeq
+    assert(a == b && a.size == 3)
+  }
+
   test("markovRemovalAttribution: conversion-first journeys and validation") {
     // a user whose very first event converts contributes start→conv
     // directly — no channel ever touches that mass

@@ -459,4 +459,49 @@ class SampleOpsSpec extends SparkSpec {
       SampleOps.popularityNegatives(actors, "a", items, "item", "cnt", k = 1)
     }
   }
+
+  // --- gumbelTopK ------------------------------------------------------
+
+  test("gumbelTopK matches an exact local replay of the quantized key chain") {
+    val rows = (1L to 50L).map(i => (i, (i % 7 + 1).toInt))
+    val out = SampleOps.gumbelTopK(rows.toDF("id", "w"), "id", "w",
+      k = 10, seed = 7L)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    def bd9(x: Double) = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val m = 1L << 31
+    val keys = rows.map { case (id, w) =>
+      val u = (Math.floorMod((id + 7L) * 1103515245L + 12345L, m)
+        .toDouble + 0.5) / m.toDouble
+      val k = bd9(math.log(w.toDouble))
+        .add(bd9(-math.log(-math.log(u))))
+      (id, w, k)
+    }
+    val expected = keys.sortBy { case (id, _, k) => (k.negate, id) }
+      .take(10).zipWithIndex
+      .map { case ((id, w, k), i) => (i + 1, id, w, k.doubleValue) }
+    assert(out == expected)
+  }
+
+  test("gumbelTopK: deterministic under partitioning; seed changes the draw") {
+    val rows = (1L to 200L).map(i => (i, 1)) // equal weights: pure noise order
+    val a = SampleOps.gumbelTopK(rows.toDF("id", "w"), "id", "w", 20, seed = 1L)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    val b = SampleOps.gumbelTopK(rows.toDF("id", "w").repartition(11),
+      "id", "w", 20, seed = 1L).as[(Int, Long, Int, Double)].collect().toSeq
+    assert(a == b)
+    val c = SampleOps.gumbelTopK(rows.toDF("id", "w"), "id", "w", 20, seed = 2L)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    assert(a.map(_._2) != c.map(_._2))
+  }
+
+  test("gumbelTopK: non-positive weights raise; k validation") {
+    val df = Seq((1L, 0)).toDF("id", "w")
+    intercept[Exception] {
+      SampleOps.gumbelTopK(df, "id", "w", 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.gumbelTopK(df, "id", "w", 0)
+    }
+  }
 }

@@ -366,4 +366,34 @@ class UpsertSpec extends SparkSpec {
       .collect().toSet
     assert(back == rows.as[(Long, String, String)].collect().toSet)
   }
+
+  // --- stateAt ----------------------------------------------------------
+
+  test("stateAt reconstructs every historical version from the log") {
+    val log = Seq(
+      (1L, "v0", "I", 0L), (1L, "v1", "U", 1L), (1L, null, "D", 2L),
+      (2L, "w0", "I", 0L),
+      (3L, "x1", "I", 1L)).toDF("k", "v", "op", "seq")
+    def at(t: Long) = Upsert.stateAt(log, Seq("k"), t)
+      .as[(Long, Option[String])].collect().toMap
+    assert(at(0L) == Map(1L -> Some("v0"), 2L -> Some("w0")))
+    assert(at(1L) == Map(1L -> Some("v1"), 2L -> Some("w0"), 3L -> Some("x1")))
+    assert(at(2L) == Map(2L -> Some("w0"), 3L -> Some("x1")))
+  }
+
+  test("stateAt: duplicate (key, seq) and unknown ops raise in-plan") {
+    val dup = Seq((1L, "a", "I", 0L), (1L, "b", "U", 0L))
+      .toDF("k", "v", "op", "seq")
+    intercept[Exception] { Upsert.stateAt(dup, Seq("k"), 5L).collect() }
+    val bad = Seq((1L, "a", "X", 0L)).toDF("k", "v", "op", "seq")
+    intercept[Exception] { Upsert.stateAt(bad, Seq("k"), 5L).collect() }
+    intercept[IllegalArgumentException] {
+      Upsert.stateAt(dup, Seq.empty, 5L)
+    }
+    // a duplicate BEYOND the as-of horizon is pruned before the guard
+    val later = Seq((1L, "a", "I", 0L), (1L, "b", "U", 9L),
+      (1L, "c", "U", 9L)).toDF("k", "v", "op", "seq")
+    assert(Upsert.stateAt(later, Seq("k"), 1L)
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a"))
+  }
 }
