@@ -1538,6 +1538,49 @@ object ProfileOps {
       .orderBy(col("bucket"))
   }
 
+  /** A/B sample-size planner (two-proportion power analysis, the
+    * standard normal-approximation formula): per group, the n PER ARM
+    * required to detect an absolute rate lift `delta` at significance
+    * `alpha` (two-sided) and `power` — the "how long must this
+    * experiment run" readout beside [[bhFdr]]'s post-hoc gate and
+    * profile_rate_ci's uncertainty band.
+    *
+    * n = (z_{α/2}·√(2·p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / δ²,
+    * p₂ = p₁+δ, p̄ the midpoint. The two z quantiles are evaluated
+    * ONCE driver-side ([[invNormalCdf]]) and inlined as literals —
+    * the bhFdr no-transcendental-in-plan contract; everything else is
+    * a fixed IEEE chain over the exact (k, n) longs. Groups where
+    * p₂ > 1 get NULL (no such lift exists); `feasible` flags groups
+    * whose CURRENT n already covers the requirement. */
+  def powerTwoProportion(df: DataFrame, groupCol: String,
+      successCol: String, delta: Double, alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(delta > 0 && delta < 1, s"powerTwoProportion: delta in (0,1), got $delta")
+    require(alpha > 0 && alpha < 1, s"powerTwoProportion: alpha in (0,1), got $alpha")
+    require(power > 0 && power < 1, s"powerTwoProportion: power in (0,1), got $power")
+    requireNumeric(df, successCol, "powerTwoProportion")
+    val za = invNormalCdf(1.0 - alpha / 2.0)
+    val zb = invNormalCdf(power)
+    val perG = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(
+        when(col(successCol) === 0, lit(0L))
+          .when(col(successCol) === 1, lit(1L))
+          .otherwise(raise_error(concat(
+            lit("powerTwoProportion: success must be 0/1, got "),
+            col(successCol).cast("string"))))).as("k"))
+    val p1 = col("k").cast(DoubleType) / col("n").cast(DoubleType)
+    val p2 = p1 + lit(delta)
+    val pbar = (p1 + p2) / lit(2.0)
+    val s = lit(za) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zb) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nReq = when(p2 <= 1.0, (s * s) / lit(delta * delta))
+    perG.select(col(groupCol), col("k"), col("n"), p1.as("rate"),
+        nReq.as("n_required"),
+        when(nReq.isNotNull, (col("n").cast(DoubleType) >= nReq)
+          .cast(IntegerType)).as("feasible"))
+  }
+
   /** Inverse standard-normal CDF (quantile function) via Acklam's
     * rational approximation (max abs rel. error ~1.15e-9; the classic
     * public-domain algorithm, also the basis of scipy's fallback) —

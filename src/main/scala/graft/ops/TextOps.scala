@@ -1119,4 +1119,45 @@ object TextOps {
     (nSym.cast(org.apache.spark.sql.types.LongType),
       nKw.cast(org.apache.spark.sql.types.LongType), symRatio, kwRatio, isCode)
   }
+
+  /** CCNet-style perplexity split (Wenzek et al. 2020): rank the corpus
+    * by a per-doc LM score (mean negative log-prob — lower = more
+    * fluent) and cut it into the head / middle / tail TERCILES that the
+    * CCNet pipeline routes differently (keep head, maybe-keep middle,
+    * drop or re-filter tail). The bucket edges are EXACT integer rank
+    * arithmetic (rank·3 div N over the (score ASC, id) total order —
+    * the curriculumSample contract; value-quantile edges would hang
+    * membership on a cross-engine ulp), with the global rank a
+    * range-sort + zipWithIndex, never a partition-less window.
+    *
+    * Determinism: the score column is expected on the 1e-6 grid
+    * (knBigramScoreWith's rounded mean_neg_logprob) so the DECIMAL(12,6)
+    * cast is exact and the per-bucket mean is ONE IEEE division of an
+    * exact decimal sum; min/max are order-free. Output grain: 3 rows.
+    */
+  def ccnetSplit(scored: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String): DataFrame = {
+    val ranked = SampleOps.zipPositions(
+      scored.select(col(idCol).as("_id"), col(scoreCol).as("_s"),
+          col(tokensCol).as("_tok"))
+        .orderBy(col("_s"), col("_id")), "_rank")
+    ranked
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+      .withColumn("bucket_idx",
+        expr("(_rank * 3) div _n").cast(IntegerType))
+      .groupBy(col("bucket_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok").cast(LongType)).as("n_tokens"),
+        sum(col("_s").cast(DecimalType(12, 6))).as("_sum_s"),
+        min(col("_s")).as("min_nll"),
+        max(col("_s")).as("max_nll"))
+      .select(
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("bucket_idx") + 1).as("bucket"),
+        col("bucket_idx"), col("n_docs"), col("n_tokens"),
+        (col("_sum_s").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("mean_nll"),
+        col("min_nll"), col("max_nll"))
+      .orderBy(col("bucket_idx"))
+  }
 }

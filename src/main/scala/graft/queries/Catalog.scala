@@ -3686,6 +3686,77 @@ object Catalog {
       },
       Some(geohashOracle(4))),
 
+    // k-nearest-neighbor lookup on the integer centidegree grid
+    // (round 14): top-10 customers per literal query point, RANKED BY
+    // THE EXACT equirectangular squared distance (Δlat² + Δlon² in
+    // centidegree longs — every comparison bit-decided; fine as a
+    // blocking/rerank baseline at city extents, documented as such)
+    // with the true haversine metres riding along as a DISPLAY column
+    // (the one transcendental chain, quantized ONCE to DECIMAL(12,3);
+    // ranking never reads it — the geo twin of the ANN exact-rerank
+    // separation). radians()·sin/cos/asin sequence is written in the
+    // IDENTICAL operation order on both engines; the oracle bridges
+    // the quantizing cast through VARCHAR. 5 query points × N scan —
+    // linear; at corpus scale the geohash cell tier blocks first.
+    "geo_knn_equirect" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val pts = t(s, d, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 17000 - 8500).cast(LongType).as("lat_q"),
+          ((col("c_custkey") * 7) % 35000 - 17500).cast(LongType).as("lon_q"))
+        val qs = Seq((1, -2000L, 5000L), (2, 4500L, -12000L), (3, 0L, 0L),
+          (4, 8000L, 17000L), (5, -8400L, -17400L))
+          .toDF("qid", "q_lat", "q_lon")
+        val j = pts.crossJoin(broadcast(qs))
+          .withColumn("dist2",
+            (col("lat_q") - col("q_lat")) * (col("lat_q") - col("q_lat")) +
+              (col("lon_q") - col("q_lon")) * (col("lon_q") - col("q_lon")))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("dist2"), col("c_custkey"))
+        val phi1 = radians(col("q_lat").cast(DoubleType) / lit(100.0))
+        val phi2 = radians(col("lat_q").cast(DoubleType) / lit(100.0))
+        val dphi = (phi2 - phi1) / lit(2.0)
+        val dlam = (radians(col("lon_q").cast(DoubleType) / lit(100.0)) -
+          radians(col("q_lon").cast(DoubleType) / lit(100.0))) / lit(2.0)
+        val hav = (lit(12742000.0) * asin(sqrt(
+          sin(dphi) * sin(dphi) +
+            cos(phi1) * cos(phi2) * sin(dlam) * sin(dlam))))
+          .cast(DecimalType(12, 3)).cast(DoubleType)
+        j.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("c_custkey"), col("dist2"),
+            hav.as("haversine_m"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT c_custkey,
+             |    c_custkey % 17000 - 8500 AS lat_q,
+             |    (c_custkey * 7) % 35000 - 17500 AS lon_q
+             |  FROM customer),
+             |q(qid, q_lat, q_lon) AS (VALUES
+             |  (1, -2000, 5000), (2, 4500, -12000), (3, 0, 0),
+             |  (4, 8000, 17000), (5, -8400, -17400)),
+             |j AS (
+             |  SELECT q.qid, p.c_custkey, p.lat_q, p.lon_q, q.q_lat, q.q_lon,
+             |    (p.lat_q - q.q_lat) * (p.lat_q - q.q_lat) +
+             |    (p.lon_q - q.q_lon) * (p.lon_q - q.q_lon) AS dist2
+             |  FROM pts p CROSS JOIN q),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY dist2, c_custkey) AS rank
+             |  FROM j)
+             |SELECT qid, CAST(rank AS INTEGER) AS rank, c_custkey,
+             |  CAST(dist2 AS BIGINT) AS dist2,
+             |  CAST(CAST(CAST(12742000.0 * asin(sqrt(
+             |    sin((radians(lat_q / 100.0) - radians(q_lat / 100.0)) / 2.0) *
+             |    sin((radians(lat_q / 100.0) - radians(q_lat / 100.0)) / 2.0) +
+             |    cos(radians(q_lat / 100.0)) * cos(radians(lat_q / 100.0)) *
+             |    sin((radians(lon_q / 100.0) - radians(q_lon / 100.0)) / 2.0) *
+             |    sin((radians(lon_q / 100.0) - radians(q_lon / 100.0)) / 2.0)))
+             |    AS VARCHAR) AS DECIMAL(12,3)) AS DOUBLE) AS haversine_m
+             |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+      allowBnlj = true),
+
     // Spatial candidate-pair generation: the geohash bucket's PAYOFF —
     // a self-equi-join on the cell id yields proximity candidates
     // without any all-pairs scan (the LSH band-join, on the globe; at
@@ -8926,6 +8997,101 @@ object Catalog {
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       allowBnlj = true),
 
+    // CCNet perplexity split (Wenzek et al. 2020, TextOps.ccnetSplit):
+    // the head / middle / tail TERCILES by the frozen KN bigram LM's
+    // per-doc mean negative log-prob — the routing decision the CCNet
+    // pipeline makes on every shard (keep head, re-filter tail). The
+    // terciles are exact integer rank·3 div N cuts over the
+    // (score, doc_id) total order (the curriculumSample contract);
+    // the score lands on the 1e-6 grid upstream so bucket means are
+    // exact-decimal sums with ONE division. The oracle re-derives the
+    // whole chain: KN fit, per-doc scores, the rank window, and the
+    // integer buckets.
+    "text_ccnet_split" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextOps.knBigramFit(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val scored = TextOps.knBigramScoreWith(docs, "doc_id", "text", model)
+        TextOps.ccnetSplit(scored, "doc_id", "mean_neg_logprob", "n_tokens")
+      },
+      Some("""WITH lab AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(lower(text), '\s+'),
+             |    t -> length(t) > 0) AS l
+             |  FROM documents),
+             |ne AS (SELECT doc_id, l FROM lab WHERE len(l) > 0),
+             |pz AS (
+             |  SELECT doc_id, unnest(list_zip(
+             |    list_concat([chr(1)], l[1:len(l)-1]), l)) AS z
+             |  FROM ne),
+             |pairs AS (
+             |  SELECT doc_id, z[1] AS prev, z[2] AS w
+             |  FROM pz WHERE z[2] IS NOT NULL),
+             |fit AS (SELECT * FROM pairs WHERE doc_id % 2 = 0),
+             |cb AS (SELECT prev, w, count(*) AS cb FROM fit GROUP BY 1, 2),
+             |cp AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp,
+             |         CAST(count(*) AS BIGINT) AS n1p
+             |       FROM cb GROUP BY 1),
+             |n1c AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c
+             |        FROM cb GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cb),
+             |blp AS (
+             |  SELECT cb.prev, cb.w,
+             |    CAST(CAST(ln(
+             |      (cb.cb - CAST(0.75 AS DOUBLE)) / cp.cp +
+             |      ((CAST(0.75 AS DOUBLE) * cp.n1p) / cp.cp) *
+             |        (n1c.n1c / tot.t)) AS VARCHAR) AS DECIMAL(20,9)) AS lp
+             |  FROM cb
+             |  JOIN cp ON cp.prev = cb.prev
+             |  JOIN n1c ON n1c.w = cb.w
+             |  CROSS JOIN tot),
+             |klam AS (
+             |  SELECT prev, CAST(CAST(ln(
+             |      (CAST(0.75 AS DOUBLE) * n1p) / cp) AS VARCHAR)
+             |    AS DECIMAL(20,9)) AS lp
+             |  FROM cp),
+             |kcont AS (
+             |  SELECT w, CAST(CAST(ln(n1c.n1c / tot.t) AS VARCHAR)
+             |    AS DECIMAL(20,9)) AS lp
+             |  FROM n1c CROSS JOIN tot),
+             |kolp AS (
+             |  SELECT CAST(CAST(ln(CAST(0.75 AS DOUBLE) / t) AS VARCHAR)
+             |    AS DECIMAL(20,9)) AS lp
+             |  FROM tot),
+             |sc AS (
+             |  SELECT p.doc_id,
+             |    coalesce(blp.lp, klam.lp + kcont.lp, kcont.lp, kolp.lp) AS plp
+             |  FROM pairs p
+             |  LEFT JOIN blp ON blp.prev = p.prev AND blp.w = p.w
+             |  LEFT JOIN klam ON klam.prev = p.prev
+             |  LEFT JOIN kcont ON kcont.w = p.w
+             |  CROSS JOIN kolp),
+             |perdoc AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mnl
+             |  FROM sc GROUP BY doc_id),
+             |r AS (
+             |  SELECT doc_id, n_tokens, mnl,
+             |    row_number() OVER (ORDER BY mnl, doc_id) - 1 AS rk,
+             |    count(*) OVER () AS n
+             |  FROM perdoc),
+             |b AS (
+             |  SELECT CAST((rk * 3) // n AS INTEGER) AS bucket_idx,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |    SUM(CAST(CAST(mnl AS VARCHAR) AS DECIMAL(12,6))) AS s,
+             |    min(mnl) AS min_nll, max(mnl) AS max_nll
+             |  FROM r GROUP BY 1)
+             |SELECT CASE bucket_idx WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+             |         ELSE 'tail' END AS bucket,
+             |  bucket_idx, n_docs, n_tokens,
+             |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS mean_nll,
+             |  min_nll, max_nll
+             |FROM b ORDER BY bucket_idx""".stripMargin),
+      allowBnlj = true),
+
     // Stratified sampling (training-mix rebalancing): per-stratum seeded
     // Bernoulli. Runs the portable-LCG variant so the key is FULLY
     // ORACLED — every keep decision is restated in DuckDB integer
@@ -11668,6 +11834,56 @@ object Catalog {
            |FROM flagged ORDER BY rank""".stripMargin
       },
       allowBnlj = true),
+
+    // A/B sample-size planner (ProfileOps.powerTwoProportion) — the
+    // PRE-experiment companion to profile_ab_ttest/profile_rate_ci's
+    // post-hoc readouts: per nation, the n PER ARM needed to detect a
+    // +5pp lift in the high-balance rate at α=0.05 two-sided / 80%
+    // power. Both z quantiles are driver-evaluated (Acklam) and
+    // inlined as identical literals into both engines' queries (the
+    // bhFdr contract — no transcendental runs in-plan); the formula is
+    // a fixed IEEE chain over exact (k, n) longs. feasible flags
+    // nations whose current sample already covers the requirement.
+    "profile_power" -> QuerySpec(
+      (s, d) => ProfileOps.powerTwoProportion(
+        t(s, d, "customer").select(col("c_nationkey"),
+          when(col("c_acctbal") > 5000, 1).otherwise(0).as("hi_bal")),
+        "c_nationkey", "hi_bal", delta = 0.05)
+        .orderBy(col("c_nationkey")),
+      Some {
+        val za = ProfileOps.invNormalCdf(1.0 - 0.05 / 2.0)
+        val zb = ProfileOps.invNormalCdf(0.8)
+        s"""WITH per AS (
+           |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+           |z AS (
+           |  SELECT c_nationkey, k, n,
+           |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+           |  FROM per),
+           |f AS (
+           |  SELECT c_nationkey, k, n, p1, p1 + 0.05 AS p2,
+           |    (p1 + (p1 + 0.05)) / 2.0 AS pbar
+           |  FROM z),
+           |req AS (
+           |  SELECT c_nationkey, k, n, p1,
+           |    CASE WHEN p2 <= 1.0 THEN
+           |      (CAST('$za' AS DOUBLE) * sqrt(2.0 * pbar * (1.0 - pbar)) +
+           |       CAST('$zb' AS DOUBLE) *
+           |         sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) *
+           |      (CAST('$za' AS DOUBLE) * sqrt(2.0 * pbar * (1.0 - pbar)) +
+           |       CAST('$zb' AS DOUBLE) *
+           |         sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) /
+           |      (CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE))
+           |      END AS n_required
+           |  FROM f)
+           |SELECT c_nationkey, k, n, p1 AS rate, n_required,
+           |  CASE WHEN n_required IS NOT NULL THEN
+           |    CAST(CASE WHEN CAST(n AS DOUBLE) >= n_required
+           |      THEN 1 ELSE 0 END AS INTEGER) END AS feasible
+           |FROM req ORDER BY c_nationkey""".stripMargin
+      }),
 
     // CRAMÉR'S V effect size (Cramér 1946) — the scalar
     // profile_chi2_independence leaves as 'the caller's fold', now a

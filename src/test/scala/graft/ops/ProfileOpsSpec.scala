@@ -1078,6 +1078,27 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  // --- powerTwoProportion ------------------------------------------------
+
+  test("powerTwoProportion: hand-computed required n, infeasible lift → NULL") {
+    val rows = (1 to 100).map(i => ("g", if (i <= 50) 1 else 0)) ++
+      (1 to 10).map(_ => ("h", 1)) // rate 1.0: p2 > 1 → NULL
+    val out = ProfileOps.powerTwoProportion(rows.toDF("g", "s"), "g", "s",
+      delta = 0.05)
+      .as[(String, Long, Long, Double, Option[Double], Option[Int])]
+      .collect().map(r => r._1 -> r).toMap
+    val za = ProfileOps.invNormalCdf(0.975); val zb = ProfileOps.invNormalCdf(0.8)
+    val p1 = 0.5; val p2 = p1 + 0.05; val pbar = (p1 + p2) / 2.0
+    val s = za * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      zb * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    assert(out("g")._5.contains(s * s / (0.05 * 0.05)))
+    assert(out("g")._6.contains(0)) // 100 < ~1565 required
+    assert(out("h")._5.isEmpty && out("h")._6.isEmpty)
+    intercept[IllegalArgumentException] {
+      ProfileOps.powerTwoProportion(rows.toDF("g", "s"), "g", "s", delta = 0.0)
+    }
+  }
+
   test("bhFdr: declared m must match the group count") {
     val df = Seq(("A", 1), ("B", 0), ("C", 1)).toDF("g", "s")
     intercept[Exception] {

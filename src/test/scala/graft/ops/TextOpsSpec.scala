@@ -710,4 +710,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L)._5 == 0 && out(2L)._1 == 0L)
     assert(out(3L) == ((0L, 0L, 0.0, 0.0, 0)), out(3L))
   }
+
+  // --- ccnetSplit ------------------------------------------------------
+
+  test("ccnetSplit: hand-computed terciles with exact decimal means") {
+    // 9 docs, scores 1.0..9.0 → buckets of 3 by (score asc, id)
+    val rows = (1L to 9L).map(i => (i, i.toDouble, 10L * i))
+    val out = TextOps.ccnetSplit(rows.toDF("id", "nll", "tok"),
+      "id", "nll", "tok")
+      .as[(String, Int, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq(("head", 0), ("middle", 1), ("tail", 2)))
+    assert(out.map(_._3) == Seq(3L, 3L, 3L))
+    assert(out.map(_._4) == Seq(60L, 150L, 240L)) // token sums
+    assert(out.map(_._5) == Seq(2.0, 5.0, 8.0)) // exact decimal means
+    assert(out.head._6 == 1.0 && out.head._7 == 3.0)
+  }
+
+  test("ccnetSplit: tied scores straddle bucket edges by id, deterministically") {
+    val rows = (1L to 6L).map(i => (i, 0.5, 1L))
+    val a = TextOps.ccnetSplit(rows.toDF("id", "nll", "tok"),
+      "id", "nll", "tok")
+      .as[(String, Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(a.map(_._3) == Seq(2L, 2L, 2L))
+    val b = TextOps.ccnetSplit(rows.toDF("id", "nll", "tok").repartition(5),
+      "id", "nll", "tok")
+      .as[(String, Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(a == b)
+  }
 }
