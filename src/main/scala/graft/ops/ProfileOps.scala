@@ -1538,6 +1538,60 @@ object ProfileOps {
       .orderBy(col("bucket"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * distribution-free "is A stochastically larger than B" companion
+    * to profile_ab_ttest's mean comparison and profile_ks_exact's
+    * shape test: U/(n₁n₂) IS P(a > b) + ½P(a = b) (the [[rocAuc]]
+    * identity with groups as the label).
+    *
+    * Everything runs on the pooled VALUE GRAIN (distinct values, not
+    * rows — the spearmanMatrix/ks_exact contract; continuous values
+    * quantize first): doubled midranks from one cumulative window,
+    * Σ-rank and tie sums as exact DECIMAL(38,0), and the normal
+    * approximation with the standard tie-corrected variance
+    * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))) as ONE fixed IEEE
+    * chain (no continuity correction — documented). u_a is a dyadic
+    * half-integer (exact in double); rank-biserial r = 2U/(n₁n₂) − 1
+    * is the effect size. Degenerate inputs (either group empty, all
+    * values tied) yield NULL z. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "mannWhitney: groups must differ")
+    requireNumeric(df, valueCol, "mannWhitney")
+    val base = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+    val grain = base.groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_t"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("_ta"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grain.withColumn("_below",
+      coalesce(sum(col("_t")).over(w), lit(0L)))
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val one = ranked.agg(
+      sum(col("_t")).as("_n"), sum(col("_ta")).as("_na"),
+      sum((lit(2L) * col("_below") + col("_t") + lit(1L)).cast(d19) *
+        col("_ta").cast(d19)).cast(d38).as("_r2a"),
+      sum((col("_t").cast(d19) * col("_t").cast(d19) * col("_t").cast(d19) -
+        col("_t").cast(d19)).cast(d38)).cast(d38).as("_ties"))
+    val na = col("_na"); val nb = col("_n") - col("_na")
+    val naD = na.cast(DoubleType); val nbD = nb.cast(DoubleType)
+    val nD = col("_n").cast(DoubleType)
+    // U₁·2 = Σr2(A) − n₁(n₁+1): exact integers; u_a = the dyadic half
+    val u2 = (col("_r2a") - (na.cast(d19) * (na + lit(1L)).cast(d19)).cast(d38))
+      .cast(DoubleType)
+    val ua = u2 / lit(2.0)
+    val mu = naD * nbD / lit(2.0)
+    val sig2 = (naD * nbD / lit(12.0)) *
+      ((nD + lit(1.0)) - col("_ties").cast(DoubleType) / (nD * (nD - lit(1.0))))
+    val z = when(na > 0L && nb > 0L && sig2 > 0.0, (ua - mu) / sqrt(sig2))
+    one.select(na.as("n_a"), nb.as("n_b"), ua.as("u_a"), z.as("z"),
+      when(na > 0L && nb > 0L,
+        lit(2.0) * ua / (naD * nbD) - lit(1.0)).as("rank_biserial"))
+  }
+
   /** A/B sample-size planner (two-proportion power analysis, the
     * standard normal-approximation formula): per group, the n PER ARM
     * required to detect an absolute rate lift `delta` at significance

@@ -11835,6 +11835,58 @@ object Catalog {
       },
       allowBnlj = true),
 
+    // Mann–Whitney U rank-sum test (ProfileOps.mannWhitney) — the
+    // distribution-free two-sample location test that completes the
+    // battery (t tests means, KS tests shape, U tests stochastic
+    // dominance; U/(n₁n₂) IS the AUC identity). Click vs view event
+    // values at integer-cent grain: pooled value-grain doubled
+    // midranks, exact DECIMAL(38,0) rank/tie sums, the tie-corrected
+    // normal approximation as ONE fixed IEEE chain, rank-biserial
+    // effect size. No continuity correction (documented).
+    "profile_mannwhitney" -> QuerySpec(
+      (s, d) => ProfileOps.mannWhitney(
+        t(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "event_type", "cents", groupA = "click", groupB = "view"),
+      Some("""WITH e AS (
+             |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events
+             |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+             |grain AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+             |    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ta
+             |  FROM e GROUP BY 1),
+             |r AS (
+             |  SELECT v, t, ta,
+             |    2 * COALESCE(SUM(t) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + t + 1 AS r2
+             |  FROM grain),
+             |m AS (
+             |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+             |    CAST(SUM(ta) AS BIGINT) AS na,
+             |    SUM(CAST(r2 AS HUGEINT) * ta) AS r2a,
+             |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+             |  FROM r),
+             |c AS (
+             |  SELECT n, na, n - na AS nb,
+             |    CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0
+             |      AS ua,
+             |    CAST(na AS DOUBLE) AS nad, CAST(n - na AS DOUBLE) AS nbd,
+             |    CAST(n AS DOUBLE) AS nd, CAST(ties AS DOUBLE) AS tiesd
+             |  FROM m)
+             |SELECT na AS n_a, nb AS n_b, ua AS u_a,
+             |  CASE WHEN na > 0 AND nb > 0 AND
+             |    (nad * nbd / 12.0) * ((nd + 1.0) - tiesd / (nd * (nd - 1.0)))
+             |      > 0.0
+             |  THEN (ua - nad * nbd / 2.0) /
+             |    sqrt((nad * nbd / 12.0) *
+             |      ((nd + 1.0) - tiesd / (nd * (nd - 1.0)))) END AS z,
+             |  CASE WHEN na > 0 AND nb > 0
+             |    THEN 2.0 * ua / (nad * nbd) - 1.0 END AS rank_biserial
+             |FROM c""".stripMargin)),
+
     // A/B sample-size planner (ProfileOps.powerTwoProportion) — the
     // PRE-experiment companion to profile_ab_ttest/profile_rate_ci's
     // post-hoc readouts: per nation, the n PER ARM needed to detect a
@@ -14973,6 +15025,45 @@ object Catalog {
              |  CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
              |FROM c JOIN t USING (from_type)
              |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Stream-stream time-range join, batch form (the StreamOps
+    // .streamStreamJoin twin — StreamingSpec pins the micro-batch
+    // equivalence on this exact shape): purchases joined to the views
+    // that preceded them within 30 minutes per user — the
+    // click-to-conversion lag table. An EQUI key (user) + a bounded
+    // range residual ⇒ SortMergeJoin with a range filter, never a
+    // cartesian; timestamps truncate to whole seconds (the sessionize
+    // rule — events.ts is ns in parquet, µs in Spark), lag is exact
+    // integer seconds.
+    "stream_join_batch" -> QuerySpec(
+      (s, d) => {
+        val e = t(s, d, "events").filter(col("user_id").isNotNull)
+          .withColumn("ep", unix_timestamp(date_trunc("second", col("ts"))))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ep").as("vts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("r_user_id"),
+            col("event_id").as("purchase_id"), col("ep").as("pts"))
+        views.join(purchases,
+            col("user_id") === col("r_user_id") &&
+              col("pts") >= col("vts") && col("pts") <= col("vts") + 1800)
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            (col("pts") - col("vts")).as("lag_seconds"))
+          .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+             |  FROM events WHERE user_id IS NOT NULL),
+             |v AS (SELECT user_id, event_id AS view_id, ep AS vts
+             |      FROM e WHERE event_type = 'view'),
+             |p AS (SELECT user_id, event_id AS purchase_id, ep AS pts
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT v.user_id, view_id, purchase_id, pts - vts AS lag_seconds
+             |FROM v JOIN p ON p.user_id = v.user_id
+             |  AND p.pts >= v.vts AND p.pts <= v.vts + 1800
+             |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)),
 
     // Gap-based sessionization in SQL-window form (30-min gap): lag →
     // new-session flag → running sum = session id. Timestamps truncated to

@@ -1078,6 +1078,42 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  // --- mannWhitney -------------------------------------------------------
+
+  test("mannWhitney: hand-computed U, tie-corrected z, rank-biserial") {
+    // A = [1,2,2], B = [2,3]: midranks 1, 3,3,3, 5 → R_A = 7, U_A = 1
+    val df = Seq(("A", 1), ("A", 2), ("A", 2), ("B", 2), ("B", 3))
+      .toDF("g", "v")
+    val r = ProfileOps.mannWhitney(df, "g", "v", "A", "B")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == 2L && r._3 == 1.0)
+    val sig2 = (3.0 * 2.0 / 12.0) * ((5.0 + 1.0) - 24.0 / (5.0 * 4.0))
+    assert(r._4 == (1.0 - 3.0 * 2.0 / 2.0) / math.sqrt(sig2))
+    assert(r._5 == 2.0 * 1.0 / (3.0 * 2.0) - 1.0)
+  }
+
+  test("mannWhitney: U/(n1·n2) equals rocAuc with A as the positive class") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { _ =>
+      val g = if (rnd.nextBoolean()) "A" else "B"
+      (g, rnd.nextInt(12) + (if (g == "A") 3 else 0))
+    }
+    val mw = ProfileOps.mannWhitney(rows.toDF("g", "v"), "g", "v", "A", "B")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    val auc = ProfileOps.rocAuc(
+      rows.map { case (g, v) => (v, if (g == "A") 1 else 0) }.toDF("s", "y"),
+      "s", "y").select($"auc").as[Double].collect().head
+    assert(math.abs(mw._3 / (mw._1 * mw._2).toDouble - auc) < 1e-12)
+    // degenerate: one empty group → NULL z
+    val one = ProfileOps.mannWhitney(
+      Seq(("A", 1), ("A", 2)).toDF("g", "v"), "g", "v", "A", "B")
+      .select($"z").as[Option[Double]].collect().head
+    assert(one.isEmpty)
+    intercept[IllegalArgumentException] {
+      ProfileOps.mannWhitney(rows.toDF("g", "v"), "g", "v", "A", "A")
+    }
+  }
+
   // --- powerTwoProportion ------------------------------------------------
 
   test("powerTwoProportion: hand-computed required n, infeasible lift → NULL") {
