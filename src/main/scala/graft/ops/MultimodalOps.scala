@@ -338,6 +338,132 @@ object MultimodalOps {
       parseImageHeader(payload)
   }
 
+  /** Parsed EXIF application segment — the provenance/orientation
+    * metadata an image pipeline reads before any pixel work (auto-
+    * rotate by tag 0x0112, dedupe/attribute by camera make). */
+  final case class ExifMeta(byteOrder: String, nEntries: Int,
+      orientation: Int, make: String)
+
+  /** REAL EXIF decode, pure JVM: walk the JPEG marker list to the APP1
+    * segment, validate the `Exif\0\0` header, then run a TIFF IFD walk
+    * INSIDE the embedded payload — the container-embedded twin of the
+    * standalone TIFF branch in [[parseImageHeader]] (every offset in an
+    * EXIF block is relative to the EMBEDDED TIFF header, not the file —
+    * the classic off-by-container bug this parser and its oracle both
+    * have to get right). Tags read: 0x0112 Orientation (SHORT inline)
+    * and 0x010F Make (ASCII — INLINE when count ≤ 4, an OFFSET into
+    * the payload otherwise, NUL terminator stripped). Truncated
+    * segments, wrong endianness magic, or out-of-bounds offsets yield
+    * None — NULL metadata, never a wild read. */
+  def parseExif(b: Array[Byte]): Option[ExifMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) None
+    else {
+      // marker walk to APP1 (the parseImageHeader JPEG discipline: skip
+      // segments by declared length, never pattern-search)
+      var pos = 2
+      var app1: Int = -1
+      var app1Len = 0
+      var done = false
+      while (!done && pos + 4 <= b.length) {
+        if (u8(pos) != 0xff) done = true
+        else {
+          val marker = u8(pos + 1)
+          val len = be16(pos + 2)
+          if (marker == 0xe1) { app1 = pos + 4; app1Len = len - 2; done = true }
+          else if (marker == 0xd9 || marker == 0xda) done = true
+          else pos += 2 + len
+        }
+      }
+      if (app1 < 0 || app1 + app1Len > b.length || app1Len < 14) None
+      else if (!(b(app1) == 'E' && b(app1 + 1) == 'x' && b(app1 + 2) == 'i' &&
+          b(app1 + 3) == 'f' && u8(app1 + 4) == 0 && u8(app1 + 5) == 0)) None
+      else {
+        val t = app1 + 6 // embedded TIFF header base — ALL offsets relative
+        val end = app1 + app1Len
+        def in(i: Int, n: Int) = i >= t && i + n <= end
+        if (!in(t, 8)) None
+        else {
+          val le =
+            if (b(t) == 'I' && b(t + 1) == 'I' && u8(t + 2) == 42 &&
+              u8(t + 3) == 0) Some(true)
+            else if (b(t) == 'M' && b(t + 1) == 'M' && u8(t + 2) == 0 &&
+              u8(t + 3) == 42) Some(false)
+            else None
+          le.flatMap { isLe =>
+            def u16t(i: Int): Int =
+              if (isLe) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+            def u32t(i: Int): Long =
+              if (isLe)
+                u8(i).toLong | (u8(i + 1).toLong << 8) |
+                  (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+              else
+                (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+                  (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+            val ifd = t + u32t(t + 4).toInt
+            if (!in(ifd, 2)) None
+            else {
+              val n = u16t(ifd)
+              if (!in(ifd + 2, 12 * n)) None
+              else {
+                var orientation = -1
+                var make: String = null
+                var bad = false
+                var i = 0
+                while (i < n && !bad) {
+                  val e = ifd + 2 + 12 * i
+                  val tag = u16t(e)
+                  val typ = u16t(e + 2)
+                  val cnt = u32t(e + 4)
+                  tag match {
+                    case 0x0112 if typ == 3 => orientation = u16t(e + 8)
+                    case 0x010f if typ == 2 =>
+                      val start =
+                        if (cnt <= 4) e + 8 else t + u32t(e + 8).toInt
+                      if (!in(start, cnt.toInt)) bad = true
+                      else {
+                        val raw = new String(b, start, cnt.toInt, "US-ASCII")
+                        make = raw.takeWhile(_ != '\u0000')
+                      }
+                    case _ => ()
+                  }
+                  i += 1
+                }
+                if (bad) None
+                else Some(ExifMeta(if (isLe) "II" else "MM", n,
+                  orientation, make))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  object ExifCodec extends Codec[Option[ExifMeta]] {
+    override def decode(payload: Array[Byte]): Option[ExifMeta] =
+      parseExif(payload)
+  }
+
+  /** Append EXIF columns (`byte_order, n_entries, orientation, make`;
+    * all NULL for unparseable payloads) — same single-plan
+    * mapPartitions shape as [[imageMeta]]. */
+  def exifMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    decodePartitions(df, bytesCol,
+      new StructType()
+        .add("byte_order", StringType)
+        .add("n_entries", IntegerType)
+        .add("orientation", IntegerType)
+        .add("make", StringType),
+      () => ExifCodec) { (r, m) =>
+      Row.fromSeq(r.toSeq ++ (m match {
+        case Some(e) => Seq(e.byteOrder, e.nEntries,
+          if (e.orientation > 0) e.orientation else null, e.make)
+        case None => Seq(null, null, null, null)
+      }))
+    }
+
   /** Parsed audio stream structure — the metadata an audio pipeline
     * filters/buckets on before decoding samples (drop non-PCM, route by
     * sample rate, budget by duration = n_frames / sample_rate). */

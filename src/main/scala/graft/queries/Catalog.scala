@@ -13767,6 +13767,156 @@ object Catalog {
              |  1 AS n_channels
              |FROM f ORDER BY media_id""".stripMargin)),
 
+    // EXIF metadata (round 14): the first CONTAINER-EMBEDDED format —
+    // a TIFF IFD inside a JPEG APP1 segment, where every offset is
+    // relative to the EMBEDDED TIFF header, not the file (the classic
+    // off-by-container bug; MultimodalOps.parseExif and the oracle
+    // both walk it from scratch). Hand-built fixtures cover BOTH byte
+    // orders, all 8 orientation values, an offset-dereferenced ASCII
+    // Make tag, and two planted corrupt classes (truncated APP1; bad
+    // TIFF magic) that must surface as NULL rows on BOTH engines —
+    // never a wild read.
+    "multimodal_exif_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "images_exif") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          (0 until 24).foreach { id =>
+            val le = id % 2 == 0
+            val orient = 1 + id % 8
+            val make = f"cam_$id%03d ".getBytes("US-ASCII") // 8 bytes
+            val buf = java.nio.ByteBuffer.allocate(46).order(
+              if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+            if (le) { buf.put('I'.toByte).put('I'.toByte) }
+            else { buf.put('M'.toByte).put('M'.toByte) }
+            buf.putShort(if (id % 11 == 5) 43 else 42) // planted bad magic
+            buf.putInt(8) // IFD offset
+            buf.putShort(2.toShort) // entry count
+            // entry 0: Make (0x010F), ASCII(2), count 8, OFFSET 38
+            buf.putShort(0x010f.toShort).putShort(2.toShort)
+              .putInt(8).putInt(38)
+            // entry 1: Orientation (0x0112), SHORT(3), count 1, inline
+            // left-justified at entry+8 in BOTH byte orders
+            buf.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+              .putShort(orient.toShort).putShort(0.toShort)
+            buf.putInt(0) // next-IFD pointer
+            buf.put(make)
+            val tiff = buf.array()
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(Array[Byte](0xff.toByte, 0xd8.toByte, // SOI
+              0xff.toByte, 0xe1.toByte, 0, 54)) // APP1, len BE16 = 54
+            out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+            out.write(tiff)
+            out.write(Array[Byte](0xff.toByte, 0xd9.toByte)) // EOI
+            val bytes = out.toByteArray
+            val finalBytes = // planted truncation: cut mid-IFD
+              if (id % 7 == 3) bytes.take(30) else bytes
+            val fos = new java.io.FileOutputStream(
+              new java.io.File(base, f"img_$id%03d.jpg"))
+            try fos.write(finalBytes) finally fos.close()
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.jpg")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.exifMeta(files, "bytes")
+          .select(col("media_id"), col("byte_order"), col("n_entries"),
+            col("orientation"), col("make"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'img_(\d+)', 1)::BIGINT
+             |      AS media_id,
+             |    hex(content) AS h, content, octet_length(content) AS len
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/images_exif/img_*.jpg')),
+             |-- APP1 walk: SOI, APP1 marker at 2, declared length, Exif header
+             |v AS (
+             |  SELECT media_id, h, content, len,
+             |    CASE WHEN substr(h, 1, 4) = 'FFD8'
+             |          AND substr(h, 5, 4) = 'FFE1'
+             |          AND 4 + ('0x' || substr(h, 9, 4))::INTEGER <= len
+             |          AND substr(h, 13, 12) = '457869660000'
+             |      THEN 12 END AS t
+             |  FROM f),
+             |-- embedded TIFF: endianness + magic, IFD offset
+             |e AS (
+             |  SELECT media_id, h, content, len, t,
+             |    CASE WHEN substr(h, 2*t + 1, 4) = '4949'
+             |           AND substr(h, 2*t + 5, 4) = '2A00' THEN true
+             |         WHEN substr(h, 2*t + 1, 4) = '4D4D'
+             |           AND substr(h, 2*t + 5, 4) = '002A' THEN false
+             |    END AS le
+             |  FROM v WHERE t IS NOT NULL),
+             |e2 AS (
+             |  SELECT *,
+             |    t + (CASE WHEN le
+             |      THEN ('0x' || substr(h, 2*(t+7) + 1, 2)
+             |           || substr(h, 2*(t+6) + 1, 2)
+             |           || substr(h, 2*(t+5) + 1, 2)
+             |           || substr(h, 2*(t+4) + 1, 2))::BIGINT
+             |      ELSE ('0x' || substr(h, 2*(t+4) + 1, 8))::BIGINT
+             |    END) AS ifd
+             |  FROM e WHERE le IS NOT NULL),
+             |e3 AS (
+             |  SELECT *,
+             |    CASE WHEN ifd + 2 <= len THEN
+             |      CASE WHEN le
+             |        THEN ('0x' || substr(h, 2*(ifd+1) + 1, 2)
+             |             || substr(h, 2*ifd + 1, 2))::INTEGER
+             |        ELSE ('0x' || substr(h, 2*ifd + 1, 4))::INTEGER
+             |      END END AS n
+             |  FROM e2),
+             |ok AS (SELECT * FROM e3
+             |       WHERE n IS NOT NULL AND ifd + 2 + 12*n <= len),
+             |ent AS (
+             |  SELECT media_id, h, content, len, t, le, n,
+             |    ifd + 2 + 12 * i AS e
+             |  FROM ok, unnest(range(0, n)) AS u(i)),
+             |fields AS (
+             |  SELECT *,
+             |    CASE WHEN le
+             |      THEN ('0x' || substr(h, 2*(e+1) + 1, 2)
+             |           || substr(h, 2*e + 1, 2))::INTEGER
+             |      ELSE ('0x' || substr(h, 2*e + 1, 4))::INTEGER END AS tag,
+             |    CASE WHEN le
+             |      THEN ('0x' || substr(h, 2*(e+7) + 1, 2)
+             |           || substr(h, 2*(e+6) + 1, 2)
+             |           || substr(h, 2*(e+5) + 1, 2)
+             |           || substr(h, 2*(e+4) + 1, 2))::BIGINT
+             |      ELSE ('0x' || substr(h, 2*(e+4) + 1, 8))::BIGINT END AS cnt,
+             |    CASE WHEN le
+             |      THEN ('0x' || substr(h, 2*(e+9) + 1, 2)
+             |           || substr(h, 2*(e+8) + 1, 2))::INTEGER
+             |      ELSE ('0x' || substr(h, 2*(e+8) + 1, 4))::INTEGER
+             |    END AS short_inline,
+             |    CASE WHEN le
+             |      THEN ('0x' || substr(h, 2*(e+11) + 1, 2)
+             |           || substr(h, 2*(e+10) + 1, 2)
+             |           || substr(h, 2*(e+9) + 1, 2)
+             |           || substr(h, 2*(e+8) + 1, 2))::BIGINT
+             |      ELSE ('0x' || substr(h, 2*(e+8) + 1, 8))::BIGINT
+             |    END AS off
+             |  FROM ent),
+             |agg AS (
+             |  SELECT media_id,
+             |    max(CASE WHEN le THEN 'II' ELSE 'MM' END) AS byte_order,
+             |    CAST(max(n) AS INTEGER) AS n_entries,
+             |    CAST(max(CASE WHEN tag = 274 THEN short_inline END)
+             |      AS INTEGER) AS orientation,
+             |    max(CASE WHEN tag = 271 AND t + off + cnt <= len THEN
+             |      rtrim(decode(from_hex(substr(h, 2*(t + off) + 1,
+             |        CAST(2 * cnt AS INTEGER)))), chr(0)) END) AS make
+             |  FROM fields GROUP BY media_id)
+             |SELECT f.media_id, a.byte_order, a.n_entries, a.orientation,
+             |  a.make
+             |FROM f LEFT JOIN agg a ON a.media_id = f.media_id
+             |ORDER BY f.media_id""".stripMargin),
+      allowBnlj = true),
+
     // TIFF metadata (round 13): the FOURTH raster layout class — PNG is
     // fixed big-endian chunks, BMP fixed little-endian offsets, GIF
     // packed bitfields; TIFF is an ENDIAN-SWITCHED, OFFSET-WALKED

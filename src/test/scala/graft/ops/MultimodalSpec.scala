@@ -546,6 +546,58 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.parseImageHeader(
       riff("ALPH", Array[Byte](1, 2, 3))).isEmpty)
   }
+
+  // --- parseExif --------------------------------------------------------
+
+  private def exifJpeg(le: Boolean, orient: Int, make: String,
+      magic: Int = 42): Array[Byte] = {
+    val mk = (make + "\u0000").getBytes("US-ASCII")
+    val buf = java.nio.ByteBuffer.allocate(38 + mk.length).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    if (le) buf.put('I'.toByte).put('I'.toByte)
+    else buf.put('M'.toByte).put('M'.toByte)
+    buf.putShort(magic.toShort).putInt(8).putShort(2.toShort)
+    buf.putShort(0x010f.toShort).putShort(2.toShort)
+      .putInt(mk.length).putInt(38)
+    buf.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+      .putShort(orient.toShort).putShort(0.toShort)
+    buf.putInt(0)
+    buf.put(mk)
+    val tiff = buf.array()
+    val out = new java.io.ByteArrayOutputStream()
+    val app1Len = 2 + 6 + tiff.length
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte))
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(tiff)
+    out.write(Array[Byte](0xff.toByte, 0xd9.toByte))
+    out.toByteArray
+  }
+
+  test("parseExif: both byte orders, offset-dereferenced make, inline orientation") {
+    val le = MultimodalOps.parseExif(exifJpeg(le = true, 6, "cam_le"))
+    assert(le.contains(MultimodalOps.ExifMeta("II", 2, 6, "cam_le")))
+    val be = MultimodalOps.parseExif(exifJpeg(le = false, 3, "cam_be"))
+    assert(be.contains(MultimodalOps.ExifMeta("MM", 2, 3, "cam_be")))
+  }
+
+  test("parseExif: corrupt classes yield None, never a wild read") {
+    // make must exceed 4 bytes incl. NUL so it takes the OFFSET path
+    val good = exifJpeg(le = true, 1, "cam_x")
+    assert(MultimodalOps.parseExif(good.take(30)).isEmpty) // truncated IFD
+    assert(MultimodalOps.parseExif(
+      exifJpeg(le = true, 1, "cam", magic = 43)).isEmpty) // bad TIFF magic
+    assert(MultimodalOps.parseExif(Array[Byte](1, 2, 3)).isEmpty)
+    // a make OFFSET pointing past the segment bound -> None
+    val bad = good.clone()
+    // entry0 value field (offset) lives at TIFF base+10+8 = file 12+18
+    bad(12 + 18) = 0x7f.toByte
+    assert(MultimodalOps.parseExif(bad).isEmpty)
+    // no APP1 at all (plain SOI/EOI)
+    assert(MultimodalOps.parseExif(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
 }
 
 object MultimodalSpec {
@@ -563,5 +615,6 @@ object MultimodalSpec {
       MultimodalOps.StubCodec.decode(payload)
     }
   }
+
 
 }
