@@ -1256,4 +1256,44 @@ object DedupOps {
       .select(col(idCol))
     df.join(survivors, Seq(idCol), "left_semi")
   }
+
+  /** Prefix-truncation duplicate detection: find (short, long) doc
+    * pairs where the SHORT text is a strict prefix of the LONG one —
+    * the crawl artifact exact dedup misses (a re-fetch cut off
+    * mid-page hashes differently) and near-dup shingling only
+    * sometimes catches (a 10% tail changes Jaccard little; a 60%
+    * truncation a lot).
+    *
+    * Scale shape: candidates BLOCK on the first `blockLen` characters
+    * (one equi-join on the prefix key — the LSH band-join shape, never
+    * all-pairs), then confirm with one substring equality. The
+    * DOCUMENTED bound: a short side under `blockLen` characters is out
+    * of scope (route those to exact/near dedup — at crawl scale
+    * sub-64-char docs are boilerplate anyway), which is what makes the
+    * block key a complete index of candidate pairs: any qualifying
+    * short text's first blockLen chars EQUAL the long text's first
+    * blockLen chars by definition of prefix.
+    *
+    * Determinism: pure string operations, exact lengths; ties none
+    * (output grain is the pair). Self-pairs and equal-length pairs are
+    * excluded (strictness); equal DUPLICATE texts belong to
+    * dedup_exact. */
+  def prefixTruncationPairs(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 64): DataFrame = {
+    require(blockLen >= 1, s"prefixTruncationPairs: blockLen >= 1, got $blockLen")
+    val base = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= blockLen)
+      .select(col(idCol).as("_id"), col(textCol).as("_t"),
+        length(col(textCol)).as("_len"),
+        substring(col(textCol), 1, blockLen).as("_blk"))
+    val short = base.select(col("_blk"), col("_id").as("short_id"),
+      col("_t").as("_ts"), col("_len").as("short_len"))
+    val long = base.select(col("_blk"), col("_id").as("long_id"),
+      col("_t").as("_tl"), col("_len").as("long_len"))
+    short.join(long, Seq("_blk"))
+      .filter(col("short_len") < col("long_len") &&
+        col("_ts") === col("_tl").substr(lit(1), col("short_len")))
+      .select(col("short_id"), col("long_id"),
+        col("short_len"), col("long_len"))
+  }
 }

@@ -3026,6 +3026,47 @@ object Catalog {
              |  ON d.doc_id = k.m
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Prefix-truncation duplicates (DedupOps.prefixTruncationPairs) —
+    // the crawl artifact BETWEEN exact and near dedup: a re-fetch cut
+    // off mid-page hashes differently (exact misses it) and a 60%
+    // truncation moves Jaccard a lot (shingling treats it as a
+    // different doc). Candidates BLOCK on the first 64 characters (one
+    // equi-join, the band-join shape — complete by definition of
+    // prefix for short sides ≥ 64 chars, the documented bound), then
+    // one substring equality confirms. The fixture plants truncated
+    // twins at ⅔ length for every 5th long-enough doc; the oracle
+    // replays planting, blocking, and confirmation — code-point string
+    // semantics match on both engines (the length() contract).
+    "dedup_prefix_truncation" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val planted = docs
+          .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 130)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            col("text").substr(lit(1),
+              expr("(length(text) * 2) div 3")).as("text"))
+        DedupOps.prefixTruncationPairs(
+          docs.unionByName(planted), "doc_id", "text", blockLen = 64)
+          .orderBy(col("short_id"), col("long_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000,
+             |    substr(text, 1, (length(text) * 2) // 3)
+             |  FROM documents
+             |  WHERE doc_id % 5 = 0 AND length(text) >= 130),
+             |b AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    substr(text, 1, 64) AS blk
+             |  FROM u WHERE text IS NOT NULL AND length(text) >= 64)
+             |SELECT s.doc_id AS short_id, l.doc_id AS long_id,
+             |  CAST(s.len AS INTEGER) AS short_len,
+             |  CAST(l.len AS INTEGER) AS long_len
+             |FROM b s JOIN b l ON s.blk = l.blk
+             |  AND s.len < l.len AND s.text = substr(l.text, 1, s.len)
+             |ORDER BY short_id, long_id""".stripMargin)),
+
     // MinHash-LSH candidate near-dups, reported as a per-doc candidate
     // count (left join keeps all docs ⇒ rows>0 even with no duplicates).
     // ORACLED since round 11 via the STAGED SIGNATURE TABLE: the xxhash64
@@ -12910,6 +12951,65 @@ object Catalog {
       Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
              |FROM orders WHERE o_orderkey % 7 <> 0
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Rolling 24-bucket OLS slope over the hourly click-count series —
+    // the LOCAL trend diagnostic between ts_ewma's level smoothing and
+    // profile_regression's global fit ("is load rising over the last
+    // day, per hour"). x is the bucket's row_number (exact integers),
+    // the four moments are DECIMAL window-frame sums (ROWS 23
+    // PRECEDING — partial frames at the head emit NULL below n=2 or
+    // zero x-variance), and the slope is the profile_regression fixed
+    // IEEE chain — the oracle restates frames and chain verbatim. The
+    // series grain is bounded (≤ hours in the table's history), so the
+    // partition-less window is the documented bounded-frame contract.
+    "ts_rolling_slope" -> QuerySpec(
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("y"))
+        val wOrd = Window.orderBy(col("bucket"))
+        val wf = wOrd.rowsBetween(-23, 0)
+        val d19 = DecimalType(19, 0)
+        val withX = hourly
+          .withColumn("x", row_number().over(wOrd).cast(d19))
+        val n = count(lit(1)).over(wf).cast(DoubleType)
+        val sx = sum(col("x")).over(wf).cast(DoubleType)
+        val sxx = sum(col("x") * col("x")).over(wf).cast(DoubleType)
+        val sy = sum(col("y").cast(d19)).over(wf).cast(DoubleType)
+        val sxy = sum(col("x") * col("y").cast(d19)).over(wf)
+          .cast(DoubleType)
+        withX.select(col("bucket"), col("y"),
+            count(lit(1)).over(wf).cast(IntegerType).as("n_window"),
+            when(n > 1.0 && n * sxx - sx * sx > 0.0,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events WHERE event_type = 'click' GROUP BY 1),
+             |wx AS (
+             |  SELECT bucket, y,
+             |    CAST(row_number() OVER (ORDER BY bucket) AS DECIMAL(19,0))
+             |      AS x
+             |  FROM hourly),
+             |m AS (
+             |  SELECT bucket, y,
+             |    CAST(count(*) OVER w AS DOUBLE) AS n,
+             |    CAST(count(*) OVER w AS INTEGER) AS n_window,
+             |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+             |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y AS DECIMAL(19,0))) OVER w AS DOUBLE) AS sy,
+             |    CAST(SUM(x * CAST(y AS DECIMAL(19,0))) OVER w AS DOUBLE)
+             |      AS sxy
+             |  FROM wx
+             |  WINDOW w AS (ORDER BY bucket
+             |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+             |SELECT bucket, y, n_window,
+             |  CASE WHEN n > 1.0 AND n * sxx - sx * sx > 0.0
+             |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+             |FROM m ORDER BY bucket""".stripMargin)),
 
     // Windowed EWMA: aggregate-HOF fold over a collect_list ROWS frame —
     // a FIXED left-to-right IEEE op chain, so DuckDB's list_reduce

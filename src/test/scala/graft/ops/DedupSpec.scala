@@ -695,4 +695,44 @@ class DedupSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size == 1, plan.take(2000))
     assert(!plan.contains("Join"), plan.take(2000))
   }
+
+  // --- prefixTruncationPairs --------------------------------------------
+
+  test("prefixTruncationPairs: planted truncations found, strictness holds") {
+    val base = "x" * 64
+    val df = Seq(
+      (1L, base + " the full document body continues here"),
+      (2L, base + " the full"), // strict prefix of 1
+      (3L, base + " the full"), // EXACT duplicate of 2: not a pair
+      (4L, base + " different tail entirely"),
+      (5L, "short"), // under blockLen: out of scope by contract
+      (6L, base)) // prefix of 1, 2, 3, 4
+      .toDF("id", "text")
+    val out = DedupOps.prefixTruncationPairs(df, "id", "text")
+      .select($"short_id", $"long_id").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (2L, 1L), (3L, 1L),
+      (6L, 1L), (6L, 2L), (6L, 3L), (6L, 4L)))
+    intercept[IllegalArgumentException] {
+      DedupOps.prefixTruncationPairs(df, "id", "text", blockLen = 0)
+    }
+  }
+
+  test("prefixTruncationPairs: blocking is complete for in-contract shorts") {
+    // every qualifying (short >= blockLen) prefix pair must share the
+    // 64-char block by construction — brute-force cross-check
+    val rnd = new scala.util.Random(23)
+    val texts = (1L to 60L).map { i =>
+      val head = "h" + (i % 7) + ("y" * 70)
+      (i, head + ("z" * rnd.nextInt(40)))
+    }
+    val out = DedupOps.prefixTruncationPairs(texts.toDF("id", "text"),
+      "id", "text").select($"short_id", $"long_id")
+      .as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (i, a) <- texts; (j, b) <- texts
+      if i != j && a.length < b.length && b.startsWith(a) && a.length >= 64
+    } yield (i, j)).toSet
+    assert(out == brute)
+  }
 }
