@@ -361,9 +361,10 @@ object EventOps {
     * event scan. */
   def markovRemovalAttribution(events: DataFrame, actorCol: String,
       idCol: String, typeCol: String, conversionType: String,
-      steps: Int = 6): DataFrame = {
+      steps: Int = 6, checkpointDir: Option[String] = None): DataFrame = {
     require(steps >= 1 && steps <= 20,
       s"markovRemovalAttribution: steps must be in [1,20], got $steps")
+    DedupOps.setupCheckpointDir(events, checkpointDir)
     val PPM = 1000000L
     val w = Window.partitionBy(col("_actor")).orderBy(col("_id"))
     val base = events.filter(col(actorCol).isNotNull)
@@ -391,7 +392,11 @@ object EventOps {
     val p = trans.join(tot, Seq("_from"))
       .select(col("_from"), col("_to"),
         expr(s"(_n * ${PPM}L) div _tot").as("_ppm"))
-      .localCheckpoint() // channel²-grain; consumed once per removal dim
+      .transform(f => DedupOps.materialize(f, checkpointDir))
+      // ^ channel²-grain; consumed once per removal dim. localCheckpoint
+      // by default; pass checkpointDir for the reliable (executor-loss-
+      // surviving) form — the connectedComponents seam, exercised in
+      // ExecutorLossSpec
     val channels = p.select(col("_from").as("_c"))
       .filter(!col("_c").isin("__start", "__conv", "__null"))
       .distinct()
@@ -411,7 +416,8 @@ object EventOps {
       .filter(col("_to") =!= "__null")
       .unionByName(rdim.select(col("_removed"), lit("__conv").as("_from"),
         lit("__conv").as("_to"), lit(PPM).as("_ppm")))
-      .localCheckpoint() // (removal-dim × channel²) rows; joined K times
+      .transform(f => DedupOps.materialize(f, checkpointDir))
+      // ^ (removal-dim × channel²) rows; joined K times
     var v = rdim
       .select(col("_removed"), lit("__start").as("_state"), lit(PPM).as("_m"))
     (1 to steps).foreach { _ =>

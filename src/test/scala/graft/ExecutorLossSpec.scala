@@ -230,6 +230,58 @@ class ExecutorLossSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no executor was removed — the kill never happened and this test proved nothing")
   }
 
+  test("markovRemovalAttribution with a reliable checkpoint survives an executor loss") {
+    // the SIXTH loss path (round 14): the K-round absorption loop joins
+    // its materialized transition table once per round — with the
+    // default localCheckpoint those blocks live on executors and a
+    // death between rounds can lose them with no lineage left; the
+    // checkpointDir seam (the connectedComponents contract) writes
+    // them to shared storage instead. Kill fires inside the EVENT scan
+    // feeding the transition counts — mid-checkpoint-materialization —
+    // and all six later rounds consume the files, never the killed
+    // lineage. Ground truth: the same op on the same data in the
+    // stable shared session semantics — here a deterministic fixture
+    // whose exact ppm masses the unit suite already pins.
+    val before = removed.get()
+    val rowsRdd = spark.sparkContext.range(0L, 4L, numSlices = 2)
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (shouldKill(pid, target = 0)) Runtime.getRuntime.halt(137)
+        it.flatMap { u =>
+          // the EventOpsSpec hand fixture, replicated per user block
+          val base = Seq(
+            (u * 10 + 1, 1L, "view"), (u * 10 + 1, 2L, "click"),
+            (u * 10 + 1, 3L, "purchase"),
+            (u * 10 + 2, 1L, "view"), (u * 10 + 2, 2L, "click"),
+            (u * 10 + 3, 1L, "click"), (u * 10 + 3, 2L, "purchase"),
+            (u * 10 + 4, 1L, "view"))
+          base.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val events = spark.createDataFrame(rowsRdd, schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_loss_mk").toString
+    val out = graft.ops.EventOps.markovRemovalAttribution(
+        events, "u", "id", "t", "purchase", steps = 6,
+        checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // 4 identical user blocks ⇒ the SAME transition probabilities as
+    // the 4-user unit fixture ⇒ the same ppm masses
+    assert(out == Map(
+      "click" -> ((499998L, 0L)), "view" -> ((499998L, 166666L))), out)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
+
   test("streaming aggregation recovers exact state store after an executor loss") {
     // the state-backed path: a stateful streaming agg's per-key state
     // lives ON the executors between micro-batches; killing one
