@@ -1897,6 +1897,55 @@ object Catalog {
              |  FROM lineitem)
              |ORDER BY grp""".stripMargin)),
 
+    // EXACT sliding-window distinct users (7-day window, round 14) —
+    // the composition the bitmap tier exists for: per-day bitmaps
+    // (one pass over raw events — rows are NEVER re-touched per
+    // window), then a bitmap_or_agg WINDOW over the 7-row day frame
+    // per bucket and a day-grain count sum. The naive form re-scans
+    // every event 7× (or keeps 7-day distinct state per key); this
+    // shape merges fixed-size day summaries — the same reason
+    // per-shard HLL sketches exist, but EXACT. The oracle recomputes
+    // each day's count(DISTINCT) over the raw 7-day range directly —
+    // an independent derivation, not a bitmap re-simulation.
+    "agg_sliding_distinct" -> QuerySpec(
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .filter(col("user_id").isNotNull)
+          // bitmap_bit_position/bucket_number are 1-BASED (value v maps
+          // to bit (v-1) mod 32768): an id of 0 lands at position -1 and
+          // silently vanishes from the bitmap (measured: exactly one
+          // user undercounted — user_id 0). Shift ids +1; distinctness
+          // is translation-invariant.
+          .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"),
+            expr("bitmap_bucket_number(user_id + 1)").as("_b"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id + 1))")
+            .as("_bm"))
+        // RANGE frame over the day ORDINAL, not ROWS: the bucket grain
+        // is sparse (a hash bucket can skip days), so row-adjacency is
+        // NOT day-adjacency — a ROWS frame would reach back past the
+        // calendar window exactly where buckets thin out (measured: one
+        // user over-counted at sf0.01 before the fix)
+        val w = Window.partitionBy(col("_b"))
+          .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+          .rangeBetween(-6, 0)
+        daily
+          .withColumn("_w7",
+            call_function("bitmap_count", expr("bitmap_or_agg(_bm)").over(w)))
+          .groupBy(col("day"))
+          .agg(sum(col("_w7")).cast(LongType).as("n_distinct_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+             |  FROM events WHERE user_id IS NOT NULL),
+             |days AS (SELECT DISTINCT day FROM e)
+             |SELECT d.day,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_distinct_7d
+             |FROM days d
+             |JOIN e ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+             |GROUP BY d.day ORDER BY d.day""".stripMargin),
+      allowBnlj = true),
+
     // Count-min sketch (mergeable frequency summary — the heavy-hitters
     // companion to the HLL distinct sketch): binary sketch per group.
     // Sketch bytes are seed/impl-specific ⇒ rows-only; the ε-bound
@@ -3589,6 +3638,83 @@ object Catalog {
           .orderBy(col("doc_id"))
       },
       Some(lpaOracle("WHERE doc_id < 500", "500"))),
+
+    // Power-law (Hill/MLE) exponent of the degree distribution —
+    // the scale-free diagnostic a link-graph pipeline reads before
+    // trusting degree-based sampling or PageRank priors: α = 1 +
+    // n / Σ ln(dᵢ/d_min) (continuous MLE, Clauset et al. 2009's eq. 2;
+    // the discrete −½ correction is documented out — this is the
+    // standard quick-read form, and the CHAIN is the point). The sum
+    // runs at the DEGREE GRAIN (distinct degrees, not nodes): each
+    // ln(d) quantized ONCE to DECIMAL(20,9), multiplied by the exact
+    // node count at that degree, summed as exact decimals; α is one
+    // IEEE chain. d_min is the graph's own min degree; a regular graph
+    // (S = 0) yields NULL α.
+    "graph_powerlaw_alpha" -> QuerySpec(
+      (s, d) => {
+        val ids = t(s, d, "documents").filter(col("doc_id") < 500)
+          .select(col("doc_id"))
+        val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 3) % 500,
+            (col("doc_id") * 13 + 5) % 500,
+            (col("doc_id") * 29 + 11) % 500)).as("dst"))
+        val und = edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("_a"),
+            greatest(col("src"), col("dst")).as("_b"))
+          .distinct()
+        val deg = und.select(col("_a").as("_id"))
+          .unionByName(und.select(col("_b").as("_id")))
+          .groupBy(col("_id")).agg(count(lit(1)).as("_deg"))
+        val grain = deg.groupBy(col("_deg")).agg(count(lit(1)).as("_cnt"))
+        val dmin = grain.agg(min(col("_deg")).as("_dmin"))
+        grain.crossJoin(broadcast(dmin))
+          .agg(sum(col("_cnt")).as("n_nodes"),
+            max(col("_dmin")).as("min_degree"),
+            // cnt at DECIMAL(12,0): a (19,0)x(20,9) product needs
+            // precision 40 and Spark would SHRINK the scale to fit 38
+            // (measured: sum_ln truncated to 7 decimals); (12,0)x(20,9)
+            // stays at (33,9) with the full quantization grid
+            sum(col("_cnt").cast(DecimalType(12, 0)) *
+              log(col("_deg").cast(DoubleType) /
+                col("_dmin").cast(DoubleType)).cast(DecimalType(20, 9)))
+              .as("_s"))
+          .select(col("n_nodes"), col("min_degree"),
+            col("_s").cast(DoubleType).as("sum_ln"),
+            when(col("_s") > 0,
+              lit(1.0) + col("n_nodes").cast(DoubleType) /
+                col("_s").cast(DoubleType)).as("alpha"))
+      },
+      Some("""WITH nodes AS (
+             |  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+             |de AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT id AS src, (id * 7 + 3) % 500 AS dst FROM nodes
+             |    UNION ALL SELECT id, (id * 13 + 5) % 500 FROM nodes
+             |    UNION ALL SELECT id, (id * 29 + 11) % 500 FROM nodes)
+             |  WHERE src <> dst),
+             |und AS (
+             |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+             |  FROM de),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+             |  GROUP BY 1),
+             |grain AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt
+             |          FROM deg GROUP BY 1),
+             |dm AS (SELECT min(deg) AS dmin FROM grain),
+             |m AS (
+             |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_nodes,
+             |    CAST(max(dm.dmin) AS BIGINT) AS min_degree,
+             |    SUM(CAST(cnt AS DECIMAL(12,0)) *
+             |      CAST(CAST(ln(CAST(deg AS DOUBLE) / CAST(dm.dmin AS DOUBLE))
+             |        AS VARCHAR) AS DECIMAL(20,9))) AS s
+             |  FROM grain CROSS JOIN dm)
+             |SELECT n_nodes, min_degree, CAST(s AS DOUBLE) AS sum_ln,
+             |  CASE WHEN s > 0 THEN
+             |    1.0 + CAST(n_nodes AS DOUBLE) / CAST(s AS DOUBLE) END AS alpha
+             |FROM m""".stripMargin),
+      allowBnlj = true),
 
     // Newman modularity Q of the LPA communities (GraphOps.modularity)
     // — the label-quality gate that turns graph_label_propagation's
