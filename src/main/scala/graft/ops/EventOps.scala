@@ -381,12 +381,18 @@ object EventOps {
       .withColumn("_from", coalesce(lag(col("_st"), 1).over(w), lit("__start")))
       .withColumn("_is_last", lead(col("_st"), 1).over(w).isNull)
       .select(col("_from"), col("_st").as("_to"), col("_is_last"))
-    // the terminal __null edge rides the same frame: a last
-    // non-converting state emits BOTH its inbound edge and the outbound
-    // __null edge (posexplode-free union of two projections)
-    val trans = steps0.select(col("_from"), col("_to"))
-      .unionByName(steps0.filter(col("_is_last") && col("_to") =!= "__conv")
-        .select(col("_to").as("_from"), lit("__null").as("_to")))
+    // the terminal __null edge rides the same ROW: each event emits its
+    // inbound edge plus — when it is a journey's last non-converting
+    // state — the outbound __null edge, as ONE explode over a per-row
+    // edge array. (The union-of-two-projections form re-executed the
+    // whole journey window subtree twice — the self-review double-scan
+    // class; one pass, identical edge multiset.)
+    val trans = steps0
+      .select(explode(when(col("_is_last") && col("_to") =!= "__conv",
+          array(struct(col("_from"), col("_to")),
+            struct(col("_to").as("_from"), lit("__null").as("_to"))))
+        .otherwise(array(struct(col("_from"), col("_to"))))).as("_e"))
+      .select(col("_e._from").as("_from"), col("_e._to").as("_to"))
       .groupBy(col("_from"), col("_to")).agg(count(lit(1)).as("_n"))
     val tot = trans.groupBy(col("_from")).agg(sum(col("_n")).as("_tot"))
     val p = trans.join(tot, Seq("_from"))

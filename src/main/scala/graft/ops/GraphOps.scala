@@ -526,6 +526,8 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).as("_a"),
         greatest(col(srcCol), col(dstCol)).as("_b"))
       .distinct()
+      .localCheckpoint() // three consumers (m, degrees, intra-edges):
+      // without this the edge-build subtree re-executes per consumer
     val m = und.agg(count(lit(1)).as("_m"))
     val deg = und.select(col("_a").as("_id"))
       .unionByName(und.select(col("_b").as("_id")))

@@ -1362,10 +1362,14 @@ object ProfileOps {
     * n < 2 or an all-tied column yields NULL τ. */
   def kendallTau(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(colA != colB, s"kendallTau: need two distinct columns")
+    // cell grid materialized ONCE: four consumers (the C/D self-join's
+    // two sides, both marginals, the total) would otherwise re-execute
+    // the row-grain aggregation subtree four times
     val grid = df
       .filter(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("_a"), col(colB).as("_b"))
       .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
     val g1 = grid.select(col("_a").as("_a1"), col("_b").as("_b1"),
       col("_c").cast(DecimalType(19, 0)).as("_c1"))
     val g2 = grid.select(col("_a").as("_a2"), col("_b").as("_b2"),
@@ -1445,6 +1449,7 @@ object ProfileOps {
           .otherwise(raise_error(concat(
             lit("bhFdr: success must be 0/1, got "),
             col(successCol).cast("string"))))).as("k"))
+      .localCheckpoint() // group grain; feeds the pooled rate AND the z rows
     val pooled = perG.agg(sum(col("k")).as("_kk"), sum(col("n")).as("_nn"))
     val z = perG.crossJoin(broadcast(pooled))
       .withColumn("_p0", col("_kk").cast(DoubleType) / col("_nn").cast(DoubleType))

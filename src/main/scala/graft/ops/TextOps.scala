@@ -1137,12 +1137,17 @@ object TextOps {
     */
   def ccnetSplit(scored: DataFrame, idCol: String, scoreCol: String,
       tokensCol: String): DataFrame = {
+    // materialize the per-doc projection ONCE: it feeds both the rank
+    // sort and the total count, and the caller's `scored` is typically
+    // an expensive LM-scoring subtree that must not run twice (the
+    // self-review double-scan class; measured ~2x on the CCNet key)
+    val base = scored.select(col(idCol).as("_id"), col(scoreCol).as("_s"),
+        col(tokensCol).as("_tok"))
+      .localCheckpoint()
     val ranked = SampleOps.zipPositions(
-      scored.select(col(idCol).as("_id"), col(scoreCol).as("_s"),
-          col(tokensCol).as("_tok"))
-        .orderBy(col("_s"), col("_id")), "_rank")
+      base.orderBy(col("_s"), col("_id")), "_rank")
     ranked
-      .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("_n"))))
       .withColumn("bucket_idx",
         expr("(_rank * 3) div _n").cast(IntegerType))
       .groupBy(col("bucket_idx"))
