@@ -1597,6 +1597,51 @@ object ProfileOps {
         lit(2.0) * ua / (naD * nbD) - lit(1.0)).as("rank_biserial"))
   }
 
+  /** Cohen's d (+ Hedges' g small-sample correction) — the
+    * STANDARDIZED effect size welchTTest's t statistic lacks: t grows
+    * with √n, so at corpus scale everything is "significant"; d
+    * answers the question that matters, HOW BIG the difference is in
+    * pooled-SD units (0.2 small / 0.5 medium / 0.8 large).
+    *
+    * One conditional-sum aggregation to exact (n, Σx, Σx²) per group
+    * (the welchTTest shape; Σx² in DECIMAL(38,0)); variances from the
+    * closed form (never stddev_samp's order-dependent streaming), the
+    * pooled SD and both ratios ONE fixed IEEE chain. Degenerate inputs
+    * (either group < 2 rows, zero pooled variance) yield NULL d/g. */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "cohensD: groups must differ")
+    requireNumeric(df, valueCol, "cohensD")
+    val d38 = DecimalType(38, 0)
+    def side(g: String, tag: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"_n$tag"),
+      sum(when(col(groupCol) === g, col(valueCol)).otherwise(0L)
+        .cast(DecimalType(28, 0))).cast(d38).as(s"_sx$tag"),
+      sum(when(col(groupCol) === g,
+          col(valueCol).cast(d38) * col(valueCol)).otherwise(lit(0).cast(d38)))
+        .cast(d38).as(s"_sxx$tag"))
+    val m = df.filter(col(valueCol).isNotNull)
+      .agg(side(groupA, "1").head,
+        (side(groupA, "1").tail ++ side(groupB, "2")): _*)
+    def nD(t: String) = col(s"_n$t").cast(DoubleType)
+    def mean(t: String) =
+      col(s"_sx$t").cast(DoubleType) / nD(t)
+    def variance(t: String) =
+      (col(s"_sxx$t").cast(DoubleType) -
+        col(s"_sx$t").cast(DoubleType) * col(s"_sx$t").cast(DoubleType) /
+          nD(t)) / (nD(t) - lit(1.0))
+    val pooled = ((nD("1") - lit(1.0)) * variance("1") +
+      (nD("2") - lit(1.0)) * variance("2")) / (nD("1") + nD("2") - lit(2.0))
+    val dEff = (mean("1") - mean("2")) / sqrt(pooled)
+    val ok = col("_n1") > 1L && col("_n2") > 1L && pooled > 0.0
+    m.select(col("_n1").as("n_a"), col("_n2").as("n_b"),
+      mean("1").as("mean_a"), mean("2").as("mean_b"),
+      when(ok, dEff).as("cohens_d"),
+      when(ok, dEff * (lit(1.0) -
+        lit(3.0) / (lit(4.0) * (nD("1") + nD("2")) - lit(9.0))))
+        .as("hedges_g"))
+  }
+
   /** A/B sample-size planner (two-proportion power analysis, the
     * standard normal-approximation formula): per group, the n PER ARM
     * required to detect an absolute rate lift `delta` at significance

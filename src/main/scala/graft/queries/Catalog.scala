@@ -9556,6 +9556,55 @@ object Catalog {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // K-fold cross-validation assignment (round 14) — the CV primitive
+    // completing the split family (random holdout / temporal-purged /
+    // cluster-guarded / k-fold): fold = equal-width cut of the portable
+    // LCG draw (u·k div 2³¹ in INTEGER arithmetic — never a float
+    // compare chain whose boundary could flip cross-engine), so every
+    // assignment replays bit-exactly in the oracle and a row's fold is
+    // stable under any repartitioning or corpus growth (id-keyed, not
+    // rank-keyed — appending documents never reshuffles folds, the
+    // property rank-based cuts lack). Per-fold counts ride along via
+    // one grain aggregation; the ±3σ balance bound is checked in-query.
+    "sample_kfold" -> QuerySpec(
+      (s, d) => {
+        val k = 5
+        val m = 1L << 31
+        val assigned = t(s, d, "documents")
+          .select(col("doc_id"),
+            expr(s"(pmod(doc_id * 1103515245L + 12345L, ${m}L) * $k) div ${m}L")
+              .cast(IntegerType).as("fold"))
+        val counts = assigned.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_fold"))
+        val tot = assigned.agg(count(lit(1)).as("_n"))
+        assigned.join(broadcast(counts), Seq("fold"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("fold"), col("n_fold"),
+            // balance bound: |n_fold − N/k| ≤ 4·sqrt(N) — in-query, the
+            // checked-band discipline (a broken LCG or cut would trip it)
+            when(abs(col("n_fold").cast(DoubleType) -
+                col("_n").cast(DoubleType) / lit(k.toDouble)) <=
+                lit(4.0) * sqrt(col("_n").cast(DoubleType)), 1)
+              .otherwise(0).as("balance_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    CAST(((doc_id * 1103515245 + 12345) % 2147483648) * 5
+             |      // 2147483648 AS INTEGER) AS fold
+             |  FROM documents),
+             |c AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_fold
+             |      FROM a GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a)
+             |SELECT a.doc_id, a.fold, c.n_fold,
+             |  CAST(CASE WHEN abs(CAST(c.n_fold AS DOUBLE)
+             |      - CAST(t.n AS DOUBLE) / 5.0)
+             |      <= 4.0 * sqrt(CAST(t.n AS DOUBLE)) THEN 1 ELSE 0 END
+             |    AS INTEGER) AS balance_ok
+             |FROM a JOIN c USING (fold) CROSS JOIN t
+             |ORDER BY a.doc_id""".stripMargin),
+      allowBnlj = true),
+
     // TEMPORAL train/test split with an EMBARGO gap (the purged
     // time-based split, López de Prado 2018 ch.7; for LLM data: train
     // pre-cutoff, evaluate post-cutoff, the gap absorbing
@@ -10533,6 +10582,61 @@ object Catalog {
     // a VARCHAR cast on the DuckDB side (direct wide-decimal→double
     // double-rounds past 2⁵³); t and df are fixed IEEE chains both
     // engines restate ⇒ fully oracled.
+    // Cohen's d + Hedges' g (ProfileOps.cohensD) — the STANDARDIZED
+    // effect size the t statistic lacks (t grows with √n; at corpus
+    // scale everything is "significant" — d says how big in pooled-SD
+    // units), completing the testing battery's effect-size tier beside
+    // profile_cramers_v (categorical) and mannwhitney's rank-biserial.
+    // Same exact-sum machinery as profile_ab_ttest; the oracle bridges
+    // the DECIMAL(38,0) Σx² through VARCHAR.
+    "profile_cohens_d" -> QuerySpec(
+      (s, d) => ProfileOps.cohensD(
+        t(s, d, "events").select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("cents")),
+        "g", "cents", groupA = "click", groupB = "view"),
+      Some("""WITH e AS (
+             |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |m AS (SELECT
+             |  CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n1,
+             |  CAST(SUM(CASE WHEN g = 'click' THEN x ELSE 0 END)
+             |    AS DECIMAL(38,0)) AS sx1,
+             |  CAST(SUM(CASE WHEN g = 'click' THEN CAST(x AS DECIMAL(38,0)) * x
+             |    ELSE 0 END) AS DECIMAL(38,0)) AS sxx1,
+             |  CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n2,
+             |  CAST(SUM(CASE WHEN g = 'view' THEN x ELSE 0 END)
+             |    AS DECIMAL(38,0)) AS sx2,
+             |  CAST(SUM(CASE WHEN g = 'view' THEN CAST(x AS DECIMAL(38,0)) * x
+             |    ELSE 0 END) AS DECIMAL(38,0)) AS sxx2
+             |  FROM e),
+             |c AS (SELECT
+             |  n1, n2,
+             |  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             |  CAST(CAST(sx1 AS VARCHAR) AS DOUBLE) AS sx1d,
+             |  CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2d,
+             |  CAST(CAST(sxx1 AS VARCHAR) AS DOUBLE) AS sxx1d,
+             |  CAST(CAST(sxx2 AS VARCHAR) AS DOUBLE) AS sxx2d
+             |  FROM m),
+             |f AS (SELECT n1, n2,
+             |  sx1d / n1d AS m1, sx2d / n2d AS m2,
+             |  (sxx1d - sx1d * sx1d / n1d) / (n1d - 1.0) AS v1,
+             |  (sxx2d - sx2d * sx2d / n2d) / (n2d - 1.0) AS v2,
+             |  n1d, n2d
+             |  FROM c),
+             |g2 AS (SELECT n1, n2, m1, m2, n1d, n2d,
+             |  ((n1d - 1.0) * v1 + (n2d - 1.0) * v2) / (n1d + n2d - 2.0)
+             |    AS pooled
+             |  FROM f)
+             |SELECT n1 AS n_a, n2 AS n_b, m1 AS mean_a, m2 AS mean_b,
+             |  CASE WHEN n1 > 1 AND n2 > 1 AND pooled > 0.0
+             |    THEN (m1 - m2) / sqrt(pooled) END AS cohens_d,
+             |  CASE WHEN n1 > 1 AND n2 > 1 AND pooled > 0.0
+             |    THEN ((m1 - m2) / sqrt(pooled)) *
+             |      (1.0 - 3.0 / (4.0 * (n1d + n2d) - 9.0)) END AS hedges_g
+             |FROM g2""".stripMargin)),
+
     "profile_ab_ttest" -> QuerySpec(
       (s, d) => ProfileOps.welchTTest(
         t(s, d, "events").select(col("event_type").as("g"),

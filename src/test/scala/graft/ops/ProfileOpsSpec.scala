@@ -1114,6 +1114,30 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  // --- cohensD -------------------------------------------------------
+
+  test("cohensD: hand-computed d and Hedges' g; degenerate → NULL") {
+    // A = [2,4,6] (mean 4, var 4), B = [1,3] (mean 2, var 2)
+    // pooled = (2·4 + 1·2)/3 = 10/3; d = 2/sqrt(10/3)
+    val df = Seq(("A", 2L), ("A", 4L), ("A", 6L), ("B", 1L), ("B", 3L))
+      .toDF("g", "v")
+    val r = ProfileOps.cohensD(df, "g", "v", "A", "B")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == 2L && r._3 == 4.0 && r._4 == 2.0)
+    val pooled = ((3.0 - 1.0) * 4.0 + (2.0 - 1.0) * 2.0) / (3.0 + 2.0 - 2.0)
+    val d = (4.0 - 2.0) / math.sqrt(pooled)
+    assert(r._5 == d)
+    assert(r._6 == d * (1.0 - 3.0 / (4.0 * (3.0 + 2.0) - 9.0)))
+    // single-row group → NULL effect
+    val one = ProfileOps.cohensD(
+      Seq(("A", 1L), ("A", 2L), ("B", 5L)).toDF("g", "v"), "g", "v", "A", "B")
+      .select($"cohens_d").as[Option[Double]].collect().head
+    assert(one.isEmpty)
+    intercept[IllegalArgumentException] {
+      ProfileOps.cohensD(df, "g", "v", "A", "A")
+    }
+  }
+
   // --- powerTwoProportion ------------------------------------------------
 
   test("powerTwoProportion: hand-computed required n, infeasible lift → NULL") {
