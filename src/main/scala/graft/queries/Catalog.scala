@@ -1226,29 +1226,40 @@ object Catalog {
     // |key·a| < 2⁶³ (keys to ~8.3e9). The NATIVE clause — TABLESAMPLE
     // (50 PERCENT) REPEATABLE(seed) — is unit-covered in
     // EngineSurfaceSpec (bounds + seed determinism + Sample node).
+    // Round-15 hardening (3rd-gate driver red): the key's POINT is the
+    // portable Bernoulli predicate (the sampling lever the reference
+    // pulls for scan reduction, README.md:801), so every
+    // engine-discretionary surface is gone from the payload:
+    //  - the threshold is the inlined integer literal 322122547
+    //    (= floor(0.15 * 2^31)), removing the decimal-literal binding
+    //    path (`CAST(0.15 * 2147483648 AS BIGINT)`) — the exact class
+    //    the profile_power trap pinned (engines may bind `0.15` as
+    //    DECIMAL or DOUBLE with different multiply/round semantics);
+    //  - the price payload is exact-integer BIGINT (SUM(o_orderkey), a
+    //    value-set fingerprint of the kept rows) — no double→DECIMAL
+    //    quantizing cast anywhere, on either engine.
+    // NOTE rows_match is VACUOUS for this key: o_orderpriority has
+    // exactly 5 values, so both engines emit 5 rows under ANY predicate
+    // divergence; only the integer payloads settle it.
     "sql_tablesample_portable" -> QuerySpec(
       (s, d) => {
         t(s, d, "orders").createOrReplaceTempView("ord_ts")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
-                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                |    AS DECIMAL(18,4)) AS sum_price
+                |  SUM(CAST(o_orderkey AS BIGINT)) AS sum_okey
                 |FROM ord_ts
                 |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
-                |      < CAST(0.15 * 2147483648 AS BIGINT)
+                |      < 322122547
                 |GROUP BY o_orderpriority
                 |ORDER BY o_orderpriority""".stripMargin)
       },
-      // Oracle quantizing cast bridges through VARCHAR (the ts_backtest
-      // rule): DuckDB's direct double->DECIMAL multiplies by 10^scale IN
-      // DOUBLE (double-rounding, version-dependent last-ulp flips); the
-      // shortest-roundtrip string parse matches Spark's
-      // Decimal(BigDecimal(double)) semantics on every DuckDB version.
+      // Oracle: identical text modulo DuckDB's SUM(BIGINT)→HUGEINT
+      // widening, bridged back with an outer CAST (the
+      // sql_distribute_cluster pattern that greened that key).
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
-             |  CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,4)))
-             |    AS DECIMAL(18,4)) AS sum_price
+             |  CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_okey
              |FROM orders
              |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648
-             |      < CAST(0.15 * 2147483648 AS BIGINT)
+             |      < 322122547
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
