@@ -421,7 +421,16 @@ object MultimodalOps {
                     case 0x010f if typ == 2 =>
                       val start =
                         if (cnt <= 4) e + 8 else t + u32t(e + 8).toInt
-                      if (!in(start, cnt.toInt)) bad = true
+                      // Bounds-check cnt AS A LONG before narrowing: for
+                      // cnt ≥ 2³¹, cnt.toInt wraps negative and
+                      // in(start, negative) would pass (start + negative
+                      // ≤ end), then new String(…, negativeLen) throws —
+                      // a task-killing crash on hostile input, violating
+                      // the "out-of-bounds yields None, never a wild
+                      // read" contract. (Near-2³¹ positive counts would
+                      // likewise overflow start + n inside in().)
+                      if (cnt > (end - start).toLong ||
+                          !in(start, cnt.toInt)) bad = true
                       else {
                         val raw = new String(b, start, cnt.toInt, "US-ASCII")
                         make = raw.takeWhile(_ != '\u0000')

@@ -1500,6 +1500,10 @@ object ProfileOps {
       idCol: String, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"liftTable: nBuckets must be >= 2, got $nBuckets")
     requireNumeric(df, labelCol, "liftTable")
+    // Materialize once: the projected base feeds BOTH the global sort
+    // (zipPositions) and the count/positives aggregate — without the
+    // checkpoint an expensive upstream scoring subtree would execute
+    // twice (the ccnetSplit double-scan discipline).
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).as("_s"), col(idCol).as("_id"),
@@ -1508,6 +1512,7 @@ object ProfileOps {
           .otherwise(raise_error(concat(
             lit("liftTable: label must be 0/1, got "),
             col(labelCol).cast("string")))).as("_y"))
+      .localCheckpoint()
     val ranked = SampleOps.zipPositions(
       base.orderBy(col("_s").desc, col("_id")), "_rank")
     val buckets = ranked

@@ -1935,11 +1935,22 @@ object Catalog {
         // is sparse (a hash bucket can skip days), so row-adjacency is
         // NOT day-adjacency — a ROWS frame would reach back past the
         // calendar window exactly where buckets thin out (measured: one
-        // user over-counted at sf0.01 before the fix)
+        // user over-counted at sf0.01 before the fix).
+        // DENSIFY before the window (round-15 ADVICE): the day-grain sum
+        // only sees (day, bucket) rows that EXIST, so a bucket active in
+        // the prior 6 days but silent on day d would contribute nothing
+        // to day d. Cross-join the day spine with the bucket set (both
+        // post-aggregation summary grains: |days| × |buckets|, not rows)
+        // and left-join the per-day bitmaps; a missing day's bitmap is
+        // NULL, which bitmap_or_agg skips — the frame still ORs the
+        // surviving prior-day bitmaps.
+        val spine = daily.select(col("day")).distinct()
+          .crossJoin(daily.select(col("_b")).distinct())
+        val dense = spine.join(daily, Seq("day", "_b"), "left")
         val w = Window.partitionBy(col("_b"))
           .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
           .rangeBetween(-6, 0)
-        daily
+        dense
           .withColumn("_w7",
             call_function("bitmap_count", expr("bitmap_or_agg(_bm)").over(w)))
           .groupBy(col("day"))
