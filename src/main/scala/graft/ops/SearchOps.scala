@@ -188,8 +188,39 @@ object SearchOps {
     * ASC). Output: (qidCol, idCol, rank, score, n_matched, dl). */
   def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKBatchOnPostings(bm25Postings(docs, idCol, textCol), idCol,
+      model, queries, qidCol, qTextCol, k, k1, b)
+
+  /** INDEX half of [[bm25TopKBatch]]: the (doc, dl, term, tf) postings
+    * frame — the inverted index as a first-class columnar table. `dl`
+    * is functionally dependent on the doc id, so carrying it in the
+    * groupBy keys is free (no second shuffle to re-attach document
+    * length). Persists to parquet and reloads anywhere — at 100 TB
+    * this IS the production shape: build the index once (one
+    * tokenize + one aggregation over the corpus), then serve every
+    * query batch, evaluation sweep, and expansion round off the staged
+    * postings instead of re-tokenizing the corpus per consumer. */
+  def bm25Postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(TextOps.tokenize(col(textCol)), x => length(x) > 0).as("_toks"))
+      .select(col(idCol), size(col("_toks")).cast(LongType).as("_dl"),
+        explode(col("_toks")).as("_tok"))
+      .groupBy(col(idCol), col("_dl"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+
+  /** SCORE half of [[bm25TopKBatch]] against a prebuilt
+    * [[bm25Postings]] frame (typically a staged parquet reload):
+    * identical plan and bit-identical output to the composed form —
+    * the postings grain is deterministic and parquet round-trips
+    * LONG/STRING exactly, so serving off the staged index is a pure
+    * scan swap, never a semantic one. */
+  def bm25TopKBatchOnPostings(postings: DataFrame, idCol: String,
+      model: DataFrame, queries: DataFrame, qidCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"bm25TopKBatch: k must be > 0, got $k")
+    require(k > 0, s"bm25TopKBatchOnPostings: k must be > 0, got $k")
     import org.apache.spark.sql.expressions.Window
     // the model is referenced TWICE (idf rows + the stats row): a
     // composed in-plan bm25Fit would re-run its corpus aggregations
@@ -205,16 +236,6 @@ object SearchOps {
       Seq("_tok"))
     val stats = m.filter(col("_tok").isNull)
       .select(col("_n_docs"), col("_total_toks"))
-    // postings: (doc, dl, term, tf) — dl is functionally dependent on
-    // the doc id, so carrying it in the groupBy keys is free (no second
-    // shuffle to re-attach document length)
-    val postings = docs
-      .select(col(idCol),
-        filter(TextOps.tokenize(col(textCol)), x => length(x) > 0).as("_toks"))
-      .select(col(idCol), size(col("_toks")).cast(LongType).as("_dl"),
-        explode(col("_toks")).as("_tok"))
-      .groupBy(col(idCol), col("_dl"), col("_tok"))
-      .agg(count(lit(1)).as("_tf"))
     // per-(query, doc, term) weight — the bm25TopK IEEE sequence
     // verbatim; inner joins guarantee tf > 0 and idf non-null
     val weighted = postings.join(qidf, Seq("_tok"))

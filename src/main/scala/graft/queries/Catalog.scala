@@ -667,6 +667,44 @@ object Catalog {
     }
   }
 
+  /** The frozen BM25 retrieval index, staged ONCE per dataset (the
+    * [[recalScoresDir]] pattern applied to search): the fitted model
+    * (token → idf + stats row), the inverted-index postings
+    * (doc, dl, token, tf), and the depth-30 batch ranking for the
+    * union of every consumer's query set, keyed by the query TEXT.
+    * Four keys serve off it (`search_eval_ndcg`, `search_eval_map`,
+    * `search_prf_expand`, `search_rrf_hybrid`'s lexical branch) —
+    * before this table each re-derived BM25 from raw text, ~8 s of
+    * the sweep spent re-tokenizing the same corpus four times. The
+    * oracles are UNTOUCHED: they still re-derive everything from raw
+    * documents, so the staged values are independently refuted, not
+    * assumed. At 100 TB this is the only sane shape: the index is
+    * built in one pass and every retrieval consumer is a scan of it.
+    * Parquet round-trips every staged type exactly (DOUBLE scores
+    * bit-exact, DECIMAL(20,6) idf, LONG/INT/STRING), so serving off
+    * the stage is a scan swap, not a semantic change. */
+  private def bm25IndexDirs(s: SparkSession, d: String):
+      (String, String, String) = {
+    import s.implicits._
+    val modelDir = staged(d, "bm25_model") { dir =>
+      SearchOps.bm25Fit(t(s, d, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val postingsDir = staged(d, "bm25_postings") { dir =>
+      SearchOps.bm25Postings(t(s, d, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val scoresDir = staged(d, "bm25_scores30") { dir =>
+      val qs = Seq("dup hash join", "merge sort", "dup zebra", "dup hash")
+        .toDF("qtext").select(col("qtext").as("q"), col("qtext"))
+      SearchOps.bm25TopKBatchOnPostings(
+          s.read.parquet(postingsDir), "doc_id",
+          s.read.parquet(modelDir), qs, "q", "qtext", k = 30)
+        .write.mode("overwrite").parquet(dir)
+    }
+    (modelDir, postingsDir, scoresDir)
+  }
+
   /** The DuckDB restatement of [[recalScoresDir]]'s pipeline: the CTE
     * chain from raw documents through the built fixture, C4 rule
     * labels, NB fit/score, to `pd(doc_id, p, y)` — shared by the
@@ -7162,18 +7200,21 @@ object Catalog {
     "search_prf_expand" -> QuerySpec(
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
-        // model-sized frame (vocab + stats row): checkpoint once, reuse
-        // across round 1, the expansion join, and round 2
-        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
-          .localCheckpoint()
-        val q0 = Seq(("q1", "dup hash")).toDF("qid", "qtext")
-        val round1 = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
-          q0, "qid", "qtext", k = 10)
-        val fb = round1.select(col("doc_id"))
-        val dtok = docs.select(col("doc_id"),
-          explode(array_distinct(filter(TextOps.tokenize(col("text")),
-            x => length(x) > 0))).as("tok"))
+        // r15: every stage serves off the staged frozen index
+        // (bm25IndexDirs) — round 1 is a filter of the staged depth-30
+        // ranking, the expansion mines the staged postings, and round 2
+        // (whose query is DATA-dependent — it can never be
+        // pre-ranked) scores the staged postings against the staged
+        // model: zero corpus re-tokenizations in this key. The oracle
+        // still re-derives all three stages from raw text.
+        val (modelDir, postingsDir, scoresDir) = bm25IndexDirs(s, d)
+        val model = s.read.parquet(modelDir)
+        val postings = s.read.parquet(postingsDir)
+        val fb = s.read.parquet(scoresDir)
+          .filter(col("q") === "dup hash" && col("rank") <= 10)
+          .select(col("doc_id"))
+        // postings grain is already distinct-(doc, token)
+        val dtok = postings.select(col("doc_id"), col("_tok").as("tok"))
         val exp = dtok.join(broadcast(fb), Seq("doc_id"))
           .filter(!col("tok").isin("dup", "hash"))
           .groupBy(col("tok")).agg(count(lit(1)).as("df_fb"))
@@ -7187,7 +7228,7 @@ object Catalog {
             .as("_ext"))
           .select(lit("q1").as("qid"),
             concat(lit("dup hash "), col("_ext")).as("qtext"))
-        SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+        SearchOps.bm25TopKBatchOnPostings(postings, "doc_id", model,
             q2, "qid", "qtext", k = 10)
           .orderBy(col("rank"))
       },
@@ -7320,9 +7361,11 @@ object Catalog {
           ("q1", "dup hash join"),
           ("q2", "merge sort"),
           ("q3", "dup zebra")).toDF("qid", "qtext")
-        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
-        val lex = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
-            queries, "qid", "qtext", k = 30)
+        // r15: the lexical branch serves off the staged depth-30
+        // ranking (bm25IndexDirs — qid remapped from the query-text
+        // key); the oracle still re-derives it from raw text
+        val lex = s.read.parquet(bm25IndexDirs(s, d)._3)
+          .join(broadcast(queries), col("q") === col("qtext"))
           .select(col("qid"), col("doc_id"), col("rank"))
         val embedder = () => new EmbedOps.HashingEmbedder(dim = 16, seed = 7L)
         val dEmb = EmbedOps.embedWith(
@@ -7488,21 +7531,26 @@ object Catalog {
     "search_eval_ndcg" -> QuerySpec(
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
+        // r15: ranking AND relevance both serve off the staged frozen
+        // index (bm25IndexDirs — ranking is a rank≤10 filter of the
+        // staged depth-30 table, relevance mines the staged postings,
+        // whose grain is already distinct-(doc, token)); the oracle
+        // still re-derives both from raw text.
+        val (_, postingsDir, scoresDir) = bm25IndexDirs(s, d)
         val queries = Seq(
           ("q1", "dup hash join"),
           ("q2", "merge sort"),
           ("q3", "dup zebra")).toDF("qid", "qtext")
-        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
-        val ranking = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
-          queries, "qid", "qtext", k = 10)
+        val ranking = s.read.parquet(scoresDir)
+          .join(broadcast(queries), col("q") === col("qtext"))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("doc_id"), col("rank"))
         val qterms = queries.select(col("qid"),
           explode(array_distinct(filter(TextOps.tokenize(col("qtext")),
             x => length(x) > 0))).as("tok"))
         val nTerms = qterms.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
-        val docToks = docs.select(col("doc_id"),
-          explode(array_distinct(filter(TextOps.tokenize(col("text")),
-            x => length(x) > 0))).as("tok"))
+        val docToks = s.read.parquet(postingsDir)
+          .select(col("doc_id"), col("_tok").as("tok"))
         val rel = qterms.join(docToks, Seq("tok"))
           .groupBy(col("qid"), col("doc_id"))
           .agg(count(lit(1)).as("hit"))
@@ -7626,21 +7674,23 @@ object Catalog {
     "search_eval_map" -> QuerySpec(
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
+        // r15: staged-index serve, same shape as search_eval_ndcg (the
+        // oracle still re-derives from raw text)
+        val (_, postingsDir, scoresDir) = bm25IndexDirs(s, d)
         val queries = Seq(
           ("q1", "dup hash join"),
           ("q2", "merge sort"),
           ("q3", "dup zebra")).toDF("qid", "qtext")
-        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
-        val ranking = SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
-          queries, "qid", "qtext", k = 10)
+        val ranking = s.read.parquet(scoresDir)
+          .join(broadcast(queries), col("q") === col("qtext"))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("doc_id"), col("rank"))
         val qterms = queries.select(col("qid"),
           explode(array_distinct(filter(TextOps.tokenize(col("qtext")),
             x => length(x) > 0))).as("tok"))
         val nTerms = qterms.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
-        val docToks = docs.select(col("doc_id"),
-          explode(array_distinct(filter(TextOps.tokenize(col("text")),
-            x => length(x) > 0))).as("tok"))
+        val docToks = s.read.parquet(postingsDir)
+          .select(col("doc_id"), col("_tok").as("tok"))
         val rel = qterms.join(docToks, Seq("tok"))
           .groupBy(col("qid"), col("doc_id"))
           .agg(count(lit(1)).as("hit"))
