@@ -529,6 +529,292 @@ object SimilarityOps {
       .select(col(qId), col("rn"), col(cId), col("cos"))
   }
 
+  /** Partitioned HNSW candidate generation — the graph-ANN tier
+    * (Malkov & Yashunin 2016, the class production vector serving
+    * defaults to), re-expressed in the only shape that survives
+    * Spark's execution model: a faithful single HNSW is a sequential,
+    * pointer-chasing, all-in-memory structure, so instead each of
+    * `nShards` hash-partitions builds its OWN small-world graph over
+    * its shard (embarrassingly parallel, memory bounded by n/nShards
+    * nodes × m links — the index NEVER materializes globally), every
+    * query searches every shard graph, and the per-shard frontiers
+    * union into one candidate set an exact in-plan re-rank consumes
+    * ([[hnswTopK]]). Per-query distance evaluations are
+    * O(nShards · efSearch · log(n/nShards)) — sublinear in n, the
+    * property the graph tier exists for; recall is measured, not
+    * assumed, on sim_ann_recall's curve against [[bruteTopK]].
+    *
+    * Determinism (the fixed-order discipline, graph edition): the
+    * shard key is `cid % nShards` — a pure function of the id — and
+    * shards land on partitions through Spark's fixed hash of that
+    * key, so a PARTITION may host several whole shards (never a
+    * fraction of one); partition contents are a function of (cid,
+    * nShards) alone, independent of cluster layout or input
+    * partitioning. Insertion order is ascending cid
+    * (sortWithinPartitions), node levels derive from a splitmix64
+    * hash of cid (not a shared RNG stream — identical wherever the
+    * node lands), and every heap comparison orders by
+    * (distance, cid) so ties never depend on traversal history. Two
+    * runs — or two cluster layouts, measured 8-cpu vs 4-cpu — emit
+    * identical candidate sets.
+    *
+    * Inputs are quantized LONG vectors (the milli grid every oracled
+    * ANN key uses); distances are 1 − cosine from exact integer dots
+    * evaluated in fixed IEEE order. The query set collects to the
+    * driver — budgeted BY CONTRACT like [[bruteTopK]]'s broadcast:
+    * queries are the small side of every ANN design here. */
+  def hnswCandidates(queries: DataFrame, candidates: DataFrame,
+      nShards: Int, m: Int, efConstruction: Int, efSearch: Int,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(nShards >= 1, s"hnswCandidates: nShards must be >= 1, got $nShards")
+    require(m >= 2, s"hnswCandidates: m must be >= 2, got $m")
+    require(efConstruction >= m,
+      s"hnswCandidates: efConstruction ($efConstruction) must be >= m ($m)")
+    require(efSearch >= 1,
+      s"hnswCandidates: efSearch must be >= 1, got $efSearch")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    // query side: bounded by contract (see doc) — same budget class as
+    // bruteTopK's broadcast(queries)
+    val qRows: Array[(Long, Array[Long])] = queries
+      .select(col(qId).cast(LongType), col(qVec).cast(ArrayType(LongType)))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val (mV, efC, efS) = (m, efConstruction, efSearch)
+    candidates
+      .select(col(cId).cast(LongType).as("_cid"),
+        col(cVec).cast(ArrayType(LongType)).as("_cvec"))
+      .withColumn("_shard", pmod(col("_cid"), lit(nShards.toLong)))
+      .repartition(nShards, col("_shard"))
+      .sortWithinPartitions(col("_cid"))
+      .select(col("_cid"), col("_cvec"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        it.foreach { case (id, v) => ids += id; vecs += v }
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val g = new HnswShard(ids.toArray, vecs.toArray, mV, efC)
+          g.build()
+          qRows.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, efS).iterator.map(ci => (qid, ids(ci)))
+          }
+        }
+      }
+      .toDF(qId, cId)
+  }
+
+  /** Partitioned-HNSW top-k: [[hnswCandidates]] + the exact in-plan
+    * re-rank every compressed tier here ends in ([[ivfPqRerankTopK]]'s
+    * shape): the union of per-shard frontiers joins back to the raw
+    * vectors (broadcast semi-join of a tiny candidate list — the raw
+    * table is never scanned for scoring) and the final cosine ranking
+    * is declarative, so the graph only ever PROPOSES candidates; it
+    * can never corrupt a score. */
+  def hnswTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nShards: Int, m: Int, efConstruction: Int, efSearch: Int,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    require(k >= 1, s"hnswTopK: k must be >= 1, got $k")
+    exactRerank(hnswCandidates(queries, candidates, nShards, m,
+      efConstruction, efSearch, qId, qVec, cId, cVec),
+      queries, candidates, k, qId, qVec, cId, cVec)
+  }
+
+  /** Exact cosine re-rank of a proposed (query, candidate) id set —
+    * the shared tail of every compressed/approximate tier
+    * ([[ivfPqRerankTopK]], [[hnswTopK]]): candidate ids broadcast into
+    * the raw vector table (semi-join prune, never a scan), ranking is
+    * declarative (cos DESC, id ASC). */
+  def exactRerank(cands: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int,
+      qId: String = "qid", qVec: String = "qvec",
+      cId: String = "cid", cVec: String = "cvec"): DataFrame = {
+    reg(candidates)
+    val exact = candidates.join(broadcast(cands.select(col(qId), col(cId))),
+        Seq(cId))
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .withColumn("cos", cosineN(asDouble(col(qVec)), asDouble(col(cVec))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("cos"))
+  }
+
+  /** One shard's in-memory HNSW graph (navigable-small-world layers,
+    * Malkov & Yashunin 2016 Alg. 1-5 restated): nodes are the shard's
+    * vectors in ascending-cid insertion order; `level(i)` is
+    * ⌊−ln(u)·1/ln(m)⌋ from a splitmix64 hash of the node's GLOBAL id;
+    * inserts greedy-descend from the entry point, run an
+    * efConstruction beam per layer, keep the m closest as
+    * bidirectional links, and prune over-full adjacency back to the
+    * closest m (2m at layer 0). Every ordering is (distance, id) —
+    * deterministic by construction, property-tested in
+    * SimilaritySpec. Memory: O(n·m) ints per shard. */
+  private[ops] final class HnswShard(ids: Array[Long],
+      vecs: Array[Array[Long]], m: Int, efConstruction: Int) {
+    private val n = ids.length
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val maxLevel = 24
+    private val norms: Array[Double] = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    private def dist(a: Int, b: Int): Double = distTo(vecs(a), norms(a), b)
+    private def distTo(qv: Array[Long], qn: Double, b: Int): Double = {
+      val bv = vecs(b)
+      var s = 0.0; var i = 0
+      while (i < qv.length) { s += qv(i).toDouble * bv(i).toDouble; i += 1 }
+      val d = qn * norms(b)
+      if (d == 0.0) 1.0 else 1.0 - s / d
+    }
+    private def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    private def levelOf(id: Long): Int = {
+      // uniform (0,1] from the top 53 bits; level capped defensively
+      val u = ((splitmix64(id) >>> 11) + 1).toDouble / (1L << 53).toDouble
+      math.min(maxLevel, math.floor(-math.log(u) * mL).toInt)
+    }
+    private val levels: Array[Int] = ids.map(levelOf)
+    // adjacency per (node, layer): links(node)(layer) = sorted ArrayBuffer
+    private val links: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]] =
+      Array.tabulate(n)(i => Array.fill(levels(i) + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[Int]))
+    private var entry: Int = -1
+    private def maxM(layer: Int): Int = if (layer == 0) 2 * m else m
+    // (dist, id)-ordered comparator — the determinism contract
+    private def cmp(d1: Double, i1: Int, d2: Double, i2: Int): Int =
+      if (d1 < d2) -1 else if (d1 > d2) 1
+      else java.lang.Long.compare(ids(i1), ids(i2))
+    /** Best-first beam search on one layer (Alg. 2): returns up to `ef`
+      * nearest as (dist, node), ascending (dist, id). */
+    private def searchLayer(qv: Array[Long], qn: Double, ep: Int,
+        ef: Int, layer: Int): Array[(Double, Int)] = {
+      val visited = new java.util.HashSet[Integer]()
+      val candOrd = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => cmp(a._1, a._2, b._1, b._2))
+      val resOrd = new java.util.PriorityQueue[(Double, Int)](
+        (a: (Double, Int), b: (Double, Int)) => -cmp(a._1, a._2, b._1, b._2))
+      val d0 = distTo(qv, qn, ep)
+      visited.add(ep); candOrd.add((d0, ep)); resOrd.add((d0, ep))
+      while (!candOrd.isEmpty) {
+        val c = candOrd.poll()
+        val worst = resOrd.peek()
+        if (cmp(c._1, c._2, worst._1, worst._2) > 0 && resOrd.size >= ef) {
+          candOrd.clear()
+        } else {
+          val nbrs = links(c._2)(layer)
+          var i = 0
+          while (i < nbrs.length) {
+            val e = nbrs(i)
+            if (!visited.contains(e)) {
+              visited.add(e)
+              val de = distTo(qv, qn, e)
+              val w = resOrd.peek()
+              if (resOrd.size < ef || cmp(de, e, w._1, w._2) < 0) {
+                candOrd.add((de, e)); resOrd.add((de, e))
+                if (resOrd.size > ef) resOrd.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = new Array[(Double, Int)](resOrd.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = resOrd.poll(); i -= 1 }
+      out
+    }
+    def build(): Unit = {
+      var i = 0
+      while (i < n) {
+        if (entry < 0) entry = i
+        else {
+          val qv = vecs(i); val qn = norms(i)
+          var ep = entry
+          var lc = levels(entry)
+          // greedy descent through layers above the new node's level
+          while (lc > levels(i)) {
+            var changed = true
+            while (changed) {
+              changed = false
+              val nbrs = links(ep)(math.min(lc, levels(ep)))
+              var j = 0
+              var best = distTo(qv, qn, ep)
+              while (j < nbrs.length) {
+                val d = distTo(qv, qn, nbrs(j))
+                if (cmp(d, nbrs(j), best, ep) < 0) {
+                  best = d; ep = nbrs(j); changed = true
+                }
+                j += 1
+              }
+            }
+            lc -= 1
+          }
+          // beam insert on each layer ≤ level(i)
+          var layer = math.min(levels(i), levels(entry))
+          while (layer >= 0) {
+            val w = searchLayer(qv, qn, ep, efConstruction, layer)
+            val sel = w.take(m)
+            sel.foreach { case (_, e) =>
+              links(i)(layer) += e
+              links(e)(layer) += i
+              if (links(e)(layer).length > maxM(layer)) {
+                // prune to the closest maxM, (dist, id) order
+                val pruned = links(e)(layer).toArray
+                  .map(x => (dist(e, x), x))
+                  .sortWith((a, b) => cmp(a._1, a._2, b._1, b._2) < 0)
+                  .take(maxM(layer)).map(_._2)
+                links(e)(layer).clear()
+                links(e)(layer) ++= pruned
+              }
+            }
+            if (w.nonEmpty) ep = w.head._2
+            layer -= 1
+          }
+          if (levels(i) > levels(entry)) entry = i
+        }
+        i += 1
+      }
+    }
+    /** Query search (Alg. 5): greedy descent to layer 1, beam of
+      * `efSearch` at layer 0; returns node INDEXES ascending
+      * (dist, id). */
+    def search(qv0: Array[Long], efSearch: Int): Array[Int] = {
+      if (entry < 0) return Array.empty
+      val qv = qv0
+      var s = 0.0; var i = 0
+      while (i < qv.length) { val x = qv(i).toDouble; s += x * x; i += 1 }
+      val qn = math.sqrt(s)
+      var ep = entry
+      var lc = levels(entry)
+      while (lc > 0) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val nbrs = links(ep)(math.min(lc, levels(ep)))
+          var j = 0
+          var best = distTo(qv, qn, ep)
+          while (j < nbrs.length) {
+            val d = distTo(qv, qn, nbrs(j))
+            if (cmp(d, nbrs(j), best, ep) < 0) {
+              best = d; ep = nbrs(j); changed = true
+            }
+            j += 1
+          }
+        }
+        lc -= 1
+      }
+      searchLayer(qv, qn, ep, efSearch, 0).map(_._2)
+    }
+  }
+
   /** Candidate pairs with cosine above `threshold` (embedding-based
     * near-duplicate detection). Quantized integer arithmetic so the
     * result is engine-exact.

@@ -5937,6 +5937,64 @@ object Catalog {
     // (SimilaritySpec). Truth and ANN sides are each deterministic, but
     // IVF centroids are iteration-order-sensitive ⇒ rows-only tier; the
     // CHECK rides in the query.
+    // Partitioned HNSW ANN — the GRAPH tier (r15, Malkov & Yashunin
+    // 2016), closing the ANN family's last class gap
+    // (LSH/IVF/PQ/IVF-PQ/rerank were the partition-friendly tiers; a
+    // faithful single HNSW is sequential pointer-chasing in one
+    // memory space, so the Spark-native shape is per-shard graphs +
+    // union-of-frontiers + exact in-plan re-rank —
+    // SimilarityOps.hnswCandidates documents the determinism
+    // contract: splitmix64 levels from global ids, ascending-cid
+    // insertion, (dist, id) heap order). Graph construction is not
+    // SQL-expressible ⇒ rows-only tier, so the key IS its own checked
+    // estimator (the agg_cms_checked discipline): per-query recall of
+    // hnswTopK vs the brute-force truth, the REALIZED candidate cost
+    // fraction (measured in-query, not a parameter-derived claim),
+    // and the floor assertion, all in one plan. Floors measured:
+    // recall 1.0 at sf0.01 AND sf0.1 → floor 0.6 with margin (the
+    // ivf p=3 class). The recall row also rides sim_ann_recall's
+    // curve beside every other method.
+    "sim_ann_hnsw" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
+        val truth = SimilarityOps.bruteTopK(
+            emb.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+            emb.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            k = 10)
+          .select(col("qid"), col("cid"))
+        // candidate set feeds BOTH the cost measure and the re-rank:
+        // materialize once (the liftTable discipline)
+        val cands = SimilarityOps.hnswCandidates(q, c, nShards = 4,
+          m = 8, efConstruction = 64, efSearch = 48).localCheckpoint()
+        val ann = SimilarityOps.exactRerank(cands, q, c, k = 10)
+        val nCand = c.agg(count(lit(1)).as("_n"))
+        truth
+          .join(ann.select(col("qid"), col("cid"), lit(1).as("_hit")),
+            Seq("qid", "cid"), "left")
+          .groupBy(col("qid"))
+          .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) / 10.0)
+            .as("recall"))
+          .join(cands.groupBy(col("qid")).agg(count(lit(1)).as("n_cands")),
+            Seq("qid"))
+          .crossJoin(broadcast(nCand))
+          .select(col("qid"), lit(10).as("k"),
+            col("n_cands").cast(LongType).as("n_cands"),
+            round(col("n_cands").cast(DoubleType) / col("_n"), 3)
+              .as("cost_frac"),
+            round(col("recall"), 3).as("recall"),
+            lit(0.6).as("recall_floor"),
+            (col("recall") >= 0.6).cast(IntegerType).as("above_floor"))
+          .orderBy(col("qid"))
+      },
+      None,
+      allowBnlj = true),
+
     "sim_ann_recall" -> QuerySpec(
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -6001,6 +6059,27 @@ object Catalog {
           SimilarityOps.ivfPqRerankTopK(q, pqAssigned, c, model, pqModel,
             k = 10, kCoarse = 30, nProbe = 3),
           "ann_ivfpq_rerank", 3, (3.0 / 8) * (20.0 / 256), 0.45)
+        // graph tier (r15): partitioned HNSW — cost_frac is MEASURED
+        // in-query (avg realized candidate fraction) rather than a
+        // parameter-derived literal, because graph traversal cost is
+        // data-dependent; probes column carries nShards
+        val qQh = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val cQh = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
+        val hCands = SimilarityOps.hnswCandidates(qQh, cQh, nShards = 4,
+          m = 8, efConstruction = 64, efSearch = 48).localCheckpoint()
+        val hCost = hCands.groupBy(col("qid")).agg(count(lit(1)).as("_nc"))
+          .crossJoin(broadcast(cQh.agg(count(lit(1)).as("_ncand"))))
+          .agg(avg(col("_nc").cast(DoubleType) / col("_ncand")).as("_cf"))
+        val hnswRow0 = recallOf(
+          SimilarityOps.exactRerank(hCands, qQh, cQh, k = 10),
+          "ann_hnsw", 4, 0.0, 0.6)
+        val hnswRow = hnswRow0.drop("cost_frac")
+          .crossJoin(broadcast(hCost.select(round(col("_cf"), 3)
+            .as("cost_frac"))))
+          .select(hnswRow0.columns.map(col).toSeq: _*)
         val curve =
           recallOf(lsh(0), "ann_lsh", 1, 1.0 / 16, 0.15)
             .unionByName(recallOf(lsh(1), "ann_lsh", 5, 5.0 / 16, 0.4))
@@ -6013,6 +6092,7 @@ object Catalog {
             // bounded above by min(parents) — floor set under measured
             .unionByName(ivfpqRow)
             .unionByName(rerankRow)
+            .unionByName(hnswRow)
         val w = Window.partitionBy(col("method")).orderBy(col("probes"))
         // dominance check, riding every row (the LSH-dedup pattern):
         // exact re-rank at the same probe setting must never score

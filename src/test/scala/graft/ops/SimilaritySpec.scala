@@ -598,4 +598,80 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1, 2)) == 0.0, out)
     assert(out.size == 3)
   }
+
+  private def qQuant = emb.filter($"vec_id" < 3)
+    .select($"vec_id".as("qid"),
+      SimilarityOps.quantize($"embedding").as("qvec"))
+  private def cQuant = emb
+    .select($"vec_id".as("cid"),
+      SimilarityOps.quantize($"embedding").as("cvec"))
+
+  test("hnswTopK: planted twin recovered at rank 1 with cosine ≈ 1") {
+    // plant an exact copy of query 0's vector under a fresh id: the
+    // graph MUST propose it and the exact re-rank MUST place it in
+    // the top ranks with cos ≈ 1 (rank 1 or 2 — the query itself is
+    // also a candidate and ties break by id)
+    val twinId = 100000L
+    val twin = emb.filter($"vec_id" === 0)
+      .select(lit(twinId).as("cid"),
+        SimilarityOps.quantize($"embedding").as("cvec"))
+    val cands = cQuant.unionByName(twin)
+    val top = SimilarityOps.hnswTopK(qQuant, cands, k = 3,
+      nShards = 4, m = 8, efConstruction = 64, efSearch = 32)
+      .filter($"qid" === 0)
+      .select($"rn", $"cid", $"cos").as[(Int, Long, Double)]
+      .collect().sortBy(_._1)
+    val twinRow = top.find(_._2 == twinId)
+    assert(twinRow.isDefined, s"twin not proposed: ${top.toSeq}")
+    assert(twinRow.get._1 <= 2, s"twin not in top-2: ${top.toSeq}")
+    assert(math.abs(twinRow.get._3 - 1.0) < 1e-9, twinRow.toString)
+  }
+
+  test("hnswCandidates: deterministic across runs AND input layouts") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.hnswCandidates(qQuant, c, nShards = 4, m = 8,
+          efConstruction = 64, efSearch = 24)
+        .as[(Long, Long)].collect().toSet
+    val a = run(cQuant)
+    val b = run(cQuant)
+    // scramble the input layout: different partitioning + row order
+    // must not change shard contents (shard key is a pure id function)
+    val c = run(cQuant.repartition(7, $"cid").sortWithinPartitions(
+      $"cid".desc))
+    assert(a == b, s"same-layout rerun diverged: ${(a -- b).take(5)}")
+    assert(a == c, s"layout change diverged: ${(a -- c) .take(5)} ${(c -- a).take(5)}")
+  }
+
+  test("hnswTopK: recall vs bruteTopK clears the 0.6 floor at sf0.001") {
+    val truth = SimilarityOps.bruteTopK(queries, candidates, k = 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SimilarityOps.hnswTopK(qQuant, cQuant, k = 10,
+        nShards = 4, m = 8, efConstruction = 64, efSearch = 48)
+      .select($"qid", $"cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.keys.map { q =>
+      got.getOrElse(q, Set.empty).count(truth(q)).toDouble / truth(q).size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.6, s"avg recall $avg below floor; per-q $recalls")
+  }
+
+  test("hnswCandidates: degenerate shapes — more shards than rows, tiny ef") {
+    val tiny = Seq((1L, Seq(1000L, 0L)), (2L, Seq(0L, 1000L)),
+      (3L, Seq(700L, 700L))).toDF("cid", "cvec")
+    val q = Seq((9L, Seq(1000L, 0L))).toDF("qid", "qvec")
+    val out = SimilarityOps.hnswTopK(q, tiny, k = 2, nShards = 8,
+      m = 2, efConstruction = 4, efSearch = 2)
+      .select($"rn", $"cid").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty && out.head._2 == 1L, out.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.hnswCandidates(q, tiny, nShards = 0, m = 2,
+        efConstruction = 4, efSearch = 2)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.hnswCandidates(q, tiny, nShards = 2, m = 2,
+        efConstruction = 1, efSearch = 2)
+    }
+  }
 }
