@@ -524,6 +524,121 @@ object MultimodalOps {
       parseWavHeader(payload)
   }
 
+  /** Parsed COMPRESSED-audio stream structure — the crawl-side
+    * complement of [[AudioMeta]]'s PCM view: MP3 carries a bitrate but
+    * no PCM bit depth or (without a full frame scan) total sample
+    * count; FLAC carries bit depth and total samples but no fixed
+    * bitrate. Absent-by-format fields are None, never 0 — a pipeline
+    * routing on `bitrateKbps` must see NULL for lossless input, not a
+    * fake number. */
+  final case class AudioStreamMeta(format: String, channels: Int,
+      sampleRate: Int, bitDepth: Option[Int], bitrateKbps: Option[Int],
+      nSamples: Option[Long])
+
+  /** REAL MP3 frame-header decode, pure JVM: skips an optional ID3v2
+    * tag (10-byte header + 28-bit SYNCSAFE size — each size byte
+    * masked to 7 bits, the encoding that exists so the size can never
+    * alias a frame sync), then parses the 4-byte frame header at that
+    * offset: 11-bit sync, MPEG version (reserved value → None), layer
+    * (reserved → None), bitrate index against the (version, layer)
+    * table (0 = free and 15 = bad → None), sample-rate index
+    * (3 = reserved → None), and channel mode (mono vs the three
+    * 2-channel modes). Returns None for truncated, desynced, or
+    * reserved-field payloads — NULL rows, never task failures. */
+  def parseMp3Header(b: Array[Byte]): Option[AudioStreamMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    // optional ID3v2 prefix: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+    val off =
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        10 + ((u8(6) & 0x7f) << 21 | (u8(7) & 0x7f) << 14 |
+          (u8(8) & 0x7f) << 7 | (u8(9) & 0x7f))
+      else 0
+    if (off < 0 || off + 4 > b.length) None
+    else if (u8(off) != 0xff || (u8(off + 1) & 0xe0) != 0xe0) None
+    else {
+      val verBits = (u8(off + 1) >> 3) & 0x3   // 0=V2.5 1=resv 2=V2 3=V1
+      val layerBits = (u8(off + 1) >> 1) & 0x3 // 0=resv 1=L3 2=L2 3=L1
+      val brIdx = (u8(off + 2) >> 4) & 0xf
+      val srIdx = (u8(off + 2) >> 2) & 0x3
+      val chMode = (u8(off + 3) >> 6) & 0x3    // 3=mono, else 2-channel
+      if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+          srIdx == 3) None
+      else {
+        val v1 = verBits == 3
+        // bitrate kbps by (version group, layer), index 1..14
+        val table: Array[Int] = (v1, layerBits) match {
+          case (true, 3) => // V1 L1
+            Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+          case (true, 2) => // V1 L2
+            Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+          case (true, _) => // V1 L3
+            Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+          case (false, 3) => // V2/V2.5 L1
+            Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+          case (false, _) => // V2/V2.5 L2+L3 share one table
+            Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+        }
+        val rates: Array[Int] = verBits match {
+          case 3 => Array(44100, 48000, 32000)
+          case 2 => Array(22050, 24000, 16000)
+          case _ => Array(11025, 12000, 8000) // V2.5
+        }
+        Some(AudioStreamMeta("mp3",
+          if (chMode == 3) 1 else 2, rates(srIdx),
+          None, Some(table(brIdx - 1)), None))
+      }
+    }
+  }
+
+  /** REAL FLAC STREAMINFO decode, pure JVM: `fLaC` magic, then the
+    * FIRST metadata block header (1 byte: bit 7 = last-block flag,
+    * bits 0-6 = type — STREAMINFO is type 0 and MUST come first per
+    * spec, so a different type is corrupt, not skippable) + 24-bit BE
+    * length ≥ 34, then the packed big-endian bitfields at bytes
+    * 10..17 of the block body: 20-bit sample rate (0 is invalid),
+    * 3-bit channels−1, 5-bit bits-per-sample−1, 36-bit total
+    * samples (0 = unknown → None, the spec's own convention). */
+  def parseFlacStreaminfo(b: Array[Byte]): Option[AudioStreamMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 8 + 34 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+        b(3) != 'C') None
+    else {
+      val blockType = u8(4) & 0x7f
+      val blockLen = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+      if (blockType != 0 || blockLen < 34 || 8 + blockLen > b.length) None
+      else {
+        val s = 8 // STREAMINFO body start
+        val sampleRate =
+          (u8(s + 10) << 12) | (u8(s + 11) << 4) | (u8(s + 12) >> 4)
+        val channels = ((u8(s + 12) >> 1) & 0x7) + 1
+        val bps = (((u8(s + 12) & 0x1) << 4) | (u8(s + 13) >> 4)) + 1
+        val total = ((u8(s + 13) & 0xf).toLong << 32) |
+          (u8(s + 14).toLong << 24) | (u8(s + 15).toLong << 16) |
+          (u8(s + 16).toLong << 8) | u8(s + 17).toLong
+        if (sampleRate == 0) None
+        else Some(AudioStreamMeta("flac", channels, sampleRate,
+          Some(bps), None, if (total == 0) None else Some(total)))
+      }
+    }
+  }
+
+  /** Magic-sniffing dispatcher over the compressed-audio classes —
+    * the [[parseImageHeader]] discipline for the crawl's audio tier:
+    * `fLaC` → FLAC, `ID3`/frame sync → MP3, anything else None. */
+  def parseAudioStream(b: Array[Byte]): Option[AudioStreamMeta] =
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') parseFlacStreaminfo(b)
+    else if (b.length >= 3 &&
+        ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+          (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)))
+      parseMp3Header(b)
+    else None
+
+  object AudioStreamCodec extends Codec[Option[AudioStreamMeta]] {
+    override def decode(payload: Array[Byte]): Option[AudioStreamMeta] =
+      parseAudioStream(payload)
+  }
+
   /** Parsed MP4 container structure — what a video pipeline filters and
     * budgets on before paying for a demux/decode: duration =
     * `duration / timescale` seconds, track count for audio-less clips,
@@ -702,6 +817,30 @@ object MultimodalOps {
       Row.fromSeq(r.toSeq ++ (m match {
         case Some(a) =>
           Seq(a.format, a.audioFormat, a.channels, a.sampleRate, a.bitDepth, a.nFrames)
+        case None => Seq(null, null, null, null, null, null)
+      }))
+    }
+
+  /** Append parsed compressed-audio metadata columns (`format,
+    * channels, sample_rate, bit_depth, bitrate_kbps, n_samples`; all
+    * NULL for unparseable payloads, format-absent fields NULL by
+    * design — see [[AudioStreamMeta]]) — the MP3/FLAC twin of
+    * [[audioMeta]], same per-partition codec lifecycle. */
+  def audioStreamMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    decodePartitions(df, bytesCol,
+      new StructType()
+        .add("format", StringType)
+        .add("channels", IntegerType)
+        .add("sample_rate", IntegerType)
+        .add("bit_depth", IntegerType)
+        .add("bitrate_kbps", IntegerType)
+        .add("n_samples", LongType),
+      () => AudioStreamCodec) { (r, m) =>
+      Row.fromSeq(r.toSeq ++ (m match {
+        case Some(a) => Seq(a.format, a.channels, a.sampleRate,
+          a.bitDepth.map(Integer.valueOf).orNull,
+          a.bitrateKbps.map(Integer.valueOf).orNull,
+          a.nSamples.map(java.lang.Long.valueOf).orNull)
         case None => Seq(null, null, null, null, null, null)
       }))
     }

@@ -4663,6 +4663,226 @@ object Catalog {
              |FROM f JOIN fmtc USING (media_id) JOIN dat USING (media_id)
              |ORDER BY media_id""".stripMargin)),
 
+    // COMPRESSED-audio metadata (round 15): MP3 frame headers + FLAC
+    // STREAMINFO — audio crawls are mostly MP3/FLAC, not the PCM WAV
+    // the audio tier had; this brings audio to the raster tier's
+    // format depth. Two genuinely different layout classes in one
+    // dispatcher: MP3 is a BIT-PACKED 4-byte header behind an optional
+    // ID3v2 tag whose 28-bit SYNCSAFE size must be 7-bit-masked per
+    // byte (the encoding exists so tag sizes can't alias a frame
+    // sync), with (version, layer)-indexed bitrate TABLES and
+    // version-indexed sample-rate tables; FLAC is fLaC magic + the
+    // spec-mandated FIRST metadata block whose STREAMINFO body packs
+    // 20-bit rate / 3-bit channels / 5-bit bps / 36-bit total samples
+    // across byte boundaries. Eight planted corrupts (reserved MPEG
+    // version, bitrate index 15, reserved sample-rate index, ID3 size
+    // overrunning the file, FLAC first-block-not-STREAMINFO, truncated
+    // STREAMINFO, zero sample rate, unknown container magic) must be
+    // NULL on BOTH engines; format-absent fields (MP3 bit depth/total,
+    // FLAC bitrate) are NULL BY DESIGN, not 0. DuckDB re-parses the
+    // same staged bytes — syncsafe un-masking, both bitfield walks,
+    // and the bitrate tables as list literals indexed by the parsed
+    // bits — so a parser that skips one validity check breaks the
+    // hash. Staged-path literal: sf0.01 contract as scan_binaryfile.
+    "multimodal_mp3_flac_meta" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "audio_stream") { p =>
+          val base = new java.io.File(p)
+          base.mkdirs()
+          // ver/layer/brIdx/srIdx/chMode are the header BIT values
+          // (ver: 3=V1 2=V2 0=V2.5; layer: 3=L1 2=L2 1=L3)
+          def mp3(ver: Int, layer: Int, brIdx: Int, srIdx: Int,
+              chMode: Int, id3Size: Int): Array[Byte] = {
+            val id3 =
+              if (id3Size >= 0)
+                "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
+                  Array(((id3Size >> 21) & 0x7f).toByte,
+                    ((id3Size >> 14) & 0x7f).toByte,
+                    ((id3Size >> 7) & 0x7f).toByte,
+                    (id3Size & 0x7f).toByte) ++
+                  Array.fill[Byte](math.max(0, math.min(id3Size, 300)))(0x41)
+              else Array.empty[Byte]
+            id3 ++ Array[Byte](0xff.toByte,
+              (0xe0 | (ver << 3) | (layer << 1) | 1).toByte,
+              ((brIdx << 4) | (srIdx << 2)).toByte,
+              (chMode << 6).toByte) ++ Array.fill[Byte](48)(0x55)
+          }
+          def flac(rate: Int, ch: Int, bps: Int, total: Long,
+              blockType: Int = 0, lastFlag: Int = 0x80,
+              truncateTo: Int = -1, trailer: Array[Byte] = Array.empty)
+              : Array[Byte] = {
+            val body = new Array[Byte](34)
+            body(0) = 0x10; body(2) = 0x10 // min/max blocksize 4096
+            body(10) = (rate >> 12).toByte
+            body(11) = ((rate >> 4) & 0xff).toByte
+            body(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1) |
+              ((bps - 1) >> 4)).toByte
+            body(13) = ((((bps - 1) & 0xf) << 4) |
+              ((total >> 32) & 0xf).toInt).toByte
+            body(14) = ((total >> 24) & 0xff).toByte
+            body(15) = ((total >> 16) & 0xff).toByte
+            body(16) = ((total >> 8) & 0xff).toByte
+            body(17) = (total & 0xff).toByte
+            var i = 18
+            while (i < 34) { body(i) = (i * 7).toByte; i += 1 }
+            val out = "fLaC".getBytes("US-ASCII") ++
+              Array[Byte]((lastFlag | blockType).toByte, 0, 0, 34) ++
+              body ++ trailer
+            if (truncateTo >= 0) out.take(truncateTo) else out
+          }
+          val files: Seq[Array[Byte]] = Seq(
+            mp3(3, 1, 9, 0, 0, -1),    // 0: V1 L3 128k 44100 stereo
+            mp3(3, 1, 14, 1, 3, 100),  // 1: V1 L3 320k 48000 mono, ID3
+            mp3(2, 1, 1, 2, 1, -1),    // 2: V2 L3 8k 16000 joint
+            mp3(0, 1, 7, 0, 2, 0),     // 3: V2.5 L3 56k 11025, empty ID3
+            mp3(3, 3, 12, 2, 0, -1),   // 4: V1 L1 384k 32000
+            mp3(3, 2, 5, 0, 3, 257),   // 5: V1 L2 80k, 2-byte syncsafe
+            mp3(2, 3, 10, 1, 0, -1),   // 6: V2 L1 160k 24000
+            mp3(2, 2, 14, 0, 3, -1),   // 7: V2 L2 160k 22050 mono
+            mp3(0, 2, 3, 2, 1, 5),     // 8: V2.5 L2 24k 8000
+            mp3(3, 1, 1, 2, 0, -1),    // 9: V1 L3 32k 32000
+            flac(44100, 2, 16, 1000000L),         // 10
+            flac(48000, 1, 24, 44100L),           // 11
+            flac(96000, 8, 24, 123456789L),       // 12
+            flac(22050, 2, 16, 0L),               // 13: unknown total → NULL
+            flac(8000, 1, 8, 999L),               // 14
+            flac(192000, 6, 24, 68000000000L),    // 15: >32-bit total
+            flac(44100, 2, 20, 500L),             // 16: odd bps
+            flac(32000, 4, 16, 42L, lastFlag = 0, // 17: trailing block
+              trailer = Array[Byte](0x84.toByte, 0, 0, 4, 1, 2, 3, 4)),
+            // 18: two concatenated frames — the parser reads the first
+            mp3(3, 1, 9, 0, 0, -1) ++ mp3(3, 1, 9, 0, 0, -1),
+            flac(11025, 3, 12, 7L),               // 19: mid-table values
+            mp3(1, 1, 9, 0, 0, -1),    // 20: reserved MPEG version → NULL
+            mp3(3, 1, 15, 0, 0, -1),   // 21: bitrate index 15 → NULL
+            mp3(3, 1, 9, 3, 0, -1),    // 22: sample-rate index 3 → NULL
+            mp3(3, 1, 9, 0, 0, 200).take(30), // 23: ID3 overruns file → NULL
+            flac(44100, 2, 16, 99L, blockType = 4), // 24: wrong block → NULL
+            flac(44100, 2, 16, 99L, truncateTo = 20), // 25: truncated → NULL
+            flac(0, 2, 16, 99L),       // 26: zero sample rate → NULL
+            "OggS".getBytes("US-ASCII") ++ Array.fill[Byte](20)(3)) // 27
+          files.zipWithIndex.foreach { case (bytes, id) =>
+            java.nio.file.Files.write(
+              new java.io.File(base, f"au_$id%03d.bin").toPath, bytes)
+          }
+        }
+        val files = Readers.readBinaryFiles(s, dir, "*.bin")
+          .select(
+            regexp_extract(col("path"), "au_(\\d+)\\.", 1)
+              .cast(LongType).as("media_id"),
+            col("content").as("bytes"))
+        MultimodalOps.audioStreamMeta(files, "bytes")
+          .select(col("media_id"), col("format"), col("channels"),
+            col("sample_rate"), col("bit_depth"), col("bitrate_kbps"),
+            col("n_samples"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT regexp_extract(filename, 'au_(\d+)', 1)::BIGINT
+             |      AS media_id,
+             |    -- pad so byte extraction can't crash on short files;
+             |    -- the REAL length nb gates every CASE arm
+             |    hex(content) || repeat('0', 700) AS h,
+             |    octet_length(content) AS nb
+             |  FROM read_blob(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/audio_stream/au_*.bin')),
+             |p AS (
+             |  SELECT media_id, h, nb,
+             |    substr(h, 1, 8) = '664C6143' AS is_flac,
+             |    substr(h, 1, 6) = '494433' AND nb >= 10 AS has_id3,
+             |    ('0x' || substr(h, 1, 2))::INTEGER AS a0,
+             |    ('0x' || substr(h, 3, 2))::INTEGER AS a1
+             |  FROM f),
+             |-- MP3 leg: resolve the frame offset (ID3v2 syncsafe skip)
+             |moff AS (
+             |  SELECT media_id, h, nb, is_flac,
+             |    (has_id3 OR (nb >= 2 AND a0 = 255 AND a1 // 32 = 7))
+             |      AS mp3_routed,
+             |    CASE WHEN has_id3 THEN 10 +
+             |        (('0x' || substr(h, 13, 2))::BIGINT % 128) * 2097152 +
+             |        (('0x' || substr(h, 15, 2))::BIGINT % 128) * 16384 +
+             |        (('0x' || substr(h, 17, 2))::BIGINT % 128) * 128 +
+             |        (('0x' || substr(h, 19, 2))::BIGINT % 128)
+             |      ELSE 0 END AS off
+             |  FROM p),
+             |mhdr AS (
+             |  SELECT media_id, mp3_routed, off, nb,
+             |    ('0x' || substr(h, off*2 + 1, 2))::INTEGER AS m0,
+             |    ('0x' || substr(h, off*2 + 3, 2))::INTEGER AS m1,
+             |    ('0x' || substr(h, off*2 + 5, 2))::INTEGER AS m2,
+             |    ('0x' || substr(h, off*2 + 7, 2))::INTEGER AS m3
+             |  FROM moff WHERE NOT is_flac),
+             |mfield AS (
+             |  SELECT media_id, mp3_routed, off, nb, m0, m1,
+             |    (m1 // 8) % 4 AS ver, (m1 // 2) % 4 AS layer,
+             |    m2 // 16 AS br, (m2 // 4) % 4 AS sr, m3 // 64 AS ch
+             |  FROM mhdr),
+             |mp3m AS (
+             |  SELECT media_id,
+             |    CASE WHEN mp3_routed AND off + 4 <= nb AND m0 = 255
+             |        AND m1 // 32 = 7 AND ver <> 1 AND layer <> 0
+             |        AND br BETWEEN 1 AND 14 AND sr <> 3
+             |    THEN ROW('mp3',
+             |      CASE WHEN ch = 3 THEN 1 ELSE 2 END,
+             |      CASE ver
+             |        WHEN 3 THEN [44100, 48000, 32000][sr + 1]
+             |        WHEN 2 THEN [22050, 24000, 16000][sr + 1]
+             |        ELSE [11025, 12000, 8000][sr + 1] END,
+             |      CASE
+             |        WHEN ver = 3 AND layer = 3 THEN
+             |          [32,64,96,128,160,192,224,256,288,320,352,384,416,448][br]
+             |        WHEN ver = 3 AND layer = 2 THEN
+             |          [32,48,56,64,80,96,112,128,160,192,224,256,320,384][br]
+             |        WHEN ver = 3 THEN
+             |          [32,40,48,56,64,80,96,112,128,160,192,224,256,320][br]
+             |        WHEN layer = 3 THEN
+             |          [32,48,56,64,80,96,112,128,144,160,176,192,224,256][br]
+             |        ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][br]
+             |      END)
+             |    END AS m
+             |  FROM mfield),
+             |-- FLAC leg: fixed offsets (STREAMINFO is first by spec)
+             |fhdr AS (
+             |  SELECT media_id, nb,
+             |    ('0x' || substr(h, 9, 2))::INTEGER % 128 AS btype,
+             |    ('0x' || substr(h, 11, 6))::BIGINT AS blen,
+             |    ('0x' || substr(h, 37, 2))::INTEGER AS b18,
+             |    ('0x' || substr(h, 39, 2))::INTEGER AS b19,
+             |    ('0x' || substr(h, 41, 2))::INTEGER AS b20,
+             |    ('0x' || substr(h, 43, 2))::INTEGER AS b21,
+             |    ('0x' || substr(h, 45, 2))::BIGINT AS b22,
+             |    ('0x' || substr(h, 47, 2))::BIGINT AS b23,
+             |    ('0x' || substr(h, 49, 2))::BIGINT AS b24,
+             |    ('0x' || substr(h, 51, 2))::BIGINT AS b25
+             |  FROM p WHERE is_flac),
+             |flacm AS (
+             |  SELECT media_id,
+             |    CASE WHEN nb >= 42 AND btype = 0 AND blen >= 34
+             |        AND 8 + blen <= nb
+             |        AND b18 * 4096 + b19 * 16 + b20 // 16 <> 0
+             |    THEN ROW(
+             |      b18 * 4096 + b19 * 16 + b20 // 16,
+             |      (b20 // 2) % 8 + 1,
+             |      (b20 % 2) * 16 + b21 // 16 + 1,
+             |      (b21 % 16) * 4294967296 + b22 * 16777216
+             |        + b23 * 65536 + b24 * 256 + b25)
+             |    END AS m
+             |  FROM fhdr)
+             |SELECT f.media_id,
+             |  COALESCE(mp3m.m[1], CASE WHEN flacm.m IS NOT NULL
+             |    THEN 'flac' END) AS format,
+             |  CAST(COALESCE(mp3m.m[2], flacm.m[2]) AS INTEGER) AS channels,
+             |  CAST(COALESCE(mp3m.m[3], flacm.m[1]) AS INTEGER)
+             |    AS sample_rate,
+             |  CAST(flacm.m[3] AS INTEGER) AS bit_depth,
+             |  CAST(mp3m.m[4] AS INTEGER) AS bitrate_kbps,
+             |  CAST(CASE WHEN flacm.m[4] <> 0 THEN flacm.m[4] END AS BIGINT)
+             |    AS n_samples
+             |FROM f
+             |LEFT JOIN mp3m USING (media_id)
+             |LEFT JOIN flacm USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
+
     // REAL MP4-header decode over REAL container bytes — the video leg
     // completing the image/audio/video modality set behind the same
     // codec seam. Staging builds deterministic ISO BMFF box structures

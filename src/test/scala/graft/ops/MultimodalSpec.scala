@@ -598,6 +598,114 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.parseExif(
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
   }
+
+  test("parseExif: unsigned 32-bit ASCII count cannot wrap into a crash") {
+    // plant cnt = 2^31 + 8 in entry0's count field: .toInt wraps
+    // negative; before the r15 guard, in(start, negative) passed and
+    // new String(b, start, negativeLen) threw — the contract is None
+    val good = exifJpeg(le = true, 1, "cam_x")
+    val hostile = good.clone()
+    // entry0 count field = TIFF base (12) + ifd(8) + 2 + 4 → file 26,
+    // little-endian: set to 0x80000008
+    hostile(12 + 14) = 0x08; hostile(12 + 15) = 0
+    hostile(12 + 16) = 0; hostile(12 + 17) = 0x80.toByte
+    assert(MultimodalOps.parseExif(hostile).isEmpty)
+    // near-2^31 POSITIVE count: start + n overflows Int inside in()
+    val hostile2 = good.clone()
+    hostile2(12 + 14) = 0xf8.toByte; hostile2(12 + 15) = 0xff.toByte
+    hostile2(12 + 16) = 0xff.toByte; hostile2(12 + 17) = 0x7f
+    assert(MultimodalOps.parseExif(hostile2).isEmpty)
+  }
+
+  // --- MP3 / FLAC -------------------------------------------------------
+
+  private def mp3Bytes(ver: Int, layer: Int, brIdx: Int, srIdx: Int,
+      chMode: Int, id3Size: Int = -1): Array[Byte] = {
+    val id3 =
+      if (id3Size >= 0)
+        "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
+          Array(((id3Size >> 21) & 0x7f).toByte,
+            ((id3Size >> 14) & 0x7f).toByte, ((id3Size >> 7) & 0x7f).toByte,
+            (id3Size & 0x7f).toByte) ++ Array.fill[Byte](id3Size)(0x41)
+      else Array.empty[Byte]
+    id3 ++ Array[Byte](0xff.toByte,
+      (0xe0 | (ver << 3) | (layer << 1) | 1).toByte,
+      ((brIdx << 4) | (srIdx << 2)).toByte, (chMode << 6).toByte) ++
+      Array.fill[Byte](16)(0x55)
+  }
+
+  private def flacBytes(rate: Int, ch: Int, bps: Int, total: Long,
+      blockType: Int = 0): Array[Byte] = {
+    val body = new Array[Byte](34)
+    body(10) = (rate >> 12).toByte
+    body(11) = ((rate >> 4) & 0xff).toByte
+    body(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte
+    body(13) = ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+    body(14) = ((total >> 24) & 0xff).toByte
+    body(15) = ((total >> 16) & 0xff).toByte
+    body(16) = ((total >> 8) & 0xff).toByte
+    body(17) = (total & 0xff).toByte
+    "fLaC".getBytes("US-ASCII") ++
+      Array[Byte]((0x80 | blockType).toByte, 0, 0, 34) ++ body
+  }
+
+  test("parseMp3Header: version/layer tables, ID3 syncsafe skip, mono") {
+    val a = MultimodalOps.parseMp3Header(mp3Bytes(3, 1, 9, 0, 0))
+    assert(a.contains(MultimodalOps.AudioStreamMeta(
+      "mp3", 2, 44100, None, Some(128), None)), a.toString)
+    // V2 L1 table differs from V1 L1; mono channel mode; ID3 skipped
+    val b = MultimodalOps.parseMp3Header(mp3Bytes(2, 3, 10, 1, 3,
+      id3Size = 200))
+    assert(b.contains(MultimodalOps.AudioStreamMeta(
+      "mp3", 1, 24000, None, Some(160), None)), b.toString)
+    // V2.5 sample-rate table
+    val c = MultimodalOps.parseMp3Header(mp3Bytes(0, 1, 7, 2, 1))
+    assert(c.contains(MultimodalOps.AudioStreamMeta(
+      "mp3", 2, 8000, None, Some(56), None)), c.toString)
+  }
+
+  test("parseMp3Header: reserved fields and overruns yield None") {
+    assert(MultimodalOps.parseMp3Header(mp3Bytes(1, 1, 9, 0, 0)).isEmpty)
+    assert(MultimodalOps.parseMp3Header(mp3Bytes(3, 0, 9, 0, 0)).isEmpty)
+    assert(MultimodalOps.parseMp3Header(mp3Bytes(3, 1, 15, 0, 0)).isEmpty)
+    assert(MultimodalOps.parseMp3Header(mp3Bytes(3, 1, 0, 0, 0)).isEmpty)
+    assert(MultimodalOps.parseMp3Header(mp3Bytes(3, 1, 9, 3, 0)).isEmpty)
+    // ID3 size overruns the payload
+    assert(MultimodalOps.parseMp3Header(
+      mp3Bytes(3, 1, 9, 0, 0, id3Size = 100).take(20)).isEmpty)
+    assert(MultimodalOps.parseMp3Header(Array[Byte](0xff.toByte)).isEmpty)
+  }
+
+  test("parseFlacStreaminfo: packed bitfields, 36-bit totals, corrupts") {
+    val a = MultimodalOps.parseFlacStreaminfo(
+      flacBytes(44100, 2, 16, 1000000L))
+    assert(a.contains(MultimodalOps.AudioStreamMeta(
+      "flac", 2, 44100, Some(16), None, Some(1000000L))), a.toString)
+    // total crossing the 32-bit boundary (36-bit field)
+    val b = MultimodalOps.parseFlacStreaminfo(
+      flacBytes(192000, 6, 24, 68000000000L))
+    assert(b.exists(_.nSamples.contains(68000000000L)), b.toString)
+    // total = 0 → unknown → None, not Some(0)
+    assert(MultimodalOps.parseFlacStreaminfo(flacBytes(22050, 2, 16, 0L))
+      .exists(_.nSamples.isEmpty))
+    assert(MultimodalOps.parseFlacStreaminfo(
+      flacBytes(44100, 2, 16, 9L, blockType = 4)).isEmpty)
+    assert(MultimodalOps.parseFlacStreaminfo(
+      flacBytes(44100, 2, 16, 9L).take(20)).isEmpty)
+    assert(MultimodalOps.parseFlacStreaminfo(
+      flacBytes(0, 2, 16, 9L)).isEmpty)
+  }
+
+  test("parseAudioStream: magic dispatch — flac, mp3 (bare + ID3), other") {
+    assert(MultimodalOps.parseAudioStream(flacBytes(8000, 1, 8, 5L))
+      .exists(_.format == "flac"))
+    assert(MultimodalOps.parseAudioStream(mp3Bytes(3, 1, 1, 2, 0))
+      .exists(_.format == "mp3"))
+    assert(MultimodalOps.parseAudioStream(mp3Bytes(3, 2, 5, 0, 3, 30))
+      .exists(_.format == "mp3"))
+    assert(MultimodalOps.parseAudioStream(
+      "OggS1234".getBytes("US-ASCII")).isEmpty)
+  }
 }
 
 object MultimodalSpec {
