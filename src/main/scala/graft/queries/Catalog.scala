@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
+import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, LangIdOps, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
 
 /** One query per operator key (SURVEY.md §2), with the matching DuckDB
   * oracle SQL where the semantics are ANSI-SQL-expressible.
@@ -6964,6 +6964,180 @@ object Catalog {
              |  CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE) AS frac
              |FROM cells JOIN tot USING (actual)
              |ORDER BY actual, predicted""".stripMargin)),
+
+    // Frozen-MODEL language ID roundtrip (round 15): the staged-artifact
+    // serve path the heuristic tier lacked — a hashed char-trigram
+    // multinomial NB (LangIdOps) fit on the EVEN doc_ids, staged as
+    // parquet, reloaded, and scored over the held-out ODD split, with
+    // the heuristic langId evaluated on the SAME split so the key
+    // reports the measured per-language recall DELTA (model − heuristic)
+    // — a classifier upgrade must show its evidence. Determinism: the
+    // portable 31-polynomial code-point hash over character-based
+    // trigram substrings, log-probs quantized ONCE to DECIMAL(20,6) at
+    // fit time, scores ORDER-FREE exact decimal sums, argmax ties by
+    // the fixed language priority. The oracle re-derives EVERYTHING
+    // from raw text — fit counts, full-grid smoothing floors, priors,
+    // scoring, argmax, both confusions — so the staged model is
+    // refuted, not assumed. Docs under 3 chars have no trigram
+    // evidence and are excluded on both sides (none exist at the
+    // fixture; the condition makes totality explicit).
+    "text_lang_id_model_roundtrip" -> QuerySpec(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val modelDir = staged(d, "langid_model") { dir =>
+          LangIdOps.fit(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+              "text", "lang")
+            .write.mode("overwrite").parquet(dir)
+        }
+        val model = s.read.parquet(modelDir)
+        val held = docs.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+          length(lower(col("text"))) >= 3)
+        val preds = LangIdOps.predictWith(
+          LangIdOps.docTrigramCounts(held, "doc_id", "text"), "doc_id", model)
+        val both = held
+          .select(col("doc_id"), col("lang").as("actual"),
+            TextOps.langId(col("text")).as("heur_pred"))
+          .join(preds, Seq("doc_id"))
+        val perLang = both.groupBy(col("actual"))
+          .agg(count(lit(1)).as("n_actual"),
+            sum(when(col("pred_lang") === col("actual"), 1L).otherwise(0L))
+              .as("n_model_ok"),
+            sum(when(col("heur_pred") === col("actual"), 1L).otherwise(0L))
+              .as("n_heur_ok"))
+        val overall = both
+          .agg(count(lit(1)).as("n_actual"),
+            sum(when(col("pred_lang") === col("actual"), 1L).otherwise(0L))
+              .as("n_model_ok"),
+            sum(when(col("heur_pred") === col("actual"), 1L).otherwise(0L))
+              .as("n_heur_ok"))
+          .select(lit("ALL").as("actual"), col("n_actual"),
+            col("n_model_ok"), col("n_heur_ok"))
+        perLang.unionByName(overall)
+          .select(col("actual"), col("n_actual"), col("n_model_ok"),
+            (col("n_model_ok").cast(DoubleType) /
+              col("n_actual").cast(DoubleType)).as("model_recall"),
+            col("n_heur_ok"),
+            (col("n_heur_ok").cast(DoubleType) /
+              col("n_actual").cast(DoubleType)).as("heur_recall"),
+            ((col("n_model_ok").cast(DoubleType) /
+               col("n_actual").cast(DoubleType)) -
+             (col("n_heur_ok").cast(DoubleType) /
+               col("n_actual").cast(DoubleType))).as("recall_delta"))
+          .orderBy(col("actual"))
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, lang, lower(text) AS low FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |held AS (
+             |  SELECT doc_id, lang, lower(text) AS low, text FROM documents
+             |  WHERE doc_id % 2 = 1 AND length(lower(text)) >= 3),
+             |ttri AS (
+             |  SELECT lang, CAST(unnest(list_transform(
+             |    range(1, length(low) - 1),
+             |    i -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+             |           list_transform(
+             |             regexp_split_to_array(
+             |               substr(low, CAST(i AS INTEGER), 3), ''),
+             |             c -> CAST(ord(c) AS BIGINT))),
+             |           (a, c) -> (a * 31 + c) % 2147483647) % 512))
+             |    AS INTEGER) AS bucket
+             |  FROM train),
+             |tcnt AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+             |         FROM ttri GROUP BY 1, 2),
+             |ttot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+             |         FROM tcnt GROUP BY 1),
+             |grid AS (SELECT t.lang, CAST(unnest(range(512)) AS INTEGER)
+             |           AS bucket, t.tot FROM ttot t),
+             |lp AS (
+             |  SELECT g.lang, g.bucket,
+             |    CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+             |            CAST(g.tot + 512 AS DOUBLE)) AS DECIMAL(20,6)) AS lp
+             |  FROM grid g
+             |  LEFT JOIN tcnt c ON c.lang = g.lang AND c.bucket = g.bucket),
+             |nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndl
+             |       FROM train GROUP BY 1),
+             |pri AS (
+             |  SELECT lang, CAST(ln(CAST(ndl AS DOUBLE) /
+             |    CAST((SELECT sum(ndl) FROM nd) AS DOUBLE))
+             |    AS DECIMAL(20,6)) AS prior
+             |  FROM nd),
+             |htri AS (
+             |  SELECT doc_id, CAST(unnest(list_transform(
+             |    range(1, length(low) - 1),
+             |    i -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+             |           list_transform(
+             |             regexp_split_to_array(
+             |               substr(low, CAST(i AS INTEGER), 3), ''),
+             |             c -> CAST(ord(c) AS BIGINT))),
+             |           (a, c) -> (a * 31 + c) % 2147483647) % 512))
+             |    AS INTEGER) AS bucket
+             |  FROM held),
+             |hcnt AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+             |         FROM htri GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT h.doc_id, l.lang,
+             |    CAST(SUM(CAST(h.tf AS DECIMAL(10,0)) * l.lp)
+             |      AS DECIMAL(38,6)) AS s
+             |  FROM hcnt h JOIN lp l ON l.bucket = h.bucket
+             |  GROUP BY 1, 2),
+             |tsc AS (
+             |  SELECT sc.doc_id, sc.lang,
+             |    CAST(sc.s + pri.prior AS DECIMAL(38,6)) AS score
+             |  FROM sc JOIN pri USING (lang)),
+             |pred AS (
+             |  SELECT doc_id, lang AS pred_lang FROM (
+             |    SELECT doc_id, lang, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY score DESC,
+             |      CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+             |        WHEN 'es' THEN 2 WHEN 'fr' THEN 3 WHEN 'zh' THEN 4
+             |        ELSE 5 END) AS rn
+             |    FROM tsc) WHERE rn = 1),
+             |heur AS (
+             |  SELECT doc_id,
+             |    CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+             |         WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+             |         WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+             |         WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+             |         WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+             |         WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+             |         ELSE 'und' END AS heur_pred
+             |  FROM (
+             |    SELECT doc_id,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('the','and','of','to','is','that','you','with'))) AS s_en,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('der','die','das','und','ist','nicht','ich','mit'))) AS s_de,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('el','la','los','las','es','y','que','por'))) AS s_es,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('le','les','des','est','et','que','je','pas'))) AS s_fr,
+             |      len(list_filter(string_split(lower(text),' '), t -> t IN ('的','是','了','在','我','不','这','有'))) AS s_zh
+             |    FROM held)),
+             |j AS (
+             |  SELECT h.lang AS actual, p.pred_lang, e.heur_pred
+             |  FROM held h
+             |  JOIN pred p USING (doc_id)
+             |  JOIN heur e USING (doc_id)),
+             |per AS (
+             |  SELECT actual, CAST(count(*) AS BIGINT) AS n_actual,
+             |    CAST(sum(CASE WHEN pred_lang = actual THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_model_ok,
+             |    CAST(sum(CASE WHEN heur_pred = actual THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_heur_ok
+             |  FROM j GROUP BY 1
+             |  UNION ALL
+             |  SELECT 'ALL', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN pred_lang = actual THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(sum(CASE WHEN heur_pred = actual THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM j)
+             |SELECT actual, n_actual, n_model_ok,
+             |  CAST(n_model_ok AS DOUBLE) / CAST(n_actual AS DOUBLE)
+             |    AS model_recall,
+             |  n_heur_ok,
+             |  CAST(n_heur_ok AS DOUBLE) / CAST(n_actual AS DOUBLE)
+             |    AS heur_recall,
+             |  (CAST(n_model_ok AS DOUBLE) / CAST(n_actual AS DOUBLE)) -
+             |  (CAST(n_heur_ok AS DOUBLE) / CAST(n_actual AS DOUBLE))
+             |    AS recall_delta
+             |FROM per ORDER BY actual""".stripMargin)),
 
     // Gaps-and-islands (runs of consecutive active days per user): the
     // classic streak operator — island anchor = day − row_number days,
