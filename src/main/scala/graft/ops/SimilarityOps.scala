@@ -575,11 +575,13 @@ object SimilarityOps {
       s"hnswCandidates: efSearch must be >= 1, got $efSearch")
     val spark = candidates.sparkSession
     import spark.implicits._
-    // query side: bounded by contract (see doc) — same budget class as
-    // bruteTopK's broadcast(queries)
+    // driver-side query-set broadcast: bounded by contract (see doc) —
+    // the same budget class as bruteTopK's broadcast(queries), but the
+    // rows must reach the mapPartitions closure, so they collect here
     val qRows: Array[(Long, Array[Long])] = queries
       .select(col(qId).cast(LongType), col(qVec).cast(ArrayType(LongType)))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .as[(Long, Array[Long])]
+      .collect().sortBy(_._1) // driver-side query-set broadcast
     val (mV, efC, efS) = (m, efConstruction, efSearch)
     candidates
       .select(col(cId).cast(LongType).as("_cid"),

@@ -281,6 +281,11 @@ class PlanSpec extends SparkSpec {
       // once on the driver so the encoder UDF can consult it) are
       // allowed
       if !line.contains("driver-side model reload")
+      // explicitly-marked query-set broadcasts (r15, hnswCandidates):
+      // the ANN query side is small BY CONTRACT — the same budget
+      // class bruteTopK expresses as broadcast(queries), collected
+      // only because the rows must reach a mapPartitions closure
+      if !line.contains("driver-side query-set broadcast")
     } yield s"${f.getPath}: $line"
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
