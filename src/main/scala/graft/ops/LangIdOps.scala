@@ -53,13 +53,42 @@ object LangIdOps {
           .cast(IntegerType)))
   }
 
+  /** Trigram hashes over a PRE-MATERIALIZED code-point array column —
+    * the hot-path form: each gram is a 3-step unrolled fold over
+    * adjacent entries of an attribute reference, identical arithmetic
+    * to [[charTrigramBuckets]] (seed mod m, then (h·31 + cp) mod m per
+    * char). The cps array MUST be a real column from a prior
+    * projection, not an inline expression: Spark inlines a lambda-free
+    * subexpression into EVERY element_at reference inside a nested
+    * lambda, turning O(len) grams into O(len²) re-splits (measured
+    * 4.2 s → 91 s on the roundtrip key before this was split into two
+    * projections; with the materialized column it is ~1 s). */
+  private[ops] def trigramHashesOnCps(cps: Column, buckets: Int,
+      seed: Long): Column = {
+    val m = EmbedOps.hashModulus
+    val n = size(cps)
+    when(n < 3, array().cast(ArrayType(IntegerType)))
+      .otherwise(transform(sequence(lit(1), n - 2), i => {
+        val h1 = (lit(seed % m) * 31L + element_at(cps, i)) % m
+        val h2 = (h1 * 31L + element_at(cps, i + 1)) % m
+        val h3 = (h2 * 31L + element_at(cps, i + 2)) % m
+        (h3 % buckets).cast(IntegerType)
+      }))
+  }
+
+  /** Per-document code-point array (lowercased) — the materialization
+    * step [[trigramHashesOnCps]] requires. */
+  private[ops] def cpsOf(text: Column): Column =
+    transform(split(lower(text), ""), c => ascii(c).cast(LongType))
+
   /** Per-document trigram-bucket counts: (`idCol`, `bucket`, `_tf`) —
     * hash the corpus once, feed both fit and score from this grain. */
   def docTrigramCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 512, seed: Long = 11L): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    df.select(col(idCol),
-        explode(charTrigramBuckets(col(textCol), buckets, seed)).as("bucket"))
+    df.select(col(idCol), cpsOf(col(textCol)).as("_cps"))
+      .select(col(idCol),
+        explode(trigramHashesOnCps(col("_cps"), buckets, seed)).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("_tf"))
   }
@@ -77,8 +106,9 @@ object LangIdOps {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = train.sparkSession
     val triCounts = train
-      .select(col(langCol).as("lang"),
-        explode(charTrigramBuckets(col(textCol), buckets, seed)).as("bucket"))
+      .select(col(langCol).as("lang"), cpsOf(col(textCol)).as("_cps"))
+      .select(col("lang"),
+        explode(trigramHashesOnCps(col("_cps"), buckets, seed)).as("bucket"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("_cnt"))
     // bucket-grain (≤ langs×buckets rows) feeds the grid join AND the
