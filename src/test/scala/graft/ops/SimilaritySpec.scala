@@ -657,6 +657,24 @@ class SimilaritySpec extends SparkSpec {
     assert(avg >= 0.6, s"avg recall $avg below floor; per-q $recalls")
   }
 
+  test("hnswTopK with saturating efSearch ≡ bruteTopK exactly") {
+    // one shard + efSearch ≥ n: the layer-0 beam must visit the whole
+    // connected graph and return every node, so the exact re-rank sees
+    // ALL candidates — the approximation is removed and the result
+    // must equal brute force rank-for-rank (the annTopK h=nBits and
+    // ivf nProbe=all equivalence discipline, graph edition)
+    val n = cQuant.count().toInt
+    val viaGraph = SimilarityOps.hnswTopK(qQuant, cQuant, k = 10,
+        nShards = 1, m = 8, efConstruction = 64, efSearch = n)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val brute = SimilarityOps.bruteTopK(qQuant, cQuant, k = 10)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaGraph == brute,
+      s"graph != brute: ${viaGraph.diff(brute).take(5)}")
+  }
+
   test("hnswCandidates: degenerate shapes — more shards than rows, tiny ef") {
     val tiny = Seq((1L, Seq(1000L, 0L)), (2L, Seq(0L, 1000L)),
       (3L, Seq(700L, 700L))).toDF("cid", "cvec")
