@@ -165,6 +165,13 @@ object GraftFunctions {
         ShingleArray(exprs(0), exprs.lift(1).map(litInt).getOrElse(3))),
     ("nfkc_normalize", classOf[NfkcNormalize],
       (exprs: Seq[Expression]) => NfkcNormalize(exprs(0))),
+    // buckets and seed are plan-compile-time constants (the minhash_sig
+    // foldable-literal contract)
+    ("trigram_bucket_hash", classOf[TrigramBucketHash],
+      (exprs: Seq[Expression]) =>
+        TrigramBucketHash(exprs(0),
+          exprs.lift(1).map(litInt).getOrElse(512),
+          exprs.lift(2).map(e => litInt(e).toLong).getOrElse(11L))),
     ("sorted_inter_size", classOf[SortedInterSize],
       (exprs: Seq[Expression]) => SortedInterSize(exprs(0), exprs(1))),
     // generator (UDTF-shaped): rows stream out of eval lazily — see

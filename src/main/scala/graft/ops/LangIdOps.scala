@@ -54,16 +54,22 @@ object LangIdOps {
   }
 
   /** Trigram hashes over a PRE-MATERIALIZED code-point array column —
-    * the hot-path form: each gram is a 3-step unrolled fold over
-    * adjacent entries of an attribute reference, identical arithmetic
-    * to [[charTrigramBuckets]] (seed mod m, then (h·31 + cp) mod m per
+    * the declarative REFERENCE form ExpressionSpec property-tests the
+    * codegen'd [[graft.expressions.TrigramBucketHash]] against (the
+    * production paths call the expression): each gram is a 3-step
+    * unrolled fold over adjacent entries of an attribute reference,
+    * identical arithmetic (seed mod m, then (h·31 + cp) mod m per
     * char). The cps array MUST be a real column from a prior
     * projection, not an inline expression: Spark inlines a lambda-free
     * subexpression into EVERY element_at reference inside a nested
     * lambda, turning O(len) grams into O(len²) re-splits (measured
     * 4.2 s → 91 s on the roundtrip key before this was split into two
-    * projections; with the materialized column it is ~1 s). */
-  private[ops] def trigramHashesOnCps(cps: Column, buckets: Int,
+    * projections; with the materialized column it is ~1.9 s; the
+    * codegen expression measures the SAME ~2 s — the remaining cost is
+    * the explode + (doc, bucket) aggregation, not hashing — but drops
+    * the boxed intermediate arrays and keeps the scan stage inside
+    * whole-stage codegen, which is the 100 TB-relevant shape). */
+  private[graft] def trigramHashesOnCps(cps: Column, buckets: Int,
       seed: Long): Column = {
     val m = EmbedOps.hashModulus
     val n = size(cps)
@@ -78,7 +84,7 @@ object LangIdOps {
 
   /** Per-document code-point array (lowercased) — the materialization
     * step [[trigramHashesOnCps]] requires. */
-  private[ops] def cpsOf(text: Column): Column =
+  private[graft] def cpsOf(text: Column): Column =
     transform(split(lower(text), ""), c => ascii(c).cast(LongType))
 
   /** Per-document trigram-bucket counts: (`idCol`, `bucket`, `_tf`) —
@@ -86,9 +92,10 @@ object LangIdOps {
   def docTrigramCounts(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 512, seed: Long = 11L): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    df.select(col(idCol), cpsOf(col(textCol)).as("_cps"))
-      .select(col(idCol),
-        explode(trigramHashesOnCps(col("_cps"), buckets, seed)).as("bucket"))
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        explode(call_function("trigram_bucket_hash", col(textCol),
+          lit(buckets), lit(seed))).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("_tf"))
   }
@@ -105,10 +112,11 @@ object LangIdOps {
       buckets: Int = 512, seed: Long = 11L): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = train.sparkSession
+    graft.expressions.GraftFunctions.register(train.sparkSession)
     val triCounts = train
-      .select(col(langCol).as("lang"), cpsOf(col(textCol)).as("_cps"))
-      .select(col("lang"),
-        explode(trigramHashesOnCps(col("_cps"), buckets, seed)).as("bucket"))
+      .select(col(langCol).as("lang"),
+        explode(call_function("trigram_bucket_hash", col(textCol),
+          lit(buckets), lit(seed))).as("bucket"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("_cnt"))
     // bucket-grain (≤ langs×buckets rows) feeds the grid join AND the

@@ -51,7 +51,8 @@ class ExpressionSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
-        "simhash_sig", "shingle_array", "nfkc_normalize", "sorted_inter_size",
+        "simhash_sig", "shingle_array", "nfkc_normalize",
+        "trigram_bucket_hash", "sorted_inter_size",
         "ngram_generate", "bloom_filter_agg", "might_contain",
         "kll_sketch_agg", "kll_union_agg", "kll_quantile",
         "theta_sketch_agg", "theta_union_agg", "theta_intersect",
@@ -263,5 +264,27 @@ class ExpressionSpec extends SparkSpec {
     val simBoth = arrs.select(
       call_function("simhash_sig", $"sh").as("native"), foldSig.as("hof"))
     assert(simBoth.filter(not($"native" <=> $"hof")).count() == 0)
+  }
+
+  test("trigram_bucket_hash equals the two-projection HOF chain exactly") {
+    graft.expressions.GraftFunctions.register(spark)
+    // real corpus text + hand-picked edges: empty, 1/2/3 chars, mixed
+    // case (lowercase must apply), multibyte BMP, punctuation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").limit(200)
+      .union(Seq("", "a", "ab", "abc", "AbC", "的是了在", "a b\tc!?")
+        .toDF("text"))
+    val both = docs
+      .select($"text", graft.ops.LangIdOps.cpsOf($"text").as("_cps"))
+      .select(
+        call_function("trigram_bucket_hash", $"text", lit(512), lit(11L))
+          .as("native"),
+        graft.ops.LangIdOps.trigramHashesOnCps($"_cps", 512, 11L).as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() == 0)
+    // NULL input yields NULL (not an empty array)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(call_function("trigram_bucket_hash", $"text",
+        lit(512), lit(11L)).as("h"))
+    assert(n.filter($"h".isNull).count() == 1)
   }
 }
