@@ -7268,7 +7268,13 @@ object Catalog {
             when(col("keep") === 1, lit("keep")).otherwise(lit("drop"))
               .as("rule_label"))
           .join(built, Seq("doc_id"))
-        val model = ClassifyOps.nbFit(labeled, "text", "rule_label")
+        // the SAME quality-label NB fit recal_scores memoizes
+        // (nbCalibModel) — identical input rows ⇒ identical model; the
+        // r14 memoization move, extended to this key's fit (measured
+        // 3.1 → ~1.5 s in-sweep; the oracle still re-derives the fit
+        // from raw text)
+        val model = nbCalibModel(s, d,
+          ClassifyOps.nbFit(labeled, "text", "rule_label"))
         ClassifyOps.nbClassifyWith(built, "doc_id", "text", model)
           .join(labeled.select(col("doc_id"), col("rule_label")), Seq("doc_id"))
           .select(col("doc_id"), col("pred_label"), col("n_tokens"),
