@@ -599,6 +599,24 @@ object Catalog {
     s.createDataFrame(rows, schema)
   }
 
+  /** The [[nbCalibModel]] memo generalized to any named model-grain
+    * fit (r15): several keys deliberately share one frozen model (the
+    * production fit-once/serve-many shape), and without the memo each
+    * key re-executes the fit subtree — same JVM-lifetime LocalRelation
+    * rebuild, same identical-values contract, hashes unchanged. */
+  private val modelMemos = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.List[org.apache.spark.sql.Row], StructType)]()
+  private def memoModel(s: SparkSession, d: String, name: String)(
+      fit: => DataFrame): DataFrame = {
+    val (rows, schema) = modelMemos.computeIfAbsent(d + "#" + name, { _ =>
+      val m = fit
+      val collected =
+        m.collect() // driver-side model fit: model-grain rows, bpeFit contract
+      (java.util.Arrays.asList(collected: _*), m.schema)
+    })
+    s.createDataFrame(rows, schema)
+  }
+
   /** Deterministic per-dataset scratch dirs for keys that exercise a real
     * writer or a real non-parquet reader. The staged bytes always derive
     * from the driver test tables, so the DuckDB oracle can check the
@@ -9648,8 +9666,10 @@ object Catalog {
     "text_kn_bigram" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val model = TextOps.knBigramFit(
-          docs.filter(col("doc_id") % 2 === 0), "text")
+        // fit-once/serve-many: text_ccnet_split scores through the SAME
+        // even-split KN model — memoized (memoModel), hashes unchanged
+        val model = memoModel(s, d, "kn_even")(TextOps.knBigramFit(
+          docs.filter(col("doc_id") % 2 === 0), "text"))
         TextOps.knBigramScoreWith(docs, "doc_id", "text", model)
           .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
             col("n_oov"), col("mean_neg_logprob"))
@@ -9729,8 +9749,9 @@ object Catalog {
     "text_ccnet_split" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val model = TextOps.knBigramFit(
-          docs.filter(col("doc_id") % 2 === 0), "text")
+        // the shared memoized even-split KN model (see text_kn_bigram)
+        val model = memoModel(s, d, "kn_even")(TextOps.knBigramFit(
+          docs.filter(col("doc_id") % 2 === 0), "text"))
         val scored = TextOps.knBigramScoreWith(docs, "doc_id", "text", model)
         TextOps.ccnetSplit(scored, "doc_id", "mean_neg_logprob", "n_tokens")
       },
