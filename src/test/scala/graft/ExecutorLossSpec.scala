@@ -282,6 +282,53 @@ class ExecutorLossSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no executor was removed — the kill never happened and this test proved nothing")
   }
 
+  test("hnswTopK survives an executor loss feeding the shard shuffle, result exact") {
+    // the SEVENTH loss path (round 15): the graph-ANN tier's whole
+    // determinism contract (splitmix64 levels from GLOBAL ids,
+    // ascending-cid insertion, (dist, id) heap order) exists so that a
+    // RETRIED shard task rebuilds the identical graph and emits the
+    // identical candidate set. Kill fires inside the vector scan
+    // feeding the shard repartition — the dead executor takes its
+    // shuffle-map outputs with it, the graph-build stage hits
+    // FetchFailed, the map stage resubmits, and the rebuilt shard must
+    // yield the exact no-kill top-k. Ground truth: the same operator
+    // on the same deterministic synthetic vectors without the kill.
+    val before = removed.get()
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    def vecRow(i: Long) = org.apache.spark.sql.Row(i,
+      (0 until 16).map(j => ((i * 31 + j * 7) % 2000 - 1000).toLong).toSeq)
+    def cands(kill: Boolean) = spark.createDataFrame(
+      spark.sparkContext.range(0L, 4000L, numSlices = 8)
+        .mapPartitionsWithIndex { (pid, it) =>
+          if (kill && shouldKill(pid, target = 1)) Runtime.getRuntime.halt(137)
+          it.map(vecRow)
+        }, schema)
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(7L, 19L, 23L).map(vecRow), 1), schema)
+      .select(col("cid").as("qid"), col("cvec").as("qvec"))
+    def run(kill: Boolean): Seq[(Long, Int, Long)] =
+      graft.ops.SimilarityOps.hnswTopK(q, cands(kill), k = 5,
+          nShards = 4, m = 8, efConstruction = 48, efSearch = 24)
+        .select(col("qid"), col("rn"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val expected = run(kill = false)
+    assert(expected.size == 15, s"ground-truth shape: ${expected.size}")
+    val got = run(kill = true)
+    assert(got == expected,
+      s"post-loss result diverged: ${got.diff(expected).take(5)}")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
+
   test("streaming aggregation recovers exact state store after an executor loss") {
     // the state-backed path: a stateful streaming agg's per-key state
     // lives ON the executors between micro-batches; killing one
