@@ -274,13 +274,20 @@ class ExpressionSpec extends SparkSpec {
       .select($"text").limit(200)
       .union(Seq("", "a", "ab", "abc", "AbC", "的是了在", "a b\tc!?")
         .toDF("text"))
+    // THREE forms mutually pinned: the codegen expression, the
+    // two-projection cps fold, and the per-gram substr form
+    // (charTrigramBuckets — the column twin of the oracle SQL's
+    // substr+split reading)
     val both = docs
       .select($"text", graft.ops.LangIdOps.cpsOf($"text").as("_cps"))
       .select(
         call_function("trigram_bucket_hash", $"text", lit(512), lit(11L))
           .as("native"),
-        graft.ops.LangIdOps.trigramHashesOnCps($"_cps", 512, 11L).as("hof"))
+        graft.ops.LangIdOps.trigramHashesOnCps($"_cps", 512, 11L).as("hof"),
+        graft.ops.LangIdOps.charTrigramBuckets($"text", 512, 11L)
+          .as("substr"))
     assert(both.filter(not($"native" <=> $"hof")).count() == 0)
+    assert(both.filter(not($"native" <=> $"substr")).count() == 0)
     // NULL input yields NULL (not an empty array)
     val n = Seq[Option[String]](None).toDF("text")
       .select(call_function("trigram_bucket_hash", $"text",
