@@ -57,7 +57,18 @@ object Bench {
     // trailing duplicate "total_sec" survives any head truncation
     val loadEnd = osBean.getSystemLoadAverage
     val nproc = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"host_cpus":$nproc,"total_sec":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadEnd,"host_cpus":$nproc,"total_sec":$total}"""
+    println(line)
+    // The driver keeps only a stdout TAIL (~53 of 338 per-key times
+    // survive truncation), so regression diffing from BENCH_r{N}.json
+    // alone reconstructs from prose. Persist the FULL per-key map (the
+    // same one-line object) to a committable artifact: default
+    // bench_keys.json in the cwd, overridable for sweeps.
+    val keysPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_KEYS", "bench_keys.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(keysPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $keysPath: $e") }
     spark.stop()
   }
 }

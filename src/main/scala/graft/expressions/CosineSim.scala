@@ -145,6 +145,18 @@ object GraftFunctions {
       s"expected an integer literal, got $other")
   }
 
+  /** Long-valued twin of [[litInt]]: preserves the full 64-bit literal
+    * (seed arguments are Long in the expression constructors — routing a
+    * Long literal through litInt would silently truncate to Int and break
+    * bit-compatibility with LangIdOps.trigramHashesOnCps for non-default
+    * seeds). */
+  private def litLong(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+
   val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSim],
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
@@ -171,7 +183,7 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         TrigramBucketHash(exprs(0),
           exprs.lift(1).map(litInt).getOrElse(512),
-          exprs.lift(2).map(e => litInt(e).toLong).getOrElse(11L))),
+          exprs.lift(2).map(litLong).getOrElse(11L))),
     ("sorted_inter_size", classOf[SortedInterSize],
       (exprs: Seq[Expression]) => SortedInterSize(exprs(0), exprs(1))),
     // generator (UDTF-shaped): rows stream out of eval lazily — see

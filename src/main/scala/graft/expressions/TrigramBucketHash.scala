@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -30,8 +31,14 @@ case class TrigramBucketHash(child: Expression, buckets: Int, seed: Long)
     extends UnaryExpression {
 
   require(buckets >= 2, s"trigram_bucket_hash: buckets must be >= 2, got $buckets")
-  require(!child.resolved || child.dataType == StringType,
-    s"trigram_bucket_hash expects STRING, got ${child.dataType}")
+
+  // a non-STRING child surfaces as a proper AnalysisException at analysis
+  // time (not a constructor IllegalArgumentException) — the FreqSketch
+  // checkInputDataTypes idiom
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"trigram_bucket_hash expects STRING, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "trigram_bucket_hash"

@@ -579,25 +579,17 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   /** NB model for the CALIBRATION fixture (the built multi-line corpus
-    * both profile_calibration and profile_recalibrate score) — cached
-    * as COLLECTED rows + schema, not as a DataFrame: the model table
-    * is model-sized (labels × vocab; the bpeFit collect contract), and
-    * a cached plan would still re-execute its fit subtree per
-    * consumer, while a cached DataFrame/RDD would dangle if a suite
-    * recycles the session. Rebuilt as a LocalRelation per call — same
-    * values, so the established hashes are unchanged. */
-  private val nbCalibModels = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.util.List[org.apache.spark.sql.Row], StructType)]()
+    * both profile_calibration and profile_recalibrate score, and that
+    * text_nb_quality_distill re-fits on the SAME rows) — one explicit
+    * [[memoModel]] slot, "nb_calib". First-fit-wins across the three
+    * call sites is INTENTIONAL and only sound because every caller's
+    * fit inputs are byte-identical (same built corpus, same
+    * c4QualityFlags labels); if any caller's fixture build ever
+    * drifts, split it onto its own memoModel name. The shared-slot
+    * intent is keyed here rather than hidden in a dataset-only cache
+    * (r15 ADVICE). */
   private def nbCalibModel(s: SparkSession, d: String,
-      fit: => DataFrame): DataFrame = {
-    val (rows, schema) = nbCalibModels.computeIfAbsent(d, { _ =>
-      val m = fit
-      val collected =
-        m.collect() // driver-side model fit: labels × vocab, bpeFit contract
-      (java.util.Arrays.asList(collected: _*), m.schema)
-    })
-    s.createDataFrame(rows, schema)
-  }
+      fit: => DataFrame): DataFrame = memoModel(s, d, "nb_calib")(fit)
 
   /** The [[nbCalibModel]] memo generalized to any named model-grain
     * fit (r15): several keys deliberately share one frozen model (the
@@ -6232,6 +6224,47 @@ object Catalog {
       },
       None,
       allowBnlj = true),
+
+    // The HNSW tier's ORACLED key (r16, r15 verdict ask #1): the
+    // saturating configuration — efSearch = n makes each per-shard
+    // search exhaustive (HnswShard.search's saturation sweep contract),
+    // each shard's frontier is its exact local top-10, the union of
+    // frontiers provably contains the global top-10, and exactRerank's
+    // output is bit-identical to bruteTopK on the milli-grid LONG
+    // vectors — which DuckDB re-derives below with exact integer dot
+    // products (the sim_ann_lsh arithmetic class: 64-term integer sums
+    // ≤ ~1e7 are exactly representable, so the only doubles are the
+    // final sqrt/divide chain, identical on both engines). The graph is
+    // genuinely built and searched (entry descent, layer-0 beam); only
+    // the approximation is removed — a hash match certifies the whole
+    // build/search/rerank path on the real corpus, closing the one ANN
+    // family whose correctness evidence never left the repo. The
+    // approximate key above stays as the recall/cost row.
+    "sim_ann_hnsw_exact" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
+        SimilarityOps.hnswTopKExact(q, c, k = 10, nShards = 4,
+          m = 8, efConstruction = 64)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH $annQuantVecCtes,
+             |pairs AS (
+             |  SELECT q.qid, c.cid, unnest(q.qvec) AS qv, unnest(c.cvec) AS cv
+             |  FROM q0 q CROSS JOIN c0 c),
+             |scored AS (
+             |  SELECT qid, cid, CAST(SUM(qv*cv) AS DOUBLE)
+             |    / (sqrt(CAST(SUM(qv*qv) AS DOUBLE)) * sqrt(CAST(SUM(cv*cv) AS DOUBLE))) AS cos
+             |  FROM pairs GROUP BY qid, cid)
+             |SELECT qid, rn, cid, cos FROM (
+             |  SELECT qid, cid, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+             |  FROM scored)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     "sim_ann_recall" -> QuerySpec(
       (s, d) => {
@@ -14687,7 +14720,7 @@ object Catalog {
           (0 until 24).foreach { id =>
             val le = id % 2 == 0
             val orient = 1 + id % 8
-            val make = f"cam_$id%03d ".getBytes("US-ASCII") // 8 bytes
+            val make = f"cam_$id%03d\u0000".getBytes("US-ASCII") // 8 bytes
             val buf = java.nio.ByteBuffer.allocate(46).order(
               if (le) java.nio.ByteOrder.LITTLE_ENDIAN
               else java.nio.ByteOrder.BIG_ENDIAN)

@@ -675,6 +675,54 @@ class SimilaritySpec extends SparkSpec {
       s"graph != brute: ${viaGraph.diff(brute).take(5)}")
   }
 
+  test("hnswTopKExact ≡ bruteTopK across MULTIPLE shards (the oracled config)") {
+    // the sim_ann_hnsw_exact contract: per-shard saturation (efSearch =
+    // n via the sweep guarantee) + keepTop=k frontier trim + exact
+    // re-rank must equal brute force rank-for-rank even when the corpus
+    // is sharded — the union of exact shard-local top-ks contains the
+    // global top-k
+    val viaGraph = SimilarityOps.hnswTopKExact(qQuant, cQuant, k = 10,
+        nShards = 4, m = 8, efConstruction = 64)
+      .select($"qid", $"rn", $"cid", $"cos").as[(Long, Int, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val brute = SimilarityOps.bruteTopK(qQuant, cQuant, k = 10)
+      .select($"qid", $"rn", $"cid", $"cos").as[(Long, Int, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(viaGraph == brute,
+      s"exact graph != brute: ${viaGraph.diff(brute).take(5)}")
+  }
+
+  test("autoShards / hnswTopKAuto: P ∝ N sizing enforced in the operator") {
+    assert(SimilarityOps.autoShards(0L, 100) == 1)
+    assert(SimilarityOps.autoShards(1L, 100) == 1)
+    assert(SimilarityOps.autoShards(100L, 100) == 1)
+    assert(SimilarityOps.autoShards(101L, 100) == 2)
+    assert(SimilarityOps.autoShards(1000L, 100) == 10)
+    assert(SimilarityOps.autoShards(1000000L, 100) == 10000)
+    intercept[IllegalArgumentException] { SimilarityOps.autoShards(5L, 0) }
+    // per-shard rows never exceed the target: cid % P over the
+    // fixture's contiguous ids splits within ±1 of n/P ≤ target
+    val n = cQuant.count()
+    val target = 100
+    val p = SimilarityOps.autoShards(n, target)
+    val maxPerShard = cQuant
+      .groupBy(pmod($"cid", lit(p.toLong)).as("shard"))
+      .agg(count(lit(1)).as("rows"))
+      .agg(max($"rows")).as[Long].head()
+    assert(maxPerShard <= target,
+      s"auto-P shard overflow: max $maxPerShard > target $target (n=$n, P=$p)")
+    // and the auto variant returns exactly what the explicit-P form does
+    val auto = SimilarityOps.hnswTopKAuto(qQuant, cQuant, k = 5,
+        targetShardRows = target, m = 8, efConstruction = 64, efSearch = 48)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val explicit = SimilarityOps.hnswTopK(qQuant, cQuant, k = 5,
+        nShards = p, m = 8, efConstruction = 64, efSearch = 48)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(auto == explicit)
+  }
+
   test("hnswCandidates: degenerate shapes — more shards than rows, tiny ef") {
     val tiny = Seq((1L, Seq(1000L, 0L)), (2L, Seq(0L, 1000L)),
       (3L, Seq(700L, 700L))).toDF("cid", "cvec")
