@@ -1818,6 +1818,46 @@ object Catalog {
       None,
       allowBnlj = true),
 
+    // HASH-EXACT projection of the KLL verdict (the agg_hll_merge_checked
+    // pattern): group row counts + the p50-inside-exact-[q47,q53] verdict
+    // as the oracle-stated constant. The exact quantile triple itself
+    // stays in the parent (interpolated DOUBLEs across two engines'
+    // percentile implementations are not a hash-stable surface; the
+    // VERDICT is).
+    "agg_kll_merge_checked" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val li = t(s, d, "lineitem")
+        val exact =
+          expr("percentile(l_extendedprice, array(0.47D, 0.5D, 0.53D))")
+        val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(call_function("kll_sketch_agg",
+              col("l_extendedprice"), lit(200)).as("_sk"),
+            exact.as("_ex"), count(lit(1)).as("n_rows"))
+        val globalRow = perGroup
+          .agg(call_function("kll_union_agg", col("_sk"), lit(200)).as("_sk"))
+          .crossJoin(broadcast(li.agg(exact.as("_ex"),
+            count(lit(1)).as("n_rows"))))
+          .select(lit("ALL").as("grp"), col("_sk"), col("_ex"), col("n_rows"))
+        perGroup.select(col("grp"), col("_sk"), col("_ex"), col("n_rows"))
+          .unionByName(globalRow)
+          .select(col("grp"), col("n_rows"),
+            (call_function("kll_quantile", col("_sk"), lit(0.5d)) >=
+              element_at(col("_ex"), 1) &&
+              call_function("kll_quantile", col("_sk"), lit(0.5d)) <=
+                element_at(col("_ex"), 3)).cast(IntegerType)
+              .as("within_bound"))
+          .orderBy(col("grp"))
+      },
+      Some("""SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+             |  count(*) AS n_rows,
+             |  CAST(1 AS INTEGER) AS within_bound
+             |FROM lineitem GROUP BY 1
+             |UNION ALL
+             |SELECT 'ALL', count(*), CAST(1 AS INTEGER) FROM lineitem
+             |ORDER BY grp""".stripMargin),
+      allowBnlj = true),
+
     // Theta SET-ALGEBRA sketches (graft.expressions.ThetaSketchAgg):
     // the |A∩B| / |A\B| member of the sketch suite — HLL/bitmap answer
     // |A|, KLL answers quantiles, CMS answers frequencies; theta
@@ -1916,6 +1956,196 @@ object Catalog {
           .orderBy(col("exact").desc, col("item"))
       },
       None),
+
+    // HASH-EXACT projection of the sketch checks (r16, r15 verdict ask
+    // #5): the rows-only keys above emit estimator values no second
+    // engine can re-derive, but their DETERMINISTIC columns — exact
+    // counts and the bound VERDICTS — are oracle-stateable: DuckDB
+    // re-computes the exact side and asserts the verdict as the
+    // constant 1, so a sketch that ever violates its bound flips the
+    // Spark-side flag to 0 and fails the driver HASH gate (red), not
+    // just an in-query self-check. The estimator detail rows stay in
+    // the parent keys.
+    //
+    // agg_freq_topk's promotable integers: the exact top-10 of the
+    // skewed derived key (75% of mass on 10 hot values ⇒ no boundary
+    // ambiguity), each row asserting the sketch's hard guarantees —
+    // the item IS in the merged sketch top-10 (no false negatives at
+    // this separation) and its [lb, ub] bracket contains the exact
+    // count.
+    "agg_freq_topk_checked" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val li = t(s, d, "lineitem")
+        val keyed = li.select(
+          when(col("l_orderkey") % 4 < 3, col("l_orderkey") % 10)
+            .otherwise(col("l_partkey") + 1000).as("k"),
+          (col("l_suppkey") % 8).as("shard"))
+        val sketchTop = keyed
+          .groupBy(col("shard"))
+          .agg(call_function("freq_sketch_agg", col("k"), lit(1024)).as("_sk"))
+          .agg(call_function("freq_merge_agg", col("_sk"), lit(1024)).as("_sk"))
+          .select(explode(call_function("freq_topk", col("_sk"), lit(10)))
+            .as("_hh"))
+          .select(col("_hh.item").as("item"), col("_hh.lb").as("lb"),
+            col("_hh.ub").as("ub"))
+        val exactTop = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("exact").desc, col("k"))))
+          .filter(col("rn") <= 10).drop("rn")
+        exactTop.join(broadcast(sketchTop), col("k") === col("item"), "left")
+          .select(col("k").as("item"), col("exact"),
+            col("item").isNotNull.cast(IntegerType).as("in_sketch_topk"),
+            (col("item").isNotNull && col("lb") <= col("exact") &&
+              col("exact") <= col("ub")).cast(IntegerType).as("bracket_ok"))
+          .orderBy(col("exact").desc, col("item"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT CASE WHEN l_orderkey % 4 < 3 THEN l_orderkey % 10
+             |              ELSE l_partkey + 1000 END AS k
+             |  FROM lineitem),
+             |ex AS (SELECT k, count(*) AS exact FROM keyed GROUP BY k),
+             |top AS (
+             |  SELECT k, exact,
+             |    ROW_NUMBER() OVER (ORDER BY exact DESC, k) AS rn
+             |  FROM ex)
+             |SELECT k AS item, exact,
+             |  CAST(1 AS INTEGER) AS in_sketch_topk,
+             |  CAST(1 AS INTEGER) AS bracket_ok
+             |FROM top WHERE rn <= 10
+             |ORDER BY exact DESC, item""".stripMargin)),
+
+    // agg_theta_setops' promotable integers: exact per-flag cardinality
+    // and exact pairwise intersection (both integer-deterministic),
+    // with the sketch-vs-exact verdict (relative error ≤ 10% AND the
+    // |A∩B| + |A\B| ≈ |A| identity) asserted as the constant the
+    // oracle states.
+    "agg_theta_setops_checked" -> QuerySpec(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val li = t(s, d, "lineitem")
+        val sk = li.groupBy(col("l_returnflag").as("flag"))
+          .agg(call_function("theta_sketch_agg",
+              col("l_orderkey"), lit(12)).as("_sk"),
+            countDistinct(col("l_orderkey")).as("exact_n"))
+        val flags = li.select(col("l_orderkey"), col("l_returnflag")).distinct()
+        val exactInter = flags.as("fx")
+          .join(flags.as("fy"),
+            col("fx.l_orderkey") === col("fy.l_orderkey") &&
+              col("fx.l_returnflag") < col("fy.l_returnflag"))
+          .groupBy(col("fx.l_returnflag").as("fa"),
+            col("fy.l_returnflag").as("fb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        val pairs = sk
+          .select(col("flag").as("fa"), col("_sk").as("_ska"),
+            col("exact_n").as("exact_a"))
+          .crossJoin(broadcast(sk.select(col("flag").as("fb"),
+            col("_sk").as("_skb"))))
+          .filter(col("fa") < col("fb"))
+        val inter = call_function("theta_estimate",
+          call_function("theta_intersect", col("_ska"), col("_skb")))
+        val diff = call_function("theta_estimate",
+          call_function("theta_a_not_b", col("_ska"), col("_skb")))
+        pairs.join(broadcast(exactInter), Seq("fa", "fb"), "left")
+          .na.fill(0L, Seq("exact_inter"))
+          .withColumn("est_inter", inter)
+          .withColumn("est_diff", diff)
+          .select(col("fa"), col("fb"), col("exact_a"), col("exact_inter"),
+            (abs(col("est_inter") - col("exact_inter")) /
+              greatest(col("exact_inter"), lit(1L)) <= 0.10 &&
+              abs(col("est_inter") + col("est_diff") - col("exact_a")) <=
+                lit(0.10) * col("exact_a")).cast(IntegerType)
+              .as("within_bound"))
+          .orderBy(col("fa"), col("fb"))
+      },
+      Some("""WITH flags AS (
+             |  SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem),
+             |ex_a AS (
+             |  SELECT l_returnflag AS fa, count(*) AS exact_a
+             |  FROM flags GROUP BY 1),
+             |inter AS (
+             |  SELECT fx.l_returnflag AS fa, fy.l_returnflag AS fb,
+             |    count(*) AS exact_inter
+             |  FROM flags fx JOIN flags fy
+             |    ON fx.l_orderkey = fy.l_orderkey
+             |   AND fx.l_returnflag < fy.l_returnflag
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a.fa, b.fa AS fb FROM ex_a a JOIN ex_a b ON a.fa < b.fa)
+             |SELECT p.fa, p.fb, a.exact_a,
+             |  COALESCE(i.exact_inter, 0) AS exact_inter,
+             |  CAST(1 AS INTEGER) AS within_bound
+             |FROM pairs p
+             |JOIN ex_a a ON a.fa = p.fa
+             |LEFT JOIN inter i ON i.fa = p.fa AND i.fb = p.fb
+             |ORDER BY p.fa, p.fb""".stripMargin),
+      allowBnlj = true),
+
+    // agg_hll_merge's promotable integers: per-group + merged-ALL exact
+    // distincts with the 5% HLL verdict as the stated constant.
+    "agg_hll_merge_checked" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perGroup = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("_sk"),
+            countDistinct(col("l_orderkey")).as("exact"))
+        val globalRow = perGroup
+          .agg(hll_union_agg(col("_sk"), lit(true)).as("_sk"))
+          .crossJoin(broadcast(
+            li.agg(countDistinct(col("l_orderkey")).as("exact"))))
+          .select(lit("ALL").as("grp"), col("_sk"), col("exact"))
+        perGroup.select(col("grp"), col("_sk"), col("exact"))
+          .unionByName(globalRow)
+          .select(col("grp"), col("exact"),
+            (abs(hll_sketch_estimate(col("_sk")) - col("exact"))
+              .cast(DoubleType) / col("exact") <= 0.05).cast(IntegerType)
+              .as("within_bound"))
+          .orderBy(col("grp"))
+      },
+      Some("""SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+             |  count(DISTINCT l_orderkey) AS exact,
+             |  CAST(1 AS INTEGER) AS within_bound
+             |FROM lineitem GROUP BY 1
+             |UNION ALL
+             |SELECT 'ALL', count(DISTINCT l_orderkey), CAST(1 AS INTEGER)
+             |FROM lineitem
+             |ORDER BY grp""".stripMargin),
+      allowBnlj = true),
+
+    // agg_cms_checked's promotable integers: per-status probed-key count
+    // with the two CMS verdicts — est ≥ true ALWAYS (n_under must be
+    // exactly 0, a hard guarantee, not probabilistic) and the ε·N
+    // overestimate bound.
+    "agg_cms_oracled" -> QuerySpec(
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val sketches = orders.groupBy(col("o_orderstatus"))
+          .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)")
+            .as("cms"),
+            count(lit(1)).as("n_total"))
+        val exact = orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("exact_n"))
+        val probe = udf((bytes: Array[Byte], item: String) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .estimateCount(item))
+        exact.join(sketches, Seq("o_orderstatus"))
+          .withColumn("over", probe(col("cms"), col("o_orderpriority")) -
+            col("exact_n"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(when(col("over") < 0, 1L).otherwise(0L)).as("n_under"),
+            min(when(col("over").cast(DoubleType) <=
+              col("n_total").cast(DoubleType) * 0.001, 1).otherwise(0))
+              .cast(IntegerType).as("within_bound"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT o_orderpriority) AS n_keys,
+             |  CAST(0 AS BIGINT) AS n_under,
+             |  CAST(1 AS INTEGER) AS within_bound
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // EXACT mergeable distinct counting via bitmaps — the precise
     // companion to agg_hll_merge's approximate sketches: values bucket
@@ -2125,6 +2355,53 @@ object Catalog {
           .orderBy(col("o_orderstatus"))
       },
       None),
+
+    // HASH-EXACT projections of the two remaining approx-sketch checks
+    // (the agg_cms_oracled pattern): exact integers + the bound verdict
+    // stated by the oracle as the constant 1 — a violated bound flips
+    // the Spark flag and fails the driver hash gate.
+    "agg_approx_distinct_oracled" -> QuerySpec(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.05).as("_est"),
+          countDistinct(col("o_custkey")).as("exact_nd"))
+        .select(col("o_orderstatus"), col("exact_nd"),
+          (abs(col("_est") - col("exact_nd")).cast(DoubleType) /
+            col("exact_nd") <= 0.15).cast(IntegerType).as("within_bound"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT o_custkey) AS exact_nd,
+             |  CAST(1 AS INTEGER) AS within_bound
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "agg_approx_pctl_oracled" -> QuerySpec(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sk = li.groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_quantity, 0.5d, 1000)").as("approx_p50"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(sk), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            first(col("n")).as("n"),
+            sum(when(col("l_quantity") < col("approx_p50"), 1L).otherwise(0L))
+              .as("_rank_lt"),
+            sum(when(col("l_quantity") <= col("approx_p50"), 1L).otherwise(0L))
+              .as("_rank_le"))
+          .select(col("l_returnflag"), col("n"),
+            (col("_rank_lt").cast(DoubleType) <=
+              col("n").cast(DoubleType) * 0.5 +
+                (col("n").cast(DoubleType) / 1000.0 + 1.0) &&
+              col("_rank_le").cast(DoubleType) >=
+                col("n").cast(DoubleType) * 0.5 -
+                  (col("n").cast(DoubleType) / 1000.0 + 1.0))
+              .cast(IntegerType).as("within_bound"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(1 AS INTEGER) AS within_bound
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ------------------------------------------------- filters/projections
     // Null/empty partition-key guard (reference README.md:1306-1311).
@@ -13657,6 +13934,65 @@ object Catalog {
       None,
       allowBnlj = true),
 
+    // HASH-EXACT twin of layout_file_stats (r16, r15 verdict ask #5):
+    // the per-file min/max/count stats are plain integers DERIVED FROM
+    // THE STAGED BYTES, so once the z-ordered write exists both engines
+    // can compute them from the same files — DuckDB groups
+    // read_parquet(filename=true) by file exactly as fileStats groups
+    // by _metadata.file_path. File names still never appear (dropped,
+    // rows totally ordered by the stat columns); the parent's full
+    // verdict (stat sanity + the ≤0.75 coverage ceiling that proves
+    // the clustering worked) rides as bound_ok, stated by the oracle
+    // as the constant 1 — a drifting writer or a broken layout flips
+    // it and fails the driver hash gate. Staged-path oracle class:
+    // compares clean at sf0.01 (the driver's correctness dataset),
+    // like every /tmp/graft_stage-reading key.
+    "layout_file_stats_checked" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "layout_zorder_files") { p =>
+          Layout.writeZOrdered(
+            t(s, d, "lineitem").select(
+              pmod(col("l_orderkey"), lit(64)).as("ok"),
+              pmod(col("l_partkey"), lit(64)).as("pk"),
+              col("l_quantity")),
+            p, nFiles = 4, bits = 6, "ok", "pk")
+        }
+        val stats = Layout.fileStats(s.read.parquet(dir), Seq("ok", "pk"))
+          .drop("file_path", "file")
+          .withColumn("__area",
+            (col("ok_max") - col("ok_min") + 1) *
+              (col("pk_max") - col("pk_min") + 1))
+        val totals = stats.agg(
+          sum(col("__area")).as("__sum_area"),
+          count(lit(1)).as("__n_files"))
+        stats.crossJoin(broadcast(totals))
+          .withColumn("bound_ok",
+            (col("ok_min") <= col("ok_max") &&
+              col("pk_min") <= col("pk_max") &&
+              col("n_rows") > 0L && col("__n_files") > 0L &&
+              col("__sum_area").cast(DoubleType) /
+                (col("__n_files") * lit(64.0 * 64.0)) <= lit(0.75))
+              .cast(IntegerType))
+          .select(col("ok_min"), col("ok_max"), col("pk_min"),
+            col("pk_max"), col("n_rows"), col("bound_ok"))
+          .orderBy(col("ok_min"), col("pk_min"), col("n_rows"),
+            col("ok_max"), col("pk_max"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT filename,
+             |    min(ok) AS ok_min, max(ok) AS ok_max,
+             |    min(pk) AS pk_min, max(pk) AS pk_max,
+             |    count(*) AS n_rows
+             |  FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_zorder_files/*.parquet',
+             |    filename=true)
+             |  GROUP BY filename)
+             |SELECT ok_min, ok_max, pk_min, pk_max, n_rows,
+             |  CAST(1 AS INTEGER) AS bound_ok
+             |FROM fs
+             |ORDER BY ok_min, pk_min, n_rows, ok_max, pk_max""".stripMargin),
+      allowBnlj = true),
+
     // N-gram novelty (unique-content ratio): the fraction of a doc's
     // DISTINCT 3-grams appearing in NO other document — the quality
     // signal that separates original writing from boilerplate/mirrored
@@ -15333,6 +15669,49 @@ object Catalog {
       },
       None),
 
+    // HASH-EXACT twin of layout_range_cluster (the
+    // layout_file_stats_checked pattern): per-file shipdate bounds and
+    // row counts re-derived by DuckDB from the same staged files; the
+    // disjoint-leading-ranges verdict (each file's max ≤ the next
+    // file's min — the property range predicates prune on) rides as
+    // bound_ok = 1. Staged-path oracle class (sf0.01).
+    "layout_range_cluster_checked" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "layout_range_files") { p =>
+          Layout.writeRangeClustered(
+            t(s, d, "lineitem")
+              .select(col("l_shipdate"), col("l_orderkey"), col("l_quantity")),
+            p, nFiles = 4, "l_shipdate", "l_orderkey")
+        }
+        val w = Window.orderBy(col("l_shipdate_min"), col("n_rows"))
+        Layout.fileStats(s.read.parquet(dir), Seq("l_shipdate"))
+          .drop("file_path", "file")
+          .withColumn("__prev_max", lag(col("l_shipdate_max"), 1).over(w))
+          .withColumn("bound_ok",
+            (col("l_shipdate_min") <= col("l_shipdate_max") &&
+              col("n_rows") > 0L &&
+              (col("__prev_max").isNull ||
+                col("__prev_max") <= col("l_shipdate_min")))
+              .cast(IntegerType))
+          .select(col("l_shipdate_min"), col("l_shipdate_max"),
+            col("n_rows"), col("bound_ok"))
+          .orderBy(col("l_shipdate_min"), col("n_rows"),
+            col("l_shipdate_max"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT filename,
+             |    min(l_shipdate) AS l_shipdate_min,
+             |    max(l_shipdate) AS l_shipdate_max,
+             |    count(*) AS n_rows
+             |  FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_range_files/*.parquet',
+             |    filename=true)
+             |  GROUP BY filename)
+             |SELECT l_shipdate_min, l_shipdate_max, n_rows,
+             |  CAST(1 AS INTEGER) AS bound_ok
+             |FROM fs
+             |ORDER BY l_shipdate_min, n_rows, l_shipdate_max""".stripMargin)),
+
     // Compression-codec comparison over the SAME rows (the storage
     // lever: at 100 TB the parquet codec choice is tens of TB and the
     // scan-throughput/CPU trade): stage one lineitem projection under
@@ -15377,6 +15756,59 @@ object Catalog {
           .orderBy(col("codec"))
       },
       None,
+      allowBnlj = true),
+
+    // HASH-EXACT twin of layout_codec_stats: the "writer-specific"
+    // byte totals are still totals over the SAME staged bytes both
+    // engines can read — DuckDB's read_blob gives per-file
+    // octet_length (n_files, bytes) and read_parquet the row count, so
+    // the whole row is oracle-derivable, verdict included. Staged-path
+    // oracle class (sf0.01).
+    "layout_codec_stats_checked" -> QuerySpec(
+      (s, d) => {
+        val codecs = Seq("uncompressed", "snappy", "zstd", "gzip")
+        val perCodec = codecs.map { c =>
+          val dir = staged(d, s"layout_codec_$c") { p =>
+            t(s, d, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey"),
+                col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+              .write.option("compression", c).mode("overwrite").parquet(p)
+          }
+          val files = s.read.format("binaryFile").load(dir + "/*.parquet")
+            .agg(count(lit(1)).as("n_files"), sum(col("length")).as("bytes"))
+            .select(lit(c).as("codec"), col("n_files"), col("bytes"))
+          val rows = s.read.parquet(dir).agg(count(lit(1)).as("n_rows"))
+            .select(lit(c).as("codec"), col("n_rows"))
+          files.join(rows, Seq("codec"))
+        }.reduce(_ unionByName _)
+        val wAll = Window.orderBy(col("codec"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        perCodec
+          .withColumn("__base",
+            max(when(col("codec") === "uncompressed", col("bytes"))).over(wAll))
+          .withColumn("bound_ok",
+            (col("n_rows") === max(col("n_rows")).over(wAll) &&
+              col("n_rows") === min(col("n_rows")).over(wAll) &&
+              col("n_files") > 0L &&
+              (col("codec") === "uncompressed" ||
+                col("bytes") < col("__base"))).cast(IntegerType))
+          .select(col("codec"), col("n_files"), col("bytes"),
+            col("n_rows"), col("bound_ok"))
+          .orderBy(col("codec"))
+      },
+      Some(Seq("uncompressed", "snappy", "zstd", "gzip").map { c =>
+        s"""SELECT '$c' AS codec,
+           |  (SELECT count(*) FROM read_blob(
+           |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_codec_$c/*.parquet'))
+           |    AS n_files,
+           |  (SELECT CAST(sum(octet_length(content)) AS BIGINT) FROM read_blob(
+           |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_codec_$c/*.parquet'))
+           |    AS bytes,
+           |  (SELECT count(*) FROM read_parquet(
+           |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_codec_$c/*.parquet'))
+           |    AS n_rows,
+           |  CAST(1 AS INTEGER) AS bound_ok""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY codec")),
       allowBnlj = true),
 
     // Small-file compaction planning (Layout.compactionPlan): stage the
