@@ -145,6 +145,18 @@ object GraftFunctions {
       s"expected an integer literal, got $other")
   }
 
+  /** Double-valued sibling of [[litInt]] for smoothing-constant
+    * arguments (holt_fold): accepts double or integral literals. */
+  private def litDouble(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
   /** Long-valued twin of [[litInt]]: preserves the full 64-bit literal
     * (seed arguments are Long in the expression constructors — routing a
     * Long literal through litInt would silently truncate to Int and break
@@ -186,6 +198,13 @@ object GraftFunctions {
           exprs.lift(2).map(litLong).getOrElse(11L))),
     ("sorted_inter_size", classOf[SortedInterSize],
       (exprs: Seq[Expression]) => SortedInterSize(exprs(0), exprs(1))),
+    // alpha and beta are plan-compile-time constants (the minhash_sig
+    // foldable-literal contract)
+    ("holt_fold", classOf[HoltFold],
+      (exprs: Seq[Expression]) =>
+        HoltFold(exprs(0),
+          exprs.lift(1).map(litDouble).getOrElse(0.25),
+          exprs.lift(2).map(litDouble).getOrElse(0.125))),
     // generator (UDTF-shaped): rows stream out of eval lazily — see
     // NgramGenerate's scaladoc for the vs-posexplode(shingle_array)
     // memory contract

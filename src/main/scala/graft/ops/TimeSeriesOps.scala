@@ -119,12 +119,15 @@ object TimeSeriesOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(-(span - 1).toLong, Window.currentRow)
     val lst = collect_list(col(valueCol)).over(w)
-    val seed = array(get(lst, lit(0)), lit(0.0))
-    val folded = aggregate(slice(lst, 2, span - 1), seed, (acc, x) => {
-      val l = element_at(acc, 1); val b = element_at(acc, 2)
-      val nl = x * lit(alpha) + lit(1.0 - alpha) * (l + b)
-      array(nl, lit(beta) * (nl - l) + lit(1.0 - beta) * b)
-    })
+    // Native codegen fold (graft.expressions.HoltFold) — bit-identical
+    // to the previous interpreted aggregate() HOF chain by the
+    // ExpressionSpec parity pin (same IEEE op order), measured faster
+    // at the ts_backtest grain (BASELINE §40): the HOF allocated a
+    // boxed 2-element array per fold STEP per row; the expression keeps
+    // (l, b) in locals inside whole-stage codegen.
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val folded = call_function("holt_fold",
+      lst, lit(alpha), lit(beta))
     df.withColumn("_hw", folded)
       .withColumn("level", element_at(col("_hw"), 1))
       .withColumn("trend", element_at(col("_hw"), 2))

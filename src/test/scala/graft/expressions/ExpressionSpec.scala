@@ -52,7 +52,7 @@ class ExpressionSpec extends SparkSpec {
     assert(GraftFunctions.builders.map(_._1) ==
       Seq("cosine_sim", "dot_product", "minhash_sig", "minhash_shingle_sig",
         "simhash_sig", "shingle_array", "nfkc_normalize",
-        "trigram_bucket_hash", "sorted_inter_size",
+        "trigram_bucket_hash", "sorted_inter_size", "holt_fold",
         "ngram_generate", "bloom_filter_agg", "might_contain",
         "kll_sketch_agg", "kll_union_agg", "kll_quantile",
         "theta_sketch_agg", "theta_union_agg", "theta_intersect",
@@ -293,5 +293,39 @@ class ExpressionSpec extends SparkSpec {
       .select(call_function("trigram_bucket_hash", $"text",
         lit(512), lit(11L)).as("h"))
     assert(n.filter($"h".isNull).count() == 1)
+  }
+
+  test("holt_fold equals the interpreted aggregate() HOF chain bit-exactly") {
+    graft.expressions.GraftFunctions.register(spark)
+    // real value windows off the events table (the ts_backtest input
+    // shape) + edge lengths 1..4 with negative/zero/extreme values
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val wins = ev.select($"user_id", $"event_id", $"value")
+      .withColumn("lst",
+        collect_list($"value").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"event_id")
+            .rowsBetween(-19L, 0L)))
+      .select($"lst")
+      .union(Seq(Seq(3.5), Seq(0.0, -2.25), Seq(1e12, -1e12, 0.5),
+        Seq(7.0, 7.0, 7.0, 7.0)).toDF("lst"))
+    val alpha = 0.25; val beta = 0.125
+    val seed = array(get($"lst", lit(0)), lit(0.0))
+    val hof = aggregate(slice($"lst", 2, 19), seed, (acc, x) => {
+      val l = element_at(acc, 1); val b = element_at(acc, 2)
+      val nl = x * lit(alpha) + lit(1.0 - alpha) * (l + b)
+      array(nl, lit(beta) * (nl - l) + lit(1.0 - beta) * b)
+    })
+    val both = wins.select(
+      call_function("holt_fold", $"lst", lit(alpha), lit(beta)).as("native"),
+      hof.as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() == 0)
+    assert(both.count() > 100)
+    // NULL and empty inputs yield NULL
+    val n = Seq[Option[Seq[Double]]](None, Some(Seq.empty[Double]))
+      .toDF("lst")
+      .select(call_function("holt_fold", $"lst", lit(0.25), lit(0.125))
+        .as("h"))
+    assert(n.filter($"h".isNull).count() == 2)
   }
 }
