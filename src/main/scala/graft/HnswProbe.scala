@@ -37,6 +37,32 @@ object HnswProbe {
         graft.ops.SimilarityOps.quantize(col("embedding")).as("qvec"))
     val c = emb.select(col("vec_id").as("cid"),
       graft.ops.SimilarityOps.quantize(col("embedding")).as("cvec"))
+    // Auto-P mode (r16, verdict ask #2): `--auto <targetShardRows>` runs
+    // hnswTopKAuto and ASSERTS the per-shard row bound the operator's
+    // P ∝ N contract promises — run across the 1×/10×/30× legs this
+    // prints the flat-α evidence that fixed-P (measured α(100×) = 1.20,
+    // BASELINE §39) cannot give.
+    if (args.headOption.contains("--auto")) {
+      val target = args.lift(1).map(_.toInt).getOrElse(4096)
+      val n = c.count()
+      val p = graft.ops.SimilarityOps.autoShards(n, target)
+      val maxPerShard = c
+        .groupBy(pmod(col("cid"), lit(p.toLong)).as("_s"))
+        .agg(count(lit(1)).as("_r")).agg(max(col("_r")))
+        .collect()(0).getLong(0) // partition-tuple metadata: P rows
+      require(maxPerShard <= target,
+        s"auto-P contract violated: max per-shard $maxPerShard > target " +
+          s"$target (n=$n, P=$p) — shard key skew exceeds the ceil bound")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.SimilarityOps.hnswTopKAuto(q, c, k = 10,
+          targetShardRows = target, m = 8, efConstruction = 64,
+          efSearch = 48).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""HNSWPROBE {"mode":"auto","target":$target,"n":$n,"nShards":$p,"maxPerShard":$maxPerShard,"min":${times.min}%.3f,"all":[${times.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir"}""")
+      spark.stop(); return
+    }
     shards.foreach { p =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -30,10 +30,13 @@ def latest_correctness():
 
 
 def catalog_keys():
-    src = open(os.path.join(
-        REPO, "src/main/scala/graft/queries/Catalog.scala")).read()
+    # r16: the catalog is split into per-family Catalog*.scala files
+    # (CatalogAgg, CatalogText, ...); scan them all.
+    srcs = glob.glob(os.path.join(
+        REPO, "src/main/scala/graft/queries/Catalog*.scala"))
+    text = "".join(open(p).read() for p in sorted(srcs))
     return sorted(set(re.findall(r'"([A-Za-z0-9_]+)"\s*->\s*QuerySpec\(',
-                                 src)))
+                                 text)))
 
 
 def main():
