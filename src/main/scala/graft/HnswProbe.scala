@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object HnswProbe {
   def main(args: Array[String]): Unit = {
-    val shards = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(4, 8, 16, 32)
+    val autoMode = args.headOption.contains("--auto")
+    val shards =
+      if (autoMode) Seq.empty
+      else if (args.nonEmpty) args.toSeq.map(_.toInt)
+      else Seq(4, 8, 16, 32)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
@@ -42,7 +46,7 @@ object HnswProbe {
     // P ∝ N contract promises — run across the 1×/10×/30× legs this
     // prints the flat-α evidence that fixed-P (measured α(100×) = 1.20,
     // BASELINE §39) cannot give.
-    if (args.headOption.contains("--auto")) {
+    if (autoMode) {
       val target = args.lift(1).map(_.toInt).getOrElse(4096)
       val n = c.count()
       val p = graft.ops.SimilarityOps.autoShards(n, target)
