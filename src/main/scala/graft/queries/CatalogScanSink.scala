@@ -624,6 +624,36 @@ private[queries] object CatalogScanSink {
              |  '/tmp/graft_stage/_root_testdata_sf0.01/scan_binaryfile/*.csv')
              |ORDER BY digest""".stripMargin)),
 
+    // Avro container-file ROUND-TRIP without the spark-avro connector
+    // (absent from /opt/spark/jars; avro-core is present) — the r16
+    // closure of the "Avro: correctly not attempted" item, built on
+    // the multimodal discipline: writeAvroParts emits one container
+    // file per task via avro-core's DataFileWriter (the Spark
+    // file-sink layout contract), readAvro decodes them back through
+    // binaryFile + per-task DataFileReader into an explicit schema.
+    // The oracle never touches avro bytes (DuckDB has no reader):
+    // the ROUND-TRIP is the check — the read-back rows must equal the
+    // source projection exactly, the sink_csv_export pattern. A
+    // corrupted write, a dropped row, a type coercion, or a broken
+    // decode all fail the hash.
+    "scan_avro_roundtrip" -> QuerySpec(
+      (s, d) => {
+        val proj = t(s, d, "orders")
+          .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+            col("o_custkey").cast(LongType).as("o_custkey"),
+            col("o_orderstatus").cast(StringType).as("o_orderstatus"),
+            col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+        val dir = staged(d, "avro_orders") { p =>
+          graft.ops.AvroOps.writeAvroParts(
+            proj.repartition(4, col("o_orderkey")), p)
+        }
+        graft.ops.AvroOps.readAvro(s, dir, proj.schema)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
 
     // Range-clustered layout twin of layout_file_stats: stage a
     // repartitionByRange+sortWithinPartitions write, read the per-file
