@@ -329,6 +329,40 @@ class ExecutorLossSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no executor was removed — the kill never happened and this test proved nothing")
   }
 
+  test("avro decode task killed mid-flight: retried decode idempotent, sum exact") {
+    // the EIGHTH loss path (round 16): AvroOps.readAvro decodes whole
+    // container files inside a mapPartitions over the binaryFile scan;
+    // the downstream kill rides in the SAME fused stage, so the
+    // retried task re-reads the avro bytes and re-runs the decode —
+    // the contract is that decode is a pure function of the file
+    // bytes, so the post-loss aggregate is exact. Staging (the write)
+    // runs kill-free: it models the producer, not the operator under
+    // test.
+    val before = removed.get()
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_loss").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val n = 20000L
+    val rows = spark.createDataFrame(
+      spark.sparkContext.range(0L, n, numSlices = 4)
+        .map(i => org.apache.spark.sql.Row(i, i * 3)), schema)
+    graft.ops.AvroOps.writeAvroParts(rows, dir)
+    val decoded = graft.ops.AvroOps.readAvro(spark, dir, schema)
+    val got = decoded.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (shouldKill(pid, target = 0)) Runtime.getRuntime.halt(137)
+      it
+    }.map(r => r.getLong(0) + r.getLong(1)).fold(0L)(_ + _)
+    val expect = 4L * n * (n - 1) / 2 // Σ(i + 3i) over 0..n-1
+    assert(got == expect, s"post-loss avro sum: got $got, want $expect")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
+
   test("streaming aggregation recovers exact state store after an executor loss") {
     // the state-backed path: a stateful streaming agg's per-key state
     // lives ON the executors between micro-batches; killing one
