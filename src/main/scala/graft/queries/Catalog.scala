@@ -25,6 +25,7 @@ object Catalog {
     CatalogMisc.specs,
     CatalogMultimodal.specs,
     CatalogText.specs,
+    CatalogTextTok.specs,
     CatalogSample.specs,
     CatalogTs.specs)
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, LangIdOps, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
 
-/** Text family of the operator catalog (50 keys) —
+/** Text family of the operator catalog (36 keys) —
   * one slice of the r16 per-family split; entries are verbatim
   * from the former monolithic Catalog.scala, in original order.
   * Merged into the driver contract by [[Catalog.specs]]. */
@@ -16,6 +16,7 @@ private[queries] object CatalogText {
   import CatalogShared._
 
   val specs: Map[String, QuerySpec] = Map(
+
 
 
     // ----------------------------------------------------------------- text
@@ -26,6 +27,7 @@ private[queries] object CatalogText {
              |WHERE length(term) > 0
              |  AND term NOT IN ('the','a','an','and','or','of','to','in','is','it')
              |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin)),
+
 
 
     // Code-vs-prose router (TextOps.codeDetect): the stage that splits
@@ -83,6 +85,7 @@ private[queries] object CatalogText {
              |FROM r ORDER BY doc_id""".stripMargin)),
 
 
+
     "text_quality_score" -> QuerySpec(
       (s, d) => TextOps.qualityFeatures(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_stop"),
@@ -104,6 +107,7 @@ private[queries] object CatalogText {
              |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
              |        / length(text)) AS quality_score
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
 
 
     // Pairwise total-variation distance between per-source unigram
@@ -150,6 +154,7 @@ private[queries] object CatalogText {
              |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 2.0) AS tvd
              |FROM j GROUP BY ga, gb, na, nb ORDER BY ga, gb""".stripMargin),
       allowBnlj = true),
+
 
 
     // PMI collocations (Church & Hanks 1990): pointwise mutual
@@ -227,6 +232,7 @@ private[queries] object CatalogText {
              |CROSS JOIN nd
              |ORDER BY n_ab DESC, term_a, term_b""".stripMargin),
       allowBnlj = true),
+
 
 
     // Dunning log-likelihood-ratio collocations (Dunning 1993) over
@@ -346,6 +352,7 @@ private[queries] object CatalogText {
       allowBnlj = true),
 
 
+
     // Zipf-law fit of the token frequency head (TextOps.zipfSlope):
     // OLS slope of ln(freq) on ln(rank) over the top-200 terms — the
     // distribution-shape tripwire (natural ≈ −1; the synthetic
@@ -389,6 +396,7 @@ private[queries] object CatalogText {
              |FROM f""".stripMargin)),
 
 
+
     // Vocabulary-growth (Heaps-law) curve + type/token ratio
     // (TextOps.vocabGrowth): token count, distinct-term count and TTR at
     // 25/50/75/100% corpus prefixes — the lexical-diversity saturation
@@ -426,6 +434,7 @@ private[queries] object CatalogText {
       allowBnlj = true),
 
 
+
     "text_token_count" -> QuerySpec(
       (s, d) => t(s, d, "documents")
         .select(col("source"),
@@ -440,90 +449,6 @@ private[queries] object CatalogText {
              |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
-
-    // TRAINED subword (BPE) token counting: deterministic merges learned
-    // from the corpus word-frequency table (BpeOps.bpeFit, memoized per
-    // dataset like the IVF model — tokenizer training is the offline
-    // half), replayed as one broadcast word→pieces expression, corpus
-    // encoded by a join (no per-token UDF, no iteration at encode time).
-    // The contract stats ride in-query (per-doc subword counts bounded
-    // by [word count, char count], pieces concatenate back to their
-    // word, the 24 learned merges strictly compress) AND the whole key
-    // is ORACLED via the STAGED word→pieces encoder table (upgraded
-    // from rows-only in round 7, the text_pack_bins_bpe pattern):
-    // DuckDB independently recomputes tokenization, per-doc totals, the
-    // bound violations, the roundtrip check over the staged pieces
-    // arrays, and the compression flag. The merge REPLAY itself is
-    // additionally pinned by BpeSpec's hand-computed merges.
-    "text_token_count_bpe" -> QuerySpec(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = bpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
-        val pieces = BpeOps.wordPieces(docs, "text", merges)
-        staged(d, "bpe_pieces") { dir =>
-          pieces.select(col("word"), col("pieces"), col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
-        val chars = docs.select(col("doc_id"),
-          length(regexp_replace(lower(col("text")), "\\s+", ""))
-            .cast(LongType).as("n_chars"))
-        val roundtrip = pieces.agg(
-          sum(when(concat_ws("", col("pieces")) =!= col("word"), 1L)
-            .otherwise(0L)).as("n_roundtrip_bad"))
-        enc.join(chars, Seq("doc_id"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_words")).as("total_words"),
-            sum(col("n_bpe_tokens")).as("total_bpe"),
-            sum(col("n_chars")).as("total_chars"),
-            sum(when(col("n_bpe_tokens") < col("n_words") ||
-              col("n_bpe_tokens") > col("n_chars"), 1L).otherwise(0L))
-              .as("n_bound_violations"))
-          .crossJoin(broadcast(roundtrip))
-          .withColumn("ok_bounds",
-            (col("n_bound_violations") === 0).cast(IntegerType))
-          .withColumn("ok_roundtrip",
-            (col("n_roundtrip_bad") === 0).cast(IntegerType))
-          .withColumn("ok_compressed",
-            (col("total_bpe") < col("total_chars") &&
-              col("total_bpe") > col("total_words")).cast(IntegerType))
-      },
-      Some("""WITH pieces AS (
-             |  SELECT word, pieces, n_pieces FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
-             |toks AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-             |  FROM documents),
-             |enc AS (
-             |  SELECT t.doc_id, count(*) AS n_words,
-             |    SUM(COALESCE(p.n_pieces, length(t.word))) AS n_bpe_tokens
-             |  FROM toks t LEFT JOIN pieces p USING (word)
-             |  WHERE length(t.word) > 0 GROUP BY t.doc_id),
-             |chars AS (
-             |  SELECT doc_id,
-             |    length(regexp_replace(lower(text), '\s+', '', 'g')) AS n_chars
-             |  FROM documents),
-             |agg AS (
-             |  SELECT count(*) AS n_docs,
-             |    CAST(SUM(n_words) AS BIGINT) AS total_words,
-             |    CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe,
-             |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-             |    CAST(SUM(CASE WHEN n_bpe_tokens < n_words OR n_bpe_tokens > n_chars
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bound_violations
-             |  FROM enc JOIN chars USING (doc_id)),
-             |rt AS (
-             |  SELECT CAST(SUM(CASE WHEN array_to_string(pieces, '') <> word
-             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_bad
-             |  FROM pieces)
-             |SELECT n_docs, total_words, total_bpe, total_chars,
-             |  n_bound_violations, n_roundtrip_bad,
-             |  CAST(n_bound_violations = 0 AS INTEGER) AS ok_bounds,
-             |  CAST(n_roundtrip_bad = 0 AS INTEGER) AS ok_roundtrip,
-             |  CAST(total_bpe < total_chars AND total_bpe > total_words
-             |    AS INTEGER) AS ok_compressed
-             |FROM agg CROSS JOIN rt""".stripMargin),
-      allowBnlj = true),
 
 
     // Repetition ratio (most-frequent-bigram share) — grams projected
@@ -544,6 +469,7 @@ private[queries] object CatalogText {
              |ORDER BY doc_id""".stripMargin)),
 
 
+
     // Pre-hash normalization (NFKC → lower → whitespace collapse). The
     // corpus is ASCII so the oracle checks the lower/collapse/trim
     // plumbing; the Unicode semantics (composed≡decomposed, full-width,
@@ -562,6 +488,7 @@ private[queries] object CatalogText {
              |      || '   MIXED Case' || chr(9) || 'tail  ')),
              |    '\s+', ' ', 'g')) AS norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
 
 
     // PII-style scrub: mask emails + long digit runs (regexp_replace
@@ -586,6 +513,7 @@ private[queries] object CatalogText {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
 
+
     // md5 content fingerprint (engine-portable); the xxhash64 rolling-hash
     // variant is Spark-only and unit-tested.
     "text_fingerprint" -> QuerySpec(
@@ -593,6 +521,7 @@ private[queries] object CatalogText {
         .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
+
 
 
     // Stopword-profile language ID with fixed-priority argmax.
@@ -617,6 +546,7 @@ private[queries] object CatalogText {
              |       WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
              |       ELSE 'und' END AS pred_lang
              |FROM scores ORDER BY doc_id""".stripMargin)),
+
 
 
     // Language-ID confusion matrix: the heuristic classifier above
@@ -666,6 +596,7 @@ private[queries] object CatalogText {
              |  CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE) AS frac
              |FROM cells JOIN tot USING (actual)
              |ORDER BY actual, predicted""".stripMargin)),
+
 
 
     // Frozen-MODEL language ID roundtrip (round 15): the staged-artifact
@@ -843,6 +774,7 @@ private[queries] object CatalogText {
              |FROM per ORDER BY actual""".stripMargin)),
 
 
+
     // Model-based language classification — the supervised tier next to
     // the heuristic stopword scorer above: multinomial Naive Bayes fit
     // on the labeled corpus (ClassifyOps.nbFit), argmax-scored against
@@ -910,6 +842,7 @@ private[queries] object CatalogText {
              |FROM ranked r JOIN documents d USING (doc_id)
              |WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin),
       allowBnlj = true),
+
 
 
     // Classifier distillation of a rule-based quality filter — the
@@ -1026,6 +959,7 @@ private[queries] object CatalogText {
       allowBnlj = true),
 
 
+
     // NB MODEL ARTIFACT roundtrip (round 11, the bm25_model_roundtrip
     // pattern): fit a language classifier on the documents table's own
     // lang labels, PERSIST the model (exact-decimal log-likelihoods) as
@@ -1078,6 +1012,7 @@ private[queries] object CatalogText {
       allowBnlj = true),
 
 
+
     // Per-document top term by corpus rarity: score = tf × N/df — a
     // monotone transform of tf·idf (N/df is what ln compresses), kept as
     // an exact integer ratio so the hash is engine-exact (ln(x) can
@@ -1127,948 +1062,6 @@ private[queries] object CatalogText {
       allowBnlj = true),
 
 
-    // Sequence packing: documents → token-budget bins per source (the
-    // context-window binning step of a training pipeline). Exact integer
-    // window arithmetic ⇒ fully oracled.
-    "text_pack_bins" -> QuerySpec(
-      (s, d) => SampleOps.packSequences(
-        t(s, d, "documents"), "source", "doc_id", "n_chars", budget = 4096L)
-        .select(col("source"), col("doc_id"), col("n_chars"), col("bin"))
-        .orderBy(col("source"), col("doc_id")),
-      Some("""WITH c AS (
-             |  SELECT source, doc_id, n_chars,
-             |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-             |  FROM documents)
-             |SELECT source, doc_id, n_chars,
-             |  CAST((cum - n_chars) // 4096 AS BIGINT) AS bin
-             |FROM c ORDER BY source, doc_id""".stripMargin)),
-
-
-    // Sequence packing under TRAINED subword budgets: same greedy offset
-    // binning as text_pack_bins, but the cost column is bpeEncode's
-    // n_bpe_tokens — whitespace counts under-budget real training
-    // sequences. The merge replay itself is not SQL-expressible, so the
-    // word→n_pieces encoder table (deterministic: memoized merges with
-    // bit-deterministic tie-breaks) is STAGED for the oracle, which
-    // independently recomputes tokenization, per-doc subword totals
-    // (incl. the char-count OOV fallback) and bin assignment from it —
-    // the scan_binaryfile staged-artifact precedent. The replay itself
-    // is contract-checked in text_token_count_bpe.
-    "text_pack_bins_bpe" -> QuerySpec(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = bpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
-        val pieces = BpeOps.wordPieces(docs, "text", merges)
-        staged(d, "bpe_pieces") { dir =>
-          pieces.select(col("word"), col("pieces"), col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
-        val withSrc = docs.select(col("doc_id"), col("source"))
-          .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
-        SampleOps.packSequences(withSrc, "source", "doc_id", "n_bpe_tokens",
-          budget = 2048L)
-          .select(col("source"), col("doc_id"), col("n_bpe_tokens"), col("bin"))
-          .orderBy(col("source"), col("doc_id"))
-      },
-      Some("""WITH pieces AS (
-             |  SELECT word, n_pieces FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
-             |toks AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-             |  FROM documents),
-             |enc AS (
-             |  SELECT t.doc_id,
-             |    SUM(COALESCE(p.n_pieces, length(t.word))) AS n_bpe_tokens
-             |  FROM toks t LEFT JOIN pieces p USING (word)
-             |  WHERE length(t.word) > 0 GROUP BY t.doc_id),
-             |j AS (
-             |  SELECT d.source, d.doc_id, e.n_bpe_tokens
-             |  FROM documents d JOIN enc e USING (doc_id)),
-             |c AS (
-             |  SELECT source, doc_id, n_bpe_tokens,
-             |    SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-             |  FROM j)
-             |SELECT source, doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
-             |  CAST((cum - n_bpe_tokens) // 2048 AS BIGINT) AS bin
-             |FROM c ORDER BY source, doc_id""".stripMargin)),
-
-
-    // Tokenizer-artifact round trip: the trained merge list persists as
-    // a standard merges.txt (header + one 'left right' line per rank —
-    // the interchange format other BPE stacks read) and reloads to the
-    // identical model (require'd in-key, so a load bug breaks the key,
-    // not just the hash). DuckDB independently PARSES the written
-    // artifact — a hash match proves the file is well-formed and
-    // foreign-readable, the sink_jsonl_export grain.
-    "text_bpe_model_roundtrip" -> QuerySpec(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = bpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
-        val dir = staged(d, "bpe_merges_txt") { p =>
-          BpeOps.saveModel(s, merges, p + "/merges.txt")
-        }
-        val reloaded = BpeOps.loadModel(s, dir + "/merges.txt")
-        require(reloaded == merges,
-          "merges.txt round trip must reproduce the trained model exactly")
-        import s.implicits._
-        reloaded.zipWithIndex
-          .map { case ((a, b), i) => (i + 1L, a, b) }
-          .toDF("rank", "left_sym", "right_sym")
-          .orderBy(col("rank"))
-      },
-      Some("""SELECT row_number() OVER () AS rank, left_sym, right_sym
-             |FROM read_csv(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/bpe_merges_txt/merges.txt',
-             |  sep=' ', header=false, skip=1, parallel=false,
-             |  columns={'left_sym':'VARCHAR','right_sym':'VARCHAR'})
-             |ORDER BY rank""".stripMargin)),
-
-
-    // BYTE-LEVEL BPE (the production tokenizer class — GPT-2/RoBERTa/
-    // Llama train over raw UTF-8 bytes through the public
-    // bytes_to_unicode alphabet, so NO input is ever OOV): train over
-    // the regex-pre-tokenized chunk stream (leading space attaches to
-    // the word — the space-aware vocabulary property), special token
-    // <|endoftext|> stripped before chunking and never split/voted;
-    // encode = distinct-chunk table join (BpeOps.byteWordPieces), the
-    // wordPieces scale contract. Deterministic non-ASCII (" café №42")
-    // is appended so the byte mapping does real multi-byte work. The
-    // STAGED chunk→(mapped, pieces) encoder table lets DuckDB
-    // independently re-chunk the corpus with the SAME regex (the
-    // pattern is lookahead-free precisely so RE2 can run it), re-join,
-    // and re-derive every total and check: per-source chunk/byte/piece
-    // totals, special-token counts, and the three invariants — pieces
-    // concatenate to the mapped chunk, |mapped| (symbols) equals
-    // octet_length(chunk) (the mapping is per-byte), and the 32 merges
-    // strictly compress bytes→pieces without beating 1 piece/chunk.
-    // UNIGRAM-LM TOKENIZER (round 13, UnigramLmOps — Kudo 2018, the
-    // SentencePiece model family): the third production tokenizer tier
-    // beside the word/byte BPE merge lists. Model = piece → logProb
-    // table (EM-trained, quantized to exact micro-log-units); encode =
-    // Viterbi best segmentation as EXACT INTEGER DP over the
-    // distinct-word frame, corpus joins the word table (the wordPieces
-    // scale contract). Cross-engine verification goes BEYOND trusting
-    // the staged tables: DuckDB independently (a) re-checks the cover
-    // invariant, (b) re-derives every word's score from the staged
-    // VOCAB (unk fallback included) and counts mismatches, and
-    // (c) re-enumerates ALL segmentations of every word ≤ 8 chars with
-    // a recursive CTE over a position/length edge table and counts any
-    // word where enumeration beats the claimed Viterbi score — the
-    // optimality claim is REFUTABLE by the oracle, not assumed. Spark
-    // computes the same three counters its own way (brute-force UDF on
-    // the short-word frame), so a Viterbi bug breaks the hash.
-    "text_unigram_tok_encode" -> QuerySpec(
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val vocabSeq = unigramLmModels.computeIfAbsent(d,
-          _ => UnigramLmOps.unigramFit(docs, "text", vocabSize = 120,
-            maxPieceLen = 5, minCount = 3))
-        val m = UnigramLmOps.model(vocabSeq)
-        staged(d, "unigram_vocab") { dir =>
-          vocabSeq.map { case (pc, lp) =>
-            (pc, math.round(lp / UnigramLmOps.LogQuantum)) }
-            .toDF("piece", "lp_micro")
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val pieces = UnigramLmOps.unigramWordPieces(docs, "text", m)
-          .localCheckpoint() // model-sized; consumed by join + 3 checks
-        staged(d, "unigram_pieces") { dir =>
-          pieces.coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val toks = docs.select(col("source"),
-            explode(TextOps.tokenize(col("text"))).as("word"))
-          .filter(length(col("word")) > 0)
-        val agg = toks
-          .join(pieces.select(col("word"), col("n_pieces"),
-            col("score_micro")), Seq("word"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("n_pieces")).as("total_pieces"),
-            sum(col("score_micro")).as("total_score_micro"))
-        // (a) cover invariant over the staged word table
-        val chkCover = pieces.agg(
-          sum(when(concat_ws("", col("pieces")) =!= col("word"), 1L)
-            .otherwise(0L)).as("n_cover_bad"))
-        // (b) score re-derivation from the VOCAB (unk fallback for
-        // absent single chars; a multi-char piece missing from the
-        // vocab is itself a defect)
-        val vocabDf = vocabSeq.map { case (pc, lp) =>
-          (pc, math.round(lp / UnigramLmOps.LogQuantum)) }
-          .toDF("_piece", "_lp")
-        val rescored = pieces
-          .select(col("word"), col("score_micro"),
-            explode(col("pieces")).as("_piece"))
-          .join(broadcast(vocabDf), Seq("_piece"), "left")
-          .withColumn("_mic", coalesce(col("_lp"),
-            when(length(col("_piece")) === 1, lit(m.unkMicro))))
-          .groupBy(col("word"), col("score_micro"))
-          .agg(sum(col("_mic")).as("_re"),
-            sum(when(col("_mic").isNull, 1L).otherwise(0L)).as("_miss"))
-        val chkScore = rescored.agg(
-          sum(when(col("_miss") > 0 || col("_re") =!= col("score_micro"),
-            1L).otherwise(0L)).as("n_score_bad"))
-        // (c) optimality on every short word, by exhaustive enumeration
-        val brute = udf((w: String) => UnigramLmOps.bruteForceBest(w, m))
-        val chkOpt = pieces.filter(length(col("word")) <= 8)
-          .agg(sum(when(brute(col("word")) =!= col("score_micro"), 1L)
-            .otherwise(0L)).as("n_viterbi_bad"))
-        agg
-          .withColumn("fertility",
-            col("total_pieces").cast(DoubleType) /
-              col("n_words").cast(DoubleType))
-          .crossJoin(broadcast(chkCover))
-          .crossJoin(broadcast(chkScore))
-          .crossJoin(broadcast(chkOpt))
-          .orderBy(col("source"))
-      },
-      Some("""WITH RECURSIVE
-             |vocab AS (SELECT piece, lp_micro FROM read_parquet(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/unigram_vocab/*.parquet')),
-             |enc AS (SELECT word, pieces, n_pieces, score_micro FROM read_parquet(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/unigram_pieces/*.parquet')),
-             |toks0 AS (
-             |  SELECT source,
-             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-             |  FROM documents),
-             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0),
-             |agg AS (
-             |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
-             |    CAST(SUM(e.n_pieces) AS BIGINT) AS total_pieces,
-             |    CAST(SUM(e.score_micro) AS BIGINT) AS total_score_micro
-             |  FROM tk t JOIN enc e USING (word) GROUP BY 1),
-             |cover AS (
-             |  SELECT CAST(SUM(CASE WHEN array_to_string(pieces, '') <> word
-             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cover_bad FROM enc),
-             |pl AS (SELECT word, score_micro, unnest(pieces) AS piece FROM enc),
-             |ps AS (
-             |  SELECT pl.word, pl.score_micro,
-             |    COALESCE(v.lp_micro, CASE WHEN length(pl.piece) = 1
-             |      THEN -20000000 END) AS mic
-             |  FROM pl LEFT JOIN vocab v ON v.piece = pl.piece),
-             |rs AS (
-             |  SELECT word, score_micro, SUM(mic) AS re,
-             |    CAST(SUM(CASE WHEN mic IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             |      AS miss
-             |  FROM ps GROUP BY 1, 2),
-             |score AS (
-             |  SELECT CAST(SUM(CASE WHEN miss > 0 OR re <> score_micro
-             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_score_bad FROM rs),
-             |short AS (SELECT word, score_micro FROM enc
-             |          WHERE length(word) <= 8),
-             |pos AS (
-             |  SELECT word, CAST(unnest(range(length(word))) AS INTEGER) AS i
-             |  FROM short),
-             |edges AS (
-             |  SELECT p.word, p.i, CAST(l.len AS INTEGER) AS len,
-             |    COALESCE(v.lp_micro, CASE WHEN l.len = 1
-             |      THEN -20000000 END) AS mic
-             |  FROM pos p
-             |  CROSS JOIN (SELECT unnest(range(1, 6)) AS len) l
-             |  LEFT JOIN vocab v
-             |    ON v.piece = substr(p.word, p.i + 1, CAST(l.len AS INTEGER))
-             |  WHERE p.i + l.len <= length(p.word)),
-             |ed AS (SELECT word, i, len, mic FROM edges WHERE mic IS NOT NULL),
-             |seg AS (
-             |  SELECT word, CAST(0 AS INTEGER) AS pos,
-             |    CAST(0 AS BIGINT) AS sc FROM short
-             |  UNION ALL
-             |  SELECT s.word, s.pos + e.len, s.sc + e.mic
-             |  FROM seg s JOIN ed e ON e.word = s.word AND e.i = s.pos),
-             |best AS (
-             |  SELECT word, max(sc) AS best_sc FROM seg
-             |  WHERE pos = length(word) GROUP BY 1),
-             |opt AS (
-             |  SELECT CAST(SUM(CASE WHEN b.best_sc <> sh.score_micro
-             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_viterbi_bad
-             |  FROM best b JOIN short sh USING (word))
-             |SELECT a.source, a.n_words, a.total_pieces, a.total_score_micro,
-             |  CAST(a.total_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE)
-             |    AS fertility,
-             |  n_cover_bad, n_score_bad, n_viterbi_bad
-             |FROM agg a CROSS JOIN cover CROSS JOIN score CROSS JOIN opt
-             |ORDER BY a.source""".stripMargin),
-      allowBnlj = true),
-
-
-    // TOKENIZER HEAD-TO-HEAD (round 13): the eval a tokenizer team
-    // actually runs before picking a tier — word-BPE (24 merges) vs
-    // unigram-LM (120 pieces) on the SAME tokenize() word grain,
-    // occurrence-weighted: per-source fertility (pieces/word) and the
-    // per-word win counts. Both models are the catalog's own cached
-    // fits; both staged word tables are (re)staged here so key
-    // execution order never matters; DuckDB re-derives every number by
-    // joining the two staged tables against its own re-tokenization of
-    // the corpus. (The byte tier chunked by the GPT-2 regex sits on a
-    // different grain — compared at its own keys, not force-joined.)
-    "text_tokenizer_compare" -> QuerySpec(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = bpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
-        val bpe = BpeOps.wordPieces(docs, "text", merges)
-        staged(d, "bpe_pieces") { dir =>
-          bpe.select(col("word"), col("pieces"), col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val vocabSeq = unigramLmModels.computeIfAbsent(d,
-          _ => UnigramLmOps.unigramFit(docs, "text", vocabSize = 120,
-            maxPieceLen = 5, minCount = 3))
-        val uni = UnigramLmOps.unigramWordPieces(
-          docs, "text", UnigramLmOps.model(vocabSeq))
-        staged(d, "unigram_pieces") { dir =>
-          uni.coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        docs.select(col("source"),
-            explode(TextOps.tokenize(col("text"))).as("word"))
-          .filter(length(col("word")) > 0)
-          .join(bpe.select(col("word"),
-            col("n_pieces").cast(LongType).as("_nb")), Seq("word"))
-          .join(uni.select(col("word"),
-            col("n_pieces").as("_nu")), Seq("word"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("_nb")).as("bpe_pieces"),
-            sum(col("_nu")).as("uni_pieces"),
-            sum(when(col("_nu") < col("_nb"), 1L).otherwise(0L))
-              .as("n_uni_shorter"),
-            sum(when(col("_nb") < col("_nu"), 1L).otherwise(0L))
-              .as("n_bpe_shorter"))
-          .withColumn("fert_bpe", col("bpe_pieces").cast(DoubleType) /
-            col("n_words").cast(DoubleType))
-          .withColumn("fert_uni", col("uni_pieces").cast(DoubleType) /
-            col("n_words").cast(DoubleType))
-          .orderBy(col("source"))
-      },
-      Some("""WITH b AS (
-             |  SELECT word, n_pieces AS nb FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
-             |u AS (
-             |  SELECT word, n_pieces AS nu FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/unigram_pieces/*.parquet')),
-             |toks0 AS (
-             |  SELECT source,
-             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-             |  FROM documents),
-             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0)
-             |SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
-             |  CAST(SUM(b.nb) AS BIGINT) AS bpe_pieces,
-             |  CAST(SUM(u.nu) AS BIGINT) AS uni_pieces,
-             |  CAST(SUM(CASE WHEN u.nu < b.nb THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_uni_shorter,
-             |  CAST(SUM(CASE WHEN b.nb < u.nu THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_bpe_shorter,
-             |  CAST(SUM(b.nb) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-             |    AS fert_bpe,
-             |  CAST(SUM(u.nu) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-             |    AS fert_uni
-             |FROM tk t JOIN b USING (word) JOIN u USING (word)
-             |GROUP BY 1 ORDER BY t.source""".stripMargin)),
-
-
-    // Unigram-LM MODEL ARTIFACT roundtrip (the text_nb_model_roundtrip
-    // pattern for the third tokenizer tier): the staged (piece,
-    // lp_micro) parquet IS the model interchange; this key encodes the
-    // corpus through the RELOADED artifact (UnigramLmOps.loadModel —
-    // driver reads the vocab-sized table once, zero fit jobs in the
-    // query plan) and must reproduce the per-source totals the DuckDB
-    // oracle re-derives from the same staged tables.
-    "text_unigram_model_roundtrip" -> QuerySpec(
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val vocabSeq = unigramLmModels.computeIfAbsent(d,
-          _ => UnigramLmOps.unigramFit(docs, "text", vocabSize = 120,
-            maxPieceLen = 5, minCount = 3))
-        val vocabDir = staged(d, "unigram_vocab") { dir =>
-          vocabSeq.map { case (pc, lp) =>
-            (pc, math.round(lp / UnigramLmOps.LogQuantum)) }
-            .toDF("piece", "lp_micro")
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val m = UnigramLmOps.loadModel(s, vocabDir)
-        val pieces = UnigramLmOps.unigramWordPieces(docs, "text", m)
-        // stage the word table here too — key execution order must not
-        // matter, and the reloaded model reproduces the identical
-        // micro-quantized scores, so whichever key stages first wins
-        staged(d, "unigram_pieces") { dir =>
-          pieces.coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        docs.select(col("source"),
-            explode(TextOps.tokenize(col("text"))).as("word"))
-          .filter(length(col("word")) > 0)
-          .join(pieces.select(col("word"), col("n_pieces"),
-            col("score_micro")), Seq("word"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("n_pieces")).as("total_pieces"),
-            sum(col("score_micro")).as("total_score_micro"))
-          .withColumn("fertility",
-            col("total_pieces").cast(DoubleType) /
-              col("n_words").cast(DoubleType))
-          .orderBy(col("source"))
-      },
-      Some("""WITH enc AS (
-             |  SELECT word, n_pieces, score_micro FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/unigram_pieces/*.parquet')),
-             |toks0 AS (
-             |  SELECT source,
-             |    unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-             |  FROM documents),
-             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0)
-             |SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
-             |  CAST(SUM(e.n_pieces) AS BIGINT) AS total_pieces,
-             |  CAST(SUM(e.score_micro) AS BIGINT) AS total_score_micro,
-             |  CAST(SUM(e.n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-             |    AS fertility
-             |FROM tk t JOIN enc e USING (word)
-             |GROUP BY 1 ORDER BY t.source""".stripMargin)),
-
-
-    // WORDPIECE TOKENIZER (round 14, WordPieceOps — the BERT-family
-    // greedy longest-match-first tier; vocab.txt interchange format),
-    // completing the catalog's FOUR production tokenizer families
-    // (word-BPE, byte-BPE, unigram-LM, WordPiece). Verification keeps
-    // the unigram key's refutation discipline — greediness is checked,
-    // never assumed, by two INDEPENDENT mechanisms that must both land
-    // on zero for the hash to match: (a) Spark re-checks IN-PLAN (no
-    // UDF) that every emitted piece is the longest vocab match at its
-    // offset (WordPieceOps.longestMatchViolations: posexplode + window
-    // offset + longer-candidate explode + semi join); (b) DuckDB
-    // re-walks the greedy automaton per word from the STAGED VOCAB —
-    // a best-edge table (argmax match length per position) driving a
-    // recursive CTE, words whose walk strands short of the end being
-    // [UNK] by the BERT convention — and counts words whose
-    // (n_pieces, is_unk) disagree with the staged encode. Cover and
-    // vocabulary-membership invariants are re-derived on both sides
-    // too (continuation pieces always carry the ## prefix, so the
-    // strip is positional: head verbatim, tail substr from 3).
-    "text_wordpiece_encode" -> QuerySpec(
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        // vocab budget DELIBERATELY short of full-word merges (the
-        // corpus vocabulary is small, and an unbounded budget merges
-        // every word whole — fertility 1.0 proves nothing about the
-        // greedy walk); serve-time input gets a deterministic word
-        // with a char the corpus lacks ('§'), so the [UNK] convention
-        // (whole word, one symbol) is exercised cross-engine, not
-        // just unit-tested. The model fits on the CLEAN corpus — the
-        // OOV is serve-time-only, as in production.
-        val vocab = wordPieceModels.computeIfAbsent(d,
-          _ => WordPieceOps.wordPieceFit(docs, "text", vocabSize = 70,
-            minCount = 3))
-        val m = WordPieceOps.Model(vocab)
-        val docsX = docs.withColumn("text",
-          concat(col("text"), lit(" qu§rz")))
-        staged(d, "wp_vocab") { dir =>
-          vocab.zipWithIndex.map { case (p, i) => (i.toLong, p) }
-            .toDF("id", "piece")
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val pieces = WordPieceOps.wordPieceTokens(docsX, "text", m)
-          .localCheckpoint() // model-sized; consumed by join + 3 checks
-        staged(d, "wp_pieces") { dir =>
-          pieces.coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val toks = docsX.select(col("source"),
-            explode(TextOps.tokenize(col("text"))).as("word"))
-          .filter(length(col("word")) > 0)
-        val agg = toks
-          .join(pieces.select(col("word"), col("n_pieces"), col("is_unk")),
-            Seq("word"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("n_pieces")).as("total_pieces"),
-            sum(col("is_unk").cast(LongType)).as("n_unk_words"))
-        // (a) cover invariant: head piece verbatim + ##-stripped tail
-        val rebuilt = concat(element_at(col("pieces"), 1),
-          concat_ws("", transform(slice(col("pieces"), lit(2),
-            greatest(size(col("pieces")) - 1, lit(0))),
-            p => substring(p, 3, Int.MaxValue))))
-        val chkCover = pieces.agg(
-          sum(when(col("is_unk") === 0 && rebuilt =!= col("word"), 1L)
-            .otherwise(0L)).as("n_cover_bad"))
-        // (b) vocabulary membership of every emitted piece ([UNK] incl)
-        val vocabDf = vocab.toDF("piece")
-        val chkVocab = pieces
-          .select(explode(col("pieces")).as("piece"))
-          .join(broadcast(vocabDf), Seq("piece"), "left_anti")
-          .agg(count(lit(1)).as("n_vocab_bad"))
-        // (c) greediness, refuted in-plan (see WordPieceOps scaladoc)
-        val chkGreedy = WordPieceOps.longestMatchViolations(
-            pieces, vocabDf, m.maxPieceLen)
-          .withColumnRenamed("n_greedy_viol", "n_greedy_bad")
-        agg
-          .withColumn("fertility",
-            col("total_pieces").cast(DoubleType) /
-              col("n_words").cast(DoubleType))
-          .crossJoin(broadcast(chkCover))
-          .crossJoin(broadcast(chkVocab))
-          .crossJoin(broadcast(chkGreedy))
-          .orderBy(col("source"))
-      },
-      Some("""WITH RECURSIVE
-             |vocab AS (SELECT piece FROM read_parquet(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/wp_vocab/*.parquet')
-             |  WHERE piece <> '[UNK]'),
-             |enc AS (SELECT word, pieces, n_pieces, is_unk FROM read_parquet(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/wp_pieces/*.parquet')),
-             |toks0 AS (
-             |  SELECT source,
-             |    unnest(regexp_split_to_array(lower(text || ' qu§rz'), '\s+'))
-             |      AS word
-             |  FROM documents),
-             |tk AS (SELECT source, word FROM toks0 WHERE length(word) > 0),
-             |agg AS (
-             |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_words,
-             |    CAST(SUM(e.n_pieces) AS BIGINT) AS total_pieces,
-             |    CAST(SUM(e.is_unk) AS BIGINT) AS n_unk_words
-             |  FROM tk t JOIN enc e USING (word) GROUP BY 1),
-             |cover AS (
-             |  SELECT CAST(SUM(CASE WHEN is_unk = 0 AND
-             |      pieces[1] || array_to_string(
-             |        list_transform(pieces[2:], p -> substr(p, 3)), '')
-             |      <> word THEN 1 ELSE 0 END) AS BIGINT) AS n_cover_bad
-             |  FROM enc),
-             |pl AS (SELECT unnest(pieces) AS piece FROM enc),
-             |vb AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n_vocab_bad FROM pl
-             |  WHERE piece <> '[UNK]'
-             |    AND piece NOT IN (SELECT piece FROM vocab)),
-             |ml AS (SELECT MAX(length(CASE WHEN piece LIKE '##%'
-             |    THEN substr(piece, 3) ELSE piece END)) AS ml FROM vocab),
-             |w AS (SELECT DISTINCT word FROM enc),
-             |pos AS (
-             |  SELECT word, CAST(unnest(range(length(word))) AS INTEGER) AS i
-             |  FROM w),
-             |cand AS (
-             |  SELECT p.word, p.i, CAST(l.len AS INTEGER) AS len
-             |  FROM pos p
-             |  CROSS JOIN (SELECT unnest(range(1, (SELECT ml FROM ml) + 1))
-             |              AS len) l
-             |  JOIN vocab v ON v.piece =
-             |    (CASE WHEN p.i = 0 THEN '' ELSE '##' END) ||
-             |    substr(p.word, p.i + 1, CAST(l.len AS INTEGER))
-             |  WHERE p.i + l.len <= length(p.word)),
-             |best AS (SELECT word, i, MAX(len) AS len FROM cand GROUP BY 1, 2),
-             |walk AS (
-             |  SELECT word, CAST(0 AS INTEGER) AS pos,
-             |    CAST(0 AS BIGINT) AS np FROM w
-             |  UNION ALL
-             |  SELECT wk.word, wk.pos + b.len, wk.np + 1
-             |  FROM walk wk JOIN best b ON b.word = wk.word AND b.i = wk.pos),
-             |walked AS (
-             |  SELECT word, MAX(CASE WHEN pos = length(word) THEN np END)
-             |    AS np_done
-             |  FROM walk GROUP BY 1),
-             |greedy AS (
-             |  SELECT word, COALESCE(np_done, 1) AS g_n,
-             |    CASE WHEN np_done IS NULL THEN 1 ELSE 0 END AS g_unk
-             |  FROM walked),
-             |gbad AS (
-             |  SELECT CAST(SUM(CASE WHEN e.n_pieces <> g.g_n
-             |      OR e.is_unk <> g.g_unk THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_greedy_bad
-             |  FROM enc e JOIN greedy g USING (word))
-             |SELECT a.source, a.n_words, a.total_pieces, a.n_unk_words,
-             |  CAST(a.total_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE)
-             |    AS fertility,
-             |  n_cover_bad, n_vocab_bad, n_greedy_bad
-             |FROM agg a CROSS JOIN cover CROSS JOIN vb CROSS JOIN gbad
-             |ORDER BY a.source""".stripMargin),
-      allowBnlj = true),
-
-
-    // WordPiece MODEL ARTIFACT roundtrip (the text_bpe_model_roundtrip
-    // pattern for the fourth tokenizer tier): the model persists as a
-    // standard vocab.txt (one piece per line, line number − 1 = id —
-    // the format every BERT checkpoint ships), reloads to the
-    // IDENTICAL ordered list (require'd in-key), and DuckDB
-    // independently parses the written artifact byte-for-byte
-    // (read_text + split on newline — no CSV dialect in the way, so
-    // punctuation pieces can't be mangled by quote handling).
-    "text_wordpiece_model_roundtrip" -> QuerySpec(
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val vocab = wordPieceModels.computeIfAbsent(d,
-          _ => WordPieceOps.wordPieceFit(docs, "text", vocabSize = 70,
-            minCount = 3))
-        val dir = staged(d, "wp_vocab_txt") { p =>
-          WordPieceOps.saveModel(s, vocab, p + "/vocab.txt")
-        }
-        val reloaded = WordPieceOps.loadModel(s, dir + "/vocab.txt")
-        require(reloaded == vocab,
-          "vocab.txt round trip must reproduce the trained vocabulary exactly")
-        reloaded.zipWithIndex.map { case (p, i) => (i.toLong, p) }
-          .toDF("id", "piece")
-          .orderBy(col("id"))
-      },
-      Some("""WITH f AS (
-             |  SELECT string_split(rtrim(content, chr(10)), chr(10)) AS parts
-             |  FROM read_text(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/wp_vocab_txt/vocab.txt'))
-             |SELECT CAST(t.i - 1 AS BIGINT) AS id,
-             |  parts[CAST(t.i AS INTEGER)] AS piece
-             |FROM f, unnest(range(1, len(parts) + 1)) AS t(i)
-             |ORDER BY id""".stripMargin)),
-
-
-    "text_bpe_byte_encode" -> QuerySpec(
-      (s, d) => {
-        val special = "<|endoftext|>"
-        val docs = t(s, d, "documents").select(
-          col("doc_id"), col("source"),
-          concat(col("text"), lit(" café №42"), lit(special)).as("text"))
-        val merges = byteBpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.byteBpeFit(docs, "text", numMerges = 32, minCount = 5,
-            specialTokens = Seq(special)))
-        val pieces = BpeOps.byteWordPieces(docs, "text", merges, Seq(special))
-        staged(d, "byte_bpe_pieces") { dir =>
-          pieces.select(col("chunk"), col("mapped"), col("pieces"),
-              col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val toks = docs.select(col("source"),
-            explode(BpeOps.byteBpeChunks(
-              BpeOps.stripSpecials(col("text"), Seq(special)))).as("chunk"))
-          .filter(length(col("chunk")) > 0 && col("chunk").rlike("\\S"))
-        val enc = toks
-          .join(pieces.select(col("chunk"), col("n_pieces")), Seq("chunk"))
-        val spec = docs.select(col("source"),
-            ((length(col("text")) -
-              length(replace(col("text"), lit(special), lit("")))) /
-              lit(special.length)).cast(LongType).as("n_spec"))
-          .groupBy(col("source")).agg(sum(col("n_spec")).as("n_specials"))
-        val chk = pieces.agg(
-          sum(when(concat_ws("", col("pieces")) =!= col("mapped"), 1L)
-            .otherwise(0L)).as("n_rt_bad"),
-          sum(when(length(col("mapped")) =!= octet_length(col("chunk")), 1L)
-            .otherwise(0L)).as("n_map_bad"))
-        enc.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(octet_length(col("chunk")).cast(LongType)).as("total_bytes"),
-            sum(col("n_pieces").cast(LongType)).as("total_pieces"))
-          .join(spec, Seq("source"))
-          .crossJoin(broadcast(chk))
-          .withColumn("ok_roundtrip",
-            (col("n_rt_bad") === 0).cast(IntegerType))
-          .withColumn("ok_bytemap",
-            (col("n_map_bad") === 0).cast(IntegerType))
-          .withColumn("ok_compressed",
-            (col("total_pieces") < col("total_bytes") &&
-              col("total_pieces") >= col("n_chunks")).cast(IntegerType))
-          .orderBy(col("source"))
-      },
-      Some("""WITH docs AS (
-             |  SELECT doc_id, source,
-             |    text || ' café №42' || '<|endoftext|>' AS text
-             |  FROM documents),
-             |stripped AS (
-             |  SELECT source, replace(text, '<|endoftext|>', ' ') AS ctext,
-             |    (length(text) - length(replace(text, '<|endoftext|>', '')))
-             |      // length('<|endoftext|>') AS n_spec
-             |  FROM docs),
-             |p AS (SELECT chunk, mapped, pieces, n_pieces FROM read_parquet(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_pieces/*.parquet')),
-             |toks AS (
-             |  SELECT source, unnest(regexp_extract_all(ctext,
-             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\t\n\x0B\f\r \p{L}\p{N}]+|[\t\n\x0B\f\r ]+'))
-             |    AS chunk
-             |  FROM stripped),
-             |tk AS (SELECT source, chunk FROM toks
-             |       WHERE length(chunk) > 0 AND regexp_matches(chunk, '[^\t\n\x0B\f\r ]')),
-             |enc AS (
-             |  SELECT t.source, count(*) AS n_chunks,
-             |    CAST(SUM(strlen(t.chunk)) AS BIGINT) AS total_bytes,
-             |    CAST(SUM(p.n_pieces) AS BIGINT) AS total_pieces
-             |  FROM tk t JOIN p USING (chunk) GROUP BY 1),
-             |sp AS (SELECT source, CAST(SUM(n_spec) AS BIGINT) AS n_specials
-             |       FROM stripped GROUP BY 1),
-             |chk AS (
-             |  SELECT CAST(SUM(CASE WHEN array_to_string(pieces, '') <> mapped
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rt_bad,
-             |    CAST(SUM(CASE WHEN length(mapped) <> strlen(chunk)
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_map_bad
-             |  FROM p)
-             |SELECT e.source, n_chunks, total_bytes, total_pieces, n_specials,
-             |  n_rt_bad, n_map_bad,
-             |  CAST(n_rt_bad = 0 AS INTEGER) AS ok_roundtrip,
-             |  CAST(n_map_bad = 0 AS INTEGER) AS ok_bytemap,
-             |  CAST(total_pieces < total_bytes AND total_pieces >= n_chunks
-             |    AS INTEGER) AS ok_compressed
-             |FROM enc e JOIN sp USING (source) CROSS JOIN chk
-             |ORDER BY source""".stripMargin),
-      allowBnlj = true),
-
-
-    // Byte-level packed token-ID sequences (BpeOps
-    // .packSequenceIdsBytes): the byte tier completed to the
-    // trainer-consumable artifact — per (source, bin) concatenated
-    // byte-BPE input_ids with doc_ids/doc_offsets boundary metadata,
-    // the text_pack_sequences_ids pipeline over the chunk stream
-    // (special tokens stripped, leading-space chunks, byte-alphabet
-    // piece vocabulary). Verified the same way: the packed arrays are
-    // exploded back into the (source, bin, pos, doc_id, token_id)
-    // stream with doc_id recovered FROM the offsets, while DuckDB
-    // independently rebuilds chunking → staged pieces → dense vocab →
-    // per-doc order → bins → concatenation from the raw tables.
-    "text_bpe_byte_pack" -> QuerySpec(
-      (s, d) => {
-        val special = "<|endoftext|>"
-        val docs = t(s, d, "documents").select(
-          col("doc_id"), col("source"),
-          concat(col("text"), lit(" café №42"), lit(special)).as("text"))
-        val merges = byteBpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.byteBpeFit(docs, "text", numMerges = 32, minCount = 5,
-            specialTokens = Seq(special)))
-        val pieces = BpeOps.byteWordPieces(docs, "text", merges, Seq(special))
-        staged(d, "byte_bpe_pieces") { dir =>
-          pieces.select(col("chunk"), col("mapped"), col("pieces"),
-              col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val packed = BpeOps.packSequenceIdsBytes(
-          docs, "doc_id", "text", "source", merges, budget = 2048L,
-          specialTokens = Seq(special), precomputedPieces = Some(pieces))
-        packed
-          .select(col("source"), col("bin"), col("doc_ids"), col("doc_offsets"),
-            posexplode(col("input_ids")).as(Seq("pos", "token_id")))
-          .withColumn("doc_idx",
-            size(filter(col("doc_offsets"), o => o <= col("pos"))) - 1)
-          .withColumn("doc_id", element_at(col("doc_ids"), col("doc_idx") + 1))
-          .select(col("source"), col("bin"), col("pos"), col("doc_id"),
-            col("token_id"))
-          .orderBy(col("source"), col("bin"), col("pos"))
-      },
-      Some("""WITH p AS (
-             |  SELECT chunk AS word, pieces FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_pieces/*.parquet')),
-             |docs AS (
-             |  SELECT doc_id, source,
-             |    text || ' café №42' || '<|endoftext|>' AS text
-             |  FROM documents),
-             |stripped AS (
-             |  SELECT doc_id, source,
-             |    replace(text, '<|endoftext|>', ' ') AS ctext FROM docs),
-             |words AS (
-             |  SELECT doc_id, regexp_extract_all(ctext,
-             |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\t\n\x0B\f\r \p{L}\p{N}]+|[\t\n\x0B\f\r ]+')
-             |    AS ws
-             |  FROM stripped),
-             |toks0 AS (
-             |  SELECT doc_id, unnest(ws) AS word,
-             |         unnest(range(0, len(ws))) AS word_pos
-             |  FROM words),
-             |toks AS (SELECT * FROM toks0
-             |         WHERE length(word) > 0 AND regexp_matches(word, '[^\t\n\x0B\f\r ]')),
-             |ps AS (
-             |  SELECT t.doc_id, t.word_pos, unnest(p.pieces) AS piece,
-             |         unnest(range(0, len(p.pieces))) AS piece_pos
-             |  FROM toks t JOIN p USING (word)),
-             |vocab AS (
-             |  SELECT piece,
-             |    CAST(row_number() OVER (ORDER BY count(*) DESC, piece) - 1
-             |      AS BIGINT) AS token_id
-             |  FROM ps GROUP BY piece),
-             |ids AS (
-             |  SELECT ps.doc_id, ps.word_pos, ps.piece_pos, v.token_id
-             |  FROM ps JOIN vocab v USING (piece)),
-             |ndoc AS (SELECT doc_id, count(*) AS n_tok FROM ids GROUP BY doc_id),
-             |binned AS (
-             |  SELECT d.source, n.doc_id,
-             |    CAST((SUM(n.n_tok) OVER (PARTITION BY d.source ORDER BY n.doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n.n_tok)
-             |      // 2048 AS BIGINT) AS bin
-             |  FROM ndoc n JOIN docs d USING (doc_id)),
-             |stream AS (
-             |  SELECT b.source, b.bin, i.doc_id, i.token_id,
-             |    row_number() OVER (PARTITION BY b.source, b.bin
-             |      ORDER BY i.doc_id, i.word_pos, i.piece_pos) - 1 AS pos
-             |  FROM ids i JOIN binned b USING (doc_id))
-             |SELECT source, bin, CAST(pos AS INTEGER) AS pos, doc_id,
-             |  CAST(token_id AS BIGINT) AS token_id
-             |FROM stream ORDER BY source, bin, pos""".stripMargin)),
-
-
-    // Byte-level merges.txt interchange roundtrip — the byte tier's
-    // model artifact through the SAME saveModel/loadModel seam: byte
-    // symbols are whitespace-free BY CONSTRUCTION (space bytes map out
-    // of the whitespace range — 0x20 → 'Ġ'), so the line format that
-    // would corrupt on raw spaces round-trips byte-level models losslessly,
-    // which is exactly why every production byte-BPE stack ships this
-    // format. DuckDB parses the written artifact independently.
-    "text_bpe_byte_model_roundtrip" -> QuerySpec(
-      (s, d) => {
-        val special = "<|endoftext|>"
-        val docs = t(s, d, "documents").select(
-          col("doc_id"), col("source"),
-          concat(col("text"), lit(" café №42"), lit(special)).as("text"))
-        val merges = byteBpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.byteBpeFit(docs, "text", numMerges = 32, minCount = 5,
-            specialTokens = Seq(special)))
-        val dir = staged(d, "byte_bpe_merges_txt") { p =>
-          BpeOps.saveModel(s, merges, p + "/merges.txt")
-        }
-        val reloaded = BpeOps.loadModel(s, dir + "/merges.txt")
-        require(reloaded == merges,
-          "byte-level merges.txt round trip must reproduce the model exactly")
-        import s.implicits._
-        reloaded.zipWithIndex
-          .map { case ((a, b), i) => (i + 1L, a, b) }
-          .toDF("rank", "left_sym", "right_sym")
-          .orderBy(col("rank"))
-      },
-      Some("""SELECT row_number() OVER () AS rank, left_sym, right_sym
-             |FROM read_csv(
-             |  '/tmp/graft_stage/_root_testdata_sf0.01/byte_bpe_merges_txt/merges.txt',
-             |  sep=' ', header=false, skip=1, parallel=false,
-             |  columns={'left_sym':'VARCHAR','right_sym':'VARCHAR'})
-             |ORDER BY rank""".stripMargin)),
-
-
-    // Packing-efficiency profile over the bin assignment — the QA
-    // aggregate tracked on the terminal packed artifact: per source,
-    // bins used, capacity, underfill (padding the trainer eats),
-    // overflow (straddler tokens beyond budget), max bin. All exact
-    // integers (SampleOps.packEfficiency), so DuckDB's independent
-    // rebuild of tokenization → counts → binning → rollup hash-matches.
-    "text_pack_efficiency" -> QuerySpec(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = bpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
-        val pieces = BpeOps.wordPieces(docs, "text", merges)
-        staged(d, "bpe_pieces") { dir =>
-          pieces.select(col("word"), col("pieces"), col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val enc = BpeOps.bpeEncode(docs, "doc_id", "text", pieces)
-        val withSrc = docs.select(col("doc_id"), col("source"))
-          .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
-        val binned = SampleOps.packSequences(withSrc, "source", "doc_id",
-          "n_bpe_tokens", budget = 2048L)
-        SampleOps.packEfficiency(binned, "source", "n_bpe_tokens", 2048L)
-          .orderBy(col("source"))
-      },
-      Some("""WITH pieces AS (
-             |  SELECT word, n_pieces FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
-             |toks AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-             |  FROM documents),
-             |enc AS (
-             |  SELECT t.doc_id,
-             |    SUM(COALESCE(p.n_pieces, length(t.word))) AS n_bpe_tokens
-             |  FROM toks t LEFT JOIN pieces p USING (word)
-             |  WHERE length(t.word) > 0 GROUP BY t.doc_id),
-             |j AS (
-             |  SELECT d.source, d.doc_id, e.n_bpe_tokens
-             |  FROM documents d JOIN enc e USING (doc_id)),
-             |c AS (
-             |  SELECT source, doc_id, n_bpe_tokens,
-             |    (SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |     - n_bpe_tokens) // 2048 AS bin
-             |  FROM j),
-             |bins AS (
-             |  SELECT source, bin, count(*) AS docs,
-             |    CAST(sum(n_bpe_tokens) AS BIGINT) AS bin_cost
-             |  FROM c GROUP BY 1, 2)
-             |SELECT source,
-             |  CAST(sum(docs) AS BIGINT) AS n_docs,
-             |  CAST(count(*) AS BIGINT) AS n_bins,
-             |  CAST(sum(bin_cost) AS BIGINT) AS total_cost,
-             |  CAST(count(*) * 2048 AS BIGINT) AS capacity,
-             |  CAST(sum(greatest(0, 2048 - bin_cost)) AS BIGINT) AS underfill,
-             |  CAST(sum(greatest(0, bin_cost - 2048)) AS BIGINT) AS overflow,
-             |  CAST(max(bin_cost) AS BIGINT) AS max_bin_cost
-             |FROM bins GROUP BY source ORDER BY source""".stripMargin)),
-
-
-    // Packed token-ID sequences — the trainer-consumable artifact the
-    // tokenize→pack chain previously stopped short of: per (source, bin)
-    // the concatenated input_ids arrays with doc_ids/doc_offsets
-    // boundary metadata (BpeOps.packSequenceIds). The key verifies the
-    // ARTIFACT ITSELF: the packed arrays are exploded back into the
-    // (source, bin, pos, doc_id, token_id) token stream — doc_id is
-    // recovered FROM doc_offsets/doc_ids, so a wrong offset or a
-    // misordered id fails the hash — while DuckDB independently rebuilds
-    // tokenization, pieces (STAGED encoder table, the text_pack_bins_bpe
-    // precedent), the dense piece vocabulary, per-doc id order, bin
-    // assignment, and concatenation order from the raw tables. Scalar
-    // rows rather than array columns so the driver's column-sorted
-    // value hash applies unchanged.
-    "text_pack_sequences_ids" -> QuerySpec(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = bpeMergeModels.computeIfAbsent(d,
-          _ => BpeOps.bpeFit(docs, "text", numMerges = 24, minCount = 5))
-        val pieces = BpeOps.wordPieces(docs, "text", merges)
-        staged(d, "bpe_pieces") { dir =>
-          pieces.select(col("word"), col("pieces"), col("n_pieces"))
-            .coalesce(1).write.mode("overwrite").parquet(dir)
-        }
-        val packed = BpeOps.packSequenceIds(
-          docs, "doc_id", "text", "source", merges, budget = 2048L,
-          precomputedPieces = Some(pieces))
-        packed
-          .select(col("source"), col("bin"), col("doc_ids"), col("doc_offsets"),
-            posexplode(col("input_ids")).as(Seq("pos", "token_id")))
-          // recover each token's document from the boundary metadata:
-          // doc_idx = #offsets ≤ pos − 1 (offsets are sorted starts)
-          .withColumn("doc_idx",
-            size(filter(col("doc_offsets"), o => o <= col("pos"))) - 1)
-          .withColumn("doc_id", element_at(col("doc_ids"), col("doc_idx") + 1))
-          .select(col("source"), col("bin"), col("pos"), col("doc_id"),
-            col("token_id"))
-          .orderBy(col("source"), col("bin"), col("pos"))
-      },
-      Some("""WITH p AS (
-             |  SELECT word, pieces FROM read_parquet(
-             |    '/tmp/graft_stage/_root_testdata_sf0.01/bpe_pieces/*.parquet')),
-             |words AS (
-             |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
-             |  FROM documents),
-             |toks0 AS (
-             |  SELECT doc_id, unnest(ws) AS word,
-             |         unnest(range(0, len(ws))) AS word_pos
-             |  FROM words),
-             |toks AS (SELECT * FROM toks0 WHERE length(word) > 0),
-             |ps AS (
-             |  SELECT t.doc_id, t.word_pos, unnest(p.pieces) AS piece,
-             |         unnest(range(0, len(p.pieces))) AS piece_pos
-             |  FROM toks t JOIN p USING (word)),
-             |vocab AS (
-             |  SELECT piece,
-             |    CAST(row_number() OVER (ORDER BY count(*) DESC, piece) - 1
-             |      AS BIGINT) AS token_id
-             |  FROM ps GROUP BY piece),
-             |ids AS (
-             |  SELECT ps.doc_id, ps.word_pos, ps.piece_pos, v.token_id
-             |  FROM ps JOIN vocab v USING (piece)),
-             |ndoc AS (SELECT doc_id, count(*) AS n_tok FROM ids GROUP BY doc_id),
-             |binned AS (
-             |  SELECT d.source, n.doc_id,
-             |    CAST((SUM(n.n_tok) OVER (PARTITION BY d.source ORDER BY n.doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n.n_tok)
-             |      // 2048 AS BIGINT) AS bin
-             |  FROM ndoc n JOIN documents d USING (doc_id)),
-             |stream AS (
-             |  SELECT b.source, b.bin, i.doc_id, i.token_id,
-             |    row_number() OVER (PARTITION BY b.source, b.bin
-             |      ORDER BY i.doc_id, i.word_pos, i.piece_pos) - 1 AS pos
-             |  FROM ids i JOIN binned b USING (doc_id))
-             |SELECT source, bin, CAST(pos AS INTEGER) AS pos, doc_id,
-             |  CAST(token_id AS BIGINT) AS token_id
-             |FROM stream ORDER BY source, bin, pos""".stripMargin)),
-
 
     // Gopher-style composite quality rules (Rae et al. 2021 A1): per-doc
     // flags + AND'd keep. Integer counts and single IEEE divisions
@@ -2110,6 +1103,7 @@ private[queries] object CatalogText {
              |FROM feat ORDER BY doc_id""".stripMargin)),
 
 
+
     // Sliding-window chunking (sequence prep: 32-token windows, stride
     // 24 ⇒ 8-token overlap). Pure per-row transform+explode, zero
     // shuffle. Fully ORACLED including the chunk text.
@@ -2130,6 +1124,7 @@ private[queries] object CatalogText {
              |SELECT doc_id, chunk_idx, chunk_text,
              |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
              |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)),
+
 
 
     // C4-style line-structure cleaning. The corpus is single-line
@@ -2191,6 +1186,7 @@ private[queries] object CatalogText {
              |  CAST(NOT hl AND NOT hb AND len(kept) >= 3 AS INTEGER) AS keep,
              |  array_to_string(kept, chr(10)) AS clean_text
              |FROM flags ORDER BY doc_id""".stripMargin)),
+
 
 
     // HTML → main-content extraction (TextOps.htmlExtract), the crawl
@@ -2315,6 +1311,7 @@ private[queries] object CatalogText {
              |FROM c4 ORDER BY doc_id""".stripMargin)),
 
 
+
     // Intra-doc line dedup (boilerplate removal: keep the FIRST
     // occurrence of each line within its document, order preserved).
     // Multi-line fixture built like text_c4_filter's, with planted
@@ -2361,6 +1358,7 @@ private[queries] object CatalogText {
              |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
              |  array_to_string(kept, chr(10)) AS clean_text
              |FROM dedup ORDER BY doc_id""".stripMargin)),
+
 
 
     // LINEAR-scale twin of text_dedup_lines (explode → min-pos per
@@ -2416,6 +1414,7 @@ private[queries] object CatalogText {
              |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
 
+
     // Unigram LM quality scoring (the perplexity-filter seam): per-doc
     // mean negative log-prob of its tokens under the corpus unigram
     // distribution, additive smoothing 0.5. Fully ORACLED — per-token
@@ -2442,6 +1441,7 @@ private[queries] object CatalogText {
              |FROM toks2 JOIN lp USING (tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       allowBnlj = true),
+
 
 
     // Bigram LM with stupid backoff (Brants et al. 2007) — the
@@ -2510,6 +1510,7 @@ private[queries] object CatalogText {
              |  round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       allowBnlj = true),
+
 
 
     // INTERPOLATED KNESER-NEY bigram LM (TextOps.knBigramFit, Kneser &
@@ -2599,6 +1600,7 @@ private[queries] object CatalogText {
              |  round(-CAST(sum(plp) AS DOUBLE) / count(*), 6) AS mean_neg_logprob
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       allowBnlj = true),
+
 
 
     // CCNet perplexity split (Wenzek et al. 2020, TextOps.ccnetSplit):
@@ -2698,6 +1700,7 @@ private[queries] object CatalogText {
       allowBnlj = true),
 
 
+
     // URL front stage: parse host/registrable-domain/path, drop
     // blocklisted domains, cap each remaining domain at 10 docs (the
     // RefinedWeb-style domain-diversity cap — URL-level filtering
@@ -2754,6 +1757,7 @@ private[queries] object CatalogText {
              |  FROM u)
              |SELECT doc_id, host, domain, path
              |FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
 
 
     // Registrable-domain extraction through the bundled Public Suffix
@@ -2858,6 +1862,7 @@ private[queries] object CatalogText {
       }),
 
 
+
     "text_url_psl_domain" -> QuerySpec(
       (s, d) => {
         staged(d, "psl_rules") { dir =>
@@ -2934,6 +1939,7 @@ private[queries] object CatalogText {
              |FROM sl ORDER BY doc_id""".stripMargin)),
 
 
+
     // Vocabulary build (token → dense id by count DESC, token): the
     // corpus-scale work is one token-count shuffle with map-side
     // combine; ids come from a range-partitioned sort + zipWithIndex
@@ -2953,6 +1959,7 @@ private[queries] object CatalogText {
              |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
              |    AS token_id
              |FROM counts ORDER BY token_id""".stripMargin)),
+
 
 
     // Flesch-Kincaid readability (TextOps.readability): the model-free
@@ -2977,6 +1984,7 @@ private[queries] object CatalogText {
              |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
              |    - 15.59 END AS fk_grade
              |FROM c ORDER BY doc_id""".stripMargin)),
+
 
 
     // N-gram novelty (unique-content ratio): the fraction of a doc's
@@ -3051,3 +2059,4 @@ private[queries] object CatalogText {
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
   )
 }
+
