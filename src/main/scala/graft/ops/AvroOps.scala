@@ -89,17 +89,27 @@ object AvroOps {
 
   /** Distributed Avro read: binaryFile discovery + per-task
     * DataFileReader decode into `schema`-typed rows. The explicit
-    * schema keeps the result fully declarative downstream. */
+    * schema keeps the result fully declarative downstream.
+    *
+    * PROJECTION IS PUSHED INTO THE DECODE: `schema` doubles as the
+    * Avro READER schema, so Avro's standard schema resolution (match
+    * by field name) makes the decoder SKIP the bytes of every writer
+    * field the reader doesn't ask for — the column-pruning contract a
+    * parquet scan gets from Catalyst, restated at the decode seam.
+    * A reader field absent from the writer schema fails loudly
+    * (avro resolution error), never silently NULLs. */
   def readAvro(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
     val names = schema.fields.map(_.name)
+    val readerJson = avroSchemaFor(schema).toString
     val bin = spark.read.format("binaryFile").load(dir + "/*.avro")
       .select(col("content")).as[Array[Byte]](Encoders.BINARY)
     bin.mapPartitions { files =>
+      val readerSchema = new Schema.Parser().parse(readerJson)
       files.flatMap { bytes =>
         val rdr = new DataFileReader[GenericRecord](
           new SeekableByteArrayInput(bytes),
-          new GenericDatumReader[GenericRecord]())
+          new GenericDatumReader[GenericRecord](null, readerSchema))
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         try {
           while (rdr.hasNext) {

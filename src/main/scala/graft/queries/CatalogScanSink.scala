@@ -654,6 +654,34 @@ private[queries] object CatalogScanSink {
              |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Reader-schema PROJECTION over the same staged avro files: the
+    // narrower StructType doubles as the Avro reader schema, so
+    // standard Avro schema resolution makes the decoder SKIP the
+    // unread fields' bytes — the column-pruning contract a parquet
+    // scan gets from Catalyst, exercised at the decode seam (at 100 TB
+    // you never materialize the 60 columns a 2-column query doesn't
+    // read). Same round-trip oracle discipline: the projected rows
+    // must equal the source projection exactly.
+    "scan_avro_projection" -> QuerySpec(
+      (s, d) => {
+        val full = t(s, d, "orders")
+          .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+            col("o_custkey").cast(LongType).as("o_custkey"),
+            col("o_orderstatus").cast(StringType).as("o_orderstatus"),
+            col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+        val dir = staged(d, "avro_orders") { p =>
+          graft.ops.AvroOps.writeAvroParts(
+            full.repartition(4, col("o_orderkey")), p)
+        }
+        val narrow = StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = true),
+          StructField("o_totalprice", DoubleType, nullable = true)))
+        graft.ops.AvroOps.readAvro(s, dir, narrow)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
 
     // Range-clustered layout twin of layout_file_stats: stage a
     // repartitionByRange+sortWithinPartitions write, read the per-file

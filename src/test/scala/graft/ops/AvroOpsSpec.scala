@@ -47,6 +47,25 @@ class AvroOpsSpec extends SparkSpec {
     assert(orders.exceptAll(back).count() == 0)
   }
 
+  test("reader-schema projection skips unread fields; missing field fails loudly") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.0), (3L, "c", 0.25))
+      .toDF("k", "s", "v")
+    val dir = tmpDir("avro_proj")
+    AvroOps.writeAvroParts(df.repartition(2, $"k"), dir)
+    val narrow = StructType(Seq(
+      StructField("v", DoubleType), StructField("k", LongType)))
+    // field ORDER in the reader schema is independent of writer order
+    val got = AvroOps.readAvro(spark, dir, narrow)
+      .as[(Double, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1.5, 1L), (-2.0, 2L), (0.25, 3L)))
+    // a reader field the writer never had: loud resolution failure,
+    // never a silent NULL column
+    val bad = StructType(Seq(StructField("nope", LongType)))
+    intercept[org.apache.spark.SparkException] {
+      AvroOps.readAvro(spark, dir, bad).collect()
+    }
+  }
+
   test("null in a required field fails loudly at write; bad type fails schema build") {
     val withNull = Seq((1L, Some("x")), (2L, None))
       .toDF("k", "s")
