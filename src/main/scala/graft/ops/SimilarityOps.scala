@@ -702,6 +702,31 @@ object SimilarityOps {
       queries, candidates, k, qId, qVec, cId, cVec)
   }
 
+  /** Frozen-index + fresh-delta SERVING UNION (r16) — the production
+    * pattern for an ANN index over a growing corpus: the expensive
+    * index (IVF cells, PQ codes, HNSW shards) is built at a snapshot
+    * and IMMUTABLE; vectors that arrived since are a small delta the
+    * query brute-force-scans; the served top-k is the re-rank of the
+    * two sides' top-ks. Correctness contract: when both sides are
+    * exact over their halves (e.g. exhaustive probing), the merged
+    * top-k ≡ brute force over the whole corpus (spec-pinned) —
+    * approximation only ever enters through the index side's recall,
+    * never through the merge. Inputs are the (qId, cId, cos) top-k
+    * frames the tier operators emit; sides must cover DISJOINT
+    * candidate sets (a shared id would be ranked twice). Scale shape:
+    * two tiny k-row-per-query frames, one window — the merge costs
+    * nothing; the index never rebuilds on ingest. */
+  def deltaUnionTopK(indexedTopK: DataFrame, deltaTopK: DataFrame, k: Int,
+      qId: String = "qid", cId: String = "cid"): DataFrame = {
+    require(k >= 1, s"deltaUnionTopK: k must be >= 1, got $k")
+    val merged = indexedTopK.select(col(qId), col(cId), col("cos"))
+      .unionByName(deltaTopK.select(col(qId), col(cId), col("cos")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("rn"), col(cId), col("cos"))
+  }
+
   /** Exact cosine re-rank of a proposed (query, candidate) id set —
     * the shared tail of every compressed/approximate tier
     * ([[ivfPqRerankTopK]], [[hnswTopK]]): candidate ids broadcast into

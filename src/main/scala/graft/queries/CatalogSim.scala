@@ -1023,6 +1023,74 @@ private[queries] object CatalogSim {
              |  FROM scored)
              |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
+    // Frozen-index + fresh-delta SERVING UNION (r16,
+    // SimilarityOps.deltaUnionTopK) — the production shape for an ANN
+    // index over a GROWING corpus: the IVF index is built at a
+    // snapshot and immutable (here: the staged frozen quantizer +
+    // cells over the 80% of vectors with cid % 5 ≠ 4), vectors that
+    // arrived since (cid % 5 = 4) are brute-force-scanned, and the
+    // served top-k is the re-rank of both sides' top-10s. The index
+    // never rebuilds on ingest — the lever that keeps a 100 TB vector
+    // store writable. Fully ORACLED: both sides run on the milli grid
+    // against the staged centroid table, so DuckDB replays probe-join
+    // scoring over the indexed 80%, full-scan scoring over the 20%
+    // delta, each side's top-10 trim, and the merged re-rank —
+    // bit-for-bit.
+    "sim_ann_delta_union" -> QuerySpec(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = quantizedIvf(s, d)
+        stageAnnModels(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            SimilarityOps.quantize(col("embedding")).as("qvec"))
+        val c = emb.select(col("vec_id").as("cid"),
+          SimilarityOps.quantize(col("embedding")).as("cvec"))
+        val indexed = c.filter(pmod(col("cid"), lit(5L)) =!= 4L)
+        val delta = c.filter(pmod(col("cid"), lit(5L)) === 4L)
+        val idxTop = SimilarityOps.ivfTopKWithModel(
+          q, SimilarityOps.ivfAssign(indexed, "cvec", model), model,
+          k = 10, nProbe = 3)
+        val deltaTop = SimilarityOps.bruteTopK(q, delta, k = 10)
+        SimilarityOps.deltaUnionTopK(idxTop, deltaTop, k = 10)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH $annQuantVecCtes,
+             |$annIvfProbeCtes
+             |idx_pairs AS (
+             |  SELECT p.qid, a.cid, unnest(q.qvec) AS qv, unnest(c.cvec) AS cv
+             |  FROM probe p
+             |  JOIN cell_assign a ON a.cell = p.cell AND a.cid % 5 <> 4
+             |  JOIN q0 q ON q.qid = p.qid
+             |  JOIN c0 c ON c.cid = a.cid),
+             |idx_cos AS (
+             |  SELECT qid, cid, CAST(SUM(qv*cv) AS DOUBLE)
+             |    / (sqrt(CAST(SUM(qv*qv) AS DOUBLE)) * sqrt(CAST(SUM(cv*cv) AS DOUBLE))) AS cos
+             |  FROM idx_pairs GROUP BY qid, cid),
+             |idx_top AS (
+             |  SELECT qid, cid, cos FROM (
+             |    SELECT qid, cid, cos,
+             |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+             |    FROM idx_cos) WHERE rn <= 10),
+             |delta_pairs AS (
+             |  SELECT q.qid, c.cid, unnest(q.qvec) AS qv, unnest(c.cvec) AS cv
+             |  FROM q0 q CROSS JOIN c0 c WHERE c.cid % 5 = 4),
+             |delta_cos AS (
+             |  SELECT qid, cid, CAST(SUM(qv*cv) AS DOUBLE)
+             |    / (sqrt(CAST(SUM(qv*qv) AS DOUBLE)) * sqrt(CAST(SUM(cv*cv) AS DOUBLE))) AS cos
+             |  FROM delta_pairs GROUP BY qid, cid),
+             |delta_top AS (
+             |  SELECT qid, cid, cos FROM (
+             |    SELECT qid, cid, cos,
+             |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+             |    FROM delta_cos) WHERE rn <= 10),
+             |merged AS (
+             |  SELECT * FROM idx_top UNION ALL SELECT * FROM delta_top)
+             |SELECT qid, rn, cid, cos FROM (
+             |  SELECT qid, cid, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+             |  FROM merged)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
 
     "sim_ann_recall" -> QuerySpec(
       (s, d) => {

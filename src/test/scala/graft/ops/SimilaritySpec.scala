@@ -723,6 +723,27 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("deltaUnionTopK with exhaustive probing ≡ bruteTopK over the whole corpus") {
+    // the merge's correctness contract: approximation only ever enters
+    // through the index side's recall — when the index side is exact
+    // over its half (nProbe = ALL cells) and the delta side is brute,
+    // the served union must equal brute force over the full corpus
+    val model = SimilarityOps.ivfFit(cQuant, "cvec", nCentroids = 4, seed = 42L)
+    val indexed = cQuant.filter(pmod($"cid", lit(5L)) =!= 4L)
+    val delta = cQuant.filter(pmod($"cid", lit(5L)) === 4L)
+    val idxTop = SimilarityOps.ivfTopKWithModel(
+      qQuant, SimilarityOps.ivfAssign(indexed, "cvec", model), model,
+      k = 10, nProbe = 4)
+    val deltaTop = SimilarityOps.bruteTopK(qQuant, delta, k = 10)
+    val got = SimilarityOps.deltaUnionTopK(idxTop, deltaTop, k = 10)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val brute = SimilarityOps.bruteTopK(qQuant, cQuant, k = 10)
+      .select($"qid", $"rn", $"cid").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == brute, s"union != brute: ${got.diff(brute).take(5)}")
+  }
+
   test("hnswCandidates: degenerate shapes — more shards than rows, tiny ef") {
     val tiny = Seq((1L, Seq(1000L, 0L)), (2L, Seq(0L, 1000L)),
       (3L, Seq(700L, 700L))).toDF("cid", "cvec")
