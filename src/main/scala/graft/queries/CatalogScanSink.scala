@@ -569,6 +569,58 @@ private[queries] object CatalogScanSink {
              |ORDER BY ok_min, pk_min, n_rows, ok_max, pk_max""".stripMargin),
       allowBnlj = true),
 
+    // Stats-based file-pruning SEMANTICS over the same staged z-order
+    // layout (r16): the property every data-skipping index lives by —
+    // a file whose [min, max] box excludes the predicate range must
+    // contribute ZERO matching rows, or pruning silently drops data.
+    // Per file: the skipping stats, the ACTUAL match count under the
+    // predicate ok BETWEEN 8 AND 15 (the quadrant slice the z-order
+    // write clusters for), the pruned verdict from the stats alone,
+    // and bound_ok = pruned ⇒ n_match = 0 — hash-checked end to end
+    // (both engines recompute everything from the same staged files;
+    // staged-path oracle class, sf0.01).
+    "layout_stats_prune" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "layout_zorder_files") { p =>
+          Layout.writeZOrdered(
+            t(s, d, "lineitem").select(
+              pmod(col("l_orderkey"), lit(64)).as("ok"),
+              pmod(col("l_partkey"), lit(64)).as("pk"),
+              col("l_quantity")),
+            p, nFiles = 4, bits = 6, "ok", "pk")
+        }
+        s.read.parquet(dir)
+          .select(col("_metadata.file_path").as("_fp"), col("ok"))
+          .groupBy(col("_fp"))
+          .agg(min(col("ok")).as("ok_min"), max(col("ok")).as("ok_max"),
+            count(lit(1)).as("n_rows"),
+            sum(when(col("ok").between(8, 15), 1L).otherwise(0L))
+              .as("n_match"))
+          .withColumn("pruned",
+            (col("ok_max") < 8 || col("ok_min") > 15).cast(IntegerType))
+          .withColumn("bound_ok",
+            (col("pruned") === 0 || col("n_match") === 0L)
+              .cast(IntegerType))
+          .select(col("ok_min"), col("ok_max"), col("n_rows"),
+            col("n_match"), col("pruned"), col("bound_ok"))
+          .orderBy(col("ok_min"), col("ok_max"), col("n_rows"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT filename,
+             |    min(ok) AS ok_min, max(ok) AS ok_max, count(*) AS n_rows,
+             |    CAST(SUM(CASE WHEN ok BETWEEN 8 AND 15 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_match
+             |  FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_zorder_files/*.parquet',
+             |    filename=true)
+             |  GROUP BY filename)
+             |SELECT ok_min, ok_max, n_rows, n_match,
+             |  CAST(CASE WHEN ok_max < 8 OR ok_min > 15 THEN 1 ELSE 0 END
+             |    AS INTEGER) AS pruned,
+             |  CAST(CASE WHEN (ok_max < 8 OR ok_min > 15) AND n_match > 0
+             |    THEN 0 ELSE 1 END AS INTEGER) AS bound_ok
+             |FROM fs ORDER BY ok_min, ok_max, n_rows""".stripMargin)),
+
 
     // Row-level PROVENANCE from the hidden `_metadata` column: every
     // record maps back to (file, row position) with zero extra I/O —
