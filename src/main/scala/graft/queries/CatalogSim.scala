@@ -1090,7 +1090,11 @@ private[queries] object CatalogSim {
              |  SELECT qid, cid, cos,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
              |  FROM merged)
-             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)),
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      // the delta side IS bruteTopK: a deliberate broadcast crossJoin
+      // of the tiny query set over the 20% delta — the bounded
+      // compression-path full scan this pattern exists to pay
+      allowBnlj = true),
 
     "sim_ann_recall" -> QuerySpec(
       (s, d) => {
