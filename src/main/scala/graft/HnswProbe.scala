@@ -54,9 +54,16 @@ object HnswProbe {
         .groupBy(pmod(col("cid"), lit(p.toLong)).as("_s"))
         .agg(count(lit(1)).as("_r")).agg(max(col("_r")))
         .collect()(0).getLong(0) // partition-tuple metadata: P rows
-      require(maxPerShard <= target,
-        s"auto-P contract violated: max per-shard $maxPerShard > target " +
-          s"$target (n=$n, P=$p) — shard key skew exceeds the ceil bound")
+      // hnswTopKAuto's contract is per-shard rows == target only for
+      // contiguous ids (the fixture's case); for arbitrary ids n/P is
+      // in expectation — so REPORT skew always and fail only above a
+      // tolerance factor instead of aborting a within-contract run
+      // (r16 ADVICE).
+      println(s"HNSWPROBE skew: maxPerShard=$maxPerShard target=$target " +
+        f"ratio=${maxPerShard.toDouble / target}%.3f (n=$n, P=$p)")
+      require(maxPerShard <= 2L * target,
+        s"auto-P shard skew beyond tolerance: max per-shard $maxPerShard " +
+          s"> 2x target $target (n=$n, P=$p)")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         graft.ops.SimilarityOps.hnswTopKAuto(q, c, k = 10,

@@ -27,11 +27,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * that IEEE order (the same chain DuckDB's list_reduce restates, so
   * established oracle hashes are unchanged by construction).
   *
-  * Input contract: ARRAY<DOUBLE> with no NULL elements (the
-  * holtWindowed "fill NULLs first" rule — collect_list never emits
-  * them). NULL input yields NULL; an EMPTY array yields NULL (the HOF
-  * form's [null, 0.0] is unrepresentable in this expression's
-  * containsNull=false output, and a span window always holds ≥ 1 row).
+  * Input contract: ARRAY<DOUBLE>. NULL input yields NULL; an EMPTY
+  * array yields NULL; an array with a NULL ELEMENT yields NULL — the
+  * HOF chain propagates a NULL element through the fold to a
+  * [null, null] result, which is unrepresentable in this expression's
+  * containsNull=false output, so the whole result goes NULL instead of
+  * silently folding the element as 0.0 (r16 ADVICE). holtWindowed's
+  * collect_list never emits NULL elements, so the hot path never pays
+  * the branch.
   */
 case class HoltFold(child: Expression, alpha: Double, beta: Double)
     extends UnaryExpression {
@@ -51,22 +54,21 @@ case class HoltFold(child: Expression, alpha: Double, beta: Double)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null
-    else UnsafeArrayData.fromPrimitiveArray(
-      HoltFold.fold(arr, alpha, beta))
+    val folded = HoltFold.fold(input.asInstanceOf[ArrayData], alpha, beta)
+    if (folded == null) null else UnsafeArrayData.fromPrimitiveArray(folded)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val helper = HoltFold.getClass.getName.stripSuffix("$") + "$.MODULE$"
       val uad = classOf[UnsafeArrayData].getName
+      val folded = ctx.freshName("holtFolded")
       s"""
-         |if ($arr.numElements() == 0) {
+         |double[] $folded = $helper.fold($arr, ${alpha}D, ${beta}D);
+         |if ($folded == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $uad.fromPrimitiveArray(
-         |    $helper.fold($arr, ${alpha}D, ${beta}D));
+         |  ${ev.value} = $uad.fromPrimitiveArray($folded);
          |}
        """.stripMargin
     })
@@ -78,15 +80,19 @@ case class HoltFold(child: Expression, alpha: Double, beta: Double)
 object HoltFold {
   /** The fold itself — shared by interpreted eval and generated code so
     * both paths are ONE implementation (no bit-drift between them by
-    * construction). Caller guarantees n ≥ 1 and no NULL elements. */
+    * construction). Returns null for an empty array or any NULL element
+    * (whole-result NULL — the containsNull=false output type can't
+    * carry the HOF chain's [null, null]). */
   def fold(arr: ArrayData, alpha: Double, beta: Double): Array[Double] = {
     val n = arr.numElements()
+    if (n == 0 || arr.isNullAt(0)) return null
     var l = arr.getDouble(0)
     var b = 0.0
     val ca = 1.0 - alpha
     val cb = 1.0 - beta
     var i = 1
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val x = arr.getDouble(i)
       val nl = x * alpha + ca * (l + b)
       b = beta * (nl - l) + cb * b

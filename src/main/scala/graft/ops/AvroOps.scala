@@ -67,22 +67,40 @@ object AvroOps {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val sch = new Schema.Parser().parse(schemaJson)
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        // Spark file-sink commit pattern (r16 ADVICE): write to a
+        // task-attempt-unique temp file, atomically rename on success —
+        // a retried/speculative attempt never truncates or interleaves
+        // with the committed file; the loser's temp is just deleted.
+        val tmp = new java.io.File(
+          dir, f".part-$pid%05d.avro.${tc.taskAttemptId()}.tmp")
+        val dst = new java.io.File(dir, f"part-$pid%05d.avro")
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
-        val f = new java.io.File(dir, f"part-$pid%05d.avro")
-        w.create(sch, f)
-        try it.foreach { r =>
-          val rec = new GenericData.Record(sch)
-          var i = 0
-          while (i < sparkSchema.length) {
-            val v = r.get(i)
-            require(v != null,
-              s"writeAvroParts: null in required field ${sparkSchema(i).name}")
-            rec.put(sparkSchema(i).name, v)
-            i += 1
+        try {
+          w.create(sch, tmp)
+          it.foreach { r =>
+            val rec = new GenericData.Record(sch)
+            var i = 0
+            while (i < sparkSchema.length) {
+              val v = r.get(i)
+              require(v != null,
+                s"writeAvroParts: null in required field ${sparkSchema(i).name}")
+              rec.put(sparkSchema(i).name, v)
+              i += 1
+            }
+            w.append(rec)
           }
-          w.append(rec)
         } finally w.close()
+        try {
+          java.nio.file.Files.move(tmp.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } finally {
+          java.nio.file.Files.deleteIfExists(tmp.toPath)
+          ()
+        }
       }
     }
   }

@@ -717,10 +717,16 @@ object SimilarityOps {
     * two tiny k-row-per-query frames, one window — the merge costs
     * nothing; the index never rebuilds on ingest. */
   def deltaUnionTopK(indexedTopK: DataFrame, deltaTopK: DataFrame, k: Int,
-      qId: String = "qid", cId: String = "cid"): DataFrame = {
+      qId: String = "qid", cId: String = "cid",
+      cosCol: String = "cos"): DataFrame = {
     require(k >= 1, s"deltaUnionTopK: k must be >= 1, got $k")
-    val merged = indexedTopK.select(col(qId), col(cId), col("cos"))
-      .unionByName(deltaTopK.select(col(qId), col(cId), col("cos")))
+    Seq(indexedTopK, deltaTopK).foreach { side =>
+      require(side.columns.contains(cosCol),
+        s"deltaUnionTopK: score column '$cosCol' absent from input " +
+          s"(columns: ${side.columns.mkString(", ")}) — pass cosCol")
+    }
+    val merged = indexedTopK.select(col(qId), col(cId), col(cosCol).as("cos"))
+      .unionByName(deltaTopK.select(col(qId), col(cId), col(cosCol).as("cos")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     merged.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

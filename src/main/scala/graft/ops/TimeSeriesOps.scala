@@ -118,7 +118,10 @@ object TimeSeriesOps {
     require(span >= 1, s"span must be positive, got $span")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(-(span - 1).toLong, Window.currentRow)
-    val lst = collect_list(col(valueCol)).over(w)
+    // Explicit cast: holt_fold takes ARRAY<DOUBLE> with no implicit
+    // numeric widening (unlike the aggregate() HOF it replaced), so a
+    // LONG/INT value column keeps working here as before (r16 ADVICE).
+    val lst = collect_list(col(valueCol).cast(DoubleType)).over(w)
     // Native codegen fold (graft.expressions.HoltFold) — bit-identical
     // to the previous interpreted aggregate() HOF chain by the
     // ExpressionSpec parity pin (same IEEE op order), measured faster
