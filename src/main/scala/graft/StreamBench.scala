@@ -54,6 +54,60 @@ object StreamBench {
     }
   }
 
+  case class Doc(doc_id: Long, text: String, lang: String)
+
+  /** Deterministic document batch for the composed-ingest leg: 3-line
+    * quality-passing texts with doc-specific tokens; ~1.6% of rows are
+    * exact RECRAWLS of the previous batch's docs (same text, new id —
+    * the crawler-revisit shape the corpus anti-join must drop). */
+  private def docBatch(batch: Int, rows: Int): Seq[Doc] = {
+    (0 until rows).map { i =>
+      val id = batch.toLong * rows + i
+      val srcId = if (i % 64 == 63 && batch > 0) id - rows else id
+      val body = (0 until 3).map(j =>
+        s"the steady corpus doc$srcId word${srcId}x$j and " +
+          s"word${srcId}y$j with extra token${srcId}q$j here$j.")
+        .mkString("\n")
+      Doc(id, body, if (id % 2 == 0) "en" else "fr")
+    }
+  }
+
+  /** Drive the composed corpus-prep ingest (foreachBatch merge sink)
+    * and report the same progress metrics as [[drive]]. */
+  private def driveDocs(spark: SparkSession, name: String,
+      batches: Int, rowsPerBatch: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_sb_corpus").toString + "/corpus"
+    val q = src.toDF().writeStream
+      .foreachBatch(StreamOps.corpusPrepMergeBatch(
+        corpus, "doc_id", "text", Seq("lang"),
+        gopherMinStopwords = 1,
+        bloomExpectedItems = batches.toLong * rowsPerBatch * 2) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sb_ck").toString)
+      .start()
+    try {
+      (0 until batches).foreach { b =>
+        src.addData(docBatch(b, rowsPerBatch))
+        q.processAllAvailable()
+      }
+      val prog = q.recentProgress.toSeq
+      val inputRows = prog.map(_.numInputRows).sum
+      val trigMs = prog.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+      val dataTrig = prog.filter(_.numInputRows > 0)
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+      val totalSec = trigMs.sum / 1e3
+      val rps = if (totalSec > 0) inputRows / totalSec else 0.0
+      val sorted = dataTrig.sorted
+      val p50 = if (sorted.nonEmpty) sorted(sorted.size / 2) else 0L
+      val mx = if (sorted.nonEmpty) sorted.max else 0L
+      println(f"""STREAMBENCH {"op":"$name","rows":$inputRows,"batches":${prog.count(_.numInputRows > 0)},"rows_per_sec":$rps%.0f,"batch_ms_p50":$p50,"batch_ms_max":$mx,"total_sec":$totalSec%.3f}""")
+    } finally q.stop()
+  }
+
   /** Drive `batches` micro-batches through a started query, then read
     * (rows, seconds, maxBatchMs) off the engine's progress log. */
   private def drive(spark: SparkSession, name: String,
@@ -120,6 +174,18 @@ object StreamBench {
       sink(src.toDF().select(col("event_ts"), col("user_id"),
         (col("value") * 2).as("v2"))).start(),
       batches, rowsPerBatch, users)
+
+    // COMPOSED ingest flow (r17, verdict ask #4): C4/Gopher quality
+    // filters → exact + near dedup tiers → bloom-prefiltered corpus
+    // anti-join → MERGE, per micro-batch via foreachBatch
+    // (StreamOps.corpusPrepMergeBatch) — the corpus-prep production
+    // path end to end. Cross-batch state is the corpus parquet plus a
+    // vocabulary-bounded bloom (bytes ∝ expectedItems, never rows); no
+    // state store is involved, so the leg is provider-independent and
+    // runs once. Doc rate is events/4 — each doc is a 3-line text, so
+    // per-row work is a different unit than the event legs.
+    driveDocs(spark, "corpus_prep_ingest", batches,
+      math.max(rowsPerBatch / 4, 500))
 
     /** The five STATEFUL op families, once per state-store provider. */
     def statefulLegs(suffix: String): Unit = {

@@ -243,6 +243,50 @@ object DedupOps {
   /** Hamming distance between two packed 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs over a 64-char '0'/'1' BIT-STRING signature column —
+    * the perceptual-hash (dHash/pHash) form of [[simhashDupPairs]]'
+    * banded-hamming blocking, for signatures carried as portable bit
+    * strings (bit 63 of a packed BIGINT would be the sign bit, see
+    * [[graft.ops.MultimodalOps.dhashBits]]). Blocking: a pair within
+    * hamming ≤ 3 of 64 bits must agree EXACTLY on ≥ 1 of the 4 16-bit
+    * segments (pigeonhole), so bucketing on (segment index, segment
+    * substring) finds every qualifying pair with one equi-join — never
+    * all-pairs; chance 16-bit collisions cost ~N²/2¹⁶ verified-and-
+    * dropped candidates. Verification is exact: each segment parses to
+    * a 16-bit int (conv base 2) and the hamming distance is the sum of
+    * the four segment `bit_count(xor)`s — integer arithmetic, bit-exact
+    * cross-engine. Output: (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * 100 TB shape: one shuffle at the (segment, value) bucket grain over
+    * 4 slim rows per signature; signatures are 64 chars regardless of
+    * media size (the decode already reduced pixels to the hash), so the
+    * join input is O(N), and the hamming ≤ 3 filter bounds the output
+    * to the true near-dup pair set. */
+  def bitstringDupPairs(
+      df: DataFrame, idCol: String, bitsCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-segment LSH over 64 bits covers maxHamming <= 3, got $maxHamming")
+    val sigs = df.select(col(idCol).as("id"), col(bitsCol).as("bits"))
+    def seg(bits: Column, ci: Int): Column =
+      conv(substring(bits, ci * 16 + 1, 16), 2, 10).cast(LongType)
+    val chunked = sigs.select(col("id"), col("bits"),
+      explode(array((0 until 4).map(ci =>
+        concat_ws("_", lit(ci.toString),
+          substring(col("bits"), ci * 16 + 1, 16))): _*)).as("chunk_key"))
+    val hamming = (0 until 4).map(ci =>
+      bit_count(seg(col("bits_a"), ci).bitwiseXOR(seg(col("bits_b"), ci))))
+      .reduce(_ + _)
+    chunked.as("a").join(chunked.as("b"), Seq("chunk_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+      .distinct()
+      .withColumn("hamming", hamming.cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Near-dup pairs by SimHash: bucket on 16-bit chunks (a pair within
     * hamming ≤ 3 of 64 bits must agree on ≥1 of the 4 chunks —
     * pigeonhole), then verify exact hamming inside the bucket. */
@@ -407,7 +451,7 @@ object DedupOps {
     * with no lineage to rebuild — fine single-node / on stable
     * clusters). Both are eager, so per-round convergence probes never
     * recompute. */
-  private[ops] def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  private[graft] def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     if (checkpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
@@ -417,7 +461,7 @@ object DedupOps {
     * files are reclaimed by the ContextCleaner only with
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, otherwise
     * delete the dir after the job. */
-  private[ops] def setupCheckpointDir(df: DataFrame, dir: Option[String]): Unit =
+  private[graft] def setupCheckpointDir(df: DataFrame, dir: Option[String]): Unit =
     dir.foreach(d => df.sparkSession.sparkContext.setCheckpointDir(d))
 
   /** Deterministically release a `localCheckpoint(true)`'d frame's
@@ -427,7 +471,7 @@ object DedupOps {
     * before then. Safe on frames that carry no checkpoint (no-op —
     * including reliable-checkpoint frames, whose generations live as
     * files under the checkpoint dir, not as storage blocks). */
-  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

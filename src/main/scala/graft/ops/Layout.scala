@@ -148,6 +148,21 @@ object Layout {
     * Output: one row per planned bin — (bin, n_files, bin_bytes,
     * first_file, last_file). */
   def compactionPlan(df: DataFrame, targetBytes: Long,
+      partitionCol: Option[Column] = None): DataFrame =
+    compactionFileBins(df, targetBytes, partitionCol)
+      .groupBy(col("_part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("bin_bytes"),
+        max(col("size_bytes")).as("max_file_bytes"),
+        min(col("file_path")).as("first_file"),
+        max(col("file_path")).as("last_file"))
+
+  /** Per-FILE bin assignment underlying [[compactionPlan]] — exposed so
+    * [[compactionApply]] can execute the exact file groups the plan
+    * reported (the plan's (first_file, last_file) summary is for the
+    * dashboard; the rewrite needs every member). Output: one row per
+    * file — (_part, file_path, size_bytes, bin). */
+  def compactionFileBins(df: DataFrame, targetBytes: Long,
       partitionCol: Option[Column] = None): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val files = df
@@ -171,11 +186,64 @@ object Layout {
       .drop("_nparts")
     SampleOps.packSequences(files, "_part", "file_path", "size_bytes",
       targetBytes)
-      .groupBy(col("_part"), col("bin"))
-      .agg(count(lit(1)).as("n_files"),
-        sum(col("size_bytes")).as("bin_bytes"),
-        max(col("size_bytes")).as("max_file_bytes"),
-        min(col("file_path")).as("first_file"),
-        max(col("file_path")).as("last_file"))
+  }
+
+  /** EXECUTE a [[compactionPlan]] (r16 verdict ask #5 — the OPTIMIZE
+    * rewrite step): each planned bin's file group is read back and
+    * rewritten as ONE file under `outDir/bin=<k>/`, so the compacted
+    * table re-reads with `bin` as an inferred partition column and the
+    * post-compaction file census is checkable against the plan.
+    *
+    * Shape: the bin assignment is computed distributed
+    * ([[compactionFileBins]]) and collected at METADATA grain — one
+    * slim row per FILE, the [[Upsert.compactPartitions]] driver-walk
+    * budget class, never data rows. Each bin then rewrites through one
+    * distributed read→coalesce(1)→write job over exactly its member
+    * files — sequential job submission here; a production OPTIMIZE
+    * submits the same per-bin jobs from a scheduler pool in parallel.
+    * Data never collects; at the 100 TB grain each bin job moves
+    * ~targetBytes through one task, which is precisely the file size
+    * the plan chose.
+    *
+    * Returns the executed census — one row per bin: (bin, n_files_in,
+    * planned_bytes, n_files_out) — after ASSERTING the rewrite matches
+    * the plan (every bin directory holds exactly one data file).
+    * Content preservation is the caller's oracle check (row count +
+    * order-invariant checksum re-derived from the rewritten bytes). */
+  def compactionApply(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, outDir: String, targetBytes: Long): DataFrame = {
+    val assign = compactionFileBins(spark.read.parquet(srcDir), targetBytes)
+      .select(col("bin"), col("file_path"), col("size_bytes"))
+      .collect() // metadata grain: one row per FILE (budget class above)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    require(assign.nonEmpty, s"compactionApply: no files under $srcDir")
+    val groups = assign.groupBy(_._1).toSeq.sortBy(_._1)
+    groups.foreach { case (bin, files) =>
+      spark.read.parquet(files.map(_._2).sorted: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/bin=$bin")
+    }
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val census = groups.map { case (bin, files) =>
+      val out = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$outDir/bin=$bin"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(out.length == 1,
+        s"compactionApply: bin $bin rewrote to ${out.length} files, want 1")
+      (bin, files.length.toLong, files.map(_._3).sum, out.length.toLong)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      census.map { case (b, nIn, bytes, nOut) =>
+        org.apache.spark.sql.Row(b, nIn, bytes, nOut) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files_in",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("planned_bytes",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_files_out",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, LangIdOps, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
 
-/** Dedup family of the operator catalog (26 keys) —
+/** Dedup family of the operator catalog (27 keys) —
   * one slice of the r16 per-family split; entries are verbatim
   * from the former monolithic Catalog.scala, in original order.
   * Merged into the driver contract by [[Catalog.specs]]. */
@@ -1341,5 +1341,57 @@ private[queries] object CatalogDedup {
              |SELECT dhash, MIN(doc_id) AS keeper,
              |  COUNT(*) AS n_copies
              |FROM bits GROUP BY dhash ORDER BY keeper""".stripMargin)),
+
+
+    // Perceptual-hash NEAR-dup pairs (r16 verdict ask #3) — the
+    // multimodal↔dedup bridge: decode → 9×8 stub raster → 64-bit dHash →
+    // banded-hamming blocking (4×16-bit segments, pigeonhole for
+    // hamming ≤ 3) → exact bit_count(xor) verify. The fixture plants a
+    // re-encode twin for every 7th media: SAME payload raster with ONE
+    // grid cell's brightness shifted (+128 mod 256) — a one-pixel codec
+    // artifact that flips at most the 2 gradient bits touching the cell,
+    // so each twin lands within hamming ≤ 2 of its source and the banded
+    // blocking must recover it. The (doc_id, pixels) table is STAGED as
+    // parquet and BOTH engines hash from those staged integers — DuckDB
+    // replays dHash bit-for-bit and confirms pairs by all-pairs hamming
+    // (exact at oracle scale; Spark side never goes all-pairs).
+    "dedup_phash" -> QuerySpec(
+      (s, d) => {
+        val dir = staged(d, "phash_pixels") { dir =>
+          val media = MultimodalOps.attachFakeMedia(
+            t(s, d, "documents"), "doc_id", "text")
+          val base = MultimodalOps.resizeStub(
+              MultimodalOps.pixelSeed(media), 9, 8)
+            .select(col("doc_id"), col("pixels"))
+          val twins = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              transform(col("pixels"), (v, i) =>
+                when(i.cast(LongType) === pmod(col("doc_id"), lit(72L)),
+                  pmod(v + lit(128L), lit(256L))).otherwise(v)).as("pixels"))
+          base.unionByName(twins).coalesce(1)
+            .write.mode("overwrite").parquet(dir)
+        }
+        val hashed = s.read.parquet(dir)
+          .withColumn("dhash", MultimodalOps.dhashBits(col("pixels")))
+        DedupOps.bitstringDupPairs(hashed, "doc_id", "dhash", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, pixels FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/phash_pixels/*.parquet')),
+             |bits AS (
+             |  SELECT doc_id,
+             |    string_agg(CASE WHEN
+             |      pixels[(b//8)*9 + (b%8) + 2] > pixels[(b//8)*9 + (b%8) + 1]
+             |      THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
+             |  FROM px CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+             |  GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_filter(range(1, 65),
+             |    i -> a.dhash[i] <> b.dhash[i])) AS INTEGER) AS hamming
+             |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+             |WHERE len(list_filter(range(1, 65),
+             |  i -> a.dhash[i] <> b.dhash[i])) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
   )
 }

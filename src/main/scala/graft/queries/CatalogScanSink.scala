@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, LangIdOps, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
 
-/** ScanSink family of the operator catalog (26 keys) —
+/** ScanSink family of the operator catalog (27 keys) —
   * one slice of the r16 per-family split; entries are verbatim
   * from the former monolithic Catalog.scala, in original order.
   * Merged into the driver contract by [[Catalog.specs]]. */
@@ -947,5 +947,71 @@ private[queries] object CatalogScanSink {
           .orderBy(col("bin"))
       },
       None),
+
+
+    // EXECUTE the compaction plan (r16 verdict ask #5 — the apply leg
+    // that closes layout_compaction_plan's rows-only note with a
+    // hash-exact twin): Layout.compactionApply rewrites each planned
+    // file group as ONE file under bin=<k>/ (asserting the census
+    // in-operator), then BOTH engines re-derive row count + an
+    // order-invariant content checksum from the SAME staged bytes —
+    // the fragmented source (bin = -1 totals row) and the compacted
+    // output (per-bin rows, with the bin column read back through
+    // partition inference). A dropped row, a duplicated file, a bin
+    // that split, or any content drift fails the hash; census_ok pins
+    // the one-file-per-bin contract in the result itself.
+    "layout_compaction_apply" -> QuerySpec(
+      (s, d) => {
+        val target = 16L * 1024
+        val fragDir = staged(d, "layout_compaction") { p =>
+          t(s, d, "documents").repartition(24)
+            .write.mode("overwrite").parquet(p)
+        }
+        val appliedDir = staged(d, "layout_compaction_applied") { p =>
+          Layout.compactionApply(s, fragDir, p, target)
+        }
+        def chk(c: Column*) = conv(substring(md5(concat_ws("|", c: _*)),
+          1, 12), 16, 10).cast(LongType)
+        val rowChk = chk(col("doc_id").cast(StringType), col("text"),
+          col("lang"), col("source"), col("n_chars").cast(StringType))
+        val before = s.read.parquet(fragDir)
+          .select(rowChk.as("chk"), col("_metadata.file_path").as("fp"))
+          .agg(countDistinct(col("fp")).as("n_files"),
+            count(lit(1)).as("n_rows"), sum(col("chk")).as("checksum"))
+          .select(lit(-1L).as("bin"), col("n_files"), col("n_rows"),
+            col("checksum"))
+        val after = s.read.parquet(appliedDir)
+          .select(col("bin").cast(LongType).as("bin"), rowChk.as("chk"),
+            col("_metadata.file_path").as("fp"))
+          .groupBy(col("bin"))
+          .agg(countDistinct(col("fp")).as("n_files"),
+            count(lit(1)).as("n_rows"), sum(col("chk")).as("checksum"))
+        before.unionByName(after)
+          .withColumn("census_ok",
+            (col("bin") === -1L || col("n_files") === 1L).cast(IntegerType))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH chk AS (
+             |  SELECT ('0x' || substr(md5(concat_ws('|',
+             |    CAST(doc_id AS VARCHAR), text, lang, source,
+             |    CAST(n_chars AS VARCHAR))), 1, 12))::BIGINT AS c,
+             |    filename AS fp, CAST(-1 AS BIGINT) AS bin
+             |  FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_compaction/*.parquet',
+             |    filename=true)),
+             |chk2 AS (
+             |  SELECT ('0x' || substr(md5(concat_ws('|',
+             |    CAST(doc_id AS VARCHAR), text, lang, source,
+             |    CAST(n_chars AS VARCHAR))), 1, 12))::BIGINT AS c,
+             |    filename AS fp, CAST(bin AS BIGINT) AS bin
+             |  FROM read_parquet(
+             |    '/tmp/graft_stage/_root_testdata_sf0.01/layout_compaction_applied/bin=*/*.parquet',
+             |    filename=true, hive_partitioning=1)),
+             |u AS (SELECT * FROM chk UNION ALL SELECT * FROM chk2)
+             |SELECT bin, count(DISTINCT fp) AS n_files,
+             |  count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS checksum,
+             |  CAST(CASE WHEN bin = -1 OR count(DISTINCT fp) = 1
+             |    THEN 1 ELSE 0 END AS INTEGER) AS census_ok
+             |FROM u GROUP BY bin ORDER BY bin""".stripMargin)),
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.ops.{AsOfJoin, BasketOps, BpeOps, CalibrateOps, ClassifyOps, CorpusPrep, DedupOps, DsirOps, EmbedOps, EventOps, Flatten, GeoOps, GraphOps, Joins, LangIdOps, Layout, MultimodalOps, ProfileOps, PslDomain, QualityOps, Readers, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, TypedOps, UnigramLmOps, Upsert, WordPieceOps}
 
-/** Stream family of the operator catalog (11 keys) —
+/** Stream family of the operator catalog (12 keys) —
   * one slice of the r16 per-family split; entries are verbatim
   * from the former monolithic Catalog.scala, in original order.
   * Merged into the driver contract by [[Catalog.specs]]. */
@@ -385,5 +385,108 @@ private[queries] object CatalogStream {
              |  min(event_id) AS first_event
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
+
+
+    // COMPOSED streaming ingest, batch form (r16 verdict ask #4): the
+    // exact micro-batch function production deploys —
+    // StreamOps.corpusPrepMergeBatch as foreachBatch would invoke it,
+    // run over two batches into one accumulating corpus: batch 1
+    // bootstraps, batch 2 brings novel docs PLUS exact recrawls of
+    // every 9th batch-1 doc re-keyed at +10000 (same text, new id —
+    // the crawler-revisit shape). Flow per batch: C4 line rules →
+    // Gopher flags → in-batch exact dedup → bloom-prefiltered corpus
+    // anti-join → MERGE (nearDup=false keeps every tier engine-exact;
+    // the minhash band tiers are exercised in StreamingSpec and the
+    // executor-loss path). Cross-batch state is the corpus itself plus
+    // a vocabulary-BOUNDED bloom sketch (bytes ∝ expectedItems, never
+    // rows — the state bound StreamingSpec pins). The oracle replays
+    // quality + min-id-per-text dedup over the original ids: a recrawl
+    // that slipped the bloom tier, a dropped novel doc, or text drift
+    // all fail the hash (md5 of the stored C4-rebuilt text).
+    "stream_corpus_ingest" -> QuerySpec(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nLines = ceil(size(toks).cast(DoubleType) / 8).cast(IntegerType)
+        val firstLineDot = concat(array_join(slice(toks, 1, 8), " "), lit("."))
+        val built = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          concat(
+            array_join(transform(sequence(lit(0), nLines - 1),
+              i => concat(
+                array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            lit("\n"), firstLineDot,
+            when(col("doc_id") % 37 === 0, lit("\nsee lorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 41 === 0, lit("\nvar cfg = {")).otherwise(lit("")))
+            .as("text"))
+        val dir = staged(d, "stream_corpus_ingest") { p =>
+          val tgt = p + "/corpus"
+          val ingest = graft.streaming.StreamOps.corpusPrepMergeBatch(
+            tgt, "doc_id", "text", Seq("lang"),
+            gopherMinWords = 30, gopherMinStopwords = 1,
+            nearDup = false) _
+          val b1 = built.filter(col("doc_id") < 250)
+          val b2 = built.filter(col("doc_id") >= 250).unionByName(
+            built.filter(col("doc_id") < 250 &&
+                pmod(col("doc_id"), lit(9)) === 0)
+              .select((col("doc_id") + 10000L).as("doc_id"),
+                col("lang"), col("text")))
+          ingest(b1, 0L)
+          ingest(b2, 1L)
+        }
+        s.read.parquet(dir + "/corpus")
+          .select(col("doc_id"), col("lang").cast(StringType).as("lang"),
+            md5(col("text")).as("checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+             |built AS (
+             |  SELECT doc_id, lang,
+             |    array_to_string(
+             |      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+             |        i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+             |             CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END),
+             |      chr(10))
+             |    || chr(10) || array_to_string(toks[1:8], ' ') || '.'
+             |    || CASE WHEN doc_id % 37 = 0
+             |            THEN chr(10) || 'see lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN doc_id % 41 = 0
+             |            THEN chr(10) || 'var cfg = {' ELSE '' END AS text
+             |  FROM base),
+             |c4 AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> regexp_matches(trim(l), '[.!?"]$')
+             |           AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept,
+             |    contains(lower(text), 'lorem ipsum') AS hl,
+             |    contains(text, '{') AS hb
+             |  FROM built),
+             |c4k AS (
+             |  SELECT doc_id, lang, array_to_string(kept, chr(10)) AS text
+             |  FROM c4 WHERE NOT hl AND NOT hb AND len(kept) >= 3),
+             |g AS (
+             |  SELECT doc_id, lang, text,
+             |    string_split_regex(lower(text), '\s+') AS w FROM c4k),
+             |gf AS (
+             |  SELECT doc_id, lang, text, len(w) AS nw,
+             |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             |      / len(w) AS mwl,
+             |    len(regexp_extract_all(text, '#|\.\.\.')) AS nsym,
+             |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+             |    len(list_filter(['the','be','to','of','and','that','have','with'],
+             |      s -> list_contains(w, s))) AS nstop
+             |  FROM g),
+             |gk AS (
+             |  SELECT doc_id, lang, text FROM gf
+             |  WHERE nw >= 30 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+             |    AND CAST(nsym AS DOUBLE)/nw <= 0.1
+             |    AND CAST(nalpha AS DOUBLE)/nw >= 0.8 AND nstop >= 1)
+             |SELECT doc_id, lang, md5(text) AS checksum
+             |FROM gk
+             |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -111,10 +111,16 @@ object StreamOps {
       partitionCols: Seq[String],
       bloomExpectedItems: Long = 4000000L,
       nearDup: Boolean = false,
-      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3)(
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      // reliable-checkpoint seam (r16 verdict ask #1): the exact-novel
+      // materialization point below routes through DedupOps.materialize,
+      // so on a preemptible cluster an executor loss mid-merge rebuilds
+      // from checkpoint files instead of replaying the bloom anti-join
+      checkpointDir: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import graft.ops.DedupOps
+    DedupOps.setupCheckpointDir(batch, checkpointDir)
     // (1) in-batch exact dedup on the text digest (NULL-text rows share
     // the family's sentinel digest, so they dedup here too)
     val localExact = DedupOps.exactDedup(
@@ -151,15 +157,18 @@ object StreamOps {
       // and the bloom sketch rides novelExact's plan as a megabytes-long
       // literal — tripling that subtree makes plan *rendering* alone
       // allocate gigabytes (observed OOM: AQE explainString on the
-      // composed plan). localCheckpoint truncates the lineage to one
-      // small scan, and the micro-batch is exactly the right size to pin.
-      val staged = if (nearDup) Some(novelExact.localCheckpoint()) else None
+      // composed plan). materialize truncates the lineage to one
+      // small scan, and the micro-batch is exactly the right size to pin
+      // (reliable checkpoint files when checkpointDir is given).
+      val staged =
+        if (nearDup) Some(DedupOps.materialize(novelExact, checkpointDir))
+        else None
       val novel = staged.fold(novelExact)(
         DedupOps.incrementalDedup(_, corpus, idCol, textCol,
           nearDup = true, numHashes, bands, shingleN))
       // (3) MERGE the surviving novelty
       try Upsert.upsertIntoPath(spark, targetPath, novel, Seq(idCol), partitionCols)
-      finally staged.foreach(_.unpersist())
+      finally staged.foreach(DedupOps.releaseCheckpoint)
     }
   }
 
@@ -212,6 +221,11 @@ object StreamOps {
       gopherMaxSymbolRatio: Double = 0.1, gopherMinAlphaRatio: Double = 0.8,
       gopherMinStopwords: Int = 1,
       bloomExpectedItems: Long = 4000000L,
+      // nearDup=false keeps only the exact tiers (in-batch digest dedup
+      // + bloom-prefiltered corpus anti-join) — engine-exact end to end,
+      // so the composed flow is DuckDB-oracleable; true adds the minhash
+      // band tiers (production default, signature-engine-specific)
+      nearDup: Boolean = true,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       lmModel: Option[DataFrame] = None,
       lmMaxMeanNegLogProb: Double = Double.MaxValue,
@@ -221,7 +235,8 @@ object StreamOps {
       bigramMaxMeanNegLogProb: Double = Double.MaxValue,
       dsirModel: Option[DataFrame] = None,
       dsirMinLogW: Double = Double.MinValue,
-      dsirBuckets: Int = 256, dsirSeed: Long = 7L)(
+      dsirBuckets: Int = 256, dsirSeed: Long = 7L,
+      checkpointDir: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.ops.TextOps
     val keepCols = batch.columns.toSeq
@@ -282,8 +297,8 @@ object StreamOps {
       bgKept.join(passing, Seq(idCol), "left_semi")
     }
     dedupMergeBatch(targetPath, idCol, textCol, partitionCols,
-      bloomExpectedItems, nearDup = true, numHashes, bands, shingleN)(
-      dsKept, batchId)
+      bloomExpectedItems, nearDup, numHashes, bands, shingleN,
+      checkpointDir)(dsKept, batchId)
   }
 
   /** Streaming exact dedup with bounded state: duplicates arriving within

@@ -421,6 +421,159 @@ class ExecutorLossSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(removed.get() > before,
       "no executor was removed — the kill never happened and this test proved nothing")
   }
+
+  test("corpus-prep ladder with a reliable checkpoint survives an executor loss, survivors bit-identical") {
+    // the NINTH loss path (round 17, verdict ask #1): the FLAGSHIP
+    // pipeline. CorpusPrep.prepare's two materialization points (the
+    // ladder output and the LM-filtered corpus) and fuzzyDedupE2E's CC
+    // iterations all route through the checkpointDir seam now — with a
+    // reliable dir, an executor death during the input scan feeding the
+    // first checkpoint write replays at most that stage, and every later
+    // stage (LM score, fuzzy dedup, splits) consumes checkpoint FILES
+    // that survive the dead JVM. The clean run is the ground truth: the
+    // killed run must produce bit-identical survivors.
+    val before = removed.get()
+    val n = 400L
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    // Lines are mostly DOC-SPECIFIC tokens (doc$i riding in each
+    // trigram) so distinct docs stay far below the 0.3 Jaccard
+    // threshold and only the planted byte-identical twins cluster —
+    // a shared-template corpus would legitimately collapse to one
+    // cluster and prove nothing about the twin collapse.
+    def textOf(i: Long): String =
+      (0 until 4).map(j =>
+        s"the unique doc$i word${i}x$j and word${i}y$j with " +
+          s"word${i}z$j extra token${i}q$j here$j.")
+        .mkString("\n")
+    def docs(kill: Boolean) = spark.createDataFrame(
+      spark.sparkContext.range(0L, n, numSlices = 8)
+        .mapPartitionsWithIndex { (pid, it) =>
+          if (kill && shouldKill(pid, target = 0)) Runtime.getRuntime.halt(137)
+          it.flatMap { i =>
+            // every 5th doc gets a byte-identical twin at id+100000 —
+            // the fuzzy tier must collapse each twin pair to its min id
+            val base = org.apache.spark.sql.Row(i, textOf(i))
+            if (i % 5 == 0) Seq(base,
+              org.apache.spark.sql.Row(i + 100000L, textOf(i)))
+            else Seq(base)
+          }
+        }, schema)
+    def run(kill: Boolean): Seq[(Long, String, String)] = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_loss_corpus_$kill").toString
+      graft.ops.CorpusPrep.prepare(docs(kill), "doc_id", "text",
+          lmMaxNegLogProb = 100.0, checkpointDir = Some(ckpt))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq.sortBy(_._1)
+    }
+    val clean = run(kill = false)
+    val lossy = run(kill = true)
+    assert(clean.nonEmpty, "clean corpus-prep run produced no survivors")
+    assert(clean.forall(_._1 < 100000L),
+      "a planted twin out-survived its lower-id source")
+    assert(lossy == clean,
+      s"post-loss survivors diverged: ${lossy.size} vs ${clean.size} rows")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
+
+  test("composed streaming ingest (foreachBatch quality+dedup merge) survives an executor loss") {
+    // the TENTH loss path (round 17, verdict ask #4): the COMPOSED
+    // micro-batch flow — tolerant doc batch → C4/Gopher flags →
+    // in-batch + bloom-gated corpus dedup → MERGE — killed mid-ingest
+    // batch. The kill is a marker-FILE latch (shared /tmp = exactly one
+    // halt across all scans, stages, and executor generations — the
+    // composed plan scans its input several times, so attempt-number
+    // guards alone would kill once per stage forever), armed only for
+    // ingest-batch rows (doc_id >= 1000). corpusPrepMergeBatch's
+    // reliable-checkpoint seam (r17) carries the mid-flow
+    // materialization as FILES, and the flow's idempotency contract
+    // must hold under a real executor death: the final corpus equals
+    // the kill-free run's exactly.
+    val before = removed.get()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false)))
+    def doc(i: Long): org.apache.spark.sql.Row = {
+      val body = (0 until 3).map(j =>
+        s"the steady corpus doc$i word${i}x$j and word${i}y$j " +
+          s"with extra token${i}q$j here$j.").mkString("\n")
+      org.apache.spark.sql.Row(i, body, if (i % 2 == 0) "en" else "fr")
+    }
+    val dirty = "short line\nno punctuation here either"
+    def run(kill: Boolean): Set[Long] = {
+      val tag = s"ingest_$kill"
+      val srcDir = java.nio.file.Files.createTempDirectory(s"graft_loss_${tag}_src").toString
+      val corpus = java.nio.file.Files.createTempDirectory(s"graft_loss_${tag}_tgt").toString + "/corpus"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_loss_${tag}_ck").toString
+      val reliable = java.nio.file.Files.createTempDirectory(s"graft_loss_${tag}_rck").toString
+      val marker = java.nio.file.Files
+        .createTempDirectory(s"graft_loss_${tag}_m").toString + "/killed"
+      val mergeFn = graft.streaming.StreamOps.corpusPrepMergeBatch(
+        corpus, "doc_id", "text", Seq("lang"),
+        gopherMinStopwords = 1, bloomExpectedItems = 100000L,
+        checkpointDir = Some(reliable)) _
+      val flow: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, id) =>
+        val armed =
+          if (!kill) batch
+          else batch.mapPartitions { it =>
+            it.map { r =>
+              if (r.getLong(0) >= 1000L &&
+                  ExecutorLossSpec.armOnce(marker)) Runtime.getRuntime.halt(137)
+              r
+            }
+          }(org.apache.spark.sql.Encoders.row(schema))
+        mergeFn(armed, id)
+      }
+      def drain(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(srcDir)
+          .writeStream.foreachBatch(flow)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // 300 s: heaviest drain class — see StreamingSpec's ingest note
+        assert(q.awaitTermination(300000), "ingest query did not self-terminate")
+      }
+      // bootstrap batch: clean docs + one dirty (C4-dropped)
+      spark.createDataFrame(
+        java.util.Arrays.asList((0L until 40L).map(doc) :+
+          org.apache.spark.sql.Row(90L, dirty, "en"): _*), schema)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      // ingest batch (ids >= 1000 arm the kill): novel docs + exact
+      // recrawls of bootstrap docs at +10000 + a dirty doc
+      spark.createDataFrame(
+        java.util.Arrays.asList(((1000L until 1030L).map(doc) ++
+          Seq(10005L, 10007L).map(i => {
+            val r = doc(i - 10000L)
+            org.apache.spark.sql.Row(i, r.getString(1), r.getString(2))
+          }) :+ org.apache.spark.sql.Row(1090L, dirty, "fr")): _*), schema)
+        .write.mode("append").parquet(srcDir)
+      drain()
+      spark.read.parquet(corpus).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val clean = run(kill = false)
+    val lossy = run(kill = true)
+    assert(clean == (0L until 40L).toSet ++ (1000L until 1030L).toSet,
+      s"clean-run corpus unexpected: ${clean.toSeq.sorted.take(50)}")
+    assert(lossy == clean,
+      s"post-loss corpus diverged: ${lossy.diff(clean)} / ${clean.diff(lossy)}")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (removed.get() == before && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(removed.get() > before,
+      "no executor was removed — the kill never happened and this test proved nothing")
+  }
 }
 
 /** The kill predicate lives on the companion (a static reference) so
@@ -436,4 +589,13 @@ object ExecutorLossSpec {
     val tc = TaskContext.get()
     pid == target && tc.attemptNumber() == 0 && tc.stageAttemptNumber() == 0
   }
+
+  /** Cross-JVM once-only kill latch: atomically create `marker` on the
+    * shared filesystem; true for exactly the ONE caller (across every
+    * executor generation, stage, and scan) that created it. Needed when
+    * the plan under test scans its kill-bearing input in several
+    * stages — per-attempt guards would halt once per stage forever. */
+  def armOnce(marker: String): Boolean =
+    try { java.nio.file.Files.createFile(java.nio.file.Paths.get(marker)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
 }

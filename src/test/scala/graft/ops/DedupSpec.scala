@@ -735,4 +735,36 @@ class DedupSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(out == brute)
   }
+
+  test("bitstringDupPairs: pigeonhole blocking finds hamming<=3, drops beyond, equals brute force") {
+    def bits(flips: Int*): String =
+      (0 until 64).map(i => if (flips.contains(i)) '1' else '0').mkString
+    // 1↔2 hamming 2 (shared segments) → found; 3 flips one bit per
+    // segment vs 1 (hamming 4, NO shared segment — never a candidate);
+    // 4 shares three all-zero segments with 1 (a real candidate) but
+    // hamming 4 → must be verified away, not emitted
+    val rows = Seq(
+      (1L, bits()), (2L, bits(0, 1)), (3L, bits(0, 16, 32, 48)),
+      (4L, bits(17, 18, 19, 20)))
+    val out = DedupOps.bitstringDupPairs(
+        rows.toDF("id", "sig"), "id", "sig", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 2)), s"got $out")
+    // property: equals brute-force hamming<=3 over random signatures
+    val rnd = new scala.util.Random(7)
+    val sigs = (1L to 80L).map { i =>
+      // low-entropy alphabet so collisions actually occur
+      (i, (0 until 64).map(_ => if (rnd.nextInt(14) == 0) '1' else '0').mkString)
+    }
+    val got = DedupOps.bitstringDupPairs(
+        sigs.toDF("id", "sig"), "id", "sig", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (i, a) <- sigs; (j, b) <- sigs if i < j
+      h = a.zip(b).count { case (x, y) => x != y } if h <= 3
+    } yield (i, j, h)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+  }
 }

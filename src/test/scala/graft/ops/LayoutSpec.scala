@@ -166,4 +166,37 @@ class LayoutSpec extends SparkSpec {
       partitionCol = Some($"_metadata.file_name"))
     assert(byPart.count() == files.length) // one bin per (tiny) file
   }
+
+  test("compactionApply executes the plan: one file per bin, content preserved") {
+    val df = (1L to 5000L).map(i => (i, s"payload-$i-${"x" * 64}")).toDF("id", "s")
+    val src = java.nio.file.Files.createTempDirectory("lay_ca_src").toFile.getAbsolutePath
+    val out = java.nio.file.Files.createTempDirectory("lay_ca_out").toFile.getAbsolutePath
+    df.repartition(12).write.mode("overwrite").parquet(src)
+    val target = 16L * 1024
+    val plan = Layout.compactionPlan(spark.read.parquet(src), target)
+      .select($"bin", $"n_files", $"bin_bytes")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val census = Layout.compactionApply(spark, src, out, target)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // census matches the plan bin-for-bin: same bins, same member
+    // counts, same planned bytes, exactly one output file each
+    assert(census.map(c => (c._1, c._2, c._3)).toSeq ==
+      plan.map(p => (p._1, p._2, p._3)).toSeq,
+      s"census diverged from plan:\n${census.mkString("\n")}\nvs\n${plan.mkString("\n")}")
+    assert(census.forall(_._4 == 1L), "a bin rewrote to more than one file")
+    // the compacted table re-reads with bin as a partition column and
+    // preserves content exactly
+    val back = spark.read.parquet(out)
+    assert(back.columns.contains("bin"))
+    assert(back.select($"id", $"s").as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+    // per-bin file census on disk: one parquet file per bin dir
+    val binDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bin="))
+    assert(binDirs.length == plan.length)
+    binDirs.foreach { b =>
+      val parts = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${b.getName}: ${parts.length} files")
+    }
+  }
 }

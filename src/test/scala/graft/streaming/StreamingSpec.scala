@@ -536,11 +536,12 @@ class StreamingSpec extends SparkSpec {
       val src = spark.readStream.schema(schema).parquet(srcDir)
       val q = src.writeStream
         .foreachBatch(
-          StreamOps.dedupMergeBatch(corpusDir, "doc_id", "text", Seq("lang")) _)
+          StreamOps.dedupMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+            bloomExpectedItems = 100000L) _)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      assert(q.awaitTermination(120000), "ingest query did not self-terminate")
+      assert(q.awaitTermination(300000), "ingest query did not self-terminate")
     }
     def corpusIds: Set[Long] = spark.read.parquet(corpusDir)
       .select($"doc_id").as[Long].collect().toSet
@@ -586,11 +587,11 @@ class StreamingSpec extends SparkSpec {
       val q = src.writeStream
         .foreachBatch(
           StreamOps.dedupMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
-            nearDup = true) _)
+            bloomExpectedItems = 100000L, nearDup = true) _)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      assert(q.awaitTermination(120000), "ingest query did not self-terminate")
+      assert(q.awaitTermination(300000), "ingest query did not self-terminate")
     }
     def corpusIds: Set[Long] = spark.read.parquet(corpusDir)
       .select($"doc_id").as[Long].collect().toSet
@@ -638,11 +639,16 @@ class StreamingSpec extends SparkSpec {
       val src = spark.readStream.schema(schema).parquet(srcDir)
       val q = src.writeStream
         .foreachBatch(
-          StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang")) _)
+          StreamOps.corpusPrepMergeBatch(corpusDir, "doc_id", "text", Seq("lang"),
+            bloomExpectedItems = 100000L) _)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      assert(q.awaitTermination(120000), "ingest query did not self-terminate")
+      // 300 s: the full ladder × replay batch is the suite's heaviest
+      // drain, and under full-suite contention (the ExecutorLossSpec
+      // fork JVM runs concurrently, each side local[*]) a 120 s budget
+      // flaked (observed r17); 300 s still fails a genuine hang fast
+      assert(q.awaitTermination(300000), "ingest query did not self-terminate")
     }
     def corpusIds: Set[Long] = spark.read.parquet(corpusDir)
       .select($"doc_id").as[Long].collect().toSet
@@ -685,6 +691,27 @@ class StreamingSpec extends SparkSpec {
     rm(new java.io.File(ckpt))
     drain()
     assert(corpusIds == Set(1L, 2L, 12L), "replay must be a no-op")
+  }
+
+  test("composed ingest state bound: bloom bytes are fixed by expectedItems, never corpus rows") {
+    // the composed flow's only cross-batch in-memory artifact is the
+    // bloom sketch refit from the corpus each batch — its size must be
+    // a function of the CONFIGURED capacity alone (≈10 bits/item), so
+    // a corpus 16× larger fits the same bytes; row-proportional state
+    // here is exactly the unbounded-state failure the design avoids
+    import graft.ops.DedupOps
+    val small = (1L to 500L).map(i => (i, s"doc body number $i"))
+      .toDF("doc_id", "text")
+    val big = (1L to 8000L).map(i => (i, s"doc body number $i"))
+      .toDF("doc_id", "text")
+    val cap = 50000L
+    val a = DedupOps.bloomFitDigests(small, "text", expectedItems = cap)
+    val b = DedupOps.bloomFitDigests(big, "text", expectedItems = cap)
+    assert(a.length == b.length,
+      s"bloom bytes moved with corpus rows: ${a.length} vs ${b.length}")
+    // ≈ numBits/8 + header; the 10·n bit sizing contract with slack
+    assert(a.length <= cap * 10 / 8 + 4096,
+      s"bloom bytes ${a.length} exceed the ~10 bits/item contract")
   }
 
   test("streaming corpus-prep frozen-LM tier: streamed scoring equals batch scoring") {
@@ -734,7 +761,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(q.awaitTermination(120000), "LM ingest query did not self-terminate")
+    assert(q.awaitTermination(300000), "LM ingest query did not self-terminate")
 
     val expectedIds = batchScores.collect {
       case (id, s) if s <= threshold => id
@@ -787,7 +814,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(q.awaitTermination(120000), "bigram ingest query did not self-terminate")
+    assert(q.awaitTermination(300000), "bigram ingest query did not self-terminate")
     val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
     assert(got == Set(1L),
       s"streamed bigram membership $got must equal batch membership Set(1)")
@@ -838,7 +865,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(q.awaitTermination(120000), "NB ingest query did not self-terminate")
+    assert(q.awaitTermination(300000), "NB ingest query did not self-terminate")
 
     val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
     assert(got == Set(1L),
@@ -894,7 +921,7 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(q.awaitTermination(120000), "DSIR ingest query did not self-terminate")
+    assert(q.awaitTermination(300000), "DSIR ingest query did not self-terminate")
 
     val got = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
     assert(got == Set(1L),
