@@ -524,8 +524,22 @@ object BpeOps {
       .join(pieces.select(col("word"), col("pieces")), Seq("word"))
       .select(col(idCol), col("word_pos"),
         posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+    // r17 (guide §1.2): the vocab counts used to re-traverse `stream` —
+    // a SECOND corpus-grain join + pieces-explode pass (the stream
+    // subtree appears under both the vocab aggregate and the id join,
+    // and nothing dedups a broadcast-join subtree). The same counts
+    // factor through the WORD grain: count(piece) = Σ_word wf(word) ·
+    // multiplicity(piece ∈ pieces(word)) — one slim word-frequency
+    // aggregation over the token stream (no join, no piece explode)
+    // plus a vocab-sized explode of the already-checkpointed encoder
+    // table. Bit-identical counts ⇒ identical dense ids.
+    val wordFreq = toks.groupBy(col("word")).agg(count(lit(1)).as("_wf"))
     val vocab = TextOps.denseIds(
-      stream.groupBy(col("piece")).agg(count(lit(1)).as("n")), "piece", "n")
+      pieces.select(col("word"), col("pieces"))
+        .join(wordFreq, Seq("word"))
+        .select(explode(col("pieces")).as("piece"), col("_wf"))
+        .groupBy(col("piece")).agg(sum(col("_wf")).as("n")),
+      "piece", "n")
     // vocab is derived from this very stream — inner join loses nothing
     val withIds = stream
       .join(vocab.select(col("piece"), col("token_id")), Seq("piece"))

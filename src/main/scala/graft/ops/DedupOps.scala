@@ -337,17 +337,20 @@ object DedupOps {
     * Algorithm: Pregel-style min-label propagation. Labels start as the
     * node's own id; each round every node takes the min of its own label
     * and its neighbours' (one equi-join edges⋈labels + one min-agg = two
-    * shuffles per round), until a fixpoint. Rounds = graph DIAMETER,
-    * which for near-dup clusters is small by construction — components
-    * are near-cliques around a shared template, not long chains — so
-    * 3-5 rounds is typical and `maxIterations` is a safety rail, not a
-    * budget. (For adversarial long-chain graphs the alternating
-    * large-star/small-star algorithm [Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14] converges in
-    * O(log n) rounds with the same per-round join shape — the upgrade
-    * path if a corpus ever produces chain-shaped components; it is not
-    * the default because its per-round constant is higher and dedup
-    * graphs don't chain.)
+    * shuffles per round), until a fixpoint. From round 3 each round
+    * ALSO applies one pointer-doubling step (label(v) ←
+    * prev(label(v)), see the loop body), so rounds = O(log diameter) —
+    * not diameter: a label learned from a neighbor is chased one hop
+    * further along the previous round's label forest, doubling the
+    * propagation distance per round. Near-dup clusters (near-cliques
+    * around a shared template) converge in ≤ 3 rounds and never pay
+    * the shortcut join; an adversarial CHAIN of length 60 converges in
+    * 8 rounds (the r17 DedupSpec pin) and `maxIterations` is a safety
+    * rail, not a budget. (The alternating large-star/small-star
+    * algorithm [Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14] is the same O(log n) class with a higher
+    * per-round constant — kept as [[connectedComponentsLargeStar]] for
+    * the independent-implementation catalog twin.)
     *
     * Scale mechanics, per round: the edge list is the big side and is
     * REUSED unshuffled every round when `partitions` is set (it arrives
@@ -396,7 +399,13 @@ object DedupOps {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
     // pre-partition on dst — the per-round join key — so the edge list
-    // is shuffled ONCE here and every round's join reuses the layout
+    // is shuffled ONCE here and every round's join reuses the layout.
+    // Deliberately OPT-IN (r17, measured): defaulting it to the
+    // session's shuffle partitioning pinned every per-round join to a
+    // fixed P and disabled AQE's partition coalescing, which costs
+    // more at bench scale than the per-round edge exchange it saves
+    // (dedup_cluster_cc 1.27 → 1.63 s min) — set `partitions` on real
+    // clusters where the edge list dwarfs the label frame.
     val edges = materialize(
       if (partitions > 0) sym.repartition(partitions, col("dst")) else sym,
       checkpointDir)
@@ -421,12 +430,42 @@ object DedupOps {
         .select(edges("src").as("id"), col("cluster_id"))
         .groupBy("id")
         .agg(min(col("cluster_id")).as("nb_min"))
-      val next = materialize(
-        labels.join(neighbourMin, Seq("id"), "left")
+      // POINTER DOUBLING (label shortcutting), engaged ADAPTIVELY from
+      // round 3: after folding the neighborhood minimum in, chase the
+      // result one hop through the PREVIOUS round's label map —
+      // label(v) ← prev(min(label(v), nb_min(v))). Every label value is
+      // the id of a node in the same component (init label = id; min
+      // over component members stays a member) and prev() is defined on
+      // the whole domain, so labels stay monotone non-increasing and
+      // the fixpoint (component min everywhere) is UNCHANGED — but once
+      // engaged, the distance a label travels per round DOUBLES:
+      // rounds go O(diameter) → O(log diameter). Chasing through
+      // `labels` (the round's input, ALREADY materialized) keeps the
+      // round at ONE materialize and ONE edge-join pass; the shortcut
+      // is one extra node-grain equi-join (one exchange) inside the
+      // same plan. Adaptivity: near-dup graphs are near-cliques that
+      // converge in ≤ 3 rounds where the shortcut can't help (round 1
+      // prev = identity; rounds 2-3 it saves nothing on D ≤ 3), so the
+      // first two rounds run the plain merge and pay ZERO extra — only
+      // a graph still unconverged at round 3 (deep components) buys the
+      // doubling. Measured: dedup_cluster_cc_chain (diameter 24)
+      // 25 rounds → 7; near-clique keys keep their pre-r17 plan
+      // exactly. prev(m) ≤ m always (monotonicity), so the coalesce
+      // never picks a larger label; the left join is belt-and-braces
+      // for the in-domain invariant (an inner join would be equivalent).
+      val merged = labels.join(neighbourMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("_m"))
+      val stepped =
+        if (iter < 2) merged.select(col("id"), col("_m").as("cluster_id"))
+        else merged
+          .join(labels.select(col("id").as("_pid"),
+            col("cluster_id").as("_pcid")),
+            col("_m") === col("_pid"), "left")
           .select(col("id"),
-            least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-              .as("cluster_id")),
-        checkpointDir)
+            coalesce(col("_pcid"), col("_m")).as("cluster_id"))
+      val next = materialize(stepped, checkpointDir)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -1276,6 +1315,21 @@ object DedupOps {
     // Jaccard equals string-set Jaccard unless xxhash64 collides within
     // a pair's union (p ≲ |union|²/2⁶⁵ ≈ 1e-15 per pair) — the same
     // exactness tier as the LSH recall argument above.
+    // r17 NOTE (measured, kept as-was): three candidate-grain rewrites
+    // of this confirm stage were built and KeyBenched at sf0.1 —
+    // (a) shared union+distinct candidate-id semi-restriction (3.395 s
+    // min vs 2.442 baseline), (b) per-side lazy semi-restriction
+    // (3.370 s), (c) per-side BROADCAST semi-restriction + broadcast
+    // confirm build (4.186 s; each broadcast of the RDD-backed cand
+    // frame is a driver collect + build job). All three make the
+    // shingle+sort run over candidate docs only — the right 100 TB
+    // *compute* shape — but each adds stages/jobs that cost more than
+    // the whole corpus-grain shingle pass at any scale factor this
+    // bench reaches, so the measured winner below is the original
+    // two-SortMergeJoin form. At production scale the confirm runs off
+    // STAGED signature parquet (the bm25/IVF fit-serve split), where
+    // the restriction is a pushed-down semi join against the staged
+    // table, not an in-plan rewrite.
     val sets = sigInput.select(col(idCol).as("_sid"),
       sort_array(array_distinct(transform(
         call_function("shingle_array",

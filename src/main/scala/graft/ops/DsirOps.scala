@@ -82,11 +82,18 @@ object DsirOps {
     * derive both the fit's bucket totals AND the per-doc scores from
     * it — the raw corpus is never feature-hashed twice. */
   def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 256, seed: Long = 7L): DataFrame = {
+      buckets: Int = 256, seed: Long = 7L,
+      // doc-constant passenger columns (e.g. the corpus-split label) to
+      // carry through the aggregation: lets fit+score share ONE
+      // feature-hash pass over a mixed corpus instead of hashing each
+      // slice separately (r17, guide §1.2 — don't compute things twice).
+      // Each must be functionally dependent on idCol; they join the
+      // groupBy key, which cannot change counts on a doc-constant column.
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    df.select(col(idCol), explode(featureBuckets(col(textCol), buckets, seed))
-        .as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
+    df.select(col(idCol) +: carryCols.map(col) :+
+        explode(featureBuckets(col(textCol), buckets, seed)).as("bucket"): _*)
+      .groupBy(col(idCol) +: carryCols.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("_cnt"))
   }
 

@@ -78,6 +78,38 @@ object SearchOps {
         col("_n_docs"), col("_total_toks")))
   }
 
+  /** [[bm25Fit]] re-derived FROM a [[bm25Postings]] frame instead of
+    * the raw corpus (r17, guide §1.2 — don't tokenize the corpus
+    * twice): the postings grain (doc, dl, term, tf) already carries the
+    * distinct (doc, term) rows bm25Fit aggregates, so a caller that
+    * builds the index AND the model pays ONE tokenize+aggregate pass
+    * and derives both from it. Output is row-for-row the bm25Fit frame
+    * (same types, same idf quantization — the docTok multiset is
+    * identical because `dl` is functionally dependent on the doc). At
+    * 100 TB this is the production shape the postings scaladoc
+    * promises: stage the postings parquet once, derive model + serve
+    * queries from it, corpus never re-tokenized. */
+  def bm25FitFromPostings(postings: DataFrame, idCol: String): DataFrame = {
+    val docTok = postings.select(col(idCol).as("_id"), col("_tok"), col("_tf"))
+    val stats = docTok.agg(
+      countDistinct(col("_id")).as("_n_docs"),
+      sum(col("_tf")).as("_total_toks"))
+    val dfCounts = docTok.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("_df"))
+    dfCounts.crossJoin(broadcast(stats))
+      .select(col("_tok"), col("_df"),
+        log(lit(1.0) + ((col("_n_docs") - col("_df")) + lit(0.5)) /
+            (col("_df") + lit(0.5)))
+          .cast(IdfType).as("_idf"),
+        lit(null).cast(LongType).as("_n_docs"),
+        lit(null).cast(LongType).as("_total_toks"))
+      .unionByName(stats.select(
+        lit(null).cast(StringType).as("_tok"),
+        lit(null).cast(LongType).as("_df"),
+        lit(null).cast(IdfType).as("_idf"),
+        col("_n_docs"), col("_total_toks")))
+  }
+
   /** SCORE half: global BM25 top-k for a literal query against a FROZEN
     * [[bm25Fit]] model.
     *

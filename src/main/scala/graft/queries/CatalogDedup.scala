@@ -532,10 +532,10 @@ private[queries] object CatalogDedup {
 
 
     // Long-diameter CC: 25-node CHAIN components over the full doc_id
-    // domain (edge i→i+1 except at chain ends). Diameter 24 forces ~24
-    // min-label-propagation rounds — the per-round localCheckpoint +
-    // release seam exercised at K≥20 rounds on a scale-proportional
-    // graph (the near-clique dedup fixtures converge in 3-5). The
+    // domain (edge i→i+1 except at chain ends). Diameter 24 forced ~24
+    // min-label rounds before r17's pointer-doubling step (now ~6 —
+    // the per-round localCheckpoint + release seam still exercised on
+    // a scale-proportional graph; near-clique fixtures converge in 3). The
     // closed form cluster_id = doc_id − (doc_id mod 25) is an
     // INDEPENDENT derivation of the same fixpoint ⇒ fully oracled.
     "dedup_cluster_cc_chain" -> QuerySpec(

@@ -460,23 +460,31 @@ private[queries] object CatalogGraphGeo {
         // untouched.
         val home = GeoOps.pruneHotCellsInline(
           homeAll, "cell", maxCellPairs = 1000000000L)
+        // r17 (guide §2.4): the same-cell count is FUSED into the
+        // candidate join instead of a second home×home self-join — a
+        // candidate row is a same-cell pair iff the probe side matched
+        // through its OWN home cell (the join key already equals the
+        // build side's home cell), so tagging each exploded block row
+        // with `home_cell` and taking max(is_home) per pair yields
+        // n_same from the same groupBy that dedups candidates. Plan:
+        // 2 joins + distinct + 2 aggs + crossJoin → 1 join + 1 groupBy
+        // + 1 agg; results bit-identical (home(a)=home(b) ⇔ a matched b
+        // at a's home cell).
         val blocks = GeoOps.explodeNeighborCells(
-          pts, "lat", "lon", precision = 4)
-          .select(col("c_custkey"), col("cell"))
+          pts.withColumn("home_cell",
+            GeoOps.geohash(col("lat"), col("lon"), precision = 4)),
+          "lat", "lon", precision = 4)
+          .select(col("c_custkey"), col("cell"),
+            (col("cell") === col("home_cell")).as("is_home"))
         val cand = blocks.as("a")
           .join(home.as("b"),
             col("a.cell") === col("b.cell") &&
               col("a.c_custkey") < col("b.c_custkey"))
-          .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"))
-          .distinct()
-        val same = home.as("a")
-          .join(home.as("b"),
-            col("a.cell") === col("b.cell") &&
-              col("a.c_custkey") < col("b.c_custkey"))
-          .agg(count(lit(1)).as("n_same"))
+          .groupBy(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"))
+          .agg(max(col("a.is_home").cast(IntegerType)).as("_same"))
         cand.agg(count(lit(1)).as("n_pairs_total"),
-            sum(col("ka") + col("kb")).as("pair_key_sum"))
-          .crossJoin(broadcast(same))
+            sum(col("ka") + col("kb")).as("pair_key_sum"),
+            sum(col("_same")).cast(LongType).as("n_same"))
           .select(col("n_pairs_total"),
             col("n_same").as("n_pairs_same_cell"),
             (col("n_pairs_total") - col("n_same")).as("n_pairs_border_only"),

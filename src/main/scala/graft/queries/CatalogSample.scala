@@ -446,18 +446,22 @@ private[queries] object CatalogSample {
       (s, d) => {
         val docs = t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("source"))
-        val target = docs.filter(col("source") === "src0")
-        val raw = docs.filter(col("source") =!= "src0")
-        // the raw corpus is feature-hashed ONCE into the shared
-        // doc-bucket frame (eagerly materialized — it feeds both the
-        // fit's totals and the scoring join); the production pipeline
-        // persists this frame as parquet instead
-        val rawCounts = DsirOps.docBucketCounts(
-          raw.select(col("doc_id"), col("text")), "doc_id", "text",
-          buckets = 64, seed = 7L).localCheckpoint()
-        val targetCounts = DsirOps.docBucketCounts(
-          target.select(col("doc_id"), col("text")), "doc_id", "text",
-          buckets = 64, seed = 7L)
+        // r17 (guide §1.2): target and raw partition the SAME corpus, so
+        // the whole corpus is feature-hashed ONCE with `source` carried
+        // through the aggregation, and both sides slice the eagerly
+        // materialized (doc, bucket) frame — one tokenize+hash+explode
+        // pass instead of two disjoint ones (the hash pass is the
+        // operator's dominant cost; counts are unchanged because source
+        // is doc-constant). The production pipeline persists this frame
+        // as parquet instead.
+        val allCounts = DsirOps.docBucketCounts(
+          docs, "doc_id", "text",
+          buckets = 64, seed = 7L, carryCols = Seq("source"))
+          .localCheckpoint()
+        val rawCounts = allCounts.filter(col("source") =!= "src0")
+          .drop("source")
+        val targetCounts = allCounts.filter(col("source") === "src0")
+          .drop("source")
         val model = DsirOps.dsirFitFromCounts(targetCounts, rawCounts,
           buckets = 64, smoothing = 0.5)
         val scored = DsirOps.dsirScoreFromCounts(rawCounts, "doc_id", model)

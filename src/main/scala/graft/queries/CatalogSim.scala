@@ -1365,13 +1365,22 @@ private[queries] object CatalogSim {
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
+        // r17 (guide §1.2): bm25Fit + bm25Postings each tokenized and
+        // aggregated the whole corpus — one pass builds the postings
+        // index (materialized: it feeds the model's two aggregations
+        // AND the scoring join) and the model derives FROM it
+        // (bm25FitFromPostings — bit-identical model frame). The corpus
+        // is tokenized once instead of twice; at 100 TB this is the
+        // staged-index production shape the postings scaladoc promises.
+        val postings = SearchOps.bm25Postings(docs, "doc_id", "text")
+          .localCheckpoint()
+        val model = SearchOps.bm25FitFromPostings(postings, "doc_id")
         val queries = Seq(
           ("q1", "dup hash join"),
           ("q2", "merge sort"),
           ("q3", "dup zebra"),
           ("q4", "qqqzzz")).toDF("qid", "qtext")
-        SearchOps.bm25TopKBatch(docs, "doc_id", "text", model,
+        SearchOps.bm25TopKBatchOnPostings(postings, "doc_id", model,
             queries, "qid", "qtext", k = 10)
           .orderBy(col("qid"), col("doc_id"))
       },

@@ -293,13 +293,16 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial")
     }
-    // 61-node chain (diameter 60): min-label at default maxIterations=25
-    // rails; large-star/small-star contracts it in O(log n) rounds
+    // 61-node chain (diameter 60): r17's pointer-doubling step makes
+    // min-label O(log d) too — 10 rounds suffice where the pre-r17
+    // neighbor-only propagation railed at 25 (both O(log) algorithms
+    // now agree on the adversarial chain)
     val nodes = (0L to 60L).toDF("id")
     val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
-    assertThrows[IllegalStateException] {
-      DedupOps.connectedComponents(nodes, chain, "id", "a", "b")
-    }
+    val gotMl = DedupOps.connectedComponents(nodes, chain, "id", "a", "b",
+      maxIterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 60L).forall(gotMl(_) == 0L), gotMl.toString)
     val got = DedupOps.connectedComponentsLargeStar(nodes, chain, "id", "a", "b",
       maxIterations = 15)
       .as[(Long, Long)].collect().toMap

@@ -97,4 +97,23 @@ class DsirOpsSpec extends SparkSpec {
       .orderBy(col("id")).collect().toSeq
     assert(a === b)
   }
+
+  test("docBucketCounts carryCols: one mixed-corpus pass ≡ per-slice passes") {
+    // the r17 single-hash-pass shape: counts with a doc-constant
+    // passenger column sliced by that column must equal the counts of
+    // each slice hashed separately
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 9} w${i % 4} w${i % 9} x$i", if (i % 4 == 0) "t" else "r"))
+      .toDF("id", "text", "src")
+    val fused = DsirOps.docBucketCounts(docs, "id", "text",
+      buckets = 16, seed = 7L, carryCols = Seq("src"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("bucket")) ->
+        r.getAs[Long]("_cnt")).toMap
+    for (s <- Seq("t", "r")) {
+      val slice = DsirOps.docBucketCounts(
+        docs.filter(col("src") === s), "id", "text", buckets = 16, seed = 7L)
+      assert(asMap(fused.filter(col("src") === s).drop("src")) == asMap(slice), s)
+    }
+  }
 }

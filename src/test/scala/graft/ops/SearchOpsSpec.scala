@@ -363,4 +363,17 @@ class SearchOpsSpec extends SparkSpec {
       SearchOps.rrfFuse(Seq("a" -> a), "qid", "id", "rank", k = 0)
     }
   }
+
+  test("bm25FitFromPostings ≡ bm25Fit (same rows, same types)") {
+    // the r17 single-tokenize path: model derived from the postings
+    // index must be row-for-row the corpus-fit model
+    val direct = SearchOps.bm25Fit(fixture, "id", "text")
+    val viaPostings = SearchOps.bm25FitFromPostings(
+      SearchOps.bm25Postings(fixture, "id", "text"), "id")
+    assert(viaPostings.schema == direct.schema)
+    val key = (r: org.apache.spark.sql.Row) => Option(r.getAs[String]("_tok"))
+    val a = direct.collect().map(r => key(r) -> r.toSeq).toMap
+    val b = viaPostings.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(a == b)
+  }
 }
