@@ -214,7 +214,7 @@ object Layout {
       srcDir: String, outDir: String, targetBytes: Long): DataFrame = {
     val assign = compactionFileBins(spark.read.parquet(srcDir), targetBytes)
       .select(col("bin"), col("file_path"), col("size_bytes"))
-      .collect() // metadata grain: one row per FILE (budget class above)
+      .collect() // file-tuple metadata: one slim row per FILE (budget class above)
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     require(assign.nonEmpty, s"compactionApply: no files under $srcDir")
     val groups = assign.groupBy(_._1).toSeq.sortBy(_._1)

@@ -314,13 +314,30 @@ object SearchOps {
     * corpus statistic and are skipped — the inner join IS the filter. */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, kPerDoc: Int): DataFrame = {
-    require(kPerDoc > 0, s"tfIdfTopTerms: kPerDoc must be > 0, got $kPerDoc")
-    import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("_tok"))
       .filter(length(col("_tok")) > 0)
       .groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).as("tf"))
+    tfIdfRank(tf, idCol, model, kPerDoc)
+  }
+
+  /** [[tfIdfTopTerms]] served from a prebuilt [[bm25Postings]] frame
+    * (r17, guide §1.2): the postings grain already carries the
+    * (doc, term, tf) rows the tf aggregation recomputed from raw text —
+    * a caller that stages the index once derives model AND keyword
+    * extraction from it with zero extra corpus passes. Bit-identical
+    * output (`dl` is functionally dependent on the doc id, so dropping
+    * it leaves the same (doc, term, tf) multiset). */
+  def tfIdfTopTermsOnPostings(postings: DataFrame, idCol: String,
+      model: DataFrame, kPerDoc: Int): DataFrame =
+    tfIdfRank(postings.select(col(idCol), col("_tok"), col("_tf").as("tf")),
+      idCol, model, kPerDoc)
+
+  private def tfIdfRank(tf: DataFrame, idCol: String,
+      model: DataFrame, kPerDoc: Int): DataFrame = {
+    require(kPerDoc > 0, s"tfIdfTopTerms: kPerDoc must be > 0, got $kPerDoc")
+    import org.apache.spark.sql.expressions.Window
     tf.join(model.filter(col("_tok").isNotNull)
         .select(col("_tok"), col("_idf")), Seq("_tok"))
       .withColumn("weight",

@@ -1559,8 +1559,15 @@ private[queries] object CatalogSim {
     "search_tfidf_keywords" -> QuerySpec(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val model = SearchOps.bm25Fit(docs, "doc_id", "text")
-        SearchOps.tfIdfTopTerms(docs, "doc_id", "text", model, kPerDoc = 3)
+        // r17 (guide §1.2): one tokenize+aggregate pass — the postings
+        // index feeds both the model fit and the per-doc tf frame
+        // (bit-identical output; see bm25FitFromPostings /
+        // tfIdfTopTermsOnPostings), replacing two raw-text passes.
+        val postings = SearchOps.bm25Postings(docs, "doc_id", "text")
+          .localCheckpoint()
+        val model = SearchOps.bm25FitFromPostings(postings, "doc_id")
+        SearchOps.tfIdfTopTermsOnPostings(postings, "doc_id", model,
+            kPerDoc = 3)
           .orderBy(col("doc_id"), col("rank"))
       },
       Some("""WITH toks0 AS (

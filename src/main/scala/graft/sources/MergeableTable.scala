@@ -123,12 +123,24 @@ class MergeableScanBuilder(tableKey: String, stored: MergeableStore.Stored)
   override def description(): String = s"MergeableTable($tableKey)"
   // SNAPSHOT at plan time: a row-level op reads the pre-merge state
   // even though its own commit mutates the store before the scan of a
-  // subsequent query
+  // subsequent query.
+  // r17 (guide §2.6 idle capacity): the snapshot is CHUNKED into
+  // multiple input partitions instead of one — the single-partition
+  // scan made every downstream stage of a MERGE/UPDATE/DELETE (the
+  // join against the source, the delta projection) start from ONE
+  // task no matter how many cores the session has. Chunk size keeps
+  // small tables in one task (no per-task overhead regression) while a
+  // seeded 75k-row target fans out. Row ORDER within and across
+  // chunks is the store's insertion order, unchanged — chunking moves
+  // partition boundaries only, and every consumer of this scan either
+  // aggregates, joins, or re-sorts.
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = stored.rows.synchronized {
       stored.rows.values().asScala.toArray.map(_.clone())
     }
-    Array(MergeableInputPartition(snap))
+    if (snap.isEmpty) Array(MergeableInputPartition(snap))
+    else snap.grouped(8192).map(MergeableInputPartition(_))
+      .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

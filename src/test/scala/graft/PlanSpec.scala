@@ -272,6 +272,10 @@ class PlanSpec extends SparkSpec {
       // explicitly-marked driver-side partition-TUPLE materialization
       // (bounded by partition count, not row count) is allowed
       if !line.contains("partition-tuple metadata")
+      // explicitly-marked driver-side FILE-tuple materialization
+      // (bounded by file count — the compaction/OPTIMIZE walk class:
+      // one slim row per file, never data rows) is allowed
+      if !line.contains("file-tuple metadata")
       // explicitly-marked offline MODEL fits collecting a BUDGETED
       // post-aggregation table (the pqFit/ivfFit/bpeFit contract:
       // model-sized, loud failure over budget) are allowed
